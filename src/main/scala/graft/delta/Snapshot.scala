@@ -1,0 +1,57 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.delta.log.{Actions, LogSegment, Replay}
+import graft.delta.scan.DeltaScan
+
+/** An immutable view of a Delta table at one version.
+  *
+  * Mirrors the reference's `TableSnapshot` trait surface — logical
+  * schema, version, protocol, metadata, scan entry point (reference:
+  * crates/datafusion/src/table_provider/delta/table_format.rs:59-82).
+  */
+final case class Snapshot(
+    spark: SparkSession,
+    tablePath: Path,
+    segment: LogSegment,
+    metadata: Actions.Metadata,
+    protocol: Actions.Protocol) {
+
+  def version: Long = segment.version
+
+  /** User-facing (logical) schema. */
+  def schema: StructType = metadata.dataSchema
+
+  def partitionColumns: Seq[String] = metadata.partitionColumns
+
+  /** Reconciled live AddFile rows (distributed; nothing collected). */
+  def allFiles: DataFrame = Replay.liveFiles(spark, segment)
+
+  /** Full-table read. */
+  def read: DataFrame = DeltaScan.build(this, Seq.empty)
+
+  /** Read with pushed-down filters: partition pruning + stats-based file
+    * skipping happen on the file list before any parquet is opened; the
+    * same predicates are re-applied on the rows (the reference's
+    * `Inexact` filter contract — table_provider/delta/mod.rs:83-88). */
+  def readWhere(filters: Column*): DataFrame =
+    DeltaScan.build(this, filters)
+}
+
+object DeltaTable {
+
+  /** Resolve a snapshot of the table at `path` (latest, or `versionAsOf`).
+    * Spark analogue of the reference's `Snapshot::try_new` boot path
+    * (crates/datafusion/src/session.rs:169-191). */
+  def forPath(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Snapshot = {
+    val tablePath = new Path(path)
+    val segment = LogSegment.forTable(spark, tablePath, versionAsOf)
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    require(proto.minReaderVersion <= 3,
+      s"Unsupported minReaderVersion ${proto.minReaderVersion}")
+    Snapshot(spark, tablePath, segment, meta, proto)
+  }
+}

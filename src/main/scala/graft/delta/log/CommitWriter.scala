@@ -1,0 +1,341 @@
+package graft.delta.log
+
+import java.util.UUID
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import scala.jdk.CollectionConverters._
+
+/** Minimal Delta commit writer: parquet data files + JSON commits with
+  * atomic create-no-overwrite, per-file stats, partitioned layout, and
+  * classic checkpoints.
+  *
+  * Mirrors the atomic-commit semantics of the reference's JSON handler
+  * (reference: crates/datafusion/src/engine/file_format.rs:216-249 —
+  * `write_json_file` with `PutMode::Create`, AlreadyExists → error).
+  * The reference leaves `insert_into` unimplemented
+  * (table_provider/delta/mod.rs:171-178); this writer exists so the
+  * rebuild can generate real Delta fixtures and exercise the read path.
+  *
+  * Scale note: per-file stats are computed in ONE distributed pass
+  * (groupBy on `_metadata.file_path`), never by looping files on the
+  * driver.
+  */
+object CommitWriter {
+  import Actions._
+  private val mapper = new ObjectMapper()
+
+  class ConcurrentCommitException(version: Long, cause: Throwable)
+    extends RuntimeException(s"Commit version $version already exists", cause)
+
+  // ---- public API ----------------------------------------------------
+
+  /** Create a new Delta table at `tablePath` from `df` (commit 0). */
+  def createTable(spark: SparkSession, df: DataFrame, tablePath: String,
+      partitionColumns: Seq[String] = Seq.empty,
+      configuration: Map[String, String] = Map.empty,
+      name: Option[String] = None): Metadata = {
+    val meta = Metadata(
+      id = UUID.randomUUID().toString,
+      name = name, description = None, format = Format(),
+      schemaString = df.schema.json,
+      partitionColumns = partitionColumns,
+      configuration = configuration,
+      createdTime = Some(System.currentTimeMillis()))
+    val adds = writeFiles(spark, df, tablePath, partitionColumns)
+    commit(spark, tablePath, 0L,
+      Seq(protocolJson(Protocol()), metadataJson(meta)) ++ adds.map(addJson),
+      operation = "CREATE TABLE AS SELECT")
+    meta
+  }
+
+  /** Append `df` to an existing table as the next commit. */
+  def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    val adds = writeFiles(spark, df, tablePath, meta.partitionColumns)
+    val v = segment.version + 1
+    commit(spark, tablePath, v, adds.map(addJson), operation = "WRITE")
+    v
+  }
+
+  /** Commit a metadata change (schema evolution): next commit carries a
+    * new metaData action (plus optional adds). */
+  def commitMetadata(spark: SparkSession, tablePath: String,
+      newMeta: Metadata, extraActions: Seq[String] = Seq.empty): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val v = segment.version + 1
+    commit(spark, tablePath, v, metadataJson(newMeta) +: extraActions,
+      operation = "CHANGE SCHEMA")
+    v
+  }
+
+  /** Remove files (by relative path) as the next commit. */
+  def commitRemoves(spark: SparkSession, tablePath: String,
+      paths: Seq[String]): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val v = segment.version + 1
+    val now = System.currentTimeMillis()
+    commit(spark, tablePath, v,
+      paths.map(p => removeJson(RemoveFile(p, Some(now), dataChange = true))),
+      operation = "DELETE")
+    v
+  }
+
+  /** Write the action lines of `version` atomically (create-no-overwrite,
+    * the A22 semantics). */
+  def commit(spark: SparkSession, tablePath: String, version: Long,
+      actionLines: Seq[String], operation: String): Unit = {
+    val logPath = new Path(new Path(tablePath), "_delta_log")
+    val fs = LogSegment.fs(spark, new Path(tablePath))
+    fs.mkdirs(logPath)
+    val commitPath = new Path(logPath, LogSegment.commitFileName(version))
+    val info = mapper.createObjectNode()
+    val ci = info.putObject("commitInfo")
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.put("operation", operation)
+    ci.put("engineInfo", "graft/0.1.0")
+    val payload = (info.toString +: actionLines).mkString("", "\n", "\n")
+    val out = try fs.create(commitPath, false) catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(version, e)
+      case e: java.io.IOException if fs.exists(commitPath) =>
+        throw new ConcurrentCommitException(version, e)
+    }
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Write a classic single-file checkpoint at the current version and
+    * update `_last_checkpoint`. */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    val live = Replay.liveFiles(spark, segment)
+
+    val addRows = live.select(struct(
+      col("path"), col("partitionValues"), col("size"),
+      col("modificationTime"), col("dataChange"), col("stats"),
+      col("deletionVector")).as("add"))
+      .withColumn("remove", lit(null).cast(Actions.removeSchema))
+      .withColumn("metaData", lit(null).cast(Actions.metaDataSchema))
+      .withColumn("protocol", lit(null).cast(Actions.protocolSchema))
+      .withColumn("txn", lit(null).cast(Actions.txnSchema))
+      .select("add", "remove", "metaData", "protocol", "txn")
+
+    import spark.implicits._
+    val pmRows = spark.read.schema(Actions.logSchema)
+      .json(Seq(metadataJson(meta), protocolJson(proto)).toDS())
+      .select("add", "remove", "metaData", "protocol", "txn")
+
+    val all = addRows.unionByName(pmRows)
+    val logPath = new Path(new Path(tablePath), "_delta_log")
+    val fs = LogSegment.fs(spark, new Path(tablePath))
+    val staging = new Path(logPath,
+      s".checkpoint_staging_${UUID.randomUUID().toString.take(8)}")
+    all.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    val target = new Path(logPath, LogSegment.checkpointFileName(segment.version))
+    fs.delete(target, false)
+    fs.rename(part.getPath, target)
+    fs.delete(staging, true)
+
+    val lc = mapper.createObjectNode()
+    lc.put("version", segment.version)
+    lc.put("size", all.count())
+    val lcPath = new Path(logPath, "_last_checkpoint")
+    val out = fs.create(lcPath, true)
+    try out.write(lc.toString.getBytes("UTF-8")) finally out.close()
+    segment.version
+  }
+
+  // ---- data file writing --------------------------------------------
+
+  /** Write `df` as parquet files under `tablePath` (hive-style dirs for
+    * partition columns), returning the AddFile actions with stats. */
+  def writeFiles(spark: SparkSession, df: DataFrame, tablePath: String,
+      partitionColumns: Seq[String]): Seq[AddFile] = {
+    val table = new Path(tablePath)
+    val fs = LogSegment.fs(spark, table)
+    fs.mkdirs(table)
+    val staging = new Path(table, s".staging_${UUID.randomUUID().toString.take(8)}")
+
+    val writer = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+     else writer).parquet(staging.toString)
+
+    val dataCols = df.schema.fieldNames.filterNot(partitionColumns.contains)
+    val statsByFile = computeStats(spark, staging.toString, dataCols, df.schema)
+
+    // move part files into the table dir, preserving partition subdirs
+    val stagingUri = staging.toUri.getPath
+    val parts = listRecursive(fs, staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    parts.map { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(stagingUri)
+        .stripPrefix("/")
+      val target = new Path(table, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(st.getPath, target))
+        throw new IllegalStateException(s"rename failed: ${st.getPath} -> $target")
+      val partValues = parsePartitionValues(rel)
+      val status = fs.getFileStatus(target)
+      AddFile(
+        path = rel,
+        partitionValues = partValues,
+        size = status.getLen,
+        modificationTime = status.getModificationTime,
+        dataChange = true,
+        stats = statsByFile.get(st.getPath.toUri.getPath))
+    }.tap(_ => fs.delete(staging, true))
+  }
+
+  private implicit class Tap[A](private val a: A) {
+    def tap(f: A => Unit): A = { f(a); a }
+  }
+
+  private def listRecursive(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  private def parsePartitionValues(relPath: String): Map[String, String] =
+    relPath.split('/').dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
+  /** One distributed pass computing per-file numRecords / minValues /
+    * maxValues / nullCount for the eligible leaf columns. */
+  private def computeStats(spark: SparkSession, stagingDir: String,
+      dataCols: Seq[String], schema: StructType): Map[String, String] = {
+    val eligible = dataCols.filter { c =>
+      schema(c).dataType match {
+        case _: NumericType | StringType | DateType | BooleanType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    val read = spark.read.parquet(stagingDir)
+    val aggs =
+      eligible.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+      } :+ count(lit(1)).as("numRecords")
+    val rows = read
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val node = mapper.createObjectNode()
+      node.put("numRecords", r.getAs[Long]("numRecords"))
+      val minN = node.putObject("minValues")
+      val maxN = node.putObject("maxValues")
+      val nullN = node.putObject("nullCount")
+      for (c <- eligible) {
+        putStat(minN, c, r.getAs[Any](s"min_$c"))
+        putStat(maxN, c, r.getAs[Any](s"max_$c"))
+        nullN.put(c, r.getAs[Long](s"nulls_$c"))
+      }
+      val filePath = new Path(r.getAs[String]("__file")).toUri.getPath
+      filePath -> node.toString
+    }.toMap
+  }
+
+  private def putStat(node: ObjectNode, name: String, v: Any): Unit = v match {
+    case null => () // absent = unknown
+    case b: Boolean => node.put(name, b)
+    case b: Byte => node.put(name, b.toInt)
+    case s: Short => node.put(name, s.toInt)
+    case i: Int => node.put(name, i)
+    case l: Long => node.put(name, l)
+    case f: Float => if (!f.isNaN && !f.isInfinite) node.put(name, f)
+    case d: Double => if (!d.isNaN && !d.isInfinite) node.put(name, d)
+    case d: java.math.BigDecimal => node.put(name, d)
+    case s: String => node.put(name, s)
+    case d: java.sql.Date => node.put(name, d.toString)
+    case d: java.time.LocalDate => node.put(name, d.toString)
+    case t: java.sql.Timestamp =>
+      node.put(name, t.toLocalDateTime.toString)
+    case t: java.time.LocalDateTime => node.put(name, t.toString)
+    case t: java.time.Instant => node.put(name, t.toString)
+    case other => node.put(name, other.toString)
+  }
+
+  // ---- action JSON rendering ----------------------------------------
+
+  def addJson(a: AddFile): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("add")
+    n.put("path", a.path)
+    val pv = n.putObject("partitionValues")
+    a.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+    n.put("size", a.size)
+    n.put("modificationTime", a.modificationTime)
+    n.put("dataChange", a.dataChange)
+    a.stats.foreach(s => n.put("stats", s))
+    a.deletionVector.foreach(dv => putDv(n, dv))
+    root.toString
+  }
+
+  def removeJson(r: RemoveFile): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("remove")
+    n.put("path", r.path)
+    r.deletionTimestamp.foreach(ts => n.put("deletionTimestamp", ts))
+    n.put("dataChange", r.dataChange)
+    r.deletionVector.foreach(dv => putDv(n, dv))
+    root.toString
+  }
+
+  private def putDv(parent: ObjectNode, dv: DeletionVectorDescriptor): Unit = {
+    val d = parent.putObject("deletionVector")
+    d.put("storageType", dv.storageType)
+    d.put("pathOrInlineDv", dv.pathOrInlineDv)
+    dv.offset.foreach(o => d.put("offset", o))
+    d.put("sizeInBytes", dv.sizeInBytes)
+    d.put("cardinality", dv.cardinality)
+  }
+
+  def metadataJson(m: Metadata): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("metaData")
+    n.put("id", m.id)
+    m.name.foreach(v => n.put("name", v))
+    m.description.foreach(v => n.put("description", v))
+    val f = n.putObject("format")
+    f.put("provider", m.format.provider)
+    val fo = f.putObject("options")
+    m.format.options.foreach { case (k, v) => fo.put(k, v) }
+    n.put("schemaString", m.schemaString)
+    val pc = n.putArray("partitionColumns")
+    m.partitionColumns.foreach(pc.add)
+    val cfg = n.putObject("configuration")
+    m.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    m.createdTime.foreach(v => n.put("createdTime", v))
+    root.toString
+  }
+
+  def protocolJson(p: Protocol): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("protocol")
+    n.put("minReaderVersion", p.minReaderVersion)
+    n.put("minWriterVersion", p.minWriterVersion)
+    p.readerFeatures.foreach { fs =>
+      val a = n.putArray("readerFeatures"); fs.foreach(a.add)
+    }
+    p.writerFeatures.foreach { fs =>
+      val a = n.putArray("writerFeatures"); fs.foreach(a.add)
+    }
+    root.toString
+  }
+}

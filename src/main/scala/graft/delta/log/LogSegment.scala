@@ -1,0 +1,118 @@
+package graft.delta.log
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The set of log files that defines one table version: an optional
+  * checkpoint plus the JSON commits after it.
+  *
+  * Mirrors the log-bootstrap path the reference drives through
+  * delta-kernel's `Snapshot::try_new` (reference:
+  * crates/datafusion/src/session.rs:169-191 and
+  * crates/datafusion/src/engine/storage.rs:66-72 — ordered `_delta_log`
+  * listing, `_last_checkpoint` probe), re-expressed over Hadoop FS.
+  */
+final case class LogSegment(
+    tablePath: Path,
+    version: Long,
+    checkpointVersion: Option[Long],
+    checkpointFiles: Seq[FileStatus],
+    commitFiles: Seq[FileStatus]) { // ascending version order
+
+  def logPath: Path = new Path(tablePath, "_delta_log")
+}
+
+object LogSegment {
+  private val commitRe = """^(\d{20})\.json$""".r
+  private val checkpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
+  private val multiCheckpointRe =
+    """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+
+  def commitFileName(version: Long): String = f"$version%020d.json"
+  def checkpointFileName(version: Long): String =
+    f"$version%020d.checkpoint.parquet"
+
+  def commitVersion(name: String): Option[Long] = name match {
+    case commitRe(v) => Some(v.toLong)
+    case _ => None
+  }
+
+  def fs(spark: SparkSession, path: Path): FileSystem =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Resolve the newest (or `versionAsOf`) segment for a table. */
+  def forTable(spark: SparkSession, tablePath: Path,
+      versionAsOf: Option[Long] = None): LogSegment = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fileSystem = fs(spark, tablePath)
+    if (!fileSystem.exists(logPath))
+      throw new IllegalArgumentException(
+        s"Not a Delta table (no _delta_log): $tablePath")
+
+    val entries = fileSystem.listStatus(logPath).toSeq
+    val commits = entries.flatMap { st =>
+      commitVersion(st.getPath.getName).map(v => v -> st)
+    }.sortBy(_._1)
+    // single-file and multi-part checkpoints, grouped by version
+    val singleCps = entries.flatMap { st =>
+      st.getPath.getName match {
+        case checkpointRe(v) => Some(v.toLong -> Seq(st))
+        case _ => None
+      }
+    }
+    val multiCps = entries.flatMap { st =>
+      st.getPath.getName match {
+        case multiCheckpointRe(v, _, parts) => Some((v.toLong, parts.toInt, st))
+        case _ => None
+      }
+    }.groupBy(t => (t._1, t._2)).collect {
+      case ((v, parts), sts) if sts.size == parts =>
+        v -> sts.sortBy(_._3.getPath.getName).map(_._3)
+    }
+    val checkpoints = (singleCps ++ multiCps).toMap
+
+    if (commits.isEmpty && checkpoints.isEmpty)
+      throw new IllegalArgumentException(s"Empty _delta_log at $tablePath")
+
+    val maxAvailable =
+      (commits.map(_._1) ++ checkpoints.keys).max
+    val target = versionAsOf.getOrElse(maxAvailable)
+    if (target > maxAvailable)
+      throw new IllegalArgumentException(
+        s"Version $target not available (latest is $maxAvailable)")
+
+    val cpVersion = checkpoints.keys.filter(_ <= target) match {
+      case vs if vs.isEmpty => None
+      case vs => Some(vs.max)
+    }
+    val tail = commits
+      .filter { case (v, _) => v <= target && cpVersion.forall(v > _) }
+
+    // contiguity check: versions after the checkpoint must be gapless
+    val expectedStart = cpVersion.map(_ + 1).getOrElse(0L)
+    val versions = tail.map(_._1)
+    val expected = expectedStart to target
+    if (versions != expected && !(versions.isEmpty && cpVersion.contains(target)))
+      throw new IllegalStateException(
+        s"Gap in _delta_log: have versions $versions, expected $expected")
+
+    LogSegment(tablePath, target, cpVersion,
+      cpVersion.map(checkpoints).getOrElse(Seq.empty), tail.map(_._2))
+  }
+
+  /** Read `_last_checkpoint`, if present (used as a listing shortcut by
+    * real implementations; we use it in VacuumCommand + tests). */
+  def lastCheckpoint(spark: SparkSession, tablePath: Path): Option[Long] = {
+    val p = new Path(new Path(tablePath, "_delta_log"), "_last_checkpoint")
+    val fileSystem = fs(spark, tablePath)
+    if (!fileSystem.exists(p)) None
+    else {
+      val in = fileSystem.open(p)
+      try {
+        val node = new ObjectMapper().readTree(in)
+        Option(node.get("version")).map(_.asLong())
+      } finally in.close()
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft.delta.log
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Log replay: reconcile checkpoint + commit actions into the live file
+  * set and the latest metadata/protocol.
+  *
+  * The reference delegates this to delta-kernel's scan-metadata log
+  * replay (reference: crates/datafusion/src/table_provider/delta/
+  * snapshot.rs:92-136). Here the replay itself is a Spark plan: the
+  * checkpoint (potentially millions of add rows at 100 TB) is read
+  * distributed, commit JSON tails are small, and reconciliation is a
+  * window over the union — no driver-side materialization until after
+  * pruning.
+  */
+object Replay {
+  private val mapper = new ObjectMapper()
+
+  /** All actions in the segment, stamped with their commit version.
+    * Checkpoint rows get the checkpoint version; commit rows parse their
+    * version out of the file name. */
+  def actionsDF(spark: SparkSession, segment: LogSegment): DataFrame = {
+    val cp = segment.checkpointFiles match {
+      case Seq() => None
+      case files =>
+        Some(spark.read
+          .schema(Actions.logSchema)
+          .parquet(files.map(_.getPath.toString): _*)
+          .withColumn("commit_version", lit(segment.checkpointVersion.get)))
+    }
+    val commits = segment.commitFiles match {
+      case Seq() => None
+      case files =>
+        Some(spark.read
+          .schema(Actions.logSchema)
+          .json(files.map(_.getPath.toString): _*)
+          .withColumn("commit_version",
+            regexp_extract(col("_metadata.file_path"),
+              """(\d{20})\.json""", 1).cast("long")))
+    }
+    (cp, commits) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalStateException("empty log segment")
+    }
+  }
+
+  /** The reconciled live file set: one row per live AddFile (columns of
+    * Actions.addSchema plus commit_version). Reconciliation rule: the
+    * latest action for a path wins; within one commit a re-add supersedes
+    * a remove of the same path. */
+  def liveFiles(spark: SparkSession, segment: LogSegment): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = actionsDF(spark, segment)
+      .where(col("add").isNotNull || col("remove").isNotNull)
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add").isNotNull.as("is_add"),
+        col("commit_version"),
+        col("add"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("commit_version").desc, col("is_add").desc)
+    acts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("is_add"))
+      .select(col("add.*"), col("commit_version"))
+  }
+
+  /** Latest metadata + protocol. Commit tails are scanned driver-side
+    * newest-first (they are small and P&M almost always live there);
+    * falls back to a Spark query over the checkpoint. */
+  def metadataAndProtocol(spark: SparkSession,
+      segment: LogSegment): (Actions.Metadata, Actions.Protocol) = {
+    var meta: Option[Actions.Metadata] = None
+    var proto: Option[Actions.Protocol] = None
+    val fs = LogSegment.fs(spark, segment.tablePath)
+    for (commit <- segment.commitFiles.reverse
+         if meta.isEmpty || proto.isEmpty) {
+      val in = fs.open(commit.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      // within a commit the last occurrence wins; scan lines in reverse
+      for (line <- lines.reverse if line.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (meta.isEmpty && node.has("metaData"))
+          meta = Some(parseMetadata(node.get("metaData")))
+        if (proto.isEmpty && node.has("protocol"))
+          proto = Some(parseProtocol(node.get("protocol")))
+      }
+    }
+    if ((meta.isEmpty || proto.isEmpty) && segment.checkpointFiles.nonEmpty) {
+      val cp = spark.read
+        .schema(Actions.logSchema)
+        .parquet(segment.checkpointFiles.map(_.getPath.toString): _*)
+      if (meta.isEmpty) {
+        val rows = cp.where(col("metaData").isNotNull)
+          .select(to_json(col("metaData")).as("j")).limit(1).collect()
+        meta = rows.headOption.map(r => parseMetadata(mapper.readTree(r.getString(0))))
+      }
+      if (proto.isEmpty) {
+        val rows = cp.where(col("protocol").isNotNull)
+          .select(to_json(col("protocol")).as("j")).limit(1).collect()
+        proto = rows.headOption.map(r => parseProtocol(mapper.readTree(r.getString(0))))
+      }
+    }
+    (meta.getOrElse(throw new IllegalStateException(
+        s"No metaData action found in log of ${segment.tablePath}")),
+      proto.getOrElse(Actions.Protocol()))
+  }
+
+  // ---- driver-side JSON → ADT parsing -------------------------------
+
+  private def optStr(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+  private def optLong(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
+
+  private def strMap(n: JsonNode, f: String): Map[String, String] =
+    Option(n.get(f)).filterNot(_.isNull).map { m =>
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+
+  def parseMetadata(n: JsonNode): Actions.Metadata = Actions.Metadata(
+    id = n.get("id").asText(),
+    name = optStr(n, "name"),
+    description = optStr(n, "description"),
+    format = Actions.Format(
+      provider = Option(n.get("format")).flatMap(f => optStr(f, "provider"))
+        .getOrElse("parquet"),
+      options = Option(n.get("format")).map(f => strMap(f, "options"))
+        .getOrElse(Map.empty)),
+    schemaString = n.get("schemaString").asText(),
+    partitionColumns = Option(n.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+    configuration = strMap(n, "configuration"),
+    createdTime = optLong(n, "createdTime"))
+
+  def parseProtocol(n: JsonNode): Actions.Protocol = Actions.Protocol(
+    minReaderVersion = n.get("minReaderVersion").asInt(),
+    minWriterVersion = n.get("minWriterVersion").asInt(),
+    readerFeatures = Option(n.get("readerFeatures")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq),
+    writerFeatures = Option(n.get("writerFeatures")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq))
+}

@@ -1,0 +1,147 @@
+package graft.delta.scan
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.delta.Snapshot
+import graft.delta.log.Actions.DeletionVectorDescriptor
+import graft.delta.log.LogSegment
+
+/** Assembles the user-facing DataFrame for a snapshot:
+  *
+  *   prune file list (stats + partition values, distributed)
+  *     → collect surviving file paths (only the pruned list)
+  *     → ONE parquet scan over all files with the physical schema
+  *     → physical→logical rename (column mapping, nested rebuild)
+  *     → partition-value injection via a broadcast join on file path
+  *     → deletion-vector row filter on _metadata.row_index
+  *     → residual predicate
+  *
+  * The reference does the same work as a custom exec node applying a
+  * per-file transform expression (reference: crates/datafusion/src/
+  * table_provider/delta/exec.rs:25-237, mod.rs:90-149). In Spark the
+  * per-file dispatch collapses: name-based parquet resolution imputes
+  * missing columns, and the per-file parts (partition values, DV) key off
+  * `_metadata.file_path` — a single scan, no N-way union, so the plan
+  * shape is independent of file count (100 TB-safe).
+  */
+object DeltaScan {
+
+  final case class ScanFile(
+      relPath: String,
+      partitionValues: Map[String, String],
+      dv: Option[DeletionVectorDescriptor])
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Normalize a file URI/path to a bare absolute path (strips scheme);
+    * must agree between `_metadata.file_path` and driver-built keys. */
+  private def normalizeExpr(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+  private def normalize(p: Path): String = p.toUri.getPath
+
+  def prunedFiles(snapshot: Snapshot, filters: Seq[Column]): DataFrame =
+    StatsSkipping.prune(snapshot, snapshot.allFiles, filters)
+
+  def build(snapshot: Snapshot, filters: Seq[Column]): DataFrame = {
+    val spark = snapshot.spark
+    val logical = snapshot.schema
+    val partCols = snapshot.partitionColumns
+
+    val scanFiles: Seq[ScanFile] = prunedFiles(snapshot, filters)
+      .select("path", "partitionValues", "deletionVector")
+      .collect().toSeq.map { r =>
+        ScanFile(
+          r.getAs[String]("path"),
+          Option(r.getAs[Map[String, String]]("partitionValues"))
+            .getOrElse(Map.empty),
+          Option(r.getAs[Row]("deletionVector")).map(parseDv))
+      }
+
+    if (scanFiles.isEmpty) {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[Row](), logical)
+      return applyResidual(empty, filters)
+    }
+
+    val fs = LogSegment.fs(spark, snapshot.tablePath)
+    val qualifiedTable = fs.makeQualified(snapshot.tablePath)
+    def abs(rel: String): Path = {
+      val p = new Path(rel)
+      if (p.isAbsolute) p else new Path(qualifiedTable, rel)
+    }
+
+    val dataFields = logical.fields.filterNot(f => partCols.contains(f.name))
+    val mappingMode = ColumnMapping.mode(snapshot.metadata)
+    val physicalDataSchema =
+      ColumnMapping.toPhysicalSchema(StructType(dataFields), mappingMode)
+
+    val needDv = scanFiles.exists(_.dv.isDefined)
+    val needPart = partCols.nonEmpty
+
+    var df = spark.read
+      .schema(physicalDataSchema)
+      .parquet(scanFiles.map(f => abs(f.relPath).toString): _*)
+
+    val helperCols = Seq.newBuilder[Column]
+    if (needPart || needDv)
+      helperCols += normalizeExpr(col("_metadata.file_path")).as("__fkey")
+    if (needDv)
+      helperCols += col("_metadata.row_index").as("__row_index")
+
+    val logicalDataCols = dataFields.zip(physicalDataSchema.fields).map {
+      case (lf, pf) => ColumnMapping.toLogicalColumn(pf, lf)
+    }
+    df = df.select(logicalDataCols ++ helperCols.result(): _*)
+
+    if (needPart) {
+      // file -> partition values, broadcast-joined: one hash lookup per
+      // row, plan shape independent of partition count.
+      val partSchema = StructType(
+        StructField("__fkey", StringType) +:
+          partCols.map(c => StructField(s"__pv_$c", StringType)))
+      val rows = scanFiles.map { f =>
+        Row.fromSeq(normalize(abs(f.relPath)) +:
+          partCols.map(c => f.partitionValues.get(c).orNull))
+      }
+      val rowList = new java.util.ArrayList[Row](rows.size)
+      rows.foreach(rowList.add)
+      val partDF = spark.createDataFrame(rowList, partSchema)
+      df = df.join(broadcast(partDF), Seq("__fkey"), "left")
+      for (c <- partCols) {
+        val dt = logical(c).dataType
+        df = df.withColumn(c,
+          when(col(s"__pv_$c") === HiveDefaultPartition, lit(null))
+            .otherwise(col(s"__pv_$c")).cast(dt))
+      }
+      df = df.drop(partCols.map(c => s"__pv_$c"): _*)
+    }
+
+    if (needDv) {
+      val dvMap: Map[String, DvBitmap.Bitmap] = scanFiles
+        .flatMap(f => f.dv.map(d =>
+          normalize(abs(f.relPath)) ->
+            DvBitmap.load(fs, qualifiedTable, d)))
+        .toMap
+      val keep = udf((fkey: String, rowIndex: Long) =>
+        dvMap.get(fkey).forall(!_.contains(rowIndex)))
+      df = df.where(keep(col("__fkey"), col("__row_index")))
+    }
+
+    df = df.drop("__fkey", "__row_index")
+    df = df.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+    applyResidual(df, filters)
+  }
+
+  private def applyResidual(df: DataFrame, filters: Seq[Column]): DataFrame =
+    if (filters.isEmpty) df else df.where(filters.reduce(_ && _))
+
+  private def parseDv(r: Row): DeletionVectorDescriptor =
+    DeletionVectorDescriptor(
+      storageType = r.getAs[String]("storageType"),
+      pathOrInlineDv = r.getAs[String]("pathOrInlineDv"),
+      offset = Option(r.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+      sizeInBytes = r.getAs[Int]("sizeInBytes"),
+      cardinality = r.getAs[Long]("cardinality"))
+}

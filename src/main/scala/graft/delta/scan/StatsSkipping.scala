@@ -1,0 +1,210 @@
+package graft.delta.scan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.graftshim.Shims.{Attr, Fn, Lit => PLit, PredNode}
+import graft.delta.Snapshot
+
+/** File skipping: evaluate a conservative rewrite of the scan predicate
+  * against per-file stats (`add.stats` min/max/nullCount JSON) and exact
+  * partition values — entirely as a DataFrame filter over the file list,
+  * before any data parquet is opened.
+  *
+  * Mirrors the reference's predicate → kernel translation used for
+  * best-effort file pruning (reference: crates/datafusion/src/engine/
+  * expressions/to_delta.rs:13-107, declared Inexact at
+  * table_provider/delta/mod.rs:83-88): supported leaves prune, anything
+  * unknown keeps the file. Like the reference (to_delta.rs:67-85), NOT
+  * is pushed down by operator inversion.
+  *
+  * Works on Spark 4 ColumnNode trees (the Column DSL no longer exposes
+  * Catalyst expressions directly).
+  */
+object StatsSkipping {
+
+  /** Schema of the parsed `stats` JSON for this table. */
+  def statsSchema(dataSchema: StructType, partitionCols: Seq[String]): StructType = {
+    val eligible = dataSchema.fields.filterNot(f => partitionCols.contains(f.name))
+      .filter(f => f.dataType match {
+        case _: NumericType | StringType | DateType | BooleanType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", StructType(eligible.map(f => f.copy(nullable = true)))),
+      StructField("maxValues", StructType(eligible.map(f => f.copy(nullable = true)))),
+      StructField("nullCount", StructType(eligible.map(f =>
+        StructField(f.name, LongType))))))
+  }
+
+  /** Prune the live-files DataFrame with `filters`. Returns the kept
+    * subset (same columns). */
+  def prune(snapshot: Snapshot, files: DataFrame,
+      filters: Seq[Column]): DataFrame = {
+    if (filters.isEmpty) return files
+    val schema = snapshot.schema
+    val partCols = snapshot.partitionColumns
+    val sSchema = statsSchema(schema, partCols)
+    val withStats = files.withColumn("__stats",
+      from_json(col("stats"), sSchema))
+    val ctx = Context(schema, partCols, sSchema)
+    val keep = filters
+      .map(f => translate(Shims.predNode(f), neg = false, ctx))
+      .reduce(_ && _)
+    withStats.where(keep).drop("__stats")
+  }
+
+  private case class Context(schema: StructType, partCols: Seq[String],
+      statsSchema: StructType) {
+    val statFields: Set[String] =
+      statsSchema("minValues").dataType.asInstanceOf[StructType]
+        .fieldNames.toSet
+    def isPartition(name: String): Boolean = partCols.contains(name)
+    def dataTypeOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+  }
+
+  private def quote(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Exact per-file value of a partition column. */
+  private def partValue(name: String, ctx: Context): Column = {
+    val raw = element_at(col("partitionValues"), name)
+    val cleaned = when(raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+      .otherwise(raw)
+    ctx.dataTypeOf(name).map(dt => cleaned.cast(dt)).getOrElse(cleaned)
+  }
+
+  private def minCol(name: String): Column =
+    col(s"__stats.minValues.${quote(name)}")
+  private def maxCol(name: String): Column =
+    col(s"__stats.maxValues.${quote(name)}")
+  private def nullsCol(name: String): Column =
+    col(s"__stats.nullCount.${quote(name)}")
+
+  private def attrName(n: PredNode): Option[String] = n match {
+    case Attr(name) => Some(name)
+    case _ => None
+  }
+
+  private def litCol(n: PredNode): Option[Column] = n match {
+    case PLit(v) => scala.util.Try(lit(v)).toOption
+    case _ => None
+  }
+
+  /** keep-condition: true when the file MIGHT contain rows matching the
+    * (possibly negated) predicate. */
+  private def translate(n: PredNode, neg: Boolean, ctx: Context): Column =
+    n match {
+      case Fn("and", Seq(l, r)) =>
+        if (neg) translate(l, neg = true, ctx) || translate(r, neg = true, ctx)
+        else translate(l, neg = false, ctx) && translate(r, neg = false, ctx)
+      case Fn("or", Seq(l, r)) =>
+        if (neg) translate(l, neg = true, ctx) && translate(r, neg = true, ctx)
+        else translate(l, neg = false, ctx) || translate(r, neg = false, ctx)
+      case Fn("!" | "not", Seq(x)) => translate(x, !neg, ctx)
+      case Fn(op @ ("=" | ">" | "<" | ">=" | "<="), Seq(a, b)) =>
+        (attrName(a), litCol(b), attrName(b), litCol(a)) match {
+          case (Some(name), Some(v), _, _) =>
+            cmpLeaf(effectiveOp(op, neg), name, v, ctx)
+          case (_, _, Some(name), Some(v)) => // literal on the left: flip
+            cmpLeaf(effectiveOp(flip(op), neg), name, v, ctx)
+          case _ => lit(true)
+        }
+      case Fn("isnull", Seq(a)) => attrName(a) match {
+        case Some(name) =>
+          if (neg) isNotNullLeaf(name, ctx) else isNullLeaf(name, ctx)
+        case None => lit(true)
+      }
+      case Fn("isnotnull", Seq(a)) => attrName(a) match {
+        case Some(name) =>
+          if (neg) isNullLeaf(name, ctx) else isNotNullLeaf(name, ctx)
+        case None => lit(true)
+      }
+      case Fn("in", a +: rest) =>
+        val vals = rest.map(litCol)
+        (attrName(a), vals.forall(_.isDefined)) match {
+          case (Some(name), true) =>
+            val vs = vals.flatten
+            if (!neg) vs.map(v => cmpLeaf("=", name, v, ctx)).reduce(_ || _)
+            else if (ctx.isPartition(name))
+              coalesce(!partValue(name, ctx).isin(vs: _*), lit(false))
+            else if (ctx.statFields(name))
+              // prune only if every row equals one of the excluded values
+              coalesce(!(minCol(name) === maxCol(name) &&
+                minCol(name).isin(vs: _*)), lit(true))
+            else lit(true)
+          case _ => lit(true)
+        }
+      case Fn("startswith", Seq(a, PLit(pre: String))) if !neg =>
+        attrName(a) match {
+          case Some(name) =>
+            if (ctx.isPartition(name))
+              coalesce(partValue(name, ctx).startsWith(pre), lit(false))
+            else if (ctx.statFields(name))
+              coalesce(substring(maxCol(name), 1, pre.length) >= pre &&
+                substring(minCol(name), 1, pre.length) <= pre, lit(true))
+            else lit(true)
+          case None => lit(true)
+        }
+      case _ => lit(true) // unknown predicate shape: keep the file
+    }
+
+  /** Apply negation to a comparison operator ("!" of a null comparison is
+    * false, which keeps conservativeness: null-valued rows match neither
+    * side, and keep-conditions only ever widen). */
+  private def effectiveOp(op: String, neg: Boolean): String =
+    if (!neg) op else op match {
+      case "=" => "!="
+      case ">" => "<="
+      case "<" => ">="
+      case ">=" => "<"
+      case "<=" => ">"
+    }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"
+    case "<" => ">"
+    case ">=" => "<="
+    case "<=" => ">="
+    case other => other
+  }
+
+  private def cmpLeaf(op: String, name: String, v: Column,
+      ctx: Context): Column =
+    if (ctx.isPartition(name)) {
+      val p = partValue(name, ctx)
+      val cond = op match {
+        case "=" => p === v
+        case "!=" => p =!= v
+        case ">" => p > v
+        case "<" => p < v
+        case ">=" => p >= v
+        case "<=" => p <= v
+      }
+      coalesce(cond, lit(false))
+    } else if (ctx.statFields(name)) {
+      val cond = op match {
+        case "=" => minCol(name) <= v && maxCol(name) >= v
+        case "!=" => !(minCol(name) === v && maxCol(name) === v)
+        case ">" => maxCol(name) > v
+        case "<" => minCol(name) < v
+        case ">=" => maxCol(name) >= v
+        case "<=" => minCol(name) <= v
+      }
+      coalesce(cond, lit(true))
+    } else lit(true)
+
+  private def isNullLeaf(name: String, ctx: Context): Column =
+    if (ctx.isPartition(name)) partValue(name, ctx).isNull
+    else if (ctx.statFields(name)) coalesce(nullsCol(name) > 0, lit(true))
+    else lit(true)
+
+  private def isNotNullLeaf(name: String, ctx: Context): Column =
+    if (ctx.isPartition(name)) partValue(name, ctx).isNotNull
+    else if (ctx.statFields(name))
+      coalesce(nullsCol(name) < col("__stats.numRecords"), lit(true))
+    else lit(true)
+}

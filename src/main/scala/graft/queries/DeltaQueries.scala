@@ -1,0 +1,237 @@
+package graft.queries
+
+import java.io.File
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.delta.{DeltaTable, Snapshot}
+import graft.delta.log.{Actions, CommitWriter, LogSegment, Replay}
+import graft.delta.scan.DvBitmap
+
+/** Tier A Delta-layer queries (SURVEY.md §2 A1-A12, A28): each builds a
+  * real Delta table fixture from the driver parquet testdata (cached on
+  * disk, deterministic), reads it through the graft Delta layer, and is
+  * oracle-checked against equivalent SQL over the raw parquet.
+  */
+object DeltaQueries {
+
+  /** Fixture root, keyed by scale factor so sf0.001/sf0.01/sf0.1 coexist. */
+  private def fixtureDir(sfDir: String, name: String): String = {
+    val sf = new File(sfDir).getName
+    s"/root/repo/target/delta_fixtures/$sf/$name"
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, "_delta_log")
+    LogSegment.fs(spark, p).exists(p)
+  }
+
+  /** Build-once guard. Fixtures are deterministic functions of the
+    * testdata, so rebuild only when absent. */
+  private def ensure(spark: SparkSession, sfDir: String, name: String)(
+      build: String => Unit): String = {
+    val path = fixtureDir(sfDir, name)
+    this.synchronized {
+      if (!exists(spark, path)) {
+        val dir = new File(path)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        build(path)
+      }
+    }
+    path
+  }
+
+  private def li(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  // ---- fixture builders ---------------------------------------------
+
+  def basicTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "basic") { p =>
+      CommitWriter.createTable(s, li(s, sfDir), p)
+    }
+
+  /** 4 commits with disjoint o_orderkey ranges → 4+ files with disjoint
+    * min/max stats (file-skipping target). */
+  def rangedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "ranged") { p =>
+      val o = orders(s, sfDir)
+      val q1 = o.agg(expr("percentile(o_orderkey, 0.25)")).head.getDouble(0)
+      val q2 = o.agg(expr("percentile(o_orderkey, 0.5)")).head.getDouble(0)
+      val q3 = o.agg(expr("percentile(o_orderkey, 0.75)")).head.getDouble(0)
+      CommitWriter.createTable(s, o.filter(col("o_orderkey") <= q1).repartition(1), p)
+      CommitWriter.append(s, o.filter(col("o_orderkey") > q1 && col("o_orderkey") <= q2).repartition(1), p)
+      CommitWriter.append(s, o.filter(col("o_orderkey") > q2 && col("o_orderkey") <= q3).repartition(1), p)
+      CommitWriter.append(s, o.filter(col("o_orderkey") > q3).repartition(1), p)
+      CommitWriter.checkpoint(s, p)
+    }
+
+  def partitionedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "partitioned") { p =>
+      CommitWriter.createTable(s, orders(s, sfDir), p,
+        partitionColumns = Seq("o_orderstatus"))
+    }
+
+  /** v0: totalprice <= 250000 rows; v1: the rest (time-travel target). */
+  def versionedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "versioned") { p =>
+      val o = orders(s, sfDir)
+      CommitWriter.createTable(s, o.filter(col("o_totalprice") <= 250000), p)
+      CommitWriter.append(s, o.filter(col("o_totalprice") > 250000), p)
+    }
+
+  /** Commit 0 lacks o_orderstatus (even keys); schema evolves; commit 2
+    * has it (odd keys). Old files impute null. */
+  def evolvedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "evolved") { p =>
+      val o = orders(s, sfDir)
+      val oldCols = o.select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, oldCols.filter(col("o_orderkey") % 2 === 0), p)
+      val meta0 = DeltaTable.forPath(s, p).metadata
+      val newSchema = StructType(oldCols.schema.fields :+
+        StructField("o_orderstatus", StringType))
+      CommitWriter.commitMetadata(s, p, meta0.copy(schemaString = newSchema.json))
+      CommitWriter.append(s,
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .filter(col("o_orderkey") % 2 === 1), p)
+    }
+
+  /** Single-file customer table sorted by key, with a deletion vector
+    * masking every row whose c_custkey % 10 == 0. */
+  def dvTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "dv") { p =>
+      val c = customer(s, sfDir).repartition(1)
+        .sortWithinPartitions("c_custkey")
+      CommitWriter.createTable(s, c, p)
+      val snap = DeltaTable.forPath(s, p)
+      val add0 = snap.allFiles.collect().head
+      val relPath = add0.getAs[String]("path")
+      // row index i == position in sort order; mask keys % 10 == 0
+      val keys = c.select("c_custkey").collect().map(_.getLong(0))
+      val masked = keys.zipWithIndex
+        .collect { case (k, i) if k % 10 == 0 => i.toLong }.toSeq
+      val fs = LogSegment.fs(s, new Path(p))
+      val dv = DvBitmap.writeDvFile(fs, new Path(p), masked)
+      val remove = CommitWriter.removeJson(Actions.RemoveFile(
+        relPath, Some(0L), dataChange = false))
+      val add = CommitWriter.addJson(Actions.AddFile(
+        path = relPath, partitionValues = Map.empty,
+        size = add0.getAs[Long]("size"),
+        modificationTime = add0.getAs[Long]("modificationTime"),
+        dataChange = false, stats = Option(add0.getAs[String]("stats")),
+        deletionVector = Some(dv)))
+      CommitWriter.commit(s, p, 1L, Seq(remove, add), "DELETE")
+    }
+
+  // ---- declared queries ---------------------------------------------
+
+  private def orderCols(df: DataFrame, keys: String*): DataFrame =
+    df.orderBy(keys.map(asc_nulls_last): _*)
+
+  val all: Seq[Q] = Seq(
+    // A1/A2: full snapshot scan through log replay
+    Q("delta_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | l_returnflag, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, basicTable(s, dir))
+      snap.read
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A4: stats-based file skipping (result equality; pruning itself is
+    // asserted in DeltaSpec + the plan audit)
+    Q("file_skipping",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 100 OR o_orderkey >= 14900
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, rangedTable(s, dir))
+      snap.readWhere(col("o_orderkey") <= 100 || col("o_orderkey") >= 14900)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // partition pruning on a partitioned Delta table
+    Q("partition_pruning",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, partitionedTable(s, dir))
+      snap.readWhere(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // A6/A8: schema evolution with null imputation for pre-evolution files
+    Q("schema_evolution",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, evolvedTable(s, dir))
+      snap.read.orderBy("o_orderkey")
+    },
+
+    // A5: deletion vectors → row-level skipping
+    Q("deletion_vectors",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 10 <> 0 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, dvTable(s, dir))
+      snap.read.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // time travel (versionAsOf) — reference meta.rs:102-116 assertions
+    Q("time_travel",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice <= 250000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, versionedTable(s, dir), Some(0L))
+      snap.read.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // A28: snapshot refresh — re-resolving after a new commit sees it
+    Q("snapshot_refresh",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val path = versionedTable(s, dir) // has v0 + v1
+      val v0 = DeltaTable.forPath(s, path, Some(0L)) // stale view
+      require(v0.version == 0)
+      val refreshed = DeltaTable.forPath(s, path) // refresh-on-lookup
+      require(refreshed.version > v0.version)
+      refreshed.read.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // A11: raw delta-log actions as a queryable table
+    Q.noOracle("delta_log") { (s, dir) =>
+      val path = rangedTable(s, dir)
+      val segment = LogSegment.forTable(s, new Path(path))
+      Replay.actionsDF(s, segment)
+        .select(col("commit_version"),
+          col("add.path").isNotNull.as("is_add"),
+          col("remove.path").isNotNull.as("is_remove"),
+          col("metaData.id").isNotNull.as("is_metadata"),
+          col("protocol.minReaderVersion").isNotNull.as("is_protocol"))
+        .groupBy("commit_version")
+        .agg(sum(col("is_add").cast("long")).as("n_adds"),
+          sum(col("is_remove").cast("long")).as("n_removes"),
+          sum(col("is_metadata").cast("long")).as("n_metadata"),
+          sum(col("is_protocol").cast("long")).as("n_protocol"))
+        .orderBy("commit_version")
+    },
+
+    // A12: post-replay scan-file rows (live files after reconciliation)
+    Q.noOracle("log_replay") { (s, dir) =>
+      val path = rangedTable(s, dir)
+      val snap = DeltaTable.forPath(s, path)
+      snap.allFiles
+        .select(col("path"), col("size"), col("commit_version"),
+          get_json_object(col("stats"), "$.numRecords").cast("long")
+            .as("num_records"))
+        .orderBy("path")
+    })
+}

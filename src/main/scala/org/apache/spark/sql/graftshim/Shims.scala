@@ -1,0 +1,34 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.internal
+
+/** Bridge to `private[sql]` Column internals (Spark 4 moved Column onto
+  * ColumnNode; both the node classes and the classic Catalyst converters
+  * are sql-package-private). Lives under org.apache.spark.sql on purpose
+  * — the standard technique for Spark extension libraries. */
+object Shims {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Version-stable view of a Column's node tree, for predicate
+    * translation (file skipping). */
+  sealed trait PredNode
+  final case class Fn(name: String, args: Seq[PredNode]) extends PredNode
+  final case class Attr(name: String) extends PredNode
+  final case class Lit(value: Any) extends PredNode
+  case object Opaque extends PredNode
+
+  def predNode(c: Column): PredNode = conv(c.node)
+
+  private def conv(n: internal.ColumnNode): PredNode = n match {
+    case f: internal.UnresolvedFunction =>
+      Fn(f.functionName.toLowerCase, f.arguments.map(conv))
+    case a: internal.UnresolvedAttribute if a.nameParts.length == 1 =>
+      Attr(a.nameParts.head)
+    case l: internal.Literal => Lit(l.value)
+    case _ => Opaque
+  }
+}

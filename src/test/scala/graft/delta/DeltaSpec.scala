@@ -1,0 +1,214 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log._
+import graft.delta.scan.DvBitmap
+
+class DeltaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+  private lazy val nation = spark.read.parquet(s"$sf/nation.parquet")
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("create + read round-trip") {
+    val path = tmpTable("roundtrip")
+    CommitWriter.createTable(spark, region, path)
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.version == 0)
+    assert(snap.schema.fieldNames.toSeq == region.schema.fieldNames.toSeq)
+    val got = snap.read.orderBy("r_regionkey").collect()
+    val want = region.orderBy("r_regionkey").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("append + time travel") {
+    val path = tmpTable("append")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), path)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3), path)
+    val latest = DeltaTable.forPath(spark, path)
+    assert(latest.version == 1)
+    assert(latest.read.count() == region.count())
+    val v0 = DeltaTable.forPath(spark, path, versionAsOf = Some(0))
+    assert(v0.read.count() == region.filter(col("r_regionkey") < 3).count())
+  }
+
+  test("remove files (delete) reconciles") {
+    val path = tmpTable("remove")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), path)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3), path)
+    val snap = DeltaTable.forPath(spark, path)
+    // remove the files added by commit 1
+    val v1Files = snap.allFiles
+      .where(col("commit_version") === 1).select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(v1Files.nonEmpty)
+    CommitWriter.commitRemoves(spark, path, v1Files)
+    val after = DeltaTable.forPath(spark, path)
+    assert(after.version == 2)
+    assert(after.read.count() ==
+      region.filter(col("r_regionkey") < 3).count())
+  }
+
+  test("checkpoint + replay from checkpoint") {
+    val path = tmpTable("checkpoint")
+    CommitWriter.createTable(spark, nation.filter(col("n_nationkey") < 5), path)
+    for (i <- 1 to 3)
+      CommitWriter.append(spark,
+        nation.filter(col("n_nationkey") >= i * 5 && col("n_nationkey") < (i + 1) * 5),
+        path)
+    val cpv = CommitWriter.checkpoint(spark, path)
+    assert(cpv == 3)
+    assert(LogSegment.lastCheckpoint(spark, new Path(path)).contains(3L))
+    // one more commit after the checkpoint
+    CommitWriter.append(spark, nation.filter(col("n_nationkey") >= 20), path)
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.version == 4)
+    assert(snap.segment.checkpointVersion.contains(3L))
+    assert(snap.segment.commitFiles.size == 1)
+    assert(snap.read.count() == nation.count())
+    // time travel to a pre-checkpoint version still works (replays commits)
+    val v1 = DeltaTable.forPath(spark, path, versionAsOf = Some(1))
+    assert(v1.read.count() == 10)
+  }
+
+  test("partitioned table: pruning via partitionValues") {
+    val path = tmpTable("partitioned")
+    CommitWriter.createTable(spark, orders, path,
+      partitionColumns = Seq("o_orderstatus"))
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.partitionColumns == Seq("o_orderstatus"))
+    // full read matches
+    assert(snap.read.count() == orders.count())
+    // partition-pruned file list
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(snap,
+      Seq(col("o_orderstatus") === "F"))
+    val allCount = snap.allFiles.count()
+    assert(pruned.count() < allCount)
+    // and the filtered read is correct
+    val got = snap.readWhere(col("o_orderstatus") === "F")
+    assert(got.count() == orders.filter(col("o_orderstatus") === "F").count())
+    assert(got.schema.fieldNames.toSeq == orders.schema.fieldNames.toSeq)
+  }
+
+  test("stats-based file skipping prunes files") {
+    val path = tmpTable("skipping")
+    // write 4 files with disjoint o_orderkey ranges
+    val parts = (0 until 4).map(i =>
+      orders.filter(col("o_orderkey") % 4 === i))
+    CommitWriter.createTable(spark, parts.head.repartition(1), path)
+    parts.tail.foreach(p => CommitWriter.append(spark, p.repartition(1), path))
+    val snap = DeltaTable.forPath(spark, path)
+    val total = snap.allFiles.count()
+    assert(total >= 4)
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(snap,
+      Seq(col("o_orderkey") === lo))
+    assert(pruned.count() < total)
+    assert(snap.readWhere(col("o_orderkey") === lo).count() ==
+      orders.filter(col("o_orderkey") === lo).count())
+  }
+
+  test("schema evolution: added column imputed as null") {
+    val path = tmpTable("evolution")
+    CommitWriter.createTable(spark, region, path)
+    val meta0 = DeltaTable.forPath(spark, path).metadata
+    val newSchema = region.schema.add(StructField("r_comment", StringType))
+    CommitWriter.commitMetadata(spark, path,
+      meta0.copy(schemaString = newSchema.json))
+    CommitWriter.append(spark,
+      region.withColumn("r_comment", concat(lit("c-"), col("r_name"))), path)
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.schema.fieldNames.contains("r_comment"))
+    val rows = snap.read.collect()
+    assert(rows.length == region.count() * 2)
+    val nulls = snap.read.where(col("r_comment").isNull).count()
+    assert(nulls == region.count()) // old files impute null
+  }
+
+  test("column mapping: physical names in parquet, logical in result") {
+    val path = tmpTable("colmap")
+    // build a column-mapped table by hand: physical names col-<i>
+    val physical = region.toDF("col-1", "col-2")
+    val adds = CommitWriter.writeFiles(spark, physical, path, Seq.empty)
+    val mappedSchema = StructType(Seq(
+      StructField("r_regionkey", IntegerType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-1")
+          .putLong("delta.columnMapping.id", 1).build()),
+      StructField("r_name", StringType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-2")
+          .putLong("delta.columnMapping.id", 2).build())))
+    val meta = Actions.Metadata(
+      id = java.util.UUID.randomUUID().toString, name = None,
+      description = None, format = Actions.Format(),
+      schemaString = mappedSchema.json, partitionColumns = Seq.empty,
+      configuration = Map("delta.columnMapping.mode" -> "name"),
+      createdTime = Some(0L))
+    CommitWriter.commit(spark, path, 0L,
+      Seq(CommitWriter.protocolJson(Actions.Protocol(2, 5)),
+        CommitWriter.metadataJson(meta)) ++ adds.map(CommitWriter.addJson),
+      operation = "CREATE")
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
+    val got = snap.read.orderBy("r_regionkey").collect()
+    val want = region.orderBy("r_regionkey").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("deletion vectors: rows masked out") {
+    val path = tmpTable("dv")
+    CommitWriter.createTable(spark, region.repartition(1), path)
+    val snap0 = DeltaTable.forPath(spark, path)
+    val add0 = snap0.allFiles.collect().head
+    val relPath = add0.getAs[String]("path")
+    // delete row indexes 0 and 2 of the single file
+    val fs = LogSegment.fs(spark, new Path(path))
+    val dv = DvBitmap.writeDvFile(fs, new Path(path), Seq(0L, 2L))
+    // re-add the file with the DV attached (remove + add, same commit)
+    val addJson = CommitWriter.addJson(Actions.AddFile(
+      path = relPath,
+      partitionValues = Map.empty,
+      size = add0.getAs[Long]("size"),
+      modificationTime = add0.getAs[Long]("modificationTime"),
+      dataChange = false, stats = Option(add0.getAs[String]("stats")),
+      deletionVector = Some(dv)))
+    val removeJson = CommitWriter.removeJson(Actions.RemoveFile(
+      relPath, Some(System.currentTimeMillis()), dataChange = false))
+    CommitWriter.commit(spark, path, 1L, Seq(removeJson, addJson), "DELETE")
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.read.count() == region.count() - 2)
+  }
+
+  test("DV bitmap formats round-trip") {
+    val idx = Seq(0L, 5L, 100L, 65536L, 65537L, 1000000L)
+    val bytes = DvBitmap.serialize(idx)
+    val bm = DvBitmap.deserialize(bytes)
+    assert(idx.forall(bm.contains))
+    assert(!bm.contains(1L) && !bm.contains(99L) && !bm.contains(65538L))
+    assert(bm.cardinality == idx.size)
+    // z85 round-trip
+    val data = Array.tabulate[Byte](16)(i => (i * 17).toByte)
+    assert(DvBitmap.z85Decode(DvBitmap.z85Encode(data)).toSeq == data.toSeq)
+  }
+
+  test("concurrent commit refused (atomic create-no-overwrite)") {
+    val path = tmpTable("atomic")
+    CommitWriter.createTable(spark, region, path)
+    intercept[CommitWriter.ConcurrentCommitException] {
+      CommitWriter.commit(spark, path, 0L, Seq.empty, "WRITE")
+    }
+  }
+}
