@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.{LocalCatalog, TableRegistry}
+import graft.commands.VacuumCommand
+import graft.sqlext.GraftParser
+import graft.sqlext.GraftParser._
+
+/** Session façade: the Spark analogue of the reference's extended
+  * SessionContext.
+  *
+  * `sql()` mirrors `ctx.sql_delta` (reference: crates/datafusion/src/
+  * session.rs:306-310 + planner.rs:124-133): lakehouse extension
+  * statements (VACUUM, CREATE/DROP CATALOG) are intercepted by our
+  * parser front-end; anything else goes to Spark SQL untouched.
+  * `registerDelta` mirrors `ctx.register_delta` (session.rs:283-303).
+  */
+final class GraftSession(val spark: SparkSession) {
+
+  val tables = new TableRegistry(spark)
+  GraftSession.registerFunctions(spark)
+
+  /** Route a SQL statement: extension grammar first, Spark otherwise. */
+  def sql(sqlText: String): DataFrame =
+    GraftParser.parse(sqlText) match {
+      case Some(stmt) => execute(stmt)
+      case None => spark.sql(sqlText)
+    }
+
+  /** Register a Delta table as a queryable temp view (auto-refreshing
+    * on lookup through `tables`). */
+  def registerDelta(name: String, path: String): GraftSession = {
+    tables.register(name, path)
+    this
+  }
+
+  def execute(stmt: Statement): DataFrame = stmt match {
+    case VacuumStatement(table, mode, dryRun, retain) =>
+      val path = resolveTablePath(table)
+      VacuumCommand.vacuum(spark, path, retain, dryRun,
+        mode.getOrElse("FULL"))
+    case c: CreateCatalogStatement =>
+      LocalCatalog.create(spark, LocalCatalog.CatalogDef(
+        c.name, c.usingShare, c.managedLocation, c.comment,
+        c.defaultCollation, c.options), c.ifNotExists)
+    case d: DropCatalogStatement =>
+      LocalCatalog.drop(spark, d.name, d.ifExists, d.cascade)
+  }
+
+  /** A VACUUM target is either a registered table name or a path. */
+  private def resolveTablePath(table: String): String =
+    if (table.contains("/") || table.contains(":")) table
+    else tables.names.find(_ == table)
+      .map(n => tables.snapshot(n).tablePath.toString)
+      .getOrElse(table)
+}
+
+object GraftSession {
+
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** UDF registrations (A27): sign_storage_url — local/file URLs pass
+    * through unchanged, mirroring the reference's LocalFileSystem arm
+    * (crates/datafusion/src/functions/sign_url.rs:196-201); remote
+    * stores would need a network signer and are rejected (zero-egress
+    * environment). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("sign_storage_url", (url: String) => {
+      if (url == null) null
+      else if (url.startsWith("s3://") || url.startsWith("abfss://") ||
+        url.startsWith("gs://"))
+        throw new UnsupportedOperationException(
+          s"No signer available for remote store: $url")
+      else url
+    })
+  }
+}

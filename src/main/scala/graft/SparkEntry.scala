@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[Q] =
-    RelationalQueries.all ++ ScalarQueries.all ++ DeltaQueries.all
+    RelationalQueries.all ++ ScalarQueries.all ++ DeltaQueries.all ++
+      CommandQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

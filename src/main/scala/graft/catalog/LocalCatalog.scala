@@ -1,0 +1,94 @@
+package graft.catalog
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Local in-memory catalog registry backing CREATE/DROP CATALOG.
+  *
+  * The reference forwards these statements to a Unity Catalog REST
+  * server (reference: crates/datafusion/src/sql/unity/catalogs.rs:10-81,
+  * unity/exec.rs:25-118). This environment is zero-egress, so the same
+  * command surface mutates a local registry instead (SURVEY.md §1.1 row
+  * "Remote catalog"); result schemas match the reference's
+  * CREATE_UC_RETURN_SCHEMA / DROP_UC_RETURN_SCHEMA
+  * (sql/unity/mod.rs:24-40).
+  */
+object LocalCatalog {
+
+  final case class CatalogDef(
+      name: String,
+      usingShare: Option[String],
+      managedLocation: Option[String],
+      comment: Option[String],
+      defaultCollation: Option[String],
+      options: Map[String, String],
+      schemas: Set[String] = Set.empty)
+
+  private val catalogs = new ConcurrentHashMap[String, CatalogDef]()
+
+  val createSchema: StructType = StructType(Seq(
+    StructField("securable_name", StringType, nullable = false),
+    StructField("securable_type", StringType, nullable = false),
+    StructField("securable_object", StringType, nullable = false)))
+
+  val dropSchema: StructType = StructType(Seq(
+    StructField("securable_name", StringType, nullable = false),
+    StructField("securable_type", StringType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  def get(name: String): Option[CatalogDef] = Option(catalogs.get(name))
+  def list(): Seq[CatalogDef] = catalogs.values.asScala.toSeq.sortBy(_.name)
+  def clear(): Unit = catalogs.clear()
+
+  def create(spark: SparkSession, d: CatalogDef,
+      ifNotExists: Boolean): DataFrame = {
+    if (d.usingShare.isDefined && d.managedLocation.isDefined)
+      throw new IllegalArgumentException(
+        "USING SHARE and MANAGED LOCATION are mutually exclusive.")
+    val prev = catalogs.putIfAbsent(d.name, d)
+    if (prev != null && !ifNotExists)
+      throw new IllegalArgumentException(s"Catalog '${d.name}' already exists")
+    result(spark, createSchema,
+      Row(d.name, "catalog", describe(catalogs.get(d.name))))
+  }
+
+  def drop(spark: SparkSession, name: String, ifExists: Boolean,
+      cascade: Boolean): DataFrame = {
+    val existing = Option(catalogs.get(name))
+    existing match {
+      case None if !ifExists =>
+        throw new IllegalArgumentException(s"Catalog '$name' not found")
+      case None =>
+        result(spark, dropSchema, Row(name, "catalog", "NOT_FOUND"))
+      case Some(c) =>
+        if (c.schemas.nonEmpty && !cascade)
+          throw new IllegalArgumentException(
+            s"Catalog '$name' is not empty (use CASCADE)")
+        catalogs.remove(name)
+        result(spark, dropSchema, Row(name, "catalog", "DROPPED"))
+    }
+  }
+
+  private def describe(d: CatalogDef): String = {
+    val fields = Seq(
+      Some(s""""name":"${d.name}""""),
+      d.usingShare.map(v => s""""using_share":"$v""""),
+      d.managedLocation.map(v => s""""managed_location":"$v""""),
+      d.comment.map(v => s""""comment":"$v""""),
+      d.defaultCollation.map(v => s""""default_collation":"$v"""")
+    ).flatten ++ (if (d.options.nonEmpty)
+      Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+    else Seq.empty)
+    fields.mkString("{", ",", "}")
+  }
+
+  private def result(spark: SparkSession, schema: StructType,
+      rows: Row*): DataFrame = {
+    val l = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(l.add)
+    spark.createDataFrame(l, schema)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.commands
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.delta.DeltaTable
+import graft.delta.scan.DvBitmap
+import graft.ops.DirListing
+
+/** VACUUM: remove stale files from a Delta table directory.
+  *
+  * Semantics mirror the reference command (reference: crates/datafusion/
+  * src/commands/vacuum/mod.rs:50-147):
+  *  - retention = RETAIN n HOURS if given, else the table property
+  *    `delta.deletedFileRetentionDuration`, else 7 days;
+  *  - when `spark.lakehouse.delta.retention_duration_check.enabled`
+  *    (default true) and RETAIN is shorter than the table property,
+  *    fail with "retention duration is shorter than the minimum
+  *    required duration" (vacuum/mod.rs:92-101);
+  *  - candidate filter: !is_dir && modification_time < now-retention &&
+  *    relative path doesn't start with '_' (vacuum/mod.rs:111-132);
+  *  - DRY RUN returns the first 1000 candidates with the directory
+  *    listing schema (vacuum/mod.rs:134-136);
+  *  - a real run deletes and returns (metric_name, metric_value) string
+  *    rows (commands/vacuum/logical.rs:21-29).
+  *
+  * Deliberate divergence: candidates are additionally anti-joined
+  * against the live snapshot's data files and deletion-vector files, so
+  * VACUUM can never delete data still referenced by the current version
+  * (the reference's filter alone would).
+  */
+object VacuumCommand {
+
+  final val RetentionCheckKey =
+    "spark.lakehouse.delta.retention_duration_check.enabled"
+  final val RetentionPropKey = "delta.deletedFileRetentionDuration"
+
+  val metricsSchema: StructType = StructType(Seq(
+    StructField("metric_name", StringType, nullable = false),
+    StructField("metric_value", StringType, nullable = false)))
+
+  def vacuum(spark: SparkSession, tablePath: String,
+      retentionHours: Option[Double], dryRun: Boolean,
+      mode: String = "FULL"): DataFrame = {
+    require(mode.equalsIgnoreCase("FULL"),
+      "VACUUM LITE is not implemented") // parity: reference todo!()
+
+    val snapshot = DeltaTable.forPath(spark, tablePath)
+    val propDuration = snapshot.metadata.configuration
+      .get(RetentionPropKey).map(parseInterval)
+    val checkEnabled =
+      spark.conf.getOption(RetentionCheckKey).forall(_.toBoolean)
+
+    val retentionMillis: Long = (propDuration, retentionHours) match {
+      case (Some(prop), Some(hours)) =>
+        val requested = (hours * 3600 * 1000).toLong
+        if (checkEnabled && requested < prop)
+          throw new IllegalArgumentException(
+            "retention duration is shorter than the minimum required duration")
+        requested
+      case (Some(prop), None) => prop
+      case (None, Some(hours)) => (hours * 3600 * 1000).toLong
+      case (None, None) => 7L * 24 * 3600 * 1000
+    }
+    val cutoff = System.currentTimeMillis() - retentionMillis
+
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(tablePath)).toString
+    val rootLen = root.length + 1 // +1 for the '/'
+
+    val listing = DirListing.listRecursive(spark, tablePath)
+    val candidates = listing.where(
+      !col("is_dir") &&
+        col("modification_time") < lit(new java.sql.Timestamp(cutoff)) &&
+        !substring(col("path"), rootLen + 1, 1000000).startsWith("_"))
+
+    // live-file protection (divergence from the reference — see Scaladoc)
+    val liveRel = snapshot.allFiles.select(col("path").as("__rel"))
+    val liveDvs = snapshot.allFiles
+      .where(col("deletionVector").isNotNull &&
+        col("deletionVector.storageType") === "u")
+      .select(col("deletionVector.pathOrInlineDv").as("__dv"))
+      .collect().map(r => DvBitmap.dvPath(new Path(root),
+        graft.delta.log.Actions.DeletionVectorDescriptor(
+          "u", r.getString(0), None, 0, 0L)).toString)
+      .toSeq
+    val protectedDf = liveRel
+      .withColumn("__abs", concat(lit(root + "/"), col("__rel")))
+      .select("__abs")
+      .union(spark.createDataset(liveDvs)(
+        org.apache.spark.sql.Encoders.STRING).toDF("__abs"))
+    val unreferenced = candidates.join(protectedDf,
+      candidates("path") === protectedDf("__abs"), "left_anti")
+
+    if (dryRun) return unreferenced.limit(1000)
+
+    // distributed delete; metrics accumulated per partition
+    val counts = unreferenced.select("path", "length").rdd
+      .mapPartitions { it =>
+        var n = 0L; var bytes = 0L
+        var efs: org.apache.hadoop.fs.FileSystem = null
+        it.foreach { r =>
+          val p = new Path(r.getString(0))
+          if (efs == null) efs = p.getFileSystem(new Configuration())
+          if (efs.delete(p, false)) {
+            n += 1
+            bytes += Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+          }
+        }
+        Iterator((n, bytes))
+      }.collect()
+    val (files, bytes) = counts.foldLeft((0L, 0L)) {
+      case ((f, b), (fi, bi)) => (f + fi, b + bi)
+    }
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("files_deleted", files.toString))
+    rows.add(Row("bytes_deleted", bytes.toString))
+    spark.createDataFrame(rows, metricsSchema)
+  }
+
+  /** Parse `delta.deletedFileRetentionDuration` ("interval N unit[s]"). */
+  def parseInterval(s: String): Long = {
+    val re = """(?i)\s*(?:interval\s+)?(\d+)\s*(week|day|hour|minute|second)s?\s*""".r
+    s match {
+      case re(n, unit) =>
+        val base = unit.toLowerCase match {
+          case "week" => 7L * 24 * 3600 * 1000
+          case "day" => 24L * 3600 * 1000
+          case "hour" => 3600L * 1000
+          case "minute" => 60L * 1000
+          case "second" => 1000L
+        }
+        n.toLong * base
+      case _ =>
+        throw new IllegalArgumentException(s"Cannot parse interval: '$s'")
+    }
+  }
+}

@@ -1,0 +1,265 @@
+package graft.sqlext
+
+/** SQL front-end for the lakehouse statement extensions.
+  *
+  * Mirrors the reference's HFParser: intercept VACUUM and CREATE/DROP
+  * CATALOG (plus explicit not-implemented stubs for CREATE CONNECTION /
+  * LOCATION / SCHEMA / SHARE / FOREIGN CATALOG), delegate everything
+  * else to the host engine (reference: crates/datafusion/src/sql/
+  * parser.rs:30-491 — vacuum :158-219, create catalog :246-340, stubs
+  * :342-360, drop :362-392).
+  */
+object GraftParser {
+
+  sealed trait Statement
+  final case class VacuumStatement(
+      table: String,
+      mode: Option[String], // FULL | LITE
+      dryRun: Boolean,
+      retentionHours: Option[Double]) extends Statement
+  final case class CreateCatalogStatement(
+      name: String,
+      ifNotExists: Boolean,
+      usingShare: Option[String],
+      managedLocation: Option[String],
+      comment: Option[String],
+      defaultCollation: Option[String],
+      options: Map[String, String]) extends Statement
+  final case class DropCatalogStatement(
+      name: String,
+      ifExists: Boolean,
+      cascade: Boolean) extends Statement
+
+  final class NotImplementedStatement(what: String)
+    extends UnsupportedOperationException(s"$what is not implemented")
+  final class ParseException(msg: String) extends IllegalArgumentException(msg)
+
+  // ---- tokenizer ----------------------------------------------------
+
+  private sealed trait Tok { def text: String }
+  private case class Word(text: String) extends Tok {
+    def upper: String = text.toUpperCase
+  }
+  private case class Str(text: String) extends Tok // '...' literal
+  private case class Quoted(text: String) extends Tok // `...` identifier
+  private case class Sym(text: String) extends Tok // ( ) , .
+
+  private def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = sql.charAt(i)
+          if (ch == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
+            sb += '\''; i += 2
+          } else if (ch == '\'') { closed = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        if (!closed) throw new ParseException("Unterminated string literal")
+        out += Str(sb.toString)
+      } else if (c == '`') {
+        val end = sql.indexOf('`', i + 1)
+        if (end < 0) throw new ParseException("Unterminated quoted identifier")
+        out += Quoted(sql.substring(i + 1, end))
+        i = end + 1
+      } else if ("(),.".indexOf(c) >= 0) {
+        out += Sym(c.toString); i += 1
+      } else {
+        val start = i
+        while (i < n && !sql.charAt(i).isWhitespace &&
+          "(),.'`".indexOf(sql.charAt(i)) < 0) i += 1
+        out += Word(sql.substring(start, i))
+      }
+    }
+    out.result()
+  }
+
+  // ---- entry --------------------------------------------------------
+
+  /** Parse an extension statement; None = not ours (delegate to Spark). */
+  def parse(sql: String): Option[Statement] = {
+    val trimmed = sql.trim.stripSuffix(";")
+    val toks = tokenize(trimmed)
+    if (toks.isEmpty) return None
+    toks.head match {
+      case w: Word if w.upper == "VACUUM" => Some(parseVacuum(toks.tail))
+      case w: Word if w.upper == "CREATE" || w.upper == "DROP" =>
+        parseCreateOrDrop(w.upper, toks.tail)
+      case _ => None
+    }
+  }
+
+  private def wordAt(toks: Vector[Tok], i: Int): Option[String] =
+    toks.lift(i).collect { case w: Word => w.upper }
+
+  private def parseVacuum(toks: Vector[Tok]): VacuumStatement = {
+    var i = 0
+    // table reference: delta.`p` | delta.'p' | 'p' | `p` | bare ident
+    val table = toks.lift(i) match {
+      case Some(w: Word) if w.upper == "DELTA" &&
+          toks.lift(i + 1).exists(_.text == ".") =>
+        i += 2
+        toks.lift(i) match {
+          case Some(Str(p)) => i += 1; p
+          case Some(Quoted(p)) => i += 1; p
+          case _ => throw new ParseException("Expected path after delta.")
+        }
+      case Some(Str(p)) => i += 1; p
+      case Some(Quoted(p)) => i += 1; p
+      case Some(w: Word) => i += 1; w.text
+      case _ => throw new ParseException("VACUUM requires a table")
+    }
+    var mode: Option[String] = None
+    var dryRun = false
+    var retain: Option[Double] = None
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("FULL") =>
+          if (mode.isDefined) throw new ParseException("mode already set")
+          mode = Some("FULL"); i += 1
+        case Some("LITE") =>
+          if (mode.isDefined) throw new ParseException("mode already set")
+          mode = Some("LITE"); i += 1
+        case Some("DRY") =>
+          if (wordAt(toks, i + 1).contains("RUN")) { dryRun = true; i += 2 }
+          else throw new ParseException("expected RUN after DRY")
+        case Some("RETAIN") =>
+          val num = toks.lift(i + 1).collect { case w: Word => w.text }
+            .flatMap(t => scala.util.Try(t.toDouble).toOption)
+            .getOrElse(throw new ParseException("expected number after RETAIN"))
+          if (!wordAt(toks, i + 2).exists(u => u == "HOURS" || u == "HOUR"))
+            throw new ParseException("expected HOURS after RETAIN n")
+          retain = Some(num); i += 3
+        case other =>
+          throw new ParseException(s"Unexpected token in VACUUM: $other")
+      }
+    }
+    VacuumStatement(table, mode, dryRun, retain)
+  }
+
+  private val NotImplementedObjects =
+    Set("CONNECTION", "LOCATION", "SCHEMA", "SHARE")
+
+  private def parseCreateOrDrop(verb: String,
+      toks: Vector[Tok]): Option[Statement] = {
+    wordAt(toks, 0) match {
+      case Some("CATALOG") =>
+        if (verb == "CREATE") Some(parseCreateCatalog(toks.drop(1)))
+        else Some(parseDropCatalog(toks.drop(1)))
+      case Some("FOREIGN") if wordAt(toks, 1).contains("CATALOG") =>
+        throw new NotImplementedStatement(s"$verb FOREIGN CATALOG")
+      case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
+        throw new NotImplementedStatement(s"CREATE $obj")
+      case _ => None // plain CREATE TABLE etc → delegate
+    }
+  }
+
+  private def identText(t: Tok): String = t match {
+    case Word(w) => w
+    case Quoted(q) => q
+    case Str(s) => s
+    case Sym(s) => throw new ParseException(s"Expected identifier, got '$s'")
+  }
+
+  private def parseCreateCatalog(toks: Vector[Tok]): CreateCatalogStatement = {
+    var i = 0
+    var ifNotExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("NOT") &&
+        wordAt(toks, 2).contains("EXISTS")) { ifNotExists = true; i = 3 }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("CREATE CATALOG requires a name")))
+    i += 1
+    var usingShare: Option[String] = None
+    var managedLocation: Option[String] = None
+    var comment: Option[String] = None
+    var collation: Option[String] = None
+    var options = Map.empty[String, String]
+    def ensureNotSet(v: Option[_], what: String): Unit =
+      if (v.isDefined) throw new ParseException(s"$what already set")
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("USING") =>
+          if (!wordAt(toks, i + 1).contains("SHARE"))
+            throw new ParseException("expected SHARE after USING")
+          ensureNotSet(usingShare, "USING SHARE")
+          // provider.share (two identifiers joined by '.')
+          val p = identText(toks.lift(i + 2).getOrElse(
+            throw new ParseException("expected share provider")))
+          if (toks.lift(i + 3).exists(_.text == ".")) {
+            val s = identText(toks.lift(i + 4).getOrElse(
+              throw new ParseException("expected share name")))
+            usingShare = Some(s"$p.$s"); i += 5
+          } else { usingShare = Some(p); i += 3 }
+        case Some("MANAGED") =>
+          if (!wordAt(toks, i + 1).contains("LOCATION"))
+            throw new ParseException("expected LOCATION after MANAGED")
+          ensureNotSet(managedLocation, "MANAGED LOCATION")
+          managedLocation = Some(identText(toks.lift(i + 2).getOrElse(
+            throw new ParseException("expected location url"))))
+          i += 3
+        case Some("COMMENT") =>
+          ensureNotSet(comment, "COMMENT")
+          comment = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected comment text"))))
+          i += 2
+        case Some("DEFAULT") =>
+          if (!wordAt(toks, i + 1).contains("COLLATION"))
+            throw new ParseException("expected COLLATION after DEFAULT")
+          ensureNotSet(collation, "DEFAULT COLLATION")
+          collation = Some(identText(toks.lift(i + 2).getOrElse(
+            throw new ParseException("expected collation"))))
+          i += 3
+        case Some("OPTIONS") =>
+          if (options.nonEmpty) throw new ParseException("OPTIONS already set")
+          if (!toks.lift(i + 1).exists(_.text == "("))
+            throw new ParseException("expected ( after OPTIONS")
+          i += 2
+          val opts = Map.newBuilder[String, String]
+          var done = false
+          while (!done) {
+            toks.lift(i) match {
+              case Some(Sym(")")) => done = true; i += 1
+              case Some(Sym(",")) => i += 1
+              case Some(k) =>
+                val v = toks.lift(i + 1).getOrElse(
+                  throw new ParseException("expected option value"))
+                opts += identText(k) -> identText(v)
+                i += 2
+              case None => throw new ParseException("unterminated OPTIONS")
+            }
+          }
+          options = opts.result()
+        case other =>
+          throw new ParseException(s"Unexpected token in CREATE CATALOG: $other")
+      }
+    }
+    if (usingShare.isDefined && managedLocation.isDefined)
+      throw new ParseException(
+        "USING SHARE and MANAGED LOCATION are mutually exclusive.")
+    CreateCatalogStatement(name, ifNotExists, usingShare, managedLocation,
+      comment, collation, options)
+  }
+
+  private def parseDropCatalog(toks: Vector[Tok]): DropCatalogStatement = {
+    var i = 0
+    var ifExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("EXISTS")) {
+      ifExists = true; i = 2
+    }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("DROP CATALOG requires a name")))
+    i += 1
+    var cascade = false
+    if (wordAt(toks, i).contains("CASCADE")) { cascade = true; i += 1 }
+    if (i < toks.length)
+      throw new ParseException(s"Unexpected trailing tokens: ${toks.drop(i)}")
+    DropCatalogStatement(name, ifExists, cascade)
+  }
+}

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.LocalCatalog
+import graft.delta.DeltaTable
+import graft.delta.log.CommitWriter
+import graft.sqlext.GraftParser
+import graft.sqlext.GraftParser._
+
+class CommandsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_cmd_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+
+  // ---- parser (forms from reference sql/parser.rs:493-658 tests) ----
+
+  test("parse VACUUM forms") {
+    assert(GraftParser.parse("VACUUM my_table") ==
+      Some(VacuumStatement("my_table", None, dryRun = false, None)))
+    assert(GraftParser.parse("VACUUM my_table RETAIN 24 HOURS") ==
+      Some(VacuumStatement("my_table", None, dryRun = false, Some(24.0))))
+    assert(GraftParser.parse("VACUUM my_table FULL DRY RUN RETAIN 48 HOURS") ==
+      Some(VacuumStatement("my_table", Some("FULL"), dryRun = true, Some(48.0))))
+    assert(GraftParser.parse("VACUUM delta.'s3://bucket/path'") ==
+      Some(VacuumStatement("s3://bucket/path", None, dryRun = false, None)))
+    assert(GraftParser.parse("VACUUM '/tmp/t' DRY RUN") ==
+      Some(VacuumStatement("/tmp/t", None, dryRun = true, None)))
+  }
+
+  test("parse CREATE CATALOG forms") {
+    assert(GraftParser.parse("CREATE CATALOG my_catalog") ==
+      Some(CreateCatalogStatement("my_catalog", ifNotExists = false,
+        None, None, None, None, Map.empty)))
+    assert(GraftParser.parse("CREATE CATALOG IF NOT EXISTS my_catalog") ==
+      Some(CreateCatalogStatement("my_catalog", ifNotExists = true,
+        None, None, None, None, Map.empty)))
+    assert(GraftParser.parse("CREATE CATALOG c USING SHARE provider.share") ==
+      Some(CreateCatalogStatement("c", ifNotExists = false,
+        Some("provider.share"), None, None, None, Map.empty)))
+    assert(GraftParser.parse(
+      "CREATE CATALOG c MANAGED LOCATION 's3://b/c' COMMENT 'hi' OPTIONS (k1 v1, k2 'v 2')") ==
+      Some(CreateCatalogStatement("c", ifNotExists = false, None,
+        Some("s3://b/c"), Some("hi"), None, Map("k1" -> "v1", "k2" -> "v 2"))))
+    intercept[ParseException] {
+      GraftParser.parse("CREATE CATALOG c USING SHARE p.s MANAGED LOCATION 'x'")
+    }
+  }
+
+  test("parse DROP CATALOG forms") {
+    assert(GraftParser.parse("DROP CATALOG c") ==
+      Some(DropCatalogStatement("c", ifExists = false, cascade = false)))
+    assert(GraftParser.parse("DROP CATALOG IF EXISTS c CASCADE") ==
+      Some(DropCatalogStatement("c", ifExists = true, cascade = true)))
+  }
+
+  test("stubs raise NotImplemented; plain SQL delegates") {
+    intercept[NotImplementedStatement] {
+      GraftParser.parse("CREATE SCHEMA foo")
+    }
+    intercept[NotImplementedStatement] {
+      GraftParser.parse("CREATE FOREIGN CATALOG fc")
+    }
+    assert(GraftParser.parse("SELECT 1").isEmpty)
+    assert(GraftParser.parse("CREATE TABLE t (a INT)").isEmpty)
+  }
+
+  // ---- commands end-to-end ------------------------------------------
+
+  test("catalog lifecycle through GraftSession.sql") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val created = g.sql("CREATE CATALOG cat1 COMMENT 'test catalog'")
+    val row = created.collect().head
+    assert(row.getString(0) == "cat1")
+    assert(row.getString(1) == "catalog")
+    assert(row.getString(2).contains("test catalog"))
+    // duplicate fails without IF NOT EXISTS
+    intercept[IllegalArgumentException] { g.sql("CREATE CATALOG cat1") }
+    // idempotent with IF NOT EXISTS
+    g.sql("CREATE CATALOG IF NOT EXISTS cat1")
+    val dropped = g.sql("DROP CATALOG cat1").collect().head
+    assert(dropped.getString(2) == "DROPPED")
+    intercept[IllegalArgumentException] { g.sql("DROP CATALOG cat1") }
+    assert(g.sql("DROP CATALOG IF EXISTS cat1").collect()
+      .head.getString(2) == "NOT_FOUND")
+  }
+
+  test("vacuum: dry run lists unreferenced files, real run deletes them") {
+    val path = tmpTable("vacuum")
+    CommitWriter.createTable(spark, region.repartition(2), path)
+    val snap0 = DeltaTable.forPath(spark, path)
+    val files0 = snap0.allFiles.select("path").collect().map(_.getString(0))
+    assert(files0.length >= 2)
+    // remove one file from the table (it becomes unreferenced garbage)
+    CommitWriter.commitRemoves(spark, path, Seq(files0.head))
+
+    val g = GraftSession(spark)
+    val dry = g.sql(s"VACUUM '$path' RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.length == 1)
+    assert(dry.head.getAs[String]("path").endsWith(files0.head))
+
+    val countAfterRemove = DeltaTable.forPath(spark, path).read.count()
+    val metrics = g.sql(s"VACUUM '$path' RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted") == "1")
+    assert(metrics("bytes_deleted").toLong > 0)
+    // table still reads fine; live rows untouched by the vacuum
+    assert(DeltaTable.forPath(spark, path).read.count() == countAfterRemove)
+  }
+
+  test("vacuum: retention check blocks short RETAIN when property set") {
+    val path = tmpTable("vacuum_check")
+    CommitWriter.createTable(spark, region, path,
+      configuration = Map(
+        "delta.deletedFileRetentionDuration" -> "interval 7 days"))
+    val g = GraftSession(spark)
+    val err = intercept[IllegalArgumentException] {
+      g.sql(s"VACUUM '$path' RETAIN 1 HOURS")
+    }
+    assert(err.getMessage.contains("shorter than the minimum"))
+    // disabling the check allows it
+    spark.conf.set(
+      "spark.lakehouse.delta.retention_duration_check.enabled", "false")
+    try g.sql(s"VACUUM '$path' RETAIN 1 HOURS").collect()
+    finally spark.conf.set(
+      "spark.lakehouse.delta.retention_duration_check.enabled", "true")
+  }
+
+  test("vacuum never deletes live files or _delta_log") {
+    val path = tmpTable("vacuum_safe")
+    CommitWriter.createTable(spark, region.repartition(2), path)
+    val g = GraftSession(spark)
+    val before = DeltaTable.forPath(spark, path).read.count()
+    val metrics = g.sql(s"VACUUM '$path' RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted") == "0")
+    assert(DeltaTable.forPath(spark, path).read.count() == before)
+  }
+
+  test("vacuum LITE is not implemented (parity)") {
+    val path = tmpTable("vacuum_lite")
+    CommitWriter.createTable(spark, region, path)
+    intercept[IllegalArgumentException] {
+      GraftSession(spark).sql(s"VACUUM '$path' LITE")
+    }
+  }
+
+  test("table registry auto-refresh") {
+    val path = tmpTable("registry")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), path)
+    val g = GraftSession(spark).registerDelta("reg_t", path)
+    assert(g.tables.table("reg_t").count() == 3)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3), path)
+    // refresh-on-lookup sees the new version (reference A28 behavior)
+    assert(g.tables.table("reg_t").count() == region.count())
+    // and the temp view was re-published
+    assert(spark.table("reg_t").count() == region.count())
+  }
+
+  test("sign_storage_url: local passthrough, remote rejected") {
+    GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    val out = Seq("/tmp/x.parquet", "file:/tmp/y").toDF("u")
+      .selectExpr("sign_storage_url(u) AS s").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("/tmp/x.parquet", "file:/tmp/y"))
+    val err = intercept[Exception] {
+      Seq("s3://bucket/k").toDF("u")
+        .selectExpr("sign_storage_url(u) AS s").collect()
+    }
+    assert(err.getMessage.contains("No signer") ||
+      err.getCause != null)
+  }
+
+  test("dir listing matches reference schema") {
+    val df = graft.ops.DirListing.list(spark, sf)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("path", "length", "is_dir", "modification_time"))
+    assert(df.count() >= 10) // the parquet files
+    val rec = graft.ops.DirListing.listRecursive(spark, sf)
+    assert(rec.where(col("is_dir")).count() == 0)
+    assert(rec.count() >= df.where(!col("is_dir")).count())
+  }
+}
