@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def groups: Seq[Q] =
     RelationalQueries.all ++ ScalarQueries.all ++ DeltaQueries.all ++
-      CommandQueries.all
+      CommandQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

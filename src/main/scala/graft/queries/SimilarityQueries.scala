@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search over the `embeddings` table
+  * (Array[Float] x 64, SURVEY.md §2 north-star `q_sim_topk`).
+  *
+  * - `q_sim_topk`: brute-force cosine top-k against a probe vector. The
+  *   dot/norm sums are unrolled left-associated double expressions —
+  *   whole-stage-codegen friendly in Spark and bit-identical to the
+  *   DuckDB oracle (same multiply/add order).
+  * - `q_embed_bitsig`: 64-bit sign signature (the hash behind
+  *   embedding-LSH near-dup buckets), exact integer output.
+  * - `q_sim_ann_ivf`: IVF-style ANN — deterministic seed centroids,
+  *   cluster assignment, probe scans only the nearest nprobe clusters
+  *   (the 100 TB scale path: candidate scan cost is nprobe/nlist of
+  *   brute force). Accuracy vs brute force is asserted in
+  *   SimilaritySpec; declared rows-only here.
+  */
+object SimilarityQueries {
+  import T.load
+
+  private val Dim = 64
+
+  /** Unrolled left-assoc dot product of two array<float> columns. */
+  private def dot(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      element_at(a, i).cast(DoubleType) * element_at(b, i).cast(DoubleType))
+      .reduce(_ + _)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Same expressions in DuckDB SQL. */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_sim_topk",
+      s"""WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  (${dotSql("embedding", "pv")}) /
+         |    (${normSql("embedding")} * ${normSql("pv")}) AS cosine
+         |FROM embeddings, probe
+         |WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+      val probe = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("pv"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          (dot(col("embedding"), col("pv")) /
+            (norm(col("embedding")) * norm(col("pv")))).as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(20)
+    },
+
+    // 63-bit sign signature: bucket key for embedding-LSH near-dedup
+    // (dim 64 omitted so the key stays a positive BIGINT in both engines)
+    Q("q_embed_bitsig",
+      s"""SELECT vec_id, label,
+         |  ${(0 until 63).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+            .mkString(" + ")} AS bitsig
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        (0 until 63).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).as("bitsig"))
+        .orderBy("vec_id")
+    },
+
+    // embedding-cosine near-duplicates: pairs sharing an 8-bit sign
+    // bucket, verified by exact cosine >= 0.2 (bucket join, not O(n^2);
+    // thresholds calibrated to the synthetic fixture's cosine range)
+    Q("q_embed_near_dup",
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+            .mkString(" + ")} AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  (${dotSql("a.embedding", "b.embedding")}) /
+         |    (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cosine
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE (${dotSql("a.embedding", "b.embedding")}) /
+         |    (${normSql("a.embedding")} * ${normSql("b.embedding")}) >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val sig = load(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        (0 until 8).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _).as("bucket"))
+      val a = sig.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("bucket"))
+      val b = sig.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+        .where(col("cosine") >= 0.2)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // IVF ANN: centroids = deterministic seeds (vec_id % 50 == 0),
+    // assignment by max dot product, probe scans nprobe=8 clusters
+    Q.noOracle("q_sim_ann_ivf") { (s, dir) =>
+      annIvf(s, dir, probeId = 0, k = 20, nprobe = 8)
+    })
+
+  /** IVF search, shared with SimilaritySpec for the recall assertion. */
+  def annIvf(s: SparkSession, dir: String, probeId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // assign every vector to its nearest centroid (broadcast centroids:
+    // fact side never shuffles)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+    // probe: nearest nprobe centroids
+    val probe = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("pv"))
+    val probeClusters = centroids.crossJoin(broadcast(probe))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .orderBy(desc("sim"), asc("cid"))
+      .limit(nprobe)
+      .select("cid")
+    // scan only those clusters
+    assigned.join(broadcast(probeClusters), "cid")
+      .where(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * norm(col("pv"))))
+      .select("vec_id", "label", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Brute-force top-k (for the spec's recall comparison). */
+  def bruteTopK(s: SparkSession, dir: String, probeId: Long,
+      k: Int): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val probe = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("pv"))
+    emb.where(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * norm(col("pv"))))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+}

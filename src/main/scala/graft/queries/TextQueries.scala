@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (north-star extras in SURVEY.md §2
+  * tail): exact dedup, MinHash+LSH near-dedup, SimHash, n-gram Jaccard,
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Everything is expressed as shuffling-aware DataFrame plans: shingling
+  * explodes rows map-side, signatures reduce via partial aggregation,
+  * and candidate generation joins on band keys (never a cross join), so
+  * each query scales linearly in corpus size + candidate-pair count.
+  *
+  * Cross-engine determinism: token/shingle hashes are
+  * md5-hex(15 digits) -> bigint mod p (exact integer arithmetic in both
+  * Spark and DuckDB); scores divide exact integer counts as one double
+  * division.
+  */
+object TextQueries {
+  import T.load
+
+  private val P = 2147483647L // 2^31 - 1
+  private val HashA = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  private val HashB = Seq(1L, 7L, 13L, 19L, 25L, 31L, 37L, 43L)
+
+  /** Spark: 60-bit md5 prefix as a non-negative bigint mod p. */
+  private def hashCol(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType) % P
+  /** Same value in DuckDB SQL. */
+  private def hashSql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
+
+  /** (doc_id, shingle-hash) stream: word 2-grams via windowed lead —
+    * map-side explode, no shuffle until the downstream aggregate. */
+  private def shingleHashes(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("shingle",
+        concat(col("tok"), lit(" "), lead("tok", 1).over(w)))
+      .where(col("shingle").isNotNull)
+      .select(col("doc_id"), hashCol(col("shingle")).as("h"))
+  }
+
+  private val shingleHashesSql: String =
+    s"""SELECT doc_id, ${hashSql("shingle")} AS h FROM (
+       |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t
+       |) s WHERE shingle IS NOT NULL""".stripMargin
+
+  /** Per-doc MinHash signature columns mh0..mh7. */
+  private def minhashAggs: Seq[Column] =
+    HashA.zip(HashB).zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % P).as(s"mh$j")
+    }
+  private def minhashAggsSql: String =
+    HashA.zip(HashB).zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % $P) AS mh$j"
+    }.mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- text stats ---------------------------------------------------
+    Q("q_text_stats",
+      """SELECT lang, count(*) AS n_docs,
+        | sum(n_chars) AS total_chars,
+        | CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          (sum("n_chars").cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avg_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // whitespace tokens + a BPE-ish segmentation (letters / digits /
+    // single other-symbols), counted via regexp
+    Q("q_token_count",
+      """SELECT doc_id,
+        | CAST(length(regexp_extract_all(text, '[^ ]+')) AS INTEGER) AS ws_tokens,
+        | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[^ ]+', 0)")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram/stopword language-ID heuristic (the fixture text is synthetic
+    // word soup, so the interesting property is determinism, not accuracy)
+    Q("q_lang_id",
+      """SELECT doc_id, lang,
+        | CASE WHEN en_score >= 2 THEN 'en' ELSE 'other' END AS predicted,
+        | (CASE WHEN en_score >= 2 THEN 'en' ELSE 'other' END = lang) AS agree
+        |FROM (SELECT doc_id, lang,
+        |  CAST(length(regexp_extract_all(lower(text), '\bthe\b|\ba\b|\bis\b|\band\b|\bof\b')) AS INTEGER) AS en_score
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val enScore = size(expr(
+        "regexp_extract_all(lower(text), '\\\\bthe\\\\b|\\\\ba\\\\b|\\\\bis\\\\b|\\\\band\\\\b|\\\\bof\\\\b', 0)"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), enScore.as("en_score"))
+        .select(col("doc_id"), col("lang"),
+          when(col("en_score") >= 2, "en").otherwise("other").as("predicted"))
+        .withColumn("agree", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length, punctuation ratio, stopword ratio,
+    // whitespace-token length — exact counts, one double division each
+    Q("q_quality_score",
+      """SELECT doc_id,
+        | n_chars,
+        | CAST(length(regexp_extract_all(text, '[^ ]+')) AS INTEGER) AS n_tokens,
+        | CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        | CAST(length(regexp_extract_all(lower(text), '\bthe\b|\ba\b|\band\b|\bof\b|\bto\b')) AS BIGINT) AS n_stop,
+        | CAST(length(regexp_extract_all(text, '[^ ]+')) AS DOUBLE)
+        |   / CAST(greatest(n_chars, 1) AS DOUBLE) AS token_density,
+        | CAST(length(regexp_extract_all(lower(text), '\bthe\b|\ba\b|\band\b|\bof\b|\bto\b')) AS DOUBLE)
+        |   / CAST(greatest(length(regexp_extract_all(text, '[^ ]+')), 1) AS DOUBLE) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nTokens = size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
+      val nPunct = size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast(LongType)
+      val nStop = size(expr(
+        "regexp_extract_all(lower(text), '\\\\bthe\\\\b|\\\\ba\\\\b|\\\\band\\\\b|\\\\bof\\\\b|\\\\bto\\\\b', 0)"))
+      load(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        nTokens.as("n_tokens"),
+        nPunct.as("n_punct"),
+        nStop.cast(LongType).as("n_stop"),
+        (nTokens.cast(DoubleType) /
+          greatest(col("n_chars"), lit(1)).cast(DoubleType)).as("token_density"),
+        (nStop.cast(DoubleType) /
+          greatest(nTokens, lit(1)).cast(DoubleType)).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprint: md5 of normalized text + 60-bit rolling id
+    Q("q_fingerprint",
+      s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
+         | ${hashSql("lower(trim(text))")} AS fp_int
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        md5(lower(trim(col("text"))).cast(BinaryType)).as("fp"),
+        hashCol(lower(trim(col("text")))).as("fp_int"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup --------------------------------------------------------
+
+    // exact dedup: canonical doc per content hash (hash-groupBy; at
+    // 100 TB this is the standard one-shuffle dedup)
+    Q("q_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+
+    // MinHash signatures (8 permutations over word-2-gram shingles)
+    Q("q_minhash_signatures",
+      s"""SELECT doc_id, $minhashAggsSql
+         |FROM ($shingleHashesSql) sh
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      shingleHashes(load(s, dir, "documents"))
+        .groupBy("doc_id")
+        .agg(minhashAggs.head, minhashAggs.tail: _*)
+        .orderBy("doc_id")
+    },
+
+    // LSH banding: 4 bands x 2 rows; candidate pairs = equal band key.
+    // Pure equi-joins on (band, key) — no cross join at any scale.
+    Q("q_near_dedup",
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $minhashAggsSql
+         |  FROM ($shingleHashesSql) sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sigs UNION ALL
+         |  SELECT doc_id, 1 AS band, mh2 AS k1, mh3 AS k2 FROM sigs UNION ALL
+         |  SELECT doc_id, 2 AS band, mh4 AS k1, mh5 AS k2 FROM sigs UNION ALL
+         |  SELECT doc_id, 3 AS band, mh6 AS k1, mh7 AS k2 FROM sigs
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(DISTINCT a.band) AS shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         | AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sigs = shingleHashes(load(s, dir, "documents"))
+        .groupBy("doc_id")
+        .agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bands = (0 until 4).map { bnd =>
+        sigs.select(col("doc_id"), lit(bnd).as("band"),
+          col(s"mh${2 * bnd}").as("k1"), col(s"mh${2 * bnd + 1}").as("k2"))
+      }.reduce(_ unionByName _)
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      a.join(b,
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(countDistinct(col("a.band")).as("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 16-bit signature from per-token hash bit votes
+    Q("q_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${hashSql("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t
+         |), votes AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(i =>
+            s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+            .mkString(",\n    ")}
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  ${(0 until 16).map(i =>
+            s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")}
+         |  AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), hashCol(col("tok")).as("h"))
+      val votes = toks.groupBy("doc_id").agg(
+        (0 until 16).map(i =>
+          sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i")).head,
+        (0 until 16).map(i =>
+          sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i")).tail: _*)
+      votes.select(col("doc_id"),
+        (0 until 16).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard similarity between documents of the same source:
+    // sparse set-similarity join on shared shingles (equi-join + agg),
+    // never pairwise over the corpus
+    Q("q_ngram_jaccard",
+      s"""WITH sh AS (
+         |  SELECT DISTINCT s.doc_id, d.source, s.h
+         |  FROM ($shingleHashesSql) s JOIN documents d ON s.doc_id = d.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source = b.source
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      val sh = shingleHashes(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "h").distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.alias("a")
+      val b = sh.alias("b")
+      val common = a.join(b,
+        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .withColumn("jaccard", col("c").cast(DoubleType) /
+          (col("sza") + col("szb") - col("c")).cast(DoubleType))
+        .where(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    })
+}
