@@ -127,6 +127,30 @@ object DeltaQueries {
               col("o_totalprice").as("price")).as("info")), p)
     }
 
+  /** Type-widening table: commit 0 writes o_custkey as INT (narrow,
+    * even keys), schema widens to LONG, commit 2 writes LONG (odd keys).
+    * Old files widen at read time (Spark 4 parquet widening; the
+    * reference does this in its NestedSchemaAdapter — apply_schema.rs
+    * cast path). */
+  def widenedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "widened") { p =>
+      val o = orders(s, sfDir)
+      CommitWriter.createTable(s,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast(IntegerType).as("o_custkey"),
+            col("o_totalprice").cast(FloatType).as("o_totalprice")), p)
+      val meta0 = DeltaTable.forPath(s, p).metadata
+      val wide = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType)))
+      CommitWriter.commitMetadata(s, p, meta0.copy(schemaString = wide.json))
+      CommitWriter.append(s,
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), p)
+    }
+
   /** Single-file customer table sorted by key, with a deletion vector
     * masking every row whose c_custkey % 10 == 0. */
   def dvTable(s: SparkSession, sfDir: String): String =
@@ -213,6 +237,20 @@ object DeltaQueries {
         .select(col("o_orderkey"), col("info.status").as("status"),
           col("info.price").as("price"))
         .orderBy("o_orderkey")
+    },
+
+    // A8 (cast path): int->long / float->double widening across commits.
+    // Floats widen to the same doubles in both engines (exact cast), but
+    // the narrow files went through double->float->double, so the oracle
+    // replicates that round-trip with CAST(...AS REAL).
+    Q("type_widening",
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 2 = 0
+        |      THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, widenedTable(s, dir))
+      snap.read.orderBy("o_orderkey")
     },
 
     // A5: deletion vectors → row-level skipping

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference engine is strictly bounded (every custom exec node is
+  * Boundedness::Bounded — SURVEY.md §1.1 "Streams"), so this module is
+  * a beyond-parity extension: the same event pipeline shapes a training
+  * -data ingest would run continuously, expressed with readStream →
+  * watermark → windowed aggregation, plus mapGroupsWithState
+  * sessionization. Local smoke drives it with the parquet fixture via
+  * a memory sink (processAllAvailable).
+  */
+object EventsStream {
+
+  /** events.parquet carries TIMESTAMP(NANOS): streamed as raw longs and
+    * converted to a proper event-time column. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-minute windows per event type (complete mode → equal to
+    * the batch groupBy, which is what the oracle checks). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_time"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        (unix_timestamp(col("window.start")) / 60).cast("long")
+          .as("minute_bucket"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked append-mode variant (the production shape: late data
+    * beyond 5 minutes is dropped, state is bounded). */
+  def watermarkedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "5 minutes")
+      .groupBy(window(col("event_time"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  case class SessionState(nEvents: Long, lastTs: Long)
+  case class UserSession(user_id: Long, n_events: Long, last_ts: Long)
+
+  /** Custom state: per-user running session via mapGroupsWithState. */
+  def userSessions(spark: SparkSession, events: DataFrame): Dataset[UserSession] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+          var n = prev.nEvents
+          var last = prev.lastTs
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (ts > last) last = ts
+          }
+          state.update(SessionState(n, last))
+          UserSession(userId, n, last)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (local smoke harness). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
