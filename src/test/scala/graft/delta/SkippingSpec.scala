@@ -1,0 +1,120 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.CommitWriter
+import graft.delta.scan.{ColumnMapping, DeltaScan}
+
+/** Predicate-translation edge cases for file skipping (the A21-analogue
+  * surface: reference engine/expressions/to_delta.rs tests). Each case
+  * asserts BOTH pruning (fewer files) and result correctness. */
+class SkippingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  /** 4 single-file commits with disjoint o_orderkey quarters. */
+  private lazy val table: String = {
+    val d = Files.createTempDirectory("graft_skip").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val n = orders.count()
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val qs = Seq(keys((n / 4).toInt - 1), keys((n / 2).toInt - 1),
+      keys((3 * n / 4).toInt - 1))
+    CommitWriter.createTable(spark,
+      orders.filter(col("o_orderkey") <= qs(0)).repartition(1), p)
+    CommitWriter.append(spark, orders.filter(
+      col("o_orderkey") > qs(0) && col("o_orderkey") <= qs(1)).repartition(1), p)
+    CommitWriter.append(spark, orders.filter(
+      col("o_orderkey") > qs(1) && col("o_orderkey") <= qs(2)).repartition(1), p)
+    CommitWriter.append(spark,
+      orders.filter(col("o_orderkey") > qs(2)).repartition(1), p)
+    p
+  }
+
+  private def check(filter: org.apache.spark.sql.Column,
+      expectPrune: Boolean = true): Unit = {
+    val snap = DeltaTable.forPath(spark, table)
+    val total = snap.allFiles.count()
+    val kept = DeltaScan.prunedFiles(snap, Seq(filter)).count()
+    if (expectPrune) assert(kept < total, s"no pruning for $filter")
+    val got = snap.readWhere(filter).count()
+    val want = orders.filter(filter).count()
+    assert(got == want, s"wrong result for $filter: $got != $want")
+  }
+
+  private val lo = 10L // inside first quarter at every sf
+
+  test("equality prunes to one file")(check(col("o_orderkey") === lo))
+  test("less-than prunes")(check(col("o_orderkey") < lo))
+  test("greater-than prunes")(check(col("o_orderkey") > 14000,
+    expectPrune = false)) // prunes only when 14000 is beyond a file's max
+  test("literal-on-left flips")(check(lit(lo) >= col("o_orderkey")))
+  test("IN prunes")(check(col("o_orderkey").isin(1, 2, 3)))
+  test("NOT of range inverts")(check(!(col("o_orderkey") > lo)))
+  test("NOT of equality keeps all files")(
+    check(col("o_orderkey") =!= lo, expectPrune = false))
+  test("AND combines: both sides prune")(
+    check(col("o_orderkey") > lo && col("o_orderkey") < lo + 5))
+  test("OR widens: union of kept files")(
+    check(col("o_orderkey") === lo || col("o_orderkey") === lo + 1))
+  test("unknown predicate shapes keep every file")(
+    check(col("o_orderkey") % 7 === 3, expectPrune = false))
+  test("isNotNull keeps files with values")(
+    check(col("o_orderkey").isNotNull, expectPrune = false))
+  test("string prefix prunes on min/max")(  // o_orderpriority has narrow
+    check(col("o_orderpriority").startsWith("9"), expectPrune = false))
+
+  test("nested column-mapping round trip") {
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString(ColumnMapping.PhysicalNameKey, "col-a").build()),
+      StructField("info", StructType(Seq(
+        StructField("status", StringType, nullable = true,
+          new MetadataBuilder()
+            .putString(ColumnMapping.PhysicalNameKey, "col-c").build()))),
+        nullable = true,
+        new MetadataBuilder()
+          .putString(ColumnMapping.PhysicalNameKey, "col-b").build())))
+    val phys = ColumnMapping.toPhysicalSchema(logical, "name")
+    assert(phys.fieldNames.toSeq == Seq("col-a", "col-b"))
+    assert(phys("col-b").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("col-c"))
+    // physical->logical expression rebuilds nested names
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L,
+        org.apache.spark.sql.Row("ok"))), phys)
+    val out = df.select(
+      ColumnMapping.toLogicalColumn(phys("col-a"), logical("id")),
+      ColumnMapping.toLogicalColumn(phys("col-b"), logical("info")))
+    assert(out.schema.fieldNames.toSeq == Seq("id", "info"))
+    assert(out.select(col("info.status")).head.getString(0) == "ok")
+  }
+
+  test("unsupported reader protocol is rejected") {
+    val d = Files.createTempDirectory("graft_proto").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    val adds = CommitWriter.writeFiles(spark, region, p, Seq.empty)
+    val meta = graft.delta.log.Actions.Metadata(
+      id = "x", name = None, description = None,
+      format = graft.delta.log.Actions.Format(),
+      schemaString = region.schema.json, partitionColumns = Seq.empty,
+      configuration = Map.empty, createdTime = Some(0L))
+    CommitWriter.commit(spark, p, 0L,
+      Seq(CommitWriter.protocolJson(
+        graft.delta.log.Actions.Protocol(99, 99)),
+        CommitWriter.metadataJson(meta)) ++ adds.map(CommitWriter.addJson),
+      "CREATE")
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, p)
+    }
+  }
+}
