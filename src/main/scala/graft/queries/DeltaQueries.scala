@@ -282,6 +282,20 @@ object DeltaQueries {
       refreshed.read.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
 
+    // A1 as a registered source: spark.read.format("graftdelta") with
+    // projection + filter flowing through PrunedFilteredScan into file
+    // skipping
+    Q("format_read",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      s.read.format("graftdelta")
+        .option("path", rangedTable(s, dir))
+        .load()
+        .where(col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // A11: raw delta-log actions as a queryable table
     Q.noOracle("delta_log") { (s, dir) =>
       val path = rangedTable(s, dir)
