@@ -302,6 +302,54 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    Q("q_window_firstlast",
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_order"),
+          last("o_orderkey").over(wFull).as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Skew-aware aggregation: two-phase salted sum over a low-cardinality
+    // hot key (5 event types, 32 cores). Phase 1 spreads each hot key
+    // over 16 salt buckets (map-side + 16-way parallel reduce); phase 2
+    // merges the 80 partials. Exact decimal arithmetic keeps the result
+    // identical to the plain GROUP BY oracle.
+    Q("q_skew_salted",
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      T.events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(T.dec(col("value"), 2)).as("pt"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), sum("pt").cast(DoubleType).as("total"))
+        .orderBy("event_type")
+    },
+
+    // exact percentile is interpolation-order-sensitive across engines;
+    // declared rows-only alongside the approximate sketch
+    Q.noOracle("q_percentile") { (s, dir) =>
+      load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(o_totalprice, array(0.25, 0.75))").as("iqr"))
+        .orderBy("o_orderstatus")
+    },
+
     Q("q_window_ntile",
       """SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>

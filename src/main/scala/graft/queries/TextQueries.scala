@@ -36,27 +36,29 @@ object TextQueries {
   private def hashSql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
 
-  /** (doc_id, shingle-hash) stream: word 2-grams via windowed lead —
-    * map-side explode, no shuffle until the downstream aggregate. */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  /** (doc_id, shingle-hash) stream: word 2-grams built inside the row
+    * with a transform-over-array expression, then exploded — pure
+    * map-side work, zero shuffles (the windowed-lead formulation would
+    * shuffle+sort by doc_id first). */
+  private def shingleHashes(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("shingle",
-        concat(col("tok"), lit(" "), lead("tok", 1).over(w)))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        // greatest(...,0) guards 1-token docs (sequence(0,-1) counts
+        // DOWN in Spark); their single bogus shingle concats with a
+        // null neighbor -> null -> filtered below
+        """transform(sequence(0, greatest(size(toks) - 2, 0)),
+          |          i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+        .as("shingle"))
       .where(col("shingle").isNotNull)
       .select(col("doc_id"), hashCol(col("shingle")).as("h"))
-  }
 
   private val shingleHashesSql: String =
     s"""SELECT doc_id, ${hashSql("shingle")} AS h FROM (
-       |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
-       |  FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |           generate_subscripts(string_split(text, ' '), 1) AS pos
-       |    FROM documents) t
-       |) s WHERE shingle IS NOT NULL""".stripMargin
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shingle
+       |  FROM documents) s""".stripMargin
 
   /** Per-doc MinHash signature columns mh0..mh7. */
   private def minhashAggs: Seq[Column] =
