@@ -133,7 +133,7 @@ object ScalarQueries {
         .orderBy("vec_id")
     },
 
-    Q("q_json",
+    Q("json_read",
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k1,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2

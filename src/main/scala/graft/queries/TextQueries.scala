@@ -169,7 +169,7 @@ object TextQueries {
 
     // exact dedup: canonical doc per content hash (hash-groupBy; at
     // 100 TB this is the standard one-shuffle dedup)
-    Q("q_dedup_exact",
+    Q("q_dedup",
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin) { (s, dir) =>
