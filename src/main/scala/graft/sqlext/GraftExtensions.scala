@@ -1,0 +1,77 @@
+package graft.sqlext
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+import graft.catalog.LocalCatalog
+import graft.commands.VacuumCommand
+import graft.ops.DirListing
+import graft.sqlext.GraftParser._
+
+/** `SparkSessionExtensions` registration: injects the lakehouse parser
+  * so plain `spark.sql("VACUUM …")` / `CREATE CATALOG …` work on any
+  * session built with
+  * `.config("spark.sql.extensions", "graft.sqlext.GraftExtensions")`.
+  *
+  * This is the Spark analogue of the reference's parser + extension
+  * planner wiring (reference: crates/datafusion/src/sql/parser.rs:30-49
+  * front-end interception; planner.rs:20-84 extension planning): our
+  * statements become a `LeafRunnableCommand`, everything else falls
+  * through to the delegate parser untouched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectParser((_, delegate) => new GraftParserInterface(delegate))
+}
+
+final class GraftParserInterface(delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    try GraftParser.parse(sqlText) match {
+      case Some(stmt) => GraftCommand(stmt)
+      case None => delegate.parsePlan(sqlText)
+    } catch {
+      case _: GraftParser.ParseException => delegate.parsePlan(sqlText)
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Runnable command wrapping a parsed lakehouse statement (the UDLN +
+  * extension-planner pair collapses to one node in Spark). */
+final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = {
+    val schema: StructType = stmt match {
+      case v: VacuumStatement =>
+        if (v.dryRun) DirListing.schema else VacuumCommand.metricsSchema
+      case _: CreateCatalogStatement => LocalCatalog.createSchema
+      case _: DropCatalogStatement => LocalCatalog.dropSchema
+    }
+    DataTypeUtils.toAttributes(schema)
+  }
+
+  override def run(session: SparkSession): Seq[Row] =
+    new graft.GraftSession(session).execute(stmt).collect().toSeq
+}

@@ -23,6 +23,7 @@ object Shims {
 
   def predNode(c: Column): PredNode = conv(c.node)
 
+
   private def conv(n: internal.ColumnNode): PredNode = n match {
     case f: internal.UnresolvedFunction =>
       Fn(f.functionName.toLowerCase, f.arguments.map(conv))

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.delta.DeltaTable
+import graft.delta.log.CommitWriter
+
+/** spark.sql("VACUUM …") / CREATE CATALOG through the injected parser
+  * (GraftExtensions): built on a sibling session that shares the
+  * SparkContext but carries the extensions. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val extSpark: SparkSession = {
+    TestSpark.spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.sqlext.GraftExtensions)
+      .getOrCreate()
+    // restore the shared session as default for other suites
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    s
+  }
+
+  test("plain spark.sql runs CREATE/DROP CATALOG via injected parser") {
+    graft.catalog.LocalCatalog.clear()
+    val row = extSpark.sql("CREATE CATALOG ext_cat COMMENT 'via ext'")
+      .collect().head
+    assert(row.getString(0) == "ext_cat")
+    assert(extSpark.sql("DROP CATALOG ext_cat").collect()
+      .head.getString(2) == "DROPPED")
+  }
+
+  test("plain spark.sql runs VACUUM DRY RUN via injected parser") {
+    val d = Files.createTempDirectory("graft_ext_vac").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = TestSpark.spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    CommitWriter.createTable(extSpark, region.repartition(2), p)
+    val f = DeltaTable.forPath(extSpark, p).allFiles
+      .select("path").collect().head.getString(0)
+    CommitWriter.commitRemoves(extSpark, p, Seq(f))
+    val dry = extSpark.sql(s"VACUUM '$p' RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.length == 1 && dry.head.getString(0).endsWith(f))
+    val metrics = extSpark.sql(s"VACUUM '$p' RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted") == "1")
+  }
+
+  test("non-extension SQL still parses normally") {
+    assert(extSpark.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
+    // VACUUM with bad grammar falls back to Spark's parser error
+    intercept[Exception] { extSpark.sql("VACUUM") }
+  }
+}
