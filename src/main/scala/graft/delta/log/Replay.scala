@@ -51,11 +51,67 @@ object Replay {
     }
   }
 
+  /** Commit tails smaller than this replay on the driver (no Spark
+    * jobs); anything bigger — and every checkpoint — stays distributed. */
+  private val DriverReplayMaxBytes = 8L * 1024 * 1024
+
   /** The reconciled live file set: one row per live AddFile (columns of
     * Actions.addSchema plus commit_version). Reconciliation rule: the
     * latest action for a path wins; within one commit a re-add supersedes
-    * a remove of the same path. */
-  def liveFiles(spark: SparkSession, segment: LogSegment): DataFrame = {
+    * a remove of the same path.
+    *
+    * Small checkpoint-less logs replay driver-side (the common
+    * interactive case: a handful of JSON commits does not warrant
+    * distributed jobs — mirrors the kernel's driver-side replay); large
+    * logs use the distributed window plan. */
+  def liveFiles(spark: SparkSession, segment: LogSegment): DataFrame =
+    if (segment.checkpointFiles.isEmpty &&
+        segment.commitFiles.map(_.getLen).sum <= DriverReplayMaxBytes)
+      liveFilesDriverSide(spark, segment)
+    else liveFilesDistributed(spark, segment)
+
+  private def liveFilesDriverSide(spark: SparkSession,
+      segment: LogSegment): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = LogSegment.fs(spark, segment.tablePath)
+    // path -> (commit_version, add row); latest action wins, re-adds in
+    // the same commit supersede removes because removes apply first
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    for (commit <- segment.commitFiles) {
+      val version = LogSegment.commitVersion(commit.getPath.getName).get
+      val in = fs.open(commit.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
+      for (n <- nodes if n.has("remove"))
+        live.remove(n.get("remove").get("path").asText())
+      for (n <- nodes if n.has("add")) {
+        val a = n.get("add")
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          Row(d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).filterNot(_.isNull)
+              .map(o => Int.box(o.asInt())).orNull,
+            d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+        }.orNull
+        val path = a.get("path").asText()
+        live.remove(path)
+        live.put(path, Row(
+          path, strMap(a, "partitionValues"), a.get("size").asLong(),
+          a.get("modificationTime").asLong(),
+          Option(a.get("dataChange")).forall(_.asBoolean()),
+          optStr(a, "stats").orNull, dv, version))
+      }
+    }
+    val schema = StructType(Actions.addSchema.fields :+
+      StructField("commit_version", LongType))
+    val rows = new java.util.ArrayList[Row](live.size)
+    live.values.foreach(rows.add)
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def liveFilesDistributed(spark: SparkSession,
+      segment: LogSegment): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val acts = actionsDF(spark, segment)
       .where(col("add").isNotNull || col("remove").isNotNull)

@@ -21,7 +21,8 @@ import graft.delta.DeltaTable
   *
   * Options: `path` (required), `versionAsOf` (optional time travel).
   */
-class GraftDeltaSource extends RelationProvider with DataSourceRegister {
+class GraftDeltaSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
 
@@ -31,6 +32,49 @@ class GraftDeltaSource extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException("graftdelta requires a path"))
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     GraftDeltaRelation(sqlContext.sparkSession, path, versionAsOf)
+  }
+
+  /** Write path: df.write.format("graftdelta").mode(...).save(path).
+    * ErrorIfExists/Ignore look for an existing _delta_log; Append adds
+    * a commit; Overwrite removes the previous live files and adds the
+    * new ones in one commit (logical overwrite — old versions stay
+    * time-travelable until VACUUM). */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta requires a path"))
+    val partitionCols = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val existing = scala.util.Try(DeltaTable.forPath(spark, path)).toOption
+
+    (mode, existing) match {
+      case (SaveMode.ErrorIfExists, Some(_)) =>
+        throw new IllegalStateException(s"Delta table already exists: $path")
+      case (SaveMode.Ignore, Some(_)) => ()
+      case (_, None) =>
+        graft.delta.log.CommitWriter.createTable(spark, data, path,
+          partitionColumns = partitionCols)
+      case (SaveMode.Append, Some(_)) =>
+        graft.delta.log.CommitWriter.append(spark, data, path)
+      case (SaveMode.Overwrite, Some(snap)) =>
+        val oldPaths = snap.allFiles.select("path")
+          .collect().map(_.getString(0)).toSeq
+        val adds = graft.delta.log.CommitWriter.writeFiles(
+          spark, data, path, snap.partitionColumns)
+        val now = System.currentTimeMillis()
+        val removes = oldPaths.map(p =>
+          graft.delta.log.CommitWriter.removeJson(
+            graft.delta.log.Actions.RemoveFile(p, Some(now), dataChange = true)))
+        graft.delta.log.CommitWriter.commit(spark, path, snap.version + 1,
+          removes ++ adds.map(graft.delta.log.CommitWriter.addJson),
+          operation = "WRITE")
+      case _ => ()
+    }
+    GraftDeltaRelation(spark, path, None)
   }
 }
 
