@@ -54,4 +54,24 @@ object DeltaTable {
       s"Unsupported minReaderVersion ${proto.minReaderVersion}")
     Snapshot(spark, tablePath, segment, meta, proto)
   }
+
+  /** Time travel by timestamp: the newest version whose commit file was
+    * modified at or before `timestampMillis` (standard Delta
+    * timestamp-as-of semantics over commit mtimes). */
+  def forPathAtTimestamp(spark: SparkSession, path: String,
+      timestampMillis: Long): Snapshot = {
+    val tablePath = new Path(path)
+    val fs = LogSegment.fs(spark, tablePath)
+    val logPath = new Path(tablePath, "_delta_log")
+    val commits = fs.listStatus(logPath).toSeq
+      .flatMap(st => LogSegment.commitVersion(st.getPath.getName)
+        .map(v => (v, st.getModificationTime)))
+      .sortBy(_._1)
+    val eligible = commits.filter(_._2 <= timestampMillis)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"No table version at or before timestamp $timestampMillis " +
+          s"(earliest commit: ${commits.headOption.map(_._2)})")
+    forPath(spark, path, Some(eligible.map(_._1).max))
+  }
 }

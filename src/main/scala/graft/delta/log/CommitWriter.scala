@@ -158,7 +158,8 @@ object CommitWriter {
   /** Write `df` as parquet files under `tablePath` (hive-style dirs for
     * partition columns), returning the AddFile actions with stats. */
   def writeFiles(spark: SparkSession, df: DataFrame, tablePath: String,
-      partitionColumns: Seq[String]): Seq[AddFile] = {
+      partitionColumns: Seq[String],
+      dataChange: Boolean = true): Seq[AddFile] = {
     val table = new Path(tablePath)
     val fs = LogSegment.fs(spark, table)
     fs.mkdirs(table)
@@ -189,7 +190,7 @@ object CommitWriter {
         partitionValues = partValues,
         size = status.getLen,
         modificationTime = status.getModificationTime,
-        dataChange = true,
+        dataChange = dataChange,
         stats = statsByFile.get(st.getPath.toUri.getPath))
     }.tap(_ => fs.delete(staging, true))
   }

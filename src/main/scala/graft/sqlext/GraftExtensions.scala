@@ -68,6 +68,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         if (v.dryRun) DirListing.schema else VacuumCommand.metricsSchema
       case _: CreateCatalogStatement => LocalCatalog.createSchema
       case _: DropCatalogStatement => LocalCatalog.dropSchema
+      case _: OptimizeStatement => VacuumCommand.metricsSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

@@ -29,6 +29,7 @@ object GraftParser {
       name: String,
       ifExists: Boolean,
       cascade: Boolean) extends Statement
+  final case class OptimizeStatement(table: String) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -90,6 +91,8 @@ object GraftParser {
     if (toks.isEmpty) return None
     toks.head match {
       case w: Word if w.upper == "VACUUM" => Some(parseVacuum(toks.tail))
+      case w: Word if w.upper == "OPTIMIZE" =>
+        Some(OptimizeStatement(parseTableRef(toks.tail)))
       case w: Word if w.upper == "CREATE" || w.upper == "DROP" =>
         parseCreateOrDrop(w.upper, toks.tail)
       case _ => None
@@ -98,6 +101,21 @@ object GraftParser {
 
   private def wordAt(toks: Vector[Tok], i: Int): Option[String] =
     toks.lift(i).collect { case w: Word => w.upper }
+
+  /** table reference: delta.`p` | delta.'p' | 'p' | `p` | bare ident */
+  private def parseTableRef(toks: Vector[Tok]): String = toks.headOption match {
+    case Some(w: Word) if w.upper == "DELTA" &&
+        toks.lift(1).exists(_.text == ".") =>
+      toks.lift(2) match {
+        case Some(Str(p)) => p
+        case Some(Quoted(p)) => p
+        case _ => throw new ParseException("Expected path after delta.")
+      }
+    case Some(Str(p)) => p
+    case Some(Quoted(p)) => p
+    case Some(w: Word) => w.text
+    case _ => throw new ParseException("Expected a table reference")
+  }
 
   private def parseVacuum(toks: Vector[Tok]): VacuumStatement = {
     var i = 0

@@ -1,0 +1,127 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.{CommitWriter, LogSegment}
+
+class OptimizeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_opt_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+
+  test("OPTIMIZE compacts small files, preserves rows + history") {
+    val p = tmp("basic")
+    // 4 commits -> 4+ small files
+    CommitWriter.createTable(spark, orders.limit(100).repartition(1), p)
+    for (_ <- 1 to 3)
+      CommitWriter.append(spark, orders.limit(100).repartition(1), p)
+    val before = DeltaTable.forPath(spark, p)
+    val beforeFiles = before.allFiles.count()
+    val beforeCount = before.read.count()
+    assert(beforeFiles >= 4)
+
+    val metrics = GraftSessionFixture.g.sql(s"OPTIMIZE '$p'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_removed").toInt == beforeFiles)
+    assert(metrics("files_added").toInt < beforeFiles)
+
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.version == before.version + 1)
+    assert(after.allFiles.count() < beforeFiles)
+    assert(after.read.count() == beforeCount)
+    // pre-optimize version still readable
+    assert(DeltaTable.forPath(spark, p, Some(before.version))
+      .read.count() == beforeCount)
+  }
+
+  test("OPTIMIZE on a partitioned table keeps partition pruning intact") {
+    val p = tmp("part")
+    CommitWriter.createTable(spark, orders.limit(200), p,
+      partitionColumns = Seq("o_orderstatus"))
+    CommitWriter.append(spark, orders.limit(200), p)
+    val before = DeltaTable.forPath(spark, p)
+    val want = before.read.count()
+    graft.commands.OptimizeCommand.optimize(spark, p)
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.read.count() == want)
+    val f = after.readWhere(col("o_orderstatus") === "F").count()
+    assert(f == before.readWhere(col("o_orderstatus") === "F").count())
+    // per-partition file count is now 1
+    val perPart = after.allFiles
+      .groupBy(expr("partitionValues['o_orderstatus']")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(perPart == 1)
+  }
+
+  test("OPTIMIZE no-ops when nothing to compact") {
+    val p = tmp("noop")
+    CommitWriter.createTable(spark, region.repartition(1), p)
+    val v = DeltaTable.forPath(spark, p).version
+    val metrics = graft.commands.OptimizeCommand
+      .optimize(spark, p).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_removed") == "0")
+    assert(DeltaTable.forPath(spark, p).version == v) // no empty commit
+  }
+
+  test("timestampAsOf resolves the version at a commit mtime") {
+    val p = tmp("ts")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), p)
+    val fs = LogSegment.fs(spark, new Path(p))
+    val c0 = new Path(new Path(p, "_delta_log"), LogSegment.commitFileName(0))
+    val t0 = fs.getFileStatus(c0).getModificationTime
+    Thread.sleep(20)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3), p)
+    val atT0 = DeltaTable.forPathAtTimestamp(spark, p, t0)
+    assert(atT0.version == 0 && atT0.read.count() == 3)
+    val now = DeltaTable.forPathAtTimestamp(spark, p, System.currentTimeMillis())
+    assert(now.version == 1)
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPathAtTimestamp(spark, p, t0 - 100000)
+    }
+  }
+
+  test("multipart checkpoint is discovered and replayed") {
+    val p = tmp("multicp")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), p)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3), p)
+    // write a classic checkpoint, then split it into 2 multipart files
+    CommitWriter.checkpoint(spark, p)
+    val logPath = new Path(p, "_delta_log")
+    val fs = LogSegment.fs(spark, new Path(p))
+    val single = new Path(logPath, LogSegment.checkpointFileName(1))
+    val rows = spark.read.parquet(single.toString)
+    val parts = Seq(
+      rows.where(col("add").isNotNull),
+      rows.where(col("add").isNull))
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val staging = new Path(logPath, s".mp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = fs.listStatus(staging)
+        .find(_.getPath.getName.endsWith(".parquet")).get
+      fs.rename(part.getPath,
+        new Path(logPath, f"${1L}%020d.checkpoint.${i + 1}%010d.${2}%010d.parquet"))
+      fs.delete(staging, true)
+    }
+    fs.delete(single, false)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.segment.checkpointVersion.contains(1L))
+    assert(snap.segment.checkpointFiles.size == 2)
+    assert(snap.read.count() == region.count())
+  }
+}
+
+/** Shared GraftSession for command tests. */
+object GraftSessionFixture {
+  lazy val g = graft.GraftSession(TestSpark.spark)
+}
