@@ -1,0 +1,215 @@
+package graft.delta
+
+import java.io.File
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.TestSpark
+import graft.delta.log.{Actions, CommitWriter, LogSegment}
+import graft.delta.scan.DvBitmap
+
+/** DAT-style acceptance corpus generator (FIXTURES.md §1.1): each case is
+  *
+  *   <case>/test_case_info.json
+  *   <case>/delta/                       the Delta table
+  *   <case>/expected/latest/table_version_metadata.json
+  *   <case>/expected/v<N>/table_version_metadata.json
+  *   <case>/expected/latest/table_content/  (golden parquet)
+  *   (+ per-version content where the case covers time travel)
+  *
+  * Golden content is written straight from the source DataFrames —
+  * never through the graft reader — so the acceptance assertions are
+  * independent of the code under test (mirrors the reference harness,
+  * crates/acceptance/src/{meta,data}.rs).
+  */
+object DatHarness {
+  private val mapper = new ObjectMapper()
+
+  val root = "/root/repo/target/dat"
+
+  case class Case(name: String, description: String) {
+    def dir = s"$root/$name"
+    def tablePath = s"$dir/delta"
+  }
+
+  private def writeInfo(c: Case): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("name", c.name)
+    n.put("description", c.description)
+    write(s"${c.dir}/test_case_info.json", n.toString)
+  }
+
+  private def write(path: String, content: String): Unit = {
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, content)
+  }
+
+  /** Record expected metadata for one version label ("latest" / "v0"…). */
+  private def writeMeta(c: Case, label: String, version: Long,
+      properties: Map[String, String], minReader: Int, minWriter: Int): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("version", version)
+    val p = n.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    n.put("min_reader_version", minReader)
+    n.put("min_writer_version", minWriter)
+    write(s"${c.dir}/expected/$label/table_version_metadata.json", n.toString)
+  }
+
+  private def writeContent(c: Case, label: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"${c.dir}/expected/$label/table_content")
+
+  /** Generate the full corpus (idempotent: skips existing cases). */
+  def generate(spark: SparkSession): Seq[Case] = synchronized {
+    val sf = TestSpark.sf
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+    val cases = Seq.newBuilder[Case]
+    def build(name: String, description: String)(f: Case => Unit): Unit = {
+      val c = Case(name, description)
+      cases += c
+      if (!new File(c.dir, "test_case_info.json").exists()) {
+        new scala.reflect.io.Directory(new File(c.dir)).deleteRecursively()
+        f(c)
+        writeInfo(c)
+      }
+    }
+
+    build("basic_append", "two append commits") { c =>
+      CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3),
+        c.tablePath)
+      CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3),
+        c.tablePath)
+      writeMeta(c, "latest", 1, Map.empty, 1, 2)
+      writeMeta(c, "v0", 0, Map.empty, 1, 2)
+      writeContent(c, "latest", region)
+    }
+
+    build("partitioned", "hive-partitioned by o_orderstatus") { c =>
+      CommitWriter.createTable(spark, orders, c.tablePath,
+        partitionColumns = Seq("o_orderstatus"))
+      writeMeta(c, "latest", 0, Map.empty, 1, 2)
+      writeContent(c, "latest", orders)
+    }
+
+    build("with_checkpoint", "12 commits, classic checkpoint, tail") { c =>
+      val parts = (0 until 12).map(i => nation.filter(col("n_nationkey") % 12 === i))
+      CommitWriter.createTable(spark, parts.head, c.tablePath)
+      parts.tail.take(9).foreach(p => CommitWriter.append(spark, p, c.tablePath))
+      CommitWriter.checkpoint(spark, c.tablePath) // at v10... (0-based: v9)
+      parts.drop(10).foreach(p => CommitWriter.append(spark, p, c.tablePath))
+      writeMeta(c, "latest", 11, Map.empty, 1, 2)
+      writeContent(c, "latest", nation)
+    }
+
+    build("schema_evolution", "column added mid-log, nulls imputed") { c =>
+      val narrow = orders.select("o_orderkey", "o_totalprice")
+      CommitWriter.createTable(spark,
+        narrow.filter(col("o_orderkey") % 2 === 0), c.tablePath)
+      val meta0 = DeltaTable.forPath(spark, c.tablePath).metadata
+      val evolved = narrow.schema.add(StructField("o_orderstatus", StringType))
+      CommitWriter.commitMetadata(spark, c.tablePath,
+        meta0.copy(schemaString = evolved.json))
+      CommitWriter.append(spark,
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .filter(col("o_orderkey") % 2 === 1), c.tablePath)
+      writeMeta(c, "latest", 2, Map.empty, 1, 2)
+      writeContent(c, "latest", orders
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_orderkey") % 2 === 1, col("o_orderstatus"))
+            .otherwise(lit(null)).as("o_orderstatus")))
+    }
+
+    build("column_mapping", "physical col-N names via field metadata") { c =>
+      val physical = region.toDF("col-1", "col-2")
+      val adds = CommitWriter.writeFiles(spark, physical, c.tablePath, Seq.empty)
+      val mapped = StructType(Seq(
+        StructField("r_regionkey", IntegerType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-1")
+            .putLong("delta.columnMapping.id", 1).build()),
+        StructField("r_name", StringType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-2")
+            .putLong("delta.columnMapping.id", 2).build())))
+      val meta = Actions.Metadata(
+        id = java.util.UUID.randomUUID().toString, name = None,
+        description = None, format = Actions.Format(),
+        schemaString = mapped.json, partitionColumns = Seq.empty,
+        configuration = Map("delta.columnMapping.mode" -> "name"),
+        createdTime = Some(0L))
+      CommitWriter.commit(spark, c.tablePath, 0L,
+        Seq(CommitWriter.protocolJson(Actions.Protocol(2, 5)),
+          CommitWriter.metadataJson(meta)) ++ adds.map(CommitWriter.addJson),
+        "CREATE")
+      writeMeta(c, "latest", 0,
+        Map("delta.columnMapping.mode" -> "name"), 2, 5)
+      writeContent(c, "latest", region)
+    }
+
+    build("deletion_vectors", "file-stored roaring DV masks rows") { c =>
+      val sorted = region.repartition(1).sortWithinPartitions("r_regionkey")
+      CommitWriter.createTable(spark, sorted, c.tablePath)
+      val snap0 = DeltaTable.forPath(spark, c.tablePath)
+      val add0 = snap0.allFiles.collect().head
+      val fs = LogSegment.fs(spark, new Path(c.tablePath))
+      val dv = DvBitmap.writeDvFile(fs, new Path(c.tablePath), Seq(1L, 3L))
+      CommitWriter.commit(spark, c.tablePath, 1L, Seq(
+        CommitWriter.removeJson(Actions.RemoveFile(
+          add0.getAs[String]("path"), Some(0L), dataChange = false)),
+        CommitWriter.addJson(Actions.AddFile(
+          add0.getAs[String]("path"), Map.empty, add0.getAs[Long]("size"),
+          add0.getAs[Long]("modificationTime"), dataChange = false,
+          stats = Option(add0.getAs[String]("stats")),
+          deletionVector = Some(dv)))), "DELETE")
+      writeMeta(c, "latest", 1, Map.empty, 1, 2)
+      // rows at sorted positions 1 and 3 are deleted
+      val keys = sorted.select("r_regionkey").collect().map(_.getInt(0))
+      val deleted = Set(keys(1), keys(3))
+      writeContent(c, "latest",
+        region.filter(!col("r_regionkey").isin(deleted.toSeq: _*)))
+    }
+
+    build("time_travel", "three versions, per-version goldens") { c =>
+      CommitWriter.createTable(spark,
+        orders.filter(col("o_totalprice") <= 150000), c.tablePath)
+      CommitWriter.append(spark, orders.filter(
+        col("o_totalprice") > 150000 && col("o_totalprice") <= 300000),
+        c.tablePath)
+      CommitWriter.append(spark,
+        orders.filter(col("o_totalprice") > 300000), c.tablePath)
+      writeMeta(c, "latest", 2, Map.empty, 1, 2)
+      writeMeta(c, "v0", 0, Map.empty, 1, 2)
+      writeMeta(c, "v1", 1, Map.empty, 1, 2)
+      writeContent(c, "latest", orders)
+      writeContent(c, "v0", orders.filter(col("o_totalprice") <= 150000))
+      writeContent(c, "v1", orders.filter(col("o_totalprice") <= 300000))
+    }
+
+    build("type_widening", "int->long, float->double across commits") { c =>
+      val narrow = nation
+        .select(col("n_nationkey").cast(ShortType).as("n_nationkey"),
+          col("n_name"))
+      CommitWriter.createTable(spark,
+        narrow.filter(col("n_nationkey") < 12), c.tablePath)
+      val meta0 = DeltaTable.forPath(spark, c.tablePath).metadata
+      val wide = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType)))
+      CommitWriter.commitMetadata(spark, c.tablePath,
+        meta0.copy(schemaString = wide.json))
+      CommitWriter.append(spark,
+        nation.select(col("n_nationkey"), col("n_name"))
+          .filter(col("n_nationkey") >= 12), c.tablePath)
+      writeMeta(c, "latest", 2, Map.empty, 1, 2)
+      writeContent(c, "latest", nation.select("n_nationkey", "n_name"))
+    }
+
+    cases.result()
+  }
+}
