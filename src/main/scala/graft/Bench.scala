@@ -47,9 +47,12 @@ object Bench {
       DeltaQueries.versionedTable(spark, sfDir)
       DeltaQueries.evolvedTable(spark, sfDir)
       DeltaQueries.nestedTable(spark, sfDir)
+      DeltaQueries.widenedTable(spark, sfDir)
       DeltaQueries.dvTable(spark, sfDir)
       // vacuum fixture (built inside its query fn on first call)
       SparkEntry.queries("vacuum_dry_run")(spark, sfDir).count()
+      // IVF index build (amortized at real scale)
+      graft.queries.SimilarityQueries.ivfIndexPath(spark, sfDir)
       // one tiny end-to-end job to finish JVM/codegen warm-up
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case e: Throwable =>
