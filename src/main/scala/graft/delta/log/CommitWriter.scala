@@ -52,13 +52,29 @@ object CommitWriter {
     meta
   }
 
-  /** Append `df` to an existing table as the next commit. */
-  def append(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+  /** Append `df` to an existing table as the next commit. Blind appends
+    * never conflict logically, so a lost race on the commit file is
+    * resolved by optimistic retry at the next version (the same
+    * semantics the reference's PutMode::Create loop would give a
+    * writer). Data files are written once; only the commit retries. */
+  def append(spark: SparkSession, df: DataFrame, tablePath: String,
+      maxRetries: Int = 10): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, _) = Replay.metadataAndProtocol(spark, segment)
     val adds = writeFiles(spark, df, tablePath, meta.partitionColumns)
-    val v = segment.version + 1
-    commit(spark, tablePath, v, adds.map(addJson), operation = "WRITE")
+    var v = segment.version + 1
+    var attempts = 0
+    while (true) {
+      try {
+        commit(spark, tablePath, v, adds.map(addJson), operation = "WRITE")
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          v = LogSegment.forTable(spark, new Path(tablePath)).version + 1
+      }
+    }
     v
   }
 
@@ -209,11 +225,26 @@ object CommitWriter {
   private def parsePartitionValues(relPath: String): Map[String, String] =
     relPath.split('/').dropRight(1).flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k ->
-          java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k, v) => Some(k -> unescapePathName(v))
         case _ => None
       }
     }.toMap
+
+  /** Inverse of Spark's hive-style path escaping: decode %XX sequences
+    * only ('+' is NOT form-encoding here — it stays literal). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** One distributed pass computing per-file numRecords / minValues /
     * maxValues / nullCount for the eligible leaf columns. */

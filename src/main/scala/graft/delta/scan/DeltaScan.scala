@@ -35,11 +35,14 @@ object DeltaScan {
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Normalize a file URI/path to a bare absolute path (strips scheme);
-    * must agree between `_metadata.file_path` and driver-built keys. */
+  /** Join keys between `_metadata.file_path` (a percent-encoded URI)
+    * and driver-built paths: the SQL side strips the scheme but keeps
+    * the URI encoding; the driver side re-encodes the raw on-disk path
+    * the same way (File.toURI: %XX for space/%/non-ASCII). */
   private def normalizeExpr(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-  private def normalize(p: Path): String = p.toUri.getPath
+  private def normalize(p: Path): String =
+    new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
 
   def prunedFiles(snapshot: Snapshot, filters: Seq[Column]): DataFrame =
     StatsSkipping.prune(snapshot, snapshot.allFiles, filters)

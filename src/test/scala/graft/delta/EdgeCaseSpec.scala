@@ -1,0 +1,122 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.{CommitWriter, LogSegment}
+
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_edge_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+
+  test("empty table: create from empty df, read, append later") {
+    val p = tmp("empty")
+    CommitWriter.createTable(spark, region.limit(0), p)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.version == 0)
+    assert(snap.read.count() == 0)
+    assert(snap.read.schema.fieldNames.toSeq == region.schema.fieldNames.toSeq)
+    // filtered read of an empty table also works
+    assert(snap.readWhere(col("r_regionkey") > 1).count() == 0)
+    CommitWriter.append(spark, region, p)
+    assert(DeltaTable.forPath(spark, p).read.count() == region.count())
+  }
+
+  test("null partition values round-trip as __HIVE_DEFAULT_PARTITION__") {
+    val p = tmp("nullpart")
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "a", "g1"))
+    rows.add(Row(2L, "b", null))
+    rows.add(Row(3L, "c", "g1"))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("grp", StringType))))
+    CommitWriter.createTable(spark, df, p, partitionColumns = Seq("grp"))
+    val snap = DeltaTable.forPath(spark, p)
+    val got = snap.read.orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(1).isNullAt(2), s"expected null grp, got ${got(1)}")
+    // pruning on null partition value
+    assert(snap.readWhere(col("grp").isNull).count() == 1)
+    assert(snap.readWhere(col("grp") === "g1").count() == 2)
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(snap,
+      Seq(col("grp").isNull)).count()
+    assert(pruned == 1)
+  }
+
+  test("special characters in partition values survive the round trip") {
+    val p = tmp("specialpart")
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "x y/z=1"))
+    rows.add(Row(2L, "plain"))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType))))
+    CommitWriter.createTable(spark, df, p, partitionColumns = Seq("k"))
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.read.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("x y/z=1", "plain"))
+    assert(snap.readWhere(col("k") === "x y/z=1").count() == 1)
+  }
+
+  test("unicode and quote-laden strings keep exact stats + data") {
+    val p = tmp("unicode")
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "héllo \"wörld\" → ∞"))
+    rows.add(Row(2L, "tab\tand\nnewline"))
+    rows.add(Row(3L, null))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType))))
+    CommitWriter.createTable(spark, df.repartition(1), p)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.read.orderBy("id").collect().map(r =>
+      Option(r.getString(1))).toSeq ==
+      Seq(Some("héllo \"wörld\" → ∞"), Some("tab\tand\nnewline"), None))
+    // stats JSON parsed back: nullCount counted the null
+    val statsJson = snap.allFiles.select("stats").collect().head.getString(0)
+    assert(statsJson.contains("\"numRecords\":3"))
+    // skipping on the string column still behaves (conservative keep)
+    assert(snap.readWhere(col("s") === "absent").count() == 0)
+    assert(snap.readWhere(col("s").isNull).count() == 1)
+  }
+
+  test("concurrent append retries to the next version") {
+    val p = tmp("retry")
+    CommitWriter.createTable(spark, region.limit(2), p)
+    // simulate a racing writer that stole version 1
+    CommitWriter.commit(spark, p, 1L, Seq.empty, "WRITE")
+    val v = CommitWriter.append(spark, region.limit(1), p)
+    assert(v == 2, s"append should have retried to v2, got v$v")
+    assert(DeltaTable.forPath(spark, p).read.count() == 3)
+  }
+
+  test("vacuum on a partitioned table protects live subdir files") {
+    val p = tmp("vacpart")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.format("graftdelta")
+      .option("partitionBy", "o_orderstatus").save(p)
+    val before = DeltaTable.forPath(spark, p)
+    // overwrite makes every original file unreferenced garbage
+    orders.limit(50).write.format("graftdelta").mode("overwrite").save(p)
+    val liveCount = DeltaTable.forPath(spark, p).read.count()
+    val metrics = graft.GraftSession(spark)
+      .sql(s"VACUUM '$p' RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted").toInt == before.allFiles.count())
+    assert(DeltaTable.forPath(spark, p).read.count() == liveCount)
+    // time travel to pre-overwrite is now gone (files vacuumed) — the
+    // log still resolves but the data files are deleted
+    val fs = LogSegment.fs(spark, new Path(p))
+    assert(fs.exists(new Path(p, "_delta_log")))
+  }
+}
