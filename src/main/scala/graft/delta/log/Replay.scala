@@ -55,6 +55,21 @@ object Replay {
     * jobs); anything bigger — and every checkpoint — stays distributed. */
   private val DriverReplayMaxBytes = 8L * 1024 * 1024
 
+  /** Reconciled-file-list cache keyed by (table, version): a snapshot is
+    * immutable, so repeated reads of the same version skip the replay
+    * jobs entirely. Bounded LRU; entries are driver-side Row arrays
+    * (file metadata only — ~100 bytes/file, never data). Large file
+    * lists (beyond the cap) are never cached. */
+  private val CacheMaxTables = 64
+  private val CacheMaxFilesPerTable = 100000
+  private val liveFilesCache =
+    new java.util.LinkedHashMap[(String, Long), Array[org.apache.spark.sql.Row]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Array[org.apache.spark.sql.Row]])
+          : Boolean = size() > CacheMaxTables
+    }
+
   /** The reconciled live file set: one row per live AddFile (columns of
     * Actions.addSchema plus commit_version). Reconciliation rule: the
     * latest action for a path wins; within one commit a re-add supersedes
@@ -66,14 +81,31 @@ object Replay {
     * logs use the distributed window plan. */
   def liveFiles(spark: SparkSession, segment: LogSegment): DataFrame =
     if (segment.checkpointFiles.isEmpty &&
-        segment.commitFiles.map(_.getLen).sum <= DriverReplayMaxBytes)
-      liveFilesDriverSide(spark, segment)
-    else liveFilesDistributed(spark, segment)
+        segment.commitFiles.map(_.getLen).sum <= DriverReplayMaxBytes) {
+      // small-log path: rows are driver-side anyway, so repeated reads
+      // of the same immutable (table, version) come from the cache
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val key = (segment.tablePath.toString, segment.version)
+      val rows = liveFilesCache.synchronized {
+        Option(liveFilesCache.get(key))
+      }.getOrElse {
+        val computed = liveFilesDriverSideRows(spark, segment)
+        if (computed.length <= CacheMaxFilesPerTable)
+          liveFilesCache.synchronized { liveFilesCache.put(key, computed) }
+        computed
+      }
+      val schema = StructType(Actions.addSchema.fields :+
+        StructField("commit_version", LongType))
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+      rows.foreach(l.add)
+      spark.createDataFrame(l, schema)
+    } else liveFilesDistributed(spark, segment)
+    // NB: the distributed (checkpointed/large) path stays lazy — the
+    // full file list is never materialized before pruning
 
-  private def liveFilesDriverSide(spark: SparkSession,
-      segment: LogSegment): DataFrame = {
+  private def liveFilesDriverSideRows(spark: SparkSession,
+      segment: LogSegment): Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val fs = LogSegment.fs(spark, segment.tablePath)
     // path -> (commit_version, add row); latest action wins, re-adds in
     // the same commit supersede removes because removes apply first
@@ -103,11 +135,7 @@ object Replay {
           optStr(a, "stats").orNull, dv, version))
       }
     }
-    val schema = StructType(Actions.addSchema.fields :+
-      StructField("commit_version", LongType))
-    val rows = new java.util.ArrayList[Row](live.size)
-    live.values.foreach(rows.add)
-    spark.createDataFrame(rows, schema)
+    live.values.toArray
   }
 
   private def liveFilesDistributed(spark: SparkSession,
