@@ -13,7 +13,7 @@ object SparkEntry {
   private def groups: Seq[Q] =
     RelationalQueries.all ++ ScalarQueries.all ++ DeltaQueries.all ++
       CommandQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

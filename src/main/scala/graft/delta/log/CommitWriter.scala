@@ -78,6 +78,44 @@ object CommitWriter {
     v
   }
 
+  /** Idempotent append keyed by (appId, txnVersion) — the Delta
+    * SetTransaction contract for exactly-once writers (e.g. streaming
+    * sinks): if the log already records this appId at or past
+    * txnVersion, the append is a no-op. */
+  def appendIfAbsent(spark: SparkSession, df: DataFrame, tablePath: String,
+      appId: String, txnVersion: Long): Option[Long] = {
+    if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
+      return None
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    val adds = writeFiles(spark, df, tablePath, meta.partitionColumns)
+    val v = segment.version + 1
+    val txn = txnJson(SetTransaction(appId, txnVersion,
+      Some(System.currentTimeMillis())))
+    commit(spark, tablePath, v, txn +: adds.map(addJson), operation = "WRITE")
+    Some(v)
+  }
+
+  /** Highest recorded SetTransaction version for `appId`. */
+  def latestTxnVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val rows = Replay.actionsDF(spark, segment)
+      .where(col("txn.appId") === appId)
+      .agg(max(col("txn.version")).as("v"))
+      .collect()
+    rows.headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+  }
+
+  def txnJson(t: SetTransaction): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("txn")
+    n.put("appId", t.appId)
+    n.put("version", t.version)
+    t.lastUpdated.foreach(v => n.put("lastUpdated", v))
+    root.toString
+  }
+
   /** Commit a metadata change (schema evolution): next commit carries a
     * new metaData action (plus optional adds). */
   def commitMetadata(spark: SparkSession, tablePath: String,

@@ -127,8 +127,10 @@ object DeltaScan {
           normalize(abs(f.relPath)) ->
             DvBitmap.load(fs, qualifiedTable, d)))
         .toMap
+      // ship the bitmaps once per executor, not per task closure
+      val dvMapBc = spark.sparkContext.broadcast(dvMap)
       val keep = udf((fkey: String, rowIndex: Long) =>
-        dvMap.get(fkey).forall(!_.contains(rowIndex)))
+        dvMapBc.value.get(fkey).forall(!_.contains(rowIndex)))
       df = df.where(keep(col("__fkey"), col("__row_index")))
     }
 

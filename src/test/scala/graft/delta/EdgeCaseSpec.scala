@@ -119,4 +119,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     val fs = LogSegment.fs(spark, new Path(p))
     assert(fs.exists(new Path(p, "_delta_log")))
   }
+
+  test("appendIfAbsent is exactly-once per (appId, txnVersion)") {
+    val p = tmp("txn")
+    CommitWriter.createTable(spark, region.limit(1), p)
+    val v1 = CommitWriter.appendIfAbsent(spark, region.limit(2), p,
+      appId = "writer-1", txnVersion = 7L)
+    assert(v1.contains(1L))
+    // same txn replayed -> no-op
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(2), p,
+      "writer-1", 7L).isEmpty)
+    // older txn also refused
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(2), p,
+      "writer-1", 5L).isEmpty)
+    // newer txn and other writers proceed
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      "writer-1", 8L).contains(2L))
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      "writer-2", 1L).contains(3L))
+    assert(CommitWriter.latestTxnVersion(spark, p, "writer-1").contains(8L))
+    assert(DeltaTable.forPath(spark, p).read.count() == 1 + 2 + 1 + 1)
+  }
 }
