@@ -45,8 +45,9 @@ final class GraftSession(val spark: SparkSession) {
         c.defaultCollation, c.options), c.ifNotExists)
     case d: DropCatalogStatement =>
       LocalCatalog.drop(spark, d.name, d.ifExists, d.cascade)
-    case OptimizeStatement(table) =>
-      graft.commands.OptimizeCommand.optimize(spark, resolveTablePath(table))
+    case OptimizeStatement(table, zorderBy) =>
+      graft.commands.OptimizeCommand.optimize(spark,
+        resolveTablePath(table), zorderBy = zorderBy)
   }
 
   /** A VACUUM target is either a registered table name or a path. */

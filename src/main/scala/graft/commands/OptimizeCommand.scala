@@ -20,9 +20,34 @@ object OptimizeCommand {
 
   val DefaultTargetFileSize: Long = 128L * 1024 * 1024
 
+  /** Z-order clustering value: per-column rank quantized to 16 bits,
+    * bit-interleaved across columns. Sorting the rewrite by this value
+    * clusters correlated ranges into the same files, which is what
+    * makes min/max file skipping effective on multiple columns at
+    * once. Ranks come from ntile over each column — types just need an
+    * ordering. */
+  private def zorderValue(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 1 << 16
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__rank_$i",
+        ntile(buckets).over(Window.orderBy(col(c))) - 1)
+    }
+    // interleave bit b of every column: position b*n + i
+    val n = cols.length
+    val interleaved = (0 until 16).flatMap { b =>
+      (0 until n).map { i =>
+        (shiftright(col(s"__rank_$i"), b) % 2).cast("long") *
+          lit(1L << (b * n + i))
+      }
+    }.reduce(_ + _)
+    ranked.withColumn("__z", interleaved)
+  }
+
   def optimize(spark: SparkSession, tablePath: String,
       targetFileSize: Long = DefaultTargetFileSize,
-      minFiles: Int = 2): DataFrame = {
+      minFiles: Int = 2,
+      zorderBy: Seq[String] = Seq.empty): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
     val partCols = snap.partitionColumns
 
@@ -35,7 +60,10 @@ object OptimizeCommand {
 
     val byPartition = files.groupBy(_._2)
     val toCompact = byPartition.filter { case (_, fs) =>
-      fs.count(_._3 < targetFileSize) >= minFiles
+      // a z-order request rewrites every qualifying partition even if
+      // already compact (re-clustering is the point)
+      fs.count(_._3 < targetFileSize) >= minFiles ||
+        (zorderBy.nonEmpty && fs.nonEmpty)
     }
 
     if (toCompact.isEmpty) return metrics(spark, 0, 0, 0)
@@ -59,7 +87,13 @@ object OptimizeCommand {
       // chunk (local fixtures compact to 1)
       val chunks = math.max(1,
         (partFiles.map(_._3).sum / math.max(targetFileSize, 1L)).toInt)
-      val adds = CommitWriter.writeFiles(spark, df.coalesce(chunks),
+      val rewritten =
+        if (zorderBy.isEmpty) df.coalesce(chunks)
+        else zorderValue(df, zorderBy)
+          .repartitionByRange(chunks, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop((zorderBy.indices.map(i => s"__rank_$i") :+ "__z"): _*)
+      val adds = CommitWriter.writeFiles(spark, rewritten,
         tablePath, partCols, dataChange = false)
       val now = System.currentTimeMillis()
       partFiles.foreach { case (p, _, _) =>

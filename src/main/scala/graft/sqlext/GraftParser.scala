@@ -29,7 +29,8 @@ object GraftParser {
       name: String,
       ifExists: Boolean,
       cascade: Boolean) extends Statement
-  final case class OptimizeStatement(table: String) extends Statement
+  final case class OptimizeStatement(table: String,
+      zorderBy: Seq[String] = Seq.empty) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -92,7 +93,7 @@ object GraftParser {
     toks.head match {
       case w: Word if w.upper == "VACUUM" => Some(parseVacuum(toks.tail))
       case w: Word if w.upper == "OPTIMIZE" =>
-        Some(OptimizeStatement(parseTableRef(toks.tail)))
+        Some(parseOptimize(toks.tail))
       case w: Word if w.upper == "CREATE" || w.upper == "DROP" =>
         parseCreateOrDrop(w.upper, toks.tail)
       case _ => None
@@ -115,6 +116,34 @@ object GraftParser {
     case Some(Quoted(p)) => p
     case Some(w: Word) => w.text
     case _ => throw new ParseException("Expected a table reference")
+  }
+
+  private def parseOptimize(toks: Vector[Tok]): OptimizeStatement = {
+    val table = parseTableRef(toks)
+    val rest = toks.drop(
+      if (toks.headOption.exists {
+        case w: Word => w.upper == "DELTA"
+        case _ => false
+      } && toks.lift(1).exists(_.text == ".")) 3 else 1)
+    if (rest.isEmpty) return OptimizeStatement(table)
+    if (!wordAt(rest, 0).contains("ZORDER") || !wordAt(rest, 1).contains("BY"))
+      throw new ParseException(s"Unexpected tokens in OPTIMIZE: $rest")
+    val hasParen = rest.lift(2).exists(_.text == "(")
+    var i = if (hasParen) 3 else 2
+    val cols = Seq.newBuilder[String]
+    var done = false
+    while (!done && i < rest.length) {
+      rest(i) match {
+        case Sym(")") => done = true; i += 1
+        case Sym(",") => i += 1
+        case t => cols += identText(t); i += 1
+      }
+    }
+    if (i < rest.length)
+      throw new ParseException(s"Unexpected trailing tokens: ${rest.drop(i)}")
+    val cs = cols.result()
+    if (cs.isEmpty) throw new ParseException("ZORDER BY requires columns")
+    OptimizeStatement(table, cs)
   }
 
   private def parseVacuum(toks: Vector[Tok]): VacuumStatement = {

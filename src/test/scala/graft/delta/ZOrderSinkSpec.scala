@@ -1,0 +1,79 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.CommitWriter
+import graft.queries.T
+
+class ZOrderSinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_zs_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  test("OPTIMIZE ZORDER BY clusters values so skipping prunes") {
+    val p = tmp("zorder")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // write scrambled: 4 files each spanning the full o_custkey range
+    CommitWriter.createTable(spark,
+      orders.repartition(4, col("o_orderkey")), p)
+    val before = DeltaTable.forPath(spark, p)
+    val pred = Seq(col("o_custkey") <= 50)
+    val prunedBefore =
+      graft.delta.scan.DeltaScan.prunedFiles(before, pred).count()
+    assert(prunedBefore == before.allFiles.count(),
+      "scrambled files should all survive pruning")
+
+    // rewrite z-ordered by o_custkey into 4 files
+    graft.commands.OptimizeCommand.optimize(spark, p,
+      targetFileSize = 16 * 1024, minFiles = 2,
+      zorderBy = Seq("o_custkey"))
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.read.count() == orders.count())
+    val total = after.allFiles.count()
+    val prunedAfter =
+      graft.delta.scan.DeltaScan.prunedFiles(after, pred).count()
+    assert(prunedAfter < total,
+      s"z-ordered files should prune: $prunedAfter of $total kept")
+    // and the filtered result is still exact
+    assert(after.readWhere(pred: _*).count() ==
+      orders.filter(pred.head).count())
+  }
+
+  test("OPTIMIZE ZORDER BY through SQL grammar") {
+    val p = tmp("zsql")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    CommitWriter.createTable(spark, orders.repartition(3), p)
+    val out = graft.GraftSession(spark)
+      .sql(s"OPTIMIZE '$p' ZORDER BY (o_custkey, o_totalprice)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("files_removed").toInt == 3)
+    assert(DeltaTable.forPath(spark, p).read.count() == orders.count())
+  }
+
+  test("streaming sink: exactly-once appends via txn") {
+    val p = tmp("sink")
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val events = graft.streaming.EventsStream.readEvents(spark, sf)
+      .select("event_id", "user_id", "value")
+    // create the table with the stream's schema (empty)
+    CommitWriter.createTable(spark,
+      T.events(spark, sf).select("event_id", "user_id", "value").limit(0), p)
+    val q = graft.streaming.DeltaSink.writeStream(events, p,
+      appId = "sink-test", checkpointDir = ckpt)
+    q.awaitTermination(60000)
+    val n = T.events(spark, sf).count()
+    assert(DeltaTable.forPath(spark, p).read.count() == n)
+    // replaying batch 0 manually is a no-op (txn recorded)
+    val replay = CommitWriter.appendIfAbsent(spark,
+      T.events(spark, sf).select("event_id", "user_id", "value"), p,
+      appId = "sink-test", txnVersion = 0L)
+    assert(replay.isEmpty)
+    assert(DeltaTable.forPath(spark, p).read.count() == n)
+  }
+}
