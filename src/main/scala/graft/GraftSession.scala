@@ -48,6 +48,17 @@ final class GraftSession(val spark: SparkSession) {
     case OptimizeStatement(table, zorderBy) =>
       graft.commands.OptimizeCommand.optimize(spark,
         resolveTablePath(table), zorderBy = zorderBy)
+    case DescribeHistoryStatement(table) =>
+      graft.commands.HistoryCommand.history(spark, resolveTablePath(table))
+    case RestoreStatement(table, version) =>
+      graft.commands.HistoryCommand.restore(spark,
+        resolveTablePath(table), version)
+    case ShowCatalogsStatement =>
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      LocalCatalog.list().foreach(c =>
+        rows.add(org.apache.spark.sql.Row(c.name,
+          c.comment.orNull, c.managedLocation.orNull)))
+      spark.createDataFrame(rows, GraftSession.showCatalogsSchema)
   }
 
   /** A VACUUM target is either a registered table name or a path. */
@@ -61,6 +72,15 @@ final class GraftSession(val spark: SparkSession) {
 object GraftSession {
 
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  val showCatalogsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("catalog_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("comment",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("managed_location",
+        org.apache.spark.sql.types.StringType, nullable = true)))
 
   /** UDF registrations (A27): sign_storage_url — local/file URLs pass
     * through unchanged, mirroring the reference's LocalFileSystem arm

@@ -1,0 +1,94 @@
+package graft.commands
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.delta.DeltaTable
+import graft.delta.log.{Actions, CommitWriter, LogSegment}
+
+/** DESCRIBE HISTORY + RESTORE: table history from commitInfo lines and
+  * version rollback as a new commit (standard lakehouse maintenance
+  * surface; the reference is read-only so both are beyond-parity). */
+object HistoryCommand {
+  private val mapper = new ObjectMapper()
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = true),
+    StructField("operation", StringType, nullable = true),
+    StructField("engine_info", StringType, nullable = true),
+    StructField("n_actions", LongType, nullable = false)))
+
+  /** One row per commit, newest first (driver-side: the commit list is
+    * the log tail, bounded). */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = LogSegment.fs(spark, new Path(tablePath))
+    val logPath = new Path(tablePath, "_delta_log")
+    val commits = fs.listStatus(logPath).toSeq
+      .flatMap(st => LogSegment.commitVersion(st.getPath.getName).map(_ -> st))
+      .sortBy(-_._1)
+    val rows = new java.util.ArrayList[Row](commits.size)
+    for ((version, st) <- commits) {
+      val in = fs.open(st.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      val ci = lines.filter(_.nonEmpty).map(mapper.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo"))
+      rows.add(Row(version,
+        ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong()))
+          .map(Long.box).orNull,
+        ci.flatMap(c => Option(c.get("operation")).map(_.asText())).orNull,
+        ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).orNull,
+        lines.count(_.nonEmpty).toLong - ci.size))
+    }
+    spark.createDataFrame(rows, historySchema)
+  }
+
+  /** Restore the table to `version`: one commit removing files not in
+    * the target version and re-adding files the target had (data files
+    * are never touched, so the restore itself is time-travelable). */
+  def restore(spark: SparkSession, tablePath: String,
+      version: Long): DataFrame = {
+    val current = DeltaTable.forPath(spark, tablePath)
+    require(version <= current.version,
+      s"Cannot restore to future version $version (latest ${current.version})")
+    val target = DeltaTable.forPath(spark, tablePath, Some(version))
+
+    def fileMap(s: graft.delta.Snapshot): Map[String, Row] =
+      s.allFiles.collect().map(r => r.getAs[String]("path") -> r).toMap
+    val currentFiles = fileMap(current)
+    val targetFiles = fileMap(target)
+
+    val now = System.currentTimeMillis()
+    val removes = (currentFiles.keySet -- targetFiles.keySet).toSeq.sorted
+      .map(p => CommitWriter.removeJson(
+        Actions.RemoveFile(p, Some(now), dataChange = true)))
+    val adds = (targetFiles.keySet -- currentFiles.keySet).toSeq.sorted
+      .map { p =>
+        val r = targetFiles(p)
+        CommitWriter.addJson(Actions.AddFile(
+          path = p,
+          partitionValues = Option(r.getAs[Map[String, String]]("partitionValues"))
+            .getOrElse(Map.empty),
+          size = r.getAs[Long]("size"),
+          modificationTime = r.getAs[Long]("modificationTime"),
+          dataChange = true,
+          stats = Option(r.getAs[String]("stats"))))
+      }
+    // restoring an older schema re-publishes its metaData too
+    val metaAction =
+      if (target.metadata.schemaString != current.metadata.schemaString)
+        Seq(CommitWriter.metadataJson(target.metadata))
+      else Seq.empty
+
+    CommitWriter.commit(spark, tablePath, current.version + 1,
+      metaAction ++ removes ++ adds, operation = s"RESTORE VERSION $version")
+
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("restored_to_version", version.toString))
+    rows.add(Row("files_removed", removes.size.toString))
+    rows.add(Row("files_added", adds.size.toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+}

@@ -43,6 +43,14 @@ object CommandQueries {
       created
     },
 
+    // table history via DESCRIBE HISTORY over a multi-commit fixture
+    Q.noOracle("describe_history") { (s, dir) =>
+      val path = DeltaQueries.versionedTable(s, dir)
+      GraftSession(s).sql(s"DESCRIBE HISTORY '$path'")
+        .select("version", "operation", "engine_info", "n_actions")
+        .orderBy("version")
+    },
+
     // A13: directory listing operator over the testdata dir
     Q.noOracle("dir_listing") { (s, dir) =>
       DirListing.list(s, dir)

@@ -69,6 +69,10 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: CreateCatalogStatement => LocalCatalog.createSchema
       case _: DropCatalogStatement => LocalCatalog.dropSchema
       case _: OptimizeStatement => VacuumCommand.metricsSchema
+      case _: DescribeHistoryStatement =>
+        graft.commands.HistoryCommand.historySchema
+      case _: RestoreStatement => VacuumCommand.metricsSchema
+      case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

@@ -31,6 +31,9 @@ object GraftParser {
       cascade: Boolean) extends Statement
   final case class OptimizeStatement(table: String,
       zorderBy: Seq[String] = Seq.empty) extends Statement
+  final case class DescribeHistoryStatement(table: String) extends Statement
+  final case class RestoreStatement(table: String, version: Long) extends Statement
+  case object ShowCatalogsStatement extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -96,8 +99,36 @@ object GraftParser {
         Some(parseOptimize(toks.tail))
       case w: Word if w.upper == "CREATE" || w.upper == "DROP" =>
         parseCreateOrDrop(w.upper, toks.tail)
+      case w: Word if w.upper == "DESCRIBE" &&
+          wordAt(toks, 1).contains("HISTORY") =>
+        Some(DescribeHistoryStatement(parseTableRef(toks.drop(2))))
+      case w: Word if w.upper == "RESTORE" =>
+        parseRestore(toks.tail)
+      case w: Word if w.upper == "SHOW" &&
+          wordAt(toks, 1).contains("CATALOGS") =>
+        Some(ShowCatalogsStatement)
       case _ => None
     }
+  }
+
+  /** RESTORE <table> [TO] VERSION AS OF n */
+  private def parseRestore(toks: Vector[Tok]): Option[Statement] = {
+    val table = parseTableRef(toks)
+    val rest0 = toks.drop(
+      if (toks.headOption.exists {
+        case w: Word => w.upper == "DELTA"
+        case _ => false
+      } && toks.lift(1).exists(_.text == ".")) 3 else 1)
+    val rest = if (wordAt(rest0, 0).contains("TO")) rest0.drop(1) else rest0
+    if (!wordAt(rest, 0).contains("VERSION") ||
+        !wordAt(rest, 1).contains("AS") || !wordAt(rest, 2).contains("OF"))
+      throw new ParseException("RESTORE requires VERSION AS OF <n>")
+    val v = rest.lift(3).collect { case w: Word => w.text }
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
+      .getOrElse(throw new ParseException("expected version number"))
+    if (rest.length > 4)
+      throw new ParseException(s"Unexpected trailing tokens: ${rest.drop(4)}")
+    Some(RestoreStatement(table, v))
   }
 
   private def wordAt(toks: Vector[Tok], i: Int): Option[String] =

@@ -1,0 +1,84 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.CommitWriter
+
+class HistorySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_hist_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+  private lazy val g = graft.GraftSession(spark)
+
+  test("DESCRIBE HISTORY lists commits newest-first with operations") {
+    val p = tmp("hist")
+    CommitWriter.createTable(spark, region.limit(2), p)
+    CommitWriter.append(spark, region.limit(1), p)
+    CommitWriter.commitRemoves(spark, p,
+      Seq(DeltaTable.forPath(spark, p).allFiles
+        .select("path").collect().head.getString(0)))
+    val h = g.sql(s"DESCRIBE HISTORY '$p'").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("DELETE", "WRITE", "CREATE TABLE AS SELECT"))
+    assert(h.forall(_.getString(3) == "graft/0.1.0"))
+  }
+
+  test("RESTORE VERSION AS OF rolls the table back as a new commit") {
+    val p = tmp("restore")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 2), p)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 2), p)
+    assert(DeltaTable.forPath(spark, p).read.count() == region.count())
+
+    val out = g.sql(s"RESTORE '$p' TO VERSION AS OF 0").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("restored_to_version") == "0")
+    assert(out("files_removed").toInt >= 1)
+
+    val restored = DeltaTable.forPath(spark, p)
+    assert(restored.version == 2)
+    assert(restored.read.count() == 2)
+    // the restore itself is time-travelable: v1 still has all rows
+    assert(DeltaTable.forPath(spark, p, Some(1)).read.count() ==
+      region.count())
+    // restoring forward fails
+    intercept[IllegalArgumentException] {
+      g.sql(s"RESTORE '$p' VERSION AS OF 9")
+    }
+  }
+
+  test("SHOW CATALOGS lists the registry") {
+    graft.catalog.LocalCatalog.clear()
+    g.sql("CREATE CATALOG show_a COMMENT 'first'")
+    g.sql("CREATE CATALOG show_b MANAGED LOCATION 's3://x/y'")
+    val rows = g.sql("SHOW CATALOGS").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("show_a", "show_b"))
+    assert(rows(0).getString(1) == "first")
+    assert(rows(1).getString(2) == "s3://x/y")
+    g.sql("DROP CATALOG show_a")
+    g.sql("DROP CATALOG show_b")
+  }
+
+  test("restore republishes an older schema") {
+    val p = tmp("restore_schema")
+    val narrow = region.select("r_regionkey")
+    CommitWriter.createTable(spark, narrow, p)
+    val meta0 = DeltaTable.forPath(spark, p).metadata
+    CommitWriter.commitMetadata(spark, p,
+      meta0.copy(schemaString = region.schema.json))
+    CommitWriter.append(spark, region, p)
+    assert(DeltaTable.forPath(spark, p).schema.fieldNames.length == 2)
+    g.sql(s"RESTORE '$p' TO VERSION AS OF 0")
+    val restored = DeltaTable.forPath(spark, p)
+    assert(restored.schema.fieldNames.toSeq == Seq("r_regionkey"))
+    assert(restored.read.count() == region.count())
+  }
+}
