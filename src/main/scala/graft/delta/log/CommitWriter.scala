@@ -224,7 +224,7 @@ object CommitWriter {
      else writer).parquet(staging.toString)
 
     val dataCols = df.schema.fieldNames.filterNot(partitionColumns.contains)
-    val statsByFile = computeStats(spark, staging.toString, dataCols, df.schema)
+    val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)
 
     // move part files into the table dir, preserving partition subdirs
     val stagingUri = staging.toUri.getPath

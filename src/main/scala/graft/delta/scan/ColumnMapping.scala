@@ -63,7 +63,7 @@ object ColumnMapping {
         }
         // preserve null-ness of the struct itself
         when(c.isNull, lit(null).cast(logical))
-          .otherwise(struct(children: _*))
+          .otherwise(struct(children.toIndexedSeq: _*))
       case (ArrayType(pe: StructType, _), ArrayType(le: StructType, cn)) =>
         transform(c, e => rebuild(e, pe, le)).cast(ArrayType(le, cn))
       case (p, l) if p == l => c

@@ -96,7 +96,7 @@ object DeltaScan {
     val logicalDataCols = dataFields.zip(physicalDataSchema.fields).map {
       case (lf, pf) => ColumnMapping.toLogicalColumn(pf, lf)
     }
-    df = df.select(logicalDataCols ++ helperCols.result(): _*)
+    df = df.select((logicalDataCols ++ helperCols.result()).toIndexedSeq: _*)
 
     if (needPart) {
       // file -> partition values, broadcast-joined: one hash lookup per

@@ -98,7 +98,7 @@ final case class GraftDeltaRelation(
       filters: Array[Filter]): RDD[Row] = {
     val pushed = filters.flatMap(toColumn)
     val snap = snapshot
-    val df = if (pushed.isEmpty) snap.read else snap.readWhere(pushed: _*)
+    val df = if (pushed.isEmpty) snap.read else snap.readWhere(pushed.toIndexedSeq: _*)
     val projected =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.map(col).toIndexedSeq: _*)

@@ -61,9 +61,9 @@ object DeltaQueries {
   def rangedTable(s: SparkSession, sfDir: String): String =
     ensure(s, sfDir, "ranged") { p =>
       val o = orders(s, sfDir)
-      val q1 = o.agg(expr("percentile(o_orderkey, 0.25)")).head.getDouble(0)
-      val q2 = o.agg(expr("percentile(o_orderkey, 0.5)")).head.getDouble(0)
-      val q3 = o.agg(expr("percentile(o_orderkey, 0.75)")).head.getDouble(0)
+      val q1 = o.agg(expr("percentile(o_orderkey, 0.25)")).head().getDouble(0)
+      val q2 = o.agg(expr("percentile(o_orderkey, 0.5)")).head().getDouble(0)
+      val q3 = o.agg(expr("percentile(o_orderkey, 0.75)")).head().getDouble(0)
       CommitWriter.createTable(s, o.filter(col("o_orderkey") <= q1).repartition(1), p)
       CommitWriter.append(s, o.filter(col("o_orderkey") > q1 && col("o_orderkey") <= q2).repartition(1), p)
       CommitWriter.append(s, o.filter(col("o_orderkey") > q2 && col("o_orderkey") <= q3).repartition(1), p)

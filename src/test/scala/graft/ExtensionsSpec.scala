@@ -54,7 +54,7 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("non-extension SQL still parses normally") {
-    assert(extSpark.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
+    assert(extSpark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     // VACUUM with bad grammar falls back to Spark's parser error
     intercept[Exception] { extSpark.sql("VACUUM") }
   }

@@ -18,8 +18,8 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("minute_bucket", "event_type")
       .agg(count(lit(1)).as("n"))
     assert(got.count() == batch.count())
-    assert(got.agg(sum("n")).head.getLong(0) ==
-      batch.agg(sum("n")).head.getLong(0))
+    assert(got.agg(sum("n")).head().getLong(0) ==
+      batch.agg(sum("n")).head().getLong(0))
   }
 
   test("watermarked append-mode query runs with bounded state") {
@@ -39,7 +39,7 @@ class StreamingSpec extends AnyFunSuite {
       EventsStream.userSessions(spark, events).toDF(), "spec_sessions",
       OutputMode.Update())
     val total = sessions.groupBy("user_id")
-      .agg(max("n_events").as("n")).agg(sum("n")).head.getLong(0)
+      .agg(max("n_events").as("n")).agg(sum("n")).head().getLong(0)
     assert(total == graft.queries.T.events(spark, sf).count())
   }
 }

@@ -112,7 +112,7 @@ class DeltaSpec extends AnyFunSuite {
     val snap = DeltaTable.forPath(spark, path)
     val total = snap.allFiles.count()
     assert(total >= 4)
-    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val lo = orders.agg(min("o_orderkey")).head().getLong(0)
     val pruned = graft.delta.scan.DeltaScan.prunedFiles(snap,
       Seq(col("o_orderkey") === lo))
     assert(pruned.count() < total)

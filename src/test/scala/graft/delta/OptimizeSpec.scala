@@ -59,7 +59,7 @@ class OptimizeSpec extends AnyFunSuite {
     // per-partition file count is now 1
     val perPart = after.allFiles
       .groupBy(expr("partitionValues['o_orderstatus']")).count()
-      .agg(max("count")).head.getLong(0)
+      .agg(max("count")).head().getLong(0)
     assert(perPart == 1)
   }
 

@@ -94,7 +94,7 @@ class SkippingSpec extends AnyFunSuite {
       ColumnMapping.toLogicalColumn(phys("col-a"), logical("id")),
       ColumnMapping.toLogicalColumn(phys("col-b"), logical("info")))
     assert(out.schema.fieldNames.toSeq == Seq("id", "info"))
-    assert(out.select(col("info.status")).head.getString(0) == "ok")
+    assert(out.select(col("info.status")).head().getString(0) == "ok")
   }
 
   test("unsupported reader protocol is rejected") {

@@ -43,6 +43,6 @@ class SourceSpec extends AnyFunSuite {
       .createOrReplaceTempView("src_region")
     assert(spark.sql(
       "SELECT count(*) FROM src_region WHERE r_regionkey < 2")
-      .head.getLong(0) == 2)
+      .head().getLong(0) == 2)
   }
 }
