@@ -467,6 +467,55 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    Q("q_pivot",
+      """SELECT l_linestatus,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_A,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_N,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(T.dec(col("l_quantity"), 2)).cast(DoubleType))
+        .withColumnsRenamed(Map("A" -> "qty_A", "N" -> "qty_N", "R" -> "qty_R"))
+        .orderBy("l_linestatus")
+    },
+
+    Q("q_unpivot",
+      """SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'custkey_x2' AS metric, CAST(c_custkey * 2 AS DOUBLE) AS value FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin) { (s, dir) =>
+      load(s, dir, "customer")
+        .withColumn("custkey_x2", (col("c_custkey") * 2).cast(DoubleType))
+        .withColumnRenamed("c_acctbal", "acctbal")
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("custkey_x2")), "metric", "value")
+        .orderBy("c_custkey", "metric")
+    },
+
+    Q("q_intersect_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = load(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersectAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    Q("q_except_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = load(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     // ---- subqueries (run through Spark SQL to exercise decorrelation)
     Q("q_subquery_in",
       """SELECT c_custkey, c_name FROM customer

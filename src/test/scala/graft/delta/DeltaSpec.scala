@@ -211,4 +211,31 @@ class DeltaSpec extends AnyFunSuite {
       CommitWriter.commit(spark, path, 0L, Seq.empty, "WRITE")
     }
   }
+
+  test("inline deletion vector (storageType i, z85 payload)") {
+    val path = tmpTable("dv_inline")
+    CommitWriter.createTable(spark, region.repartition(1)
+      .sortWithinPartitions("r_regionkey"), path)
+    val snap0 = DeltaTable.forPath(spark, path)
+    val add0 = snap0.allFiles.collect().head
+    val data = DvBitmap.serialize(Seq(0L))
+    // z85 needs length % 4 == 0; pad as the Delta spec prescribes for
+    // inline vectors (size field records the real length)
+    val padded = data ++ new Array[Byte]((4 - data.length % 4) % 4)
+    val dv = Actions.DeletionVectorDescriptor(
+      "i", DvBitmap.z85Encode(padded), None, data.length, 1L)
+    CommitWriter.commit(spark, path, 1L, Seq(
+      CommitWriter.removeJson(Actions.RemoveFile(
+        add0.getAs[String]("path"), Some(0L), dataChange = false)),
+      CommitWriter.addJson(Actions.AddFile(
+        add0.getAs[String]("path"), Map.empty, add0.getAs[Long]("size"),
+        add0.getAs[Long]("modificationTime"), dataChange = false,
+        stats = Option(add0.getAs[String]("stats")),
+        deletionVector = Some(dv)))), "DELETE")
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.read.count() == region.count() - 1)
+    // the masked row is the first in sort order
+    val minKey = region.agg(min("r_regionkey")).head().getInt(0)
+    assert(!snap.read.collect().map(_.getInt(0)).contains(minKey))
+  }
 }
