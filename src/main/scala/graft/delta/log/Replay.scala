@@ -79,29 +79,38 @@ object Replay {
     * interactive case: a handful of JSON commits does not warrant
     * distributed jobs — mirrors the kernel's driver-side replay); large
     * logs use the distributed window plan. */
-  def liveFiles(spark: SparkSession, segment: LogSegment): DataFrame =
-    if (segment.checkpointFiles.isEmpty &&
-        segment.commitFiles.map(_.getLen).sum <= DriverReplayMaxBytes) {
-      // small-log path: rows are driver-side anyway, so repeated reads
-      // of the same immutable (table, version) come from the cache
-      import org.apache.spark.sql.types.{LongType, StructField, StructType}
-      val key = (segment.tablePath.toString, segment.version)
-      val rows = liveFilesCache.synchronized {
-        Option(liveFilesCache.get(key))
-      }.getOrElse {
-        val computed = liveFilesDriverSideRows(spark, segment)
-        if (computed.length <= CacheMaxFilesPerTable)
-          liveFilesCache.synchronized { liveFilesCache.put(key, computed) }
-        computed
-      }
-      val schema = StructType(Actions.addSchema.fields :+
-        StructField("commit_version", LongType))
-      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
-      rows.foreach(l.add)
-      spark.createDataFrame(l, schema)
-    } else liveFilesDistributed(spark, segment)
-    // NB: the distributed (checkpointed/large) path stays lazy — the
-    // full file list is never materialized before pruning
+  def liveFiles(spark: SparkSession, segment: LogSegment): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val logBytes = segment.checkpointFiles.map(_.getLen).sum +
+      segment.commitFiles.map(_.getLen).sum
+    if (logBytes > DriverReplayMaxBytes)
+      // large-log path stays fully lazy — the file list is never
+      // materialized before pruning
+      return liveFilesDistributed(spark, segment)
+
+    // small-log path: the reconciled list is tiny, so it lives in a
+    // driver cache keyed by the immutable (table, version) — repeated
+    // snapshot reads skip the replay entirely. Checkpoint-less logs
+    // replay with plain Jackson (zero Spark jobs); small checkpoints
+    // pay one distributed read on first access.
+    val key = (segment.tablePath.toString, segment.version)
+    val rows = liveFilesCache.synchronized {
+      Option(liveFilesCache.get(key))
+    }.getOrElse {
+      val computed =
+        if (segment.checkpointFiles.isEmpty)
+          liveFilesDriverSideRows(spark, segment)
+        else liveFilesDistributed(spark, segment).collect()
+      if (computed.length <= CacheMaxFilesPerTable)
+        liveFilesCache.synchronized { liveFilesCache.put(key, computed) }
+      computed
+    }
+    val schema = StructType(Actions.addSchema.fields :+
+      StructField("commit_version", LongType))
+    val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    rows.foreach(l.add)
+    spark.createDataFrame(l, schema)
+  }
 
   private def liveFilesDriverSideRows(spark: SparkSession,
       segment: LogSegment): Array[org.apache.spark.sql.Row] = {
