@@ -1,0 +1,83 @@
+package graft.commands
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.delta.DeltaTable
+import graft.delta.log.{Actions, CommitWriter}
+import graft.delta.scan.DeltaScan
+
+/** MERGE (upsert): matched target rows are replaced by source rows,
+  * unmatched source rows are inserted — the standard
+  * WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *
+  * shape (beyond-parity: the reference has no write path).
+  *
+  * Copy-on-write at file granularity, the way it must work at 100 TB:
+  * the scan keeps row provenance, a key join identifies ONLY the files
+  * that contain matches, and exactly those files are rewritten (their
+  * unmatched rows preserved) together with the full source; everything
+  * else is untouched. One commit; history stays time-travelable.
+  */
+object MergeCommand {
+
+  /** @param keys  equality merge keys; source must be unique per key */
+  def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val snap = DeltaTable.forPath(spark, tablePath)
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    require(keys.forall(source.columns.contains),
+      s"source is missing key columns: ${keys.filterNot(source.columns.contains)}")
+    // materialize once: the source is read by the dup check, the match
+    // join, and the rewrite — a nondeterministic source (limit, sample,
+    // now()) must not produce three different row sets
+    val src = source.localCheckpoint()
+    val dupes = src.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupes == 0, "MERGE source has duplicate keys")
+
+    val target = DeltaScan.buildWithFileKey(snap)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+
+    // files containing at least one matching row (collected: bounded by
+    // the match footprint, not the table)
+    val affected = target
+      .join(srcKeys, keys, "left_semi")
+      .select(DeltaScan.FileKeyColumn).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    // rel path <-> normalized abs key mapping from the live file list
+    val fileRows = snap.allFiles.collect()
+    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+    val qualified = fs.makeQualified(snap.tablePath)
+    def normKey(rel: String): String = {
+      val p = new org.apache.hadoop.fs.Path(qualified, rel)
+      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
+    }
+    val affectedRel = fileRows.map(_.getAs[String]("path"))
+      .filter(rel => affected.contains(normKey(rel)))
+
+    // rows to rewrite: unmatched rows of affected files + all of source
+    val keptFromAffected =
+      if (affected.isEmpty) source.limit(0).select(snap.schema.fieldNames.map(col): _*)
+      else target
+        .where(col(DeltaScan.FileKeyColumn).isin(affected.toSeq: _*))
+        .join(srcKeys, keys, "left_anti")
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val rewritten = keptFromAffected
+      .unionByName(src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+
+    val adds = CommitWriter.writeFiles(spark, rewritten, tablePath,
+      snap.partitionColumns)
+    val now = System.currentTimeMillis()
+    val removes = affectedRel.map(p => CommitWriter.removeJson(
+      Actions.RemoveFile(p, Some(now), dataChange = true)))
+    CommitWriter.commit(spark, tablePath, snap.version + 1,
+      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson),
+      operation = "MERGE")
+
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("files_rewritten", affectedRel.length.toString))
+    rows.add(Row("files_added", adds.size.toString))
+    rows.add(Row("source_rows", src.count().toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+}

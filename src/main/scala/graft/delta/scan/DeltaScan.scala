@@ -47,7 +47,17 @@ object DeltaScan {
   def prunedFiles(snapshot: Snapshot, filters: Seq[Column]): DataFrame =
     StatsSkipping.prune(snapshot, snapshot.allFiles, filters)
 
-  def build(snapshot: Snapshot, filters: Seq[Column]): DataFrame = {
+  /** Name of the per-row provenance column exposed by `buildWithFileKey`
+    * (the normalized path of the file the row came from). */
+  final val FileKeyColumn = "_graft_file"
+
+  /** Scan that keeps row provenance — used by copy-on-write commands
+    * (MERGE) to locate the files that contain matching rows. */
+  def buildWithFileKey(snapshot: Snapshot): DataFrame =
+    build(snapshot, Seq.empty, withFileColumn = true)
+
+  def build(snapshot: Snapshot, filters: Seq[Column],
+      withFileColumn: Boolean = false): DataFrame = {
     val spark = snapshot.spark
     val logical = snapshot.schema
     val partCols = snapshot.partitionColumns
@@ -88,7 +98,7 @@ object DeltaScan {
       .parquet(scanFiles.map(f => abs(f.relPath).toString): _*)
 
     val helperCols = Seq.newBuilder[Column]
-    if (needPart || needDv)
+    if (needPart || needDv || withFileColumn)
       helperCols += normalizeExpr(col("_metadata.file_path")).as("__fkey")
     if (needDv)
       helperCols += col("_metadata.row_index").as("__row_index")
@@ -134,8 +144,11 @@ object DeltaScan {
       df = df.where(keep(col("__fkey"), col("__row_index")))
     }
 
+    if (withFileColumn) df = df.withColumn(FileKeyColumn, col("__fkey"))
     df = df.drop("__fkey", "__row_index")
-    df = df.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+    val outCols = logical.fieldNames.toIndexedSeq ++
+      (if (withFileColumn) Seq(FileKeyColumn) else Seq.empty)
+    df = df.select(outCols.map(col): _*)
     applyResidual(df, filters)
   }
 

@@ -151,6 +151,33 @@ object DeltaQueries {
           .select("o_orderkey", "o_custkey", "o_totalprice"), p)
     }
 
+  /** Orders table (3 key columns) with one MERGE applied: keys % 100 == 0
+    * get o_totalprice + 1000, keys < 10 are re-inserted shifted by
+    * 10,000,000 with o_totalprice + 5. Built once (version 1 = merged). */
+  def mergedTable(s: SparkSession, sfDir: String): String = {
+    val path = fixtureDir(sfDir, "merged")
+    this.synchronized {
+      val exists = new File(path, "_delta_log").exists()
+      val merged = exists &&
+        DeltaTable.forPath(s, path).version >= 1
+      if (!merged) {
+        if (new File(path).exists())
+          scala.reflect.io.Directory(new File(path)).deleteRecursively()
+        val o = orders(s, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        CommitWriter.createTable(s, o.repartition(4), path)
+        val updates = o.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val inserts = o.filter(col("o_orderkey") < 10)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 5)
+        graft.commands.MergeCommand.upsert(s, path,
+          updates.unionByName(inserts), Seq("o_orderkey"))
+      }
+    }
+    path
+  }
+
   /** Single-file customer table sorted by key, with a deletion vector
     * masking every row whose c_custkey % 10 == 0. */
   def dvTable(s: SparkSession, sfDir: String): String =
@@ -293,6 +320,21 @@ object DeltaQueries {
         .load()
         .where(col("o_orderkey") <= 1000)
         .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // MERGE (upsert) end state vs relational oracle over the raw table
+    Q("q_merge",
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        | o_totalprice + 5 AS o_totalprice
+        |FROM orders WHERE o_orderkey < 10
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, mergedTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 

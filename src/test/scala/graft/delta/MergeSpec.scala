@@ -1,0 +1,79 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.commands.MergeCommand
+import graft.delta.log.CommitWriter
+
+class MergeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_merge_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("upsert updates matched rows, inserts new, rewrites only affected files") {
+    val p = tmp("upsert")
+    // 4 files split by orderkey quarters
+    val n = orders.count()
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val q2 = keys((n / 2).toInt - 1)
+    CommitWriter.createTable(spark,
+      orders.filter(col("o_orderkey") <= q2).repartition(1), p)
+    CommitWriter.append(spark,
+      orders.filter(col("o_orderkey") > q2).repartition(1), p)
+
+    // source: update 5 low keys (price +1), insert 3 brand-new keys
+    val updates = orders.filter(col("o_orderkey") <= keys(4))
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val inserts = orders.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+    val source = updates.unionByName(inserts)
+
+    val metrics = MergeCommand.upsert(spark, p, source, Seq("o_orderkey"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // only the low-keys file contains matches
+    assert(metrics("files_rewritten").toInt == 1)
+
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.read.count() == n + 3)
+    // updated rows carry the new price
+    val updated = after.read.where(col("o_orderkey") <= keys(4))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    val expected = updates.select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    assert(updated.toSeq == expected.toSeq)
+    // untouched rows identical; inserts present
+    assert(after.read.where(col("o_orderkey") >= 1000000).count() == 3)
+    // pre-merge version still reads
+    assert(DeltaTable.forPath(spark, p, Some(1)).read.count() == n)
+  }
+
+  test("upsert with no matches only inserts (no files rewritten)") {
+    val p = tmp("insert_only")
+    CommitWriter.createTable(spark, orders.limit(100), p)
+    val inserts = orders.limit(2)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000001)
+    val metrics = MergeCommand.upsert(spark, p, inserts, Seq("o_orderkey"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_rewritten").toInt == 0)
+    assert(DeltaTable.forPath(spark, p).read.count() == 102)
+  }
+
+  test("duplicate source keys are refused") {
+    val p = tmp("dupes")
+    CommitWriter.createTable(spark, orders.limit(10), p)
+    val dupSource = orders.limit(1).unionByName(orders.limit(1))
+    intercept[IllegalArgumentException] {
+      MergeCommand.upsert(spark, p, dupSource, Seq("o_orderkey"))
+    }
+  }
+}
