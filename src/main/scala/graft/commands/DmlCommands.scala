@@ -1,0 +1,79 @@
+package graft.commands
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.delta.DeltaTable
+import graft.delta.log.{Actions, CommitWriter}
+import graft.delta.scan.DeltaScan
+
+/** Row-level DELETE and UPDATE, file-granular copy-on-write (the same
+  * shape as MERGE): the provenance scan finds exactly the files with
+  * matching rows; only those are rewritten. Beyond-parity — the
+  * reference is read-only.
+  */
+object DmlCommands {
+
+  /** DELETE FROM table WHERE condition. */
+  def delete(spark: SparkSession, tablePath: String,
+      condition: Column): DataFrame =
+    rewrite(spark, tablePath, condition, "DELETE",
+      keep = df => df.where(!coalesce(condition, lit(false))))
+
+  /** UPDATE table SET col = expr, ... WHERE condition. */
+  def update(spark: SparkSession, tablePath: String, condition: Column,
+      set: Map[String, Column]): DataFrame =
+    rewrite(spark, tablePath, condition, "UPDATE",
+      keep = df => {
+        val cond = coalesce(condition, lit(false))
+        set.foldLeft(df) { case (d, (name, value)) =>
+          d.withColumn(name, when(cond, value).otherwise(col(name)))
+        }
+      })
+
+  /** Shared copy-on-write: rewrite the affected files with `keep`
+    * applied, remove the originals, one commit. */
+  private def rewrite(spark: SparkSession, tablePath: String,
+      condition: Column, operation: String,
+      keep: DataFrame => DataFrame): DataFrame = {
+    val snap = DeltaTable.forPath(spark, tablePath)
+    val target = DeltaScan.buildWithFileKey(snap)
+
+    val affected = target.where(condition)
+      .select(DeltaScan.FileKeyColumn).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    if (affected.isEmpty) return metrics(spark, 0, 0, operation)
+
+    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+    val qualified = fs.makeQualified(snap.tablePath)
+    def normKey(rel: String): String = {
+      val p = new org.apache.hadoop.fs.Path(qualified, rel)
+      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
+    }
+    val affectedRel = snap.allFiles.collect()
+      .map(_.getAs[String]("path"))
+      .filter(rel => affected.contains(normKey(rel)))
+
+    val rewritten = keep(
+      target.where(col(DeltaScan.FileKeyColumn).isin(affected.toSeq: _*)))
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    val adds = CommitWriter.writeFiles(spark, rewritten, tablePath,
+      snap.partitionColumns)
+    val now = System.currentTimeMillis()
+    val removes = affectedRel.map(p => CommitWriter.removeJson(
+      Actions.RemoveFile(p, Some(now), dataChange = true)))
+    CommitWriter.commit(spark, tablePath, snap.version + 1,
+      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson), operation)
+    metrics(spark, affectedRel.length, adds.size, operation)
+  }
+
+  private def metrics(spark: SparkSession, rewritten: Int, added: Int,
+      operation: String): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("operation", operation))
+    rows.add(Row("files_rewritten", rewritten.toString))
+    rows.add(Row("files_added", added.toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+}
