@@ -1,0 +1,62 @@
+package graft.commands
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.delta.DeltaTable
+import graft.delta.log.{Actions, CommitWriter, LogSegment}
+
+/** Shallow clone: a new Delta table whose add entries reference the
+  * source table's data files by ABSOLUTE path — zero data copied, full
+  * independent history from version 0 (commits, schema changes, DML on
+  * the clone never touch the source). Standard lakehouse table-copy
+  * primitive; exercises the protocol's absolute-path add form.
+  */
+object CloneCommand {
+
+  def shallowClone(spark: SparkSession, sourcePath: String,
+      targetPath: String): DataFrame = {
+    val source = DeltaTable.forPath(spark, sourcePath)
+    val fs = LogSegment.fs(spark, source.tablePath)
+    val qualified = fs.makeQualified(source.tablePath)
+
+    val files = source.allFiles.collect()
+    val adds = files.map { r =>
+      val rel = r.getAs[String]("path")
+      val abs = new Path(qualified, rel).toString
+      Actions.AddFile(
+        path = abs,
+        partitionValues = Option(r.getAs[Map[String, String]]("partitionValues"))
+          .getOrElse(Map.empty),
+        size = r.getAs[Long]("size"),
+        modificationTime = r.getAs[Long]("modificationTime"),
+        dataChange = true,
+        stats = Option(r.getAs[String]("stats")),
+        deletionVector = Option(r.getAs[Row]("deletionVector")).map { d =>
+          val dv = Actions.DeletionVectorDescriptor(
+            d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+            Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+            d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality"))
+          // relative ("u") DV references must become absolute too
+          if (dv.storageType == "u")
+            dv.copy(storageType = "p",
+              pathOrInlineDv = graft.delta.scan.DvBitmap
+                .dvPath(qualified, dv).toString)
+          else dv
+        })
+    }
+
+    val meta = source.metadata.copy(
+      id = java.util.UUID.randomUUID().toString,
+      createdTime = Some(System.currentTimeMillis()))
+    CommitWriter.commit(spark, targetPath, 0L,
+      Seq(CommitWriter.protocolJson(source.protocol),
+        CommitWriter.metadataJson(meta)) ++
+        adds.map(CommitWriter.addJson).toIndexedSeq,
+      operation = s"CLONE $sourcePath")
+
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("source_version", source.version.toString))
+    rows.add(Row("files_referenced", adds.length.toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+}

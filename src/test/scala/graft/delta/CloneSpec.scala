@@ -1,0 +1,64 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.commands.{CloneCommand, DmlCommands}
+import graft.delta.log.CommitWriter
+
+class CloneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_clone_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("shallow clone reads identically without copying data") {
+    val src = tmp("src")
+    val dst = tmp("dst")
+    CommitWriter.createTable(spark, orders.repartition(2), src,
+      partitionColumns = Seq.empty)
+    val m = CloneCommand.shallowClone(spark, src, dst)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("files_referenced").toInt >= 2)
+    val got = DeltaTable.forPath(spark, dst)
+    assert(got.version == 0)
+    assert(got.read.count() == orders.count())
+    // no parquet under the clone dir (log only)
+    val files = new java.io.File(dst).listFiles().map(_.getName).toSet
+    assert(files == Set("_delta_log"))
+  }
+
+  test("DML on the clone never touches the source") {
+    val src = tmp("src2")
+    val dst = tmp("dst2")
+    CommitWriter.createTable(spark, orders.limit(200).repartition(2), src)
+    CloneCommand.shallowClone(spark, src, dst)
+    DmlCommands.delete(spark, dst, col("o_orderkey") % 2 === 0)
+    val srcCount = DeltaTable.forPath(spark, src).read.count()
+    val dstCount = DeltaTable.forPath(spark, dst).read.count()
+    assert(srcCount == 200)
+    assert(dstCount < 200)
+    // clone's rewrite landed in the clone dir; source files intact
+    assert(DeltaTable.forPath(spark, src).read.count() == 200)
+  }
+
+  test("clone of a partitioned table prunes partitions") {
+    val src = tmp("src3")
+    val dst = tmp("dst3")
+    CommitWriter.createTable(spark, orders, src,
+      partitionColumns = Seq("o_orderstatus"))
+    CloneCommand.shallowClone(spark, src, dst)
+    val snap = DeltaTable.forPath(spark, dst)
+    assert(snap.readWhere(col("o_orderstatus") === "F").count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(snap,
+      Seq(col("o_orderstatus") === "F")).count()
+    assert(pruned < snap.allFiles.count())
+  }
+}
