@@ -60,11 +60,31 @@ object HistoryCommand {
     val currentFiles = fileMap(current)
     val targetFiles = fileMap(target)
 
+    def dvOf(r: Row): Option[Actions.DeletionVectorDescriptor] =
+      Option(r.getAs[Row]("deletionVector")).map { d =>
+        val offIdx = d.fieldIndex("offset")
+        Actions.DeletionVectorDescriptor(
+          d.getAs[String]("storageType"),
+          d.getAs[String]("pathOrInlineDv"),
+          if (d.isNullAt(offIdx)) None else Some(d.getInt(offIdx)),
+          d.getAs[Int]("sizeInBytes"),
+          d.getAs[Long]("cardinality"))
+      }
+    def dvId(r: Row): String = dvOf(r).map(_.uniqueId).getOrElse("")
+
     val now = System.currentTimeMillis()
     val removes = (currentFiles.keySet -- targetFiles.keySet).toSeq.sorted
       .map(p => CommitWriter.removeJson(
         Actions.RemoveFile(p, Some(now), dataChange = true)))
-    val adds = (targetFiles.keySet -- currentFiles.keySet).toSeq.sorted
+    // re-add files the target had, AND files present in both versions
+    // whose deletion vector differs (a path-only diff would silently keep
+    // the current DV, resurrecting or re-deleting rows); the re-add
+    // carries the target's DV so the restored snapshot masks exactly the
+    // target's deleted rows
+    val readdPaths = (targetFiles.keySet -- currentFiles.keySet) ++
+      (targetFiles.keySet & currentFiles.keySet)
+        .filter(p => dvId(targetFiles(p)) != dvId(currentFiles(p)))
+    val adds = readdPaths.toSeq.sorted
       .map { p =>
         val r = targetFiles(p)
         CommitWriter.addJson(Actions.AddFile(
@@ -74,7 +94,8 @@ object HistoryCommand {
           size = r.getAs[Long]("size"),
           modificationTime = r.getAs[Long]("modificationTime"),
           dataChange = true,
-          stats = Option(r.getAs[String]("stats"))))
+          stats = Option(r.getAs[String]("stats")),
+          deletionVector = dvOf(r)))
       }
     // restoring an older schema re-publishes its metaData too
     val metaAction =

@@ -163,28 +163,62 @@ object CommitWriter {
   }
 
   /** Write a classic single-file checkpoint at the current version and
-    * update `_last_checkpoint`. */
+    * update `_last_checkpoint`.
+    *
+    * Per the Delta protocol a checkpoint is a complete replay state, not
+    * just the live files: it also carries the latest SetTransaction per
+    * appId (so idempotent writers stay exactly-once across checkpoints)
+    * and remove tombstones newer than the retention window (so VACUUM /
+    * incremental readers over the checkpoint keep tombstone visibility). */
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.expressions.Window
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     val live = Replay.liveFiles(spark, segment)
 
+    val nullAdd = lit(null).cast(Actions.addSchema)
+    val nullRemove = lit(null).cast(Actions.removeSchema)
+    val nullMeta = lit(null).cast(Actions.metaDataSchema)
+    val nullProto = lit(null).cast(Actions.protocolSchema)
+    val nullTxn = lit(null).cast(Actions.txnSchema)
+
     val addRows = live.select(struct(
       col("path"), col("partitionValues"), col("size"),
       col("modificationTime"), col("dataChange"), col("stats"),
-      col("deletionVector")).as("add"))
-      .withColumn("remove", lit(null).cast(Actions.removeSchema))
-      .withColumn("metaData", lit(null).cast(Actions.metaDataSchema))
-      .withColumn("protocol", lit(null).cast(Actions.protocolSchema))
-      .withColumn("txn", lit(null).cast(Actions.txnSchema))
-      .select("add", "remove", "metaData", "protocol", "txn")
+      col("deletionVector")).as("add"),
+      nullRemove.as("remove"), nullMeta.as("metaData"),
+      nullProto.as("protocol"), nullTxn.as("txn"))
+
+    // latest SetTransaction per appId survives into the checkpoint
+    val txnRows = Replay.actionsDF(spark, segment)
+      .where(col("txn").isNotNull)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("txn.appId"))
+        .orderBy(col("txn.version").desc, col("commit_version").desc)))
+      .where(col("rn") === 1)
+      .select(nullAdd.as("add"), nullRemove.as("remove"),
+        nullMeta.as("metaData"), nullProto.as("protocol"), col("txn"))
+
+    // unexpired remove tombstones (paths whose latest action is a remove
+    // within the retention window) stay visible
+    val retentionMs = meta.configuration
+      .get(graft.commands.VacuumCommand.RetentionPropKey)
+      .map(graft.commands.VacuumCommand.parseInterval)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val removeRows = Replay.tombstones(spark, segment)
+      .where(coalesce(col("remove.deletionTimestamp"), lit(Long.MaxValue))
+        >= cutoff)
+      .select(nullAdd.as("add"), col("remove"), nullMeta.as("metaData"),
+        nullProto.as("protocol"), nullTxn.as("txn"))
 
     import spark.implicits._
     val pmRows = spark.read.schema(Actions.logSchema)
       .json(Seq(metadataJson(meta), protocolJson(proto)).toDS())
       .select("add", "remove", "metaData", "protocol", "txn")
 
-    val all = addRows.unionByName(pmRows)
+    val all = addRows.unionByName(removeRows).unionByName(txnRows)
+      .unionByName(pmRows)
     val logPath = new Path(new Path(tablePath), "_delta_log")
     val fs = LogSegment.fs(spark, new Path(tablePath))
     val staging = new Path(logPath,
@@ -194,8 +228,11 @@ object CommitWriter {
       .find(_.getPath.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
     val target = new Path(logPath, LogSegment.checkpointFileName(segment.version))
-    fs.delete(target, false)
-    fs.rename(part.getPath, target)
+    // single rename, never delete-then-rename: a concurrent checkpointer
+    // of the same version races benignly (contents are equivalent), and
+    // readers never observe a missing checkpoint file
+    if (!fs.rename(part.getPath, target) && !fs.exists(target))
+      throw new IllegalStateException(s"checkpoint rename failed: $target")
     fs.delete(staging, true)
 
     val lc = mapper.createObjectNode()
@@ -334,8 +371,11 @@ object CommitWriter {
     case s: String => node.put(name, s)
     case d: java.sql.Date => node.put(name, d.toString)
     case d: java.time.LocalDate => node.put(name, d.toString)
+    // UTC ISO-8601 ('...Z') per the Delta stats convention: a zone-less
+    // JVM-default-zone rendering would shift min/max when the reader's
+    // session zone differs, making file skipping non-conservative
     case t: java.sql.Timestamp =>
-      node.put(name, t.toLocalDateTime.toString)
+      node.put(name, t.toInstant.toString)
     case t: java.time.LocalDateTime => node.put(name, t.toString)
     case t: java.time.Instant => node.put(name, t.toString)
     case other => node.put(name, other.toString)

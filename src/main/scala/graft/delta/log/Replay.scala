@@ -63,11 +63,21 @@ object Replay {
   private val CacheMaxTables = 64
   private val CacheMaxFilesPerTable = 100000
   private val liveFilesCache =
-    new java.util.LinkedHashMap[(String, Long), Array[org.apache.spark.sql.Row]](
+    new java.util.LinkedHashMap[(String, Long, Long), Array[org.apache.spark.sql.Row]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Array[org.apache.spark.sql.Row]])
+          e: java.util.Map.Entry[(String, Long, Long), Array[org.apache.spark.sql.Row]])
           : Boolean = size() > CacheMaxTables
+    }
+
+  /** Content identity of a segment beyond (path, version): a hash of its
+    * log files' (name, length, mtime). Guards the cache against a table
+    * deleted and recreated at the same path hitting the same versions. */
+  private def segmentIdentity(segment: LogSegment): Long =
+    (segment.checkpointFiles ++ segment.commitFiles).foldLeft(17L) { (h, st) =>
+      var x = h * 31 + st.getPath.getName.hashCode
+      x = x * 31 + st.getLen
+      x * 31 + st.getModificationTime
     }
 
   /** The reconciled live file set: one row per live AddFile (columns of
@@ -93,7 +103,8 @@ object Replay {
     // snapshot reads skip the replay entirely. Checkpoint-less logs
     // replay with plain Jackson (zero Spark jobs); small checkpoints
     // pay one distributed read on first access.
-    val key = (segment.tablePath.toString, segment.version)
+    val key = (segment.tablePath.toString, segment.version,
+      segmentIdentity(segment))
     val rows = liveFilesCache.synchronized {
       Option(liveFilesCache.get(key))
     }.getOrElse {
@@ -145,6 +156,24 @@ object Replay {
       }
     }
     live.values.toArray
+  }
+
+  /** Unreclaimed remove tombstones: one row per path whose latest action
+    * in the segment is a remove (i.e. removed and not re-added), with the
+    * winning remove struct. Used by checkpointing to retain tombstones. */
+  def tombstones(spark: SparkSession, segment: LogSegment): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = actionsDF(spark, segment)
+      .where(col("add").isNotNull || col("remove").isNotNull)
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add").isNotNull.as("is_add"),
+        col("commit_version"), col("remove"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("commit_version").desc, col("is_add").desc)
+    acts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("is_add"))
+      .select(col("remove"), col("commit_version"))
   }
 
   private def liveFilesDistributed(spark: SparkSession,

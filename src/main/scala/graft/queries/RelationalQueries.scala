@@ -340,13 +340,18 @@ object RelationalQueries {
     },
 
     // exact percentile is interpolation-order-sensitive across engines;
-    // declared rows-only alongside the approximate sketch
+    // declared rows-only alongside the approximate sketch. The quartiles
+    // are emitted as scalar p25/p75 columns (not an array) so the driver
+    // harness can sort the result frame.
     Q.noOracle("q_percentile") { (s, dir) =>
       load(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
           expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
           expr("percentile(o_totalprice, array(0.25, 0.75))").as("iqr"))
+        .select(col("o_orderstatus"), col("p50_exact"), col("p50_approx"),
+          element_at(col("iqr"), 1).as("p25"),
+          element_at(col("iqr"), 2).as("p75"))
         .orderBy("o_orderstatus")
     },
 

@@ -73,9 +73,11 @@ object TextQueries {
   val all: Seq[Q] = Seq(
 
     // ---- text stats ---------------------------------------------------
+    // NB: sum() in DuckDB is HUGEINT -> pandas float64; cast to BIGINT so
+    // both engines emit int64 (round-1 hash mismatch was 19525.0 vs 19525)
     Q("q_text_stats",
       """SELECT lang, count(*) AS n_docs,
-        | sum(n_chars) AS total_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>

@@ -1,0 +1,147 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.{Actions, CommitWriter, LogSegment}
+import graft.delta.scan.DvBitmap
+
+/** Round-2 regression coverage for checkpoint completeness (SetTransaction
+  * + tombstone retention per the Delta protocol), RESTORE deletion-vector
+  * fidelity, and UTC timestamp stats. */
+class CheckpointSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_cp_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+
+  test("SetTransaction survives a checkpoint: appendIfAbsent stays exactly-once") {
+    val p = tmp("txn")
+    CommitWriter.createTable(spark, region.limit(1), p)
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(2), p,
+      appId = "stream-a", txnVersion = 5L).isDefined)
+    val n1 = DeltaTable.forPath(spark, p).read.count()
+
+    CommitWriter.checkpoint(spark, p)
+    // the segment now starts at the checkpoint; txn state must come from it
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.segment.checkpointVersion.isDefined)
+    assert(snap.segment.commitFiles.isEmpty)
+
+    assert(CommitWriter.latestTxnVersion(spark, p, "stream-a").contains(5L),
+      "txn state lost at checkpoint")
+    // replay of an already-committed batch is a no-op (no duplicate data)
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(2), p,
+      appId = "stream-a", txnVersion = 5L).isEmpty)
+    assert(DeltaTable.forPath(spark, p).read.count() == n1)
+    // a genuinely newer batch still commits
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      appId = "stream-a", txnVersion = 6L).isDefined)
+  }
+
+  test("checkpoint retains unexpired remove tombstones") {
+    val p = tmp("tombstone")
+    CommitWriter.createTable(spark, region.limit(2).repartition(1), p)
+    CommitWriter.append(spark, region.limit(1).repartition(1), p)
+    val files = DeltaTable.forPath(spark, p).allFiles
+      .orderBy("path").collect().map(_.getAs[String]("path"))
+    assert(files.length == 2)
+    CommitWriter.commitRemoves(spark, p, Seq(files.head))
+    CommitWriter.checkpoint(spark, p)
+
+    val cp = spark.read.schema(Actions.logSchema).parquet(
+      new Path(new Path(p, "_delta_log"),
+        LogSegment.checkpointFileName(2L)).toString)
+    val removes = cp.where(col("remove").isNotNull)
+      .select("remove.path").collect().map(_.getString(0))
+    assert(removes.toSeq == Seq(files.head),
+      s"checkpoint should carry the unexpired tombstone, got ${removes.toSeq}")
+    // the tombstone is metadata only: the live read excludes that file
+    assert(DeltaTable.forPath(spark, p).allFiles.count() == 1)
+  }
+
+  test("RESTORE re-applies the target version's deletion vector") {
+    val p = tmp("restore_dv")
+    CommitWriter.createTable(spark,
+      region.repartition(1).sortWithinPartitions("r_regionkey"), p)
+    val n = region.count()
+    val add0 = DeltaTable.forPath(spark, p).allFiles.collect().head
+    val rel = add0.getAs[String]("path")
+    val fs = LogSegment.fs(spark, new Path(p))
+
+    def dvCommit(version: Long, deletedRows: Seq[Long]): Unit = {
+      val dv = DvBitmap.writeDvFile(fs, new Path(p), deletedRows)
+      CommitWriter.commit(spark, p, version, Seq(
+        CommitWriter.removeJson(Actions.RemoveFile(
+          rel, Some(System.currentTimeMillis()), dataChange = false)),
+        CommitWriter.addJson(Actions.AddFile(
+          rel, Map.empty, add0.getAs[Long]("size"),
+          add0.getAs[Long]("modificationTime"), dataChange = false,
+          stats = Option(add0.getAs[String]("stats")),
+          deletionVector = Some(dv)))), "DELETE")
+    }
+    dvCommit(1L, Seq(0L))      // v1: one row masked
+    dvCommit(2L, Seq(0L, 2L))  // v2: two rows masked
+    assert(DeltaTable.forPath(spark, p).read.count() == n - 2)
+
+    // v1 and v2 have identical path sets; only the DV differs — restore
+    // must re-add the file with v1's DV, not leave v2's in place
+    graft.commands.HistoryCommand.restore(spark, p, 1L)
+    assert(DeltaTable.forPath(spark, p).read.count() == n - 1,
+      "restore left the newer deletion vector in place")
+
+    // and restoring to v0 drops the DV entirely
+    graft.commands.HistoryCommand.restore(spark, p, 0L)
+    assert(DeltaTable.forPath(spark, p).read.count() == n)
+  }
+
+  test("timestamp stats are UTC ISO-8601 and skip correctly across zones") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val p = tmp("ts_stats")
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T00:30:00Z"))))
+    rows.add(Row(2L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T10:00:00Z"))))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType))))
+    CommitWriter.createTable(spark, df.repartition(1), p)
+
+    val stats = DeltaTable.forPath(spark, p).allFiles
+      .collect().head.getAs[String]("stats")
+    assert(stats.contains("2024-03-01T00:30:00Z"),
+      s"timestamp stats must be UTC ISO-8601 with Z, got: $stats")
+
+    // skipping with a non-UTC session zone must not mis-prune: the file's
+    // max is 10:00Z; a predicate matching 10:00Z must keep the file
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val snap = DeltaTable.forPath(spark, p)
+      val got = snap.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-01T09:00:00Z")))).count()
+      assert(got == 1, "zone-shifted stats pruned a matching file")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
+  test("recreating a table at the same path invalidates the replay cache") {
+    val p = tmp("cache_identity")
+    CommitWriter.createTable(spark, region.limit(3), p)
+    assert(DeltaTable.forPath(spark, p).read.count() == 3)
+    // destroy and recreate at the same path with the same version numbers
+    val fs = LogSegment.fs(spark, new Path(p))
+    fs.delete(new Path(p), true)
+    CommitWriter.createTable(spark, region.limit(1), p)
+    assert(DeltaTable.forPath(spark, p).read.count() == 1,
+      "stale cached file list served for a recreated table")
+  }
+}
