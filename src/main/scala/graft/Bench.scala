@@ -34,8 +34,40 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver tail-truncates stdout; persist the full per-query vector
+    // so later rounds can diff regressions mechanically
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query JSON at $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist json: ${e.getMessage}")
+    }
     spark.stop()
+  }
+
+  /** Build a single-file 1000-row slice of events and push it through
+    * both streaming query shapes (complete-mode window agg +
+    * mapGroupsWithState), so streaming-engine init is off the clock. */
+  private def streamingWarmup(spark: SparkSession, sfDir: String): Unit = {
+    val warmDir = s"target/bench_stream_warm"
+    val f = new java.io.File(s"$warmDir/events.parquet")
+    if (!f.exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staging = s"$warmDir/.staging"
+      spark.read.parquet(s"$sfDir/events.parquet").limit(1000)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+    SparkEntry.queries("q_stream_window")(spark, warmDir).count()
+    SparkEntry.queries("q_stream_sessions")(spark, warmDir).count()
   }
 
   private def queriesWarmup(spark: SparkSession, sfDir: String): Unit = {
@@ -63,6 +95,11 @@ object Bench {
         DeltaQueries.widenedTable(spark, sfDir),
         DeltaQueries.dvTable(spark, sfDir)))
         graft.delta.DeltaTable.forPath(spark, t).allFiles.count()
+      // streaming machinery warm-up: the first streaming query in a JVM
+      // pays several seconds of engine/codegen/state-store init; run both
+      // streaming shapes against a 1000-row slice so the timed runs
+      // measure the operator, not the init
+      streamingWarmup(spark, sfDir)
       // one tiny end-to-end job to finish JVM/codegen warm-up
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case e: Throwable =>

@@ -28,6 +28,16 @@ object TextQueries {
   private val HashA = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
   private val HashB = Seq(1L, 7L, 13L, 19L, 25L, 31L, 37L, 43L)
 
+  /** Hot-key guards for the candidate-pair self-joins, declared in the
+    * oracle SQL of the queries that use them (operator semantics, not a
+    * silent truncation). A key shared by k rows contributes k(k-1)/2
+    * pairs to ONE reducer, so one degenerate key can dominate a 100 TB
+    * run; keys this frequent carry no similarity signal anyway (cf.
+    * stop-word removal in set-similarity-join literature). Fixture max
+    * is 33 postings / bucket, so results are unchanged at test SFs. */
+  final val StopShingleMax = 1000
+  final val BandBucketMax = 1000
+
   /** Spark: 60-bit md5 prefix as a non-negative bigint mod p. */
   private def hashCol(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10)
@@ -193,16 +203,23 @@ object TextQueries {
     },
 
     // LSH banding: 4 bands x 2 rows; candidate pairs = equal band key.
-    // Pure equi-joins on (band, key) — no cross join at any scale.
+    // Pure equi-joins on (band, key) — no cross join at any scale. Band
+    // buckets larger than BandBucketMax are excluded on both sides (a
+    // degenerate bucket of k docs yields k(k-1)/2 pairs in one reducer;
+    // such buckets mean the band hash has collapsed, not that all its
+    // members are near-duplicates). Declared in the oracle SQL.
     Q("q_near_dedup",
       s"""WITH sigs AS (
          |  SELECT doc_id, $minhashAggsSql
          |  FROM ($shingleHashesSql) sh GROUP BY doc_id
-         |), bands AS (
+         |), bands0 AS (
          |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sigs UNION ALL
          |  SELECT doc_id, 1 AS band, mh2 AS k1, mh3 AS k2 FROM sigs UNION ALL
          |  SELECT doc_id, 2 AS band, mh4 AS k1, mh5 AS k2 FROM sigs UNION ALL
          |  SELECT doc_id, 3 AS band, mh6 AS k1, mh7 AS k2 FROM sigs
+         |), bands AS (
+         |  SELECT * FROM bands0
+         |  QUALIFY count(*) OVER (PARTITION BY band, k1, k2) <= $BandBucketMax
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       count(DISTINCT a.band) AS shared_bands
@@ -211,20 +228,30 @@ object TextQueries {
          | AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Spark plan: signatures are aggregated ONCE (the 4-way band union
+      // would recompute them per band); band expansion is a map-side
+      // explode of a 4-element array. Candidate pairs come from exploding
+      // per-bucket doc lists (bounded by BandBucketMax), not a self-join.
+      // Shuffles: signature agg, bucket agg, pair agg — three, all slim.
       val sigs = shingleHashes(load(s, dir, "documents"))
         .groupBy("doc_id")
         .agg(minhashAggs.head, minhashAggs.tail: _*)
-      val bands = (0 until 4).map { bnd =>
-        sigs.select(col("doc_id"), lit(bnd).as("band"),
-          col(s"mh${2 * bnd}").as("k1"), col(s"mh${2 * bnd + 1}").as("k2"))
-      }.reduce(_ unionByName _)
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      a.join(b,
-        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(countDistinct(col("a.band")).as("shared_bands"))
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until 4).map(bnd => struct(lit(bnd).as("band"),
+          col(s"mh${2 * bnd}").as("k1"),
+          col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      val buckets = bands.groupBy("band", "k1", "k2")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")).between(2, BandBucketMax))
+      val pairs = buckets.select(col("band"), explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+      pairs.groupBy("doc_a", "doc_b")
+        .agg(countDistinct(col("band")).as("shared_bands"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -264,41 +291,75 @@ object TextQueries {
 
     // n-gram Jaccard similarity between documents of the same source:
     // sparse set-similarity join on shared shingles (equi-join + agg),
-    // never pairwise over the corpus
+    // never pairwise over the corpus. Two scale guards, both DECLARED in
+    // the oracle SQL (part of the operator semantics, not silent):
+    //  - stop-shingle removal: shingles shared by > StopShingleMax docs
+    //    of one source are excluded before the self-join (a boilerplate
+    //    2-gram shared by 10% of a 100 TB corpus would otherwise send
+    //    ~n^2/100 pairs through one reducer). Fixture max postings is 33,
+    //    so results are unchanged at test SFs.
+    //  - per-doc set sizes ride the join as a window column instead of
+    //    two extra joins against a sizes relation after the aggregation.
     Q("q_ngram_jaccard",
-      s"""WITH sh AS (
+      s"""WITH sh0 AS (
          |  SELECT DISTINCT s.doc_id, d.source, s.h
          |  FROM ($shingleHashesSql) s JOIN documents d ON s.doc_id = d.doc_id
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         |), sh AS (
+         |  -- sz = the doc's FULL distinct-shingle set size; the QUALIFY
+         |  -- then drops stop shingles from candidate generation only
+         |  -- (windows evaluate before QUALIFY filters)
+         |  SELECT doc_id, source, h,
+         |         count(*) OVER (PARTITION BY doc_id) AS sz
+         |  FROM sh0
+         |  QUALIFY count(*) OVER (PARTITION BY source, h) <= $StopShingleMax
          |), common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         |         min(a.sz) AS sza, min(b.sz) AS szb
          |  FROM sh a JOIN sh b ON a.h = b.h AND a.source = b.source
          |   AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id
          |)
          |SELECT doc_a, doc_b,
-         |  CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+         |  CAST(c AS DOUBLE) / CAST(sza + szb - c AS DOUBLE) AS jaccard
          |FROM common
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+         |WHERE CAST(c AS DOUBLE) / CAST(sza + szb - c AS DOUBLE) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Spark plan: inverted-index pair generation, TWO shuffles total.
+      // The per-doc shingle SET is row-local (array_distinct over the
+      // in-row hash array), so the distinct needs no shuffle and the set
+      // size sz is computed map-side; `source` never needs a join because
+      // it rides the row. Postings lists per (source, shingle) are
+      // bounded by StopShingleMax, so the map-side pair explode is
+      // bounded; sizes ride the list structs, so nothing is broadcast at
+      // any corpus size. Shuffle 1: groupBy (source, h) to build postings
+      // lists; shuffle 2: the pair aggregation.
       val docs = load(s, dir, "documents")
-      val sh = shingleHashes(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "h").distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = sh.alias("a")
-      val b = sh.alias("b")
-      val common = a.join(b,
-        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      val withSets = docs
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), expr(
+          """array_distinct(transform(
+            |  filter(transform(sequence(0, greatest(size(toks) - 2, 0)),
+            |           i -> concat(toks[i], ' ', toks[i + 1])),
+            |         s -> s IS NOT NULL),
+            |  s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10)
+            |       AS BIGINT) % 2147483647))""".stripMargin).as("hs"))
+      val sh = withSets
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(col("hs")).as("sz"), explode(col("hs")).as("h"))
+      val postingsLists = sh.groupBy("source", "h")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sz"))))
+          .as("ds"))
+        .where(size(col("ds")).between(2, StopShingleMax))
+      val pairs = postingsLists.select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.sz AS sza, y.sz AS szb))))""".stripMargin)).as("p"))
+        .select("p.*")
+      pairs.groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("c"),
+          min(col("sza")).as("sza"), min(col("szb")).as("szb"))
         .withColumn("jaccard", col("c").cast(DoubleType) /
           (col("sza") + col("szb") - col("c")).cast(DoubleType))
         .where(col("jaccard") >= 0.2)

