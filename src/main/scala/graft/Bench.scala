@@ -14,11 +14,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); pin the legacy-long reading at
+      // session build so no timed run depends on which query set it first
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,16 +30,24 @@ object Bench {
     // warm-up: JVM/codegen + delta fixture builds (cached on disk)
     queriesWarmup(spark, sfDir)
 
+    // median of N samples per query: a single GC/JIT hiccup must not
+    // write a phantom regression into the round artifact
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to samples).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(times.length / 2), times.head, times.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":[" + mn + "," + mx + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread}"""
     println(json)
     // the driver tail-truncates stdout; persist the full per-query vector
     // so later rounds can diff regressions mechanically
@@ -57,7 +69,6 @@ object Bench {
     val warmDir = s"target/bench_stream_warm"
     val f = new java.io.File(s"$warmDir/events.parquet")
     if (!f.exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val staging = s"$warmDir/.staging"
       spark.read.parquet(s"$sfDir/events.parquet").limit(1000)
         .coalesce(1).write.mode("overwrite").parquet(staging)

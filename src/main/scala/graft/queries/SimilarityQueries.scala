@@ -38,6 +38,46 @@ object SimilarityQueries {
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** Banded sign-bit LSH geometry for `q_embed_near_dup`. 8 bands x
+    * 8 bits keeps recall at the fixture's calibrated low threshold
+    * (cosine 0.2 — measured sign-agreement p ~ 0.64, so wider bands
+    * retain almost nothing); production near-dup thresholds (>= 0.9)
+    * would use fewer, wider bands. The hot-bucket cap — not the key
+    * width — is the hard scale bound (cf. TextQueries.BandBucketMax). */
+  final val EmbedBands = 8
+  final val EmbedBandBits = 8
+  final val EmbedBucketMax = 1000
+
+  /** Band `bnd`'s key: integer from the sign bits of its 8 dims. */
+  private def embedBandKey(bnd: Int): Column =
+    (0 until EmbedBandBits).map(i =>
+      when(element_at(col("embedding"), bnd * EmbedBandBits + i + 1) >= 0f,
+        lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+  private def embedBandKeySql(bnd: Int): String =
+    (0 until EmbedBandBits).map(i =>
+      s"(CASE WHEN embedding[${bnd * EmbedBandBits + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** (band, k) bucket relation — shared with SimilaritySpec so the
+    * bucket-size bound is asserted on exactly the production shape. */
+  def embedBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until EmbedBands).map(bnd =>
+      struct(lit(bnd).as("band"), embedBandKey(bnd).as("k"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.k").as("k"))
+      .groupBy("band", "k")
+      .agg(array_sort(collect_list(col("vec_id"))).as("vs"))
+
+  /** Distinct candidate pairs from capped band buckets. */
+  def embedCandidates(emb: DataFrame): DataFrame =
+    embedBuckets(emb)
+      .where(size(col("vs")).between(2, EmbedBucketMax))
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs) - i - 1), y ->
+          |    struct(x AS vec_a, y AS vec_b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .distinct()
+
   val all: Seq[Q] = Seq(
 
     Q("q_sim_topk",
@@ -77,35 +117,51 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
-    // embedding-cosine near-duplicates: pairs sharing an 8-bit sign
-    // bucket, verified by exact cosine >= 0.2 (bucket join, not O(n^2);
-    // thresholds calibrated to the synthetic fixture's cosine range)
+    // embedding-cosine near-duplicates: banded sign-bit LSH (8 bands x
+    // 8 bits over the 64 dims), candidate = pair sharing >= 1 band
+    // bucket, verified by exact cosine >= 0.2. Two scale guards, both
+    // DECLARED in the oracle SQL (operator semantics, not silent):
+    //  - band buckets larger than EmbedBucketMax are excluded on both
+    //    sides, so total candidate pairs are bounded by
+    //    bands * 2^bits * M^2/2 regardless of corpus size (a degenerate
+    //    bucket means the sign band has collapsed, not that all its
+    //    members are near-duplicates) — fixture max bucket is 8, so
+    //    results are unchanged at test SFs;
+    //  - candidates are DISTINCT'd across bands BEFORE the 129-term
+    //    cosine is evaluated, so the expensive verify runs once per pair.
     Q("q_embed_near_dup",
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |    ${(0 until 8).map(i =>
-            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-            .mkString(" + ")} AS bucket
-         |  FROM embeddings
+      s"""WITH bands0 AS (
+         |  ${(0 until EmbedBands).map(bnd =>
+            s"SELECT vec_id, $bnd AS band, ${embedBandKeySql(bnd)} AS k FROM embeddings")
+            .mkString("\n  UNION ALL\n  ")}
+         |), bands AS (
+         |  SELECT * FROM bands0
+         |  QUALIFY count(*) OVER (PARTITION BY band, k) <= $EmbedBucketMax
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k = b.k AND a.vec_id < b.vec_id
          |)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  (${dotSql("a.embedding", "b.embedding")}) /
-         |    (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cosine
-         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE (${dotSql("a.embedding", "b.embedding")}) /
-         |    (${normSql("a.embedding")} * ${normSql("b.embedding")}) >= 0.2
+         |SELECT c.vec_a, c.vec_b,
+         |  (${dotSql("ea.embedding", "eb.embedding")}) /
+         |    (${normSql("ea.embedding")} * ${normSql("eb.embedding")}) AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON c.vec_a = ea.vec_id
+         |JOIN embeddings eb ON c.vec_b = eb.vec_id
+         |WHERE (${dotSql("ea.embedding", "eb.embedding")}) /
+         |    (${normSql("ea.embedding")} * ${normSql("eb.embedding")}) >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val sig = load(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        (0 until 8).map(i =>
-          when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i))
-            .otherwise(lit(0))).reduce(_ + _).as("bucket"))
-      val a = sig.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("bucket"))
-      val b = sig.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .where(col("vec_a") < col("vec_b"))
+      // Spark plan: band expansion is a map-side explode; buckets are a
+      // groupBy (band, k) with a collect_list bounded by EmbedBucketMax;
+      // pairs come from exploding per-bucket id lists (never a self-join
+      // of the full sig relation); vectors are re-joined only for the
+      // deduped candidates. Shuffles: bucket agg, candidate distinct,
+      // two slim id-equi-joins back to embeddings.
+      val emb = load(s, dir, "embeddings")
+      val cand = embedCandidates(emb)
+      val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
         .withColumn("cosine",
           dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
         .where(col("cosine") >= 0.2)

@@ -18,6 +18,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@$k = $recall")
   }
 
+  test("embed near-dup band buckets are bounded (hot-bucket cap holds)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    val hist = SimilarityQueries.embedBuckets(emb)
+      .select(size(col("vs")).as("n"))
+      .agg(max("n").as("mx"), count(lit(1)).as("buckets"))
+      .collect()(0)
+    assert(hist.getInt(0) <= SimilarityQueries.EmbedBucketMax,
+      s"max bucket ${hist.getInt(0)} exceeds cap")
+    // the cap bounds candidate pairs at bands * 2^bits * M^2/2 regardless
+    // of corpus size; at fixture scale no bucket comes near the cap
+    assert(hist.getInt(0) < 100, s"fixture bucket unexpectedly hot: $hist")
+  }
+
+  test("embed near-dup candidates are distinct pairs from capped buckets") {
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    val cand = SimilarityQueries.embedCandidates(emb).collect()
+    val pairs = cand.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "duplicate candidate pairs")
+    assert(pairs.forall { case (a, b) => a < b }, "unordered pair emitted")
+    assert(pairs.nonEmpty)
+  }
+
   test("ANN scans only the probed clusters (strict candidate subset)") {
     val ann = SimilarityQueries.annIvf(spark, sf, probeId = 0, k = 500,
       nprobe = 2).collect()
