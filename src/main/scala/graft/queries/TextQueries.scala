@@ -38,29 +38,38 @@ object TextQueries {
   final val StopShingleMax = 1000
   final val BandBucketMax = 1000
 
-  /** Spark: 60-bit md5 prefix as a non-negative bigint mod p. */
+  /** Spark: 60-bit md5 prefix as a non-negative bigint mod p. The
+    * Column form (codegen'd when outside lambdas) and the SQL-text form
+    * (for inside higher-order lambdas) MUST stay value-identical —
+    * TextSpec pins them to each other. */
   private def hashCol(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10)
       .cast(LongType) % P
+  private[graft] def hashExpr(x: String): String =
+    s"CAST(conv(substring(md5(CAST($x AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $P"
   /** Same value in DuckDB SQL. */
   private def hashSql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
 
-  /** (doc_id, shingle-hash) stream: word 2-grams built inside the row
-    * with a transform-over-array expression, then exploded — pure
-    * map-side work, zero shuffles (the windowed-lead formulation would
-    * shuffle+sort by doc_id first). */
+  /** Per-row ARRAY of word-2-gram shingle STRINGS — the ONE definition
+    * of the shingle; every consumer (minhash explode, jaccard sets)
+    * derives from this expression so they can never drift. Expects a
+    * `toks` column = split(text, ' '). greatest(...,0) guards 1-token
+    * docs (sequence(0,-1) counts DOWN in Spark); their single bogus
+    * shingle concats with a null neighbor -> null -> filtered here. */
+  private[graft] val shingleStrArrExpr: String =
+    """filter(transform(sequence(0, greatest(size(toks) - 2, 0)),
+      |         i -> concat(toks[i], ' ', toks[i + 1])),
+      |       s -> s IS NOT NULL)""".stripMargin
+
+  /** (doc_id, shingle-hash) stream: shingle strings exploded, then
+    * hashed with the codegen'd Column form — pure map-side work, zero
+    * shuffles (the windowed-lead formulation would shuffle+sort by
+    * doc_id first). */
   private def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        // greatest(...,0) guards 1-token docs (sequence(0,-1) counts
-        // DOWN in Spark); their single bogus shingle concats with a
-        // null neighbor -> null -> filtered below
-        """transform(sequence(0, greatest(size(toks) - 2, 0)),
-          |          i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
-        .as("shingle"))
-      .where(col("shingle").isNotNull)
+      .select(col("doc_id"), explode(expr(shingleStrArrExpr)).as("shingle"))
       .select(col("doc_id"), hashCol(col("shingle")).as("h"))
 
   private val shingleHashesSql: String =
@@ -79,6 +88,67 @@ object TextQueries {
     HashA.zip(HashB).zipWithIndex.map { case ((a, b), j) =>
       s"min((h * $a + $b) % $P) AS mh$j"
     }.mkString(", ")
+
+  /** (doc_id, source, sz, h) stream for the jaccard join: per-row
+    * DISTINCT shingle-string set (row-local, so sz needs no shuffle),
+    * exploded, then hashed with the codegen'd Column form. Deduping by
+    * string instead of by hash is value-identical absent 60-bit md5
+    * collisions. */
+  private[graft] def ngramShingleSets(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        expr(s"array_distinct($shingleStrArrExpr)").as("ss"))
+      .where(size(col("ss")) > 0)
+      .select(col("doc_id"), col("source"), size(col("ss")).as("sz"),
+        explode(col("ss")).as("shingle"))
+      .select(col("doc_id"), col("source"), col("sz"),
+        hashCol(col("shingle")).as("h"))
+
+  private def ngramJaccardFinish(pairs: DataFrame): DataFrame =
+    pairs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"),
+        min(col("sza")).as("sza"), min(col("szb")).as("szb"))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (col("sza") + col("szb") - col("c")).cast(DoubleType))
+      .where(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Postings-list pair generation: groupBy (source, h) builds bounded
+    * doc lists, pairs explode from each list. Shuffles: postings agg +
+    * pair agg. */
+  private[graft] def ngramJaccardPostings(s: SparkSession, dir: String): DataFrame = {
+    val postingsLists = ngramShingleSets(s, dir).groupBy("source", "h")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz"))))
+        .as("ds"))
+      .where(size(col("ds")).between(2, StopShingleMax))
+    val pairs = postingsLists.select(explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+        |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |           x.sz AS sza, y.sz AS szb))))""".stripMargin)).as("p"))
+      .select("p.*")
+    ngramJaccardFinish(pairs)
+  }
+
+  /** Streamed self-equi-join pair generation: the window cap rides the
+    * same (source, h) partitioning the join needs. Shuffles: window +
+    * join (exchange-reusable) + pair agg. */
+  private[graft] def ngramJaccardStreamed(s: SparkSession, dir: String): DataFrame = {
+    val capped = ngramShingleSets(s, dir)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("source", "h")))
+      .where(col("cnt") <= StopShingleMax)
+    val a = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_a"), col("sz").as("sza"))
+    val b = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_b"), col("sz").as("szb"))
+    val pairs = a.join(b, Seq("source", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sza", "szb")
+    ngramJaccardFinish(pairs)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -324,46 +394,14 @@ object TextQueries {
          |FROM common
          |WHERE CAST(c AS DOUBLE) / CAST(sza + szb - c AS DOUBLE) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Spark plan: inverted-index pair generation, TWO shuffles total.
-      // The per-doc shingle SET is row-local (array_distinct over the
-      // in-row hash array), so the distinct needs no shuffle and the set
-      // size sz is computed map-side; `source` never needs a join because
-      // it rides the row. Postings lists per (source, shingle) are
-      // bounded by StopShingleMax, so the map-side pair explode is
-      // bounded; sizes ride the list structs, so nothing is broadcast at
-      // any corpus size. Shuffle 1: groupBy (source, h) to build postings
-      // lists; shuffle 2: the pair aggregation.
-      val docs = load(s, dir, "documents")
-      val withSets = docs
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("source"), expr(
-          """array_distinct(transform(
-            |  filter(transform(sequence(0, greatest(size(toks) - 2, 0)),
-            |           i -> concat(toks[i], ' ', toks[i + 1])),
-            |         s -> s IS NOT NULL),
-            |  s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10)
-            |       AS BIGINT) % 2147483647))""".stripMargin).as("hs"))
-      val sh = withSets
-        .where(size(col("hs")) > 0)
-        .select(col("doc_id"), col("source"),
-          size(col("hs")).as("sz"), explode(col("hs")).as("h"))
-      val postingsLists = sh.groupBy("source", "h")
-        .agg(array_sort(collect_list(struct(col("doc_id"), col("sz"))))
-          .as("ds"))
-        .where(size(col("ds")).between(2, StopShingleMax))
-      val pairs = postingsLists.select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |           x.sz AS sza, y.sz AS szb))))""".stripMargin)).as("p"))
-        .select("p.*")
-      pairs.groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("c"),
-          min(col("sza")).as("sza"), min(col("szb")).as("szb"))
-        .withColumn("jaccard", col("c").cast(DoubleType) /
-          (col("sza") + col("szb") - col("c")).cast(DoubleType))
-        .where(col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      // Spark plan: streamed capped self-equi-join (ngramJaccardStreamed)
+      // — measured fastest of three formulations at sf0.1 (4.15s vs
+      // 4.53s postings-list vs 4.79s lambda-hashed postings; see
+      // tools.ProfileNgram). The per-doc shingle SET is row-local
+      // (array_distinct over in-row strings), so sz needs no shuffle and
+      // the hash is codegen'd after the explode; the StopShingleMax
+      // window cap rides the same (source, h) partitioning the join
+      // consumes.
+      ngramJaccardStreamed(s, dir)
     })
 }
