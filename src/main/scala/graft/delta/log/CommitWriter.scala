@@ -96,13 +96,18 @@ object CommitWriter {
     Some(v)
   }
 
-  /** Highest recorded SetTransaction version for `appId`. */
+  /** SetTransaction version for `appId` from the LATEST txn action in
+    * log order — per the protocol, not max(txn.version): a writer that
+    * restarts with a fresh sink checkpoint records a lower version later
+    * and that action wins (mirrors the checkpoint retention rule). */
   def latestTxnVersion(spark: SparkSession, tablePath: String,
       appId: String): Option[Long] = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val rows = Replay.actionsDF(spark, segment)
       .where(col("txn.appId") === appId)
-      .agg(max(col("txn.version")).as("v"))
+      .orderBy(col("commit_version").desc, col("txn.version").desc)
+      .select(col("txn.version").as("v"))
+      .limit(1)
       .collect()
     rows.headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
   }
@@ -182,19 +187,27 @@ object CommitWriter {
     val nullProto = lit(null).cast(Actions.protocolSchema)
     val nullTxn = lit(null).cast(Actions.txnSchema)
 
+    // checkpoint actions carry dataChange=false per the protocol, so
+    // incremental/CDC readers don't treat checkpoint contents as new
+    // changes (graft's own replay ignores the flag; external interop)
     val addRows = live.select(struct(
       col("path"), col("partitionValues"), col("size"),
-      col("modificationTime"), col("dataChange"), col("stats"),
+      col("modificationTime"), lit(false).as("dataChange"), col("stats"),
       col("deletionVector")).as("add"),
       nullRemove.as("remove"), nullMeta.as("metaData"),
       nullProto.as("protocol"), nullTxn.as("txn"))
 
-    // latest SetTransaction per appId survives into the checkpoint
+    // latest SetTransaction per appId survives into the checkpoint —
+    // latest in LOG ORDER (commit_version), per the protocol, NOT the
+    // highest txn.version: a writer may legitimately restart with a
+    // lower txn version (fresh sink checkpoint) and that later action
+    // wins. txn.version desc is only a deterministic tiebreak within a
+    // single commit, where line order is not recoverable from the DF.
     val txnRows = Replay.actionsDF(spark, segment)
       .where(col("txn").isNotNull)
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("txn.appId"))
-        .orderBy(col("txn.version").desc, col("commit_version").desc)))
+        .orderBy(col("commit_version").desc, col("txn.version").desc)))
       .where(col("rn") === 1)
       .select(nullAdd.as("add"), nullRemove.as("remove"),
         nullMeta.as("metaData"), nullProto.as("protocol"), col("txn"))
@@ -209,7 +222,9 @@ object CommitWriter {
     val removeRows = Replay.tombstones(spark, segment)
       .where(coalesce(col("remove.deletionTimestamp"), lit(Long.MaxValue))
         >= cutoff)
-      .select(nullAdd.as("add"), col("remove"), nullMeta.as("metaData"),
+      .select(nullAdd.as("add"),
+        col("remove").withField("dataChange", lit(false)).as("remove"),
+        nullMeta.as("metaData"),
         nullProto.as("protocol"), nullTxn.as("txn"))
 
     import spark.implicits._

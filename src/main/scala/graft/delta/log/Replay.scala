@@ -71,14 +71,30 @@ object Replay {
     }
 
   /** Content identity of a segment beyond (path, version): a hash of its
-    * log files' (name, length, mtime). Guards the cache against a table
-    * deleted and recreated at the same path hitting the same versions. */
-  private def segmentIdentity(segment: LogSegment): Long =
-    (segment.checkpointFiles ++ segment.commitFiles).foldLeft(17L) { (h, st) =>
-      var x = h * 31 + st.getPath.getName.hashCode
-      x = x * 31 + st.getLen
-      x * 31 + st.getModificationTime
-    }
+    * log files' (name, length, mtime) PLUS the head bytes of the newest
+    * log file. Guards the cache against a table deleted and recreated at
+    * the same path hitting the same versions — mtime granularity is 1s
+    * on some filesystems, so stat-identical recreations are possible;
+    * commit content is not (metadata id is a fresh UUID per createTable
+    * and commitInfo timestamps are ms-precision). A byte-identical
+    * recreation would serve an identical file list, which is harmless.
+    * Cost: one <=64 KiB read per lookup, only on the small-log cached
+    * path (a cache miss replays every commit file anyway). */
+  private def segmentIdentity(spark: SparkSession, segment: LogSegment): Long = {
+    val statHash =
+      (segment.checkpointFiles ++ segment.commitFiles).foldLeft(17L) { (h, st) =>
+        var x = h * 31 + st.getPath.getName.hashCode
+        x = x * 31 + st.getLen
+        x * 31 + st.getModificationTime
+      }
+    val newest = (segment.checkpointFiles ++ segment.commitFiles)
+      .maxBy(st => (st.getModificationTime, st.getPath.getName))
+    val fs = LogSegment.fs(spark, segment.tablePath)
+    val buf = new Array[Byte](64 * 1024)
+    val in = fs.open(newest.getPath)
+    val n = try in.read(buf, 0, buf.length) finally in.close()
+    (0 until math.max(n, 0)).foldLeft(statHash)((h, i) => h * 31 + buf(i))
+  }
 
   /** The reconciled live file set: one row per live AddFile (columns of
     * Actions.addSchema plus commit_version). Reconciliation rule: the
@@ -104,7 +120,7 @@ object Replay {
     // replay with plain Jackson (zero Spark jobs); small checkpoints
     // pay one distributed read on first access.
     val key = (segment.tablePath.toString, segment.version,
-      segmentIdentity(segment))
+      segmentIdentity(spark, segment))
     val rows = liveFilesCache.synchronized {
       Option(liveFilesCache.get(key))
     }.getOrElse {

@@ -19,9 +19,8 @@ object StreamingQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY minute_bucket, event_type""".stripMargin) { (s, dir) =>
-      val events = EventsStream.readEvents(s, dir)
       EventsStream.runToMemory(s,
-        EventsStream.windowedCounts(events),
+        ss => EventsStream.windowedCounts(EventsStream.readEvents(ss, dir)),
         s"stream_window_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
         OutputMode.Complete())
         .orderBy("minute_bucket", "event_type")
@@ -33,9 +32,9 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n_events,
         | max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val events = EventsStream.readEvents(s, dir)
       EventsStream.runToMemory(s,
-        EventsStream.userSessions(s, events).toDF(),
+        ss => EventsStream.userSessions(ss,
+          EventsStream.readEvents(ss, dir)).toDF(),
         s"stream_sessions_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
         OutputMode.Update())
         // update mode emits one row per user per batch; keep the final

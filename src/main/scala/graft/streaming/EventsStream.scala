@@ -84,18 +84,20 @@ object EventsStream {
     * production scale the same knob goes UP with key cardinality (state
     * partitions are fixed for the life of the checkpoint, so size them
     * for the target state, not the first batch). */
-  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode, statePartitions: Int = 8): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+  def runToMemory(spark: SparkSession, build: SparkSession => DataFrame,
+      name: String, mode: OutputMode, statePartitions: Int = 8): DataFrame = {
+    // the stream runs in a CLONED session (shared SparkContext, isolated
+    // SQLConf), so the state-partition override can never leak into
+    // queries running concurrently on the caller's session; the builder
+    // receives the clone so the plan binds to the scoped conf
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = build(ss).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
   }
 }

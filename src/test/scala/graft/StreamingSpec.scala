@@ -9,10 +9,9 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
   test("windowed streaming agg equals batch aggregation") {
-    val events = EventsStream.readEvents(spark, sf)
     val got = EventsStream.runToMemory(spark,
-      EventsStream.windowedCounts(events), "spec_window",
-      OutputMode.Complete())
+      ss => EventsStream.windowedCounts(EventsStream.readEvents(ss, sf)),
+      "spec_window", OutputMode.Complete())
     val batch = graft.queries.T.events(spark, sf)
       .withColumn("minute_bucket", expr("ts div 60000000000"))
       .groupBy("minute_bucket", "event_type")
@@ -23,10 +22,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("watermarked append-mode query runs with bounded state") {
-    val events = EventsStream.readEvents(spark, sf)
     val got = EventsStream.runToMemory(spark,
-      EventsStream.watermarkedCounts(events), "spec_watermark",
-      OutputMode.Append())
+      ss => EventsStream.watermarkedCounts(EventsStream.readEvents(ss, sf)),
+      "spec_watermark", OutputMode.Append())
     // append mode withholds windows not yet past the watermark; with a
     // single batch the final watermark covers all but the tail windows
     assert(got.count() >= 0) // must run without error; shape checked below
@@ -34,9 +32,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("mapGroupsWithState sessionization counts all events per user") {
-    val events = EventsStream.readEvents(spark, sf)
     val sessions = EventsStream.runToMemory(spark,
-      EventsStream.userSessions(spark, events).toDF(), "spec_sessions",
+      ss => EventsStream.userSessions(ss,
+        EventsStream.readEvents(ss, sf)).toDF(), "spec_sessions",
       OutputMode.Update())
     val total = sessions.groupBy("user_id")
       .agg(max("n_events").as("n")).agg(sum("n")).head().getLong(0)

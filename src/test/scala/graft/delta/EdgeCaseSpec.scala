@@ -140,4 +140,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(CommitWriter.latestTxnVersion(spark, p, "writer-1").contains(8L))
     assert(DeltaTable.forPath(spark, p).read.count() == 1 + 2 + 1 + 1)
   }
+
+  test("txn version follows log order, not max (restarted-writer case)") {
+    val p = tmp("txn_logorder")
+    CommitWriter.createTable(spark, region.limit(1), p)
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      "writer-1", 8L).contains(1L))
+    // an external/restarted writer records a LOWER txn version in a later
+    // commit (fresh sink checkpoint); per the protocol the latest action
+    // in log order wins
+    CommitWriter.commit(spark, p, 2L,
+      Seq(CommitWriter.txnJson(graft.delta.log.Actions.SetTransaction(
+        "writer-1", 3L, Some(System.currentTimeMillis())))),
+      operation = "TXN")
+    assert(CommitWriter.latestTxnVersion(spark, p, "writer-1").contains(3L))
+    // the checkpoint freezes the log-order winner, not max(txn.version)
+    CommitWriter.checkpoint(spark, p)
+    assert(CommitWriter.latestTxnVersion(spark, p, "writer-1").contains(3L))
+    // so the writer's next batches (4..8) are NOT silently dropped
+    assert(CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      "writer-1", 4L).isDefined)
+  }
 }
