@@ -56,6 +56,46 @@ object DeltaQueries {
       CommitWriter.createTable(s, li(s, sfDir), p)
     }
 
+  /** SF-INDEPENDENT log fixture (nation.parquet is byte-identical at
+    * every sf), living at a FIXED absolute path: this is what lets the
+    * static oracle SQL read the `_delta_log` JSON directly via DuckDB
+    * read_json_auto — the log-surface queries (delta_log, log_replay,
+    * describe_history) get REAL content oracles instead of rows-only
+    * checks. Recipe (fully deterministic: partition-by-column writes,
+    * lexicographically-first file removed): create partitioned by
+    * n_regionkey (5 adds) -> append regions 0-1 (2 adds) -> remove the
+    * first file (1 remove). NEVER checkpoint or mutate this fixture:
+    * the oracles read `*.json` commits only, and the Spark side must
+    * keep replaying the identical action set (vacuum runs DRY RUN
+    * only). */
+  final val LogDemoPath = "/root/repo/target/delta_fixtures/shared/logdemo"
+
+  /** DuckDB source over the fixture's log: every action column pinned to
+    * JSON (inference would type sparse keys inconsistently across
+    * sample windows), extracted with ->> in the oracles. */
+  private[queries] val logJsonSrc: String =
+    s"""read_json('$LogDemoPath/_delta_log/*.json', filename=true,
+       |    format='newline_delimited',
+       |    columns={"add": 'JSON', "remove": 'JSON', "metaData": 'JSON',
+       |             "protocol": 'JSON', "commitInfo": 'JSON'})""".stripMargin
+
+  def logDemoTable(s: SparkSession, sfDir: String): String = {
+    this.synchronized {
+      if (!exists(s, LogDemoPath)) {
+        val dir = new File(LogDemoPath)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        val n = s.read.parquet(s"$sfDir/nation.parquet")
+        CommitWriter.createTable(s, n, LogDemoPath,
+          partitionColumns = Seq("n_regionkey"))
+        CommitWriter.append(s, n.where(col("n_regionkey") < 2), LogDemoPath)
+        val first = DeltaTable.forPath(s, LogDemoPath).allFiles
+          .select("path").orderBy("path").limit(1).collect()(0).getString(0)
+        CommitWriter.commitRemoves(s, LogDemoPath, Seq(first))
+      }
+    }
+    LogDemoPath
+  }
+
   /** 4 commits with disjoint o_orderkey ranges → 4+ files with disjoint
     * min/max stats (file-skipping target). */
   def rangedTable(s: SparkSession, sfDir: String): String =
@@ -338,9 +378,27 @@ object DeltaQueries {
         .orderBy("o_orderkey")
     },
 
-    // A11: raw delta-log actions as a queryable table
-    Q.noOracle("delta_log") { (s, dir) =>
-      val path = rangedTable(s, dir)
+    // A11: raw delta-log actions as a queryable table. Oracle: DuckDB
+    // reads the SAME _delta_log JSON (sf-independent fixture at a fixed
+    // path) and counts actions per commit — a content check of the log
+    // itself, not a rows-only smoke.
+    Q("delta_log",
+      s"""WITH acts AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+         |           AS commit_version,
+         |    "add"->>'$$.path' AS add_path,
+         |    remove->>'$$.path' AS remove_path,
+         |    metaData->>'$$.id' AS meta_id,
+         |    protocol->>'$$.minReaderVersion' AS proto_mrv
+         |  FROM $logJsonSrc
+         |)
+         |SELECT commit_version,
+         |  count(add_path) AS n_adds,
+         |  count(remove_path) AS n_removes,
+         |  count(meta_id) AS n_metadata,
+         |  count(proto_mrv) AS n_protocol
+         |FROM acts GROUP BY commit_version ORDER BY commit_version""".stripMargin) { (s, dir) =>
+      val path = logDemoTable(s, dir)
       val segment = LogSegment.forTable(s, new Path(path))
       Replay.actionsDF(s, segment)
         .select(col("commit_version"),
@@ -356,10 +414,29 @@ object DeltaQueries {
         .orderBy("commit_version")
     },
 
-    // A12: post-replay scan-file rows (live files after reconciliation)
-    Q.noOracle("log_replay") { (s, dir) =>
-      val path = rangedTable(s, dir)
-      val snap = DeltaTable.forPath(s, path)
+    // A12: post-replay scan-file rows. Oracle: DuckDB REPLAYS the log
+    // with the same reconciliation rule (latest action per path wins,
+    // re-add beats remove within a commit) — checks replay semantics
+    // end-to-end against an independent implementation.
+    Q("log_replay",
+      s"""WITH acts AS (
+         |  SELECT COALESCE("add"->>'$$.path', remove->>'$$.path') AS path,
+         |         "add" IS NOT NULL AS is_add,
+         |         CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+         |           AS commit_version,
+         |         CAST("add"->>'$$.size' AS BIGINT) AS size,
+         |         CAST(json_extract_string("add"->>'$$.stats', '$$.numRecords')
+         |           AS BIGINT) AS num_records
+         |  FROM $logJsonSrc
+         |  WHERE "add" IS NOT NULL OR remove IS NOT NULL
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY path
+         |    ORDER BY commit_version DESC, is_add DESC) AS rn
+         |  FROM acts
+         |)
+         |SELECT path, size, commit_version, num_records
+         |FROM ranked WHERE rn = 1 AND is_add ORDER BY path""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, logDemoTable(s, dir))
       snap.allFiles
         .select(col("path"), col("size"), col("commit_version"),
           get_json_object(col("stats"), "$.numRecords").cast("long")

@@ -247,11 +247,16 @@ object RelationalQueries {
     },
 
     // HLL sketches differ across engines — declared rows-only.
+    // sketch-based aggregates (HLL ndv + approximate percentile): both
+    // engine-specific by construction, so rows-only by design; the exact
+    // companions are fully oracled (q_agg_distinct, q_percentile).
     Q.noOracle("q_approx_distinct") { (s, dir) =>
       load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)")
+            .as("p50_approx"))
         .orderBy("l_returnflag")
     },
 
@@ -339,17 +344,22 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
-    // exact percentile is interpolation-order-sensitive across engines;
-    // declared rows-only alongside the approximate sketch. The quartiles
-    // are emitted as scalar p25/p75 columns (not an array) so the driver
-    // harness can sort the result frame.
-    Q.noOracle("q_percentile") { (s, dir) =>
+    // exact percentile: Spark `percentile` and DuckDB `quantile_cont`
+    // share the linear-interpolation definition (pos = p*(n-1), lower +
+    // frac*(upper-lower)), so the quartiles oracle exactly. The
+    // approximate sketch variant lives with q_approx_distinct (sketches
+    // differ per engine, rows-only by design).
+    Q("q_percentile",
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.25) AS p25,
+        | quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       load(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
-          expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
           expr("percentile(o_totalprice, array(0.25, 0.75))").as("iqr"))
-        .select(col("o_orderstatus"), col("p50_exact"), col("p50_approx"),
+        .select(col("o_orderstatus"), col("p50"),
           element_at(col("iqr"), 1).as("p25"),
           element_at(col("iqr"), 2).as("p75"))
         .orderBy("o_orderstatus")
