@@ -35,6 +35,11 @@ object DeltaScan {
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** DV row filtering switches from the codegen-friendly broadcast
+    * anti-join to the compressed-bitmap UDF above this many deleted
+    * rows (the pair expansion of a huge DV would dwarf the bitmaps). */
+  private val DvAntiJoinMaxRows = 100000L
+
   /** Join keys between `_metadata.file_path` (a percent-encoded URI)
     * and driver-built paths: the SQL side strips the scheme but keeps
     * the URI encoding; the driver side re-encodes the raw on-disk path
@@ -137,11 +142,30 @@ object DeltaScan {
           normalize(abs(f.relPath)) ->
             DvBitmap.load(fs, qualifiedTable, d)))
         .toMap
-      // ship the bitmaps once per executor, not per task closure
-      val dvMapBc = spark.sparkContext.broadcast(dvMap)
-      val keep = udf((fkey: String, rowIndex: Long) =>
-        dvMapBc.value.get(fkey).forall(!_.contains(rowIndex)))
-      df = df.where(keep(col("__fkey"), col("__row_index")))
+      val totalDeleted = scanFiles.flatMap(_.dv).map(_.cardinality).sum
+      if (totalDeleted <= DvAntiJoinMaxRows) {
+        // small-DV path (the overwhelmingly common case: DVs mark a few
+        // deleted rows per file): materialize the deleted (file, row)
+        // pairs and drop them with a broadcast LEFT ANTI join — a plain
+        // BroadcastHashJoin that stays inside whole-stage codegen,
+        // unlike a per-row Scala UDF which fences it
+        val delSchema = StructType(Seq(
+          StructField("__fkey", StringType),
+          StructField("__row_index", LongType)))
+        val delRows = new java.util.ArrayList[Row](totalDeleted.toInt)
+        for ((k, bm) <- dvMap; i <- bm.iterator)
+          delRows.add(Row(k, i))
+        df = df.join(broadcast(spark.createDataFrame(delRows, delSchema)),
+          Seq("__fkey", "__row_index"), "left_anti")
+      } else {
+        // large-DV fallback: keep the roaring bitmaps as bitmaps (the
+        // expanded pair list would no longer be broadcast-cheap) and
+        // filter via one broadcast of the compressed structures
+        val dvMapBc = spark.sparkContext.broadcast(dvMap)
+        val keep = udf((fkey: String, rowIndex: Long) =>
+          dvMapBc.value.get(fkey).forall(!_.contains(rowIndex)))
+        df = df.where(keep(col("__fkey"), col("__row_index")))
+      }
     }
 
     if (withFileColumn) df = df.withColumn(FileKeyColumn, col("__fkey"))

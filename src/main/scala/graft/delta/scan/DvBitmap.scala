@@ -28,6 +28,12 @@ object DvBitmap {
         bitmaps(high).contains((rowIndex & 0xFFFFFFFFL).toInt)
     }
     def cardinality: Long = bitmaps.filter(_ != null).map(_.cardinality.toLong).sum
+    /** All deleted row indexes, ascending (small-DV anti-join path). */
+    def iterator: Iterator[Long] =
+      bitmaps.iterator.zipWithIndex.flatMap { case (bm, high) =>
+        if (bm == null) Iterator.empty
+        else bm.iterator.map(v => (high.toLong << 32) | (v.toLong & 0xFFFFFFFFL))
+      }
   }
 
   /** One 32-bit roaring bitmap: container key -> container. */
@@ -45,11 +51,17 @@ object DvBitmap {
       false
     }
     def cardinality: Int = containers.map(_.cardinality).sum
+    def iterator: Iterator[Int] =
+      keys.iterator.zip(containers.iterator).flatMap { case (k, c) =>
+        c.iterator.map(low => ((k & 0xFFFF) << 16) | low)
+      }
   }
 
   sealed trait Container extends Serializable {
     def contains(low: Int): Boolean
     def cardinality: Int
+    /** Set low-16-bit values, ascending. */
+    def iterator: Iterator[Int]
   }
   final case class ArrayContainer(values: Array[Short]) extends Container {
     def contains(low: Int): Boolean = {
@@ -65,11 +77,17 @@ object DvBitmap {
       false
     }
     def cardinality: Int = values.length
+    def iterator: Iterator[Int] = values.iterator.map(_ & 0xFFFF)
   }
   final case class BitmapContainer(words: Array[Long]) extends Container {
     def contains(low: Int): Boolean =
       (words(low >>> 6) & (1L << (low & 63))) != 0
     def cardinality: Int = words.map(java.lang.Long.bitCount).sum
+    def iterator: Iterator[Int] =
+      words.iterator.zipWithIndex.flatMap { case (w, wi) =>
+        Iterator.range(0, 64).filter(b => (w & (1L << b)) != 0)
+          .map(b => (wi << 6) | b)
+      }
   }
   final case class RunContainer(starts: Array[Short], lengths: Array[Short])
       extends Container {
@@ -84,6 +102,11 @@ object DvBitmap {
     }
     def cardinality: Int =
       lengths.map(l => (l & 0xFFFF) + 1).sum
+    def iterator: Iterator[Int] =
+      starts.indices.iterator.flatMap { i =>
+        val s = starts(i) & 0xFFFF
+        Iterator.range(s, s + (lengths(i) & 0xFFFF) + 1)
+      }
   }
 
   // ---- portable-format decode ---------------------------------------

@@ -78,6 +78,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!scan.isEmpty)
   }
 
+  test("small-DV scan filters via broadcast anti-join, no Scala UDF") {
+    val snap = graft.delta.DeltaTable.forPath(spark,
+      graft.queries.DeltaQueries.dvTable(spark, sf))
+    val df = snap.read
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted")) +
+      "\n" + df.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF"), "DV filter fell back to the UDF path:\n" +
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+  }
+
   test("q_topk: TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
