@@ -13,9 +13,9 @@ class SimilaritySpec extends AnyFunSuite {
     val ann = SimilarityQueries.annIvf(spark, sf, probeId = 0, k = k,
       nprobe = 8).collect().map(_.getLong(0)).toSet
     val recall = (brute intersect ann).size.toDouble / k
-    // nprobe=8 of 10 seed clusters scans ~80% here (tiny fixture);
-    // recall must be clearly better than random (k/n ~ 4%)
-    assert(recall >= 0.5, s"recall@$k = $recall")
+    // k-means-refined centroids, nprobe=8 of <=10 clusters: the probe's
+    // true neighbors must land almost entirely in the probed partitions
+    assert(recall >= 0.9, s"recall@$k = $recall")
   }
 
   test("embed near-dup band buckets are bounded (hot-bucket cap holds)") {
