@@ -79,6 +79,34 @@ object DeltaQueries {
        |    columns={"add": 'JSON', "remove": 'JSON', "metaData": 'JSON',
        |             "protocol": 'JSON', "commitInfo": 'JSON'})""".stripMargin
 
+  /** SF-independent CHECKPOINTED fixture: create nation partitioned by
+    * n_regionkey (5 adds) -> idempotent append of regions 0-1 under
+    * appId "writer-1" txn 5 -> remove the lexicographically-first file
+    * -> checkpoint. The post-checkpoint segment starts AT the
+    * checkpoint, so everything q_checkpoint_state reads (live files,
+    * row counts, tombstones, txn state) must survive through checkpoint
+    * retention — the round-2 protocol work, visible to the driver gate. */
+  final val LogDemoCpPath = "/root/repo/target/delta_fixtures/shared/logdemo_cp"
+
+  def checkpointedTable(s: SparkSession, sfDir: String): String = {
+    this.synchronized {
+      if (!exists(s, LogDemoCpPath)) {
+        val dir = new File(LogDemoCpPath)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        val n = s.read.parquet(s"$sfDir/nation.parquet")
+        CommitWriter.createTable(s, n, LogDemoCpPath,
+          partitionColumns = Seq("n_regionkey"))
+        CommitWriter.appendIfAbsent(s, n.where(col("n_regionkey") < 2),
+          LogDemoCpPath, appId = "writer-1", txnVersion = 5L)
+        val first = DeltaTable.forPath(s, LogDemoCpPath).allFiles
+          .select("path").orderBy("path").limit(1).collect()(0).getString(0)
+        CommitWriter.commitRemoves(s, LogDemoCpPath, Seq(first))
+        CommitWriter.checkpoint(s, LogDemoCpPath)
+      }
+    }
+    LogDemoCpPath
+  }
+
   def logDemoTable(s: SparkSession, sfDir: String): String = {
     this.synchronized {
       if (!exists(s, LogDemoPath)) {
@@ -442,5 +470,47 @@ object DeltaQueries {
           get_json_object(col("stats"), "$.numRecords").cast("long")
             .as("num_records"))
         .orderBy("path")
+    },
+
+    // A31/A22: checkpoint protocol exercised END-TO-END — the snapshot
+    // replays from the checkpoint alone, and the oracle reads the
+    // CHECKPOINT PARQUET itself: live file count, the row count the
+    // engine actually serves vs the stats the checkpoint recorded,
+    // retained tombstones, and the SetTransaction that must survive for
+    // exactly-once writers.
+    Q("q_checkpoint_state",
+      s"""WITH cp AS (
+         |  SELECT * FROM read_parquet('$LogDemoCpPath/_delta_log/*.checkpoint.parquet')
+         |)
+         |SELECT 'live_files' AS metric, count("add".path) AS value FROM cp
+         |UNION ALL
+         |SELECT 'live_rows',
+         |  CAST(sum(CAST(json_extract_string("add".stats, '$$.numRecords')
+         |    AS BIGINT)) AS BIGINT) FROM cp
+         |UNION ALL
+         |SELECT 'tombstones', count(remove.path) FROM cp
+         |UNION ALL
+         |SELECT 'txn_writer_1',
+         |  max(CASE WHEN txn.appId = 'writer-1' THEN txn.version END) FROM cp
+         |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val path = checkpointedTable(s, dir)
+      val snap = DeltaTable.forPath(s, path)
+      require(snap.segment.checkpointVersion.isDefined &&
+        snap.segment.commitFiles.isEmpty,
+        "fixture must replay from the checkpoint alone")
+      val metric = (name: String, df: DataFrame) =>
+        df.select(lit(name).as("metric"), col("value"))
+      metric("live_files",
+        snap.allFiles.agg(count(lit(1)).cast(LongType).as("value")))
+        .unionAll(metric("live_rows",
+          snap.read.agg(count(lit(1)).cast(LongType).as("value"))))
+        .unionAll(metric("tombstones",
+          Replay.tombstones(s, snap.segment)
+            .agg(count(lit(1)).cast(LongType).as("value"))))
+        .unionAll(metric("txn_writer_1",
+          s.range(1).select(lit(CommitWriter
+            .latestTxnVersion(s, path, "writer-1").getOrElse(-1L))
+            .cast(LongType).as("value"))))
+        .orderBy("metric")
     })
 }
