@@ -10,21 +10,47 @@ import graft.delta.DeltaTable
 /** `spark.read.format("graftdelta")` — data-source integration for the
   * graft Delta read path.
   *
+  * READS resolve through DataSource V2 ([[GraftDeltaTable]]: native
+  * vectorized ParquetScan over a log-backed FileIndex, with a composed
+  * V1Scan fallback for DV/column-mapping tables). WRITES stay on the v1
+  * CreatableRelationProvider — Spark routes `save()` through the v1 path
+  * whenever a TableProvider also implements CreatableRelationProvider,
+  * which keeps the commit-protocol write logic in one place. The v1
+  * RelationProvider remains as the explicit fallback relation.
+  *
   * The Spark analogue of the reference's `TableProvider` registration
-  * (reference: crates/datafusion/src/table_provider/delta/mod.rs:90-149):
-  * Spark hands projection + filters to `buildScan`
-  * (PrunedFilteredScan), which routes them through stats-based file
-  * skipping and partition pruning before any parquet is opened; the
-  * same predicates stay applied row-level (the reference's Inexact
-  * filter contract), so Spark's re-evaluation above the scan is a
-  * no-op semantically but keeps correctness obvious.
+  * (reference: crates/datafusion/src/table_provider/delta/mod.rs:90-149).
   *
   * Options: `path` (required), `versionAsOf` (optional time travel).
   */
 class GraftDeltaSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graftdelta"
+
+  // ---- DSv2 read path -----------------------------------------------
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def tableFor(
+      options: java.util.Map[String, String]): GraftDeltaTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftdelta requires a path"))
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    new GraftDeltaTable(SparkSession.active, path, versionAsOf)
+  }
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = tableFor(options).schema()
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = tableFor(properties)
+
+  // ---- v1 read fallback ---------------------------------------------
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -105,21 +131,6 @@ final case class GraftDeltaRelation(
     projected.rdd
   }
 
-  /** public sources.Filter → Column (only shapes our skipping layer
-    * understands; the rest are left for Spark's own evaluation). */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === v)
-    case GreaterThan(a, v) => Some(col(a) > v)
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
-    case LessThan(a, v) => Some(col(a) < v)
-    case LessThanOrEqual(a, v) => Some(col(a) <= v)
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case And(l, r) => for {lc <- toColumn(l); rc <- toColumn(r)} yield lc && rc
-    case Or(l, r) => for {lc <- toColumn(l); rc <- toColumn(r)} yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
+  /** public sources.Filter → Column — shared with the DSv2 scans. */
+  private def toColumn(f: Filter): Option[Column] = FilterColumns.toColumn(f)
 }

@@ -1,0 +1,145 @@
+package graft.delta.sources
+
+import java.util.{Set => JSet}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.delta.{DeltaTable, Snapshot}
+import graft.delta.scan.ColumnMapping
+
+/** DSv2 `Table` for graftdelta (the Spark analogue of the reference's
+  * `TableProvider::scan`, crates/datafusion/src/table_provider/delta/
+  * mod.rs:90-149). Two scan strategies behind one table:
+  *
+  *  - NATIVE (no deletion vectors, identity column mapping — the common
+  *    case): Spark's own `ParquetScanBuilder` over a
+  *    [[GraftDeltaFileIndex]]. File splits stream from the log-backed
+  *    index at plan time (partition pruning + stats skipping both
+  *    applied there), the scan is Spark's vectorized parquet batch read
+  *    inside whole-stage codegen, and pushed filters are visible on the
+  *    BatchScan node.
+  *  - COMPOSED (DV or column-mapping tables): a `V1Scan` wrapping the
+  *    assembled DataFrame ([[DeltaScan]]), which carries the DV
+  *    anti-join and physical→logical rename. Pushed filters still
+  *    reach stats skipping and still print on the scan node.
+  *
+  * Schema order follows Spark's file-source convention: data columns
+  * first, partition columns last.
+  */
+final class GraftDeltaTable(spark: SparkSession, path: String,
+    versionAsOf: Option[Long]) extends Table with SupportsRead {
+
+  private[sources] lazy val snapshot: Snapshot =
+    DeltaTable.forPath(spark, path, versionAsOf)
+  private lazy val partCols = snapshot.partitionColumns
+  private lazy val dataFields =
+    snapshot.schema.fields.filterNot(f => partCols.contains(f.name))
+  private lazy val partFields = partCols.map(c => snapshot.schema(c))
+
+  override def name(): String = s"graftdelta.`$path`"
+
+  /** DataFrameWriter resolves the table (via inferSchema) BEFORE its
+    * not-SupportsWrite fallback to the v1 write path, including for
+    * tables that don't exist yet — so a missing table must yield an
+    * empty schema here, not an error. Reads of a missing table still
+    * fail with the proper message when the scan resolves the snapshot. */
+  private lazy val tableExists: Boolean = {
+    val logPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "_delta_log")
+    graft.delta.log.LogSegment.fs(spark, logPath).exists(logPath)
+  }
+
+  override def schema(): StructType =
+    if (!tableExists) new StructType()
+    else StructType(dataFields.toIndexedSeq ++ partFields)
+
+  override def partitioning(): Array[Transform] =
+    if (!tableExists) Array.empty
+    else partCols.map(c => Expressions.identity(c)).toArray
+
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def hasDvs: Boolean = snapshot.allFiles
+    .where(col("deletionVector").isNotNull).limit(1).collect().nonEmpty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val identityMapping = ColumnMapping.mode(snapshot.metadata) == "none"
+    if (identityMapping && !hasDvs)
+      ParquetScanBuilder(spark, new GraftDeltaFileIndex(spark, snapshot),
+        schema(), StructType(dataFields.toIndexedSeq), options)
+    else new GraftDeltaComposedScanBuilder(snapshot, schema())
+  }
+}
+
+/** Fallback scan for DV / column-mapping tables: pushdown bookkeeping at
+  * the DSv2 layer, execution through the composed v1 DataFrame. */
+final class GraftDeltaComposedScanBuilder(snapshot: Snapshot,
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // best-effort contract (the reference's Inexact filters,
+    // table_provider/delta/mod.rs:83-88): record what the skipping layer
+    // understands, let Spark re-evaluate everything row-level
+    pushed = filters.filter(f => FilterColumns.toColumn(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val filterCols = pushed.toSeq.flatMap(FilterColumns.toColumn)
+      val df0 =
+        if (filterCols.isEmpty) snapshot.read
+        else snapshot.readWhere(filterCols: _*)
+      val projected =
+        if (required.isEmpty) df0.select()
+        else df0.select(required.fieldNames.map(col).toIndexedSeq: _*)
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = projected.rdd
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** public sources.Filter → Column (shared by the v1 relation, the DSv2
+  * fallback scan, and the file index's stats-skipping hookup; only
+  * shapes the skipping layer understands — the rest stay residual). */
+object FilterColumns {
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) => for {lc <- toColumn(l); rc <- toColumn(r)} yield lc && rc
+    case Or(l, r) => for {lc <- toColumn(l); rc <- toColumn(r)} yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

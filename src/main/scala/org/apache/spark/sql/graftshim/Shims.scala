@@ -13,6 +13,13 @@ object Shims {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Catalyst predicate → public sources.Filter (DataSourceStrategy's
+    * translator is protected[sql]); used by the DSv2 file index to route
+    * pushed data filters into the shared stats-skipping engine. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Version-stable view of a Column's node tree, for predicate
     * translation (file skipping). */
   sealed trait PredNode

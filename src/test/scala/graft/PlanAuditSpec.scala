@@ -78,6 +78,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!scan.isEmpty)
   }
 
+  test("format_read: DSv2 BatchScan over the log-backed file index, " +
+      "filters pushed to parquet") {
+    val p = plan("format_read")
+    assert(p.contains("BatchScan"), p.take(3000))
+    assert(p.contains("GraftDeltaFileIndex"), p.take(3000))
+    assert(p.contains("LessThanOrEqual(o_orderkey,1000)"), p.take(3000))
+    assert(p.contains("ColumnarToRow"), "vectorized parquet read expected")
+  }
+
+  test("DSv2 scan: stats skipping prunes file splits at plan time") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    val ranged = graft.queries.DeltaQueries.rangedTable(spark, sf)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.partitions.flatten.collect {
+          case f: FilePartition => f.files.length
+        }.sum
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    }
+    val all = spark.read.format("graftdelta").option("path", ranged).load()
+    val filtered = all.where(col("o_orderkey") <= 1000)
+    val nAll = filesRead(all)
+    val nFiltered = filesRead(filtered)
+    assert(nFiltered < nAll,
+      s"stats skipping did not prune file splits: $nFiltered of $nAll")
+  }
+
+  test("DSv2 scan: partition filters prune via the file index") {
+    val part = graft.queries.DeltaQueries.partitionedTable(spark, sf)
+    val df = spark.read.format("graftdelta").option("path", part).load()
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      p.take(2000))
+    val expected = graft.queries.T.load(spark, sf, "orders")
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .count()
+    assert(df.count() == expected)
+  }
+
   test("small-DV scan filters via broadcast anti-join, no Scala UDF") {
     val snap = graft.delta.DeltaTable.forPath(spark,
       graft.queries.DeltaQueries.dvTable(spark, sf))
