@@ -55,46 +55,63 @@ object Replay {
     * jobs); anything bigger — and every checkpoint — stays distributed. */
   private val DriverReplayMaxBytes = 8L * 1024 * 1024
 
-  /** Reconciled-file-list cache keyed by (table, version): a snapshot is
-    * immutable, so repeated reads of the same version skip the replay
-    * jobs entirely. Bounded LRU; entries are driver-side Row arrays
-    * (file metadata only — ~100 bytes/file, never data). Large file
-    * lists (beyond the cap) are never cached. */
+  /** Per-table reconciled-state cache enabling INCREMENTAL refresh (the
+    * kernel's `Snapshot::try_new_from` semantics): when a table is
+    * re-resolved at a newer version and the cached state's log files are
+    * an unchanged prefix of the current segment, only the new commit
+    * tail is replayed on top of the cached rows — a hot table's refresh
+    * cost is O(new commits), not O(log). Entries are driver-side Row
+    * arrays (file metadata only — ~100 bytes/file, never data), bounded
+    * LRU over tables, oversized file lists never cached. */
   private val CacheMaxTables = 64
   private val CacheMaxFilesPerTable = 100000
-  private val liveFilesCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Array[org.apache.spark.sql.Row]](
-      16, 0.75f, true) {
+
+  private case class CachedState(
+      version: Long,
+      // (name, length, mtime) of every log file the state was built from
+      sigs: Seq[(String, Long, Long)],
+      // head-bytes hash of the tip file: stat-identical same-second
+      // recreations still change commit content (fresh metadata UUID,
+      // ms commitInfo timestamps); byte-identical recreations would
+      // serve an identical list, which is harmless
+      contentMark: Long,
+      rows: Array[org.apache.spark.sql.Row])
+
+  private val stateCache =
+    new java.util.LinkedHashMap[String, CachedState](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Array[org.apache.spark.sql.Row]])
-          : Boolean = size() > CacheMaxTables
+          e: java.util.Map.Entry[String, CachedState]): Boolean =
+        size() > CacheMaxTables
     }
 
-  /** Content identity of a segment beyond (path, version): a hash of its
-    * log files' (name, length, mtime) PLUS the head bytes of the newest
-    * log file. Guards the cache against a table deleted and recreated at
-    * the same path hitting the same versions — mtime granularity is 1s
-    * on some filesystems, so stat-identical recreations are possible;
-    * commit content is not (metadata id is a fresh UUID per createTable
-    * and commitInfo timestamps are ms-precision). A byte-identical
-    * recreation would serve an identical file list, which is harmless.
-    * Cost: one <=64 KiB read per lookup, only on the small-log cached
-    * path (a cache miss replays every commit file anyway). */
-  private def segmentIdentity(spark: SparkSession, segment: LogSegment): Long = {
-    val statHash =
-      (segment.checkpointFiles ++ segment.commitFiles).foldLeft(17L) { (h, st) =>
-        var x = h * 31 + st.getPath.getName.hashCode
-        x = x * 31 + st.getLen
-        x * 31 + st.getModificationTime
-      }
-    val newest = (segment.checkpointFiles ++ segment.commitFiles)
-      .maxBy(st => (st.getModificationTime, st.getPath.getName))
-    val fs = LogSegment.fs(spark, segment.tablePath)
-    val buf = new Array[Byte](64 * 1024)
-    val in = fs.open(newest.getPath)
-    val n = try in.read(buf, 0, buf.length) finally in.close()
-    (0 until math.max(n, 0)).foldLeft(statHash)((h, i) => h * 31 + buf(i))
+  /** Test observability: how snapshots were served. */
+  private[graft] object ReplayCounters {
+    val hit = new java.util.concurrent.atomic.AtomicLong
+    val incremental = new java.util.concurrent.atomic.AtomicLong
+    val full = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { hit.set(0); incremental.set(0); full.set(0) }
   }
+
+  private def sigOf(st: org.apache.hadoop.fs.FileStatus): (String, Long, Long) =
+    (st.getPath.getName, st.getLen, st.getModificationTime)
+
+  /** Head-bytes hash of a log file; None when unreadable (e.g. cleaned
+    * up since caching) — callers treat that as a cache mismatch. */
+  private def headHash(spark: SparkSession, segment: LogSegment,
+      name: String): Option[Long] = scala.util.Try {
+    val fs = LogSegment.fs(spark, segment.tablePath)
+    val p = new Path(new Path(segment.tablePath, "_delta_log"), name)
+    val buf = new Array[Byte](64 * 1024)
+    val in = fs.open(p)
+    val n = try in.read(buf, 0, buf.length) finally in.close()
+    (0 until math.max(n, 0)).foldLeft(17L)((h, i) => h * 31 + buf(i))
+  }.toOption
+
+  /** Version a log file contributes state up to. */
+  private def fileVersion(segment: LogSegment,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    LogSegment.commitVersion(st.getPath.getName)
+      .getOrElse(segment.checkpointVersion.getOrElse(-1L))
 
   /** The reconciled live file set: one row per live AddFile (columns of
     * Actions.addSchema plus commit_version). Reconciliation rule: the
@@ -114,23 +131,59 @@ object Replay {
       // materialized before pruning
       return liveFilesDistributed(spark, segment)
 
-    // small-log path: the reconciled list is tiny, so it lives in a
-    // driver cache keyed by the immutable (table, version) — repeated
-    // snapshot reads skip the replay entirely. Checkpoint-less logs
-    // replay with plain Jackson (zero Spark jobs); small checkpoints
-    // pay one distributed read on first access.
-    val key = (segment.tablePath.toString, segment.version,
-      segmentIdentity(spark, segment))
-    val rows = liveFilesCache.synchronized {
-      Option(liveFilesCache.get(key))
-    }.getOrElse {
-      val computed =
-        if (segment.checkpointFiles.isEmpty)
-          liveFilesDriverSideRows(spark, segment)
-        else liveFilesDistributed(spark, segment).collect()
-      if (computed.length <= CacheMaxFilesPerTable)
-        liveFilesCache.synchronized { liveFilesCache.put(key, computed) }
-      computed
+    // small-log path: the reconciled list is tiny, so it lives in the
+    // per-table driver cache. Resolution order: exact hit (same version,
+    // unchanged files) -> incremental (cached version is an unchanged
+    // prefix: replay only the new commit tail onto the cached rows) ->
+    // full replay. Checkpoint-less logs replay with plain Jackson (zero
+    // Spark jobs); small checkpoints pay one distributed read.
+    val tableKey = segment.tablePath.toString
+    val allFilesNow = segment.checkpointFiles ++ segment.commitFiles
+    val sigsNow = allFilesNow.map(sigOf)
+    val cached = stateCache.synchronized { Option(stateCache.get(tableKey)) }
+
+    // never let a TIME-TRAVEL read of an older version clobber the hot
+    // latest state (the next latest read would then full-replay)
+    def store(rows: Array[org.apache.spark.sql.Row]): Unit =
+      for (mark <- headHash(spark, segment, sigsNow.last._1)
+           if rows.length <= CacheMaxFilesPerTable &&
+             cached.forall(_.version <= segment.version))
+        stateCache.synchronized {
+          stateCache.put(tableKey,
+            CachedState(segment.version, sigsNow, mark, rows))
+        }
+
+    val rows = cached match {
+      // exact hit: same version, identical file stats + tip content
+      case Some(c) if c.version == segment.version && c.sigs == sigsNow &&
+          headHash(spark, segment, sigsNow.last._1).contains(c.contentMark) =>
+        ReplayCounters.hit.incrementAndGet()
+        c.rows
+      // incremental: the cached state's files are an unchanged prefix of
+      // the current segment (no new checkpoint swallowed them) — apply
+      // only the commits past the cached version
+      case Some(c) if c.version < segment.version &&
+          allFilesNow.filter(fileVersion(segment, _) <= c.version)
+            .map(sigOf) == c.sigs &&
+          headHash(spark, segment, c.sigs.last._1).contains(c.contentMark) =>
+        ReplayCounters.incremental.incrementAndGet()
+        val live = scala.collection.mutable.LinkedHashMap.empty[
+          String, org.apache.spark.sql.Row]
+        c.rows.foreach(r => live.put(r.getString(0), r))
+        val tail = segment.commitFiles
+          .filter(st => fileVersion(segment, st) > c.version)
+        val computed = replayCommits(spark, segment, tail, live)
+        store(computed)
+        computed
+      case _ =>
+        ReplayCounters.full.incrementAndGet()
+        val computed =
+          if (segment.checkpointFiles.isEmpty)
+            replayCommits(spark, segment, segment.commitFiles,
+              scala.collection.mutable.LinkedHashMap.empty)
+          else liveFilesDistributed(spark, segment).collect()
+        store(computed)
+        computed
     }
     val schema = StructType(Actions.addSchema.fields :+
       StructField("commit_version", LongType))
@@ -139,14 +192,16 @@ object Replay {
     spark.createDataFrame(l, schema)
   }
 
-  private def liveFilesDriverSideRows(spark: SparkSession,
-      segment: LogSegment): Array[org.apache.spark.sql.Row] = {
+  /** Apply `commits` (in order) on top of `live` (path -> add row);
+    * latest action wins, re-adds in the same commit supersede removes
+    * because removes apply first. */
+  private def replayCommits(spark: SparkSession, segment: LogSegment,
+      commits: Seq[org.apache.hadoop.fs.FileStatus],
+      live: scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.Row])
+      : Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
     val fs = LogSegment.fs(spark, segment.tablePath)
-    // path -> (commit_version, add row); latest action wins, re-adds in
-    // the same commit supersede removes because removes apply first
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Row]
-    for (commit <- segment.commitFiles) {
+    for (commit <- commits) {
       val version = LogSegment.commitVersion(commit.getPath.getName).get
       val in = fs.open(commit.getPath)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -191,6 +246,11 @@ object Replay {
       .where(col("rn") === 1 && !col("is_add"))
       .select(col("remove"), col("commit_version"))
   }
+
+  /** Test hook: the distributed replay plan regardless of log size (the
+    * cold-truth reference the incremental path is asserted against). */
+  private[graft] def liveFilesDistributedForTest(spark: SparkSession,
+      segment: LogSegment): DataFrame = liveFilesDistributed(spark, segment)
 
   private def liveFilesDistributed(spark: SparkSession,
       segment: LogSegment): DataFrame = {
