@@ -45,6 +45,51 @@ class ZOrderSinkSpec extends AnyFunSuite {
       orders.filter(pred.head).count())
   }
 
+  test("ZORDER BY a string column clusters by order-preserving prefix") {
+    val p = tmp("zstr")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    CommitWriter.createTable(spark,
+      orders.repartition(4, col("o_orderkey")), p)
+    graft.commands.OptimizeCommand.optimize(spark, p,
+      targetFileSize = 16 * 1024, minFiles = 2, zorderBy = Seq("o_orderpriority"))
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.read.count() == orders.count())
+    val prios = orders.select("o_orderpriority").distinct()
+      .orderBy("o_orderpriority").collect().map(_.getString(0))
+    val cut = prios(prios.length / 4) // low boundary value
+    val pred = Seq(col("o_orderpriority") <= cut)
+    val total = after.allFiles.count()
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(after, pred).count()
+    assert(total > 1 && pruned < total,
+      s"string z-order should prune: $pruned of $total kept")
+    assert(after.readWhere(pred: _*).count() ==
+      orders.filter(pred.head).count())
+  }
+
+  test("ZORDER BY on a partitioned table keeps partitions + prunes") {
+    val p = tmp("zpart")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    CommitWriter.createTable(spark, orders, p,
+      partitionColumns = Seq("o_orderstatus"))
+    CommitWriter.append(spark, orders, p)
+    graft.commands.OptimizeCommand.optimize(spark, p,
+      targetFileSize = 16 * 1024, minFiles = 2, zorderBy = Seq("o_custkey"))
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.read.count() == orders.count() * 2)
+    // partition pruning still exact
+    val pPred = Seq(col("o_orderstatus") === "F")
+    assert(after.readWhere(pPred: _*).count() ==
+      orders.filter(pPred.head).count() * 2)
+    // z-clustering prunes within the scan on the z column
+    val zPred = Seq(col("o_custkey") <= 50)
+    val total = after.allFiles.count()
+    val pruned = graft.delta.scan.DeltaScan.prunedFiles(after, zPred).count()
+    assert(pruned < total,
+      s"partitioned z-order should prune: $pruned of $total kept")
+    assert(after.readWhere(zPred: _*).count() ==
+      orders.filter(zPred.head).count() * 2)
+  }
+
   test("OPTIMIZE ZORDER BY through SQL grammar") {
     val p = tmp("zsql")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
