@@ -40,25 +40,41 @@ object Bench {
       }.sorted
       (name, times(times.length / 2), times.head, times.last)
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx) =>
-      "\"" + k + "\":[" + mn + "," + mx + "]"
+      "\"" + k + "\":[" + fmt(mn) + "," + fmt(mx) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread}"""
-    println(json)
-    // the driver tail-truncates stdout; persist the full per-query vector
-    // so later rounds can diff regressions mechanically
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread}"""
+    // the driver keeps only the last ~2000 chars of output; persist the full
+    // per-query vector to a file and print a compact headline line LAST so it
+    // survives the tail buffer intact and parses
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query JSON at $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist json: ${e.getMessage}")
     }
+    val headline = Set(
+      "delta_scan", "file_skipping", "deletion_vectors", "partition_pruning",
+      "schema_evolution", "time_travel", "snapshot_refresh", "q_checkpoint_state",
+      "q1_agg", "q_agg", "q_join_inner", "q_join_broadcast", "q_window_rank",
+      "q_topk", "q_sort", "q_union_all", "q_subquery_in", "q_percentile",
+      "q_asof_join", "q_events_window", "q_dedup", "q_near_dedup",
+      "q_minhash_signatures", "q_simhash", "q_ngram_jaccard", "q_embed_near_dup",
+      "q_sim_topk", "q_sim_ann_ivf", "q_text_stats", "q_lang_id",
+      "q_token_count", "q_multimodal_features", "q_stream_window",
+      "q_stream_sessions", "q_merge", "vacuum_dry_run")
+    val headQs = results.collect { case (k, med, _, _) if headline(k) =>
+      "\"" + k + "\":" + fmt(med)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length}}""")
     spark.stop()
   }
 

@@ -132,6 +132,39 @@ object TextQueries {
     ngramJaccardFinish(pairs)
   }
 
+  /** Shingle-set stream built without interpreted lambdas: tokens
+    * posexplode (codegen), bigrams via lead over a doc_id window, hash
+    * after (codegen), distinct by agg, sz via a second doc_id window.
+    * More shuffles than the row-local formulation but every operator is
+    * whole-stage-codegen — profiled against it in tools.ProfileNgram. */
+  private[graft] def ngramShingleSetsLead(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(byDoc))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("source"),
+        hashCol(concat(col("tok"), lit(" "), col("nxt"))).as("h"))
+      .distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  private[graft] def ngramJaccardStreamedLead(s: SparkSession, dir: String): DataFrame = {
+    val capped = ngramShingleSetsLead(s, dir)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("source", "h")))
+      .where(col("cnt") <= StopShingleMax)
+    val a = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_a"), col("sz").as("sza"))
+    val b = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_b"), col("sz").as("szb"))
+    val pairs = a.join(b, Seq("source", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sza", "szb")
+    ngramJaccardFinish(pairs)
+  }
+
   /** Streamed self-equi-join pair generation: the window cap rides the
     * same (source, h) partitioning the join needs. Shuffles: window +
     * join (exchange-reusable) + pair agg. */
@@ -394,14 +427,16 @@ object TextQueries {
          |FROM common
          |WHERE CAST(c AS DOUBLE) / CAST(sza + szb - c AS DOUBLE) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Spark plan: streamed capped self-equi-join (ngramJaccardStreamed)
-      // — measured fastest of three formulations at sf0.1 (4.15s vs
-      // 4.53s postings-list vs 4.79s lambda-hashed postings; see
-      // tools.ProfileNgram). The per-doc shingle SET is row-local
-      // (array_distinct over in-row strings), so sz needs no shuffle and
-      // the hash is codegen'd after the explode; the StopShingleMax
+      // Spark plan: lead-window shingling + streamed capped self-equi-join
+      // (ngramJaccardStreamedLead) — measured fastest at sf0.1 (1.19s vs
+      // 3.49s row-local-sets streamed vs 4.19s postings-list; see
+      // tools.ProfileNgram). Spark evaluates higher-order lambdas
+      // INTERPRETED, so the row-local transform/filter/array_distinct set
+      // builder alone cost 2.3s; the lead formulation keeps every operator
+      // in whole-stage codegen and dedups by hash exactly as the oracle's
+      // `SELECT DISTINCT doc_id, source, h` does. The StopShingleMax
       // window cap rides the same (source, h) partitioning the join
       // consumes.
-      ngramJaccardStreamed(s, dir)
+      ngramJaccardStreamedLead(s, dir)
     })
 }

@@ -37,6 +37,16 @@ object ProfileNgram {
     time("streamed") {
       graft.queries.TextQueries.ngramJaccardStreamed(spark, sfDir).count()
     }
+    // stage decomposition: where do the seconds actually go?
+    time("setsOnly") {
+      graft.queries.TextQueries.ngramShingleSets(spark, sfDir).count()
+    }
+    time("streamedLead") {
+      graft.queries.TextQueries.ngramJaccardStreamedLead(spark, sfDir).count()
+    }
+    println("--- streamed plan (look for ReusedExchange) ---")
+    graft.queries.TextQueries.ngramJaccardStreamed(spark, sfDir)
+      .explain("formatted")
     spark.stop()
   }
 }
