@@ -38,6 +38,16 @@ final case class Snapshot(
     * `Inexact` filter contract — table_provider/delta/mod.rs:83-88). */
   def readWhere(filters: Column*): DataFrame =
     DeltaScan.build(this, filters)
+
+  /** Read only the rows in files ADDED by commits after `versionExclusive`
+    * and still live at this snapshot — the streaming source's tail batch
+    * (the reconciled file list stamps each live file with the commit
+    * version that added it). */
+  def readAddedAfter(versionExclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    DeltaScan.build(this, Seq.empty,
+      fileFilter = Some(col("commit_version") > versionExclusive))
+  }
 }
 
 object DeltaTable {

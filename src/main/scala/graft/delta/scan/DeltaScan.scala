@@ -62,12 +62,14 @@ object DeltaScan {
     build(snapshot, Seq.empty, withFileColumn = true)
 
   def build(snapshot: Snapshot, filters: Seq[Column],
-      withFileColumn: Boolean = false): DataFrame = {
+      withFileColumn: Boolean = false,
+      fileFilter: Option[Column] = None): DataFrame = {
     val spark = snapshot.spark
     val logical = snapshot.schema
     val partCols = snapshot.partitionColumns
 
-    val scanFiles: Seq[ScanFile] = prunedFiles(snapshot, filters)
+    val fileList = fileFilter.foldLeft(prunedFiles(snapshot, filters))(_.where(_))
+    val scanFiles: Seq[ScanFile] = fileList
       .select("path", "partitionValues", "deletionVector")
       .collect().toSeq.map { r =>
         ScanFile(

@@ -25,9 +25,31 @@ import graft.delta.DeltaTable
   */
 class GraftDeltaSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.connector.catalog.TableProvider {
+    with org.apache.spark.sql.connector.catalog.TableProvider
+    with StreamSourceProvider {
 
   override def shortName(): String = "graftdelta"
+
+  // ---- streaming read path (v1 Source; table advertises BATCH_READ
+  // only, so DataStreamReader falls back here) -----------------------
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta requires a path"))
+    (shortName(),
+      schema.getOrElse(DeltaTable.forPath(sqlContext.sparkSession, path).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta requires a path"))
+    new GraftDeltaStreamSource(sqlContext.sparkSession, path, parameters)
+  }
 
   // ---- DSv2 read path -----------------------------------------------
 

@@ -1,0 +1,127 @@
+package graft.delta.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
+import org.apache.spark.sql.types.StructType
+import graft.delta.DeltaTable
+import graft.delta.log.LogSegment
+
+/** Offset for the graftdelta streaming source: the table version whose
+  * commits have all been emitted (inclusive). */
+final case class GraftDeltaOffset(version: Long) extends LegacyOffset {
+  override def json(): String = version.toString
+}
+
+/** Structured-Streaming SOURCE over a graft Delta table — the inverse of
+  * [[graft.streaming.DeltaSink]]: `spark.readStream.format("graftdelta")`
+  * tails the `_delta_log`, emitting the table snapshot as the first
+  * micro-batch and exactly the files ADDED by each subsequent commit as
+  * later batches (standard Delta streaming-source semantics). Built on
+  * the v1 `Source` API — the same surface production Delta readers use —
+  * because `getBatch` can then reuse the whole composed scan path
+  * (partition values, deletion vectors, column mapping) instead of
+  * reimplementing a parquet reader factory.
+  *
+  * Offsets are table versions; a restart resumes from the checkpointed
+  * version and replays only the newer commit tail (O(new commits), same
+  * contract as the incremental snapshot refresh). Appends are the only
+  * in-stream change the source accepts: a commit that REMOVES data
+  * (DELETE/UPDATE/OPTIMIZE rewrites) fails the stream unless
+  * `ignoreChanges=true`, because its re-added files would duplicate rows
+  * downstream — matching the reference-ecosystem semantics for Delta
+  * streaming reads.
+  *
+  * Options: `maxVersionsPerTrigger` caps how many commit versions a
+  * micro-batch may advance (rate limiting); `ignoreChanges` suppresses
+  * the non-append failure.
+  */
+final class GraftDeltaStreamSource(
+    spark: SparkSession,
+    path: String,
+    options: Map[String, String]) extends Source {
+
+  private val opts = options.map { case (k, v) => k.toLowerCase -> v }
+  private val ignoreChanges =
+    opts.get("ignorechanges").exists(_.toBoolean) ||
+      opts.get("ignoredeletes").exists(_.toBoolean)
+  private val maxVersionsPerTrigger =
+    opts.get("maxversionspertrigger").map(_.toLong).map { n =>
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+
+  /** Schema is pinned at stream start (a mid-stream schema change fails
+    * the batch when column resolution does — the streaming contract). */
+  override val schema: StructType = DeltaTable.forPath(spark, path).schema
+
+  /** Highest version already handed to the engine — the rate-limit base.
+    * Restart-safe: getBatch bumps it to the recovered end offset before
+    * the first getOffset of the resumed run. */
+  @volatile private var base: Long = -1L
+
+  private def ver(o: LegacyOffset): Long = o match {
+    case GraftDeltaOffset(v) => v
+    case other => other.json().trim.toLong
+  }
+
+  override def getOffset: Option[LegacyOffset] = {
+    val latest = DeltaTable.forPath(spark, path).version
+    val next = maxVersionsPerTrigger.fold(latest)(n => math.min(latest, base + n))
+    if (next <= base) None
+    else {
+      base = next
+      Some(GraftDeltaOffset(next))
+    }
+  }
+
+  override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    val endV = ver(end)
+    base = math.max(base, endV)
+    val snap = DeltaTable.forPath(spark, path, Some(endV))
+    val batch = start.map(ver) match {
+      case None => snap.read // initial load: the full snapshot at endV
+      case Some(sv) =>
+        failOnDataChange(sv, endV)
+        // the files added in (sv, endV] and still live at endV: the
+        // reconciled list stamps each file with the commit that added it
+        snap.readAddedAfter(sv)
+    }
+    // v1 contract: the returned plan must carry isStreaming=true
+    org.apache.spark.sql.graftshim.Shims.asStreamingDF(batch)
+  }
+
+  /** Reject in-stream DELETE/UPDATE/rewrite commits (removes with
+    * dataChange=true) unless ignoreChanges. Reads only the (sv, endV]
+    * commit JSONs driver-side; commits already compacted into a
+    * checkpoint are skipped (they were emitted before this stream). */
+  private def failOnDataChange(sv: Long, endV: Long): Unit = {
+    if (ignoreChanges) return
+    val fs = LogSegment.fs(spark, new Path(path))
+    val logDir = new Path(new Path(path), "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (v <- (sv + 1) to endV) {
+      val commit = new Path(logDir, f"$v%020d.json")
+      if (fs.exists(commit)) {
+        val in = fs.open(commit)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector finally in.close()
+        for (line <- lines if line.nonEmpty) {
+          val n = mapper.readTree(line)
+          if (n.has("remove") &&
+              Option(n.get("remove").get("dataChange")).forall(_.asBoolean()))
+            throw new UnsupportedOperationException(
+              s"Streaming source found a data-changing remove in commit $v of " +
+                s"$path (DELETE/UPDATE/MERGE). Streaming reads require an " +
+                "append-only table; set ignoreChanges=true to skip such commits.")
+        }
+      }
+    }
+  }
+
+  override def commit(end: LegacyOffset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftDeltaStreamSource[$path]"
+}

@@ -20,6 +20,16 @@ object Shims {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** Re-flag a batch DataFrame as a streaming one — the v1 `Source`
+    * contract requires `getBatch` to return a plan with
+    * isStreaming=true. `internalCreateDataFrame` is public on the
+    * classic session; this wrapper just centralizes the classic casts. */
+  def asStreamingDF(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Version-stable view of a Column's node tree, for predicate
     * translation (file skipping). */
   sealed trait PredNode

@@ -31,6 +31,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.schema.fieldNames.contains("window"))
   }
 
+  test("delta streaming source: incremental tail replay while running") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graftdelta").option("path", path).load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_delta_src").start()
+    try {
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_src").count() == 10)
+      // appends committed while the stream runs arrive incrementally
+      CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_src").count() == base.count())
+      // the second batch carried ONLY the appended files, not a re-read
+      // of the snapshot (no duplicated rows)
+      assert(ss.table("spec_delta_src").select("n_nationkey")
+        .distinct().count() == base.count())
+    } finally q.stop()
+  }
+
+  test("delta streaming source: data-changing removes fail unless ignoreChanges") {
+    import graft.delta.log.CommitWriter
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    def run(ignoreChanges: Boolean): Either[Throwable, Long] = {
+      // fresh table per run — the hostile commit from one run must not
+      // leak into the other's initial snapshot
+      val path = java.nio.file.Files.createTempDirectory("stream_chg").toString
+      CommitWriter.createTable(spark, base, path)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val name = s"spec_delta_chg_$ignoreChanges"
+      val reader = ss.readStream.format("graftdelta").option("path", path)
+      val q = (if (ignoreChanges) reader.option("ignoreChanges", "true")
+               else reader).load()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val doomed = graft.delta.DeltaTable.forPath(spark, path).allFiles
+          .select("path").orderBy("path").limit(1).collect()(0).getString(0)
+        CommitWriter.commitRemoves(spark, path, Seq(doomed))
+        q.processAllAvailable()
+        Right(ss.table(name).count())
+      } catch { case e: Throwable => Left(e) } finally q.stop()
+    }
+    run(ignoreChanges = false) match {
+      case Left(e) =>
+        val messages = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+        assert(messages.exists(_.contains("append-only")),
+          s"unexpected failure: $messages")
+      case Right(_) => fail("expected the stream to fail on a remove commit")
+    }
+    run(ignoreChanges = true) match {
+      case Right(n) => assert(n == base.count()) // remove adds no new files
+      case Left(e) => fail(s"ignoreChanges run failed: $e")
+    }
+  }
+
   test("mapGroupsWithState sessionization counts all events per user") {
     val sessions = EventsStream.runToMemory(spark,
       ss => EventsStream.userSessions(ss,
