@@ -25,7 +25,20 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
-    Q.noOracle("q_multimodal_frames") { (s, dir) =>
+    // Frame sampling through the stub codec (every-32nd payload byte,
+    // max 8). The fixture text is pure ASCII, so DuckDB can replay the
+    // byte arithmetic exactly over the source text — a full content
+    // oracle for the mapPartitions/flatMap plumbing, not a rows-only
+    // smoke.
+    Q("q_multimodal_frames",
+      """SELECT doc_id AS media_id,
+        | (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        | CAST(i AS INTEGER) AS frame_idx,
+        | CAST(ascii(substr(text, CAST(i * 32 + 1 AS INTEGER), 1)) AS BIGINT)
+        |   AS sample
+        |FROM documents, range(8) t(i)
+        |WHERE i * 32 < octet_length(CAST(text AS BLOB))
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, dir))
         .orderBy("media_id", "frame_idx")
     })

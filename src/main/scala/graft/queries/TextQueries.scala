@@ -280,6 +280,59 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic train/val/test split assignment: hash-mod bucketing
+    // on doc_id (the standard leak-proof split for training corpora —
+    // membership is a pure function of the id, stable across runs,
+    // machines, and engines; no sampling RNG anywhere)
+    Q("q_split_assign",
+      s"""SELECT doc_id,
+         | ${hashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         | CASE WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |      WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          (hashCol(col("doc_id").cast(StringType)) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .orderBy("doc_id")
+    },
+
+    // sequence packing: greedy fill of fixed token-budget packs (2048)
+    // per language shard — the standard pre-training batch-construction
+    // op. A running token cumsum rides ONE window shuffle (partitioned
+    // by the shard key, which is also how it scales: packs never span
+    // shards, so shards pack in parallel); pack membership is
+    // floor((cum - toks) / budget), deterministic on both engines.
+    Q("q_pack_sequences",
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, CAST((cum - toks) // 2048 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin) { (s, dir) =>
+      val toks = size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
+        .cast(LongType)
+      val byShard = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), toks.as("toks"))
+        .withColumn("cum", sum("toks").over(byShard))
+        .withColumn("pack_id", expr("(cum - toks) div 2048"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup: canonical doc per content hash (hash-groupBy; at
