@@ -87,8 +87,13 @@ final class GraftDeltaStreamSource(
         // reconciled list stamps each file with the commit that added it
         snap.readAddedAfter(sv)
     }
+    // project to the schema pinned at stream start: columns ADDED by a
+    // mid-stream schema evolution are dropped (the sink's schema cannot
+    // change); a removed/renamed column fails the batch with a clear
+    // resolution error rather than a misaligned write
+    val pinned = batch.select(schema.fieldNames.toIndexedSeq.map(batch.col): _*)
     // v1 contract: the returned plan must carry isStreaming=true
-    org.apache.spark.sql.graftshim.Shims.asStreamingDF(batch)
+    org.apache.spark.sql.graftshim.Shims.asStreamingDF(pinned)
   }
 
   /** Reject in-stream DELETE/UPDATE/rewrite commits (removes with

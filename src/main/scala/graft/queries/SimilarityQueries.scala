@@ -89,13 +89,15 @@ object SimilarityQueries {
          |WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = load(s, dir, "embeddings")
+      // probe norm rides the broadcast row instead of re-deriving per fact
+      // row (identical arithmetic, 129 fewer codegen nodes in the hot loop)
       val probe = emb.where(col("vec_id") === 0)
-        .select(col("embedding").as("pv"))
+        .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
       emb.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), col("label"),
           (dot(col("embedding"), col("pv")) /
-            (norm(col("embedding")) * norm(col("pv")))).as("cosine"))
+            (norm(col("embedding")) * col("pn"))).as("cosine"))
         .orderBy(desc("cosine"), asc("vec_id"))
         .limit(20)
     },
@@ -157,13 +159,19 @@ object SimilarityQueries {
       // of the full sig relation); vectors are re-joined only for the
       // deduped candidates. Shuffles: bucket agg, candidate distinct,
       // two slim id-equi-joins back to embeddings.
+      // norms are precomputed per VECTOR (2 joined projections), not per
+      // pair: the verify expression shrinks from dot + 2 full norms
+      // (~400 codegen nodes) to dot + 2 column refs — same left-assoc
+      // arithmetic, so values stay bit-identical to the oracle
       val emb = load(s, dir, "embeddings")
       val cand = embedCandidates(emb)
-      val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val ea = emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), norm(col("embedding")).as("na"))
+      val eb = emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), norm(col("embedding")).as("nb"))
       cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
         .withColumn("cosine",
-          dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .where(col("cosine") >= 0.2)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -227,7 +235,7 @@ object SimilarityQueries {
     val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
     // probe: nearest nprobe centroids (tiny — resolved driver-side)
     val probeVec = emb.where(col("vec_id") === probeId)
-      .select(col("embedding").as("pv"))
+      .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
     val probeCids = centroids.crossJoin(broadcast(probeVec))
       .withColumn("sim", dot(col("cv"), col("pv")))
       .orderBy(desc("sim"), asc("cid"))
@@ -239,7 +247,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(probeVec))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /
-          (norm(col("embedding")) * norm(col("pv"))))
+          (norm(col("embedding")) * col("pn")))
       .select("vec_id", "label", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
@@ -250,12 +258,12 @@ object SimilarityQueries {
       k: Int): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val probe = emb.where(col("vec_id") === probeId)
-      .select(col("embedding").as("pv"))
+      .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
     emb.where(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /
-          (norm(col("embedding")) * norm(col("pv"))))
+          (norm(col("embedding")) * col("pn")))
       .select("vec_id", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)

@@ -135,6 +135,16 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q_ngram_jaccard: shingling stays codegen (no interpreted lambdas)") {
+    // Spark evaluates higher-order lambdas (transform/filter/aggregate)
+    // interpreted — the round-3 formulation lost 3x to exactly that.
+    // Guard the hot path: the jaccard plan must contain no lambda nodes.
+    val p = plan("q_ngram_jaccard")
+    for (bad <- Seq("transform(", "ArrayTransform", "ArrayFilter",
+        "array_distinct"))
+      assert(!p.contains(bad), s"interpreted lambda '$bad' in plan")
+  }
+
   test("q_topk: TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
