@@ -83,17 +83,36 @@ object CommitWriter {
     * sinks): if the log already records this appId at or past
     * txnVersion, the append is a no-op. */
   def appendIfAbsent(spark: SparkSession, df: DataFrame, tablePath: String,
-      appId: String, txnVersion: Long): Option[Long] = {
+      appId: String, txnVersion: Long, maxRetries: Int = 10): Option[Long] = {
     if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
       return None
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, _) = Replay.metadataAndProtocol(spark, segment)
     val adds = writeFiles(spark, df, tablePath, meta.partitionColumns)
-    val v = segment.version + 1
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
-    commit(spark, tablePath, v, txn +: adds.map(addJson), operation = "WRITE")
-    Some(v)
+    var v = segment.version + 1
+    var attempts = 0
+    while (true) {
+      try {
+        commit(spark, tablePath, v, txn +: adds.map(addJson),
+          operation = "WRITE")
+        return Some(v)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          // a concurrent writer won this version — like blind appends,
+          // retry at the new tip, but FIRST re-check idempotence against
+          // the log that beat us: if it already carries this (appId,
+          // txnVersion), this batch is a replay and must become a no-op
+          // (the orphaned data files are invisible and vacuumable)
+          if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
+            return None
+          v = LogSegment.forTable(spark, new Path(tablePath)).version + 1
+      }
+    }
+    None
   }
 
   /** SetTransaction version for `appId` from the LATEST txn action in

@@ -100,6 +100,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 3)
   }
 
+  test("concurrent appendIfAbsent retries, re-checking idempotence") {
+    val p = tmp("txnretry")
+    CommitWriter.createTable(spark, region.limit(2), p)
+    // a racing writer steals version 1 with an unrelated commit: the
+    // idempotent append must retry to v2, not fail the stream batch
+    CommitWriter.commit(spark, p, 1L, Seq.empty, "WRITE")
+    val v = CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      appId = "sink-1", txnVersion = 3L)
+    assert(v.contains(2L), s"expected retry to v2, got $v")
+    assert(DeltaTable.forPath(spark, p).read.count() == 3)
+
+    // a racing writer steals the version WITH the same (appId, txn) —
+    // i.e. a replayed speculative task: the retry must become a no-op
+    val txn = CommitWriter.txnJson(
+      graft.delta.log.Actions.SetTransaction("sink-1", 9L, None))
+    CommitWriter.commit(spark, p, 3L, Seq(txn), "WRITE")
+    val replay = CommitWriter.appendIfAbsent(spark, region.limit(2), p,
+      appId = "sink-1", txnVersion = 9L)
+    // the pre-check sees the racer's txn (it committed before us here);
+    // either way no duplicate rows may land
+    assert(replay.isEmpty)
+    assert(DeltaTable.forPath(spark, p).read.count() == 3)
+  }
+
   test("vacuum on a partitioned table protects live subdir files") {
     val p = tmp("vacpart")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
