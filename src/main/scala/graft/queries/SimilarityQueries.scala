@@ -24,11 +24,13 @@ object SimilarityQueries {
 
   private val Dim = 64
 
-  /** Unrolled left-assoc dot product of two array<float> columns. */
+  /** Dot product via the native loop expression (graft.functions
+    * .VectorDot): same left-assoc accumulation as the oracle's unrolled
+    * `a[1]*b[1] + ...` — bit-identical values — but O(1) generated-code
+    * size, so fused stages never blow past Janino's method limits the
+    * way three ~400-node unrolled trees did. */
   private def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i =>
-      element_at(a, i).cast(DoubleType) * element_at(b, i).cast(DoubleType))
-      .reduce(_ + _)
+    graft.functions.VectorExpressions.vectorDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

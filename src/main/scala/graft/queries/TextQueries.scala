@@ -333,6 +333,63 @@ object TextQueries {
         .orderBy("lang", "pack_id")
     },
 
+    // benchmark decontamination: flag training docs sharing >= 5 distinct
+    // word-2-gram shingles with ANY doc of the held-out set (here: the
+    // deterministic pseudo-eval slice doc_id % 97 = 0, excluded from the
+    // train side). The eval shingle set is tiny by construction, so the
+    // Spark plan broadcasts it — the train corpus never shuffles, which
+    // is the shape that matters when the corpus is 100 TB and the eval
+    // set is a few thousand benchmark documents.
+    Q("q_contamination",
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, h FROM ($shingleHashesSql) s0
+         |), eval_h AS (
+         |  SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0
+         |)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM sh s JOIN eval_h e ON s.h = e.h
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id
+         |HAVING count(*) >= 5
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = ngramShingleSetsLead(s, dir).select("doc_id", "h")
+      val evalH = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
+      sh.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalH), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy("doc_id")
+    },
+
+    // repetition scoring (degenerate-text filter): fraction of a doc's
+    // shingle stream occupied by its most frequent shingle. One doc_id
+    // window + two partial-aggregated groupBys, all map-side combining.
+    Q("q_repetition",
+      s"""WITH freq AS (
+         |  SELECT doc_id, h, count(*) AS c
+         |  FROM ($shingleHashesSql) s0 GROUP BY doc_id, h
+         |)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+         |  CAST(max(c) AS BIGINT) AS max_repeat,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repetition
+         |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead("tok", 1).over(byDoc))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id"),
+          hashCol(concat(col("tok"), lit(" "), col("nxt"))).as("h"))
+      sh.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_shingles"), max("c").as("max_repeat"),
+          (max("c").cast(DoubleType) / sum("c").cast(DoubleType))
+            .as("repetition"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup: canonical doc per content hash (hash-groupBy; at
