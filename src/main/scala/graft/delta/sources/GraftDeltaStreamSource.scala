@@ -51,6 +51,16 @@ final class GraftDeltaStreamSource(
       n
     }
 
+  /** `startingVersion=N` skips the initial snapshot and streams the adds
+    * of commits >= N; `startingVersion=latest` streams only commits made
+    * after the stream starts (resume-style ingestion). Resolved ONCE at
+    * source creation — restarts recover position from offsets instead. */
+  private val startingVersion: Option[Long] =
+    opts.get("startingversion").map {
+      case "latest" => DeltaTable.forPath(spark, path).version + 1
+      case v => v.toLong
+    }
+
   /** Schema is pinned at stream start (a mid-stream schema change fails
     * the batch when column resolution does — the streaming contract). */
   override val schema: StructType = DeltaTable.forPath(spark, path).schema
@@ -80,7 +90,14 @@ final class GraftDeltaStreamSource(
     base = math.max(base, endV)
     val snap = DeltaTable.forPath(spark, path, Some(endV))
     val batch = start.map(ver) match {
-      case None => snap.read // initial load: the full snapshot at endV
+      case None => startingVersion match {
+        // initial load: the full snapshot at endV...
+        case None => snap.read
+        // ...or, with startingVersion, only the adds of commits >= it
+        // (empty when the stream starts before reaching that version)
+        case Some(sv0) if sv0 > endV => snap.read.limit(0)
+        case Some(sv0) => snap.readAddedAfter(sv0 - 1)
+      }
       case Some(sv) =>
         failOnDataChange(sv, endV)
         // the files added in (sv, endV] and still live at endV: the

@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delta streaming source: startingVersion skips the initial snapshot") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_sv").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), path)
+    CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graftdelta").option("path", path)
+      .option("startingVersion", "1").load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_delta_sv").start()
+    try {
+      q.processAllAvailable()
+      val got = ss.table("spec_delta_sv")
+      // only commit 1's rows (keys >= 10), not the v0 snapshot
+      assert(got.count() == base.where(col("n_nationkey") >= 10).count())
+      assert(got.agg(min("n_nationkey").cast("long")).head().getLong(0) == 10L)
+    } finally q.stop()
+  }
+
   test("delta streaming source: data-changing removes fail unless ignoreChanges") {
     import graft.delta.log.CommitWriter
     val base = spark.read.parquet(s"$sf/nation.parquet")
