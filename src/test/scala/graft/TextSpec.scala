@@ -24,12 +24,15 @@ class TextSpec extends AnyFunSuite {
     assert(viaCol.toSeq == viaExpr.toSeq)
   }
 
-  test("jaccard plan variants agree (postings vs streamed)") {
+  test("jaccard plan variants agree (postings vs streamed vs lead)") {
     val p = TextQueries.ngramJaccardPostings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val st = TextQueries.ngramJaccardStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ld = TextQueries.ngramJaccardStreamedLead(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(p.toSeq == st.toSeq)
+    assert(p.toSeq == ld.toSeq)
     assert(p.nonEmpty)
   }
 }
