@@ -97,6 +97,46 @@ object TextQueries {
       s"min((h * $a + $b) % $P) AS mh$j"
     }.mkString(", ")
 
+  /** DuckDB CTE chain `sigs -> bands0 -> bands` (capped LSH band rows),
+    * shared by q_near_dedup and q_edit_distance so the candidate
+    * semantics can never drift between the two oracles. */
+  private def minhashBandsCte: String =
+    s"""sigs AS (
+       |  SELECT doc_id, $minhashAggsSql
+       |  FROM ($shingleHashesSql) sh GROUP BY doc_id
+       |), bands0 AS (
+       |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sigs UNION ALL
+       |  SELECT doc_id, 1 AS band, mh2 AS k1, mh3 AS k2 FROM sigs UNION ALL
+       |  SELECT doc_id, 2 AS band, mh4 AS k1, mh5 AS k2 FROM sigs UNION ALL
+       |  SELECT doc_id, 3 AS band, mh6 AS k1, mh7 AS k2 FROM sigs
+       |), bands AS (
+       |  SELECT * FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band, k1, k2) <= $BandBucketMax
+       |)""".stripMargin
+
+  /** Per-band candidate pairs (doc_a, doc_b, band) from capped MinHash
+    * LSH buckets — per-bucket doc-list explode, never a self-join of
+    * the full band relation. */
+  private def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shingleHashes(load(s, dir, "documents"))
+      .groupBy("doc_id")
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until 4).map(bnd => struct(lit(bnd).as("band"),
+        col(s"mh${2 * bnd}").as("k1"),
+        col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val buckets = bands.groupBy("band", "k1", "k2")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, BandBucketMax))
+    buckets.select(col("band"), explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+        |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+  }
+
   /** (doc_id, source, sz, h) stream for the jaccard join: per-row
     * DISTINCT shingle-string set (row-local, so sz needs no shuffle),
     * exploded, then hashed with the codegen'd Column form. Deduping by
@@ -430,18 +470,7 @@ object TextQueries {
     // such buckets mean the band hash has collapsed, not that all its
     // members are near-duplicates). Declared in the oracle SQL.
     Q("q_near_dedup",
-      s"""WITH sigs AS (
-         |  SELECT doc_id, $minhashAggsSql
-         |  FROM ($shingleHashesSql) sh GROUP BY doc_id
-         |), bands0 AS (
-         |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sigs UNION ALL
-         |  SELECT doc_id, 1 AS band, mh2 AS k1, mh3 AS k2 FROM sigs UNION ALL
-         |  SELECT doc_id, 2 AS band, mh4 AS k1, mh5 AS k2 FROM sigs UNION ALL
-         |  SELECT doc_id, 3 AS band, mh6 AS k1, mh7 AS k2 FROM sigs
-         |), bands AS (
-         |  SELECT * FROM bands0
-         |  QUALIFY count(*) OVER (PARTITION BY band, k1, k2) <= $BandBucketMax
-         |)
+      s"""WITH $minhashBandsCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       count(DISTINCT a.band) AS shared_bands
          |FROM bands a JOIN bands b
@@ -454,25 +483,40 @@ object TextQueries {
       // explode of a 4-element array. Candidate pairs come from exploding
       // per-bucket doc lists (bounded by BandBucketMax), not a self-join.
       // Shuffles: signature agg, bucket agg, pair agg — three, all slim.
-      val sigs = shingleHashes(load(s, dir, "documents"))
-        .groupBy("doc_id")
-        .agg(minhashAggs.head, minhashAggs.tail: _*)
-      val bands = sigs.select(col("doc_id"), explode(array(
-        (0 until 4).map(bnd => struct(lit(bnd).as("band"),
-          col(s"mh${2 * bnd}").as("k1"),
-          col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-      val buckets = bands.groupBy("band", "k1", "k2")
-        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-        .where(size(col("ds")).between(2, BandBucketMax))
-      val pairs = buckets.select(col("band"), explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+      val pairs = minhashBandPairs(s, dir)
       pairs.groupBy("doc_a", "doc_b")
         .agg(countDistinct(col("band")).as("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // fuzzy-dedup verification: exact edit distance over the LSH
+    // candidate pairs — the standard second stage after MinHash
+    // filtering (candidates are ~linear in corpus size, so the O(len^2)
+    // DP runs on a vanishing fraction of pairs). levenshtein() is the
+    // same classic DP in Spark and DuckDB: exact integer agreement.
+    Q("q_edit_distance",
+      s"""WITH $minhashBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+         |FROM cand c
+         |JOIN documents da ON c.doc_a = da.doc_id
+         |JOIN documents db ON c.doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+      val cand = minhashBandPairs(s, dir).select("doc_a", "doc_b").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
         .orderBy("doc_a", "doc_b")
     },
 
