@@ -145,6 +145,11 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains(bad), s"interpreted lambda '$bad' in plan")
   }
 
+  test("q_contamination: eval shingle set broadcasts (corpus never shuffles for the join)") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_topk: TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

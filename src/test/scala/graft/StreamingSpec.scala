@@ -115,6 +115,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("table-to-table streaming: source -> DeltaSink is exactly-once") {
+    import graft.delta.log.CommitWriter
+    import graft.delta.DeltaTable
+    import graft.streaming.DeltaSink
+    val src = java.nio.file.Files.createTempDirectory("pipe_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("pipe_dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pipe_ck").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), src)
+    CommitWriter.createTable(spark, base.limit(0), dst) // empty sink table
+
+    def runPipe(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val in = ss.readStream.format("graftdelta").option("path", src).load()
+      DeltaSink.writeStream(in, dst, appId = "pipe-1", checkpointDir = ckpt)
+        .awaitTermination()
+    }
+
+    runPipe()
+    assert(DeltaTable.forPath(spark, dst).read.count() == 10)
+    // replay with the same checkpoint: no new source data -> no-op
+    runPipe()
+    assert(DeltaTable.forPath(spark, dst).read.count() == 10)
+    // new source commit flows through incrementally, still exactly-once
+    CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), src)
+    runPipe()
+    assert(DeltaTable.forPath(spark, dst).read.count() == base.count())
+    runPipe()
+    assert(DeltaTable.forPath(spark, dst).read.count() == base.count())
+    // every landed batch carried its SetTransaction (exactly-once proof)
+    assert(CommitWriter.latestTxnVersion(spark, dst, "pipe-1").isDefined)
+  }
+
   test("mapGroupsWithState sessionization counts all events per user") {
     val sessions = EventsStream.runToMemory(spark,
       ss => EventsStream.userSessions(ss,
