@@ -196,6 +196,12 @@ object SimilarityQueries {
     * iterations are the same plan repeated); probes then touch only the
     * nprobe matching partition directories (partition pruning), never
     * the full corpus. */
+  /** Lloyd refinement passes over the seed centroids. Each pass is one
+    * broadcast-assign + one partial-aggregated means groupBy — the same
+    * two plan shapes at any corpus size, so iteration count trades
+    * index-build cost against cluster quality linearly. */
+  final val IvfLloydIterations = 2
+
   def ivfIndexPath(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_km"
@@ -211,10 +217,12 @@ object SimilarityQueries {
             .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
               first("label").as("label"),
               first("embedding").as("embedding"))
-        val refined = assign(seeds).groupBy("cid")
+        def means(assigned: DataFrame) = assigned.groupBy("cid")
           .agg(array((1 to Dim).map(i =>
             avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
             .as("cv"))
+        val refined = (1 to IvfLloydIterations)
+          .foldLeft(seeds)((c, _) => means(assign(c)))
         refined.coalesce(1).write.mode("overwrite")
           .parquet(ivfCentroidsPath(path))
         assign(s.read.parquet(ivfCentroidsPath(path)))
