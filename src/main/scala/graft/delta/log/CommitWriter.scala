@@ -177,13 +177,36 @@ object CommitWriter {
     ci.put("operation", operation)
     ci.put("engineInfo", "graft/0.1.0")
     val payload = (info.toString +: actionLines).mkString("", "\n", "\n")
-    val out = try fs.create(commitPath, false) catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new ConcurrentCommitException(version, e)
-      case e: java.io.IOException if fs.exists(commitPath) =>
-        throw new ConcurrentCommitException(version, e)
+    val uri = fs.makeQualified(commitPath).toUri
+    if (uri.getScheme == "file") {
+      // Hadoop LocalFileSystem.create(path, overwrite=false) is
+      // check-then-create — two racing writers can BOTH pass the check
+      // and the second silently overwrites the first's commit (caught by
+      // the 8-thread stress test). Publish atomically instead: write a
+      // temp file fully, then hard-link it into place — link(2) fails
+      // with EEXIST atomically at the kernel, so exactly one writer wins
+      // and readers never observe a partially-written commit file.
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val target = Paths.get(uri.getPath)
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.${UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, payload.getBytes("UTF-8"))
+      try Files.createLink(target, tmp)
+      catch {
+        case e: FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(version, e)
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      // non-local stores: the filesystem's create-no-overwrite is the
+      // atomicity contract (HDFS enforces it at the namenode)
+      val out = try fs.create(commitPath, false) catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(version, e)
+        case e: java.io.IOException if fs.exists(commitPath) =>
+          throw new ConcurrentCommitException(version, e)
+      }
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
     }
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
   }
 
   /** Write a classic single-file checkpoint at the current version and

@@ -194,11 +194,13 @@ object DvBitmap {
     new Roaring32(keys, containers)
   }
 
-  // ---- encode (fixture generation: array containers only) -----------
+  // ---- encode -------------------------------------------------------
 
   /** Serialize a sorted set of row indexes (all < 2^32 per bitmap span)
-    * into the portable format. Array containers only — valid for any
-    * per-container cardinality <= 4096. */
+    * into the portable format. Containers follow the roaring rule the
+    * decoder expects: cardinality <= 4096 → sorted 16-bit array,
+    * > 4096 → 1024-word bitmap (8 KiB) — so a DV can mark ANY row set,
+    * including dense deletes of a whole file region. */
   def serialize(rowIndexes: Seq[Long]): Array[Byte] = {
     require(rowIndexes.nonEmpty, "empty DV")
     val byHigh = rowIndexes.sorted.groupBy(i => (i >>> 32).toInt)
@@ -209,6 +211,7 @@ object DvBitmap {
       out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
     }
     def writeLEShort(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def writeLELong(v: Long): Unit = { writeLE(v.toInt); writeLE((v >>> 32).toInt) }
     writeLE(Magic)
     writeLE(maxHigh + 1); writeLE(0) // int64 LE count
     for (h <- 0 to maxHigh) {
@@ -216,13 +219,22 @@ object DvBitmap {
       val byKey = vals.groupBy(v => (v >>> 16)).toSeq.sortBy(_._1)
       writeLE(SerialCookieNoRuns)
       writeLE(byKey.size)
-      for ((k, vs) <- byKey) {
-        require(vs.size <= 4096, "array container overflow (fixture encoder)")
-        writeLEShort(k); writeLEShort(vs.size - 1)
-      }
+      for ((k, vs) <- byKey) { writeLEShort(k); writeLEShort(vs.size - 1) }
       var off = 4 + 4 + byKey.size * 4 + byKey.size * 4
-      for ((_, vs) <- byKey) { writeLE(off); off += vs.size * 2 }
-      for ((_, vs) <- byKey; v <- vs.sorted) writeLEShort(v & 0xFFFF)
+      for ((_, vs) <- byKey) {
+        writeLE(off)
+        off += (if (vs.size > 4096) 8192 else vs.size * 2)
+      }
+      for ((_, vs) <- byKey) {
+        if (vs.size > 4096) {
+          val words = new Array[Long](1024)
+          for (v <- vs) {
+            val low = v & 0xFFFF
+            words(low >>> 6) |= (1L << (low & 63))
+          }
+          words.foreach(writeLELong)
+        } else vs.sorted.foreach(v => writeLEShort(v & 0xFFFF))
+      }
     }
     out.toByteArray
   }

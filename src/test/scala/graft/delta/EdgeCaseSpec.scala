@@ -124,6 +124,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 3)
   }
 
+  test("8 threads of concurrent appends all land exactly once") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val p = tmp("stress")
+    CommitWriter.createTable(spark, region.limit(1), p)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 writers race 2 appends each through the same commit sequence
+      val futures = (0 until 8).map { w =>
+        Future {
+          (0 until 2).map { i =>
+            CommitWriter.append(spark,
+              region.limit(1).withColumn("w", lit(w * 10 + i)), p,
+              maxRetries = 64)
+          }
+        }
+      }
+      val versions = Await.result(Future.sequence(futures), 120.seconds)
+        .flatten
+      // every append landed at a unique version, none was lost
+      assert(versions.distinct.length == 16, s"versions: $versions")
+      val snap = DeltaTable.forPath(spark, p)
+      assert(snap.version == 16)
+      assert(snap.read.count() == 17) // 1 initial + 16 appended rows
+    } finally pool.shutdown()
+  }
+
   test("vacuum on a partitioned table protects live subdir files") {
     val p = tmp("vacpart")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
