@@ -69,6 +69,16 @@ class DvPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("z85 codec roundtrips arbitrary 4-byte-aligned payloads") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 50) {
+      val bytes = new Array[Byte](4 * (1 + rnd.nextInt(64)))
+      rnd.nextBytes(bytes)
+      val decoded = DvBitmap.z85Decode(DvBitmap.z85Encode(bytes))
+      assert(decoded.toSeq == bytes.toSeq)
+    }
+  }
+
   test("roundtrip: singletons and extremes; empty DV rejected") {
     roundtrip(Seq(0L))
     roundtrip(Seq((1L << 32) - 1))
