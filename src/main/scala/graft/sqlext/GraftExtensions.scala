@@ -25,8 +25,19 @@ import graft.sqlext.GraftParser._
   * through to the delegate parser untouched.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser((_, delegate) => new GraftParserInterface(delegate))
+    // scalar extension functions (SQL-callable): vector_dot(a, b)
+    extensions.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VectorDot].getCanonicalName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"vector_dot expects 2 arguments, got ${children.length}")
+        graft.functions.VectorDot(children.head, children(1))
+      }))
+  }
 }
 
 final class GraftParserInterface(delegate: ParserInterface)

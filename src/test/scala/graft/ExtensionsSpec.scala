@@ -58,4 +58,13 @@ class ExtensionsSpec extends AnyFunSuite {
     // VACUUM with bad grammar falls back to Spark's parser error
     intercept[Exception] { extSpark.sql("VACUUM") }
   }
+
+  test("vector_dot is SQL-callable through the injected function") {
+    val d = extSpark.sql(
+      """SELECT vector_dot(
+        |  CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |  CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
 }
