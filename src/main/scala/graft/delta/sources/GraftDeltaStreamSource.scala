@@ -53,13 +53,29 @@ final class GraftDeltaStreamSource(
 
   /** `startingVersion=N` skips the initial snapshot and streams the adds
     * of commits >= N; `startingVersion=latest` streams only commits made
-    * after the stream starts (resume-style ingestion). Resolved ONCE at
-    * source creation — restarts recover position from offsets instead. */
-  private val startingVersion: Option[Long] =
+    * after the stream starts (resume-style ingestion);
+    * `startingTimestamp=<ISO|epoch-ms>` resolves to the first commit
+    * AFTER that time via commit mtimes (the inverse of timestamp
+    * time travel). Resolved ONCE at source creation — restarts recover
+    * position from offsets instead. */
+  private val startingVersion: Option[Long] = {
+    require(!(opts.contains("startingversion") &&
+        opts.contains("startingtimestamp")),
+      "set either startingVersion or startingTimestamp, not both")
     opts.get("startingversion").map {
       case "latest" => DeltaTable.forPath(spark, path).version + 1
       case v => v.toLong
-    }
+    }.orElse(opts.get("startingtimestamp").map { ts =>
+      val millis = scala.util.Try(ts.toLong).getOrElse(
+        java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+      // first version whose commit landed AT or AFTER the timestamp:
+      // version before it resolves via time travel; missing history
+      // (all commits after ts) streams from version 0
+      scala.util.Try(
+        DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1)
+        .getOrElse(0L)
+    })
+  }
 
   /** Schema is pinned at stream start (a mid-stream schema change fails
     * the batch when column resolution does — the streaming contract). */

@@ -76,6 +76,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delta streaming source: startingTimestamp resolves to the commit after it") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_ts").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), path)
+    Thread.sleep(1100) // commit mtimes have 1s granularity on some FS
+    val cut = System.currentTimeMillis()
+    Thread.sleep(1100)
+    CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graftdelta").option("path", path)
+      .option("startingTimestamp", cut.toString).load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_delta_ts").start()
+    try {
+      q.processAllAvailable()
+      // only the post-cut commit's rows
+      assert(ss.table("spec_delta_ts").count() ==
+        base.where(col("n_nationkey") >= 10).count())
+    } finally q.stop()
+  }
+
   test("delta streaming source: data-changing removes fail unless ignoreChanges") {
     import graft.delta.log.CommitWriter
     val base = spark.read.parquet(s"$sf/nation.parquet")
