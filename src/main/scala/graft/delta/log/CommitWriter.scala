@@ -298,6 +298,17 @@ object CommitWriter {
     val lcPath = new Path(logPath, "_last_checkpoint")
     val out = fs.create(lcPath, true)
     try out.write(lc.toString.getBytes("UTF-8")) finally out.close()
+
+    // opportunistic maintenance: a writer that crashed between its temp
+    // write and the hard-link publish leaves a .<commit>.<uuid>.tmp
+    // behind; sweep stale ones (>1h) here rather than on the hot commit
+    // path — checkpointing is already the log's maintenance moment
+    val staleCutoff = System.currentTimeMillis() - 3600 * 1000
+    fs.listStatus(logPath).iterator
+      .filter(st => st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".tmp") &&
+        st.getModificationTime < staleCutoff)
+      .foreach(st => scala.util.Try(fs.delete(st.getPath, false)))
     segment.version
   }
 

@@ -59,8 +59,10 @@ class GraftDeltaSource extends RelationProvider
       options: java.util.Map[String, String]): GraftDeltaTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftdelta requires a path"))
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
-    new GraftDeltaTable(SparkSession.active, path, versionAsOf)
+    new GraftDeltaTable(SparkSession.active, path,
+      GraftDeltaSource.resolveVersion(SparkSession.active, path,
+        Option(options.get("versionAsOf")),
+        Option(options.get("timestampAsOf"))))
   }
 
   override def inferSchema(
@@ -78,8 +80,9 @@ class GraftDeltaSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta requires a path"))
-    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
-    GraftDeltaRelation(sqlContext.sparkSession, path, versionAsOf)
+    GraftDeltaRelation(sqlContext.sparkSession, path,
+      GraftDeltaSource.resolveVersion(sqlContext.sparkSession, path,
+        parameters.get("versionAsOf"), parameters.get("timestampAsOf")))
   }
 
   /** Write path: df.write.format("graftdelta").mode(...).save(path).
@@ -123,6 +126,23 @@ class GraftDeltaSource extends RelationProvider
       case _ => ()
     }
     GraftDeltaRelation(spark, path, None)
+  }
+}
+
+object GraftDeltaSource {
+  /** Time-travel option resolution shared by the v1 and v2 read paths:
+    * `versionAsOf` wins outright; `timestampAsOf` (ISO local-datetime or
+    * epoch millis) maps to a version via commit mtimes. */
+  private[sources] def resolveVersion(spark: SparkSession, path: String,
+      versionAsOf: Option[String],
+      timestampAsOf: Option[String]): Option[Long] = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "set either versionAsOf or timestampAsOf, not both")
+    versionAsOf.map(_.toLong).orElse(timestampAsOf.map { ts =>
+      val millis = scala.util.Try(ts.toLong).getOrElse(
+        java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+      DeltaTable.forPathAtTimestamp(spark, path, millis).version
+    })
   }
 }
 

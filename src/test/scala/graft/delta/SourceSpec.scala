@@ -39,6 +39,19 @@ class SourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("timestampAsOf option time-travels via commit mtimes") {
+    table // force fixture build
+    val now = System.currentTimeMillis()
+    val df = spark.read.format("graftdelta")
+      .option("path", table).option("timestampAsOf", now.toString).load()
+    assert(df.count() == 5) // at "now" the table is fully appended
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", table)
+        .option("versionAsOf", "0").option("timestampAsOf", now.toString)
+        .load()
+    }
+  }
+
   test("SQL over the source via temp view") {
     spark.read.format("graftdelta").option("path", table).load()
       .createOrReplaceTempView("src_region")
