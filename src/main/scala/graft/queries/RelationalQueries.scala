@@ -365,6 +365,39 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // second-moment aggregates made engine-exact: variance/stddev from
+    // EXACT decimal sums (Σx, Σx² carry no float error, and decimal
+    // addition is order-independent), then ONE identical double
+    // expression on both sides — deterministic where the built-in
+    // var_samp/stddev (running double accumulation, partial-agg order)
+    // is not.
+    Q("q_stats_agg",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE))
+        |  / CAST(count(*) - 1 AS DOUBLE) AS var_samp,
+        |  sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE))
+        |  / CAST(count(*) - 1 AS DOUBLE)) AS stddev_samp
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val x = T.dec(col("o_totalprice"), 2)
+      val sx = sum(x).cast(DoubleType)
+      val sxx = sum(x * x).cast(DoubleType)
+      val n = count(lit(1)).cast(DoubleType)
+      val varExpr = (sxx - sx * sx / n) / (count(lit(1)) - 1).cast(DoubleType)
+      load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), varExpr.as("var_samp"),
+          sqrt(varExpr).as("stddev_samp"))
+        .orderBy("o_orderstatus")
+    },
+
     Q("q_window_ntile",
       """SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
