@@ -371,21 +371,27 @@ object RelationalQueries {
     // expression on both sides — deterministic where the built-in
     // var_samp/stddev (running double accumulation, partial-agg order)
     // is not.
+    // NB: the decimal->double conversion must be CORRECTLY ROUNDED on
+    // both sides. Spark's BigDecimal.doubleValue is; DuckDB's direct
+    // decimal cast drifts 1 ULP at int128 magnitudes (seen at sf0.1 on
+    // sum(x^2)), so the oracle routes the conversion through VARCHAR —
+    // exact digits, then a correctly-rounded parse.
     Q("q_stats_agg",
-      """SELECT o_orderstatus, count(*) AS n,
-        |  (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
-        |               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |     / CAST(count(*) AS DOUBLE))
-        |  / CAST(count(*) - 1 AS DOUBLE) AS var_samp,
-        |  sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
-        |               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |     / CAST(count(*) AS DOUBLE))
-        |  / CAST(count(*) - 1 AS DOUBLE)) AS stddev_samp
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      """WITH m AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                  CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, n,
+        |  (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+        |    AS var_samp,
+        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |    AS stddev_samp
+        |FROM m ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val x = T.dec(col("o_totalprice"), 2)
       val sx = sum(x).cast(DoubleType)
       val sxx = sum(x * x).cast(DoubleType)
