@@ -69,7 +69,9 @@ object Bench {
       "q_minhash_signatures", "q_simhash", "q_ngram_jaccard", "q_embed_near_dup",
       "q_sim_topk", "q_sim_ann_ivf", "q_text_stats", "q_lang_id",
       "q_token_count", "q_multimodal_features", "q_stream_window",
-      "q_stream_sessions", "q_merge", "vacuum_dry_run")
+      "q_stream_sessions", "q_stream_delta_source", "q_merge",
+      "q_contamination", "q_edit_distance", "q_pack_sequences",
+      "q_stats_agg", "vacuum_dry_run")
     val headQs = results.collect { case (k, med, _, _) if headline(k) =>
       "\"" + k + "\":" + fmt(med)
     }.mkString("{", ",", "}")

@@ -270,7 +270,14 @@ object DeltaQueries {
         modificationTime = add0.getAs[Long]("modificationTime"),
         dataChange = false, stats = Option(add0.getAs[String]("stats")),
         deletionVector = Some(dv)))
-      CommitWriter.commit(s, p, 1L, Seq(remove, add), "DELETE")
+      // per the protocol, DV-bearing tables must advertise the
+      // deletionVectors table feature (reader 3 / writer 7) — external
+      // readers rely on the gate to reject what they can't decode
+      val proto = CommitWriter.protocolJson(Actions.Protocol(
+        minReaderVersion = 3, minWriterVersion = 7,
+        readerFeatures = Some(Seq("deletionVectors")),
+        writerFeatures = Some(Seq("deletionVectors"))))
+      CommitWriter.commit(s, p, 1L, Seq(proto, remove, add), "DELETE")
     }
 
   // ---- declared queries ---------------------------------------------
