@@ -418,7 +418,7 @@ object CommitWriter {
       val nullN = node.putObject("nullCount")
       for (c <- eligible) {
         putStat(minN, c, r.getAs[Any](s"min_$c"))
-        putStat(maxN, c, r.getAs[Any](s"max_$c"))
+        putStat(maxN, c, r.getAs[Any](s"max_$c"), isMax = true)
         nullN.put(c, r.getAs[Long](s"nulls_$c"))
       }
       val filePath = new Path(r.getAs[String]("__file")).toUri.getPath
@@ -426,7 +426,12 @@ object CommitWriter {
     }.toMap
   }
 
-  private def putStat(node: ObjectNode, name: String, v: Any): Unit = v match {
+  /** Stats strings are capped at this many chars so a long-text column
+    * (a 100 TB document table) never embeds whole values in the log. */
+  private val StatsStringPrefixLen = 32
+
+  private def putStat(node: ObjectNode, name: String, v: Any,
+      isMax: Boolean = false): Unit = v match {
     case null => () // absent = unknown
     case b: Boolean => node.put(name, b)
     case b: Byte => node.put(name, b.toInt)
@@ -436,7 +441,13 @@ object CommitWriter {
     case f: Float => if (!f.isNaN && !f.isInfinite) node.put(name, f)
     case d: Double => if (!d.isNaN && !d.isInfinite) node.put(name, d)
     case d: java.math.BigDecimal => node.put(name, d)
-    case s: String => node.put(name, s)
+    case s: String =>
+      if (s.length <= StatsStringPrefixLen) node.put(name, s)
+      // a truncated MIN is a smaller lower bound — still conservative;
+      // a truncated MAX would be SMALLER than the true max and could
+      // wrongly prune, so an oversized max is omitted (absent = unknown
+      // = keep the file), per the skipping engine's null semantics
+      else if (!isMax) node.put(name, s.substring(0, StatsStringPrefixLen))
     case d: java.sql.Date => node.put(name, d.toString)
     case d: java.time.LocalDate => node.put(name, d.toString)
     // UTC ISO-8601 ('...Z') per the Delta stats convention: a zone-less

@@ -124,6 +124,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 3)
   }
 
+  test("long-string stats truncate min, omit max; skipping stays correct") {
+    import org.apache.spark.sql.functions.{get_json_object, length => slen}
+    val p = tmp("longstats")
+    val longA = "a" * 100 + "SUFFIX_A"
+    val longZ = "z" * 100 + "SUFFIX_Z"
+    val docs = spark.createDataFrame(Seq(
+      (1L, longA), (2L, longZ), (3L, "short"))).toDF("id", "body")
+    CommitWriter.createTable(spark, docs.repartition(1), p)
+    val snap = DeltaTable.forPath(spark, p)
+    val stats = snap.allFiles.select(
+      get_json_object(col("stats"), "$.minValues.body").as("mn"),
+      get_json_object(col("stats"), "$.maxValues.body").as("mx")).head()
+    assert(stats.getAs[String]("mn") == "a" * 32) // truncated prefix
+    assert(stats.getAs[String]("mx") == null) // oversized max omitted
+    // skipping stays CONSERVATIVE: the full long value is still found
+    // (absent max keeps the file), and the file prunes nothing wrongly
+    assert(snap.readWhere(col("body") === longZ).count() == 1)
+    assert(snap.readWhere(col("body") === longA).count() == 1)
+    assert(snap.readWhere(col("body") === "short").count() == 1)
+    // short-string stats stay exact elsewhere: a below-min probe prunes
+    assert(snap.readWhere(col("body") < "a").count() == 0)
+  }
+
   test("8 threads of concurrent appends all land exactly once") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
