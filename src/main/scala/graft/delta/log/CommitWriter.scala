@@ -217,7 +217,15 @@ object CommitWriter {
     * appId (so idempotent writers stay exactly-once across checkpoints)
     * and remove tombstones newer than the retention window (so VACUUM /
     * incremental readers over the checkpoint keep tombstone visibility). */
-  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+  /** @param numParts write a multi-part checkpoint with this many parts
+    *   (default 1 = classic single file). At 100 TB a checkpoint holds
+    *   millions of add rows — parts let it write AND later replay fully
+    *   distributed instead of through one task. Part renames are not
+    *   atomic as a set, but readers ignore a version whose part count
+    *   does not match the filename-declared total, so a crash mid-
+    *   publish leaves the previous checkpoint + commit tail in effect. */
+  def checkpoint(spark: SparkSession, tablePath: String,
+      numParts: Int = 1): Long = {
     import org.apache.spark.sql.expressions.Window
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
@@ -280,21 +288,39 @@ object CommitWriter {
     val fs = LogSegment.fs(spark, new Path(tablePath))
     val staging = new Path(logPath,
       s".checkpoint_staging_${UUID.randomUUID().toString.take(8)}")
-    all.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = fs.listStatus(staging)
-      .find(_.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-    val target = new Path(logPath, LogSegment.checkpointFileName(segment.version))
-    // single rename, never delete-then-rename: a concurrent checkpointer
-    // of the same version races benignly (contents are equivalent), and
-    // readers never observe a missing checkpoint file
-    if (!fs.rename(part.getPath, target) && !fs.exists(target))
-      throw new IllegalStateException(s"checkpoint rename failed: $target")
+    (if (numParts <= 1) all.coalesce(1) else all.repartition(numParts))
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    if (parts.isEmpty)
+      throw new IllegalStateException("checkpoint write produced no parquet")
+    if (numParts <= 1 || parts.length == 1) {
+      val target = new Path(logPath,
+        LogSegment.checkpointFileName(segment.version))
+      // single rename, never delete-then-rename: a concurrent
+      // checkpointer of the same version races benignly (contents are
+      // equivalent), and readers never observe a missing checkpoint file
+      if (!fs.rename(parts.head.getPath, target) && !fs.exists(target))
+        throw new IllegalStateException(s"checkpoint rename failed: $target")
+    } else {
+      // multi-part names declare (index, total); the total is the ACTUAL
+      // part count (parquet may merge small partitions), so the reader's
+      // completeness check matches what landed
+      val total = parts.length
+      parts.zipWithIndex.foreach { case (st, i) =>
+        val target = new Path(logPath,
+          f"${segment.version}%020d.checkpoint.${i + 1}%010d.$total%010d.parquet")
+        if (!fs.rename(st.getPath, target) && !fs.exists(target))
+          throw new IllegalStateException(s"checkpoint rename failed: $target")
+      }
+    }
     fs.delete(staging, true)
 
     val lc = mapper.createObjectNode()
     lc.put("version", segment.version)
     lc.put("size", all.count())
+    if (numParts > 1 && parts.length > 1) lc.put("parts", parts.length)
     val lcPath = new Path(logPath, "_last_checkpoint")
     val out = fs.create(lcPath, true)
     try out.write(lc.toString.getBytes("UTF-8")) finally out.close()

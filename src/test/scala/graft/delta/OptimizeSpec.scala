@@ -119,6 +119,27 @@ class OptimizeSpec extends AnyFunSuite {
     assert(snap.segment.checkpointFiles.size == 2)
     assert(snap.read.count() == region.count())
   }
+
+  test("checkpoint(numParts) writes a multipart checkpoint natively") {
+    val p = tmp("multicpw")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    CommitWriter.createTable(spark, orders.repartition(4), p)
+    CommitWriter.append(spark, orders.limit(10), p)
+    CommitWriter.checkpoint(spark, p, numParts = 3)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.segment.checkpointVersion.contains(1L))
+    assert(snap.segment.checkpointFiles.size > 1)
+    assert(snap.segment.commitFiles.isEmpty) // replays from parts alone
+    assert(snap.read.count() == orders.count() + 10)
+    // an incomplete part set is ignored: drop one part, reader falls
+    // back to commit replay (no checkpoint at all here -> full log)
+    val fs = LogSegment.fs(spark, new Path(p))
+    fs.delete(snap.segment.checkpointFiles.head.getPath, false)
+    graft.delta.log.Replay.ReplayCounters.reset()
+    val snap2 = DeltaTable.forPath(spark, p)
+    assert(snap2.segment.checkpointVersion.isEmpty)
+    assert(snap2.read.count() == orders.count() + 10)
+  }
 }
 
 /** Shared GraftSession for command tests. */
