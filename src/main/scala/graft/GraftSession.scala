@@ -53,6 +53,10 @@ final class GraftSession(val spark: SparkSession) {
     case RestoreStatement(table, version) =>
       graft.commands.HistoryCommand.restore(spark,
         resolveTablePath(table), version)
+    case ConvertStatement(table, partCols) =>
+      val n = graft.commands.ConvertCommand.convert(spark,
+        resolveTablePath(table), partCols)
+      graft.commands.ConvertCommand.metrics(spark, n)
     case ShowCatalogsStatement =>
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       LocalCatalog.list().foreach(c =>

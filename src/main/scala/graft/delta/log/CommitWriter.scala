@@ -384,14 +384,14 @@ object CommitWriter {
     def tap(f: A => Unit): A = { f(a); a }
   }
 
-  private def listRecursive(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+  private[graft] def listRecursive(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val it = fs.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) buf += it.next()
     buf.toSeq
   }
 
-  private def parsePartitionValues(relPath: String): Map[String, String] =
+  private[graft] def parsePartitionValues(relPath: String): Map[String, String] =
     relPath.split('/').dropRight(1).flatMap { seg =>
       seg.split("=", 2) match {
         case Array(k, v) => Some(k -> unescapePathName(v))
@@ -417,7 +417,7 @@ object CommitWriter {
 
   /** One distributed pass computing per-file numRecords / minValues /
     * maxValues / nullCount for the eligible leaf columns. */
-  private def computeStats(spark: SparkSession, stagingDir: String,
+  private[graft] def computeStats(spark: SparkSession, stagingDir: String,
       dataCols: Seq[String], schema: StructType): Map[String, String] = {
     val eligible = dataCols.filter { c =>
       schema(c).dataType match {

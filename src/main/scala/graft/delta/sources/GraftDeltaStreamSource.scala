@@ -35,6 +35,11 @@ final case class GraftDeltaOffset(version: Long) extends LegacyOffset {
   * Options: `maxVersionsPerTrigger` caps how many commit versions a
   * micro-batch may advance (rate limiting); `ignoreChanges` suppresses
   * the non-append failure.
+  *
+  * Caveat: `Trigger.AvailableNow` snapshots a v1 source's offset ONCE,
+  * so combining it with `maxVersionsPerTrigger` stops after a single
+  * rate-limited batch. Use the default trigger + `processAllAvailable`
+  * (or drop the rate limit) when the goal is to drain the table.
   */
 final class GraftDeltaStreamSource(
     spark: SparkSession,

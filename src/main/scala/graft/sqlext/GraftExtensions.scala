@@ -83,6 +83,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: DescribeHistoryStatement =>
         graft.commands.HistoryCommand.historySchema
       case _: RestoreStatement => VacuumCommand.metricsSchema
+      case _: ConvertStatement => graft.commands.ConvertCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

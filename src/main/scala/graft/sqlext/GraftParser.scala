@@ -33,6 +33,8 @@ object GraftParser {
       zorderBy: Seq[String] = Seq.empty) extends Statement
   final case class DescribeHistoryStatement(table: String) extends Statement
   final case class RestoreStatement(table: String, version: Long) extends Statement
+  final case class ConvertStatement(table: String,
+      partitionColumns: Seq[String] = Seq.empty) extends Statement
   case object ShowCatalogsStatement extends Statement
 
   final class NotImplementedStatement(what: String)
@@ -107,8 +109,36 @@ object GraftParser {
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("CATALOGS") =>
         Some(ShowCatalogsStatement)
+      case w: Word if w.upper == "CONVERT" =>
+        Some(parseConvert(toks.tail))
       case _ => None
     }
+  }
+
+  /** CONVERT TO DELTA <ref> [PARTITIONED BY (c1, c2, ...)] */
+  private def parseConvert(toks: Vector[Tok]): ConvertStatement = {
+    if (!wordAt(toks, 0).contains("TO") || !wordAt(toks, 1).contains("DELTA"))
+      throw new ParseException("expected CONVERT TO DELTA <path>")
+    val refToks = toks.drop(2)
+    val table = parseTableRef(refToks)
+    val rest = refToks.drop(
+      if (refToks.headOption.exists {
+        case w: Word => w.upper == "DELTA"
+        case _ => false
+      } && refToks.lift(1).exists(_.text == ".")) 3 else 1)
+    if (rest.isEmpty) return ConvertStatement(table)
+    if (!wordAt(rest, 0).contains("PARTITIONED") ||
+        !wordAt(rest, 1).contains("BY"))
+      throw new ParseException(
+        s"expected PARTITIONED BY, got: ${rest.take(2)}")
+    val inner = rest.drop(2)
+    if (inner.headOption.forall(_.text != "(") ||
+        inner.lastOption.forall(_.text != ")"))
+      throw new ParseException("PARTITIONED BY requires (col, ...)")
+    val cs = inner.slice(1, inner.length - 1)
+      .filter(_.text != ",").collect { case w: Word => w.text }
+    if (cs.isEmpty) throw new ParseException("empty PARTITIONED BY list")
+    ConvertStatement(table, cs.toSeq)
   }
 
   /** RESTORE <table> [TO] VERSION AS OF n */
