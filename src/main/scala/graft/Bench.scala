@@ -110,6 +110,7 @@ object Bench {
       DeltaQueries.nestedTable(spark, sfDir)
       DeltaQueries.widenedTable(spark, sfDir)
       DeltaQueries.dvTable(spark, sfDir)
+      DeltaQueries.convertedTable(spark, sfDir)
       // vacuum fixture (built inside its query fn on first call)
       SparkEntry.queries("vacuum_dry_run")(spark, sfDir).count()
       // IVF index build (amortized at real scale)

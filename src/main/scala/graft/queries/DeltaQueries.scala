@@ -246,6 +246,14 @@ object DeltaQueries {
     path
   }
 
+  /** Plain-parquet copy of orders CONVERTED in place to a Delta table
+    * (no data rewrite) — the adoption-path fixture. */
+  def convertedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "converted") { p =>
+      orders(s, sfDir).repartition(3).write.mode("overwrite").parquet(p)
+      graft.commands.ConvertCommand.convert(s, p)
+    }
+
   /** Single-file customer table sorted by key, with a deletion vector
     * masking every row whose c_custkey % 10 == 0. */
   def dvTable(s: SparkSession, sfDir: String): String =
@@ -410,6 +418,18 @@ object DeltaQueries {
         |FROM orders WHERE o_orderkey < 10
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // CONVERT TO DELTA: the converted-in-place table serves the same
+    // rows as the raw parquet it was bootstrapped over, through the
+    // full delta read path (log replay + stats skipping)
+    Q("q_convert",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, convertedTable(s, dir))
+      snap.readWhere(col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     },
 
