@@ -12,14 +12,24 @@ import graft.delta.log.CommitWriter
   */
 object DeltaSink {
 
-  /** Wire a streaming DataFrame into a Delta table. The table must
-    * already exist (create it from the stream's schema beforehand). */
+  /** Wire a streaming DataFrame into a Delta table. A missing table is
+    * created EMPTY from the stream's schema on the first batch, and the
+    * data then lands through the idempotent append — so a replayed
+    * first batch (restart before the checkpoint write) stays
+    * exactly-once, which bundling rows into the create commit (no txn
+    * action) would break. */
   def writeStream(df: DataFrame, tablePath: String, appId: String,
       checkpointDir: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        CommitWriter.appendIfAbsent(batch.sparkSession, batch, tablePath,
+        val spark = batch.sparkSession
+        val logPath = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(tablePath), "_delta_log")
+        if (!graft.delta.log.LogSegment.fs(spark, logPath).exists(logPath))
+          try CommitWriter.createTable(spark, batch.limit(0), tablePath)
+          catch { case _: CommitWriter.ConcurrentCommitException => () }
+        CommitWriter.appendIfAbsent(spark, batch, tablePath,
           appId = appId, txnVersion = batchId)
         ()
       }

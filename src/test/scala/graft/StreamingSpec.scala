@@ -147,7 +147,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("pipe_ck").toString
     val base = spark.read.parquet(s"$sf/nation.parquet")
     CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), src)
-    CommitWriter.createTable(spark, base.limit(0), dst) // empty sink table
+    // dst is NOT pre-created: the sink bootstraps it from the stream
 
     def runPipe(): Unit = {
       val ss = spark.newSession()
