@@ -97,7 +97,9 @@ final class GraftDeltaStreamSource(
   }
 
   override def getOffset: Option[LegacyOffset] = {
-    val latest = DeltaTable.forPath(spark, path).version
+    // polled every trigger: a log listing gives the tip version without
+    // the metadata/protocol parse a full snapshot resolution would pay
+    val latest = LogSegment.forTable(spark, new Path(path)).version
     val next = maxVersionsPerTrigger.fold(latest)(n => math.min(latest, base + n))
     if (next <= base) None
     else {
