@@ -36,6 +36,9 @@ object DmlCommands {
       condition: Column, operation: String,
       keep: DataFrame => DataFrame): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
+    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
+      s"$operation on column-mapped tables is not supported (the " +
+        "rewrite would need logical->physical projection per file)")
     val target = DeltaScan.buildWithFileKey(snap)
 
     val affected = target.where(condition)

@@ -23,6 +23,9 @@ object MergeCommand {
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String]): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
+    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
+      "MERGE on column-mapped tables is not supported (the rewrite " +
+        "would need logical->physical projection per file)")
     require(keys.nonEmpty, "MERGE requires at least one key column")
     require(keys.forall(source.columns.contains),
       s"source is missing key columns: ${keys.filterNot(source.columns.contains)}")

@@ -52,6 +52,54 @@ object CommitWriter {
     meta
   }
 
+  /** Create a COLUMN-MAPPED table (`delta.columnMapping.mode = name`):
+    * every field gets a stable id and a `col-N` physical name, the data
+    * files are written under the physical names, and the logical schema
+    * (with the mapping riding field metadata) lives only in the log —
+    * which is what makes cheap RENAME COLUMN possible at 100 TB: a
+    * rename becomes a metadata commit, never a data rewrite. Flat,
+    * unpartitioned schemas only (nested/partitioned mapping would need
+    * per-file transform plumbing the fixtures don't exercise). */
+  def createTableMapped(spark: SparkSession, df: DataFrame,
+      tablePath: String): Metadata = {
+    require(df.schema.fields.forall(f => !f.dataType.isInstanceOf[StructType]),
+      "createTableMapped supports flat schemas only")
+    val mappedFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", s"col-${i + 1}")
+        .build())
+    }
+    val physDf = df.toDF(mappedFields.indices.map(i => s"col-${i + 1}"): _*)
+    val meta = Metadata(
+      id = UUID.randomUUID().toString,
+      name = None, description = None, format = Format(),
+      schemaString = StructType(mappedFields).json,
+      partitionColumns = Seq.empty,
+      configuration = Map("delta.columnMapping.mode" -> "name"),
+      createdTime = Some(System.currentTimeMillis()))
+    val adds = writeFiles(spark, physDf, tablePath, Seq.empty)
+    commit(spark, tablePath, 0L,
+      Seq(protocolJson(Protocol(2, 5)), metadataJson(meta)) ++
+        adds.map(addJson),
+      operation = "CREATE TABLE AS SELECT")
+    meta
+  }
+
+  /** Rename a logical-name DataFrame to the table's physical names when
+    * the table is column-mapped (identity otherwise) — every append
+    * path funnels through this so mapped tables never receive
+    * logical-name parquet. */
+  private def toPhysicalNames(df: DataFrame, meta: Metadata): DataFrame = {
+    if (graft.delta.scan.ColumnMapping.mode(meta) == "none") return df
+    val bySource = meta.dataSchema.fields
+      .map(f => f.name -> graft.delta.scan.ColumnMapping.physicalName(f))
+      .toMap
+    df.toDF(df.schema.fieldNames.toIndexedSeq.map(n =>
+      bySource.getOrElse(n, n)): _*)
+  }
+
   /** Append `df` to an existing table as the next commit. Blind appends
     * never conflict logically, so a lost race on the commit file is
     * resolved by optimistic retry at the next version (the same
@@ -61,7 +109,8 @@ object CommitWriter {
       maxRetries: Int = 10): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, _) = Replay.metadataAndProtocol(spark, segment)
-    val adds = writeFiles(spark, df, tablePath, meta.partitionColumns)
+    val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
+      meta.partitionColumns)
     var v = segment.version + 1
     var attempts = 0
     while (true) {
@@ -88,7 +137,8 @@ object CommitWriter {
       return None
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, _) = Replay.metadataAndProtocol(spark, segment)
-    val adds = writeFiles(spark, df, tablePath, meta.partitionColumns)
+    val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
+      meta.partitionColumns)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
     var v = segment.version + 1

@@ -124,6 +124,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 3)
   }
 
+  test("column-mapped table: create, append, zero-rewrite rename") {
+    val p = tmp("mapped")
+    CommitWriter.createTableMapped(spark, region, p)
+    val snap0 = DeltaTable.forPath(spark, p)
+    assert(snap0.schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
+    assert(snap0.read.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+    // physical files carry col-N names, never logical ones
+    val physSchema = spark.read.parquet(
+      snap0.allFiles.select("path").collect()
+        .map(r => s"$p/${r.getString(0)}"): _*).schema
+    assert(physSchema.fieldNames.toSeq == Seq("col-1", "col-2"))
+
+    // appends rename through the mapping automatically
+    CommitWriter.append(spark, region.limit(2), p)
+    assert(DeltaTable.forPath(spark, p).read.count() == region.count() + 2)
+
+    // THE point of mapping: rename = one metadata commit, no data rewrite
+    val snap1 = DeltaTable.forPath(spark, p)
+    val renamed = StructType(snap1.schema.fields.map(f =>
+      if (f.name == "r_name") f.copy(name = "region_name") else f))
+    CommitWriter.commitMetadata(spark, p,
+      snap1.metadata.copy(schemaString = renamed.json))
+    val snap2 = DeltaTable.forPath(spark, p)
+    assert(snap2.schema.fieldNames.contains("region_name"))
+    assert(snap2.read.select("region_name").distinct().count() ==
+      region.select("r_name").distinct().count())
+    // same files — nothing was rewritten
+    assert(snap2.allFiles.count() == snap1.allFiles.count())
+
+    // DML on mapped tables is refused loudly, not silently corrupting
+    intercept[IllegalArgumentException] {
+      graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0)
+    }
+  }
+
   test("long-string stats truncate min, omit max; skipping stays correct") {
     import org.apache.spark.sql.functions.{get_json_object, length => slen}
     val p = tmp("longstats")
