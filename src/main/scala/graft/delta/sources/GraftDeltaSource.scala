@@ -107,7 +107,11 @@ class GraftDeltaSource extends RelationProvider
         throw new IllegalStateException(s"Delta table already exists: $path")
       case (SaveMode.Ignore, Some(_)) => ()
       case (_, None) =>
-        graft.delta.log.CommitWriter.createTable(spark, data, path,
+        if (parameters.get("columnMapping").contains("name")) {
+          require(partitionCols.isEmpty,
+            "columnMapping=name supports unpartitioned tables only")
+          graft.delta.log.CommitWriter.createTableMapped(spark, data, path)
+        } else graft.delta.log.CommitWriter.createTable(spark, data, path,
           partitionColumns = partitionCols)
       case (SaveMode.Append, Some(_)) =>
         graft.delta.log.CommitWriter.append(spark, data, path)
