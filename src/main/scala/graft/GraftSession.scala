@@ -53,6 +53,26 @@ final class GraftSession(val spark: SparkSession) {
     case RestoreStatement(table, version) =>
       graft.commands.HistoryCommand.restore(spark,
         resolveTablePath(table), version)
+    case RenameColumnStatement(table, from, to) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      // without column mapping the parquet files carry logical names —
+      // a metadata-only rename would orphan the column's data
+      require(graft.delta.scan.ColumnMapping.mode(snap.metadata) != "none",
+        "RENAME COLUMN requires column mapping " +
+          "(delta.columnMapping.mode=name); physical files keep their " +
+          "names, so only mapped tables can rename as a metadata commit")
+      val schema = snap.schema
+      require(schema.fieldNames.contains(from), s"no such column: $from")
+      require(!schema.fieldNames.contains(to), s"column exists: $to")
+      val renamed = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(schemaString = renamed.json))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.add(org.apache.spark.sql.Row("renamed", s"$from -> $to"))
+      rows.add(org.apache.spark.sql.Row("version", v.toString))
+      spark.createDataFrame(rows, VacuumCommand.metricsSchema)
     case ConvertStatement(table, partCols) =>
       val n = graft.commands.ConvertCommand.convert(spark,
         resolveTablePath(table), partCols)

@@ -84,6 +84,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         graft.commands.HistoryCommand.historySchema
       case _: RestoreStatement => VacuumCommand.metricsSchema
       case _: ConvertStatement => graft.commands.ConvertCommand.metricsSchema
+      case _: RenameColumnStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

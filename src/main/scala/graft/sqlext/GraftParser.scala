@@ -35,6 +35,8 @@ object GraftParser {
   final case class RestoreStatement(table: String, version: Long) extends Statement
   final case class ConvertStatement(table: String,
       partitionColumns: Seq[String] = Seq.empty) extends Statement
+  final case class RenameColumnStatement(table: String,
+      from: String, to: String) extends Statement
   case object ShowCatalogsStatement extends Statement
 
   final class NotImplementedStatement(what: String)
@@ -111,7 +113,29 @@ object GraftParser {
         Some(ShowCatalogsStatement)
       case w: Word if w.upper == "CONVERT" =>
         Some(parseConvert(toks.tail))
+      case w: Word if w.upper == "ALTER" &&
+          wordAt(toks, 1).contains("TABLE") =>
+        Some(parseAlter(toks.drop(2)))
       case _ => None
+    }
+  }
+
+  /** ALTER TABLE <ref> RENAME COLUMN <a> TO <b> */
+  private def parseAlter(toks: Vector[Tok]): Statement = {
+    val table = parseTableRef(toks)
+    val rest = toks.drop(
+      if (toks.headOption.exists {
+        case w: Word => w.upper == "DELTA"
+        case _ => false
+      } && toks.lift(1).exists(_.text == ".")) 3 else 1)
+    if (!wordAt(rest, 0).contains("RENAME") ||
+        !wordAt(rest, 1).contains("COLUMN"))
+      throw new ParseException(
+        "only ALTER TABLE ... RENAME COLUMN a TO b is supported")
+    (rest.lift(2), wordAt(rest, 3), rest.lift(4)) match {
+      case (Some(a: Word), Some("TO"), Some(b: Word)) if rest.length == 5 =>
+        RenameColumnStatement(table, a.text, b.text)
+      case _ => throw new ParseException("expected RENAME COLUMN <a> TO <b>")
     }
   }
 

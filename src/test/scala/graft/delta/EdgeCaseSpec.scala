@@ -160,6 +160,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE RENAME COLUMN: SQL on mapped tables, refused on plain") {
+    val p = tmp("rename_sql")
+    CommitWriter.createTableMapped(spark, region, p)
+    val g = graft.GraftSession(spark)
+    val out = g.sql(s"ALTER TABLE '$p' RENAME COLUMN r_name TO region_name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("renamed") == "r_name -> region_name")
+    assert(DeltaTable.forPath(spark, p).schema.fieldNames
+      .contains("region_name"))
+    // a plain (unmapped) table must refuse: its parquet carries logical
+    // names, so a metadata rename would orphan the column's data
+    val plain = tmp("rename_plain")
+    CommitWriter.createTable(spark, region, plain)
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$plain' RENAME COLUMN r_name TO nope")
+    }
+  }
+
   test("long-string stats truncate min, omit max; skipping stays correct") {
     import org.apache.spark.sql.functions.{get_json_object, length => slen}
     val p = tmp("longstats")
