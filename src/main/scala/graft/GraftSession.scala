@@ -73,6 +73,46 @@ final class GraftSession(val spark: SparkSession) {
       rows.add(org.apache.spark.sql.Row("renamed", s"$from -> $to"))
       rows.add(org.apache.spark.sql.Row("version", v.toString))
       spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+    case AddColumnStatement(table, name, typeDdl) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      require(!snap.schema.fieldNames.contains(name), s"column exists: $name")
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      val newField = {
+        val f = org.apache.spark.sql.types.StructField(name, dt)
+        if (graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none") f
+        else {
+          // mapped tables: assign the next stable id + physical name
+          val nextId = snap.schema.fields.map { sf =>
+            if (sf.metadata.contains("delta.columnMapping.id"))
+              sf.metadata.getLong("delta.columnMapping.id") else 0L
+          }.max + 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", nextId)
+            .putString("delta.columnMapping.physicalName", s"col-$nextId")
+            .build())
+        }
+      }
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(schemaString =
+          org.apache.spark.sql.types.StructType(
+            snap.schema.fields :+ newField).json))
+      alterMetrics(s"added $name ${dt.catalogString}", v)
+    case DropColumnStatement(table, name) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      require(graft.delta.scan.ColumnMapping.mode(snap.metadata) != "none",
+        "DROP COLUMN requires column mapping: on a plain table the " +
+          "column's data cannot be logically erased without a rewrite")
+      require(snap.schema.fieldNames.contains(name), s"no such column: $name")
+      require(snap.schema.fields.length > 1, "cannot drop the last column")
+      require(!snap.partitionColumns.contains(name),
+        "cannot drop a partition column")
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(schemaString =
+          org.apache.spark.sql.types.StructType(
+            snap.schema.fields.filterNot(_.name == name)).json))
+      alterMetrics(s"dropped $name", v)
     case ConvertStatement(table, partCols) =>
       val n = graft.commands.ConvertCommand.convert(spark,
         resolveTablePath(table), partCols)
@@ -83,6 +123,13 @@ final class GraftSession(val spark: SparkSession) {
         rows.add(org.apache.spark.sql.Row(c.name,
           c.comment.orNull, c.managedLocation.orNull)))
       spark.createDataFrame(rows, GraftSession.showCatalogsSchema)
+  }
+
+  private def alterMetrics(what: String, version: Long): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row("altered", what))
+    rows.add(org.apache.spark.sql.Row("version", version.toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
   }
 
   /** A VACUUM target is either a registered table name or a path. */

@@ -85,6 +85,8 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: RestoreStatement => VacuumCommand.metricsSchema
       case _: ConvertStatement => graft.commands.ConvertCommand.metricsSchema
       case _: RenameColumnStatement => VacuumCommand.metricsSchema
+      case _: AddColumnStatement => VacuumCommand.metricsSchema
+      case _: DropColumnStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

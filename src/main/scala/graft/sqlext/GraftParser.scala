@@ -37,6 +37,10 @@ object GraftParser {
       partitionColumns: Seq[String] = Seq.empty) extends Statement
   final case class RenameColumnStatement(table: String,
       from: String, to: String) extends Statement
+  final case class AddColumnStatement(table: String,
+      name: String, typeDdl: String) extends Statement
+  final case class DropColumnStatement(table: String,
+      name: String) extends Statement
   case object ShowCatalogsStatement extends Statement
 
   final class NotImplementedStatement(what: String)
@@ -120,7 +124,8 @@ object GraftParser {
     }
   }
 
-  /** ALTER TABLE <ref> RENAME COLUMN <a> TO <b> */
+  /** ALTER TABLE <ref> RENAME COLUMN a TO b | ADD COLUMN a <type> |
+    * DROP COLUMN a */
   private def parseAlter(toks: Vector[Tok]): Statement = {
     val table = parseTableRef(toks)
     val rest = toks.drop(
@@ -128,14 +133,30 @@ object GraftParser {
         case w: Word => w.upper == "DELTA"
         case _ => false
       } && toks.lift(1).exists(_.text == ".")) 3 else 1)
-    if (!wordAt(rest, 0).contains("RENAME") ||
-        !wordAt(rest, 1).contains("COLUMN"))
-      throw new ParseException(
-        "only ALTER TABLE ... RENAME COLUMN a TO b is supported")
-    (rest.lift(2), wordAt(rest, 3), rest.lift(4)) match {
-      case (Some(a: Word), Some("TO"), Some(b: Word)) if rest.length == 5 =>
-        RenameColumnStatement(table, a.text, b.text)
-      case _ => throw new ParseException("expected RENAME COLUMN <a> TO <b>")
+    (wordAt(rest, 0), wordAt(rest, 1)) match {
+      case (Some("RENAME"), Some("COLUMN")) =>
+        (rest.lift(2), wordAt(rest, 3), rest.lift(4)) match {
+          case (Some(a: Word), Some("TO"), Some(b: Word)) if rest.length == 5 =>
+            RenameColumnStatement(table, a.text, b.text)
+          case _ =>
+            throw new ParseException("expected RENAME COLUMN <a> TO <b>")
+        }
+      case (Some("ADD"), Some("COLUMN")) =>
+        rest.lift(2) match {
+          case Some(a: Word) if rest.length > 3 =>
+            AddColumnStatement(table, a.text,
+              rest.drop(3).map(_.text).mkString(" "))
+          case _ => throw new ParseException("expected ADD COLUMN <a> <type>")
+        }
+      case (Some("DROP"), Some("COLUMN")) =>
+        rest.lift(2) match {
+          case Some(a: Word) if rest.length == 3 =>
+            DropColumnStatement(table, a.text)
+          case _ => throw new ParseException("expected DROP COLUMN <a>")
+        }
+      case _ => throw new ParseException(
+        "supported: ALTER TABLE ... RENAME COLUMN a TO b | " +
+          "ADD COLUMN a <type> | DROP COLUMN a")
     }
   }
 

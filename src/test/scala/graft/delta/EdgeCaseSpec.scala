@@ -178,6 +178,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN: evolution DDL end to end") {
+    val g = graft.GraftSession(spark)
+    // ADD on a plain table: old rows impute null, appends carry it
+    val p = tmp("addcol")
+    CommitWriter.createTable(spark, region, p)
+    g.sql(s"ALTER TABLE '$p' ADD COLUMN score double")
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.schema.fieldNames.contains("score"))
+    assert(snap.read.where(col("score").isNull).count() == region.count())
+    CommitWriter.append(spark,
+      region.limit(1).withColumn("score", lit(1.5)), p)
+    assert(DeltaTable.forPath(spark, p).read
+      .where(col("score") === 1.5).count() == 1)
+
+    // DROP on a mapped table: metadata-only, data invisible afterwards
+    val m = tmp("dropcol")
+    CommitWriter.createTableMapped(spark, region, m)
+    g.sql(s"ALTER TABLE '$m' DROP COLUMN r_name")
+    val dropped = DeltaTable.forPath(spark, m)
+    assert(dropped.schema.fieldNames.toSeq == Seq("r_regionkey"))
+    assert(dropped.read.count() == region.count())
+    // DROP on a plain table is refused (would need a rewrite)
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' DROP COLUMN r_name")
+    }
+  }
+
   test("long-string stats truncate min, omit max; skipping stays correct") {
     import org.apache.spark.sql.functions.{get_json_object, length => slen}
     val p = tmp("longstats")
