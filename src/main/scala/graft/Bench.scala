@@ -111,6 +111,7 @@ object Bench {
       DeltaQueries.widenedTable(spark, sfDir)
       DeltaQueries.dvTable(spark, sfDir)
       DeltaQueries.convertedTable(spark, sfDir)
+      DeltaQueries.mappedTable(spark, sfDir)
       // vacuum fixture (built inside its query fn on first call)
       SparkEntry.queries("vacuum_dry_run")(spark, sfDir).count()
       // IVF index build (amortized at real scale)

@@ -254,6 +254,14 @@ object DeltaQueries {
       graft.commands.ConvertCommand.convert(s, p)
     }
 
+  /** Column-mapped customer table: logical names live only in the log,
+    * data files carry col-N physical names (A8/A20 write-side). */
+  def mappedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "mapped") { p =>
+      CommitWriter.createTableMapped(s,
+        customer(s, sfDir).select("c_custkey", "c_name", "c_acctbal"), p)
+    }
+
   /** Single-file customer table sorted by key, with a deletion vector
     * masking every row whose c_custkey % 10 == 0. */
   def dvTable(s: SparkSession, sfDir: String): String =
@@ -431,6 +439,18 @@ object DeltaQueries {
       snap.readWhere(col("o_orderkey") <= 5000)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // A8/A20: column mapping — the scan resolves col-N physical parquet
+    // names back to the logical schema; the oracle reads the raw table
+    // (same rows, logical names) directly
+    Q("q_column_mapping",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, mappedTable(s, dir))
+      snap.readWhere(col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
     },
 
     // A11: raw delta-log actions as a queryable table. Oracle: DuckDB
