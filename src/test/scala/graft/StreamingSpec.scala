@@ -76,6 +76,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delta streaming source: restart recovers position from the checkpoint") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_rst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_rst_ck").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), path)
+    def run(): Long = {
+      // foreachBatch sink (memory sink cannot recover from checkpoints);
+      // counts only the rows THIS run's batches carried
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = ss.readStream.format("graftdelta").option("path", path).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .start()
+      try { q.processAllAvailable(); seen.get } finally q.stop()
+    }
+    assert(run() == 10) // initial snapshot
+    CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+    // the restarted run recovers the offset (a SerializedOffset, the
+    // json round-trip path) and emits ONLY the new commit's rows
+    assert(run() == base.count() - 10)
+  }
+
   test("delta streaming source: startingTimestamp resolves to the commit after it") {
     import graft.delta.log.CommitWriter
     val path = java.nio.file.Files.createTempDirectory("stream_ts").toString
