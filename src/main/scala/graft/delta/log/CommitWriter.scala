@@ -165,6 +165,25 @@ object CommitWriter {
     None
   }
 
+  /** Logical overwrite: one commit removes every live file and adds the
+    * replacement data (old versions stay time-travelable until VACUUM).
+    * Mapping-aware like every write path. A lost commit race is NOT
+    * retried — unlike a blind append, overwrite-vs-anything is a real
+    * semantic conflict the caller must decide. */
+  def overwrite(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+    val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
+    val oldPaths = snap.allFiles.select("path")
+      .collect().map(_.getString(0)).toSeq
+    val adds = writeFiles(spark, toPhysicalNames(df, snap.metadata),
+      tablePath, snap.metadata.partitionColumns)
+    val now = System.currentTimeMillis()
+    val removes = oldPaths.map(p =>
+      removeJson(RemoveFile(p, Some(now), dataChange = true)))
+    commit(spark, tablePath, snap.version + 1,
+      removes ++ adds.map(addJson), operation = "WRITE")
+    snap.version + 1
+  }
+
   /** SetTransaction version for `appId` from the LATEST txn action in
     * log order — per the protocol, not max(txn.version): a writer that
     * restarts with a fresh sink checkpoint records a lower version later

@@ -115,18 +115,8 @@ class GraftDeltaSource extends RelationProvider
           partitionColumns = partitionCols)
       case (SaveMode.Append, Some(_)) =>
         graft.delta.log.CommitWriter.append(spark, data, path)
-      case (SaveMode.Overwrite, Some(snap)) =>
-        val oldPaths = snap.allFiles.select("path")
-          .collect().map(_.getString(0)).toSeq
-        val adds = graft.delta.log.CommitWriter.writeFiles(
-          spark, data, path, snap.partitionColumns)
-        val now = System.currentTimeMillis()
-        val removes = oldPaths.map(p =>
-          graft.delta.log.CommitWriter.removeJson(
-            graft.delta.log.Actions.RemoveFile(p, Some(now), dataChange = true)))
-        graft.delta.log.CommitWriter.commit(spark, path, snap.version + 1,
-          removes ++ adds.map(graft.delta.log.CommitWriter.addJson),
-          operation = "WRITE")
+      case (SaveMode.Overwrite, Some(_)) =>
+        graft.delta.log.CommitWriter.overwrite(spark, data, path)
       case _ => ()
     }
     GraftDeltaRelation(spark, path, None)
