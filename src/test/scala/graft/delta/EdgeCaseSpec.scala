@@ -228,6 +228,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(snap.readWhere(col("body") < "a").count() == 0)
   }
 
+  test("a crashed writer's stale commit temp is inert and swept") {
+    val p = tmp("staletmp")
+    CommitWriter.createTable(spark, region.limit(3), p)
+    // simulate a writer that died between its temp write and the link
+    val logDir = new java.io.File(p, "_delta_log")
+    val stale = new java.io.File(logDir,
+      ".00000000000000000001.json.deadbeef.tmp")
+    java.nio.file.Files.writeString(stale.toPath, "{\"garbage\": true}\n")
+    stale.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000)
+    // reads ignore it entirely (not a commit-pattern name)
+    assert(DeltaTable.forPath(spark, p).read.count() == 3)
+    CommitWriter.append(spark, region.limit(1), p)
+    assert(DeltaTable.forPath(spark, p).version == 1)
+    // checkpoint maintenance sweeps it
+    CommitWriter.checkpoint(spark, p)
+    assert(!stale.exists())
+    assert(DeltaTable.forPath(spark, p).read.count() == 4)
+  }
+
   test("8 threads of concurrent appends all land exactly once") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
