@@ -40,7 +40,10 @@ object Bench {
       }.sorted
       (name, times(times.length / 2), times.head, times.last)
     }
-    def fmt(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive, and a
+    // comma-decimal default locale would make the JSON line unparseable
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx) =>

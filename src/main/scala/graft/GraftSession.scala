@@ -78,25 +78,35 @@ final class GraftSession(val spark: SparkSession) {
       val snap = graft.delta.DeltaTable.forPath(spark, path)
       require(!snap.schema.fieldNames.contains(name), s"column exists: $name")
       val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      val mapped = graft.delta.scan.ColumnMapping.mode(snap.metadata) != "none"
+      // ids allocate from the maxColumnId HIGH-WATER MARK, never from the
+      // surviving schema's max: after DROP COLUMN the dropped field's
+      // physical name still holds its data in old parquet files, and
+      // reusing its id would resurrect that data under the new column
+      val nextId = math.max(
+        snap.metadata.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L),
+        snap.schema.fields.map { sf =>
+          if (sf.metadata.contains("delta.columnMapping.id"))
+            sf.metadata.getLong("delta.columnMapping.id") else 0L
+        }.max) + 1
       val newField = {
         val f = org.apache.spark.sql.types.StructField(name, dt)
-        if (graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none") f
-        else {
-          // mapped tables: assign the next stable id + physical name
-          val nextId = snap.schema.fields.map { sf =>
-            if (sf.metadata.contains("delta.columnMapping.id"))
-              sf.metadata.getLong("delta.columnMapping.id") else 0L
-          }.max + 1
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("delta.columnMapping.id", nextId)
-            .putString("delta.columnMapping.physicalName", s"col-$nextId")
-            .build())
-        }
+        if (!mapped) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", nextId)
+          .putString("delta.columnMapping.physicalName", s"col-$nextId")
+          .build())
       }
+      val newConfig =
+        if (!mapped) snap.metadata.configuration
+        else snap.metadata.configuration +
+          ("delta.columnMapping.maxColumnId" -> nextId.toString)
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
-        snap.metadata.copy(schemaString =
-          org.apache.spark.sql.types.StructType(
-            snap.schema.fields :+ newField).json))
+        snap.metadata.copy(
+          schemaString = org.apache.spark.sql.types.StructType(
+            snap.schema.fields :+ newField).json,
+          configuration = newConfig))
       alterMetrics(s"added $name ${dt.catalogString}", v)
     case DropColumnStatement(table, name) =>
       val path = resolveTablePath(table)

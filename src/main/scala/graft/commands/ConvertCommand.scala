@@ -35,9 +35,12 @@ object ConvertCommand {
     val rootLen = qualified.toUri.getPath.length + 1
     val files = CommitWriter.listRecursive(fs, table)
       .filter { st =>
-        val name = st.getPath.getName
-        name.endsWith(".parquet") && !name.startsWith(".") &&
-          !name.startsWith("_")
+        // every path SEGMENT must be visible: a crashed write's
+        // _temporary/.../part-*.parquet has a clean file name but lives
+        // under a hidden dir, and converting it would serve partial rows
+        val rel = st.getPath.toUri.getPath.drop(rootLen)
+        rel.endsWith(".parquet") && rel.split('/').forall(seg =>
+          !seg.startsWith(".") && !seg.startsWith("_"))
       }
     require(files.nonEmpty, s"No parquet files under $dir")
 

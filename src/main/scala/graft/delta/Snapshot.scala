@@ -39,14 +39,13 @@ final case class Snapshot(
   def readWhere(filters: Column*): DataFrame =
     DeltaScan.build(this, filters)
 
-  /** Read only the rows in files ADDED by commits after `versionExclusive`
-    * and still live at this snapshot — the streaming source's tail batch
-    * (the reconciled file list stamps each live file with the commit
-    * version that added it). */
-  def readAddedAfter(versionExclusive: Long): DataFrame = {
+  /** Read only the rows of the given table-relative files (those still
+    * live at this snapshot) — the streaming source restricts a tail
+    * batch to the exact paths its commits' add actions declared. */
+  def readFiles(relPaths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     DeltaScan.build(this, Seq.empty,
-      fileFilter = Some(col("commit_version") > versionExclusive))
+      fileFilter = Some(col("path").isin(relPaths: _*)))
   }
 }
 

@@ -77,7 +77,13 @@ object CommitWriter {
       name = None, description = None, format = Format(),
       schemaString = StructType(mappedFields).json,
       partitionColumns = Seq.empty,
-      configuration = Map("delta.columnMapping.mode" -> "name"),
+      // maxColumnId is the high-water mark for field ids — ids must
+      // NEVER be reused (a dropped column's physical name may still
+      // hold its data in old parquet files), so ADD COLUMN allocates
+      // from here, not from the surviving schema's max
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> mappedFields.length.toString),
       createdTime = Some(System.currentTimeMillis()))
     val adds = writeFiles(spark, physDf, tablePath, Seq.empty)
     commit(spark, tablePath, 0L,

@@ -124,6 +124,15 @@ class GraftDeltaSource extends RelationProvider
 }
 
 object GraftDeltaSource {
+  /** Timestamp option → epoch millis: epoch-millis literal, or an ISO
+    * local datetime interpreted in UTC — NOT the JVM default zone, which
+    * would resolve the same option to different versions on different
+    * machines (every session here pins spark.sql.session.timeZone=UTC). */
+  private[sources] def parseUtcMillis(ts: String): Long =
+    scala.util.Try(ts.toLong).getOrElse(
+      java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+
   /** Time-travel option resolution shared by the v1 and v2 read paths:
     * `versionAsOf` wins outright; `timestampAsOf` (ISO local-datetime or
     * epoch millis) maps to a version via commit mtimes. */
@@ -133,9 +142,7 @@ object GraftDeltaSource {
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "set either versionAsOf or timestampAsOf, not both")
     versionAsOf.map(_.toLong).orElse(timestampAsOf.map { ts =>
-      val millis = scala.util.Try(ts.toLong).getOrElse(
-        java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
-      DeltaTable.forPathAtTimestamp(spark, path, millis).version
+      DeltaTable.forPathAtTimestamp(spark, path, parseUtcMillis(ts)).version
     })
   }
 }

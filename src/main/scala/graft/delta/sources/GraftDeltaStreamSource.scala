@@ -71,8 +71,7 @@ final class GraftDeltaStreamSource(
       case "latest" => DeltaTable.forPath(spark, path).version + 1
       case v => v.toLong
     }.orElse(opts.get("startingtimestamp").map { ts =>
-      val millis = scala.util.Try(ts.toLong).getOrElse(
-        java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+      val millis = GraftDeltaSource.parseUtcMillis(ts)
       // first version whose commit landed AT or AFTER the timestamp:
       // version before it resolves via time travel; missing history
       // (all commits after ts) streams from version 0
@@ -119,13 +118,9 @@ final class GraftDeltaStreamSource(
         // ...or, with startingVersion, only the adds of commits >= it
         // (empty when the stream starts before reaching that version)
         case Some(sv0) if sv0 > endV => snap.read.limit(0)
-        case Some(sv0) => snap.readAddedAfter(sv0 - 1)
+        case Some(sv0) => tailBatch(snap, sv0 - 1, endV)
       }
-      case Some(sv) =>
-        failOnDataChange(sv, endV)
-        // the files added in (sv, endV] and still live at endV: the
-        // reconciled list stamps each file with the commit that added it
-        snap.readAddedAfter(sv)
+      case Some(sv) => tailBatch(snap, sv, endV)
     }
     // project to the schema pinned at stream start: columns ADDED by a
     // mid-stream schema evolution are dropped (the sink's schema cannot
@@ -136,32 +131,47 @@ final class GraftDeltaStreamSource(
     org.apache.spark.sql.graftshim.Shims.asStreamingDF(pinned)
   }
 
-  /** Reject in-stream DELETE/UPDATE/rewrite commits (removes with
-    * dataChange=true) unless ignoreChanges. Reads only the (sv, endV]
-    * commit JSONs driver-side; commits already compacted into a
-    * checkpoint are skipped (they were emitted before this stream). */
-  private def failOnDataChange(sv: Long, endV: Long): Unit = {
-    if (ignoreChanges) return
+  /** The (sv, endV] incremental batch: rows of the files each commit's
+    * OWN add actions declare with dataChange=true, still live at endV.
+    *
+    * The commit JSONs — not the reconciled file list — are the source
+    * of truth here: reconciliation stamps checkpoint-sourced files with
+    * the CHECKPOINT's version, so deriving the tail from commit_version
+    * would re-emit the whole table after any checkpoint. Reading the
+    * per-commit actions also skips dataChange=false adds (OPTIMIZE
+    * rewrites, checkpoint contents) — already-delivered rows that must
+    * not duplicate downstream. */
+  private def tailBatch(snap: graft.delta.Snapshot, sv: Long,
+      endV: Long): DataFrame = {
+    val addPaths = Seq.newBuilder[String]
     val fs = LogSegment.fs(spark, new Path(path))
     val logDir = new Path(new Path(path), "_delta_log")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     for (v <- (sv + 1) to endV) {
       val commit = new Path(logDir, f"$v%020d.json")
-      if (fs.exists(commit)) {
-        val in = fs.open(commit)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toVector finally in.close()
-        for (line <- lines if line.nonEmpty) {
-          val n = mapper.readTree(line)
-          if (n.has("remove") &&
-              Option(n.get("remove").get("dataChange")).forall(_.asBoolean()))
-            throw new UnsupportedOperationException(
-              s"Streaming source found a data-changing remove in commit $v of " +
-                s"$path (DELETE/UPDATE/MERGE). Streaming reads require an " +
-                "append-only table; set ignoreChanges=true to skip such commits.")
-        }
+      if (!fs.exists(commit))
+        throw new IllegalStateException(
+          s"Streaming source cannot read commit $v of $path (cleaned up?); " +
+            "restart the stream from a fresh checkpoint to resync.")
+      val in = fs.open(commit)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      for (line <- lines if line.nonEmpty) {
+        val n = mapper.readTree(line)
+        if (!ignoreChanges && n.has("remove") &&
+            Option(n.get("remove").get("dataChange")).forall(_.asBoolean()))
+          throw new UnsupportedOperationException(
+            s"Streaming source found a data-changing remove in commit $v of " +
+              s"$path (DELETE/UPDATE/MERGE). Streaming reads require an " +
+              "append-only table; set ignoreChanges=true to skip such commits.")
+        if (n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean()))
+          addPaths += n.get("add").get("path").asText()
       }
     }
+    val paths = addPaths.result().distinct
+    if (paths.isEmpty) snap.read.limit(0)
+    else snap.readFiles(paths)
   }
 
   override def commit(end: LegacyOffset): Unit = ()

@@ -422,15 +422,8 @@ object TextQueries {
          |  CAST(max(c) AS BIGINT) AS max_repeat,
          |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repetition
          |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val sh = load(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead("tok", 1).over(byDoc))
-        .where(col("nxt").isNotNull)
-        .select(col("doc_id"),
-          hashCol(concat(col("tok"), lit(" "), col("nxt"))).as("h"))
-      sh.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      shingleHashes(load(s, dir, "documents"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_shingles"), max("c").as("max_repeat"),
           (max("c").cast(DoubleType) / sum("c").cast(DoubleType))

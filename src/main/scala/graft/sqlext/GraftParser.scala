@@ -127,12 +127,7 @@ object GraftParser {
   /** ALTER TABLE <ref> RENAME COLUMN a TO b | ADD COLUMN a <type> |
     * DROP COLUMN a */
   private def parseAlter(toks: Vector[Tok]): Statement = {
-    val table = parseTableRef(toks)
-    val rest = toks.drop(
-      if (toks.headOption.exists {
-        case w: Word => w.upper == "DELTA"
-        case _ => false
-      } && toks.lift(1).exists(_.text == ".")) 3 else 1)
+    val (table, rest) = parseTableRefAndRest(toks)
     (wordAt(rest, 0), wordAt(rest, 1)) match {
       case (Some("RENAME"), Some("COLUMN")) =>
         (rest.lift(2), wordAt(rest, 3), rest.lift(4)) match {
@@ -165,12 +160,7 @@ object GraftParser {
     if (!wordAt(toks, 0).contains("TO") || !wordAt(toks, 1).contains("DELTA"))
       throw new ParseException("expected CONVERT TO DELTA <path>")
     val refToks = toks.drop(2)
-    val table = parseTableRef(refToks)
-    val rest = refToks.drop(
-      if (refToks.headOption.exists {
-        case w: Word => w.upper == "DELTA"
-        case _ => false
-      } && refToks.lift(1).exists(_.text == ".")) 3 else 1)
+    val (table, rest) = parseTableRefAndRest(refToks)
     if (rest.isEmpty) return ConvertStatement(table)
     if (!wordAt(rest, 0).contains("PARTITIONED") ||
         !wordAt(rest, 1).contains("BY"))
@@ -188,12 +178,7 @@ object GraftParser {
 
   /** RESTORE <table> [TO] VERSION AS OF n */
   private def parseRestore(toks: Vector[Tok]): Option[Statement] = {
-    val table = parseTableRef(toks)
-    val rest0 = toks.drop(
-      if (toks.headOption.exists {
-        case w: Word => w.upper == "DELTA"
-        case _ => false
-      } && toks.lift(1).exists(_.text == ".")) 3 else 1)
+    val (table, rest0) = parseTableRefAndRest(toks)
     val rest = if (wordAt(rest0, 0).contains("TO")) rest0.drop(1) else rest0
     if (!wordAt(rest, 0).contains("VERSION") ||
         !wordAt(rest, 1).contains("AS") || !wordAt(rest, 2).contains("OF"))
@@ -224,13 +209,20 @@ object GraftParser {
     case _ => throw new ParseException("Expected a table reference")
   }
 
-  private def parseOptimize(toks: Vector[Tok]): OptimizeStatement = {
+  /** table reference + the tokens after it (skips the optional
+    * `delta . <ref>` prefix uniformly for every clause parser). */
+  private def parseTableRefAndRest(toks: Vector[Tok]): (String, Vector[Tok]) = {
     val table = parseTableRef(toks)
-    val rest = toks.drop(
+    val skip =
       if (toks.headOption.exists {
         case w: Word => w.upper == "DELTA"
         case _ => false
-      } && toks.lift(1).exists(_.text == ".")) 3 else 1)
+      } && toks.lift(1).exists(_.text == ".")) 3 else 1
+    (table, toks.drop(skip))
+  }
+
+  private def parseOptimize(toks: Vector[Tok]): OptimizeStatement = {
+    val (table, rest) = parseTableRefAndRest(toks)
     if (rest.isEmpty) return OptimizeStatement(table)
     if (!wordAt(rest, 0).contains("ZORDER") || !wordAt(rest, 1).contains("BY"))
       throw new ParseException(s"Unexpected tokens in OPTIMIZE: $rest")

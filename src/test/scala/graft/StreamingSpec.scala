@@ -55,6 +55,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delta streaming source: checkpoint and OPTIMIZE mid-stream do not re-emit rows") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_cp").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark,
+      base.where(col("n_nationkey") < 10).repartition(2), path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graftdelta").option("path", path).load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_delta_cp").start()
+    try {
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_cp").count() == 10)
+      // a CHECKPOINT re-stamps every file with the checkpoint version in
+      // the reconciled list — the tail batch must NOT re-emit the table
+      CommitWriter.checkpoint(spark, path)
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_cp").count() == 10)
+      // an OPTIMIZE rewrite adds files with dataChange=false — rows the
+      // stream already delivered; they must not duplicate either
+      graft.commands.OptimizeCommand.optimize(spark, path,
+        targetFileSize = 1024L * 1024 * 1024)
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_cp").count() == 10)
+      // real appends still flow
+      CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_cp").count() == base.count())
+    } finally q.stop()
+  }
+
   test("delta streaming source: startingVersion skips the initial snapshot") {
     import graft.delta.log.CommitWriter
     val path = java.nio.file.Files.createTempDirectory("stream_sv").toString

@@ -203,6 +203,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       g.sql(s"ALTER TABLE '$p' DROP COLUMN r_name")
     }
+
+    // DROP then ADD must NOT reuse the dropped column's physical name:
+    // old parquet still holds r_name's strings under col-2, and reusing
+    // the id would resurrect them under the new column
+    g.sql(s"ALTER TABLE '$m' ADD COLUMN score double")
+    val readded = DeltaTable.forPath(spark, m)
+    val scoreField = readded.schema("score")
+    assert(scoreField.metadata.getString(
+      "delta.columnMapping.physicalName") == "col-3")
+    // and the new column reads as null, not as resurrected strings
+    assert(readded.read.where(col("score").isNotNull).count() == 0)
   }
 
   test("long-string stats truncate min, omit max; skipping stays correct") {
