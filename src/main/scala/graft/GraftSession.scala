@@ -118,10 +118,23 @@ final class GraftSession(val spark: SparkSession) {
       require(snap.schema.fields.length > 1, "cannot drop the last column")
       require(!snap.partitionColumns.contains(name),
         "cannot drop a partition column")
+      // backfill the id high-water mark from the PRE-drop schema: for
+      // tables created before maxColumnId tracking, this is the last
+      // moment the dropped field's id is still visible — without it a
+      // later ADD COLUMN would reuse the id and resurrect the data
+      val preDropMax = math.max(
+        snap.metadata.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L),
+        snap.schema.fields.map { sf =>
+          if (sf.metadata.contains("delta.columnMapping.id"))
+            sf.metadata.getLong("delta.columnMapping.id") else 0L
+        }.max)
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
-        snap.metadata.copy(schemaString =
-          org.apache.spark.sql.types.StructType(
-            snap.schema.fields.filterNot(_.name == name)).json))
+        snap.metadata.copy(
+          schemaString = org.apache.spark.sql.types.StructType(
+            snap.schema.fields.filterNot(_.name == name)).json,
+          configuration = snap.metadata.configuration +
+            ("delta.columnMapping.maxColumnId" -> preDropMax.toString)))
       alterMetrics(s"dropped $name", v)
     case ConvertStatement(table, partCols) =>
       val n = graft.commands.ConvertCommand.convert(spark,

@@ -39,14 +39,6 @@ final case class Snapshot(
   def readWhere(filters: Column*): DataFrame =
     DeltaScan.build(this, filters)
 
-  /** Read only the rows of the given table-relative files (those still
-    * live at this snapshot) — the streaming source restricts a tail
-    * batch to the exact paths its commits' add actions declared. */
-  def readFiles(relPaths: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    DeltaScan.build(this, Seq.empty,
-      fileFilter = Some(col("path").isin(relPaths: _*)))
-  }
 }
 
 object DeltaTable {

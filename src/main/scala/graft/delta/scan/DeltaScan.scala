@@ -64,10 +64,6 @@ object DeltaScan {
   def build(snapshot: Snapshot, filters: Seq[Column],
       withFileColumn: Boolean = false,
       fileFilter: Option[Column] = None): DataFrame = {
-    val spark = snapshot.spark
-    val logical = snapshot.schema
-    val partCols = snapshot.partitionColumns
-
     val fileList = fileFilter.foldLeft(prunedFiles(snapshot, filters))(_.where(_))
     val scanFiles: Seq[ScanFile] = fileList
       .select("path", "partitionValues", "deletionVector")
@@ -78,6 +74,22 @@ object DeltaScan {
             .getOrElse(Map.empty),
           Option(r.getAs[Row]("deletionVector")).map(parseDv))
       }
+    assemble(snapshot, scanFiles, filters, withFileColumn)
+  }
+
+  /** Scan an EXPLICIT file list through the snapshot's schema machinery
+    * (column mapping, partition values, DVs) — the files need not be
+    * live in the snapshot (the streaming source reads a commit's adds
+    * even if a later rewrite already removed them from the log; the
+    * data files exist until VACUUM). */
+  def buildForFiles(snapshot: Snapshot, scanFiles: Seq[ScanFile]): DataFrame =
+    assemble(snapshot, scanFiles, Seq.empty, withFileColumn = false)
+
+  private def assemble(snapshot: Snapshot, scanFiles: Seq[ScanFile],
+      filters: Seq[Column], withFileColumn: Boolean): DataFrame = {
+    val spark = snapshot.spark
+    val logical = snapshot.schema
+    val partCols = snapshot.partitionColumns
 
     if (scanFiles.isEmpty) {
       val empty = spark.createDataFrame(

@@ -58,7 +58,10 @@ final class GraftDeltaStreamSource(
 
   /** `startingVersion=N` skips the initial snapshot and streams the adds
     * of commits >= N; `startingVersion=latest` streams only commits made
-    * after the stream starts (resume-style ingestion);
+    * after the stream starts (resume-style ingestion). The streamed
+    * range enforces the append-only contract: a DELETE/UPDATE commit
+    * inside it fails the stream unless ignoreChanges (same rule as
+    * steady-state batches);
     * `startingTimestamp=<ISO|epoch-ms>` resolves to the first commit
     * AFTER that time via commit mtimes (the inverse of timestamp
     * time travel). Resolved ONCE at source creation — restarts recover
@@ -120,7 +123,14 @@ final class GraftDeltaStreamSource(
         case Some(sv0) if sv0 > endV => snap.read.limit(0)
         case Some(sv0) => tailBatch(snap, sv0 - 1, endV)
       }
-      case Some(sv) => tailBatch(snap, sv, endV)
+      // startingVersion is a floor for EVERY batch, not just the first:
+      // when the stream started before the table reached sv0, the
+      // recorded offsets are below it and commits in (offset, sv0)
+      // must stay excluded
+      case Some(sv) =>
+        val floor = startingVersion.fold(sv)(sv0 => math.max(sv, sv0 - 1))
+        if (floor >= endV) snap.read.limit(0)
+        else tailBatch(snap, floor, endV)
     }
     // project to the schema pinned at stream start: columns ADDED by a
     // mid-stream schema evolution are dropped (the sink's schema cannot
@@ -132,18 +142,25 @@ final class GraftDeltaStreamSource(
   }
 
   /** The (sv, endV] incremental batch: rows of the files each commit's
-    * OWN add actions declare with dataChange=true, still live at endV.
+    * OWN add actions declare with dataChange=true.
     *
     * The commit JSONs — not the reconciled file list — are the source
-    * of truth here: reconciliation stamps checkpoint-sourced files with
-    * the CHECKPOINT's version, so deriving the tail from commit_version
-    * would re-emit the whole table after any checkpoint. Reading the
-    * per-commit actions also skips dataChange=false adds (OPTIMIZE
-    * rewrites, checkpoint contents) — already-delivered rows that must
-    * not duplicate downstream. */
+    * of truth here, twice over: reconciliation stamps checkpoint-sourced
+    * files with the CHECKPOINT's version (deriving the tail from
+    * commit_version would re-emit the whole table after a checkpoint),
+    * and a file appended then compacted away WITHIN the batch span is
+    * no longer live at endV (a liveness-filtered read would silently
+    * LOSE its rows — the data file itself exists until VACUUM). So the
+    * batch scans the add actions' files directly, carrying their own
+    * partition values and DVs; dataChange=false adds (OPTIMIZE
+    * rewrites, checkpoint contents) are already-delivered rows and are
+    * skipped. With ignoreChanges=true, a DELETE/UPDATE commit's
+    * re-added files emit in full — the standard "may see duplicates"
+    * ignoreChanges contract. */
   private def tailBatch(snap: graft.delta.Snapshot, sv: Long,
       endV: Long): DataFrame = {
-    val addPaths = Seq.newBuilder[String]
+    val files = scala.collection.mutable.LinkedHashMap.empty[
+      String, graft.delta.scan.DeltaScan.ScanFile]
     val fs = LogSegment.fs(spark, new Path(path))
     val logDir = new Path(new Path(path), "_delta_log")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -165,13 +182,33 @@ final class GraftDeltaStreamSource(
               s"$path (DELETE/UPDATE/MERGE). Streaming reads require an " +
               "append-only table; set ignoreChanges=true to skip such commits.")
         if (n.has("add") &&
-            Option(n.get("add").get("dataChange")).forall(_.asBoolean()))
-          addPaths += n.get("add").get("path").asText()
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean())) {
+          val a = n.get("add")
+          val pv = Option(a.get("partitionValues")).filterNot(_.isNull)
+            .map { m =>
+              import scala.jdk.CollectionConverters._
+              m.properties().asScala
+                .map(e => e.getKey -> (if (e.getValue.isNull) null
+                                       else e.getValue.asText())).toMap
+            }.getOrElse(Map.empty[String, String])
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            graft.delta.log.Actions.DeletionVectorDescriptor(
+              storageType = d.get("storageType").asText(),
+              pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+              offset = Option(d.get("offset")).filterNot(_.isNull)
+                .map(_.asInt()),
+              sizeInBytes = d.get("sizeInBytes").asInt(),
+              cardinality = d.get("cardinality").asLong())
+          }
+          val rel = a.get("path").asText()
+          files.remove(rel) // last add for a path wins
+          files.put(rel,
+            graft.delta.scan.DeltaScan.ScanFile(rel, pv, dv))
+        }
       }
     }
-    val paths = addPaths.result().distinct
-    if (paths.isEmpty) snap.read.limit(0)
-    else snap.readFiles(paths)
+    if (files.isEmpty) snap.read.limit(0)
+    else graft.delta.scan.DeltaScan.buildForFiles(snap, files.values.toSeq)
   }
 
   override def commit(end: LegacyOffset): Unit = ()

@@ -84,6 +84,19 @@ class StreamingSpec extends AnyFunSuite {
       CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
       q.processAllAvailable()
       assert(ss.table("spec_delta_cp").count() == base.count())
+      // the HARD case: append + OPTIMIZE land in ONE batch span (no
+      // poll between). The appended file is no longer live at the span
+      // end — a liveness-filtered read would LOSE its rows; reading the
+      // commit's own add actions keeps them, exactly once.
+      CommitWriter.append(spark,
+        base.limit(3).withColumn("n_nationkey", col("n_nationkey") + 100),
+        path)
+      graft.commands.OptimizeCommand.optimize(spark, path,
+        targetFileSize = 1024L * 1024 * 1024)
+      q.processAllAvailable()
+      assert(ss.table("spec_delta_cp").count() == base.count() + 3)
+      assert(ss.table("spec_delta_cp")
+        .where(col("n_nationkey") >= 100).count() == 3)
     } finally q.stop()
   }
 
