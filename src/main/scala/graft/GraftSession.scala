@@ -86,10 +86,7 @@ final class GraftSession(val spark: SparkSession) {
       val nextId = math.max(
         snap.metadata.configuration
           .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L),
-        snap.schema.fields.map { sf =>
-          if (sf.metadata.contains("delta.columnMapping.id"))
-            sf.metadata.getLong("delta.columnMapping.id") else 0L
-        }.max) + 1
+        graft.delta.scan.ColumnMapping.maxFieldId(snap.schema)) + 1
       val newField = {
         val f = org.apache.spark.sql.types.StructField(name, dt)
         if (!mapped) f
@@ -125,10 +122,7 @@ final class GraftSession(val spark: SparkSession) {
       val preDropMax = math.max(
         snap.metadata.configuration
           .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L),
-        snap.schema.fields.map { sf =>
-          if (sf.metadata.contains("delta.columnMapping.id"))
-            sf.metadata.getLong("delta.columnMapping.id") else 0L
-        }.max)
+        graft.delta.scan.ColumnMapping.maxFieldId(snap.schema))
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
         snap.metadata.copy(
           schemaString = org.apache.spark.sql.types.StructType(

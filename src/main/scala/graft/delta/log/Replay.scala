@@ -192,6 +192,28 @@ object Replay {
     spark.createDataFrame(l, schema)
   }
 
+  /** partitionValues of an add node with JSON null PRESERVED as null —
+    * a null partition value is the null partition, not the string
+    * "null" (strMap would stringify it). Shared by replay and the
+    * streaming source's tail parser so the two can never disagree. */
+  def partitionValuesOf(a: JsonNode): Map[String, String] =
+    Option(a.get("partitionValues")).filterNot(_.isNull).map { m =>
+      m.properties().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null
+                     else e.getValue.asText())).toMap
+    }.getOrElse(Map.empty)
+
+  /** DeletionVectorDescriptor of an add node, if present. */
+  def dvDescriptorOf(a: JsonNode): Option[Actions.DeletionVectorDescriptor] =
+    Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+      Actions.DeletionVectorDescriptor(
+        storageType = d.get("storageType").asText(),
+        pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+        offset = Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        sizeInBytes = d.get("sizeInBytes").asInt(),
+        cardinality = d.get("cardinality").asLong())
+    }
+
   /** Apply `commits` (in order) on top of `live` (path -> add row);
     * latest action wins, re-adds in the same commit supersede removes
     * because removes apply first. */
@@ -211,16 +233,14 @@ object Replay {
         live.remove(n.get("remove").get("path").asText())
       for (n <- nodes if n.has("add")) {
         val a = n.get("add")
-        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
-          Row(d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
-            Option(d.get("offset")).filterNot(_.isNull)
-              .map(o => Int.box(o.asInt())).orNull,
-            d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
-        }.orNull
+        val dv = dvDescriptorOf(a).map(d =>
+          Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
+          .orNull
         val path = a.get("path").asText()
         live.remove(path)
         live.put(path, Row(
-          path, strMap(a, "partitionValues"), a.get("size").asLong(),
+          path, partitionValuesOf(a), a.get("size").asLong(),
           a.get("modificationTime").asLong(),
           Option(a.get("dataChange")).forall(_.asBoolean()),
           optStr(a, "stats").orNull, dv, version))

@@ -30,6 +30,25 @@ object ColumnMapping {
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
+  /** Highest column-mapping field id anywhere in the schema, nested
+    * struct/array/map fields included — the id high-water mark must see
+    * ids an external writer assigned to nested fields, or a later ADD
+    * COLUMN could collide with a live nested id. */
+  def maxFieldId(schema: StructType): Long = {
+    def fieldId(f: StructField): Long =
+      if (f.metadata.contains("delta.columnMapping.id"))
+        f.metadata.getLong("delta.columnMapping.id") else 0L
+    def walk(dt: DataType): Long = dt match {
+      case s: StructType =>
+        if (s.fields.isEmpty) 0L
+        else s.fields.map(f => math.max(fieldId(f), walk(f.dataType))).max
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => math.max(walk(m.keyType), walk(m.valueType))
+      case _ => 0L
+    }
+    walk(schema)
+  }
+
   /** Logical → physical schema (recursive rename; id mode also reads
     * physicalName, which the protocol requires to be present). */
   def toPhysicalSchema(schema: StructType, mappingMode: String): StructType =

@@ -62,10 +62,8 @@ object DeltaScan {
     build(snapshot, Seq.empty, withFileColumn = true)
 
   def build(snapshot: Snapshot, filters: Seq[Column],
-      withFileColumn: Boolean = false,
-      fileFilter: Option[Column] = None): DataFrame = {
-    val fileList = fileFilter.foldLeft(prunedFiles(snapshot, filters))(_.where(_))
-    val scanFiles: Seq[ScanFile] = fileList
+      withFileColumn: Boolean = false): DataFrame = {
+    val scanFiles: Seq[ScanFile] = prunedFiles(snapshot, filters)
       .select("path", "partitionValues", "deletionVector")
       .collect().toSeq.map { r =>
         ScanFile(

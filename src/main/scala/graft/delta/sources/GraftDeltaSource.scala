@@ -48,7 +48,8 @@ class GraftDeltaSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta requires a path"))
-    new GraftDeltaStreamSource(sqlContext.sparkSession, path, parameters)
+    new GraftDeltaStreamSource(sqlContext.sparkSession, path, parameters,
+      metadataPath)
   }
 
   // ---- DSv2 read path -----------------------------------------------

@@ -44,7 +44,8 @@ final case class GraftDeltaOffset(version: Long) extends LegacyOffset {
 final class GraftDeltaStreamSource(
     spark: SparkSession,
     path: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String],
+    metadataPath: String = "") extends Source {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val ignoreChanges =
@@ -70,7 +71,7 @@ final class GraftDeltaStreamSource(
     require(!(opts.contains("startingversion") &&
         opts.contains("startingtimestamp")),
       "set either startingVersion or startingTimestamp, not both")
-    opts.get("startingversion").map {
+    val resolved = opts.get("startingversion").map {
       case "latest" => DeltaTable.forPath(spark, path).version + 1
       case v => v.toLong
     }.orElse(opts.get("startingtimestamp").map { ts =>
@@ -82,6 +83,28 @@ final class GraftDeltaStreamSource(
         DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1)
         .getOrElse(0L)
     })
+    // `latest` and timestamps resolve DIFFERENTLY on every restart (the
+    // v1 Source object is recreated against the current table tip), and
+    // a higher re-resolved floor would silently swallow the commits made
+    // while the stream was down. Pin the FIRST resolution in the
+    // stream's own metadata dir; restarts read it back.
+    resolved.map { sv0 =>
+      if (metadataPath.isEmpty) sv0
+      else {
+        val pin = new Path(metadataPath, "graft_starting_version")
+        val fs = LogSegment.fs(spark, pin)
+        if (fs.exists(pin)) {
+          val in = fs.open(pin)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong finally in.close()
+        } else {
+          fs.mkdirs(pin.getParent)
+          val out = fs.create(pin, false)
+          try out.write(sv0.toString.getBytes("UTF-8")) finally out.close()
+          sv0
+        }
+      }
+    }
   }
 
   /** Schema is pinned at stream start (a mid-stream schema change fails
@@ -120,7 +143,7 @@ final class GraftDeltaStreamSource(
         case None => snap.read
         // ...or, with startingVersion, only the adds of commits >= it
         // (empty when the stream starts before reaching that version)
-        case Some(sv0) if sv0 > endV => snap.read.limit(0)
+        case Some(sv0) if sv0 > endV => graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
         case Some(sv0) => tailBatch(snap, sv0 - 1, endV)
       }
       // startingVersion is a floor for EVERY batch, not just the first:
@@ -129,7 +152,7 @@ final class GraftDeltaStreamSource(
       // must stay excluded
       case Some(sv) =>
         val floor = startingVersion.fold(sv)(sv0 => math.max(sv, sv0 - 1))
-        if (floor >= endV) snap.read.limit(0)
+        if (floor >= endV) graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
         else tailBatch(snap, floor, endV)
     }
     // project to the schema pinned at stream start: columns ADDED by a
@@ -184,30 +207,15 @@ final class GraftDeltaStreamSource(
         if (n.has("add") &&
             Option(n.get("add").get("dataChange")).forall(_.asBoolean())) {
           val a = n.get("add")
-          val pv = Option(a.get("partitionValues")).filterNot(_.isNull)
-            .map { m =>
-              import scala.jdk.CollectionConverters._
-              m.properties().asScala
-                .map(e => e.getKey -> (if (e.getValue.isNull) null
-                                       else e.getValue.asText())).toMap
-            }.getOrElse(Map.empty[String, String])
-          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
-            graft.delta.log.Actions.DeletionVectorDescriptor(
-              storageType = d.get("storageType").asText(),
-              pathOrInlineDv = d.get("pathOrInlineDv").asText(),
-              offset = Option(d.get("offset")).filterNot(_.isNull)
-                .map(_.asInt()),
-              sizeInBytes = d.get("sizeInBytes").asInt(),
-              cardinality = d.get("cardinality").asLong())
-          }
           val rel = a.get("path").asText()
           files.remove(rel) // last add for a path wins
-          files.put(rel,
-            graft.delta.scan.DeltaScan.ScanFile(rel, pv, dv))
+          files.put(rel, graft.delta.scan.DeltaScan.ScanFile(rel,
+            graft.delta.log.Replay.partitionValuesOf(a),
+            graft.delta.log.Replay.dvDescriptorOf(a)))
         }
       }
     }
-    if (files.isEmpty) snap.read.limit(0)
+    if (files.isEmpty) graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
     else graft.delta.scan.DeltaScan.buildForFiles(snap, files.values.toSeq)
   }
 

@@ -147,6 +147,43 @@ class StreamingSpec extends AnyFunSuite {
     // the restarted run recovers the offset (a SerializedOffset, the
     // json round-trip path) and emits ONLY the new commit's rows
     assert(run() == base.count() - 10)
+    // DETERMINISTIC spanning batch: append + OPTIMIZE both commit while
+    // the stream is DOWN, so the restarted run covers them in one span.
+    // The appended file is no longer live at the span end (OPTIMIZE
+    // compacted it away, dataChange=false) — its rows must still arrive,
+    // exactly once, and the compacted re-adds must not duplicate.
+    CommitWriter.append(spark,
+      base.limit(4).withColumn("n_nationkey", col("n_nationkey") + 200),
+      path)
+    graft.commands.OptimizeCommand.optimize(spark, path,
+      targetFileSize = 1024L * 1024 * 1024)
+    assert(run() == 4)
+  }
+
+  test("delta streaming source: startingVersion=latest is pinned across restarts") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_lat").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_lat_ck").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), path)
+    def run(): Long = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = ss.readStream.format("graftdelta").option("path", path)
+        .option("startingVersion", "latest").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }.start()
+      try { q.processAllAvailable(); seen.get } finally q.stop()
+    }
+    assert(run() == 0) // 'latest' at start: nothing after v0 yet
+    // commits land while the stream is DOWN; on restart 'latest' would
+    // re-resolve PAST them — the pinned first resolution must win or
+    // these rows are silently lost
+    CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+    assert(run() == base.count() - 10)
   }
 
   test("delta streaming source: startingTimestamp resolves to the commit after it") {
