@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list, as alternating large-star /
+  * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SOCC'14) — the canonical shuffle-based CC algorithm.
+  *
+  * Each round is two groupBy-explode passes over the edge relation; the
+  * edge set converges to a star forest where every node points at the
+  * minimum id of its component. Convergence is O(log² n) rounds
+  * regardless of component diameter — unlike naive min-label
+  * propagation, whose round count is the graph diameter (a 1M-long
+  * duplicate chain would need 1M shuffles; this needs ~40). No driver
+  * state beyond the per-round convergence counter; every pass is a plain
+  * aggregation the planner can AQE-coalesce.
+  */
+object ConnectedComponents {
+
+  private val MaxRounds = 50
+
+  /** Star-step core: group symmetric/directed neighbor lists per node,
+    * link each selected neighbor to the minimum of the neighborhood. */
+  private def largeStar(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(collect_set(col("v")).as("ns"))
+      .select(col("u"),
+        least(col("u"), array_min(col("ns"))).as("m"), col("ns"))
+      .select(col("m"), explode(col("ns")).as("v"), col("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val directed = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    directed
+      .groupBy("u").agg(collect_set(col("v")).as("ns"))
+      .select(col("u"), array_min(col("ns")).as("m"), col("ns"))
+      .select(col("m"),
+        explode(array_union(col("ns"), array(col("u")))).as("v"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** @param edges two-column DataFrame (u, v) of undirected edges
+    * @return (id, component) — every node present in `edges`, labeled
+    *         with the minimum node id reachable from it (including
+    *         itself); isolated nodes don't appear (they were never in
+    *         `edges`).
+    */
+  def components(spark: SparkSession, edges: DataFrame): DataFrame = {
+    var e = edges.toDF("u", "v").where(col("u") =!= col("v")).distinct()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxRounds) {
+      // localCheckpoint truncates the per-round lineage (each round
+      // otherwise doubles the logical plan, and Catalyst re-analysis
+      // goes quadratic); eager so the convergence check reuses it
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
+      // converged when the directed edge multiset is stable: compare
+      // canonicalized sets both ways (cheap — edge list is slim)
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $MaxRounds rounds")
+    // star forest: every u points at its component min; add the roots
+    val members = e.select(col("u").as("id"), col("v").as("component"))
+    members.union(
+        e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
+  }
+}

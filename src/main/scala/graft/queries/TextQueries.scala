@@ -513,6 +513,49 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Duplicate clusters: connected components over the capped LSH
+    // candidate pairs — the dedup DECISION stage (which docs form one
+    // duplicate group, which member survives). Components run as
+    // alternating large-star/small-star rounds (O(log² n) shuffles at
+    // any component diameter); the oracle computes the same labels by
+    // recursive-CTE transitive closure, tractable at fixture scale.
+    Q("q_dup_clusters",
+      s"""WITH RECURSIVE $minhashBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |   AND a.doc_id < b.doc_id
+         |),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM cand
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM cand
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |label AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u
+         |)
+         |SELECT doc_id, cluster_id,
+         |       doc_id = cluster_id AS is_canonical,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM label
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = minhashBandPairs(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")).distinct()
+      graft.operators.ConnectedComponents.components(s, pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    },
+
     // SimHash: 16-bit signature from per-token hash bit votes
     Q("q_simhash",
       s"""WITH toks AS (

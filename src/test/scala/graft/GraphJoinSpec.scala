@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ConnectedComponents, RangeJoin}
+
+/** Unit-level checks for the composed graph/join operators backing
+  * q_dup_clusters and q_range_join (value-level parity with DuckDB is
+  * covered by the oracle gate; these pin the operator semantics on
+  * hand-built inputs where the expected answer is enumerable). */
+class GraphJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- ConnectedComponents ------------------------------------------
+
+  test("cc: two components + chain, labels are component minima") {
+    // chain 1-2-3-4 (diameter 3) and pair 10-11, plus redundant edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 3L))
+      .toDF("u", "v")
+    val got = ConnectedComponents.components(spark, edges)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("cc: single star and self-loops collapse") {
+    val edges = Seq((5L, 9L), (5L, 7L), (5L, 5L), (9L, 7L)).toDF("u", "v")
+    val got = ConnectedComponents.components(spark, edges)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 5L), (7L, 5L), (9L, 5L)))
+  }
+
+  test("cc: long path converges (log rounds, not diameter rounds)") {
+    // a 64-node path is diameter 63: naive min-propagation would need
+    // 63 rounds and trip MaxRounds=50; star-contraction must not
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = ConnectedComponents.components(spark, edges)
+      .as[(Long, Long)].collect().toSet
+    assert(got == (1L to 64L).map(i => (i, 1L)).toSet)
+  }
+
+  // ---- RangeJoin ----------------------------------------------------
+
+  test("band join matches the naive range predicate") {
+    val left = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "b", 100L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 90L, 1.0), ("a", 161L, 2.0), ("a", 339L, 3.0),
+      ("b", 500L, 4.0), ("c", 100L, 5.0)).toDF("k", "rt", "x")
+    val got = RangeJoin.bandJoin(left, right, Seq("k"), "t", "rt", 60L)
+      .select("id", "rt").as[(Long, Long)].collect().toSet
+    // id 1 (t=100): 90 (|10|), 161 is |61| > 60 — excluded
+    // id 2 (t=250): none (161 is 89 away, 339 is 89 away)
+    // id 3 (k=b, t=100): 500 is 400 away — none
+    assert(got == Set((1L, 90L)))
+
+    val got2 = RangeJoin.bandJoin(left, right, Seq("k"), "t", "rt", 100L)
+      .select("id", "rt").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 90L), (1L, 161L), (2L, 161L), (2L, 339L)))
+  }
+
+  test("band join emits each qualifying pair exactly once") {
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
+    val right = Seq(("a", 100L, 1.0)).toDF("k", "rt", "x")
+    // same bin AND adjacent-bin replication could double-count without
+    // the left-bin-is-single-valued property; row count must be 1
+    val rows = RangeJoin.bandJoin(left, right, Seq("k"), "t", "rt", 50L)
+    assert(rows.count() == 1L)
+    assert(rows.columns.toSeq == Seq("id", "k", "t", "rt", "x"))
+  }
+
+  test("band join negative times bin correctly") {
+    val left = Seq((1L, "a", -10L)).toDF("id", "k", "t")
+    val right = Seq(("a", 10L, 1.0), ("a", -75L, 2.0)).toDF("k", "rt", "x")
+    val got = RangeJoin.bandJoin(left, right, Seq("k"), "t", "rt", 60L)
+      .select("id", "rt").as[(Long, Long)].collect().toSet
+    // |(-10) - 10| = 20 qualifies; |(-10) - (-75)| = 65 > 60 does not
+    // (floor division must bin toward -inf — truncation would misplace
+    // negative timestamps at bin boundaries)
+    assert(got == Set((1L, 10L)))
+  }
+}
