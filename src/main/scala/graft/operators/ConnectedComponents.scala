@@ -20,6 +20,9 @@ object ConnectedComponents {
 
   private val MaxRounds = 50
 
+  /** Test observability: rounds the last components() call took. */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger
+
   /** Star-step core: group symmetric/directed neighbor lists per node,
     * link each selected neighbor to the minimum of the neighborhood. */
   private def largeStar(edges: DataFrame): DataFrame =
@@ -51,20 +54,26 @@ object ConnectedComponents {
     *         `edges`).
     */
   def components(spark: SparkSession, edges: DataFrame): DataFrame = {
+    // localCheckpoint everywhere: truncates per-round lineage (each
+    // round otherwise doubles the logical plan and Catalyst re-analysis
+    // goes quadratic) and stops the (possibly expensive) upstream edge
+    // pipeline from recomputing in round 1 + the convergence check
     var e = edges.toDF("u", "v").where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var n = e.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      // localCheckpoint truncates the per-round lineage (each round
-      // otherwise doubles the logical plan, and Catalyst re-analysis
-      // goes quadratic); eager so the convergence check reuses it
       val next = smallStar(largeStar(e)).distinct().localCheckpoint()
-      // converged when the directed edge multiset is stable: compare
-      // canonicalized sets both ways (cheap — edge list is slim)
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      val nn = next.count()
+      // sets of equal size with an empty one-sided difference are equal
+      // — one except job per round, not two (both sides materialized)
+      converged = nn == n && next.except(e).isEmpty
       e = next
+      n = nn
       rounds += 1
     }
+    lastRounds.set(rounds)
     require(converged, s"connected components did not converge in $MaxRounds rounds")
     // star forest: every u points at its component min; add the roots
     val members = e.select(col("u").as("id"), col("v").as("component"))

@@ -117,7 +117,7 @@ object TextQueries {
   /** Per-band candidate pairs (doc_a, doc_b, band) from capped MinHash
     * LSH buckets — per-bucket doc-list explode, never a self-join of
     * the full band relation. */
-  private def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
     val sigs = shingleHashes(load(s, dir, "documents"))
       .groupBy("doc_id")
       .agg(minhashAggs.head, minhashAggs.tail: _*)
@@ -127,15 +127,17 @@ object TextQueries {
         col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    val buckets = bands.groupBy("band", "k1", "k2")
+    bands.groupBy("band", "k1", "k2")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, BandBucketMax))
-    buckets.select(col("band"), explode(expr(
+  }
+
+  private def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
+    minhashBuckets(s, dir).select(col("band"), explode(expr(
       """flatten(transform(ds, (x, i) ->
         |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
         |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("band"))
-  }
 
   /** (doc_id, source, sz, h) stream for the jaccard join: per-row
     * DISTINCT shingle-string set (row-local, so sz needs no shuffle),
@@ -546,9 +548,15 @@ object TextQueries {
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM label
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = minhashBandPairs(s, dir)
-        .select(col("doc_a").as("u"), col("doc_b").as("v")).distinct()
-      graft.operators.ConnectedComponents.components(s, pairs)
+      // connectivity-equivalent star compression: a bucket of docs
+      // {d1..dk} is a clique in candidate-pair space, but for component
+      // labeling the spanning star (di -> bucket min) carries the same
+      // connectivity with k-1 edges instead of k(k-1)/2 — and hands the
+      // CC loop pre-contracted stars, so it converges in fewer rounds
+      val stars = minhashBuckets(s, dir)
+        .select(explode(col("ds")).as("u"), array_min(col("ds")).as("v"))
+        .where(col("u") =!= col("v"))
+      graft.operators.ConnectedComponents.components(s, stars)
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
         .withColumn("cluster_size",

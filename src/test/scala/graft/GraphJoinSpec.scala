@@ -39,6 +39,10 @@ class GraphJoinSpec extends AnyFunSuite {
     val got = ConnectedComponents.components(spark, edges)
       .as[(Long, Long)].collect().toSet
     assert(got == (1L to 64L).map(i => (i, 1L)).toSet)
+    // star contraction halves-or-better per round pair: well under the
+    // 63 rounds diameter-bound propagation would need
+    assert(ConnectedComponents.lastRounds.get <= 12,
+      s"took ${ConnectedComponents.lastRounds.get} rounds")
   }
 
   // ---- RangeJoin ----------------------------------------------------
