@@ -121,6 +121,42 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // int8 symmetric quantization (the standard embedding-compression
+    // pass before ANN index build): per-vector scale = 127 / max|x|,
+    // q_i = floor(x_i * scale + 0.5). floor-of-double is engine-exact
+    // where round()'s half-way tie rule is not; the float->double
+    // widening and the single division are IEEE-identical on both
+    // engines. Scalars (checksum/min/max) keep the compare exact
+    // without relying on array equality semantics.
+    Q("q_embed_quantize",
+      """WITH s AS (
+        |  SELECT vec_id, label,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    embedding
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, label, scale,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT) AS q_sum,
+        |  CAST(list_min(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT) AS q_min,
+        |  CAST(list_max(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT) AS q_max
+        |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "embeddings")
+        .withColumn("scale", lit(127.0) /
+          array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))
+        .withColumn("q",
+          expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * scale + 0.5))"))
+        .select(col("vec_id"), col("label"), col("scale"),
+          expr("CAST(aggregate(q, 0D, (acc, x) -> acc + x) AS BIGINT)")
+            .as("q_sum"),
+          expr("CAST(array_min(q) AS BIGINT)").as("q_min"),
+          expr("CAST(array_max(q) AS BIGINT)").as("q_max"))
+        .orderBy("vec_id")
+    },
+
     // embedding-cosine near-duplicates: banded sign-bit LSH (8 bands x
     // 8 bits over the 64 dims), candidate = pair sharing >= 1 band
     // bucket, verified by exact cosine >= 0.2. Two scale guards, both

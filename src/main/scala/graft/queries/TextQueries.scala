@@ -350,6 +350,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // stratified downsampling: every 10th doc per language stratum, in
+    // hash-of-id order — deterministic "random" sampling with exact
+    // per-stratum proportions (reservoir/Bernoulli sampling is
+    // RNG-dependent and irreproducible across engines/partitionings;
+    // hash-rank sampling is a pure function of the data). One window
+    // shuffle on the stratum key; scales like any partitioned rank.
+    Q("q_stratified_sample",
+      s"""SELECT lang, doc_id, n_chars FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn % 10 = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(hashCol(col("doc_id").cast(StringType)), col("doc_id"))))
+        .where(col("rn") % 10 === 1)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // sequence packing: greedy fill of fixed token-budget packs (2048)
     // per language shard — the standard pre-training batch-construction
     // op. A running token cumsum rides ONE window shuffle (partitioned
