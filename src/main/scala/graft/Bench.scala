@@ -74,6 +74,7 @@ object Bench {
       "q_dup_clusters", "q_range_join", "q_stratified_sample",
       "q_embed_quantize",
       "q_token_count", "q_multimodal_features", "q_stream_window",
+      "q_stream_watermark",
       "q_stream_sessions", "q_stream_delta_source", "q_merge",
       "q_contamination", "q_edit_distance", "q_pack_sequences",
       "q_stats_agg", "vacuum_dry_run")

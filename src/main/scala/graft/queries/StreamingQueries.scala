@@ -45,6 +45,32 @@ object StreamingQueries {
         .orderBy("user_id")
     },
 
+    // Watermarked APPEND-mode windows — the production streaming shape
+    // (bounded state, each window emitted once when the watermark passes
+    // it), where q_stream_window is the complete-mode harness shape. A
+    // 3-file ordered feed (events + two far-future sentinel rows) drives
+    // the watermark past every real window, so the emitted set equals
+    // the batch aggregation exactly; sentinels are filtered out of the
+    // result and the oracle sees only real rows.
+    Q("q_stream_watermark",
+      """SELECT epoch_ns(ts) // 60000000000 AS minute_bucket, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY minute_bucket, event_type""".stripMargin) { (s, dir) =>
+      val feed = EventsStream.watermarkFeedDir(s, dir)
+      EventsStream.runToMemory(s,
+        ss => EventsStream.watermarkedWindows(
+          EventsStream.readFeed(ss, dir, feed)),
+        s"stream_wm_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        OutputMode.Append())
+        // sentinel windows drop HERE, on the materialized sink result —
+        // inside the streaming plan this filter would push below the
+        // watermark node and defeat the sentinels (see watermarkedWindows)
+        .where(col("event_type") =!= EventsStream.SentinelType)
+        .orderBy("minute_bucket", "event_type")
+    },
+
     // Streaming SOURCE over a Delta table (readStream.format("graftdelta")):
     // maxVersionsPerTrigger=1 forces the incremental path — batch 0 is the
     // v0 snapshot, batch 1 replays exactly the files commit 1 added — so

@@ -49,6 +49,87 @@ object EventsStream {
       .groupBy(window(col("event_time"), "60 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  final val WatermarkDelaySec = 300L
+  final val SentinelType = "__wm_sentinel"
+
+  /** Append-mode watermarked windows, shaped like windowedCounts.
+    * Sentinel rows (which only exist to advance the watermark) are NOT
+    * filtered here: event_type is a grouping column, so Catalyst pushes
+    * an event_type filter below the aggregation AND the
+    * EventTimeWatermark node — the sentinel rows would be dropped at
+    * the scan and the watermark would never advance (observed: the
+    * sentinel batches read 0 rows). Callers filter the sink output. */
+  def watermarkedWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", s"$WatermarkDelaySec seconds")
+      .groupBy(window(col("event_time"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        (unix_timestamp(col("window.start")) / 60).cast("long")
+          .as("minute_bucket"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Build (once) a 3-file feed directory: the events fixture plus two
+    * far-future sentinel rows in their own files, modification times
+    * ascending so the file source (maxFilesPerTrigger=1) replays them
+    * as ordered batches. After the second sentinel's batch the
+    * watermark provably exceeds every real window's end, so append
+    * mode has emitted exactly the batch aggregation of the real rows —
+    * which is what the oracle checks. Returns the feed dir. */
+  def watermarkFeedDir(spark: SparkSession, sfDir: String): String = {
+    val feedDir = s"target/stream_wm_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val done = new java.io.File(s"$feedDir/_FEED_READY")
+    if (!done.exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val maxTs = ev.agg(max("ts")).head.getLong(0)
+      val delayNs = WatermarkDelaySec * 1000000000L
+      // margin: one window width + one extra minute past the delay
+      val s1 = maxTs + delayNs + 180L * 1000000000L
+      val s2 = s1 + delayNs + 180L * 1000000000L
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val staging = s"$feedDir/.staging_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$feedDir/$name")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+        dst.setLastModified(mtime)
+      }
+      // mtimes strictly ascending but all safely in the PAST: a file
+      // whose mtime is ahead of the stream's start scans EMPTY in its
+      // batch (observed: future-stamped sentinel read 0 rows on a
+      // freshly built feed), which silently un-advances the watermark
+      val base = System.currentTimeMillis() - 60000
+      def sentinel(ns: Long, id: Long): DataFrame =
+        ev.sparkSession.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(id, ns, 0L, SentinelType, null, null)),
+          ev.schema)
+      writeOne(ev, "00_events.parquet", base)
+      writeOne(sentinel(s1, -1L), "01_sentinel.parquet", base + 10000)
+      writeOne(sentinel(s2, -2L), "02_sentinel.parquet", base + 20000)
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    feedDir
+  }
+
+  /** Streaming read of a watermark feed dir (ordered multi-file replay). */
+  def readFeed(spark: SparkSession, sfDir: String, feedDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feedDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
   case class SessionState(nEvents: Long, lastTs: Long)
   case class UserSession(user_id: Long, n_events: Long, last_ts: Long)
 
