@@ -60,10 +60,31 @@ class GraftDeltaSource extends RelationProvider
       options: java.util.Map[String, String]): GraftDeltaTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftdelta requires a path"))
-    new GraftDeltaTable(SparkSession.active, path,
-      GraftDeltaSource.resolveVersion(SparkSession.active, path,
-        Option(options.get("versionAsOf")),
-        Option(options.get("timestampAsOf"))))
+    val spark = SparkSession.active
+    // non-numeric startingVersion (the streaming-only "latest") is not a
+    // batch range request — DataStreamReader resolves this same table for
+    // schema inference before the v1 Source takes over, so fall through
+    // to the plain snapshot table for it
+    Option(options.get("startingVersion"))
+      .filter(sv => scala.util.Try(sv.toLong).isSuccess) match {
+      case Some(sv) =>
+        // incremental batch read: rows added by commits in
+        // [startingVersion, endingVersion (default latest)]
+        require(options.get("versionAsOf") == null &&
+          options.get("timestampAsOf") == null,
+          "startingVersion cannot be combined with time travel options")
+        val endV = Option(options.get("endingVersion")).map(_.toLong)
+          .getOrElse(-1L)
+        new GraftDeltaTable(spark, path, None,
+          versionRange = Some((sv.toLong, endV)),
+          ignoreChanges =
+            Option(options.get("ignoreChanges")).exists(_.toBoolean))
+      case None =>
+        new GraftDeltaTable(spark, path,
+          GraftDeltaSource.resolveVersion(spark, path,
+            Option(options.get("versionAsOf")),
+            Option(options.get("timestampAsOf"))))
+    }
   }
 
   override def inferSchema(

@@ -164,60 +164,13 @@ final class GraftDeltaStreamSource(
     org.apache.spark.sql.graftshim.Shims.asStreamingDF(pinned)
   }
 
-  /** The (sv, endV] incremental batch: rows of the files each commit's
-    * OWN add actions declare with dataChange=true.
-    *
-    * The commit JSONs — not the reconciled file list — are the source
-    * of truth here, twice over: reconciliation stamps checkpoint-sourced
-    * files with the CHECKPOINT's version (deriving the tail from
-    * commit_version would re-emit the whole table after a checkpoint),
-    * and a file appended then compacted away WITHIN the batch span is
-    * no longer live at endV (a liveness-filtered read would silently
-    * LOSE its rows — the data file itself exists until VACUUM). So the
-    * batch scans the add actions' files directly, carrying their own
-    * partition values and DVs; dataChange=false adds (OPTIMIZE
-    * rewrites, checkpoint contents) are already-delivered rows and are
-    * skipped. With ignoreChanges=true, a DELETE/UPDATE commit's
-    * re-added files emit in full — the standard "may see duplicates"
-    * ignoreChanges contract. */
+  /** The (sv, endV] incremental batch — shared commit-range scan (see
+    * [[graft.delta.scan.CommitRangeScan]] for the source-of-truth and
+    * dataChange semantics, which the batch startingVersion read shares). */
   private def tailBatch(snap: graft.delta.Snapshot, sv: Long,
-      endV: Long): DataFrame = {
-    val files = scala.collection.mutable.LinkedHashMap.empty[
-      String, graft.delta.scan.DeltaScan.ScanFile]
-    val fs = LogSegment.fs(spark, new Path(path))
-    val logDir = new Path(new Path(path), "_delta_log")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    for (v <- (sv + 1) to endV) {
-      val commit = new Path(logDir, f"$v%020d.json")
-      if (!fs.exists(commit))
-        throw new IllegalStateException(
-          s"Streaming source cannot read commit $v of $path (cleaned up?); " +
-            "restart the stream from a fresh checkpoint to resync.")
-      val in = fs.open(commit)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toVector finally in.close()
-      for (line <- lines if line.nonEmpty) {
-        val n = mapper.readTree(line)
-        if (!ignoreChanges && n.has("remove") &&
-            Option(n.get("remove").get("dataChange")).forall(_.asBoolean()))
-          throw new UnsupportedOperationException(
-            s"Streaming source found a data-changing remove in commit $v of " +
-              s"$path (DELETE/UPDATE/MERGE). Streaming reads require an " +
-              "append-only table; set ignoreChanges=true to skip such commits.")
-        if (n.has("add") &&
-            Option(n.get("add").get("dataChange")).forall(_.asBoolean())) {
-          val a = n.get("add")
-          val rel = a.get("path").asText()
-          files.remove(rel) // last add for a path wins
-          files.put(rel, graft.delta.scan.DeltaScan.ScanFile(rel,
-            graft.delta.log.Replay.partitionValuesOf(a),
-            graft.delta.log.Replay.dvDescriptorOf(a)))
-        }
-      }
-    }
-    if (files.isEmpty) graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
-    else graft.delta.scan.DeltaScan.buildForFiles(snap, files.values.toSeq)
-  }
+      endV: Long): DataFrame =
+    graft.delta.scan.CommitRangeScan.addsBetween(spark, path, snap, sv, endV,
+      ignoreChanges, "Streaming source")
 
   override def commit(end: LegacyOffset): Unit = ()
 

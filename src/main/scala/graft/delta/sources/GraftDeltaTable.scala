@@ -35,10 +35,16 @@ import graft.delta.scan.ColumnMapping
   * first, partition columns last.
   */
 final class GraftDeltaTable(spark: SparkSession, path: String,
-    versionAsOf: Option[Long]) extends Table with SupportsRead {
+    versionAsOf: Option[Long],
+    // incremental read: (startingVersion, endingVersion | -1 = latest);
+    // serves the rows ADDED by commits in that range (see CommitRangeScan)
+    versionRange: Option[(Long, Long)] = None,
+    ignoreChanges: Boolean = false) extends Table with SupportsRead {
 
-  private[sources] lazy val snapshot: Snapshot =
-    DeltaTable.forPath(spark, path, versionAsOf)
+  private[sources] lazy val snapshot: Snapshot = versionRange match {
+    case Some((_, end)) if end >= 0 => DeltaTable.forPath(spark, path, Some(end))
+    case _ => DeltaTable.forPath(spark, path, versionAsOf)
+  }
   private lazy val partCols = snapshot.partitionColumns
   private lazy val dataFields =
     snapshot.schema.fields.filterNot(f => partCols.contains(f.name))
@@ -72,18 +78,37 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
     .where(col("deletionVector").isNotNull).limit(1).collect().nonEmpty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val identityMapping = ColumnMapping.mode(snapshot.metadata) == "none"
-    if (identityMapping && !hasDvs)
-      ParquetScanBuilder(spark, new GraftDeltaFileIndex(spark, snapshot),
-        schema(), StructType(dataFields.toIndexedSeq), options)
-    else new GraftDeltaComposedScanBuilder(snapshot, schema())
+    versionRange match {
+      case Some((startV, _)) =>
+        // incremental range scan: composed read over the span's add files
+        val snap = snapshot
+        new GraftDeltaComposedScanBuilder(snap, schema(), filters => {
+          val df = graft.delta.scan.CommitRangeScan.addsBetween(spark, path,
+            snap, startV - 1, snap.version, ignoreChanges,
+            "Incremental batch read")
+          if (filters.isEmpty) df else df.where(filters.reduce(_ && _))
+        })
+      case None =>
+        val identityMapping = ColumnMapping.mode(snapshot.metadata) == "none"
+        if (identityMapping && !hasDvs)
+          ParquetScanBuilder(spark, new GraftDeltaFileIndex(spark, snapshot),
+            schema(), StructType(dataFields.toIndexedSeq), options)
+        else new GraftDeltaComposedScanBuilder(snapshot, schema(),
+          filters =>
+            if (filters.isEmpty) snapshot.read
+            else snapshot.readWhere(filters: _*))
+    }
   }
 }
 
-/** Fallback scan for DV / column-mapping tables: pushdown bookkeeping at
-  * the DSv2 layer, execution through the composed v1 DataFrame. */
+/** Fallback scan for DV / column-mapping tables and incremental range
+  * reads: pushdown bookkeeping at the DSv2 layer, execution through the
+  * composed v1 DataFrame produced by `buildBase` (pushed filters in,
+  * assembled DataFrame out). */
 final class GraftDeltaComposedScanBuilder(snapshot: Snapshot,
-    fullSchema: StructType) extends ScanBuilder
+    fullSchema: StructType,
+    buildBase: Seq[Column] => org.apache.spark.sql.DataFrame)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -106,9 +131,7 @@ final class GraftDeltaComposedScanBuilder(snapshot: Snapshot,
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val filterCols = pushed.toSeq.flatMap(FilterColumns.toColumn)
-      val df0 =
-        if (filterCols.isEmpty) snapshot.read
-        else snapshot.readWhere(filterCols: _*)
+      val df0 = buildBase(filterCols)
       val projected =
         if (required.isEmpty) df0.select()
         else df0.select(required.fieldNames.map(col).toIndexedSeq: _*)

@@ -388,6 +388,22 @@ object DeltaQueries {
       snap.read.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
 
+    // incremental version-range batch read (the incremental-ETL shape:
+    // "give me what landed since version N" without a streaming
+    // checkpoint). Commit 1 of versionedTable appended the
+    // o_totalprice > 250000 slice, so the [1, 1] range read returns
+    // exactly those rows — which is what the oracle states.
+    Q("q_version_diff",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 250000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val path = versionedTable(s, dir)
+      s.read.format("graftdelta")
+        .option("path", path)
+        .option("startingVersion", "1").option("endingVersion", "1")
+        .load()
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
     // A28: snapshot refresh — re-resolving after a new commit sees it
     Q("snapshot_refresh",
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -33,6 +33,57 @@ class SourceSpec extends AnyFunSuite {
     assert(df.collect().length == 2)
   }
 
+  test("startingVersion batch read returns only the span's added rows") {
+    // commit 1 appended r_regionkey >= 3 (2 rows)
+    val inc = spark.read.format("graftdelta")
+      .option("path", table).option("startingVersion", "1").load()
+    assert(inc.select("r_regionkey").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == Seq(3L, 4L))
+    // full-history range = the whole table
+    val all = spark.read.format("graftdelta")
+      .option("path", table).option("startingVersion", "0").load()
+    assert(all.count() == 5)
+    // endingVersion bounds the span: [0, 0] is just the create
+    val v0 = spark.read.format("graftdelta")
+      .option("path", table).option("startingVersion", "0")
+      .option("endingVersion", "0").load()
+    assert(v0.count() == 3)
+    // empty span beyond the tip
+    val none = spark.read.format("graftdelta")
+      .option("path", table).option("startingVersion", "2").load()
+    assert(none.count() == 0)
+    // incompatible with time travel
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", table)
+        .option("startingVersion", "1").option("versionAsOf", "0").load()
+    }
+  }
+
+  test("startingVersion read skips OPTIMIZE rewrites, rejects DML spans") {
+    val d = Files.createTempDirectory("graft_src_range").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), p)
+    CommitWriter.append(spark, region.filter(col("r_regionkey") >= 3), p)
+    graft.commands.OptimizeCommand.optimize(spark, p) // v2: dataChange=false
+    val afterOpt = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "2").load()
+    assert(afterOpt.count() == 0) // rewrites are not new data
+    graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0) // v3
+    intercept[UnsupportedOperationException] {
+      spark.read.format("graftdelta")
+        .option("path", p).option("startingVersion", "3").load().count()
+    }
+    // ignoreChanges opts into the may-see-duplicates contract
+    val ic = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "3")
+      .option("ignoreChanges", "true").load()
+    // OPTIMIZE compacted all 5 rows into one file; DELETE of key 0
+    // rewrote it copy-on-write with the 4 survivors
+    assert(ic.count() == 4)
+  }
+
   test("versionAsOf option time-travels") {
     val df = spark.read.format("graftdelta")
       .option("path", table).option("versionAsOf", "0").load()
