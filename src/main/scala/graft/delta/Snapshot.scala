@@ -39,6 +39,24 @@ final case class Snapshot(
   def readWhere(filters: Column*): DataFrame =
     DeltaScan.build(this, filters)
 
+  /** Exact row count answered from log statistics alone — zero data
+    * files opened: sum of per-file numRecords minus deletion-vector
+    * cardinalities. `None` when any live file lacks numRecords (then
+    * only a data scan can answer). At 100 TB this turns `count(*)` from
+    * a full-table scan into a metadata aggregation over the (already
+    * replayed) file list. */
+  def statsRowCount: Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val a = allFiles.agg(
+      count(lit(1)).as("files"),
+      count(get_json_object(col("stats"), "$.numRecords")).as("withStats"),
+      sum(get_json_object(col("stats"), "$.numRecords").cast("long")).as("n"),
+      sum(coalesce(col("deletionVector.cardinality"), lit(0L))).as("dv"))
+      .head
+    if (a.getLong(0) == 0L) Some(0L)
+    else if (a.getLong(1) == a.getLong(0)) Some(a.getLong(2) - a.getLong(3))
+    else None
+  }
 }
 
 object DeltaTable {

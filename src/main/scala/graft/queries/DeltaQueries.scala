@@ -388,6 +388,23 @@ object DeltaQueries {
       snap.read.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
 
+    // metadata-only count: the row counts of two delta tables (one
+    // DV-masked) answered from log stats ALONE — numRecords sums minus
+    // DV cardinalities, no data file opened. The oracle recomputes the
+    // same counts the slow way, from the source parquet.
+    Q("q_meta_count",
+      """SELECT 'basic' AS tbl, count(*) AS n_rows FROM lineitem
+        |UNION ALL
+        |SELECT 'dv' AS tbl, count(*) AS n_rows FROM customer
+        |WHERE c_custkey % 10 <> 0
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val basic = DeltaTable.forPath(s, basicTable(s, dir)).statsRowCount
+      val dv = DeltaTable.forPath(s, dvTable(s, dir)).statsRowCount
+      Seq(("basic", basic.getOrElse(-1L)), ("dv", dv.getOrElse(-1L)))
+        .toDF("tbl", "n_rows").orderBy("tbl")
+    },
+
     // incremental version-range batch read (the incremental-ETL shape:
     // "give me what landed since version N" without a streaming
     // checkpoint). Commit 1 of versionedTable appended the

@@ -22,6 +22,22 @@ class DeltaSpec extends AnyFunSuite {
   private lazy val nation = spark.read.parquet(s"$sf/nation.parquet")
   private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
 
+  test("statsRowCount answers count from metadata, DV-adjusted") {
+    val path = tmpTable("statscount")
+    CommitWriter.createTable(spark, region, path)
+    CommitWriter.append(spark, nation, path)
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.statsRowCount.contains(snap.read.count()))
+    // DV fixture: masked rows must subtract
+    val dvPath = graft.queries.DeltaQueries.dvTable(spark, sf)
+    val dvSnap = DeltaTable.forPath(spark, dvPath)
+    assert(dvSnap.statsRowCount.contains(dvSnap.read.count()))
+    // the DV cardinality was genuinely subtracted (raw numRecords is
+    // the full pre-mask customer count)
+    assert(dvSnap.statsRowCount.get <
+      spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+
   test("create + read round-trip") {
     val path = tmpTable("roundtrip")
     CommitWriter.createTable(spark, region, path)
