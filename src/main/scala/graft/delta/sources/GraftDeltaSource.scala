@@ -78,7 +78,9 @@ class GraftDeltaSource extends RelationProvider
         new GraftDeltaTable(spark, path, None,
           versionRange = Some((sv.toLong, endV)),
           ignoreChanges =
-            Option(options.get("ignoreChanges")).exists(_.toBoolean))
+            Option(options.get("ignoreChanges")).exists(_.toBoolean),
+          changeFeed =
+            Option(options.get("readChangeFeed")).exists(_.toBoolean))
       case None =>
         new GraftDeltaTable(spark, path,
           GraftDeltaSource.resolveVersion(spark, path,

@@ -39,7 +39,10 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
     // incremental read: (startingVersion, endingVersion | -1 = latest);
     // serves the rows ADDED by commits in that range (see CommitRangeScan)
     versionRange: Option[(Long, Long)] = None,
-    ignoreChanges: Boolean = false) extends Table with SupportsRead {
+    ignoreChanges: Boolean = false,
+    // with versionRange: emit the derived row-level change feed
+    // (_change_type insert|delete, _commit_version) instead of adds-only
+    changeFeed: Boolean = false) extends Table with SupportsRead {
 
   private[sources] lazy val snapshot: Snapshot = versionRange match {
     case Some((_, end)) if end >= 0 => DeltaTable.forPath(spark, path, Some(end))
@@ -65,7 +68,15 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
 
   override def schema(): StructType =
     if (!tableExists) new StructType()
-    else StructType(dataFields.toIndexedSeq ++ partFields)
+    else {
+      val base = StructType(dataFields.toIndexedSeq ++ partFields)
+      if (changeFeed) StructType(base.fields.toIndexedSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+      else base
+    }
 
   override def partitioning(): Array[Transform] =
     if (!tableExists) Array.empty
@@ -81,11 +92,15 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
     versionRange match {
       case Some((startV, _)) =>
         // incremental range scan: composed read over the span's add files
+        // (or the derived per-commit change feed)
         val snap = snapshot
         new GraftDeltaComposedScanBuilder(snap, schema(), filters => {
-          val df = graft.delta.scan.CommitRangeScan.addsBetween(spark, path,
-            snap, startV - 1, snap.version, ignoreChanges,
-            "Incremental batch read")
+          val df =
+            if (changeFeed) graft.delta.scan.CommitRangeScan.changesBetween(
+              spark, path, snap, startV - 1, snap.version)
+            else graft.delta.scan.CommitRangeScan.addsBetween(spark, path,
+              snap, startV - 1, snap.version, ignoreChanges,
+              "Incremental batch read")
           if (filters.isEmpty) df else df.where(filters.reduce(_ && _))
         })
       case None =>

@@ -153,6 +153,16 @@ object DeltaQueries {
       CommitWriter.append(s, o.filter(col("o_totalprice") > 250000), p)
     }
 
+  /** v0 create (cheap orders) -> v1 append (expensive) -> v2 DELETE of
+    * every 7th orderkey — the change-feed fixture. */
+  def cdcTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "cdc") { p =>
+      val o = orders(s, sfDir)
+      CommitWriter.createTable(s, o.filter(col("o_totalprice") <= 250000), p)
+      CommitWriter.append(s, o.filter(col("o_totalprice") > 250000), p)
+      graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 7 === 0)
+    }
+
   /** Commit 0 lacks o_orderstatus (even keys); schema evolves; commit 2
     * has it (odd keys). Old files impute null. */
   def evolvedTable(s: SparkSession, sfDir: String): String =
@@ -419,6 +429,31 @@ object DeltaQueries {
         .option("startingVersion", "1").option("endingVersion", "1")
         .load()
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // derived row-level change feed: per-commit copy-on-write diff
+    // (adds EXCEPT ALL removes = inserts; removes EXCEPT ALL adds =
+    // deletes). Commit 1 appended the expensive orders; commit 2
+    // deleted every 7th orderkey — the feed over [1, 2] must equal
+    // exactly that, which the oracle restates from the source parquet.
+    Q("q_change_feed",
+      """SELECT o_orderkey, o_totalprice,
+        | 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_totalprice > 250000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice,
+        | 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (s, dir) =>
+      val path = cdcTable(s, dir)
+      s.read.format("graftdelta")
+        .option("path", path)
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .load()
+        .select("o_orderkey", "o_totalprice", "_change_type",
+          "_commit_version")
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
     },
 
     // A28: snapshot refresh — re-resolving after a new commit sees it

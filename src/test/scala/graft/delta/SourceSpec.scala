@@ -84,6 +84,27 @@ class SourceSpec extends AnyFunSuite {
     assert(ic.count() == 4)
   }
 
+  test("readChangeFeed derives row-level insert/delete pairs for UPDATE") {
+    val d = Files.createTempDirectory("graft_src_cdc").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    CommitWriter.createTable(spark, region, p)
+    graft.commands.DmlCommands.update(spark, p, col("r_regionkey") === 2,
+      Map("r_name" -> org.apache.spark.sql.functions.lit("RENAMED"))) // v1
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("r_regionkey", "r_name", "_change_type", "_commit_version")
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        r.getString(2), r.getAs[Number](3).longValue())).toSet
+    val oldName = region.where(col("r_regionkey") === 2)
+      .select("r_name").head.getString(0)
+    assert(feed == Set(
+      (2L, "RENAMED", "insert", 1L),
+      (2L, oldName, "delete", 1L)))
+  }
+
   test("versionAsOf option time-travels") {
     val df = spark.read.format("graftdelta")
       .option("path", table).option("versionAsOf", "0").load()
