@@ -103,6 +103,9 @@ object Bench {
     }
     SparkEntry.queries("q_stream_window")(spark, warmDir).count()
     SparkEntry.queries("q_stream_sessions")(spark, warmDir).count()
+    // the watermarked append shape (EventTimeWatermark + append-mode
+    // state eviction) compiles a different streaming plan — warm it too
+    SparkEntry.queries("q_stream_watermark")(spark, warmDir).count()
   }
 
   private def queriesWarmup(spark: SparkSession, sfDir: String): Unit = {

@@ -57,6 +57,26 @@ final case class Snapshot(
     else if (a.getLong(1) == a.getLong(0)) Some(a.getLong(2) - a.getLong(3))
     else None
   }
+
+  /** Exact global (min, max) of a NUMERIC column from log stats alone —
+    * min-of-file-mins / max-of-file-maxes, zero data files opened.
+    * `None` when any live file lacks the stat (can't bound the gap) or
+    * carries a deletion vector (a deleted row could have held the
+    * extreme). Strings are deliberately not offered: long string stats
+    * are truncated to conservative prefixes, exact only as bounds. */
+  def statsNumericRange(colName: String): Option[(Double, Double)] = {
+    import org.apache.spark.sql.functions._
+    val minJ = get_json_object(col("stats"), s"$$.minValues.$colName")
+    val maxJ = get_json_object(col("stats"), s"$$.maxValues.$colName")
+    val a = allFiles.agg(
+      count(lit(1)), count(minJ), count(maxJ),
+      min(minJ.cast("double")), max(maxJ.cast("double")),
+      count(col("deletionVector"))).head
+    val files = a.getLong(0)
+    if (files == 0 || a.getLong(1) != files || a.getLong(2) != files ||
+      a.getLong(5) != 0) None
+    else Some((a.getDouble(3), a.getDouble(4)))
+  }
 }
 
 object DeltaTable {

@@ -431,6 +431,23 @@ object DeltaQueries {
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
 
+    // metadata-only min/max: global numeric column ranges answered from
+    // per-file stats (min of mins / max of maxes) — zero data files
+    // opened; oracle recomputes from the source parquet.
+    Q("q_meta_minmax",
+      """SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        | CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+        | CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        | CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val snap = DeltaTable.forPath(s, basicTable(s, dir))
+      val q = snap.statsNumericRange("l_quantity").get
+      val p = snap.statsNumericRange("l_extendedprice").get
+      Seq((q._1, q._2, p._1, p._2))
+        .toDF("min_qty", "max_qty", "min_price", "max_price")
+    },
+
     // derived row-level change feed: per-commit copy-on-write diff
     // (adds EXCEPT ALL removes = inserts; removes EXCEPT ALL adds =
     // deletes). Commit 1 appended the expensive orders; commit 2

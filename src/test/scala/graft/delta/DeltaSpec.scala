@@ -38,6 +38,23 @@ class DeltaSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/customer.parquet").count())
   }
 
+  test("statsNumericRange answers min/max from metadata, refuses DVs") {
+    val path = tmpTable("statsrange")
+    CommitWriter.createTable(spark, orders, path)
+    val snap = DeltaTable.forPath(spark, path)
+    val got = snap.statsNumericRange("o_totalprice").get
+    val want = orders.agg(
+      org.apache.spark.sql.functions.min("o_totalprice"),
+      org.apache.spark.sql.functions.max("o_totalprice")).head
+    assert(got == ((want.getDouble(0), want.getDouble(1))))
+    // a DV-masked table cannot prove the extremes still exist
+    val dvSnap = DeltaTable.forPath(spark,
+      graft.queries.DeltaQueries.dvTable(spark, sf))
+    assert(dvSnap.statsNumericRange("c_acctbal").isEmpty)
+    // unknown column: stats absent -> None, not a wrong answer
+    assert(snap.statsNumericRange("no_such_col").isEmpty)
+  }
+
   test("create + read round-trip") {
     val path = tmpTable("roundtrip")
     CommitWriter.createTable(spark, region, path)
