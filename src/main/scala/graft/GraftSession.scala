@@ -50,6 +50,8 @@ final class GraftSession(val spark: SparkSession) {
         resolveTablePath(table), zorderBy = zorderBy)
     case DescribeHistoryStatement(table) =>
       graft.commands.HistoryCommand.history(spark, resolveTablePath(table))
+    case DescribeDetailStatement(table) =>
+      graft.commands.HistoryCommand.detail(spark, resolveTablePath(table))
     case RestoreStatement(table, version) =>
       graft.commands.HistoryCommand.restore(spark,
         resolveTablePath(table), version)

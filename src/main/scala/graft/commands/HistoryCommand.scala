@@ -20,6 +20,54 @@ object HistoryCommand {
     StructField("engine_info", StringType, nullable = true),
     StructField("n_actions", LongType, nullable = false)))
 
+  val detailSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("location", StringType, nullable = false),
+    StructField("createdAt", LongType, nullable = true),
+    StructField("lastModified", LongType, nullable = true),
+    StructField("partitionColumns", ArrayType(StringType), nullable = false),
+    StructField("numFiles", LongType, nullable = false),
+    StructField("sizeInBytes", LongType, nullable = false),
+    StructField("properties", MapType(StringType, StringType),
+      nullable = false),
+    StructField("minReaderVersion", IntegerType, nullable = false),
+    StructField("minWriterVersion", IntegerType, nullable = false)))
+
+  /** DESCRIBE DETAIL: one metadata row for the current snapshot. File
+    * count/bytes are a distributed aggregation over the live-file list;
+    * timestamps come from commit mtimes (same clock DESCRIBE HISTORY
+    * reports). */
+  def detail(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = DeltaTable.forPath(spark, tablePath)
+    val agg = snap.allFiles
+      .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).head
+    val fs = LogSegment.fs(spark, new Path(tablePath))
+    val mtimes = fs.listStatus(new Path(tablePath, "_delta_log")).toSeq
+      .flatMap(st => LogSegment.commitVersion(st.getPath.getName)
+        .map(_ => st.getModificationTime))
+    val row = Row(
+      snap.metadata.format.provider,
+      snap.metadata.id,
+      snap.metadata.name.orNull,
+      snap.metadata.description.orNull,
+      tablePath,
+      snap.metadata.createdTime
+        .map(Long.box).getOrElse(
+          if (mtimes.isEmpty) null else Long.box(mtimes.min)),
+      if (mtimes.isEmpty) null else Long.box(mtimes.max),
+      snap.partitionColumns,
+      agg.getLong(0),
+      agg.getLong(1),
+      snap.metadata.configuration,
+      snap.protocol.minReaderVersion,
+      snap.protocol.minWriterVersion)
+    spark.createDataFrame(java.util.Arrays.asList(row), detailSchema)
+  }
+
   /** One row per commit, newest first (driver-side: the commit list is
     * the log tail, bounded). */
   def history(spark: SparkSession, tablePath: String): DataFrame = {

@@ -429,13 +429,15 @@ object CommitWriter {
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
      else writer).parquet(staging.toString)
 
-    val dataCols = df.schema.fieldNames.filterNot(partitionColumns.contains)
-    val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)
-
-    // move part files into the table dir, preserving partition subdirs
+    // an empty DataFrame writes no part files: a valid empty commit —
+    // and computeStats' schema inference would fail on the bare dir
     val stagingUri = staging.toUri.getPath
     val parts = listRecursive(fs, staging)
       .filter(_.getPath.getName.endsWith(".parquet"))
+    if (parts.isEmpty) { fs.delete(staging, true); return Seq.empty }
+
+    val dataCols = df.schema.fieldNames.filterNot(partitionColumns.contains)
+    val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)
     parts.map { st =>
       val rel = st.getPath.toUri.getPath.stripPrefix(stagingUri)
         .stripPrefix("/")

@@ -32,6 +32,7 @@ object GraftParser {
   final case class OptimizeStatement(table: String,
       zorderBy: Seq[String] = Seq.empty) extends Statement
   final case class DescribeHistoryStatement(table: String) extends Statement
+  final case class DescribeDetailStatement(table: String) extends Statement
   final case class RestoreStatement(table: String, version: Long) extends Statement
   final case class ConvertStatement(table: String,
       partitionColumns: Seq[String] = Seq.empty) extends Statement
@@ -110,6 +111,9 @@ object GraftParser {
       case w: Word if w.upper == "DESCRIBE" &&
           wordAt(toks, 1).contains("HISTORY") =>
         Some(DescribeHistoryStatement(parseTableRef(toks.drop(2))))
+      case w: Word if w.upper == "DESCRIBE" &&
+          wordAt(toks, 1).contains("DETAIL") =>
+        Some(DescribeDetailStatement(parseTableRef(toks.drop(2))))
       case w: Word if w.upper == "RESTORE" =>
         parseRestore(toks.tail)
       case w: Word if w.upper == "SHOW" &&

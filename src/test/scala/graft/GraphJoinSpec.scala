@@ -74,6 +74,28 @@ class GraphJoinSpec extends AnyFunSuite {
     assert(rows.columns.toSeq == Seq("id", "k", "t", "rt", "x"))
   }
 
+  test("band join equals the naive predicate on randomized inputs") {
+    // fixed-seed randomized equivalence: the binned rewrite must match
+    // a brute-force cross-join filter on every draw
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val tol = Seq(7L, 50L, 1000L)(trial - 1)
+      val keys = Seq("a", "b", "c")
+      val left = (1 to 60).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextLong(4000) - 2000))
+        .toDF("id", "k", "t")
+      val right = (1 to 60).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextLong(4000) - 2000, i.toDouble))
+        .toDF("k", "rt", "x")
+      val banded = RangeJoin.bandJoin(left, right, Seq("k"), "t", "rt", tol)
+        .select("id", "rt", "x").as[(Long, Long, Double)].collect().toSet
+      val naive = left.join(right, "k")
+        .where(abs(col("t") - col("rt")) <= tol)
+        .select("id", "rt", "x").as[(Long, Long, Double)].collect().toSet
+      assert(banded == naive, s"trial $trial tol=$tol")
+    }
+  }
+
   test("band join negative times bin correctly") {
     val left = Seq((1L, "a", -10L)).toDF("id", "k", "t")
     val right = Seq(("a", 10L, 1.0), ("a", -75L, 2.0)).toDF("k", "rt", "x")

@@ -18,6 +18,23 @@ class HistorySpec extends AnyFunSuite {
   private lazy val region = spark.read.parquet(s"$sf/region.parquet")
   private lazy val g = graft.GraftSession(spark)
 
+  test("DESCRIBE DETAIL reports snapshot metadata") {
+    val p = tmp("detail")
+    CommitWriter.createTable(spark, region, p,
+      partitionColumns = Seq("r_regionkey"))
+    CommitWriter.append(spark, region.limit(0), p) // empty commit
+    val d = g.sql(s"DESCRIBE DETAIL '$p'").collect().head
+    assert(d.getAs[String]("format") == "parquet")
+    assert(d.getAs[String]("id").nonEmpty)
+    assert(d.getAs[String]("location") == p)
+    assert(d.getAs[scala.collection.Seq[String]]("partitionColumns")
+      .toSeq == Seq("r_regionkey"))
+    assert(d.getAs[Long]("numFiles") == 5L) // one file per region key
+    assert(d.getAs[Long]("sizeInBytes") > 0L)
+    assert(d.getAs[Int]("minReaderVersion") >= 1)
+    assert(d.getAs[Long]("lastModified") >= d.getAs[Long]("createdAt"))
+  }
+
   test("DESCRIBE HISTORY lists commits newest-first with operations") {
     val p = tmp("hist")
     CommitWriter.createTable(spark, region.limit(2), p)
