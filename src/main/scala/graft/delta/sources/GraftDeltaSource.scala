@@ -38,8 +38,11 @@ class GraftDeltaSource extends RelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta requires a path"))
-    (shortName(),
-      schema.getOrElse(DeltaTable.forPath(sqlContext.sparkSession, path).schema))
+    val cdc = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+    (shortName(), schema.getOrElse(GraftDeltaStreamSource.sourceSchema(
+      DeltaTable.forPath(sqlContext.sparkSession, path).schema, cdc)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -61,12 +64,19 @@ class GraftDeltaSource extends RelationProvider
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftdelta requires a path"))
     val spark = SparkSession.active
+    val changeFeed =
+      Option(options.get("readChangeFeed")).exists(_.toBoolean)
     // non-numeric startingVersion (the streaming-only "latest") is not a
     // batch range request — DataStreamReader resolves this same table for
     // schema inference before the v1 Source takes over, so fall through
     // to the plain snapshot table for it
     Option(options.get("startingVersion"))
-      .filter(sv => scala.util.Try(sv.toLong).isSuccess) match {
+      .filter(sv => scala.util.Try(sv.toLong).isSuccess)
+      .map(_.toLong)
+      // readChangeFeed without a version floor = full-history CDC (the
+      // create commit's rows are the first inserts); this also gives
+      // DataStreamReader the CDC schema during resolution
+      .orElse(if (changeFeed) Some(0L) else None) match {
       case Some(sv) =>
         // incremental batch read: rows added by commits in
         // [startingVersion, endingVersion (default latest)]
@@ -76,11 +86,10 @@ class GraftDeltaSource extends RelationProvider
         val endV = Option(options.get("endingVersion")).map(_.toLong)
           .getOrElse(-1L)
         new GraftDeltaTable(spark, path, None,
-          versionRange = Some((sv.toLong, endV)),
+          versionRange = Some((sv, endV)),
           ignoreChanges =
             Option(options.get("ignoreChanges")).exists(_.toBoolean),
-          changeFeed =
-            Option(options.get("readChangeFeed")).exists(_.toBoolean))
+          changeFeed = changeFeed)
       case None =>
         new GraftDeltaTable(spark, path,
           GraftDeltaSource.resolveVersion(spark, path,

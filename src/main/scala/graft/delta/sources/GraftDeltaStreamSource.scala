@@ -51,6 +51,12 @@ final class GraftDeltaStreamSource(
   private val ignoreChanges =
     opts.get("ignorechanges").exists(_.toBoolean) ||
       opts.get("ignoredeletes").exists(_.toBoolean)
+  /** readChangeFeed=true: emit per-commit row-level changes
+    * (_change_type insert|delete, _commit_version) instead of adds-only
+    * batches; DML commits become delete+insert pairs rather than
+    * failing the append-only contract. Initial batch = the snapshot as
+    * inserts stamped with its version. */
+  private val changeFeed = opts.get("readchangefeed").exists(_.toBoolean)
   private val maxVersionsPerTrigger =
     opts.get("maxversionspertrigger").map(_.toLong).map { n =>
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
@@ -109,7 +115,9 @@ final class GraftDeltaStreamSource(
 
   /** Schema is pinned at stream start (a mid-stream schema change fails
     * the batch when column resolution does — the streaming contract). */
-  override val schema: StructType = DeltaTable.forPath(spark, path).schema
+  override val schema: StructType =
+    GraftDeltaStreamSource.sourceSchema(
+      DeltaTable.forPath(spark, path).schema, changeFeed)
 
   /** Highest version already handed to the engine — the rate-limit base.
     * Restart-safe: getBatch bumps it to the recovered end offset before
@@ -137,13 +145,25 @@ final class GraftDeltaStreamSource(
     val endV = ver(end)
     base = math.max(base, endV)
     val snap = DeltaTable.forPath(spark, path, Some(endV))
+    import org.apache.spark.sql.functions.lit
+    def emptyBatch: DataFrame = {
+      val e = graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
+      if (!changeFeed) e
+      else e.withColumn("_change_type", lit(null: String).cast("string"))
+        .withColumn("_commit_version", lit(null: String).cast("long"))
+    }
     val batch = start.map(ver) match {
       case None => startingVersion match {
-        // initial load: the full snapshot at endV...
-        case None => snap.read
+        // initial load: the full snapshot at endV (in change-feed mode,
+        // stamped as inserts at the snapshot version)...
+        case None =>
+          if (changeFeed) snap.read
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(endV))
+          else snap.read
         // ...or, with startingVersion, only the adds of commits >= it
         // (empty when the stream starts before reaching that version)
-        case Some(sv0) if sv0 > endV => graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
+        case Some(sv0) if sv0 > endV => emptyBatch
         case Some(sv0) => tailBatch(snap, sv0 - 1, endV)
       }
       // startingVersion is a floor for EVERY batch, not just the first:
@@ -152,7 +172,7 @@ final class GraftDeltaStreamSource(
       // must stay excluded
       case Some(sv) =>
         val floor = startingVersion.fold(sv)(sv0 => math.max(sv, sv0 - 1))
-        if (floor >= endV) graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
+        if (floor >= endV) emptyBatch
         else tailBatch(snap, floor, endV)
     }
     // project to the schema pinned at stream start: columns ADDED by a
@@ -166,15 +186,31 @@ final class GraftDeltaStreamSource(
 
   /** The (sv, endV] incremental batch — shared commit-range scan (see
     * [[graft.delta.scan.CommitRangeScan]] for the source-of-truth and
-    * dataChange semantics, which the batch startingVersion read shares). */
+    * dataChange semantics, which the batch startingVersion read shares).
+    * In change-feed mode the same span yields the row-level diff. */
   private def tailBatch(snap: graft.delta.Snapshot, sv: Long,
       endV: Long): DataFrame =
-    graft.delta.scan.CommitRangeScan.addsBetween(spark, path, snap, sv, endV,
-      ignoreChanges, "Streaming source")
+    if (changeFeed)
+      graft.delta.scan.CommitRangeScan.changesBetween(spark, path, snap,
+        sv, endV)
+    else
+      graft.delta.scan.CommitRangeScan.addsBetween(spark, path, snap, sv, endV,
+        ignoreChanges, "Streaming source")
 
   override def commit(end: LegacyOffset): Unit = ()
 
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftDeltaStreamSource[$path]"
+}
+
+object GraftDeltaStreamSource {
+  /** Table schema, plus the change-feed columns when reading CDC. */
+  def sourceSchema(table: StructType, changeFeed: Boolean): StructType =
+    if (!changeFeed) table
+    else StructType(table.fields.toIndexedSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
 }

@@ -55,6 +55,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delta streaming source: readChangeFeed streams row-level changes") {
+    import graft.delta.log.CommitWriter
+    val path = java.nio.file.Files.createTempDirectory("stream_cdc").toString
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, base.where(col("n_nationkey") < 10), path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graftdelta").option("path", path)
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_cdc_src").start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot arrives as inserts stamped with its version
+      val t0 = ss.table("spec_cdc_src")
+      assert(t0.count() == 10)
+      assert(t0.where(col("_change_type") === "insert").count() == 10)
+      // a DELETE mid-stream becomes delete rows — not a stream failure
+      graft.commands.DmlCommands.delete(spark, path,
+        col("n_nationkey") === 3)
+      q.processAllAvailable()
+      val dels = ss.table("spec_cdc_src")
+        .where(col("_change_type") === "delete").collect()
+      assert(dels.map(_.getAs[Number]("n_nationkey").longValue()).toSeq
+        == Seq(3L))
+      assert(dels.head.getAs[Long]("_commit_version") == 1L)
+      // appends arrive as plain inserts
+      CommitWriter.append(spark, base.where(col("n_nationkey") >= 10), path)
+      q.processAllAvailable()
+      assert(ss.table("spec_cdc_src")
+        .where(col("_change_type") === "insert")
+        .count() == base.count())
+    } finally q.stop()
+  }
+
   test("delta streaming source: checkpoint and OPTIMIZE mid-stream do not re-emit rows") {
     import graft.delta.log.CommitWriter
     val path = java.nio.file.Files.createTempDirectory("stream_cp").toString
