@@ -72,7 +72,7 @@ object Bench {
       "q_minhash_signatures", "q_simhash", "q_ngram_jaccard", "q_embed_near_dup",
       "q_sim_topk", "q_sim_ann_ivf", "q_text_stats", "q_lang_id",
       "q_dup_clusters", "q_range_join", "q_stratified_sample",
-      "q_embed_quantize",
+      "q_embed_quantize", "q_doc_rarity", "q_change_feed", "q_version_diff",
       "q_token_count", "q_multimodal_features", "q_stream_window",
       "q_stream_watermark",
       "q_stream_sessions", "q_stream_delta_source", "q_merge",

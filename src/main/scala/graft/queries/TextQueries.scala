@@ -350,6 +350,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // corpus-frequency scoring (the LM-filter proxy used in web-corpus
+    // cleaning, made engine-exact): per doc, the mean DOCUMENT
+    // FREQUENCY of its token instances. Two passes — a token document-
+    // frequency aggregation, then a join back and per-doc mean. All
+    // integer counts until one final double division, so the score is
+    // bit-identical across engines (a log-prob variant would hinge on
+    // libm). Low mean_df = rare vocabulary; high = boilerplate.
+    Q("q_doc_rarity",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tokdf AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+        |)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |  CAST(sum(d.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+        |FROM toks t JOIN tokdf d ON t.tok = d.tok
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tokdf = toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      toks.join(tokdf, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          (sum("df").cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mean_df"))
+        .orderBy("doc_id")
+    },
+
     // stratified downsampling: every 10th doc per language stratum, in
     // hash-of-id order — deterministic "random" sampling with exact
     // per-stratum proportions (reservoir/Bernoulli sampling is
