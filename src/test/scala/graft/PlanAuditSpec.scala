@@ -18,6 +18,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "\n" + df.queryExecution.executedPlan.toString
   }
 
+  test("q_range_join: banded rewrite is an equi-join, never nested-loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate fell back to a nested-loop join")
+    assert(!p.contains("CartesianProduct"))
+    // the bin key must be part of an equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("q_meta_count / q_meta_minmax: metadata answers, no data-file scan") {
+    for (name <- Seq("q_meta_count", "q_meta_minmax")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // the returned frame is literal rows computed from log stats —
+      // its plan must not touch any parquet data file
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && !p.contains("BatchScan"),
+        s"$name plan reads files:\n$p")
+    }
+  }
+
   test("q_filter: predicates pushed to the parquet scan") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters:"), p.take(2000))
