@@ -106,6 +106,36 @@ object CommitWriter {
       bySource.getOrElse(n, n)): _*)
   }
 
+  /** Write-schema enforcement for appends/overwrites into an existing
+    * table: unknown columns and type conflicts are rejected up front —
+    * without this, a typo'd or wrongly-typed column lands silently in
+    * parquet and only surfaces (as imputed nulls or a read error) much
+    * later. Missing nullable columns stay allowed: the read path
+    * imputes null by name, the standard subset-write contract.
+    * Comparison uses sameType (case/nullability-insensitive), matching
+    * the scan's name-based resolution. Schema EVOLUTION stays explicit:
+    * commit the new schema via commitMetadata first, then write. */
+  private def validateWriteSchema(df: DataFrame, meta: Metadata,
+      op: String): Unit = {
+    val table = meta.dataSchema
+    val byName = table.fields.map(f => f.name.toLowerCase -> f).toMap
+    val extra = df.schema.fields
+      .filterNot(f => byName.contains(f.name.toLowerCase))
+    require(extra.isEmpty,
+      s"$op: column(s) ${extra.map(_.name).mkString(", ")} do not exist " +
+        s"in the table schema ${table.fieldNames.mkString("(", ", ", ")")}; " +
+        "evolve the schema first (commitMetadata / ALTER TABLE ADD COLUMN)")
+    val mismatched = df.schema.fields.flatMap { f =>
+      byName.get(f.name.toLowerCase)
+        .filterNot(tf => org.apache.spark.sql.graftshim.Shims
+          .sameType(tf.dataType, f.dataType))
+        .map(tf => s"${f.name}: ${f.dataType.simpleString} vs table " +
+          tf.dataType.simpleString)
+    }
+    require(mismatched.isEmpty,
+      s"$op: incompatible column type(s) — ${mismatched.mkString("; ")}")
+  }
+
   /** Append `df` to an existing table as the next commit. Blind appends
     * never conflict logically, so a lost race on the commit file is
     * resolved by optimistic retry at the next version (the same
@@ -115,6 +145,7 @@ object CommitWriter {
       maxRetries: Int = 10): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    validateWriteSchema(df, meta, "append")
     val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
       meta.partitionColumns)
     var v = segment.version + 1
@@ -143,6 +174,7 @@ object CommitWriter {
       return None
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    validateWriteSchema(df, meta, "appendIfAbsent")
     val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
       meta.partitionColumns)
     val txn = txnJson(SetTransaction(appId, txnVersion,
@@ -180,6 +212,7 @@ object CommitWriter {
     val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
+    validateWriteSchema(df, snap.metadata, "overwrite")
     val adds = writeFiles(spark, toPhysicalNames(df, snap.metadata),
       tablePath, snap.metadata.partitionColumns)
     val now = System.currentTimeMillis()

@@ -13,6 +13,12 @@ object Shims {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** `DataType.sameType` (case/nullability-insensitive equality) is
+    * private[sql]; the write-schema validator needs exactly its
+    * semantics, matching name-based scan resolution. */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** Catalyst predicate → public sources.Filter (DataSourceStrategy's
     * translator is protected[sql]); used by the DSv2 file index to route
     * pushed data filters into the shared stats-skipping engine. */

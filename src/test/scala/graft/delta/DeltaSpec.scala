@@ -22,10 +22,32 @@ class DeltaSpec extends AnyFunSuite {
   private lazy val nation = spark.read.parquet(s"$sf/nation.parquet")
   private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
 
+  test("append rejects unknown columns and type conflicts, allows subsets") {
+    val path = tmpTable("writeschema")
+    CommitWriter.createTable(spark, region, path)
+    // unknown column
+    val e1 = intercept[IllegalArgumentException] {
+      CommitWriter.append(spark,
+        region.withColumnRenamed("r_name", "r_nmae"), path)
+    }
+    assert(e1.getMessage.contains("r_nmae"))
+    // type conflict
+    val e2 = intercept[IllegalArgumentException] {
+      CommitWriter.append(spark,
+        region.withColumn("r_name", col("r_regionkey")), path)
+    }
+    assert(e2.getMessage.contains("r_name"))
+    // subset write is the standard contract: reads impute null by name
+    CommitWriter.append(spark, region.select("r_regionkey").limit(1), path)
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.read.count() == region.count() + 1)
+    assert(snap.read.where(col("r_name").isNull).count() == 1)
+  }
+
   test("statsRowCount answers count from metadata, DV-adjusted") {
     val path = tmpTable("statscount")
     CommitWriter.createTable(spark, region, path)
-    CommitWriter.append(spark, nation, path)
+    CommitWriter.append(spark, region.limit(2), path)
     val snap = DeltaTable.forPath(spark, path)
     assert(snap.statsRowCount.contains(snap.read.count()))
     // DV fixture: masked rows must subtract

@@ -263,7 +263,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val p = tmp("stress")
-    CommitWriter.createTable(spark, region.limit(1), p)
+    CommitWriter.createTable(spark,
+      region.limit(1).withColumn("w", lit(-1)), p)
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
