@@ -471,7 +471,16 @@ object CommitWriter {
 
     val dataCols = df.schema.fieldNames.filterNot(partitionColumns.contains)
     val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)
-    parts.map { st =>
+
+    // a part file absent from the stats pass has ZERO rows (the group-by
+    // is over the files' own rows) — skip it entirely: an empty part
+    // carries no data, and an add without numRecords would silently
+    // poison every metadata-only answer (statsRowCount, ranges) for the
+    // whole table
+    val (live, empty) = parts.partition(st =>
+      statsByFile.contains(st.getPath.toUri.getPath))
+    empty.foreach(st => fs.delete(st.getPath, false))
+    live.map { st =>
       val rel = st.getPath.toUri.getPath.stripPrefix(stagingUri)
         .stripPrefix("/")
       val target = new Path(table, rel)
@@ -557,8 +566,13 @@ object CommitWriter {
         putStat(maxN, c, r.getAs[Any](s"max_$c"), isMax = true)
         nullN.put(c, r.getAs[Long](s"nulls_$c"))
       }
-      val filePath = new Path(r.getAs[String]("__file")).toUri.getPath
-      filePath -> node.toString
+      // canonicalize to the ON-DISK absolute path: _metadata.file_path
+      // URI-encodes the disk name (space -> %20, literal % -> %25) while
+      // FileStatus paths keep it literal — one %XX decode aligns them.
+      // (Part-file NAMES alone are NOT unique: dynamic partition writes
+      // reuse the same part-NNNN-uuid name in every partition dir.)
+      unescapePathName(new Path(r.getAs[String]("__file")).toUri.getPath) ->
+        node.toString
     }.toMap
   }
 
