@@ -271,10 +271,36 @@ object CommitWriter {
     v
   }
 
+  /** `delta.appendOnly=true` tables refuse data-changing removes —
+    * enforced at the single commit choke point so DELETE/UPDATE/MERGE,
+    * overwrite, RESTORE, and raw commitRemoves all hit the same wall.
+    * OPTIMIZE passes: its removes carry dataChange=false (a compaction
+    * rewrites bytes, not data). Checked only when a remove is present,
+    * so append commits pay nothing. */
+  private def enforceAppendOnly(spark: SparkSession, tablePath: String,
+      actionLines: Seq[String]): Unit = {
+    val hasDataRemove = actionLines.exists { l =>
+      l.contains("\"remove\"") && {
+        val n = mapper.readTree(l)
+        n.has("remove") &&
+          Option(n.get("remove").get("dataChange")).forall(_.asBoolean())
+      }
+    }
+    if (hasDataRemove) {
+      val cfg = scala.util.Try(
+        graft.delta.DeltaTable.forPath(spark, tablePath)
+          .metadata.configuration).getOrElse(Map.empty[String, String])
+      require(!cfg.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
+        s"$tablePath is append-only (delta.appendOnly=true): " +
+          "DELETE/UPDATE/MERGE/overwrite/RESTORE are not allowed")
+    }
+  }
+
   /** Write the action lines of `version` atomically (create-no-overwrite,
     * the A22 semantics). */
   def commit(spark: SparkSession, tablePath: String, version: Long,
       actionLines: Seq[String], operation: String): Unit = {
+    if (version > 0) enforceAppendOnly(spark, tablePath, actionLines)
     val logPath = new Path(new Path(tablePath), "_delta_log")
     val fs = LogSegment.fs(spark, new Path(tablePath))
     fs.mkdirs(logPath)

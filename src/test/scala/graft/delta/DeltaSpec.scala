@@ -22,6 +22,24 @@ class DeltaSpec extends AnyFunSuite {
   private lazy val nation = spark.read.parquet(s"$sf/nation.parquet")
   private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
 
+  test("delta.appendOnly blocks DML and overwrite, allows appends + OPTIMIZE") {
+    val path = tmpTable("appendonly")
+    CommitWriter.createTable(spark, region, path,
+      configuration = Map("delta.appendOnly" -> "true"))
+    CommitWriter.append(spark, region.limit(1), path) // appends fine
+    intercept[IllegalArgumentException] {
+      graft.commands.DmlCommands.delete(spark, path,
+        col("r_regionkey") === 0)
+    }
+    intercept[IllegalArgumentException] {
+      CommitWriter.overwrite(spark, region, path)
+    }
+    // OPTIMIZE removes carry dataChange=false: compaction is allowed
+    graft.commands.OptimizeCommand.optimize(spark, path)
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.read.count() == region.count() + 1)
+  }
+
   test("append rejects unknown columns and type conflicts, allows subsets") {
     val path = tmpTable("writeschema")
     CommitWriter.createTable(spark, region, path)
