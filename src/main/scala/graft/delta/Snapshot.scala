@@ -73,8 +73,11 @@ final case class Snapshot(
       min(minJ.cast("double")), max(maxJ.cast("double")),
       count(col("deletionVector"))).head
     val files = a.getLong(0)
+    // the null checks also catch NON-numeric columns with complete
+    // stats (a date/string min casts to null double) — those answer
+    // None, not a crash
     if (files == 0 || a.getLong(1) != files || a.getLong(2) != files ||
-      a.getLong(5) != 0) None
+      a.getLong(5) != 0 || a.isNullAt(3) || a.isNullAt(4)) None
     else Some((a.getDouble(3), a.getDouble(4)))
   }
 }

@@ -134,6 +134,13 @@ object CommitWriter {
     }
     require(mismatched.isEmpty,
       s"$op: incompatible column type(s) — ${mismatched.mkString("; ")}")
+    val dfNames = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val missingRequired = table.fields
+      .filterNot(_.nullable).filterNot(f => dfNames(f.name.toLowerCase))
+    require(missingRequired.isEmpty,
+      s"$op: non-nullable column(s) " +
+        s"${missingRequired.map(_.name).mkString(", ")} missing from the " +
+        "write (the read path would impute null into a NOT NULL column)")
   }
 
   /** Append `df` to an existing table as the next commit. Blind appends
@@ -287,9 +294,13 @@ object CommitWriter {
       }
     }
     if (hasDataRemove) {
-      val cfg = scala.util.Try(
-        graft.delta.DeltaTable.forPath(spark, tablePath)
-          .metadata.configuration).getOrElse(Map.empty[String, String])
+      // fail CLOSED: if the snapshot cannot be loaded the commit must
+      // not proceed anyway — swallowing the error here would let a
+      // remove land on an append-only table exactly when the log is
+      // unhealthy. (forPath resolves metadata/protocol only — no file
+      // replay — so this costs one cached segment resolution.)
+      val cfg = graft.delta.DeltaTable.forPath(spark, tablePath)
+        .metadata.configuration
       require(!cfg.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
         s"$tablePath is append-only (delta.appendOnly=true): " +
           "DELETE/UPDATE/MERGE/overwrite/RESTORE are not allowed")

@@ -119,13 +119,29 @@ object CommitRangeScan {
         if (n.has("remove") &&
             Option(n.get("remove").get("dataChange")).forall(_.asBoolean())) {
           val r = n.get("remove")
-          removes.put(r.get("path").asText(), DeltaScan.ScanFile(
-            r.get("path").asText(),
-            Replay.partitionValuesOf(r), Replay.dvDescriptorOf(r)))
+          val rel = r.get("path").asText()
+          // remove actions often omit partitionValues (the Delta spec
+          // makes them optional); recover them from the hive-style path
+          // so the pre-image rows carry REAL partition columns — with
+          // nulls there, exceptAll could never cancel matching rows and
+          // a one-row UPDATE would report the whole file as changed
+          val pv = Replay.partitionValuesOf(r) match {
+            case m if m.nonEmpty => m
+            case _ => graft.delta.log.CommitWriter.parsePartitionValues(rel)
+          }
+          removes.put(rel, DeltaScan.ScanFile(rel, pv,
+            Replay.dvDescriptorOf(r)))
         }
       }
       val addDf = DeltaScan.buildForFiles(snap, adds.values.toSeq)
       val remDf = DeltaScan.buildForFiles(snap, removes.values.toSeq)
+      if (removes.nonEmpty &&
+          snap.schema.exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.MapType]))
+        throw new UnsupportedOperationException(
+          s"Change feed cannot diff commit $v of $path: the schema has a " +
+            "map column, which Spark set operations (EXCEPT ALL) reject. " +
+            "Append-only spans still work.")
       val (ins, del) =
         if (removes.isEmpty) (addDf, remDf.limit(0)) // pure append: no diff
         else (addDf.exceptAll(remDf), remDf.exceptAll(addDf))

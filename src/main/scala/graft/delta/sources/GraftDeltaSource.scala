@@ -66,11 +66,20 @@ class GraftDeltaSource extends RelationProvider
     val spark = SparkSession.active
     val changeFeed =
       Option(options.get("readChangeFeed")).exists(_.toBoolean)
-    // non-numeric startingVersion (the streaming-only "latest") is not a
-    // batch range request — DataStreamReader resolves this same table for
-    // schema inference before the v1 Source takes over, so fall through
-    // to the plain snapshot table for it
-    Option(options.get("startingVersion"))
+    // "latest" (streaming-only) is not a batch range request —
+    // DataStreamReader resolves this same table for schema inference
+    // before the v1 Source takes over, so fall through to the plain
+    // snapshot table for it; anything else non-numeric is a typo that
+    // must NOT silently degrade an incremental read into a full scan
+    val startingOpt = Option(options.get("startingVersion"))
+    startingOpt.foreach(sv => require(
+      sv.equalsIgnoreCase("latest") || scala.util.Try(sv.toLong).isSuccess,
+      s"invalid startingVersion '$sv' (a version number, or 'latest' " +
+        "for streaming)"))
+    require(options.get("endingVersion") == null || startingOpt.exists(sv =>
+      scala.util.Try(sv.toLong).isSuccess),
+      "endingVersion requires a numeric startingVersion")
+    startingOpt
       .filter(sv => scala.util.Try(sv.toLong).isSuccess)
       .map(_.toLong)
       // readChangeFeed without a version floor = full-history CDC (the

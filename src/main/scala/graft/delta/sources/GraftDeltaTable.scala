@@ -68,15 +68,8 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
 
   override def schema(): StructType =
     if (!tableExists) new StructType()
-    else {
-      val base = StructType(dataFields.toIndexedSeq ++ partFields)
-      if (changeFeed) StructType(base.fields.toIndexedSeq :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType))
-      else base
-    }
+    else GraftDeltaStreamSource.sourceSchema(
+      StructType(dataFields.toIndexedSeq ++ partFields), changeFeed)
 
   override def partitioning(): Array[Transform] =
     if (!tableExists) Array.empty

@@ -58,8 +58,8 @@ object ConnectedComponents {
     // round otherwise doubles the logical plan and Catalyst re-analysis
     // goes quadratic) and stops the (possibly expensive) upstream edge
     // pipeline from recomputing in round 1 + the convergence check
-    var e = edges.toDF("u", "v").where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+    val in = edges.toDF("u", "v").localCheckpoint()
+    var e = in.where(col("u") =!= col("v")).distinct().localCheckpoint()
     var n = e.count()
     var converged = false
     var rounds = 0
@@ -75,10 +75,19 @@ object ConnectedComponents {
     }
     lastRounds.set(rounds)
     require(converged, s"connected components did not converge in $MaxRounds rounds")
-    // star forest: every u points at its component min; add the roots
+    // star forest: every u points at its component min; add the roots,
+    // plus nodes that appeared ONLY in self-loop edges (filtered from
+    // the contraction input but still "present in edges" per contract —
+    // they label themselves)
     val members = e.select(col("u").as("id"), col("v").as("component"))
-    members.union(
+    val labeled = members.union(
         e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
+    val allNodes = in.select(col("u").as("id"))
+      .union(in.select(col("v").as("id"))).distinct()
+    labeled.union(
+        allNodes.join(labeled.select("id"), Seq("id"), "left_anti")
+          .withColumn("component", col("id")))
       .distinct()
   }
 }

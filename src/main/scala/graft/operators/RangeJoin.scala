@@ -33,15 +33,28 @@ object RangeJoin {
   def bandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String, tolerance: Long): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
-    val lBin = floor(col(leftTime).cast(LongType) / tolerance)
-    // Long.MinValue floor-divides away from the adjacent-bin invariant
-    // only at the numeric edge; fixture domains (epoch ns) are far from
-    // it, and the filter below keeps correctness regardless of binning.
+    // floor division in pure LONG arithmetic: Spark's `/` promotes to
+    // double, whose 53-bit mantissa cannot represent epoch-ns longs
+    // exactly — a near-boundary timestamp could round into a bin 2 away
+    // from its true one and the ±1 replication would silently drop a
+    // qualifying pair. Subtracting pmod first makes the dividend an
+    // exact multiple of tolerance, so truncating DIV equals floor for
+    // negatives too.
+    def floorBin(c: Column): Column = {
+      val x = c.cast(LongType)
+      // decimal division of the exact multiple: double `/` would round
+      // (2^53 < epoch-ns), and decimal division of a NON-multiple would
+      // half-up-round at result scale — the pmod subtraction removes
+      // the fraction so the quotient is exactly integral
+      ((x - pmod(x, lit(tolerance)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+        lit(tolerance)).cast(LongType)
+    }
     // explicit plan aliases: both sides often derive from the SAME scan
     // (self-range-joins), where dataset-handle column refs are ambiguous
-    val l = left.withColumn("__bin", lBin).alias("__rjl")
+    val l = left.withColumn("__bin", floorBin(col(leftTime))).alias("__rjl")
     val r = right
-      .withColumn("__rbin", floor(col(rightTime).cast(LongType) / tolerance))
+      .withColumn("__rbin", floorBin(col(rightTime)))
       .withColumn("__bin",
         explode(sequence(col("__rbin") - 1, col("__rbin") + 1)))
       .drop("__rbin")

@@ -96,6 +96,34 @@ class GraphJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("band join is exact at epoch-nanosecond magnitudes") {
+    // beyond 2^53, double division misbins near-boundary values: with
+    // tol=21600000000000 a pair within tolerance could land in bins 2
+    // apart and vanish. These values sit within double-rounding range
+    // of a bin boundary; the long-arithmetic floorBin must keep them.
+    val tol = 21600000000000L
+    val bin = 78000L // arbitrary bin index at 2024-epoch-ns scale
+    val boundary = bin * tol
+    // left sits 1ns below a bin boundary: double division would round
+    // its bin UP to `bin`, putting the Δ=tol partner (two bins down)
+    // outside the ±1 replication — silently dropped
+    val left = Seq((1L, "a", boundary - 1L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", boundary - 1L - tol, 1.0), // Δ = tol exactly: include
+      ("a", boundary + tol, 2.0) // Δ = tol + 1: exclude
+    ).toDF("k", "rt", "x")
+    val got = RangeJoin.bandJoin(left, right, Seq("k"), "t", "rt", tol)
+      .select("id", "x").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0)))
+  }
+
+  test("cc: nodes appearing only in self-loops label themselves") {
+    val edges = Seq((7L, 7L), (1L, 2L)).toDF("u", "v")
+    val got = ConnectedComponents.components(spark, edges)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 7L), (1L, 1L), (2L, 1L)))
+  }
+
   test("band join negative times bin correctly") {
     val left = Seq((1L, "a", -10L)).toDF("id", "k", "t")
     val right = Seq(("a", 10L, 1.0), ("a", -75L, 2.0)).toDF("k", "rt", "x")

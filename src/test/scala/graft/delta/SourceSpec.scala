@@ -84,6 +84,40 @@ class SourceSpec extends AnyFunSuite {
     assert(ic.count() == 4)
   }
 
+  test("readChangeFeed on a PARTITIONED table isolates the changed row") {
+    val d = Files.createTempDirectory("graft_src_cdc_part").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, nation, p,
+      partitionColumns = Seq("n_regionkey"))
+    // delete ONE key inside one partition's file
+    graft.commands.DmlCommands.delete(spark, p, col("n_nationkey") === 5) // v1
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+    // the diff must isolate exactly the deleted row — if the remove's
+    // pre-image lost its partition values, every row of the rewritten
+    // file would appear as insert+delete noise
+    val rows = feed.select("n_nationkey", "n_regionkey", "_change_type")
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue(), r.getString(2))).toSet
+    val region5 = nation.where(col("n_nationkey") === 5)
+      .select("n_regionkey").head.getAs[Number](0).longValue()
+    assert(rows == Set((5L, region5, "delete")))
+  }
+
+  test("batch range-read option typos fail instead of full-scanning") {
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", table)
+        .option("startingVersion", "1O").load() // letter O typo
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", table)
+        .option("endingVersion", "1").load() // no startingVersion
+    }
+  }
+
   test("readChangeFeed derives row-level insert/delete pairs for UPDATE") {
     val d = Files.createTempDirectory("graft_src_cdc").toFile
     d.deleteOnExit()
