@@ -31,27 +31,46 @@ object Bench {
     queriesWarmup(spark, sfDir)
 
     // median of N samples per query: a single GC/JIT hiccup must not
-    // write a phantom regression into the round artifact
+    // write a phantom regression into the round artifact. A query that
+    // THROWS must surface as an error marker, never as a (fast) wall
+    // time — a bench-only crash (e.g. OOM at sf0.1 that passes the
+    // sf0.01 correctness gate) would otherwise read as a speedup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to samples).map { _ =>
+      val outcomes = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.length / 2), times.head, times.last)
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160))
+        }
+      }
+      val errors = outcomes.collect { case Left(m) => m }
+      errors.headOption.foreach(m =>
+        System.err.println(s"[bench] QUERY FAILED $name: $m"))
+      val times = outcomes.collect { case Right(t) => t }.sorted
+      if (times.isEmpty) BenchResult(name, -1.0, -1.0, -1.0, errors.headOption)
+      else BenchResult(name, times(times.length / 2), times.head, times.last,
+        errors.headOption)
     }
+    val failed = results.filter(_.error.isDefined)
     // Locale.ROOT: the f interpolator is locale-sensitive, and a
     // comma-decimal default locale would make the JSON line unparseable
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median))
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx) =>
-      "\"" + k + "\":[" + fmt(mn) + "," + fmt(mx) + "]"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val spread = results.map(r =>
+      "\"" + r.name + "\":[" + fmt(r.min) + "," + fmt(r.max) + "]")
+      .mkString("{", ",", "}")
+    val errJson = failed.map(r => "\"" + r.name + "\":" + jstr(r.error.get))
+      .mkString("{", ",", "}")
+    // total sums only succeeding queries; errored ones carry -1 in the
+    // per-query map and are enumerated in "errors"
+    val total = results.filter(_.error.isEmpty).map(_.median).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread,"n_errors":${failed.length},"errors":$errJson}"""
     // the driver keeps only the last ~2000 chars of output; persist the full
     // per-query vector to a file and print a compact headline line LAST so it
     // survives the tail buffer intact and parses
@@ -78,13 +97,19 @@ object Bench {
       "q_stream_sessions", "q_stream_delta_source", "q_merge",
       "q_contamination", "q_edit_distance", "q_pack_sequences",
       "q_stats_agg", "vacuum_dry_run")
-    val headQs = results.collect { case (k, med, _, _) if headline(k) =>
-      "\"" + k + "\":" + fmt(med)
+    val headQs = results.collect { case r if headline(r.name) =>
+      "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length}}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"errors":$errJson}""")
     spark.stop()
+    // a failing query is a failing bench — after the artifacts are
+    // written, so the error markers still reach the driver
+    if (failed.nonEmpty) sys.exit(1)
   }
+
+  private final case class BenchResult(name: String, median: Double,
+      min: Double, max: Double, error: Option[String])
 
   /** Build a single-file 1000-row slice of events and push it through
     * both streaming query shapes (complete-mode window agg +

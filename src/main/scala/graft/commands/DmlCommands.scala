@@ -57,8 +57,7 @@ object DmlCommands {
       .map(_.getAs[String]("path"))
       .filter(rel => affected.contains(normKey(rel)))
 
-    val rewritten = keep(
-      target.where(col(DeltaScan.FileKeyColumn).isin(affected.toSeq: _*)))
+    val rewritten = keep(DeltaScan.whereFileKeyIn(target, affected))
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
 
     val adds = CommitWriter.writeFiles(spark, rewritten, tablePath,

@@ -61,8 +61,7 @@ object MergeCommand {
     // rows to rewrite: unmatched rows of affected files + all of source
     val keptFromAffected =
       if (affected.isEmpty) source.limit(0).select(snap.schema.fieldNames.map(col): _*)
-      else target
-        .where(col(DeltaScan.FileKeyColumn).isin(affected.toSeq: _*))
+      else DeltaScan.whereFileKeyIn(target, affected)
         .join(srcKeys, keys, "left_anti")
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     val rewritten = keptFromAffected

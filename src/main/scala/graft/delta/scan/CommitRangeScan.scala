@@ -65,9 +65,58 @@ object CommitRangeScan {
     DeltaScan.buildForFiles(snap, files.values.toSeq)
   }
 
+  /** Commits per union chunk in [[changesBetween]]: each commit
+    * contributes two scans plus an exceptAll diff, so an unchunked
+    * 1000-commit span would hand Catalyst a 2000-scan plan — an
+    * analysis/codegen blowup before any data moves. Spans longer than
+    * this are materialized chunk-by-chunk (localCheckpoint) so plan
+    * size stays bounded and total work grows linearly with span. */
+  private val ChangeFeedChunkCommits = 32
+
+  /** Millis timestamp of a commit: its commitInfo.timestamp line (every
+    * graft commit writes one), falling back to the commit file's mtime
+    * for logs written by engines that omit commitInfo. */
+  def commitTimestampMillis(spark: SparkSession, path: String,
+      v: Long): Long = {
+    val fs = LogSegment.fs(spark, new Path(path))
+    val commit = new Path(new Path(new Path(path), "_delta_log"),
+      f"$v%020d.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(commit)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    lines.iterator.filter(_.nonEmpty).map(mapper.readTree)
+      .collectFirst {
+        case n if n.has("commitInfo") &&
+            n.get("commitInfo").has("timestamp") =>
+          n.get("commitInfo").get("timestamp").asLong()
+      }.getOrElse(fs.getFileStatus(commit).getModificationTime)
+  }
+
+  /** True when a MapType occurs ANYWHERE in the type — Spark set
+    * operations (EXCEPT ALL) reject maps wherever they nest, not just
+    * at the top level. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        containsMap(a.elementType)
+      case _ => false
+    }
+
   /** Derived row-level change feed for commits in `(fromExclusive, endV]`:
-    * every row carries `_change_type` ('insert' | 'delete') and
-    * `_commit_version`.
+    * every row carries `_change_type` ('insert' | 'delete'),
+    * `_commit_version`, and `_commit_timestamp` (from the commit's
+    * commitInfo line).
+    *
+    * Divergence from the reference-ecosystem CDF, documented here and in
+    * COVERAGE.md: updates surface as same-commit delete+insert pairs,
+    * not update_preimage/update_postimage rows — the diff is derived
+    * from copy-on-write file contents without write-time CDC files, so
+    * row-level update pairing would need a primary key the protocol
+    * doesn't declare.
     *
     * Changes are derived per commit from the log's copy-on-write
     * structure: a commit's inserts are the rows of its dataChange adds
@@ -87,11 +136,12 @@ object CommitRangeScan {
     * path — this derivation needs no writer cooperation. */
   def changesBetween(spark: SparkSession, path: String, snap: Snapshot,
       fromExclusive: Long, endV: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{lit, timestamp_millis}
     if (fromExclusive >= endV)
       return DeltaScan.buildForFiles(snap, Seq.empty)
         .withColumn("_change_type", lit(null: String).cast("string"))
         .withColumn("_commit_version", lit(null: String).cast("long"))
+        .withColumn("_commit_timestamp", lit(null: String).cast("timestamp"))
     val fs = LogSegment.fs(spark, new Path(path))
     val logDir = new Path(new Path(path), "_delta_log")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -104,11 +154,14 @@ object CommitRangeScan {
         String, DeltaScan.ScanFile]
       val removes = scala.collection.mutable.LinkedHashMap.empty[
         String, DeltaScan.ScanFile]
+      var commitMillis: Option[Long] = None
       val in = fs.open(commit)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector finally in.close()
       for (line <- lines if line.nonEmpty) {
         val n = mapper.readTree(line)
+        if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
+          commitMillis = Some(n.get("commitInfo").get("timestamp").asLong())
         if (n.has("add") &&
             Option(n.get("add").get("dataChange")).forall(_.asBoolean())) {
           val a = n.get("add")
@@ -125,9 +178,16 @@ object CommitRangeScan {
           // so the pre-image rows carry REAL partition columns — with
           // nulls there, exceptAll could never cancel matching rows and
           // a one-row UPDATE would report the whole file as changed
+          // the writer encodes a null partition value as the
+          // __HIVE_DEFAULT_PARTITION__ path segment; map it back to
+          // null so recovered pre-image values agree with the add
+          // side's JSON-null representation
           val pv = Replay.partitionValuesOf(r) match {
             case m if m.nonEmpty => m
             case _ => graft.delta.log.CommitWriter.parsePartitionValues(rel)
+              .map { case (k, v) =>
+                k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+              }
           }
           removes.put(rel, DeltaScan.ScanFile(rel, pv,
             Replay.dvDescriptorOf(r)))
@@ -135,20 +195,28 @@ object CommitRangeScan {
       }
       val addDf = DeltaScan.buildForFiles(snap, adds.values.toSeq)
       val remDf = DeltaScan.buildForFiles(snap, removes.values.toSeq)
-      if (removes.nonEmpty &&
-          snap.schema.exists(_.dataType.isInstanceOf[
-            org.apache.spark.sql.types.MapType]))
+      if (removes.nonEmpty && snap.schema.exists(f => containsMap(f.dataType)))
         throw new UnsupportedOperationException(
           s"Change feed cannot diff commit $v of $path: the schema has a " +
-            "map column, which Spark set operations (EXCEPT ALL) reject. " +
-            "Append-only spans still work.")
+            "map column (possibly nested), which Spark set operations " +
+            "(EXCEPT ALL) reject. Append-only spans still work.")
+      val ts = commitMillis.getOrElse(
+        fs.getFileStatus(commit).getModificationTime)
       val (ins, del) =
         if (removes.isEmpty) (addDf, remDf.limit(0)) // pure append: no diff
         else (addDf.exceptAll(remDf), remDf.exceptAll(addDf))
       ins.withColumn("_change_type", lit("insert"))
         .unionByName(del.withColumn("_change_type", lit("delete")))
         .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
     }
-    perCommit.reduceLeft(_ unionByName _)
+    // bound plan size: beyond ChangeFeedChunkCommits commits, materialize
+    // each chunk (localCheckpoint truncates lineage) so the final plan is
+    // a union of ≤ span/chunk checkpointed RDDs, not 2·span scans
+    if (perCommit.lengthCompare(ChangeFeedChunkCommits) <= 0)
+      perCommit.reduceLeft(_ unionByName _)
+    else perCommit.grouped(ChangeFeedChunkCommits)
+      .map(_.reduceLeft(_ unionByName _).localCheckpoint())
+      .reduceLeft(_ unionByName _)
   }
 }

@@ -61,6 +61,18 @@ object DeltaScan {
   def buildWithFileKey(snapshot: Snapshot): DataFrame =
     build(snapshot, Seq.empty, withFileColumn = true)
 
+  /** Restrict a provenance-keyed scan to rows from the given files — a
+    * broadcast semi-join on [[FileKeyColumn]], NOT an `isin`: a DML/MERGE
+    * touching 10⁶ files would otherwise build a 10⁶-element In-literal
+    * expression tree on the driver, while the broadcast hash relation
+    * ships the same keys as compact data. */
+  def whereFileKeyIn(df: DataFrame, keys: Iterable[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyDf = spark.createDataset(keys.toSeq).toDF(FileKeyColumn)
+    df.join(broadcast(keyDf), Seq(FileKeyColumn), "left_semi")
+  }
+
   def build(snapshot: Snapshot, filters: Seq[Column],
       withFileColumn: Boolean = false): DataFrame = {
     val scanFiles: Seq[ScanFile] = prunedFiles(snapshot, filters)

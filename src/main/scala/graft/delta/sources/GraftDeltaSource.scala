@@ -60,7 +60,13 @@ class GraftDeltaSource extends RelationProvider
   override def supportsExternalMetadata(): Boolean = false
 
   private def tableFor(
-      options: java.util.Map[String, String]): GraftDeltaTable = {
+      rawOptions: java.util.Map[String, String]): GraftDeltaTable = {
+    // getTable receives the case-SENSITIVE properties map while
+    // inferSchema gets a CaseInsensitiveStringMap; normalize here so an
+    // option typed as STARTINGVERSION resolves the same table in both
+    // phases (reader options are case-insensitive, as in reference Delta)
+    val options =
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(rawOptions)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftdelta requires a path"))
     val spark = SparkSession.active

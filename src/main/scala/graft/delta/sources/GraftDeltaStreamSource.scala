@@ -145,12 +145,14 @@ final class GraftDeltaStreamSource(
     val endV = ver(end)
     base = math.max(base, endV)
     val snap = DeltaTable.forPath(spark, path, Some(endV))
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{lit, timestamp_millis}
     def emptyBatch: DataFrame = {
       val e = graft.delta.scan.DeltaScan.buildForFiles(snap, Seq.empty)
       if (!changeFeed) e
       else e.withColumn("_change_type", lit(null: String).cast("string"))
         .withColumn("_commit_version", lit(null: String).cast("long"))
+        .withColumn("_commit_timestamp",
+          lit(null: String).cast("timestamp"))
     }
     val batch = start.map(ver) match {
       case None => startingVersion match {
@@ -160,6 +162,9 @@ final class GraftDeltaStreamSource(
           if (changeFeed) snap.read
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(endV))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(
+              graft.delta.scan.CommitRangeScan.commitTimestampMillis(
+                spark, path, endV))))
           else snap.read
         // ...or, with startingVersion, only the adds of commits >= it
         // (empty when the stream starts before reaching that version)
@@ -205,12 +210,18 @@ final class GraftDeltaStreamSource(
 }
 
 object GraftDeltaStreamSource {
-  /** Table schema, plus the change-feed columns when reading CDC. */
+  /** Table schema, plus the change-feed columns when reading CDC.
+    * Divergence from the reference-ecosystem CDF (documented in
+    * COVERAGE.md): `_change_type` is 'insert' | 'delete' only — updates
+    * surface as same-commit delete+insert pairs, since the derived diff
+    * has no primary key to pair pre/post images with. */
   def sourceSchema(table: StructType, changeFeed: Boolean): StructType =
     if (!changeFeed) table
     else StructType(table.fields.toIndexedSeq :+
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType) :+
       org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType))
+        org.apache.spark.sql.types.LongType) :+
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType))
 }

@@ -23,28 +23,38 @@ object ConnectedComponents {
   /** Test observability: rounds the last components() call took. */
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger
 
-  /** Star-step core: group symmetric/directed neighbor lists per node,
-    * link each selected neighbor to the minimum of the neighborhood. */
-  private def largeStar(edges: DataFrame): DataFrame =
-    edges.select(col("u"), col("v"))
+  /** Star-step core: link each selected neighbor of a node to the
+    * minimum of that node's neighborhood.
+    *
+    * Formulated as min-aggregate + equi-join back on the node — NOT as
+    * `collect_set` + explode: during contraction the component-minimum
+    * node's neighborhood grows toward the whole component, so a
+    * collected array would concentrate a 10⁸-member duplicate cluster
+    * into one executor row (OOM). min() is a partial aggregation
+    * (map-side combined, constant per-row state) and the join is a
+    * plain shuffled equi-join on u — both AQE-skew-splittable, so no
+    * row anywhere holds more than a constant number of values no
+    * matter how big one component gets. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .groupBy("u").agg(collect_set(col("v")).as("ns"))
-      .select(col("u"),
-        least(col("u"), array_min(col("ns"))).as("m"), col("ns"))
-      .select(col("m"), explode(col("ns")).as("v"), col("u"))
+    val mins = sym.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("m"))
+    sym.join(mins, "u")
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
+  }
 
   private def smallStar(edges: DataFrame): DataFrame = {
     val directed = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    directed
-      .groupBy("u").agg(collect_set(col("v")).as("ns"))
-      .select(col("u"), array_min(col("ns")).as("m"), col("ns"))
-      .select(col("m"),
-        explode(array_union(col("ns"), array(col("u")))).as("v"))
+    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+    // every neighbor v links to m (skipping v == m), and u itself links
+    // to m (u is the max of each edge, so u > m always)
+    directed.join(mins, "u")
       .where(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
   }
 
   /** @param edges two-column DataFrame (u, v) of undirected edges

@@ -33,6 +33,15 @@ object RangeJoin {
   def bandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String, tolerance: Long): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
+    // the output is left.* ++ right's non-key columns; a shared non-key
+    // name (including the time columns) would yield duplicate output
+    // columns and ambiguous by-name selection downstream — fail fast
+    // with the fix instead
+    val clash = right.columns.filterNot(keyCols.contains)
+      .filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"bandJoin sides share non-key column(s) ${clash.mkString(", ")}; " +
+        "rename or prefix them on one side before joining")
     // floor division in pure LONG arithmetic: Spark's `/` promotes to
     // double, whose 53-bit mantissa cannot represent epoch-ns longs
     // exactly — a near-boundary timestamp could round into a bin 2 away

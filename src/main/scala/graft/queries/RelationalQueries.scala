@@ -246,17 +246,35 @@ object RelationalQueries {
           |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
     },
 
-    // HLL sketches differ across engines — declared rows-only.
-    // sketch-based aggregates (HLL ndv + approximate percentile): both
-    // engine-specific by construction, so rows-only by design; the exact
-    // companions are fully oracled (q_agg_distinct, q_percentile).
-    Q.noOracle("q_approx_distinct") { (s, dir) =>
+    // sketch-based aggregates (HLL ndv + approximate percentile): the
+    // raw sketch values differ across engines by construction, so the
+    // CHECKED surface is a tolerance band — Spark computes both the
+    // sketch and the exact value and emits whether the sketch landed
+    // within ±5% of truth; the oracle restates the exact values (DuckDB
+    // recomputes them) and TRUE for the bands. The exact-hash gate then
+    // verifies the sketch's accuracy contract deterministically (HLL and
+    // KLL are deterministic for a fixed input set). Exact companions:
+    // q_agg_distinct, q_percentile.
+    Q("q_approx_distinct",
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS ndv_within_5pct,
+        | TRUE AS p50_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           expr("percentile_approx(l_extendedprice, 0.5, 1000)")
-            .as("p50_approx"))
+            .cast(DoubleType).as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)")
+            .cast(DoubleType).as("p50_exact"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("ndv_within_5pct"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05).as("p50_within_5pct"))
         .orderBy("l_returnflag")
     },
 

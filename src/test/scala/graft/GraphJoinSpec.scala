@@ -45,7 +45,44 @@ class GraphJoinSpec extends AnyFunSuite {
       s"took ${ConnectedComponents.lastRounds.get} rounds")
   }
 
+  test("cc: 100k-node single-component chain (adversarial diameter)") {
+    // one component of 1e5 nodes as a pure path — the worst case for
+    // round count AND the shape where naive label propagation needs 1e5
+    // shuffles. The min-join star steps hold per-row state constant (no
+    // collected neighbor arrays anywhere), so the only resource that
+    // grows with component size is shuffle volume.
+    val n = 100000L
+    val edges = spark.range(1L, n)
+      .select(col("id").as("u"), (col("id") + 1L).as("v"))
+    val got = ConnectedComponents.components(spark, edges)
+    assert(got.count() == n)
+    assert(got.where(col("component") =!= 1L).count() == 0)
+    assert(ConnectedComponents.lastRounds.get <= 20,
+      s"took ${ConnectedComponents.lastRounds.get} rounds")
+  }
+
+  test("cc: 100k-leaf hub star (the mega-component hub-row shape)") {
+    // node 1 is adjacent to every other node — exactly the distribution
+    // where a collect_set formulation funnels the whole component into
+    // one executor row. Must converge without it.
+    val n = 100000L
+    val edges = spark.range(2L, n + 2L)
+      .select(lit(1L).as("u"), col("id").as("v"))
+    val got = ConnectedComponents.components(spark, edges)
+    assert(got.count() == n + 1)
+    assert(got.where(col("component") =!= 1L).count() == 0)
+  }
+
   // ---- RangeJoin ----------------------------------------------------
+
+  test("band join rejects clashing non-key column names") {
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
+    val right = Seq(("a", 100L, 1.0)).toDF("k", "t", "x") // t clashes
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(left, right, Seq("k"), "t", "t", 60L)
+    }
+    assert(e.getMessage.contains("share non-key column"))
+  }
 
   test("band join matches the naive range predicate") {
     val left = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "b", 100L))

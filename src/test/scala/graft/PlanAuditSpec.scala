@@ -171,6 +171,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("DML/MERGE file filter plans as broadcast semi-join, not In-literal") {
+    // a MERGE touching 10⁶ files must not build a 10⁶-element In
+    // expression tree on the driver — the provenance restriction has to
+    // be a broadcast hash relation
+    import graft.delta.scan.DeltaScan
+    val snap = graft.delta.DeltaTable.forPath(spark,
+      graft.queries.DeltaQueries.rangedTable(spark, sf))
+    val keyed = DeltaScan.buildWithFileKey(snap)
+    val keys = keyed.select(DeltaScan.FileKeyColumn).distinct()
+      .limit(2).collect().map(_.getString(0)).toSeq
+    val df = DeltaScan.whereFileKeyIn(keyed, keys)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(3000))
+    assert(!p.contains("INSET") && !p.contains(s" IN ("),
+      "file-key filter compiled to an In-literal:\n" + p.take(3000))
+  }
+
   test("q_topk: TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

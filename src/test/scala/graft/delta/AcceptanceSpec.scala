@@ -42,7 +42,9 @@ class AcceptanceSpec extends AnyFunSuite {
 
   for (name <- Seq("basic_append", "partitioned", "with_checkpoint",
     "schema_evolution", "column_mapping", "deletion_vectors",
-    "time_travel", "type_widening")) {
+    "time_travel", "type_widening",
+    "composite_widen_cp_restore", "composite_mapping_dv",
+    "composite_dv_checkpoint", "composite_full_history")) {
 
     test(s"DAT case: $name") {
       val c = cases.find(_.name == name).get

@@ -210,6 +210,163 @@ object DatHarness {
       writeContent(c, "latest", nation.select("n_nationkey", "n_name"))
     }
 
+    // ---- composite histories: several protocol features interleaved in
+    // ONE table's version history, asserted at every recorded version
+    // (the combinatorial depth of the published DAT corpus the container
+    // cannot download — reference crates/acceptance/src/meta.rs:78-116,
+    // data.rs:20-154) -------------------------------------------------
+
+    build("composite_widen_cp_restore",
+      "widen short->int, append, multipart checkpoint, append, RESTORE") { c =>
+      val narrow = nation
+        .select(col("n_nationkey").cast(ShortType).as("n_nationkey"),
+          col("n_name"))
+      CommitWriter.createTable(spark,
+        narrow.filter(col("n_nationkey") < 8), c.tablePath) // v0
+      val meta0 = DeltaTable.forPath(spark, c.tablePath).metadata
+      CommitWriter.commitMetadata(spark, c.tablePath, meta0.copy(
+        schemaString = StructType(Seq(StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType))).json)) // v1: widen
+      val wide = nation.select(col("n_nationkey"), col("n_name"))
+      CommitWriter.append(spark,
+        wide.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16),
+        c.tablePath) // v2
+      CommitWriter.checkpoint(spark, c.tablePath, numParts = 2) // cp @ v2
+      CommitWriter.append(spark,
+        wide.filter(col("n_nationkey") >= 16), c.tablePath) // v3
+      graft.commands.HistoryCommand.restore(spark, c.tablePath, 2L) // v4
+      writeMeta(c, "latest", 4, Map.empty, 1, 2)
+      writeMeta(c, "v0", 0, Map.empty, 1, 2)
+      writeMeta(c, "v2", 2, Map.empty, 1, 2)
+      writeMeta(c, "v3", 3, Map.empty, 1, 2)
+      writeContent(c, "v0", narrow.filter(col("n_nationkey") < 8))
+      writeContent(c, "v2", wide.filter(col("n_nationkey") < 16))
+      writeContent(c, "v3", wide)
+      writeContent(c, "latest", wide.filter(col("n_nationkey") < 16))
+    }
+
+    build("composite_mapping_dv",
+      "column-mapped table masked by a deletion vector") { c =>
+      val physical = region.repartition(1).sortWithinPartitions("r_regionkey")
+        .toDF("col-1", "col-2")
+      val adds = CommitWriter.writeFiles(spark, physical, c.tablePath, Seq.empty)
+      val mapped = StructType(Seq(
+        StructField("r_regionkey", IntegerType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-1")
+            .putLong("delta.columnMapping.id", 1).build()),
+        StructField("r_name", StringType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-2")
+            .putLong("delta.columnMapping.id", 2).build())))
+      val meta = Actions.Metadata(
+        id = java.util.UUID.randomUUID().toString, name = None,
+        description = None, format = Actions.Format(),
+        schemaString = mapped.json, partitionColumns = Seq.empty,
+        configuration = Map("delta.columnMapping.mode" -> "name"),
+        createdTime = Some(0L))
+      CommitWriter.commit(spark, c.tablePath, 0L,
+        Seq(CommitWriter.protocolJson(Actions.Protocol(2, 5)),
+          CommitWriter.metadataJson(meta)) ++ adds.map(CommitWriter.addJson),
+        "CREATE") // v0
+      val add0 = DeltaTable.forPath(spark, c.tablePath).allFiles.collect().head
+      val fs = LogSegment.fs(spark, new Path(c.tablePath))
+      val dv = DvBitmap.writeDvFile(fs, new Path(c.tablePath), Seq(1L, 3L))
+      CommitWriter.commit(spark, c.tablePath, 1L, Seq(
+        CommitWriter.removeJson(Actions.RemoveFile(
+          add0.getAs[String]("path"), Some(0L), dataChange = false)),
+        CommitWriter.addJson(Actions.AddFile(
+          add0.getAs[String]("path"), Map.empty, add0.getAs[Long]("size"),
+          add0.getAs[Long]("modificationTime"), dataChange = false,
+          stats = Option(add0.getAs[String]("stats")),
+          deletionVector = Some(dv)))), "DELETE") // v1
+      writeMeta(c, "latest", 1,
+        Map("delta.columnMapping.mode" -> "name"), 2, 5)
+      writeMeta(c, "v0", 0,
+        Map("delta.columnMapping.mode" -> "name"), 2, 5)
+      writeContent(c, "v0", region)
+      // sorted positions 1 and 3 = r_regionkey 1 and 3
+      writeContent(c, "latest",
+        region.filter(!col("r_regionkey").isin(1, 3)))
+    }
+
+    build("composite_dv_checkpoint",
+      "DV descriptor must survive checkpoint replay + later appends") { c =>
+      val sorted = nation.filter(col("n_nationkey") < 12)
+        .repartition(1).sortWithinPartitions("n_nationkey")
+      CommitWriter.createTable(spark, sorted, c.tablePath) // v0
+      val add0 = DeltaTable.forPath(spark, c.tablePath).allFiles.collect().head
+      val fs = LogSegment.fs(spark, new Path(c.tablePath))
+      val dv = DvBitmap.writeDvFile(fs, new Path(c.tablePath), Seq(1L, 3L))
+      CommitWriter.commit(spark, c.tablePath, 1L, Seq(
+        CommitWriter.removeJson(Actions.RemoveFile(
+          add0.getAs[String]("path"), Some(0L), dataChange = false)),
+        CommitWriter.addJson(Actions.AddFile(
+          add0.getAs[String]("path"), Map.empty, add0.getAs[Long]("size"),
+          add0.getAs[Long]("modificationTime"), dataChange = false,
+          stats = Option(add0.getAs[String]("stats")),
+          deletionVector = Some(dv)))), "DELETE") // v1
+      CommitWriter.checkpoint(spark, c.tablePath) // cp @ v1 carries the DV
+      CommitWriter.append(spark,
+        nation.filter(col("n_nationkey") >= 12), c.tablePath) // v2
+      val masked = nation.filter(!col("n_nationkey").isin(1, 3))
+      writeMeta(c, "latest", 2, Map.empty, 1, 2)
+      writeMeta(c, "v0", 0, Map.empty, 1, 2)
+      writeMeta(c, "v1", 1, Map.empty, 1, 2)
+      writeContent(c, "v0", nation.filter(col("n_nationkey") < 12))
+      writeContent(c, "v1",
+        masked.filter(col("n_nationkey") < 12))
+      writeContent(c, "latest", masked)
+    }
+
+    build("composite_full_history",
+      "DV + widen + append + multipart checkpoint + append + RESTORE") { c =>
+      val narrow = nation
+        .select(col("n_nationkey").cast(ShortType).as("n_nationkey"),
+          col("n_name"))
+      CommitWriter.createTable(spark,
+        narrow.filter(col("n_nationkey") < 8)
+          .repartition(1).sortWithinPartitions("n_nationkey"),
+        c.tablePath) // v0
+      val add0 = DeltaTable.forPath(spark, c.tablePath).allFiles.collect().head
+      val fs = LogSegment.fs(spark, new Path(c.tablePath))
+      val dv = DvBitmap.writeDvFile(fs, new Path(c.tablePath), Seq(1L, 3L))
+      CommitWriter.commit(spark, c.tablePath, 1L, Seq(
+        CommitWriter.removeJson(Actions.RemoveFile(
+          add0.getAs[String]("path"), Some(0L), dataChange = false)),
+        CommitWriter.addJson(Actions.AddFile(
+          add0.getAs[String]("path"), Map.empty, add0.getAs[Long]("size"),
+          add0.getAs[Long]("modificationTime"), dataChange = false,
+          stats = Option(add0.getAs[String]("stats")),
+          deletionVector = Some(dv)))), "DELETE") // v1: DV masks keys 1,3
+      val meta1 = DeltaTable.forPath(spark, c.tablePath).metadata
+      CommitWriter.commitMetadata(spark, c.tablePath, meta1.copy(
+        schemaString = StructType(Seq(StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType))).json)) // v2: widen
+      val wide = nation.select(col("n_nationkey"), col("n_name"))
+      CommitWriter.append(spark,
+        wide.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16),
+        c.tablePath) // v3
+      CommitWriter.checkpoint(spark, c.tablePath, numParts = 2) // cp @ v3
+      CommitWriter.append(spark,
+        wide.filter(col("n_nationkey") >= 16), c.tablePath) // v4
+      graft.commands.HistoryCommand.restore(spark, c.tablePath, 3L) // v5
+      val maskedNarrow = narrow
+        .filter(col("n_nationkey") < 8 && !col("n_nationkey").isin(1, 3))
+      val maskedWide = wide.filter(!col("n_nationkey").isin(1, 3))
+      writeMeta(c, "latest", 5, Map.empty, 1, 2)
+      writeMeta(c, "v0", 0, Map.empty, 1, 2)
+      writeMeta(c, "v1", 1, Map.empty, 1, 2)
+      writeMeta(c, "v3", 3, Map.empty, 1, 2)
+      writeMeta(c, "v4", 4, Map.empty, 1, 2)
+      writeContent(c, "v0", narrow.filter(col("n_nationkey") < 8))
+      writeContent(c, "v1",
+        maskedNarrow)
+      writeContent(c, "v3", maskedWide.filter(col("n_nationkey") < 16))
+      writeContent(c, "v4", maskedWide)
+      writeContent(c, "latest", maskedWide.filter(col("n_nationkey") < 16))
+    }
+
     cases.result()
   }
 }

@@ -139,6 +139,84 @@ class SourceSpec extends AnyFunSuite {
       (2L, oldName, "delete", 1L)))
   }
 
+  test("reader options are case-insensitive on the batch DSv2 path") {
+    // getTable receives the case-SENSITIVE properties map; a typo-cased
+    // option must still resolve the range read, not silently degrade to
+    // a full-table scan (inferSchema would have planned the range)
+    val inc = spark.read.format("graftdelta")
+      .option("path", table).option("STARTINGVERSION", "1").load()
+    assert(inc.count() == 2)
+    val cdc = spark.read.format("graftdelta")
+      .option("path", table).option("READCHANGEFEED", "true")
+      .option("startingversion", "0").load()
+    assert(cdc.columns.contains("_change_type"))
+    assert(cdc.count() == 5)
+  }
+
+  test("change feed rows carry _commit_timestamp from commitInfo") {
+    val feed = spark.read.format("graftdelta")
+      .option("path", table).option("startingVersion", "0")
+      .option("readChangeFeed", "true").load()
+    assert(feed.schema("_commit_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val ts = feed.select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    assert(ts.keySet == Set(0L, 1L))
+    assert(ts.values.forall(_ != null))
+    // commit order implies timestamp order (same-millis ties allowed)
+    assert(!ts(1L).before(ts(0L)))
+    // and the value is the commitInfo timestamp, not a file mtime guess
+    val expected = graft.delta.scan.CommitRangeScan
+      .commitTimestampMillis(spark, table, 1L)
+    assert(ts(1L).getTime == expected)
+  }
+
+  test("readChangeFeed isolates a change inside a NULL partition") {
+    val d = Files.createTempDirectory("graft_src_cdc_null").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .withColumn("n_regionkey",
+        when(col("n_nationkey") < 10, lit(null)).otherwise(col("n_regionkey"))
+          .cast("long"))
+    CommitWriter.createTable(spark, nation, p,
+      partitionColumns = Seq("n_regionkey"))
+    // DML one key inside the __HIVE_DEFAULT_PARTITION__ file: if the
+    // recovered pre-image kept the literal sentinel string, exceptAll
+    // could not cancel the unchanged rows and the whole file would
+    // surface as insert+delete noise
+    graft.commands.DmlCommands.delete(spark, p, col("n_nationkey") === 5) // v1
+    val rows = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("n_nationkey", "n_regionkey", "_change_type")
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        Option(r.get(1)), r.getString(2))).toSet
+    assert(rows == Set((5L, None, "delete")))
+  }
+
+  test("long change-feed spans read in bounded-plan chunks") {
+    val d = Files.createTempDirectory("graft_src_cdc_long").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    CommitWriter.createTable(spark, region, p) // v0: 5 rows
+    val one = region.limit(1)
+    for (_ <- 1 to 40) CommitWriter.append(spark, one, p) // v1..v40
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+    assert(feed.count() == 40)
+    assert(feed.where(col("_change_type") === "insert").count() == 40)
+    assert(feed.select("_commit_version").distinct().count() == 40)
+    // the 40-commit span exceeds the 32-commit chunk bound, so the plan
+    // must be a union of ≤ ceil(40/32) = 2 materialized chunks — not 40+
+    // per-commit scans (a 1000-commit span would otherwise hand Catalyst
+    // a 2000-scan tree)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().length
+    assert(leaves <= 4, s"expected chunk-bounded plan, got $leaves leaves")
+  }
+
   test("versionAsOf option time-travels") {
     val df = spark.read.format("graftdelta")
       .option("path", table).option("versionAsOf", "0").load()
