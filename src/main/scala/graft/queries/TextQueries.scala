@@ -698,5 +698,103 @@ object TextQueries {
       // window cap rides the same (source, h) partitioning the join
       // consumes.
       ngramJaccardStreamedLead(s, dir)
+    },
+
+    // PII redaction (corpus-prep): detect + mask emails and phone
+    // numbers before training. Pure per-row regex projections — no
+    // shuffle, embarrassingly parallel at 100 TB. The fixture corpus is
+    // synthetic word soup, so deterministic PII is injected per doc_id
+    // IDENTICALLY in both engines and each engine then runs its own
+    // regex redaction; the oracle equality checks the transform, not
+    // the injection. Patterns avoid constructs where Java regex and
+    // RE2 diverge (no backrefs, no lookaround).
+    Q("q_pii_redact",
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |      THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 0
+         |      THEN ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END) AS raw
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS BIGINT)
+         |    AS n_phones,
+         |  regexp_replace(regexp_replace(raw,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         |FROM raw ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" Contact user"),
+                col("doc_id").cast(StringType), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" or call +1-555-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast(StringType),
+                  4, "0")))
+              .otherwise(lit(""))).as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailPat)).cast(LongType)
+            .as("n_emails"),
+          regexp_count(col("raw"), lit(phonePat)).cast(LongType)
+            .as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // markup/boilerplate stripping (corpus-prep): remove script/style
+    // blocks (content included), comments, then tags, then collapse
+    // whitespace — the order matters (script bodies may contain '<').
+    // Per-row regex projections, no shuffle. Markup is injected
+    // deterministically in both engines (word-soup fixture has none);
+    // the script body contains a bare '<' so a naive tags-first strip
+    // would corrupt the text and fail the oracle.
+    Q("q_strip_markup",
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>' || source ||
+         |    '</title><style>p { color: red; }</style></head><body><p>' ||
+         |    text ||
+         |    '</p><script>var x = 1; if (x < 2) { x += 1; }</script>' ||
+         |    '<!-- footer --></body></html>' AS raw
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(raw,
+         |      '<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'),
+         |      '<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'),
+         |      '<!--[\\s\\S]*?-->', ' ', 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |      '\\s+', ' ', 'g')) AS stripped
+         |FROM raw ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<html><head><title>"), col("source"),
+            lit("</title><style>p { color: red; }</style></head><body><p>"),
+            col("text"),
+            lit("</p><script>var x = 1; if (x < 2) { x += 1; }</script>"),
+            lit("<!-- footer --></body></html>")).as("raw"))
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(col("raw"),
+              "<script[^>]*>[\\s\\S]*?</script>", " "),
+              "<style[^>]*>[\\s\\S]*?</style>", " "),
+              "<!--[\\s\\S]*?-->", " "),
+              "<[^>]*>", " "),
+            "\\s+", " ")).as("stripped"))
+        .orderBy("doc_id")
     })
 }

@@ -48,9 +48,9 @@ class GraphJoinSpec extends AnyFunSuite {
   test("cc: 100k-node single-component chain (adversarial diameter)") {
     // one component of 1e5 nodes as a pure path — the worst case for
     // round count AND the shape where naive label propagation needs 1e5
-    // shuffles. The min-join star steps hold per-row state constant (no
-    // collected neighbor arrays anywhere), so the only resource that
-    // grows with component size is shuffle volume.
+    // shuffles. The sorted-stream star steps hold task state constant
+    // (no collected neighbor arrays anywhere), so the only resource
+    // that grows with component size is shuffle volume.
     val n = 100000L
     val edges = spark.range(1L, n)
       .select(col("id").as("u"), (col("id") + 1L).as("v"))
