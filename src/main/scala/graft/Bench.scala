@@ -96,7 +96,8 @@ object Bench {
       "q_stream_watermark",
       "q_stream_sessions", "q_stream_delta_source", "q_merge",
       "q_contamination", "q_edit_distance", "q_pack_sequences",
-      "q_stats_agg", "vacuum_dry_run", "q_pii_redact", "q_strip_markup")
+      "q_stats_agg", "vacuum_dry_run", "q_pii_redact", "q_strip_markup",
+      "q_simhash_near_dup", "q_mixture_cap")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")

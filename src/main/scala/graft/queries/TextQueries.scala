@@ -97,6 +97,29 @@ object TextQueries {
       s"min((h * $a + $b) % $P) AS mh$j"
     }.mkString(", ")
 
+  /** 60-bit SimHash pieces for the hamming near-dup (two independent
+    * 30-bit sub-signatures — the tokenizer hash is mod 2^31-1, so each
+    * hash contributes 30 usable bits). Shared Spark/SQL generators keep
+    * the two engines bit-identical. */
+  private val SimhashSubBits = 30
+  private val SimhashBandMask = (1 << 15) - 1 // 4 bands x 15 bits
+
+  private def simhashVoteAggs(h: String, pfx: String): Seq[Column] =
+    (0 until SimhashSubBits).map(i =>
+      sum(when(expr(s"($h >> $i) & 1") === 1, 1).otherwise(-1))
+        .as(s"$pfx$i"))
+  private def simhashSigCol(pfx: String): Column =
+    (0 until SimhashSubBits).map(i =>
+      when(col(s"$pfx$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  private def simhashVoteSqls(h: String, pfx: String): String =
+    (0 until SimhashSubBits).map(i =>
+      s"sum(CASE WHEN ($h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS $pfx$i")
+      .mkString(",\n    ")
+  private def simhashSigSql(pfx: String): String =
+    (0 until SimhashSubBits).map(i =>
+      s"(CASE WHEN $pfx$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
   /** DuckDB CTE chain `sigs -> bands0 -> bands` (capped LSH band rows),
     * shared by q_near_dedup and q_edit_distance so the candidate
     * semantics can never drift between the two oracles. */
@@ -698,6 +721,121 @@ object TextQueries {
       // window cap rides the same (source, h) partitioning the join
       // consumes.
       ngramJaccardStreamedLead(s, dir)
+    },
+
+    // SimHash hamming near-dup (Manku et al., WWW'07 web-dedup design):
+    // 60-bit signature (2 x 30-bit sub-sigs) split into 4 x 15-bit
+    // bands; by pigeonhole, any pair within hamming distance 3 shares
+    // at least one untouched band, so candidate generation is a plain
+    // equi-join on (band, key) — never an all-pairs comparison — and
+    // the exact bit_count verify runs on candidates only. Buckets are
+    // capped at BandBucketMax (declared in the oracle): a degenerate
+    // bucket means the band collapsed, not that its members are dups.
+    Q("q_simhash_near_dup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${hashSql("tok")} AS h1,
+         |         ${hashSql("tok || '#'")} AS h2
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t
+         |), votes AS (
+         |  SELECT doc_id,
+         |    ${simhashVoteSqls("h1", "a")},
+         |    ${simhashVoteSqls("h2", "b")}
+         |  FROM toks GROUP BY doc_id
+         |), sigs AS (
+         |  SELECT doc_id,
+         |    ${simhashSigSql("a")} AS sig1,
+         |    ${simhashSigSql("b")} AS sig2
+         |  FROM votes
+         |), bands0 AS (
+         |  SELECT doc_id, sig1, sig2, 0 AS band, sig1 & $SimhashBandMask AS k FROM sigs UNION ALL
+         |  SELECT doc_id, sig1, sig2, 1 AS band, sig1 >> 15 AS k FROM sigs UNION ALL
+         |  SELECT doc_id, sig1, sig2, 2 AS band, sig2 & $SimhashBandMask AS k FROM sigs UNION ALL
+         |  SELECT doc_id, sig1, sig2, 3 AS band, sig2 >> 15 AS k FROM sigs
+         |), bands AS (
+         |  SELECT * FROM bands0
+         |  QUALIFY count(*) OVER (PARTITION BY band, k) <= $BandBucketMax
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig1 AS s1a, a.sig2 AS s2a, b.sig1 AS s1b, b.sig2 AS s2b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS BIGINT)
+         |    AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Spark plan: one token explode + 60-way partial-agg vote, band
+      // rows via a 4-element array explode, per-bucket doc lists capped
+      // at BandBucketMax, pairs exploded from each bucket (signatures
+      // ride the bucket structs — no join-back), exact verify after a
+      // distinct. Shuffles: vote agg, bucket agg, pair distinct.
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), hashCol(col("tok")).as("h1"),
+          hashCol(concat(col("tok"), lit("#"))).as("h2"))
+      val aggs = simhashVoteAggs("h1", "a") ++ simhashVoteAggs("h2", "b")
+      val sigs = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), simhashSigCol("a").as("sig1"),
+          simhashSigCol("b").as("sig2"))
+      val bands = sigs.select(col("doc_id"), col("sig1"), col("sig2"),
+          explode(array(
+            struct(lit(0).as("band"),
+              col("sig1").bitwiseAND(lit(SimhashBandMask.toLong)).as("k")),
+            struct(lit(1).as("band"), shiftright(col("sig1"), 15).as("k")),
+            struct(lit(2).as("band"),
+              col("sig2").bitwiseAND(lit(SimhashBandMask.toLong)).as("k")),
+            struct(lit(3).as("band"),
+              shiftright(col("sig2"), 15).as("k")))).as("bk"))
+        .select(col("doc_id"), col("sig1"), col("sig2"),
+          col("bk.band").as("band"), col("bk.k").as("k"))
+      val buckets = bands.groupBy("band", "k")
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("sig1"), col("sig2")))).as("ds"))
+        .where(size(col("ds")).between(2, BandBucketMax))
+      val cand = buckets.select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+            |           x.sig1 AS s1a, x.sig2 AS s2a,
+            |           y.sig1 AS s1b, y.sig2 AS s2b))))""".stripMargin))
+          .as("p"))
+        .select("p.*").distinct()
+      cand
+        .withColumn("hamming",
+          (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+            bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast(LongType))
+        .where(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // deterministic mixture capping (anti-dominance source balancing):
+    // each source contributes at most MixtureCap docs, chosen by
+    // content-hash rank — the integer-exact form of temperature
+    // resampling (no RNG, no floating-point weights, so both engines
+    // agree bit-for-bit). One window shuffle on source; at 100 TB with
+    // a skewed source the same selection runs as a hash-threshold
+    // filter (md5 < cutoff estimated from per-source counts) — one
+    // scan, no per-source sort; the window form is the exact-k variant.
+    Q("q_mixture_cap",
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, rk FROM ranked
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      load(s, dir, "documents")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("text").cast(BinaryType)), col("doc_id"))))
+        .where(col("rk") <= 15)
+        .select("doc_id", "source", "rk")
+        .orderBy("doc_id")
     },
 
     // PII redaction (corpus-prep): detect + mask emails and phone
