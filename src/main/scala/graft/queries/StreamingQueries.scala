@@ -71,6 +71,31 @@ object StreamingQueries {
         .orderBy("minute_bucket", "event_type")
     },
 
+    // Streaming ingest dedup — the at-least-once absorber every
+    // production pipeline needs in front of a training corpus. The feed
+    // delivers every event THREE times (twice inside batch 0, once more
+    // in batch 1); dropDuplicatesWithinWatermark keys state on event_id
+    // and the watermark bounds that state: an id is remembered only
+    // until the watermark passes its event time, so state size tracks
+    // the delay window, not the stream's lifetime — redeliveries beyond
+    // the window die at the late-row filter instead. Oracle = the plain
+    // fixture (each event exactly once).
+    Q("q_stream_dedup",
+      """SELECT event_id, user_id, event_type,
+        | CAST(value AS DOUBLE) AS value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val feed = EventsStream.dedupFeedDir(s, dir)
+      EventsStream.runToMemory(s,
+        ss => EventsStream.readFeed(ss, dir, feed)
+          .withWatermark("event_time", s"${EventsStream.WatermarkDelaySec} seconds")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value").cast("double").as("value")),
+        s"stream_dedup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        OutputMode.Append())
+        .orderBy("event_id")
+    },
+
     // Streaming SOURCE over a Delta table (readStream.format("graftdelta")):
     // maxVersionsPerTrigger=1 forces the incremental path — batch 0 is the
     // v0 snapshot, batch 1 replays exactly the files commit 1 added — so

@@ -838,6 +838,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-source adaptive quality filter: keep documents at or above
+    // their own source's median token count (absolute thresholds
+    // misfire when sources differ in register — forum posts vs papers —
+    // so production filters cut per-source). Two passes over the score
+    // column: a tiny per-source percentile aggregate (one row per
+    // source, broadcast back) and a filter — the join adds no shuffle
+    // at any scale. Spark `percentile` and DuckDB `quantile_cont` share
+    // the linear-interpolation definition (see q_percentile), so the
+    // cutoff and the boundary compare are engine-exact.
+    Q("q_quality_filter",
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), cuts AS (
+        |  SELECT source, quantile_cont(n_tokens, 0.5) AS cutoff
+        |  FROM scored GROUP BY source
+        |)
+        |SELECT s.doc_id, s.source, s.n_tokens, c.cutoff
+        |FROM scored s JOIN cuts c USING (source)
+        |WHERE s.n_tokens >= c.cutoff
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val scored = load(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
+          .cast(LongType).as("n_tokens"))
+      val cuts = scored.groupBy("source")
+        .agg(expr("percentile(n_tokens, 0.5)").as("cutoff"))
+      scored.join(broadcast(cuts), "source")
+        .where(col("n_tokens") >= col("cutoff"))
+        .select("doc_id", "source", "n_tokens", "cutoff")
+        .orderBy("doc_id")
+    },
+
     // PII redaction (corpus-prep): detect + mask emails and phone
     // numbers before training. Pure per-row regex projections — no
     // shuffle, embarrassingly parallel at 100 TB. The fixture corpus is

@@ -89,17 +89,8 @@ object EventsStream {
       // margin: one window width + one extra minute past the delay
       val s1 = maxTs + delayNs + 180L * 1000000000L
       val s2 = s1 + delayNs + 180L * 1000000000L
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val staging = s"$feedDir/.staging_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val part = new java.io.File(staging).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(s"$feedDir/$name")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
-        dst.setLastModified(mtime)
-      }
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit =
+        writeFeedFile(feedDir, df, name, mtime)
       // mtimes strictly ascending but all safely in the PAST: a file
       // whose mtime is ahead of the stream's start scans EMPTY in its
       // batch (observed: future-stamped sentinel read 0 rows on a
@@ -113,6 +104,42 @@ object EventsStream {
       writeOne(ev, "00_events.parquet", base)
       writeOne(sentinel(s1, -1L), "01_sentinel.parquet", base + 10000)
       writeOne(sentinel(s2, -2L), "02_sentinel.parquet", base + 20000)
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    feedDir
+  }
+
+  /** Write one single-file parquet into a feed dir with a pinned mtime
+    * (the file source orders replay batches by modification time). */
+  private def writeFeedFile(feedDir: String, df: DataFrame, name: String,
+      mtime: Long): Unit = {
+    val staging = s"$feedDir/.staging_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$feedDir/$name")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    dst.setLastModified(mtime)
+  }
+
+  /** Build (once) a duplicate-delivery feed: file 0 carries every event
+    * TWICE (in-batch duplicates — the upstream retry shape), file 1
+    * redelivers the whole fixture again (cross-batch duplicates — the
+    * at-least-once replay shape). A correct streaming dedup over this
+    * feed emits each event exactly once. Returns the feed dir. */
+  def dedupFeedDir(spark: SparkSession, sfDir: String): String = {
+    val feedDir = s"target/stream_dedup_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val done = new java.io.File(s"$feedDir/_FEED_READY")
+    if (!done.exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // mtimes ascending but in the past (see watermarkFeedDir: a
+      // future-stamped file scans empty in its batch)
+      val base = System.currentTimeMillis() - 60000
+      writeFeedFile(feedDir, ev.unionAll(ev), "00_events_x2.parquet", base)
+      writeFeedFile(feedDir, ev, "01_redelivery.parquet", base + 10000)
       java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     }
     feedDir

@@ -194,4 +194,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q_quality_filter: per-source cutoffs broadcast (corpus never shuffles for the join)") {
+    val p = plan("q_quality_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "per-source cutoff join shuffled the corpus:\n" + p.take(3000))
+  }
 }

@@ -31,6 +31,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.schema.fieldNames.contains("window"))
   }
 
+  test("streaming dedup absorbs triple delivery with bounded state") {
+    // run by hand (not runToMemory) to read state-store metrics off the
+    // StreamingQuery after the last batch
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val feed = EventsStream.dedupFeedDir(spark, sf)
+    val q = EventsStream.readFeed(ss, sf, feed)
+      .withWatermark("event_time", s"${EventsStream.WatermarkDelaySec} seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_stream_dedup").start()
+    val stateRows = try {
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val n = graft.queries.T.events(spark, sf).count()
+    val emitted = ss.table("spec_stream_dedup")
+    // exactly-once: 3 deliveries of every event -> one emission each
+    assert(emitted.count() == n)
+    assert(emitted.distinct().count() == n)
+    // bounded state: the watermark must have evicted ids older than the
+    // delay window — remembering every id ever seen is the unbounded
+    // shape that dies at 100 TB
+    assert(stateRows < n / 2,
+      s"state holds $stateRows of $n ids — watermark eviction not working")
+  }
+
   test("delta streaming source: incremental tail replay while running") {
     import graft.delta.log.CommitWriter
     val path = java.nio.file.Files.createTempDirectory("stream_src").toString
