@@ -99,6 +99,8 @@ object HistoryCommand {
   def restore(spark: SparkSession, tablePath: String,
       version: Long): DataFrame = {
     val current = DeltaTable.forPath(spark, tablePath)
+    graft.delta.log.ProtocolSupport.assertWritable(
+      tablePath, current.metadata, current.protocol)
     require(version <= current.version,
       s"Cannot restore to future version $version (latest ${current.version})")
     val target = DeltaTable.forPath(spark, tablePath, Some(version))

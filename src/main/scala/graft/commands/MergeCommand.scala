@@ -23,6 +23,8 @@ object MergeCommand {
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String]): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
+    graft.delta.log.ProtocolSupport.assertWritable(
+      tablePath, snap.metadata, snap.protocol)
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       "MERGE on column-mapped tables is not supported (the rewrite " +
         "would need logical->physical projection per file)")

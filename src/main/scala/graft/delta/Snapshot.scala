@@ -92,8 +92,7 @@ object DeltaTable {
     val tablePath = new Path(path)
     val segment = LogSegment.forTable(spark, tablePath, versionAsOf)
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
-    require(proto.minReaderVersion <= 3,
-      s"Unsupported minReaderVersion ${proto.minReaderVersion}")
+    graft.delta.log.ProtocolSupport.assertReadable(path, proto)
     Snapshot(spark, tablePath, segment, meta, proto)
   }
 

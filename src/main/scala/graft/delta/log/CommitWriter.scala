@@ -151,7 +151,8 @@ object CommitWriter {
   def append(spark: SparkSession, df: DataFrame, tablePath: String,
       maxRetries: Int = 10): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
-    val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta, proto)
     validateWriteSchema(df, meta, "append")
     val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
       meta.partitionColumns)
@@ -180,7 +181,8 @@ object CommitWriter {
     if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
       return None
     val segment = LogSegment.forTable(spark, new Path(tablePath))
-    val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta, proto)
     validateWriteSchema(df, meta, "appendIfAbsent")
     val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
       meta.partitionColumns)
@@ -217,6 +219,7 @@ object CommitWriter {
     * semantic conflict the caller must decide. */
   def overwrite(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
+    ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol)
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
     validateWriteSchema(df, snap.metadata, "overwrite")
@@ -374,6 +377,11 @@ object CommitWriter {
     import org.apache.spark.sql.expressions.Window
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    // a checkpoint REWRITES replay state: unknown protocol features may
+    // carry actions this replay doesn't model (e.g. rowTracking's
+    // domainMetadata), and a checkpoint that drops them corrupts the
+    // table — same fail-closed gate as data writes
+    ProtocolSupport.assertWritable(tablePath, meta, proto)
     val live = Replay.liveFiles(spark, segment)
 
     val nullAdd = lit(null).cast(Actions.addSchema)

@@ -1,0 +1,95 @@
+package graft.delta.log
+
+import Actions.{Metadata, Protocol}
+
+/** Fail-closed protocol gates per the Delta table-features spec: a
+  * reader MUST reject a table whose `readerFeatures` include anything
+  * it does not implement (reading anyway returns silently wrong rows —
+  * e.g. ignoring v2Checkpoint sidecars drops files), and a writer MUST
+  * NOT commit to a table whose declared or version-implied writer
+  * features it cannot honor (e.g. committing rows that violate a CHECK
+  * constraint it never evaluated corrupts the table for every compliant
+  * engine downstream).
+  *
+  * Reference boots the equivalent gate inside delta-kernel-rs when the
+  * snapshot resolves (crates/datafusion/src/session.rs:169-191 resolves
+  * through kernel's protocol check); here it lives at the same choke
+  * points: [[graft.delta.DeltaTable.forPath]] for reads and every
+  * commit-producing entry point for writes.
+  */
+object ProtocolSupport {
+
+  /** Reader features implemented end-to-end in this engine. */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "timestampNtz",
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
+
+  /** Writer features this engine honors at commit time. `appendOnly`
+    * is enforced at the commit choke point; `invariants` may be
+    * DECLARED on many tables that define none, so the name is accepted
+    * here and actual invariant USE is refused in [[assertWritable]]. */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "deletionVectors", "columnMapping",
+    "timestampNtz", "typeWidening", "typeWidening-preview",
+    "vacuumProtocolCheck")
+
+  def assertReadable(tablePath: String, proto: Protocol): Unit = {
+    require(proto.minReaderVersion <= 3,
+      s"Unsupported minReaderVersion ${proto.minReaderVersion} " +
+        s"(max supported: 3) reading $tablePath")
+    if (proto.minReaderVersion >= 3) {
+      val unknown =
+        proto.readerFeatures.getOrElse(Nil).toSet -- SupportedReaderFeatures
+      require(unknown.isEmpty,
+        s"Table $tablePath requires reader features this engine does not " +
+          s"implement: ${unknown.toSeq.sorted.mkString(", ")}. Refusing to " +
+          "read rather than return silently wrong results.")
+    }
+  }
+
+  /** Gate every commit against an EXISTING table (fresh creates pick
+    * this engine's own protocol and need no gate). Checks, in order:
+    * declared writer features, then version-implied feature USE — a
+    * legacy minWriterVersion implies invariants/constraints/generated/
+    * identity support without naming them, so the metadata is searched
+    * for actual use and the write refused only when semantics would be
+    * violated. */
+  def assertWritable(tablePath: String, meta: Metadata,
+      proto: Protocol): Unit = {
+    assertReadable(tablePath, proto) // a writer replays the log first
+    require(proto.minWriterVersion <= 7,
+      s"Unsupported minWriterVersion ${proto.minWriterVersion} " +
+        s"(max supported: 7) writing $tablePath")
+    if (proto.minWriterVersion >= 7) {
+      val unknown =
+        proto.writerFeatures.getOrElse(Nil).toSet -- SupportedWriterFeatures
+      require(unknown.isEmpty,
+        s"Table $tablePath requires writer features this engine does not " +
+          s"implement: ${unknown.toSeq.sorted.mkString(", ")}. Refusing to " +
+          "write rather than break the table's contract.")
+    }
+    val constraints =
+      meta.configuration.keys.filter(_.startsWith("delta.constraints."))
+    require(constraints.isEmpty,
+      s"Table $tablePath declares CHECK constraints " +
+        s"(${constraints.toSeq.sorted.mkString(", ")}) this engine cannot " +
+        "evaluate — refusing to write unvalidated rows.")
+    def using(key: String): Seq[String] =
+      meta.dataSchema.fields.toSeq
+        .filter(_.metadata.contains(key)).map(_.name)
+    val invariants = using("delta.invariants")
+    require(invariants.isEmpty,
+      s"Table $tablePath declares column invariants on " +
+        s"${invariants.mkString(", ")} this engine cannot evaluate — " +
+        "refusing to write unvalidated rows.")
+    val generated = using("delta.generationExpression")
+    require(generated.isEmpty,
+      s"Table $tablePath has generated columns (${generated.mkString(", ")}) " +
+        "this engine cannot compute or verify — refusing to write.")
+    val identity = using("delta.identity.start")
+    require(identity.isEmpty,
+      s"Table $tablePath has identity columns (${identity.mkString(", ")}) " +
+        "whose high-water marks this engine cannot maintain — refusing " +
+        "to write.")
+  }
+}

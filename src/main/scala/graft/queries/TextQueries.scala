@@ -120,6 +120,20 @@ object TextQueries {
     (0 until SimhashSubBits).map(i =>
       s"(CASE WHEN $pfx$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
+  /** 60-bit SimHash signature per document (doc_id, sig1, sig2) — the
+    * candidate-free half of q_simhash_near_dup, exposed so TextSpec can
+    * brute-force the pigeonhole completeness guarantee against it. */
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), hashCol(col("tok")).as("h1"),
+        hashCol(concat(col("tok"), lit("#"))).as("h2"))
+    val aggs = simhashVoteAggs("h1", "a") ++ simhashVoteAggs("h2", "b")
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), simhashSigCol("a").as("sig1"),
+        simhashSigCol("b").as("sig2"))
+  }
+
   /** DuckDB CTE chain `sigs -> bands0 -> bands` (capped LSH band rows),
     * shared by q_near_dedup and q_edit_distance so the candidate
     * semantics can never drift between the two oracles. */
@@ -772,14 +786,7 @@ object TextQueries {
       // at BandBucketMax, pairs exploded from each bucket (signatures
       // ride the bucket structs — no join-back), exact verify after a
       // distinct. Shuffles: vote agg, bucket agg, pair distinct.
-      val toks = load(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), hashCol(col("tok")).as("h1"),
-          hashCol(concat(col("tok"), lit("#"))).as("h2"))
-      val aggs = simhashVoteAggs("h1", "a") ++ simhashVoteAggs("h2", "b")
-      val sigs = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), simhashSigCol("a").as("sig1"),
-          simhashSigCol("b").as("sig2"))
+      val sigs = simhashSignatures(s, dir)
       val bands = sigs.select(col("doc_id"), col("sig1"), col("sig2"),
           explode(array(
             struct(lit(0).as("band"),

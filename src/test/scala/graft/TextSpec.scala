@@ -24,6 +24,26 @@ class TextSpec extends AnyFunSuite {
     assert(viaCol.toSeq == viaExpr.toSeq)
   }
 
+  test("simhash banded LSH is pigeonhole-complete for hamming <= 3") {
+    // brute-force ALL pairs on the collected signatures and require the
+    // banded equi-join query to return exactly that set — if banding
+    // ever lost a pair (wrong band split, off-by-one in the shift), the
+    // recall guarantee the scaladoc promises would be silently broken
+    val sigs = TextQueries.simhashSignatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, s1a, s2a) <- sigs
+      (b, s1b, s2b) <- sigs
+      if a < b
+      d = java.lang.Long.bitCount(s1a ^ s1b) + java.lang.Long.bitCount(s2a ^ s2b)
+      if d <= 3
+    } yield (a, b, d.toLong)).sortBy(x => (x._1, x._2)).toSeq
+    val got = SparkEntry.queries("q_simhash_near_dup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(brute.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    assert(got == brute)
+  }
+
   test("jaccard plan variants agree (postings vs streamed vs lead)") {
     val p = TextQueries.ngramJaccardPostings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

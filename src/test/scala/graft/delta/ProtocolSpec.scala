@@ -1,0 +1,141 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log._
+import graft.delta.log.Actions.Protocol
+
+/** Fail-closed protocol feature gates (ProtocolSupport): a table
+  * declaring features this engine doesn't implement must refuse the
+  * operation with a clear message, never proceed and silently corrupt
+  * results — and supported/absent features must NOT trip the gate. */
+class ProtocolSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+
+  private def upgradeProtocol(path: String, proto: Protocol): Unit = {
+    val v = LogSegment.forTable(spark,
+      new org.apache.hadoop.fs.Path(path)).version + 1
+    CommitWriter.commit(spark, path, v,
+      Seq(CommitWriter.protocolJson(proto)), operation = "UPGRADE PROTOCOL")
+  }
+
+  private def setMetadata(path: String,
+      mutate: Actions.Metadata => Actions.Metadata): Unit = {
+    val snap = DeltaTable.forPath(spark, path)
+    CommitWriter.commit(spark, path, snap.version + 1,
+      Seq(CommitWriter.metadataJson(mutate(snap.metadata))),
+      operation = "SET METADATA")
+  }
+
+  test("reads refuse unknown reader features (v2Checkpoint)") {
+    val path = tmpTable("proto_read")
+    CommitWriter.createTable(spark, region, path)
+    upgradeProtocol(path, Protocol(3, 7,
+      Some(Seq("deletionVectors", "v2Checkpoint")),
+      Some(Seq("deletionVectors", "v2Checkpoint"))))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(!e.getMessage.contains("deletionVectors"),
+      "supported feature wrongly reported as unknown")
+  }
+
+  test("reads accept fully-supported reader features") {
+    val path = tmpTable("proto_read_ok")
+    CommitWriter.createTable(spark, region, path)
+    upgradeProtocol(path, Protocol(3, 7,
+      Some(Seq("deletionVectors", "columnMapping", "timestampNtz")),
+      Some(Seq("deletionVectors", "columnMapping", "timestampNtz"))))
+    assert(DeltaTable.forPath(spark, path).read.count() == region.count())
+  }
+
+  test("writes refuse unknown writer features (rowTracking)") {
+    val path = tmpTable("proto_write")
+    CommitWriter.createTable(spark, region, path)
+    // reader side stays legacy-readable; only the WRITER features are
+    // beyond this engine
+    upgradeProtocol(path, Protocol(1, 7, None,
+      Some(Seq("appendOnly", "rowTracking"))))
+    assert(DeltaTable.forPath(spark, path).read.count() == region.count(),
+      "reads must still work when only writer features are unknown")
+    val e = intercept[IllegalArgumentException] {
+      CommitWriter.append(spark, region.limit(1), path)
+    }
+    assert(e.getMessage.contains("rowTracking"))
+    // the whole write surface shares the gate
+    intercept[IllegalArgumentException] {
+      graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.commands.OptimizeCommand.optimize(spark, path)
+    }
+    intercept[IllegalArgumentException] {
+      CommitWriter.checkpoint(spark, path)
+    }
+  }
+
+  test("writes refuse CHECK constraints this engine cannot evaluate") {
+    val path = tmpTable("proto_constraints")
+    CommitWriter.createTable(spark, region, path)
+    setMetadata(path, m => m.copy(configuration =
+      m.configuration + ("delta.constraints.positive" -> "r_regionkey >= 0")))
+    val e = intercept[IllegalArgumentException] {
+      CommitWriter.append(spark, region.limit(1), path)
+    }
+    assert(e.getMessage.contains("delta.constraints.positive"))
+    // reading a constrained table is fine — constraints bind writers only
+    assert(DeltaTable.forPath(spark, path).read.count() == region.count())
+  }
+
+  test("writes refuse generated and identity columns") {
+    val path = tmpTable("proto_generated")
+    CommitWriter.createTable(spark, region, path)
+    setMetadata(path, m => {
+      val fields = m.dataSchema.fields.map { f =>
+        if (f.name == "r_name")
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("delta.generationExpression", "upper(r_name)").build())
+        else f
+      }
+      m.copy(schemaString = StructType(fields).json)
+    })
+    val e = intercept[IllegalArgumentException] {
+      CommitWriter.append(spark, region.limit(1), path)
+    }
+    assert(e.getMessage.contains("r_name"))
+  }
+
+  test("time travel to a version before an unsupported upgrade still reads") {
+    val path = tmpTable("proto_timetravel")
+    CommitWriter.createTable(spark, region, path) // v0: plain
+    upgradeProtocol(path, Protocol(3, 7, // v1: beyond this engine
+      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint"))))
+    intercept[IllegalArgumentException] { DeltaTable.forPath(spark, path) }
+    // the gate binds to the protocol AS OF the resolved version, so
+    // history from before the upgrade stays readable
+    val v0 = DeltaTable.forPath(spark, path, versionAsOf = Some(0L))
+    assert(v0.read.count() == region.count())
+  }
+
+  test("legacy writer versions without feature use pass the gate") {
+    val path = tmpTable("proto_legacy")
+    CommitWriter.createTable(spark, region, path)
+    // minWriterVersion 4 IMPLIES generated-column support, but this
+    // table defines none — a blind version gate would wrongly refuse
+    upgradeProtocol(path, Protocol(1, 4))
+    CommitWriter.append(spark, region.limit(1), path)
+    assert(DeltaTable.forPath(spark, path).read.count() == region.count() + 1)
+  }
+}
