@@ -136,6 +136,9 @@ object Bench {
     // the watermarked append shape (EventTimeWatermark + append-mode
     // state eviction) compiles a different streaming plan — warm it too
     SparkEntry.queries("q_stream_watermark")(spark, warmDir).count()
+    // the dedup shape adds a dropDuplicatesWithinWatermark state store —
+    // yet another streaming plan; warming it also pre-builds its feed
+    SparkEntry.queries("q_stream_dedup")(spark, warmDir).count()
     // the delta streaming SOURCE compiles yet another plan (v1 Source +
     // composed scan per micro-batch); warm it against a 2-commit toy
     // table so q_stream_delta_source times the operator, not engine init

@@ -38,6 +38,10 @@ object TextQueries {
   final val StopShingleMax = 1000
   final val BandBucketMax = 1000
 
+  /** Max docs each source contributes in q_mixture_cap (declared in its
+    * oracle SQL as a literal — keep the two in sync). */
+  final val MixtureCap = 15
+
   /** Spark: 60-bit md5 prefix as a non-negative bigint mod p. The
     * Column form (codegen'd when outside lambdas) and the SQL-text form
     * (for inside higher-order lambdas) MUST stay value-identical —
@@ -823,24 +827,43 @@ object TextQueries {
     // each source contributes at most MixtureCap docs, chosen by
     // content-hash rank — the integer-exact form of temperature
     // resampling (no RNG, no floating-point weights, so both engines
-    // agree bit-for-bit). One window shuffle on source; at 100 TB with
-    // a skewed source the same selection runs as a hash-threshold
-    // filter (md5 < cutoff estimated from per-source counts) — one
-    // scan, no per-source sort; the window form is the exact-k variant.
+    // agree bit-for-bit). Two-phase exact top-k, NOT a bare
+    // per-source window: partitionBy(source) would sort a dominant
+    // source (think: 90% of a crawl) in ONE task. Phase 1 sorts each
+    // task's split and streams out at most k rows per source (O(1)
+    // task state); phase 2 ranks the ≤ k·numPartitions survivors per
+    // source — the only shuffle moves k rows per (task, source).
     Q("q_mixture_cap",
-      """WITH ranked AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY md5(text), doc_id) AS rk
-        |  FROM documents
-        |)
-        |SELECT doc_id, source, rk FROM ranked
-        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      load(s, dir, "documents")
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY md5(text), doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, rk FROM ranked
+         |WHERE rk <= $MixtureCap ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val local = load(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+          md5(col("text").cast(BinaryType)).as("m"))
+        .sortWithinPartitions("source", "m", "doc_id")
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          // sorted stream: group rank = rows seen since the source
+          // changed, so truncation needs no buffering at any skew
+          var cur: String = null
+          var n = 0
+          it.flatMap { case r @ (_, src, _) =>
+            if (src != cur) { cur = src; n = 0 }
+            n += 1
+            if (n <= MixtureCap) Iterator.single(r) else Iterator.empty
+          }
+        }
+        .toDF("doc_id", "source", "m")
+      local
         .withColumn("rk", row_number().over(
-          Window.partitionBy("source")
-            .orderBy(md5(col("text").cast(BinaryType)), col("doc_id"))))
-        .where(col("rk") <= 15)
+          Window.partitionBy("source").orderBy("m", "doc_id")))
+        .where(col("rk") <= MixtureCap)
         .select("doc_id", "source", "rk")
         .orderBy("doc_id")
     },

@@ -195,6 +195,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q_mixture_cap: per-task truncation feeds the rank window") {
+    // the window must rank the k-per-(task,source) survivors, not the
+    // raw corpus — a bare partitionBy(source) window would sort a
+    // dominant source in one task
+    val p = plan("q_mixture_cap")
+    assert(p.contains("MapPartitions"),
+      "missing the sorted-stream truncation stage:\n" + p.take(3000))
+  }
+
   test("q_quality_filter: per-source cutoffs broadcast (corpus never shuffles for the join)") {
     val p = plan("q_quality_filter")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
