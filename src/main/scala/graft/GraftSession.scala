@@ -132,6 +132,36 @@ final class GraftSession(val spark: SparkSession) {
           configuration = snap.metadata.configuration +
             ("delta.columnMapping.maxColumnId" -> preDropMax.toString)))
       alterMetrics(s"dropped $name", v)
+    case SetTblPropertiesStatement(table, props) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      // refuse properties whose semantics this engine cannot honor —
+      // the same fail-closed boundary ProtocolSupport enforces on write
+      props.foreach { case (k, _) =>
+        require(!k.startsWith("delta.constraints."),
+          s"cannot set $k: CHECK constraints are not enforced by this " +
+            "engine, so rows violating them would commit unvalidated")
+        require(!k.startsWith("delta.columnMapping."),
+          s"cannot set $k: the column-mapping mode and id high-water " +
+            "mark are fixed at table creation (changing them would " +
+            "orphan or resurrect physical columns)")
+      }
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(
+          configuration = snap.metadata.configuration ++ props))
+      alterMetrics(s"set ${props.map(_._1).mkString(", ")}", v)
+    case UnsetTblPropertiesStatement(table, keys) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      keys.foreach { k =>
+        require(!k.startsWith("delta.columnMapping."),
+          s"cannot unset $k: dropping the column-mapping configuration " +
+            "would detach the schema from the physical file layout")
+      }
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(
+          configuration = snap.metadata.configuration -- keys))
+      alterMetrics(s"unset ${keys.mkString(", ")}", v)
     case ConvertStatement(table, partCols) =>
       val n = graft.commands.ConvertCommand.convert(spark,
         resolveTablePath(table), partCols)

@@ -84,9 +84,13 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         graft.commands.HistoryCommand.historySchema
       case _: RestoreStatement => VacuumCommand.metricsSchema
       case _: ConvertStatement => graft.commands.ConvertCommand.metricsSchema
+      case _: DescribeDetailStatement =>
+        graft.commands.HistoryCommand.detailSchema
       case _: RenameColumnStatement => VacuumCommand.metricsSchema
       case _: AddColumnStatement => VacuumCommand.metricsSchema
       case _: DropColumnStatement => VacuumCommand.metricsSchema
+      case _: SetTblPropertiesStatement => VacuumCommand.metricsSchema
+      case _: UnsetTblPropertiesStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

@@ -42,6 +42,10 @@ object GraftParser {
       name: String, typeDdl: String) extends Statement
   final case class DropColumnStatement(table: String,
       name: String) extends Statement
+  final case class SetTblPropertiesStatement(table: String,
+      props: Seq[(String, String)]) extends Statement
+  final case class UnsetTblPropertiesStatement(table: String,
+      keys: Seq[String]) extends Statement
   case object ShowCatalogsStatement extends Statement
 
   final class NotImplementedStatement(what: String)
@@ -153,10 +157,63 @@ object GraftParser {
             DropColumnStatement(table, a.text)
           case _ => throw new ParseException("expected DROP COLUMN <a>")
         }
+      case (Some("SET"), Some("TBLPROPERTIES")) =>
+        SetTblPropertiesStatement(table, parsePropList(rest.drop(2)))
+      case (Some("UNSET"), Some("TBLPROPERTIES")) =>
+        UnsetTblPropertiesStatement(table, parseKeyList(rest.drop(2)))
       case _ => throw new ParseException(
         "supported: ALTER TABLE ... RENAME COLUMN a TO b | " +
-          "ADD COLUMN a <type> | DROP COLUMN a")
+          "ADD COLUMN a <type> | DROP COLUMN a | " +
+          "SET TBLPROPERTIES ('k' = 'v', ...) | " +
+          "UNSET TBLPROPERTIES ('k', ...)")
     }
+  }
+
+  private def keyText(t: Tok): String = t match {
+    case Str(s) => s
+    case Quoted(s) => s
+    case w: Word => w.text
+    case other => throw new ParseException(s"expected property key, got $other")
+  }
+
+  /** `( 'k' = 'v' [, ...] )` — keys/values as string literals, quoted
+    * identifiers, or bare words. */
+  private def parsePropList(toks: Vector[Tok]): Seq[(String, String)] = {
+    if (toks.headOption.forall(_.text != "(") ||
+        toks.lastOption.forall(_.text != ")"))
+      throw new ParseException("expected ( 'k' = 'v' [, ...] )")
+    val inner = toks.drop(1).dropRight(1)
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < inner.length) {
+      val k = keyText(inner(i))
+      if (!inner.lift(i + 1).exists(_.text == "="))
+        throw new ParseException(s"expected = after property key $k")
+      val v = inner.lift(i + 2).map(keyText)
+        .getOrElse(throw new ParseException(s"expected value for $k"))
+      out += (k -> v)
+      i += 3
+      if (i < inner.length) {
+        if (inner(i).text != ",")
+          throw new ParseException(s"expected , between properties")
+        i += 1
+      }
+    }
+    val props = out.result()
+    if (props.isEmpty)
+      throw new ParseException("TBLPROPERTIES requires at least one property")
+    props
+  }
+
+  /** `( 'k' [, ...] )` */
+  private def parseKeyList(toks: Vector[Tok]): Seq[String] = {
+    if (toks.headOption.forall(_.text != "(") ||
+        toks.lastOption.forall(_.text != ")"))
+      throw new ParseException("expected ( 'k' [, ...] )")
+    val keys = toks.drop(1).dropRight(1).filter(_.text != ",").map(keyText)
+    if (keys.isEmpty)
+      throw new ParseException("UNSET TBLPROPERTIES requires at least one key")
+    keys
   }
 
   /** CONVERT TO DELTA <ref> [PARTITIONED BY (c1, c2, ...)] */

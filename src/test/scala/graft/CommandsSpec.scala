@@ -134,6 +134,46 @@ class CommandsSpec extends AnyFunSuite {
       "spark.lakehouse.delta.retention_duration_check.enabled", "true")
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES: commit, enforce, refuse") {
+    val p = tmpTable("tblprops")
+    CommitWriter.createTable(spark, region, p)
+    val g = GraftSession(spark)
+    // parse forms: quoted and bare keys, multiple props
+    assert(GraftParser.parse(
+      "ALTER TABLE t SET TBLPROPERTIES ('a' = '1', b = '2')") ==
+      Some(SetTblPropertiesStatement("t", Seq("a" -> "1", "b" -> "2"))))
+    assert(GraftParser.parse("ALTER TABLE t UNSET TBLPROPERTIES ('a', b)") ==
+      Some(UnsetTblPropertiesStatement("t", Seq("a", "b"))))
+    // set takes effect as a metadata commit with live semantics:
+    // appendOnly set via SQL must block DML immediately
+    g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.appendOnly' = 'true', 'team' = 'ml')")
+    val conf = DeltaTable.forPath(spark, p).metadata.configuration
+    assert(conf("delta.appendOnly") == "true" && conf("team") == "ml")
+    CommitWriter.append(spark, region.limit(1), p) // appends still fine
+    intercept[IllegalArgumentException] {
+      graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0)
+    }
+    // unset releases it
+    g.sql(s"ALTER TABLE '$p' UNSET TBLPROPERTIES ('delta.appendOnly')")
+    graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0)
+    assert(!DeltaTable.forPath(spark, p)
+      .metadata.configuration.contains("delta.appendOnly"))
+    // semantics this engine cannot honor are refused at the DDL boundary
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+        "('delta.constraints.pos' = 'r_regionkey >= 0')")
+    }
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'name')")
+    }
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' UNSET TBLPROPERTIES " +
+        "('delta.columnMapping.maxColumnId')")
+    }
+  }
+
   test("vacuum never deletes live files or _delta_log") {
     val path = tmpTable("vacuum_safe")
     CommitWriter.createTable(spark, region.repartition(2), path)

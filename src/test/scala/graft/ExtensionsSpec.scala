@@ -37,6 +37,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getString(2) == "DROPPED")
   }
 
+  test("plain spark.sql runs DESCRIBE DETAIL and SET TBLPROPERTIES via injected parser") {
+    val d = Files.createTempDirectory("graft_ext_detail").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = TestSpark.spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    CommitWriter.createTable(extSpark, region, p)
+    // DESCRIBE DETAIL previously hit a MatchError on this path: the
+    // statement was parseable but missing from GraftCommand's output
+    // schema mapping
+    val detail = extSpark.sql(s"DESCRIBE DETAIL '$p'").collect().head
+    assert(detail.getAs[Long]("numFiles") >= 1L)
+    extSpark.sql(
+      s"ALTER TABLE '$p' SET TBLPROPERTIES ('delta.appendOnly' = 'true')")
+    assert(DeltaTable.forPath(extSpark, p)
+      .metadata.configuration("delta.appendOnly") == "true")
+  }
+
   test("plain spark.sql runs VACUUM DRY RUN via injected parser") {
     val d = Files.createTempDirectory("graft_ext_vac").toFile
     d.deleteOnExit()

@@ -285,6 +285,48 @@ class DeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("racing appends all land exactly once via optimistic retry") {
+    // the multi-writer shape of a real cluster: blind appends never
+    // conflict logically, so every loser of the commit-file race must
+    // retry at the new tip and land — no lost rows, no double rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmpTable("race_append")
+    CommitWriter.createTable(spark, region, path)
+    val writers = 8
+    val futs = (1 to writers).map { i =>
+      Future(CommitWriter.append(spark,
+        region.withColumn("r_regionkey", col("r_regionkey") + lit(i * 100)),
+        path))
+    }
+    val versions = Await.result(Future.sequence(futs), 180.seconds)
+    assert(versions.toSet.size == writers, s"duplicate versions: $versions")
+    val snap = DeltaTable.forPath(spark, path)
+    assert(snap.version == writers)
+    assert(snap.read.count() == region.count() * (writers + 1))
+  }
+
+  test("racing idempotent appends: exactly one lands per txn version") {
+    // the streaming-sink restart shape: N retries of the same (appId,
+    // txnVersion) batch racing — the SetTransaction check must hold
+    // under contention (losers re-check idempotence at the new tip)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmpTable("race_txn")
+    CommitWriter.createTable(spark, region, path)
+    val futs = (1 to 8).map { _ =>
+      Future(CommitWriter.appendIfAbsent(spark, region.limit(3), path,
+        appId = "race-app", txnVersion = 7L))
+    }
+    val results = Await.result(Future.sequence(futs), 180.seconds)
+    assert(results.count(_.isDefined) == 1,
+      s"expected exactly one commit, got: $results")
+    assert(DeltaTable.forPath(spark, path).read.count() ==
+      region.count() + 3)
+  }
+
   test("inline deletion vector (storageType i, z85 payload)") {
     val path = tmpTable("dv_inline")
     CommitWriter.createTable(spark, region.repartition(1)
