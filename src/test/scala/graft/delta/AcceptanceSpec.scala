@@ -44,7 +44,8 @@ class AcceptanceSpec extends AnyFunSuite {
     "schema_evolution", "column_mapping", "deletion_vectors",
     "time_travel", "type_widening",
     "composite_widen_cp_restore", "composite_mapping_dv",
-    "composite_dv_checkpoint", "composite_full_history")) {
+    "composite_dv_checkpoint", "composite_full_history",
+    "composite_props_protocol")) {
 
     test(s"DAT case: $name") {
       val c = cases.find(_.name == name).get

@@ -367,6 +367,34 @@ object DatHarness {
       writeContent(c, "latest", maskedWide.filter(col("n_nationkey") < 16))
     }
 
+    build("composite_props_protocol",
+      "TBLPROPERTIES change + supported protocol upgrade mid-history") { c =>
+      CommitWriter.createTable(spark,
+        region.filter(col("r_regionkey") < 3), c.tablePath) // v0 (1,2)
+      // v1: properties through the DDL surface (appendOnly goes live)
+      new graft.GraftSession(spark).sql(s"ALTER TABLE '${c.tablePath}' " +
+        "SET TBLPROPERTIES ('delta.appendOnly' = 'true', 'team' = 'ml')")
+      // v2: upgrade to table-features protocol, all features supported —
+      // reads AND writes must keep working, and time travel must see the
+      // legacy protocol before the upgrade
+      CommitWriter.commit(spark, c.tablePath, 2L,
+        Seq(CommitWriter.protocolJson(Actions.Protocol(3, 7,
+          Some(Seq("deletionVectors", "columnMapping")),
+          Some(Seq("appendOnly", "deletionVectors", "columnMapping"))))),
+        operation = "UPGRADE PROTOCOL")
+      // v3: append under the upgraded protocol (appendOnly allows it)
+      CommitWriter.append(spark,
+        region.filter(col("r_regionkey") >= 3), c.tablePath)
+      val props = Map("delta.appendOnly" -> "true", "team" -> "ml")
+      writeMeta(c, "latest", 3, props, 3, 7)
+      writeMeta(c, "v0", 0, Map.empty, 1, 2)
+      writeMeta(c, "v1", 1, props, 1, 2)
+      writeMeta(c, "v2", 2, props, 3, 7)
+      writeContent(c, "v0", region.filter(col("r_regionkey") < 3))
+      writeContent(c, "v1", region.filter(col("r_regionkey") < 3))
+      writeContent(c, "latest", region)
+    }
+
     cases.result()
   }
 }
