@@ -579,6 +579,45 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // incremental dedup — the ingest-time shape: which docs of an
+    // INCOMING batch are near-dups of the EXISTING corpus. Same banded
+    // MinHash candidates as q_near_dedup, but the pair set is filtered
+    // to exactly-one-side-new, so the decision is "drop/flag the new
+    // doc", never a re-clustering of the whole corpus. At 100 TB the
+    // existing side's band rows come from a precomputed signature index
+    // and only the (tiny) new batch is signed per ingest; the bucket
+    // join and caps are unchanged. The batch is a deterministic 20%
+    // hash-split of doc_id so both engines pick the same docs.
+    Q("q_incremental_dedup",
+      s"""WITH $minhashBandsCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |   AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 5 = 0) <> (b.doc_id % 5 = 0)
+         |)
+         |SELECT
+         |  CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS existing_id,
+         |  CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_id,
+         |  count(DISTINCT band) AS shared_bands
+         |FROM pairs
+         |GROUP BY 1, 2
+         |ORDER BY existing_id, new_id""".stripMargin) { (s, dir) =>
+      val isNew = (c: Column) => c % 5 === 0
+      minhashBandPairs(s, dir)
+        .where(isNew(col("doc_a")) =!= isNew(col("doc_b")))
+        .select(
+          when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a"))
+            .as("existing_id"),
+          when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
+            .as("new_id"),
+          col("band"))
+        .groupBy("existing_id", "new_id")
+        .agg(countDistinct(col("band")).as("shared_bands"))
+        .orderBy("existing_id", "new_id")
+    },
+
     // fuzzy-dedup verification: exact edit distance over the LSH
     // candidate pairs — the standard second stage after MinHash
     // filtering (candidates are ~linear in corpus size, so the O(len^2)
