@@ -48,9 +48,12 @@ object Bench {
       errors.headOption.foreach(m =>
         System.err.println(s"[bench] QUERY FAILED $name: $m"))
       val times = outcomes.collect { case Right(t) => t }.sorted
-      if (times.isEmpty) BenchResult(name, -1.0, -1.0, -1.0, errors.headOption)
+      // ANY failed sample poisons the query: a flaky OOM must not report
+      // the median of its surviving samples (the artifact would read as
+      // a speedup while the query is broken) — carry -1 consistently
+      if (errors.nonEmpty) BenchResult(name, -1.0, -1.0, -1.0, errors.headOption)
       else BenchResult(name, times(times.length / 2), times.head, times.last,
-        errors.headOption)
+        None)
     }
     val failed = results.filter(_.error.isDefined)
     // Locale.ROOT: the f interpolator is locale-sensitive, and a
@@ -102,8 +105,20 @@ object Bench {
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")
+    // headline errors carry NAMES ONLY, capped: the driver keeps the
+    // last ~2000 chars of stdout, and a handful of 160-char messages
+    // would push the line head past the buffer and break its parse —
+    // full messages live in target/bench_full.json
+    val headErrs = {
+      val shown = failed.take(8).map(r =>
+        "\"" + r.name + "\":" + jstr(r.error.get.take(40)))
+      val more = if (failed.length > 8)
+        Seq("\"__truncated__\":" + jstr(s"+${failed.length - 8} more"))
+      else Nil
+      (shown ++ more).mkString("{", ",", "}")
+    }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"errors":$errJson}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"errors":$headErrs}""")
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver

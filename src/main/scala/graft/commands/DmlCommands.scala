@@ -37,7 +37,7 @@ object DmlCommands {
       keep: DataFrame => DataFrame): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
     graft.delta.log.ProtocolSupport.assertWritable(
-      tablePath, snap.metadata, snap.protocol)
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       s"$operation on column-mapped tables is not supported (the " +
         "rewrite would need logical->physical projection per file)")

@@ -100,7 +100,8 @@ object HistoryCommand {
       version: Long): DataFrame = {
     val current = DeltaTable.forPath(spark, tablePath)
     graft.delta.log.ProtocolSupport.assertWritable(
-      tablePath, current.metadata, current.protocol)
+      tablePath, current.metadata, current.protocol,
+      dataChangingRemoves = true)
     require(version <= current.version,
       s"Cannot restore to future version $version (latest ${current.version})")
     val target = DeltaTable.forPath(spark, tablePath, Some(version))

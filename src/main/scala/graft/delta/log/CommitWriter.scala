@@ -219,7 +219,8 @@ object CommitWriter {
     * semantic conflict the caller must decide. */
   def overwrite(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
-    ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol)
+    ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol,
+      dataChangingRemoves = true)
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
     validateWriteSchema(df, snap.metadata, "overwrite")
@@ -263,6 +264,10 @@ object CommitWriter {
   def commitMetadata(spark: SparkSession, tablePath: String,
       newMeta: Metadata, extraActions: Seq[String] = Seq.empty): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
+    // gate on the CURRENT state: a metadata-only commit to a table whose
+    // writer features this engine doesn't maintain is still non-compliant
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta, proto)
     val v = segment.version + 1
     commit(spark, tablePath, v, metadataJson(newMeta) +: extraActions,
       operation = "CHANGE SCHEMA")
@@ -273,6 +278,9 @@ object CommitWriter {
   def commitRemoves(spark: SparkSession, tablePath: String,
       paths: Seq[String]): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta, proto,
+      dataChangingRemoves = true)
     val v = segment.version + 1
     val now = System.currentTimeMillis()
     commit(spark, tablePath, v,

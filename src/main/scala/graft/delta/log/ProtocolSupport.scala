@@ -1,5 +1,7 @@
 package graft.delta.log
 
+import org.apache.spark.sql.types.{StructField, StructType}
+
 import Actions.{Metadata, Protocol}
 
 /** Fail-closed protocol gates per the Delta table-features spec: a
@@ -52,10 +54,18 @@ object ProtocolSupport {
     * declared writer features, then version-implied feature USE — a
     * legacy minWriterVersion implies invariants/constraints/generated/
     * identity support without naming them, so the metadata is searched
-    * for actual use and the write refused only when semantics would be
-    * violated. */
+    * for actual use (recursively: invariants attach to NESTED fields
+    * too) and the write refused only when semantics would be violated.
+    *
+    * `dataChangingRemoves = true` marks commits that rewrite or delete
+    * rows (DML/MERGE/overwrite/RESTORE). On a table with
+    * `delta.enableChangeDataFeed=true` those commits must carry cdc
+    * actions this engine does not produce (its change feed is DERIVED,
+    * without writer cooperation) — a compliant CDF reader would serve
+    * wrong change data for the commit, so the write is refused. Pure
+    * appends stay allowed: inserts derive from add actions per spec. */
   def assertWritable(tablePath: String, meta: Metadata,
-      proto: Protocol): Unit = {
+      proto: Protocol, dataChangingRemoves: Boolean = false): Unit = {
     assertReadable(tablePath, proto) // a writer replays the log first
     require(proto.minWriterVersion <= 7,
       s"Unsupported minWriterVersion ${proto.minWriterVersion} " +
@@ -74,9 +84,28 @@ object ProtocolSupport {
       s"Table $tablePath declares CHECK constraints " +
         s"(${constraints.toSeq.sorted.mkString(", ")}) this engine cannot " +
         "evaluate — refusing to write unvalidated rows.")
-    def using(key: String): Seq[String] =
-      meta.dataSchema.fields.toSeq
-        .filter(_.metadata.contains(key)).map(_.name)
+    if (dataChangingRemoves &&
+        meta.configuration.get("delta.enableChangeDataFeed")
+          .exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        s"Table $tablePath has delta.enableChangeDataFeed=true: " +
+          "data-changing rewrites must produce cdc actions this engine " +
+          "does not write — refusing rather than break CDF readers. " +
+          "Appends remain allowed (inserts derive from add actions).")
+    // one parse; recurse so invariants on nested fields are seen
+    def collect(fields: Seq[StructField], prefix: String,
+        key: String): Seq[String] =
+      fields.flatMap { f =>
+        val here =
+          if (f.metadata.contains(key)) Seq(prefix + f.name) else Nil
+        here ++ (f.dataType match {
+          case st: StructType =>
+            collect(st.fields.toSeq, s"$prefix${f.name}.", key)
+          case _ => Nil
+        })
+      }
+    val fields = meta.dataSchema.fields.toSeq
+    def using(key: String): Seq[String] = collect(fields, "", key)
     val invariants = using("delta.invariants")
     require(invariants.isEmpty,
       s"Table $tablePath declares column invariants on " +

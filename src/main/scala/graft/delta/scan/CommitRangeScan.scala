@@ -70,7 +70,14 @@ object CommitRangeScan {
     * 1000-commit span would hand Catalyst a 2000-scan plan — an
     * analysis/codegen blowup before any data moves. Spans longer than
     * this are materialized chunk-by-chunk (localCheckpoint) so plan
-    * size stays bounded and total work grows linearly with span. */
+    * size stays bounded and total work grows linearly with span.
+    *
+    * Known tradeoffs of the eager chunk materialization: the chunks run
+    * at DataFrame-CONSTRUCTION time, every new action on the returned
+    * frame (each query execution re-invokes the scan builder) re-derives
+    * them, and localCheckpoint blocks do not survive executor loss.
+    * Callers deriving a long span should persist the result once rather
+    * than re-querying the returned frame. */
   private val ChangeFeedChunkCommits = 32
 
   /** Millis timestamp of a commit: its commitInfo.timestamp line (every
@@ -81,6 +88,12 @@ object CommitRangeScan {
     val fs = LogSegment.fs(spark, new Path(path))
     val commit = new Path(new Path(new Path(path), "_delta_log"),
       f"$v%020d.json")
+    // a checkpointed log may have expired this commit's JSON: fail with
+    // the same actionable message as the range scans, not a raw FNF
+    if (!fs.exists(commit))
+      throw new IllegalStateException(
+        s"Commit $v of $path is no longer in the log (cleaned up after " +
+          "checkpointing) — its timestamp and changes cannot be derived")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val in = fs.open(commit)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")

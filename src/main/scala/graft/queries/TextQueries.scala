@@ -168,9 +168,18 @@ object TextQueries {
         col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    bands.groupBy("band", "k1", "k2")
+    // cap BEFORE collecting: the count runs as a partial aggregation
+    // (constant state per task), so a degenerate bucket is discarded
+    // without ever materializing its member list into one unspillable
+    // executor row — collect-then-filter would concentrate a 10^7-member
+    // bucket into a single multi-hundred-MB array first
+    val ok = bands.groupBy("band", "k1", "k2")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n").between(2, BandBucketMax))
+      .select("band", "k1", "k2")
+    bands.join(ok, Seq("band", "k1", "k2"), "left_semi")
+      .groupBy("band", "k1", "k2")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")).between(2, BandBucketMax))
   }
 
   private def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
@@ -841,10 +850,17 @@ object TextQueries {
               shiftright(col("sig2"), 15).as("k")))).as("bk"))
         .select(col("doc_id"), col("sig1"), col("sig2"),
           col("bk.band").as("band"), col("bk.k").as("k"))
-      val buckets = bands.groupBy("band", "k")
+      // cap BEFORE collecting (see minhashBuckets): the count pre-pass
+      // discards degenerate buckets via partial aggregation so no single
+      // row ever holds an uncapped bucket's member array
+      val okBuckets = bands.groupBy("band", "k")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n").between(2, BandBucketMax))
+        .select("band", "k")
+      val buckets = bands.join(okBuckets, Seq("band", "k"), "left_semi")
+        .groupBy("band", "k")
         .agg(array_sort(collect_list(
           struct(col("doc_id"), col("sig1"), col("sig2")))).as("ds"))
-        .where(size(col("ds")).between(2, BandBucketMax))
       val cand = buckets.select(explode(expr(
           """flatten(transform(ds, (x, i) ->
             |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->

@@ -117,6 +117,63 @@ class ProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("r_name"))
   }
 
+  test("metadata-only commits share the writer gate") {
+    // ALTER/SET TBLPROPERTIES route through commitMetadata — committing
+    // metadata to a table whose writer features this engine doesn't
+    // maintain is still a non-compliant commit
+    val path = tmpTable("proto_meta_commit")
+    CommitWriter.createTable(spark, region, path)
+    upgradeProtocol(path, Protocol(1, 7, None,
+      Some(Seq("appendOnly", "rowTracking"))))
+    val e = intercept[IllegalArgumentException] {
+      new graft.GraftSession(spark).sql(
+        s"ALTER TABLE '$path' SET TBLPROPERTIES ('team' = 'ml')")
+    }
+    assert(e.getMessage.contains("rowTracking"))
+  }
+
+  test("invariants on NESTED fields are detected") {
+    val path = tmpTable("proto_nested_inv")
+    val df = region.select(col("r_regionkey"),
+      struct(col("r_name").as("name")).as("info"))
+    CommitWriter.createTable(spark, df, path)
+    setMetadata(path, m => {
+      val fields = m.dataSchema.fields.map {
+        case f if f.name == "info" =>
+          val st = f.dataType.asInstanceOf[StructType]
+          f.copy(dataType = StructType(st.fields.map(inner =>
+            inner.copy(metadata = new MetadataBuilder()
+              .withMetadata(inner.metadata)
+              .putString("delta.invariants",
+                """{"expression":{"expression":"info.name IS NOT NULL"}}""")
+              .build()))))
+        case f => f
+      }
+      m.copy(schemaString = StructType(fields).json)
+    })
+    val e = intercept[IllegalArgumentException] {
+      CommitWriter.append(spark, df.limit(1), path)
+    }
+    assert(e.getMessage.contains("info.name"))
+  }
+
+  test("CDF-enabled tables refuse data-changing rewrites, allow appends") {
+    // this engine derives its change feed and writes no cdc actions, so
+    // DML on a table that PROMISES write-time CDC would break compliant
+    // CDF readers for that commit; appends derive as inserts per spec
+    val path = tmpTable("proto_cdf")
+    CommitWriter.createTable(spark, region, path,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    CommitWriter.append(spark, region.limit(1), path) // allowed
+    val e = intercept[IllegalArgumentException] {
+      graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed"))
+    intercept[IllegalArgumentException] {
+      CommitWriter.overwrite(spark, region, path)
+    }
+  }
+
   test("time travel to a version before an unsupported upgrade still reads") {
     val path = tmpTable("proto_timetravel")
     CommitWriter.createTable(spark, region, path) // v0: plain
