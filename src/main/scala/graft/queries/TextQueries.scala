@@ -21,6 +21,13 @@ import org.apache.spark.sql.types._
   * Spark and DuckDB); scores divide exact integer counts as one double
   * division.
   */
+/** Member of a capped SimHash LSH bucket: the signatures ride the
+  * bucket rows so pair generation needs no join-back to the signature
+  * relation. Top-level case class so Dataset encoder derivation and
+  * task serialization stay trivial. */
+private[queries] final case class SimBucketDoc(
+    doc_id: Long, sig1: Long, sig2: Long)
+
 object TextQueries {
   import T.load
 
@@ -168,18 +175,51 @@ object TextQueries {
         col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    // cap BEFORE collecting: the count runs as a partial aggregation
-    // (constant state per task), so a degenerate bucket is discarded
-    // without ever materializing its member list into one unspillable
-    // executor row — collect-then-filter would concentrate a 10^7-member
-    // bucket into a single multi-hundred-MB array first
-    val ok = bands.groupBy("band", "k1", "k2")
-      .agg(count(lit(1)).as("n"))
-      .where(col("n").between(2, BandBucketMax))
-      .select("band", "k1", "k2")
-    bands.join(ok, Seq("band", "k1", "k2"), "left_semi")
-      .groupBy("band", "k1", "k2")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    // cap WHILE collecting: one shuffle clusters each bucket into a
+    // contiguous doc_id-sorted run, and a streaming pass accumulates at
+    // most BandBucketMax ids before discarding the bucket — task state
+    // is O(BandBucketMax) at ANY bucket size (the sorted-stream idiom
+    // from ConnectedComponents), vs. a count pre-pass + semi-join that
+    // re-shuffles the band relation twice, or an uncapped collect_list
+    // that concentrates a 10^7-member bucket into one unspillable row
+    import s.implicits._
+    val cap = BandBucketMax
+    bands.select(col("band"), col("k1"), col("k2"), col("doc_id"))
+      .repartition(col("band"), col("k1"), col("k2"))
+      .sortWithinPartitions("band", "k1", "k2", "doc_id")
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        capGroups(it.map { case (b, k1, k2, d) => ((b, k1, k2), d) }, cap)
+          .map { case ((b, k1, k2), ds) => (b, k1, k2, ds) }
+      }
+      .toDF("band", "k1", "k2", "ds")
+  }
+
+  /** Streaming per-group cap over a key-clustered, key-sorted pair
+    * iterator: emits (key, members) for groups of 2..cap members in
+    * arrival order, discards larger groups, and never holds more than
+    * cap buffered members — O(cap) task state at ANY group size.
+    * Callers repartition() by the group key first, so a group cannot
+    * span partitions. Shared by the MinHash and SimHash LSH bucket
+    * builders (the capped-candidate-generation contract both declare
+    * in their oracle SQL as `QUALIFY count(*) OVER bucket <= cap`). */
+  private[graft] def capGroups[K, V](it: Iterator[(K, V)],
+      cap: Int): Iterator[(K, Seq[V])] = {
+    var key: K = null.asInstanceOf[K]
+    var n = 0
+    var started = false
+    val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+    def flush(): Iterator[(K, Seq[V])] =
+      if (started && n >= 2 && n <= cap) Iterator.single((key, buf.toSeq))
+      else Iterator.empty
+    it.flatMap { case (k, v) =>
+      val boundary = !started || k != key
+      val out = if (boundary) flush() else Iterator.empty
+      if (boundary) { key = k; n = 0; buf.clear(); started = true }
+      n += 1
+      if (n <= cap) buf += v else buf.clear()
+      out
+    } ++ flush() // Iterator.++ is by-name: runs after the stream drains
   }
 
   private def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
@@ -850,17 +890,22 @@ object TextQueries {
               shiftright(col("sig2"), 15).as("k")))).as("bk"))
         .select(col("doc_id"), col("sig1"), col("sig2"),
           col("bk.band").as("band"), col("bk.k").as("k"))
-      // cap BEFORE collecting (see minhashBuckets): the count pre-pass
-      // discards degenerate buckets via partial aggregation so no single
-      // row ever holds an uncapped bucket's member array
-      val okBuckets = bands.groupBy("band", "k")
-        .agg(count(lit(1)).as("n"))
-        .where(col("n").between(2, BandBucketMax))
-        .select("band", "k")
-      val buckets = bands.join(okBuckets, Seq("band", "k"), "left_semi")
-        .groupBy("band", "k")
-        .agg(array_sort(collect_list(
-          struct(col("doc_id"), col("sig1"), col("sig2")))).as("ds"))
+      // cap WHILE collecting (see minhashBuckets): one shuffle + sorted
+      // streaming pass, O(BandBucketMax) task state at any bucket size
+      import s.implicits._
+      val cap = BandBucketMax
+      val buckets = bands
+        .select(col("band"), col("k"), col("doc_id"), col("sig1"),
+          col("sig2"))
+        .repartition(col("band"), col("k"))
+        .sortWithinPartitions("band", "k", "doc_id")
+        .as[(Int, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          capGroups(it.map { case (b, k, d, s1, s2) =>
+            ((b, k), SimBucketDoc(d, s1, s2)) }, cap)
+            .map { case ((b, k), ds) => (b, k, ds) }
+        }
+        .toDF("band", "k", "ds")
       val cand = buckets.select(explode(expr(
           """flatten(transform(ds, (x, i) ->
             |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->

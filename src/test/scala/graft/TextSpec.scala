@@ -55,4 +55,25 @@ class TextSpec extends AnyFunSuite {
     assert(p.toSeq == ld.toSeq)
     assert(p.nonEmpty)
   }
+
+  test("capGroups: streaming LSH bucket cap semantics") {
+    def run(pairs: Seq[(String, Int)], cap: Int) =
+      TextQueries.capGroups(pairs.iterator, cap).toSeq
+    // singleton groups are dropped (no pair can come out of them),
+    // 2..cap kept in arrival order, > cap discarded entirely
+    assert(run(Seq("a" -> 1), 3) == Nil)
+    assert(run(Seq("a" -> 1, "a" -> 2), 3) == Seq("a" -> Seq(1, 2)))
+    assert(run(Seq("a" -> 1, "a" -> 2, "a" -> 3), 3) ==
+      Seq("a" -> Seq(1, 2, 3)))
+    assert(run(Seq("a" -> 1, "a" -> 2, "a" -> 3, "a" -> 4), 3) == Nil)
+    // a discarded oversized group must not poison its neighbors, and
+    // group order is arrival order (= sort order at the call sites)
+    assert(run(Seq("a" -> 1, "b" -> 1, "b" -> 2, "b" -> 3, "b" -> 4,
+      "c" -> 5, "c" -> 6), 3) == Seq("c" -> Seq(5, 6)))
+    assert(run(Nil, 3) == Nil)
+    // memory contract: buffered state never exceeds cap members even
+    // while streaming a group 100x larger than cap
+    val big = Seq.fill(300)("hot" -> 0) ++ Seq("z" -> 1, "z" -> 2)
+    assert(run(big, 3) == Seq("z" -> Seq(1, 2)))
+  }
 }
