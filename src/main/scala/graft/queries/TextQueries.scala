@@ -1003,6 +1003,67 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // cross-document duplicated-span removal (the line-dedup stage of
+    // CCNet/RefinedWeb-style pipelines: a span that recurs across
+    // documents is boilerplate — headers, license blobs, navigation —
+    // and is cut from EVERY document). The corpus has no line
+    // structure, so the span unit is a fixed 10-token chunk; the
+    // operator shape is the real one: explode to (doc, chunk_no,
+    // chunk), count distinct docs per chunk value, anti-flag chunks
+    // seen in >= 2 docs, reassemble surviving chunks in order. Three
+    // keyed shuffles (chunk df-count, flag join, per-doc reassembly),
+    // no driver state; at 100 TB the join/group key would be a 128-bit
+    // chunk hash instead of the chunk text — same plan, narrower
+    // exchange. Reassembly concatenates ONE doc's chunks per row
+    // (bounded by doc length, the same row width the scan already
+    // carried), never a cross-doc array.
+    Q("q_chunk_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, i AS chunk_no,
+        |    array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks,
+        |    unnest(range(0, CAST(ceil(len(ts)/10.0) AS BIGINT))) AS t(i)
+        |), dup AS (
+        |  SELECT chunk FROM chunks
+        |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |), flag AS (
+        |  SELECT c.doc_id, c.chunk_no, c.chunk,
+        |    CASE WHEN d.chunk IS NULL THEN 0 ELSE 1 END AS dup
+        |  FROM chunks c LEFT JOIN dup d USING (chunk)
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(dup) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN dup = 0 THEN chunk END, ' '
+        |                      ORDER BY chunk_no), '') AS clean_text
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val chunks = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(ts)/10.0) as int) - 1),
+            |  i -> array_join(slice(ts, i*10+1, 10), ' '))""".stripMargin))
+          .as(Seq("chunk_no", "chunk")))
+      val dup = chunks.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2)
+        .select(col("chunk"), lit(1).as("dup"))
+      chunks.join(dup, Seq("chunk"), "left")
+        .select(col("doc_id"), col("chunk_no"), col("chunk"),
+          coalesce(col("dup"), lit(0)).as("dup"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("dup")).cast(LongType).as("n_dropped"),
+          concat_ws(" ", expr(
+            """transform(
+              |  filter(array_sort(collect_list(struct(chunk_no,
+              |           CASE WHEN dup = 0 THEN chunk END AS c))),
+              |    x -> x.c IS NOT NULL),
+              |  x -> x.c)""".stripMargin)).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // PII redaction (corpus-prep): detect + mask emails and phone
     // numbers before training. Pure per-row regex projections — no
     // shuffle, embarrassingly parallel at 100 TB. The fixture corpus is
