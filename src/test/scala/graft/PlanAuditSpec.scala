@@ -210,4 +210,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "per-source cutoff join shuffled the corpus:\n" + p.take(3000))
   }
+
+  test("q_near_dedup: bucket build is one exchange + sorted stream, " +
+      "no count-prepass join") {
+    // the capped-bucket stage must be the single-shuffle capGroups
+    // pass: a rewrite back to count-prepass + semi-join (two extra
+    // shuffles of the band relation) or to uncapped collect_list (hub
+    // bucket OOM at scale) would show up here
+    val p = plan("q_near_dedup")
+    assert(p.contains("MapPartitions"),
+      "missing the sorted-stream bucket cap stage:\n" + p.take(3000))
+    assert(!p.contains("LeftSemi"),
+      "bucket cap regressed to the count-prepass semi-join:\n" +
+        p.take(3000))
+    assert(!p.contains("collect_list"),
+      "bucket member lists built by unbounded collect_list:\n" +
+        p.take(3000))
+  }
+
+  test("q_chunk_dedup: keyed joins only, reassembly stays per-doc") {
+    val p = plan("q_chunk_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "chunk flag join is not keyed:\n" + p.take(3000))
+    // per-doc reassembly is a hash aggregation on doc_id (spillable,
+    // one doc's chunks per row) — not a global window/sort
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(3000))
+  }
 }
