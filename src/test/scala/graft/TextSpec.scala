@@ -56,6 +56,29 @@ class TextSpec extends AnyFunSuite {
     assert(p.nonEmpty)
   }
 
+  test("oversized LSH buckets are discarded end-to-end (cap overflow)") {
+    // 1001 byte-identical docs share every band bucket -> bucket size
+    // 1001 > BandBucketMax -> the whole degenerate cluster must be
+    // discarded mid-stream (such a bucket means the band hash has
+    // collapsed, not that 500k pairs are worth emitting), while an
+    // ordinary 2-doc near-dup pair in the same corpus still surfaces
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val hotText = "the quick brown fox jumps over the lazy dog"
+    val survivor = "completely different survivor text body here"
+    val rows =
+      (1L to (TextQueries.BandBucketMax + 1L)).map(i =>
+        (i, hotText, "en", "web", hotText.length.toLong)) ++
+      Seq((5001L, survivor, "en", "web", survivor.length.toLong),
+          (5002L, survivor, "en", "web", survivor.length.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_near_dedup")(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5001L, 5002L)))
+    assert(out.head.getLong(2) == 4L) // identical docs share all 4 bands
+  }
+
   test("capGroups: streaming LSH bucket cap semantics") {
     def run(pairs: Seq[(String, Int)], cap: Int) =
       TextQueries.capGroups(pairs.iterator, cap).toSeq

@@ -395,6 +395,66 @@ object DatHarness {
       writeContent(c, "latest", region)
     }
 
+    build("composite_mapping_evolve",
+      "column mapping + DV + RENAME/ADD COLUMN + multipart checkpoint " +
+        "in one history") { c =>
+      val g = new graft.GraftSession(spark)
+      val sorted = region.repartition(1).sortWithinPartitions("r_regionkey")
+      CommitWriter.createTableMapped(spark, sorted, c.tablePath) // v0
+      // v1: DV masks physical positions 1,3 (= r_regionkey 1,3 sorted)
+      val add0 = DeltaTable.forPath(spark, c.tablePath).allFiles.collect().head
+      val fs = LogSegment.fs(spark, new Path(c.tablePath))
+      val dv = DvBitmap.writeDvFile(fs, new Path(c.tablePath), Seq(1L, 3L))
+      CommitWriter.commit(spark, c.tablePath, 1L, Seq(
+        CommitWriter.removeJson(Actions.RemoveFile(
+          add0.getAs[String]("path"), Some(0L), dataChange = false)),
+        CommitWriter.addJson(Actions.AddFile(
+          add0.getAs[String]("path"), Map.empty, add0.getAs[Long]("size"),
+          add0.getAs[Long]("modificationTime"), dataChange = false,
+          stats = Option(add0.getAs[String]("stats")),
+          deletionVector = Some(dv)))), "DELETE")
+      // v2: metadata-only rename (the whole point of mapping at 100 TB)
+      g.sql(s"ALTER TABLE '${c.tablePath}' " +
+        "RENAME COLUMN r_name TO region_name")
+      // v3: ADD COLUMN allocates id 3 / col-3; pre-existing files serve
+      // null for it through the per-file schema adapter
+      g.sql(s"ALTER TABLE '${c.tablePath}' ADD COLUMN note string")
+      // v4: append under the LOGICAL post-evolution names
+      val extra = region.select(
+        (col("r_regionkey") + 100).as("r_regionkey"),
+        col("r_name").as("region_name"),
+        concat(lit("note-"), col("r_regionkey")).as("note"))
+      CommitWriter.append(spark, extra, c.tablePath)
+      CommitWriter.checkpoint(spark, c.tablePath, numParts = 2) // cp @ v4
+      // v5: tail commit after the checkpoint — replay must stitch
+      // multipart checkpoint + tail with mapping, DV and adapter intact
+      val extra2 = region.select(
+        (col("r_regionkey") + 200).as("r_regionkey"),
+        col("r_name").as("region_name"),
+        concat(lit("late-"), col("r_regionkey")).as("note"))
+      CommitWriter.append(spark, extra2, c.tablePath)
+      val masked = region.filter(!col("r_regionkey").isin(1, 3))
+      val renamed = masked.select(col("r_regionkey"),
+        col("r_name").as("region_name"))
+      val withNote = renamed.withColumn("note", lit(null).cast("string"))
+      val mapProps = Map("delta.columnMapping.mode" -> "name")
+      writeMeta(c, "v0", 0,
+        mapProps + ("delta.columnMapping.maxColumnId" -> "2"), 2, 5)
+      writeMeta(c, "v1", 1, mapProps, 2, 5)
+      writeMeta(c, "v2", 2, mapProps, 2, 5)
+      writeMeta(c, "v3", 3,
+        mapProps + ("delta.columnMapping.maxColumnId" -> "3"), 2, 5)
+      writeMeta(c, "v4", 4, mapProps, 2, 5)
+      writeMeta(c, "latest", 5, mapProps, 2, 5)
+      writeContent(c, "v0", region)
+      writeContent(c, "v1", masked)
+      writeContent(c, "v2", renamed)
+      writeContent(c, "v3", withNote)
+      writeContent(c, "v4", withNote.unionByName(extra))
+      writeContent(c, "latest",
+        withNote.unionByName(extra).unionByName(extra2))
+    }
+
     cases.result()
   }
 }
