@@ -1064,6 +1064,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // adjacent-token-pair frequency, top-k — the merge-candidate
+    // statistic at the core of BPE/WordPiece vocabulary induction
+    // (tokenizer training is a corpus pipeline stage too). Shape:
+    // map-side posexplode + per-doc lead window (the shingleHashes
+    // pairing, kept as strings), then ONE partial-aggregated count and
+    // a TakeOrdered top-k — no global sort of the pair relation at any
+    // corpus size. Ties at the cut are broken by (tok, nxt) so the
+    // top-k is a deterministic total order on both engines.
+    Q("q_bpe_pairs",
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ')[i] AS tok,
+        |         string_split(text, ' ')[i + 1] AS nxt
+        |  FROM documents,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+        |)
+        |SELECT tok, nxt, count(*) AS n FROM toks
+        |WHERE nxt IS NOT NULL
+        |GROUP BY tok, nxt
+        |ORDER BY n DESC, tok, nxt LIMIT 20""".stripMargin) { (s, dir) =>
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead("tok", 1).over(byDoc))
+        .where(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"), asc("nxt"))
+        .limit(20)
+    },
+
     // PII redaction (corpus-prep): detect + mask emails and phone
     // numbers before training. Pure per-row regex projections — no
     // shuffle, embarrassingly parallel at 100 TB. The fixture corpus is

@@ -228,6 +228,11 @@ class PlanAuditSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("q_bpe_pairs: top-k is TakeOrdered, no global sort of the pairs") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q_chunk_dedup: keyed joins only, reassembly stays per-doc") {
     val p = plan("q_chunk_dedup")
     assert(!p.contains("CartesianProduct") &&
