@@ -132,6 +132,43 @@ final class GraftSession(val spark: SparkSession) {
           configuration = snap.metadata.configuration +
             ("delta.columnMapping.maxColumnId" -> preDropMax.toString)))
       alterMetrics(s"dropped $name", v)
+    case AddConstraintStatement(table, name, exprSql) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      val key = s"delta.constraints.${name.toLowerCase}"
+      require(!snap.metadata.configuration.contains(key),
+        s"constraint already exists: $name")
+      // the constraint must hold on EXISTING rows before it can bind
+      // future writers — one scan, early-exit on the first violation
+      require(graft.delta.log.Constraints.holdsOn(snap.read, exprSql),
+        s"cannot ADD CONSTRAINT $name: existing rows violate ($exprSql)")
+      // checkConstraints is a writer feature: legacy protocols need
+      // minWriterVersion >= 3, feature protocols need the name declared
+      val p = snap.protocol
+      val newProto =
+        if (p.minWriterVersion >= 7)
+          Option.when(!p.writerFeatures.getOrElse(Nil)
+              .contains("checkConstraints"))(
+            p.copy(writerFeatures = Some((p.writerFeatures.getOrElse(Nil)
+              .toSet + "checkConstraints").toSeq.sorted)))
+        else if (p.minWriterVersion < 3) Some(p.copy(minWriterVersion = 3))
+        else None
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(configuration =
+          snap.metadata.configuration + (key -> exprSql)),
+        extraActions =
+          newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
+      alterMetrics(s"added constraint $name CHECK ($exprSql)", v)
+    case DropConstraintStatement(table, name) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      val key = s"delta.constraints.${name.toLowerCase}"
+      require(snap.metadata.configuration.contains(key),
+        s"no such constraint: $name")
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(configuration =
+          snap.metadata.configuration - key))
+      alterMetrics(s"dropped constraint $name", v)
     case SetTblPropertiesStatement(table, props) =>
       val path = resolveTablePath(table)
       val snap = graft.delta.DeltaTable.forPath(spark, path)
@@ -139,8 +176,9 @@ final class GraftSession(val spark: SparkSession) {
       // the same fail-closed boundary ProtocolSupport enforces on write
       props.foreach { case (k, _) =>
         require(!k.startsWith("delta.constraints."),
-          s"cannot set $k: CHECK constraints are not enforced by this " +
-            "engine, so rows violating them would commit unvalidated")
+          s"cannot set $k directly: use ALTER TABLE ... ADD CONSTRAINT " +
+            "<name> CHECK (<expr>), which validates existing rows and " +
+            "records the writer-feature requirement")
         require(!k.startsWith("delta.columnMapping."),
           s"cannot set $k: the column-mapping mode and id high-water " +
             "mark are fixed at table creation (changing them would " +

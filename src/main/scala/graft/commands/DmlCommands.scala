@@ -62,8 +62,10 @@ object DmlCommands {
     val rewritten = keep(DeltaScan.whereFileKeyIn(target, affected))
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
 
-    val adds = CommitWriter.writeFiles(spark, rewritten, tablePath,
-      snap.partitionColumns)
+    // UPDATE can manufacture a violating row; guard the rewrite inline
+    val adds = CommitWriter.writeFiles(spark,
+      graft.delta.log.Constraints.enforce(rewritten, snap.metadata),
+      tablePath, snap.partitionColumns)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))

@@ -69,8 +69,10 @@ object MergeCommand {
     val rewritten = keptFromAffected
       .unionByName(src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
 
-    val adds = CommitWriter.writeFiles(spark, rewritten, tablePath,
-      snap.partitionColumns)
+    // merged-in source rows must honor the table's CHECK constraints
+    val adds = CommitWriter.writeFiles(spark,
+      graft.delta.log.Constraints.enforce(rewritten, snap.metadata),
+      tablePath, snap.partitionColumns)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))

@@ -154,7 +154,8 @@ object CommitWriter {
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
     validateWriteSchema(df, meta, "append")
-    val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
+    val adds = writeFiles(spark,
+      toPhysicalNames(Constraints.enforce(df, meta), meta), tablePath,
       meta.partitionColumns)
     var v = segment.version + 1
     var attempts = 0
@@ -184,7 +185,8 @@ object CommitWriter {
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
     validateWriteSchema(df, meta, "appendIfAbsent")
-    val adds = writeFiles(spark, toPhysicalNames(df, meta), tablePath,
+    val adds = writeFiles(spark,
+      toPhysicalNames(Constraints.enforce(df, meta), meta), tablePath,
       meta.partitionColumns)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
@@ -224,7 +226,8 @@ object CommitWriter {
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
     validateWriteSchema(df, snap.metadata, "overwrite")
-    val adds = writeFiles(spark, toPhysicalNames(df, snap.metadata),
+    val adds = writeFiles(spark,
+      toPhysicalNames(Constraints.enforce(df, snap.metadata), snap.metadata),
       tablePath, snap.metadata.partitionColumns)
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>

@@ -1,0 +1,89 @@
+package graft.delta.log
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import Actions.Metadata
+
+/** Write-time enforcement of Delta CHECK constraints and column
+  * invariants.
+  *
+  * A table declares CHECK constraints as `delta.constraints.<name>`
+  * configuration entries and column invariants as
+  * `{"expression":{"expression":"<sql>"}}` JSON riding field metadata
+  * under the `delta.invariants` key (nested fields included). Both are
+  * WRITER obligations in the protocol: a compliant engine must not
+  * commit a row for which any constraint expression evaluates to false
+  * — rows where it evaluates to null pass, per SQL CHECK semantics.
+  *
+  * Enforcement is an inline guard, not a validation pass: the rows
+  * stream through a Filter whose predicate is
+  * `satisfied OR raise_error(...)` per constraint. `Or` short-circuits
+  * in generated code, so the cost on the satisfied path is one boolean
+  * evaluation per constraint per row — no second scan of the data, no
+  * driver round-trip — and the first violating row aborts the write
+  * job with the constraint name and the offending row. A Filter node
+  * cannot be pruned by the optimizer (unlike a dropped projection
+  * column, which column pruning would silently remove along with its
+  * side effect), which is what makes the guard safe to attach.
+  *
+  * The reference engine never evaluates these (it has no write path);
+  * delta-kernel-rs surfaces them for connectors the same way this
+  * module does for the Spark plans.
+  */
+object Constraints {
+
+  /** (name, sql) pairs declared by the table: CHECK constraints from
+    * the configuration plus per-column invariants from field metadata,
+    * in deterministic order. */
+  def of(meta: Metadata): Seq[(String, String)] = {
+    val checks = meta.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), v)
+    }
+    val mapper = new ObjectMapper()
+    def invariants(fields: Seq[StructField],
+        prefix: String): Seq[(String, String)] =
+      fields.flatMap { f =>
+        val here =
+          if (!f.metadata.contains("delta.invariants")) Nil
+          else {
+            val sql = mapper
+              .readTree(f.metadata.getString("delta.invariants"))
+              .path("expression").path("expression").asText("")
+            if (sql.isEmpty) Nil
+            else Seq((s"invariant(${prefix}${f.name})", sql))
+          }
+        here ++ (f.dataType match {
+          case st: StructType =>
+            invariants(st.fields.toSeq, s"$prefix${f.name}.")
+          case _ => Nil
+        })
+      }
+    (checks ++ invariants(meta.dataSchema.fields.toSeq, "")).sortBy(_._1)
+  }
+
+  /** Attach the inline guard for every declared constraint; identity
+    * when the table declares none. Must run on the LOGICAL-name frame
+    * (constraint SQL references logical column names), i.e. before any
+    * column-mapping physical rename. */
+  def enforce(df: DataFrame, meta: Metadata): DataFrame = {
+    val cs = of(meta)
+    if (cs.isEmpty) return df
+    val rowJson = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+    val guard = cs.map { case (name, sql) =>
+      val satisfied = coalesce(expr(sql).cast("boolean"), lit(true))
+      satisfied || raise_error(concat(
+        lit(s"CHECK constraint $name ($sql) violated by row: "),
+        rowJson)).cast("boolean")
+    }.reduce(_ && _)
+    df.filter(guard)
+  }
+
+  /** True when no existing row of `df` violates `sql` — the ADD
+    * CONSTRAINT validation scan (early-exits on the first violation). */
+  def holdsOn(df: DataFrame, sql: String): Boolean =
+    df.filter(!coalesce(expr(sql).cast("boolean"), lit(true))).isEmpty
+}

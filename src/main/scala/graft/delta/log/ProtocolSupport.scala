@@ -27,13 +27,14 @@ object ProtocolSupport {
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
 
   /** Writer features this engine honors at commit time. `appendOnly`
-    * is enforced at the commit choke point; `invariants` may be
-    * DECLARED on many tables that define none, so the name is accepted
-    * here and actual invariant USE is refused in [[assertWritable]]. */
+    * is enforced at the commit choke point; `invariants` and
+    * `checkConstraints` are ENFORCED inline on every data-writing path
+    * ([[Constraints.enforce]] — a violating row aborts the write job
+    * before any file is committed). */
   val SupportedWriterFeatures: Set[String] = Set(
-    "appendOnly", "invariants", "deletionVectors", "columnMapping",
-    "timestampNtz", "typeWidening", "typeWidening-preview",
-    "vacuumProtocolCheck")
+    "appendOnly", "invariants", "checkConstraints", "deletionVectors",
+    "columnMapping", "timestampNtz", "typeWidening",
+    "typeWidening-preview", "vacuumProtocolCheck")
 
   def assertReadable(tablePath: String, proto: Protocol): Unit = {
     require(proto.minReaderVersion <= 3,
@@ -52,10 +53,12 @@ object ProtocolSupport {
   /** Gate every commit against an EXISTING table (fresh creates pick
     * this engine's own protocol and need no gate). Checks, in order:
     * declared writer features, then version-implied feature USE — a
-    * legacy minWriterVersion implies invariants/constraints/generated/
-    * identity support without naming them, so the metadata is searched
-    * for actual use (recursively: invariants attach to NESTED fields
-    * too) and the write refused only when semantics would be violated.
+    * legacy minWriterVersion implies generated/identity-column support
+    * without naming it, so the metadata is searched for actual use
+    * (recursively — the keys attach to NESTED fields too) and the
+    * write refused only when semantics would be violated. CHECK
+    * constraints and column invariants pass this gate: they are
+    * enforced inline by [[Constraints.enforce]] on every data write.
     *
     * `dataChangingRemoves = true` marks commits that rewrite or delete
     * rows (DML/MERGE/overwrite/RESTORE). On a table with
@@ -78,12 +81,6 @@ object ProtocolSupport {
           s"implement: ${unknown.toSeq.sorted.mkString(", ")}. Refusing to " +
           "write rather than break the table's contract.")
     }
-    val constraints =
-      meta.configuration.keys.filter(_.startsWith("delta.constraints."))
-    require(constraints.isEmpty,
-      s"Table $tablePath declares CHECK constraints " +
-        s"(${constraints.toSeq.sorted.mkString(", ")}) this engine cannot " +
-        "evaluate — refusing to write unvalidated rows.")
     if (dataChangingRemoves &&
         meta.configuration.get("delta.enableChangeDataFeed")
           .exists(_.equalsIgnoreCase("true")))
@@ -106,11 +103,10 @@ object ProtocolSupport {
       }
     val fields = meta.dataSchema.fields.toSeq
     def using(key: String): Seq[String] = collect(fields, "", key)
-    val invariants = using("delta.invariants")
-    require(invariants.isEmpty,
-      s"Table $tablePath declares column invariants on " +
-        s"${invariants.mkString(", ")} this engine cannot evaluate — " +
-        "refusing to write unvalidated rows.")
+    // CHECK constraints and column invariants are NOT refused here:
+    // every data-writing path evaluates them inline via
+    // [[Constraints.enforce]] (exotic expressions this engine cannot
+    // parse still fail closed — expr() throws before any file lands)
     val generated = using("delta.generationExpression")
     require(generated.isEmpty,
       s"Table $tablePath has generated columns (${generated.mkString(", ")}) " +

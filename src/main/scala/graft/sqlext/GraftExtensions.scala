@@ -89,6 +89,8 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: RenameColumnStatement => VacuumCommand.metricsSchema
       case _: AddColumnStatement => VacuumCommand.metricsSchema
       case _: DropColumnStatement => VacuumCommand.metricsSchema
+      case _: AddConstraintStatement => VacuumCommand.metricsSchema
+      case _: DropConstraintStatement => VacuumCommand.metricsSchema
       case _: SetTblPropertiesStatement => VacuumCommand.metricsSchema
       case _: UnsetTblPropertiesStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema

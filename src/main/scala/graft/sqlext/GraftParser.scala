@@ -42,6 +42,10 @@ object GraftParser {
       name: String, typeDdl: String) extends Statement
   final case class DropColumnStatement(table: String,
       name: String) extends Statement
+  final case class AddConstraintStatement(table: String,
+      name: String, exprSql: String) extends Statement
+  final case class DropConstraintStatement(table: String,
+      name: String) extends Statement
   final case class SetTblPropertiesStatement(table: String,
       props: Seq[(String, String)]) extends Statement
   final case class UnsetTblPropertiesStatement(table: String,
@@ -157,6 +161,23 @@ object GraftParser {
             DropColumnStatement(table, a.text)
           case _ => throw new ParseException("expected DROP COLUMN <a>")
         }
+      case (Some("ADD"), Some("CONSTRAINT")) =>
+        // ADD CONSTRAINT <name> CHECK ( <expr> ) — the expr tokens are
+        // re-assembled with literals re-quoted so Spark can parse them
+        (rest.lift(2), wordAt(rest, 3), rest.lift(4), rest.lastOption) match {
+          case (Some(nm: Word), Some("CHECK"), Some(Sym("(")), Some(Sym(")")))
+              if rest.length > 6 =>
+            AddConstraintStatement(table, nm.text,
+              sqlOf(rest.slice(5, rest.length - 1)))
+          case _ => throw new ParseException(
+            "expected ADD CONSTRAINT <name> CHECK ( <expr> )")
+        }
+      case (Some("DROP"), Some("CONSTRAINT")) =>
+        rest.lift(2) match {
+          case Some(nm: Word) if rest.length == 3 =>
+            DropConstraintStatement(table, nm.text)
+          case _ => throw new ParseException("expected DROP CONSTRAINT <name>")
+        }
       case (Some("SET"), Some("TBLPROPERTIES")) =>
         SetTblPropertiesStatement(table, parsePropList(rest.drop(2)))
       case (Some("UNSET"), Some("TBLPROPERTIES")) =>
@@ -164,10 +185,21 @@ object GraftParser {
       case _ => throw new ParseException(
         "supported: ALTER TABLE ... RENAME COLUMN a TO b | " +
           "ADD COLUMN a <type> | DROP COLUMN a | " +
+          "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | " +
           "SET TBLPROPERTIES ('k' = 'v', ...) | " +
           "UNSET TBLPROPERTIES ('k', ...)")
     }
   }
+
+  /** Re-assemble tokens into parseable SQL: string literals re-quoted
+    * (with '' escaping), quoted identifiers re-backticked, everything
+    * else space-joined (Spark's grammar tolerates spaces around `.`
+    * and inside call parens). */
+  private def sqlOf(toks: Seq[Tok]): String = toks.map {
+    case Str(s) => "'" + s.replace("'", "''") + "'"
+    case Quoted(s) => "`" + s + "`"
+    case t => t.text
+  }.mkString(" ")
 
   private def keyText(t: Tok): String = t match {
     case Str(s) => s

@@ -159,7 +159,8 @@ class CommandsSpec extends AnyFunSuite {
     graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0)
     assert(!DeltaTable.forPath(spark, p)
       .metadata.configuration.contains("delta.appendOnly"))
-    // semantics this engine cannot honor are refused at the DDL boundary
+    // constraints route through ADD CONSTRAINT (which validates existing
+    // rows), never through a raw property write
     intercept[IllegalArgumentException] {
       g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
         "('delta.constraints.pos' = 'r_regionkey >= 0')")

@@ -86,17 +86,29 @@ class ProtocolSpec extends AnyFunSuite {
     }
   }
 
-  test("writes refuse CHECK constraints this engine cannot evaluate") {
+  test("CHECK constraints are enforced at write time") {
     val path = tmpTable("proto_constraints")
     CommitWriter.createTable(spark, region, path)
     setMetadata(path, m => m.copy(configuration =
       m.configuration + ("delta.constraints.positive" -> "r_regionkey >= 0")))
-    val e = intercept[IllegalArgumentException] {
-      CommitWriter.append(spark, region.limit(1), path)
+    // compliant rows commit
+    val before = DeltaTable.forPath(spark, path).read.count()
+    CommitWriter.append(spark, region.limit(1), path)
+    assert(DeltaTable.forPath(spark, path).read.count() == before + 1)
+    // a violating row aborts the write job, named, before any commit
+    val vBefore = DeltaTable.forPath(spark, path).version
+    val bad = region.limit(1)
+      .withColumn("r_regionkey", lit(-5).cast("int"))
+    val e = intercept[Exception] {
+      CommitWriter.append(spark, bad, path)
     }
-    assert(e.getMessage.contains("delta.constraints.positive"))
-    // reading a constrained table is fine — constraints bind writers only
-    assert(DeltaTable.forPath(spark, path).read.count() == region.count())
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(m =>
+      m.contains("CHECK constraint positive")), messages(e).mkString("|"))
+    assert(DeltaTable.forPath(spark, path).version == vBefore,
+      "failed write must not have committed")
   }
 
   test("writes refuse generated and identity columns") {
@@ -132,7 +144,7 @@ class ProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rowTracking"))
   }
 
-  test("invariants on NESTED fields are detected") {
+  test("invariants on NESTED fields are enforced") {
     val path = tmpTable("proto_nested_inv")
     val df = region.select(col("r_regionkey"),
       struct(col("r_name").as("name")).as("info"))
@@ -151,10 +163,19 @@ class ProtocolSpec extends AnyFunSuite {
       }
       m.copy(schemaString = StructType(fields).json)
     })
-    val e = intercept[IllegalArgumentException] {
-      CommitWriter.append(spark, df.limit(1), path)
+    // rows honoring the nested invariant commit
+    CommitWriter.append(spark, df.limit(1), path)
+    // a null in the invariant-guarded nested field aborts the write
+    val bad = df.limit(1).withColumn("info",
+      struct(lit(null).cast("string").as("name")))
+    val e = intercept[Exception] {
+      CommitWriter.append(spark, bad, path)
     }
-    assert(e.getMessage.contains("info.name"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("invariant(info.name)")),
+      msgs.mkString("|"))
   }
 
   test("CDF-enabled tables refuse data-changing rewrites, allow appends") {
