@@ -62,9 +62,13 @@ object DmlCommands {
     val rewritten = keep(DeltaScan.whereFileKeyIn(target, affected))
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
 
-    // UPDATE can manufacture a violating row; guard the rewrite inline
+    // UPDATE can manufacture a violating row; guard the rewrite inline.
+    // Generated columns are recomputed so base-column updates flow into
+    // them (the spec's "generated columns are updated" rule).
     val adds = CommitWriter.writeFiles(spark,
-      graft.delta.log.Constraints.enforce(rewritten, snap.metadata),
+      graft.delta.log.Constraints.enforce(
+        graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
+        snap.metadata),
       tablePath, snap.partitionColumns)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(

@@ -69,9 +69,12 @@ object MergeCommand {
     val rewritten = keptFromAffected
       .unionByName(src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
 
-    // merged-in source rows must honor the table's CHECK constraints
+    // merged-in source rows must honor the table's CHECK constraints;
+    // generated columns are recomputed from the post-merge base columns
     val adds = CommitWriter.writeFiles(spark,
-      graft.delta.log.Constraints.enforce(rewritten, snap.metadata),
+      graft.delta.log.Constraints.enforce(
+        graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
+        snap.metadata),
       tablePath, snap.partitionColumns)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(

@@ -153,9 +153,10 @@ object CommitWriter {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
-    validateWriteSchema(df, meta, "append")
+    val completed = GeneratedColumns.complete(df, meta)
+    validateWriteSchema(completed, meta, "append")
     val adds = writeFiles(spark,
-      toPhysicalNames(Constraints.enforce(df, meta), meta), tablePath,
+      toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
       meta.partitionColumns)
     var v = segment.version + 1
     var attempts = 0
@@ -184,9 +185,10 @@ object CommitWriter {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
-    validateWriteSchema(df, meta, "appendIfAbsent")
+    val completed = GeneratedColumns.complete(df, meta)
+    validateWriteSchema(completed, meta, "appendIfAbsent")
     val adds = writeFiles(spark,
-      toPhysicalNames(Constraints.enforce(df, meta), meta), tablePath,
+      toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
       meta.partitionColumns)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
@@ -225,9 +227,11 @@ object CommitWriter {
       dataChangingRemoves = true)
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
-    validateWriteSchema(df, snap.metadata, "overwrite")
+    val completed = GeneratedColumns.complete(df, snap.metadata)
+    validateWriteSchema(completed, snap.metadata, "overwrite")
     val adds = writeFiles(spark,
-      toPhysicalNames(Constraints.enforce(df, snap.metadata), snap.metadata),
+      toPhysicalNames(Constraints.enforce(completed, snap.metadata),
+        snap.metadata),
       tablePath, snap.metadata.partitionColumns)
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>

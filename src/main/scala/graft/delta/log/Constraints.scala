@@ -87,3 +87,64 @@ object Constraints {
   def holdsOn(df: DataFrame, sql: String): Boolean =
     df.filter(!coalesce(expr(sql).cast("boolean"), lit(true))).isEmpty
 }
+
+/** Generated-column support (writer feature `generatedColumns`): a
+  * field carrying `delta.generationExpression` metadata is a pure
+  * function of the row's other columns.
+  *
+  * Contract per write path:
+  *  - append/overwrite WITHOUT the column: it is computed inline
+  *    (a projection, zero extra passes);
+  *  - append/overwrite WITH the column: each provided value is
+  *    validated null-safe-equal to the expression via the same
+  *    raise_error guard as CHECK constraints — a writer supplying an
+  *    inconsistent value corrupts every downstream reader that prunes
+  *    on the generation expression, so the write aborts;
+  *  - DML/MERGE rewrites RECOMPUTE the column (an UPDATE to a base
+  *    column must flow into the generated value, exactly as the spec's
+  *    "generated columns are updated" rule requires).
+  */
+object GeneratedColumns {
+
+  /** Top-level (name, sql, dataType) triples declaring generation
+    * expressions. The Delta spec only permits generated columns at the
+    * top level of the schema. */
+  def of(meta: Metadata): Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+    meta.dataSchema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        (f.name, f.metadata.getString("delta.generationExpression"),
+          f.dataType)
+    }
+
+  /** Compute absent generated columns; validate provided ones. */
+  def complete(df: DataFrame, meta: Metadata): DataFrame = {
+    val gens = of(meta)
+    if (gens.isEmpty) return df
+    val present = df.columns.map(_.toLowerCase).toSet
+    gens.foldLeft(df) { case (d, (name, sql, dt)) =>
+      if (!present(name.toLowerCase))
+        d.withColumn(name, expr(sql).cast(dt))
+      else {
+        val rowJson = to_json(struct(d.columns.map(col).toIndexedSeq: _*))
+        val ok = col(name) <=> expr(sql).cast(dt)
+        d.filter(ok || raise_error(concat(
+          lit(s"generated column $name does not match its expression " +
+            s"($sql) on row: "), rowJson)).cast("boolean"))
+      }
+    }
+  }
+
+  /** Drop-and-recompute for rewrite paths (UPDATE/MERGE): base-column
+    * changes must flow into the generated values. */
+  def recompute(df: DataFrame, meta: Metadata): DataFrame = {
+    val gens = of(meta)
+    if (gens.isEmpty) return df
+    val cols = meta.dataSchema.fields.toSeq.map { f =>
+      gens.find(_._1 == f.name) match {
+        case Some((_, sql, dt)) => expr(sql).cast(dt).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+}

@@ -32,8 +32,8 @@ object ProtocolSupport {
     * ([[Constraints.enforce]] — a violating row aborts the write job
     * before any file is committed). */
   val SupportedWriterFeatures: Set[String] = Set(
-    "appendOnly", "invariants", "checkConstraints", "deletionVectors",
-    "columnMapping", "timestampNtz", "typeWidening",
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "deletionVectors", "columnMapping", "timestampNtz", "typeWidening",
     "typeWidening-preview", "vacuumProtocolCheck")
 
   def assertReadable(tablePath: String, proto: Protocol): Unit = {
@@ -103,14 +103,11 @@ object ProtocolSupport {
       }
     val fields = meta.dataSchema.fields.toSeq
     def using(key: String): Seq[String] = collect(fields, "", key)
-    // CHECK constraints and column invariants are NOT refused here:
-    // every data-writing path evaluates them inline via
-    // [[Constraints.enforce]] (exotic expressions this engine cannot
-    // parse still fail closed — expr() throws before any file lands)
-    val generated = using("delta.generationExpression")
-    require(generated.isEmpty,
-      s"Table $tablePath has generated columns (${generated.mkString(", ")}) " +
-        "this engine cannot compute or verify — refusing to write.")
+    // CHECK constraints, column invariants and generated columns are
+    // NOT refused here: every data-writing path evaluates them inline
+    // via [[Constraints.enforce]] / [[GeneratedColumns]] (exotic
+    // expressions this engine cannot parse still fail closed — expr()
+    // throws before any file lands)
     val identity = using("delta.identity.start")
     require(identity.isEmpty,
       s"Table $tablePath has identity columns (${identity.mkString(", ")}) " +

@@ -147,6 +147,35 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(rootMessages(e).exists(_.contains("CHECK constraint positive")))
   }
 
+  test("UPDATE recomputes generated columns from the new base values") {
+    val path = tmpTable("cons_gen_update")
+    import spark.implicits._
+    val df = Seq((1, 10), (2, 20)).toDF("id", "amount")
+      .withColumn("double_amount", col("amount") * 2)
+    CommitWriter.createTable(spark, df, path)
+    // declare double_amount generated AFTER create (the writer wrote
+    // consistent values already)
+    val snap0 = DeltaTable.forPath(spark, path)
+    val fields = snap0.metadata.dataSchema.fields.map { f =>
+      if (f.name == "double_amount")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.generationExpression", "amount * 2").build())
+      else f
+    }
+    CommitWriter.commit(spark, path, snap0.version + 1,
+      Seq(CommitWriter.metadataJson(snap0.metadata.copy(
+        schemaString = org.apache.spark.sql.types.StructType(fields).json))),
+      operation = "SET METADATA")
+    // update the BASE column: the generated value must follow
+    graft.commands.DmlCommands.update(spark, path,
+      col("id") === 1, Map("amount" -> lit(100)))
+    val row = DeltaTable.forPath(spark, path).read
+      .filter(col("id") === 1).select("amount", "double_amount")
+      .collect().head
+    assert(row.getInt(0) == 100 && row.getInt(1) == 200)
+  }
+
   test("string-literal constraints survive the parser round-trip") {
     val path = tmpTable("cons_str")
     CommitWriter.createTable(spark, region, path)

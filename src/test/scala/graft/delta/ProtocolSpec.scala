@@ -111,14 +111,54 @@ class ProtocolSpec extends AnyFunSuite {
       "failed write must not have committed")
   }
 
-  test("writes refuse generated and identity columns") {
+  test("generated columns: computed when absent, validated when provided") {
     val path = tmpTable("proto_generated")
     CommitWriter.createTable(spark, region, path)
     setMetadata(path, m => {
       val fields = m.dataSchema.fields.map { f =>
         if (f.name == "r_name")
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-            .putString("delta.generationExpression", "upper(r_name)").build())
+            .putString("delta.generationExpression",
+              "concat('region-', r_regionkey)").build())
+        else f
+      }
+      m.copy(schemaString = StructType(fields).json)
+    })
+    // absent -> computed inline
+    CommitWriter.append(spark,
+      region.limit(1).select((col("r_regionkey") + 50).as("r_regionkey")),
+      path)
+    val got = DeltaTable.forPath(spark, path).read
+      .filter(col("r_regionkey") >= 50).select("r_name")
+      .collect().map(_.getString(0))
+    assert(got.length == 1 && got.head.startsWith("region-5"))
+    // provided-and-consistent -> passes
+    CommitWriter.append(spark,
+      region.limit(1).select((col("r_regionkey") + 60).as("r_regionkey"),
+        concat(lit("region-"), col("r_regionkey") + 60).as("r_name")), path)
+    // provided-but-wrong -> the write aborts before committing
+    val vBefore = DeltaTable.forPath(spark, path).version
+    val e = intercept[Exception] {
+      CommitWriter.append(spark,
+        region.limit(1).select((col("r_regionkey") + 70).as("r_regionkey"),
+          lit("lies").as("r_name")), path)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("generated column r_name")),
+      msgs.mkString("|"))
+    assert(DeltaTable.forPath(spark, path).version == vBefore)
+  }
+
+  test("writes refuse identity columns") {
+    val path = tmpTable("proto_identity")
+    CommitWriter.createTable(spark, region, path)
+    setMetadata(path, m => {
+      val fields = m.dataSchema.fields.map { f =>
+        if (f.name == "r_regionkey")
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.identity.start", 1L).build())
         else f
       }
       m.copy(schemaString = StructType(fields).json)
@@ -126,7 +166,7 @@ class ProtocolSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       CommitWriter.append(spark, region.limit(1), path)
     }
-    assert(e.getMessage.contains("r_name"))
+    assert(e.getMessage.contains("r_regionkey"))
   }
 
   test("metadata-only commits share the writer gate") {
