@@ -21,7 +21,14 @@ object DmlCommands {
 
   /** UPDATE table SET col = expr, ... WHERE condition. */
   def update(spark: SparkSession, tablePath: String, condition: Column,
-      set: Map[String, Column]): DataFrame =
+      set: Map[String, Column]): DataFrame = {
+    val identity = graft.delta.log.IdentityColumns.of(
+      graft.delta.DeltaTable.forPath(spark, tablePath).metadata)
+      .map(_.name.toLowerCase).toSet
+    val touched = set.keys.filter(k => identity(k.toLowerCase))
+    require(touched.isEmpty,
+      s"UPDATE cannot set identity column(s) ${touched.mkString(", ")} " +
+        "(GENERATED ALWAYS); existing values ride the rewrite unchanged")
     rewrite(spark, tablePath, condition, "UPDATE",
       keep = df => {
         val cond = coalesce(condition, lit(false))
@@ -29,6 +36,7 @@ object DmlCommands {
           d.withColumn(name, when(cond, value).otherwise(col(name)))
         }
       })
+  }
 
   /** Shared copy-on-write: rewrite the affected files with `keep`
     * applied, remove the originals, one commit. */

@@ -28,6 +28,10 @@ object MergeCommand {
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       "MERGE on column-mapped tables is not supported (the rewrite " +
         "would need logical->physical projection per file)")
+    require(graft.delta.log.IdentityColumns.of(snap.metadata).isEmpty,
+      "MERGE into identity-column tables is not supported: inserted " +
+        "source rows would carry explicit identity values, which " +
+        "GENERATED ALWAYS forbids")
     require(keys.nonEmpty, "MERGE requires at least one key column")
     require(keys.forall(source.columns.contains),
       s"source is missing key columns: ${keys.filterNot(source.columns.contains)}")

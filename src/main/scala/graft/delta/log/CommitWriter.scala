@@ -28,8 +28,11 @@ object CommitWriter {
   import Actions._
   private val mapper = new ObjectMapper()
 
-  class ConcurrentCommitException(version: Long, cause: Throwable)
-    extends RuntimeException(s"Commit version $version already exists", cause)
+  class ConcurrentCommitException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause) {
+    def this(version: Long, cause: Throwable) =
+      this(s"Commit version $version already exists", cause)
+  }
 
   // ---- public API ----------------------------------------------------
 
@@ -153,19 +156,34 @@ object CommitWriter {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
-    val completed = GeneratedColumns.complete(df, meta)
+    val completed = GeneratedColumns.complete(
+      IdentityColumns.assign(df, meta), meta)
     validateWriteSchema(completed, meta, "append")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
       meta.partitionColumns)
+    // identity appends carry the advanced high-water mark in the SAME
+    // commit as the adds
+    val metaUpdate = IdentityColumns.advance(meta, adds)
+    val actions = metaUpdate.map(metadataJson).toSeq ++ adds.map(addJson)
     var v = segment.version + 1
     var attempts = 0
     while (true) {
       try {
-        commit(spark, tablePath, v, adds.map(addJson), operation = "WRITE")
+        commit(spark, tablePath, v, actions, operation = "WRITE")
         return v
       } catch {
         case e: ConcurrentCommitException =>
+          // a lost race is NOT blind-retryable when this commit
+          // allocated identity values: the winner may have allocated
+          // from the same high-water mark, so these baked-in values
+          // could collide — the caller must re-run the append against
+          // the new snapshot
+          if (metaUpdate.isDefined)
+            throw new ConcurrentCommitException(
+              s"concurrent commit while allocating identity values for " +
+                s"$tablePath — re-run the append (values must be " +
+                "re-allocated from the advanced high-water mark)", e)
           attempts += 1
           if (attempts > maxRetries) throw e
           v = LogSegment.forTable(spark, new Path(tablePath)).version + 1
@@ -185,18 +203,22 @@ object CommitWriter {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
-    val completed = GeneratedColumns.complete(df, meta)
+    val completed = GeneratedColumns.complete(
+      IdentityColumns.assign(df, meta), meta)
     validateWriteSchema(completed, meta, "appendIfAbsent")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
       meta.partitionColumns)
+    val identityUpdate = IdentityColumns.advance(meta, adds)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
     var v = segment.version + 1
     var attempts = 0
     while (true) {
       try {
-        commit(spark, tablePath, v, txn +: adds.map(addJson),
+        commit(spark, tablePath, v,
+          (txn +: identityUpdate.map(metadataJson).toSeq) ++
+            adds.map(addJson),
           operation = "WRITE")
         return Some(v)
       } catch {
@@ -210,6 +232,12 @@ object CommitWriter {
           // (the orphaned data files are invisible and vacuumable)
           if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
             return None
+          // identity allocation is not blind-retryable (see append)
+          if (identityUpdate.isDefined)
+            throw new ConcurrentCommitException(
+              s"concurrent commit while allocating identity values for " +
+                s"$tablePath — re-run the batch (values must be " +
+                "re-allocated from the advanced high-water mark)", e)
           v = LogSegment.forTable(spark, new Path(tablePath)).version + 1
       }
     }
@@ -227,17 +255,22 @@ object CommitWriter {
       dataChangingRemoves = true)
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
-    val completed = GeneratedColumns.complete(df, snap.metadata)
+    val completed = GeneratedColumns.complete(
+      IdentityColumns.assign(df, snap.metadata), snap.metadata)
     validateWriteSchema(completed, snap.metadata, "overwrite")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, snap.metadata),
         snap.metadata),
       tablePath, snap.metadata.partitionColumns)
+    // identity high-water marks survive an overwrite (values stay
+    // monotonic across the table's whole history, per spec)
+    val metaUpdate = IdentityColumns.advance(snap.metadata, adds)
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>
       removeJson(RemoveFile(p, Some(now), dataChange = true)))
     commit(spark, tablePath, snap.version + 1,
-      removes ++ adds.map(addJson), operation = "WRITE")
+      metaUpdate.map(metadataJson).toSeq ++ removes ++ adds.map(addJson),
+      operation = "WRITE")
     snap.version + 1
   }
 

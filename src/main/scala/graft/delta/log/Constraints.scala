@@ -148,3 +148,94 @@ object GeneratedColumns {
     df.select(cols: _*)
   }
 }
+
+/** Identity-column support (writer feature `identityColumns`,
+  * GENERATED ALWAYS semantics): a field carrying `delta.identity.start`
+  * (+ optional `delta.identity.step`, default 1) gets engine-allocated
+  * values on append; explicit values are refused.
+  *
+  * Allocation is the one-pass sparse scheme: value =
+  * `base + step * (monotonically_increasing_id() + 1)` where base is
+  * the recorded high-water mark (or `start - step` on first use).
+  * The spec does NOT require consecutive values — only uniqueness,
+  * `>= start`, and congruence to start modulo step — and mono-ids are
+  * unique per (partition, row), so allocation needs no shuffle, no
+  * count pre-pass, no driver coordination; it composes with a write of
+  * any size. The new high-water mark is read back from the add-files'
+  * OWN stats (maxValues of the identity column), so advancing it costs
+  * zero extra jobs, and it rides the same commit as the adds — a
+  * racing allocator loses the commit race and must NOT blind-retry
+  * (both writers allocated from the same base), so identity appends
+  * fail fast on conflict instead of retrying.
+  */
+object IdentityColumns {
+
+  final case class Spec(name: String, start: Long, step: Long,
+      highWaterMark: Option[Long],
+      dataType: org.apache.spark.sql.types.DataType)
+
+  def of(meta: Metadata): Seq[Spec] =
+    meta.dataSchema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.identity.start") =>
+        Spec(f.name,
+          f.metadata.getLong("delta.identity.start"),
+          if (f.metadata.contains("delta.identity.step"))
+            f.metadata.getLong("delta.identity.step") else 1L,
+          if (f.metadata.contains("delta.identity.highWaterMark"))
+            Some(f.metadata.getLong("delta.identity.highWaterMark"))
+          else None,
+          f.dataType)
+    }
+
+  /** Allocate values for every identity column absent from `df`;
+    * refuse explicit values (GENERATED ALWAYS). */
+  def assign(df: DataFrame, meta: Metadata): DataFrame = {
+    val ids = of(meta)
+    if (ids.isEmpty) return df
+    val present = df.columns.map(_.toLowerCase).toSet
+    ids.foldLeft(df) { case (d, s) =>
+      require(s.step != 0, s"identity column ${s.name}: step must be nonzero")
+      require(!present(s.name.toLowerCase),
+        s"identity column ${s.name} is GENERATED ALWAYS — explicit " +
+          "values are not accepted; omit the column and the engine " +
+          "allocates them")
+      val base = s.highWaterMark.getOrElse(s.start - s.step)
+      d.withColumn(s.name,
+        (lit(base) + lit(s.step) *
+          (monotonically_increasing_id() + lit(1L))).cast(s.dataType))
+    }
+  }
+
+  /** Metadata with advanced high-water marks, derived from the
+    * add-files' stats; None when nothing moved (no identity columns or
+    * an empty write). */
+  def advance(meta: Metadata, adds: Seq[Actions.AddFile]): Option[Metadata] = {
+    val ids = of(meta)
+    if (ids.isEmpty || adds.isEmpty) return None
+    val mapper = new ObjectMapper()
+    val maxima = ids.flatMap { s =>
+      // the mark advances in the direction of the step: maxValues for
+      // ascending identities, minValues for descending ones
+      val statsKey = if (s.step > 0) "maxValues" else "minValues"
+      val ms = adds.flatMap(_.stats).flatMap { st =>
+        val node = mapper.readTree(st).path(statsKey).path(s.name)
+        if (node.isMissingNode || node.isNull) None else Some(node.asLong())
+      }
+      val merged =
+        if (s.step > 0) (ms ++ s.highWaterMark).maxOption
+        else (ms ++ s.highWaterMark).minOption
+      merged.filterNot(m => s.highWaterMark.contains(m)).map(s.name -> _)
+    }.toMap
+    if (maxima.isEmpty) return None
+    val fields = meta.dataSchema.fields.map { f =>
+      maxima.get(f.name) match {
+        case Some(m) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", m).build())
+        case None => f
+      }
+    }
+    Some(meta.copy(schemaString = StructType(fields).json))
+  }
+}

@@ -33,8 +33,8 @@ object ProtocolSupport {
     * before any file is committed). */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
-    "deletionVectors", "columnMapping", "timestampNtz", "typeWidening",
-    "typeWidening-preview", "vacuumProtocolCheck")
+    "identityColumns", "deletionVectors", "columnMapping", "timestampNtz",
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
 
   def assertReadable(tablePath: String, proto: Protocol): Unit = {
     require(proto.minReaderVersion <= 3,
@@ -103,15 +103,20 @@ object ProtocolSupport {
       }
     val fields = meta.dataSchema.fields.toSeq
     def using(key: String): Seq[String] = collect(fields, "", key)
-    // CHECK constraints, column invariants and generated columns are
-    // NOT refused here: every data-writing path evaluates them inline
-    // via [[Constraints.enforce]] / [[GeneratedColumns]] (exotic
-    // expressions this engine cannot parse still fail closed — expr()
-    // throws before any file lands)
-    val identity = using("delta.identity.start")
-    require(identity.isEmpty,
-      s"Table $tablePath has identity columns (${identity.mkString(", ")}) " +
-        "whose high-water marks this engine cannot maintain — refusing " +
-        "to write.")
+    // CHECK constraints, column invariants, generated columns and
+    // identity columns are NOT refused here: every data-writing path
+    // handles them inline via [[Constraints.enforce]] /
+    // [[GeneratedColumns]] / [[IdentityColumns]] (exotic expressions
+    // this engine cannot parse still fail closed — expr() throws
+    // before any file lands; explicit identity values and MERGE into
+    // identity tables are refused at their own choke points). Identity
+    // columns are only valid at the TOP level of the schema, which is
+    // where [[IdentityColumns.of]] looks; a nested declaration is a
+    // corrupt table and is refused here.
+    val nestedIdentity = using("delta.identity.start")
+      .filter(_.contains("."))
+    require(nestedIdentity.isEmpty,
+      s"Table $tablePath declares identity metadata on NESTED fields " +
+        s"(${nestedIdentity.mkString(", ")}) — not valid Delta; refusing.")
   }
 }
