@@ -124,6 +124,48 @@ object DeltaQueries {
     LogDemoPath
   }
 
+  /** SF-independent IDENTITY fixture (nation is byte-identical at every
+    * sf): v0 empty create (id BIGINT, n_nationkey, n_name) -> v1 tags
+    * `id` as GENERATED ALWAYS AS IDENTITY (START 1000 STEP 10) -> v2
+    * appends nations 0-11 across 3 partitions (engine allocates ids,
+    * high-water mark rides the commit) -> v3 appends the rest (allocated
+    * strictly past the recorded mark). The oracle reads the table's OWN
+    * parquet files, so the invariant columns (count, distinct, >= start,
+    * congruence mod step) are genuine content checks of what the
+    * allocator baked into the files. */
+  final val IdentityDemoPath =
+    "/root/repo/target/delta_fixtures/shared/identity"
+
+  def identityDemoTable(s: SparkSession, sfDir: String): String = {
+    this.synchronized {
+      if (!exists(s, IdentityDemoPath)) {
+        val dir = new File(IdentityDemoPath)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        val n = s.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey").cast(LongType), col("n_name"))
+        val empty = n.limit(0)
+          .withColumn("id", lit(null).cast(LongType))
+          .select("id", "n_nationkey", "n_name")
+        CommitWriter.createTable(s, empty, IdentityDemoPath)
+        val meta = DeltaTable.forPath(s, IdentityDemoPath).metadata
+        val tagged = meta.dataSchema.fields.map { f =>
+          if (f.name == "id")
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.identity.start", 1000L)
+              .putLong("delta.identity.step", 10L).build())
+          else f
+        }
+        CommitWriter.commitMetadata(s, IdentityDemoPath,
+          meta.copy(schemaString = StructType(tagged).json))
+        CommitWriter.append(s,
+          n.where(col("n_nationkey") < 12).repartition(3), IdentityDemoPath)
+        CommitWriter.append(s,
+          n.where(col("n_nationkey") >= 12), IdentityDemoPath)
+      }
+    }
+    IdentityDemoPath
+  }
+
   /** 4 commits with disjoint o_orderkey ranges → 4+ files with disjoint
     * min/max stats (file-skipping target). */
   def rangedTable(s: SparkSession, sfDir: String): String =
@@ -536,6 +578,42 @@ object DeltaQueries {
       snap.readWhere(col("c_acctbal") > 0)
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    // Identity columns (writer feature `identityColumns`): the oracle
+    // recomputes count/distinct/>=start/congruence from the table's OWN
+    // parquet data files — a content check of the values the allocator
+    // wrote — while the two engine-internal invariants (high-water mark
+    // == max allocated, second batch strictly past the first batch's
+    // mark) are computed Spark-side against the log and stated TRUE by
+    // the oracle (the q_approx_distinct verdict pattern).
+    Q("q_identity",
+      s"""SELECT count(*) AS n_rows,
+         |  count(DISTINCT id) AS n_distinct,
+         |  min(id) >= 1000 AS min_ge_start,
+         |  bool_and((id - 1000) % 10 = 0) AS congruent,
+         |  TRUE AS hwm_equals_max,
+         |  TRUE AS batches_monotonic
+         |FROM read_parquet('$IdentityDemoPath/*.parquet')""".stripMargin) { (s, dir) =>
+      val path = identityDemoTable(s, dir)
+      val snap = DeltaTable.forPath(s, path)
+      require(snap.version == 3, "identity fixture must have 4 commits")
+      val spec = graft.delta.log.IdentityColumns.of(snap.metadata).head
+      val full = snap.read
+      val firstBatch = DeltaTable.forPath(s, path, Some(2L)).read
+      val later = full.join(firstBatch.select("id"), Seq("id"), "left_anti")
+      val monotonic = later.agg(min(col("id")).as("later_min"))
+        .crossJoin(firstBatch.agg(max(col("id")).as("first_max")))
+        .select((col("later_min") > col("first_max")).as("batches_monotonic"))
+      full.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("id")).as("n_distinct"),
+        (min(col("id")) >= lit(spec.start)).as("min_ge_start"),
+        expr(s"bool_and((id - ${spec.start}) % ${spec.step} = 0)")
+          .as("congruent"),
+        (max(col("id")) === lit(spec.highWaterMark.getOrElse(-1L)))
+          .as("hwm_equals_max"))
+        .crossJoin(monotonic)
     },
 
     // A11: raw delta-log actions as a queryable table. Oracle: DuckDB
