@@ -184,9 +184,19 @@ final class GraftSession(val spark: SparkSession) {
             "mark are fixed at table creation (changing them would " +
             "orphan or resurrect physical columns)")
       }
+      // enabling DVs upgrades the protocol IN THE SAME COMMIT: the
+      // feature must be declared before any writer may produce a DV
+      val dvUpgrade =
+        if (props.exists { case (k, v) =>
+            k.equalsIgnoreCase("delta.enableDeletionVectors") &&
+              v.equalsIgnoreCase("true") })
+          graft.delta.log.ProtocolSupport.withDeletionVectors(snap.protocol)
+        else None
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
         snap.metadata.copy(
-          configuration = snap.metadata.configuration ++ props))
+          configuration = snap.metadata.configuration ++ props),
+        extraActions =
+          dvUpgrade.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
       alterMetrics(s"set ${props.map(_._1).mkString(", ")}", v)
     case UnsetTblPropertiesStatement(table, keys) =>
       val path = resolveTablePath(table)

@@ -1,41 +1,76 @@
 package graft.commands
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.delta.DeltaTable
+import org.apache.spark.util.SerializableConfiguration
+import graft.delta.{DeltaTable, Snapshot}
 import graft.delta.log.{Actions, CommitWriter}
-import graft.delta.scan.DeltaScan
+import graft.delta.log.Actions.{AddFile, DeletionVectorDescriptor, RemoveFile}
+import graft.delta.scan.{DeltaScan, DvBitmap}
 
-/** Row-level DELETE and UPDATE, file-granular copy-on-write (the same
-  * shape as MERGE): the provenance scan finds exactly the files with
-  * matching rows; only those are rewritten. Beyond-parity — the
-  * reference is read-only.
+/** Row-level DELETE and UPDATE.
+  *
+  * Two storage strategies, chosen by the table's
+  * `delta.enableDeletionVectors` property:
+  *
+  *  - **copy-on-write** (default): the provenance scan finds exactly
+  *    the files with matching rows; only those are rewritten (the same
+  *    shape as MERGE).
+  *  - **merge-on-read** (`delta.enableDeletionVectors=true`): matching
+  *    rows' physical positions become deletion vectors — no data file
+  *    is rewritten. DELETE writes only DV files sized by the deleted
+  *    row count (a 10-row delete on a 1 GB file costs ~bytes, not a
+  *    1 GB rewrite); UPDATE additionally writes the updated row images
+  *    as new files. DV files are packed per write TASK (one object per
+  *    task, each data file's bitmap at its own offset), existing DVs
+  *    are merged in on the executors, and a file whose merged DV
+  *    covers every row is dropped outright (plain remove). The per-file
+  *    index list an executor materializes is bounded by rows-per-data-
+  *    file (the file layout bound), never by table size.
+  *
+  * Beyond-parity — the reference is read-only.
   */
 object DmlCommands {
 
+  /** One written DV entry, reported back from the executors: the file
+    * it masks plus the descriptor fields (one small row per affected
+    * file — the same driver-side bound as the commit JSON itself).
+    * Top-level visibility so the Dataset encoder stays codegen-able. */
+  case class DvWritten(fkey: String, pathOrInlineDv: String,
+      offset: Int, sizeInBytes: Int, cardinality: Long)
+
   /** DELETE FROM table WHERE condition. */
   def delete(spark: SparkSession, tablePath: String,
-      condition: Column): DataFrame =
-    rewrite(spark, tablePath, condition, "DELETE",
-      keep = df => df.where(!coalesce(condition, lit(false))))
+      condition: Column): DataFrame = {
+    val snap = DeltaTable.forPath(spark, tablePath)
+    if (dvEnabled(snap))
+      deleteViaDv(spark, tablePath, snap, condition)
+    else
+      rewrite(spark, tablePath, condition, "DELETE",
+        keep = df => df.where(!coalesce(condition, lit(false))))
+  }
 
   /** UPDATE table SET col = expr, ... WHERE condition. */
   def update(spark: SparkSession, tablePath: String, condition: Column,
       set: Map[String, Column]): DataFrame = {
-    val identity = graft.delta.log.IdentityColumns.of(
-      graft.delta.DeltaTable.forPath(spark, tablePath).metadata)
+    val snap = DeltaTable.forPath(spark, tablePath)
+    val identity = graft.delta.log.IdentityColumns.of(snap.metadata)
       .map(_.name.toLowerCase).toSet
     val touched = set.keys.filter(k => identity(k.toLowerCase))
     require(touched.isEmpty,
       s"UPDATE cannot set identity column(s) ${touched.mkString(", ")} " +
         "(GENERATED ALWAYS); existing values ride the rewrite unchanged")
-    rewrite(spark, tablePath, condition, "UPDATE",
-      keep = df => {
-        val cond = coalesce(condition, lit(false))
-        set.foldLeft(df) { case (d, (name, value)) =>
-          d.withColumn(name, when(cond, value).otherwise(col(name)))
-        }
-      })
+    if (dvEnabled(snap))
+      updateViaDv(spark, tablePath, snap, condition, set)
+    else
+      rewrite(spark, tablePath, condition, "UPDATE",
+        keep = df => {
+          val cond = coalesce(condition, lit(false))
+          set.foldLeft(df) { case (d, (name, value)) =>
+            d.withColumn(name, when(cond, value).otherwise(col(name)))
+          }
+        })
   }
 
   /** Shared copy-on-write: rewrite the affected files with `keep`
@@ -93,5 +128,221 @@ object DmlCommands {
     rows.add(Row("files_rewritten", rewritten.toString))
     rows.add(Row("files_added", added.toString))
     spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+
+  // ---- merge-on-read (deletion-vector) path --------------------------
+
+  private def dvEnabled(snap: Snapshot): Boolean =
+    snap.metadata.configuration.get("delta.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Everything the commit needs to know about an affected file,
+    * resolved once on the driver from the log. */
+  private case class FileInfo(relPath: String,
+      partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, stats: Option[String],
+      dv: Option[DeletionVectorDescriptor], numRecords: Option[Long])
+
+  /** DELETE via deletion vectors: no data file is touched. Matching
+    * rows' (file, physical row index) pairs are aggregated per file on
+    * the executors, merged with any existing DV, and written as packed
+    * DV files (one per task). The commit swaps each affected add entry
+    * for the same entry carrying the bigger DV — or a plain remove
+    * when the DV now covers the whole file. */
+  private def deleteViaDv(spark: SparkSession, tablePath: String,
+      snap: Snapshot, condition: Column): DataFrame = {
+    graft.delta.log.ProtocolSupport.assertWritable(
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+    val (written, info) = buildDvs(spark, tablePath, snap, condition)
+    if (written.isEmpty)
+      return dvMetrics(spark, "DELETE", 0, 0, 0, 0)
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    var fullyRemoved = 0
+    var masked = 0
+    var rowsDeleted = 0L
+    for (w <- written) {
+      val f = info(w.fkey)
+      rowsDeleted += w.cardinality - f.dv.map(_.cardinality).getOrElse(0L)
+      actions += CommitWriter.removeJson(RemoveFile(
+        f.relPath, Some(now), dataChange = true, deletionVector = f.dv))
+      if (f.numRecords.contains(w.cardinality)) {
+        // the merged DV covers every physical row: drop the file
+        fullyRemoved += 1
+      } else {
+        masked += 1
+        actions += CommitWriter.addJson(AddFile(
+          path = f.relPath, partitionValues = f.partitionValues,
+          size = f.size, modificationTime = f.modificationTime,
+          dataChange = true, stats = f.stats,
+          deletionVector = Some(DeletionVectorDescriptor("u",
+            w.pathOrInlineDv, Some(w.offset), w.sizeInBytes,
+            w.cardinality))))
+      }
+    }
+    // tables enabled by paths that didn't upgrade the protocol get the
+    // feature declared here, in the same commit as the first DV
+    val protoUpgrade = graft.delta.log.ProtocolSupport
+      .withDeletionVectors(snap.protocol)
+      .map(CommitWriter.protocolJson).toSeq
+    CommitWriter.commit(spark, tablePath, snap.version + 1,
+      protoUpgrade ++ actions.result(), "DELETE")
+    dvMetrics(spark, "DELETE", masked, fullyRemoved, rowsDeleted, 0)
+  }
+
+  /** UPDATE via deletion vectors: old row versions are masked with DVs
+    * (same machinery as DELETE), updated row images land in NEW files.
+    * Refused on column-mapped tables — the new files would need the
+    * physical projection the copy-on-write path also refuses. */
+  private def updateViaDv(spark: SparkSession, tablePath: String,
+      snap: Snapshot, condition: Column,
+      set: Map[String, Column]): DataFrame = {
+    graft.delta.log.ProtocolSupport.assertWritable(
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
+      "UPDATE on column-mapped tables is not supported (the updated " +
+        "rows would need logical->physical projection per file)")
+    val (written, info) = buildDvs(spark, tablePath, snap, condition)
+    if (written.isEmpty)
+      return dvMetrics(spark, "UPDATE", 0, 0, 0, 0)
+
+    // updated row images, constraints enforced and generated columns
+    // recomputed exactly like the copy-on-write path
+    val target = DeltaScan.buildWithFileKey(snap)
+    val updated = set.foldLeft(
+        DeltaScan.whereFileKeyIn(target, written.map(_.fkey))
+          .where(coalesce(condition, lit(false)))) {
+        case (d, (name, value)) => d.withColumn(name, value)
+      }
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val adds = CommitWriter.writeFiles(spark,
+      graft.delta.log.Constraints.enforce(
+        graft.delta.log.GeneratedColumns.recompute(updated, snap.metadata),
+        snap.metadata),
+      tablePath, snap.partitionColumns)
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    var fullyRemoved = 0
+    var masked = 0
+    var rowsUpdated = 0L
+    for (w <- written) {
+      val f = info(w.fkey)
+      rowsUpdated += w.cardinality - f.dv.map(_.cardinality).getOrElse(0L)
+      actions += CommitWriter.removeJson(RemoveFile(
+        f.relPath, Some(now), dataChange = true, deletionVector = f.dv))
+      if (f.numRecords.contains(w.cardinality)) fullyRemoved += 1
+      else {
+        masked += 1
+        actions += CommitWriter.addJson(AddFile(
+          path = f.relPath, partitionValues = f.partitionValues,
+          size = f.size, modificationTime = f.modificationTime,
+          dataChange = true, stats = f.stats,
+          deletionVector = Some(DeletionVectorDescriptor("u",
+            w.pathOrInlineDv, Some(w.offset), w.sizeInBytes,
+            w.cardinality))))
+      }
+    }
+    val protoUpgrade = graft.delta.log.ProtocolSupport
+      .withDeletionVectors(snap.protocol)
+      .map(CommitWriter.protocolJson).toSeq
+    CommitWriter.commit(spark, tablePath, snap.version + 1,
+      protoUpgrade ++ actions.result() ++ adds.map(CommitWriter.addJson),
+      "UPDATE")
+    dvMetrics(spark, "UPDATE", masked, fullyRemoved, rowsUpdated, adds.size)
+  }
+
+  /** Shared DV construction: scan with (file, row index) provenance,
+    * aggregate matching positions per file, merge with existing DVs and
+    * write packed DV files ON THE EXECUTORS (one DV file per task; the
+    * driver sees only one descriptor row per affected file). */
+  private def buildDvs(spark: SparkSession, tablePath: String,
+      snap: Snapshot, condition: Column)
+      : (Seq[DvWritten], Map[String, FileInfo]) = {
+    val target = DeltaScan.buildWithRowIndex(snap)
+    val matched = target.where(condition)
+      .groupBy(col(DeltaScan.FileKeyColumn))
+      .agg(collect_list(col(DeltaScan.RowIndexColumn)).as("__rows"))
+
+    // resolve affected files' log entries once (one small row per file)
+    val affectedKeys = target.where(condition)
+      .select(DeltaScan.FileKeyColumn).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedKeys.isEmpty) return (Seq.empty, Map.empty)
+
+    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+    val qualified = fs.makeQualified(snap.tablePath)
+    def normKey(rel: String): String = {
+      val p = new Path(qualified, rel)
+      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val info: Map[String, FileInfo] = snap.allFiles
+      .select("path", "partitionValues", "size", "modificationTime",
+        "stats", "deletionVector")
+      .collect().iterator.map { r =>
+        val rel = r.getAs[String]("path")
+        normKey(rel) -> FileInfo(
+          rel,
+          Option(r.getAs[Map[String, String]]("partitionValues"))
+            .getOrElse(Map.empty),
+          r.getAs[Long]("size"),
+          r.getAs[Long]("modificationTime"),
+          Option(r.getAs[String]("stats")),
+          Option(r.getAs[Row]("deletionVector")).map(d =>
+            DeletionVectorDescriptor(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+              d.getAs[Int]("sizeInBytes"),
+              d.getAs[Long]("cardinality"))),
+          Option(r.getAs[String]("stats")).flatMap(s =>
+            Option(mapper.readTree(s).get("numRecords")).map(_.asLong())))
+      }.filter { case (k, _) => affectedKeys.contains(k) }.toMap
+
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val existingDvs: Map[String, DeletionVectorDescriptor] =
+      info.collect { case (k, f) if f.dv.isDefined => k -> f.dv.get }
+    val dvBc = spark.sparkContext.broadcast(existingDvs)
+    val tableStr = qualified.toString
+
+    import spark.implicits._
+    val written: Seq[DvWritten] = matched
+      .as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        val entries = it.toVector
+        if (entries.isEmpty) Iterator.empty
+        else {
+          val table = new Path(tableStr)
+          val tfs = table.getFileSystem(conf.value)
+          val merged = entries.map { case (fkey, rows) =>
+            val prior = dvBc.value.get(fkey)
+              .map(d => DvBitmap.load(tfs, table, d).iterator.toSeq)
+              .getOrElse(Seq.empty)
+            fkey -> (prior ++ rows).distinct.sorted
+          }
+          val descs = DvBitmap.writeDvFilePacked(
+            tfs, table, merged.map(_._2))
+          merged.iterator.zip(descs.iterator).map { case ((fkey, _), d) =>
+            DvWritten(fkey, d.pathOrInlineDv, d.offset.getOrElse(1),
+              d.sizeInBytes, d.cardinality)
+          }
+        }
+      }.collect().toSeq
+    (written, info)
+  }
+
+  private def dvMetrics(spark: SparkSession, operation: String,
+      masked: Int, fullyRemoved: Int, rows: Long, added: Int): DataFrame = {
+    val out = new java.util.ArrayList[Row]()
+    out.add(Row("operation", operation))
+    out.add(Row("files_rewritten", "0"))
+    out.add(Row("files_added", added.toString))
+    out.add(Row("files_dv_masked", masked.toString))
+    out.add(Row("files_fully_removed", fullyRemoved.toString))
+    out.add(Row("rows_affected", rows.toString))
+    spark.createDataFrame(out, VacuumCommand.metricsSchema)
   }
 }

@@ -49,8 +49,16 @@ object CommitWriter {
       configuration = configuration,
       createdTime = Some(System.currentTimeMillis()))
     val adds = writeFiles(spark, df, tablePath, partitionColumns)
+    // a table born with delta.enableDeletionVectors=true must declare
+    // the feature from version 0 — a legacy reader would otherwise
+    // silently resurrect DV-deleted rows later
+    val proto =
+      if (configuration.get("delta.enableDeletionVectors")
+          .exists(_.equalsIgnoreCase("true")))
+        ProtocolSupport.withDeletionVectors(Protocol()).getOrElse(Protocol())
+      else Protocol()
     commit(spark, tablePath, 0L,
-      Seq(protocolJson(Protocol()), metadataJson(meta)) ++ adds.map(addJson),
+      Seq(protocolJson(proto), metadataJson(meta)) ++ adds.map(addJson),
       operation = "CREATE TABLE AS SELECT")
     meta
   }

@@ -34,7 +34,43 @@ object ProtocolSupport {
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "identityColumns", "deletionVectors", "columnMapping", "timestampNtz",
-    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
+    // changeDataFeed's writer obligation (cdc actions on data-changing
+    // commits when the property is on) is honored fail-closed below:
+    // such commits are refused outright, appends need no cdc actions
+    "changeDataFeed")
+
+  /** Legacy writer versions imply feature sets without naming them;
+    * upgrading to the table-features protocol must enumerate them so
+    * no obligation is silently dropped (Delta PROTOCOL.md, table
+    * features: "the upgrade must declare every feature the legacy
+    * version implied"). */
+  private def impliedWriterFeatures(minWriterVersion: Int): Seq[String] =
+    Seq(2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns")
+      .collect { case (v, f) if minWriterVersion >= v => f }
+
+  private def impliedReaderFeatures(minReaderVersion: Int): Seq[String] =
+    if (minReaderVersion >= 2) Seq("columnMapping") else Nil
+
+  /** The protocol a table needs before deletion vectors may be written:
+    * reader 3 / writer 7 with `deletionVectors` in BOTH feature lists
+    * (a legacy reader would silently resurrect deleted rows). Returns
+    * `None` when the current protocol already declares it. */
+  def withDeletionVectors(p: Protocol): Option[Protocol] = {
+    val readers = (if (p.minReaderVersion >= 3)
+        p.readerFeatures.getOrElse(Nil)
+      else impliedReaderFeatures(p.minReaderVersion)).toSet
+    val writers = (if (p.minWriterVersion >= 7)
+        p.writerFeatures.getOrElse(Nil)
+      else impliedWriterFeatures(p.minWriterVersion)).toSet
+    if (readers.contains("deletionVectors") &&
+        writers.contains("deletionVectors")) None
+    else Some(Protocol(3, 7,
+      Some((readers + "deletionVectors").toSeq.sorted),
+      Some((writers + "deletionVectors").toSeq.sorted)))
+  }
 
   def assertReadable(tablePath: String, proto: Protocol): Unit = {
     require(proto.minReaderVersion <= 3,

@@ -56,10 +56,23 @@ object DeltaScan {
     * (the normalized path of the file the row came from). */
   final val FileKeyColumn = "_graft_file"
 
+  /** Name of the per-row PHYSICAL position column exposed by
+    * `buildWithRowIndex` — the parquet row index within the file the
+    * row came from, i.e. exactly the coordinate a deletion vector
+    * addresses. Rows already masked by an existing DV never appear in
+    * the scan, so indexes collected from this column can be unioned
+    * into the file's DV without overlap. */
+  final val RowIndexColumn = "_graft_row_index"
+
   /** Scan that keeps row provenance — used by copy-on-write commands
     * (MERGE) to locate the files that contain matching rows. */
   def buildWithFileKey(snapshot: Snapshot): DataFrame =
     build(snapshot, Seq.empty, withFileColumn = true)
+
+  /** Scan that keeps (file, physical row index) provenance — used by
+    * merge-on-read DML to build deletion vectors for matching rows. */
+  def buildWithRowIndex(snapshot: Snapshot): DataFrame =
+    build(snapshot, Seq.empty, withFileColumn = true, withRowIndex = true)
 
   /** Restrict a provenance-keyed scan to rows from the given files — a
     * broadcast semi-join on [[FileKeyColumn]], NOT an `isin`: a DML/MERGE
@@ -74,7 +87,8 @@ object DeltaScan {
   }
 
   def build(snapshot: Snapshot, filters: Seq[Column],
-      withFileColumn: Boolean = false): DataFrame = {
+      withFileColumn: Boolean = false,
+      withRowIndex: Boolean = false): DataFrame = {
     val scanFiles: Seq[ScanFile] = prunedFiles(snapshot, filters)
       .select("path", "partitionValues", "deletionVector")
       .collect().toSeq.map { r =>
@@ -84,7 +98,7 @@ object DeltaScan {
             .getOrElse(Map.empty),
           Option(r.getAs[Row]("deletionVector")).map(parseDv))
       }
-    assemble(snapshot, scanFiles, filters, withFileColumn)
+    assemble(snapshot, scanFiles, filters, withFileColumn, withRowIndex)
   }
 
   /** Scan an EXPLICIT file list through the snapshot's schema machinery
@@ -96,14 +110,22 @@ object DeltaScan {
     assemble(snapshot, scanFiles, Seq.empty, withFileColumn = false)
 
   private def assemble(snapshot: Snapshot, scanFiles: Seq[ScanFile],
-      filters: Seq[Column], withFileColumn: Boolean): DataFrame = {
+      filters: Seq[Column], withFileColumn: Boolean,
+      withRowIndex: Boolean = false): DataFrame = {
     val spark = snapshot.spark
     val logical = snapshot.schema
     val partCols = snapshot.partitionColumns
 
     if (scanFiles.isEmpty) {
+      // an empty table still needs the provenance columns the caller
+      // asked for (DML on an empty table groups by them)
+      val extra =
+        (if (withFileColumn) Seq(StructField(FileKeyColumn, StringType))
+         else Nil) ++
+        (if (withRowIndex) Seq(StructField(RowIndexColumn, LongType))
+         else Nil)
       val empty = spark.createDataFrame(
-        new java.util.ArrayList[Row](), logical)
+        new java.util.ArrayList[Row](), StructType(logical.fields ++ extra))
       return applyResidual(empty, filters)
     }
 
@@ -129,7 +151,7 @@ object DeltaScan {
     val helperCols = Seq.newBuilder[Column]
     if (needPart || needDv || withFileColumn)
       helperCols += normalizeExpr(col("_metadata.file_path")).as("__fkey")
-    if (needDv)
+    if (needDv || withRowIndex)
       helperCols += col("_metadata.row_index").as("__row_index")
 
     val logicalDataCols = dataFields.zip(physicalDataSchema.fields).map {
@@ -193,9 +215,11 @@ object DeltaScan {
     }
 
     if (withFileColumn) df = df.withColumn(FileKeyColumn, col("__fkey"))
+    if (withRowIndex) df = df.withColumn(RowIndexColumn, col("__row_index"))
     df = df.drop("__fkey", "__row_index")
     val outCols = logical.fieldNames.toIndexedSeq ++
-      (if (withFileColumn) Seq(FileKeyColumn) else Seq.empty)
+      (if (withFileColumn) Seq(FileKeyColumn) else Seq.empty) ++
+      (if (withRowIndex) Seq(RowIndexColumn) else Seq.empty)
     df = df.select(outCols.map(col): _*)
     applyResidual(df, filters)
   }

@@ -328,27 +328,46 @@ object DvBitmap {
         } finally in.close()
     }
 
-  /** Write a DV file for fixtures: returns the descriptor ("u" storage). */
+  /** Write a DV file holding ONE bitmap: returns the descriptor
+    * ("u" storage). */
   def writeDvFile(fs: FileSystem, tablePath: Path,
-      rowIndexes: Seq[Long]): DeletionVectorDescriptor = {
-    val data = serialize(rowIndexes)
+      rowIndexes: Seq[Long]): DeletionVectorDescriptor =
+    writeDvFilePacked(fs, tablePath, Seq(rowIndexes)).head
+
+  /** Pack MANY bitmaps into ONE DV file (entries at increasing
+    * offsets, per the DV file layout: version byte, then per entry
+    * [size int32 BE][roaring data][crc32 int32 BE]). Returns one "u"
+    * descriptor per input, in order, all sharing the file's UUID.
+    * This is the shape a distributed DELETE wants: one DV file per
+    * write task, not one per data file — a DELETE touching 10⁴ files
+    * in a task adds one object, not 10⁴ tiny ones. */
+  def writeDvFilePacked(fs: FileSystem, tablePath: Path,
+      perFile: Seq[Seq[Long]]): Seq[DeletionVectorDescriptor] = {
+    require(perFile.nonEmpty, "writeDvFilePacked needs at least one entry")
     val uuid = java.util.UUID.randomUUID()
     val bb = ByteBuffer.allocate(16)
     bb.putLong(uuid.getMostSignificantBits)
     bb.putLong(uuid.getLeastSignificantBits)
+    val encodedUuid = z85Encode(bb.array())
     val name = s"deletion_vector_$uuid.bin"
     val p = new Path(tablePath, name)
     val out = fs.create(p, false)
-    val offset = 1 // format version byte
+    val descriptors = Seq.newBuilder[DeletionVectorDescriptor]
     try {
       out.write(1) // DV file format version
-      out.writeInt(data.length)
-      out.write(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(data)
-      out.writeInt(crc.getValue.toInt)
+      var offset = 1
+      for (rowIndexes <- perFile) {
+        val data = serialize(rowIndexes)
+        out.writeInt(data.length)
+        out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        out.writeInt(crc.getValue.toInt)
+        descriptors += DeletionVectorDescriptor("u", encodedUuid,
+          Some(offset), data.length, rowIndexes.size.toLong)
+        offset += 4 + data.length + 4
+      }
     } finally out.close()
-    DeletionVectorDescriptor("u", z85Encode(bb.array()), Some(offset),
-      data.length, rowIndexes.size.toLong)
+    descriptors.result()
   }
 }

@@ -298,6 +298,31 @@ object DeltaQueries {
     path
   }
 
+  /** DV-enabled orders table with a merge-on-read DELETE then UPDATE
+    * applied: no data file is ever rewritten — the delete became a
+    * deletion vector, the update a DV plus new row-image files. */
+  def dvDmlTable(s: SparkSession, sfDir: String): String = {
+    val path = fixtureDir(sfDir, "dv_dml")
+    this.synchronized {
+      val done = new File(path, "_delta_log").exists() &&
+        DeltaTable.forPath(s, path).version >= 2
+      if (!done) {
+        if (new File(path).exists())
+          scala.reflect.io.Directory(new File(path)).deleteRecursively()
+        val o = orders(s, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        CommitWriter.createTable(s, o.repartition(4), path,
+          configuration = Map("delta.enableDeletionVectors" -> "true"))
+        graft.commands.DmlCommands.delete(s, path,
+          col("o_orderkey") % 10 === 3)
+        graft.commands.DmlCommands.update(s, path,
+          col("o_orderkey") % 10 === 7,
+          Map("o_totalprice" -> (col("o_totalprice") + 100)))
+      }
+    }
+    path
+  }
+
   /** Plain-parquet copy of orders CONVERTED in place to a Delta table
     * (no data rewrite) — the adoption-path fixture. */
   def convertedTable(s: SparkSession, sfDir: String): String =
@@ -553,6 +578,21 @@ object DeltaQueries {
         |FROM orders WHERE o_orderkey < 10
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // Merge-on-read DML: DELETE wrote a deletion vector, UPDATE wrote a
+    // DV plus new row images — no original data file was rewritten. The
+    // oracle recomputes the end state relationally from the raw table;
+    // the scan must honor both DVs (drop deleted + old-version rows)
+    // and surface the updated images for the hash to match.
+    Q("q_dv_dml",
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 100
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, dvDmlTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 

@@ -81,4 +81,139 @@ class DmlSpec extends AnyFunSuite {
       orders.filter(col("o_orderstatus") === "F" &&
         !(col("o_custkey") % 7 === 0)).count())
   }
+
+  // ---- merge-on-read (deletion-vector) DML ---------------------------
+
+  private val dvProps = Map("delta.enableDeletionVectors" -> "true")
+
+  test("DV DELETE masks rows without rewriting any data file") {
+    val p = tmp("dv_delete")
+    val n = orders.count()
+    val med = orders.stat.approxQuantile("o_orderkey", Array(0.5), 0.0)(0)
+    CommitWriter.createTable(spark,
+      orders.filter(col("o_orderkey") <= med).repartition(1), p,
+      configuration = dvProps)
+    CommitWriter.append(spark,
+      orders.filter(col("o_orderkey") > med).repartition(1), p)
+    val before = DeltaTable.forPath(spark, p)
+    val dataFiles = before.allFiles.select("path", "modificationTime")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val hit = orders.where(col("o_orderkey") < 5).count()
+    val metrics = DmlCommands.delete(spark, p, col("o_orderkey") < 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_rewritten") == "0")
+    assert(metrics("files_dv_masked") == "1") // only the low file
+    assert(metrics("rows_affected").toLong == hit)
+
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.read.count() == n - hit)
+    assert(after.read.where(col("o_orderkey") < 5).count() == 0)
+    // both original data files survive BY IDENTITY (path + mtime)
+    val afterFiles = after.allFiles.select("path", "modificationTime")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterFiles == dataFiles)
+    // the masked entry carries a DV descriptor
+    val dv = after.allFiles.where(col("deletionVector").isNotNull)
+    assert(dv.count() == 1)
+    assert(dv.select("deletionVector.cardinality").head.getLong(0) == hit)
+    // metadata-only count subtracts the DV
+    assert(after.statsRowCount.contains(n - hit))
+    // time travel to the pre-delete version still sees every row
+    assert(DeltaTable.forPath(spark, p, Some(1)).read.count() == n)
+  }
+
+  test("second DV DELETE merges with the existing deletion vector") {
+    val p = tmp("dv_merge")
+    CommitWriter.createTable(spark, orders.repartition(1), p,
+      configuration = dvProps)
+    val n = orders.count()
+    DmlCommands.delete(spark, p, col("o_orderkey") < 5)
+    DmlCommands.delete(spark, p,
+      col("o_orderkey") >= 5 && col("o_orderkey") < 12)
+    val after = DeltaTable.forPath(spark, p)
+    val expect = orders.where(col("o_orderkey") >= 12).count()
+    assert(after.read.count() == expect)
+    val dv = after.allFiles.select("deletionVector.cardinality")
+      .collect().map(_.getLong(0))
+    assert(dv.toSeq == Seq(n - expect)) // one file, one merged DV
+  }
+
+  test("DV DELETE that empties a file drops the file outright") {
+    val p = tmp("dv_full")
+    val med = orders.stat.approxQuantile("o_orderkey", Array(0.5), 0.0)(0)
+    CommitWriter.createTable(spark,
+      orders.filter(col("o_orderkey") <= med).repartition(1), p,
+      configuration = dvProps)
+    CommitWriter.append(spark,
+      orders.filter(col("o_orderkey") > med).repartition(1), p)
+    val metrics = DmlCommands.delete(spark, p, col("o_orderkey") <= med)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_fully_removed") == "1")
+    assert(metrics("files_dv_masked") == "0")
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.allFiles.count() == 1)
+    assert(after.read.count() ==
+      orders.filter(col("o_orderkey") > med).count())
+  }
+
+  test("DV UPDATE masks old versions and writes new row images") {
+    val p = tmp("dv_update")
+    CommitWriter.createTable(spark, orders.repartition(2), p,
+      configuration = dvProps)
+    val metrics = DmlCommands.update(spark, p,
+      condition = col("o_orderstatus") === "P",
+      set = Map("o_orderpriority" -> lit("BUMPED")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_rewritten") == "0")
+    assert(metrics("files_added").toInt >= 1)
+    val after = DeltaTable.forPath(spark, p).read
+    val want = orders.withColumn("o_orderpriority",
+      when(col("o_orderstatus") === "P", lit("BUMPED"))
+        .otherwise(col("o_orderpriority")))
+    assert(after.orderBy("o_orderkey").collect().toSeq ==
+      want.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("enabling DVs declares the protocol feature; create does too") {
+    // at creation
+    val p = tmp("dv_proto")
+    CommitWriter.createTable(spark, orders.limit(10), p,
+      configuration = dvProps)
+    val proto = DeltaTable.forPath(spark, p).protocol
+    assert(proto.minReaderVersion == 3 && proto.minWriterVersion == 7)
+    assert(proto.readerFeatures.get.contains("deletionVectors"))
+    assert(proto.writerFeatures.get.contains("deletionVectors"))
+
+    // via ALTER TABLE SET TBLPROPERTIES on a legacy-protocol table
+    val p2 = tmp("dv_proto_alter")
+    CommitWriter.createTable(spark, orders.limit(10), p2)
+    val g = graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p2' SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    val snap2 = DeltaTable.forPath(spark, p2)
+    assert(snap2.protocol.minReaderVersion == 3)
+    assert(snap2.protocol.readerFeatures.get.contains("deletionVectors"))
+    // the implied legacy writer obligations survive the upgrade
+    assert(snap2.protocol.writerFeatures.get.toSet
+      .intersect(Set("appendOnly", "invariants")) ==
+      Set("appendOnly", "invariants"))
+    // and the DV path now engages
+    DmlCommands.delete(spark, p2, col("o_orderkey") % 2 === 0)
+    assert(DeltaTable.forPath(spark, p2).allFiles
+      .where(col("deletionVector").isNotNull).count() >= 1)
+  }
+
+  test("DV DELETE works on a column-mapped table (no rewrite needed)") {
+    val p = tmp("dv_mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df, p)
+    val g = graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    DmlCommands.delete(spark, p, col("o_orderkey") < 100)
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.count() == df.where(col("o_orderkey") >= 100).count())
+    assert(after.where(col("o_orderkey") < 100).count() == 0)
+  }
 }

@@ -63,6 +63,26 @@ class OptimizeSpec extends AnyFunSuite {
     assert(perPart == 1)
   }
 
+  test("OPTIMIZE reads through deletion vectors and clears them") {
+    val p = tmp("dv_clear")
+    CommitWriter.createTable(spark, orders.limit(200).repartition(2), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    graft.commands.DmlCommands.delete(spark, p, col("o_orderkey") % 3 === 0)
+    val masked = DeltaTable.forPath(spark, p)
+    val expect = masked.read.count()
+    assert(masked.allFiles.where(col("deletionVector").isNotNull)
+      .count() >= 1)
+
+    GraftSessionFixture.g.sql(s"OPTIMIZE '$p'")
+    val after = DeltaTable.forPath(spark, p)
+    // deleted rows must NOT resurrect, and the compacted files carry
+    // no DVs (the rewrite applied them)
+    assert(after.read.count() == expect)
+    assert(after.read.where(col("o_orderkey") % 3 === 0).count() == 0)
+    assert(after.allFiles.where(col("deletionVector").isNotNull)
+      .count() == 0)
+  }
+
   test("OPTIMIZE no-ops when nothing to compact") {
     val p = tmp("noop")
     CommitWriter.createTable(spark, region.repartition(1), p)

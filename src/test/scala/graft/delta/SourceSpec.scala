@@ -139,6 +139,25 @@ class SourceSpec extends AnyFunSuite {
       (2L, oldName, "delete", 1L)))
   }
 
+  test("readChangeFeed derives deletes from a merge-on-read DV DELETE") {
+    val d = Files.createTempDirectory("graft_src_cdc_dv").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    CommitWriter.createTable(spark, region, p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    // v1: DV delete (no file rewritten — the diff must read the same
+    // path twice, once without and once WITH the commit's new DV)
+    graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 2)
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("r_regionkey", "_change_type", "_commit_version")
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getString(1), r.getAs[Number](2).longValue())).toSet
+    assert(feed == Set((2L, "delete", 1L)))
+  }
+
   test("reader options are case-insensitive on the batch DSv2 path") {
     // getTable receives the case-SENSITIVE properties map; a typo-cased
     // option must still resolve the range read, not silently degrade to
