@@ -214,6 +214,23 @@ final class GraftSession(val spark: SparkSession) {
       val n = graft.commands.ConvertCommand.convert(spark,
         resolveTablePath(table), partCols)
       graft.commands.ConvertCommand.metrics(spark, n)
+    case DeleteStatement(table, whereSql) =>
+      graft.commands.DmlCommands.delete(spark, resolveTablePath(table),
+        whereSql.map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true)))
+    case UpdateStatement(table, sets, whereSql) =>
+      graft.commands.DmlCommands.update(spark, resolveTablePath(table),
+        whereSql.map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true)),
+        sets.map { case (c, e) =>
+          c -> org.apache.spark.sql.functions.expr(e) }.toMap)
+    case MergeStatement(table, source, keys) =>
+      // source resolves as a view/table name first, else a parquet path
+      val src =
+        if (source.contains("/")) spark.read.parquet(source)
+        else spark.table(source)
+      graft.commands.MergeCommand.upsert(spark,
+        resolveTablePath(table), src, keys)
     case ShowCatalogsStatement =>
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       LocalCatalog.list().foreach(c =>

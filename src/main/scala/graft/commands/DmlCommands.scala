@@ -132,13 +132,13 @@ object DmlCommands {
 
   // ---- merge-on-read (deletion-vector) path --------------------------
 
-  private def dvEnabled(snap: Snapshot): Boolean =
+  private[commands] def dvEnabled(snap: Snapshot): Boolean =
     snap.metadata.configuration.get("delta.enableDeletionVectors")
       .exists(_.equalsIgnoreCase("true"))
 
   /** Everything the commit needs to know about an affected file,
     * resolved once on the driver from the log. */
-  private case class FileInfo(relPath: String,
+  private[commands] case class FileInfo(relPath: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, stats: Option[String],
       dv: Option[DeletionVectorDescriptor], numRecords: Option[Long])
@@ -153,18 +153,37 @@ object DmlCommands {
       snap: Snapshot, condition: Column): DataFrame = {
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
-    val (written, info) = buildDvs(spark, tablePath, snap, condition)
+    val (written, info) = buildDvs(spark, tablePath, snap,
+      _.where(condition))
     if (written.isEmpty)
       return dvMetrics(spark, "DELETE", 0, 0, 0, 0)
 
+    val (actions, masked, fullyRemoved, rowsDeleted) =
+      maskActions(written, info)
+    // tables enabled by paths that didn't upgrade the protocol get the
+    // feature declared here, in the same commit as the first DV
+    val protoUpgrade = graft.delta.log.ProtocolSupport
+      .withDeletionVectors(snap.protocol)
+      .map(CommitWriter.protocolJson).toSeq
+    CommitWriter.commit(spark, tablePath, snap.version + 1,
+      protoUpgrade ++ actions, "DELETE")
+    dvMetrics(spark, "DELETE", masked, fullyRemoved, rowsDeleted, 0)
+  }
+
+  /** Remove+add (or plain remove when the DV covers the whole file)
+    * actions for masked files. Returns (actions, masked count, fully
+    * removed count, newly masked row count). */
+  private[commands] def maskActions(written: Seq[DvWritten],
+      info: Map[String, FileInfo])
+      : (Seq[String], Int, Int, Long) = {
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
     var fullyRemoved = 0
     var masked = 0
-    var rowsDeleted = 0L
+    var rows = 0L
     for (w <- written) {
       val f = info(w.fkey)
-      rowsDeleted += w.cardinality - f.dv.map(_.cardinality).getOrElse(0L)
+      rows += w.cardinality - f.dv.map(_.cardinality).getOrElse(0L)
       actions += CommitWriter.removeJson(RemoveFile(
         f.relPath, Some(now), dataChange = true, deletionVector = f.dv))
       if (f.numRecords.contains(w.cardinality)) {
@@ -181,14 +200,7 @@ object DmlCommands {
             w.cardinality))))
       }
     }
-    // tables enabled by paths that didn't upgrade the protocol get the
-    // feature declared here, in the same commit as the first DV
-    val protoUpgrade = graft.delta.log.ProtocolSupport
-      .withDeletionVectors(snap.protocol)
-      .map(CommitWriter.protocolJson).toSeq
-    CommitWriter.commit(spark, tablePath, snap.version + 1,
-      protoUpgrade ++ actions.result(), "DELETE")
-    dvMetrics(spark, "DELETE", masked, fullyRemoved, rowsDeleted, 0)
+    (actions.result(), masked, fullyRemoved, rows)
   }
 
   /** UPDATE via deletion vectors: old row versions are masked with DVs
@@ -203,7 +215,8 @@ object DmlCommands {
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       "UPDATE on column-mapped tables is not supported (the updated " +
         "rows would need logical->physical projection per file)")
-    val (written, info) = buildDvs(spark, tablePath, snap, condition)
+    val (written, info) = buildDvs(spark, tablePath, snap,
+      _.where(condition))
     if (written.isEmpty)
       return dvMetrics(spark, "UPDATE", 0, 0, 0, 0)
 
@@ -222,51 +235,33 @@ object DmlCommands {
         snap.metadata),
       tablePath, snap.partitionColumns)
 
-    val now = System.currentTimeMillis()
-    val actions = Seq.newBuilder[String]
-    var fullyRemoved = 0
-    var masked = 0
-    var rowsUpdated = 0L
-    for (w <- written) {
-      val f = info(w.fkey)
-      rowsUpdated += w.cardinality - f.dv.map(_.cardinality).getOrElse(0L)
-      actions += CommitWriter.removeJson(RemoveFile(
-        f.relPath, Some(now), dataChange = true, deletionVector = f.dv))
-      if (f.numRecords.contains(w.cardinality)) fullyRemoved += 1
-      else {
-        masked += 1
-        actions += CommitWriter.addJson(AddFile(
-          path = f.relPath, partitionValues = f.partitionValues,
-          size = f.size, modificationTime = f.modificationTime,
-          dataChange = true, stats = f.stats,
-          deletionVector = Some(DeletionVectorDescriptor("u",
-            w.pathOrInlineDv, Some(w.offset), w.sizeInBytes,
-            w.cardinality))))
-      }
-    }
+    val (actions, masked, fullyRemoved, rowsUpdated) =
+      maskActions(written, info)
     val protoUpgrade = graft.delta.log.ProtocolSupport
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
     CommitWriter.commit(spark, tablePath, snap.version + 1,
-      protoUpgrade ++ actions.result() ++ adds.map(CommitWriter.addJson),
+      protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson),
       "UPDATE")
     dvMetrics(spark, "UPDATE", masked, fullyRemoved, rowsUpdated, adds.size)
   }
 
   /** Shared DV construction: scan with (file, row index) provenance,
-    * aggregate matching positions per file, merge with existing DVs and
-    * write packed DV files ON THE EXECUTORS (one DV file per task; the
-    * driver sees only one descriptor row per affected file). */
-  private def buildDvs(spark: SparkSession, tablePath: String,
-      snap: Snapshot, condition: Column)
+    * restrict to the rows being masked (`restrict` must preserve the
+    * provenance columns — a `where` for DELETE/UPDATE, a key semi-join
+    * for MERGE), aggregate positions per file, merge with existing DVs
+    * and write packed DV files ON THE EXECUTORS (one DV file per task;
+    * the driver sees only one descriptor row per affected file). */
+  private[commands] def buildDvs(spark: SparkSession, tablePath: String,
+      snap: Snapshot, restrict: DataFrame => DataFrame)
       : (Seq[DvWritten], Map[String, FileInfo]) = {
     val target = DeltaScan.buildWithRowIndex(snap)
-    val matched = target.where(condition)
+    val matched = restrict(target)
       .groupBy(col(DeltaScan.FileKeyColumn))
       .agg(collect_list(col(DeltaScan.RowIndexColumn)).as("__rows"))
 
     // resolve affected files' log entries once (one small row per file)
-    val affectedKeys = target.where(condition)
+    val affectedKeys = restrict(target)
       .select(DeltaScan.FileKeyColumn).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedKeys.isEmpty) return (Seq.empty, Map.empty)

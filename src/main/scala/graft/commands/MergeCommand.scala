@@ -16,6 +16,11 @@ import graft.delta.scan.DeltaScan
   * that contain matches, and exactly those files are rewritten (their
   * unmatched rows preserved) together with the full source; everything
   * else is untouched. One commit; history stays time-travelable.
+  *
+  * On tables with `delta.enableDeletionVectors=true` the matched rows
+  * are masked with deletion vectors instead and only the source rows
+  * are written — no data file is rewritten at all (merge-on-read, the
+  * same machinery as [[DmlCommands]]).
   */
 object MergeCommand {
 
@@ -43,8 +48,41 @@ object MergeCommand {
       .where(col("count") > 1).limit(1).count()
     require(dupes == 0, "MERGE source has duplicate keys")
 
-    val target = DeltaScan.buildWithFileKey(snap)
     val srcKeys = src.select(keys.map(col): _*).distinct()
+
+    // merge-on-read: matched target rows become deletion-vector
+    // entries (no file rewrite), source rows land as new files — the
+    // unmatched rows of affected files never move, which is the whole
+    // point at 100 TB (a MERGE touching 1% of each file's rows would
+    // otherwise rewrite 100% of the affected bytes)
+    if (DmlCommands.dvEnabled(snap)) {
+      val (written, info) = DmlCommands.buildDvs(spark, tablePath, snap,
+        _.join(srcKeys, keys, "left_semi"))
+      val adds = CommitWriter.writeFiles(spark,
+        graft.delta.log.Constraints.enforce(
+          graft.delta.log.GeneratedColumns.recompute(
+            src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+            snap.metadata),
+          snap.metadata),
+        tablePath, snap.partitionColumns)
+      val (actions, masked, fullyRemoved, _) =
+        DmlCommands.maskActions(written, info)
+      val protoUpgrade = graft.delta.log.ProtocolSupport
+        .withDeletionVectors(snap.protocol)
+        .map(CommitWriter.protocolJson).toSeq
+      CommitWriter.commit(spark, tablePath, snap.version + 1,
+        protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson),
+        operation = "MERGE")
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row("files_rewritten", "0"))
+      rows.add(Row("files_added", adds.size.toString))
+      rows.add(Row("files_dv_masked", masked.toString))
+      rows.add(Row("files_fully_removed", fullyRemoved.toString))
+      rows.add(Row("source_rows", src.count().toString))
+      return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+    }
+
+    val target = DeltaScan.buildWithFileKey(snap)
 
     // files containing at least one matching row (collected: bounded by
     // the match footprint, not the table)

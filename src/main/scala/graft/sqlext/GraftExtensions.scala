@@ -93,6 +93,9 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: DropConstraintStatement => VacuumCommand.metricsSchema
       case _: SetTblPropertiesStatement => VacuumCommand.metricsSchema
       case _: UnsetTblPropertiesStatement => VacuumCommand.metricsSchema
+      case _: DeleteStatement => VacuumCommand.metricsSchema
+      case _: UpdateStatement => VacuumCommand.metricsSchema
+      case _: MergeStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

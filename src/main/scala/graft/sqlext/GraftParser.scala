@@ -51,6 +51,14 @@ object GraftParser {
   final case class UnsetTblPropertiesStatement(table: String,
       keys: Seq[String]) extends Statement
   case object ShowCatalogsStatement extends Statement
+  final case class DeleteStatement(table: String,
+      whereSql: Option[String]) extends Statement
+  final case class UpdateStatement(table: String,
+      sets: Seq[(String, String)], // column -> expression SQL
+      whereSql: Option[String]) extends Statement
+  /** Upsert-shaped MERGE: UPDATE SET * / INSERT * on key equality. */
+  final case class MergeStatement(table: String, source: String,
+      keys: Seq[String]) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -132,8 +140,141 @@ object GraftParser {
       case w: Word if w.upper == "ALTER" &&
           wordAt(toks, 1).contains("TABLE") =>
         Some(parseAlter(toks.drop(2)))
+      case w: Word if w.upper == "DELETE" &&
+          wordAt(toks, 1).contains("FROM") =>
+        Some(parseDelete(toks.drop(2)))
+      case w: Word if w.upper == "UPDATE" =>
+        Some(parseUpdate(toks.tail))
+      case w: Word if w.upper == "MERGE" &&
+          wordAt(toks, 1).contains("INTO") =>
+        Some(parseMerge(toks.drop(2)))
       case _ => None
     }
+  }
+
+  // ---- DML ----------------------------------------------------------
+
+  /** DELETE FROM <ref> [WHERE <expr>] */
+  private def parseDelete(toks: Vector[Tok]): Statement = {
+    val (table, rest) = parseTableRefAndRest(toks)
+    rest.headOption match {
+      case None => DeleteStatement(table, None)
+      case Some(w: Word) if w.upper == "WHERE" && rest.length > 1 =>
+        DeleteStatement(table, Some(sqlOf(rest.tail)))
+      case _ => throw new ParseException(
+        "expected DELETE FROM <table> [WHERE <expr>]")
+    }
+  }
+
+  /** UPDATE <ref> SET a = <expr> [, b = <expr> ...] [WHERE <expr>] */
+  private def parseUpdate(toks: Vector[Tok]): Statement = {
+    val (table, rest) = parseTableRefAndRest(toks)
+    if (!wordAt(rest, 0).contains("SET"))
+      throw new ParseException(
+        "expected UPDATE <table> SET <col> = <expr>[, ...] [WHERE <expr>]")
+    val body = rest.tail
+    // first depth-0 WHERE ends the SET list (a WHERE inside a
+    // subquery-valued assignment sits at depth > 0)
+    var depth = 0
+    val whereIdx = body.indexWhere {
+      case Sym("(") => depth += 1; false
+      case Sym(")") => depth -= 1; false
+      case w: Word if depth == 0 && w.upper == "WHERE" => true
+      case _ => false
+    }
+    val (setToks, whereToks) =
+      if (whereIdx < 0) (body, Vector.empty[Tok])
+      else (body.take(whereIdx), body.drop(whereIdx + 1))
+    if (whereIdx >= 0 && whereToks.isEmpty)
+      throw new ParseException("WHERE requires a predicate")
+    val sets = splitTopLevel(setToks).map(parseAssignment)
+    if (sets.isEmpty) throw new ParseException("SET list is empty")
+    UpdateStatement(table, sets,
+      if (whereToks.isEmpty) None else Some(sqlOf(whereToks)))
+  }
+
+  /** Split a token span on depth-0 commas. */
+  private def splitTopLevel(toks: Vector[Tok]): Seq[Vector[Tok]] = {
+    val out = Seq.newBuilder[Vector[Tok]]
+    var depth = 0
+    var cur = Vector.newBuilder[Tok]
+    var any = false
+    toks.foreach {
+      case Sym(",") if depth == 0 => out += cur.result(); cur.clear()
+      case t =>
+        t match {
+          case Sym("(") => depth += 1
+          case Sym(")") => depth -= 1
+          case _ =>
+        }
+        cur += t; any = true
+    }
+    if (any) out += cur.result()
+    out.result()
+  }
+
+  /** One `col = expr` assignment: split the re-assembled SQL on the
+    * first `=` outside quotes (the tokenizer keeps `=` glued to
+    * adjacent characters, so splitting happens on text, with literal
+    * and backtick state tracked). */
+  private def parseAssignment(toks: Vector[Tok]): (String, String) = {
+    val sql = sqlOf(toks)
+    var i = 0
+    var q: Char = 0
+    var at = -1
+    while (i < sql.length && at < 0) {
+      val c = sql.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '`') q = c
+      else if (c == '=') at = i
+      i += 1
+    }
+    if (at <= 0 || at == sql.length - 1)
+      throw new ParseException(s"expected <col> = <expr>, got: $sql")
+    val colName = sql.substring(0, at).trim
+    val rhs = sql.substring(at + 1).trim
+    // tolerate == / => typos loudly rather than mis-assigning
+    if (colName.isEmpty || rhs.isEmpty || rhs.startsWith("=") ||
+        !colName.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"))
+      throw new ParseException(s"expected <col> = <expr>, got: $sql")
+    (colName.stripPrefix("`").stripSuffix("`"), rhs)
+  }
+
+  /** MERGE INTO <ref> USING <source> ON <t.k = s.k [AND ...]>
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+    * the upsert shape [[graft.commands.MergeCommand]] implements.
+    * Key equalities must compare the SAME column name on both sides. */
+  private def parseMerge(toks: Vector[Tok]): Statement = {
+    val (table, rest0) = parseTableRefAndRest(toks)
+    if (!wordAt(rest0, 0).contains("USING"))
+      throw new ParseException("expected MERGE INTO <table> USING <source>")
+    val (source, rest1) = parseTableRefAndRest(rest0.tail)
+    if (!wordAt(rest1, 0).contains("ON"))
+      throw new ParseException("expected ON <key equality [AND ...]>")
+    val onEnd = rest1.indexWhere {
+      case w: Word => w.upper == "WHEN"
+      case _ => false
+    }
+    if (onEnd < 0) throw new ParseException(
+      "expected WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val tailWords = rest1.drop(onEnd).collect { case w: Word => w.upper }
+      .mkString(" ")
+    if (tailWords != "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      throw new ParseException(
+        "only the upsert MERGE shape is supported: WHEN MATCHED THEN " +
+          s"UPDATE SET * WHEN NOT MATCHED THEN INSERT * (got: $tailWords)")
+    val keys = sqlOf(rest1.slice(1, onEnd)).split("(?i)\\bAND\\b").map { eq =>
+      val sides = eq.split("=", 2).map(_.trim)
+      if (sides.length != 2)
+        throw new ParseException(s"expected <k> = <k> in ON clause, got: $eq")
+      val names = sides.map(s => s.substring(s.lastIndexOf('.') + 1)
+        .trim.stripPrefix("`").stripSuffix("`"))
+      if (!names(0).equalsIgnoreCase(names(1)))
+        throw new ParseException(
+          s"ON clause must equate the same column name on both sides: $eq")
+      names(0)
+    }.toSeq
+    MergeStatement(table, source, keys)
   }
 
   /** ALTER TABLE <ref> RENAME COLUMN a TO b | ADD COLUMN a <type> |

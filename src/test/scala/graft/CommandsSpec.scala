@@ -220,6 +220,52 @@ class CommandsSpec extends AnyFunSuite {
       err.getCause != null)
   }
 
+  test("SQL DML: DELETE FROM / UPDATE SET / MERGE INTO route to commands") {
+    val p = tmpTable("sql_dml")
+    CommitWriter.createTable(spark, region, p)
+    val g = GraftSession(spark)
+
+    // parse shapes
+    assert(GraftParser.parse("DELETE FROM t WHERE a < 5") ==
+      Some(GraftParser.DeleteStatement("t", Some("a < 5"))))
+    assert(GraftParser.parse("UPDATE t SET a = a + 1, b = 'x, y' WHERE c = 2") ==
+      Some(GraftParser.UpdateStatement("t",
+        Seq("a" -> "a + 1", "b" -> "'x, y'"), Some("c = 2"))))
+    assert(GraftParser.parse(
+      "MERGE INTO t USING s ON t.k = s.k AND t.j = s.j " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *") ==
+      Some(GraftParser.MergeStatement("t", "s", Seq("k", "j"))))
+    intercept[GraftParser.ParseException] {
+      GraftParser.parse("MERGE INTO t USING s ON t.k = s.other " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    intercept[GraftParser.ParseException] {
+      GraftParser.parse("UPDATE t SET WHERE c = 2")
+    }
+
+    // end-to-end on a real table
+    g.sql(s"DELETE FROM '$p' WHERE r_regionkey = 4")
+    assert(DeltaTable.forPath(spark, p).read
+      .where(col("r_regionkey") === 4).count() == 0)
+
+    g.sql(s"UPDATE '$p' SET r_name = 'edited' WHERE r_regionkey = 0")
+    val edited = DeltaTable.forPath(spark, p).read
+      .where(col("r_regionkey") === 0).select("r_name").head.getString(0)
+    assert(edited == "edited")
+
+    region.where(col("r_regionkey") <= 1)
+      .withColumn("r_name", lit("MERGED"))
+      .createOrReplaceTempView("sql_dml_src")
+    g.sql(s"MERGE INTO '$p' USING sql_dml_src ON t.r_regionkey = s.r_regionkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.where(col("r_name") === "MERGED").count() == 2)
+
+    // DELETE without WHERE empties the table
+    g.sql(s"DELETE FROM '$p'")
+    assert(DeltaTable.forPath(spark, p).read.count() == 0)
+  }
+
   test("dir listing matches reference schema") {
     val df = graft.ops.DirListing.list(spark, sf)
     assert(df.schema.fieldNames.toSeq ==

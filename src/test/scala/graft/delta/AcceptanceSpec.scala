@@ -45,7 +45,8 @@ class AcceptanceSpec extends AnyFunSuite {
     "time_travel", "type_widening",
     "composite_widen_cp_restore", "composite_mapping_dv",
     "composite_dv_checkpoint", "composite_full_history",
-    "composite_props_protocol", "composite_mapping_evolve")) {
+    "composite_props_protocol", "composite_mapping_evolve",
+    "composite_dv_dml")) {
 
     test(s"DAT case: $name") {
       val c = cases.find(_.name == name).get

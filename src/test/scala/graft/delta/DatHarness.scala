@@ -319,6 +319,35 @@ object DatHarness {
       writeContent(c, "latest", masked)
     }
 
+    build("composite_dv_dml",
+      "merge-on-read DML: DV DELETE + UPDATE, OPTIMIZE clears, " +
+        "checkpoint carries the final state") { c =>
+      val o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(spark, o.repartition(3), c.tablePath,
+        configuration =
+          Map("delta.enableDeletionVectors" -> "true")) // v0, proto (3,7)
+      graft.commands.DmlCommands.delete(spark, c.tablePath,
+        col("o_orderkey") % 10 === 3) // v1: DVs, no rewrite
+      graft.commands.DmlCommands.update(spark, c.tablePath,
+        col("o_orderkey") % 10 === 7,
+        Map("o_totalprice" -> (col("o_totalprice") + 100))) // v2: DVs + adds
+      graft.commands.OptimizeCommand.optimize(spark, c.tablePath) // v3
+      CommitWriter.checkpoint(spark, c.tablePath) // checkpoint w/o DVs
+      val afterDelete = o.filter(col("o_orderkey") % 10 =!= 3)
+      val afterUpdate = afterDelete.withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 7, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")))
+      val dvProps = Map("delta.enableDeletionVectors" -> "true")
+      writeMeta(c, "v0", 0, dvProps, 3, 7)
+      writeMeta(c, "v1", 1, dvProps, 3, 7)
+      writeMeta(c, "v2", 2, dvProps, 3, 7)
+      writeMeta(c, "latest", 3, dvProps, 3, 7)
+      writeContent(c, "v0", o)
+      writeContent(c, "v1", afterDelete)
+      writeContent(c, "v2", afterUpdate)
+      writeContent(c, "latest", afterUpdate)
+    }
+
     build("composite_full_history",
       "DV + widen + append + multipart checkpoint + append + RESTORE") { c =>
       val narrow = nation

@@ -68,6 +68,43 @@ class MergeSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 102)
   }
 
+  test("upsert on a DV table masks matches, rewrites nothing") {
+    val p = tmp("dv_upsert")
+    val med = orders.stat.approxQuantile("o_orderkey", Array(0.5), 0.0)(0)
+    CommitWriter.createTable(spark,
+      orders.filter(col("o_orderkey") <= med).repartition(1), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    CommitWriter.append(spark,
+      orders.filter(col("o_orderkey") > med).repartition(1), p)
+    val dataFiles = DeltaTable.forPath(spark, p).allFiles
+      .select("path", "modificationTime")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val updates = orders.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val inserts = orders.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+    val metrics = MergeCommand.upsert(spark, p,
+      updates.unionByName(inserts), Seq("o_orderkey"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_rewritten") == "0")
+    assert(metrics("files_dv_masked").toInt >= 1)
+
+    val after = DeltaTable.forPath(spark, p)
+    // original data files intact by identity, matches masked via DV
+    val afterData = after.allFiles
+      .select("path", "modificationTime").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dataFiles.toSet.subsetOf(afterData.toSet))
+    val want = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 50 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .unionByName(inserts)
+    assert(after.read.orderBy("o_orderkey", "o_totalprice").collect().toSeq ==
+      want.orderBy("o_orderkey", "o_totalprice").collect().toSeq)
+  }
+
   test("duplicate source keys are refused") {
     val p = tmp("dupes")
     CommitWriter.createTable(spark, orders.limit(10), p)
