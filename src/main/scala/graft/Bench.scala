@@ -101,7 +101,7 @@ object Bench {
       "q_contamination", "q_edit_distance", "q_pack_sequences",
       "q_stats_agg", "vacuum_dry_run", "q_pii_redact", "q_strip_markup",
       "q_simhash_near_dup", "q_mixture_cap", "q_stream_dedup",
-      "q_quality_filter", "q_incremental_dedup")
+      "q_quality_filter", "q_incremental_dedup", "q_dv_dml")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")

@@ -184,19 +184,39 @@ final class GraftSession(val spark: SparkSession) {
             "mark are fixed at table creation (changing them would " +
             "orphan or resurrect physical columns)")
       }
-      // enabling DVs upgrades the protocol IN THE SAME COMMIT: the
-      // feature must be declared before any writer may produce a DV
+      // enabling a feature-gated property upgrades the protocol IN THE
+      // SAME COMMIT: the feature must be declared before any writer
+      // may rely on it
+      def enabling(key: String) = props.exists { case (k, v) =>
+        k.equalsIgnoreCase(key) && v.equalsIgnoreCase("true") }
       val dvUpgrade =
-        if (props.exists { case (k, v) =>
-            k.equalsIgnoreCase("delta.enableDeletionVectors") &&
-              v.equalsIgnoreCase("true") })
+        if (enabling("delta.enableDeletionVectors"))
           graft.delta.log.ProtocolSupport.withDeletionVectors(snap.protocol)
         else None
+      val ictUpgrade =
+        if (enabling("delta.enableInCommitTimestamps"))
+          graft.delta.log.ProtocolSupport.withWriterFeature(
+            dvUpgrade.getOrElse(snap.protocol), "inCommitTimestamp")
+        else None
+      // a mid-life ICT flip records WHEN it took effect, so readers
+      // know to use file mtimes before this version and ICTs after;
+      // the declared timestamp becomes this very commit's ICT
+      val ictProps: Map[String, String] =
+        if (ictUpgrade.isDefined || (enabling("delta.enableInCommitTimestamps")
+            && !snap.metadata.configuration
+              .contains("delta.inCommitTimestampEnablementVersion")))
+          Map(
+            "delta.inCommitTimestampEnablementVersion" ->
+              (snap.version + 1).toString,
+            "delta.inCommitTimestampEnablementTimestamp" ->
+              graft.delta.log.CommitWriter.nextIct(spark, path).toString)
+        else Map.empty
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
         snap.metadata.copy(
-          configuration = snap.metadata.configuration ++ props),
+          configuration = snap.metadata.configuration ++ props ++ ictProps),
         extraActions =
-          dvUpgrade.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
+          (dvUpgrade.toSeq ++ ictUpgrade.toSeq)
+            .map(graft.delta.log.CommitWriter.protocolJson))
       alterMetrics(s"set ${props.map(_._1).mkString(", ")}", v)
     case UnsetTblPropertiesStatement(table, keys) =>
       val path = resolveTablePath(table)

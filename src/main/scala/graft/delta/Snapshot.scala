@@ -104,15 +104,31 @@ object DeltaTable {
     val tablePath = new Path(path)
     val fs = LogSegment.fs(spark, tablePath)
     val logPath = new Path(tablePath, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // commit timestamp: the monotonic commitInfo.inCommitTimestamp when
+    // the table writes them (clock-skew-proof, survives file copies),
+    // else the commit file's mtime (the classic Delta behavior)
+    def ictOf(st: org.apache.hadoop.fs.FileStatus): Option[Long] = {
+      val in = fs.open(st.getPath)
+      val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().find(_.nonEmpty) finally in.close()
+      first.map(mapper.readTree).flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+    }
     val commits = fs.listStatus(logPath).toSeq
       .flatMap(st => LogSegment.commitVersion(st.getPath.getName)
-        .map(v => (v, st.getModificationTime)))
+        .map(v => (v, st)))
       .sortBy(_._1)
-    val eligible = commits.filter(_._2 <= timestampMillis)
+    val ictAnywhere = commits.lastOption.exists(c => ictOf(c._2).isDefined)
+    val stamped = commits.map { case (v, st) =>
+      (v, (if (ictAnywhere) ictOf(st) else None)
+        .getOrElse(st.getModificationTime))
+    }
+    val eligible = stamped.filter(_._2 <= timestampMillis)
     if (eligible.isEmpty)
       throw new IllegalArgumentException(
         s"No table version at or before timestamp $timestampMillis " +
-          s"(earliest commit: ${commits.headOption.map(_._2)})")
+          s"(earliest commit: ${stamped.headOption.map(_._2)})")
     forPath(spark, path, Some(eligible.map(_._1).max))
   }
 }

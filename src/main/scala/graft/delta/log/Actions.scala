@@ -119,6 +119,18 @@ object Actions {
     StructField("version", LongType),
     StructField("lastUpdated", LongType)))
 
+  /** V2-checkpoint actions (Delta PROTOCOL.md, "V2 Spec" checkpoints):
+    * the top-level UUID-named checkpoint file carries non-file actions
+    * plus `sidecar` references; the file actions (add/remove) live in
+    * the referenced parquet files under `_delta_log/_sidecars/`. */
+  val sidecarSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)))
+
+  val checkpointMetadataSchema: StructType = StructType(Seq(
+    StructField("version", LongType)))
+
   /** Schema for reading raw commit/checkpoint action rows with Spark. */
   val logSchema: StructType = StructType(Seq(
     StructField("add", addSchema),
@@ -126,4 +138,13 @@ object Actions {
     StructField("metaData", metaDataSchema),
     StructField("protocol", protocolSchema),
     StructField("txn", txnSchema)))
+
+  /** Schema for reading a V2 (UUID-named) top-level checkpoint file:
+    * the classic actions plus the v2-only ones. Kept separate from
+    * [[logSchema]] so commit JSON, classic checkpoints, and the raw
+    * log-actions surface keep their exact shapes. */
+  val v2CheckpointSchema: StructType = StructType(
+    logSchema.fields :+
+      StructField("sidecar", sidecarSchema) :+
+      StructField("checkpointMetadata", checkpointMetadataSchema))
 }

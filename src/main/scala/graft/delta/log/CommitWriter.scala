@@ -49,14 +49,17 @@ object CommitWriter {
       configuration = configuration,
       createdTime = Some(System.currentTimeMillis()))
     val adds = writeFiles(spark, df, tablePath, partitionColumns)
-    // a table born with delta.enableDeletionVectors=true must declare
-    // the feature from version 0 — a legacy reader would otherwise
-    // silently resurrect DV-deleted rows later
-    val proto =
-      if (configuration.get("delta.enableDeletionVectors")
-          .exists(_.equalsIgnoreCase("true")))
-        ProtocolSupport.withDeletionVectors(Protocol()).getOrElse(Protocol())
-      else Protocol()
+    // a table born with a feature-gated property must declare the
+    // feature from version 0 (a legacy reader would otherwise silently
+    // resurrect DV-deleted rows; a legacy writer would skip ICTs)
+    def on(key: String) =
+      configuration.get(key).exists(_.equalsIgnoreCase("true"))
+    var proto = Protocol()
+    if (on("delta.enableDeletionVectors"))
+      proto = ProtocolSupport.withDeletionVectors(proto).getOrElse(proto)
+    if (on("delta.enableInCommitTimestamps"))
+      proto = ProtocolSupport.withWriterFeature(proto, "inCommitTimestamp")
+        .getOrElse(proto)
     commit(spark, tablePath, 0L,
       Seq(protocolJson(proto), metadataJson(meta)) ++ adds.map(addJson),
       operation = "CREATE TABLE AS SELECT")
@@ -366,6 +369,51 @@ object CommitWriter {
     }
   }
 
+  /** True when this commit lands on (or establishes) a table with
+    * `delta.enableInCommitTimestamps=true`: the metadata action inside
+    * the commit wins (creation / property flip), else the current log
+    * metadata. */
+  private def ictEnabled(spark: SparkSession, tablePath: String,
+      version: Long,
+      inlineMeta: Option[com.fasterxml.jackson.databind.JsonNode]): Boolean =
+    inlineMeta match {
+      case Some(md) =>
+        Option(md.get("configuration")).flatMap(c =>
+          Option(c.get("delta.enableInCommitTimestamps"))).exists(n =>
+          n.asText().equalsIgnoreCase("true"))
+      case None if version == 0 => false
+      case None =>
+        val segment = LogSegment.forTable(spark, new Path(tablePath))
+        Replay.metadataAndProtocol(spark, segment)._1
+          .configuration.get("delta.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true"))
+    }
+
+  /** The in-commit timestamp the NEXT commit to this table will carry —
+    * used by the ICT enablement path to record matching
+    * `delta.inCommitTimestampEnablement*` properties. */
+  def nextIct(spark: SparkSession, tablePath: String): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val fs = LogSegment.fs(spark, new Path(tablePath))
+    val logPath = new Path(new Path(tablePath), "_delta_log")
+    math.max(System.currentTimeMillis(),
+      parentIct(fs, logPath, segment.version + 1).map(_ + 1)
+        .getOrElse(Long.MinValue))
+  }
+
+  /** The parent commit's inCommitTimestamp (for monotonicity). */
+  private def parentIct(fs: org.apache.hadoop.fs.FileSystem,
+      logPath: Path, version: Long): Option[Long] = {
+    if (version == 0) return None
+    val prev = new Path(logPath, LogSegment.commitFileName(version - 1))
+    if (!fs.exists(prev)) return None // checkpointed-away parent
+    val in = fs.open(prev)
+    val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().find(_.nonEmpty) finally in.close()
+    first.map(mapper.readTree).flatMap(n => Option(n.get("commitInfo")))
+      .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+  }
+
   /** Write the action lines of `version` atomically (create-no-overwrite,
     * the A22 semantics). */
   def commit(spark: SparkSession, tablePath: String, version: Long,
@@ -380,6 +428,28 @@ object CommitWriter {
     ci.put("timestamp", System.currentTimeMillis())
     ci.put("operation", operation)
     ci.put("engineInfo", "graft/0.1.0")
+    val inlineMeta = actionLines.filter(_.contains("\"metaData\""))
+      .flatMap(l => Option(mapper.readTree(l).get("metaData"))).lastOption
+    if (ictEnabled(spark, tablePath, version, inlineMeta)) {
+      // monotonic even under wall-clock skew: never at or below the
+      // parent's ICT. commitInfo is already the FIRST action, as the
+      // inCommitTimestamp spec requires. An enablement commit (property
+      // flip mid-life) declares its own ICT in the metadata properties
+      // — that declared value IS this commit's timestamp so the two
+      // never diverge.
+      val declared = inlineMeta
+        .flatMap(md => Option(md.get("configuration")))
+        .filter(c => Option(
+          c.get("delta.inCommitTimestampEnablementVersion"))
+          .exists(_.asText().toLong == version))
+        .flatMap(c => Option(
+          c.get("delta.inCommitTimestampEnablementTimestamp"))
+          .map(_.asText().toLong))
+      val ict = math.max(
+        declared.getOrElse(System.currentTimeMillis()),
+        parentIct(fs, logPath, version).map(_ + 1).getOrElse(Long.MinValue))
+      ci.put("inCommitTimestamp", ict)
+    }
     val payload = (info.toString +: actionLines).mkString("", "\n", "\n")
     val uri = fs.makeQualified(commitPath).toUri
     if (uri.getScheme == "file") {
@@ -438,6 +508,13 @@ object CommitWriter {
     // domainMetadata), and a checkpoint that drops them corrupts the
     // table — same fail-closed gate as data writes
     ProtocolSupport.assertWritable(tablePath, meta, proto)
+    // v2Checkpoint tables require UUID-named sidecar checkpoints; a
+    // classic checkpoint here would be a non-compliant artifact other
+    // readers could prefer over the real one. Commits stay allowed
+    // (checkpointing is optional); only this entry point refuses.
+    require(!proto.writerFeatures.getOrElse(Nil).contains("v2Checkpoint"),
+      s"Table $tablePath declares v2Checkpoint: writing a classic " +
+        "checkpoint would violate the table's checkpoint format contract")
     val live = Replay.liveFiles(spark, segment)
 
     val nullAdd = lit(null).cast(Actions.addSchema)

@@ -18,7 +18,8 @@ final case class LogSegment(
     version: Long,
     checkpointVersion: Option[Long],
     checkpointFiles: Seq[FileStatus],
-    commitFiles: Seq[FileStatus]) { // ascending version order
+    commitFiles: Seq[FileStatus], // ascending version order
+    checkpointIsV2: Boolean = false) { // UUID-named, sidecar-bearing
 
   def logPath: Path = new Path(tablePath, "_delta_log")
 }
@@ -28,6 +29,9 @@ object LogSegment {
   private val checkpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
   private val multiCheckpointRe =
     """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  /** V2 ("UUID-named") checkpoints: <v>.checkpoint.<uuid>.{parquet|json} */
+  private val v2CheckpointRe =
+    """^(\d{20})\.checkpoint\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.(parquet|json)$""".r
 
   def commitFileName(version: Long): String = f"$version%020d.json"
   def checkpointFileName(version: Long): String =
@@ -70,7 +74,16 @@ object LogSegment {
       case ((v, parts), sts) if sts.size == parts =>
         v -> sts.sortBy(_._3.getPath.getName).map(_._3)
     }
-    val checkpoints = (singleCps ++ multiCps).toMap
+    val v2Cps = entries.flatMap { st =>
+      st.getPath.getName match {
+        case v2CheckpointRe(v, _, _) => Some(v.toLong -> Seq(st))
+        case _ => None
+      }
+    }
+    // a v2 checkpoint wins over a classic one at the same version (the
+    // classic form at that version is a compatibility copy)
+    val checkpoints = (singleCps ++ multiCps).toMap ++ v2Cps.toMap
+    val v2Versions = v2Cps.map(_._1).toSet
 
     if (commits.isEmpty && checkpoints.isEmpty)
       throw new IllegalArgumentException(s"Empty _delta_log at $tablePath")
@@ -98,7 +111,8 @@ object LogSegment {
         s"Gap in _delta_log: have versions $versions, expected $expected")
 
     LogSegment(tablePath, target, cpVersion,
-      cpVersion.map(checkpoints).getOrElse(Seq.empty), tail.map(_._2))
+      cpVersion.map(checkpoints).getOrElse(Seq.empty), tail.map(_._2),
+      checkpointIsV2 = cpVersion.exists(v2Versions.contains))
   }
 
   /** Read `_last_checkpoint`, if present (used as a listing shortcut by

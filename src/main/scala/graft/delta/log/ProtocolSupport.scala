@@ -21,10 +21,16 @@ import Actions.{Metadata, Protocol}
   */
 object ProtocolSupport {
 
-  /** Reader features implemented end-to-end in this engine. */
+  /** Reader features implemented end-to-end in this engine.
+    * `v2Checkpoint`: UUID-named sidecar checkpoints replay natively
+    * ([[Replay]] resolves the manifest + `_sidecars`); the writer
+    * obligation is honored by REFUSING to write a classic checkpoint
+    * into a v2 table ([[CommitWriter.checkpoint]]) — commits are fine
+    * (checkpointing is optional), a wrong-format checkpoint is not. */
   val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "timestampNtz",
-    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck",
+    "v2Checkpoint")
 
   /** Writer features this engine honors at commit time. `appendOnly`
     * is enforced at the commit choke point; `invariants` and
@@ -38,7 +44,13 @@ object ProtocolSupport {
     // changeDataFeed's writer obligation (cdc actions on data-changing
     // commits when the property is on) is honored fail-closed below:
     // such commits are refused outright, appends need no cdc actions
-    "changeDataFeed")
+    "changeDataFeed",
+    // v2Checkpoint's writer obligation (checkpoints must be v2) is
+    // honored fail-closed in CommitWriter.checkpoint
+    "v2Checkpoint",
+    // monotonic commitInfo.inCommitTimestamp, stamped at the commit
+    // choke point when delta.enableInCommitTimestamps=true
+    "inCommitTimestamp")
 
   /** Legacy writer versions imply feature sets without naming them;
     * upgrading to the table-features protocol must enumerate them so
@@ -53,6 +65,19 @@ object ProtocolSupport {
 
   private def impliedReaderFeatures(minReaderVersion: Int): Seq[String] =
     if (minReaderVersion >= 2) Seq("columnMapping") else Nil
+
+  /** The protocol a table needs before commits may carry `feature` (a
+    * WRITER-only feature, e.g. `inCommitTimestamp`): minWriter 7 with
+    * the feature declared, legacy-implied features enumerated, reader
+    * side untouched. `None` when already declared. */
+  def withWriterFeature(p: Protocol, feature: String): Option[Protocol] = {
+    val writers = (if (p.minWriterVersion >= 7)
+        p.writerFeatures.getOrElse(Nil)
+      else impliedWriterFeatures(p.minWriterVersion)).toSet
+    if (writers.contains(feature)) None
+    else Some(p.copy(minWriterVersion = 7,
+      writerFeatures = Some((writers + feature).toSeq.sorted)))
+  }
 
   /** The protocol a table needs before deletion vectors may be written:
     * reader 3 / writer 7 with `deletionVectors` in BOTH feature lists

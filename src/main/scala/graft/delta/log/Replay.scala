@@ -23,13 +23,54 @@ object Replay {
   /** All actions in the segment, stamped with their commit version.
     * Checkpoint rows get the checkpoint version; commit rows parse their
     * version out of the file name. */
+  /** The segment's checkpoint as logSchema-shaped action rows. Classic
+    * and multipart checkpoints read directly; a V2 (UUID-named)
+    * checkpoint reads its top-level file for the non-file actions and
+    * the `sidecar` references, then the sidecar parquet files under
+    * `_delta_log/_sidecars/` for the add/remove actions. */
+  private def checkpointDF(spark: SparkSession,
+      segment: LogSegment): DataFrame = {
+    val paths = segment.checkpointFiles.map(_.getPath.toString)
+    if (!segment.checkpointIsV2)
+      return spark.read.schema(Actions.logSchema).parquet(paths: _*)
+
+    val top =
+      if (paths.head.endsWith(".json"))
+        spark.read.schema(Actions.v2CheckpointSchema).json(paths: _*)
+      else
+        spark.read.schema(Actions.v2CheckpointSchema).parquet(paths: _*)
+    // fail closed on a mislabeled manifest: the embedded version must
+    // match the file-name version when present
+    val cpMeta = top.where(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").collect()
+    cpMeta.foreach { r =>
+      require(r.isNullAt(0) ||
+        segment.checkpointVersion.contains(r.getLong(0)),
+        s"v2 checkpoint manifest declares version ${r.getLong(0)} but " +
+          s"is named for version ${segment.checkpointVersion.orNull}")
+    }
+    val logCols = Actions.logSchema.fieldNames.toIndexedSeq.map(col)
+    val nonFile = top
+      .where(col("sidecar").isNull && col("checkpointMetadata").isNull)
+      .select(logCols: _*)
+    val sidecarDir = new Path(segment.logPath, "_sidecars")
+    val sidecars = top.where(col("sidecar.path").isNotNull)
+      .select("sidecar.path").collect().map(_.getString(0))
+      .map { p =>
+        // spec: a file name relative to _delta_log/_sidecars/, or an
+        // absolute path/URI
+        if (p.contains("/")) p else new Path(sidecarDir, p).toString
+      }
+    if (sidecars.isEmpty) nonFile
+    else nonFile.unionByName(
+      spark.read.schema(Actions.logSchema).parquet(sidecars.toIndexedSeq: _*))
+  }
+
   def actionsDF(spark: SparkSession, segment: LogSegment): DataFrame = {
     val cp = segment.checkpointFiles match {
       case Seq() => None
-      case files =>
-        Some(spark.read
-          .schema(Actions.logSchema)
-          .parquet(files.map(_.getPath.toString): _*)
+      case _ =>
+        Some(checkpointDF(spark, segment)
           .withColumn("commit_version", lit(segment.checkpointVersion.get)))
     }
     val commits = segment.commitFiles match {
@@ -313,9 +354,7 @@ object Replay {
       }
     }
     if ((meta.isEmpty || proto.isEmpty) && segment.checkpointFiles.nonEmpty) {
-      val cp = spark.read
-        .schema(Actions.logSchema)
-        .parquet(segment.checkpointFiles.map(_.getPath.toString): _*)
+      val cp = checkpointDF(spark, segment)
       if (meta.isEmpty) {
         val rows = cp.where(col("metaData").isNotNull)
           .select(to_json(col("metaData")).as("j")).limit(1).collect()

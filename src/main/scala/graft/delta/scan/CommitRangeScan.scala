@@ -100,6 +100,11 @@ object CommitRangeScan {
       .getLines().toVector finally in.close()
     lines.iterator.filter(_.nonEmpty).map(mapper.readTree)
       .collectFirst {
+        // inCommitTimestamp (when the table writes them) IS the commit
+        // timestamp per spec; commitInfo.timestamp otherwise
+        case n if n.has("commitInfo") &&
+            n.get("commitInfo").has("inCommitTimestamp") =>
+          n.get("commitInfo").get("inCommitTimestamp").asLong()
         case n if n.has("commitInfo") &&
             n.get("commitInfo").has("timestamp") =>
           n.get("commitInfo").get("timestamp").asLong()

@@ -133,6 +133,109 @@ class CheckpointSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
   }
 
+  test("v2 (UUID-named) checkpoint with sidecars replays natively") {
+    val p = tmp("v2cp")
+    CommitWriter.createTable(spark,
+      region.filter(col("r_regionkey") < 3), p) // v0
+    CommitWriter.append(spark,
+      region.filter(col("r_regionkey") >= 3), p) // v1
+    val snap1 = DeltaTable.forPath(spark, p)
+    val fs = LogSegment.fs(spark, new Path(p))
+    val logDir = new Path(p, "_delta_log")
+
+    // sidecar: the live add actions as a single parquet file under
+    // _delta_log/_sidecars/<uuid>.parquet
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val staging = new Path(p, ".v2cp_staging")
+    spark.read.schema(Actions.logSchema)
+      .json(new Path(logDir, "*.json").toString)
+      .where(col("add").isNotNull)
+      .select(Actions.logSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(logDir, "_sidecars"))
+    assert(fs.rename(part, new Path(new Path(logDir, "_sidecars"), sidecarName)))
+    fs.delete(staging, true)
+
+    // top-level manifest as a JSON v2 checkpoint: protocol (declaring
+    // v2Checkpoint), metaData, checkpointMetadata, sidecar reference
+    val proto = Actions.Protocol(3, 7,
+      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))
+    val manifest = Seq(
+      CommitWriter.protocolJson(proto),
+      CommitWriter.metadataJson(snap1.metadata),
+      """{"checkpointMetadata":{"version":1}}""",
+      s"""{"sidecar":{"path":"$sidecarName","sizeInBytes":1,"modificationTime":0}}"""
+    ).mkString("\n")
+    val cpName = f"${1L}%020d.checkpoint.${java.util.UUID.randomUUID()}.json"
+    val out = fs.create(new Path(logDir, cpName), false)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+
+    // drop the commit JSONs: replay must now come from the v2 checkpoint
+    fs.delete(new Path(logDir, f"${0L}%020d.json"), false)
+    fs.delete(new Path(logDir, f"${1L}%020d.json"), false)
+
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.segment.checkpointIsV2)
+    assert(snap.version == 1)
+    assert(snap.protocol.readerFeatures.get.contains("v2Checkpoint"))
+    assert(snap.read.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+
+    // appends remain allowed on a v2 table; classic checkpoints refuse
+    CommitWriter.append(spark, region.limit(1), p) // v2
+    assert(DeltaTable.forPath(spark, p).read.count() == region.count() + 1)
+    val err = intercept[IllegalArgumentException] {
+      CommitWriter.checkpoint(spark, p)
+    }
+    assert(err.getMessage.contains("v2Checkpoint"))
+  }
+
+  test("v2 checkpoint with a PARQUET manifest replays too") {
+    val p = tmp("v2cp_parq")
+    CommitWriter.createTable(spark, region, p) // v0
+    val snap0 = DeltaTable.forPath(spark, p)
+    val fs = LogSegment.fs(spark, new Path(p))
+    val logDir = new Path(p, "_delta_log")
+
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val staging = new Path(p, ".v2cp_staging")
+    def moveSinglePart(target: Path): Unit = {
+      val part = fs.listStatus(staging).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      assert(fs.rename(part, target))
+      fs.delete(staging, true)
+    }
+    spark.read.schema(Actions.logSchema)
+      .json(new Path(logDir, "*.json").toString)
+      .where(col("add").isNotNull)
+      .select(Actions.logSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(new Path(logDir, "_sidecars"))
+    moveSinglePart(new Path(new Path(logDir, "_sidecars"), sidecarName))
+
+    val proto = Actions.Protocol(3, 7,
+      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))
+    val manifestLines = Seq(
+      CommitWriter.protocolJson(proto),
+      CommitWriter.metadataJson(snap0.metadata),
+      """{"checkpointMetadata":{"version":0}}""",
+      s"""{"sidecar":{"path":"$sidecarName","sizeInBytes":1,"modificationTime":0}}""")
+    import spark.implicits._
+    spark.read.schema(Actions.v2CheckpointSchema)
+      .json(spark.createDataset(manifestLines))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    moveSinglePart(new Path(logDir,
+      f"${0L}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+    fs.delete(new Path(logDir, f"${0L}%020d.json"), false)
+
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.segment.checkpointIsV2)
+    assert(snap.read.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
   test("recreating a table at the same path invalidates the replay cache") {
     val p = tmp("cache_identity")
     CommitWriter.createTable(spark, region.limit(3), p)

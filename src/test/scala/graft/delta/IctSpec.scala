@@ -1,0 +1,98 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.{CommitWriter, LogSegment}
+
+/** In-commit timestamps (writer feature `inCommitTimestamp`):
+  * monotonic commitInfo.inCommitTimestamp stamped at the commit choke
+  * point, preferred over file mtimes for timestamp time travel and the
+  * change feed — the clock-skew-proof form that survives log copies. */
+class IctSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_ict_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val region = spark.read.parquet(s"$sf/region.parquet")
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def ictOf(p: String, v: Long): Option[Long] = {
+    val fs = LogSegment.fs(spark, new Path(p))
+    val commit = new Path(new Path(p, "_delta_log"),
+      LogSegment.commitFileName(v))
+    val in = fs.open(commit)
+    val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().find(_.nonEmpty) finally in.close()
+    first.map(mapper.readTree).flatMap(n => Option(n.get("commitInfo")))
+      .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+  }
+
+  test("ICT table stamps monotonic in-commit timestamps from birth") {
+    val p = tmp("birth")
+    CommitWriter.createTable(spark, region.limit(2), p,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    CommitWriter.append(spark, region.limit(1), p)
+    CommitWriter.append(spark, region.limit(1), p)
+
+    val proto = DeltaTable.forPath(spark, p).protocol
+    assert(proto.minWriterVersion == 7)
+    assert(proto.writerFeatures.get.contains("inCommitTimestamp"))
+
+    val icts = (0L to 2L).map(v => ictOf(p, v).get)
+    assert(icts == icts.sorted && icts.distinct == icts,
+      s"ICTs not strictly increasing: $icts")
+  }
+
+  test("timestampAsOf resolves via ICT, ignoring bogus file mtimes") {
+    val p = tmp("travel")
+    CommitWriter.createTable(spark, region.limit(1), p,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    Thread.sleep(5)
+    CommitWriter.append(spark, region.limit(2), p)
+    val ict0 = ictOf(p, 0).get
+    val ict1 = ictOf(p, 1).get
+    assert(ict1 > ict0)
+
+    // corrupt the mtimes (as a log copy would): ICT must still win
+    val fs = LogSegment.fs(spark, new Path(p))
+    val logDir = new Path(p, "_delta_log")
+    fs.setTimes(new Path(logDir, LogSegment.commitFileName(0)), 5000L, -1)
+    fs.setTimes(new Path(logDir, LogSegment.commitFileName(1)), 1000L, -1)
+
+    assert(DeltaTable.forPathAtTimestamp(spark, p, ict0).version == 0)
+    assert(DeltaTable.forPathAtTimestamp(spark, p, ict1 - 1).version == 0)
+    assert(DeltaTable.forPathAtTimestamp(spark, p, ict1).version == 1)
+    // the change feed's commit timestamp is the ICT too
+    assert(graft.delta.scan.CommitRangeScan
+      .commitTimestampMillis(spark, p, 1) == ict1)
+  }
+
+  test("mid-life enablement records matching enablement properties") {
+    val p = tmp("enable")
+    CommitWriter.createTable(spark, region.limit(2), p) // legacy table
+    CommitWriter.append(spark, region.limit(1), p)
+    assert(ictOf(p, 1).isEmpty) // not enabled yet
+
+    val g = graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.enableInCommitTimestamps' = 'true')") // v2
+    val snap = DeltaTable.forPath(spark, p)
+    val cfg = snap.metadata.configuration
+    assert(cfg("delta.inCommitTimestampEnablementVersion") == "2")
+    // the declared enablement timestamp IS the enabling commit's ICT
+    assert(ictOf(p, 2).contains(
+      cfg("delta.inCommitTimestampEnablementTimestamp").toLong))
+    assert(snap.protocol.writerFeatures.get.contains("inCommitTimestamp"))
+
+    // later commits keep stamping
+    CommitWriter.append(spark, region.limit(1), p) // v3
+    assert(ictOf(p, 3).get > ictOf(p, 2).get)
+  }
+}

@@ -38,16 +38,16 @@ class ProtocolSpec extends AnyFunSuite {
       operation = "SET METADATA")
   }
 
-  test("reads refuse unknown reader features (v2Checkpoint)") {
+  test("reads refuse unknown reader features") {
     val path = tmpTable("proto_read")
     CommitWriter.createTable(spark, region, path)
     upgradeProtocol(path, Protocol(3, 7,
-      Some(Seq("deletionVectors", "v2Checkpoint")),
-      Some(Seq("deletionVectors", "v2Checkpoint"))))
+      Some(Seq("deletionVectors", "futureColumnarFormat")),
+      Some(Seq("deletionVectors", "futureColumnarFormat"))))
     val e = intercept[IllegalArgumentException] {
       DeltaTable.forPath(spark, path)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("futureColumnarFormat"))
     assert(!e.getMessage.contains("deletionVectors"),
       "supported feature wrongly reported as unknown")
   }
@@ -239,7 +239,7 @@ class ProtocolSpec extends AnyFunSuite {
     val path = tmpTable("proto_timetravel")
     CommitWriter.createTable(spark, region, path) // v0: plain
     upgradeProtocol(path, Protocol(3, 7, // v1: beyond this engine
-      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint"))))
+      Some(Seq("futureColumnarFormat")), Some(Seq("futureColumnarFormat"))))
     intercept[IllegalArgumentException] { DeltaTable.forPath(spark, path) }
     // the gate binds to the protocol AS OF the resolved version, so
     // history from before the upgrade stays readable
