@@ -96,6 +96,50 @@ object StreamingQueries {
         .orderBy("event_id")
     },
 
+    // Stream-stream INTERVAL join — click→purchase attribution, the
+    // canonical two-stream shape: both sides watermarked, the join
+    // condition carries an event-time range, so the click-side state a
+    // row can match against is bounded by (range + watermark delay),
+    // never the stream's lifetime. The feed splits at the time midpoint
+    // so cross-batch matches must come from the join's keyed state.
+    // Inner-join results emit on match (watermark governs eviction),
+    // so the memory sink holds exactly the relational join the oracle
+    // recomputes.
+    Q("q_stream_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        | c.user_id,
+        | CAST(p.value AS DOUBLE) AS purchase_value
+        |FROM events c JOIN events p
+        | ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val feed = EventsStream.joinFeedDir(s, dir)
+      EventsStream.runToMemory(s,
+        ss => {
+          def side(tpe: String, prefix: String) =
+            EventsStream.readFeed(ss, dir, feed)
+              .where(col("event_type") === tpe)
+              .withWatermark("event_time",
+                s"${EventsStream.WatermarkDelaySec} seconds")
+              .select(col("event_id").as(s"${prefix}_event_id"),
+                col("user_id").as(s"${prefix}_user_id"),
+                col("event_time").as(s"${prefix}_time"),
+                col("value").as(s"${prefix}_value"))
+          side("click", "c").join(side("purchase", "p"),
+            col("c_user_id") === col("p_user_id") &&
+              col("p_time") >= col("c_time") &&
+              col("p_time") <= col("c_time") + expr("INTERVAL 12 HOURS"))
+            .select(col("c_event_id").as("click_id"),
+              col("p_event_id").as("purchase_id"),
+              col("c_user_id").as("user_id"),
+              col("p_value").cast("double").as("purchase_value"))
+        },
+        s"stream_join_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        OutputMode.Append())
+        .orderBy("click_id", "purchase_id")
+    },
+
     // Streaming SOURCE over a Delta table (readStream.format("graftdelta")):
     // maxVersionsPerTrigger=1 forces the incremental path — batch 0 is the
     // v0 snapshot, batch 1 replays exactly the files commit 1 added — so

@@ -124,6 +124,29 @@ object EventsStream {
     dst.setLastModified(mtime)
   }
 
+  /** Build (once) a two-file feed split at the time midpoint: the
+    * stream-stream join reads each file as its own micro-batch, so
+    * matches whose click and purchase land in DIFFERENT batches must
+    * come out of the join's keyed state — the cross-batch case a
+    * single-batch feed would never exercise. */
+  def joinFeedDir(spark: SparkSession, sfDir: String): String = {
+    val feedDir = s"target/stream_join_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val done = new java.io.File(s"$feedDir/_FEED_READY")
+    if (!done.exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val mm = ev.agg(min("ts"), max("ts")).head
+      val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+      val base = System.currentTimeMillis() - 60000
+      writeFeedFile(feedDir, ev.where(col("ts") <= mid),
+        "00_first_half.parquet", base)
+      writeFeedFile(feedDir, ev.where(col("ts") > mid),
+        "01_second_half.parquet", base + 10000)
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    feedDir
+  }
+
   /** Build (once) a duplicate-delivery feed: file 0 carries every event
     * TWICE (in-batch duplicates — the upstream retry shape), file 1
     * redelivers the whole fixture again (cross-batch duplicates — the
