@@ -215,11 +215,56 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
-    // IVF ANN: centroids = deterministic seeds (vec_id % 50 == 0),
-    // assignment by max dot product, probe scans nprobe=8 clusters
-    Q.noOracle("q_sim_ann_ivf") { (s, dir) =>
+    // IVF ANN: centroids = deterministic seeds (vec_id % 50 == 0)
+    // refined by fixed Lloyd passes, assignment by max dot product,
+    // probe scans nprobe=8 clusters. The oracle REPLAYS the whole
+    // search in DuckDB against the same materialized index+centroids
+    // (read via the stable `ivf_current` alias, refreshed by
+    // ivfIndexPath before the oracle runs): rank centroids by dot
+    // product, prune to nprobe, rerank the identical candidate set
+    // with the identical left-assoc cosine — a full content check,
+    // not rows-only. Index-build correctness (assignment quality) is
+    // separately asserted via recall@20 in SimilaritySpec.
+    Q("q_sim_ann_ivf",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${IvfOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |)
+         |SELECT i.vec_id, i.label,
+         |  (${dotSql("i.embedding", "pv")}) /
+         |    (${normSql("i.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM read_parquet('$IvfOracleAlias/*/*.parquet',
+         |       hive_partitioning=true) i
+         |JOIN probed ON CAST(i.cid AS BIGINT) = probed.cid
+         |CROSS JOIN probe
+         |WHERE i.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
       annIvf(s, dir, probeId = 0, k = 20, nprobe = 8)
     })
+
+  /** Stable alias the static oracle SQL reads: a symlink refreshed by
+    * ivfIndexPath to whatever sf's index the query last built, so one
+    * fixed path serves every scale factor (the query always runs
+    * before its oracle). */
+  final val IvfOracleAlias =
+    "/root/repo/target/delta_fixtures/ivf_current"
+
+  private def refreshAlias(alias: String, target: String): Unit = {
+    val a = java.nio.file.Paths.get(alias)
+    val t = java.nio.file.Paths.get(target)
+    val stale = !java.nio.file.Files.isSymbolicLink(a) ||
+      java.nio.file.Files.readSymbolicLink(a) != t
+    if (stale) {
+      java.nio.file.Files.deleteIfExists(a)
+      java.nio.file.Files.createSymbolicLink(a, t)
+    }
+  }
 
   /** Build-once IVF index: deterministic seeds (every 50th vector)
     * refined by one k-means pass — assign to nearest seed by dot
@@ -264,6 +309,8 @@ object SimilarityQueries {
         assign(s.read.parquet(ivfCentroidsPath(path)))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
       }
+      refreshAlias(IvfOracleAlias, path)
+      refreshAlias(IvfOracleAlias + "_centroids", ivfCentroidsPath(path))
     }
     path
   }
