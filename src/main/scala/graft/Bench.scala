@@ -172,7 +172,7 @@ object Bench {
     try q.processAllAvailable() finally q.stop()
   }
 
-  private def queriesWarmup(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def queriesWarmup(spark: SparkSession, sfDir: String): Unit = {
     import graft.queries.DeltaQueries
     try {
       DeltaQueries.basicTable(spark, sfDir)

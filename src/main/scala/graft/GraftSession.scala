@@ -186,9 +186,12 @@ final class GraftSession(val spark: SparkSession) {
       }
       // enabling a feature-gated property upgrades the protocol IN THE
       // SAME COMMIT: the feature must be declared before any writer
-      // may rely on it
+      // may rely on it. Keys match EXACTLY: Delta table property keys
+      // are case-sensitive, and the readers (dvEnabled/ictEnabled) look
+      // up the canonical spelling — a case-insensitive match here would
+      // declare the feature while never activating the behavior
       def enabling(key: String) = props.exists { case (k, v) =>
-        k.equalsIgnoreCase(key) && v.equalsIgnoreCase("true") }
+        k == key && v.equalsIgnoreCase("true") }
       val dvUpgrade =
         if (enabling("delta.enableDeletionVectors"))
           graft.delta.log.ProtocolSupport.withDeletionVectors(snap.protocol)
@@ -200,11 +203,18 @@ final class GraftSession(val spark: SparkSession) {
         else None
       // a mid-life ICT flip records WHEN it took effect, so readers
       // know to use file mtimes before this version and ICTs after;
-      // the declared timestamp becomes this very commit's ICT
+      // the declared timestamp becomes this very commit's ICT. A table
+      // that has had ICT since creation carries NO enablement props —
+      // writing them now (per spec: "ICT was enabled mid-life") would
+      // make compliant readers distrust every earlier commit's ICT — so
+      // a redundant re-SET on an already-enabled table records nothing.
+      val alreadyIct = snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true"))
       val ictProps: Map[String, String] =
-        if (ictUpgrade.isDefined || (enabling("delta.enableInCommitTimestamps")
+        if (enabling("delta.enableInCommitTimestamps") && !alreadyIct
             && !snap.metadata.configuration
-              .contains("delta.inCommitTimestampEnablementVersion")))
+              .contains("delta.inCommitTimestampEnablementVersion"))
           Map(
             "delta.inCommitTimestampEnablementVersion" ->
               (snap.version + 1).toString,
