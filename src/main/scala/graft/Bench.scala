@@ -137,13 +137,18 @@ object Bench {
   private def streamingWarmup(spark: SparkSession, sfDir: String): Unit = {
     val warmDir = s"target/bench_stream_warm"
     val f = new java.io.File(s"$warmDir/events.parquet")
-    if (!f.exists()) {
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    if (!f.exists() || f.lastModified() < src.lastModified()) {
       val staging = s"$warmDir/.staging"
-      spark.read.parquet(s"$sfDir/events.parquet").limit(1000)
+      // normalized slice (epoch-ns long ts), matching the feed schema
+      // the streaming queries expect
+      graft.queries.T.normalizeEventTs(
+          spark.read.parquet(s"$sfDir/events.parquet")).limit(1000)
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val part = new java.io.File(staging).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, f.toPath)
+      java.nio.file.Files.move(part.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
     }
     SparkEntry.queries("q_stream_window")(spark, warmDir).count()

@@ -182,7 +182,9 @@ object DmlCommands {
     var masked = 0
     var rows = 0L
     for (w <- written) {
-      val f = info(w.fkey)
+      val f = info.getOrElse(w.fkey, throw new IllegalStateException(
+        s"deletion vector written for '${w.fkey}' but the snapshot has " +
+          "no matching AddFile — scan and log state disagree"))
       rows += w.cardinality - f.dv.map(_.cardinality).getOrElse(0L)
       actions += CommitWriter.removeJson(RemoveFile(
         f.relPath, Some(now), dataChange = true, deletionVector = f.dv))
@@ -194,13 +196,28 @@ object DmlCommands {
         actions += CommitWriter.addJson(AddFile(
           path = f.relPath, partitionValues = f.partitionValues,
           size = f.size, modificationTime = f.modificationTime,
-          dataChange = true, stats = f.stats,
+          dataChange = true, stats = f.stats.map(loosenStats),
           deletionVector = Some(DeletionVectorDescriptor("u",
             w.pathOrInlineDv, Some(w.offset), w.sizeInBytes,
             w.cardinality))))
       }
     }
     (actions.result(), masked, fullyRemoved, rows)
+  }
+
+  /** Per PROTOCOL, a file carrying a deletion vector must declare its
+    * stats non-tight: min/max/nullCount describe all PHYSICAL rows (a
+    * valid superset of the live rows), and numRecords stays the
+    * physical count. Readers that trust tight bounds would otherwise
+    * mis-prune. */
+  private def loosenStats(stats: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readTree(stats) match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.put("tightBounds", false)
+        mapper.writeValueAsString(o)
+      case _ => stats
+    }
   }
 
   /** UPDATE via deletion vectors: old row versions are masked with DVs
@@ -260,12 +277,11 @@ object DmlCommands {
       .groupBy(col(DeltaScan.FileKeyColumn))
       .agg(collect_list(col(DeltaScan.RowIndexColumn)).as("__rows"))
 
-    // resolve affected files' log entries once (one small row per file)
-    val affectedKeys = restrict(target)
-      .select(DeltaScan.FileKeyColumn).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (affectedKeys.isEmpty) return (Seq.empty, Map.empty)
-
+    // the AddFile map covers ALL snapshot files (metadata-bounded, one
+    // small row per file, already collected for the commit anyway) —
+    // deriving "affected" keys from a second restrict(target) pass
+    // would cost a full extra table scan, and under a nondeterministic
+    // predicate could even disagree with `matched`
     val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
     val qualified = fs.makeQualified(snap.tablePath)
     def normKey(rel: String): String = {
@@ -294,7 +310,7 @@ object DmlCommands {
               d.getAs[Long]("cardinality"))),
           Option(r.getAs[String]("stats")).flatMap(s =>
             Option(mapper.readTree(s).get("numRecords")).map(_.asLong())))
-      }.filter { case (k, _) => affectedKeys.contains(k) }.toMap
+      }.toMap
 
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())

@@ -369,6 +369,15 @@ object CommitWriter {
     }
   }
 
+  /** Per-table (commit version -> ICT flag) memo: the flag for version
+    * N+1 is known the moment version N lands (this process wrote it),
+    * so sequential appends/DML pay the log listing + metadata replay
+    * once, not per commit. Keying by the exact version keeps it safe
+    * under concurrent external writers: if another engine steals
+    * version N+1, our retry at N+2 misses the memo and re-resolves. */
+  private val ictFlagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+
   /** True when this commit lands on (or establishes) a table with
     * `delta.enableInCommitTimestamps=true`: the metadata action inside
     * the commit wins (creation / property flip), else the current log
@@ -383,10 +392,14 @@ object CommitWriter {
           n.asText().equalsIgnoreCase("true"))
       case None if version == 0 => false
       case None =>
-        val segment = LogSegment.forTable(spark, new Path(tablePath))
-        Replay.metadataAndProtocol(spark, segment)._1
-          .configuration.get("delta.enableInCommitTimestamps")
-          .exists(_.equalsIgnoreCase("true"))
+        Option(ictFlagCache.get(tablePath)) match {
+          case Some((v, flag)) if v == version => flag
+          case _ =>
+            val segment = LogSegment.forTable(spark, new Path(tablePath))
+            Replay.metadataAndProtocol(spark, segment)._1
+              .configuration.get("delta.enableInCommitTimestamps")
+              .exists(_.equalsIgnoreCase("true"))
+        }
     }
 
   /** The in-commit timestamp the NEXT commit to this table will carry —
@@ -430,7 +443,8 @@ object CommitWriter {
     ci.put("engineInfo", "graft/0.1.0")
     val inlineMeta = actionLines.filter(_.contains("\"metaData\""))
       .flatMap(l => Option(mapper.readTree(l).get("metaData"))).lastOption
-    if (ictEnabled(spark, tablePath, version, inlineMeta)) {
+    val ictOn = ictEnabled(spark, tablePath, version, inlineMeta)
+    if (ictOn) {
       // monotonic even under wall-clock skew: never at or below the
       // parent's ICT. commitInfo is already the FIRST action, as the
       // inCommitTimestamp spec requires. An enablement commit (property
@@ -481,6 +495,11 @@ object CommitWriter {
       }
       try out.write(payload.getBytes("UTF-8")) finally out.close()
     }
+    // this commit defines the table state the NEXT commit reads: seed
+    // the memo so sequential writes skip the metadata re-resolution
+    // (an inline metaData action replaces configuration wholesale, so
+    // ictOn is the post-commit flag in every branch)
+    ictFlagCache.put(tablePath, (version + 1, ictOn))
   }
 
   /** Write a classic single-file checkpoint at the current version and

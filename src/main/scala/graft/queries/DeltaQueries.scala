@@ -27,13 +27,30 @@ object DeltaQueries {
     LogSegment.fs(spark, p).exists(p)
   }
 
+  /** Newest source-parquet mtime under sfDir: the driver regenerates
+    * /root/testdata between rounds, and a fixture built from a previous
+    * drop would silently diverge from the oracle (which always reads
+    * the live parquet). */
+  private def sourceStamp(sfDir: String): Long =
+    Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified())
+      .foldLeft(0L)(math.max)
+
+  /** A fixture is stale when its version-0 commit predates the newest
+    * source file it could have been built from. */
+  private[queries] def stale(path: String, sfDir: String): Boolean = {
+    val v0 = new File(new File(path, "_delta_log"),
+      LogSegment.commitFileName(0))
+    !v0.exists() || v0.lastModified() < sourceStamp(sfDir)
+  }
+
   /** Build-once guard. Fixtures are deterministic functions of the
-    * testdata, so rebuild only when absent. */
+    * testdata, so rebuild only when absent or older than the testdata. */
   private def ensure(spark: SparkSession, sfDir: String, name: String)(
       build: String => Unit): String = {
     val path = fixtureDir(sfDir, name)
     this.synchronized {
-      if (!exists(spark, path)) {
+      if (!exists(spark, path) || stale(path, sfDir)) {
         val dir = new File(path)
         if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
         build(path)
@@ -90,7 +107,7 @@ object DeltaQueries {
 
   def checkpointedTable(s: SparkSession, sfDir: String): String = {
     this.synchronized {
-      if (!exists(s, LogDemoCpPath)) {
+      if (!exists(s, LogDemoCpPath) || stale(LogDemoCpPath, sfDir)) {
         val dir = new File(LogDemoCpPath)
         if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
         val n = s.read.parquet(s"$sfDir/nation.parquet")
@@ -109,7 +126,7 @@ object DeltaQueries {
 
   def logDemoTable(s: SparkSession, sfDir: String): String = {
     this.synchronized {
-      if (!exists(s, LogDemoPath)) {
+      if (!exists(s, LogDemoPath) || stale(LogDemoPath, sfDir)) {
         val dir = new File(LogDemoPath)
         if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
         val n = s.read.parquet(s"$sfDir/nation.parquet")
@@ -278,7 +295,7 @@ object DeltaQueries {
     val path = fixtureDir(sfDir, "merged")
     this.synchronized {
       val exists = new File(path, "_delta_log").exists()
-      val merged = exists &&
+      val merged = exists && !stale(path, sfDir) &&
         DeltaTable.forPath(s, path).version >= 1
       if (!merged) {
         if (new File(path).exists())
@@ -305,6 +322,7 @@ object DeltaQueries {
     val path = fixtureDir(sfDir, "dv_dml")
     this.synchronized {
       val done = new File(path, "_delta_log").exists() &&
+        !stale(path, sfDir) &&
         DeltaTable.forPath(s, path).version >= 2
       if (!done) {
         if (new File(path).exists())

@@ -32,12 +32,29 @@ object T {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read `ts` as raw nanosecond longs instead (oracle side uses
-    * DuckDB epoch_ns(ts)). */
+  /** events.ts as epoch-NANOSECOND longs regardless of the fixture's
+    * physical type: older data drops carry TIMESTAMP(NANOS) (readable
+    * only as raw longs via nanosAsLong), newer drops carry
+    * timestamp[us] (read as TIMESTAMP_NTZ). Downstream query
+    * arithmetic is written against epoch-ns longs, and the DuckDB
+    * oracle's epoch_ns(ts) yields the same nanos for either physical
+    * resolution, so one normalization keeps both sides agreeing. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) drop, already raw nanos
+      case TimestampNTZType | TimestampType =>
+        // NTZ -> LTZ cast follows spark.sql.session.timeZone; every
+        // session in this project pins UTC, making it shift-free and
+        // equal to DuckDB's naive-as-UTC epoch_ns
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type $other")
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    normalizeEventTs(load(spark, dir, "events"))
   }
 
   /** Exact decimal view of a double column (for order-independent sums). */

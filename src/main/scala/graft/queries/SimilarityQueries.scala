@@ -287,7 +287,12 @@ object SimilarityQueries {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_km"
     this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // rebuild when the driver regenerates the embeddings fixture (the
+      // index is a deterministic function of it; staleness would break
+      // the oracle's replay)
+      val success = new java.io.File(path, "_SUCCESS")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      if (!success.exists() || success.lastModified() < src.lastModified()) {
         val emb = load(s, dir, "embeddings")
         val seeds = emb.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))

@@ -16,17 +16,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS): streamed as raw longs and
-    * converted to a proper event-time column. */
+  /** Streamed events with `ts` normalized to epoch-ns longs (see
+    * T.normalizeEventTs — handles both the TIMESTAMP(NANOS) and the
+    * timestamp[us] fixture drops) and a proper event-time column. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    graft.queries.T.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(sfDir)
+      .parquet(sfDir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** The events fixture with ts normalized to epoch-ns longs — the form
+    * every feed file is written in, so feed schemas are stable across
+    * fixture drops. */
+  private def fixtureEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.queries.T.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** A feed cache is valid only if it was built AFTER the source
+    * fixture: the driver regenerates /root/testdata between rounds, and
+    * a feed replaying stale rows would diverge from the oracle. */
+  private def feedFresh(done: java.io.File, sfDir: String): Boolean =
+    done.exists() &&
+      done.lastModified() > new java.io.File(s"$sfDir/events.parquet")
+        .lastModified()
 
   /** Tumbling 1-minute windows per event type (complete mode → equal to
     * the batch groupBy, which is what the oracle checks). */
@@ -81,9 +99,9 @@ object EventsStream {
   def watermarkFeedDir(spark: SparkSession, sfDir: String): String = {
     val feedDir = s"target/stream_wm_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val done = new java.io.File(s"$feedDir/_FEED_READY")
-    if (!done.exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    if (!feedFresh(done, sfDir)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(feedDir))
+      val ev = fixtureEvents(spark, sfDir)
       val maxTs = ev.agg(max("ts")).head.getLong(0)
       val delayNs = WatermarkDelaySec * 1000000000L
       // margin: one window width + one extra minute past the delay
@@ -132,9 +150,9 @@ object EventsStream {
   def joinFeedDir(spark: SparkSession, sfDir: String): String = {
     val feedDir = s"target/stream_join_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val done = new java.io.File(s"$feedDir/_FEED_READY")
-    if (!done.exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    if (!feedFresh(done, sfDir)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(feedDir))
+      val ev = fixtureEvents(spark, sfDir)
       val mm = ev.agg(min("ts"), max("ts")).head
       val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
       val base = System.currentTimeMillis() - 60000
@@ -155,9 +173,9 @@ object EventsStream {
   def dedupFeedDir(spark: SparkSession, sfDir: String): String = {
     val feedDir = s"target/stream_dedup_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val done = new java.io.File(s"$feedDir/_FEED_READY")
-    if (!done.exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    if (!feedFresh(done, sfDir)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(feedDir))
+      val ev = fixtureEvents(spark, sfDir)
       // mtimes ascending but in the past (see watermarkFeedDir: a
       // future-stamped file scans empty in its batch)
       val base = System.currentTimeMillis() - 60000
@@ -168,10 +186,11 @@ object EventsStream {
     feedDir
   }
 
-  /** Streaming read of a watermark feed dir (ordered multi-file replay). */
+  /** Streaming read of a watermark feed dir (ordered multi-file replay).
+    * Feed files are always written post-normalization (ts = epoch-ns
+    * long), so the stream schema is the NORMALIZED fixture schema. */
   def readFeed(spark: SparkSession, sfDir: String, feedDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = fixtureEvents(spark, sfDir).schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
