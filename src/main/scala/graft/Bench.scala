@@ -23,6 +23,12 @@ object Bench {
       // events.parquet is TIMESTAMP(NANOS); pin the legacy-long reading at
       // session build so no timed run depends on which query set it first
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 121-query run leaks orphaned shuffle/broadcast/checkpoint
+      // blocks between queries; with a big heap the JVM may not GC for
+      // the whole run, so ContextCleaner never fires and late queries
+      // time block-manager pressure instead of themselves. Force a
+      // periodic context GC so per-query timings stay independent.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,8 +78,29 @@ object Bench {
     // total sums only succeeding queries; errored ones carry -1 in the
     // per-query map and are enumerated in "errors"
     val total = results.filter(_.error.isEmpty).map(_.median).sum
+    // FROZEN round-over-round comparison set (the 49 headline queries
+    // present in both round 4 and round 5): new queries keep landing in
+    // `queries`/`value`, but `stable_total` sums only this fixed list,
+    // so cross-round speedup/regression reads off one number. Do NOT
+    // extend this list — that is what `value` is for.
+    val stableSet = Set(
+      "deletion_vectors", "delta_scan", "file_skipping", "partition_pruning",
+      "q1_agg", "q_agg", "q_asof_join", "q_change_feed", "q_checkpoint_state",
+      "q_contamination", "q_dedup", "q_doc_rarity", "q_dup_clusters",
+      "q_edit_distance", "q_embed_near_dup", "q_embed_quantize",
+      "q_events_window", "q_join_broadcast", "q_join_inner", "q_lang_id",
+      "q_merge", "q_minhash_signatures", "q_multimodal_features",
+      "q_near_dedup", "q_ngram_jaccard", "q_pack_sequences", "q_percentile",
+      "q_range_join", "q_sim_ann_ivf", "q_sim_topk", "q_simhash", "q_sort",
+      "q_stats_agg", "q_stratified_sample", "q_stream_delta_source",
+      "q_stream_sessions", "q_stream_watermark", "q_stream_window",
+      "q_subquery_in", "q_text_stats", "q_token_count", "q_topk",
+      "q_union_all", "q_version_diff", "q_window_rank", "schema_evolution",
+      "snapshot_refresh", "time_travel", "vacuum_dry_run")
+    val stableTotal = results
+      .filter(r => r.error.isEmpty && stableSet(r.name)).map(_.median).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread,"n_errors":${failed.length},"errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread,"n_errors":${failed.length},"errors":$errJson}"""
     // the driver keeps only the last ~2000 chars of output; persist the full
     // per-query vector to a file and print a compact headline line LAST so it
     // survives the tail buffer intact and parses
@@ -118,7 +145,7 @@ object Bench {
       (shown ++ more).mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"errors":$headErrs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"errors":$headErrs}""")
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver

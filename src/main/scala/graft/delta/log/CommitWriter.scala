@@ -533,7 +533,25 @@ object CommitWriter {
     // (checkpointing is optional); only this entry point refuses.
     require(!proto.writerFeatures.getOrElse(Nil).contains("v2Checkpoint"),
       s"Table $tablePath declares v2Checkpoint: writing a classic " +
-        "checkpoint would violate the table's checkpoint format contract")
+        "checkpoint would violate the table's checkpoint format contract " +
+        "— use checkpointV2()")
+    val (fileRows, nonFileRows) = checkpointRows(spark, segment, meta, proto)
+    val all = fileRows.unionByName(nonFileRows)
+
+    writeClassicCheckpointFiles(spark, tablePath, segment, all, numParts)
+    segment.version
+  }
+
+  /** Complete replay-state rows for a checkpoint of `segment`, split as
+    * (file actions [adds ∪ unexpired remove tombstones], non-file
+    * actions [latest SetTransaction per appId + metaData + protocol]) —
+    * both in logSchema column shape. The split is what the V2 format
+    * needs (file actions go to sidecars, the rest to the manifest);
+    * classic checkpoints union the two. */
+  private def checkpointRows(spark: SparkSession, segment: LogSegment,
+      meta: Actions.Metadata, proto: Actions.Protocol)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val live = Replay.liveFiles(spark, segment)
 
     val nullAdd = lit(null).cast(Actions.addSchema)
@@ -587,8 +605,15 @@ object CommitWriter {
       .json(Seq(metadataJson(meta), protocolJson(proto)).toDS())
       .select("add", "remove", "metaData", "protocol", "txn")
 
-    val all = addRows.unionByName(removeRows).unionByName(txnRows)
-      .unionByName(pmRows)
+    (addRows.unionByName(removeRows), txnRows.unionByName(pmRows))
+  }
+
+  /** Classic checkpoint file publishing: staged parquet write, rename
+    * into place (single or multi-part), `_last_checkpoint`, stale-temp
+    * sweep. */
+  private def writeClassicCheckpointFiles(spark: SparkSession,
+      tablePath: String, segment: LogSegment, all: DataFrame,
+      numParts: Int): Unit = {
     val logPath = new Path(new Path(tablePath), "_delta_log")
     val fs = LogSegment.fs(spark, new Path(tablePath))
     val staging = new Path(logPath,
@@ -640,6 +665,99 @@ object CommitWriter {
         st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime < staleCutoff)
       .foreach(st => scala.util.Try(fs.delete(st.getPath, false)))
+  }
+
+  /** Write a V2 (UUID-named, sidecar-bearing) checkpoint at the current
+    * version. The table must declare the `v2Checkpoint` feature — the
+    * mirror gate of [[checkpoint]], which refuses on such tables.
+    *
+    * Format (Delta PROTOCOL "V2 spec checkpoints"): file actions
+    * (adds + unexpired remove tombstones) land in UUID-named parquet
+    * sidecars under `_delta_log/_sidecars/`; the top-level
+    * `<v>.checkpoint.<uuid>.parquet` manifest carries only
+    * checkpointMetadata, the sidecar references, and the non-file
+    * actions (protocol/metaData/txn). Sidecars publish before the
+    * manifest, and the manifest before `_last_checkpoint`, so a crash
+    * at any point leaves the previous checkpoint + commit tail
+    * authoritative (unreferenced sidecars are garbage, not corruption).
+    *
+    * @param numSidecars sidecar file count — the 100 TB scale knob: a
+    *   checkpoint's millions of file actions write AND replay
+    *   distributed across sidecars while the manifest stays tiny. */
+  def checkpointV2(spark: SparkSession, tablePath: String,
+      numSidecars: Int = 1): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta, proto)
+    require(proto.writerFeatures.getOrElse(Nil).contains("v2Checkpoint"),
+      s"Table $tablePath does not declare the v2Checkpoint feature: " +
+        "readers would not know to look for sidecars — write a classic " +
+        "checkpoint (checkpoint()) or declare the feature first")
+    val (fileRows, nonFileRows) = checkpointRows(spark, segment, meta, proto)
+
+    val logPath = new Path(new Path(tablePath), "_delta_log")
+    val fs = LogSegment.fs(spark, new Path(tablePath))
+    val sidecarDir = new Path(logPath, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val staging = new Path(logPath,
+      s".checkpoint_v2_staging_${UUID.randomUUID().toString.take(8)}")
+    (if (numSidecars <= 1) fileRows.coalesce(1)
+     else fileRows.repartition(numSidecars))
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    if (parts.isEmpty)
+      throw new IllegalStateException("v2 checkpoint wrote no parquet")
+    val sidecars = parts.map { st =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      val target = new Path(sidecarDir, name)
+      if (!fs.rename(st.getPath, target))
+        throw new IllegalStateException(s"sidecar rename failed: $target")
+      val fst = fs.getFileStatus(target)
+      (name, fst.getLen, fst.getModificationTime)
+    }
+    fs.delete(staging, true)
+
+    // manifest rows in v2CheckpointSchema order: logSchema columns,
+    // then sidecar, then checkpointMetadata
+    val nullLogCols = Actions.logSchema.fields.toIndexedSeq
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    val nullSidecar = lit(null).cast(Actions.sidecarSchema).as("sidecar")
+    val nullCpMeta = lit(null).cast(Actions.checkpointMetadataSchema)
+      .as("checkpointMetadata")
+    val cpMetaRow = spark.range(1).select(nullLogCols :+ nullSidecar :+
+      struct(lit(segment.version).as("version")).as("checkpointMetadata"): _*)
+    import spark.implicits._
+    val sidecarRows = sidecars.toDF("path", "sizeInBytes", "modificationTime")
+      .select(nullLogCols :+
+        struct(col("path"), col("sizeInBytes"), col("modificationTime"))
+          .as("sidecar") :+ nullCpMeta: _*)
+    val nonFile = nonFileRows.select(
+      Actions.logSchema.fieldNames.toIndexedSeq.map(col) :+
+        nullSidecar :+ nullCpMeta: _*)
+    val manifest = cpMetaRow.unionByName(sidecarRows).unionByName(nonFile)
+
+    val staging2 = new Path(logPath,
+      s".checkpoint_v2_manifest_${UUID.randomUUID().toString.take(8)}")
+    manifest.coalesce(1).write.mode("overwrite").parquet(staging2.toString)
+    val mPart = fs.listStatus(staging2).toSeq
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        "v2 checkpoint manifest wrote no parquet"))
+    val manifestTarget = new Path(logPath,
+      f"${segment.version}%020d.checkpoint.${UUID.randomUUID()}.parquet")
+    if (!fs.rename(mPart.getPath, manifestTarget))
+      throw new IllegalStateException(
+        s"v2 checkpoint manifest rename failed: $manifestTarget")
+    fs.delete(staging2, true)
+
+    val lc = mapper.createObjectNode()
+    lc.put("version", segment.version)
+    lc.put("size", fileRows.count() + nonFileRows.count())
+    val lcPath = new Path(logPath, "_last_checkpoint")
+    val out = fs.create(lcPath, true)
+    try out.write(lc.toString.getBytes("UTF-8")) finally out.close()
     segment.version
   }
 

@@ -79,23 +79,29 @@ object ProtocolSupport {
       writerFeatures = Some((writers + feature).toSeq.sorted)))
   }
 
-  /** The protocol a table needs before deletion vectors may be written:
-    * reader 3 / writer 7 with `deletionVectors` in BOTH feature lists
-    * (a legacy reader would silently resurrect deleted rows). Returns
-    * `None` when the current protocol already declares it. */
-  def withDeletionVectors(p: Protocol): Option[Protocol] = {
+  /** The protocol a table needs before `feature` — a READER+WRITER
+    * table feature (e.g. `deletionVectors`, `v2Checkpoint`) — applies:
+    * reader 3 / writer 7 with the feature in BOTH lists and
+    * legacy-implied features enumerated. `None` when already
+    * declared. */
+  def withReaderWriterFeature(p: Protocol, feature: String)
+      : Option[Protocol] = {
     val readers = (if (p.minReaderVersion >= 3)
         p.readerFeatures.getOrElse(Nil)
       else impliedReaderFeatures(p.minReaderVersion)).toSet
     val writers = (if (p.minWriterVersion >= 7)
         p.writerFeatures.getOrElse(Nil)
       else impliedWriterFeatures(p.minWriterVersion)).toSet
-    if (readers.contains("deletionVectors") &&
-        writers.contains("deletionVectors")) None
+    if (readers.contains(feature) && writers.contains(feature)) None
     else Some(Protocol(3, 7,
-      Some((readers + "deletionVectors").toSeq.sorted),
-      Some((writers + "deletionVectors").toSeq.sorted)))
+      Some((readers + feature).toSeq.sorted),
+      Some((writers + feature).toSeq.sorted)))
   }
+
+  /** The protocol a table needs before deletion vectors may be written
+    * (a legacy reader would silently resurrect deleted rows). */
+  def withDeletionVectors(p: Protocol): Option[Protocol] =
+    withReaderWriterFeature(p, "deletionVectors")
 
   def assertReadable(tablePath: String, proto: Protocol): Unit = {
     require(proto.minReaderVersion <= 3,

@@ -125,16 +125,17 @@ object CommitRangeScan {
     }
 
   /** Derived row-level change feed for commits in `(fromExclusive, endV]`:
-    * every row carries `_change_type` ('insert' | 'delete'),
+    * every row carries `_change_type` ('insert' | 'delete', or
+    * 'update_preimage' | 'update_postimage' for UPDATE commits),
     * `_commit_version`, and `_commit_timestamp` (from the commit's
     * commitInfo line).
     *
-    * Divergence from the reference-ecosystem CDF, documented here and in
-    * COVERAGE.md: updates surface as same-commit delete+insert pairs,
-    * not update_preimage/update_postimage rows — the diff is derived
-    * from copy-on-write file contents without write-time CDC files, so
-    * row-level update pairing would need a primary key the protocol
-    * doesn't declare.
+    * Remaining divergence from the reference-ecosystem CDF, documented
+    * here and in COVERAGE.md: MERGE commits emit insert/delete, not
+    * per-row update pairs — a merge mixes inserts and updates in one
+    * commit, and telling them apart row-by-row would need a primary key
+    * the protocol doesn't declare (delta-spark can, because its MERGE
+    * writes CDC files at write time).
     *
     * Changes are derived per commit from the log's copy-on-write
     * structure: a commit's inserts are the rows of its dataChange adds
@@ -173,6 +174,7 @@ object CommitRangeScan {
       val removes = scala.collection.mutable.LinkedHashMap.empty[
         String, DeltaScan.ScanFile]
       var commitMillis: Option[Long] = None
+      var operation: Option[String] = None
       val in = fs.open(commit)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector finally in.close()
@@ -180,6 +182,8 @@ object CommitRangeScan {
         val n = mapper.readTree(line)
         if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
           commitMillis = Some(n.get("commitInfo").get("timestamp").asLong())
+        if (n.has("commitInfo") && n.get("commitInfo").has("operation"))
+          operation = Some(n.get("commitInfo").get("operation").asText())
         if (n.has("add") &&
             Option(n.get("add").get("dataChange")).forall(_.asBoolean())) {
           val a = n.get("add")
@@ -223,8 +227,19 @@ object CommitRangeScan {
       val (ins, del) =
         if (removes.isEmpty) (addDf, remDf.limit(0)) // pure append: no diff
         else (addDf.exceptAll(remDf), remDf.exceptAll(addDf))
-      ins.withColumn("_change_type", lit("insert"))
-        .unionByName(del.withColumn("_change_type", lit("delete")))
+      // Ecosystem-standard CDF labels for UPDATE commits: the CoW (or
+      // DV-mask) diff of an UPDATE touches exactly the updated rows, so
+      // the remove-side rows ARE the pre-images and the add-side rows
+      // the post-images — delta-spark's CDF assigns these labels by
+      // operation the same way, without row pairing. MERGE commits keep
+      // insert/delete labels (a merge mixes inserts and updates in one
+      // commit and the protocol declares no key to tell them apart).
+      val (insType, delType) = operation match {
+        case Some("UPDATE") => ("update_postimage", "update_preimage")
+        case _ => ("insert", "delete")
+      }
+      ins.withColumn("_change_type", lit(insType))
+        .unionByName(del.withColumn("_change_type", lit(delType)))
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
     }

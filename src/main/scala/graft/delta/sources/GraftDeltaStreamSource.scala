@@ -211,10 +211,10 @@ final class GraftDeltaStreamSource(
 
 object GraftDeltaStreamSource {
   /** Table schema, plus the change-feed columns when reading CDC.
-    * Divergence from the reference-ecosystem CDF (documented in
-    * COVERAGE.md): `_change_type` is 'insert' | 'delete' only — updates
-    * surface as same-commit delete+insert pairs, since the derived diff
-    * has no primary key to pair pre/post images with. */
+    * `_change_type` is 'insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage' (update labels on UPDATE
+    * commits; MERGE stays insert/delete — see
+    * [[graft.delta.scan.CommitRangeScan.changesBetween]]). */
   def sourceSchema(table: StructType, changeFeed: Boolean): StructType =
     if (!changeFeed) table
     else StructType(table.fields.toIndexedSeq :+

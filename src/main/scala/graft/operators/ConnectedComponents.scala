@@ -90,6 +90,29 @@ object ConnectedComponents {
       }.toDF("u", "v")
   }
 
+  /** Materialize a round's edge set: persist the underlying RDD, force
+    * it, and wrap it back as a LEAF DataFrame (createDataFrame on an
+    * RDD), so per-round Catalyst plans stay constant-size (the naive
+    * loop doubles the plan every round and re-analysis goes quadratic).
+    *
+    * persist — not localCheckpoint — for two reasons that matter at
+    * cluster scale: (1) the superseded round can be unpersisted
+    * DETERMINISTICALLY (localCheckpoint blocks are only reclaimed when
+    * a JVM GC happens to collect the RDD reference and ContextCleaner
+    * notices — on a large heap that can be never, and an iterative
+    * algorithm then accumulates every round's blocks for the job's
+    * lifetime; observed as multi-×10 bench spread); (2) the RDD keeps
+    * its lineage, so losing an executor degrades to recompute instead
+    * of failing the job (localCheckpoint explicitly forfeits that). */
+  private def materialize(spark: SparkSession, df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
+    import spark.implicits._
+    val rdd = df.as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    (spark.createDataFrame(rdd).toDF("u", "v"), rdd, n)
+  }
+
   /** @param edges two-column DataFrame (u, v) of undirected edges
     * @return (id, component) — every node present in `edges`, labeled
     *         with the minimum node id reachable from it (including
@@ -97,22 +120,25 @@ object ConnectedComponents {
     *         `edges`).
     */
   def components(spark: SparkSession, edges: DataFrame): DataFrame = {
-    // localCheckpoint everywhere: truncates per-round lineage (each
-    // round otherwise doubles the logical plan and Catalyst re-analysis
-    // goes quadratic) and stops the (possibly expensive) upstream edge
+    // materializing `in` stops the (possibly expensive) upstream edge
     // pipeline from recomputing in round 1 + the convergence check
-    val in = edges.toDF("u", "v").localCheckpoint()
-    var e = in.where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var n = e.count()
+    val (in, _, _) = materialize(spark, edges.toDF("u", "v")
+      .select(col("u").cast(LongType), col("v").cast(LongType)))
+    var (e, eRdd, n) =
+      materialize(spark, in.where(col("u") =!= col("v")).distinct())
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
-      val nn = next.count()
+      val (next, nextRdd, nn) =
+        materialize(spark, smallStar(largeStar(e)).distinct())
       // sets of equal size with an empty one-sided difference are equal
       // — one except job per round, not two (both sides materialized)
       converged = nn == n && next.except(e).isEmpty
+      // free the superseded round NOW (see materialize); the final
+      // round and `in` stay pinned — the returned frame reads them
+      eRdd.unpersist(blocking = false)
       e = next
+      eRdd = nextRdd
       n = nn
       rounds += 1
     }

@@ -124,6 +124,44 @@ object DeltaQueries {
     LogDemoCpPath
   }
 
+  /** SF-independent V2-CHECKPOINTED fixture: same recipe as
+    * [[checkpointedTable]] (create partitioned nation -> idempotent
+    * append under appId "writer-2" txn 7 -> remove first file) but the
+    * table declares the v2Checkpoint feature and the checkpoint is a
+    * native UUID-named manifest + 2 parquet sidecars
+    * ([[CommitWriter.checkpointV2]]). The oracle reads the sidecar /
+    * manifest parquet DIRECTLY, so the round gate verifies the v2
+    * artifact's layout, not just that graft can read its own work. */
+  final val LogDemoV2CpPath =
+    "/root/repo/target/delta_fixtures/shared/logdemo_v2cp"
+
+  def v2CheckpointedTable(s: SparkSession, sfDir: String): String = {
+    this.synchronized {
+      val ok = exists(s, LogDemoV2CpPath) &&
+        !stale(LogDemoV2CpPath, sfDir) &&
+        DeltaTable.forPath(s, LogDemoV2CpPath).segment.checkpointIsV2
+      if (!ok) {
+        val dir = new File(LogDemoV2CpPath)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        val n = s.read.parquet(s"$sfDir/nation.parquet")
+        CommitWriter.createTable(s, n, LogDemoV2CpPath,
+          partitionColumns = Seq("n_regionkey"))
+        CommitWriter.appendIfAbsent(s, n.where(col("n_regionkey") < 2),
+          LogDemoV2CpPath, appId = "writer-2", txnVersion = 7L)
+        val proto = graft.delta.log.ProtocolSupport.withReaderWriterFeature(
+          DeltaTable.forPath(s, LogDemoV2CpPath).protocol, "v2Checkpoint").get
+        CommitWriter.commit(s, LogDemoV2CpPath,
+          DeltaTable.forPath(s, LogDemoV2CpPath).version + 1,
+          Seq(CommitWriter.protocolJson(proto)), "UPGRADE PROTOCOL")
+        val first = DeltaTable.forPath(s, LogDemoV2CpPath).allFiles
+          .select("path").orderBy("path").limit(1).collect()(0).getString(0)
+        CommitWriter.commitRemoves(s, LogDemoV2CpPath, Seq(first))
+        CommitWriter.checkpointV2(s, LogDemoV2CpPath, numSidecars = 2)
+      }
+    }
+    LogDemoV2CpPath
+  }
+
   def logDemoTable(s: SparkSession, sfDir: String): String = {
     this.synchronized {
       if (!exists(s, LogDemoPath) || stale(LogDemoPath, sfDir)) {
@@ -213,14 +251,31 @@ object DeltaQueries {
     }
 
   /** v0 create (cheap orders) -> v1 append (expensive) -> v2 DELETE of
-    * every 7th orderkey — the change-feed fixture. */
-  def cdcTable(s: SparkSession, sfDir: String): String =
-    ensure(s, sfDir, "cdc") { p =>
-      val o = orders(s, sfDir)
-      CommitWriter.createTable(s, o.filter(col("o_totalprice") <= 250000), p)
-      CommitWriter.append(s, o.filter(col("o_totalprice") > 250000), p)
-      graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 7 === 0)
+    * every 7th orderkey -> v3 UPDATE (+50 on every 11th) — the
+    * change-feed fixture: the span exercises insert, delete, AND
+    * update_preimage/update_postimage labels. */
+  def cdcTable(s: SparkSession, sfDir: String): String = {
+    val path = fixtureDir(sfDir, "cdc")
+    this.synchronized {
+      // version-aware guard (like mergedTable): the recipe grew a v3
+      // UPDATE, so a 3-commit fixture from an earlier build must rebuild
+      // even when it postdates the testdata
+      val done = new File(path, "_delta_log").exists() &&
+        !stale(path, sfDir) &&
+        DeltaTable.forPath(s, path).version >= 3
+      if (!done) {
+        if (new File(path).exists())
+          scala.reflect.io.Directory(new File(path)).deleteRecursively()
+        val o = orders(s, sfDir)
+        CommitWriter.createTable(s, o.filter(col("o_totalprice") <= 250000), path)
+        CommitWriter.append(s, o.filter(col("o_totalprice") > 250000), path)
+        graft.commands.DmlCommands.delete(s, path, col("o_orderkey") % 7 === 0)
+        graft.commands.DmlCommands.update(s, path, col("o_orderkey") % 11 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 50)))
+      }
     }
+    path
+  }
 
   /** Commit 0 lacks o_orderstatus (even keys); schema evolves; commit 2
     * has it (odd keys). Old files impute null. */
@@ -535,9 +590,11 @@ object DeltaQueries {
 
     // derived row-level change feed: per-commit copy-on-write diff
     // (adds EXCEPT ALL removes = inserts; removes EXCEPT ALL adds =
-    // deletes). Commit 1 appended the expensive orders; commit 2
-    // deleted every 7th orderkey — the feed over [1, 2] must equal
-    // exactly that, which the oracle restates from the source parquet.
+    // deletes; UPDATE commits relabel the two sides as post-/pre-image).
+    // Commit 1 appended the expensive orders; commit 2 deleted every
+    // 7th orderkey; commit 3 updated every 11th survivor (+50) — the
+    // feed over [1, 3] must equal exactly that, which the oracle
+    // restates from the source parquet.
     Q("q_change_feed",
       """SELECT o_orderkey, o_totalprice,
         | 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
@@ -546,6 +603,14 @@ object DeltaQueries {
         |SELECT o_orderkey, o_totalprice,
         | 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice,
+        | 'update_preimage' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 50 AS o_totalprice,
+        | 'update_postimage' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (s, dir) =>
       val path = cdcTable(s, dir)
       s.read.format("graftdelta")
@@ -778,6 +843,57 @@ object DeltaQueries {
         .unionAll(metric("txn_writer_1",
           s.range(1).select(lit(CommitWriter
             .latestTxnVersion(s, path, "writer-1").getOrElse(-1L))
+            .cast(LongType).as("value"))))
+        .orderBy("metric")
+    },
+
+    // Native V2 checkpoint: the oracle reads the UUID-named manifest
+    // and the _sidecars parquet directly — file actions must live in
+    // the sidecars (not the manifest), txn state in the manifest, and
+    // graft's replay of the same artifact must agree on all of it.
+    Q("q_checkpoint_v2",
+      s"""WITH sc AS (
+         |  SELECT * FROM read_parquet('$LogDemoV2CpPath/_delta_log/_sidecars/*.parquet')
+         |), mf AS (
+         |  SELECT * FROM read_parquet('$LogDemoV2CpPath/_delta_log/*.checkpoint.*.parquet')
+         |)
+         |SELECT 'live_files' AS metric, count("add".path) AS value FROM sc
+         |UNION ALL
+         |SELECT 'live_rows',
+         |  CAST(sum(CAST(json_extract_string("add".stats, '$$.numRecords')
+         |    AS BIGINT)) AS BIGINT) FROM sc
+         |UNION ALL
+         |SELECT 'manifest_file_actions',
+         |  count("add".path) + count(remove.path) FROM mf
+         |UNION ALL
+         |SELECT 'sidecars', count(sidecar.path) FROM mf
+         |UNION ALL
+         |SELECT 'tombstones', count(remove.path) FROM sc
+         |UNION ALL
+         |SELECT 'txn_writer_2',
+         |  max(CASE WHEN txn.appId = 'writer-2' THEN txn.version END) FROM mf
+         |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val path = v2CheckpointedTable(s, dir)
+      val snap = DeltaTable.forPath(s, path)
+      require(snap.segment.checkpointIsV2 &&
+        snap.segment.commitFiles.isEmpty,
+        "fixture must replay from the v2 checkpoint alone")
+      val metric = (name: String, df: DataFrame) =>
+        df.select(lit(name).as("metric"), col("value"))
+      metric("live_files",
+        snap.allFiles.agg(count(lit(1)).cast(LongType).as("value")))
+        .unionAll(metric("live_rows",
+          snap.read.agg(count(lit(1)).cast(LongType).as("value"))))
+        .unionAll(metric("manifest_file_actions",
+          s.range(1).select(lit(0L).cast(LongType).as("value"))))
+        .unionAll(metric("sidecars",
+          s.range(1).select(lit(2L).cast(LongType).as("value"))))
+        .unionAll(metric("tombstones",
+          Replay.tombstones(s, snap.segment)
+            .agg(count(lit(1)).cast(LongType).as("value"))))
+        .unionAll(metric("txn_writer_2",
+          s.range(1).select(lit(CommitWriter
+            .latestTxnVersion(s, path, "writer-2").getOrElse(-1L))
             .cast(LongType).as("value"))))
         .orderBy("metric")
     })

@@ -192,6 +192,58 @@ class CheckpointSpec extends AnyFunSuite {
     assert(err.getMessage.contains("v2Checkpoint"))
   }
 
+  test("native checkpointV2 writes manifest + sidecars that replay") {
+    val p = tmp("v2cp_native")
+    CommitWriter.createTable(spark,
+      region.filter(col("r_regionkey") < 3), p) // v0
+    // refuses while the table does not declare the feature
+    val err0 = intercept[IllegalArgumentException] {
+      CommitWriter.checkpointV2(spark, p)
+    }
+    assert(err0.getMessage.contains("v2Checkpoint"))
+
+    CommitWriter.append(spark,
+      region.filter(col("r_regionkey") >= 3), p) // v1
+    val proto = Actions.Protocol(3, 7,
+      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))
+    CommitWriter.commit(spark, p, 2L,
+      Seq(CommitWriter.protocolJson(proto)), "UPGRADE PROTOCOL") // v2
+    // idempotent exactly-once txn marker must survive into the checkpoint
+    CommitWriter.appendIfAbsent(spark, region.limit(1), p,
+      appId = "writer-v2", txnVersion = 9L) // v3
+
+    val v = CommitWriter.checkpointV2(spark, p, numSidecars = 2)
+    assert(v == 3L)
+    val fs = LogSegment.fs(spark, new Path(p))
+    val logDir = new Path(p, "_delta_log")
+    // drop every commit JSON: replay must come from the v2 checkpoint
+    (0L to 3L).foreach(i =>
+      fs.delete(new Path(logDir, f"$i%020d.json"), false))
+
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.segment.checkpointIsV2)
+    assert(snap.version == 3)
+    assert(snap.protocol.writerFeatures.get.contains("v2Checkpoint"))
+    assert(snap.read.count() == region.count() + 1)
+    assert(CommitWriter.latestTxnVersion(spark, p, "writer-v2")
+      .contains(9L), "txn state lost through the v2 checkpoint")
+    // the sidecars referenced by the manifest exist and the manifest
+    // carries no file actions itself
+    val manifestFile = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+    assert(manifestFile.length == 1)
+    val top = spark.read.schema(Actions.v2CheckpointSchema)
+      .parquet(new Path(logDir, manifestFile.head).toString)
+    assert(top.where(col("add").isNotNull).count() == 0)
+    assert(top.where(col("sidecar").isNotNull).count() == 2)
+    assert(top.where(col("checkpointMetadata.version") === 3L).count() == 1)
+    // classic checkpoint still refuses on this table
+    val err = intercept[IllegalArgumentException] {
+      CommitWriter.checkpoint(spark, p)
+    }
+    assert(err.getMessage.contains("v2Checkpoint"))
+  }
+
   test("v2 checkpoint with a PARQUET manifest replays too") {
     val p = tmp("v2cp_parq")
     CommitWriter.createTable(spark, region, p) // v0

@@ -118,7 +118,7 @@ class SourceSpec extends AnyFunSuite {
     }
   }
 
-  test("readChangeFeed derives row-level insert/delete pairs for UPDATE") {
+  test("readChangeFeed labels UPDATE rows as update_pre/postimage") {
     val d = Files.createTempDirectory("graft_src_cdc").toFile
     d.deleteOnExit()
     val p = new java.io.File(d, "tbl").getAbsolutePath
@@ -135,8 +135,8 @@ class SourceSpec extends AnyFunSuite {
     val oldName = region.where(col("r_regionkey") === 2)
       .select("r_name").head.getString(0)
     assert(feed == Set(
-      (2L, "RENAMED", "insert", 1L),
-      (2L, oldName, "delete", 1L)))
+      (2L, "RENAMED", "update_postimage", 1L),
+      (2L, oldName, "update_preimage", 1L)))
   }
 
   test("readChangeFeed derives deletes from a merge-on-read DV DELETE") {
