@@ -217,6 +217,15 @@ object Bench {
       DeltaQueries.dvTable(spark, sfDir)
       DeltaQueries.convertedTable(spark, sfDir)
       DeltaQueries.mappedTable(spark, sfDir)
+      // DML/MERGE/CDC/checkpoint fixtures: building one of these mid-
+      // sample would bill several commits + cdc/sidecar writes to the
+      // first timed run of its query
+      DeltaQueries.mergedTable(spark, sfDir)
+      DeltaQueries.dvDmlTable(spark, sfDir)
+      DeltaQueries.cdcTable(spark, sfDir)
+      DeltaQueries.cdfWriteTable(spark, sfDir)
+      DeltaQueries.checkpointedTable(spark, sfDir)
+      DeltaQueries.v2CheckpointedTable(spark, sfDir)
       // vacuum fixture (built inside its query fn on first call)
       SparkEntry.queries("vacuum_dry_run")(spark, sfDir).count()
       // IVF index build (amortized at real scale)

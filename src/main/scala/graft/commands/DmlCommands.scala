@@ -48,7 +48,9 @@ object DmlCommands {
       deleteViaDv(spark, tablePath, snap, condition)
     else
       rewrite(spark, tablePath, condition, "DELETE",
-        keep = df => df.where(!coalesce(condition, lit(false))))
+        keep = df => df.where(!coalesce(condition, lit(false))),
+        changeRows = (matched, _) =>
+          matched.withColumn("_change_type", lit("delete")))
   }
 
   /** UPDATE table SET col = expr, ... WHERE condition. */
@@ -70,17 +72,35 @@ object DmlCommands {
           set.foldLeft(df) { case (d, (name, value)) =>
             d.withColumn(name, when(cond, value).otherwise(col(name)))
           }
+        },
+        changeRows = (matched, meta) => {
+          val cols = matched.columns.toIndexedSeq
+          val post = graft.delta.log.GeneratedColumns.recompute(
+            set.foldLeft(matched) { case (d, (n, v)) => d.withColumn(n, v) }
+              .select(cols.map(col): _*), meta)
+          matched.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(
+              post.withColumn("_change_type", lit("update_postimage")))
         })
   }
 
   /** Shared copy-on-write: rewrite the affected files with `keep`
-    * applied, remove the originals, one commit. */
+    * applied, remove the originals, one commit.
+    *
+    * @param changeRows CDC rows for `delta.enableChangeDataFeed`
+    *   tables: given (matched rows [full schema, condition applied],
+    *   metadata), produce the labeled change set. Only evaluated when
+    *   the table requests CDC — the extra pass over the AFFECTED files
+    *   is the write-time cost the property opts into. */
   private def rewrite(spark: SparkSession, tablePath: String,
       condition: Column, operation: String,
-      keep: DataFrame => DataFrame): DataFrame = {
+      keep: DataFrame => DataFrame,
+      changeRows: (DataFrame, Actions.Metadata) => DataFrame): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
+    val cdfOn = graft.delta.log.ProtocolSupport.cdfEnabled(snap.metadata)
     graft.delta.log.ProtocolSupport.assertWritable(
-      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+      producesCdc = cdfOn)
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       s"$operation on column-mapped tables is not supported (the " +
         "rewrite would need logical->physical projection per file)")
@@ -113,11 +133,20 @@ object DmlCommands {
         graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
         snap.metadata),
       tablePath, snap.partitionColumns)
+    val cdcActions = if (!cdfOn) Seq.empty[String] else {
+      val matched = DeltaScan.whereFileKeyIn(target, affected)
+        .where(coalesce(condition, lit(false)))
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      CommitWriter.writeCdcFiles(spark,
+        changeRows(matched, snap.metadata), tablePath,
+        snap.partitionColumns).map(CommitWriter.cdcJson)
+    }
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))
     CommitWriter.commit(spark, tablePath, snap.version + 1,
-      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson), operation)
+      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++ cdcActions,
+      operation)
     metrics(spark, affectedRel.length, adds.size, operation)
   }
 
@@ -151,12 +180,23 @@ object DmlCommands {
     * when the DV now covers the whole file. */
   private def deleteViaDv(spark: SparkSession, tablePath: String,
       snap: Snapshot, condition: Column): DataFrame = {
+    val cdfOn = graft.delta.log.ProtocolSupport.cdfEnabled(snap.metadata)
     graft.delta.log.ProtocolSupport.assertWritable(
-      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+      producesCdc = cdfOn)
     val (written, info) = buildDvs(spark, tablePath, snap,
       _.where(condition))
     if (written.isEmpty)
       return dvMetrics(spark, "DELETE", 0, 0, 0, 0)
+    // CDC on a DV delete: the newly-masked rows are exactly the LIVE
+    // rows matching the condition (already-masked rows never match the
+    // current scan) — one extra pass over the affected bytes, the cost
+    // the CDF property opts into
+    val cdcActions = if (!cdfOn) Seq.empty[String] else
+      CommitWriter.writeCdcFiles(spark,
+        snap.read.where(coalesce(condition, lit(false)))
+          .withColumn("_change_type", lit("delete")),
+        tablePath, snap.partitionColumns).map(CommitWriter.cdcJson)
 
     val (actions, masked, fullyRemoved, rowsDeleted) =
       maskActions(written, info)
@@ -166,7 +206,7 @@ object DmlCommands {
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
     CommitWriter.commit(spark, tablePath, snap.version + 1,
-      protoUpgrade ++ actions, "DELETE")
+      protoUpgrade ++ actions ++ cdcActions, "DELETE")
     dvMetrics(spark, "DELETE", masked, fullyRemoved, rowsDeleted, 0)
   }
 
@@ -227,8 +267,10 @@ object DmlCommands {
   private def updateViaDv(spark: SparkSession, tablePath: String,
       snap: Snapshot, condition: Column,
       set: Map[String, Column]): DataFrame = {
+    val cdfOn = graft.delta.log.ProtocolSupport.cdfEnabled(snap.metadata)
     graft.delta.log.ProtocolSupport.assertWritable(
-      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+      producesCdc = cdfOn)
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       "UPDATE on column-mapped tables is not supported (the updated " +
         "rows would need logical->physical projection per file)")
@@ -252,13 +294,26 @@ object DmlCommands {
         snap.metadata),
       tablePath, snap.partitionColumns)
 
+    // CDC pre-images are the live rows matching the condition; the
+    // post-images are exactly the row images written above
+    val cdcActions = if (!cdfOn) Seq.empty[String] else {
+      val pre = snap.read.where(coalesce(condition, lit(false)))
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = graft.delta.log.GeneratedColumns.recompute(
+          updated, snap.metadata)
+        .withColumn("_change_type", lit("update_postimage"))
+      CommitWriter.writeCdcFiles(spark, pre.unionByName(post), tablePath,
+        snap.partitionColumns).map(CommitWriter.cdcJson)
+    }
+
     val (actions, masked, fullyRemoved, rowsUpdated) =
       maskActions(written, info)
     val protoUpgrade = graft.delta.log.ProtocolSupport
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
     CommitWriter.commit(spark, tablePath, snap.version + 1,
-      protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson),
+      protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
+        cdcActions,
       "UPDATE")
     dvMetrics(spark, "UPDATE", masked, fullyRemoved, rowsUpdated, adds.size)
   }

@@ -28,8 +28,10 @@ object MergeCommand {
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String]): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
+    val cdfOn = graft.delta.log.ProtocolSupport.cdfEnabled(snap.metadata)
     graft.delta.log.ProtocolSupport.assertWritable(
-      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+      producesCdc = cdfOn)
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       "MERGE on column-mapped tables is not supported (the rewrite " +
         "would need logical->physical projection per file)")
@@ -71,7 +73,8 @@ object MergeCommand {
         .withDeletionVectors(snap.protocol)
         .map(CommitWriter.protocolJson).toSeq
       CommitWriter.commit(spark, tablePath, snap.version + 1,
-        protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson),
+        protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
+          mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
         operation = "MERGE")
       val rows = new java.util.ArrayList[Row]()
       rows.add(Row("files_rewritten", "0"))
@@ -122,7 +125,8 @@ object MergeCommand {
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))
     CommitWriter.commit(spark, tablePath, snap.version + 1,
-      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson),
+      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++
+        mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
       operation = "MERGE")
 
     val rows = new java.util.ArrayList[Row]()
@@ -131,4 +135,35 @@ object MergeCommand {
     rows.add(Row("source_rows", src.count().toString))
     spark.createDataFrame(rows, VacuumCommand.metricsSchema)
   }
+
+  /** Write-time CDC for MERGE — the case that makes write-time CDC
+    * worth having: the writer KNOWS which source rows matched (update)
+    * vs not (insert), a split no log-derived diff can reconstruct.
+    * Pre-images are the matched live target rows; post-images are the
+    * matched source rows (generated columns recomputed, as written);
+    * unmatched source rows are inserts. One extra semi-join pass over
+    * the match footprint — the cost `delta.enableChangeDataFeed` opts
+    * into. */
+  private def mergeCdcActions(spark: SparkSession,
+      snap: graft.delta.Snapshot, tablePath: String, src: DataFrame,
+      keys: Seq[String], cdfOn: Boolean): Seq[String] =
+    if (!cdfOn) Seq.empty
+    else {
+      val schemaCols = snap.schema.fieldNames.toIndexedSeq
+      val srcProj = src.select(schemaCols.map(col): _*)
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val pre = snap.read.join(srcKeys, keys, "left_semi")
+        .select(schemaCols.map(col): _*)
+      val matchedKeys = pre.select(keys.map(col): _*).distinct()
+      def written(df: DataFrame) = graft.delta.log.GeneratedColumns
+        .recompute(df, snap.metadata)
+      val changeRows = pre
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(written(srcProj.join(matchedKeys, keys, "left_semi"))
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(written(srcProj.join(matchedKeys, keys, "left_anti"))
+          .withColumn("_change_type", lit("insert")))
+      CommitWriter.writeCdcFiles(spark, changeRows, tablePath,
+        snap.partitionColumns).map(CommitWriter.cdcJson)
+    }
 }

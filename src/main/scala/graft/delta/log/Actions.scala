@@ -39,6 +39,13 @@ object Actions {
       dataChange: Boolean,
       deletionVector: Option[DeletionVectorDescriptor] = None)
 
+  /** Write-time CDC file reference (`cdc` action): change rows with a
+    * `_change_type` column, stored under `_change_data/`. */
+  case class CdcFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long)
+
   case class Format(provider: String = "parquet",
       options: Map[String, String] = Map.empty)
 

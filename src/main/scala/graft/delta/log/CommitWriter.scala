@@ -60,6 +60,9 @@ object CommitWriter {
     if (on("delta.enableInCommitTimestamps"))
       proto = ProtocolSupport.withWriterFeature(proto, "inCommitTimestamp")
         .getOrElse(proto)
+    if (on("delta.enableChangeDataFeed"))
+      proto = ProtocolSupport.withWriterFeature(proto, "changeDataFeed")
+        .getOrElse(proto)
     commit(spark, tablePath, 0L,
       Seq(protocolJson(proto), metadataJson(meta)) ++ adds.map(addJson),
       operation = "CREATE TABLE AS SELECT")
@@ -763,6 +766,40 @@ object CommitWriter {
 
   // ---- data file writing --------------------------------------------
 
+  /** Write change rows (data columns + `_change_type`) as CDC parquet
+    * under `_change_data/`, hive-partitioned like the table, returning
+    * the `cdc` actions for the commit. `_change_type` is a REGULAR
+    * column in the files per the protocol, never a partition dir. No
+    * stats pass — cdc files don't carry stats and never serve normal
+    * reads. */
+  def writeCdcFiles(spark: SparkSession, changeRows: DataFrame,
+      tablePath: String, partitionColumns: Seq[String]): Seq[CdcFile] = {
+    val table = new Path(tablePath)
+    val fs = LogSegment.fs(spark, table)
+    val cdcDir = new Path(table, "_change_data")
+    fs.mkdirs(cdcDir)
+    val staging = new Path(table,
+      s".cdc_staging_${UUID.randomUUID().toString.take(8)}")
+    val writer = changeRows.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+     else writer).parquet(staging.toString)
+    val stagingUri = staging.toUri.getPath
+    val parts = listRecursive(fs, staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val actions = parts.map { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(stagingUri)
+        .stripPrefix("/")
+      val target = new Path(cdcDir, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(st.getPath, target))
+        throw new IllegalStateException(s"cdc file rename failed: $target")
+      CdcFile(s"_change_data/$rel", parsePartitionValues(rel),
+        fs.getFileStatus(target).getLen)
+    }
+    fs.delete(staging, true)
+    actions
+  }
+
   /** Write `df` as parquet files under `tablePath` (hive-style dirs for
     * partition columns), returning the AddFile actions with stats. */
   def writeFiles(spark: SparkSession, df: DataFrame, tablePath: String,
@@ -938,6 +975,17 @@ object CommitWriter {
     n.put("dataChange", a.dataChange)
     a.stats.foreach(s => n.put("stats", s))
     a.deletionVector.foreach(dv => putDv(n, dv))
+    root.toString
+  }
+
+  def cdcJson(c: CdcFile): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("cdc")
+    n.put("path", c.path)
+    val pv = n.putObject("partitionValues")
+    c.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+    n.put("size", c.size)
+    n.put("dataChange", false) // per spec, cdc is always false
     root.toString
   }
 

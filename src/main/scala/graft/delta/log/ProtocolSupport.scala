@@ -103,6 +103,11 @@ object ProtocolSupport {
   def withDeletionVectors(p: Protocol): Option[Protocol] =
     withReaderWriterFeature(p, "deletionVectors")
 
+  /** True when the table requests write-time change-data files. */
+  def cdfEnabled(meta: Metadata): Boolean =
+    meta.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
   def assertReadable(tablePath: String, proto: Protocol): Unit = {
     require(proto.minReaderVersion <= 3,
       s"Unsupported minReaderVersion ${proto.minReaderVersion} " +
@@ -130,12 +135,15 @@ object ProtocolSupport {
     * `dataChangingRemoves = true` marks commits that rewrite or delete
     * rows (DML/MERGE/overwrite/RESTORE). On a table with
     * `delta.enableChangeDataFeed=true` those commits must carry cdc
-    * actions this engine does not produce (its change feed is DERIVED,
-    * without writer cooperation) — a compliant CDF reader would serve
-    * wrong change data for the commit, so the write is refused. Pure
-    * appends stay allowed: inserts derive from add actions per spec. */
+    * actions; callers that write them (DELETE/UPDATE/MERGE —
+    * [[graft.commands.DmlCommands]]) pass `producesCdc = true`, the
+    * rest (overwrite/RESTORE/OPTIMIZE-with-DVs) are refused — a
+    * compliant CDF reader would serve wrong change data for the
+    * commit. Pure appends stay allowed: inserts derive from add
+    * actions per spec. */
   def assertWritable(tablePath: String, meta: Metadata,
-      proto: Protocol, dataChangingRemoves: Boolean = false): Unit = {
+      proto: Protocol, dataChangingRemoves: Boolean = false,
+      producesCdc: Boolean = false): Unit = {
     assertReadable(tablePath, proto) // a writer replays the log first
     require(proto.minWriterVersion <= 7,
       s"Unsupported minWriterVersion ${proto.minWriterVersion} " +
@@ -148,14 +156,13 @@ object ProtocolSupport {
           s"implement: ${unknown.toSeq.sorted.mkString(", ")}. Refusing to " +
           "write rather than break the table's contract.")
     }
-    if (dataChangingRemoves &&
-        meta.configuration.get("delta.enableChangeDataFeed")
-          .exists(_.equalsIgnoreCase("true")))
+    if (dataChangingRemoves && !producesCdc && cdfEnabled(meta))
       throw new IllegalArgumentException(
         s"Table $tablePath has delta.enableChangeDataFeed=true: " +
-          "data-changing rewrites must produce cdc actions this engine " +
-          "does not write — refusing rather than break CDF readers. " +
-          "Appends remain allowed (inserts derive from add actions).")
+          "data-changing rewrites must produce cdc actions, which this " +
+          "entry point does not — refusing rather than break CDF " +
+          "readers. DELETE/UPDATE/MERGE write cdc files; appends " +
+          "remain allowed (inserts derive from add actions).")
     // one parse; recurse so invariants on nested fields are seen
     def collect(fields: Seq[StructField], prefix: String,
         key: String): Seq[String] =

@@ -28,39 +28,51 @@ object Replay {
     * checkpoint reads its top-level file for the non-file actions and
     * the `sidecar` references, then the sidecar parquet files under
     * `_delta_log/_sidecars/` for the add/remove actions. */
+  /** Resolved sidecar paths per MANIFEST file set — safe to memoize
+    * process-wide because v2 manifests are immutable by construction
+    * (UUID-named, never rewritten). Saves the two driver collect jobs
+    * (version check + sidecar listing) on every re-resolution of a
+    * v2-checkpointed table. */
+  private val v2SidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   private def checkpointDF(spark: SparkSession,
       segment: LogSegment): DataFrame = {
     val paths = segment.checkpointFiles.map(_.getPath.toString)
     if (!segment.checkpointIsV2)
       return spark.read.schema(Actions.logSchema).parquet(paths: _*)
 
-    val top =
+    def top =
       if (paths.head.endsWith(".json"))
         spark.read.schema(Actions.v2CheckpointSchema).json(paths: _*)
       else
         spark.read.schema(Actions.v2CheckpointSchema).parquet(paths: _*)
-    // fail closed on a mislabeled manifest: the embedded version must
-    // match the file-name version when present
-    val cpMeta = top.where(col("checkpointMetadata").isNotNull)
-      .select("checkpointMetadata.version").collect()
-    cpMeta.foreach { r =>
-      require(r.isNullAt(0) ||
-        segment.checkpointVersion.contains(r.getLong(0)),
-        s"v2 checkpoint manifest declares version ${r.getLong(0)} but " +
-          s"is named for version ${segment.checkpointVersion.orNull}")
-    }
+    val sidecars = v2SidecarCache.computeIfAbsent(
+      paths.sorted.mkString(";"), _ => {
+        // fail closed on a mislabeled manifest: the embedded version
+        // must match the file-name version when present (checked once —
+        // the manifest never changes)
+        val cpMeta = top.where(col("checkpointMetadata").isNotNull)
+          .select("checkpointMetadata.version").collect()
+        cpMeta.foreach { r =>
+          require(r.isNullAt(0) ||
+            segment.checkpointVersion.contains(r.getLong(0)),
+            s"v2 checkpoint manifest declares version ${r.getLong(0)} but " +
+              s"is named for version ${segment.checkpointVersion.orNull}")
+        }
+        val sidecarDir = new Path(segment.logPath, "_sidecars")
+        top.where(col("sidecar.path").isNotNull)
+          .select("sidecar.path").collect().map(_.getString(0))
+          .map { p =>
+            // spec: a file name relative to _delta_log/_sidecars/, or
+            // an absolute path/URI
+            if (p.contains("/")) p else new Path(sidecarDir, p).toString
+          }.toSeq
+      })
     val logCols = Actions.logSchema.fieldNames.toIndexedSeq.map(col)
     val nonFile = top
       .where(col("sidecar").isNull && col("checkpointMetadata").isNull)
       .select(logCols: _*)
-    val sidecarDir = new Path(segment.logPath, "_sidecars")
-    val sidecars = top.where(col("sidecar.path").isNotNull)
-      .select("sidecar.path").collect().map(_.getString(0))
-      .map { p =>
-        // spec: a file name relative to _delta_log/_sidecars/, or an
-        // absolute path/URI
-        if (p.contains("/")) p else new Path(sidecarDir, p).toString
-      }
     if (sidecars.isEmpty) nonFile
     else nonFile.unionByName(
       spark.read.schema(Actions.logSchema).parquet(sidecars.toIndexedSeq: _*))

@@ -155,7 +155,7 @@ object CommitRangeScan {
     * path — this derivation needs no writer cooperation. */
   def changesBetween(spark: SparkSession, path: String, snap: Snapshot,
       fromExclusive: Long, endV: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{lit, timestamp_millis}
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     if (fromExclusive >= endV)
       return DeltaScan.buildForFiles(snap, Seq.empty)
         .withColumn("_change_type", lit(null: String).cast("string"))
@@ -173,6 +173,7 @@ object CommitRangeScan {
         String, DeltaScan.ScanFile]
       val removes = scala.collection.mutable.LinkedHashMap.empty[
         String, DeltaScan.ScanFile]
+      val cdcFiles = scala.collection.mutable.ArrayBuffer.empty[String]
       var commitMillis: Option[Long] = None
       var operation: Option[String] = None
       val in = fs.open(commit)
@@ -184,6 +185,8 @@ object CommitRangeScan {
           commitMillis = Some(n.get("commitInfo").get("timestamp").asLong())
         if (n.has("commitInfo") && n.get("commitInfo").has("operation"))
           operation = Some(n.get("commitInfo").get("operation").asText())
+        if (n.has("cdc"))
+          cdcFiles += n.get("cdc").get("path").asText()
         if (n.has("add") &&
             Option(n.get("add").get("dataChange")).forall(_.asBoolean())) {
           val a = n.get("add")
@@ -215,6 +218,27 @@ object CommitRangeScan {
             Replay.dvDescriptorOf(r)))
         }
       }
+      val ts0 = commitMillis.getOrElse(
+        fs.getFileStatus(commit).getModificationTime)
+      // write-time CDC: when the commit carries cdc actions they are
+      // the AUTHORITATIVE change set (per spec a CDF reader must use
+      // them EXCLUSIVELY for that commit — the writer already labeled
+      // every row, including a MERGE's per-row insert-vs-update split
+      // the derived diff cannot reconstruct). Hive dirs under
+      // _change_data supply the partition columns via basePath.
+      if (cdcFiles.nonEmpty) {
+        val qualified = fs.makeQualified(new Path(path))
+        val cdcDf = spark.read
+          .option("basePath", new Path(qualified, "_change_data").toString)
+          .parquet(cdcFiles.toSeq.map(p =>
+            new Path(qualified, p).toString): _*)
+        snap.schema.fields.foldLeft(cdcDf)((d, f) =>
+          d.withColumn(f.name, col(f.name).cast(f.dataType)))
+          .select((snap.schema.fieldNames.toIndexedSeq :+ "_change_type")
+            .map(col): _*)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+      } else {
       val addDf = DeltaScan.buildForFiles(snap, adds.values.toSeq)
       val remDf = DeltaScan.buildForFiles(snap, removes.values.toSeq)
       if (removes.nonEmpty && snap.schema.exists(f => containsMap(f.dataType)))
@@ -222,8 +246,6 @@ object CommitRangeScan {
           s"Change feed cannot diff commit $v of $path: the schema has a " +
             "map column (possibly nested), which Spark set operations " +
             "(EXCEPT ALL) reject. Append-only spans still work.")
-      val ts = commitMillis.getOrElse(
-        fs.getFileStatus(commit).getModificationTime)
       val (ins, del) =
         if (removes.isEmpty) (addDf, remDf.limit(0)) // pure append: no diff
         else (addDf.exceptAll(remDf), remDf.exceptAll(addDf))
@@ -241,7 +263,8 @@ object CommitRangeScan {
       ins.withColumn("_change_type", lit(insType))
         .unionByName(del.withColumn("_change_type", lit(delType)))
         .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+      }
     }
     // bound plan size: beyond ChangeFeedChunkCommits commits, materialize
     // each chunk (localCheckpoint truncates lineage) so the final plan is

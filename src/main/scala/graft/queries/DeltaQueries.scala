@@ -277,6 +277,41 @@ object DeltaQueries {
     path
   }
 
+  /** Write-time CDC fixture: orders (3 key columns) with
+    * `delta.enableChangeDataFeed=true`, so every DML/MERGE commit
+    * writes labeled cdc files under `_change_data/` — v1 DELETE (every
+    * 7th key), v2 UPDATE (+50 on every 11th), v3 MERGE (+1000 upsert on
+    * every 100th, plus shifted inserts of keys < 10). The MERGE commit
+    * is the payoff: per-row insert-vs-update labels no derived diff can
+    * reconstruct. */
+  def cdfWriteTable(s: SparkSession, sfDir: String): String = {
+    val path = fixtureDir(sfDir, "cdf_write")
+    this.synchronized {
+      val done = new File(path, "_delta_log").exists() &&
+        !stale(path, sfDir) &&
+        DeltaTable.forPath(s, path).version >= 3
+      if (!done) {
+        if (new File(path).exists())
+          scala.reflect.io.Directory(new File(path)).deleteRecursively()
+        val o = orders(s, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        CommitWriter.createTable(s, o.repartition(4), path,
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        graft.commands.DmlCommands.delete(s, path,
+          col("o_orderkey") % 7 === 0)
+        graft.commands.DmlCommands.update(s, path,
+          col("o_orderkey") % 11 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 50)))
+        val src = o.where(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .unionByName(o.where(col("o_orderkey") < 10)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        graft.commands.MergeCommand.upsert(s, path, src, Seq("o_orderkey"))
+      }
+    }
+    path
+  }
+
   /** Commit 0 lacks o_orderstatus (even keys); schema evolves; commit 2
     * has it (odd keys). Old files impute null. */
   def evolvedTable(s: SparkSession, sfDir: String): String =
@@ -620,6 +655,52 @@ object DeltaQueries {
         .load()
         .select("o_orderkey", "o_totalprice", "_change_type",
           "_commit_version")
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    },
+
+    // Write-time CDC feed: every label below comes from cdc files the
+    // DML/MERGE commits wrote (the reader uses them EXCLUSIVELY per
+    // spec), and the oracle restates the exact change set from the raw
+    // parquet — including the MERGE's per-row insert-vs-update split,
+    // which only write-time CDC can produce.
+    Q("q_cdc_write",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'update_preimage', 2
+        |FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 50,
+        | 'update_postimage', 2
+        |FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        | o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 50 ELSE 0 END,
+        | 'update_preimage', 3
+        |FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000,
+        | 'update_postimage', 3
+        |FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000,
+        | 'insert', 3
+        |FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        | 'insert', 3
+        |FROM orders WHERE o_orderkey < 10
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (s, dir) =>
+      val path = cdfWriteTable(s, dir)
+      s.read.format("graftdelta")
+        .option("path", path)
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .load()
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "_change_type", "_commit_version")
         .orderBy("_commit_version", "_change_type", "o_orderkey")
     },
 

@@ -204,6 +204,56 @@ class DmlSpec extends AnyFunSuite {
       .where(col("deletionVector").isNotNull).count() >= 1)
   }
 
+  test("CDF tables write cdc files; DV DELETE serves the feed from them") {
+    val p = tmp("cdf_dv")
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    CommitWriter.createTable(spark, region, p,
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    // CDF at create declares the writer feature from version 0
+    assert(DeltaTable.forPath(spark, p).protocol.writerFeatures
+      .exists(_.contains("changeDataFeed")))
+    DmlCommands.delete(spark, p, col("r_regionkey") === 2) // v1, DV + cdc
+    DmlCommands.update(spark, p, col("r_regionkey") === 4,
+      Map("r_name" -> lit("RENAMED"))) // v2, DV + cdc
+    // cdc files landed under _change_data
+    val cdcDir = new java.io.File(p, "_change_data")
+    assert(cdcDir.isDirectory && cdcDir.listFiles().nonEmpty)
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("r_regionkey", "r_name", "_change_type", "_commit_version")
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        r.getString(2), r.getAs[Number](3).longValue())).toSet
+    val oldName = region.where(col("r_regionkey") === 4)
+      .select("r_name").head.getString(0)
+    val deletedName = region.where(col("r_regionkey") === 2)
+      .select("r_name").head.getString(0)
+    assert(feed == Set(
+      (2L, deletedName, "delete", 1L),
+      (4L, oldName, "update_preimage", 2L),
+      (4L, "RENAMED", "update_postimage", 2L)))
+  }
+
+  test("CDC files on a PARTITIONED table carry partition columns") {
+    val p = tmp("cdf_part")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark, nation, p,
+      partitionColumns = Seq("n_regionkey"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DmlCommands.delete(spark, p, col("n_nationkey") === 5) // v1
+    val region5 = nation.where(col("n_nationkey") === 5)
+      .select("n_regionkey").head.getAs[Number](0).longValue()
+    val rows = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("n_nationkey", "n_regionkey", "_change_type")
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue(), r.getString(2))).toSet
+    assert(rows == Set((5L, region5, "delete")))
+  }
+
   test("DV DELETE works on a column-mapped table (no rewrite needed)") {
     val p = tmp("dv_mapped")
     val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
