@@ -377,9 +377,16 @@ object CommitWriter {
     * so sequential appends/DML pay the log listing + metadata replay
     * once, not per commit. Keying by the exact version keeps it safe
     * under concurrent external writers: if another engine steals
-    * version N+1, our retry at N+2 misses the memo and re-resolves. */
+    * version N+1, our retry at N+2 misses the memo and re-resolves.
+    * The entry also pins the (size, mtime) of the commit file this
+    * process wrote: a table deleted and recreated out-of-band can
+    * realign version numbers, so a memo hit additionally re-stats that
+    * one file (far cheaper than a log listing) and falls back to a
+    * full resolve when the identity changed. */
+  private case class IctMemo(nextVersion: Long, flag: Boolean,
+      commitLen: Long, commitMtime: Long)
   private val ictFlagCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+    new java.util.concurrent.ConcurrentHashMap[String, IctMemo]()
 
   /** True when this commit lands on (or establishes) a table with
     * `delta.enableInCommitTimestamps=true`: the metadata action inside
@@ -395,15 +402,30 @@ object CommitWriter {
           n.asText().equalsIgnoreCase("true"))
       case None if version == 0 => false
       case None =>
-        Option(ictFlagCache.get(tablePath)) match {
-          case Some((v, flag)) if v == version => flag
-          case _ =>
-            val segment = LogSegment.forTable(spark, new Path(tablePath))
-            Replay.metadataAndProtocol(spark, segment)._1
-              .configuration.get("delta.enableInCommitTimestamps")
-              .exists(_.equalsIgnoreCase("true"))
+        val memoHit = Option(ictFlagCache.get(tablePath)).collect {
+          case m if m.nextVersion == version &&
+              parentMatches(spark, tablePath, version, m) => m.flag
+        }
+        memoHit.getOrElse {
+          val segment = LogSegment.forTable(spark, new Path(tablePath))
+          Replay.metadataAndProtocol(spark, segment)._1
+            .configuration.get("delta.enableInCommitTimestamps")
+            .exists(_.equalsIgnoreCase("true"))
         }
     }
+
+  /** True when commit file `version - 1` still has the size+mtime the
+    * memo recorded — guards the memo against a table deleted and
+    * recreated out-of-band with realigned version numbers. */
+  private def parentMatches(spark: SparkSession, tablePath: String,
+      version: Long, m: IctMemo): Boolean = {
+    val prev = new Path(new Path(tablePath, "_delta_log"),
+      LogSegment.commitFileName(version - 1))
+    try {
+      val st = LogSegment.fs(spark, new Path(tablePath)).getFileStatus(prev)
+      st.getLen == m.commitLen && st.getModificationTime == m.commitMtime
+    } catch { case _: java.io.FileNotFoundException => false }
+  }
 
   /** The in-commit timestamp the NEXT commit to this table will carry —
     * used by the ICT enablement path to record matching
@@ -485,6 +507,7 @@ object CommitWriter {
       try Files.createLink(target, tmp)
       catch {
         case e: FileAlreadyExistsException =>
+          ictFlagCache.remove(tablePath) // another writer owns the state
           throw new ConcurrentCommitException(version, e)
       } finally Files.deleteIfExists(tmp)
     } else {
@@ -492,8 +515,10 @@ object CommitWriter {
       // atomicity contract (HDFS enforces it at the namenode)
       val out = try fs.create(commitPath, false) catch {
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          ictFlagCache.remove(tablePath)
           throw new ConcurrentCommitException(version, e)
         case e: java.io.IOException if fs.exists(commitPath) =>
+          ictFlagCache.remove(tablePath)
           throw new ConcurrentCommitException(version, e)
       }
       try out.write(payload.getBytes("UTF-8")) finally out.close()
@@ -502,7 +527,9 @@ object CommitWriter {
     // the memo so sequential writes skip the metadata re-resolution
     // (an inline metaData action replaces configuration wholesale, so
     // ictOn is the post-commit flag in every branch)
-    ictFlagCache.put(tablePath, (version + 1, ictOn))
+    val published = fs.getFileStatus(commitPath)
+    ictFlagCache.put(tablePath, IctMemo(version + 1, ictOn,
+      published.getLen, published.getModificationTime))
   }
 
   /** Write a classic single-file checkpoint at the current version and
@@ -755,9 +782,21 @@ object CommitWriter {
         s"v2 checkpoint manifest rename failed: $manifestTarget")
     fs.delete(staging2, true)
 
+    // size = every action row in the checkpoint artifact (sidecar file
+    // actions + ALL manifest rows, including checkpointMetadata and the
+    // sidecar references). Counted from the parquet just written —
+    // footer metadata only, no row decode — instead of re-running the
+    // full log replay that produced fileRows/nonFileRows.
+    val sidecarRowCount = spark.read
+      .schema(Actions.logSchema)
+      .parquet(sidecars.map(sc =>
+        new Path(sidecarDir, sc._1).toString): _*)
+      .count()
+    val manifestRowCount =
+      spark.read.parquet(manifestTarget.toString).count()
     val lc = mapper.createObjectNode()
     lc.put("version", segment.version)
-    lc.put("size", fileRows.count() + nonFileRows.count())
+    lc.put("size", sidecarRowCount + manifestRowCount)
     val lcPath = new Path(logPath, "_last_checkpoint")
     val out = fs.create(lcPath, true)
     try out.write(lc.toString.getBytes("UTF-8")) finally out.close()

@@ -36,6 +36,14 @@ object Replay {
   private val v2SidecarCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** The resolved sidecar parquet paths of a v2-checkpointed segment
+    * (empty for classic checkpoints) — the authoritative count/layout
+    * for callers auditing the checkpoint artifact. */
+  def sidecarPaths(spark: SparkSession, segment: LogSegment): Seq[String] =
+    if (!segment.checkpointIsV2) Seq.empty
+    else resolveSidecars(spark, segment,
+      segment.checkpointFiles.map(_.getPath.toString))
+
   private def checkpointDF(spark: SparkSession,
       segment: LogSegment): DataFrame = {
     val paths = segment.checkpointFiles.map(_.getPath.toString)
@@ -47,7 +55,24 @@ object Replay {
         spark.read.schema(Actions.v2CheckpointSchema).json(paths: _*)
       else
         spark.read.schema(Actions.v2CheckpointSchema).parquet(paths: _*)
-    val sidecars = v2SidecarCache.computeIfAbsent(
+    val sidecars = resolveSidecars(spark, segment, paths)
+    val logCols = Actions.logSchema.fieldNames.toIndexedSeq.map(col)
+    val nonFile = top
+      .where(col("sidecar").isNull && col("checkpointMetadata").isNull)
+      .select(logCols: _*)
+    if (sidecars.isEmpty) nonFile
+    else nonFile.unionByName(
+      spark.read.schema(Actions.logSchema).parquet(sidecars.toIndexedSeq: _*))
+  }
+
+  private def resolveSidecars(spark: SparkSession, segment: LogSegment,
+      paths: Seq[String]): Seq[String] = {
+    def top =
+      if (paths.head.endsWith(".json"))
+        spark.read.schema(Actions.v2CheckpointSchema).json(paths: _*)
+      else
+        spark.read.schema(Actions.v2CheckpointSchema).parquet(paths: _*)
+    v2SidecarCache.computeIfAbsent(
       paths.sorted.mkString(";"), _ => {
         // fail closed on a mislabeled manifest: the embedded version
         // must match the file-name version when present (checked once —
@@ -69,13 +94,6 @@ object Replay {
             if (p.contains("/")) p else new Path(sidecarDir, p).toString
           }.toSeq
       })
-    val logCols = Actions.logSchema.fieldNames.toIndexedSeq.map(col)
-    val nonFile = top
-      .where(col("sidecar").isNull && col("checkpointMetadata").isNull)
-      .select(logCols: _*)
-    if (sidecars.isEmpty) nonFile
-    else nonFile.unionByName(
-      spark.read.schema(Actions.logSchema).parquet(sidecars.toIndexedSeq: _*))
   }
 
   def actionsDF(spark: SparkSession, segment: LogSegment): DataFrame = {

@@ -27,21 +27,38 @@ object DeltaQueries {
     LogSegment.fs(spark, p).exists(p)
   }
 
-  /** Newest source-parquet mtime under sfDir: the driver regenerates
-    * /root/testdata between rounds, and a fixture built from a previous
-    * drop would silently diverge from the oracle (which always reads
-    * the live parquet). */
-  private def sourceStamp(sfDir: String): Long =
+  /** Identity of the source parquet drop under sfDir: sorted
+    * (name, size, mtime) tuples. The driver regenerates /root/testdata
+    * between rounds, and a fixture built from a previous drop would
+    * silently diverge from the oracle (which always reads the live
+    * parquet). A (size, mtime) tuple — not mtime ordering alone —
+    * catches regenerations that preserve timestamps (cp -p / rsync -a)
+    * as long as any byte count changed. */
+  private def sourceSig(sfDir: String): String =
     Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.lastModified())
-      .foldLeft(0L)(math.max)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .sorted.mkString("\n")
 
-  /** A fixture is stale when its version-0 commit predates the newest
-    * source file it could have been built from. */
+  // SIBLING of the fixture dir, never inside it: the dir_listing /
+  // sign_url oracles assume the table dir holds only log-determined
+  // content
+  private def stampFile(path: String) =
+    new File(path.stripSuffix("/") + "_src_sig")
+
+  /** Record, inside the fixture dir, the exact source drop it was built
+    * from. Every fixture build site must call this LAST. */
+  private[queries] def writeStamp(path: String, sfDir: String): Unit =
+    java.nio.file.Files.write(stampFile(path).toPath,
+      sourceSig(sfDir).getBytes("UTF-8"))
+
+  /** A fixture is stale when it carries no source signature or the
+    * signature no longer matches the live testdata drop. */
   private[queries] def stale(path: String, sfDir: String): Boolean = {
-    val v0 = new File(new File(path, "_delta_log"),
-      LogSegment.commitFileName(0))
-    !v0.exists() || v0.lastModified() < sourceStamp(sfDir)
+    val f = stampFile(path)
+    !f.exists() || new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") !=
+      sourceSig(sfDir)
   }
 
   /** Build-once guard. Fixtures are deterministic functions of the
@@ -54,6 +71,7 @@ object DeltaQueries {
         val dir = new File(path)
         if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
         build(path)
+        writeStamp(path, sfDir)
       }
     }
     path
@@ -65,6 +83,15 @@ object DeltaQueries {
     s.read.parquet(s"$dir/orders.parquet")
   private def customer(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/customer.parquet")
+
+  /** Disjoint key shift for fixture re-inserts: max(o_orderkey)+1, so
+    * shifted keys can never collide with real orderkeys at ANY scale
+    * factor (a fixed constant collides once keys pass it — orderkeys
+    * reach ~6M x SF). The oracle SQL mirrors it as a subselect. */
+  private def keyShift(o: DataFrame): Long =
+    o.agg(max("o_orderkey")).head.get(0) match {
+      case n: Number => n.longValue + 1
+    }
 
   // ---- fixture builders ---------------------------------------------
 
@@ -119,6 +146,7 @@ object DeltaQueries {
           .select("path").orderBy("path").limit(1).collect()(0).getString(0)
         CommitWriter.commitRemoves(s, LogDemoCpPath, Seq(first))
         CommitWriter.checkpoint(s, LogDemoCpPath)
+        writeStamp(LogDemoCpPath, sfDir)
       }
     }
     LogDemoCpPath
@@ -157,6 +185,7 @@ object DeltaQueries {
           .select("path").orderBy("path").limit(1).collect()(0).getString(0)
         CommitWriter.commitRemoves(s, LogDemoV2CpPath, Seq(first))
         CommitWriter.checkpointV2(s, LogDemoV2CpPath, numSidecars = 2)
+        writeStamp(LogDemoV2CpPath, sfDir)
       }
     }
     LogDemoV2CpPath
@@ -174,6 +203,7 @@ object DeltaQueries {
         val first = DeltaTable.forPath(s, LogDemoPath).allFiles
           .select("path").orderBy("path").limit(1).collect()(0).getString(0)
         CommitWriter.commitRemoves(s, LogDemoPath, Seq(first))
+        writeStamp(LogDemoPath, sfDir)
       }
     }
     LogDemoPath
@@ -272,6 +302,7 @@ object DeltaQueries {
         graft.commands.DmlCommands.delete(s, path, col("o_orderkey") % 7 === 0)
         graft.commands.DmlCommands.update(s, path, col("o_orderkey") % 11 === 0,
           Map("o_totalprice" -> (col("o_totalprice") + 50)))
+        writeStamp(path, sfDir)
       }
     }
     path
@@ -305,8 +336,9 @@ object DeltaQueries {
         val src = o.where(col("o_orderkey") % 100 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 1000)
           .unionByName(o.where(col("o_orderkey") < 10)
-            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+            .withColumn("o_orderkey", col("o_orderkey") + keyShift(o)))
         graft.commands.MergeCommand.upsert(s, path, src, Seq("o_orderkey"))
+        writeStamp(path, sfDir)
       }
     }
     path
@@ -396,10 +428,11 @@ object DeltaQueries {
         val updates = o.filter(col("o_orderkey") % 100 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 1000)
         val inserts = o.filter(col("o_orderkey") < 10)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderkey", col("o_orderkey") + keyShift(o))
           .withColumn("o_totalprice", col("o_totalprice") + 5)
         graft.commands.MergeCommand.upsert(s, path,
           updates.unionByName(inserts), Seq("o_orderkey"))
+        writeStamp(path, sfDir)
       }
     }
     path
@@ -426,6 +459,7 @@ object DeltaQueries {
         graft.commands.DmlCommands.update(s, path,
           col("o_orderkey") % 10 === 7,
           Map("o_totalprice" -> (col("o_totalprice") + 100)))
+        writeStamp(path, sfDir)
       }
     }
     path
@@ -689,7 +723,7 @@ object DeltaQueries {
         | 'insert', 3
         |FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 7 = 0
         |UNION ALL
-        |SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        |SELECT o_orderkey + (SELECT max(o_orderkey)+1 FROM orders), o_custkey, o_totalprice,
         | 'insert', 3
         |FROM orders WHERE o_orderkey < 10
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (s, dir) =>
@@ -737,7 +771,7 @@ object DeltaQueries {
         |      ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |UNION ALL
-        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |SELECT o_orderkey + (SELECT max(o_orderkey)+1 FROM orders) AS o_orderkey, o_custkey,
         | o_totalprice + 5 AS o_totalprice
         |FROM orders WHERE o_orderkey < 10
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
@@ -968,7 +1002,11 @@ object DeltaQueries {
         .unionAll(metric("manifest_file_actions",
           s.range(1).select(lit(0L).cast(LongType).as("value"))))
         .unionAll(metric("sidecars",
-          s.range(1).select(lit(2L).cast(LongType).as("value"))))
+          // the segment's own resolution of the manifest, not a literal:
+          // repartition(n) is free to write fewer than n part files on
+          // a small/skewed table, and the oracle counts what's on disk
+          s.range(1).select(lit(Replay.sidecarPaths(s, snap.segment)
+            .size.toLong).cast(LongType).as("value"))))
         .unionAll(metric("tombstones",
           Replay.tombstones(s, snap.segment)
             .agg(count(lit(1)).cast(LongType).as("value"))))

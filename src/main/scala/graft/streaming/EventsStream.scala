@@ -38,13 +38,28 @@ object EventsStream {
       spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  /** A feed cache is valid only if it was built AFTER the source
+  /** Identity of the source events fixture: (size, mtime) — not mtime
+    * ordering alone, so a testdata regeneration that preserves
+    * timestamps (cp -p / rsync -a) is still caught when byte counts
+    * changed. The _FEED_READY marker records this signature at build
+    * time. */
+  private def sourceSig(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    s"${f.length()}:${f.lastModified()}"
+  }
+
+  /** A feed cache is valid only if it was built from the CURRENT source
     * fixture: the driver regenerates /root/testdata between rounds, and
     * a feed replaying stale rows would diverge from the oracle. */
   private def feedFresh(done: java.io.File, sfDir: String): Boolean =
-    done.exists() &&
-      done.lastModified() > new java.io.File(s"$sfDir/events.parquet")
-        .lastModified()
+    done.exists() && new String(
+      java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") ==
+      sourceSig(sfDir)
+
+  /** Publish the feed-ready marker carrying the source signature. */
+  private def markReady(done: java.io.File, sfDir: String): Unit =
+    java.nio.file.Files.write(done.toPath,
+      sourceSig(sfDir).getBytes("UTF-8"))
 
   /** Tumbling 1-minute windows per event type (complete mode → equal to
     * the batch groupBy, which is what the oracle checks). */
@@ -122,7 +137,7 @@ object EventsStream {
       writeOne(ev, "00_events.parquet", base)
       writeOne(sentinel(s1, -1L), "01_sentinel.parquet", base + 10000)
       writeOne(sentinel(s2, -2L), "02_sentinel.parquet", base + 20000)
-      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+      markReady(done, sfDir)
     }
     feedDir
   }
@@ -160,7 +175,7 @@ object EventsStream {
         "00_first_half.parquet", base)
       writeFeedFile(feedDir, ev.where(col("ts") > mid),
         "01_second_half.parquet", base + 10000)
-      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+      markReady(done, sfDir)
     }
     feedDir
   }
@@ -181,7 +196,7 @@ object EventsStream {
       val base = System.currentTimeMillis() - 60000
       writeFeedFile(feedDir, ev.unionAll(ev), "00_events_x2.parquet", base)
       writeFeedFile(feedDir, ev, "01_redelivery.parquet", base + 10000)
-      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+      markReady(done, sfDir)
     }
     feedDir
   }

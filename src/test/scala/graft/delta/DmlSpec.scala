@@ -119,6 +119,15 @@ class DmlSpec extends AnyFunSuite {
     assert(dv.select("deletionVector.cardinality").head.getLong(0) == hit)
     // metadata-only count subtracts the DV
     assert(after.statsRowCount.contains(n - hit))
+    // per PROTOCOL a DV-bearing file's stats are wide: tightBounds
+    // false, numRecords still the PHYSICAL row count
+    val stats = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(dv.select("stats").head.getString(0))
+    assert(!stats.get("tightBounds").asBoolean(true),
+      "DV-bearing AddFile must declare tightBounds:false")
+    assert(stats.get("numRecords").asLong() ==
+      orders.filter(col("o_orderkey") <= med).count(),
+      "numRecords must stay the physical count under a DV")
     // time travel to the pre-delete version still sees every row
     assert(DeltaTable.forPath(spark, p, Some(1)).read.count() == n)
   }

@@ -95,4 +95,44 @@ class IctSpec extends AnyFunSuite {
     CommitWriter.append(spark, region.limit(1), p) // v3
     assert(ictOf(p, 3).get > ictOf(p, 2).get)
   }
+
+  test("ICT memo survives out-of-band table recreation at the same version") {
+    // sequential commits memoize the ICT flag per (table, version); a
+    // table deleted and recreated OUT-OF-BAND (external writer) with
+    // realigned version numbers must not hit the stale memo — the memo
+    // validates the parent commit file's identity before trusting it
+    val p = tmp("recreate")
+    CommitWriter.createTable(spark, region.limit(2), p,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    CommitWriter.append(spark, region.limit(1), p) // v1, memo: (2, true)
+    assert(ictOf(p, 1).isDefined)
+
+    // external actor: wipe the table, recreate a NON-ICT table whose
+    // next version realigns with the memo (versions 0 and 1 on disk)
+    val dir = new java.io.File(p)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete()
+    }
+    wipe(dir)
+    val plain = tmp("recreate_plain")
+    CommitWriter.createTable(spark, region.limit(2), plain)
+    CommitWriter.append(spark, region.limit(1), plain)
+    // copy the plain table's files in as the "external" recreation
+    def copyAll(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyAll(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyAll(new java.io.File(plain), dir)
+
+    // our next append lands at exactly the memoized version 2 — the
+    // stale memo must be rejected and the fresh (non-ICT) state used
+    CommitWriter.append(spark, region.limit(1), p) // v2
+    assert(ictOf(p, 2).isEmpty,
+      "stale ICT memo applied to a recreated non-ICT table")
+  }
 }

@@ -218,21 +218,41 @@ class ProtocolSpec extends AnyFunSuite {
       msgs.mkString("|"))
   }
 
-  test("CDF-enabled tables refuse data-changing rewrites, allow appends") {
-    // this engine derives its change feed and writes no cdc actions, so
-    // DML on a table that PROMISES write-time CDC would break compliant
-    // CDF readers for that commit; appends derive as inserts per spec
+  test("CDF-enabled DML writes cdc actions; cdc-less rewrites refused") {
+    // DELETE/UPDATE/MERGE produce authoritative write-time cdc files
+    // under _change_data, so they pass the CDF gate; entry points that
+    // rewrite rows WITHOUT cdc actions (overwrite) must still refuse —
+    // a compliant CDF reader would serve wrong change data otherwise.
     val path = tmpTable("proto_cdf")
     CommitWriter.createTable(spark, region, path,
       configuration = Map("delta.enableChangeDataFeed" -> "true"))
-    CommitWriter.append(spark, region.limit(1), path) // allowed
-    val e = intercept[IllegalArgumentException] {
-      graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    // allowed: inserts derive from add actions, no cdc needed
+    CommitWriter.append(spark, region.filter(col("r_regionkey") === 0), path)
+    graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    val seg = LogSegment.forTable(spark,
+      new org.apache.hadoop.fs.Path(path))
+    val commit = spark.read.text(
+      s"$path/_delta_log/%020d.json".format(seg.version))
+    val cdcLines = commit.collect().map(_.getString(0))
+      .filter(_.contains("\"cdc\""))
+    assert(cdcLines.nonEmpty, "DELETE commit carries no cdc actions")
+    assert(cdcLines.forall(_.contains("\"dataChange\":false")))
+    // the cdc files label every deleted row 'delete'
+    val cdcPaths = cdcLines.map { l =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(l).get("cdc")
+      s"$path/${n.get("path").asText}"
     }
-    assert(e.getMessage.contains("enableChangeDataFeed"))
-    intercept[IllegalArgumentException] {
+    val changes = spark.read.parquet(cdcPaths: _*)
+    assert(changes.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(changes.filter(col("r_regionkey") === 0).count() == 2,
+      "both physical copies of r_regionkey=0 must appear in the feed")
+    // overwrite still refused: no entry-point cdc support
+    val e = intercept[IllegalArgumentException] {
       CommitWriter.overwrite(spark, region, path)
     }
+    assert(e.getMessage.contains("enableChangeDataFeed"))
   }
 
   test("time travel to a version before an unsupported upgrade still reads") {
