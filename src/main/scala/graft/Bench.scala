@@ -186,6 +186,11 @@ object Bench {
     // the dedup shape adds a dropDuplicatesWithinWatermark state store —
     // yet another streaming plan; warming it also pre-builds its feed
     SparkEntry.queries("q_stream_dedup")(spark, warmDir).count()
+    // stream-stream interval join: two watermarked sides + symmetric
+    // join state stores — the most expensive streaming plan to
+    // initialize, and previously the only shape paying that init on
+    // the clock
+    SparkEntry.queries("q_stream_join")(spark, warmDir).count()
     // the delta streaming SOURCE compiles yet another plan (v1 Source +
     // composed scan per micro-batch); warm it against a 2-commit toy
     // table so q_stream_delta_source times the operator, not engine init

@@ -104,13 +104,35 @@ object ConnectedComponents {
     * lifetime; observed as multi-×10 bench spread); (2) the RDD keeps
     * its lineage, so losing an executor degrades to recompute instead
     * of failing the job (localCheckpoint explicitly forfeits that). */
+  /** splitmix64 finalizer — scrambles an edge into a well-mixed 64-bit
+    * value so the SUM over a (distinct) edge set is an
+    * order-independent set checksum. */
+  private def mix(u: Long, v: Long): Long = {
+    var z = u * 0x9e3779b97f4a7c15L + v
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private def materialize(spark: SparkSession, df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)], Long, Long) = {
     import spark.implicits._
     val rdd = df.as[(Long, Long)].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = rdd.count()
-    (spark.createDataFrame(rdd).toDF("u", "v"), rdd, n)
+    // ONE job per round: count and set checksum in the same pass (the
+    // naive count + except convergence check was two extra shuffling
+    // jobs per round — the dominant share of the loop's bench spread)
+    val (n, ck) = rdd.mapPartitions { it =>
+      var c = 0L
+      var s = 0L
+      while (it.hasNext) {
+        val (u, v) = it.next()
+        c += 1
+        s += mix(u, v)
+      }
+      Iterator.single((c, s))
+    }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    (spark.createDataFrame(rdd).toDF("u", "v"), rdd, n, ck)
   }
 
   /** @param edges two-column DataFrame (u, v) of undirected edges
@@ -122,24 +144,28 @@ object ConnectedComponents {
   def components(spark: SparkSession, edges: DataFrame): DataFrame = {
     // materializing `in` stops the (possibly expensive) upstream edge
     // pipeline from recomputing in round 1 + the convergence check
-    val (in, _, _) = materialize(spark, edges.toDF("u", "v")
+    val (in, _, _, _) = materialize(spark, edges.toDF("u", "v")
       .select(col("u").cast(LongType), col("v").cast(LongType)))
-    var (e, eRdd, n) =
+    var (e, eRdd, n, ck) =
       materialize(spark, in.where(col("u") =!= col("v")).distinct())
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      val (next, nextRdd, nn) =
+      val (next, nextRdd, nn, nck) =
         materialize(spark, smallStar(largeStar(e)).distinct())
-      // sets of equal size with an empty one-sided difference are equal
-      // — one except job per round, not two (both sides materialized)
-      converged = nn == n && next.except(e).isEmpty
+      // (count, checksum) equality screens convergence with ZERO extra
+      // jobs (both computed inside materialize's single pass); the one
+      // `except` job runs only on a screen hit — normally exactly once,
+      // at the actual fixpoint — and confirms set equality EXACTLY, so
+      // a checksum collision can never end the loop early
+      converged = nn == n && nck == ck && next.except(e).isEmpty
       // free the superseded round NOW (see materialize); the final
       // round and `in` stay pinned — the returned frame reads them
       eRdd.unpersist(blocking = false)
       e = next
       eRdd = nextRdd
       n = nn
+      ck = nck
       rounds += 1
     }
     lastRounds.set(rounds)

@@ -250,19 +250,40 @@ object EventsStream {
     * partitions are fixed for the life of the checkpoint, so size them
     * for the target state, not the first batch). */
   def runToMemory(spark: SparkSession, build: SparkSession => DataFrame,
-      name: String, mode: OutputMode, statePartitions: Int = 8): DataFrame = {
+      name: String, mode: OutputMode, statePartitions: Int = 4): DataFrame = {
     // the stream runs in a CLONED session (shared SparkContext, isolated
     // SQLConf), so the state-partition override can never leak into
     // queries running concurrently on the caller's session; the builder
     // receives the clone so the plan binds to the scoped conf
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // every query here emits its results inside DATA batches (complete/
+    // update modes emit per batch; the append-mode feeds advance the
+    // watermark with sentinel/ordered DATA files precisely so emission
+    // happens in the following data batch) — the trailing no-data
+    // micro-batch only re-commits state and offsets, so skip its
+    // full batch cycle
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // checkpoint on tmpfs when available: offsets/commits/state are
+    // dozens of small fsync'd files per batch, and a disk-backed /tmp
+    // bills that latency to every micro-batch (a real deployment puts
+    // checkpoints on its durable store — this harness checkpoint is
+    // ephemeral by design, deleted after the run)
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(
+      ckBase.toPath, s"graft_ck_$name").toFile
     val q = build(ss).writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ck.getAbsolutePath)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ck)
+    }
     ss.table(name)
   }
 }
