@@ -162,19 +162,27 @@ object TextQueries {
        |  QUALIFY count(*) OVER (PARTITION BY band, k1, k2) <= $BandBucketMax
        |)""".stripMargin
 
-  /** Per-band candidate pairs (doc_a, doc_b, band) from capped MinHash
-    * LSH buckets — per-bucket doc-list explode, never a self-join of
-    * the full band relation. */
-  private def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** The uncapped per-doc band-key relation (doc_id, band, k1, k2) —
+    * shared by the bucket builder and the scale-rehearsal audit, which
+    * measures the bucket-size distribution the cap has to absorb. */
+  private[graft] def minhashBandsForAudit(s: SparkSession,
+      dir: String): DataFrame = {
     val sigs = shingleHashes(load(s, dir, "documents"))
       .groupBy("doc_id")
       .agg(minhashAggs.head, minhashAggs.tail: _*)
-    val bands = sigs.select(col("doc_id"), explode(array(
+    sigs.select(col("doc_id"), explode(array(
       (0 until 4).map(bnd => struct(lit(bnd).as("band"),
         col(s"mh${2 * bnd}").as("k1"),
         col(s"mh${2 * bnd + 1}").as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+  }
+
+  /** Per-band candidate pairs (doc_a, doc_b, band) from capped MinHash
+    * LSH buckets — per-bucket doc-list explode, never a self-join of
+    * the full band relation. */
+  private def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBandsForAudit(s, dir)
     // cap WHILE collecting: one shuffle clusters each bucket into a
     // contiguous doc_id-sorted run, and a streaming pass accumulates at
     // most BandBucketMax ids before discarding the bucket — task state
