@@ -144,9 +144,43 @@ object DeltaScan {
     val needDv = scanFiles.exists(_.dv.isDefined)
     val needPart = partCols.nonEmpty
 
+    // DV bitmaps load once, before the frame is built: the surgical
+    // row-group planner and the row mask share them
+    val dvMap: Map[String, DvBitmap.Bitmap] =
+      if (!needDv) Map.empty
+      else scanFiles
+        .flatMap(f => f.dv.map(d =>
+          normalize(abs(f.relPath)) ->
+            DvBitmap.load(fs, qualifiedTable, d)))
+        .toMap
+
+    // surgical row-group skip: files whose DV kills whole row groups
+    // read through byte-ranged splits that never decode the dead groups
+    val hconf = org.apache.spark.sql.graftshim.Shims
+      .hadoopConfWithOptions(spark, Map.empty)
+    val surgical: Map[String, (Seq[(Long, Long)], Int, Int)] =
+      if (!needDv || !DvRowGroupSkip.enabled(spark)) Map.empty
+      else {
+        val minDel = DvRowGroupSkip.minDeleted(spark)
+        scanFiles.iterator
+          .filter(_.dv.exists(_.cardinality >= minDel))
+          .flatMap { f =>
+            val key = normalize(abs(f.relPath))
+            DvRowGroupSkip.liveRanges(fs, abs(f.relPath), dvMap(key), hconf)
+              .map(key -> _)
+          }.toMap
+      }
+    if (surgical.nonEmpty) {
+      DvRowGroupSkip.lastSkipped.set(surgical.values.map(_._2.toLong).sum)
+      DvRowGroupSkip.lastDecoded.set(
+        surgical.values.map(v => (v._3 - v._2).toLong).sum)
+    }
+    val normalScanFiles =
+      scanFiles.filterNot(f => surgical.contains(normalize(abs(f.relPath))))
+
     var df = spark.read
       .schema(physicalDataSchema)
-      .parquet(scanFiles.map(f => abs(f.relPath).toString): _*)
+      .parquet(normalScanFiles.map(f => abs(f.relPath).toString): _*)
 
     val helperCols = Seq.newBuilder[Column]
     if (needPart || needDv || withFileColumn)
@@ -158,6 +192,26 @@ object DeltaScan {
       case (lf, pf) => ColumnMapping.toLogicalColumn(pf, lf)
     }
     df = df.select((logicalDataCols ++ helperCols.result()).toIndexedSeq: _*)
+
+    if (surgical.nonEmpty) {
+      // surgical files union in AFTER the physical->logical projection:
+      // their frame already carries __fkey/__row_index (same provenance
+      // contract), and a surgical scan implies needDv, so both helper
+      // columns exist on the normal side too
+      val surgicalFiles = scanFiles
+        .filter(f => surgical.contains(normalize(abs(f.relPath))))
+        .map { f =>
+          val absPath = abs(f.relPath)
+          val key = normalize(absPath)
+          val st = fs.getFileStatus(absPath)
+          (absPath, key, surgical(key)._1, st.getModificationTime, st.getLen)
+        }
+      val sdf = DvRowGroupSkip.scan(spark, physicalDataSchema, surgicalFiles)
+      val sSel = sdf.select(
+        (logicalDataCols :+ col("__fkey") :+ col("__row_index"))
+          .toIndexedSeq: _*)
+      df = (if (normalScanFiles.isEmpty) sSel else df.unionByName(sSel))
+    }
 
     if (needPart) {
       // file -> partition values, broadcast-joined: one hash lookup per
@@ -183,11 +237,6 @@ object DeltaScan {
     }
 
     if (needDv) {
-      val dvMap: Map[String, DvBitmap.Bitmap] = scanFiles
-        .flatMap(f => f.dv.map(d =>
-          normalize(abs(f.relPath)) ->
-            DvBitmap.load(fs, qualifiedTable, d)))
-        .toMap
       val totalDeleted = scanFiles.flatMap(_.dv).map(_.cardinality).sum
       if (totalDeleted <= DvAntiJoinMaxRows) {
         // small-DV path (the overwhelmingly common case: DVs mark a few

@@ -36,6 +36,23 @@ object Shims {
       cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Hadoop conf with the session's SQL->Hadoop option propagation
+    * (what FileSourceScanExec hands the parquet reader factory);
+    * `sessionState` is private[sql]. */
+  def hadoopConfWithOptions(spark: org.apache.spark.sql.SparkSession,
+      options: Map[String, String]): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConfWithOptions(options)
+
+  /** DataFrame over an RDD of InternalRow with a known schema (the
+    * surgical DV scan produces rows straight from the parquet reader
+    * factory); `internalCreateDataFrame` lives on the classic session. */
+  def dataFrameFromInternalRows(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Version-stable view of a Column's node tree, for predicate
     * translation (file skipping). */
   sealed trait PredNode
