@@ -60,8 +60,11 @@ object StreamingQueries {
         |ORDER BY minute_bucket, event_type""".stripMargin) { (s, dir) =>
       val feed = EventsStream.watermarkFeedDir(s, dir)
       EventsStream.runToMemory(s,
+        // events + first sentinel share batch 0 (mtime order); the
+        // second sentinel's batch then emits every real window — same
+        // result in 2 batches instead of 3
         ss => EventsStream.watermarkedWindows(
-          EventsStream.readFeed(ss, dir, feed)),
+          EventsStream.readFeed(ss, dir, feed, filesPerTrigger = 2)),
         s"stream_wm_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
         OutputMode.Append())
         // sentinel windows drop HERE, on the materialized sink result —

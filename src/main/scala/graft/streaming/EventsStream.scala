@@ -204,11 +204,18 @@ object EventsStream {
   /** Streaming read of a watermark feed dir (ordered multi-file replay).
     * Feed files are always written post-normalization (ts = epoch-ns
     * long), so the stream schema is the NORMALIZED fixture schema. */
-  def readFeed(spark: SparkSession, sfDir: String, feedDir: String): DataFrame = {
+  /** @param filesPerTrigger batch granularity. 1 (default) gives the
+    *   strict one-file-per-batch replay the cross-batch-state feeds
+    *   (join, dedup) rely on; the watermark feed passes 2 so the events
+    *   file and the first sentinel share a batch — the watermark update
+    *   happens at batch END either way, so emission still needs (and
+    *   gets) the second sentinel's batch, one batch cycle earlier. */
+  def readFeed(spark: SparkSession, sfDir: String, feedDir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
     val schema = fixtureEvents(spark, sfDir).schema
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .option("pathGlobFilter", "*.parquet")
       .parquet(feedDir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
