@@ -40,6 +40,15 @@ object DmlCommands {
   case class DvWritten(fkey: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
 
+  /** commitInfo.operationParameters carrying the DML predicate — the
+    * operation metadata DESCRIBE HISTORY ecosystems surface. Rendered
+    * best-effort: an unrenderable Column (e.g. holding a lambda) just
+    * omits the entry rather than failing the commit. */
+  private def predicateParam(condition: Column): Map[String, String] =
+    scala.util.Try(
+      org.apache.spark.sql.graftshim.Shims.expression(condition).sql)
+      .toOption.map(sql => Map("predicate" -> sql)).getOrElse(Map.empty)
+
   /** DELETE FROM table WHERE condition. */
   def delete(spark: SparkSession, tablePath: String,
       condition: Column): DataFrame = {
@@ -146,7 +155,7 @@ object DmlCommands {
       Actions.RemoveFile(p, Some(now), dataChange = true)))
     CommitWriter.commit(spark, tablePath, snap.version + 1,
       removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++ cdcActions,
-      operation)
+      operation, operationParameters = predicateParam(condition))
     metrics(spark, affectedRel.length, adds.size, operation)
   }
 
@@ -206,7 +215,8 @@ object DmlCommands {
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
     CommitWriter.commit(spark, tablePath, snap.version + 1,
-      protoUpgrade ++ actions ++ cdcActions, "DELETE")
+      protoUpgrade ++ actions ++ cdcActions, "DELETE",
+      operationParameters = predicateParam(condition))
     dvMetrics(spark, "DELETE", masked, fullyRemoved, rowsDeleted, 0)
   }
 
@@ -314,7 +324,7 @@ object DmlCommands {
     CommitWriter.commit(spark, tablePath, snap.version + 1,
       protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
         cdcActions,
-      "UPDATE")
+      "UPDATE", operationParameters = predicateParam(condition))
     dvMetrics(spark, "UPDATE", masked, fullyRemoved, rowsUpdated, adds.size)
   }
 

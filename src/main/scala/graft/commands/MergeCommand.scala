@@ -75,7 +75,7 @@ object MergeCommand {
       CommitWriter.commit(spark, tablePath, snap.version + 1,
         protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
           mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
-        operation = "MERGE")
+        operation = "MERGE", operationParameters = mergeParams(keys))
       val rows = new java.util.ArrayList[Row]()
       rows.add(Row("files_rewritten", "0"))
       rows.add(Row("files_added", adds.size.toString))
@@ -127,7 +127,7 @@ object MergeCommand {
     CommitWriter.commit(spark, tablePath, snap.version + 1,
       removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++
         mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
-      operation = "MERGE")
+      operation = "MERGE", operationParameters = mergeParams(keys))
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row("files_rewritten", affectedRel.length.toString))
@@ -144,6 +144,14 @@ object MergeCommand {
     * unmatched source rows are inserts. One extra semi-join pass over
     * the match footprint — the cost `delta.enableChangeDataFeed` opts
     * into. */
+  /** commitInfo.operationParameters for a MERGE: the human-readable
+    * predicate (what DESCRIBE HISTORY ecosystems show) plus the
+    * machine-readable key list the DERIVED change feed uses to pair a
+    * non-CDF table's update pre/post images (CommitRangeScan). */
+  private def mergeParams(keys: Seq[String]): Map[String, String] = Map(
+    "predicate" -> keys.map(k => s"target.$k = source.$k").mkString(" AND "),
+    "mergeKeys" -> keys.mkString(","))
+
   private def mergeCdcActions(spark: SparkSession,
       snap: graft.delta.Snapshot, tablePath: String, src: DataFrame,
       keys: Seq[String], cdfOn: Boolean): Seq[String] =

@@ -453,9 +453,16 @@ object CommitWriter {
   }
 
   /** Write the action lines of `version` atomically (create-no-overwrite,
-    * the A22 semantics). */
+    * the A22 semantics).
+    *
+    * @param operationParameters free-form commitInfo parameters, the
+    *   ecosystem-standard operation metadata (predicates, merge keys).
+    *   The derived change feed uses a recorded `mergeKeys` entry to
+    *   pair a MERGE commit's update pre/post images — without it (e.g.
+    *   a foreign writer) those rows keep insert/delete labels. */
   def commit(spark: SparkSession, tablePath: String, version: Long,
-      actionLines: Seq[String], operation: String): Unit = {
+      actionLines: Seq[String], operation: String,
+      operationParameters: Map[String, String] = Map.empty): Unit = {
     if (version > 0) enforceAppendOnly(spark, tablePath, actionLines)
     val logPath = new Path(new Path(tablePath), "_delta_log")
     val fs = LogSegment.fs(spark, new Path(tablePath))
@@ -466,6 +473,10 @@ object CommitWriter {
     ci.put("timestamp", System.currentTimeMillis())
     ci.put("operation", operation)
     ci.put("engineInfo", "graft/0.1.0")
+    if (operationParameters.nonEmpty) {
+      val op = ci.putObject("operationParameters")
+      operationParameters.foreach { case (k, v) => op.put(k, v) }
+    }
     val inlineMeta = actionLines.filter(_.contains("\"metaData\""))
       .flatMap(l => Option(mapper.readTree(l).get("metaData"))).lastOption
     val ictOn = ictEnabled(spark, tablePath, version, inlineMeta)

@@ -130,12 +130,14 @@ object CommitRangeScan {
     * `_commit_version`, and `_commit_timestamp` (from the commit's
     * commitInfo line).
     *
-    * Remaining divergence from the reference-ecosystem CDF, documented
-    * here and in COVERAGE.md: MERGE commits emit insert/delete, not
-    * per-row update pairs — a merge mixes inserts and updates in one
-    * commit, and telling them apart row-by-row would need a primary key
-    * the protocol doesn't declare (delta-spark can, because its MERGE
-    * writes CDC files at write time).
+    * MERGE commits pair their update pre/post images when the writer
+    * recorded the merge keys in commitInfo.operationParameters
+    * (`mergeKeys` — this engine's MERGE always does); the remaining
+    * divergence is foreign MERGE commits without that hint, which keep
+    * insert/delete labels — a merge mixes inserts and updates in one
+    * commit, and the protocol itself declares no key to pair them
+    * (delta-spark sidesteps it by writing CDC files at write time,
+    * which this engine also does on CDF-enabled tables).
     *
     * Changes are derived per commit from the log's copy-on-write
     * structure: a commit's inserts are the rows of its dataChange adds
@@ -176,6 +178,7 @@ object CommitRangeScan {
       val cdcFiles = scala.collection.mutable.ArrayBuffer.empty[String]
       var commitMillis: Option[Long] = None
       var operation: Option[String] = None
+      var mergeKeys: Seq[String] = Seq.empty
       val in = fs.open(commit)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector finally in.close()
@@ -185,6 +188,11 @@ object CommitRangeScan {
           commitMillis = Some(n.get("commitInfo").get("timestamp").asLong())
         if (n.has("commitInfo") && n.get("commitInfo").has("operation"))
           operation = Some(n.get("commitInfo").get("operation").asText())
+        if (n.has("commitInfo"))
+          mergeKeys = Option(n.get("commitInfo").get("operationParameters"))
+            .flatMap(p => Option(p.get("mergeKeys")))
+            .map(_.asText().split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
         if (n.has("cdc"))
           cdcFiles += n.get("cdc").get("path").asText()
         if (n.has("add") &&
@@ -253,9 +261,30 @@ object CommitRangeScan {
       // DV-mask) diff of an UPDATE touches exactly the updated rows, so
       // the remove-side rows ARE the pre-images and the add-side rows
       // the post-images — delta-spark's CDF assigns these labels by
-      // operation the same way, without row pairing. MERGE commits keep
-      // insert/delete labels (a merge mixes inserts and updates in one
-      // commit and the protocol declares no key to tell them apart).
+      // operation the same way, without row pairing. A MERGE commit
+      // pairs its update rows when the writer recorded the merge keys
+      // in commitInfo.operationParameters (this engine's MERGE does):
+      // keys present on BOTH diff sides are updates, add-only keys are
+      // inserts, remove-only keys deletes. Foreign MERGE commits
+      // without the hint keep insert/delete labels — the protocol
+      // itself declares no key to pair on.
+      val validMergeKeys = mergeKeys.nonEmpty &&
+        mergeKeys.forall(k => snap.schema.fieldNames.contains(k))
+      if (operation.contains("MERGE") && validMergeKeys) {
+        val kcols = mergeKeys.map(col)
+        val updKeys = ins.select(kcols: _*)
+          .intersect(del.select(kcols: _*))
+        ins.join(updKeys, mergeKeys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+          .unionByName(ins.join(updKeys, mergeKeys, "left_anti")
+            .withColumn("_change_type", lit("insert")))
+          .unionByName(del.join(updKeys, mergeKeys, "left_semi")
+            .withColumn("_change_type", lit("update_preimage")))
+          .unionByName(del.join(updKeys, mergeKeys, "left_anti")
+            .withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+      } else {
       val (insType, delType) = operation match {
         case Some("UPDATE") => ("update_postimage", "update_preimage")
         case _ => ("insert", "delete")
@@ -264,6 +293,7 @@ object CommitRangeScan {
         .unionByName(del.withColumn("_change_type", lit(delType)))
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+      }
       }
     }
     // bound plan size: beyond ChangeFeedChunkCommits commits, materialize

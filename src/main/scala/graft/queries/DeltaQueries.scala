@@ -281,18 +281,21 @@ object DeltaQueries {
     }
 
   /** v0 create (cheap orders) -> v1 append (expensive) -> v2 DELETE of
-    * every 7th orderkey -> v3 UPDATE (+50 on every 11th) — the
-    * change-feed fixture: the span exercises insert, delete, AND
-    * update_preimage/update_postimage labels. */
+    * every 7th orderkey -> v3 UPDATE (+50 on every 11th) -> v4 MERGE
+    * (source = every 13th key with totalprice+1000; matched keys
+    * update, keys deleted at v2 re-insert) — the change-feed fixture:
+    * the span exercises insert, delete, update_preimage/postimage from
+    * an UPDATE, AND the key-paired labels of a derived (non-CDF) MERGE
+    * commit. */
   def cdcTable(s: SparkSession, sfDir: String): String = {
     val path = fixtureDir(sfDir, "cdc")
     this.synchronized {
-      // version-aware guard (like mergedTable): the recipe grew a v3
-      // UPDATE, so a 3-commit fixture from an earlier build must rebuild
+      // version-aware guard (like mergedTable): the recipe grew a v4
+      // MERGE, so a shorter fixture from an earlier build must rebuild
       // even when it postdates the testdata
       val done = new File(path, "_delta_log").exists() &&
         !stale(path, sfDir) &&
-        DeltaTable.forPath(s, path).version >= 3
+        DeltaTable.forPath(s, path).version >= 4
       if (!done) {
         if (new File(path).exists())
           scala.reflect.io.Directory(new File(path)).deleteRecursively()
@@ -302,6 +305,10 @@ object DeltaQueries {
         graft.commands.DmlCommands.delete(s, path, col("o_orderkey") % 7 === 0)
         graft.commands.DmlCommands.update(s, path, col("o_orderkey") % 11 === 0,
           Map("o_totalprice" -> (col("o_totalprice") + 50)))
+        graft.commands.MergeCommand.upsert(s, path,
+          o.filter(col("o_orderkey") % 13 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000),
+          Seq("o_orderkey"))
         writeStamp(path, sfDir)
       }
     }
@@ -659,11 +666,14 @@ object DeltaQueries {
 
     // derived row-level change feed: per-commit copy-on-write diff
     // (adds EXCEPT ALL removes = inserts; removes EXCEPT ALL adds =
-    // deletes; UPDATE commits relabel the two sides as post-/pre-image).
+    // deletes; UPDATE commits relabel the two sides as post-/pre-image;
+    // MERGE commits pair updates by the commitInfo-recorded merge key).
     // Commit 1 appended the expensive orders; commit 2 deleted every
-    // 7th orderkey; commit 3 updated every 11th survivor (+50) — the
-    // feed over [1, 3] must equal exactly that, which the oracle
-    // restates from the source parquet.
+    // 7th orderkey; commit 3 updated every 11th survivor (+50);
+    // commit 4 merged every 13th key with totalprice+1000 (survivors
+    // update, keys deleted at v2 re-insert) — the feed over [1, 4] must
+    // equal exactly that, which the oracle restates from the source
+    // parquet.
     Q("q_change_feed",
       """SELECT o_orderkey, o_totalprice,
         | 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
@@ -680,6 +690,19 @@ object DeltaQueries {
         |SELECT o_orderkey, o_totalprice + 50 AS o_totalprice,
         | 'update_postimage' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey,
+        | o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 50 ELSE 0 END,
+        | 'update_preimage', CAST(4 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000,
+        | 'update_postimage', CAST(4 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000,
+        | 'insert', CAST(4 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 = 0
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (s, dir) =>
       val path = cdcTable(s, dir)
       s.read.format("graftdelta")

@@ -139,6 +139,51 @@ class SourceSpec extends AnyFunSuite {
       (2L, oldName, "update_preimage", 1L)))
   }
 
+  test("readChangeFeed pairs MERGE updates via recorded merge keys") {
+    val d = Files.createTempDirectory("graft_src_cdc_merge").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    CommitWriter.createTable(spark, region, p)
+    // v1 MERGE: key 2 updates, key 99 inserts — the derived feed must
+    // split them per row using commitInfo.operationParameters.mergeKeys
+    val src = region.where(col("r_regionkey") === 2)
+      .withColumn("r_name", org.apache.spark.sql.functions.lit("MERGED"))
+      .unionByName(region.limit(1)
+        .withColumn("r_regionkey",
+          org.apache.spark.sql.functions.lit(99L)
+            .cast(region.schema("r_regionkey").dataType))
+        .withColumn("r_name", org.apache.spark.sql.functions.lit("NEW")))
+    graft.commands.MergeCommand.upsert(spark, p, src, Seq("r_regionkey"))
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("r_regionkey", "r_name", "_change_type")
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        r.getString(2))).toSet
+    val oldName = region.where(col("r_regionkey") === 2)
+      .select("r_name").head.getString(0)
+    assert(feed == Set(
+      (2L, oldName, "update_preimage"),
+      (2L, "MERGED", "update_postimage"),
+      (99L, "NEW", "insert")))
+
+    // foreign-writer fallback: strip operationParameters from the
+    // commit (rewrite the json) -> labels degrade to insert/delete
+    val commit = new java.io.File(p,
+      "_delta_log/00000000000000000001.json")
+    val rewritten = scala.io.Source.fromFile(commit, "UTF-8").mkString
+      .replaceAll(""",?"operationParameters":\{[^}]*\}""", "")
+    java.nio.file.Files.write(commit.toPath, rewritten.getBytes("UTF-8"))
+    val degraded = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(degraded == Set("insert", "delete"),
+      s"foreign MERGE without mergeKeys must fall back, got $degraded")
+  }
+
   test("readChangeFeed derives deletes from a merge-on-read DV DELETE") {
     val d = Files.createTempDirectory("graft_src_cdc_dv").toFile
     d.deleteOnExit()
