@@ -105,6 +105,38 @@ class DvRowGroupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("surgical skip on a COLUMN-MAPPED table reads physical names right") {
+    val p = tmp("mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (16 * 1024).toString)
+    try CommitWriter.createTableMapped(spark, df.coalesce(1), p)
+    finally {
+      if (prev == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prev)
+    }
+    graft.GraftSession(spark).sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    val cut = orders.stat.approxQuantile("o_orderkey", Array(0.9), 0.0)(0)
+    DmlCommands.delete(spark, p, col("o_orderkey") < cut)
+
+    spark.conf.set("spark.lakehouse.dv.rowGroupSkip.minDeleted", "1")
+    try {
+      DvRowGroupSkip.lastSkipped.set(-1)
+      val t = DeltaTable.forPath(spark, p).read
+      val expect = df.filter(col("o_orderkey") >= cut)
+      assert(t.count() == expect.count())
+      assert(DvRowGroupSkip.lastSkipped.get() > 0,
+        "mapped table never engaged the surgical path")
+      assert(t.orderBy("o_orderkey").collect().toSeq ==
+        expect.orderBy("o_orderkey").collect().toSeq)
+    } finally {
+      spark.conf.unset("spark.lakehouse.dv.rowGroupSkip.minDeleted")
+    }
+  }
+
   test("files below the cardinality threshold never pay the footer read") {
     val (p, _, _) = multiGroupTable("thresh")
     DmlCommands.delete(spark, p, col("o_orderkey") % 97 === 0)
