@@ -271,16 +271,22 @@ object CommitRangeScan {
       val validMergeKeys = mergeKeys.nonEmpty &&
         mergeKeys.forall(k => snap.schema.fieldNames.contains(k))
       if (operation.contains("MERGE") && validMergeKeys) {
+        // each diff side feeds three plans (updKeys + semi + anti);
+        // materialize the two exceptAll subtrees once instead of
+        // re-running them per join (same tradeoff as the chunked span
+        // materialization below)
+        val ins0 = ins.localCheckpoint()
+        val del0 = del.localCheckpoint()
         val kcols = mergeKeys.map(col)
-        val updKeys = ins.select(kcols: _*)
-          .intersect(del.select(kcols: _*))
-        ins.join(updKeys, mergeKeys, "left_semi")
+        val updKeys = ins0.select(kcols: _*)
+          .intersect(del0.select(kcols: _*))
+        ins0.join(updKeys, mergeKeys, "left_semi")
           .withColumn("_change_type", lit("update_postimage"))
-          .unionByName(ins.join(updKeys, mergeKeys, "left_anti")
+          .unionByName(ins0.join(updKeys, mergeKeys, "left_anti")
             .withColumn("_change_type", lit("insert")))
-          .unionByName(del.join(updKeys, mergeKeys, "left_semi")
+          .unionByName(del0.join(updKeys, mergeKeys, "left_semi")
             .withColumn("_change_type", lit("update_preimage")))
-          .unionByName(del.join(updKeys, mergeKeys, "left_anti")
+          .unionByName(del0.join(updKeys, mergeKeys, "left_anti")
             .withColumn("_change_type", lit("delete")))
           .withColumn("_commit_version", lit(v))
           .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
