@@ -162,13 +162,20 @@ object DeltaScan {
       if (!needDv || !DvRowGroupSkip.enabled(spark)) Map.empty
       else {
         val minDel = DvRowGroupSkip.minDeleted(spark)
-        scanFiles.iterator
+        val candidates = scanFiles
           .filter(_.dv.exists(_.cardinality >= minDel))
-          .flatMap { f =>
+        // footer reads are independent metadata I/O — run them on the
+        // global pool so a scan with many heavy-DV files doesn't
+        // serialize per-file round trips on the driver
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(candidates) { f => Future {
             val key = normalize(abs(f.relPath))
             DvRowGroupSkip.liveRanges(fs, abs(f.relPath), dvMap(key), hconf)
               .map(key -> _)
-          }.toMap
+          }},
+          scala.concurrent.duration.Duration.Inf).flatten.toMap
       }
     if (surgical.nonEmpty) {
       DvRowGroupSkip.lastSkipped.set(surgical.values.map(_._2.toLong).sum)
