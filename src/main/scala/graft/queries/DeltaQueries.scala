@@ -46,8 +46,8 @@ object DeltaQueries {
   private def stampFile(path: String) =
     new File(path.stripSuffix("/") + "_src_sig")
 
-  /** Record, inside the fixture dir, the exact source drop it was built
-    * from. Every fixture build site must call this LAST. */
+  /** Record, next to the fixture dir, the exact source drop it was
+    * built from. Every fixture build site must call this LAST. */
   private[queries] def writeStamp(path: String, sfDir: String): Unit =
     java.nio.file.Files.write(stampFile(path).toPath,
       sourceSig(sfDir).getBytes("UTF-8"))

@@ -137,6 +137,31 @@ class DvRowGroupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("second DV DELETE merges correctly through the surgical scan") {
+    // DML's provenance scan (buildWithRowIndex) also routes heavy-DV
+    // files through the surgical path; the __row_index it carries must
+    // be the GLOBAL parquet row index or the merged DV would mask the
+    // wrong rows
+    val (p, n, cut) = multiGroupTable("merge2")
+    DmlCommands.delete(spark, p, col("o_orderkey") < cut)
+    spark.conf.set("spark.lakehouse.dv.rowGroupSkip.minDeleted", "1")
+    try {
+      // this delete's matching rows are found via a surgical scan of
+      // the 90%-masked file
+      val hi = orders.agg(max("o_orderkey")).head.get(0)
+        .asInstanceOf[Number].longValue
+      DmlCommands.delete(spark, p,
+        col("o_orderkey") >= cut && col("o_orderkey") =!= hi)
+      val t = DeltaTable.forPath(spark, p).read
+      val expect = orders.filter(col("o_orderkey") === hi)
+      assert(t.count() == expect.count())
+      assert(t.select("o_orderkey").collect().map(
+        _.get(0).asInstanceOf[Number].longValue).toSet == Set(hi))
+    } finally {
+      spark.conf.unset("spark.lakehouse.dv.rowGroupSkip.minDeleted")
+    }
+  }
+
   test("files below the cardinality threshold never pay the footer read") {
     val (p, _, _) = multiGroupTable("thresh")
     DmlCommands.delete(spark, p, col("o_orderkey") % 97 === 0)
