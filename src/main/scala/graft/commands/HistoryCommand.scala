@@ -18,6 +18,7 @@ object HistoryCommand {
     StructField("timestamp", LongType, nullable = true),
     StructField("operation", StringType, nullable = true),
     StructField("engine_info", StringType, nullable = true),
+    StructField("operation_parameters", StringType, nullable = true),
     StructField("n_actions", LongType, nullable = false)))
 
   val detailSchema: StructType = StructType(Seq(
@@ -88,6 +89,11 @@ object HistoryCommand {
           .map(Long.box).orNull,
         ci.flatMap(c => Option(c.get("operation")).map(_.asText())).orNull,
         ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).orNull,
+        // raw minified JSON of commitInfo.operationParameters (the
+        // ecosystem-standard operation metadata: DML predicates, merge
+        // keys) — null for commits that recorded none
+        ci.flatMap(c => Option(c.get("operationParameters"))
+          .map(_.toString)).orNull,
         lines.count(_.nonEmpty).toLong - ci.size))
     }
     spark.createDataFrame(rows, historySchema)

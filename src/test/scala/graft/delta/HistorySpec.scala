@@ -49,6 +49,23 @@ class HistorySpec extends AnyFunSuite {
     assert(h.forall(_.getString(3) == "graft/0.1.0"))
   }
 
+  test("DESCRIBE HISTORY surfaces recorded operation parameters") {
+    val p = tmp("hist_params")
+    CommitWriter.createTable(spark, region, p)
+    graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 4)
+    graft.commands.MergeCommand.upsert(spark, p,
+      region.limit(1).withColumn("r_name",
+        org.apache.spark.sql.functions.lit("X")), Seq("r_regionkey"))
+    val h = g.sql(s"DESCRIBE HISTORY '$p'")
+      .select("operation", "operation_parameters").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(h("MERGE").exists(s =>
+      s.contains("\"mergeKeys\":\"r_regionkey\"") &&
+        s.contains("predicate")), h("MERGE").toString)
+    assert(h("DELETE").exists(_.contains("predicate")))
+    assert(h("CREATE TABLE AS SELECT").isEmpty) // none recorded
+  }
+
   test("RESTORE VERSION AS OF rolls the table back as a new commit") {
     val p = tmp("restore")
     CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 2), p)
