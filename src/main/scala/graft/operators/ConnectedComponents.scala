@@ -170,19 +170,18 @@ object ConnectedComponents {
     }
     lastRounds.set(rounds)
     require(converged, s"connected components did not converge in $MaxRounds rounds")
-    // star forest: every u points at its component min; add the roots,
-    // plus nodes that appeared ONLY in self-loop edges (filtered from
-    // the contraction input but still "present in edges" per contract —
-    // they label themselves)
-    val members = e.select(col("u").as("id"), col("v").as("component"))
-    val labeled = members.union(
-        e.select(col("v").as("id"), col("v").as("component")).distinct())
-      .distinct()
+    // star forest: every u points at its component min. Label every
+    // node present in the ORIGINAL edges with its star target — roots
+    // and nodes that appeared only in self-loop edges (filtered from
+    // the contraction input but still "present in edges" per contract)
+    // carry no out-edge and label themselves via the coalesce. One
+    // aggregation + one distinct + one join, replacing the previous
+    // five-shuffle union/distinct/anti-join chain.
+    val targets = e.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("__comp")) // single-valued at the fixpoint
     val allNodes = in.select(col("u").as("id"))
       .union(in.select(col("v").as("id"))).distinct()
-    labeled.union(
-        allNodes.join(labeled.select("id"), Seq("id"), "left_anti")
-          .withColumn("component", col("id")))
-      .distinct()
+    allNodes.join(targets, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 }
