@@ -71,10 +71,16 @@ object VacuumCommand {
     val rootLen = root.length + 1 // +1 for the '/'
 
     val listing = DirListing.listRecursive(spark, tablePath)
+    val rel = substring(col("path"), rootLen + 1, 1000000)
     val candidates = listing.where(
       !col("is_dir") &&
         col("modification_time") < lit(new java.sql.Timestamp(cutoff)) &&
-        !substring(col("path"), rootLen + 1, 1000000).startsWith("_"))
+        // underscore-prefixed paths are metadata and never vacuumed —
+        // EXCEPT _change_data: cdc files serve CDF reads only within
+        // the retention window, so expired ones are reclaimable (the
+        // ecosystem-standard vacuum behavior; without this they
+        // accumulate for the table's lifetime)
+        (!rel.startsWith("_") || rel.startsWith("_change_data/")))
 
     // live-file protection (divergence from the reference — see Scaladoc)
     val liveRel = snapshot.allFiles.select(col("path").as("__rel"))

@@ -186,6 +186,33 @@ class CommandsSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).read.count() == before)
   }
 
+  test("vacuum reclaims expired _change_data files, keeps _delta_log") {
+    val path = tmpTable("vacuum_cdc")
+    CommitWriter.createTable(spark, region, path,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    val cdcDir = new java.io.File(path, "_change_data")
+    val cdcFiles = cdcDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(cdcFiles.nonEmpty)
+
+    val g = GraftSession(spark)
+    val dry = g.sql(s"VACUUM '$path' RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getAs[String]("path"))
+    assert(dry.exists(_.contains("_change_data/")),
+      s"expired cdc file not listed: ${dry.mkString(",")}")
+    assert(!dry.exists(_.contains("_delta_log")))
+
+    val metrics = g.sql(s"VACUUM '$path' RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted").toLong >= cdcFiles.length.toLong)
+    assert(cdcDir.listFiles() == null ||
+      !cdcDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    // the table itself still reads (live data files untouched)
+    assert(DeltaTable.forPath(spark, path).read
+      .where(col("r_regionkey") === 0).count() == 0)
+  }
+
   test("vacuum LITE is not implemented (parity)") {
     val path = tmpTable("vacuum_lite")
     CommitWriter.createTable(spark, region, path)
