@@ -236,6 +236,16 @@ object CommitRangeScan {
       // _change_data supply the partition columns via basePath.
       if (cdcFiles.nonEmpty) {
         val qualified = fs.makeQualified(new Path(path))
+        // expired cdc files are reclaimed by VACUUM; surface that as an
+        // actionable span error instead of a raw missing-path failure
+        // mid-plan (bounded: one existence probe per cdc file of the
+        // commit, and only the first missing file is reported)
+        cdcFiles.find(p => !fs.exists(new Path(qualified, p))).foreach(m =>
+          throw new IllegalStateException(
+            s"Change feed commit $v of $path references cdc file '$m' " +
+              "which no longer exists (reclaimed by VACUUM after the " +
+              "retention window). Narrow the version range to commits " +
+              "within retention."))
         val cdcDf = spark.read
           .option("basePath", new Path(qualified, "_change_data").toString)
           .parquet(cdcFiles.toSeq.map(p =>

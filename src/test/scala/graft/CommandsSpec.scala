@@ -211,6 +211,13 @@ class CommandsSpec extends AnyFunSuite {
     // the table itself still reads (live data files untouched)
     assert(DeltaTable.forPath(spark, path).read
       .where(col("r_regionkey") === 0).count() == 0)
+    // a CDF read over the vacuumed span fails with an actionable error
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graftdelta")
+        .option("path", path).option("startingVersion", "1")
+        .option("readChangeFeed", "true").load().count()
+    }
+    assert(e.getMessage.contains("VACUUM"), e.getMessage)
   }
 
   test("vacuum LITE is not implemented (parity)") {
