@@ -75,6 +75,44 @@ class GraphJoinSpec extends AnyFunSuite {
 
   // ---- RangeJoin ----------------------------------------------------
 
+  test("cc: randomized graphs equal brute-force union-find") {
+    // fixed-seed randomized equivalence over graph shapes the hand
+    // cases don't enumerate (cycles, bridges, duplicate/self edges,
+    // skewed degree) — guards the fused count+checksum convergence
+    // screen and the join-based labeling against silent regressions
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      val nNodes = Seq(20, 80, 200, 500)(trial - 1)
+      val nEdges = nNodes * Seq(1, 2, 3, 1)(trial - 1) / 2 + 3
+      val edges = (1 to nEdges).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }
+      // brute-force union-find
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((u, v) <- edges) {
+        val (ru, rv) = (find(u.toInt), find(v.toInt))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val present = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expect = present.map(n => n -> find(n.toInt).toLong).toMap
+      // canonical label = component minimum
+      val mins = expect.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val want = expect.map { case (n, r) => n -> mins(r) }
+
+      val got = ConnectedComponents
+        .components(spark, edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$nNodes, e=$nEdges)")
+    }
+  }
+
   test("band join rejects clashing non-key column names") {
     val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
     val right = Seq(("a", 100L, 1.0)).toDF("k", "t", "x") // t clashes
