@@ -184,7 +184,13 @@ object CommitRangeScan {
         .getLines().toVector finally in.close()
       for (line <- lines if line.nonEmpty) {
         val n = mapper.readTree(line)
-        if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
+        // inCommitTimestamp (when the table writes them) IS the commit
+        // timestamp per spec; commitInfo.timestamp otherwise — same
+        // preference as commitTimestampMillis
+        if (n.has("commitInfo") && n.get("commitInfo").has("inCommitTimestamp"))
+          commitMillis =
+            Some(n.get("commitInfo").get("inCommitTimestamp").asLong())
+        else if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
           commitMillis = Some(n.get("commitInfo").get("timestamp").asLong())
         if (n.has("commitInfo") && n.get("commitInfo").has("operation"))
           operation = Some(n.get("commitInfo").get("operation").asText())

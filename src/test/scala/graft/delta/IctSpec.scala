@@ -72,6 +72,14 @@ class IctSpec extends AnyFunSuite {
     // the change feed's commit timestamp is the ICT too
     assert(graft.delta.scan.CommitRangeScan
       .commitTimestampMillis(spark, p, 1) == ict1)
+    // and the DERIVED row feed stamps _commit_timestamp from the ICT
+    // (not commitInfo.timestamp, which a log copy could skew)
+    val ts = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .select("_commit_timestamp").distinct().collect()
+      .map(_.getTimestamp(0).getTime).toSet
+    assert(ts == Set(ict1), s"feed timestamps $ts != ICT $ict1")
   }
 
   test("mid-life enablement records matching enablement properties") {
