@@ -153,9 +153,18 @@ object DmlCommands {
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))
-    CommitWriter.commit(spark, tablePath, snap.version + 1,
+    // lost races rebase when the winners are provably disjoint (e.g.
+    // appends/compactions of partitions this predicate rules out) and
+    // surface as typed conflicts otherwise — the affected files are
+    // both this txn's read set and its remove set
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
       removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++ cdcActions,
-      operation, operationParameters = predicateParam(condition))
+      operation,
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = affectedRel.toSet, removePaths = affectedRel.toSet,
+        dependsOnNewData = true, predicate = Some(condition),
+        schema = snap.schema, partitionColumns = snap.partitionColumns),
+      operationParameters = predicateParam(condition))
     metrics(spark, affectedRel.length, adds.size, operation)
   }
 
@@ -214,8 +223,16 @@ object DmlCommands {
     val protoUpgrade = graft.delta.log.ProtocolSupport
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
-    CommitWriter.commit(spark, tablePath, snap.version + 1,
+    // the DV swap both reads and "removes" the masked files (their add
+    // entries are replaced); a winner touching any of them — or adding
+    // rows this predicate could match — is a typed conflict
+    val touched = written.map(w => info(w.fkey).relPath).toSet
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
       protoUpgrade ++ actions ++ cdcActions, "DELETE",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = touched, removePaths = touched,
+        dependsOnNewData = true, predicate = Some(condition),
+        schema = snap.schema, partitionColumns = snap.partitionColumns),
       operationParameters = predicateParam(condition))
     dvMetrics(spark, "DELETE", masked, fullyRemoved, rowsDeleted, 0)
   }
@@ -321,10 +338,16 @@ object DmlCommands {
     val protoUpgrade = graft.delta.log.ProtocolSupport
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
-    CommitWriter.commit(spark, tablePath, snap.version + 1,
+    val touched = written.map(w => info(w.fkey).relPath).toSet
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
       protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
         cdcActions,
-      "UPDATE", operationParameters = predicateParam(condition))
+      "UPDATE",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = touched, removePaths = touched,
+        dependsOnNewData = true, predicate = Some(condition),
+        schema = snap.schema, partitionColumns = snap.partitionColumns),
+      operationParameters = predicateParam(condition))
     dvMetrics(spark, "UPDATE", masked, fullyRemoved, rowsUpdated, adds.size)
   }
 

@@ -160,8 +160,14 @@ object HistoryCommand {
         Seq(CommitWriter.metadataJson(target.metadata))
       else Seq.empty
 
-    CommitWriter.commit(spark, tablePath, current.version + 1,
-      metaAction ++ removes ++ adds, operation = s"RESTORE VERSION $version")
+    // RESTORE's actions were computed from the FULL current live set, so
+    // any concurrent data change is a real conflict (typed); only a
+    // content-neutral winner (pure SetTransaction) permits a rebase
+    CommitWriter.commitWithRebase(spark, tablePath, current.version,
+      metaAction ++ removes ++ adds, operation = s"RESTORE VERSION $version",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = currentFiles.keySet, removePaths = currentFiles.keySet,
+        dependsOnNewData = true))
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row("restored_to_version", version.toString))

@@ -72,10 +72,19 @@ object MergeCommand {
       val protoUpgrade = graft.delta.log.ProtocolSupport
         .withDeletionVectors(snap.protocol)
         .map(CommitWriter.protocolJson).toSeq
-      CommitWriter.commit(spark, tablePath, snap.version + 1,
+      // a MERGE's outcome depends on every row its keys could have
+      // joined, so any concurrent data add conflicts (no predicate to
+      // prune winner adds by partition); winners touching the masked
+      // files are delete/read / delete/delete conflicts
+      val touched = written.map(w => info(w.fkey).relPath).toSet
+      CommitWriter.commitWithRebase(spark, tablePath, snap.version,
         protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
           mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
-        operation = "MERGE", operationParameters = mergeParams(keys))
+        operation = "MERGE",
+        profile = graft.delta.log.ConflictChecker.TxnProfile(
+          readPaths = touched, removePaths = touched,
+          dependsOnNewData = true),
+        operationParameters = mergeParams(keys))
       val rows = new java.util.ArrayList[Row]()
       rows.add(Row("files_rewritten", "0"))
       rows.add(Row("files_added", adds.size.toString))
@@ -124,10 +133,14 @@ object MergeCommand {
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))
-    CommitWriter.commit(spark, tablePath, snap.version + 1,
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
       removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++
         mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
-      operation = "MERGE", operationParameters = mergeParams(keys))
+      operation = "MERGE",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = affectedRel.toSet, removePaths = affectedRel.toSet,
+        dependsOnNewData = true),
+      operationParameters = mergeParams(keys))
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row("files_rewritten", affectedRel.length.toString))

@@ -186,8 +186,17 @@ object OptimizeCommand {
         Actions.RemoveFile(p, Some(now), dataChange = false))
     }
     adds.foreach(a => actions += CommitWriter.addJson(a))
-    CommitWriter.commit(spark, tablePath, snap.version + 1,
-      actions.result(), operation = "OPTIMIZE")
+    // compaction rearranges rows it already holds — its outcome depends
+    // on no concurrent data (dependsOnNewData=false), so OPTIMIZE
+    // rebases freely over racing appends (they stay live untouched) and
+    // conflicts only when a winner removed/rewrote a file being
+    // compacted. Compaction never blocking ingest is what makes
+    // continuous background OPTIMIZE viable on a table under load.
+    val compacted = files.map(_._1).toSet
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
+      actions.result(), operation = "OPTIMIZE",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = compacted, removePaths = compacted))
     metrics(spark, partitions.length, files.length, adds.length)
   }
 

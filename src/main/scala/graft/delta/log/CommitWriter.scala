@@ -160,11 +160,49 @@ object CommitWriter {
         "write (the read path would impute null into a NOT NULL column)")
   }
 
+  /** Commit `actionLines` at `readVersion + 1`, rebasing across lost
+    * races: on a ConcurrentCommitException the winner commits are read
+    * and classified ([[ConflictChecker]]), and when none of them
+    * logically conflicts with `profile` the SAME actions are re-attempted
+    * at the new tip (data files are written once; only the commit JSON
+    * retries). A real conflict surfaces as a typed
+    * ConcurrentCommitException subclass naming what clashed. */
+  def commitWithRebase(spark: SparkSession, tablePath: String,
+      readVersion: Long, actionLines: Seq[String], operation: String,
+      profile: ConflictChecker.TxnProfile,
+      operationParameters: Map[String, String] = Map.empty,
+      maxRetries: Int = 10): Long = {
+    var base = readVersion
+    var attempts = 0
+    while (true) {
+      try {
+        commit(spark, tablePath, base + 1, actionLines, operation,
+          operationParameters)
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val tip = LogSegment.forTable(spark, new Path(tablePath)).version
+          // a lost race with no newer commit visible is unresolvable
+          // (e.g. an eventually-consistent listing); surface it raw
+          if (tip <= base) throw e
+          // throws a typed subclass on a real conflict — thrown inside
+          // this catch, so it propagates to the caller untouched
+          ConflictChecker.check(spark, tablePath,
+            ConflictChecker.winners(spark, tablePath, base + 1, tip),
+            profile, e)
+          base = tip
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Append `df` to an existing table as the next commit. Blind appends
-    * never conflict logically, so a lost race on the commit file is
-    * resolved by optimistic retry at the next version (the same
-    * semantics the reference's PutMode::Create loop would give a
-    * writer). Data files are written once; only the commit retries. */
+    * depend on no row content, so a lost race rebases at the next
+    * version unless a winner changed the table contract itself
+    * (protocol/metadata — the conflict-checker rules). Data files are
+    * written once; only the commit retries. */
   def append(spark: SparkSession, df: DataFrame, tablePath: String,
       maxRetries: Int = 10): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
@@ -180,30 +218,26 @@ object CommitWriter {
     // commit as the adds
     val metaUpdate = IdentityColumns.advance(meta, adds)
     val actions = metaUpdate.map(metadataJson).toSeq ++ adds.map(addJson)
-    var v = segment.version + 1
-    var attempts = 0
-    while (true) {
+    if (metaUpdate.isDefined) {
+      // a lost race is NOT retryable when this commit allocated identity
+      // values: the winner may have allocated from the same high-water
+      // mark, so these baked-in values could collide — the caller must
+      // re-run the append against the new snapshot
       try {
-        commit(spark, tablePath, v, actions, operation = "WRITE")
-        return v
+        commit(spark, tablePath, segment.version + 1, actions,
+          operation = "WRITE")
+        segment.version + 1
       } catch {
         case e: ConcurrentCommitException =>
-          // a lost race is NOT blind-retryable when this commit
-          // allocated identity values: the winner may have allocated
-          // from the same high-water mark, so these baked-in values
-          // could collide — the caller must re-run the append against
-          // the new snapshot
-          if (metaUpdate.isDefined)
-            throw new ConcurrentCommitException(
-              s"concurrent commit while allocating identity values for " +
-                s"$tablePath — re-run the append (values must be " +
-                "re-allocated from the advanced high-water mark)", e)
-          attempts += 1
-          if (attempts > maxRetries) throw e
-          v = LogSegment.forTable(spark, new Path(tablePath)).version + 1
+          throw new ConcurrentCommitException(
+            s"concurrent commit while allocating identity values for " +
+              s"$tablePath — re-run the append (values must be " +
+              "re-allocated from the advanced high-water mark)", e)
       }
-    }
-    v
+    } else
+      commitWithRebase(spark, tablePath, segment.version, actions,
+        operation = "WRITE", profile = ConflictChecker.TxnProfile(),
+        maxRetries = maxRetries)
   }
 
   /** Idempotent append keyed by (appId, txnVersion) — the Delta
@@ -252,7 +286,15 @@ object CommitWriter {
               s"concurrent commit while allocating identity values for " +
                 s"$tablePath — re-run the batch (values must be " +
                 "re-allocated from the advanced high-water mark)", e)
-          v = LogSegment.forTable(spark, new Path(tablePath)).version + 1
+          val tip = LogSegment.forTable(spark, new Path(tablePath)).version
+          if (tip < v) throw e
+          // winner changed the table contract → typed conflict; a blind
+          // append profile is otherwise rebase-safe (the txn-collision
+          // case was resolved by the idempotence re-check above)
+          ConflictChecker.check(spark, tablePath,
+            ConflictChecker.winners(spark, tablePath, v, tip),
+            ConflictChecker.TxnProfile(), e)
+          v = tip + 1
       }
     }
     None
@@ -260,9 +302,11 @@ object CommitWriter {
 
   /** Logical overwrite: one commit removes every live file and adds the
     * replacement data (old versions stay time-travelable until VACUUM).
-    * Mapping-aware like every write path. A lost commit race is NOT
-    * retried — unlike a blind append, overwrite-vs-anything is a real
-    * semantic conflict the caller must decide. */
+    * Mapping-aware like every write path. A lost commit race goes
+    * through the conflict checker with a read-everything profile —
+    * overwrite-vs-any-data-change is a REAL semantic conflict surfaced
+    * as a typed exception; only content-neutral winners (e.g. a pure
+    * SetTransaction heartbeat) permit a rebase. */
   def overwrite(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
     ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol,
@@ -282,10 +326,18 @@ object CommitWriter {
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>
       removeJson(RemoveFile(p, Some(now), dataChange = true)))
-    commit(spark, tablePath, snap.version + 1,
-      metaUpdate.map(metadataJson).toSeq ++ removes ++ adds.map(addJson),
-      operation = "WRITE")
-    snap.version + 1
+    val actions =
+      metaUpdate.map(metadataJson).toSeq ++ removes ++ adds.map(addJson)
+    if (metaUpdate.isDefined) {
+      // identity allocation is not retryable (see append)
+      commit(spark, tablePath, snap.version + 1, actions, operation = "WRITE")
+      snap.version + 1
+    } else
+      commitWithRebase(spark, tablePath, snap.version, actions,
+        operation = "WRITE",
+        profile = ConflictChecker.TxnProfile(
+          readPaths = oldPaths.toSet, removePaths = oldPaths.toSet,
+          dependsOnNewData = true))
   }
 
   /** SetTransaction version for `appId` from the LATEST txn action in
