@@ -472,6 +472,50 @@ object DeltaQueries {
     path
   }
 
+  /** Orders table built by four writers RACING from the same base
+    * version: three partition-disjoint appends and one DELETE, released
+    * together on a barrier so every commit after the first loses at
+    * least one race and goes through the conflict-checked rebase
+    * (ConflictChecker). The profiles make every interleaving converge
+    * to the same end state — appends are blind, and the DELETE's
+    * `p = 0` conjunct provably rules out the appended partitions — so
+    * the final table is a deterministic function of the testdata even
+    * though the commit ORDER is not. The build asserts the version
+    * count (nothing lost, nothing doubled); the oracle recomputes the
+    * end state relationally. */
+  def concurrentTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "concurrent") { p =>
+      import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+      val o = orders(s, sfDir).select("o_orderkey", "o_totalprice")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      CommitWriter.createTable(s,
+        o.where(col("p") === 0).repartition(1), p,
+        partitionColumns = Seq("p"))
+      val pool = Executors.newFixedThreadPool(4)
+      val barrier = new CyclicBarrier(4)
+      try {
+        def task[T](body: => T): java.util.concurrent.Future[T] =
+          pool.submit(new Callable[T] {
+            def call(): T = { barrier.await(); body }
+          })
+        val writers =
+          (1 to 3).map { i =>
+            task(CommitWriter.append(s,
+              o.where(col("p") === i).repartition(1), p, maxRetries = 64))
+          } :+
+          task {
+            graft.commands.DmlCommands.delete(s, p,
+              col("p") === 0 && col("o_totalprice") < 100000)
+            0L
+          }
+        writers.foreach(_.get())
+      } finally pool.shutdown()
+      val v = DeltaTable.forPath(s, p).version
+      require(v == 4,
+        s"concurrent fixture: expected 4 racing commits to all land " +
+          s"(version 4), got version $v")
+    }
+
   /** Plain-parquet copy of orders CONVERTED in place to a Delta table
     * (no data rewrite) — the adoption-path fixture. */
   def convertedTable(s: SparkSession, sfDir: String): String =
@@ -814,6 +858,22 @@ object DeltaQueries {
         |FROM orders WHERE o_orderkey % 10 <> 3
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, dvDmlTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // Optimistic concurrency end-to-end: four writers raced from the
+    // same base version (3 partition-disjoint appends + 1 DELETE); the
+    // conflict-checked rebase must land ALL of them, exactly once, in
+    // some order. The oracle recomputes the unique fixpoint every
+    // interleaving converges to — a lost append, a doubled rebase, or a
+    // DELETE applied to the wrong snapshot all break the hash.
+    Q("q_concurrent_write",
+      """SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS p, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 0 AND o_totalprice < 100000)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, concurrentTable(s, dir)).read
+        .select("o_orderkey", "p", "o_totalprice")
         .orderBy("o_orderkey")
     },
 
