@@ -632,7 +632,104 @@ object CommitWriter {
     val all = fileRows.unionByName(nonFileRows)
 
     writeClassicCheckpointFiles(spark, tablePath, segment, all, numParts)
+    maybeCleanupExpiredLogs(spark, tablePath, meta)
     segment.version
+  }
+
+  /** `delta.logRetentionDuration` (default 30 days): how long superseded
+    * log files stay reconstructable for time travel after a checkpoint. */
+  final val LogRetentionPropKey = "delta.logRetentionDuration"
+  final val DefaultLogRetentionMs: Long = 30L * 24 * 3600 * 1000
+
+  /** Post-checkpoint log cleanup, on by default per
+    * `delta.enableExpiredLogCleanup` (the ecosystem-standard knob). */
+  private def maybeCleanupExpiredLogs(spark: SparkSession,
+      tablePath: String, meta: Metadata): Unit =
+    if (!meta.configuration.get("delta.enableExpiredLogCleanup")
+        .exists(_.equalsIgnoreCase("false")))
+      cleanupExpiredLogs(spark, tablePath)
+
+  /** Delete log files that are BOTH superseded by the current checkpoint
+    * and older than the log retention window — without this, `_delta_log`
+    * grows one JSON per commit forever, and at 100 TB scale (thousands
+    * of commits/day under streaming ingest + compaction) the log listing
+    * itself becomes the bottleneck every reader pays.
+    *
+    * Safety invariant: every version >= the checkpoint version stays
+    * reconstructable. Only commit JSONs and checkpoint artifacts with
+    * version < checkpointVersion are candidates, and only once their
+    * modification time clears `delta.logRetentionDuration` (default 30
+    * days) — so time travel inside the window keeps working, and
+    * downstream incremental readers have the full window to catch up.
+    * V2 checkpoint sidecars are kept while ANY retained manifest
+    * references them (an expired, unreferenced sidecar is an orphan).
+    * Time travel below the horizon fails with an error naming the
+    * earliest reconstructable version (LogSegment's gap hint).
+    *
+    * The checkpoint version is taken from the RESOLVED segment (which
+    * validates completeness — e.g. all parts of a multi-part checkpoint
+    * present), never from `_last_checkpoint` alone: trusting a stale or
+    * dangling pointer here would delete the only reconstruction path.
+    *
+    * Driver-side by design: the file count is bounded by commits since
+    * the previous cleanup, the same order as the log listing every
+    * snapshot already performs.
+    *
+    * @return number of files deleted */
+  def cleanupExpiredLogs(spark: SparkSession, tablePath: String,
+      retentionMsOverride: Option[Long] = None): Int = {
+    val table = new Path(tablePath)
+    val fsys = LogSegment.fs(spark, table)
+    val logPath = new Path(table, "_delta_log")
+    val segment = LogSegment.forTable(spark, table)
+    val cpVersion = segment.checkpointVersion.getOrElse(return 0)
+    val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    val retentionMs = retentionMsOverride
+      .orElse(meta.configuration.get(LogRetentionPropKey)
+        .map(graft.commands.VacuumCommand.parseInterval))
+      .getOrElse(DefaultLogRetentionMs)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val entries = fsys.listStatus(logPath).toSeq.filterNot(_.isDirectory)
+
+    val expiredCommits = entries.filter { st =>
+      LogSegment.commitVersion(st.getPath.getName)
+        .exists(v => v < cpVersion && st.getModificationTime < cutoff)
+    }
+    val expiredCheckpoints = entries.filter { st =>
+      LogSegment.checkpointArtifactVersion(st.getPath.getName)
+        .exists(v => v < cpVersion && st.getModificationTime < cutoff)
+    }
+
+    // sidecars referenced by any RETAINED v2 manifest must survive
+    val retainedManifests = entries
+      .filter(st => LogSegment.v2ManifestVersion(st.getPath.getName)
+        .exists(_ >= cpVersion))
+      .map(_.getPath.toString)
+    val referenced: Set[String] =
+      if (retainedManifests.isEmpty) Set.empty
+      else {
+        val (pq, js) = retainedManifests.partition(_.endsWith(".parquet"))
+        def refs(df: DataFrame): Set[String] =
+          df.where(col("sidecar.path").isNotNull)
+            .select("sidecar.path").collect()
+            .map(_.getString(0).split('/').last).toSet
+        (if (pq.isEmpty) Set.empty[String]
+         else refs(spark.read.schema(Actions.v2CheckpointSchema)
+           .parquet(pq: _*))) ++
+        (if (js.isEmpty) Set.empty[String]
+         else refs(spark.read.schema(Actions.v2CheckpointSchema)
+           .json(js: _*)))
+      }
+    val sidecarDir = new Path(logPath, "_sidecars")
+    val orphanSidecars =
+      if (!fsys.exists(sidecarDir)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+      else fsys.listStatus(sidecarDir).toSeq.filter(st =>
+        !st.isDirectory && !referenced(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+
+    val doomed = expiredCommits ++ expiredCheckpoints ++ orphanSidecars
+    doomed.foreach(st => fsys.delete(st.getPath, false))
+    doomed.size
   }
 
   /** Complete replay-state rows for a checkpoint of `segment`, split as
@@ -863,6 +960,7 @@ object CommitWriter {
     val lcPath = new Path(logPath, "_last_checkpoint")
     val out = fs.create(lcPath, true)
     try out.write(lc.toString.getBytes("UTF-8")) finally out.close()
+    maybeCleanupExpiredLogs(spark, tablePath, meta)
     segment.version
   }
 

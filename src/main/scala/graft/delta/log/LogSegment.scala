@@ -42,6 +42,21 @@ object LogSegment {
     case _ => None
   }
 
+  /** Version of any checkpoint artifact file name (classic single-file,
+    * multi-part part, or v2 UUID-named manifest). */
+  def checkpointArtifactVersion(name: String): Option[Long] = name match {
+    case checkpointRe(v) => Some(v.toLong)
+    case multiCheckpointRe(v, _, _) => Some(v.toLong)
+    case v2CheckpointRe(v, _, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Version of a v2 (UUID-named) checkpoint manifest file name. */
+  def v2ManifestVersion(name: String): Option[Long] = name match {
+    case v2CheckpointRe(v, _, _) => Some(v.toLong)
+    case _ => None
+  }
+
   def fs(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -106,9 +121,19 @@ object LogSegment {
     val expectedStart = cpVersion.map(_ + 1).getOrElse(0L)
     val versions = tail.map(_._1)
     val expected = expectedStart to target
-    if (versions != expected && !(versions.isEmpty && cpVersion.contains(target)))
+    if (versions != expected && !(versions.isEmpty && cpVersion.contains(target))) {
+      // a missing PREFIX with a later checkpoint present is the log
+      // retention cleanup signature, not corruption — say so
+      val hint =
+        if (cpVersion.isEmpty && checkpoints.nonEmpty &&
+            versions.headOption.forall(_ > 0))
+          s"; versions up to ${checkpoints.keys.min - 1} were removed by " +
+            "log retention cleanup (delta.logRetentionDuration) — the " +
+            s"earliest reconstructable version is ${checkpoints.keys.min}"
+        else ""
       throw new IllegalStateException(
-        s"Gap in _delta_log: have versions $versions, expected $expected")
+        s"Gap in _delta_log: have versions $versions, expected $expected$hint")
+    }
 
     LogSegment(tablePath, target, cpVersion,
       cpVersion.map(checkpoints).getOrElse(Seq.empty), tail.map(_._2),
