@@ -183,6 +183,11 @@ final class GraftSession(val spark: SparkSession) {
           s"cannot set $k: the column-mapping mode and id high-water " +
             "mark are fixed at table creation (changing them would " +
             "orphan or resurrect physical columns)")
+        require(k != graft.delta.log.RowTracking.PropKey,
+          s"cannot set $k on an existing table: every live file would " +
+            "need a baseRowId backfill commit, which this engine does " +
+            "not implement — create the table with " +
+            "delta.enableRowTracking=true instead")
       }
       // enabling a feature-gated property upgrades the protocol IN THE
       // SAME COMMIT: the feature must be declared before any writer

@@ -42,15 +42,25 @@ object CloneCommand {
               pathOrInlineDv = graft.delta.scan.DvBitmap
                 .dvPath(qualified, dv).toString)
           else dv
-        })
+        },
+        // a clone shares the source's physical files, so its rows keep
+        // their identities; the high-water-mark domain rides along below
+        baseRowId = Option(r.getAs[java.lang.Long]("baseRowId"))
+          .map(_.longValue()),
+        defaultRowCommitVersion =
+          Option(r.getAs[java.lang.Long]("defaultRowCommitVersion"))
+            .map(_.longValue()))
     }
 
     val meta = source.metadata.copy(
       id = java.util.UUID.randomUUID().toString,
       createdTime = Some(System.currentTimeMillis()))
+    val domainActions = graft.delta.log.Replay
+      .domainMetadata(spark, source.segment).values.toSeq
+      .sortBy(_.domain).map(CommitWriter.domainMetadataJson)
     CommitWriter.commit(spark, targetPath, 0L,
       Seq(CommitWriter.protocolJson(source.protocol),
-        CommitWriter.metadataJson(meta)) ++
+        CommitWriter.metadataJson(meta)) ++ domainActions ++
         adds.map(CommitWriter.addJson).toIndexedSeq,
       operation = s"CLONE $sourcePath")
 

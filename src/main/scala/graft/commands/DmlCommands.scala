@@ -113,6 +113,11 @@ object DmlCommands {
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       s"$operation on column-mapped tables is not supported (the " +
         "rewrite would need logical->physical projection per file)")
+    require(!graft.delta.log.RowTracking.enabled(snap.metadata),
+      s"copy-on-write $operation on a row-tracked table would move " +
+        "surviving rows and reassign their ids — set " +
+        "delta.enableDeletionVectors=true (merge-on-read preserves row " +
+        "ids: masked files never move)")
     val target = DeltaScan.buildWithFileKey(snap)
 
     val affected = target.where(condition)
@@ -188,7 +193,9 @@ object DmlCommands {
   private[commands] case class FileInfo(relPath: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, stats: Option[String],
-      dv: Option[DeletionVectorDescriptor], numRecords: Option[Long])
+      dv: Option[DeletionVectorDescriptor], numRecords: Option[Long],
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** DELETE via deletion vectors: no data file is touched. Matching
     * rows' (file, physical row index) pairs are aggregated per file on
@@ -260,13 +267,18 @@ object DmlCommands {
         fullyRemoved += 1
       } else {
         masked += 1
+        // row-tracking fields ride the swap unchanged: the DV masks
+        // positions, surviving rows keep their physical index and
+        // therefore their baseRowId+index identity
         actions += CommitWriter.addJson(AddFile(
           path = f.relPath, partitionValues = f.partitionValues,
           size = f.size, modificationTime = f.modificationTime,
           dataChange = true, stats = f.stats.map(loosenStats),
           deletionVector = Some(DeletionVectorDescriptor("u",
             w.pathOrInlineDv, Some(w.offset), w.sizeInBytes,
-            w.cardinality))))
+            w.cardinality)),
+          baseRowId = f.baseRowId,
+          defaultRowCommitVersion = f.defaultRowCommitVersion))
       }
     }
     (actions.result(), masked, fullyRemoved, rows)
@@ -339,9 +351,11 @@ object DmlCommands {
       .withDeletionVectors(snap.protocol)
       .map(CommitWriter.protocolJson).toSeq
     val touched = written.map(w => info(w.fkey).relPath).toSet
-    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
-      protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
-        cdcActions,
+    // row-tracked tables: the updated row images are NEW rows and get
+    // fresh ids (the masked pre-images keep theirs via maskActions)
+    val newAddActions = rowTrackedAddActions(spark, snap, adds)
+    CommitWriter.commitWithRebaseVersioned(spark, tablePath, snap.version,
+      v => protoUpgrade ++ actions ++ newAddActions(v) ++ cdcActions,
       "UPDATE",
       profile = graft.delta.log.ConflictChecker.TxnProfile(
         readPaths = touched, removePaths = touched,
@@ -349,6 +363,25 @@ object DmlCommands {
         schema = snap.schema, partitionColumns = snap.partitionColumns),
       operationParameters = predicateParam(condition))
     dvMetrics(spark, "UPDATE", masked, fullyRemoved, rowsUpdated, adds.size)
+  }
+
+  /** Add-action builder honoring row tracking: on row-tracked tables
+    * the new files' rows get fresh ids allocated from the snapshot's
+    * high-water mark (stable across permitted rebases — the DML
+    * profiles only rebase over data-neutral winners), stamped with the
+    * actual commit version per attempt. */
+  private[commands] def rowTrackedAddActions(spark: SparkSession,
+      snap: Snapshot, adds: Seq[Actions.AddFile]): Long => Seq[String] = {
+    import graft.delta.log.RowTracking
+    if (!RowTracking.enabled(snap.metadata) || adds.isEmpty)
+      _ => adds.map(CommitWriter.addJson)
+    else {
+      val hwm = RowTracking.highWaterMark(spark, snap.segment)
+      v => {
+        val (stamped, domain) = RowTracking.stamp(adds, hwm, v)
+        domain +: stamped.map(CommitWriter.addJson)
+      }
+    }
   }
 
   /** Shared DV construction: scan with (file, row index) provenance,
@@ -379,7 +412,7 @@ object DmlCommands {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val info: Map[String, FileInfo] = snap.allFiles
       .select("path", "partitionValues", "size", "modificationTime",
-        "stats", "deletionVector")
+        "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
       .collect().iterator.map { r =>
         val rel = r.getAs[String]("path")
         normKey(rel) -> FileInfo(
@@ -397,7 +430,10 @@ object DmlCommands {
               d.getAs[Int]("sizeInBytes"),
               d.getAs[Long]("cardinality"))),
           Option(r.getAs[String]("stats")).flatMap(s =>
-            Option(mapper.readTree(s).get("numRecords")).map(_.asLong())))
+            Option(mapper.readTree(s).get("numRecords")).map(_.asLong())),
+          Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("defaultRowCommitVersion"))
+            .map(_.longValue()))
       }.toMap
 
     val conf = new SerializableConfiguration(

@@ -152,7 +152,13 @@ object HistoryCommand {
           modificationTime = r.getAs[Long]("modificationTime"),
           dataChange = true,
           stats = Option(r.getAs[String]("stats")),
-          deletionVector = dvOf(r)))
+          deletionVector = dvOf(r),
+          // restored rows keep their identities (same physical files)
+          baseRowId = Option(r.getAs[java.lang.Long]("baseRowId"))
+            .map(_.longValue()),
+          defaultRowCommitVersion =
+            Option(r.getAs[java.lang.Long]("defaultRowCommitVersion"))
+              .map(_.longValue())))
       }
     // restoring an older schema re-publishes its metaData too
     val metaAction =

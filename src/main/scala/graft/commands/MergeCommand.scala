@@ -77,9 +77,12 @@ object MergeCommand {
       // prune winner adds by partition); winners touching the masked
       // files are delete/read / delete/delete conflicts
       val touched = written.map(w => info(w.fkey).relPath).toSet
-      CommitWriter.commitWithRebase(spark, tablePath, snap.version,
-        protoUpgrade ++ actions ++ adds.map(CommitWriter.addJson) ++
-          mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn),
+      val cdc = mergeCdcActions(spark, snap, tablePath, src, keys, cdfOn)
+      // source rows are new rows: row-tracked tables stamp fresh ids
+      // (masked pre-images keep theirs through maskActions)
+      val newAddActions = DmlCommands.rowTrackedAddActions(spark, snap, adds)
+      CommitWriter.commitWithRebaseVersioned(spark, tablePath, snap.version,
+        v => protoUpgrade ++ actions ++ newAddActions(v) ++ cdc,
         operation = "MERGE",
         profile = graft.delta.log.ConflictChecker.TxnProfile(
           readPaths = touched, removePaths = touched,
@@ -94,6 +97,11 @@ object MergeCommand {
       return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
     }
 
+    require(!graft.delta.log.RowTracking.enabled(snap.metadata),
+      "copy-on-write MERGE on a row-tracked table would move surviving " +
+        "rows and reassign their ids — set " +
+        "delta.enableDeletionVectors=true (merge-on-read preserves row " +
+        "ids: masked files never move)")
     val target = DeltaScan.buildWithFileKey(snap)
 
     // files containing at least one matching row (collected: bounded by

@@ -94,6 +94,10 @@ object OptimizeCommand {
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
       "OPTIMIZE on column-mapped tables is not supported (the rewrite " +
         "would emit logical-name parquet into a physical-name table)")
+    require(!graft.delta.log.RowTracking.enabled(snap.metadata),
+      "OPTIMIZE on a row-tracked table is not supported: compaction " +
+        "moves rows, which would reassign their fresh ids (materialized " +
+        "row ids are not implemented)")
     val partCols = snap.partitionColumns
 
     // Qualification: a z-order request rewrites every nonempty partition

@@ -32,6 +32,16 @@ final case class Snapshot(
   /** Full-table read. */
   def read: DataFrame = DeltaScan.build(this, Seq.empty)
 
+  /** Full-table read with the fresh row-tracking columns `_row_id` and
+    * `_row_commit_version` appended (writer feature `rowTracking`). */
+  def readWithRowIds: DataFrame = {
+    require(graft.delta.log.RowTracking.enabled(metadata) ||
+      protocol.writerFeatures.getOrElse(Nil).contains("rowTracking"),
+      s"Table $tablePath does not track row ids — create it with " +
+        "delta.enableRowTracking=true")
+    DeltaScan.buildWithRowIds(this)
+  }
+
   /** Read with pushed-down filters: partition pruning + stats-based file
     * skipping happen on the file list before any parquet is opened; the
     * same predicates are re-applied on the rows (the reference's

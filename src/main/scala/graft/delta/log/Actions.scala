@@ -31,7 +31,13 @@ object Actions {
       modificationTime: Long,
       dataChange: Boolean,
       stats: Option[String],
-      deletionVector: Option[DeletionVectorDescriptor] = None)
+      deletionVector: Option[DeletionVectorDescriptor] = None,
+      // row tracking (writer feature `rowTracking`): the first fresh row
+      // id / commit version of this file's rows — row i carries id
+      // baseRowId + i, stable for the file's whole life (DV-masked
+      // deletes and updates never move surviving rows)
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   case class RemoveFile(
       path: String,
@@ -71,6 +77,13 @@ object Actions {
   case class SetTransaction(appId: String, version: Long,
       lastUpdated: Option[Long])
 
+  /** Named metadata domain (writer feature `domainMetadata`): system or
+    * user configuration keyed by domain name; the latest action per
+    * domain wins, `removed=true` tombstones it. Row tracking stores its
+    * id high-water mark in the `delta.rowTracking` domain. */
+  case class DomainMetadata(domain: String, configuration: String,
+      removed: Boolean = false)
+
   /** One fully-parsed log entry (exactly one of the fields set). */
   case class Action(
       add: Option[AddFile] = None,
@@ -95,7 +108,9 @@ object Actions {
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
-    StructField("deletionVector", dvSchema)))
+    StructField("deletionVector", dvSchema),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
 
   val removeSchema: StructType = StructType(Seq(
     StructField("path", StringType),
@@ -126,6 +141,11 @@ object Actions {
     StructField("version", LongType),
     StructField("lastUpdated", LongType)))
 
+  val domainMetadataSchema: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
+
   /** V2-checkpoint actions (Delta PROTOCOL.md, "V2 Spec" checkpoints):
     * the top-level UUID-named checkpoint file carries non-file actions
     * plus `sidecar` references; the file actions (add/remove) live in
@@ -144,7 +164,8 @@ object Actions {
     StructField("remove", removeSchema),
     StructField("metaData", metaDataSchema),
     StructField("protocol", protocolSchema),
-    StructField("txn", txnSchema)))
+    StructField("txn", txnSchema),
+    StructField("domainMetadata", domainMetadataSchema)))
 
   /** Schema for reading a V2 (UUID-named) top-level checkpoint file:
     * the classic actions plus the v2-only ones. Kept separate from

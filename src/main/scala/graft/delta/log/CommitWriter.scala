@@ -48,7 +48,7 @@ object CommitWriter {
       partitionColumns = partitionColumns,
       configuration = configuration,
       createdTime = Some(System.currentTimeMillis()))
-    val adds = writeFiles(spark, df, tablePath, partitionColumns)
+    val rawAdds = writeFiles(spark, df, tablePath, partitionColumns)
     // a table born with a feature-gated property must declare the
     // feature from version 0 (a legacy reader would otherwise silently
     // resurrect DV-deleted rows; a legacy writer would skip ICTs)
@@ -63,8 +63,20 @@ object CommitWriter {
     if (on("delta.enableChangeDataFeed"))
       proto = ProtocolSupport.withWriterFeature(proto, "changeDataFeed")
         .getOrElse(proto)
+    // row tracking stamps base ids from 0 and declares its features +
+    // high-water-mark domain in the same founding commit
+    val (adds, domainActions) =
+      if (on(RowTracking.PropKey) && rawAdds.nonEmpty) {
+        proto = ProtocolSupport.withRowTracking(proto).getOrElse(proto)
+        val (stamped, domain) = RowTracking.stamp(rawAdds, 0L, 0L)
+        (stamped, Seq(domain))
+      } else if (on(RowTracking.PropKey)) {
+        proto = ProtocolSupport.withRowTracking(proto).getOrElse(proto)
+        (rawAdds, Seq.empty[String])
+      } else (rawAdds, Seq.empty[String])
     commit(spark, tablePath, 0L,
-      Seq(protocolJson(proto), metadataJson(meta)) ++ adds.map(addJson),
+      Seq(protocolJson(proto), metadataJson(meta)) ++ domainActions ++
+        adds.map(addJson),
       operation = "CREATE TABLE AS SELECT")
     meta
   }
@@ -171,12 +183,23 @@ object CommitWriter {
       readVersion: Long, actionLines: Seq[String], operation: String,
       profile: ConflictChecker.TxnProfile,
       operationParameters: Map[String, String] = Map.empty,
+      maxRetries: Int = 10): Long =
+    commitWithRebaseVersioned(spark, tablePath, readVersion,
+      _ => actionLines, operation, profile, operationParameters, maxRetries)
+
+  /** [[commitWithRebase]] for actions that embed the commit version
+    * (e.g. row tracking's defaultRowCommitVersion): `actionsFor` is
+    * re-invoked with the actual target version on every rebase. */
+  def commitWithRebaseVersioned(spark: SparkSession, tablePath: String,
+      readVersion: Long, actionsFor: Long => Seq[String], operation: String,
+      profile: ConflictChecker.TxnProfile,
+      operationParameters: Map[String, String] = Map.empty,
       maxRetries: Int = 10): Long = {
     var base = readVersion
     var attempts = 0
     while (true) {
       try {
-        commit(spark, tablePath, base + 1, actionLines, operation,
+        commit(spark, tablePath, base + 1, actionsFor(base + 1), operation,
           operationParameters)
         return base + 1
       } catch {
@@ -234,10 +257,46 @@ object CommitWriter {
               s"$tablePath — re-run the append (values must be " +
               "re-allocated from the advanced high-water mark)", e)
       }
-    } else
+    } else if (RowTracking.enabled(meta) && adds.nonEmpty)
+      appendRowTracked(spark, tablePath, segment, adds, maxRetries)
+    else
       commitWithRebase(spark, tablePath, segment.version, actions,
         operation = "WRITE", profile = ConflictChecker.TxnProfile(),
         maxRetries = maxRetries)
+  }
+
+  /** Row-tracked append: base row ids come from the tip's high-water
+    * mark, so unlike identity values a lost race IS safely retryable —
+    * the ids live only in the commit JSON (never baked into data files),
+    * and every attempt RE-reads the mark and re-stamps from the new tip.
+    * Two racing row-tracked appends therefore both land with disjoint
+    * id ranges; only a contract change (protocol/metadata) conflicts. */
+  private def appendRowTracked(spark: SparkSession, tablePath: String,
+      startSegment: LogSegment, adds: Seq[AddFile], maxRetries: Int): Long = {
+    var seg = startSegment
+    var attempts = 0
+    while (true) {
+      val v = seg.version + 1
+      val hwm = RowTracking.highWaterMark(spark, seg)
+      val (stamped, domain) = RowTracking.stamp(adds, hwm, v)
+      try {
+        commit(spark, tablePath, v, domain +: stamped.map(addJson),
+          operation = "WRITE")
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val tip = LogSegment.forTable(spark, new Path(tablePath))
+          if (tip.version <= seg.version) throw e
+          ConflictChecker.check(spark, tablePath,
+            ConflictChecker.winners(spark, tablePath, seg.version + 1,
+              tip.version),
+            ConflictChecker.TxnProfile(), e)
+          seg = tip
+      }
+    }
+    -1L // unreachable
   }
 
   /** Idempotent append keyed by (appId, txnVersion) — the Delta
@@ -260,13 +319,22 @@ object CommitWriter {
     val identityUpdate = IdentityColumns.advance(meta, adds)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
-    var v = segment.version + 1
+    var seg = segment
     var attempts = 0
     while (true) {
+      val v = seg.version + 1
+      // row-tracked sink batches re-stamp ids from the current tip on
+      // every attempt (see appendRowTracked — ids live in the commit
+      // JSON only, so re-allocation is always safe)
+      val addActions =
+        if (RowTracking.enabled(meta) && adds.nonEmpty) {
+          val (stamped, domain) = RowTracking.stamp(adds,
+            RowTracking.highWaterMark(spark, seg), v)
+          domain +: stamped.map(addJson)
+        } else adds.map(addJson)
       try {
         commit(spark, tablePath, v,
-          (txn +: identityUpdate.map(metadataJson).toSeq) ++
-            adds.map(addJson),
+          (txn +: identityUpdate.map(metadataJson).toSeq) ++ addActions,
           operation = "WRITE")
         return Some(v)
       } catch {
@@ -286,15 +354,15 @@ object CommitWriter {
               s"concurrent commit while allocating identity values for " +
                 s"$tablePath — re-run the batch (values must be " +
                 "re-allocated from the advanced high-water mark)", e)
-          val tip = LogSegment.forTable(spark, new Path(tablePath)).version
-          if (tip < v) throw e
+          val tip = LogSegment.forTable(spark, new Path(tablePath))
+          if (tip.version < v) throw e
           // winner changed the table contract → typed conflict; a blind
           // append profile is otherwise rebase-safe (the txn-collision
           // case was resolved by the idempotence re-check above)
           ConflictChecker.check(spark, tablePath,
-            ConflictChecker.winners(spark, tablePath, v, tip),
+            ConflictChecker.winners(spark, tablePath, v, tip.version),
             ConflictChecker.TxnProfile(), e)
-          v = tip + 1
+          seg = tip
       }
     }
     None
@@ -326,14 +394,29 @@ object CommitWriter {
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>
       removeJson(RemoveFile(p, Some(now), dataChange = true)))
-    val actions =
-      metaUpdate.map(metadataJson).toSeq ++ removes ++ adds.map(addJson)
+    // overwrite rows are all-new: row-tracked tables stamp fresh ids
+    // (the high-water mark read here stays valid across rebases — the
+    // overwrite profile only rebases over data-neutral winners)
+    val rtHwm =
+      if (RowTracking.enabled(snap.metadata) && adds.nonEmpty)
+        Some(RowTracking.highWaterMark(spark, snap.segment))
+      else None
+    def actionsFor(v: Long): Seq[String] = {
+      val addActions = rtHwm match {
+        case Some(hwm) =>
+          val (stamped, domain) = RowTracking.stamp(adds, hwm, v)
+          domain +: stamped.map(addJson)
+        case None => adds.map(addJson)
+      }
+      metaUpdate.map(metadataJson).toSeq ++ removes ++ addActions
+    }
     if (metaUpdate.isDefined) {
       // identity allocation is not retryable (see append)
-      commit(spark, tablePath, snap.version + 1, actions, operation = "WRITE")
+      commit(spark, tablePath, snap.version + 1,
+        actionsFor(snap.version + 1), operation = "WRITE")
       snap.version + 1
     } else
-      commitWithRebase(spark, tablePath, snap.version, actions,
+      commitWithRebaseVersioned(spark, tablePath, snap.version, actionsFor,
         operation = "WRITE",
         profile = ConflictChecker.TxnProfile(
           readPaths = oldPaths.toSet, removePaths = oldPaths.toSet,
@@ -362,6 +445,15 @@ object CommitWriter {
     n.put("appId", t.appId)
     n.put("version", t.version)
     t.lastUpdated.foreach(v => n.put("lastUpdated", v))
+    root.toString
+  }
+
+  def domainMetadataJson(d: DomainMetadata): String = {
+    val root = mapper.createObjectNode()
+    val n = root.putObject("domainMetadata")
+    n.put("domain", d.domain)
+    n.put("configuration", d.configuration)
+    n.put("removed", d.removed)
     root.toString
   }
 
@@ -749,6 +841,7 @@ object CommitWriter {
     val nullMeta = lit(null).cast(Actions.metaDataSchema)
     val nullProto = lit(null).cast(Actions.protocolSchema)
     val nullTxn = lit(null).cast(Actions.txnSchema)
+    val nullDomain = lit(null).cast(Actions.domainMetadataSchema)
 
     // checkpoint actions carry dataChange=false per the protocol, so
     // incremental/CDC readers don't treat checkpoint contents as new
@@ -756,9 +849,11 @@ object CommitWriter {
     val addRows = live.select(struct(
       col("path"), col("partitionValues"), col("size"),
       col("modificationTime"), lit(false).as("dataChange"), col("stats"),
-      col("deletionVector")).as("add"),
+      col("deletionVector"), col("baseRowId"),
+      col("defaultRowCommitVersion")).as("add"),
       nullRemove.as("remove"), nullMeta.as("metaData"),
-      nullProto.as("protocol"), nullTxn.as("txn"))
+      nullProto.as("protocol"), nullTxn.as("txn"),
+      nullDomain.as("domainMetadata"))
 
     // latest SetTransaction per appId survives into the checkpoint —
     // latest in LOG ORDER (commit_version), per the protocol, NOT the
@@ -773,7 +868,21 @@ object CommitWriter {
         .orderBy(col("commit_version").desc, col("txn.version").desc)))
       .where(col("rn") === 1)
       .select(nullAdd.as("add"), nullRemove.as("remove"),
-        nullMeta.as("metaData"), nullProto.as("protocol"), col("txn"))
+        nullMeta.as("metaData"), nullProto.as("protocol"), col("txn"),
+        nullDomain.as("domainMetadata"))
+
+    // latest domainMetadata per domain survives too (including removal
+    // tombstones — replay over the checkpoint must agree with replay
+    // over the full log about every domain's final state)
+    val domainRows = Replay.actionsDF(spark, segment)
+      .where(col("domainMetadata").isNotNull)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("domainMetadata.domain"))
+        .orderBy(col("commit_version").desc)))
+      .where(col("rn") === 1)
+      .select(nullAdd.as("add"), nullRemove.as("remove"),
+        nullMeta.as("metaData"), nullProto.as("protocol"),
+        nullTxn.as("txn"), col("domainMetadata"))
 
     // unexpired remove tombstones (paths whose latest action is a remove
     // within the retention window) stay visible
@@ -788,14 +897,16 @@ object CommitWriter {
       .select(nullAdd.as("add"),
         col("remove").withField("dataChange", lit(false)).as("remove"),
         nullMeta.as("metaData"),
-        nullProto.as("protocol"), nullTxn.as("txn"))
+        nullProto.as("protocol"), nullTxn.as("txn"),
+        nullDomain.as("domainMetadata"))
 
     import spark.implicits._
     val pmRows = spark.read.schema(Actions.logSchema)
       .json(Seq(metadataJson(meta), protocolJson(proto)).toDS())
-      .select("add", "remove", "metaData", "protocol", "txn")
+      .select(Actions.logSchema.fieldNames.toIndexedSeq.map(col): _*)
 
-    (addRows.unionByName(removeRows), txnRows.unionByName(pmRows))
+    (addRows.unionByName(removeRows),
+      txnRows.unionByName(domainRows).unionByName(pmRows))
   }
 
   /** Classic checkpoint file publishing: staged parquet write, rename
@@ -1175,6 +1286,9 @@ object CommitWriter {
     n.put("dataChange", a.dataChange)
     a.stats.foreach(s => n.put("stats", s))
     a.deletionVector.foreach(dv => putDv(n, dv))
+    a.baseRowId.foreach(id => n.put("baseRowId", id))
+    a.defaultRowCommitVersion.foreach(v =>
+      n.put("defaultRowCommitVersion", v))
     root.toString
   }
 

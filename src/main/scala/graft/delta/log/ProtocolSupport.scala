@@ -50,7 +50,24 @@ object ProtocolSupport {
     "v2Checkpoint",
     // monotonic commitInfo.inCommitTimestamp, stamped at the commit
     // choke point when delta.enableInCommitTimestamps=true
-    "inCommitTimestamp")
+    "inCommitTimestamp",
+    // fresh row ids: baseRowId on every add + the delta.rowTracking
+    // high-water-mark domain, allocated at every data-writing path;
+    // row-moving rewrites (CoW DML/MERGE, OPTIMIZE) are refused on
+    // row-tracked tables so ids stay stable (RowTracking)
+    "rowTracking",
+    // named metadata domains: replayed (latest per domain), preserved
+    // through checkpoints, written by row tracking
+    "domainMetadata")
+
+  /** The protocol a table needs before row tracking may be written:
+    * `rowTracking` plus its `domainMetadata` dependency. `None` when
+    * both are already declared. */
+  def withRowTracking(p: Protocol): Option[Protocol] = {
+    val step = withWriterFeature(p, "domainMetadata")
+    val fin = withWriterFeature(step.getOrElse(p), "rowTracking")
+    fin.orElse(step)
+  }
 
   /** Legacy writer versions imply feature sets without naming them;
     * upgrading to the table-features protocol must enumerate them so

@@ -314,7 +314,12 @@ object Replay {
           path, partitionValuesOf(a), a.get("size").asLong(),
           a.get("modificationTime").asLong(),
           Option(a.get("dataChange")).forall(_.asBoolean()),
-          optStr(a, "stats").orNull, dv, version))
+          optStr(a, "stats").orNull, dv,
+          Option(a.get("baseRowId")).filterNot(_.isNull)
+            .map(n => Long.box(n.asLong())).orNull,
+          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+            .map(n => Long.box(n.asLong())).orNull,
+          version))
       }
     }
     live.values.toArray
@@ -336,6 +341,26 @@ object Replay {
     acts.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && !col("is_add"))
       .select(col("remove"), col("commit_version"))
+  }
+
+  /** Reconciled domain metadata: the latest action per domain in log
+    * order, `removed=true` tombstones dropped. Domain count is tiny by
+    * construction (system domains like `delta.rowTracking` plus user
+    * config), so this collects driver-side like metadataAndProtocol. */
+  def domainMetadata(spark: SparkSession,
+      segment: LogSegment): Map[String, Actions.DomainMetadata] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domainMetadata.domain"))
+      .orderBy(col("commit_version").desc)
+    actionsDF(spark, segment)
+      .where(col("domainMetadata").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("domainMetadata.removed"))
+      .select("domainMetadata.domain", "domainMetadata.configuration")
+      .collect()
+      .map(r => r.getString(0) -> Actions.DomainMetadata(
+        r.getString(0), r.getString(1), removed = false))
+      .toMap
   }
 
   /** Test hook: the distributed replay plan regardless of log size (the

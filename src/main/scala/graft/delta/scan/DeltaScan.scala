@@ -74,6 +74,41 @@ object DeltaScan {
   def buildWithRowIndex(snapshot: Snapshot): DataFrame =
     build(snapshot, Seq.empty, withFileColumn = true, withRowIndex = true)
 
+  /** User-facing row-tracking columns (fresh row ids). */
+  final val RowIdColumn = "_row_id"
+  final val RowCommitVersionColumn = "_row_commit_version"
+
+  /** Scan carrying fresh row-tracking columns: `_row_id` = the file's
+    * baseRowId + the row's physical index (stable across DV-masked
+    * DML — surviving rows never move), `_row_commit_version` = the
+    * commit that created the row's file. The per-file id map is
+    * metadata-bounded and broadcast; the id arithmetic is one codegen'd
+    * projection over the normal scan. */
+  def buildWithRowIds(snapshot: Snapshot): DataFrame = {
+    val spark = snapshot.spark
+    val fs = graft.delta.log.LogSegment.fs(spark, snapshot.tablePath)
+    val qualified = fs.makeQualified(snapshot.tablePath)
+    val idRows = snapshot.allFiles
+      .select("path", "baseRowId", "defaultRowCommitVersion").collect()
+    val missing = idRows.filter(_.isNullAt(1)).map(_.getString(0))
+    require(missing.isEmpty,
+      s"row tracking: ${missing.length} live file(s) lack baseRowId " +
+        s"(e.g. '${missing.headOption.getOrElse("")}') — written by an " +
+        "engine without the rowTracking feature? Fresh ids cannot be " +
+        "derived")
+    import spark.implicits._
+    val idMap = idRows.toSeq.map { r =>
+      (normalize(new Path(qualified, r.getString(0))), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    }.toDF(FileKeyColumn, "__base_row_id", "__row_cv")
+    buildWithRowIndex(snapshot)
+      .join(broadcast(idMap), Seq(FileKeyColumn))
+      .withColumn(RowIdColumn, col("__base_row_id") + col(RowIndexColumn))
+      .withColumn(RowCommitVersionColumn,
+        when(col("__row_cv") >= 0, col("__row_cv")))
+      .drop(FileKeyColumn, RowIndexColumn, "__base_row_id", "__row_cv")
+  }
+
   /** Restrict a provenance-keyed scan to rows from the given files — a
     * broadcast semi-join on [[FileKeyColumn]], NOT an `isin`: a DML/MERGE
     * touching 10⁶ files would otherwise build a 10⁶-element In-literal

@@ -516,6 +516,26 @@ object DeltaQueries {
           s"(version 4), got version $v")
     }
 
+  /** Row-tracked orders table (writer features rowTracking +
+    * domainMetadata, DVs on): even keys at create (file row order =
+    * key order), odd keys appended, then a DV DELETE — the surviving
+    * rows must keep the exact fresh ids (baseRowId + physical index)
+    * they were born with, because the masked file never moves. */
+  def rowTrackedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "row_tracked") { p =>
+      val o = orders(s, sfDir).select("o_orderkey", "o_totalprice")
+      CommitWriter.createTable(s,
+        o.where(col("o_orderkey") % 2 === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey"),
+        p, configuration = Map(
+          graft.delta.log.RowTracking.PropKey -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      CommitWriter.append(s,
+        o.where(col("o_orderkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"), p)
+      graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 10 < 2)
+    }
+
   /** Plain-parquet copy of orders CONVERTED in place to a Delta table
     * (no data rewrite) — the adoption-path fixture. */
   def convertedTable(s: SparkSession, sfDir: String): String =
@@ -874,6 +894,32 @@ object DeltaQueries {
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, concurrentTable(s, dir)).read
         .select("o_orderkey", "p", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Row tracking: fresh row ids (baseRowId + physical index) and
+    // per-row commit attribution, read back through the scan and
+    // preserved by a merge-on-read DELETE. The oracle recomputes every
+    // id arithmetically from the fixture recipe: ids number the create
+    // file's sorted even keys 0..n-1, the appended odd keys continue
+    // at n, the DELETE masks rows WITHOUT renumbering the survivors.
+    Q("q_row_ids",
+      """WITH ids AS (
+        |  SELECT o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderkey % 2
+        |                       ORDER BY o_orderkey) - 1
+        |      + CASE WHEN o_orderkey % 2 = 1
+        |             THEN (SELECT count(*) FROM orders
+        |                   WHERE o_orderkey % 2 = 0)
+        |             ELSE 0 END AS row_id,
+        |    CAST(o_orderkey % 2 AS BIGINT) AS row_commit_version
+        |  FROM orders)
+        |SELECT o_orderkey, row_id, row_commit_version FROM ids
+        |WHERE o_orderkey % 10 >= 2 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+      DeltaTable.forPath(s, rowTrackedTable(s, dir)).readWithRowIds
+        .select(col("o_orderkey"), col("_row_id").as("row_id"),
+          col("_row_commit_version").as("row_commit_version"))
         .orderBy("o_orderkey")
     },
 
