@@ -448,6 +448,72 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic GLOBAL SHUFFLE + sharding — the training-order
+    // primitive: a reproducible pseudo-random permutation of the corpus
+    // with no RNG anywhere (position is a pure function of doc_id, so
+    // the order is identical across runs, engines, and restarts — which
+    // is what makes a 100 TB shuffle resumable). At scale this is ONE
+    // hash-partitioned sort: shard = key % N routes each doc to its
+    // output shard, the within-shard sort orders it, and no global
+    // total order is ever materialized.
+    Q("q_global_shuffle",
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    ${hashSql("concat('shuf:', CAST(doc_id AS VARCHAR))")} AS k
+         |  FROM documents)
+         |SELECT doc_id, k % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY k % 8
+         |                          ORDER BY k, doc_id) AS INTEGER) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = hashCol(concat(lit("shuf:"), col("doc_id").cast(StringType)))
+      load(s, dir, "documents")
+        .select(col("doc_id"), k.as("__k"), (k % 8).as("shard"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__k"), col("doc_id"))))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    },
+
+    // curriculum ordering: difficulty-binned (whitespace token count as
+    // the canonical difficulty proxy), deterministically shuffled WITHIN
+    // each bin — the "easy-to-hard with randomized batches" schedule.
+    // ntile over a TOTAL order (ties broken by doc_id) keeps the bin
+    // boundaries engine-exact; the within-bin order reuses the same
+    // RNG-free hash permutation as the global shuffle. The Spark side
+    // computes the ntile DISTRIBUTED (operators.DistributedNtile:
+    // key-histogram prefix sums + per-key rank — no single-partition
+    // global window anywhere), bit-identical to the oracle's ntile.
+    Q("q_curriculum",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_extract_all(text, '[^ ]+')) AS INTEGER)
+         |      AS ws_tokens,
+         |    ${hashSql("concat('cur:', CAST(doc_id AS VARCHAR))")} AS k
+         |  FROM documents),
+         |binned AS (
+         |  SELECT doc_id, ws_tokens, k,
+         |    CAST(ntile(10) OVER (ORDER BY ws_tokens, doc_id) AS INTEGER)
+         |      AS bin
+         |  FROM t)
+         |SELECT doc_id, bin,
+         |  CAST(row_number() OVER (PARTITION BY bin
+         |                          ORDER BY k, doc_id) AS INTEGER) AS pos
+         |FROM binned ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, dir, "documents").select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[^ ]+', 0)")).as("ws_tokens"),
+        hashCol(concat(lit("cur:"), col("doc_id").cast(StringType)))
+          .as("__k"))
+      graft.operators.DistributedNtile(docs, 10,
+          key = "ws_tokens", tie = "doc_id", out = "bin")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("bin")).orderBy(col("__k"), col("doc_id"))))
+        .select("doc_id", "bin", "pos")
+        .orderBy("doc_id")
+    },
+
     // corpus-frequency scoring (the LM-filter proxy used in web-corpus
     // cleaning, made engine-exact): per doc, the mean DOCUMENT
     // FREQUENCY of its token instances. Two passes — a token document-
