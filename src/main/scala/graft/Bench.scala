@@ -128,7 +128,10 @@ object Bench {
       "q_contamination", "q_edit_distance", "q_pack_sequences",
       "q_stats_agg", "vacuum_dry_run", "q_pii_redact", "q_strip_markup",
       "q_simhash_near_dup", "q_mixture_cap", "q_stream_dedup",
-      "q_quality_filter", "q_incremental_dedup", "q_dv_dml")
+      "q_quality_filter", "q_incremental_dedup", "q_dv_dml",
+      // round-7 additions (headline display only — stableSet is frozen)
+      "q_concurrent_write", "q_row_ids", "q_global_shuffle",
+      "q_curriculum")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")
