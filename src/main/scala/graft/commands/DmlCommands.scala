@@ -366,21 +366,25 @@ object DmlCommands {
   }
 
   /** Add-action builder honoring row tracking: on row-tracked tables
-    * the new files' rows get fresh ids allocated from the snapshot's
-    * high-water mark (stable across permitted rebases — the DML
-    * profiles only rebase over data-neutral winners), stamped with the
-    * actual commit version per attempt. */
-  private[commands] def rowTrackedAddActions(spark: SparkSession,
+    * the new files' rows get fresh ids stamped with the actual commit
+    * version per attempt — and the high-water mark is RE-read from the
+    * then-current tip on every attempt, because the conflict rules
+    * deliberately let a DML rebase over partition-disjoint data winners
+    * (which DO advance the mark): stamping from the snapshot-time mark
+    * would duplicate the winner's ids and roll the domain back. */
+  private[graft] def rowTrackedAddActions(spark: SparkSession,
       snap: Snapshot, adds: Seq[Actions.AddFile]): Long => Seq[String] = {
-    import graft.delta.log.RowTracking
+    import graft.delta.log.{LogSegment, RowTracking}
     if (!RowTracking.enabled(snap.metadata) || adds.isEmpty)
       _ => adds.map(CommitWriter.addJson)
-    else {
-      val hwm = RowTracking.highWaterMark(spark, snap.segment)
-      v => {
-        val (stamped, domain) = RowTracking.stamp(adds, hwm, v)
-        domain +: stamped.map(CommitWriter.addJson)
-      }
+    else { v =>
+      val tip =
+        if (v == snap.version + 1) snap.segment
+        else LogSegment.forTable(spark, snap.tablePath,
+          versionAsOf = Some(v - 1))
+      val (stamped, domain) = RowTracking.stamp(adds,
+        RowTracking.highWaterMark(spark, tip), v)
+      domain +: stamped.map(CommitWriter.addJson)
     }
   }
 

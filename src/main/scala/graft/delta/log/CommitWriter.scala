@@ -240,16 +240,25 @@ object CommitWriter {
     // identity appends carry the advanced high-water mark in the SAME
     // commit as the adds
     val metaUpdate = IdentityColumns.advance(meta, adds)
-    val actions = metaUpdate.map(metadataJson).toSeq ++ adds.map(addJson)
     if (metaUpdate.isDefined) {
       // a lost race is NOT retryable when this commit allocated identity
       // values: the winner may have allocated from the same high-water
       // mark, so these baked-in values could collide — the caller must
-      // re-run the append against the new snapshot
+      // re-run the append against the new snapshot. Row tracking (if
+      // also on) stamps in the same single attempt — an identity table
+      // is still a row-tracked table.
+      val v = segment.version + 1
+      val addActions =
+        if (RowTracking.enabled(meta) && adds.nonEmpty) {
+          val (stamped, domain) = RowTracking.stamp(adds,
+            RowTracking.highWaterMark(spark, segment), v)
+          domain +: stamped.map(addJson)
+        } else adds.map(addJson)
       try {
-        commit(spark, tablePath, segment.version + 1, actions,
+        commit(spark, tablePath, v,
+          metaUpdate.map(metadataJson).toSeq ++ addActions,
           operation = "WRITE")
-        segment.version + 1
+        v
       } catch {
         case e: ConcurrentCommitException =>
           throw new ConcurrentCommitException(
@@ -260,9 +269,9 @@ object CommitWriter {
     } else if (RowTracking.enabled(meta) && adds.nonEmpty)
       appendRowTracked(spark, tablePath, segment, adds, maxRetries)
     else
-      commitWithRebase(spark, tablePath, segment.version, actions,
-        operation = "WRITE", profile = ConflictChecker.TxnProfile(),
-        maxRetries = maxRetries)
+      commitWithRebase(spark, tablePath, segment.version,
+        adds.map(addJson), operation = "WRITE",
+        profile = ConflictChecker.TxnProfile(), maxRetries = maxRetries)
   }
 
   /** Row-tracked append: base row ids come from the tip's high-water
@@ -739,29 +748,39 @@ object CommitWriter {
       tablePath: String, meta: Metadata): Unit =
     if (!meta.configuration.get("delta.enableExpiredLogCleanup")
         .exists(_.equalsIgnoreCase("false")))
-      cleanupExpiredLogs(spark, tablePath)
+      cleanupExpiredLogs(spark, tablePath, metaOpt = Some(meta))
 
-  /** Delete log files that are BOTH superseded by the current checkpoint
-    * and older than the log retention window — without this, `_delta_log`
-    * grows one JSON per commit forever, and at 100 TB scale (thousands
-    * of commits/day under streaming ingest + compaction) the log listing
-    * itself becomes the bottleneck every reader pays.
+  /** Delete expired log files superseded by a checkpoint — without
+    * this, `_delta_log` grows one JSON per commit forever, and at
+    * 100 TB scale (thousands of commits/day under streaming ingest +
+    * compaction) the log listing itself becomes the bottleneck every
+    * reader pays.
     *
-    * Safety invariant: every version >= the checkpoint version stays
-    * reconstructable. Only commit JSONs and checkpoint artifacts with
-    * version < checkpointVersion are candidates, and only once their
-    * modification time clears `delta.logRetentionDuration` (default 30
-    * days) — so time travel inside the window keeps working, and
-    * downstream incremental readers have the full window to catch up.
-    * V2 checkpoint sidecars are kept while ANY retained manifest
-    * references them (an expired, unreferenced sidecar is an orphan).
-    * Time travel below the horizon fails with an error naming the
-    * earliest reconstructable version (LogSegment's gap hint).
+    * Safety invariant: every version whose reconstruction path has ANY
+    * unexpired file stays reconstructable. The deletion set is the
+    * strict PREFIX below a horizon H, where H is the highest COMPLETE
+    * checkpoint version such that every log file below H has cleared
+    * `delta.logRetentionDuration` (default 30 days). Deleting exactly
+    * that prefix keeps checkpoint H plus the full commit tail, so every
+    * version >= H — including versions whose checkpoint was not the
+    * latest — still resolves; versions below H were reconstructable
+    * only through files that are ALL out of retention. A per-file
+    * expiry cut (delete everything expired below the latest checkpoint)
+    * would be wrong in exactly this case: with checkpoints at 60 and 90
+    * and the expiry boundary at commit 65, it would delete checkpoint
+    * 60 and commits 0-65 while 66-89 are still in retention — versions
+    * 66-89 would survive as files yet be unreconstructable. The horizon
+    * rule instead stops at H=60 until the whole prefix expires. A
+    * rewritten/young file below a candidate H likewise blocks promotion
+    * past it (mtime holes fail safe).
     *
-    * The checkpoint version is taken from the RESOLVED segment (which
-    * validates completeness — e.g. all parts of a multi-part checkpoint
-    * present), never from `_last_checkpoint` alone: trusting a stale or
-    * dangling pointer here would delete the only reconstruction path.
+    * Checkpoint completeness (all parts of a multi-part set) is checked
+    * from the listing — a dangling `_last_checkpoint` pointer or a
+    * half-published checkpoint can never become the only surviving
+    * reconstruction path. V2 sidecars are kept while any retained
+    * manifest references them (an expired, unreferenced sidecar is an
+    * orphan). Time travel below the horizon fails with an error naming
+    * the earliest reconstructable version (LogSegment's gap hint).
     *
     * Driver-side by design: the file count is bounded by commits since
     * the previous cleanup, the same order as the log listing every
@@ -769,13 +788,15 @@ object CommitWriter {
     *
     * @return number of files deleted */
   def cleanupExpiredLogs(spark: SparkSession, tablePath: String,
-      retentionMsOverride: Option[Long] = None): Int = {
+      retentionMsOverride: Option[Long] = None,
+      metaOpt: Option[Metadata] = None): Int = {
     val table = new Path(tablePath)
     val fsys = LogSegment.fs(spark, table)
     val logPath = new Path(table, "_delta_log")
-    val segment = LogSegment.forTable(spark, table)
-    val cpVersion = segment.checkpointVersion.getOrElse(return 0)
-    val (meta, _) = Replay.metadataAndProtocol(spark, segment)
+    val meta = metaOpt.getOrElse {
+      val segment = LogSegment.forTable(spark, table)
+      Replay.metadataAndProtocol(spark, segment)._1
+    }
     val retentionMs = retentionMsOverride
       .orElse(meta.configuration.get(LogRetentionPropKey)
         .map(graft.commands.VacuumCommand.parseInterval))
@@ -783,19 +804,27 @@ object CommitWriter {
     val cutoff = System.currentTimeMillis() - retentionMs
     val entries = fsys.listStatus(logPath).toSeq.filterNot(_.isDirectory)
 
-    val expiredCommits = entries.filter { st =>
-      LogSegment.commitVersion(st.getPath.getName)
-        .exists(v => v < cpVersion && st.getModificationTime < cutoff)
-    }
-    val expiredCheckpoints = entries.filter { st =>
-      LogSegment.checkpointArtifactVersion(st.getPath.getName)
-        .exists(v => v < cpVersion && st.getModificationTime < cutoff)
-    }
+    val versioned: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      entries.flatMap { st =>
+        val n = st.getPath.getName
+        LogSegment.commitVersion(n)
+          .orElse(LogSegment.checkpointArtifactVersion(n))
+          .map(v => (v, st))
+      }
+    val complete = LogSegment
+      .completeCheckpointVersions(entries.map(_.getPath.getName))
+    // horizon: highest complete checkpoint with a fully-expired prefix
+    val horizon = complete.toSeq
+      .filter(x => versioned.forall { case (v, st) =>
+        v >= x || st.getModificationTime < cutoff })
+      .sorted.lastOption.getOrElse(return 0)
+
+    val expiredPrefix = versioned.collect { case (v, st) if v < horizon => st }
 
     // sidecars referenced by any RETAINED v2 manifest must survive
     val retainedManifests = entries
       .filter(st => LogSegment.v2ManifestVersion(st.getPath.getName)
-        .exists(_ >= cpVersion))
+        .exists(_ >= horizon))
       .map(_.getPath.toString)
     val referenced: Set[String] =
       if (retainedManifests.isEmpty) Set.empty
@@ -819,7 +848,7 @@ object CommitWriter {
         !st.isDirectory && !referenced(st.getPath.getName) &&
           st.getModificationTime < cutoff)
 
-    val doomed = expiredCommits ++ expiredCheckpoints ++ orphanSidecars
+    val doomed = expiredPrefix ++ orphanSidecars
     doomed.foreach(st => fsys.delete(st.getPath, false))
     doomed.size
   }

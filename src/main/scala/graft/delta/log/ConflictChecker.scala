@@ -139,12 +139,10 @@ object ConflictChecker {
         Option(node.get("commitInfo")).flatMap(ci =>
           Option(ci.get("operation"))).foreach(o => ops += o.asText())
         Option(node.get("add")).foreach { a =>
-          val pv = Option(a.get("partitionValues")).map { m =>
-            m.properties().asScala.map(e =>
-              e.getKey -> (if (e.getValue.isNull) null
-                           else e.getValue.asText())).toMap
-          }.getOrElse(Map.empty[String, String])
-          adds += WinnerAdd(a.get("path").asText(), pv,
+          // null-partition-value handling shared with replay so the
+          // pruning here can never disagree with the scan
+          adds += WinnerAdd(a.get("path").asText(),
+            Replay.partitionValuesOf(a),
             Option(a.get("dataChange")).forall(_.asBoolean(true)))
         }
         Option(node.get("remove")).foreach(r => removed += r.get("path").asText())

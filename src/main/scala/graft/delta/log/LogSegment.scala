@@ -57,6 +57,20 @@ object LogSegment {
     case _ => None
   }
 
+  /** Versions with a COMPLETE checkpoint among `names`: single-file and
+    * v2 manifests are self-contained; a multi-part set counts only when
+    * every declared part is present (the same rule forTable applies). */
+  def completeCheckpointVersions(names: Seq[String]): Set[Long] = {
+    val singles = names.collect { case checkpointRe(v) => v.toLong }
+    val v2s = names.collect { case v2CheckpointRe(v, _, _) => v.toLong }
+    val multi = names
+      .collect { case multiCheckpointRe(v, _, parts) =>
+        (v.toLong, parts.toInt) }
+      .groupBy(identity)
+      .collect { case ((v, parts), g) if g.size == parts => v }
+    (singles ++ v2s ++ multi).toSet
+  }
+
   def fs(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -343,6 +343,42 @@ object Replay {
       .select(col("remove"), col("commit_version"))
   }
 
+  /** Latest state of ONE domain, resolved the way metadataAndProtocol
+    * is: the commit tail is scanned DRIVER-side newest-first (for hot
+    * domains like `delta.rowTracking` the action lives in the latest
+    * commit, so the common case is one small file read and ZERO Spark
+    * jobs — this sits on every row-tracked commit attempt), falling
+    * back to one query over the checkpoint. None when the domain is
+    * absent or its latest action is a removal tombstone. */
+  def domainMetadataFor(spark: SparkSession, segment: LogSegment,
+      domain: String): Option[Actions.DomainMetadata] = {
+    val fs = LogSegment.fs(spark, segment.tablePath)
+    for (commit <- segment.commitFiles.reverseIterator) {
+      val in = fs.open(commit.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      var found: Option[Actions.DomainMetadata] = None
+      for (line <- lines if line.nonEmpty) {
+        val d = mapper.readTree(line).get("domainMetadata")
+        if (d != null && !d.isNull && d.get("domain").asText() == domain)
+          found = Some(Actions.DomainMetadata(domain,
+            Option(d.get("configuration")).filterNot(_.isNull)
+              .map(_.asText()).getOrElse(""),
+            Option(d.get("removed")).exists(_.asBoolean(false))))
+      }
+      if (found.isDefined) return found.filterNot(_.removed)
+    }
+    if (segment.checkpointFiles.isEmpty) return None
+    checkpointDF(spark, segment)
+      .where(col("domainMetadata.domain") === domain)
+      .select(col("domainMetadata.configuration"),
+        col("domainMetadata.removed"))
+      .collect().headOption
+      .filterNot(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(r => Actions.DomainMetadata(domain, r.getString(0),
+        removed = false))
+  }
+
   /** Reconciled domain metadata: the latest action per domain in log
     * order, `removed=true` tombstones dropped. Domain count is tiny by
     * construction (system domains like `delta.rowTracking` plus user

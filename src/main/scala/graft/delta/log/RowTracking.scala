@@ -29,9 +29,11 @@ object RowTracking {
   def enabled(meta: Actions.Metadata): Boolean =
     meta.configuration.get(PropKey).exists(_.equalsIgnoreCase("true"))
 
-  /** Next unallocated row id (0 when the domain is absent). */
+  /** Next unallocated row id (0 when the domain is absent). Resolved
+    * driver-side from the commit tail (zero Spark jobs in the common
+    * case — this sits on every row-tracked commit attempt). */
   def highWaterMark(spark: SparkSession, segment: LogSegment): Long =
-    Replay.domainMetadata(spark, segment).get(Domain)
+    Replay.domainMetadataFor(spark, segment, Domain)
       .flatMap(d => Option(mapper.readTree(d.configuration)
         .get("rowIdHighWaterMark")).map(_.asLong() + 1))
       .getOrElse(0L)
@@ -40,12 +42,8 @@ object RowTracking {
   def domainJson(highWaterMark: Long): String = {
     val conf = mapper.createObjectNode()
     conf.put("rowIdHighWaterMark", highWaterMark)
-    val root = mapper.createObjectNode()
-    val n = root.putObject("domainMetadata")
-    n.put("domain", Domain)
-    n.put("configuration", conf.toString)
-    n.put("removed", false)
-    root.toString
+    CommitWriter.domainMetadataJson(
+      Actions.DomainMetadata(Domain, conf.toString))
   }
 
   private def numRecords(a: Actions.AddFile): Long =

@@ -246,6 +246,32 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE losing to a DV DELETE is a delete/read conflict — " +
+      "the DV swap's remove is visible to the checker") {
+    val p = tmp("optdv")
+    CommitWriter.createTable(spark, df(1, 0 until 30).repartition(1), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val stale = DeltaTable.forPath(spark, p).version
+    val f = DeltaTable.forPath(spark, p).allFiles
+      .select("path").head().getString(0)
+    // winner: merge-on-read DELETE — emits remove(f) + re-add(f with DV)
+    DmlCommands.delete(spark, p, col("x") === 3)
+    // a compaction that had read f pre-delete must NOT rebase: its
+    // rewritten copy would resurrect the deleted rows. (Classified
+    // delete/delete — OPTIMIZE also removes f and that rule fires
+    // first; a pure reader of f gets delete/read.)
+    intercept[ConcurrentDeleteDeleteException] {
+      CommitWriter.commitWithRebase(spark, p, stale,
+        Seq(txnAction()), "OPTIMIZE",
+        TxnProfile(readPaths = Set(f), removePaths = Set(f)))
+    }
+    intercept[ConcurrentDeleteReadException] {
+      CommitWriter.commitWithRebase(spark, p, stale,
+        Seq(txnAction("reader")), "MERGE",
+        TxnProfile(readPaths = Set(f)))
+    }
+  }
+
   test("winners spanning several commits are classified together") {
     val p = tmp("span")
     CommitWriter.createTable(spark, df(1, 0 until 5), p,

@@ -111,6 +111,43 @@ class LogCleanupSpec extends AnyFunSuite {
     assert(!logFiles(p).contains(LogSegment.commitFileName(0)))
   }
 
+  test("the horizon rule never strands an in-retention version behind " +
+      "a deleted checkpoint") {
+    val p = tmp("horizon")
+    CommitWriter.createTable(spark, region.limit(2), p)  // v0
+    CommitWriter.append(spark, region.limit(1), p)       // v1
+    CommitWriter.checkpoint(spark, p)                    // cp @1
+    CommitWriter.append(spark, region.limit(1), p)       // v2
+    CommitWriter.append(spark, region.limit(1), p)       // v3
+    CommitWriter.checkpoint(spark, p)                    // cp @3
+    val rows2 = DeltaTable.forPath(spark, p, Some(2L)).read.count()
+
+    // age commits 0-1 and checkpoint 1; commits 2-3 + checkpoint 3 stay
+    // fresh. A per-file expiry cut below the LATEST checkpoint would
+    // delete cp@1 and commits 0-1 — stranding version 2, whose own
+    // commit is still in retention. The horizon rule stops at cp@1:
+    // only the fully-expired prefix below it (commit 0) may go.
+    val old = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+    val logDir = new java.io.File(p, "_delta_log")
+    Seq(LogSegment.commitFileName(0), LogSegment.commitFileName(1),
+      LogSegment.checkpointFileName(1))
+      .foreach(n => new java.io.File(logDir, n).setLastModified(old))
+
+    val deleted = CommitWriter.cleanupExpiredLogs(spark, p)
+    assert(deleted == 1, s"only commit 0 may go, deleted $deleted")
+    val names = logFiles(p)
+    assert(!names.contains(LogSegment.commitFileName(0)))
+    assert(names.contains(LogSegment.checkpointFileName(1)),
+      "cp@1 is version 2's only reconstruction path and must survive")
+    assert(names.contains(LogSegment.commitFileName(1)))
+    // version 2 (in retention) still reconstructs: cp@1 + commit 2
+    assert(DeltaTable.forPath(spark, p, Some(2L)).read.count() == rows2)
+    // version 0 (fully out of retention) is gone, with the gap hint
+    intercept[IllegalStateException] {
+      DeltaTable.forPath(spark, p, Some(0L))
+    }
+  }
+
   test("v2 checkpoints: superseded manifests and orphaned sidecars are " +
       "swept, sidecars of the retained checkpoint survive") {
     val p = tmp("v2")

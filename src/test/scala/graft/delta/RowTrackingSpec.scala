@@ -165,6 +165,63 @@ class RowTrackingSpec extends AnyFunSuite {
       "racing appends must re-stamp from the new tip: ids exactly 0..44")
   }
 
+  test("DML add stamping re-reads the high-water mark across a rebase") {
+    val p = tmp("rebase_hwm")
+    CommitWriter.createTable(spark,
+      df(0 until 5).repartition(1), p, configuration = RtConf) // ids 0-4
+    val stale = DeltaTable.forPath(spark, p)
+    val fakeAdd = graft.delta.log.Actions.AddFile(
+      path = "zz-fake.parquet", partitionValues = Map.empty, size = 1L,
+      modificationTime = 0L, dataChange = true,
+      stats = Some("""{"numRecords":7}"""))
+    val actionsFor = graft.commands.DmlCommands
+      .rowTrackedAddActions(spark, stale, Seq(fakeAdd))
+    def baseOf(actions: Seq[String]): Long = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      actions.flatMap(a => Option(mapper.readTree(a).get("add")))
+        .map(_.get("baseRowId").asLong()).head
+    }
+    // first attempt: allocate from the snapshot-time mark
+    assert(baseOf(actionsFor(stale.version + 1)) == 5L)
+    // a partition-disjoint winner advances the mark to 15
+    CommitWriter.append(spark, df(100 until 110).repartition(1), p)
+    // the rebase attempt MUST allocate past the winner, not duplicate it
+    assert(baseOf(actionsFor(stale.version + 2)) == 15L,
+      "rebased DML stamped from a stale high-water mark")
+  }
+
+  test("identity + row tracking: one append stamps ids AND advances " +
+      "the identity mark") {
+    import spark.implicits._
+    val p = tmp("identity_rt")
+    CommitWriter.createTable(spark,
+      Seq.empty[(Long, String)].toDF("id", "payload"), p,
+      configuration = RtConf)
+    val snap0 = DeltaTable.forPath(spark, p)
+    val fields = snap0.metadata.dataSchema.fields.map { f =>
+      if (f.name == "id")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.identity.start", 100L)
+          .putLong("delta.identity.step", 1L).build())
+      else f
+    }
+    CommitWriter.commit(spark, p, snap0.version + 1,
+      Seq(CommitWriter.metadataJson(snap0.metadata.copy(
+        schemaString =
+          org.apache.spark.sql.types.StructType(fields).json))), "ALTER")
+    CommitWriter.append(spark,
+      Seq.tabulate(6)(i => s"p$i").toDF("payload").repartition(1), p)
+    val got = DeltaTable.forPath(spark, p).readWithRowIds
+    assert(got.select("_row_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 6L).toSet,
+      "identity-allocating append must still stamp base row ids")
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      (100L until 106L).toSet)
+    assert(RowTracking.highWaterMark(spark,
+      DeltaTable.forPath(spark, p).segment) == 6L)
+  }
+
   test("foreign files without baseRowId fail the row-id read with a " +
       "named file") {
     val p = tmp("foreign")
