@@ -45,9 +45,10 @@ final class GraftSession(val spark: SparkSession) {
         c.defaultCollation, c.options), c.ifNotExists)
     case d: DropCatalogStatement =>
       LocalCatalog.drop(spark, d.name, d.ifExists, d.cascade)
-    case OptimizeStatement(table, zorderBy) =>
+    case OptimizeStatement(table, zorderBy, where) =>
       graft.commands.OptimizeCommand.optimize(spark,
-        resolveTablePath(table), zorderBy = zorderBy)
+        resolveTablePath(table), zorderBy = zorderBy,
+        where = where.map(org.apache.spark.sql.functions.expr))
     case DescribeHistoryStatement(table) =>
       graft.commands.HistoryCommand.history(spark, resolveTablePath(table))
     case DescribeDetailStatement(table) =>

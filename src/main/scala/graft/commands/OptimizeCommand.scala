@@ -84,10 +84,30 @@ object OptimizeCommand {
   private def zorderHelperCols(cols: Seq[String]): Seq[String] =
     cols.indices.flatMap(i => Seq(s"__zp_$i", s"__rank_$i")) :+ "__z"
 
+  /** Column names a predicate references, resolved by ANALYZING it
+    * against the table schema (a Column may wrap a lazy node tree or a
+    * raw SQL string — analysis normalizes both; an unresolvable name
+    * surfaces as the usual AnalysisException naming it). */
+  private def referencedNames(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      pred: Column): Seq[String] = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    probe.where(pred).queryExecution.analyzed.expressions
+      .flatMap(_.references.toSeq.map(_.name)).distinct
+  }
+
+  /** @param where partition-scoped compaction (`OPTIMIZE t WHERE p = 1`):
+    *   only partitions satisfying the predicate are considered. The
+    *   predicate must reference partition columns only — it is decided
+    *   from the file inventory's partitionValues, no data read — which
+    *   is also what makes partition-scoped OPTIMIZE jobs and ingest
+    *   into other partitions conflict-free under the rebase rules. */
   def optimize(spark: SparkSession, tablePath: String,
       targetFileSize: Long = DefaultTargetFileSize,
       minFiles: Int = 2,
-      zorderBy: Seq[String] = Seq.empty): DataFrame = {
+      zorderBy: Seq[String] = Seq.empty,
+      where: Option[Column] = None): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol)
@@ -104,7 +124,27 @@ object OptimizeCommand {
     // (re-clustering is the point); plain compaction needs >= minFiles
     // small files. Decided as a DataFrame aggregation; only qualifying
     // files reach the driver (they are the commit's remove set).
-    val inv = snap.allFiles.select("path", "partitionValues", "size")
+    val fullInv = snap.allFiles.select("path", "partitionValues", "size")
+    val inv = where match {
+      case None => fullInv
+      case Some(pred) =>
+        require(partCols.nonEmpty,
+          "OPTIMIZE ... WHERE requires a partitioned table (the scope " +
+            "is decided from partition values, not a data scan)")
+        val partSet = partCols.map(_.toLowerCase).toSet
+        val outside = referencedNames(spark, snap.schema, pred)
+          .filterNot(n => partSet(n.toLowerCase)).distinct
+        require(outside.isEmpty,
+          s"OPTIMIZE ... WHERE supports partition predicates only; " +
+            s"column(s) ${outside.mkString(", ")} are not partition " +
+            s"columns ${partCols.mkString("(", ", ", ")")}")
+        fullInv
+          .select(Seq(col("path"), col("partitionValues"), col("size")) ++
+            partCols.map(c => element_at(col("partitionValues"), c)
+              .cast(snap.schema(c).dataType).as(c)): _*)
+          .where(pred)
+          .select("path", "partitionValues", "size")
+    }
     val files: Array[(String, Map[String, String], Long)] = {
       val qualRows =
         if (partCols.isEmpty) {
@@ -150,10 +190,11 @@ object OptimizeCommand {
       totalBytes.toDouble / math.max(targetFileSize, 1L)).toInt)
 
     // One read covering every qualifying partition. Z-order touches all
-    // partitions -> full read; compaction prunes to qualifying partition
-    // values via an OR-of-AND predicate (exact partition pruning).
+    // partitions -> full read (unless WHERE-scoped); compaction prunes
+    // to qualifying partition values via an OR-of-AND predicate (exact
+    // partition pruning).
     val base =
-      if (partCols.isEmpty || zorderBy.nonEmpty) snap.read
+      if (partCols.isEmpty || (zorderBy.nonEmpty && where.isEmpty)) snap.read
       else {
         val pred = partitions.map { pv =>
           partCols.map { c =>

@@ -30,7 +30,8 @@ object GraftParser {
       ifExists: Boolean,
       cascade: Boolean) extends Statement
   final case class OptimizeStatement(table: String,
-      zorderBy: Seq[String] = Seq.empty) extends Statement
+      zorderBy: Seq[String] = Seq.empty,
+      where: Option[String] = None) extends Statement
   final case class DescribeHistoryStatement(table: String) extends Statement
   final case class DescribeDetailStatement(table: String) extends Statement
   final case class RestoreStatement(table: String, version: Long) extends Statement
@@ -455,9 +456,24 @@ object GraftParser {
     (table, toks.drop(skip))
   }
 
+  /** OPTIMIZE <ref> [WHERE <partition predicate>] [ZORDER BY (cols)] */
   private def parseOptimize(toks: Vector[Tok]): OptimizeStatement = {
-    val (table, rest) = parseTableRefAndRest(toks)
-    if (rest.isEmpty) return OptimizeStatement(table)
+    val (table, afterRef) = parseTableRefAndRest(toks)
+    // optional WHERE: capture tokens up to a depth-0 ZORDER
+    val (where, rest) = afterRef.headOption match {
+      case Some(w: Word) if w.upper == "WHERE" =>
+        var depth = 0
+        val body = afterRef.tail.takeWhile {
+          case Sym("(") => depth += 1; true
+          case Sym(")") => depth -= 1; true
+          case w: Word if depth == 0 && w.upper == "ZORDER" => false
+          case _ => true
+        }
+        if (body.isEmpty) throw new ParseException("WHERE requires a predicate")
+        (Some(sqlOf(body)), afterRef.tail.drop(body.length))
+      case _ => (None, afterRef)
+    }
+    if (rest.isEmpty) return OptimizeStatement(table, where = where)
     if (!wordAt(rest, 0).contains("ZORDER") || !wordAt(rest, 1).contains("BY"))
       throw new ParseException(s"Unexpected tokens in OPTIMIZE: $rest")
     val hasParen = rest.lift(2).exists(_.text == "(")
@@ -475,7 +491,7 @@ object GraftParser {
       throw new ParseException(s"Unexpected trailing tokens: ${rest.drop(i)}")
     val cs = cols.result()
     if (cs.isEmpty) throw new ParseException("ZORDER BY requires columns")
-    OptimizeStatement(table, cs)
+    OptimizeStatement(table, cs, where)
   }
 
   private def parseVacuum(toks: Vector[Tok]): VacuumStatement = {

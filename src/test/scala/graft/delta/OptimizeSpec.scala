@@ -63,6 +63,62 @@ class OptimizeSpec extends AnyFunSuite {
     assert(perPart == 1)
   }
 
+  test("OPTIMIZE WHERE compacts only the scoped partitions") {
+    val p = tmp("scoped")
+    CommitWriter.createTable(spark, orders.limit(200), p,
+      partitionColumns = Seq("o_orderstatus"))
+    CommitWriter.append(spark, orders.limit(200), p)
+    val before = DeltaTable.forPath(spark, p)
+    val want = before.read.count()
+    def filesOf(status: String): Long =
+      DeltaTable.forPath(spark, p).allFiles
+        .where(expr(s"partitionValues['o_orderstatus'] = '$status'"))
+        .count()
+    val fBefore = filesOf("F")
+    val oBefore = filesOf("O")
+    assert(fBefore >= 2 && oBefore >= 2)
+
+    val metrics = graft.commands.OptimizeCommand.optimize(spark, p,
+        where = Some(col("o_orderstatus") === "F"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("partitions_optimized") == "1")
+    assert(filesOf("F") == 1, "scoped partition must be compacted")
+    assert(filesOf("O") == oBefore, "out-of-scope partition untouched")
+    assert(DeltaTable.forPath(spark, p).read.count() == want)
+
+    // predicates on non-partition columns are refused, named
+    val e = intercept[IllegalArgumentException] {
+      graft.commands.OptimizeCommand.optimize(spark, p,
+        where = Some(col("o_totalprice") > 0))
+    }
+    assert(e.getMessage.contains("o_totalprice"))
+    // unpartitioned tables refuse WHERE outright
+    val p2 = tmp("scoped_flat")
+    CommitWriter.createTable(spark, region.limit(3), p2)
+    intercept[IllegalArgumentException] {
+      graft.commands.OptimizeCommand.optimize(spark, p2,
+        where = Some(col("r_regionkey") === 1))
+    }
+  }
+
+  test("OPTIMIZE WHERE parses through SQL, with and without ZORDER") {
+    val p = tmp("scoped_sql")
+    CommitWriter.createTable(spark, orders.limit(300), p,
+      partitionColumns = Seq("o_orderstatus"))
+    CommitWriter.append(spark, orders.limit(300), p)
+    val want = DeltaTable.forPath(spark, p).read.count()
+    val g = GraftSessionFixture.g
+    val m1 = g.sql(s"OPTIMIZE '$p' WHERE o_orderstatus = 'O'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m1("partitions_optimized") == "1")
+    // WHERE + ZORDER: re-cluster just the scoped partition
+    val m2 = g.sql(
+      s"OPTIMIZE '$p' WHERE o_orderstatus = 'F' ZORDER BY (o_orderkey)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2("partitions_optimized") == "1")
+    assert(DeltaTable.forPath(spark, p).read.count() == want)
+  }
+
   test("OPTIMIZE reads through deletion vectors and clears them") {
     val p = tmp("dv_clear")
     CommitWriter.createTable(spark, orders.limit(200).repartition(2), p,
