@@ -184,11 +184,20 @@ final class GraftSession(val spark: SparkSession) {
           s"cannot set $k: the column-mapping mode and id high-water " +
             "mark are fixed at table creation (changing them would " +
             "orphan or resurrect physical columns)")
-        require(k != graft.delta.log.RowTracking.PropKey,
-          s"cannot set $k on an existing table: every live file would " +
-            "need a baseRowId backfill commit, which this engine does " +
-            "not implement — create the table with " +
-            "delta.enableRowTracking=true instead")
+      }
+      // enabling row tracking mid-life takes the backfill path: one
+      // metadata-only commit stamping every live file's baseRowId from
+      // its stats (no data rewrite), features + mark + property atomic
+      if (props.exists { case (k, v) =>
+            k == graft.delta.log.RowTracking.PropKey &&
+              v.equalsIgnoreCase("true") } &&
+          !graft.delta.log.RowTracking.enabled(snap.metadata)) {
+        val v = graft.delta.log.CommitWriter.enableRowTracking(
+          spark, path,
+          extraProps = props
+            .filterNot(_._1 == graft.delta.log.RowTracking.PropKey).toMap)
+        return alterMetrics(s"set ${props.map(_._1).mkString(", ")} " +
+          "(row-id backfill)", v)
       }
       // enabling a feature-gated property upgrades the protocol IN THE
       // SAME COMMIT: the feature must be declared before any writer

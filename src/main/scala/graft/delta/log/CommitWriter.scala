@@ -457,6 +457,88 @@ object CommitWriter {
     root.toString
   }
 
+  /** Enable row tracking on an EXISTING table with ONE metadata-only
+    * commit — no data rewrite: every live file's baseRowId is
+    * backfilled from its stats row count (a remove+re-add swap with
+    * dataChange=false, the OPTIMIZE bookkeeping shape), its
+    * defaultRowCommitVersion set to the commit that originally added
+    * it, the features declared, the high-water mark published, and the
+    * property flipped — all atomically. This is what lets a 100 TB
+    * table adopt row tracking for the cost of its file inventory (one
+    * commit row per file, the same bound as any full-table operation's
+    * JSON); checkpoint afterwards to fold the swap into parquet.
+    * Files that already carry a baseRowId (a re-enable after a
+    * disable) keep their ids. */
+  def enableRowTracking(spark: SparkSession, tablePath: String,
+      extraProps: Map[String, String] = Map.empty): Long = {
+    val segment = LogSegment.forTable(spark, new Path(tablePath))
+    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta, proto)
+    val live = Replay.liveFiles(spark, segment)
+      .orderBy("path").collect()
+    val noStats = live.filter { r =>
+      r.isNullAt(r.fieldIndex("baseRowId")) &&
+        Option(r.getAs[String]("stats")).flatMap(s =>
+          Option(mapper.readTree(s).get("numRecords"))).isEmpty
+    }
+    require(noStats.isEmpty,
+      s"cannot enable row tracking: ${noStats.length} live file(s) lack " +
+        s"numRecords stats (e.g. '${noStats.headOption
+          .map(_.getAs[String]("path")).getOrElse("")}') — ids are " +
+        "backfilled from file row counts; rewrite those files first " +
+        "(OPTIMIZE)")
+    var next = RowTracking.highWaterMark(spark, segment)
+    val now = System.currentTimeMillis()
+    val swaps = Seq.newBuilder[String]
+    def dvOf(r: Row): Option[DeletionVectorDescriptor] =
+      Option(r.getAs[Row]("deletionVector")).map { d =>
+        DeletionVectorDescriptor(
+          d.getAs[String]("storageType"),
+          d.getAs[String]("pathOrInlineDv"),
+          Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+          d.getAs[Int]("sizeInBytes"),
+          d.getAs[Long]("cardinality"))
+      }
+    live.foreach { r =>
+      val existing = Option(r.getAs[java.lang.Long]("baseRowId"))
+      val base = existing.map(_.longValue()).getOrElse(next)
+      val rows = Option(r.getAs[String]("stats")).flatMap(s =>
+        Option(mapper.readTree(s).get("numRecords")).map(_.asLong()))
+        .getOrElse(0L)
+      if (existing.isEmpty) {
+        next = base + rows
+        swaps += removeJson(RemoveFile(r.getAs[String]("path"), Some(now),
+          dataChange = false, deletionVector = dvOf(r)))
+        swaps += addJson(AddFile(
+          path = r.getAs[String]("path"),
+          partitionValues =
+            Option(r.getAs[Map[String, String]]("partitionValues"))
+              .getOrElse(Map.empty),
+          size = r.getAs[Long]("size"),
+          modificationTime = r.getAs[Long]("modificationTime"),
+          dataChange = false,
+          stats = Option(r.getAs[String]("stats")),
+          deletionVector = dvOf(r),
+          baseRowId = Some(base),
+          defaultRowCommitVersion =
+            Some(r.getAs[Long]("commit_version"))))
+      } else next = math.max(next, base + rows)
+    }
+    val newMeta = meta.copy(configuration =
+      meta.configuration ++ extraProps + (RowTracking.PropKey -> "true"))
+    val protoUpgrade = ProtocolSupport.withRowTracking(proto)
+      .map(protocolJson).toSeq
+    // an empty table allocated nothing: publishing a mark would CLAIM
+    // an id that no row holds
+    val domainAction =
+      if (next > 0) Seq(RowTracking.domainJson(next - 1)) else Seq.empty
+    commit(spark, tablePath, segment.version + 1,
+      protoUpgrade ++ (metadataJson(newMeta) +: domainAction) ++
+        swaps.result(),
+      operation = "SET TBLPROPERTIES")
+    segment.version + 1
+  }
+
   def domainMetadataJson(d: DomainMetadata): String = {
     val root = mapper.createObjectNode()
     val n = root.putObject("domainMetadata")

@@ -86,8 +86,7 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(afterUpdate.values.map(_._1).toSet.size == afterUpdate.size)
   }
 
-  test("row-moving rewrites are refused: CoW DML, CoW MERGE, OPTIMIZE, " +
-      "mid-life enablement") {
+  test("row-moving rewrites are refused: CoW DML, CoW MERGE, OPTIMIZE") {
     val p = tmp("refuse")
     CommitWriter.createTable(spark, df(0 until 10).repartition(2), p,
       configuration = Map(RowTracking.PropKey -> "true")) // no DVs
@@ -104,14 +103,42 @@ class RowTrackingSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("row-tracked") ||
       e3.getMessage.contains("reassign"))
-    val plain = tmp("plain")
-    CommitWriter.createTable(spark, df(0 until 3), plain)
-    val e4 = intercept[IllegalArgumentException] {
-      graft.GraftSession(spark).sql(
-        s"ALTER TABLE '$plain' SET TBLPROPERTIES " +
-          s"('${RowTracking.PropKey}' = 'true')")
-    }
-    assert(e4.getMessage.contains("backfill"))
+  }
+
+  test("mid-life enablement backfills every live file's ids in one " +
+      "metadata-only commit (no data rewrite)") {
+    val p = tmp("backfill")
+    CommitWriter.createTable(spark, df(0 until 6).repartition(1), p) // v0
+    CommitWriter.append(spark, df(6 until 10).repartition(1), p)    // v1
+    val dataFilesBefore = DeltaTable.forPath(spark, p).allFiles
+      .select("path", "modificationTime").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    graft.GraftSession(spark).sql(
+      s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+        s"('${RowTracking.PropKey}' = 'true', 'team' = 'ml')")
+
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.version == 2)
+    val wf = snap.protocol.writerFeatures.getOrElse(Nil)
+    assert(wf.contains("rowTracking") && wf.contains("domainMetadata"))
+    assert(snap.metadata.configuration.get("team").contains("ml"))
+    // ids backfilled 0..9, commit attribution = the ORIGINAL commits
+    val m = ids(p)
+    assert(m.values.map(_._1).toSet == (0L until 10L).toSet)
+    assert(m.filter(_._2._2 == 0L).size == 6)
+    assert(m.filter(_._2._2 == 1L).size == 4)
+    // no data file was rewritten (same paths, same mtimes)
+    val after = snap.allFiles.select("path", "modificationTime").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == dataFilesBefore, "backfill must not rewrite data")
+    // allocation continues on top of the backfilled mark
+    CommitWriter.append(spark, df(10 until 13).repartition(1), p)
+    assert(ids(p).values.map(_._1).toSet == (0L until 13L).toSet)
+    // idempotent: re-setting the property takes the plain path
+    graft.GraftSession(spark).sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      s"('${RowTracking.PropKey}' = 'true')")
+    assert(ids(p).values.map(_._1).toSet == (0L until 13L).toSet)
   }
 
   test("ids and the high-water mark survive a checkpoint") {
