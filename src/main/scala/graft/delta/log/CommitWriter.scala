@@ -607,53 +607,87 @@ object CommitWriter {
     }
   }
 
-  /** Per-table (commit version -> ICT flag) memo: the flag for version
-    * N+1 is known the moment version N lands (this process wrote it),
-    * so sequential appends/DML pay the log listing + metadata replay
-    * once, not per commit. Keying by the exact version keeps it safe
-    * under concurrent external writers: if another engine steals
-    * version N+1, our retry at N+2 misses the memo and re-resolves.
-    * The entry also pins the (size, mtime) of the commit file this
-    * process wrote: a table deleted and recreated out-of-band can
-    * realign version numbers, so a memo hit additionally re-stats that
-    * one file (far cheaper than a log listing) and falls back to a
-    * full resolve when the identity changed. */
-  private case class IctMemo(nextVersion: Long, flag: Boolean,
+  /** Per-table write-path memo (ICT flag + checkpoint policy for the
+    * NEXT commit): the state for version N+1 is known the moment
+    * version N lands (this process wrote it), so sequential
+    * appends/DML pay the log listing + metadata replay once, not per
+    * commit. Keying by the exact version keeps it safe under
+    * concurrent external writers: if another engine steals version
+    * N+1, our retry at N+2 misses the memo and re-resolves. The entry
+    * also pins the (size, mtime) of the commit file this process
+    * wrote: a table deleted and recreated out-of-band can realign
+    * version numbers, so a memo hit additionally re-stats that one
+    * file (far cheaper than a log listing) and falls back to a full
+    * resolve when the identity changed. */
+  private case class WriteMemo(nextVersion: Long, conf: WriteConf,
       commitLen: Long, commitMtime: Long)
   private val ictFlagCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IctMemo]()
+    new java.util.concurrent.ConcurrentHashMap[String, WriteMemo]()
 
-  /** True when this commit lands on (or establishes) a table with
-    * `delta.enableInCommitTimestamps=true`: the metadata action inside
-    * the commit wins (creation / property flip), else the current log
-    * metadata. */
-  private def ictEnabled(spark: SparkSession, tablePath: String,
+  /** The table state a landing commit needs from the log: whether
+    * commits carry in-commit timestamps, how often to auto-checkpoint,
+    * and whether checkpoints must be v2 (sidecar) format. */
+  private case class WriteConf(ict: Boolean, checkpointInterval: Int,
+      v2Checkpoints: Boolean)
+
+  /** Resolve [[WriteConf]] for the commit landing at `version`: start
+    * from the current log state (memo hit, else one resolve; creation
+    * commits start from defaults), then overlay the commit's own
+    * inline metaData/protocol actions — a metaData action replaces
+    * `configuration` wholesale and a protocol action replaces the
+    * feature set, so the overlay IS the post-commit state. */
+  private def resolveWriteConf(spark: SparkSession, tablePath: String,
       version: Long,
-      inlineMeta: Option[com.fasterxml.jackson.databind.JsonNode]): Boolean =
-    inlineMeta match {
-      case Some(md) =>
-        Option(md.get("configuration")).flatMap(c =>
-          Option(c.get("delta.enableInCommitTimestamps"))).exists(n =>
-          n.asText().equalsIgnoreCase("true"))
-      case None if version == 0 => false
-      case None =>
-        val memoHit = Option(ictFlagCache.get(tablePath)).collect {
-          case m if m.nextVersion == version &&
-              parentMatches(spark, tablePath, version, m) => m.flag
-        }
-        memoHit.getOrElse {
-          val segment = LogSegment.forTable(spark, new Path(tablePath))
-          Replay.metadataAndProtocol(spark, segment)._1
-            .configuration.get("delta.enableInCommitTimestamps")
-            .exists(_.equalsIgnoreCase("true"))
-        }
+      inlineMeta: Option[com.fasterxml.jackson.databind.JsonNode],
+      inlineProto: Option[com.fasterxml.jackson.databind.JsonNode])
+      : WriteConf = {
+    val base: WriteConf =
+      if (version == 0) WriteConf(ict = false, DefaultCheckpointInterval,
+        v2Checkpoints = false)
+      else Option(ictFlagCache.get(tablePath)).collect {
+        case m if m.nextVersion == version &&
+            parentMatches(spark, tablePath, version, m) => m.conf
+      }.getOrElse {
+        val segment = LogSegment.forTable(spark, new Path(tablePath))
+        val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
+        confOf(meta.configuration, proto.writerFeatures)
+      }
+    val withMeta = inlineMeta.fold(base) { md =>
+      val cfg = Option(md.get("configuration")).map(c =>
+        c.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+      base.copy(ict = ictFrom(cfg), checkpointInterval = intervalFrom(cfg))
     }
+    inlineProto.fold(withMeta) { p =>
+      val feats = Option(p.get("writerFeatures")).map(_.asScala.toSeq
+        .map(_.asText())).getOrElse(Nil)
+      withMeta.copy(v2Checkpoints = feats.contains("v2Checkpoint"))
+    }
+  }
+
+  private def confOf(cfg: Map[String, String],
+      writerFeatures: Option[Seq[String]]): WriteConf =
+    WriteConf(ictFrom(cfg), intervalFrom(cfg),
+      writerFeatures.getOrElse(Nil).contains("v2Checkpoint"))
+
+  private def ictFrom(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** `delta.checkpointInterval`, tolerating foreign-writer garbage on
+    * this READ path (property validation belongs at the write that
+    * sets it; a malformed value must not brick every future commit). */
+  private def intervalFrom(cfg: Map[String, String]): Int =
+    cfg.get(CheckpointIntervalPropKey)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(DefaultCheckpointInterval)
 
   /** True when commit file `version - 1` still has the size+mtime the
     * memo recorded — guards the memo against a table deleted and
     * recreated out-of-band with realigned version numbers. */
   private def parentMatches(spark: SparkSession, tablePath: String,
-      version: Long, m: IctMemo): Boolean = {
+      version: Long, m: WriteMemo): Boolean = {
     val prev = new Path(new Path(tablePath, "_delta_log"),
       LogSegment.commitFileName(version - 1))
     try {
@@ -714,7 +748,11 @@ object CommitWriter {
     }
     val inlineMeta = actionLines.filter(_.contains("\"metaData\""))
       .flatMap(l => Option(mapper.readTree(l).get("metaData"))).lastOption
-    val ictOn = ictEnabled(spark, tablePath, version, inlineMeta)
+    val inlineProto = actionLines.filter(_.contains("\"protocol\""))
+      .flatMap(l => Option(mapper.readTree(l).get("protocol"))).lastOption
+    val conf = resolveWriteConf(spark, tablePath, version, inlineMeta,
+      inlineProto)
+    val ictOn = conf.ict
     if (ictOn) {
       // monotonic even under wall-clock skew: never at or below the
       // parent's ICT. commitInfo is already the FIRST action, as the
@@ -772,11 +810,42 @@ object CommitWriter {
     // this commit defines the table state the NEXT commit reads: seed
     // the memo so sequential writes skip the metadata re-resolution
     // (an inline metaData action replaces configuration wholesale, so
-    // ictOn is the post-commit flag in every branch)
+    // `conf` is the post-commit state in every branch)
     val published = fs.getFileStatus(commitPath)
-    ictFlagCache.put(tablePath, IctMemo(version + 1, ictOn,
+    ictFlagCache.put(tablePath, WriteMemo(version + 1, conf,
       published.getLen, published.getModificationTime))
+    maybeAutoCheckpoint(spark, tablePath, version, conf)
   }
+
+  /** `delta.checkpointInterval` (default 10, the delta-spark default):
+    * auto-checkpoint cadence in commits. */
+  final val CheckpointIntervalPropKey = "delta.checkpointInterval"
+  final val DefaultCheckpointInterval = 10
+
+  /** Ecosystem-parity auto-checkpointing: every `checkpointInterval`
+    * commits the committing writer checkpoints the table (v2 sidecar
+    * format when the table declares `v2Checkpoint`, classic
+    * otherwise), which also triggers the expired-log sweep — without
+    * it a streaming-ingest table accumulates one JSON per micro-batch
+    * forever and every reader's log listing degrades. The commit has
+    * already landed, so a checkpoint failure is logged and swallowed:
+    * the table stays correct (replay falls back to the previous
+    * checkpoint + commit tail), only the maintenance is deferred.
+    * Under racing writers the checkpoint targets the current tip —
+    * that is delta-spark's semantics too, and a concurrent-checkpoint
+    * rename collision just means the other writer already did it. */
+  private def maybeAutoCheckpoint(spark: SparkSession, tablePath: String,
+      version: Long, conf: WriteConf): Unit =
+    if (version > 0 && version % conf.checkpointInterval == 0) {
+      try {
+        if (conf.v2Checkpoints) checkpointV2(spark, tablePath)
+        else checkpoint(spark, tablePath)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] auto-checkpoint of $tablePath at " +
+            s"v$version failed (the commit itself is unaffected): $e")
+      }
+    }
 
   /** Write a classic single-file checkpoint at the current version and
     * update `_last_checkpoint`.

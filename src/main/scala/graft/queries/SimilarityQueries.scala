@@ -50,6 +50,15 @@ object SimilarityQueries {
   final val EmbedBandBits = 8
   final val EmbedBucketMax = 1000
 
+  /** SemDeDup (`q_semdedup`) knobs: within-cluster near-dup threshold
+    * (fixture-calibrated so ~15-20% of vectors dedup away — the
+    * fixture's cosine ceiling is ~0.5, so production's ~0.95 would
+    * mark nothing; the LOW absolute value is a property of the random
+    * fixture, not of the operator) and the hot-cluster guard on the
+    * pairwise stage. */
+  final val SemTau = 0.35
+  final val SemClusterMax = 1000
+
   /** Band `bnd`'s key: integer from the sign bits of its 8 dims. */
   private def embedBandKey(bnd: Int): Column =
     (0 until EmbedBandBits).map(i =>
@@ -246,6 +255,64 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id
          |LIMIT 20""".stripMargin) { (s, dir) =>
       annIvf(s, dir, probeId = 0, k = 20, nprobe = 8)
+    },
+
+    // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
+    // k-means-cluster the embedding space, then mark near-duplicates
+    // ONLY within each cluster — pairwise cosine cost drops from O(n²)
+    // to sum of per-cluster sizes², and clusters dedup in parallel.
+    // Reuses the materialized IVF index (same k-means assignment the
+    // ANN path probes), so the cluster pass is a partition-local
+    // self-join on cid. Deterministic keep rule: a vector is a dup if
+    // some LOWER vec_id in its cluster has cosine >= SemTau with it
+    // (the paper keeps one representative per similarity group; lowest
+    // id is the reproducible choice). Clusters larger than
+    // SemClusterMax opt out of pairwise marking (declared in the
+    // oracle SQL — the same hot-key guard as the LSH bucket caps: one
+    // degenerate cluster must not own n² of the work; at 100 TB
+    // oversized clusters would be re-split by another k-means pass).
+    // The threshold matches the fixture's calibrated near-dup level
+    // (see EmbedBands note); production would run ~0.95.
+    Q("q_semdedup",
+      s"""WITH idx AS (
+         |  SELECT CAST(cid AS BIGINT) AS cid, vec_id, label, embedding
+         |  FROM read_parquet('$IvfOracleAlias/*/*.parquet',
+         |         hive_partitioning=true)
+         |), sz AS (
+         |  SELECT cid, count(*) AS n FROM idx GROUP BY cid
+         |), small AS (
+         |  SELECT idx.* FROM idx JOIN sz USING (cid)
+         |  WHERE sz.n <= $SemClusterMax
+         |), dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM small a JOIN small b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a.embedding", "b.embedding")}) /
+         |    (${normSql("a.embedding")} * ${normSql("b.embedding")})
+         |    >= $SemTau
+         |)
+         |SELECT i.vec_id, i.label, i.cid,
+         |  (d.vec_id IS NOT NULL) AS is_dup
+         |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
+         |ORDER BY i.vec_id""".stripMargin) { (s, dir) =>
+      val index = s.read.parquet(ivfIndexPath(s, dir))
+        .select(col("cid").cast(LongType).as("cid"),
+          col("vec_id"), col("label"), col("embedding"))
+      val sizes = index.groupBy("cid").agg(count(lit(1)).as("n"))
+      val small = index.join(sizes.where(col("n") <= SemClusterMax), "cid")
+      val a = small.select(col("cid"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = small.select(col("cid"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dups = a.join(b, "cid")
+        .where(col("vec_a") < col("vec_b"))
+        .where(dot(col("ea"), col("eb")) /
+          (norm(col("ea")) * norm(col("eb"))) >= SemTau)
+        .select(col("vec_b").as("vec_id")).distinct()
+      index.join(dups.withColumn("d", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("cid"),
+          coalesce(col("d"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
     })
 
   /** Stable alias the static oracle SQL reads: a symlink refreshed by

@@ -1222,6 +1222,79 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // LM-likelihood quality scoring (corpus-prep): the CCNet/RefinedWeb
+    // perplexity-filter stage re-expressed integer-exact. A bigram
+    // language model trained on the corpus itself scores each document
+    // by how well its word transitions match corpus statistics —
+    // low-scoring docs are the incoherent/garbled tail a perplexity
+    // filter drops. Instead of sum-of-log-probs (libm log differs in
+    // the last ulp across engines, which a hash oracle cannot absorb),
+    // the score is the ratio of two exact integer sums over the doc's
+    // bigrams with add-one smoothing:
+    //   lm_score = sum(c2 + 1) / sum(c1 + V)
+    // (c2 = corpus bigram count, c1 = corpus context count, V = vocab
+    // size) — same corpus-fit ordering signal, one double division at
+    // the end. `novel_bigrams` counts transitions seen in no other
+    // document (the strongest garble/uniqueness indicator). Plans:
+    // two explodes, two count aggregations keyed on tokens (Zipf-hot
+    // keys are COUNT joins, bounded by data volume — not pair
+    // explosions; AQE splits residual skew), a broadcast scalar for V,
+    // one join-back + per-doc aggregation. Linear at any corpus size.
+    Q("q_lm_score",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), b AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM d, unnest(range(1, len(ts))) AS t(i)
+        |  WHERE len(ts) >= 2
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2, count(DISTINCT doc_id) AS ddf
+        |  FROM b GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+        |), v AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |)
+        |SELECT b.doc_id,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(c2.c2 + 1) AS BIGINT) AS num,
+        |  CAST(sum(c1.c1 + v.v) AS BIGINT) AS den,
+        |  CAST(sum(c2.c2 + 1) AS DOUBLE) /
+        |    CAST(sum(c1.c1 + v.v) AS DOUBLE) AS lm_score,
+        |  CAST(sum(CASE WHEN c2.ddf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_bigrams
+        |FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+      // sequence(0, size-2) would run DESCENDING for a 1-token doc
+      // (Spark defaults step to -1 when start > stop) — guard first
+      val bigr = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bigr.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2"), countDistinct(col("doc_id")).as("ddf"))
+      val c1 = bigr.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bigr.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c2") + 1).as("num"),
+          sum(col("c1") + col("v")).as("den"),
+          (sum(col("c2") + 1).cast(DoubleType) /
+            sum(col("c1") + col("v")).cast(DoubleType)).as("lm_score"),
+          sum(when(col("ddf") === 1, 1L).otherwise(0L)).as("novel_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // markup/boilerplate stripping (corpus-prep): remove script/style
     // blocks (content included), comments, then tags, then collapse
     // whitespace — the order matters (script bodies may contain '<').

@@ -48,4 +48,39 @@ class SimilaritySpec extends AnyFunSuite {
     // a strict subset of the corpus
     assert(ann.length < 499, s"ANN scanned ${ann.length} of 499 vectors")
   }
+
+  test("semdedup marks a real subset and keep-rule is lowest-id") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val n = out.length
+    val dups = out.count(_._3)
+    assert(dups > 0 && dups < n, s"degenerate dedup: $dups of $n marked")
+    // the lowest vec_id of every cluster can never be marked: no lower
+    // id exists in its cluster to dominate it
+    val clusterMin = out.groupBy(_._2).map { case (_, vs) =>
+      vs.minBy(_._1) }
+    assert(clusterMin.forall(!_._3),
+      "a cluster's lowest vec_id was marked as a duplicate")
+    // every marked dup must have a qualifying LOWER-id neighbor in its
+    // own cluster (spot-check the dup set against a direct recompute)
+    val index = spark.read.parquet(
+      SimilarityQueries.ivfIndexPath(spark, sf))
+    val a = index.select(col("cid"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = index.select(col("cid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val dotc = graft.functions.VectorExpressions
+      .vectorDot(col("ea"), col("eb"))
+    val na = sqrt(graft.functions.VectorExpressions
+      .vectorDot(col("ea"), col("ea")))
+    val nb = sqrt(graft.functions.VectorExpressions
+      .vectorDot(col("eb"), col("eb")))
+    val recomputed = a.join(b, "cid").where(col("va") < col("vb"))
+      .where(dotc / (na * nb) >= SimilarityQueries.SemTau)
+      .select(col("vb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._3).map(_._1).toSet == recomputed,
+      "dup set diverges from direct within-cluster recompute")
+  }
 }

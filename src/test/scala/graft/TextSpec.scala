@@ -99,4 +99,25 @@ class TextSpec extends AnyFunSuite {
     val big = Seq.fill(300)("hot" -> 0) ++ Seq("z" -> 1, "z" -> 2)
     assert(run(big, 3) == Seq("z" -> Seq(1, 2)))
   }
+
+  test("lm_score invariants: exact ratio, bounds, novelty cap") {
+    val out = SparkEntry.queries("q_lm_score")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, num, den, score, novel) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))
+      // the score IS the one division of the two integer sums — no
+      // hidden float accumulation to drift
+      assert(score == num.toDouble / den.toDouble)
+      // add-one smoothing floors: every bigram contributes >= 2 to num
+      // (its own occurrence + 1) and a positive context to den
+      assert(num >= 2 * n && den > num, s"bounds violated: $r")
+      assert(score > 0.0 && score < 1.0)
+      assert(novel >= 0 && novel <= n)
+    }
+    // the corpus-level novelty signal exists but is rare in the
+    // word-soup fixture (shared small vocabulary)
+    val totalNovel = out.map(_.getLong(5)).sum
+    assert(totalNovel < out.map(_.getLong(1)).sum / 10)
+  }
 }

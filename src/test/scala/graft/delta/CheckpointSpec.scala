@@ -299,4 +299,58 @@ class CheckpointSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 1,
       "stale cached file list served for a recreated table")
   }
+
+  test("auto-checkpoint fires every delta.checkpointInterval commits") {
+    val p = tmp("autocp")
+    CommitWriter.createTable(spark, region.limit(1), p,
+      configuration = Map(CommitWriter.CheckpointIntervalPropKey -> "3"))
+    CommitWriter.append(spark, region.limit(1), p) // v1
+    CommitWriter.append(spark, region.limit(1), p) // v2
+    assert(LogSegment.forTable(spark, new Path(p))
+      .checkpointVersion.isEmpty, "checkpointed before the interval")
+    CommitWriter.append(spark, region.limit(1), p) // v3 -> auto
+    val seg = LogSegment.forTable(spark, new Path(p))
+    assert(seg.checkpointVersion.contains(3L),
+      "no auto checkpoint at the configured interval")
+    assert(DeltaTable.forPath(spark, p).read.count() == 4)
+    // next lap: v4, v5 plain; v6 checkpoints again
+    CommitWriter.append(spark, region.limit(1), p) // v4
+    CommitWriter.append(spark, region.limit(1), p) // v5
+    assert(LogSegment.forTable(spark, new Path(p))
+      .checkpointVersion.contains(3L))
+    CommitWriter.append(spark, region.limit(1), p) // v6 -> auto
+    assert(LogSegment.forTable(spark, new Path(p))
+      .checkpointVersion.contains(6L))
+    assert(DeltaTable.forPath(spark, p).read.count() == 7)
+  }
+
+  test("auto-checkpoint on a v2Checkpoint table writes sidecar format") {
+    val p = tmp("autocp_v2")
+    CommitWriter.createTable(spark, region.limit(1), p,
+      configuration = Map(CommitWriter.CheckpointIntervalPropKey -> "2"))
+    val proto = Actions.Protocol(3, 7,
+      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))
+    CommitWriter.commit(spark, p, 1L,
+      Seq(CommitWriter.protocolJson(proto)), "UPGRADE PROTOCOL") // v1
+    CommitWriter.append(spark, region.limit(1), p) // v2 -> auto v2 cp
+    val seg = LogSegment.forTable(spark, new Path(p))
+    assert(seg.checkpointVersion.contains(2L),
+      "no auto checkpoint on the v2 table")
+    assert(seg.checkpointIsV2,
+      "auto checkpoint on a v2Checkpoint table must be sidecar format")
+    assert(DeltaTable.forPath(spark, p).read.count() == 2)
+  }
+
+  test("interval property flipped mid-life takes effect from that commit") {
+    val p = tmp("autocp_flip")
+    CommitWriter.createTable(spark, region.limit(1), p) // default 10
+    val meta = DeltaTable.forPath(spark, p).metadata
+    CommitWriter.commitMetadata(spark, p, meta.copy(configuration =
+      meta.configuration + (CommitWriter.CheckpointIntervalPropKey -> "2")))
+    // that metadata commit is v1; v2 is the first on-interval commit
+    CommitWriter.append(spark, region.limit(1), p) // v2 -> auto
+    assert(LogSegment.forTable(spark, new Path(p))
+      .checkpointVersion.contains(2L),
+      "mid-life interval change not honored")
+  }
 }
