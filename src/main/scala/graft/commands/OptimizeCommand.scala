@@ -118,6 +118,18 @@ object OptimizeCommand {
       "OPTIMIZE on a row-tracked table is not supported: compaction " +
         "moves rows, which would reassign their fresh ids (materialized " +
         "row ids are not implemented)")
+    // clustered table (liquid clustering): the layout policy is table
+    // metadata — a bare OPTIMIZE re-clusters by the recorded columns.
+    // An explicit ZORDER BY on a clustered table is refused (two
+    // competing layout policies would silently fight each other run
+    // over run).
+    val clusterCols =
+      graft.delta.log.Clustering.columnsOf(spark, snap.segment)
+    require(zorderBy.isEmpty || clusterCols.isEmpty,
+      s"table is clustered by ${clusterCols.mkString("(", ", ", ")")}: " +
+        "OPTIMIZE re-clusters by those columns — drop the ZORDER BY " +
+        "clause (changing the clustering key is a table-level operation)")
+    val effZorder = if (zorderBy.nonEmpty) zorderBy else clusterCols
     val partCols = snap.partitionColumns
 
     // Qualification: a z-order request rewrites every nonempty partition
@@ -153,7 +165,7 @@ object OptimizeCommand {
           val n = first(lit(1L)).as("__one")
           val ok = inv.agg(small, n).head()
           val qualifies =
-            if (zorderBy.nonEmpty) !ok.isNullAt(1)
+            if (effZorder.nonEmpty) !ok.isNullAt(1)
             else !ok.isNullAt(0) && ok.getLong(0) >= minFiles
           if (qualifies) inv.collect() else Array.empty[Row]
         } else {
@@ -168,7 +180,7 @@ object OptimizeCommand {
           val qual = keyed.groupBy(keyNames.map(col): _*)
             .agg(sum(when(col("size") < targetFileSize, 1L).otherwise(0L))
               .as("__small"))
-            .where(if (zorderBy.nonEmpty) lit(true)
+            .where(if (effZorder.nonEmpty) lit(true)
                    else col("__small") >= minFiles)
             .select(keyNames.zipWithIndex.map { case (k, i) =>
               col(k).as(s"__q_$i") }: _*)
@@ -194,7 +206,7 @@ object OptimizeCommand {
     // to qualifying partition values via an OR-of-AND predicate (exact
     // partition pruning).
     val base =
-      if (partCols.isEmpty || (zorderBy.nonEmpty && where.isEmpty)) snap.read
+      if (partCols.isEmpty || (effZorder.nonEmpty && where.isEmpty)) snap.read
       else {
         val pred = partitions.map { pv =>
           partCols.map { c =>
@@ -213,13 +225,13 @@ object OptimizeCommand {
     // shuffle at all; Z-order range-partitions on (partCols, z) so each
     // task holds a contiguous cluster range of one partition.
     val rewritten =
-      if (zorderBy.isEmpty) base.coalesce(chunks)
+      if (effZorder.isEmpty) base.coalesce(chunks)
       else {
         val keys = partCols.map(col) :+ col("__z")
-        zorderValue(base, zorderBy)
+        zorderValue(base, effZorder)
           .repartitionByRange(chunks, keys: _*)
           .sortWithinPartitions(keys: _*)
-          .drop(zorderHelperCols(zorderBy): _*)
+          .drop(zorderHelperCols(effZorder): _*)
       }
     val adds = CommitWriter.writeFiles(spark, rewritten,
       tablePath, partCols, dataChange = false)

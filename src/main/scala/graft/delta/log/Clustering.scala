@@ -1,0 +1,63 @@
+package graft.delta.log
+
+import org.apache.spark.sql.SparkSession
+
+/** Clustered tables — the Delta `clustering` writer feature (liquid
+  * clustering's protocol surface, delta-io PROTOCOL.md "Clustered
+  * Table"): the table's clustering columns live in the
+  * `delta.clustering` metadata domain, and OPTIMIZE reads them to
+  * re-cluster WITHOUT the caller naming columns — the layout policy is
+  * table metadata, not a per-job argument, which is what lets a fleet
+  * of maintenance jobs keep thousands of tables clustered uniformly.
+  * Per the spec the feature is writer-only: clustering is advisory
+  * layout (data-skipping quality), never a correctness contract, so
+  * legacy readers keep working untouched.
+  *
+  * At 100 TB the payoff is the same as Z-ORDER's: multi-column
+  * locality turns min/max file stats into an effective multi-dimension
+  * index, and OPTIMIZE-driven re-clustering keeps that property as
+  * ingest appends unclustered files. The domain rides the normal
+  * domainMetadata machinery (latest-per-domain replay, checkpoint
+  * survival) that row tracking already exercises.
+  */
+object Clustering {
+  final val Feature = "clustering"
+  final val Domain = "delta.clustering"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The clustering-domain action: configuration is
+    * `{"clusteringColumns":[["c1"],["c2"]]}` — each inner array a
+    * multi-part column path per the spec (single-part only here:
+    * clustered tables are unmapped and cluster on top-level columns). */
+  def domainJson(cols: Seq[String]): String = {
+    val conf = mapper.createObjectNode()
+    val arr = conf.putArray("clusteringColumns")
+    cols.foreach(c => arr.addArray().add(c))
+    CommitWriter.domainMetadataJson(
+      Actions.DomainMetadata(Domain, conf.toString, removed = false))
+  }
+
+  /** Clustering columns recorded for this table (empty when the table
+    * is not clustered). */
+  def columnsOf(spark: SparkSession, segment: LogSegment): Seq[String] =
+    Replay.domainMetadataFor(spark, segment, Domain).toSeq.flatMap { d =>
+      val node = mapper.readTree(d.configuration)
+      Option(node.get("clusteringColumns")).toSeq.flatMap { cc =>
+        (0 until cc.size()).map { i =>
+          val path = cc.get(i)
+          (0 until path.size()).map(j => path.get(j).asText())
+            .mkString(".")
+        }
+      }
+    }
+
+  /** The protocol a clustered table must declare: `clustering` plus its
+    * `domainMetadata` dependency (None = already declared). */
+  def requiredProtocol(p: Actions.Protocol): Option[Actions.Protocol] = {
+    val step = ProtocolSupport.withWriterFeature(p, "domainMetadata")
+    val fin = ProtocolSupport.withWriterFeature(
+      step.getOrElse(p), Feature)
+    fin.orElse(step)
+  }
+}

@@ -40,7 +40,20 @@ object CommitWriter {
   def createTable(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionColumns: Seq[String] = Seq.empty,
       configuration: Map[String, String] = Map.empty,
-      name: Option[String] = None): Metadata = {
+      name: Option[String] = None,
+      clusterBy: Seq[String] = Seq.empty): Metadata = {
+    if (clusterBy.nonEmpty) {
+      require(partitionColumns.isEmpty,
+        "CLUSTER BY and PARTITIONED BY are mutually exclusive (a " +
+          "clustered table's layout is managed by OPTIMIZE, not by " +
+          "directory partitioning)")
+      require(clusterBy.size <= 4,
+        s"CLUSTER BY supports up to 4 columns, got ${clusterBy.size}")
+      val have = df.schema.fieldNames.map(_.toLowerCase).toSet
+      val missing = clusterBy.filterNot(c => have(c.toLowerCase))
+      require(missing.isEmpty,
+        s"CLUSTER BY column(s) not in the schema: ${missing.mkString(", ")}")
+    }
     val meta = Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
@@ -74,9 +87,17 @@ object CommitWriter {
         proto = ProtocolSupport.withRowTracking(proto).getOrElse(proto)
         (rawAdds, Seq.empty[String])
       } else (rawAdds, Seq.empty[String])
+    // a clustered table declares its feature + columns from version 0,
+    // so the first OPTIMIZE already knows the layout policy
+    val clusterActions =
+      if (clusterBy.isEmpty) Seq.empty[String]
+      else {
+        proto = Clustering.requiredProtocol(proto).getOrElse(proto)
+        Seq(Clustering.domainJson(clusterBy))
+      }
     commit(spark, tablePath, 0L,
       Seq(protocolJson(proto), metadataJson(meta)) ++ domainActions ++
-        adds.map(addJson),
+        clusterActions ++ adds.map(addJson),
       operation = "CREATE TABLE AS SELECT")
     meta
   }
@@ -135,6 +156,47 @@ object CommitWriter {
       bySource.getOrElse(n, n)): _*)
   }
 
+  /** Schema evolution on write (delta-spark's `mergeSchema=true`):
+    * net-new columns in the incoming frame — top-level or nested
+    * struct fields — are APPENDED to the table schema, nullable, and
+    * the evolved metadata rides the SAME commit as the data, so old
+    * files simply impute null for the new fields on read. Type
+    * conflicts on shared columns still reject (type WIDENING remains
+    * an explicit ALTER — silent widening under a flag is how mixed
+    * pipelines corrupt each other). Column-mapped tables refuse: new
+    * fields need physical-name/field-id allocation, which ALTER TABLE
+    * ADD COLUMN owns. Returns the evolved metadata, or None when the
+    * incoming schema adds nothing. */
+  private def mergedWriteSchema(meta: Metadata, incoming: StructType,
+      op: String): Option[Metadata] = {
+    def mergeStruct(table: StructType, in: StructType): StructType = {
+      val byName = table.fields.map(f => f.name.toLowerCase -> f).toMap
+      val kept = table.fields.map { tf =>
+        in.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+          case Some(inF) => (tf.dataType, inF.dataType) match {
+            case (t: StructType, i: StructType) =>
+              tf.copy(dataType = mergeStruct(t, i))
+            case _ => tf
+          }
+          case None => tf
+        }
+      }
+      val fresh = in.fields
+        .filterNot(f => byName.contains(f.name.toLowerCase))
+        .map(f => f.copy(nullable = true))
+      StructType(kept ++ fresh)
+    }
+    val evolved = mergeStruct(meta.dataSchema, incoming)
+    if (evolved == meta.dataSchema) None
+    else {
+      require(graft.delta.scan.ColumnMapping.mode(meta) == "none",
+        s"$op with mergeSchema on a column-mapped table: new columns " +
+          "need physical-name/field-id allocation — use ALTER TABLE " +
+          "ADD COLUMN")
+      Some(meta.copy(schemaString = evolved.json))
+    }
+  }
+
   /** Write-schema enforcement for appends/overwrites into an existing
     * table: unknown columns and type conflicts are rejected up front —
     * without this, a typo'd or wrongly-typed column lands silently in
@@ -153,7 +215,8 @@ object CommitWriter {
     require(extra.isEmpty,
       s"$op: column(s) ${extra.map(_.name).mkString(", ")} do not exist " +
         s"in the table schema ${table.fieldNames.mkString("(", ", ", ")")}; " +
-        "evolve the schema first (commitMetadata / ALTER TABLE ADD COLUMN)")
+        "evolve the schema first (ALTER TABLE ADD COLUMN / commitMetadata) " +
+        "or opt in with mergeSchema=true")
     val mismatched = df.schema.fields.flatMap { f =>
       byName.get(f.name.toLowerCase)
         .filterNot(tf => org.apache.spark.sql.graftshim.Shims
@@ -227,10 +290,14 @@ object CommitWriter {
     * (protocol/metadata — the conflict-checker rules). Data files are
     * written once; only the commit retries. */
   def append(spark: SparkSession, df: DataFrame, tablePath: String,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, mergeSchema: Boolean = false): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
-    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
-    ProtocolSupport.assertWritable(tablePath, meta, proto)
+    val (meta0, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta0, proto)
+    val evolvedMeta =
+      if (mergeSchema) mergedWriteSchema(meta0, df.schema, "append")
+      else None
+    val meta = evolvedMeta.getOrElse(meta0)
     val completed = GeneratedColumns.complete(
       IdentityColumns.assign(df, meta), meta)
     validateWriteSchema(completed, meta, "append")
@@ -238,9 +305,12 @@ object CommitWriter {
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
       meta.partitionColumns)
     // identity appends carry the advanced high-water mark in the SAME
-    // commit as the adds
-    val metaUpdate = IdentityColumns.advance(meta, adds)
-    if (metaUpdate.isDefined) {
+    // commit as the adds; schema evolution rides the same metadata
+    // action (advance starts from the already-evolved metadata, so one
+    // action carries both)
+    val identityUpdate = IdentityColumns.advance(meta, adds)
+    val metaUpdate = identityUpdate.orElse(evolvedMeta)
+    if (identityUpdate.isDefined) {
       // a lost race is NOT retryable when this commit allocated identity
       // values: the winner may have allocated from the same high-water
       // mark, so these baked-in values could collide — the caller must
@@ -267,10 +337,15 @@ object CommitWriter {
               "re-allocated from the advanced high-water mark)", e)
       }
     } else if (RowTracking.enabled(meta) && adds.nonEmpty)
-      appendRowTracked(spark, tablePath, segment, adds, maxRetries)
+      appendRowTracked(spark, tablePath, segment, adds, maxRetries,
+        prefixActions = evolvedMeta.map(metadataJson).toSeq)
     else
+      // schema evolution without identity stays rebase-safe: the SAME
+      // evolved metadata re-commits at the new tip, and a winner's own
+      // metadata/protocol change conflicts via the checker
       commitWithRebase(spark, tablePath, segment.version,
-        adds.map(addJson), operation = "WRITE",
+        evolvedMeta.map(metadataJson).toSeq ++ adds.map(addJson),
+        operation = "WRITE",
         profile = ConflictChecker.TxnProfile(), maxRetries = maxRetries)
   }
 
@@ -281,7 +356,8 @@ object CommitWriter {
     * Two racing row-tracked appends therefore both land with disjoint
     * id ranges; only a contract change (protocol/metadata) conflicts. */
   private def appendRowTracked(spark: SparkSession, tablePath: String,
-      startSegment: LogSegment, adds: Seq[AddFile], maxRetries: Int): Long = {
+      startSegment: LogSegment, adds: Seq[AddFile], maxRetries: Int,
+      prefixActions: Seq[String] = Seq.empty): Long = {
     var seg = startSegment
     var attempts = 0
     while (true) {
@@ -289,7 +365,8 @@ object CommitWriter {
       val hwm = RowTracking.highWaterMark(spark, seg)
       val (stamped, domain) = RowTracking.stamp(adds, hwm, v)
       try {
-        commit(spark, tablePath, v, domain +: stamped.map(addJson),
+        commit(spark, tablePath, v,
+          prefixActions ++ (domain +: stamped.map(addJson)),
           operation = "WRITE")
         return v
       } catch {
@@ -384,22 +461,29 @@ object CommitWriter {
     * overwrite-vs-any-data-change is a REAL semantic conflict surfaced
     * as a typed exception; only content-neutral winners (e.g. a pure
     * SetTransaction heartbeat) permit a rebase. */
-  def overwrite(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+  def overwrite(spark: SparkSession, df: DataFrame, tablePath: String,
+      mergeSchema: Boolean = false): Long = {
     val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
     ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol,
       dataChangingRemoves = true)
     val oldPaths = snap.allFiles.select("path")
       .collect().map(_.getString(0)).toSeq
+    val evolvedMeta =
+      if (mergeSchema) mergedWriteSchema(snap.metadata, df.schema,
+        "overwrite")
+      else None
+    val effMeta = evolvedMeta.getOrElse(snap.metadata)
     val completed = GeneratedColumns.complete(
-      IdentityColumns.assign(df, snap.metadata), snap.metadata)
-    validateWriteSchema(completed, snap.metadata, "overwrite")
+      IdentityColumns.assign(df, effMeta), effMeta)
+    validateWriteSchema(completed, effMeta, "overwrite")
     val adds = writeFiles(spark,
-      toPhysicalNames(Constraints.enforce(completed, snap.metadata),
-        snap.metadata),
-      tablePath, snap.metadata.partitionColumns)
+      toPhysicalNames(Constraints.enforce(completed, effMeta), effMeta),
+      tablePath, effMeta.partitionColumns)
     // identity high-water marks survive an overwrite (values stay
-    // monotonic across the table's whole history, per spec)
-    val metaUpdate = IdentityColumns.advance(snap.metadata, adds)
+    // monotonic across the table's whole history, per spec); schema
+    // evolution rides the same metadata action
+    val identityUpdate = IdentityColumns.advance(effMeta, adds)
+    val metaUpdate = identityUpdate.orElse(evolvedMeta)
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>
       removeJson(RemoveFile(p, Some(now), dataChange = true)))
@@ -419,8 +503,9 @@ object CommitWriter {
       }
       metaUpdate.map(metadataJson).toSeq ++ removes ++ addActions
     }
-    if (metaUpdate.isDefined) {
-      // identity allocation is not retryable (see append)
+    if (identityUpdate.isDefined) {
+      // identity allocation is not retryable (see append); schema
+      // evolution alone stays on the rebase path below
       commit(spark, tablePath, snap.version + 1,
         actionsFor(snap.version + 1), operation = "WRITE")
       snap.version + 1

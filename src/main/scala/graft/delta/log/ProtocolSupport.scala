@@ -58,7 +58,11 @@ object ProtocolSupport {
     "rowTracking",
     // named metadata domains: replayed (latest per domain), preserved
     // through checkpoints, written by row tracking
-    "domainMetadata")
+    "domainMetadata",
+    // clustered tables: clustering columns in the delta.clustering
+    // domain; OPTIMIZE re-clusters by them (Clustering). Writer-only
+    // and advisory per spec — no read-side obligation
+    "clustering")
 
   /** The protocol a table needs before row tracking may be written:
     * `rowTracking` plus its `domainMetadata` dependency. `None` when

@@ -160,15 +160,26 @@ class GraftDeltaSource extends RelationProvider
             "columnMapping=name supports unpartitioned tables only")
           graft.delta.log.CommitWriter.createTableMapped(spark, data, path)
         } else graft.delta.log.CommitWriter.createTable(spark, data, path,
-          partitionColumns = partitionCols)
+          partitionColumns = partitionCols,
+          clusterBy = parameters.get("clusterBy")
+            .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
       case (SaveMode.Append, Some(_)) =>
-        graft.delta.log.CommitWriter.append(spark, data, path)
+        graft.delta.log.CommitWriter.append(spark, data, path,
+          mergeSchema = mergeSchemaOpt(parameters))
       case (SaveMode.Overwrite, Some(_)) =>
-        graft.delta.log.CommitWriter.overwrite(spark, data, path)
+        graft.delta.log.CommitWriter.overwrite(spark, data, path,
+          mergeSchema = mergeSchemaOpt(parameters))
       case _ => ()
     }
     GraftDeltaRelation(spark, path, None)
   }
+
+  /** `.option("mergeSchema", "true")` — the ecosystem-standard opt-in
+    * for write-time schema evolution ([[CommitWriter.mergedWriteSchema]]
+    * semantics: net-new columns append nullable, type conflicts still
+    * reject). */
+  private def mergeSchemaOpt(parameters: Map[String, String]): Boolean =
+    parameters.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
 }
 
 object GraftDeltaSource {

@@ -61,19 +61,19 @@ class ProtocolSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).read.count() == region.count())
   }
 
-  test("writes refuse unknown writer features (clustering)") {
+  test("writes refuse unknown writer features (icebergCompatV2)") {
     val path = tmpTable("proto_write")
     CommitWriter.createTable(spark, region, path)
     // reader side stays legacy-readable; only the WRITER features are
     // beyond this engine
     upgradeProtocol(path, Protocol(1, 7, None,
-      Some(Seq("appendOnly", "clustering"))))
+      Some(Seq("appendOnly", "icebergCompatV2"))))
     assert(DeltaTable.forPath(spark, path).read.count() == region.count(),
       "reads must still work when only writer features are unknown")
     val e = intercept[IllegalArgumentException] {
       CommitWriter.append(spark, region.limit(1), path)
     }
-    assert(e.getMessage.contains("clustering"))
+    assert(e.getMessage.contains("icebergCompatV2"))
     // the whole write surface shares the gate
     intercept[IllegalArgumentException] {
       graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
@@ -176,12 +176,12 @@ class ProtocolSpec extends AnyFunSuite {
     val path = tmpTable("proto_meta_commit")
     CommitWriter.createTable(spark, region, path)
     upgradeProtocol(path, Protocol(1, 7, None,
-      Some(Seq("appendOnly", "clustering"))))
+      Some(Seq("appendOnly", "icebergCompatV2"))))
     val e = intercept[IllegalArgumentException] {
       new graft.GraftSession(spark).sql(
         s"ALTER TABLE '$path' SET TBLPROPERTIES ('team' = 'ml')")
     }
-    assert(e.getMessage.contains("clustering"))
+    assert(e.getMessage.contains("icebergCompatV2"))
   }
 
   test("invariants on NESTED fields are enforced") {

@@ -54,4 +54,72 @@ class WriterSourceSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/orders.parquet")
         .filter(col("o_orderstatus") === "F").count())
   }
+
+  test("mergeSchema append evolves the schema in the same commit") {
+    val p = tmp("ms")
+    region.select(col("r_regionkey"), col("r_name")).write
+      .format("graftdelta").save(p)
+    val widened = region
+      .select(col("r_regionkey"), col("r_name"),
+        (col("r_regionkey") * 10).as("score"))
+    // without the opt-in: rejected up front
+    val err = intercept[IllegalArgumentException] {
+      widened.write.format("graftdelta").mode("append").save(p)
+    }
+    assert(err.getMessage.contains("mergeSchema"))
+    widened.write.format("graftdelta").mode("append")
+      .option("mergeSchema", "true").save(p)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.version == 1, "evolution must ride the data commit")
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name", "score"))
+    val out = snap.read
+    assert(out.count() == region.count() * 2)
+    // pre-evolution files impute null for the new column
+    assert(out.where(col("score").isNull).count() == region.count())
+    assert(out.where(col("score") === col("r_regionkey") * 10).count() ==
+      region.count())
+  }
+
+  test("mergeSchema merges nested struct fields and keeps type safety") {
+    val p = tmp("msn")
+    val base = region.select(col("r_regionkey"),
+      struct(col("r_name").as("name")).as("info"))
+    base.write.format("graftdelta").save(p)
+    val evolved = region.select(col("r_regionkey"),
+      struct(col("r_name").as("name"),
+        length(col("r_name")).as("clen")).as("info"))
+    evolved.write.format("graftdelta").mode("append")
+      .option("mergeSchema", "true").save(p)
+    val snap = DeltaTable.forPath(spark, p)
+    val info = snap.schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(info.fieldNames.toSeq == Seq("name", "clen"))
+    assert(snap.read.where(col("info.clen").isNull).count() ==
+      region.count())
+    // a type CONFLICT on a shared column still rejects even with the flag
+    val conflicted = region.select(col("r_regionkey").cast("string"),
+      struct(col("r_name").as("name")).as("info"))
+    val err = intercept[IllegalArgumentException] {
+      conflicted.write.format("graftdelta").mode("append")
+        .option("mergeSchema", "true").save(p)
+    }
+    assert(err.getMessage.contains("incompatible column type"))
+  }
+
+  test("mergeSchema overwrite replaces data but keeps old columns") {
+    val p = tmp("mso")
+    region.select(col("r_regionkey"), col("r_name")).write
+      .format("graftdelta").save(p)
+    region.select(col("r_regionkey"), lit("x").as("tag")).write
+      .format("graftdelta").mode("overwrite")
+      .option("mergeSchema", "true").save(p)
+    val snap = DeltaTable.forPath(spark, p)
+    // delta-spark mergeSchema-on-overwrite UNIONS schemas (overwriteSchema
+    // is the separate replace-wholesale knob): r_name stays, all null now
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name", "tag"))
+    assert(snap.read.where(col("r_name").isNotNull).count() == 0)
+    assert(snap.read.where(col("tag") === "x").count() == region.count())
+  }
 }
