@@ -133,6 +133,38 @@ final class GraftSession(val spark: SparkSession) {
           configuration = snap.metadata.configuration +
             ("delta.columnMapping.maxColumnId" -> preDropMax.toString)))
       alterMetrics(s"dropped $name", v)
+    case ClusterByStatement(table, cols) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      import graft.delta.log.{Clustering, CommitWriter}
+      if (cols.isEmpty) {
+        // CLUSTER BY NONE: drop the layout policy (domain tombstone);
+        // the declared feature stays — it never obligated readers
+        require(Clustering.columnsOf(spark, snap.segment).nonEmpty,
+          s"$path is not a clustered table")
+        val v = CommitWriter.commitMetadata(spark, path, snap.metadata,
+          extraActions = Seq(Clustering.removalJson))
+        alterMetrics("cluster by none", v)
+      } else {
+        require(snap.partitionColumns.isEmpty,
+          "CLUSTER BY on a partitioned table is not allowed (clustering " +
+            "and directory partitioning are competing layout policies)")
+        require(cols.size <= 4,
+          s"CLUSTER BY supports up to 4 columns, got ${cols.size}")
+        val have = snap.schema.fieldNames.map(_.toLowerCase).toSet
+        val missing = cols.filterNot(c => have(c.toLowerCase))
+        require(missing.isEmpty,
+          s"CLUSTER BY column(s) not in the schema: " +
+            missing.mkString(", "))
+        // takes effect from this commit; existing files re-cluster at
+        // the next OPTIMIZE (metadata-only — no data rewrite here)
+        val newProto = Clustering.requiredProtocol(snap.protocol)
+        val v = CommitWriter.commitMetadata(spark, path, snap.metadata,
+          extraActions =
+            newProto.map(CommitWriter.protocolJson).toSeq :+
+              Clustering.domainJson(cols))
+        alterMetrics(s"cluster by ${cols.mkString(", ")}", v)
+      }
     case AddConstraintStatement(table, name, exprSql) =>
       val path = resolveTablePath(table)
       val snap = graft.delta.DeltaTable.forPath(spark, path)

@@ -146,7 +146,8 @@ object DmlCommands {
       graft.delta.log.Constraints.enforce(
         graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
         snap.metadata),
-      tablePath, snap.partitionColumns)
+      tablePath, snap.partitionColumns,
+      configuration = snap.metadata.configuration)
     val cdcActions = if (!cdfOn) Seq.empty[String] else {
       val matched = DeltaScan.whereFileKeyIn(target, affected)
         .where(coalesce(condition, lit(false)))
@@ -331,7 +332,8 @@ object DmlCommands {
       graft.delta.log.Constraints.enforce(
         graft.delta.log.GeneratedColumns.recompute(updated, snap.metadata),
         snap.metadata),
-      tablePath, snap.partitionColumns)
+      tablePath, snap.partitionColumns,
+      configuration = snap.metadata.configuration)
 
     // CDC pre-images are the live rows matching the condition; the
     // post-images are exactly the row images written above

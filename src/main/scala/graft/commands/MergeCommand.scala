@@ -66,7 +66,8 @@ object MergeCommand {
             src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
             snap.metadata),
           snap.metadata),
-        tablePath, snap.partitionColumns)
+        tablePath, snap.partitionColumns,
+        configuration = snap.metadata.configuration)
       val (actions, masked, fullyRemoved, _) =
         DmlCommands.maskActions(written, info)
       val protoUpgrade = graft.delta.log.ProtocolSupport
@@ -137,7 +138,8 @@ object MergeCommand {
       graft.delta.log.Constraints.enforce(
         graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
         snap.metadata),
-      tablePath, snap.partitionColumns)
+      tablePath, snap.partitionColumns,
+      configuration = snap.metadata.configuration)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))

@@ -234,7 +234,8 @@ object OptimizeCommand {
           .drop(zorderHelperCols(effZorder): _*)
       }
     val adds = CommitWriter.writeFiles(spark, rewritten,
-      tablePath, partCols, dataChange = false)
+      tablePath, partCols, dataChange = false,
+      configuration = snap.metadata.configuration)
 
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]

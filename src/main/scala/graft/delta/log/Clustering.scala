@@ -38,6 +38,13 @@ object Clustering {
       Actions.DomainMetadata(Domain, conf.toString, removed = false))
   }
 
+  /** Domain removal tombstone (`ALTER TABLE ... CLUSTER BY NONE`): the
+    * table stops being clustered; the feature stays declared, which is
+    * harmless (it never obligated readers). */
+  def removalJson: String =
+    CommitWriter.domainMetadataJson(
+      Actions.DomainMetadata(Domain, "", removed = true))
+
   /** Clustering columns recorded for this table (empty when the table
     * is not clustered). */
   def columnsOf(spark: SparkSession, segment: LogSegment): Seq[String] =

@@ -61,7 +61,8 @@ object CommitWriter {
       partitionColumns = partitionColumns,
       configuration = configuration,
       createdTime = Some(System.currentTimeMillis()))
-    val rawAdds = writeFiles(spark, df, tablePath, partitionColumns)
+    val rawAdds = writeFiles(spark, df, tablePath, partitionColumns,
+      configuration = configuration)
     // a table born with a feature-gated property must declare the
     // feature from version 0 (a legacy reader would otherwise silently
     // resurrect DV-deleted rows; a legacy writer would skip ICTs)
@@ -135,7 +136,8 @@ object CommitWriter {
         "delta.columnMapping.mode" -> "name",
         "delta.columnMapping.maxColumnId" -> mappedFields.length.toString),
       createdTime = Some(System.currentTimeMillis()))
-    val adds = writeFiles(spark, physDf, tablePath, Seq.empty)
+    val adds = writeFiles(spark, physDf, tablePath, Seq.empty,
+      configuration = meta.configuration)
     commit(spark, tablePath, 0L,
       Seq(protocolJson(Protocol(2, 5)), metadataJson(meta)) ++
         adds.map(addJson),
@@ -303,7 +305,7 @@ object CommitWriter {
     validateWriteSchema(completed, meta, "append")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
-      meta.partitionColumns)
+      meta.partitionColumns, configuration = meta.configuration)
     // identity appends carry the advanced high-water mark in the SAME
     // commit as the adds; schema evolution rides the same metadata
     // action (advance starts from the already-evolved metadata, so one
@@ -401,7 +403,7 @@ object CommitWriter {
     validateWriteSchema(completed, meta, "appendIfAbsent")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
-      meta.partitionColumns)
+      meta.partitionColumns, configuration = meta.configuration)
     val identityUpdate = IdentityColumns.advance(meta, adds)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
@@ -478,7 +480,8 @@ object CommitWriter {
     validateWriteSchema(completed, effMeta, "overwrite")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, effMeta), effMeta),
-      tablePath, effMeta.partitionColumns)
+      tablePath, effMeta.partitionColumns,
+      configuration = effMeta.configuration)
     // identity high-water marks survive an overwrite (values stay
     // monotonic across the table's whole history, per spec); schema
     // evolution rides the same metadata action
@@ -1378,9 +1381,20 @@ object CommitWriter {
 
   /** Write `df` as parquet files under `tablePath` (hive-style dirs for
     * partition columns), returning the AddFile actions with stats. */
+  /** `delta.dataSkippingNumIndexedCols` (default 32, delta-spark
+    * parity): min/max/nullCount stats cover only the first N data
+    * columns in schema order (-1 = all). At 100 TB this is the knob
+    * that keeps a 500-column table's log from quintupling in size for
+    * stats nobody filters on — numRecords is always kept (metadata
+    * counts must not degrade), and absent stats mean "keep the file"
+    * in the skipping engine, so the cap is always safe. */
+  final val DataSkippingNumIndexedColsKey = "delta.dataSkippingNumIndexedCols"
+  final val DefaultDataSkippingNumIndexedCols = 32
+
   def writeFiles(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionColumns: Seq[String],
-      dataChange: Boolean = true): Seq[AddFile] = {
+      dataChange: Boolean = true,
+      configuration: Map[String, String] = Map.empty): Seq[AddFile] = {
     val table = new Path(tablePath)
     val fs = LogSegment.fs(spark, table)
     fs.mkdirs(table)
@@ -1397,7 +1411,13 @@ object CommitWriter {
       .filter(_.getPath.getName.endsWith(".parquet"))
     if (parts.isEmpty) { fs.delete(staging, true); return Seq.empty }
 
-    val dataCols = df.schema.fieldNames.filterNot(partitionColumns.contains)
+    val numIndexed = configuration.get(DataSkippingNumIndexedColsKey)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(DefaultDataSkippingNumIndexedCols)
+    val allDataCols =
+      df.schema.fieldNames.filterNot(partitionColumns.contains)
+    val dataCols =
+      if (numIndexed < 0) allDataCols else allDataCols.take(numIndexed)
     val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)
 
     // a part file absent from the stats pass has ZERO rows (the group-by

@@ -47,6 +47,9 @@ object GraftParser {
       name: String, exprSql: String) extends Statement
   final case class DropConstraintStatement(table: String,
       name: String) extends Statement
+  /** ALTER TABLE t CLUSTER BY (c1, ...) | CLUSTER BY NONE (empty cols). */
+  final case class ClusterByStatement(table: String,
+      cols: Seq[String]) extends Statement
   final case class SetTblPropertiesStatement(table: String,
       props: Seq[(String, String)]) extends Statement
   final case class UnsetTblPropertiesStatement(table: String,
@@ -324,12 +327,31 @@ object GraftParser {
         SetTblPropertiesStatement(table, parsePropList(rest.drop(2)))
       case (Some("UNSET"), Some("TBLPROPERTIES")) =>
         UnsetTblPropertiesStatement(table, parseKeyList(rest.drop(2)))
+      case (Some("CLUSTER"), Some("BY")) =>
+        if (wordAt(rest, 2).contains("NONE") && rest.length == 3)
+          ClusterByStatement(table, Seq.empty)
+        else (rest.lift(2), rest.lastOption) match {
+          case (Some(Sym("(")), Some(Sym(")"))) if rest.length > 4 =>
+            val inner = rest.slice(3, rest.length - 1)
+            val bad = inner.exists {
+              case _: Word => false
+              case Sym(",") => false
+              case _ => true
+            }
+            val cols = inner.collect { case w: Word => w.text }
+            if (cols.isEmpty || bad) throw new ParseException(
+              "expected CLUSTER BY ( <col> [, <col> ...] )")
+            ClusterByStatement(table, cols)
+          case _ => throw new ParseException(
+            "expected CLUSTER BY ( <col> [, ...] ) or CLUSTER BY NONE")
+        }
       case _ => throw new ParseException(
         "supported: ALTER TABLE ... RENAME COLUMN a TO b | " +
           "ADD COLUMN a <type> | DROP COLUMN a | " +
           "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | " +
           "SET TBLPROPERTIES ('k' = 'v', ...) | " +
-          "UNSET TBLPROPERTIES ('k', ...)")
+          "UNSET TBLPROPERTIES ('k', ...) | " +
+          "CLUSTER BY ( <col>, ... ) | CLUSTER BY NONE")
     }
   }
 

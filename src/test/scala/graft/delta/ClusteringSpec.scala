@@ -85,6 +85,33 @@ class ClusteringSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 260)
   }
 
+  test("ALTER TABLE CLUSTER BY sets, changes, and drops the policy") {
+    val p = tmp("alter")
+    CommitWriter.createTable(spark, orders.limit(100), p)
+    val g = new graft.GraftSession(spark)
+    // a plain table becomes clustered mid-life, metadata-only
+    g.sql(s"ALTER TABLE '$p' CLUSTER BY (o_custkey)")
+    val snap1 = DeltaTable.forPath(spark, p)
+    assert(snap1.protocol.writerFeatures.getOrElse(Nil)
+      .contains("clustering"))
+    assert(Clustering.columnsOf(spark, snap1.segment) == Seq("o_custkey"))
+    // re-cluster by a different key: latest domain wins
+    g.sql(s"ALTER TABLE '$p' CLUSTER BY (o_totalprice, o_orderdate)")
+    assert(Clustering.columnsOf(spark,
+      DeltaTable.forPath(spark, p).segment) ==
+      Seq("o_totalprice", "o_orderdate"))
+    // NONE drops the policy; OPTIMIZE goes back to plain compaction
+    g.sql(s"ALTER TABLE '$p' CLUSTER BY NONE")
+    assert(Clustering.columnsOf(spark,
+      DeltaTable.forPath(spark, p).segment).isEmpty)
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' CLUSTER BY NONE")
+    }
+    intercept[Exception] {
+      g.sql(s"ALTER TABLE '$p' CLUSTER BY (no_such_col)")
+    }
+  }
+
   test("clusterBy validation: partitioning, width, unknown columns") {
     val p = tmp("val")
     intercept[IllegalArgumentException] {

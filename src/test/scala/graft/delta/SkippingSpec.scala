@@ -117,4 +117,37 @@ class SkippingSpec extends AnyFunSuite {
       DeltaTable.forPath(spark, p)
     }
   }
+
+  test("dataSkippingNumIndexedCols caps stats to the first N columns") {
+    val d = Files.createTempDirectory("graft_nidx").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    CommitWriter.createTable(spark,
+      orders.repartition(3, col("o_orderkey")), p,
+      configuration = Map(
+        CommitWriter.DataSkippingNumIndexedColsKey -> "1"))
+    val snap = DeltaTable.forPath(spark, p)
+    val stats = snap.allFiles.select("stats").collect()
+      .map(_.getString(0))
+    assert(stats.nonEmpty && stats.forall(_ != null))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    stats.foreach { s =>
+      val n = mapper.readTree(s)
+      // numRecords always present; min/max only for the first column
+      assert(n.get("numRecords").asLong() > 0)
+      val mins = n.get("minValues")
+      assert(mins.has("o_orderkey") && mins.size() == 1,
+        s"expected stats on the first column only: $s")
+    }
+    // metadata count still answers from the log
+    assert(snap.statsRowCount.contains(orders.count()))
+    // filters on unindexed columns cannot prune (absent = keep), and
+    // results stay exact through the scan
+    val pred = Seq(col("o_custkey") <= 50)
+    assert(graft.delta.scan.DeltaScan.prunedFiles(snap, pred).count() ==
+      snap.allFiles.count())
+    assert(snap.readWhere(pred: _*).count() ==
+      orders.filter(pred.head).count())
+  }
 }
