@@ -133,6 +133,61 @@ final class GraftSession(val spark: SparkSession) {
           configuration = snap.metadata.configuration +
             ("delta.columnMapping.maxColumnId" -> preDropMax.toString)))
       alterMetrics(s"dropped $name", v)
+    case AlterColumnTypeStatement(table, name, typeDdl) =>
+      // write-side type WIDENING (the typeWidening table feature):
+      // metadata-only — old files keep their narrow physical type and
+      // the scan's schema adapter up-casts them on read, so a 100 TB
+      // table changes an int column to long without touching a byte of
+      // data. Narrowing or cross-family changes are refused (they
+      // would corrupt or truncate existing values).
+      import org.apache.spark.sql.types._
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      val schema = snap.schema
+      require(schema.fieldNames.contains(name), s"no such column: $name")
+      require(!snap.partitionColumns.contains(name),
+        "cannot widen a partition column: partition values are strings " +
+          "re-typed by the schema, and historical directory names were " +
+          "rendered under the old type")
+      val to = DataType.fromDDL(typeDdl)
+      val from = schema(name).dataType
+      val widenable: Set[(DataType, DataType)] = Set(
+        (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+        (ShortType, IntegerType), (ShortType, LongType),
+        (IntegerType, LongType), (FloatType, DoubleType))
+      require(widenable((from, to)),
+        s"ALTER COLUMN TYPE supports widening only; " +
+          s"${from.simpleString} -> ${to.simpleString} is not a " +
+          "supported widening (byte/short/int up the integer chain, " +
+          "float -> double)")
+      val v = snap.version + 1
+      // record the change on the field per the typeWidening spec, so
+      // other readers know which files predate the widening
+      val change = new MetadataBuilder()
+        .putString("fromType", from.typeName)
+        .putString("toType", to.typeName)
+        .putLong("tableVersion", v).build()
+      val fields = schema.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val prior =
+            if (f.metadata.contains("delta.typeChanges"))
+              f.metadata.getMetadataArray("delta.typeChanges").toSeq
+            else Seq.empty
+          f.copy(dataType = to,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putMetadataArray("delta.typeChanges",
+                (prior :+ change).toArray).build())
+        }
+      }
+      val newProto = graft.delta.log.ProtocolSupport
+        .withReaderWriterFeature(snap.protocol, "typeWidening")
+      val cv = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(schemaString = StructType(fields).json),
+        extraActions =
+          newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
+      alterMetrics(
+        s"widened $name ${from.simpleString} -> ${to.simpleString}", cv)
     case ClusterByStatement(table, cols) =>
       val path = resolveTablePath(table)
       val snap = graft.delta.DeltaTable.forPath(spark, path)

@@ -536,6 +536,54 @@ object DeltaQueries {
       graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 10 < 2)
     }
 
+  /** Clustered orders table (the `clustering` writer feature):
+    * scrambled create — 4 files each spanning the full o_custkey
+    * range — then ONE bare OPTIMIZE whose layout comes from the
+    * recorded `delta.clustering` policy, not from arguments. The small
+    * targetFileSize forces a multi-file clustered rewrite so file
+    * stats become prunable. */
+  def clusteredTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "clustered") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, o.repartition(4, col("o_orderkey")), p,
+        clusterBy = Seq("o_custkey"))
+      graft.commands.OptimizeCommand.optimize(s, p,
+        targetFileSize = 64 * 1024, minFiles = 2)
+    }
+
+  /** Stable alias for the clustered fixture (the IvfOracleAlias
+    * pattern): the static oracle SQL reads one fixed path, the query
+    * re-points it at whatever sf's fixture it just built. */
+  final val ClusterOracleAlias =
+    "/root/repo/target/delta_fixtures/clustered_current"
+
+  private[queries] def refreshAlias(alias: String, target: String): Unit = {
+    val a = java.nio.file.Paths.get(alias)
+    val t = java.nio.file.Paths.get(target)
+    val stale = !java.nio.file.Files.isSymbolicLink(a) ||
+      java.nio.file.Files.readSymbolicLink(a) != t
+    if (stale) {
+      java.nio.file.Files.deleteIfExists(a)
+      java.nio.file.Files.createSymbolicLink(a, t)
+    }
+  }
+
+  /** Write-time schema evolution fixture: a two-column table, then a
+    * mergeSchema append carrying a third column — evolution and data
+    * in the same commit. */
+  def schemaMergeTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "schema_merge") { p =>
+      val o = orders(s, sfDir)
+      CommitWriter.createTable(s,
+        o.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey"), p)
+      CommitWriter.append(s,
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), p,
+        mergeSchema = true)
+    }
+
   /** Plain-parquet copy of orders CONVERTED in place to a Delta table
     * (no data rewrite) — the adoption-path fixture. */
   def convertedTable(s: SparkSession, sfDir: String): String =
@@ -945,6 +993,74 @@ object DeltaQueries {
       snap.readWhere(col("c_acctbal") > 0)
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    // Clustered table end-to-end: CREATE ... clusterBy records the
+    // policy, a BARE OPTIMIZE re-clusters by it. The oracle recomputes
+    // the row count relationally AND re-derives the file metrics from
+    // the fixture's raw log JSON — the skipping engine's kept-file
+    // count must equal what raw min/max stats say, an independent
+    // cross-check of stats-based pruning over the clustered layout.
+    Q("q_cluster_optimize",
+      s"""WITH acts AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1)
+         |           AS BIGINT) AS v,
+         |    "add"->>'$$.path' AS add_path,
+         |    CAST(json_extract_string("add"->>'$$.stats',
+         |      '$$.minValues.o_custkey') AS BIGINT) AS min_ck,
+         |    domainMetadata->>'$$.domain' AS dom,
+         |    domainMetadata->>'$$.configuration' AS domconf
+         |  FROM read_json('$ClusterOracleAlias/_delta_log/*.json',
+         |    filename=true, format='newline_delimited',
+         |    columns={"add": 'JSON', "remove": 'JSON',
+         |             "domainMetadata": 'JSON'})
+         |), live AS (
+         |  SELECT add_path, min_ck FROM acts
+         |  WHERE v = 1 AND add_path IS NOT NULL
+         |), cut AS (
+         |  SELECT CAST(max(o_custkey) AS BIGINT) // 2 AS c FROM orders
+         |)
+         |SELECT * FROM (
+         |  SELECT 'clustered_by_custkey' AS metric,
+         |    CAST(count(*) AS BIGINT) AS value
+         |  FROM acts
+         |  WHERE dom = 'delta.clustering' AND domconf LIKE '%o_custkey%'
+         |  UNION ALL
+         |  SELECT 'files_kept_le_cut', CAST(count(*) AS BIGINT)
+         |  FROM live, cut WHERE live.min_ck <= cut.c OR live.min_ck IS NULL
+         |  UNION ALL
+         |  SELECT 'live_files', CAST(count(*) AS BIGINT) FROM live
+         |  UNION ALL
+         |  SELECT 'rows', CAST(count(*) AS BIGINT) FROM orders
+         |) ORDER BY metric""".stripMargin) { (s, dir) =>
+      val p = clusteredTable(s, dir)
+      refreshAlias(ClusterOracleAlias, p)
+      val snap = DeltaTable.forPath(s, p)
+      val cut = orders(s, dir)
+        .agg(max(col("o_custkey")).cast("long")).head().getLong(0) / 2
+      val cols = graft.delta.log.Clustering.columnsOf(s, snap.segment)
+      import s.implicits._
+      Seq(
+        ("clustered_by_custkey",
+          if (cols == Seq("o_custkey")) 1L else 0L),
+        ("files_kept_le_cut", graft.delta.scan.DeltaScan
+          .prunedFiles(snap, Seq(col("o_custkey") <= cut)).count()),
+        ("live_files", snap.allFiles.count()),
+        ("rows", snap.read.count()))
+        .toDF("metric", "value").orderBy("metric")
+    },
+
+    // Write-time schema evolution: the mergeSchema append added
+    // o_totalprice in the same commit as its data; pre-evolution rows
+    // impute null. The oracle recomputes the whole table relationally.
+    Q("q_schema_merge",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END
+        |    AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, schemaMergeTable(s, dir)).read
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     },
 
     // Identity columns (writer feature `identityColumns`): the oracle

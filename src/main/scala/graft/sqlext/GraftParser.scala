@@ -43,6 +43,9 @@ object GraftParser {
       name: String, typeDdl: String) extends Statement
   final case class DropColumnStatement(table: String,
       name: String) extends Statement
+  /** ALTER TABLE t ALTER COLUMN c TYPE <type> — widening only. */
+  final case class AlterColumnTypeStatement(table: String,
+      name: String, typeDdl: String) extends Statement
   final case class AddConstraintStatement(table: String,
       name: String, exprSql: String) extends Statement
   final case class DropConstraintStatement(table: String,
@@ -317,6 +320,14 @@ object GraftParser {
           case _ => throw new ParseException(
             "expected ADD CONSTRAINT <name> CHECK ( <expr> )")
         }
+      case (Some("ALTER"), Some("COLUMN")) =>
+        (rest.lift(2), wordAt(rest, 3)) match {
+          case (Some(a: Word), Some("TYPE")) if rest.length > 4 =>
+            AlterColumnTypeStatement(table, a.text,
+              rest.drop(4).map(_.text).mkString(" "))
+          case _ => throw new ParseException(
+            "expected ALTER COLUMN <a> TYPE <type>")
+        }
       case (Some("DROP"), Some("CONSTRAINT")) =>
         rest.lift(2) match {
           case Some(nm: Word) if rest.length == 3 =>
@@ -348,6 +359,7 @@ object GraftParser {
       case _ => throw new ParseException(
         "supported: ALTER TABLE ... RENAME COLUMN a TO b | " +
           "ADD COLUMN a <type> | DROP COLUMN a | " +
+          "ALTER COLUMN a TYPE <type> | " +
           "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | " +
           "SET TBLPROPERTIES ('k' = 'v', ...) | " +
           "UNSET TBLPROPERTIES ('k', ...) | " +

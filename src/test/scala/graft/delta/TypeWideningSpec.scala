@@ -1,0 +1,112 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.delta.log.CommitWriter
+
+/** Write-side type widening (`ALTER TABLE ... ALTER COLUMN c TYPE t`):
+  * metadata-only — old files keep their narrow physical type and the
+  * scan up-casts on read; the typeWidening feature + per-field
+  * typeChanges record the history. */
+class TypeWideningSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_tw_$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("int -> long widens metadata-only; old and new files both read") {
+    val p = tmp("i2l")
+    // o_custkey arrives as int from the fixture
+    CommitWriter.createTable(spark,
+      orders.limit(100).select(col("o_orderkey"),
+        col("o_custkey").cast(IntegerType)), p)
+    val filesBefore = DeltaTable.forPath(spark, p).allFiles
+      .select("path").collect().map(_.getString(0)).toSet
+
+    val g = new graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN o_custkey TYPE BIGINT")
+
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.schema("o_custkey").dataType == LongType)
+    // metadata-only: not a single data file moved
+    assert(snap.allFiles.select("path").collect()
+      .map(_.getString(0)).toSet == filesBefore)
+    // feature + change record
+    assert(snap.protocol.writerFeatures.getOrElse(Nil)
+      .contains("typeWidening"))
+    assert(snap.protocol.readerFeatures.getOrElse(Nil)
+      .contains("typeWidening"))
+    val changes = snap.schema("o_custkey").metadata
+      .getMetadataArray("delta.typeChanges")
+    assert(changes.length == 1 &&
+      changes(0).getString("fromType") == "integer" &&
+      changes(0).getString("toType") == "long" &&
+      changes(0).getLong("tableVersion") == snap.version)
+
+    // a post-widening append may carry values beyond int range
+    val big = spark.range(1).select(
+      lit(9000000L).cast(snap.schema("o_orderkey").dataType)
+        .as("o_orderkey"),
+      lit(Int.MaxValue.toLong + 7L).as("o_custkey"))
+    CommitWriter.append(spark, big, p)
+    val out = DeltaTable.forPath(spark, p).read
+    assert(out.count() == 101)
+    assert(out.where(col("o_custkey") === Int.MaxValue.toLong + 7L)
+      .count() == 1)
+    // pre-widening rows still read exactly through the narrow files
+    assert(out.where(col("o_orderkey") =!= 9000000L)
+      .agg(sum(col("o_custkey"))).head.getLong(0) ==
+      orders.limit(100).agg(sum(col("o_custkey").cast(LongType)))
+        .head.getLong(0))
+  }
+
+  test("float -> double and a second widening appends to typeChanges") {
+    val p = tmp("f2d")
+    CommitWriter.createTable(spark,
+      orders.limit(50).select(col("o_orderkey"),
+        col("o_custkey").cast(ShortType).as("k"),
+        col("o_totalprice").cast(FloatType).as("price")), p)
+    val g = new graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN price TYPE DOUBLE")
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN k TYPE INT")
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN k TYPE BIGINT")
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.schema("price").dataType == DoubleType)
+    assert(snap.schema("k").dataType == LongType)
+    val kChanges = snap.schema("k").metadata
+      .getMetadataArray("delta.typeChanges")
+    assert(kChanges.map(c =>
+      (c.getString("fromType"), c.getString("toType"))).toSeq ==
+      Seq(("short", "integer"), ("integer", "long")))
+    // float values read back as their exact double image
+    val f = orders.limit(50)
+      .agg(sum(col("o_totalprice").cast(FloatType).cast(DoubleType)))
+      .head.getDouble(0)
+    assert(snap.read.agg(sum(col("price"))).head.getDouble(0) == f)
+  }
+
+  test("narrowing and cross-family changes are refused") {
+    val p = tmp("refuse")
+    CommitWriter.createTable(spark,
+      orders.limit(10).select("o_orderkey", "o_totalprice"), p)
+    val g = new graft.GraftSession(spark)
+    val e1 = intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' ALTER COLUMN o_totalprice TYPE FLOAT")
+    }
+    assert(e1.getMessage.contains("widening only"))
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' ALTER COLUMN o_orderkey TYPE STRING")
+    }
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' ALTER COLUMN nope TYPE BIGINT")
+    }
+  }
+}
