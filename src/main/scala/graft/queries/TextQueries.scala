@@ -1247,25 +1247,28 @@ object TextQueries {
         |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
         |  FROM d, unnest(range(1, len(ts))) AS t(i)
         |  WHERE len(ts) >= 2
+        |), bd AS (
+        |  SELECT doc_id, w1, w2, count(*) AS m
+        |  FROM b GROUP BY doc_id, w1, w2
         |), c2 AS (
-        |  SELECT w1, w2, count(*) AS c2, count(DISTINCT doc_id) AS ddf
-        |  FROM b GROUP BY w1, w2
+        |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c2, count(*) AS ddf
+        |  FROM bd GROUP BY w1, w2
         |), c1 AS (
-        |  SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
         |), v AS (
         |  SELECT count(DISTINCT tok) AS v FROM (
         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |)
-        |SELECT b.doc_id,
-        |  count(*) AS n_bigrams,
-        |  CAST(sum(c2.c2 + 1) AS BIGINT) AS num,
-        |  CAST(sum(c1.c1 + v.v) AS BIGINT) AS den,
-        |  CAST(sum(c2.c2 + 1) AS DOUBLE) /
-        |    CAST(sum(c1.c1 + v.v) AS DOUBLE) AS lm_score,
-        |  CAST(sum(CASE WHEN c2.ddf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |SELECT bd.doc_id,
+        |  CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(m * (c2.c2 + 1)) AS BIGINT) AS num,
+        |  CAST(sum(m * (c1.c1 + v.v)) AS BIGINT) AS den,
+        |  CAST(sum(m * (c2.c2 + 1)) AS DOUBLE) /
+        |    CAST(sum(m * (c1.c1 + v.v)) AS DOUBLE) AS lm_score,
+        |  CAST(sum(CASE WHEN c2.ddf = 1 THEN m ELSE 0 END) AS BIGINT)
         |    AS novel_bigrams
-        |FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        |GROUP BY b.doc_id
+        |FROM bd JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY bd.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = load(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
@@ -1280,18 +1283,31 @@ object TextQueries {
           "transform(sequence(0, size(ts) - 2), " +
             "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bigr.groupBy("w1", "w2")
-        .agg(count(lit(1)).as("c2"), countDistinct(col("doc_id")).as("ddf"))
-      val c1 = bigr.groupBy("w1").agg(count(lit(1)).as("c1"))
-      bigr.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      // per-doc distinct bigrams with multiplicity FIRST: every later
+      // stage (corpus counts, the join-back, the per-doc totals) then
+      // works on the distinct-bigram relation, not the raw explode —
+      // the 100 TB shape, since real corpora repeat transitions
+      // heavily. ddf becomes a plain count (bd is unique per doc), not
+      // a countDistinct.
+      val bd = bigr.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("m"))
+      val c2 = bd.groupBy("w1", "w2")
+        .agg(sum(col("m")).as("c2"), count(lit(1)).as("ddf"))
+      // context counts derive from the (much smaller) bigram-count
+      // relation — sum of c2 per w1 IS the bigram count with that
+      // context — instead of re-aggregating the full bigram explode
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      bd.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .crossJoin(broadcast(vocab))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("c2") + 1).as("num"),
-          sum(col("c1") + col("v")).as("den"),
-          (sum(col("c2") + 1).cast(DoubleType) /
-            sum(col("c1") + col("v")).cast(DoubleType)).as("lm_score"),
-          sum(when(col("ddf") === 1, 1L).otherwise(0L)).as("novel_bigrams"))
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(col("m") * (col("c2") + 1)).as("num"),
+          sum(col("m") * (col("c1") + col("v"))).as("den"),
+          (sum(col("m") * (col("c2") + 1)).cast(DoubleType) /
+            sum(col("m") * (col("c1") + col("v"))).cast(DoubleType))
+            .as("lm_score"),
+          sum(when(col("ddf") === 1, col("m")).otherwise(0L))
+            .as("novel_bigrams"))
         .orderBy("doc_id")
     },
 

@@ -243,4 +243,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       p.take(3000))
   }
+
+  test("q_lm_score: count joins keyed on tokens, scalar V broadcasts") {
+    val p = plan("q_lm_score")
+    // the only product in the plan is the 1-row vocab-size broadcast;
+    // bigram->count joins must be keyed (Zipf skew lands in COUNT
+    // aggregations, never in pair explosions)
+    assert(!p.contains("CartesianProduct"),
+      "lm_score plan contains a non-broadcast product:\n" + p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "vocab scalar should broadcast:\n" + p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "bigram count joins are not keyed:\n" + p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q_semdedup: pairwise stage is a cid equi-join, never all-pairs") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "semdedup pairwise join is not keyed on cid:\n" + p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
 }
