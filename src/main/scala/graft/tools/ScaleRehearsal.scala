@@ -64,6 +64,29 @@ object ScaleRehearsal {
       println(s"[rehearsal] built $dst: ${spark.read.parquet(dst.toString).count()} docs")
     }
 
+    // 10x embeddings slice: exact replicas with shifted ids, so every
+    // replica set lands in ONE k-means cluster — clusters are 10x
+    // hotter and the within-cluster pairwise stage carries 100x the
+    // pairs, which is precisely the load SemClusterMax has to absorb
+    val fe = new java.io.File(s"$docs1/embeddings.parquet")
+    if (!fe.exists()) {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val replicas = (0 until 10).map { k =>
+        base.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+      val staging = s"$outDir/.staging_emb"
+      replicas.coalesce(4).write.mode("overwrite").parquet(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      fe.mkdirs()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(p.toPath,
+          new java.io.File(fe, s"part-$i.parquet").toPath)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+      println(s"[rehearsal] built $fe: ${spark.read.parquet(fe.toString).count()} vectors")
+    }
+
     def timed(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
@@ -80,6 +103,18 @@ object ScaleRehearsal {
       graft.SparkEntry.queries("q_dup_clusters")(spark, docs1).count()
     }
     println(s"[rehearsal] cc rounds: ${graft.operators.ConnectedComponents.lastRounds.get()}")
+    timed("q_lm_score") {
+      graft.SparkEntry.queries("q_lm_score")(spark, docs1).count()
+    }
+    timed("q_semdedup") {
+      graft.SparkEntry.queries("q_semdedup")(spark, docs1).count()
+    }
+    val sd = graft.SparkEntry.queries("q_semdedup")(spark, docs1)
+    val sdAgg = sd.agg(sum(col("is_dup").cast("long")), count(lit(1))).head
+    val sdCl = sd.groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(max("n"), count(lit(1))).head
+    println(s"[rehearsal] semdedup dups=${sdAgg.get(0)}/${sdAgg.get(1)} " +
+      s"cluster max=${sdCl.get(0)} n_clusters=${sdCl.get(1)}")
 
     // bucket-size distribution BEFORE the cap (what the cap absorbs)
     val docs = spark.read.parquet(s"$docs1/documents.parquet")

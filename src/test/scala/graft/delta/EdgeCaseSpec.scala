@@ -349,4 +349,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(CommitWriter.appendIfAbsent(spark, region.limit(1), p,
       "writer-1", 4L).isDefined)
   }
+
+  test("auto-checkpoints land mid-race without losing or blocking commits") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+    val p = tmp("autocp_race")
+    CommitWriter.createTable(spark, region.limit(1), p,
+      configuration =
+        Map(CommitWriter.CheckpointIntervalPropKey -> "3"))
+    // 8 racing writers x 2 appends = 16 commits; several cross the
+    // 3-commit cadence, so auto-checkpoints fire from whichever writer
+    // happens to land those versions, concurrently with the others
+    val pool = Executors.newFixedThreadPool(8)
+    val barrier = new CyclicBarrier(8)
+    try {
+      val fs = (1 to 8).map { _ =>
+        pool.submit(new Callable[Unit] {
+          def call(): Unit = {
+            barrier.await()
+            CommitWriter.append(spark, region.limit(1), p, maxRetries = 64)
+            CommitWriter.append(spark, region.limit(1), p, maxRetries = 64)
+          }
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.version == 16, s"lost/doubled commits: v${snap.version}")
+    assert(snap.read.count() == 17)
+    // at least one cadence checkpoint exists and replay goes through it
+    val cp = snap.segment.checkpointVersion
+    assert(cp.exists(v => v >= 3 && v % 3 == 0),
+      s"no cadence auto-checkpoint found (got $cp)")
+    // retention (30 d) keeps every commit JSON: time travel intact
+    assert(DeltaTable.forPath(spark, p, Some(5L)).read.count() == 6)
+  }
 }
