@@ -201,24 +201,16 @@ final class GraftSession(val spark: SparkSession) {
           extraActions = Seq(Clustering.removalJson))
         alterMetrics("cluster by none", v)
       } else {
-        require(snap.partitionColumns.isEmpty,
-          "CLUSTER BY on a partitioned table is not allowed (clustering " +
-            "and directory partitioning are competing layout policies)")
-        require(cols.size <= 4,
-          s"CLUSTER BY supports up to 4 columns, got ${cols.size}")
-        val have = snap.schema.fieldNames.map(_.toLowerCase).toSet
-        val missing = cols.filterNot(c => have(c.toLowerCase))
-        require(missing.isEmpty,
-          s"CLUSTER BY column(s) not in the schema: " +
-            missing.mkString(", "))
+        val canonical = Clustering.validate(cols, snap.schema,
+          snap.partitionColumns)
         // takes effect from this commit; existing files re-cluster at
         // the next OPTIMIZE (metadata-only — no data rewrite here)
         val newProto = Clustering.requiredProtocol(snap.protocol)
         val v = CommitWriter.commitMetadata(spark, path, snap.metadata,
           extraActions =
             newProto.map(CommitWriter.protocolJson).toSeq :+
-              Clustering.domainJson(cols))
-        alterMetrics(s"cluster by ${cols.mkString(", ")}", v)
+              Clustering.domainJson(canonical))
+        alterMetrics(s"cluster by ${canonical.mkString(", ")}", v)
       }
     case AddConstraintStatement(table, name, exprSql) =>
       val path = resolveTablePath(table)

@@ -147,7 +147,8 @@ object DmlCommands {
         graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
         snap.metadata),
       tablePath, snap.partitionColumns,
-      configuration = snap.metadata.configuration)
+      configuration = snap.metadata.configuration,
+      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
     val cdcActions = if (!cdfOn) Seq.empty[String] else {
       val matched = DeltaScan.whereFileKeyIn(target, affected)
         .where(coalesce(condition, lit(false)))
@@ -333,7 +334,8 @@ object DmlCommands {
         graft.delta.log.GeneratedColumns.recompute(updated, snap.metadata),
         snap.metadata),
       tablePath, snap.partitionColumns,
-      configuration = snap.metadata.configuration)
+      configuration = snap.metadata.configuration,
+      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
 
     // CDC pre-images are the live rows matching the condition; the
     // post-images are exactly the row images written above

@@ -67,7 +67,8 @@ object MergeCommand {
             snap.metadata),
           snap.metadata),
         tablePath, snap.partitionColumns,
-        configuration = snap.metadata.configuration)
+        configuration = snap.metadata.configuration,
+        statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
       val (actions, masked, fullyRemoved, _) =
         DmlCommands.maskActions(written, info)
       val protoUpgrade = graft.delta.log.ProtocolSupport
@@ -139,7 +140,8 @@ object MergeCommand {
         graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
         snap.metadata),
       tablePath, snap.partitionColumns,
-      configuration = snap.metadata.configuration)
+      configuration = snap.metadata.configuration,
+      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))

@@ -129,6 +129,16 @@ object OptimizeCommand {
       s"table is clustered by ${clusterCols.mkString("(", ", ", ")")}: " +
         "OPTIMIZE re-clusters by those columns — drop the ZORDER BY " +
         "clause (changing the clustering key is a table-level operation)")
+    // a foreign writer may record spec-valid clustering columns this
+    // engine can't cluster by (nested paths, dropped/renamed columns):
+    // refuse with the policy named rather than crash mid-rewrite
+    val topLevel = snap.schema.fieldNames.toSet
+    val foreign = clusterCols.filterNot(topLevel)
+    require(foreign.isEmpty,
+      s"clustering column(s) ${foreign.mkString(", ")} are not top-level " +
+        s"schema columns of $tablePath — this engine clusters on " +
+        "top-level columns only; re-point the policy with ALTER TABLE " +
+        "... CLUSTER BY or drop it with CLUSTER BY NONE")
     val effZorder = if (zorderBy.nonEmpty) zorderBy else clusterCols
     val partCols = snap.partitionColumns
 
@@ -235,7 +245,8 @@ object OptimizeCommand {
       }
     val adds = CommitWriter.writeFiles(spark, rewritten,
       tablePath, partCols, dataChange = false,
-      configuration = snap.metadata.configuration)
+      configuration = snap.metadata.configuration,
+      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
 
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]

@@ -59,6 +59,26 @@ object Clustering {
       }
     }
 
+  /** Shared CLUSTER BY validation (CREATE and ALTER): width cap,
+    * partitioning mutual exclusion, schema membership — and the
+    * returned names are CANONICALIZED to the schema's exact case, so
+    * a `CLUSTER BY (O_CUSTKEY)` records `o_custkey` and the later
+    * case-sensitive OPTIMIZE column lookups always resolve. */
+  def validate(cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String]): Seq[String] = {
+    require(partitionColumns.isEmpty,
+      "CLUSTER BY and directory partitioning are mutually exclusive " +
+        "(a clustered table's layout is managed by OPTIMIZE)")
+    require(cols.size <= 4,
+      s"CLUSTER BY supports up to 4 columns, got ${cols.size}")
+    val byLower = schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    val missing = cols.filterNot(c => byLower.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"CLUSTER BY column(s) not in the schema: ${missing.mkString(", ")}")
+    cols.map(c => byLower(c.toLowerCase))
+  }
+
   /** The protocol a clustered table must declare: `clustering` plus its
     * `domainMetadata` dependency (None = already declared). */
   def requiredProtocol(p: Actions.Protocol): Option[Actions.Protocol] = {

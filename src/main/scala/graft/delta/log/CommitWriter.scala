@@ -42,18 +42,9 @@ object CommitWriter {
       configuration: Map[String, String] = Map.empty,
       name: Option[String] = None,
       clusterBy: Seq[String] = Seq.empty): Metadata = {
-    if (clusterBy.nonEmpty) {
-      require(partitionColumns.isEmpty,
-        "CLUSTER BY and PARTITIONED BY are mutually exclusive (a " +
-          "clustered table's layout is managed by OPTIMIZE, not by " +
-          "directory partitioning)")
-      require(clusterBy.size <= 4,
-        s"CLUSTER BY supports up to 4 columns, got ${clusterBy.size}")
-      val have = df.schema.fieldNames.map(_.toLowerCase).toSet
-      val missing = clusterBy.filterNot(c => have(c.toLowerCase))
-      require(missing.isEmpty,
-        s"CLUSTER BY column(s) not in the schema: ${missing.mkString(", ")}")
-    }
+    val clusterCols =
+      if (clusterBy.isEmpty) Seq.empty[String]
+      else Clustering.validate(clusterBy, df.schema, partitionColumns)
     val meta = Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
@@ -91,10 +82,10 @@ object CommitWriter {
     // a clustered table declares its feature + columns from version 0,
     // so the first OPTIMIZE already knows the layout policy
     val clusterActions =
-      if (clusterBy.isEmpty) Seq.empty[String]
+      if (clusterCols.isEmpty) Seq.empty[String]
       else {
         proto = Clustering.requiredProtocol(proto).getOrElse(proto)
-        Seq(Clustering.domainJson(clusterBy))
+        Seq(Clustering.domainJson(clusterCols))
       }
     commit(spark, tablePath, 0L,
       Seq(protocolJson(proto), metadataJson(meta)) ++ domainActions ++
@@ -219,10 +210,24 @@ object CommitWriter {
         s"in the table schema ${table.fieldNames.mkString("(", ", ", ")")}; " +
         "evolve the schema first (ALTER TABLE ADD COLUMN / commitMetadata) " +
         "or opt in with mergeSchema=true")
+    // struct columns compare by SUBSET: a writer still sending the
+    // pre-evolution nested shape stays valid after another writer's
+    // nested mergeSchema evolution — the read path imputes null for
+    // the missing nested fields exactly as it does for missing
+    // top-level columns. Unknown nested fields still reject.
+    def writeCompatible(tableT: org.apache.spark.sql.types.DataType,
+        dfT: org.apache.spark.sql.types.DataType): Boolean =
+      (tableT, dfT) match {
+        case (t: StructType, d: StructType) =>
+          val tByName = t.fields.map(f => f.name.toLowerCase -> f).toMap
+          d.fields.forall(df0 => tByName.get(df0.name.toLowerCase)
+            .exists(tf => writeCompatible(tf.dataType, df0.dataType)))
+        case _ =>
+          org.apache.spark.sql.graftshim.Shims.sameType(tableT, dfT)
+      }
     val mismatched = df.schema.fields.flatMap { f =>
       byName.get(f.name.toLowerCase)
-        .filterNot(tf => org.apache.spark.sql.graftshim.Shims
-          .sameType(tf.dataType, f.dataType))
+        .filterNot(tf => writeCompatible(tf.dataType, f.dataType))
         .map(tf => s"${f.name}: ${f.dataType.simpleString} vs table " +
           tf.dataType.simpleString)
     }
@@ -305,7 +310,8 @@ object CommitWriter {
     validateWriteSchema(completed, meta, "append")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
-      meta.partitionColumns, configuration = meta.configuration)
+      meta.partitionColumns, configuration = meta.configuration,
+      statsColumnOrder = statsOrderOf(meta))
     // identity appends carry the advanced high-water mark in the SAME
     // commit as the adds; schema evolution rides the same metadata
     // action (advance starts from the already-evolved metadata, so one
@@ -403,7 +409,8 @@ object CommitWriter {
     validateWriteSchema(completed, meta, "appendIfAbsent")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
-      meta.partitionColumns, configuration = meta.configuration)
+      meta.partitionColumns, configuration = meta.configuration,
+      statsColumnOrder = statsOrderOf(meta))
     val identityUpdate = IdentityColumns.advance(meta, adds)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
@@ -481,7 +488,8 @@ object CommitWriter {
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, effMeta), effMeta),
       tablePath, effMeta.partitionColumns,
-      configuration = effMeta.configuration)
+      configuration = effMeta.configuration,
+      statsColumnOrder = statsOrderOf(effMeta))
     // identity high-water marks survive an overwrite (values stay
     // monotonic across the table's whole history, per spec); schema
     // evolution rides the same metadata action
@@ -1391,10 +1399,25 @@ object CommitWriter {
   final val DataSkippingNumIndexedColsKey = "delta.dataSkippingNumIndexedCols"
   final val DefaultDataSkippingNumIndexedCols = 32
 
+
+  /** Table-schema stats order for [[writeFiles]] — logical-name order
+    * for plain tables; mapped tables keep frame order (their frames
+    * carry physical col-N names that a logical order cannot index). */
+  private def statsOrderOf(meta: Metadata): Seq[String] =
+    if (graft.delta.scan.ColumnMapping.mode(meta) == "none")
+      meta.dataSchema.fieldNames.toSeq
+    else Seq.empty
+
+  /** @param statsColumnOrder the TABLE schema's field order (the
+    *   dataSkippingNumIndexedCols contract counts "first N columns" in
+    *   schema order, not in whatever order this writer's frame happens
+    *   to carry); empty = use the frame's order (creation, where the
+    *   frame IS the schema). */
   def writeFiles(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionColumns: Seq[String],
       dataChange: Boolean = true,
-      configuration: Map[String, String] = Map.empty): Seq[AddFile] = {
+      configuration: Map[String, String] = Map.empty,
+      statsColumnOrder: Seq[String] = Seq.empty): Seq[AddFile] = {
     val table = new Path(tablePath)
     val fs = LogSegment.fs(spark, table)
     fs.mkdirs(table)
@@ -1414,8 +1437,12 @@ object CommitWriter {
     val numIndexed = configuration.get(DataSkippingNumIndexedColsKey)
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .getOrElse(DefaultDataSkippingNumIndexedCols)
+    val dfCols = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
     val allDataCols =
-      df.schema.fieldNames.filterNot(partitionColumns.contains)
+      (if (statsColumnOrder.nonEmpty)
+         statsColumnOrder.flatMap(n => dfCols.get(n.toLowerCase))
+       else df.schema.fieldNames.toSeq)
+        .filterNot(partitionColumns.contains)
     val dataCols =
       if (numIndexed < 0) allDataCols else allDataCols.take(numIndexed)
     val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)

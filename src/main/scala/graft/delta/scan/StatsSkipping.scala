@@ -48,13 +48,33 @@ object StatsSkipping {
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
     val sSchema = statsSchema(schema, partCols)
+    val ctx = Context(schema, partCols, sSchema)
     val withStats = files.withColumn("__stats",
       from_json(col("stats"), sSchema))
-    val ctx = Context(schema, partCols, sSchema)
+    // columns widened float->double parse their PRE-widening files'
+    // stats through FLOAT (see statCol): a second parse with those
+    // fields narrowed provides the exact float image
+    val withBoth =
+      if (ctx.widenedFloat.isEmpty) withStats
+      else withStats.withColumn("__statsN",
+        from_json(col("stats"),
+          narrowStatsSchema(sSchema, ctx.widenedFloat.keySet)))
     val keep = filters
       .map(f => translate(Shims.predNode(f), neg = false, ctx))
       .reduce(_ && _)
-    withStats.where(keep).drop("__stats")
+    withBoth.where(keep).drop("__stats", "__statsN")
+  }
+
+  /** `statsSchema` with the given min/max fields narrowed to FLOAT. */
+  private def narrowStatsSchema(s: StructType,
+      names: Set[String]): StructType = {
+    def narrow(st: StructType): StructType = StructType(st.fields.map(f =>
+      if (names(f.name)) f.copy(dataType = FloatType) else f))
+    StructType(s.fields.map {
+      case f @ StructField("minValues" | "maxValues", st: StructType, _, _) =>
+        f.copy(dataType = narrow(st))
+      case f => f
+    })
   }
 
   private case class Context(schema: StructType, partCols: Seq[String],
@@ -62,6 +82,21 @@ object StatsSkipping {
     val statFields: Set[String] =
       statsSchema("minValues").dataType.asInstanceOf[StructType]
         .fieldNames.toSet
+    /** Columns widened float->double, with the widening commit version:
+      * a pre-widening file's stats JSON is the float's SHORTEST decimal
+      * rendering, whose double parse differs from the float's true
+      * double image in the last ~8 bits — comparing rows (exact float
+      * images) against such bounds can prune a file that holds a
+      * matching row. Those files parse through float instead. Integer
+      * widenings are immune (decimal integer strings parse exactly). */
+    val widenedFloat: Map[String, Long] = schema.fields.flatMap { f =>
+      if (!f.metadata.contains("delta.typeChanges")) None
+      else scala.util.Try(
+        f.metadata.getMetadataArray("delta.typeChanges").toSeq).toOption
+        .flatMap(_.find(c => c.getString("fromType") == "float" &&
+          c.getString("toType") == "double"))
+        .map(c => f.name -> c.getLong("tableVersion"))
+    }.toMap
     def isPartition(name: String): Boolean = partCols.contains(name)
     def dataTypeOf(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
@@ -77,10 +112,24 @@ object StatsSkipping {
     ctx.dataTypeOf(name).map(dt => cleaned.cast(dt)).getOrElse(cleaned)
   }
 
-  private def minCol(name: String): Column =
-    col(s"__stats.minValues.${quote(name)}")
-  private def maxCol(name: String): Column =
-    col(s"__stats.maxValues.${quote(name)}")
+  /** Min/max stat for `name`: the current-type parse, except that a
+    * float->double-widened column reads pre-widening files through the
+    * float parse (exact image) — discriminated per file on
+    * commit_version vs the widening's tableVersion. */
+  private def statCol(kind: String, name: String, ctx: Context): Column = {
+    val wide = col(s"__stats.$kind.${quote(name)}")
+    ctx.widenedFloat.get(name) match {
+      case Some(v) =>
+        when(col("commit_version") < v,
+          col(s"__statsN.$kind.${quote(name)}").cast(DoubleType))
+          .otherwise(wide)
+      case None => wide
+    }
+  }
+  private def minCol(name: String, ctx: Context): Column =
+    statCol("minValues", name, ctx)
+  private def maxCol(name: String, ctx: Context): Column =
+    statCol("maxValues", name, ctx)
   private def nullsCol(name: String): Column =
     col(s"__stats.nullCount.${quote(name)}")
 
@@ -133,8 +182,8 @@ object StatsSkipping {
               coalesce(!partValue(name, ctx).isin(vs: _*), lit(false))
             else if (ctx.statFields(name))
               // prune only if every row equals one of the excluded values
-              coalesce(!(minCol(name) === maxCol(name) &&
-                minCol(name).isin(vs: _*)), lit(true))
+              coalesce(!(minCol(name, ctx) === maxCol(name, ctx) &&
+                minCol(name, ctx).isin(vs: _*)), lit(true))
             else lit(true)
           case _ => lit(true)
         }
@@ -144,8 +193,8 @@ object StatsSkipping {
             if (ctx.isPartition(name))
               coalesce(partValue(name, ctx).startsWith(pre), lit(false))
             else if (ctx.statFields(name))
-              coalesce(substring(maxCol(name), 1, pre.length) >= pre &&
-                substring(minCol(name), 1, pre.length) <= pre, lit(true))
+              coalesce(substring(maxCol(name, ctx), 1, pre.length) >= pre &&
+                substring(minCol(name, ctx), 1, pre.length) <= pre, lit(true))
             else lit(true)
           case None => lit(true)
         }
@@ -187,12 +236,12 @@ object StatsSkipping {
       coalesce(cond, lit(false))
     } else if (ctx.statFields(name)) {
       val cond = op match {
-        case "=" => minCol(name) <= v && maxCol(name) >= v
-        case "!=" => !(minCol(name) === v && maxCol(name) === v)
-        case ">" => maxCol(name) > v
-        case "<" => minCol(name) < v
-        case ">=" => maxCol(name) >= v
-        case "<=" => minCol(name) <= v
+        case "=" => minCol(name, ctx) <= v && maxCol(name, ctx) >= v
+        case "!=" => !(minCol(name, ctx) === v && maxCol(name, ctx) === v)
+        case ">" => maxCol(name, ctx) > v
+        case "<" => minCol(name, ctx) < v
+        case ">=" => maxCol(name, ctx) >= v
+        case "<=" => minCol(name, ctx) <= v
       }
       coalesce(cond, lit(true))
     } else lit(true)

@@ -155,14 +155,21 @@ class GraftDeltaSource extends RelationProvider
         throw new IllegalStateException(s"Delta table already exists: $path")
       case (SaveMode.Ignore, Some(_)) => ()
       case (_, None) =>
+        val clusterCols = parameters.get("clusterBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
         if (parameters.get("columnMapping").contains("name")) {
           require(partitionCols.isEmpty,
             "columnMapping=name supports unpartitioned tables only")
+          require(clusterCols.isEmpty,
+            "clusterBy is not supported with columnMapping=name " +
+              "(clustered mapped tables are not implemented); a " +
+              "silently-dropped layout policy would leave every " +
+              "OPTIMIZE run doing plain compaction")
           graft.delta.log.CommitWriter.createTableMapped(spark, data, path)
         } else graft.delta.log.CommitWriter.createTable(spark, data, path,
           partitionColumns = partitionCols,
-          clusterBy = parameters.get("clusterBy")
-            .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
+          clusterBy = clusterCols)
       case (SaveMode.Append, Some(_)) =>
         graft.delta.log.CommitWriter.append(spark, data, path,
           mergeSchema = mergeSchemaOpt(parameters))

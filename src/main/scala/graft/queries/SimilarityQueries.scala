@@ -322,16 +322,8 @@ object SimilarityQueries {
   final val IvfOracleAlias =
     "/root/repo/target/delta_fixtures/ivf_current"
 
-  private def refreshAlias(alias: String, target: String): Unit = {
-    val a = java.nio.file.Paths.get(alias)
-    val t = java.nio.file.Paths.get(target)
-    val stale = !java.nio.file.Files.isSymbolicLink(a) ||
-      java.nio.file.Files.readSymbolicLink(a) != t
-    if (stale) {
-      java.nio.file.Files.deleteIfExists(a)
-      java.nio.file.Files.createSymbolicLink(a, t)
-    }
-  }
+  private def refreshAlias(alias: String, target: String): Unit =
+    DeltaQueries.refreshAlias(alias, target)
 
   /** Build-once IVF index: deterministic seeds (every 50th vector)
     * refined by one k-means pass — assign to nearest seed by dot

@@ -89,8 +89,10 @@ class ClusteringSpec extends AnyFunSuite {
     val p = tmp("alter")
     CommitWriter.createTable(spark, orders.limit(100), p)
     val g = new graft.GraftSession(spark)
-    // a plain table becomes clustered mid-life, metadata-only
-    g.sql(s"ALTER TABLE '$p' CLUSTER BY (o_custkey)")
+    // a plain table becomes clustered mid-life, metadata-only; the
+    // recorded name is CANONICALIZED to the schema's case so the
+    // case-sensitive OPTIMIZE lookups always resolve
+    g.sql(s"ALTER TABLE '$p' CLUSTER BY (O_CUSTKEY)")
     val snap1 = DeltaTable.forPath(spark, p)
     assert(snap1.protocol.writerFeatures.getOrElse(Nil)
       .contains("clustering"))

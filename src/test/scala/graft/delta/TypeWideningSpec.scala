@@ -93,6 +93,32 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(snap.read.agg(sum(col("price"))).head.getDouble(0) == f)
   }
 
+  test("widened float stats compare through the exact float image") {
+    val p = tmp("f2d_skip")
+    // 0.1f's shortest JSON rendering is "0.1"; parsed as DOUBLE that is
+    // 0.1000000000000000055 — BELOW the float's true double image
+    // 0.1000000014901161, so naive post-widening skipping would prune
+    // the file for an equality on the value actually stored in it
+    CommitWriter.createTable(spark, spark.range(1)
+      .select(lit(1L).as("id"), lit(0.1f).as("price")), p)
+    val g = new graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN price TYPE DOUBLE")
+    val snap = DeltaTable.forPath(spark, p)
+    val image = 0.1f.toDouble
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap, Seq(col("price") === image)).count() == 1,
+      "pre-widening file wrongly pruned for its own row's value")
+    assert(snap.readWhere(col("price") === image).count() == 1)
+    // post-widening files carry true double stats and stay exact
+    CommitWriter.append(spark, spark.range(1)
+      .select(lit(2L).as("id"), lit(0.3).as("price")), p)
+    val snap2 = DeltaTable.forPath(spark, p)
+    assert(snap2.readWhere(col("price") === 0.3).count() == 1)
+    // and a predicate matching neither file's range still prunes both
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap2, Seq(col("price") > 1.0)).count() == 0)
+  }
+
   test("narrowing and cross-family changes are refused") {
     val p = tmp("refuse")
     CommitWriter.createTable(spark,

@@ -105,6 +105,15 @@ class WriterSourceSpec extends AnyFunSuite {
         .option("mergeSchema", "true").save(p)
     }
     assert(err.getMessage.contains("incompatible column type"))
+    // a writer still sending the PRE-evolution nested shape stays
+    // valid WITHOUT the flag: nested subset writes read back with the
+    // missing nested field imputed null (same contract as missing
+    // top-level columns)
+    base.write.format("graftdelta").mode("append").save(p)
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.count() == region.count() * 3)
+    assert(after.where(col("info.clen").isNull).count() ==
+      region.count() * 2)
   }
 
   test("mergeSchema overwrite replaces data but keeps old columns") {
