@@ -99,13 +99,84 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
       case None =>
         val identityMapping = ColumnMapping.mode(snapshot.metadata) == "none"
         if (identityMapping && !hasDvs)
-          ParquetScanBuilder(spark, new GraftDeltaFileIndex(spark, snapshot),
-            schema(), StructType(dataFields.toIndexedSeq), options)
+          new org.apache.spark.sql.graftshim.StatsAggScanBuilder(
+            ParquetScanBuilder(spark,
+              new GraftDeltaFileIndex(spark, snapshot),
+              schema(), StructType(dataFields.toIndexedSeq), options),
+            statsAnswer)
         else new GraftDeltaComposedScanBuilder(snapshot, schema(),
           filters =>
             if (filters.isEmpty) snapshot.read
             else snapshot.readWhere(filters: _*))
     }
+  }
+
+  /** Whole-table COUNT(*) / MIN / MAX answered EXACTLY from log stats,
+    * or None (run the real scan). Exactness gates: no grouping; count
+    * needs complete numRecords (DV cardinalities subtract); min/max
+    * need a primitive numeric top-level column with complete stats, no
+    * DVs (a masked row could hold the extreme), and no float->double
+    * widening history (pre-widening stat strings parse to a different
+    * double than the stored float image). */
+  private def statsAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty) return None
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        val name = f.fieldNames.head
+        snapshot.schema.fields.find(_.name.equalsIgnoreCase(name))
+          .filter(sf => !partCols.contains(sf.name))
+          .filter(sf => sf.name.matches("[A-Za-z0-9_]+")) // JSON-path-safe
+          .filter(sf => sf.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 FloatType | DoubleType => true
+            case _ => false
+          })
+          .filterNot(_.metadata.contains("delta.typeChanges"))
+      case _ => None
+    }
+
+    // one metadata aggregation per referenced column, memoized so
+    // MIN(x), MAX(x) in one query cost one file-list pass
+    val rangeCache =
+      scala.collection.mutable.Map.empty[String, Option[(Any, Any)]]
+    def rangeOf(sf: StructField): Option[(Any, Any)] =
+      rangeCache.getOrElseUpdate(sf.name, {
+        import org.apache.spark.sql.functions._
+        val minJ = get_json_object(col("stats"), s"$$.minValues.${sf.name}")
+        val maxJ = get_json_object(col("stats"), s"$$.maxValues.${sf.name}")
+        val a = snapshot.allFiles.agg(
+          count(lit(1)), count(minJ), count(maxJ),
+          min(minJ.cast(sf.dataType)), max(maxJ.cast(sf.dataType)),
+          count(col("deletionVector"))).head()
+        val files = a.getLong(0)
+        if (files == 0 || a.getLong(1) != files || a.getLong(2) != files ||
+          a.getLong(5) != 0 || a.isNullAt(3) || a.isNullAt(4)) None
+        else Some((a.get(3), a.get(4)))
+      })
+
+    val resolved: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          snapshot.statsRowCount.map(n =>
+            (StructField(s"agg_$i", LongType, nullable = false), n: Any))
+        case (m: Min, i) => fieldOf(m.column).flatMap(sf =>
+          rangeOf(sf).map(r =>
+            (StructField(s"agg_$i", sf.dataType, nullable = false), r._1)))
+        case (m: Max, i) => fieldOf(m.column).flatMap(sf =>
+          rangeOf(sf).map(r =>
+            (StructField(s"agg_$i", sf.dataType, nullable = false), r._2)))
+        case _ => None
+      }
+    if (resolved.isEmpty || !resolved.forall(_.isDefined)) None
+    else Some((StructType(resolved.flatten.map(_._1)),
+      resolved.flatten.map(_._2)))
   }
 }
 

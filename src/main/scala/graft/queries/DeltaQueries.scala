@@ -899,6 +899,21 @@ object DeltaQueries {
         .orderBy("o_orderkey")
     },
 
+    // DSv2 aggregate pushdown: whole-table count/min/max answered from
+    // log stats as a LocalTableScan (StatsAggScanBuilder) — AggPushdownSpec
+    // asserts the plan shape; this gate checks the VALUES against the
+    // oracle's relational recomputation.
+    Q("q_agg_pushdown",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders""".stripMargin) { (s, dir) =>
+      s.read.format("graftdelta")
+        .option("path", rangedTable(s, dir))
+        .load()
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+          max(col("o_orderkey")).as("mx"))
+    },
+
     // MERGE (upsert) end state vs relational oracle over the raw table
     Q("q_merge",
       """SELECT o_orderkey, o_custkey,
