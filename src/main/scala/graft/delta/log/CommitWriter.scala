@@ -398,12 +398,17 @@ object CommitWriter {
     * sinks): if the log already records this appId at or past
     * txnVersion, the append is a no-op. */
   def appendIfAbsent(spark: SparkSession, df: DataFrame, tablePath: String,
-      appId: String, txnVersion: Long, maxRetries: Int = 10): Option[Long] = {
+      appId: String, txnVersion: Long, maxRetries: Int = 10,
+      mergeSchema: Boolean = false): Option[Long] = {
     if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
       return None
     val segment = LogSegment.forTable(spark, new Path(tablePath))
-    val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
-    ProtocolSupport.assertWritable(tablePath, meta, proto)
+    val (meta0, proto) = Replay.metadataAndProtocol(spark, segment)
+    ProtocolSupport.assertWritable(tablePath, meta0, proto)
+    val evolvedMeta =
+      if (mergeSchema) mergedWriteSchema(meta0, df.schema, "appendIfAbsent")
+      else None
+    val meta = evolvedMeta.getOrElse(meta0)
     val completed = GeneratedColumns.complete(
       IdentityColumns.assign(df, meta), meta)
     validateWriteSchema(completed, meta, "appendIfAbsent")
@@ -411,7 +416,9 @@ object CommitWriter {
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
       meta.partitionColumns, configuration = meta.configuration,
       statsColumnOrder = statsOrderOf(meta))
-    val identityUpdate = IdentityColumns.advance(meta, adds)
+    // one metadata action carries identity advance AND schema evolution
+    val metaUpdate = IdentityColumns.advance(meta, adds)
+      .orElse(evolvedMeta)
     val txn = txnJson(SetTransaction(appId, txnVersion,
       Some(System.currentTimeMillis())))
     var seg = segment
@@ -429,7 +436,7 @@ object CommitWriter {
         } else adds.map(addJson)
       try {
         commit(spark, tablePath, v,
-          (txn +: identityUpdate.map(metadataJson).toSeq) ++ addActions,
+          (txn +: metaUpdate.map(metadataJson).toSeq) ++ addActions,
           operation = "WRITE")
         return Some(v)
       } catch {
@@ -443,8 +450,9 @@ object CommitWriter {
           // (the orphaned data files are invisible and vacuumable)
           if (latestTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
             return None
-          // identity allocation is not blind-retryable (see append)
-          if (identityUpdate.isDefined)
+          // identity allocation is not blind-retryable (see append);
+          // schema evolution alone is (same metadata re-commits)
+          if (IdentityColumns.advance(meta, adds).isDefined)
             throw new ConcurrentCommitException(
               s"concurrent commit while allocating identity values for " +
                 s"$tablePath — re-run the batch (values must be " +

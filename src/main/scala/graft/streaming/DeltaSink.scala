@@ -18,8 +18,14 @@ object DeltaSink {
     * first batch (restart before the checkpoint write) stays
     * exactly-once, which bundling rows into the create commit (no txn
     * action) would break. */
+  /** @param mergeSchema evolve the sink table when a restarted stream
+    *   carries net-new columns (the batch-writer `mergeSchema=true`
+    *   semantics: nullable append in the same commit as the batch's
+    *   data; type conflicts still reject). Without it a producer-side
+    *   schema addition stops the stream at the write gate — the
+    *   fail-safe default. */
   def writeStream(df: DataFrame, tablePath: String, appId: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, mergeSchema: Boolean = false): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -30,7 +36,7 @@ object DeltaSink {
           try CommitWriter.createTable(spark, batch.limit(0), tablePath)
           catch { case _: CommitWriter.ConcurrentCommitException => () }
         CommitWriter.appendIfAbsent(spark, batch, tablePath,
-          appId = appId, txnVersion = batchId)
+          appId = appId, txnVersion = batchId, mergeSchema = mergeSchema)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -121,4 +121,32 @@ class ZOrderSinkSpec extends AnyFunSuite {
     assert(replay.isEmpty)
     assert(DeltaTable.forPath(spark, p).read.count() == n)
   }
+
+  test("streaming sink mergeSchema: restarted stream evolves the table") {
+    val p = tmp("sink_ms")
+    val ckpt = Files.createTempDirectory("graft_sinkms_ckpt").toString
+    // sink table born with two columns
+    CommitWriter.createTable(spark,
+      T.events(spark, sf).select("event_id", "user_id").limit(0), p)
+    // the producer restarted with an extra column; without the opt-in
+    // the write gate stops the stream
+    val wider = graft.streaming.EventsStream.readEvents(spark, sf)
+      .select("event_id", "user_id", "value")
+    val qFail = graft.streaming.DeltaSink.writeStream(wider, p,
+      appId = "sink-ms", checkpointDir = ckpt + "_fail")
+    val failed = intercept[Exception] { qFail.awaitTermination(60000) }
+    assert(Iterator.iterate(failed: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("mergeSchema"))))
+    // with it: schema evolves in the same commit as the first batch
+    val q = graft.streaming.DeltaSink.writeStream(wider, p,
+      appId = "sink-ms", checkpointDir = ckpt, mergeSchema = true)
+    q.awaitTermination(60000)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "value"))
+    assert(snap.read.count() == T.events(spark, sf).count())
+    assert(snap.read.where(org.apache.spark.sql.functions.col("value")
+      .isNotNull).count() > 0)
+  }
 }
