@@ -396,6 +396,43 @@ object DatHarness {
       writeContent(c, "latest", maskedWide.filter(col("n_nationkey") < 16))
     }
 
+    build("composite_cluster_widen",
+      "clustered create + append + ALTER COLUMN TYPE widen + append + " +
+        "bare OPTIMIZE + checkpoint") { c =>
+      val narrow = nation
+        .select(col("n_nationkey").cast(ShortType).as("n_nationkey"),
+          col("n_name"))
+      CommitWriter.createTable(spark,
+        narrow.filter(col("n_nationkey") < 8), c.tablePath,
+        clusterBy = Seq("n_nationkey")) // v0: clustering + domainMetadata
+      CommitWriter.append(spark,
+        narrow.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16),
+        c.tablePath) // v1
+      val g = new graft.GraftSession(spark)
+      g.sql(s"ALTER TABLE '${c.tablePath}' " +
+        "ALTER COLUMN n_nationkey TYPE INT") // v2: widen (typeWidening)
+      val wide = nation.select(col("n_nationkey"), col("n_name"))
+      CommitWriter.append(spark,
+        wide.filter(col("n_nationkey") >= 16), c.tablePath) // v3
+      // bare OPTIMIZE: layout comes from the recorded clustering policy;
+      // dataChange=false so content is identical at v4
+      graft.commands.OptimizeCommand.optimize(spark, c.tablePath) // v4
+      // the clustering domain + widened schema must survive a checkpoint
+      CommitWriter.checkpoint(spark, c.tablePath)
+      val seg = LogSegment.forTable(spark, new Path(c.tablePath))
+      require(seg.checkpointVersion.contains(4L), "checkpoint missing")
+      require(graft.delta.log.Clustering.columnsOf(spark, seg) ==
+        Seq("n_nationkey"), "clustering domain lost at the checkpoint")
+      writeMeta(c, "v0", 0, Map.empty, 1, 7)
+      writeMeta(c, "v1", 1, Map.empty, 1, 7)
+      writeMeta(c, "v3", 3, Map.empty, 3, 7)
+      writeMeta(c, "latest", 4, Map.empty, 3, 7)
+      writeContent(c, "v0", narrow.filter(col("n_nationkey") < 8))
+      writeContent(c, "v1", narrow.filter(col("n_nationkey") < 16))
+      writeContent(c, "v3", wide)
+      writeContent(c, "latest", wide)
+    }
+
     build("composite_props_protocol",
       "TBLPROPERTIES change + supported protocol upgrade mid-history") { c =>
       CommitWriter.createTable(spark,
