@@ -30,6 +30,8 @@ object HistoryCommand {
     StructField("createdAt", LongType, nullable = true),
     StructField("lastModified", LongType, nullable = true),
     StructField("partitionColumns", ArrayType(StringType), nullable = false),
+    StructField("clusteringColumns", ArrayType(StringType),
+      nullable = false),
     StructField("numFiles", LongType, nullable = false),
     StructField("sizeInBytes", LongType, nullable = false),
     StructField("properties", MapType(StringType, StringType),
@@ -61,6 +63,7 @@ object HistoryCommand {
           if (mtimes.isEmpty) null else Long.box(mtimes.min)),
       if (mtimes.isEmpty) null else Long.box(mtimes.max),
       snap.partitionColumns,
+      graft.delta.log.Clustering.columnsOf(spark, snap.segment),
       agg.getLong(0),
       agg.getLong(1),
       snap.metadata.configuration,

@@ -942,14 +942,29 @@ object CommitWriter {
       version: Long, conf: WriteConf): Unit =
     if (version > 0 && version % conf.checkpointInterval == 0) {
       try {
-        if (conf.v2Checkpoints) checkpointV2(spark, tablePath)
-        else checkpoint(spark, tablePath)
+        // size the artifact to the table: one part per ~100k file
+        // actions, so a 100 TB table's multi-million-row checkpoint
+        // writes AND replays distributed instead of through one task.
+        // The file count is one aggregation over the live-file list —
+        // paid once per interval, next to a full replay anyway.
+        val nFiles = graft.delta.DeltaTable.forPath(spark, tablePath)
+          .allFiles.count()
+        val parts = autoCheckpointParts(nFiles)
+        if (conf.v2Checkpoints)
+          checkpointV2(spark, tablePath, numSidecars = parts)
+        else checkpoint(spark, tablePath, numParts = parts)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] auto-checkpoint of $tablePath at " +
             s"v$version failed (the commit itself is unaffected): $e")
       }
     }
+
+  /** ~100k add rows per checkpoint part, capped at 64 parts (beyond
+    * that, per-part scheduling overhead beats the parallelism). */
+  final val AutoCheckpointRowsPerPart = 100000L
+  private[delta] def autoCheckpointParts(nFiles: Long): Int =
+    math.min(64L, nFiles / AutoCheckpointRowsPerPart + 1).toInt
 
   /** Write a classic single-file checkpoint at the current version and
     * update `_last_checkpoint`.

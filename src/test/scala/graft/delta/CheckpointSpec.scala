@@ -341,6 +341,15 @@ class CheckpointSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p).read.count() == 2)
   }
 
+  test("auto-checkpoint part count scales with the live-file count") {
+    import graft.delta.log.CommitWriter.autoCheckpointParts
+    assert(autoCheckpointParts(0L) == 1)
+    assert(autoCheckpointParts(99999L) == 1)
+    assert(autoCheckpointParts(100000L) == 2)
+    assert(autoCheckpointParts(1000000L) == 11)
+    assert(autoCheckpointParts(100000000L) == 64) // capped
+  }
+
   test("interval property flipped mid-life takes effect from that commit") {
     val p = tmp("autocp_flip")
     CommitWriter.createTable(spark, region.limit(1), p) // default 10

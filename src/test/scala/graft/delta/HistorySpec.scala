@@ -29,10 +29,19 @@ class HistorySpec extends AnyFunSuite {
     assert(d.getAs[String]("location") == p)
     assert(d.getAs[scala.collection.Seq[String]]("partitionColumns")
       .toSeq == Seq("r_regionkey"))
+    assert(d.getAs[scala.collection.Seq[String]]("clusteringColumns")
+      .isEmpty)
     assert(d.getAs[Long]("numFiles") == 5L) // one file per region key
     assert(d.getAs[Long]("sizeInBytes") > 0L)
     assert(d.getAs[Int]("minReaderVersion") >= 1)
     assert(d.getAs[Long]("lastModified") >= d.getAs[Long]("createdAt"))
+    // clustered tables surface their layout policy in DETAIL
+    val pc = tmp("detail_cl")
+    CommitWriter.createTable(spark, region, pc,
+      clusterBy = Seq("r_regionkey"))
+    assert(g.sql(s"DESCRIBE DETAIL '$pc'").collect().head
+      .getAs[scala.collection.Seq[String]]("clusteringColumns")
+      .toSeq == Seq("r_regionkey"))
   }
 
   test("DESCRIBE HISTORY lists commits newest-first with operations") {
