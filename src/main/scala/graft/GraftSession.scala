@@ -355,6 +355,12 @@ final class GraftSession(val spark: SparkSession) {
         else spark.table(source)
       graft.commands.MergeCommand.upsert(spark,
         resolveTablePath(table), src, keys)
+    case MergeDeleteStatement(table, source, keys) =>
+      val src =
+        if (source.contains("/")) spark.read.parquet(source)
+        else spark.table(source)
+      graft.commands.MergeCommand.deleteMatched(spark,
+        resolveTablePath(table), src, keys)
     case ShowCatalogsStatement =>
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       LocalCatalog.list().foreach(c =>

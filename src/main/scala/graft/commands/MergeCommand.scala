@@ -161,6 +161,113 @@ object MergeCommand {
     spark.createDataFrame(rows, VacuumCommand.metricsSchema)
   }
 
+  /** MERGE ... WHEN MATCHED THEN DELETE (no insert clause): remove
+    * every target row whose keys appear in `source` — the
+    * retention/GDPR "forget these keys" pattern, where the key set is
+    * itself a table and a literal IN-list would not scale. Same
+    * file-granular machinery as upsert: DV tables mask the matched
+    * rows in place (no data file moves — works on column-mapped and
+    * row-tracked tables for the same reason DV DELETE does); CoW
+    * tables rewrite only the affected files WITHOUT their matched
+    * rows. */
+  def deleteMatched(spark: SparkSession, tablePath: String,
+      source: DataFrame, keys: Seq[String]): DataFrame = {
+    val snap = DeltaTable.forPath(spark, tablePath)
+    val cdfOn = graft.delta.log.ProtocolSupport.cdfEnabled(snap.metadata)
+    graft.delta.log.ProtocolSupport.assertWritable(
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+      producesCdc = cdfOn)
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    require(keys.forall(source.columns.contains),
+      s"source is missing key columns: " +
+        keys.filterNot(source.columns.contains))
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
+
+    def deleteCdc(): Seq[String] =
+      if (!cdfOn) Seq.empty
+      else {
+        val pre = snap.read.join(srcKeys, keys, "left_semi")
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
+        CommitWriter.writeCdcFiles(spark, pre, tablePath,
+          snap.partitionColumns).map(CommitWriter.cdcJson)
+      }
+
+    if (DmlCommands.dvEnabled(snap)) {
+      val (written, info) = DmlCommands.buildDvs(spark, tablePath, snap,
+        _.join(srcKeys, keys, "left_semi"))
+      val (actions, masked, fullyRemoved, _) =
+        DmlCommands.maskActions(written, info)
+      val protoUpgrade = graft.delta.log.ProtocolSupport
+        .withDeletionVectors(snap.protocol)
+        .map(CommitWriter.protocolJson).toSeq
+      val touched = written.map(w => info(w.fkey).relPath).toSet
+      CommitWriter.commitWithRebase(spark, tablePath, snap.version,
+        protoUpgrade ++ actions ++ deleteCdc(),
+        operation = "MERGE",
+        profile = graft.delta.log.ConflictChecker.TxnProfile(
+          readPaths = touched, removePaths = touched,
+          dependsOnNewData = true),
+        operationParameters = mergeParams(keys) +
+          ("matchedDelete" -> "true"))
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row("files_rewritten", "0"))
+      rows.add(Row("files_dv_masked", masked.toString))
+      rows.add(Row("files_fully_removed", fullyRemoved.toString))
+      return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+    }
+
+    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
+      "copy-on-write MERGE DELETE on column-mapped tables is not " +
+        "supported — enable delta.enableDeletionVectors (merge-on-read " +
+        "never rewrites data files)")
+    require(!graft.delta.log.RowTracking.enabled(snap.metadata),
+      "copy-on-write MERGE DELETE on a row-tracked table would move " +
+        "surviving rows and reassign their ids — set " +
+        "delta.enableDeletionVectors=true")
+    val target = DeltaScan.buildWithFileKey(snap)
+    val affected = target.join(srcKeys, keys, "left_semi")
+      .select(DeltaScan.FileKeyColumn).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fileRows = snap.allFiles.collect()
+    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+    val qualified = fs.makeQualified(snap.tablePath)
+    def normKey(rel: String): String = {
+      val p = new org.apache.hadoop.fs.Path(qualified, rel)
+      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
+    }
+    val affectedRel = fileRows.map(_.getAs[String]("path"))
+      .filter(rel => affected.contains(normKey(rel)))
+    // survivors of affected files (unchanged rows — no constraint or
+    // generated-column recomputation needed, nothing was modified)
+    val adds =
+      if (affected.isEmpty) Seq.empty
+      else CommitWriter.writeFiles(spark,
+        DeltaScan.whereFileKeyIn(target, affected)
+          .join(srcKeys, keys, "left_anti")
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+        tablePath, snap.partitionColumns,
+        configuration = snap.metadata.configuration,
+        statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+    val now = System.currentTimeMillis()
+    val removes = affectedRel.map(p => CommitWriter.removeJson(
+      Actions.RemoveFile(p, Some(now), dataChange = true)))
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
+      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++
+        deleteCdc(),
+      operation = "MERGE",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = affectedRel.toSet, removePaths = affectedRel.toSet,
+        dependsOnNewData = true),
+      operationParameters = mergeParams(keys) +
+        ("matchedDelete" -> "true"))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("files_rewritten", affectedRel.length.toString))
+    rows.add(Row("files_added", adds.size.toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+
   /** Write-time CDC for MERGE — the case that makes write-time CDC
     * worth having: the writer KNOWS which source rows matched (update)
     * vs not (insert), a split no log-derived diff can reconstruct.

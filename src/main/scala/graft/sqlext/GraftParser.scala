@@ -66,6 +66,9 @@ object GraftParser {
   /** Upsert-shaped MERGE: UPDATE SET * / INSERT * on key equality. */
   final case class MergeStatement(table: String, source: String,
       keys: Seq[String]) extends Statement
+  /** MERGE ... WHEN MATCHED THEN DELETE (delete-by-key-set). */
+  final case class MergeDeleteStatement(table: String, source: String,
+      keys: Seq[String]) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -266,10 +269,14 @@ object GraftParser {
       "expected WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     val tailWords = rest1.drop(onEnd).collect { case w: Word => w.upper }
       .mkString(" ")
-    if (tailWords != "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val isUpsert =
+      tailWords == "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    val isDelete = tailWords == "WHEN MATCHED THEN DELETE"
+    if (!isUpsert && !isDelete)
       throw new ParseException(
-        "only the upsert MERGE shape is supported: WHEN MATCHED THEN " +
-          s"UPDATE SET * WHEN NOT MATCHED THEN INSERT * (got: $tailWords)")
+        "supported MERGE shapes: WHEN MATCHED THEN UPDATE SET * WHEN " +
+          "NOT MATCHED THEN INSERT * (upsert) | WHEN MATCHED THEN " +
+          s"DELETE (got: $tailWords)")
     val keys = sqlOf(rest1.slice(1, onEnd)).split("(?i)\\bAND\\b").map { eq =>
       val sides = eq.split("=", 2).map(_.trim)
       if (sides.length != 2)
@@ -281,7 +288,8 @@ object GraftParser {
           s"ON clause must equate the same column name on both sides: $eq")
       names(0)
     }.toSeq
-    MergeStatement(table, source, keys)
+    if (isDelete) MergeDeleteStatement(table, source, keys)
+    else MergeStatement(table, source, keys)
   }
 
   /** ALTER TABLE <ref> RENAME COLUMN a TO b | ADD COLUMN a <type> |

@@ -113,4 +113,70 @@ class MergeSpec extends AnyFunSuite {
       MergeCommand.upsert(spark, p, dupSource, Seq("o_orderkey"))
     }
   }
+
+  test("MERGE WHEN MATCHED DELETE removes the key set (CoW)") {
+    val p = tmp("mdel")
+    CommitWriter.createTable(spark,
+      orders.repartition(4, col("o_orderkey")), p)
+    val forget = orders.where(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey")
+    val metrics = MergeCommand.deleteMatched(spark, p, forget,
+      Seq("o_orderkey"))
+    val out = DeltaTable.forPath(spark, p).read
+    assert(out.count() ==
+      orders.where(col("o_orderkey") % 7 =!= 0).count())
+    assert(out.where(col("o_orderkey") % 7 === 0).count() == 0)
+    // only files holding matches were rewritten (here: all 4, keys are
+    // spread), and history stays time-travelable
+    assert(DeltaTable.forPath(spark, p, Some(0)).read.count() ==
+      orders.count())
+    val m = metrics.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("files_rewritten").toInt > 0)
+    // a second pass with the same keys is a no-op commit
+    MergeCommand.deleteMatched(spark, p, forget, Seq("o_orderkey"))
+    assert(DeltaTable.forPath(spark, p).read.count() == out.count())
+  }
+
+  test("MERGE WHEN MATCHED DELETE on a DV table masks, moves nothing") {
+    val p = tmp("mdel_dv")
+    CommitWriter.createTable(spark,
+      orders.repartition(2, col("o_orderkey")), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaTable.forPath(spark, p).allFiles
+      .select("path").collect().map(_.getString(0)).toSet
+    val forget = orders.where(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"))
+    val metrics = MergeCommand.deleteMatched(spark, p, forget,
+      Seq("o_orderkey"))
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.read.count() ==
+      orders.where(col("o_orderkey") % 5 =!= 0).count())
+    // merge-on-read: the data files never moved
+    assert(snap.allFiles.select("path").collect()
+      .map(_.getString(0)).toSet == before)
+    val m = metrics.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("files_rewritten") == "0" && m("files_dv_masked").toInt > 0)
+  }
+
+  test("MERGE WHEN MATCHED DELETE through SQL, with CDC labels") {
+    val p = tmp("mdel_sql")
+    CommitWriter.createTable(spark, orders.limit(100), p,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val srcPath = tmp("mdel_src").stripSuffix("/tbl") + "/src_parquet"
+    orders.limit(100).where(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey")
+      .write.mode("overwrite").parquet(srcPath)
+    new graft.GraftSession(spark).sql(
+      s"MERGE INTO '$p' USING '$srcPath' ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN DELETE")
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.read.where(col("o_orderkey") % 3 === 0).count() == 0)
+    // write-time CDC: the commit carries authoritative delete rows
+    val cdc = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+    assert(cdc.where(col("_change_type") === "delete").count() ==
+      orders.limit(100).where(col("o_orderkey") % 3 === 0).count())
+    assert(cdc.where(col("_change_type") =!= "delete").count() == 0)
+  }
 }
