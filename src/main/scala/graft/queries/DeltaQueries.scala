@@ -445,6 +445,19 @@ object DeltaQueries {
     path
   }
 
+  /** Orders table after MERGE ... WHEN MATCHED THEN DELETE with the
+    * key set `o_orderkey % 7 == 0` supplied as a source TABLE (the
+    * retention/GDPR shape). */
+  def mergeDeletedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "merge_deleted") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, o.repartition(4), p)
+      graft.commands.MergeCommand.deleteMatched(s, p,
+        o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+    }
+
   /** DV-enabled orders table with a merge-on-read DELETE then UPDATE
     * applied: no data file is ever rewritten — the delete became a
     * deletion vector, the update a DV plus new row-image files. */
@@ -926,6 +939,16 @@ object DeltaQueries {
         |FROM orders WHERE o_orderkey < 10
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // MERGE ... WHEN MATCHED THEN DELETE: the key set is a TABLE, the
+    // oracle recomputes the survivors relationally.
+    Q("q_merge_delete",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, mergeDeletedTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 
