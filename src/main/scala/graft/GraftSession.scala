@@ -349,18 +349,11 @@ final class GraftSession(val spark: SparkSession) {
         sets.map { case (c, e) =>
           c -> org.apache.spark.sql.functions.expr(e) }.toMap)
     case MergeStatement(table, source, keys) =>
-      // source resolves as a view/table name first, else a parquet path
-      val src =
-        if (source.contains("/")) spark.read.parquet(source)
-        else spark.table(source)
       graft.commands.MergeCommand.upsert(spark,
-        resolveTablePath(table), src, keys)
+        resolveTablePath(table), resolveMergeSource(source), keys)
     case MergeDeleteStatement(table, source, keys) =>
-      val src =
-        if (source.contains("/")) spark.read.parquet(source)
-        else spark.table(source)
       graft.commands.MergeCommand.deleteMatched(spark,
-        resolveTablePath(table), src, keys)
+        resolveTablePath(table), resolveMergeSource(source), keys)
     case ShowCatalogsStatement =>
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       LocalCatalog.list().foreach(c =>
@@ -377,6 +370,11 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   /** A VACUUM target is either a registered table name or a path. */
+  /** MERGE source: a view/table name, else a parquet path. */
+  private def resolveMergeSource(source: String): DataFrame =
+    if (source.contains("/")) spark.read.parquet(source)
+    else spark.table(source)
+
   private def resolveTablePath(table: String): String =
     if (table.contains("/") || table.contains(":")) table
     else tables.names.find(_ == table)

@@ -101,6 +101,30 @@ object DmlCommands {
     *   metadata), produce the labeled change set. Only evaluated when
     *   the table requests CDC — the extra pass over the AFFECTED files
     *   is the write-time cost the property opts into. */
+  /** Normalizer from a log-relative file path to the file-key form
+    * DeltaScan stamps on rows (normalized absolute path, %XX-decoded
+    * by the File->URI round-trip) — the ONE place this encoding
+    * contract lives; every file-granular DML shares it. */
+  private[commands] def fileKeyNormalizer(spark: SparkSession,
+      snap: graft.delta.Snapshot): String => String = {
+    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+    val qualified = fs.makeQualified(snap.tablePath)
+    rel => {
+      val p = new Path(qualified, rel)
+      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
+    }
+  }
+
+  /** Log-relative paths of the live files whose normalized keys are in
+    * `affected` (the collected state is the file list — metadata-
+    * bounded, the same rows the commit JSON must hold). */
+  private[commands] def affectedRelPaths(spark: SparkSession,
+      snap: graft.delta.Snapshot, affected: Set[String]): Seq[String] = {
+    val norm = fileKeyNormalizer(spark, snap)
+    snap.allFiles.collect().map(_.getAs[String]("path"))
+      .filter(rel => affected.contains(norm(rel))).toSeq
+  }
+
   private def rewrite(spark: SparkSession, tablePath: String,
       condition: Column, operation: String,
       keep: DataFrame => DataFrame,
@@ -126,15 +150,7 @@ object DmlCommands {
 
     if (affected.isEmpty) return metrics(spark, 0, 0, operation)
 
-    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
-    val qualified = fs.makeQualified(snap.tablePath)
-    def normKey(rel: String): String = {
-      val p = new org.apache.hadoop.fs.Path(qualified, rel)
-      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
-    }
-    val affectedRel = snap.allFiles.collect()
-      .map(_.getAs[String]("path"))
-      .filter(rel => affected.contains(normKey(rel)))
+    val affectedRel = affectedRelPaths(spark, snap, affected)
 
     val rewritten = keep(DeltaScan.whereFileKeyIn(target, affected))
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -411,12 +427,7 @@ object DmlCommands {
     // deriving "affected" keys from a second restrict(target) pass
     // would cost a full extra table scan, and under a nondeterministic
     // predicate could even disagree with `matched`
-    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
-    val qualified = fs.makeQualified(snap.tablePath)
-    def normKey(rel: String): String = {
-      val p = new Path(qualified, rel)
-      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
-    }
+    val normKey = fileKeyNormalizer(spark, snap)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val info: Map[String, FileInfo] = snap.allFiles
       .select("path", "partitionValues", "size", "modificationTime",
@@ -449,7 +460,8 @@ object DmlCommands {
     val existingDvs: Map[String, DeletionVectorDescriptor] =
       info.collect { case (k, f) if f.dv.isDefined => k -> f.dv.get }
     val dvBc = spark.sparkContext.broadcast(existingDvs)
-    val tableStr = qualified.toString
+    val tableStr = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+      .makeQualified(snap.tablePath).toString
 
     import spark.implicits._
     val written: Seq[DvWritten] = matched

@@ -113,16 +113,7 @@ object MergeCommand {
       .select(DeltaScan.FileKeyColumn).distinct()
       .collect().map(_.getString(0)).toSet
 
-    // rel path <-> normalized abs key mapping from the live file list
-    val fileRows = snap.allFiles.collect()
-    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
-    val qualified = fs.makeQualified(snap.tablePath)
-    def normKey(rel: String): String = {
-      val p = new org.apache.hadoop.fs.Path(qualified, rel)
-      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
-    }
-    val affectedRel = fileRows.map(_.getAs[String]("path"))
-      .filter(rel => affected.contains(normKey(rel)))
+    val affectedRel = DmlCommands.affectedRelPaths(spark, snap, affected)
 
     // rows to rewrite: unmatched rows of affected files + all of source
     val keptFromAffected =
@@ -197,6 +188,13 @@ object MergeCommand {
     if (DmlCommands.dvEnabled(snap)) {
       val (written, info) = DmlCommands.buildDvs(spark, tablePath, snap,
         _.join(srcKeys, keys, "left_semi"))
+      if (written.isEmpty) {
+        // nothing matched: no commit (see the CoW branch note)
+        val rows = new java.util.ArrayList[Row]()
+        rows.add(Row("files_rewritten", "0"))
+        rows.add(Row("files_dv_masked", "0"))
+        return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+      }
       val (actions, masked, fullyRemoved, _) =
         DmlCommands.maskActions(written, info)
       val protoUpgrade = graft.delta.log.ProtocolSupport
@@ -230,26 +228,25 @@ object MergeCommand {
     val affected = target.join(srcKeys, keys, "left_semi")
       .select(DeltaScan.FileKeyColumn).distinct()
       .collect().map(_.getString(0)).toSet
-    val fileRows = snap.allFiles.collect()
-    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
-    val qualified = fs.makeQualified(snap.tablePath)
-    def normKey(rel: String): String = {
-      val p = new org.apache.hadoop.fs.Path(qualified, rel)
-      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
+    if (affected.isEmpty) {
+      // nothing matched: no commit at all (a scheduled retention job
+      // re-running the same key set must not churn versions, fire
+      // auto-checkpoints, or emit empty CDC commits)
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row("files_rewritten", "0"))
+      rows.add(Row("files_added", "0"))
+      return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
     }
-    val affectedRel = fileRows.map(_.getAs[String]("path"))
-      .filter(rel => affected.contains(normKey(rel)))
+    val affectedRel = DmlCommands.affectedRelPaths(spark, snap, affected)
     // survivors of affected files (unchanged rows — no constraint or
     // generated-column recomputation needed, nothing was modified)
-    val adds =
-      if (affected.isEmpty) Seq.empty
-      else CommitWriter.writeFiles(spark,
-        DeltaScan.whereFileKeyIn(target, affected)
-          .join(srcKeys, keys, "left_anti")
-          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
-        tablePath, snap.partitionColumns,
-        configuration = snap.metadata.configuration,
-        statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+    val adds = CommitWriter.writeFiles(spark,
+      DeltaScan.whereFileKeyIn(target, affected)
+        .join(srcKeys, keys, "left_anti")
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+      tablePath, snap.partitionColumns,
+      configuration = snap.metadata.configuration,
+      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))

@@ -942,17 +942,12 @@ object CommitWriter {
       version: Long, conf: WriteConf): Unit =
     if (version > 0 && version % conf.checkpointInterval == 0) {
       try {
-        // size the artifact to the table: one part per ~100k file
-        // actions, so a 100 TB table's multi-million-row checkpoint
-        // writes AND replays distributed instead of through one task.
-        // The file count is one aggregation over the live-file list —
-        // paid once per interval, next to a full replay anyway.
-        val nFiles = graft.delta.DeltaTable.forPath(spark, tablePath)
-          .allFiles.count()
-        val parts = autoCheckpointParts(nFiles)
+        // numParts = -1: the checkpoint sizes its own artifact (one
+        // part per ~100k file actions) from the replay it performs
+        // anyway — no extra snapshot resolution on the commit path
         if (conf.v2Checkpoints)
-          checkpointV2(spark, tablePath, numSidecars = parts)
-        else checkpoint(spark, tablePath, numParts = parts)
+          checkpointV2(spark, tablePath, numSidecars = -1)
+        else checkpoint(spark, tablePath, numParts = -1)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] auto-checkpoint of $tablePath at " +
@@ -981,6 +976,8 @@ object CommitWriter {
     *   atomic as a set, but readers ignore a version whose part count
     *   does not match the filename-declared total, so a crash mid-
     *   publish leaves the previous checkpoint + commit tail in effect. */
+  /** @param numParts part count; -1 = auto-size from the live-file
+    *   count ([[autoCheckpointParts]] — ~100k add rows per part). */
   def checkpoint(spark: SparkSession, tablePath: String,
       numParts: Int = 1): Long = {
     import org.apache.spark.sql.expressions.Window
@@ -1001,8 +998,12 @@ object CommitWriter {
         "— use checkpointV2()")
     val (fileRows, nonFileRows) = checkpointRows(spark, segment, meta, proto)
     val all = fileRows.unionByName(nonFileRows)
+    val parts =
+      if (numParts == -1) autoCheckpointParts(
+        fileRows.where(col("add").isNotNull).count())
+      else numParts
 
-    writeClassicCheckpointFiles(spark, tablePath, segment, all, numParts)
+    writeClassicCheckpointFiles(spark, tablePath, segment, all, parts)
     maybeCleanupExpiredLogs(spark, tablePath, meta)
     segment.version
   }
@@ -1285,7 +1286,7 @@ object CommitWriter {
     *   checkpoint's millions of file actions write AND replay
     *   distributed across sidecars while the manifest stays tiny. */
   def checkpointV2(spark: SparkSession, tablePath: String,
-      numSidecars: Int = 1): Long = {
+      numSidecars: Int = 1): Long = { // -1 = auto-size (~100k rows/part)
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
@@ -1301,8 +1302,12 @@ object CommitWriter {
     fs.mkdirs(sidecarDir)
     val staging = new Path(logPath,
       s".checkpoint_v2_staging_${UUID.randomUUID().toString.take(8)}")
-    (if (numSidecars <= 1) fileRows.coalesce(1)
-     else fileRows.repartition(numSidecars))
+    val sidecarCount =
+      if (numSidecars == -1) autoCheckpointParts(
+        fileRows.where(col("add").isNotNull).count())
+      else numSidecars
+    (if (sidecarCount <= 1) fileRows.coalesce(1)
+     else fileRows.repartition(sidecarCount))
       .write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))

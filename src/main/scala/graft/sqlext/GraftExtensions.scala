@@ -96,6 +96,9 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: DeleteStatement => VacuumCommand.metricsSchema
       case _: UpdateStatement => VacuumCommand.metricsSchema
       case _: MergeStatement => VacuumCommand.metricsSchema
+      case _: MergeDeleteStatement => VacuumCommand.metricsSchema
+      case _: ClusterByStatement => VacuumCommand.metricsSchema
+      case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

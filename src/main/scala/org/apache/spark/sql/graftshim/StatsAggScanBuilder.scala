@@ -38,6 +38,18 @@ final class StatsAggScanBuilder(
 
   private var local: Option[(StructType, Seq[Any])] = None
   private var anyFilters = false
+  // Spark probes supportCompletePushDown then calls pushAggregation —
+  // memoize per aggregation so the metadata jobs run once, not twice
+  private var memo: Option[(Aggregation, Option[(StructType, Seq[Any])])] =
+    None
+  private def answered(agg: Aggregation): Option[(StructType, Seq[Any])] =
+    memo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = answer(agg)
+        memo = Some((agg, r))
+        r
+    }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // ANY pushed filter (even partition-only) invalidates global
@@ -50,15 +62,18 @@ final class StatsAggScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
 
+  // stats-unanswerable aggregations still fall through to the
+  // delegate's OWN aggregate pushdown (parquet footer stats, behind
+  // spark.sql.parquet.aggregatePushDown) — wrapping must not remove a
+  // capability the bare builder had
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    !anyFilters && answer(agg).isDefined
+    (!anyFilters && answered(agg).isDefined) ||
+      delegate.supportCompletePushDown(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (anyFilters) false
-    else answer(agg) match {
-      case Some(resolved) => local = Some(resolved); true
-      case None => false
-    }
+    if (!anyFilters && answered(agg).isDefined) {
+      local = answered(agg); true
+    } else delegate.pushAggregation(agg)
 
   override def build(): Scan = local match {
     case Some((sch, vals)) => new LocalScan {

@@ -76,6 +76,34 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[Exception] { extSpark.sql("VACUUM") }
   }
 
+  test("every extension statement resolves through spark.sql (no MatchError)") {
+    // regression: GraftCommand.output is a type match over the sealed
+    // Statement family — a statement added to the parser but not to
+    // that match crashes at PLAN time through the injected-extension
+    // path while the GraftSession.sql path (which specs usually
+    // exercise) keeps working
+    val d = Files.createTempDirectory("graft_ext_all").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val orders = extSpark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"))
+    CommitWriter.createTable(extSpark, orders.limit(50), p)
+    // CLUSTER BY / ALTER COLUMN TYPE / MERGE DELETE via spark.sql
+    extSpark.sql(s"ALTER TABLE '$p' CLUSTER BY (o_custkey)")
+    extSpark.sql(s"ALTER TABLE '$p' ALTER COLUMN o_custkey TYPE BIGINT")
+    val srcDir = new java.io.File(d, "src").getAbsolutePath
+    orders.limit(50).where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey").write.mode("overwrite").parquet(srcDir)
+    extSpark.sql(s"MERGE INTO '$p' USING '$srcDir' " +
+      "ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
+    val snap = DeltaTable.forPath(extSpark, p)
+    assert(snap.read.where(col("o_orderkey") % 2 === 0).count() == 0)
+    assert(snap.schema("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    extSpark.sql(s"ALTER TABLE '$p' CLUSTER BY NONE")
+  }
+
   test("vector_dot is SQL-callable through the injected function") {
     val d = extSpark.sql(
       """SELECT vector_dot(
