@@ -23,7 +23,7 @@ object Bench {
       // events.parquet is TIMESTAMP(NANOS); pin the legacy-long reading at
       // session build so no timed run depends on which query set it first
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the 121-query run leaks orphaned shuffle/broadcast/checkpoint
+      // the full-suite run leaks orphaned shuffle/broadcast/checkpoint
       // blocks between queries; with a big heap the JVM may not GC for
       // the whole run, so ContextCleaner never fires and late queries
       // time block-manager pressure instead of themselves. Force a
