@@ -53,6 +53,9 @@ final class GraftSession(val spark: SparkSession) {
       graft.commands.HistoryCommand.history(spark, resolveTablePath(table))
     case DescribeDetailStatement(table) =>
       graft.commands.HistoryCommand.detail(spark, resolveTablePath(table))
+    case CloneStatement(target, source) =>
+      graft.commands.CloneCommand.shallowClone(spark,
+        resolveTablePath(source), resolveTablePath(target))
     case RestoreStatement(table, version) =>
       graft.commands.HistoryCommand.restore(spark,
         resolveTablePath(table), version)

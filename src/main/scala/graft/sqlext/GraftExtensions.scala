@@ -84,6 +84,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         graft.commands.HistoryCommand.historySchema
       case _: RestoreStatement => VacuumCommand.metricsSchema
       case _: ConvertStatement => graft.commands.ConvertCommand.metricsSchema
+      case _: CloneStatement => VacuumCommand.metricsSchema
       case _: DescribeDetailStatement =>
         graft.commands.HistoryCommand.detailSchema
       case _: RenameColumnStatement => VacuumCommand.metricsSchema

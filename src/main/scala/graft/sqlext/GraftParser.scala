@@ -37,6 +37,10 @@ object GraftParser {
   final case class RestoreStatement(table: String, version: Long) extends Statement
   final case class ConvertStatement(table: String,
       partitionColumns: Seq[String] = Seq.empty) extends Statement
+  /** CREATE TABLE <target> SHALLOW CLONE <source>: metadata-only copy
+    * referencing the source's files absolutely. */
+  final case class CloneStatement(target: String,
+      source: String) extends Statement
   final case class RenameColumnStatement(table: String,
       from: String, to: String) extends Statement
   final case class AddColumnStatement(table: String,
@@ -594,6 +598,21 @@ object GraftParser {
         throw new NotImplementedStatement(s"$verb FOREIGN CATALOG")
       case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
         throw new NotImplementedStatement(s"CREATE $obj")
+      case Some("TABLE") if verb == "CREATE" && toks.exists {
+            case w: Word => w.upper == "SHALLOW"
+            case _ => false
+          } =>
+        // CREATE TABLE <target> SHALLOW CLONE <source>
+        val (target, rest) = parseTableRefAndRest(toks.drop(1))
+        if (!wordAt(rest, 0).contains("SHALLOW") ||
+          !wordAt(rest, 1).contains("CLONE") || rest.length < 3)
+          throw new ParseException(
+            "expected CREATE TABLE <target> SHALLOW CLONE <source>")
+        val (source, rest2) = parseTableRefAndRest(rest.drop(2))
+        if (rest2.nonEmpty) throw new ParseException(
+          "unexpected input after SHALLOW CLONE <source>: " +
+            rest2.map(_.text).mkString(" "))
+        Some(CloneStatement(target, source))
       case _ => None // plain CREATE TABLE etc → delegate
     }
   }

@@ -61,4 +61,25 @@ class CloneSpec extends AnyFunSuite {
       Seq(col("o_orderstatus") === "F")).count()
     assert(pruned < snap.allFiles.count())
   }
+
+  test("CREATE TABLE ... SHALLOW CLONE through SQL") {
+    val src = tmp("sql_src")
+    val dst = tmp("sql_dst")
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    graft.delta.log.CommitWriter.createTable(spark, region, src)
+    val m = new graft.GraftSession(spark)
+      .sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("source_version") == "0")
+    assert(DeltaTable.forPath(spark, dst).read.count() == region.count())
+    // plain CREATE TABLE is NOT ours — it must delegate to Spark
+    assert(graft.sqlext.GraftParser
+      .parse("CREATE TABLE t (a INT) USING parquet").isEmpty)
+    // malformed SHALLOW CLONE names the expected grammar
+    val err = intercept[IllegalArgumentException] {
+      graft.sqlext.GraftParser.parse(
+        s"CREATE TABLE '$dst' SHALLOW CLONE")
+    }
+    assert(err.getMessage.contains("SHALLOW CLONE"))
+  }
 }
