@@ -191,6 +191,53 @@ final class GraftSession(val spark: SparkSession) {
           newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
       alterMetrics(
         s"widened $name ${from.simpleString} -> ${to.simpleString}", cv)
+    case AlterColumnDefaultStatement(table, name, defaultSql) =>
+      val path = resolveTablePath(table)
+      val snap = graft.delta.DeltaTable.forPath(spark, path)
+      val schema = snap.schema
+      require(schema.fieldNames.contains(name), s"no such column: $name")
+      require(!snap.partitionColumns.contains(name),
+        "cannot set a DEFAULT on a partition column")
+      val field = schema(name)
+      require(!field.metadata.contains("delta.generationExpression") &&
+        !field.metadata.contains("delta.identity.start"),
+        s"$name is generated/identity — its values are computed, a " +
+          "DEFAULT would conflict")
+      import graft.delta.log.ColumnDefaults
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(field.metadata)
+      val (newMeta, protoUpgrade) = defaultSql match {
+        case Some(sql) =>
+          // the default must analyze and cast to the column's type NOW,
+          // not at some future write ("abc" on an int column must fail
+          // at ALTER time, named, never brick every later append)
+          spark.range(1)
+            .select(org.apache.spark.sql.functions.expr(sql)
+              .cast(field.dataType)).collect()
+          (mb.putString(ColumnDefaults.MetadataKey, sql).build(),
+            graft.delta.log.ProtocolSupport
+              .withWriterFeature(snap.protocol, ColumnDefaults.Feature))
+        case None =>
+          require(field.metadata.contains(ColumnDefaults.MetadataKey),
+            s"$name has no DEFAULT to drop")
+          (mb.remove(ColumnDefaults.MetadataKey).build(), None)
+      }
+      val fields = schema.fields.map(f =>
+        if (f.name == name) f.copy(metadata = newMeta) else f)
+      val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
+        snap.metadata.copy(schemaString =
+          org.apache.spark.sql.types.StructType(fields).json),
+        extraActions = protoUpgrade
+          .map(graft.delta.log.CommitWriter.protocolJson).toSeq)
+      alterMetrics(defaultSql match {
+        case Some(sql) => s"set default $name = $sql"
+        case None => s"dropped default $name"
+      }, v)
+    case RestoreTimestampStatement(table, ts) =>
+      val path = resolveTablePath(table)
+      val target = graft.delta.DeltaTable.forPathAtTimestamp(spark, path,
+        graft.delta.sources.GraftDeltaSource.parseUtcMillis(ts))
+      graft.commands.HistoryCommand.restore(spark, path, target.version)
     case ClusterByStatement(table, cols) =>
       val path = resolveTablePath(table)
       val snap = graft.delta.DeltaTable.forPath(spark, path)

@@ -306,7 +306,8 @@ object CommitWriter {
       else None
     val meta = evolvedMeta.getOrElse(meta0)
     val completed = GeneratedColumns.complete(
-      IdentityColumns.assign(df, meta), meta)
+      ColumnDefaults.complete(IdentityColumns.assign(df, meta), meta),
+      meta)
     validateWriteSchema(completed, meta, "append")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
@@ -410,7 +411,8 @@ object CommitWriter {
       else None
     val meta = evolvedMeta.getOrElse(meta0)
     val completed = GeneratedColumns.complete(
-      IdentityColumns.assign(df, meta), meta)
+      ColumnDefaults.complete(IdentityColumns.assign(df, meta), meta),
+      meta)
     validateWriteSchema(completed, meta, "appendIfAbsent")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
@@ -491,7 +493,8 @@ object CommitWriter {
       else None
     val effMeta = evolvedMeta.getOrElse(snap.metadata)
     val completed = GeneratedColumns.complete(
-      IdentityColumns.assign(df, effMeta), effMeta)
+      ColumnDefaults.complete(IdentityColumns.assign(df, effMeta), effMeta),
+      effMeta)
     validateWriteSchema(completed, effMeta, "overwrite")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, effMeta), effMeta),

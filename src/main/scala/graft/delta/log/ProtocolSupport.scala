@@ -62,7 +62,10 @@ object ProtocolSupport {
     // clustered tables: clustering columns in the delta.clustering
     // domain; OPTIMIZE re-clusters by them (Clustering). Writer-only
     // and advisory per spec — no read-side obligation
-    "clustering")
+    "clustering",
+    // column DEFAULT values: CURRENT_DEFAULT in field metadata,
+    // materialized at write time into omitting batches (ColumnDefaults)
+    "allowColumnDefaults")
 
   /** The protocol a table needs before row tracking may be written:
     * `rowTracking` plus its `domainMetadata` dependency. `None` when

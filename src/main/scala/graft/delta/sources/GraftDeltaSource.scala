@@ -194,7 +194,7 @@ object GraftDeltaSource {
     * local datetime interpreted in UTC — NOT the JVM default zone, which
     * would resolve the same option to different versions on different
     * machines (every session here pins spark.sql.session.timeZone=UTC). */
-  private[sources] def parseUtcMillis(ts: String): Long =
+  private[graft] def parseUtcMillis(ts: String): Long =
     scala.util.Try(ts.toLong).getOrElse(
       java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)

@@ -100,6 +100,8 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema
+      case _: AlterColumnDefaultStatement => VacuumCommand.metricsSchema
+      case _: RestoreTimestampStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
     }
     DataTypeUtils.toAttributes(schema)

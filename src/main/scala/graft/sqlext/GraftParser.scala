@@ -35,6 +35,10 @@ object GraftParser {
   final case class DescribeHistoryStatement(table: String) extends Statement
   final case class DescribeDetailStatement(table: String) extends Statement
   final case class RestoreStatement(table: String, version: Long) extends Statement
+  /** RESTORE t TO TIMESTAMP AS OF '<ts>' (ISO local-datetime, UTC, or
+    * epoch millis — the read path's timestampAsOf resolution). */
+  final case class RestoreTimestampStatement(table: String,
+      timestamp: String) extends Statement
   final case class ConvertStatement(table: String,
       partitionColumns: Seq[String] = Seq.empty) extends Statement
   /** CREATE TABLE <target> SHALLOW CLONE <source>: metadata-only copy
@@ -50,6 +54,9 @@ object GraftParser {
   /** ALTER TABLE t ALTER COLUMN c TYPE <type> — widening only. */
   final case class AlterColumnTypeStatement(table: String,
       name: String, typeDdl: String) extends Statement
+  /** ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr> | DROP DEFAULT. */
+  final case class AlterColumnDefaultStatement(table: String,
+      name: String, defaultSql: Option[String]) extends Statement
   final case class AddConstraintStatement(table: String,
       name: String, exprSql: String) extends Statement
   final case class DropConstraintStatement(table: String,
@@ -333,12 +340,20 @@ object GraftParser {
             "expected ADD CONSTRAINT <name> CHECK ( <expr> )")
         }
       case (Some("ALTER"), Some("COLUMN")) =>
-        (rest.lift(2), wordAt(rest, 3)) match {
-          case (Some(a: Word), Some("TYPE")) if rest.length > 4 =>
+        (rest.lift(2), wordAt(rest, 3), wordAt(rest, 4)) match {
+          case (Some(a: Word), Some("TYPE"), _) if rest.length > 4 =>
             AlterColumnTypeStatement(table, a.text,
               rest.drop(4).map(_.text).mkString(" "))
+          case (Some(a: Word), Some("SET"), Some("DEFAULT"))
+              if rest.length > 5 =>
+            AlterColumnDefaultStatement(table, a.text,
+              Some(sqlOf(rest.drop(5))))
+          case (Some(a: Word), Some("DROP"), Some("DEFAULT"))
+              if rest.length == 5 =>
+            AlterColumnDefaultStatement(table, a.text, None)
           case _ => throw new ParseException(
-            "expected ALTER COLUMN <a> TYPE <type>")
+            "expected ALTER COLUMN <a> TYPE <type> | SET DEFAULT <expr> " +
+              "| DROP DEFAULT")
         }
       case (Some("DROP"), Some("CONSTRAINT")) =>
         rest.lift(2) match {
@@ -461,9 +476,20 @@ object GraftParser {
   private def parseRestore(toks: Vector[Tok]): Option[Statement] = {
     val (table, rest0) = parseTableRefAndRest(toks)
     val rest = if (wordAt(rest0, 0).contains("TO")) rest0.drop(1) else rest0
+    if (wordAt(rest, 0).contains("TIMESTAMP") &&
+        wordAt(rest, 1).contains("AS") && wordAt(rest, 2).contains("OF")) {
+      val ts = rest.lift(3).collect {
+        case t: Str => t.text
+        case w: Word => w.text
+      }.getOrElse(throw new ParseException("expected timestamp literal"))
+      if (rest.length > 4) throw new ParseException(
+        s"Unexpected trailing tokens: ${rest.drop(4)}")
+      return Some(RestoreTimestampStatement(table, ts))
+    }
     if (!wordAt(rest, 0).contains("VERSION") ||
         !wordAt(rest, 1).contains("AS") || !wordAt(rest, 2).contains("OF"))
-      throw new ParseException("RESTORE requires VERSION AS OF <n>")
+      throw new ParseException(
+        "RESTORE requires VERSION AS OF <n> or TIMESTAMP AS OF <ts>")
     val v = rest.lift(3).collect { case w: Word => w.text }
       .flatMap(t => scala.util.Try(t.toLong).toOption)
       .getOrElse(throw new ParseException("expected version number"))
