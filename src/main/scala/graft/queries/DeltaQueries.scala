@@ -445,6 +445,22 @@ object DeltaQueries {
     path
   }
 
+  /** Orders table with a column DEFAULT set mid-life: even keys at
+    * create carry real prices, odd keys appended WITHOUT the column
+    * get the default materialized at write time. */
+  def defaultedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "defaulted") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s,
+        o.where(col("o_orderkey") % 2 === 0), p)
+      new graft.GraftSession(s).sql(
+        s"ALTER TABLE '$p' ALTER COLUMN o_totalprice SET DEFAULT 999.5")
+      CommitWriter.append(s,
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey"), p)
+    }
+
   /** Orders table after MERGE ... WHEN MATCHED THEN DELETE with the
     * key set `o_orderkey % 7 == 0` supplied as a source TABLE (the
     * retention/GDPR shape). */
@@ -939,6 +955,18 @@ object DeltaQueries {
         |FROM orders WHERE o_orderkey < 10
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // Column DEFAULT values: the default was materialized at write
+    // time into the omitting append; the oracle recomputes the whole
+    // table relationally.
+    Q("q_column_defaults",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+        |       ELSE 999.5 END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, defaultedTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 

@@ -398,11 +398,22 @@ object GraftParser {
     * (with '' escaping), quoted identifiers re-backticked, everything
     * else space-joined (Spark's grammar tolerates spaces around `.`
     * and inside call parens). */
-  private def sqlOf(toks: Seq[Tok]): String = toks.map {
-    case Str(s) => "'" + s.replace("'", "''") + "'"
-    case Quoted(s) => "`" + s + "`"
-    case t => t.text
-  }.mkString(" ")
+  private def sqlOf(toks: Seq[Tok]): String = {
+    val rendered = toks.map {
+      case Str(s) => "'" + s.replace("'", "''") + "'"
+      case Quoted(s) => "`" + s + "`"
+      case t => t.text
+    }
+    // re-attach '.' to its neighbors: the tokenizer splits qualified
+    // names (t.a) AND decimal literals (999.5) on the dot, and a
+    // spaced "999 . 5" / "t . a" is invalid SQL downstream
+    val sb = new StringBuilder
+    rendered.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0 && r != "." && rendered(i - 1) != ".") sb.append(' ')
+      sb.append(r)
+    }
+    sb.toString
+  }
 
   private def keyText(t: Tok): String = t match {
     case Str(s) => s
