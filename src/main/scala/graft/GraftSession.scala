@@ -147,13 +147,15 @@ final class GraftSession(val spark: SparkSession) {
       val path = resolveTablePath(table)
       val snap = graft.delta.DeltaTable.forPath(spark, path)
       val schema = snap.schema
-      require(schema.fieldNames.contains(name), s"no such column: $name")
-      require(!snap.partitionColumns.contains(name),
+      val resolved = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column: $name"))
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
         "cannot widen a partition column: partition values are strings " +
           "re-typed by the schema, and historical directory names were " +
           "rendered under the old type")
       val to = DataType.fromDDL(typeDdl)
-      val from = schema(name).dataType
+      val from = resolved.dataType
       val widenable: Set[(DataType, DataType)] = Set(
         (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
         (ShortType, IntegerType), (ShortType, LongType),
@@ -171,7 +173,7 @@ final class GraftSession(val spark: SparkSession) {
         .putString("toType", to.typeName)
         .putLong("tableVersion", v).build()
       val fields = schema.fields.map { f =>
-        if (f.name != name) f
+        if (f.name != resolved.name) f
         else {
           val prior =
             if (f.metadata.contains("delta.typeChanges"))
@@ -190,15 +192,18 @@ final class GraftSession(val spark: SparkSession) {
         extraActions =
           newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
       alterMetrics(
-        s"widened $name ${from.simpleString} -> ${to.simpleString}", cv)
+        s"widened ${resolved.name} ${from.simpleString} -> " +
+          to.simpleString, cv)
     case AlterColumnDefaultStatement(table, name, defaultSql) =>
       val path = resolveTablePath(table)
       val snap = graft.delta.DeltaTable.forPath(spark, path)
       val schema = snap.schema
-      require(schema.fieldNames.contains(name), s"no such column: $name")
-      require(!snap.partitionColumns.contains(name),
+      // resolve case-insensitively, like every read/write path does
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column: $name"))
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
         "cannot set a DEFAULT on a partition column")
-      val field = schema(name)
       require(!field.metadata.contains("delta.generationExpression") &&
         !field.metadata.contains("delta.identity.start"),
         s"$name is generated/identity — its values are computed, a " +
@@ -210,8 +215,12 @@ final class GraftSession(val spark: SparkSession) {
         case Some(sql) =>
           // the default must analyze and cast to the column's type NOW,
           // not at some future write ("abc" on an int column must fail
-          // at ALTER time, named, never brick every later append)
-          spark.range(1)
+          // at ALTER time, named, never brick every later append). The
+          // probe frame has ZERO columns: SQL defaults may not
+          // reference columns, and range(1)'s `id` would let
+          // "DEFAULT id" slip through to fail (or silently bind!) at
+          // write time
+          spark.range(1).drop("id")
             .select(org.apache.spark.sql.functions.expr(sql)
               .cast(field.dataType)).collect()
           (mb.putString(ColumnDefaults.MetadataKey, sql).build(),
@@ -223,15 +232,15 @@ final class GraftSession(val spark: SparkSession) {
           (mb.remove(ColumnDefaults.MetadataKey).build(), None)
       }
       val fields = schema.fields.map(f =>
-        if (f.name == name) f.copy(metadata = newMeta) else f)
+        if (f.name == field.name) f.copy(metadata = newMeta) else f)
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
         snap.metadata.copy(schemaString =
           org.apache.spark.sql.types.StructType(fields).json),
         extraActions = protoUpgrade
           .map(graft.delta.log.CommitWriter.protocolJson).toSeq)
       alterMetrics(defaultSql match {
-        case Some(sql) => s"set default $name = $sql"
-        case None => s"dropped default $name"
+        case Some(sql) => s"set default ${field.name} = $sql"
+        case None => s"dropped default ${field.name}"
       }, v)
     case RestoreTimestampStatement(table, ts) =>
       val path = resolveTablePath(table)

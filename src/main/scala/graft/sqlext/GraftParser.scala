@@ -635,21 +635,23 @@ object GraftParser {
         throw new NotImplementedStatement(s"$verb FOREIGN CATALOG")
       case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
         throw new NotImplementedStatement(s"CREATE $obj")
-      case Some("TABLE") if verb == "CREATE" && toks.exists {
-            case w: Word => w.upper == "SHALLOW"
-            case _ => false
-          } =>
-        // CREATE TABLE <target> SHALLOW CLONE <source>
-        val (target, rest) = parseTableRefAndRest(toks.drop(1))
-        if (!wordAt(rest, 0).contains("SHALLOW") ||
-          !wordAt(rest, 1).contains("CLONE") || rest.length < 3)
-          throw new ParseException(
-            "expected CREATE TABLE <target> SHALLOW CLONE <source>")
-        val (source, rest2) = parseTableRefAndRest(rest.drop(2))
-        if (rest2.nonEmpty) throw new ParseException(
-          "unexpected input after SHALLOW CLONE <source>: " +
-            rest2.map(_.text).mkString(" "))
-        Some(CloneStatement(target, source))
+      case Some("TABLE") if verb == "CREATE" =>
+        // ours ONLY when SHALLOW follows the target ref positionally —
+        // 'shallow' anywhere else (a column named shallow, etc.) is
+        // plain Spark DDL and must delegate untouched
+        scala.util.Try(parseTableRefAndRest(toks.drop(1))).toOption
+          .flatMap {
+            case (target, rest) if wordAt(rest, 0).contains("SHALLOW") =>
+              if (!wordAt(rest, 1).contains("CLONE") || rest.length < 3)
+                throw new ParseException(
+                  "expected CREATE TABLE <target> SHALLOW CLONE <source>")
+              val (source, rest2) = parseTableRefAndRest(rest.drop(2))
+              if (rest2.nonEmpty) throw new ParseException(
+                "unexpected input after SHALLOW CLONE <source>: " +
+                  rest2.map(_.text).mkString(" "))
+              Some(CloneStatement(target, source))
+            case _ => None
+          }
       case _ => None // plain CREATE TABLE etc → delegate
     }
   }

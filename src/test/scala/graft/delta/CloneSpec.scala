@@ -72,9 +72,14 @@ class CloneSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m("source_version") == "0")
     assert(DeltaTable.forPath(spark, dst).read.count() == region.count())
-    // plain CREATE TABLE is NOT ours — it must delegate to Spark
+    // plain CREATE TABLE is NOT ours — it must delegate to Spark,
+    // including DDL that merely CONTAINS the word shallow (a column
+    // name is not a clone clause)
     assert(graft.sqlext.GraftParser
       .parse("CREATE TABLE t (a INT) USING parquet").isEmpty)
+    assert(graft.sqlext.GraftParser
+      .parse("CREATE TABLE t (shallow INT, deep INT) USING parquet")
+      .isEmpty)
     // malformed SHALLOW CLONE names the expected grammar
     val err = intercept[IllegalArgumentException] {
       graft.sqlext.GraftParser.parse(

@@ -82,12 +82,25 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     intercept[Exception] {
       g.sql(s"ALTER TABLE '$p' ALTER COLUMN score SET DEFAULT no_such_fn(1)")
     }
+    // defaults may not reference columns — the probe frame has none,
+    // so even a name that HAPPENS to exist somewhere (range's id, a
+    // future batch column) fails here instead of binding at write time
+    intercept[Exception] {
+      g.sql(s"ALTER TABLE '$p' ALTER COLUMN score SET DEFAULT id")
+    }
     intercept[IllegalArgumentException] {
       g.sql(s"ALTER TABLE '$p' ALTER COLUMN nope SET DEFAULT 1")
     }
     intercept[IllegalArgumentException] {
       g.sql(s"ALTER TABLE '$p' ALTER COLUMN score DROP DEFAULT")
     }
+    // resolution is case-insensitive, like every read/write path
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN SCORE SET DEFAULT 3")
+    CommitWriter.append(spark,
+      region.limit(1).select((col("r_regionkey") + 500).as("r_regionkey")),
+      p)
+    assert(DeltaTable.forPath(spark, p).read
+      .where(col("r_regionkey") >= 500).head.getAs[Int]("score") == 3)
   }
 
   test("RESTORE TO TIMESTAMP AS OF resolves like the read path") {
