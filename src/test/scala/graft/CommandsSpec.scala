@@ -22,6 +22,21 @@ class CommandsSpec extends AnyFunSuite {
 
   // ---- parser (forms from reference sql/parser.rs:493-658 tests) ----
 
+  test("expression reassembly keeps dots attached (decimals, qualified names)") {
+    // the tokenizer splits on '.'; sqlOf must re-join decimal literals
+    // and qualified names or downstream Spark parsing breaks
+    assert(GraftParser.parse("DELETE FROM t WHERE price > 999.5") ==
+      Some(DeleteStatement("t", Some("price > 999.5"))))
+    assert(GraftParser.parse("UPDATE t SET a = 0.25 WHERE b < 1.5") ==
+      Some(UpdateStatement("t", Seq("a" -> "0.25"), Some("b < 1.5"))))
+    assert(GraftParser.parse(
+      "ALTER TABLE t ADD CONSTRAINT c CHECK ( price >= 0.01 )") ==
+      Some(AddConstraintStatement("t", "c", "price >= 0.01")))
+    assert(GraftParser.parse(
+      "ALTER TABLE t ALTER COLUMN price SET DEFAULT 999.5") ==
+      Some(AlterColumnDefaultStatement("t", "price", Some("999.5"))))
+  }
+
   test("parse VACUUM forms") {
     assert(GraftParser.parse("VACUUM my_table") ==
       Some(VacuumStatement("my_table", None, dryRun = false, None)))
