@@ -103,6 +103,27 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       .where(col("r_regionkey") >= 500).head.getAs[Int]("score") == 3)
   }
 
+  test("a mergeSchema-evolved column can take a default afterwards") {
+    val p = tmp("interplay")
+    CommitWriter.createTable(spark,
+      region.select(col("r_regionkey")), p)
+    // evolution first: the column arrives nullable via mergeSchema...
+    CommitWriter.append(spark,
+      region.limit(2).select((col("r_regionkey") + 10).as("r_regionkey"),
+        lit("real").as("src")), p, mergeSchema = true)
+    // ...then the default binds to it like any existing column
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN src SET DEFAULT 'backfill'")
+    CommitWriter.append(spark,
+      region.limit(1).select((col("r_regionkey") + 20).as("r_regionkey")),
+      p)
+    val out = DeltaTable.forPath(spark, p).read
+    // three populations: pre-evolution null, explicit, defaulted
+    assert(out.where(col("r_regionkey") < 10 && col("src").isNull)
+      .count() == region.count())
+    assert(out.where(col("src") === "real").count() == 2)
+    assert(out.where(col("src") === "backfill").count() == 1)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves like the read path") {
     val p = tmp("restore_ts")
     CommitWriter.createTable(spark, region.limit(2), p) // v0
