@@ -242,6 +242,14 @@ final class GraftSession(val spark: SparkSession) {
         case Some(sql) => s"set default ${field.name} = $sql"
         case None => s"dropped default ${field.name}"
       }, v)
+    case ShowTblPropertiesStatement(table) =>
+      val snap = graft.delta.DeltaTable.forPath(spark,
+        resolveTablePath(table))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      snap.metadata.configuration.toSeq.sortBy(_._1).foreach {
+        case (k, v) => rows.add(org.apache.spark.sql.Row(k, v))
+      }
+      spark.createDataFrame(rows, GraftSession.tblPropertiesSchema)
     case RestoreTimestampStatement(table, ts) =>
       val path = resolveTablePath(table)
       val target = graft.delta.DeltaTable.forPathAtTimestamp(spark, path,
@@ -444,6 +452,13 @@ final class GraftSession(val spark: SparkSession) {
 object GraftSession {
 
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  val tblPropertiesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType, nullable = false)))
 
   val showCatalogsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -103,6 +103,8 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: AlterColumnDefaultStatement => VacuumCommand.metricsSchema
       case _: RestoreTimestampStatement => VacuumCommand.metricsSchema
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
+      case _: ShowTblPropertiesStatement =>
+        graft.GraftSession.tblPropertiesSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

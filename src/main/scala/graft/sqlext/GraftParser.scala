@@ -69,6 +69,9 @@ object GraftParser {
   final case class UnsetTblPropertiesStatement(table: String,
       keys: Seq[String]) extends Statement
   case object ShowCatalogsStatement extends Statement
+  /** SHOW TBLPROPERTIES <ref>: (key, value) rows, sorted. */
+  final case class ShowTblPropertiesStatement(table: String)
+    extends Statement
   final case class DeleteStatement(table: String,
       whereSql: Option[String]) extends Statement
   final case class UpdateStatement(table: String,
@@ -156,6 +159,9 @@ object GraftParser {
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("CATALOGS") =>
         Some(ShowCatalogsStatement)
+      case w: Word if w.upper == "SHOW" &&
+          wordAt(toks, 1).contains("TBLPROPERTIES") =>
+        Some(ShowTblPropertiesStatement(parseTableRef(toks.drop(2))))
       case w: Word if w.upper == "CONVERT" =>
         Some(parseConvert(toks.tail))
       case w: Word if w.upper == "ALTER" &&

@@ -37,6 +37,19 @@ class CommandsSpec extends AnyFunSuite {
       Some(AlterColumnDefaultStatement("t", "price", Some("999.5"))))
   }
 
+  test("SHOW TBLPROPERTIES lists configuration sorted") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stp").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    graft.delta.log.CommitWriter.createTable(spark,
+      spark.read.parquet(s"${TestSpark.sf}/region.parquet").limit(1), p,
+      configuration = Map("team" -> "ml", "delta.appendOnly" -> "false"))
+    val g = new graft.GraftSession(spark)
+    val rows = g.sql(s"SHOW TBLPROPERTIES '$p'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq("delta.appendOnly" -> "false", "team" -> "ml"))
+  }
+
   test("parse VACUUM forms") {
     assert(GraftParser.parse("VACUUM my_table") ==
       Some(VacuumStatement("my_table", None, dryRun = false, None)))
