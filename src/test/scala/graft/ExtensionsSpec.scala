@@ -102,6 +102,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(snap.schema("o_custkey").dataType ==
       org.apache.spark.sql.types.LongType)
     extSpark.sql(s"ALTER TABLE '$p' CLUSTER BY NONE")
+    // SHOW TBLPROPERTIES + SET DEFAULT also resolve through the
+    // injected wiring (the GraftCommand.output match must know them)
+    extSpark.sql(s"ALTER TABLE '$p' ALTER COLUMN o_custkey SET DEFAULT 1")
+    assert(extSpark.sql(s"SHOW TBLPROPERTIES '$p'").collect() != null)
   }
 
   test("vector_dot is SQL-callable through the injected function") {
