@@ -165,30 +165,34 @@ final class GraftSession(val spark: SparkSession) {
           s"${from.simpleString} -> ${to.simpleString} is not a " +
           "supported widening (byte/short/int up the integer chain, " +
           "float -> double)")
-      val v = snap.version + 1
       // record the change on the field per the typeWidening spec, so
-      // other readers know which files predate the widening
-      val change = new MetadataBuilder()
-        .putString("fromType", from.typeName)
-        .putString("toType", to.typeName)
-        .putLong("tableVersion", v).build()
-      val fields = schema.fields.map { f =>
-        if (f.name != resolved.name) f
-        else {
-          val prior =
-            if (f.metadata.contains("delta.typeChanges"))
-              f.metadata.getMetadataArray("delta.typeChanges").toSeq
-            else Seq.empty
-          f.copy(dataType = to,
-            metadata = new MetadataBuilder().withMetadata(f.metadata)
-              .putMetadataArray("delta.typeChanges",
-                (prior :+ change).toArray).build())
-        }
+      // other readers know which files predate the widening. The
+      // `tableVersion` stamp derives from the ACTUAL commit version
+      // (commitMetadataAt resolves its own segment) — `snap.version + 1`
+      // computed here could be stale if a commit interleaves, and a
+      // too-low stamp would misclassify that interleaved commit's files
+      // as post-widening.
+      def widened(v: Long): org.apache.spark.sql.types.Metadata = {
+        val change = new MetadataBuilder()
+          .putString("fromType", from.typeName)
+          .putString("toType", to.typeName)
+          .putLong("tableVersion", v).build()
+        val prior =
+          if (resolved.metadata.contains("delta.typeChanges"))
+            resolved.metadata.getMetadataArray("delta.typeChanges").toSeq
+          else Seq.empty
+        new MetadataBuilder().withMetadata(resolved.metadata)
+          .putMetadataArray("delta.typeChanges",
+            (prior :+ change).toArray).build()
       }
       val newProto = graft.delta.log.ProtocolSupport
         .withReaderWriterFeature(snap.protocol, "typeWidening")
-      val cv = graft.delta.log.CommitWriter.commitMetadata(spark, path,
-        snap.metadata.copy(schemaString = StructType(fields).json),
+      val cv = graft.delta.log.CommitWriter.commitMetadataAt(spark, path,
+        v => snap.metadata.copy(schemaString = StructType(
+          schema.fields.map { f =>
+            if (f.name != resolved.name) f
+            else f.copy(dataType = to, metadata = widened(v))
+          }).json),
         extraActions =
           newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
       alterMetrics(

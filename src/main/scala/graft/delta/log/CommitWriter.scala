@@ -658,14 +658,27 @@ object CommitWriter {
   /** Commit a metadata change (schema evolution): next commit carries a
     * new metaData action (plus optional adds). */
   def commitMetadata(spark: SparkSession, tablePath: String,
-      newMeta: Metadata, extraActions: Seq[String] = Seq.empty): Long = {
+      newMeta: Metadata, extraActions: Seq[String] = Seq.empty): Long =
+    commitMetadataAt(spark, tablePath, _ => newMeta, extraActions)
+
+  /** [[commitMetadata]] variant for metadata whose CONTENT depends on
+    * the version it lands at (e.g. typeWidening's `tableVersion`
+    * provenance field): `build` receives the actual target version,
+    * resolved from the same log segment the commit targets — a
+    * caller-side `snap.version + 1` can be stale by the time the commit
+    * resolves, and `commit` never lands anywhere other than the version
+    * passed (a concurrent steal throws), so the value handed to `build`
+    * is exact whenever the commit succeeds. */
+  def commitMetadataAt(spark: SparkSession, tablePath: String,
+      build: Long => Metadata,
+      extraActions: Seq[String] = Seq.empty): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     // gate on the CURRENT state: a metadata-only commit to a table whose
     // writer features this engine doesn't maintain is still non-compliant
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
     val v = segment.version + 1
-    commit(spark, tablePath, v, metadataJson(newMeta) +: extraActions,
+    commit(spark, tablePath, v, metadataJson(build(v)) +: extraActions,
       operation = "CHANGE SCHEMA")
     v
   }
@@ -721,13 +734,18 @@ object CommitWriter {
     * commit. Keying by the exact version keeps it safe under
     * concurrent external writers: if another engine steals version
     * N+1, our retry at N+2 misses the memo and re-resolves. The entry
-    * also pins the (size, mtime) of the commit file this process
-    * wrote: a table deleted and recreated out-of-band can realign
-    * version numbers, so a memo hit additionally re-stats that one
-    * file (far cheaper than a log listing) and falls back to a full
-    * resolve when the identity changed. */
+    * also pins the CONTENT HASH of the commit file this process wrote:
+    * a table deleted and recreated out-of-band can realign version
+    * numbers — and a deterministic recreation can even reproduce the
+    * parent's byte length and mtime window, which is why a (size,
+    * mtime) stat is not identity — so a memo hit re-reads that one
+    * known file (bounded: a single commit's bytes, far cheaper than a
+    * log listing + replay) and falls back to a full resolve whenever
+    * the bytes changed. Content equality subsumes a metadata.id check:
+    * the id lives IN those bytes when the commit carries metadata, and
+    * an unchanged parent pins the whole chain this process observed. */
   private case class WriteMemo(nextVersion: Long, conf: WriteConf,
-      commitLen: Long, commitMtime: Long)
+      commitLen: Long, commitSha: String)
   private val ictFlagCache =
     new java.util.concurrent.ConcurrentHashMap[String, WriteMemo]()
 
@@ -790,18 +808,27 @@ object CommitWriter {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(DefaultCheckpointInterval)
 
-  /** True when commit file `version - 1` still has the size+mtime the
-    * memo recorded — guards the memo against a table deleted and
-    * recreated out-of-band with realigned version numbers. */
+  /** True when commit file `version - 1` still holds the exact bytes
+    * the memo recorded — guards the memo against a table deleted and
+    * recreated out-of-band with realigned version numbers. Length
+    * mismatches reject without reading; otherwise the file is re-read
+    * and hashed (one small known file — no listing, no replay). */
   private def parentMatches(spark: SparkSession, tablePath: String,
       version: Long, m: WriteMemo): Boolean = {
+    val fs = LogSegment.fs(spark, new Path(tablePath))
     val prev = new Path(new Path(tablePath, "_delta_log"),
       LogSegment.commitFileName(version - 1))
     try {
-      val st = LogSegment.fs(spark, new Path(tablePath)).getFileStatus(prev)
-      st.getLen == m.commitLen && st.getModificationTime == m.commitMtime
+      if (fs.getFileStatus(prev).getLen != m.commitLen) return false
+      val in = fs.open(prev)
+      val bytes = try in.readAllBytes() finally in.close()
+      sha256(bytes) == m.commitSha
     } catch { case _: java.io.FileNotFoundException => false }
   }
+
+  private def sha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
 
   /** The in-commit timestamp the NEXT commit to this table will carry —
     * used by the ICT enablement path to record matching
@@ -881,6 +908,7 @@ object CommitWriter {
       ci.put("inCommitTimestamp", ict)
     }
     val payload = (info.toString +: actionLines).mkString("", "\n", "\n")
+    val payloadBytes = payload.getBytes("UTF-8")
     val uri = fs.makeQualified(commitPath).toUri
     if (uri.getScheme == "file") {
       // Hadoop LocalFileSystem.create(path, overwrite=false) is
@@ -894,7 +922,7 @@ object CommitWriter {
       val target = Paths.get(uri.getPath)
       val tmp = target.resolveSibling(
         s".${target.getFileName}.${UUID.randomUUID().toString.take(8)}.tmp")
-      Files.write(tmp, payload.getBytes("UTF-8"))
+      Files.write(tmp, payloadBytes)
       try Files.createLink(target, tmp)
       catch {
         case e: FileAlreadyExistsException =>
@@ -912,15 +940,14 @@ object CommitWriter {
           ictFlagCache.remove(tablePath)
           throw new ConcurrentCommitException(version, e)
       }
-      try out.write(payload.getBytes("UTF-8")) finally out.close()
+      try out.write(payloadBytes) finally out.close()
     }
     // this commit defines the table state the NEXT commit reads: seed
     // the memo so sequential writes skip the metadata re-resolution
     // (an inline metaData action replaces configuration wholesale, so
     // `conf` is the post-commit state in every branch)
-    val published = fs.getFileStatus(commitPath)
     ictFlagCache.put(tablePath, WriteMemo(version + 1, conf,
-      published.getLen, published.getModificationTime))
+      payloadBytes.length.toLong, sha256(payloadBytes)))
     maybeAutoCheckpoint(spark, tablePath, version, conf)
   }
 

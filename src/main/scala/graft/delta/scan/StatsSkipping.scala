@@ -52,13 +52,13 @@ object StatsSkipping {
     val withStats = files.withColumn("__stats",
       from_json(col("stats"), sSchema))
     // columns widened float->double parse their PRE-widening files'
-    // stats through FLOAT (see statCol): a second parse with those
-    // fields narrowed provides the exact float image
+    // stats through FLOAT as well (see minCol/maxCol): a second parse
+    // with those fields narrowed provides the exact float image
     val withBoth =
       if (ctx.widenedFloat.isEmpty) withStats
       else withStats.withColumn("__statsN",
         from_json(col("stats"),
-          narrowStatsSchema(sSchema, ctx.widenedFloat.keySet)))
+          narrowStatsSchema(sSchema, ctx.widenedFloat)))
     val keep = filters
       .map(f => translate(Shims.predNode(f), neg = false, ctx))
       .reduce(_ && _)
@@ -82,21 +82,32 @@ object StatsSkipping {
     val statFields: Set[String] =
       statsSchema("minValues").dataType.asInstanceOf[StructType]
         .fieldNames.toSet
-    /** Columns widened float->double, with the widening commit version:
-      * a pre-widening file's stats JSON is the float's SHORTEST decimal
-      * rendering, whose double parse differs from the float's true
-      * double image in the last ~8 bits — comparing rows (exact float
-      * images) against such bounds can prune a file that holds a
-      * matching row. Those files parse through float instead. Integer
-      * widenings are immune (decimal integer strings parse exactly). */
-    val widenedFloat: Map[String, Long] = schema.fields.flatMap { f =>
-      if (!f.metadata.contains("delta.typeChanges")) None
-      else scala.util.Try(
-        f.metadata.getMetadataArray("delta.typeChanges").toSeq).toOption
-        .flatMap(_.find(c => c.getString("fromType") == "float" &&
-          c.getString("toType") == "double"))
-        .map(c => f.name -> c.getLong("tableVersion"))
-    }.toMap
+    /** Columns widened float->double: a pre-widening file's stats JSON
+      * is the float's SHORTEST decimal rendering, whose double parse
+      * differs from the float's true double image in the last ~8 bits —
+      * comparing rows (exact float images) against such bounds can
+      * prune a file that holds a matching row. Per-file provenance is
+      * NOT recoverable from the log (RESTORE re-adds pre-widening files
+      * at post-widening commit versions; SHALLOW CLONE re-homes
+      * post-widening files at version 0), so no commit-version
+      * discrimination is attempted: both parses run and the bound takes
+      * the conservative envelope (see minCol/maxCol). Unparseable
+      * provenance metadata (a foreign writer's shape — the stable spec
+      * records only fromType/toType) also lands here: the envelope is
+      * correct for never-widened doubles too, at worst one ulp looser.
+      * Integer widenings are immune (decimal integer strings parse
+      * exactly). */
+    val widenedFloat: Set[String] = schema.fields.flatMap { f =>
+      if (f.dataType != DoubleType ||
+          !f.metadata.contains("delta.typeChanges")) None
+      else {
+        val floatWidened = scala.util.Try(
+          f.metadata.getMetadataArray("delta.typeChanges")
+            .exists(c => c.getString("fromType") == "float" &&
+              c.getString("toType") == "double"))
+        if (floatWidened.getOrElse(true)) Some(f.name) else None
+      }
+    }.toSet
     def isPartition(name: String): Boolean = partCols.contains(name)
     def dataTypeOf(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
@@ -113,23 +124,29 @@ object StatsSkipping {
   }
 
   /** Min/max stat for `name`: the current-type parse, except that a
-    * float->double-widened column reads pre-widening files through the
-    * float parse (exact image) — discriminated per file on
-    * commit_version vs the widening's tableVersion. */
-  private def statCol(kind: String, name: String, ctx: Context): Column = {
-    val wide = col(s"__stats.$kind.${quote(name)}")
-    ctx.widenedFloat.get(name) match {
-      case Some(v) =>
-        when(col("commit_version") < v,
-          col(s"__statsN.$kind.${quote(name)}").cast(DoubleType))
-          .otherwise(wide)
-      case None => wide
-    }
+    * float->double-widened column takes the conservative ENVELOPE of
+    * the double parse and the float parse's double image —
+    * least(minWide, minNarrow) / greatest(maxWide, maxNarrow). For a
+    * pre-widening file the narrow parse is the true bound; for a
+    * post-widening file the wide parse is; the envelope contains the
+    * true interval under EITHER provenance (at worst one ulp looser,
+    * keeping at worst a file more), so it needs no per-file provenance
+    * — which RESTORE and SHALLOW CLONE make unknowable anyway.
+    * least/greatest skip nulls, so a missing narrow parse falls back
+    * to the wide value alone; both-null stays null and cmpLeaf's
+    * coalesce keeps the file. */
+  private def minCol(name: String, ctx: Context): Column = {
+    val wide = col(s"__stats.minValues.${quote(name)}")
+    if (!ctx.widenedFloat(name)) wide
+    else least(wide,
+      col(s"__statsN.minValues.${quote(name)}").cast(DoubleType))
   }
-  private def minCol(name: String, ctx: Context): Column =
-    statCol("minValues", name, ctx)
-  private def maxCol(name: String, ctx: Context): Column =
-    statCol("maxValues", name, ctx)
+  private def maxCol(name: String, ctx: Context): Column = {
+    val wide = col(s"__stats.maxValues.${quote(name)}")
+    if (!ctx.widenedFloat(name)) wide
+    else greatest(wide,
+      col(s"__statsN.maxValues.${quote(name)}").cast(DoubleType))
+  }
   private def nullsCol(name: String): Column =
     col(s"__stats.nullCount.${quote(name)}")
 

@@ -143,4 +143,51 @@ class IctSpec extends AnyFunSuite {
     assert(ictOf(p, 2).isEmpty,
       "stale ICT memo applied to a recreated non-ICT table")
   }
+
+  test("ICT memo rejects a same-length, same-mtime parent rewrite") {
+    // the adversarial recreation a (size, mtime) stat CANNOT catch: the
+    // out-of-band parent commit file reproduces the original's byte
+    // length and mtime exactly — only the content hash tells them apart
+    val p = tmp("rewrite")
+    CommitWriter.createTable(spark, region.limit(2), p,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    CommitWriter.append(spark, region.limit(1), p) // v1; memo for v2
+    val v1 = new java.io.File(p,
+      "_delta_log/" + LogSegment.commitFileName(1))
+    val origLen = v1.length()
+    val origMtime = v1.lastModified()
+
+    // external recreation: a NON-ICT table with the same shape, whose
+    // v1 commit is padded (inside commitInfo.engineInfo — still valid
+    // JSON) to the original's exact byte length
+    val plain = tmp("rewrite_plain")
+    CommitWriter.createTable(spark, region.limit(2), plain)
+    CommitWriter.append(spark, region.limit(1), plain)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete()
+    }
+    def copyAll(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyAll(f, t)
+        else Files.copy(f.toPath, t.toPath)
+      }
+    }
+    wipe(new java.io.File(p))
+    copyAll(new java.io.File(plain), new java.io.File(p))
+    val plainText = new String(Files.readAllBytes(v1.toPath), "UTF-8")
+    val pad = (origLen - plainText.getBytes("UTF-8").length).toInt
+    assume(pad > 0, "ICT commit expected longer than plain commit")
+    val padded = plainText.replaceFirst("graft/0\\.1\\.0",
+      "graft/0.1.0" + ("X" * pad))
+    Files.write(v1.toPath, padded.getBytes("UTF-8"))
+    assert(v1.length() == origLen, "pad failed to match byte length")
+    assert(v1.setLastModified(origMtime))
+
+    CommitWriter.append(spark, region.limit(1), p) // v2
+    assert(ictOf(p, 2).isEmpty,
+      "stale ICT memo trusted a byte-length/mtime-identical rewrite")
+  }
 }

@@ -119,6 +119,92 @@ class TypeWideningSpec extends AnyFunSuite {
       .prunedFiles(snap2, Seq(col("price") > 1.0)).count() == 0)
   }
 
+  test("RESTORE re-added pre-widening file keeps its float-image bounds") {
+    val p = tmp("f2d_restore")
+    // v0: file A (0.1f) -- v1: file B (0.2f) -- v2: widen -- v3: remove
+    // B -- v4: RESTORE to v2 re-adds B (float-rendered stats) at a
+    // POST-widening commit version. Provenance-by-commit-version would
+    // parse B's stats as double ("0.2" -> 0.2) and prune it for an
+    // equality on the value B actually stores ((double)0.2f =
+    // 0.20000000298...); the envelope keeps it.
+    CommitWriter.createTable(spark, spark.range(1)
+      .select(lit(1L).as("id"), lit(0.1f).as("price")), p)
+    CommitWriter.append(spark, spark.range(1)
+      .select(lit(2L).as("id"), lit(0.2f).as("price")), p)
+    val g = new graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN price TYPE DOUBLE")
+    val bPath = DeltaTable.forPath(spark, p).allFiles
+      .where(col("commit_version") === 1L)
+      .select("path").collect().map(_.getString(0)).toSeq
+    assert(bPath.size == 1)
+    CommitWriter.commitRemoves(spark, p, bPath)
+    g.sql(s"RESTORE '$p' TO VERSION AS OF 2")
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.version == 4L)
+    val image = 0.2f.toDouble
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap, Seq(col("price") === image)).count() == 1,
+      "RESTORE-re-added pre-widening file wrongly pruned")
+    assert(snap.readWhere(col("price") === image).count() == 1)
+  }
+
+  test("SHALLOW CLONE keeps post-widening double stats exact") {
+    val src = tmp("f2d_clone_src")
+    val dst = tmp("f2d_clone_dst")
+    // src: v0 float file -- v1 widen -- v2 double file whose stats
+    // ("0.3") only parse exactly as DOUBLE. The clone re-homes every
+    // file at commit version 0 while copying the typeChanges metadata;
+    // provenance-by-commit-version would parse the double file's stats
+    // through FLOAT ((double)0.3f = 0.30000001192...) and prune it for
+    // price = 0.3. The envelope keeps it, and the pre-widening file
+    // still matches its float image.
+    CommitWriter.createTable(spark, spark.range(1)
+      .select(lit(1L).as("id"), lit(0.1f).as("price")), src)
+    val g = new graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$src' ALTER COLUMN price TYPE DOUBLE")
+    CommitWriter.append(spark, spark.range(1)
+      .select(lit(2L).as("id"), lit(0.3).as("price")), src)
+    g.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'")
+    val snap = DeltaTable.forPath(spark, dst)
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap, Seq(col("price") === 0.3)).count() == 1,
+      "cloned post-widening file wrongly pruned")
+    assert(snap.readWhere(col("price") === 0.3).count() == 1)
+    assert(snap.readWhere(col("price") === 0.1f.toDouble).count() == 1)
+    // a predicate outside every file's envelope still prunes
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap, Seq(col("price") > 1.0)).count() == 0)
+  }
+
+  test("stable-spec typeChanges without tableVersion scans fine") {
+    val p = tmp("f2d_stable")
+    CommitWriter.createTable(spark, spark.range(1)
+      .select(lit(1L).as("id"), lit(0.1f).as("price")), p)
+    val g = new graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' ALTER COLUMN price TYPE DOUBLE")
+    // rewrite the field's typeChanges to the STABLE spec shape —
+    // fromType/toType only, no preview tableVersion — as a foreign
+    // writer would record it
+    val snap0 = DeltaTable.forPath(spark, p)
+    val stable = StructType(snap0.schema.fields.map { f =>
+      if (f.name != "price") f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray("delta.typeChanges", Array(
+          new MetadataBuilder().putString("fromType", "float")
+            .putString("toType", "double").build())).build())
+    })
+    CommitWriter.commitMetadata(spark, p,
+      snap0.metadata.copy(schemaString = stable.json))
+    val snap = DeltaTable.forPath(spark, p)
+    // a filtered scan must neither throw nor wrongly prune
+    val image = 0.1f.toDouble
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap, Seq(col("price") === image)).count() == 1)
+    assert(snap.readWhere(col("price") === image).count() == 1)
+    assert(graft.delta.scan.DeltaScan
+      .prunedFiles(snap, Seq(col("price") > 1.0)).count() == 0)
+  }
+
   test("narrowing and cross-family changes are refused") {
     val p = tmp("refuse")
     CommitWriter.createTable(spark,
