@@ -76,7 +76,11 @@ object Clustering {
     val missing = cols.filterNot(c => byLower.contains(c.toLowerCase))
     require(missing.isEmpty,
       s"CLUSTER BY column(s) not in the schema: ${missing.mkString(", ")}")
-    cols.map(c => byLower(c.toLowerCase))
+    val canonical = cols.map(c => byLower(c.toLowerCase))
+    val dups = canonical.diff(canonical.distinct).distinct
+    require(dups.isEmpty,
+      s"CLUSTER BY lists column(s) twice: ${dups.mkString(", ")}")
+    canonical
   }
 
   /** The protocol a clustered table must declare: `clustering` plus its

@@ -26,16 +26,32 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object DistributedNtile {
 
+  /** Driver-side histogram cap: the offsets table is O(distinct key
+    * values), which is the operator's stated contract (difficulty
+    * proxies — token counts, score grains — have thousands of values).
+    * A CONTINUOUS key would make the collect unbounded, so the
+    * histogram is fetched through a limit and the operator fails fast
+    * past the cap instead of silently OOMing the driver. */
+  final val MaxKeyCardinality = 1000000
+
   /** @param key  orderable non-null column name (the primary sort key)
     * @param tie  unique non-null column name breaking ties (total order)
-    * @param out  name of the produced bucket column (IntegerType) */
+    * @param out  name of the produced bucket column (IntegerType)
+    * @param maxKeys  distinct-key cap for the driver histogram */
   def apply(df: DataFrame, buckets: Int, key: String, tie: String,
-      out: String): DataFrame = {
+      out: String, maxKeys: Int = MaxKeyCardinality): DataFrame = {
     require(buckets > 0, s"ntile buckets must be positive, got $buckets")
     val spark = df.sparkSession
 
+    // limit + collect keeps the fetch bounded even when the check will
+    // fail: per-partition top-(maxKeys+1) merges on the driver, never
+    // the full distinct set
     val hist = df.groupBy(key).agg(count(lit(1)).as("__cnt"))
-      .orderBy(key).collect()
+      .orderBy(key).limit(maxKeys + 1).collect()
+    require(hist.length <= maxKeys,
+      s"DistributedNtile: key '$key' exceeds $maxKeys distinct values — " +
+        "the driver-side offset histogram is O(distinct keys) by design. " +
+        "Pre-bin the key to a coarser grain (round/cast/bucketize) first.")
     var acc = 0L
     val offRows = new java.util.ArrayList[Row](hist.length)
     hist.foreach { r =>

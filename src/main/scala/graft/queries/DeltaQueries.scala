@@ -28,16 +28,38 @@ object DeltaQueries {
   }
 
   /** Identity of the source parquet drop under sfDir: sorted
-    * (name, size, mtime) tuples. The driver regenerates /root/testdata
-    * between rounds, and a fixture built from a previous drop would
-    * silently diverge from the oracle (which always reads the live
-    * parquet). A (size, mtime) tuple — not mtime ordering alone —
-    * catches regenerations that preserve timestamps (cp -p / rsync -a)
-    * as long as any byte count changed. */
+    * (name, size, content-sha256) tuples. The driver regenerates
+    * /root/testdata between rounds, and a fixture built from a previous
+    * drop would silently diverge from the oracle (which always reads
+    * the live parquet). CONTENT hashes — not (size, mtime) — catch
+    * even a regeneration that preserves both timestamp and byte count
+    * (cp -p / rsync -a of an equal-length drop). Hashes memoize per
+    * (path, size, mtime) within the process, so repeated ensure() calls
+    * re-stat but do not re-read; a fresh JVM (every round boundary,
+    * where regeneration actually happens) re-hashes from bytes. */
+  private val hashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Simulate a fresh JVM (the round boundary, where regeneration
+    * actually happens) in specs: the memo intentionally trusts
+    * (path, size, mtime) WITHIN a process. */
+  private[graft] def resetHashMemoForTest(): Unit = hashMemo.clear()
+  private[graft] def contentSha(f: File): String = {
+    val memoKey = s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
+    hashMemo.computeIfAbsent(memoKey, { _ =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val in = new java.io.FileInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    })
+  }
   private def sourceSig(sfDir: String): String =
     Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .map(f => s"${f.getName}:${f.length()}:${contentSha(f)}")
       .sorted.mkString("\n")
 
   // SIBLING of the fixture dir, never inside it: the dir_listing /
@@ -48,13 +70,13 @@ object DeltaQueries {
 
   /** Record, next to the fixture dir, the exact source drop it was
     * built from. Every fixture build site must call this LAST. */
-  private[queries] def writeStamp(path: String, sfDir: String): Unit =
+  private[graft] def writeStamp(path: String, sfDir: String): Unit =
     java.nio.file.Files.write(stampFile(path).toPath,
       sourceSig(sfDir).getBytes("UTF-8"))
 
   /** A fixture is stale when it carries no source signature or the
     * signature no longer matches the live testdata drop. */
-  private[queries] def stale(path: String, sfDir: String): Boolean = {
+  private[graft] def stale(path: String, sfDir: String): Boolean = {
     val f = stampFile(path)
     !f.exists() || new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") !=

@@ -377,15 +377,18 @@ object GraftParser {
         else (rest.lift(2), rest.lastOption) match {
           case (Some(Sym("(")), Some(Sym(")"))) if rest.length > 4 =>
             val inner = rest.slice(3, rest.length - 1)
-            val bad = inner.exists {
-              case _: Word => false
-              case Sym(",") => false
-              case _ => true
-            }
-            val cols = inner.collect { case w: Word => w.text }
-            if (cols.isEmpty || bad) throw new ParseException(
+            // strict alternation — identifier, comma, identifier, ... —
+            // so `CLUSTER BY (a b)` is malformed, not two columns
+            val wellFormed = inner.length % 2 == 1 &&
+              inner.zipWithIndex.forall {
+                case (_: Word, idx) => idx % 2 == 0
+                case (Sym(","), idx) => idx % 2 == 1
+                case _ => false
+              }
+            if (!wellFormed) throw new ParseException(
               "expected CLUSTER BY ( <col> [, <col> ...] )")
-            ClusterByStatement(table, cols)
+            ClusterByStatement(table,
+              inner.collect { case w: Word => w.text })
           case _ => throw new ParseException(
             "expected CLUSTER BY ( <col> [, ...] ) or CLUSTER BY NONE")
         }

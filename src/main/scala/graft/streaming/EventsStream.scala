@@ -38,14 +38,15 @@ object EventsStream {
       spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  /** Identity of the source events fixture: (size, mtime) — not mtime
-    * ordering alone, so a testdata regeneration that preserves
-    * timestamps (cp -p / rsync -a) is still caught when byte counts
-    * changed. The _FEED_READY marker records this signature at build
-    * time. */
+  /** Identity of the source events fixture: (size, content-sha256) —
+    * catches even a regeneration that preserves byte count and
+    * timestamps (cp -p / rsync -a of an equal-length drop). The
+    * _FEED_READY marker records this signature at build time; the hash
+    * memoizes per (path, size, mtime) in-process (see
+    * [[graft.queries.DeltaQueries.contentSha]]). */
   private def sourceSig(sfDir: String): String = {
     val f = new java.io.File(s"$sfDir/events.parquet")
-    s"${f.length()}:${f.lastModified()}"
+    s"${f.length()}:${graft.queries.DeltaQueries.contentSha(f)}"
   }
 
   /** A feed cache is valid only if it was built from the CURRENT source

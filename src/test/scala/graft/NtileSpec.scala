@@ -45,6 +45,20 @@ class NtileSpec extends AnyFunSuite {
     }
   }
 
+  test("a high-cardinality (continuous) key refuses fast") {
+    import spark.implicits._
+    // 1000 distinct keys against a cap of 100: the operator must refuse
+    // with pre-binning guidance, not collect an unbounded histogram
+    val df = (0 until 1000).map(i => (i, i.toLong)).toDF("key", "tie")
+    val e = intercept[IllegalArgumentException] {
+      DistributedNtile(df, 10, "key", "tie", "bin", maxKeys = 100)
+    }
+    assert(e.getMessage.contains("Pre-bin"))
+    // at-the-cap cardinality still works
+    assert(DistributedNtile(df, 10, "key", "tie", "bin", maxKeys = 1000)
+      .count() == 1000)
+  }
+
   test("the plan contains no single-partition global-order window") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i % 5, i.toLong)).toDF("key", "tie")

@@ -112,6 +112,20 @@ class ClusteringSpec extends AnyFunSuite {
     intercept[Exception] {
       g.sql(s"ALTER TABLE '$p' CLUSTER BY (no_such_col)")
     }
+    // malformed: missing comma is a parse error, not two columns
+    val eComma = intercept[Exception] {
+      g.sql(s"ALTER TABLE '$p' CLUSTER BY (o_custkey o_orderdate)")
+    }
+    assert(eComma.getMessage.contains("CLUSTER BY"))
+    // duplicates (incl. case-insensitive) are rejected
+    val eDup = intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' CLUSTER BY (o_custkey, O_CUSTKEY)")
+    }
+    assert(eDup.getMessage.contains("twice"))
+    // a trailing comma is malformed too
+    intercept[Exception] {
+      g.sql(s"ALTER TABLE '$p' CLUSTER BY (o_custkey,)")
+    }
   }
 
   test("clusterBy validation: partitioning, width, unknown columns") {
