@@ -179,15 +179,16 @@ object DeltaScan {
     val needDv = scanFiles.exists(_.dv.isDefined)
     val needPart = partCols.nonEmpty
 
-    // DV bitmaps load once, before the frame is built: the surgical
-    // row-group planner and the row mask share them
-    val dvMap: Map[String, DvBitmap.Bitmap] =
+    // the driver holds DV DESCRIPTORS only (path/offset/size — bytes
+    // per file), never an accumulated bitmap map: the surgical planner
+    // and the small-DV expansion load one bitmap at a time and drop it,
+    // and the large-DV mask decodes in the tasks that read each file
+    // (DvTaskFilter) — so a scan over thousands of heavy-DV files never
+    // concentrates sum-of-bitmap bytes in driver heap
+    val dvDescriptors: Map[String, DeletionVectorDescriptor] =
       if (!needDv) Map.empty
-      else scanFiles
-        .flatMap(f => f.dv.map(d =>
-          normalize(abs(f.relPath)) ->
-            DvBitmap.load(fs, qualifiedTable, d)))
-        .toMap
+      else scanFiles.flatMap(f =>
+        f.dv.map(d => normalize(abs(f.relPath)) -> d)).toMap
 
     // surgical row-group skip: files whose DV kills whole row groups
     // read through byte-ranged splits that never decode the dead groups
@@ -207,7 +208,9 @@ object DeltaScan {
         Await.result(
           Future.traverse(candidates) { f => Future {
             val key = normalize(abs(f.relPath))
-            DvRowGroupSkip.liveRanges(fs, abs(f.relPath), dvMap(key), hconf)
+            // transient: decoded for range planning, dropped after
+            val bm = DvBitmap.load(fs, qualifiedTable, dvDescriptors(key))
+            DvRowGroupSkip.liveRanges(fs, abs(f.relPath), bm, hconf)
               .map(key -> _)
           }},
           scala.concurrent.duration.Duration.Inf).flatten.toMap
@@ -290,17 +293,21 @@ object DeltaScan {
           StructField("__fkey", StringType),
           StructField("__row_index", LongType)))
         val delRows = new java.util.ArrayList[Row](totalDeleted.toInt)
-        for ((k, bm) <- dvMap; i <- bm.iterator)
-          delRows.add(Row(k, i))
+        for ((k, d) <- dvDescriptors) {
+          // transient decode, bounded by DvAntiJoinMaxRows total
+          DvBitmap.load(fs, qualifiedTable, d).iterator
+            .foreach(i => delRows.add(Row(k, i)))
+        }
         df = df.join(broadcast(spark.createDataFrame(delRows, delSchema)),
           Seq("__fkey", "__row_index"), "left_anti")
       } else {
-        // large-DV fallback: keep the roaring bitmaps as bitmaps (the
-        // expanded pair list would no longer be broadcast-cheap) and
-        // filter via one broadcast of the compressed structures
-        val dvMapBc = spark.sparkContext.broadcast(dvMap)
-        val keep = udf((fkey: String, rowIndex: Long) =>
-          dvMapBc.value.get(fkey).forall(!_.contains(rowIndex)))
+        // large-DV path: ship descriptors, decode IN THE TASKS that
+        // read each file (per-executor bounded cache) — driver memory
+        // stays O(files) and decode work lands where the rows are read,
+        // the executor-side placement production Delta readers use
+        val keep = udf(DvTaskFilter.keepFunc(
+          qualifiedTable.toUri.toString, dvDescriptors,
+          new DvTaskFilter.SerHadoopConf(hconf)))
         df = df.where(keep(col("__fkey"), col("__row_index")))
       }
     }

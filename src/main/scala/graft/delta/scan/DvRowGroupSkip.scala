@@ -125,20 +125,30 @@ object DvRowGroupSkip {
             start, len, Array.empty, modTime, fileSize)
         }
     }
+    val outSchema = StructType(requiredSchema.fields :+
+      StructField("__fkey", StringType, nullable = false))
     val rdd = spark.sparkContext
       .parallelize(parts, math.max(parts.size, 1))
       .flatMap { case (key, pf) =>
         val keyRow = InternalRow(UTF8String.fromString(key))
+        // rows from the vectorized reader are REUSED buffers and must
+        // be materialized; an UnsafeProjection + UnsafeRow.copy (one
+        // flat byte-array copy, codegen'd field writes) beats
+        // JoinedRow.copy's boxed GenericInternalRow per row. Decode
+        // itself is already vectorized inside the reader — a full
+        // columnar passthrough would additionally need a columnar plan
+        // node just to re-materialize rows at the RDD boundary anyway.
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(outSchema)
+        val joined = new JoinedRow()
         readerFn(pf).flatMap {
-          // rows from the vectorized reader are REUSED buffers: copy
           case b: ColumnarBatch =>
-            b.rowIterator.asScala.map(r => new JoinedRow(r, keyRow).copy())
+            b.rowIterator.asScala.map(r =>
+              proj(joined(r, keyRow)).copy(): InternalRow)
           case r: InternalRow =>
-            Iterator.single(new JoinedRow(r, keyRow).copy())
+            Iterator.single(proj(joined(r, keyRow)).copy(): InternalRow)
         }
       }
-    val outSchema = StructType(requiredSchema.fields :+
-      StructField("__fkey", StringType, nullable = false))
     Shims.dataFrameFromInternalRows(spark, rdd, outSchema)
       .withColumnRenamed(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, "__row_index")
