@@ -244,6 +244,51 @@ class CheckpointSpec extends AnyFunSuite {
     assert(err.getMessage.contains("v2Checkpoint"))
   }
 
+  test("tiny/skewed table writes fewer sidecars than asked, still exact") {
+    // repartition(n) is free to produce fewer than n non-empty parts;
+    // the checkpoint must report what actually landed — manifest
+    // references, on-disk sidecars, and the _last_checkpoint size all
+    // from the written artifact, never from the requested count
+    val p = tmp("v2cp_skew")
+    CommitWriter.createTable(spark, region.limit(1), p) // v0: ONE row
+    val proto = Actions.Protocol(3, 7,
+      Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))
+    CommitWriter.commit(spark, p, 1L,
+      Seq(CommitWriter.protocolJson(proto)), "UPGRADE PROTOCOL") // v1
+    CommitWriter.checkpointV2(spark, p, numSidecars = 4)
+
+    val fs = LogSegment.fs(spark, new Path(p))
+    val logDir = new Path(p, "_delta_log")
+    val onDisk = fs.listStatus(new Path(logDir, "_sidecars"))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(onDisk < 4, s"a 1-row table cannot need 4 sidecars: $onDisk")
+    val manifestFile = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+    assert(manifestFile.length == 1)
+    val top = spark.read.schema(Actions.v2CheckpointSchema)
+      .parquet(new Path(logDir, manifestFile.head).toString)
+    val referenced = top.where(col("sidecar").isNotNull).count()
+    assert(referenced == onDisk.toLong,
+      "manifest references must match the sidecars actually written")
+    // _last_checkpoint.size = every action row in the artifact
+    val lcText = {
+      val in = fs.open(new Path(logDir, "_last_checkpoint"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val declaredSize = mapper.readTree(lcText).get("size").asLong()
+    val sidecarRows = spark.read.schema(Actions.logSchema)
+      .parquet(new Path(logDir, "_sidecars").toString + "/*.parquet")
+      .count()
+    assert(declaredSize == sidecarRows + top.count(),
+      s"size field $declaredSize != actual artifact rows")
+    // replay from the checkpoint alone stays exact
+    (0L to 1L).foreach(i =>
+      fs.delete(new Path(logDir, f"$i%020d.json"), false))
+    assert(DeltaTable.forPath(spark, p).read.count() == 1L)
+  }
+
   test("v2 checkpoint with a PARQUET manifest replays too") {
     val p = tmp("v2cp_parq")
     CommitWriter.createTable(spark, region, p) // v0
