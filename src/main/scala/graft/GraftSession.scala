@@ -169,9 +169,11 @@ final class GraftSession(val spark: SparkSession) {
       // other readers know which files predate the widening. The
       // `tableVersion` stamp derives from the ACTUAL commit version
       // (commitMetadataAt resolves its own segment) — `snap.version + 1`
-      // computed here could be stale if a commit interleaves, and a
-      // too-low stamp would misclassify that interleaved commit's files
-      // as post-widening.
+      // computed here could be stale if a commit interleaves. The
+      // schema itself is derived from `snap`, so the same call pins
+      // expectedCurrentVersion: an interleaved metadata commit makes
+      // this throw (caller re-runs the ALTER) instead of silently
+      // reverting the interleaved change with a stale schema image.
       def widened(v: Long): org.apache.spark.sql.types.Metadata = {
         val change = new MetadataBuilder()
           .putString("fromType", from.typeName)
@@ -194,7 +196,8 @@ final class GraftSession(val spark: SparkSession) {
             else f.copy(dataType = to, metadata = widened(v))
           }).json),
         extraActions =
-          newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq)
+          newProto.map(graft.delta.log.CommitWriter.protocolJson).toSeq,
+        expectedCurrentVersion = Some(snap.version))
       alterMetrics(
         s"widened ${resolved.name} ${from.simpleString} -> " +
           to.simpleString, cv)

@@ -668,15 +668,30 @@ object CommitWriter {
     * caller-side `snap.version + 1` can be stale by the time the commit
     * resolves, and `commit` never lands anywhere other than the version
     * passed (a concurrent steal throws), so the value handed to `build`
-    * is exact whenever the commit succeeds. */
+    * is exact whenever the commit succeeds.
+    *
+    * @param expectedCurrentVersion the snapshot version the caller
+    *   DERIVED its metadata from. A metaData action replaces the
+    *   schema wholesale, so a commit interleaving between the caller's
+    *   resolve and this one would be silently reverted by metadata
+    *   built from the stale snapshot; on mismatch this throws
+    *   [[ConcurrentCommitException]] so the caller re-resolves and
+    *   re-derives instead of clobbering. */
   def commitMetadataAt(spark: SparkSession, tablePath: String,
       build: Long => Metadata,
-      extraActions: Seq[String] = Seq.empty): Long = {
+      extraActions: Seq[String] = Seq.empty,
+      expectedCurrentVersion: Option[Long] = None): Long = {
     val segment = LogSegment.forTable(spark, new Path(tablePath))
     // gate on the CURRENT state: a metadata-only commit to a table whose
     // writer features this engine doesn't maintain is still non-compliant
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto)
+    for (expected <- expectedCurrentVersion if expected != segment.version)
+      throw new ConcurrentCommitException(
+        s"table $tablePath advanced from version $expected to " +
+          s"${segment.version} since the metadata change was derived — " +
+          "re-resolve and retry (committing would revert the " +
+          "interleaved change)", null)
     val v = segment.version + 1
     commit(spark, tablePath, v, metadataJson(build(v)) +: extraActions,
       operation = "CHANGE SCHEMA")
@@ -823,12 +838,14 @@ object CommitWriter {
       val in = fs.open(prev)
       val bytes = try in.readAllBytes() finally in.close()
       sha256(bytes) == m.commitSha
-    } catch { case _: java.io.FileNotFoundException => false }
+    } catch {
+      // ANY read failure (gone, throttled, truncated) falls back to a
+      // full resolve — the memo is an optimization, never a gate
+      case _: java.io.IOException => false
+    }
   }
 
-  private def sha256(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map("%02x".format(_)).mkString
+  private def sha256(bytes: Array[Byte]): String = Digests.sha256Hex(bytes)
 
   /** The in-commit timestamp the NEXT commit to this table will carry —
     * used by the ICT enablement path to record matching

@@ -190,6 +190,15 @@ object DeltaScan {
       else scanFiles.flatMap(f =>
         f.dv.map(d => normalize(abs(f.relPath)) -> d)).toMap
 
+    // the small-DV mask path will decode every bitmap on the driver
+    // anyway (bounded by the anti-join cap); on that path the surgical
+    // planner RETAINS what it decoded so the mask never re-reads a DV.
+    // On the large path nothing is retained — the mask decodes in tasks.
+    val totalDeleted = scanFiles.flatMap(_.dv).map(_.cardinality).sum
+    val smallDvPath = totalDeleted <= DvAntiJoinMaxRows
+    val plannedBitmaps =
+      new java.util.concurrent.ConcurrentHashMap[String, DvBitmap.Bitmap]()
+
     // surgical row-group skip: files whose DV kills whole row groups
     // read through byte-ranged splits that never decode the dead groups
     val hconf = org.apache.spark.sql.graftshim.Shims
@@ -208,8 +217,10 @@ object DeltaScan {
         Await.result(
           Future.traverse(candidates) { f => Future {
             val key = normalize(abs(f.relPath))
-            // transient: decoded for range planning, dropped after
+            // transient on the large path; kept for the mask on the
+            // small path (where total decoded rows are capped anyway)
             val bm = DvBitmap.load(fs, qualifiedTable, dvDescriptors(key))
+            if (smallDvPath) plannedBitmaps.put(key, bm)
             DvRowGroupSkip.liveRanges(fs, abs(f.relPath), bm, hconf)
               .map(key -> _)
           }},
@@ -282,8 +293,7 @@ object DeltaScan {
     }
 
     if (needDv) {
-      val totalDeleted = scanFiles.flatMap(_.dv).map(_.cardinality).sum
-      if (totalDeleted <= DvAntiJoinMaxRows) {
+      if (smallDvPath) {
         // small-DV path (the overwhelmingly common case: DVs mark a few
         // deleted rows per file): materialize the deleted (file, row)
         // pairs and drop them with a broadcast LEFT ANTI join — a plain
@@ -294,9 +304,11 @@ object DeltaScan {
           StructField("__row_index", LongType)))
         val delRows = new java.util.ArrayList[Row](totalDeleted.toInt)
         for ((k, d) <- dvDescriptors) {
-          // transient decode, bounded by DvAntiJoinMaxRows total
-          DvBitmap.load(fs, qualifiedTable, d).iterator
-            .foreach(i => delRows.add(Row(k, i)))
+          // transient decode, bounded by DvAntiJoinMaxRows total;
+          // surgical candidates reuse the planner's decode
+          val bm = Option(plannedBitmaps.get(k))
+            .getOrElse(DvBitmap.load(fs, qualifiedTable, d))
+          bm.iterator.foreach(i => delRows.add(Row(k, i)))
         }
         df = df.join(broadcast(spark.createDataFrame(delRows, delSchema)),
           Seq("__fkey", "__row_index"), "left_anti")

@@ -45,16 +45,8 @@ object DeltaQueries {
   private[graft] def resetHashMemoForTest(): Unit = hashMemo.clear()
   private[graft] def contentSha(f: File): String = {
     val memoKey = s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
-    hashMemo.computeIfAbsent(memoKey, { _ =>
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val in = new java.io.FileInputStream(f)
-      try {
-        val buf = new Array[Byte](1 << 20)
-        var n = in.read(buf)
-        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-      md.digest().map("%02x".format(_)).mkString
-    })
+    hashMemo.computeIfAbsent(memoKey,
+      _ => graft.delta.log.Digests.sha256HexOf(f))
   }
   private def sourceSig(sfDir: String): String =
     Option(new File(sfDir).listFiles()).getOrElse(Array.empty)

@@ -55,13 +55,16 @@ object MetadataRehearsal {
       partitionColumns = Seq("part"),
       configuration = Map("delta.checkpointInterval" -> "1000000"))
 
-    // 10 commits x nFiles/10 adds, 100 partitions, monotone disjoint
-    // key ranges per file so a selective predicate prunes ~all files
+    // 10 commits x ~nFiles/10 adds (last commit takes the remainder),
+    // 100 partitions, monotone disjoint key ranges per file so a
+    // selective predicate prunes ~all files
     val perCommit = nFiles / 10
-    timed(s"write log: 10 commits x $perCommit adds") {
+    timed(s"write log: 10 commits x ~$perCommit adds") {
       var fileNo = 0L
       for (c <- 0 until 10) {
-        val lines = (0 until perCommit).map { i =>
+        val inCommit =
+          if (c == 9) nFiles - perCommit * 9 else perCommit
+        val lines = (0 until inCommit).map { i =>
           val part = (fileNo % 100).toInt
           val lo = fileNo * 1000
           val hi = lo + 999

@@ -205,6 +205,27 @@ class TypeWideningSpec extends AnyFunSuite {
       .prunedFiles(snap, Seq(col("price") > 1.0)).count() == 0)
   }
 
+  test("metadata derived from a stale snapshot refuses to commit") {
+    // a metaData action replaces the schema wholesale: committing one
+    // built from a stale snapshot would silently revert whatever
+    // interleaved — the version pin must throw instead
+    val p = tmp("stale_meta")
+    CommitWriter.createTable(spark,
+      orders.limit(5).select("o_orderkey", "o_totalprice"), p)
+    val snap0 = DeltaTable.forPath(spark, p)
+    CommitWriter.append(spark,
+      orders.limit(1).select("o_orderkey", "o_totalprice"), p) // v1
+    val e = intercept[CommitWriter.ConcurrentCommitException] {
+      CommitWriter.commitMetadataAt(spark, p, _ => snap0.metadata,
+        expectedCurrentVersion = Some(snap0.version))
+    }
+    assert(e.getMessage.contains("advanced"))
+    // with the CURRENT version pinned it commits fine
+    val v = CommitWriter.commitMetadataAt(spark, p, _ => snap0.metadata,
+      expectedCurrentVersion = Some(1L))
+    assert(v == 2L)
+  }
+
   test("narrowing and cross-family changes are refused") {
     val p = tmp("refuse")
     CommitWriter.createTable(spark,
