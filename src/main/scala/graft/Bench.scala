@@ -131,7 +131,9 @@ object Bench {
       "q_quality_filter", "q_incremental_dedup", "q_dv_dml",
       // round-7 additions (headline display only — stableSet is frozen)
       "q_concurrent_write", "q_row_ids", "q_global_shuffle",
-      "q_curriculum")
+      "q_curriculum",
+      // round-8 additions
+      "q_dpp_join")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")

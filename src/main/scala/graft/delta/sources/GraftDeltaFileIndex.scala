@@ -104,16 +104,42 @@ final class GraftDeltaFileIndex(spark: SparkSession, snapshot: Snapshot)
     val cols = dataFilters
       .flatMap(e => org.apache.spark.sql.graftshim.Shims.translateFilter(e))
       .flatMap(f => FilterColumns.toColumn(f))
-    if (cols.isEmpty) base
-    else {
-      val kept = StatsSkipping
-        .prune(snapshot, snapshot.allFiles, cols)
-        .select("path").collect().map(r => absPath(r.getString(0)).toString)
-        .toSet
-      base.map { pd =>
-        PartitionDirectory(pd.values,
-          pd.files.filter(f => kept.contains(f.getPath.toString)))
-      }.filter(_.files.nonEmpty)
-    }
+    val out =
+      if (cols.isEmpty) base
+      else {
+        val kept = StatsSkipping
+          .prune(snapshot, snapshot.allFiles, cols)
+          .select("path").collect().map(r => absPath(r.getString(0)).toString)
+          .toSet
+        base.map { pd =>
+          PartitionDirectory(pd.values,
+            pd.files.filter(f => kept.contains(f.getPath.toString)))
+        }.filter(_.files.nonEmpty)
+      }
+    GraftDeltaFileIndex.recordList(partitionFilters.size,
+      dataFilters.size, out.map(_.files.length).sum)
+    out
   }
+}
+
+object GraftDeltaFileIndex {
+  /** Test observability: the last 32 `listFiles` calls in this JVM as
+    * (partitionFilterCount, dataFilterCount, filesReturned) — a
+    * runtime-filtered (DPP) execution shows up as a call with an extra
+    * partition filter returning a pruned file count. Bounded ring, so
+    * a long-lived session never accumulates. */
+  private val listCalls =
+    new java.util.ArrayDeque[(Int, Int, Long)](33)
+  private[graft] def recordList(nPart: Int, nData: Int,
+      files: Long): Unit = listCalls.synchronized {
+    if (listCalls.size >= 32) listCalls.removeFirst()
+    listCalls.addLast((nPart, nData, files))
+  }
+  private[graft] def recentLists: Seq[(Int, Int, Long)] =
+    listCalls.synchronized {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        listCalls.iterator).asScala.toList
+    }
+  private[graft] def clearListLog(): Unit =
+    listCalls.synchronized(listCalls.clear())
 }

@@ -103,7 +103,8 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
             ParquetScanBuilder(spark,
               new GraftDeltaFileIndex(spark, snapshot),
               schema(), StructType(dataFields.toIndexedSeq), options),
-            statsAnswer)
+            statsAnswer,
+            partitionSchema = StructType(partFields.toIndexedSeq))
         else new GraftDeltaComposedScanBuilder(snapshot, schema(),
           filters =>
             if (filters.isEmpty) snapshot.read

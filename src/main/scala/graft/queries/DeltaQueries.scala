@@ -717,6 +717,33 @@ object DeltaQueries {
         .orderBy("o_orderkey")
     },
 
+    // Dynamic partition pruning through the native DSv2 path: the fact
+    // side's partitions prune at RUNTIME from the dim side's surviving
+    // join keys (RuntimeFilteredParquetScan — Spark's own ParquetScan
+    // has no runtime filtering). The dim must be parquet-backed with a
+    // selective filter for the PartitionPruning rule to engage; the
+    // oracle recomputes the same join relationally.
+    Q("q_dpp_join",
+      """SELECT o.o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total
+        |FROM orders o
+        |JOIN (SELECT DISTINCT o_orderstatus AS status_key FROM orders
+        |      WHERE o_orderstatus = 'F') d
+        |  ON o.o_orderstatus = d.status_key
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = partitionedTable(s, dir)
+      val fact = s.read.format("graftdelta").option("path", path).load()
+      val dim = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderstatus").as("status_key")).distinct()
+      fact.join(broadcast(dim), fact("o_orderstatus") === dim("status_key"))
+        .groupBy(fact("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), T.dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // A6/A8: schema evolution with null imputation for pre-evolution files
     Q("schema_evolution",
       """SELECT o_orderkey, o_custkey, o_totalprice,

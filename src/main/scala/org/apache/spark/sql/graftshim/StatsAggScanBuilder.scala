@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class StatsAggScanBuilder(
     delegate: ParquetScanBuilder,
-    answer: Aggregation => Option[(StructType, Seq[Any])])
+    answer: Aggregation => Option[(StructType, Seq[Any])],
+    partitionSchema: StructType = new StructType())
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -81,6 +82,14 @@ final class StatsAggScanBuilder(
       override def rows(): Array[InternalRow] =
         Array(InternalRow.fromSeq(vals))
     }
-    case None => delegate.build()
+    case None => delegate.build() match {
+      // partitioned tables scan through the runtime-filtering wrapper
+      // so star-schema joins dynamically prune partitions (Spark's own
+      // ParquetScan does not implement SupportsRuntimeFiltering)
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+          if partitionSchema.nonEmpty =>
+        new graft.delta.sources.RuntimeFilteredParquetScan(p, partitionSchema)
+      case other => other
+    }
   }
 }
