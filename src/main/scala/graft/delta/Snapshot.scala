@@ -68,6 +68,29 @@ final case class Snapshot(
     else None
   }
 
+  /** Total ON-DISK bytes of the live files plus the stats row count —
+    * one metadata aggregation, memoized for the snapshot's life. Feeds
+    * the composed scan's reported statistics: without them a DV /
+    * column-mapped table has UNKNOWN size, so Catalyst never
+    * auto-broadcasts it and a dim-sized table on the composed path
+    * shuffles a 100 TB fact instead of broadcasting itself. */
+  lazy val sizeAndRows: (Long, Option[Long]) = {
+    import org.apache.spark.sql.functions._
+    val a = allFiles.agg(
+      coalesce(sum(col("size")), lit(0L)).as("bytes"),
+      count(lit(1)).as("files"),
+      count(get_json_object(col("stats"), "$.numRecords")).as("withStats"),
+      sum(get_json_object(col("stats"), "$.numRecords").cast("long")),
+      sum(coalesce(col("deletionVector.cardinality"), lit(0L))))
+      .head
+    val rows =
+      if (a.getLong(1) == 0L) Some(0L)
+      else if (a.getLong(2) == a.getLong(1))
+        Some(a.getLong(3) - a.getLong(4))
+      else None
+    (a.getLong(0), rows)
+  }
+
   /** Exact global (min, max) of a NUMERIC column from log stats alone —
     * min-of-file-mins / max-of-file-maxes, zero data files opened.
     * `None` when any live file lacks the stat (can't bound the gap) or

@@ -766,9 +766,10 @@ object CommitWriter {
 
   /** The table state a landing commit needs from the log: whether
     * commits carry in-commit timestamps, how often to auto-checkpoint,
-    * and whether checkpoints must be v2 (sidecar) format. */
+    * whether checkpoints must be v2 (sidecar) format, and whether the
+    * table opted into post-commit auto-compaction. */
   private case class WriteConf(ict: Boolean, checkpointInterval: Int,
-      v2Checkpoints: Boolean)
+      v2Checkpoints: Boolean, autoCompact: Boolean = false)
 
   /** Resolve [[WriteConf]] for the commit landing at `version`: start
     * from the current log state (memo hit, else one resolve; creation
@@ -797,7 +798,8 @@ object CommitWriter {
         c.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty[String, String])
-      base.copy(ict = ictFrom(cfg), checkpointInterval = intervalFrom(cfg))
+      base.copy(ict = ictFrom(cfg), checkpointInterval = intervalFrom(cfg),
+        autoCompact = autoCompactFrom(cfg))
     }
     inlineProto.fold(withMeta) { p =>
       val feats = Option(p.get("writerFeatures")).map(_.asScala.toSeq
@@ -809,7 +811,17 @@ object CommitWriter {
   private def confOf(cfg: Map[String, String],
       writerFeatures: Option[Seq[String]]): WriteConf =
     WriteConf(ictFrom(cfg), intervalFrom(cfg),
-      writerFeatures.getOrElse(Nil).contains("v2Checkpoint"))
+      writerFeatures.getOrElse(Nil).contains("v2Checkpoint"),
+      autoCompactFrom(cfg))
+
+  /** `delta.autoOptimize.autoCompact` (the ecosystem-standard table
+    * property): opt-in post-commit small-file compaction. */
+  final val AutoCompactPropKey = "delta.autoOptimize.autoCompact"
+  /** `delta.autoOptimize.optimizeWrite`: opt-in pre-write rebalance of
+    * partitioned writes (see writeFiles). */
+  final val OptimizeWritePropKey = "delta.autoOptimize.optimizeWrite"
+  private def autoCompactFrom(cfg: Map[String, String]): Boolean =
+    cfg.get(AutoCompactPropKey).exists(_.equalsIgnoreCase("true"))
 
   private def ictFrom(cfg: Map[String, String]): Boolean =
     cfg.get("delta.enableInCommitTimestamps")
@@ -966,7 +978,57 @@ object CommitWriter {
     ictFlagCache.put(tablePath, WriteMemo(version + 1, conf,
       payloadBytes.length.toLong, sha256(payloadBytes)))
     maybeAutoCheckpoint(spark, tablePath, version, conf)
+    maybeAutoCompact(spark, tablePath, version, conf, operation, actionLines)
   }
+
+  /** Session knobs for auto-compaction (delta-spark parity defaults:
+    * a partition qualifies at 50 small files; "small" and the rewrite
+    * target are both 128 MiB). */
+  private def autoCompactMinNumFiles(spark: SparkSession): Int =
+    spark.conf.getOption("spark.lakehouse.autoCompact.minNumFiles")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(50)
+  private def autoCompactMaxFileSize(spark: SparkSession): Long =
+    spark.conf.getOption("spark.lakehouse.autoCompact.maxFileSize")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(128L * 1024 * 1024)
+
+  private val inAutoCompact = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Post-commit auto-compaction (`delta.autoOptimize.autoCompact`):
+    * after a data-adding commit, partitions holding >= minNumFiles
+    * small files compact via the normal OPTIMIZE path (dataChange=false
+    * rewrite, conflict-checked rebase — racing appends are never
+    * blocked). Without it a streaming-ingest table accumulates one tiny
+    * file per micro-batch and every reader's scan degrades. The commit
+    * already landed, so a compaction failure is logged and swallowed.
+    * Skips (rather than throws) on tables OPTIMIZE refuses —
+    * column-mapped, row-tracked, clustered (the clustering policy owns
+    * layout; run OPTIMIZE explicitly to re-cluster). */
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String,
+      version: Long, conf: WriteConf, operation: String,
+      actionLines: Seq[String]): Unit =
+    if (conf.autoCompact && version > 0 && operation != "OPTIMIZE" &&
+        !inAutoCompact.get() && actionLines.exists(_.contains("\"add\""))) {
+      inAutoCompact.set(true)
+      try {
+        val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
+        val eligible =
+          graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none" &&
+          !RowTracking.enabled(snap.metadata) &&
+          Clustering.columnsOf(spark, snap.segment).isEmpty
+        if (eligible)
+          graft.commands.OptimizeCommand.optimize(spark, tablePath,
+            targetFileSize = autoCompactMaxFileSize(spark),
+            minFiles = autoCompactMinNumFiles(spark))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] auto-compact of $tablePath after " +
+            s"v$version failed (the commit itself is unaffected): $e")
+      } finally inAutoCompact.set(false)
+    }
 
   /** `delta.checkpointInterval` (default 10, the delta-spark default):
     * auto-checkpoint cadence in commits. */
@@ -1498,7 +1560,21 @@ object CommitWriter {
     fs.mkdirs(table)
     val staging = new Path(table, s".staging_${UUID.randomUUID().toString.take(8)}")
 
-    val writer = df.write.mode("overwrite")
+    // optimized write (`delta.autoOptimize.optimizeWrite`, opt-in): a
+    // partitioned write otherwise emits up to tasks × partitions part
+    // files (every task holding rows of every partition writes one per
+    // dir — the small-file explosion auto-compact then has to clean
+    // up). The REBALANCE hint shuffles rows to the partition keys with
+    // AQE sizing the output blocks (splitting skewed keys, coalescing
+    // tiny ones), so each partition dir gets few well-sized files AT
+    // write time. Prevention here, cure in maybeAutoCompact.
+    val shaped =
+      if (partitionColumns.nonEmpty &&
+          configuration.get(OptimizeWritePropKey)
+            .exists(_.equalsIgnoreCase("true")))
+        df.hint("rebalance", partitionColumns.map(col): _*)
+      else df
+    val writer = shaped.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
      else writer).parquet(staging.toString)
 

@@ -206,8 +206,26 @@ final class GraftDeltaComposedScanBuilder(snapshot: Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+    // report log-derived size/row statistics: without them the composed
+    // (DV / column-mapping / incremental) relation has UNKNOWN size and
+    // Catalyst never auto-broadcasts it — a dim-sized DV table would
+    // shuffle the fact side instead of broadcasting itself. On-disk
+    // parquet bytes UNDERSTATE in-memory size, which only errs toward
+    // broadcasting smaller tables; DV-deleted rows still count toward
+    // size, erring conservative the other way.
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val (bytes, rows) = snapshot.sizeAndRows
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(bytes, 1L))
+        override def numRows(): java.util.OptionalLong =
+          rows.fold(java.util.OptionalLong.empty())(
+            java.util.OptionalLong.of)
+      }
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val filterCols = pushed.toSeq.flatMap(FilterColumns.toColumn)

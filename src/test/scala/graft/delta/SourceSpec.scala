@@ -319,6 +319,20 @@ class SourceSpec extends AnyFunSuite {
     assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"))
   }
 
+  test("composed scan reports stats: a small DV table auto-broadcasts") {
+    // the composed (V1Scan) path now reports log-derived size/rows; a
+    // dim-sized DV table must auto-broadcast in a join WITHOUT an
+    // explicit broadcast() hint — unknown-size relations never would
+    val p = graft.queries.DeltaQueries.dvTable(spark, sf)
+    val dim = spark.read.format("graftdelta").option("path", p).load()
+    val fact = spark.range(50000).toDF("c_custkey")
+    val joined = fact.join(dim, Seq("c_custkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small composed-path table did not auto-broadcast:\n${plan.take(1500)}")
+  }
+
   test("schema-evolved table reads through the native DSv2 path") {
     val p = graft.queries.DeltaQueries.evolvedTable(spark, sf)
     val df = spark.read.format("graftdelta").option("path", p).load()
