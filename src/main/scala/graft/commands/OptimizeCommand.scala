@@ -107,8 +107,11 @@ object OptimizeCommand {
       targetFileSize: Long = DefaultTargetFileSize,
       minFiles: Int = 2,
       zorderBy: Seq[String] = Seq.empty,
-      where: Option[Column] = None): DataFrame = {
-    val snap = DeltaTable.forPath(spark, tablePath)
+      where: Option[Column] = None,
+      // auto-compact calls from the commit path pass the snapshot it
+      // already resolved (one log resolution per commit, not two)
+      snapOpt: Option[graft.delta.Snapshot] = None): DataFrame = {
+    val snap = snapOpt.getOrElse(DeltaTable.forPath(spark, tablePath))
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol)
     require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",

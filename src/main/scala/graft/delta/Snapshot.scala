@@ -55,18 +55,7 @@ final case class Snapshot(
     * only a data scan can answer). At 100 TB this turns `count(*)` from
     * a full-table scan into a metadata aggregation over the (already
     * replayed) file list. */
-  def statsRowCount: Option[Long] = {
-    import org.apache.spark.sql.functions._
-    val a = allFiles.agg(
-      count(lit(1)).as("files"),
-      count(get_json_object(col("stats"), "$.numRecords")).as("withStats"),
-      sum(get_json_object(col("stats"), "$.numRecords").cast("long")).as("n"),
-      sum(coalesce(col("deletionVector.cardinality"), lit(0L))).as("dv"))
-      .head
-    if (a.getLong(0) == 0L) Some(0L)
-    else if (a.getLong(1) == a.getLong(0)) Some(a.getLong(2) - a.getLong(3))
-    else None
-  }
+  def statsRowCount: Option[Long] = sizeAndRows._2
 
   /** Total ON-DISK bytes of the live files plus the stats row count —
     * one metadata aggregation, memoized for the snapshot's life. Feeds

@@ -1011,7 +1011,13 @@ object CommitWriter {
       version: Long, conf: WriteConf, operation: String,
       actionLines: Seq[String]): Unit =
     if (conf.autoCompact && version > 0 && operation != "OPTIMIZE" &&
-        !inAutoCompact.get() && actionLines.exists(_.contains("\"add\""))) {
+        !inAutoCompact.get() &&
+        // exact add detection: substring pre-filter, then a real parse
+        // of the candidate line — a property VALUE containing "add"
+        // must not read as a data commit. Short-circuits on the first
+        // true add line of a data commit.
+        actionLines.exists(l =>
+          l.contains("\"add\"") && mapper.readTree(l).has("add"))) {
       inAutoCompact.set(true)
       try {
         val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
@@ -1022,7 +1028,8 @@ object CommitWriter {
         if (eligible)
           graft.commands.OptimizeCommand.optimize(spark, tablePath,
             targetFileSize = autoCompactMaxFileSize(spark),
-            minFiles = autoCompactMinNumFiles(spark))
+            minFiles = autoCompactMinNumFiles(spark),
+            snapOpt = Some(snap)) // one resolve, not two, per commit
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] auto-compact of $tablePath after " +
@@ -1568,8 +1575,12 @@ object CommitWriter {
     // AQE sizing the output blocks (splitting skewed keys, coalescing
     // tiny ones), so each partition dir gets few well-sized files AT
     // write time. Prevention here, cure in maybeAutoCompact.
+    // dataChange=false gates the hint OFF for OPTIMIZE/auto-compact
+    // rewrites: those have already shaped their output (z-order's
+    // range-partition + within-partition sort, compaction's coalesce
+    // sizing) and a rebalance shuffle on top would silently destroy it
     val shaped =
-      if (partitionColumns.nonEmpty &&
+      if (dataChange && partitionColumns.nonEmpty &&
           configuration.get(OptimizeWritePropKey)
             .exists(_.equalsIgnoreCase("true")))
         df.hint("rebalance", partitionColumns.map(col): _*)

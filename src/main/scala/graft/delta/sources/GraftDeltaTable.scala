@@ -95,7 +95,7 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
               snap, startV - 1, snap.version, ignoreChanges,
               "Incremental batch read")
           if (filters.isEmpty) df else df.where(filters.reduce(_ && _))
-        })
+        }, reportSnapshotStats = false)
       case None =>
         val identityMapping = ColumnMapping.mode(snapshot.metadata) == "none"
         if (identityMapping && !hasDvs)
@@ -187,7 +187,14 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
   * assembled DataFrame out). */
 final class GraftDeltaComposedScanBuilder(snapshot: Snapshot,
     fullSchema: StructType,
-    buildBase: Seq[Column] => org.apache.spark.sql.DataFrame)
+    buildBase: Seq[Column] => org.apache.spark.sql.DataFrame,
+    // snapshot statistics describe the LIVE file set — valid for the
+    // plain snapshot scan only. A versionRange/changeFeed scan's row
+    // set can dwarf the final snapshot (a change feed over a full
+    // delete emits 2N rows against 0 live files), so those branches
+    // must NOT report them: Catalyst would auto-broadcast a huge
+    // relation it believes is empty.
+    reportSnapshotStats: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -209,21 +216,24 @@ final class GraftDeltaComposedScanBuilder(snapshot: Snapshot,
   override def build(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
-    // report log-derived size/row statistics: without them the composed
-    // (DV / column-mapping / incremental) relation has UNKNOWN size and
-    // Catalyst never auto-broadcasts it — a dim-sized DV table would
-    // shuffle the fact side instead of broadcasting itself. On-disk
-    // parquet bytes UNDERSTATE in-memory size, which only errs toward
-    // broadcasting smaller tables; DV-deleted rows still count toward
-    // size, erring conservative the other way.
+    // report log-derived size/row statistics (plain snapshot scans
+    // only — see reportSnapshotStats): without them the composed
+    // DV / column-mapping relation has UNKNOWN size and Catalyst never
+    // auto-broadcasts it — a dim-sized DV table would shuffle the fact
+    // side instead of broadcasting itself. On-disk parquet bytes
+    // UNDERSTATE in-memory size, which only errs toward broadcasting
+    // smaller tables; DV-deleted rows still count toward size, erring
+    // conservative the other way.
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
       new org.apache.spark.sql.connector.read.Statistics {
-        private val (bytes, rows) = snapshot.sizeAndRows
+        private val stats: Option[(Long, Option[Long])] =
+          if (reportSnapshotStats) Some(snapshot.sizeAndRows) else None
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(math.max(bytes, 1L))
+          stats.fold(java.util.OptionalLong.empty())(s =>
+            java.util.OptionalLong.of(math.max(s._1, 1L)))
         override def numRows(): java.util.OptionalLong =
-          rows.fold(java.util.OptionalLong.empty())(
+          stats.flatMap(_._2).fold(java.util.OptionalLong.empty())(
             java.util.OptionalLong.of)
       }
     override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   * the predicate row-level). */
 final class RuntimeFilteredParquetScan(val inner: ParquetScan,
     partitionSchema: StructType)
-    extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
+    extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   // the runtime-filtered image; starts as the planned scan
   @volatile private var current: ParquetScan = inner
@@ -44,6 +45,10 @@ final class RuntimeFilteredParquetScan(val inner: ParquetScan,
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
+  // EXPLAIN FORMATTED's metadata block (ReadSchema/PushedFilters/
+  // Location) comes through SupportsMetadata — losing it for every
+  // partitioned scan would blind plan-audit tooling
+  override def getMetaData(): Map[String, String] = current.getMetaData()
 
   override def filterAttributes(): Array[NamedReference] =
     partitionSchema.fieldNames.map(Expressions.column)

@@ -735,7 +735,7 @@ object DeltaQueries {
         |ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
       val path = partitionedTable(s, dir)
       val fact = s.read.format("graftdelta").option("path", path).load()
-      val dim = s.read.parquet(s"$dir/orders.parquet")
+      val dim = orders(s, dir)
         .where(col("o_orderstatus") === "F")
         .select(col("o_orderstatus").as("status_key")).distinct()
       fact.join(broadcast(dim), fact("o_orderstatus") === dim("status_key"))
