@@ -108,6 +108,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(extSpark.sql(s"SHOW TBLPROPERTIES '$p'").collect() != null)
   }
 
+  test("table_changes TVF serves the derived change feed through SQL") {
+    val d = Files.createTempDirectory("graft_ext_tc").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = TestSpark.spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    CommitWriter.createTable(extSpark, region.limit(3), p) // v0
+    CommitWriter.append(extSpark, region.limit(2), p) // v1
+    // v1-only span: exactly the appended rows, labeled insert
+    val changes = extSpark.sql(
+      s"SELECT _change_type, _commit_version FROM table_changes('$p', 1)")
+      .collect()
+    assert(changes.length == 2)
+    assert(changes.forall(r =>
+      r.getString(0) == "insert" && r.getLong(1) == 1L))
+    // explicit end version + aggregation over the TVF relation
+    val n = extSpark.sql(
+      s"SELECT count(*) FROM table_changes('$p', 0, 1)").head().getLong(0)
+    assert(n == 5L)
+    // bad arity / non-literal args fail with the function's message
+    val e = intercept[Exception] {
+      extSpark.sql(s"SELECT * FROM table_changes('$p')").collect()
+    }
+    assert(e.getMessage.contains("table_changes"))
+  }
+
   test("vector_dot is SQL-callable through the injected function") {
     val d = extSpark.sql(
       """SELECT vector_dot(
