@@ -205,6 +205,48 @@ object DeltaQueries {
     LogDemoV2CpPath
   }
 
+  /** SF-independent AUTO-COMPACTED fixture (nation is byte-identical at
+    * every sf): create with `delta.autoOptimize.autoCompact` (1 file)
+    * -> three single-file appends with the qualification threshold at
+    * 4 -> the 4th small file triggers post-commit compaction to ONE
+    * file -> VACUUM RETAIN 0 removes the superseded originals, so the
+    * table dir's top-level parquet IS the live file set and the oracle
+    * verifies the compaction from DISK (file count + full content),
+    * not from graft's own log replay. */
+  final val AutoCompactDemoPath =
+    "/root/repo/target/delta_fixtures/shared/autocompact"
+
+  def autoCompactDemoTable(s: SparkSession, sfDir: String): String = {
+    this.synchronized {
+      if (!exists(s, AutoCompactDemoPath) ||
+          stale(AutoCompactDemoPath, sfDir)) {
+        val dir = new File(AutoCompactDemoPath)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        val n = s.read.parquet(s"$sfDir/nation.parquet")
+          .orderBy("n_nationkey")
+        s.conf.set("spark.lakehouse.autoCompact.minNumFiles", "4")
+        try {
+          CommitWriter.createTable(s, n.limit(10).coalesce(1),
+            AutoCompactDemoPath,
+            configuration = Map(CommitWriter.AutoCompactPropKey -> "true"))
+          CommitWriter.append(s,
+            n.where(col("n_nationkey") >= 10 && col("n_nationkey") < 15)
+              .coalesce(1), AutoCompactDemoPath)
+          CommitWriter.append(s,
+            n.where(col("n_nationkey") >= 15 && col("n_nationkey") < 20)
+              .coalesce(1), AutoCompactDemoPath)
+          CommitWriter.append(s,
+            n.where(col("n_nationkey") >= 20).coalesce(1),
+            AutoCompactDemoPath) // 4th small file -> compaction commit
+        } finally s.conf.unset("spark.lakehouse.autoCompact.minNumFiles")
+        graft.commands.VacuumCommand.vacuum(s, AutoCompactDemoPath,
+          retentionHours = Some(0.0), dryRun = false)
+        writeStamp(AutoCompactDemoPath, sfDir)
+      }
+    }
+    AutoCompactDemoPath
+  }
+
   def logDemoTable(s: SparkSession, sfDir: String): String = {
     this.synchronized {
       if (!exists(s, LogDemoPath) || stale(LogDemoPath, sfDir)) {
@@ -1312,6 +1354,31 @@ object DeltaQueries {
             .latestTxnVersion(s, path, "writer-1").getOrElse(-1L))
             .cast(LongType).as("value"))))
         .orderBy("metric")
+    },
+
+    // Post-commit auto-compaction verified FROM DISK: after the
+    // fixture's vacuum the table dir's top-level parquet IS the live
+    // set — the oracle counts the files and reads their full content,
+    // so a compaction that failed to fire (4 files on disk) or lost
+    // rows fails the gate without trusting graft's own replay.
+    Q("q_auto_compact",
+      s"""SELECT
+         |  (SELECT count(DISTINCT filename)
+         |   FROM read_parquet('$AutoCompactDemoPath/*.parquet',
+         |     filename=true)) AS n_files,
+         |  (SELECT count(*)
+         |   FROM read_parquet('$AutoCompactDemoPath/*.parquet')) AS n_rows,
+         |  (SELECT CAST(sum(n_nationkey) AS BIGINT)
+         |   FROM read_parquet('$AutoCompactDemoPath/*.parquet'))
+         |    AS key_sum""".stripMargin) { (s, dir) =>
+      val p = autoCompactDemoTable(s, dir)
+      val snap = DeltaTable.forPath(s, p)
+      val nFiles = snap.allFiles.count()
+      snap.read.agg(
+        count(lit(1)).cast(LongType).as("n_rows"),
+        sum(col("n_nationkey")).cast(LongType).as("key_sum"))
+        .select(lit(nFiles).cast(LongType).as("n_files"),
+          col("n_rows"), col("key_sum"))
     },
 
     // Native V2 checkpoint: the oracle reads the UUID-named manifest

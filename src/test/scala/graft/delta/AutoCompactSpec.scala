@@ -88,6 +88,31 @@ class AutoCompactSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("exactly-once sink appends (appendIfAbsent) compact too") {
+    // the streaming DeltaSink lands batches via appendIfAbsent — the
+    // primary auto-compact use case (one tiny file per micro-batch)
+    val p = tmp("sink")
+    withMinFiles(3) {
+      CommitWriter.createTable(spark,
+        spark.range(10).coalesce(1).toDF("id"), p,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "true"))
+      CommitWriter.appendIfAbsent(spark,
+        spark.range(10, 20).coalesce(1).toDF("id"), p,
+        appId = "sink-q", txnVersion = 1L)
+      CommitWriter.appendIfAbsent(spark,
+        spark.range(20, 30).coalesce(1).toDF("id"), p,
+        appId = "sink-q", txnVersion = 2L) // 3rd small file -> compact
+      val snap = DeltaTable.forPath(spark, p)
+      assert(snap.allFiles.count() == 1L)
+      assert(snap.read.count() == 30L)
+      // a replayed micro-batch stays a no-op after the compaction
+      assert(CommitWriter.appendIfAbsent(spark,
+        spark.range(20, 30).coalesce(1).toDF("id"), p,
+        appId = "sink-q", txnVersion = 2L).isEmpty)
+      assert(DeltaTable.forPath(spark, p).read.count() == 30L)
+    }
+  }
+
   test("tables without the property never auto-compact") {
     val p = tmp("optout")
     withMinFiles(2) {
