@@ -43,8 +43,13 @@ object StatsSkipping {
   /** Prune the live-files DataFrame with `filters`. Returns the kept
     * subset (same columns). */
   def prune(snapshot: Snapshot, files: DataFrame,
-      filters: Seq[Column]): DataFrame = {
-    if (filters.isEmpty) return files
+      filters0: Seq[Column]): DataFrame = {
+    if (filters0.isEmpty) return files
+    // predicates on the SOURCE of a monotone generated partition
+    // column additionally prune through the derived partition bound
+    // (ts >= T prunes event_date partitions below date(T))
+    val filters = filters0 ++
+      GeneratedPartitionFilters.derive(snapshot, filters0)
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
     val sSchema = statsSchema(schema, partCols)
