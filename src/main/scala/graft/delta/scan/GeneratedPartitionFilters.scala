@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal => C
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.graftshim.Shims.{Attr, Fn, Lit => PLit, PredNode}
-import org.apache.spark.sql.types.{DataType, DateType}
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
 import graft.delta.Snapshot
 
 /** Partition pruning THROUGH generated columns: a table partitioned on
@@ -48,27 +48,47 @@ object GeneratedPartitionFilters {
           else {
             val sql = f.metadata.getString("delta.generationExpression")
             val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-            monotoneSource(parsed).map(src => (p, src.toLowerCase, parsed,
-              f.dataType))
+            monotoneSource(parsed)
+              // monotonicity must hold in the SOURCE's comparison
+              // order, not just the date domain: CAST(string AS DATE)
+              // is not monotone in string collation ('2026-2-1' sorts
+              // AFTER '2026-10-01' yet casts to an earlier date), so
+              // only temporal sources derive
+              .filter(src => snapshot.schema.fields
+                .find(_.name.equalsIgnoreCase(src))
+                .exists(_.dataType match {
+                  case TimestampType | TimestampNTZType | DateType => true
+                  case _ => false
+                }))
+              .map(src => (p, src.toLowerCase, parsed, f.dataType))
           }
         }.toOption.flatten
       }
     if (gens.isEmpty) return Seq.empty
 
     val leaves = filters.flatMap(f => conjunctLeaves(Shims.predNode(f)))
-    gens.flatMap { case (p, src, parsed, dt) =>
-      leaves.flatMap { case (name, op, v) =>
-        if (name.toLowerCase != src) None
-        else evalAt(spark, parsed, src, v, dt).map { g =>
-          op match {
-            // monotone, not strictly: strict source bounds still give
-            // INCLUSIVE derived bounds (src > a can land in f(a))
-            case ">" | ">=" => col(p) >= lit(g)
-            case "<" | "<=" => col(p) <= lit(g)
-            case "=" => col(p) === lit(g)
-          }
+    val wanted: Seq[(String, String, Expression, DataType, String, Any)] =
+      gens.flatMap { case (p, src, parsed, dt) =>
+        leaves.collect { case (name, op, v) if name.toLowerCase == src =>
+          (p, src, parsed, dt, op, v)
         }
       }
+    if (wanted.isEmpty) return Seq.empty
+    // ONE local evaluation for every (generator, leaf) pair: the
+    // substituted expressions select over a LocalRelation row, so the
+    // planning cost is a single analyzed projection, no distributed job
+    val values: Seq[Any] = evalAll(spark,
+      wanted.map { case (_, src, parsed, dt, _, v) => (parsed, src, v, dt) })
+    wanted.zip(values).flatMap {
+      case ((p, _, _, _, op, _), g) if g != null =>
+        Some(op match {
+          // monotone, not strictly: strict source bounds still give
+          // INCLUSIVE derived bounds (src > a can land in f(a))
+          case ">" | ">=" => col(p) >= lit(g)
+          case "<" | "<=" => col(p) <= lit(g)
+          case "=" => col(p) === lit(g)
+        })
+      case _ => None
     }
   }
 
@@ -104,29 +124,28 @@ object GeneratedPartitionFilters {
         Seq((a, op, v))
       case Fn(op @ ("=" | ">" | "<" | ">=" | "<="), Seq(PLit(v), Attr(a)))
           if v != null =>
-        val flipped = op match {
-          case ">" => "<"
-          case "<" => ">"
-          case ">=" => "<="
-          case "<=" => ">="
-          case other => other
-        }
-        Seq((a, flipped, v))
+        Seq((a, StatsSkipping.flip(op), v))
       case _ => Seq.empty
     }
 
-  /** f(v): the generation expression evaluated at a literal source
-    * value, cast to the partition column's type (exactly the write
-    * path's `expr(sql).cast(dt)`). None on any evaluation problem —
-    * no derivation beats a wrong one. */
-  private def evalAt(spark: SparkSession, parsed: Expression, src: String,
-      v: Any, dt: DataType): Option[Any] = scala.util.Try {
-    val substituted = parsed.transformUp {
-      case a: UnresolvedAttribute if a.name.equalsIgnoreCase(src) =>
-        Shims.expression(lit(v))
-    }
-    val row = spark.range(1)
-      .select(Shims.column(substituted).cast(dt).as("g")).head
-    if (row.isNullAt(0)) None else Some(row.get(0))
-  }.toOption.flatten
+  /** f(v) for every (expression, source, literal, targetType) — each
+    * cast to the partition column's type (exactly the write path's
+    * `expr(sql).cast(dt)`). Evaluated in ONE projection over a local
+    * one-row relation (driver-local collect, no distributed job).
+    * Nulls (or a wholesale evaluation failure) yield no derivation —
+    * none beats a wrong one. */
+  private def evalAll(spark: SparkSession,
+      items: Seq[(Expression, String, Any, DataType)]): Seq[Any] =
+    scala.util.Try {
+      import spark.implicits._
+      val cols = items.zipWithIndex.map { case ((parsed, src, v, dt), i) =>
+        val substituted = parsed.transformUp {
+          case a: UnresolvedAttribute if a.name.equalsIgnoreCase(src) =>
+            Shims.expression(lit(v))
+        }
+        Shims.column(substituted).cast(dt).as(s"g$i")
+      }
+      val row = Seq(1).toDF("one").select(cols: _*).head
+      items.indices.map(i => row.get(i))
+    }.getOrElse(items.map(_ => null))
 }

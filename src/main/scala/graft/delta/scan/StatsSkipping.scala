@@ -235,7 +235,7 @@ object StatsSkipping {
       case "<=" => ">"
     }
 
-  private def flip(op: String): String = op match {
+  private[scan] def flip(op: String): String = op match {
     case ">" => "<"
     case "<" => ">"
     case ">=" => "<="

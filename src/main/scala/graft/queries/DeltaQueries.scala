@@ -1358,11 +1358,17 @@ object DeltaQueries {
 
     // Post-commit auto-compaction verified FROM DISK: after the
     // fixture's vacuum the table dir's top-level parquet IS the live
-    // set — the oracle counts the files and reads their full content,
-    // so a compaction that failed to fire (4 files on disk) or lost
-    // rows fails the gate without trusting graft's own replay.
+    // set. `n_files_expected` pins the Spark side to the LITERAL 1 the
+    // compaction must produce while the oracle derives it from disk —
+    // a compaction that fails to fire leaves 4 files on disk and the
+    // gate mismatches; `n_files` separately cross-checks graft's
+    // replayed live count against disk (vacuum/log divergence); rows
+    // and content compare in full.
     Q("q_auto_compact",
       s"""SELECT
+         |  (SELECT count(DISTINCT filename)
+         |   FROM read_parquet('$AutoCompactDemoPath/*.parquet',
+         |     filename=true)) AS n_files_expected,
          |  (SELECT count(DISTINCT filename)
          |   FROM read_parquet('$AutoCompactDemoPath/*.parquet',
          |     filename=true)) AS n_files,
@@ -1377,7 +1383,8 @@ object DeltaQueries {
       snap.read.agg(
         count(lit(1)).cast(LongType).as("n_rows"),
         sum(col("n_nationkey")).cast(LongType).as("key_sum"))
-        .select(lit(nFiles).cast(LongType).as("n_files"),
+        .select(lit(1L).cast(LongType).as("n_files_expected"),
+          lit(nFiles).cast(LongType).as("n_files"),
           col("n_rows"), col("key_sum"))
     },
 

@@ -96,6 +96,39 @@ class GeneratedPruningSpec extends AnyFunSuite {
     assert(kept == total)
   }
 
+  test("string-typed source never derives (collation is not monotone)") {
+    // CAST(string AS DATE) is monotone in the DATE domain but not in
+    // string collation: '2026-2-1' sorts AFTER '2026-10-01' yet casts
+    // to an EARLIER date — deriving would prune a file whose row
+    // matches the string comparison. The source-type gate must refuse.
+    val p = tmp("strsrc")
+    import spark.implicits._
+    val df = Seq(("2026-2-1", 1), ("2026-11-15", 2), ("2026-01-05", 3))
+      .toDF("src", "v")
+      .withColumn("event_date", expr("CAST(src AS DATE)"))
+      .repartition(3, col("src"))
+    CommitWriter.createTable(spark, df, p,
+      partitionColumns = Seq("event_date"),
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "0"))
+    val snap0 = DeltaTable.forPath(spark, p)
+    val fields = snap0.schema.fields.map { f =>
+      if (f.name == "event_date")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.generationExpression", "CAST(src AS DATE)")
+          .build())
+      else f
+    }
+    CommitWriter.commitMetadata(spark, p, snap0.metadata.copy(
+      schemaString = org.apache.spark.sql.types.StructType(fields).json))
+    val snap = DeltaTable.forPath(spark, p)
+    // lexicographically, BOTH '2026-2-1' and '2026-11-15' match
+    val got = snap.readWhere(col("src") >= "2026-10-01")
+      .select("v").collect().map(_.getInt(0)).toSet
+    assert(got == Set(1, 2),
+      s"string-source derivation pruned a matching row: got $got")
+  }
+
   test("bounds inside OR do not transfer") {
     val p = dailyTable("or", "CAST(ts AS DATE)")
     val snap = DeltaTable.forPath(spark, p)
