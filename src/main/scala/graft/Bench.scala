@@ -133,7 +133,7 @@ object Bench {
       "q_concurrent_write", "q_row_ids", "q_global_shuffle",
       "q_curriculum",
       // round-8 additions
-      "q_dpp_join", "q_auto_compact")
+      "q_dpp_join", "q_auto_compact", "q_temperature_mix")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")

@@ -568,6 +568,57 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // temperature-weighted mixture sampling (the multilingual
+    // pre-training staple: per-source budget ∝ n^α with α = 0.5, so
+    // low-resource sources are UP-weighted relative to proportional
+    // sampling). Determinism across engines: sqrt is IEEE
+    // correctly-rounded; per-source weights go through
+    // DECIMAL(28,10) so their SUM is exact (order-independent); the
+    // budget split is then two IEEE double ops + floor, and selection
+    // within a source is the RNG-free hash rank (salted 'mix:' so it
+    // is independent of the other sampling queries' permutations).
+    // One groupBy + one window shuffle; the per-source budget table is
+    // a broadcast — scales like any partitioned rank at corpus size.
+    Q("q_temperature_mix",
+      s"""WITH stats AS (
+         |  SELECT lang, CAST(sqrt(count(*)) AS DECIMAL(28,10)) AS s_dec
+         |  FROM documents GROUP BY lang
+         |), tot AS (
+         |  SELECT CAST(sum(s_dec) AS DOUBLE) AS s_all FROM stats
+         |), budget AS (
+         |  SELECT lang,
+         |    CAST(floor(200.0 * CAST(s_dec AS DOUBLE) / s_all) AS BIGINT)
+         |      AS take
+         |  FROM stats, tot
+         |), ranked AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hashSql("concat('mix:', CAST(doc_id AS VARCHAR))")},
+         |        doc_id) AS rn
+         |  FROM documents)
+         |SELECT r.lang, r.doc_id, r.n_chars, b.take
+         |FROM ranked r JOIN budget b ON r.lang = b.lang
+         |WHERE r.rn <= b.take
+         |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      val stats = docs.groupBy("lang")
+        .agg(sqrt(count(lit(1))).cast(DecimalType(28, 10)).as("s_dec"))
+      val tot = stats.agg(sum("s_dec").cast(DoubleType).as("s_all"))
+      val budget = stats.crossJoin(broadcast(tot))
+        .withColumn("take",
+          floor(lit(200.0) * col("s_dec").cast(DoubleType) / col("s_all"))
+            .cast(LongType))
+        .select("lang", "take")
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(
+          hashCol(concat(lit("mix:"), col("doc_id").cast(StringType))),
+          col("doc_id"))))
+      ranked.join(broadcast(budget), Seq("lang"))
+        .where(col("rn") <= col("take"))
+        .select("lang", "doc_id", "n_chars", "take")
+        .orderBy("doc_id")
+    },
+
     // sequence packing: greedy fill of fixed token-budget packs (2048)
     // per language shard — the standard pre-training batch-construction
     // op. A running token cumsum rides ONE window shuffle (partitioned
