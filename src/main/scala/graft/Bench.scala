@@ -133,7 +133,7 @@ object Bench {
       "q_concurrent_write", "q_row_ids", "q_global_shuffle",
       "q_curriculum",
       // round-8 additions
-      "q_dpp_join", "q_auto_compact", "q_temperature_mix")
+      "q_dpp_join", "q_auto_compact", "q_temperature_mix", "q_stream_cdf")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")
@@ -212,6 +212,13 @@ object Bench {
       .writeStream.outputMode("append")
       .format("memory").queryName("bench_delta_src_warm").start()
     try q.processAllAvailable() finally q.stop()
+    // the change-feed source mode compiles yet another incremental plan
+    val q2 = ss.readStream.format("graftdelta").option("path", tiny)
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bench_delta_cdf_warm").start()
+    try q2.processAllAvailable() finally q2.stop()
   }
 
   private[graft] def queriesWarmup(spark: SparkSession, sfDir: String): Unit = {

@@ -148,6 +148,34 @@ object StreamingQueries {
     // v0 snapshot, batch 1 replays exactly the files commit 1 added — so
     // the memory-sink union equals the batch read of the full table, which
     // is what the oracle checks.
+    // Streaming CHANGE FEED source: readChangeFeed over the same
+    // 2-commit table, one version per trigger from version 0 — batch 0
+    // emits v0's adds as inserts @0, batch 1 emits v1's adds @1, so
+    // the sink union equals the row-level history the batch oracle
+    // recomputes from the fixture recipe (v0: totalprice <= 250000).
+    Q("q_stream_cdf",
+      """SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+        | CAST(CASE WHEN o_totalprice <= 250000 THEN 0 ELSE 1 END
+        |   AS BIGINT) AS _commit_version
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val path = DeltaQueries.versionedTable(s, dir) // v0 + v1 commits
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = s"stream_cdf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val q = ss.readStream.format("graftdelta")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .select("o_orderkey", "o_totalprice", "_change_type",
+          "_commit_version")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(name).orderBy("o_orderkey")
+    },
+
     Q("q_stream_delta_source",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
