@@ -268,4 +268,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
+
+  test("q_dpp_join: runtime partition pruning engages on the fact scan") {
+    val p = plan("q_dpp_join")
+    assert(p.contains("dynamicpruningexpression"),
+      "no DynamicPruning on the DSv2 fact scan:\n" + p.take(3000))
+    // the dim side stays a broadcast — the pruning values arrive free
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_temperature_mix: budget table broadcasts, corpus ranks once") {
+    val p = plan("q_temperature_mix")
+    // per-source budgets join via broadcast; the corpus itself never
+    // shuffles for the join (only the per-lang rank window + final sort)
+    assert(p.contains("BroadcastHashJoin"),
+      "budget table should broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "unexpected product in mixture plan:\n" + p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
 }
