@@ -148,6 +148,26 @@ object StreamingQueries {
     // v0 snapshot, batch 1 replays exactly the files commit 1 added — so
     // the memory-sink union equals the batch read of the full table, which
     // is what the oracle checks.
+    Q("q_stream_delta_source",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val path = DeltaQueries.versionedTable(s, dir) // v0 + v1 commits
+      // cloned session: scoped shuffle partitions, isolated memory-sink
+      // view (same rationale as EventsStream.runToMemory)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = s"stream_delta_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val q = ss.readStream.format("graftdelta")
+        .option("path", path)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .select("o_orderkey", "o_totalprice")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(name).orderBy("o_orderkey")
+    },
+
     // Streaming CHANGE FEED source: readChangeFeed over the same
     // 2-commit table, one version per trigger from version 0 — batch 0
     // emits v0's adds as inserts @0, batch 1 emits v1's adds @1, so
@@ -170,26 +190,6 @@ object StreamingQueries {
         .load()
         .select("o_orderkey", "o_totalprice", "_change_type",
           "_commit_version")
-        .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      ss.table(name).orderBy("o_orderkey")
-    },
-
-    Q("q_stream_delta_source",
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val path = DeltaQueries.versionedTable(s, dir) // v0 + v1 commits
-      // cloned session: scoped shuffle partitions, isolated memory-sink
-      // view (same rationale as EventsStream.runToMemory)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val name = s"stream_delta_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val q = ss.readStream.format("graftdelta")
-        .option("path", path)
-        .option("maxVersionsPerTrigger", "1")
-        .load()
-        .select("o_orderkey", "o_totalprice")
         .writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()

@@ -572,22 +572,26 @@ object TextQueries {
     // pre-training staple: per-source budget ∝ n^α with α = 0.5, so
     // low-resource sources are UP-weighted relative to proportional
     // sampling). Determinism across engines: sqrt is IEEE
-    // correctly-rounded; per-source weights go through
-    // DECIMAL(28,10) so their SUM is exact (order-independent); the
-    // budget split is then two IEEE double ops + floor, and selection
-    // within a source is the RNG-free hash rank (salted 'mix:' so it
-    // is independent of the other sampling queries' permutations).
-    // One groupBy + one window shuffle; the per-source budget table is
-    // a broadcast — scales like any partitioned rank at corpus size.
+    // correctly-rounded and *1e10 / floor are IEEE-identical, so the
+    // per-source weight is an INTEGER (floor(sqrt(n)*1e10)) on both
+    // engines — a direct double→decimal cast of an irrational sqrt
+    // would hit each engine's different decimal-rounding rule in the
+    // last digit. Integer weights sum exactly; the budget split is
+    // then two IEEE double ops + floor, and selection within a source
+    // is the RNG-free hash rank (salted 'mix:' so it is independent
+    // of the other sampling queries' permutations). One groupBy + one
+    // window shuffle; the per-source budget table is a broadcast —
+    // scales like any partitioned rank at corpus size.
     Q("q_temperature_mix",
       s"""WITH stats AS (
-         |  SELECT lang, CAST(sqrt(count(*)) AS DECIMAL(28,10)) AS s_dec
+         |  SELECT lang,
+         |    CAST(floor(sqrt(count(*)) * 1e10) AS BIGINT) AS s_int
          |  FROM documents GROUP BY lang
          |), tot AS (
-         |  SELECT CAST(sum(s_dec) AS DOUBLE) AS s_all FROM stats
+         |  SELECT CAST(sum(s_int) AS DOUBLE) AS s_all FROM stats
          |), budget AS (
          |  SELECT lang,
-         |    CAST(floor(200.0 * CAST(s_dec AS DOUBLE) / s_all) AS BIGINT)
+         |    CAST(floor(200.0 * CAST(s_int AS DOUBLE) / s_all) AS BIGINT)
          |      AS take
          |  FROM stats, tot
          |), ranked AS (
@@ -602,11 +606,12 @@ object TextQueries {
          |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
       val docs = load(s, dir, "documents")
       val stats = docs.groupBy("lang")
-        .agg(sqrt(count(lit(1))).cast(DecimalType(28, 10)).as("s_dec"))
-      val tot = stats.agg(sum("s_dec").cast(DoubleType).as("s_all"))
+        .agg(floor(sqrt(count(lit(1))) * lit(1e10)).cast(LongType)
+          .as("s_int"))
+      val tot = stats.agg(sum("s_int").cast(DoubleType).as("s_all"))
       val budget = stats.crossJoin(broadcast(tot))
         .withColumn("take",
-          floor(lit(200.0) * col("s_dec").cast(DoubleType) / col("s_all"))
+          floor(lit(200.0) * col("s_int").cast(DoubleType) / col("s_all"))
             .cast(LongType))
         .select("lang", "take")
       val ranked = docs.withColumn("rn", row_number().over(

@@ -42,6 +42,9 @@ object AutoCompactBench {
         "spark.lakehouse.autoCompact.minNumFiles"))
     }
 
+    // discarded warmup: JIT/codegen/first-shuffle costs must not land
+    // on whichever timed run happens to go first
+    run("warmup-discard", Map.empty, None)
     run("baseline-no-property", Map.empty, None)
     run("property-never-fires",
       Map(CommitWriter.AutoCompactPropKey -> "true"), Some(10000))
