@@ -44,7 +44,7 @@ object DmlCommands {
     * operation metadata DESCRIBE HISTORY ecosystems surface. Rendered
     * best-effort: an unrenderable Column (e.g. holding a lambda) just
     * omits the entry rather than failing the commit. */
-  private def predicateParam(condition: Column): Map[String, String] =
+  private[commands] def predicateParam(condition: Column): Map[String, String] =
     scala.util.Try(
       org.apache.spark.sql.graftshim.Shims.expression(condition).sql)
       .toOption.map(sql => Map("predicate" -> sql)).getOrElse(Map.empty)

@@ -88,7 +88,7 @@ object OptimizeCommand {
     * against the table schema (a Column may wrap a lazy node tree or a
     * raw SQL string — analysis normalizes both; an unresolvable name
     * surfaces as the usual AnalysisException naming it). */
-  private def referencedNames(spark: SparkSession,
+  private[commands] def referencedNames(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       pred: Column): Seq[String] = {
     val probe = spark.createDataFrame(

@@ -140,7 +140,7 @@ object CommitWriter {
     * the table is column-mapped (identity otherwise) — every append
     * path funnels through this so mapped tables never receive
     * logical-name parquet. */
-  private def toPhysicalNames(df: DataFrame, meta: Metadata): DataFrame = {
+  private[graft] def toPhysicalNames(df: DataFrame, meta: Metadata): DataFrame = {
     if (graft.delta.scan.ColumnMapping.mode(meta) == "none") return df
     val bySource = meta.dataSchema.fields
       .map(f => f.name -> graft.delta.scan.ColumnMapping.physicalName(f))
@@ -199,7 +199,7 @@ object CommitWriter {
     * Comparison uses sameType (case/nullability-insensitive), matching
     * the scan's name-based resolution. Schema EVOLUTION stays explicit:
     * commit the new schema via commitMetadata first, then write. */
-  private def validateWriteSchema(df: DataFrame, meta: Metadata,
+  private[graft] def validateWriteSchema(df: DataFrame, meta: Metadata,
       op: String): Unit = {
     val table = meta.dataSchema
     val byName = table.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -1547,7 +1547,7 @@ object CommitWriter {
   /** Table-schema stats order for [[writeFiles]] — logical-name order
     * for plain tables; mapped tables keep frame order (their frames
     * carry physical col-N names that a logical order cannot index). */
-  private def statsOrderOf(meta: Metadata): Seq[String] =
+  private[graft] def statsOrderOf(meta: Metadata): Seq[String] =
     if (graft.delta.scan.ColumnMapping.mode(meta) == "none")
       meta.dataSchema.fieldNames.toSeq
     else Seq.empty

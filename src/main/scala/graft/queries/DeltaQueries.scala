@@ -530,6 +530,26 @@ object DeltaQueries {
         Seq("o_orderkey"))
     }
 
+  /** Partitioned orders table after a partition-scoped replaceWhere:
+    * bucket 1 is atomically rebuilt from a deterministic subset with
+    * shifted prices — the backfill staple. The remove set is decided
+    * from partitionValues only (never reading the replaced partition);
+    * ReplaceWhereSpec asserts the mechanics, this fixture gates the
+    * end state against the relational oracle. */
+  def replaceWhereTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "replace_where") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("bucket", (col("o_orderkey") % 4).cast("int"))
+      CommitWriter.createTable(s, o.repartition(2), p,
+        partitionColumns = Seq("bucket"))
+      val fresh = o
+        .where(col("bucket") === 1 && col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.5)
+      graft.commands.ReplaceWhereCommand.replaceWhere(s, fresh, p,
+        col("bucket") === 1)
+    }
+
   /** DV-enabled orders table with a merge-on-read DELETE then UPDATE
     * applied: no data file is ever rewritten — the delete became a
     * deletion vector, the update a DV plus new row-image files. */
@@ -1060,6 +1080,24 @@ object DeltaQueries {
         |WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergeDeletedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // Selective overwrite (replaceWhere): ONE commit swapped partition
+    // bucket=1 for a rebuilt slice, deciding the remove set from
+    // partitionValues alone. The oracle recomputes the end state:
+    // untouched buckets verbatim, bucket 1 = the deterministic rebuild.
+    Q("q_replace_where",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderkey % 4 AS INT) AS bucket
+        |FROM orders WHERE o_orderkey % 4 <> 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 0.5,
+        |  CAST(1 AS INT)
+        |FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, replaceWhereTable(s, dir)).read
+        .select("o_orderkey", "o_custkey", "o_totalprice", "bucket")
         .orderBy("o_orderkey")
     },
 
