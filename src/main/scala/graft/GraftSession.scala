@@ -425,6 +425,10 @@ final class GraftSession(val spark: SparkSession) {
     case MergeStatement(table, source, keys) =>
       graft.commands.MergeCommand.upsert(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)
+    case ReplaceWhereStatement(table, predicate, selectSql) =>
+      graft.commands.ReplaceWhereCommand.replaceWhere(spark,
+        spark.sql(selectSql), resolveTablePath(table),
+        org.apache.spark.sql.functions.expr(predicate))
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)

@@ -137,6 +137,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: DeleteStatement => VacuumCommand.metricsSchema
       case _: UpdateStatement => VacuumCommand.metricsSchema
       case _: MergeStatement => VacuumCommand.metricsSchema
+      case _: ReplaceWhereStatement => VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema

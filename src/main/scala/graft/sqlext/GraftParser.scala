@@ -78,6 +78,10 @@ object GraftParser {
       sets: Seq[(String, String)], // column -> expression SQL
       whereSql: Option[String]) extends Statement
   /** Upsert-shaped MERGE: UPDATE SET * / INSERT * on key equality. */
+  /** INSERT INTO <t> REPLACE WHERE <pred> SELECT ... — the selective
+    * overwrite SQL shape ([[graft.commands.ReplaceWhereCommand]]). */
+  final case class ReplaceWhereStatement(table: String, predicate: String,
+      selectSql: String) extends Statement
   final case class MergeStatement(table: String, source: String,
       keys: Seq[String]) extends Statement
   /** MERGE ... WHEN MATCHED THEN DELETE (delete-by-key-set). */
@@ -175,6 +179,9 @@ object GraftParser {
       case w: Word if w.upper == "MERGE" &&
           wordAt(toks, 1).contains("INTO") =>
         Some(parseMerge(toks.drop(2)))
+      case w: Word if w.upper == "INSERT" &&
+          wordAt(toks, 1).contains("INTO") =>
+        parseInsertReplace(toks.drop(2))
       case _ => None
     }
   }
@@ -265,6 +272,36 @@ object GraftParser {
         !colName.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"))
       throw new ParseException(s"expected <col> = <expr>, got: $sql")
     (colName.stripPrefix("`").stripSuffix("`"), rhs)
+  }
+
+  /** INSERT INTO <ref> REPLACE WHERE <predicate> SELECT ... — only the
+    * REPLACE WHERE form is intercepted; every other INSERT delegates to
+    * Spark untouched (None). The predicate span ends at the first
+    * depth-0 SELECT; the SELECT itself runs through the session
+    * (subqueries in the predicate sit at depth > 0 and are kept). */
+  private def parseInsertReplace(toks: Vector[Tok]): Option[Statement] = {
+    // an unconventional INSERT target (multi-part names, column lists)
+    // is not ours — delegate rather than reject
+    val parsed = scala.util.Try(parseTableRefAndRest(toks)).toOption
+    parsed.flatMap { case (table, rest) =>
+      if (!(wordAt(rest, 0).contains("REPLACE") &&
+            wordAt(rest, 1).contains("WHERE"))) None
+      else {
+        val body = rest.drop(2)
+        var depth = 0
+        val selIdx = body.indexWhere {
+          case Sym("(") => depth += 1; false
+          case Sym(")") => depth -= 1; false
+          case w: Word if depth == 0 && w.upper == "SELECT" => true
+          case _ => false
+        }
+        if (selIdx <= 0) throw new ParseException(
+          "expected INSERT INTO <table> REPLACE WHERE <predicate> " +
+            "SELECT ...")
+        Some(ReplaceWhereStatement(table, sqlOf(body.take(selIdx)),
+          sqlOf(body.drop(selIdx))))
+      }
+    }
   }
 
   /** MERGE INTO <ref> USING <source> ON <t.k = s.k [AND ...]>

@@ -108,6 +108,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(extSpark.sql(s"SHOW TBLPROPERTIES '$p'").collect() != null)
   }
 
+  test("INSERT INTO ... REPLACE WHERE runs through the injected parser; " +
+    "plain INSERT INTO still delegates to Spark") {
+    val d = Files.createTempDirectory("graft_ext_rw").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val orders = extSpark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .withColumn("bucket", (col("o_orderkey") % 2).cast("int"))
+    CommitWriter.createTable(extSpark, orders.limit(40), p,
+      partitionColumns = Seq("bucket"))
+    val before = DeltaTable.forPath(extSpark, p).read
+    val keepCount = before.where(col("bucket") =!= 1).count()
+    val m = extSpark.sql(s"INSERT INTO '$p' REPLACE WHERE bucket = 1 " +
+      "SELECT CAST(9000001 AS BIGINT) AS o_orderkey, " +
+      "CAST(5.5 AS DOUBLE) AS o_totalprice, CAST(1 AS INT) AS bucket")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("operation") == "REPLACE WHERE")
+    val after = DeltaTable.forPath(extSpark, p).read
+    assert(after.where(col("bucket") === 1).count() == 1)
+    assert(after.where(col("bucket") =!= 1).count() == keepCount)
+    // a plain INSERT INTO (no REPLACE WHERE) is NOT intercepted: it
+    // falls through to Spark's parser, which rejects the non-catalog
+    // path target (proving delegation, not a graft parse error)
+    val e = intercept[Exception] {
+      extSpark.sql(s"INSERT INTO '$p' VALUES (1, 2.0, 0)")
+    }
+    assert(!e.getMessage.contains("REPLACE WHERE"))
+  }
+
   test("table_changes TVF serves the derived change feed through SQL") {
     val d = Files.createTempDirectory("graft_ext_tc").toFile
     d.deleteOnExit()
