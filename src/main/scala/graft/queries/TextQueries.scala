@@ -1367,6 +1367,85 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR-style domain-matched data selection (Xie et al.,
+    // arXiv:2302.03169): score every candidate document by an
+    // importance weight p_target/p_raw over HASHED token features —
+    // the technique behind "select web data that looks like
+    // Wikipedia". Target = the English slice, candidates = everything
+    // else; features = md5-hashed tokens in 256 buckets, so both
+    // models are fixed-size regardless of corpus size. Weights are the
+    // lm_score trick re-applied: two exact integer sums per doc with
+    // add-one smoothing, normalizers applied by integer cross-
+    // multiplication, ONE double division at the end — engine-exact,
+    // no libm log. Plan shape: the bucket models are 256-row
+    // aggregates BROADCAST to the candidate stream; the corpus itself
+    // is touched by exactly one explode + two keyed aggregations —
+    // linear at 100 TB, model memory O(buckets) per executor.
+    // (Products stay < 2^63: num <= n_toks * (corpus_tokens + 1) and
+    // the cross-multiplied normalizer adds a corpus_tokens factor —
+    // ~1e17 even at a 1e9-token corpus with 1e4-token docs.)
+    Q("q_dsir_select",
+      s"""WITH bt AS (
+         |  SELECT doc_id, lang,
+         |    (${hashSql("tok")}) % 256 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |), cand AS (
+         |  SELECT doc_id, b, count(*) AS c FROM bt
+         |  WHERE lang <> 'en' GROUP BY doc_id, b
+         |), tmodel AS (
+         |  SELECT b, count(*) AS t FROM bt WHERE lang = 'en' GROUP BY b
+         |), rmodel AS (
+         |  SELECT b, count(*) AS r FROM bt GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS nt,
+         |         CAST(count(*) AS BIGINT) AS nr FROM bt
+         |), perdoc AS (
+         |  SELECT cand.doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(sum(c * (COALESCE(tmodel.t, 0) + 1)) AS BIGINT) AS num,
+         |    CAST(sum(c * (rmodel.r + 1)) AS BIGINT) AS den
+         |  FROM cand LEFT JOIN tmodel USING (b) JOIN rmodel USING (b)
+         |  GROUP BY cand.doc_id
+         |)
+         |SELECT doc_id, n_toks, num, den,
+         |  CAST(num * (nr + 256) AS DOUBLE) /
+         |    CAST(den * (nt + 256) AS DOUBLE) AS dsir_weight,
+         |  num * (nr + 256) > den * (nt + 256) AS selected
+         |FROM perdoc CROSS JOIN tot
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bt = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", pmod(hashCol(col("tok")), lit(256L)))
+      val cand = bt.where(col("lang") =!= "en")
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      val tmodel = bt.where(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("t"))
+      val rmodel = bt.groupBy("b").agg(count(lit(1)).as("r"))
+      val tot = bt.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      cand
+        .join(broadcast(tmodel), Seq("b"), "left")
+        .na.fill(0L, Seq("t"))
+        .join(broadcast(rmodel), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"),
+          sum(col("c") * (col("t") + lit(1L))).as("num"),
+          sum(col("c") * (col("r") + lit(1L))).as("den"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_toks"), col("num"), col("den"),
+          ((col("num") * (col("nr") + lit(256L))).cast(DoubleType) /
+            (col("den") * (col("nt") + lit(256L))).cast(DoubleType))
+            .as("dsir_weight"),
+          (col("num") * (col("nr") + lit(256L)) >
+            col("den") * (col("nt") + lit(256L))).as("selected"))
+        .orderBy("doc_id")
+    },
+
     // markup/boilerplate stripping (corpus-prep): remove script/style
     // blocks (content included), comments, then tags, then collapse
     // whitespace — the order matters (script bodies may contain '<').
