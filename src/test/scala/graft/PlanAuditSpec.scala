@@ -260,6 +260,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("q_dsir_select: 256-bucket models broadcast, corpus never " +
+    "shuffles for the model joins") {
+    val p = plan("q_dsir_select")
+    // a SortMergeJoin on the 256-value bucket key would shuffle the
+    // whole candidate token stream onto 256 hot partitions — the
+    // models must broadcast instead (they are O(buckets) by design)
+    assert(!p.contains("SortMergeJoin"),
+      "bucket-model join shuffled the corpus:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket models should broadcast-join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "normalizer join must broadcast, not product:\n" + p.take(3000))
+  }
+
   test("q_semdedup: pairwise stage is a cid equi-join, never all-pairs") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct") &&
