@@ -1541,6 +1541,10 @@ object CommitWriter {
     * counts must not degrade), and absent stats mean "keep the file"
     * in the skipping engine, so the cap is always safe. */
   final val DataSkippingNumIndexedColsKey = "delta.dataSkippingNumIndexedCols"
+  /** Comma-separated column names that get parquet-level bloom filters
+    * on every write (engine-specific key — the delta.* namespace is
+    * reserved for spec'd properties). */
+  final val BloomFilterColumnsKey = "graft.bloomFilter.columns"
   final val DefaultDataSkippingNumIndexedCols = 32
 
 
@@ -1585,7 +1589,27 @@ object CommitWriter {
             .exists(_.equalsIgnoreCase("true")))
         df.hint("rebalance", partitionColumns.map(col): _*)
       else df
-    val writer = shaped.write.mode("overwrite")
+    // Parquet-level bloom filters (`graft.bloomFilter.columns`,
+    // opt-in): point lookups on high-cardinality NON-partition columns
+    // (user ids, document hashes) cannot be served by min/max stats on
+    // unsorted data — at 100 TB every equality probe reads every
+    // row group in range. Declaring the columns here makes the normal
+    // write path emit parquet bloom filters for them, and the read
+    // side is FREE: Spark pushes equality predicates into parquet-mr,
+    // whose row-group filter consults the bloom before any page IO.
+    // File-level pruning stays stats-driven; this covers the
+    // within-file tier the log cannot see. parquet-mr only
+    // materializes the bloom for chunks that FALL OUT of dictionary
+    // encoding (a dictionary page already filters row groups exactly)
+    // — i.e. the bytes are spent only in the high-cardinality case
+    // they're needed. Names are matched as written (column-mapped
+    // tables would need physical names; an unmatched name simply
+    // writes no bloom).
+    val bloomCols = configuration.get(BloomFilterColumnsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val writer = bloomCols.foldLeft(shaped.write.mode("overwrite"))(
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
      else writer).parquet(staging.toString)
 
