@@ -82,12 +82,33 @@ class GraftDeltaSource extends RelationProvider
       sv.equalsIgnoreCase("latest") || scala.util.Try(sv.toLong).isSuccess,
       s"invalid startingVersion '$sv' (a version number, or 'latest' " +
         "for streaming)"))
-    require(options.get("endingVersion") == null || startingOpt.exists(sv =>
-      scala.util.Try(sv.toLong).isSuccess),
-      "endingVersion requires a numeric startingVersion")
+    // timestamp forms of the range bounds (ecosystem CDF option
+    // parity): startingTimestamp = first commit AT or AFTER the time,
+    // endingTimestamp = last commit AT or BEFORE it — both resolved
+    // through the same ICT-aware stamps as timestamp time travel
+    val startingTs = Option(options.get("startingTimestamp"))
+    val endingTs = Option(options.get("endingTimestamp"))
+    require(startingTs.isEmpty || startingOpt.isEmpty,
+      "set either startingVersion or startingTimestamp, not both")
+    require(endingTs.isEmpty || options.get("endingVersion") == null,
+      "set either endingVersion or endingTimestamp, not both")
+    val startingFromTs = startingTs.map { ts =>
+      val millis = GraftDeltaSource.parseUtcMillis(ts)
+      // version strictly before the time resolves via time travel; a
+      // table whose whole history is after ts starts from version 0
+      scala.util.Try(
+        DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1)
+        .getOrElse(0L)
+    }
+    require((options.get("endingVersion") == null && endingTs.isEmpty) ||
+      startingOpt.exists(sv => scala.util.Try(sv.toLong).isSuccess) ||
+      startingFromTs.isDefined || changeFeed,
+      "endingVersion/endingTimestamp requires a starting bound " +
+        "(startingVersion or startingTimestamp)")
     startingOpt
       .filter(sv => scala.util.Try(sv.toLong).isSuccess)
       .map(_.toLong)
+      .orElse(startingFromTs)
       // readChangeFeed without a version floor = full-history CDC (the
       // create commit's rows are the first inserts); this also gives
       // DataStreamReader the CDC schema during resolution
@@ -99,6 +120,11 @@ class GraftDeltaSource extends RelationProvider
           options.get("timestampAsOf") == null,
           "startingVersion cannot be combined with time travel options")
         val endV = Option(options.get("endingVersion")).map(_.toLong)
+          .orElse(endingTs.map(ts =>
+            // errors when NO commit is at or before ts — an empty
+            // range bounded by a pre-history timestamp is a caller bug
+            DeltaTable.forPathAtTimestamp(spark, path,
+              GraftDeltaSource.parseUtcMillis(ts)).version))
           .getOrElse(-1L)
         new GraftDeltaTable(spark, path, None,
           versionRange = Some((sv, endV)),

@@ -287,6 +287,51 @@ class SourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("startingTimestamp/endingTimestamp bound the batch range read") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_src_ts_range").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = spark.read.parquet(s"$sf/region.parquet")
+      .select("r_regionkey", "r_name")
+    graft.delta.log.CommitWriter.createTable(spark,
+      region.where(col("r_regionkey") < 2), p)            // v0: 2 rows
+    Thread.sleep(60)
+    graft.delta.log.CommitWriter.append(spark,
+      region.where(col("r_regionkey") === 2), p)          // v1: 1 row
+    Thread.sleep(60)
+    graft.delta.log.CommitWriter.append(spark,
+      region.where(col("r_regionkey") > 2), p)            // v2: 2 rows
+    def mtime(v: Long) = new java.io.File(p,
+      f"_delta_log/$v%020d.json").lastModified()
+    // start just after v0 landed -> versions 1..2
+    val fromTs = spark.read.format("graftdelta").option("path", p)
+      .option("startingTimestamp", (mtime(0) + 1).toString).load()
+    assert(fromTs.select("r_regionkey")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // end at v1's stamp -> [1, 1] only
+    val bounded = spark.read.format("graftdelta").option("path", p)
+      .option("startingTimestamp", (mtime(0) + 1).toString)
+      .option("endingTimestamp", mtime(1).toString).load()
+    assert(bounded.select("r_regionkey")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // a pre-history startingTimestamp = full history
+    val all = spark.read.format("graftdelta").option("path", p)
+      .option("startingTimestamp", (mtime(0) - 10000).toString).load()
+    assert(all.count() == 5)
+    // both forms of the same bound together are ambiguous -> refuse
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", p)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", mtime(0).toString).load()
+    }
+    // an ending bound with no starting bound is a caller bug
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", p)
+        .option("endingTimestamp", mtime(1).toString).load()
+    }
+  }
+
   test("timestampAsOf option time-travels via commit mtimes") {
     table // force fixture build
     val now = System.currentTimeMillis()
