@@ -202,6 +202,19 @@ object DmlCommands {
 
   // ---- merge-on-read (deletion-vector) path --------------------------
 
+  /** The ONE decode from an allFiles `deletionVector` struct row to a
+    * descriptor — every file-granular command shares it so a new
+    * descriptor field cannot be picked up in one place and silently
+    * dropped in another. */
+  private[commands] def dvDescriptorOf(r: Row): Option[DeletionVectorDescriptor] =
+    Option(r.getAs[Row]("deletionVector")).map(d =>
+      DeletionVectorDescriptor(
+        d.getAs[String]("storageType"),
+        d.getAs[String]("pathOrInlineDv"),
+        Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+        d.getAs[Int]("sizeInBytes"),
+        d.getAs[Long]("cardinality")))
+
   private[commands] def dvEnabled(snap: Snapshot): Boolean =
     snap.metadata.configuration.get("delta.enableDeletionVectors")
       .exists(_.equalsIgnoreCase("true"))
@@ -441,13 +454,7 @@ object DmlCommands {
           r.getAs[Long]("size"),
           r.getAs[Long]("modificationTime"),
           Option(r.getAs[String]("stats")),
-          Option(r.getAs[Row]("deletionVector")).map(d =>
-            DeletionVectorDescriptor(
-              d.getAs[String]("storageType"),
-              d.getAs[String]("pathOrInlineDv"),
-              Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
-              d.getAs[Int]("sizeInBytes"),
-              d.getAs[Long]("cardinality"))),
+          dvDescriptorOf(r),
           Option(r.getAs[String]("stats")).flatMap(s =>
             Option(mapper.readTree(s).get("numRecords")).map(_.asLong())),
           Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue()),

@@ -6,7 +6,7 @@ import graft.delta.DeltaTable
 import graft.delta.log.{CommitWriter, ConflictChecker, Constraints,
   ColumnDefaults, GeneratedColumns, IdentityColumns, ProtocolSupport,
   RowTracking}
-import graft.delta.log.Actions.{DeletionVectorDescriptor, RemoveFile}
+import graft.delta.log.Actions.RemoveFile
 import graft.delta.scan.{ColumnMapping, DeltaScan}
 
 /** Selective overwrite — the ecosystem's `replaceWhere` write option:
@@ -51,9 +51,18 @@ object ReplaceWhereCommand {
     // first row OUTSIDE the replaced scope aborts the write job before
     // any commit — same raise_error Filter shape as CHECK constraints,
     // one boolean per row on the satisfied path.
-    val completed = GeneratedColumns.complete(
+    val completed0 = GeneratedColumns.complete(
       ColumnDefaults.complete(IdentityColumns.assign(df, meta), meta), meta)
-    CommitWriter.validateWriteSchema(completed, meta, "replaceWhere")
+    CommitWriter.validateWriteSchema(completed0, meta, "replaceWhere")
+    // CDF tables consume `completed` TWICE (data files + the insert
+    // change rows). Identity assignment and arbitrary incoming plans
+    // are not re-execution-stable (monotonically_increasing_id,
+    // unordered limits), so pin ONE materialization — otherwise the
+    // authoritative feed could advertise rows that differ from what
+    // the table actually contains. The extra pass is the usual cost
+    // the CDF property opts into.
+    val completed =
+      if (cdfOn) completed0.localCheckpoint() else completed0
     val rowJson = to_json(struct(completed.columns.map(col).toIndexedSeq: _*))
     val guarded = completed.where(
       coalesce(condition.cast("boolean"), lit(false)) ||
@@ -95,7 +104,8 @@ object ReplaceWhereCommand {
           .collect()
         val removes = qual.toIndexedSeq.map { r =>
           CommitWriter.removeJson(RemoveFile(r.getAs[String]("path"),
-            Some(now), dataChange = true, deletionVector = dvOf(r)))
+            Some(now), dataChange = true,
+            deletionVector = DmlCommands.dvDescriptorOf(r)))
         }
         (removes, Seq.empty, qual.map(_.getAs[String]("path")).toSet)
       } else if (DmlCommands.dvEnabled(snap)) {
@@ -179,15 +189,6 @@ object ReplaceWhereCommand {
     }
     metrics(spark, removedRel.size, newAdds.size + survivorAdds.size)
   }
-
-  private def dvOf(r: Row): Option[DeletionVectorDescriptor] =
-    Option(r.getAs[Row]("deletionVector")).map(d =>
-      DeletionVectorDescriptor(
-        d.getAs[String]("storageType"),
-        d.getAs[String]("pathOrInlineDv"),
-        Option(d.getAs[Any]("offset")).map(_.asInstanceOf[Number].intValue),
-        d.getAs[Number]("sizeInBytes").intValue,
-        d.getAs[Number]("cardinality").longValue))
 
   private def metrics(spark: SparkSession, removed: Int,
       added: Int): DataFrame = {

@@ -1541,11 +1541,11 @@ object CommitWriter {
     * counts must not degrade), and absent stats mean "keep the file"
     * in the skipping engine, so the cap is always safe. */
   final val DataSkippingNumIndexedColsKey = "delta.dataSkippingNumIndexedCols"
+  final val DefaultDataSkippingNumIndexedCols = 32
   /** Comma-separated column names that get parquet-level bloom filters
     * on every write (engine-specific key — the delta.* namespace is
     * reserved for spec'd properties). */
   final val BloomFilterColumnsKey = "graft.bloomFilter.columns"
-  final val DefaultDataSkippingNumIndexedCols = 32
 
 
   /** Table-schema stats order for [[writeFiles]] — logical-name order

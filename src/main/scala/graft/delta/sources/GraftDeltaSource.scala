@@ -95,10 +95,21 @@ class GraftDeltaSource extends RelationProvider
     val startingFromTs = startingTs.map { ts =>
       val millis = GraftDeltaSource.parseUtcMillis(ts)
       // version strictly before the time resolves via time travel; a
-      // table whose whole history is after ts starts from version 0
-      scala.util.Try(
-        DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1)
-        .getOrElse(0L)
+      // table whose whole history is after ts starts from version 0.
+      // ONLY the empty-eligible-set error falls back — an IO failure
+      // must fail the read, not silently degrade it to a full-history
+      // scan that re-emits the entire table downstream.
+      val sv =
+        try DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1
+        catch { case _: IllegalArgumentException => 0L }
+      // a bound past the last commit is a caller bug (a typo'd year
+      // would otherwise read as "no new data" forever) — same
+      // strictness as endingTimestamp
+      val tip = DeltaTable.forPath(spark, path).version
+      require(sv <= tip,
+        s"startingTimestamp '$ts' is after the last commit of $path " +
+          s"(version $tip)")
+      sv
     }
     require((options.get("endingVersion") == null && endingTs.isEmpty) ||
       startingOpt.exists(sv => scala.util.Try(sv.toLong).isSuccess) ||

@@ -84,10 +84,11 @@ final class GraftDeltaStreamSource(
       val millis = GraftDeltaSource.parseUtcMillis(ts)
       // first version whose commit landed AT or AFTER the timestamp:
       // version before it resolves via time travel; missing history
-      // (all commits after ts) streams from version 0
-      scala.util.Try(
-        DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1)
-        .getOrElse(0L)
+      // (all commits after ts) streams from version 0. ONLY the
+      // empty-eligible-set error falls back — an IO failure must fail
+      // the stream, not silently restart it from the full history
+      try DeltaTable.forPathAtTimestamp(spark, path, millis - 1).version + 1
+      catch { case _: IllegalArgumentException => 0L }
     })
     // `latest` and timestamps resolve DIFFERENTLY on every restart (the
     // v1 Source object is recreated against the current table tip), and

@@ -78,15 +78,15 @@ object GraftParser {
       sets: Seq[(String, String)], // column -> expression SQL
       whereSql: Option[String]) extends Statement
   /** Upsert-shaped MERGE: UPDATE SET * / INSERT * on key equality. */
-  /** INSERT INTO <t> REPLACE WHERE <pred> SELECT ... — the selective
-    * overwrite SQL shape ([[graft.commands.ReplaceWhereCommand]]). */
-  final case class ReplaceWhereStatement(table: String, predicate: String,
-      selectSql: String) extends Statement
   final case class MergeStatement(table: String, source: String,
       keys: Seq[String]) extends Statement
   /** MERGE ... WHEN MATCHED THEN DELETE (delete-by-key-set). */
   final case class MergeDeleteStatement(table: String, source: String,
       keys: Seq[String]) extends Statement
+  /** INSERT INTO <t> REPLACE WHERE <pred> SELECT ... — the selective
+    * overwrite SQL shape ([[graft.commands.ReplaceWhereCommand]]). */
+  final case class ReplaceWhereStatement(table: String, predicate: String,
+      selectSql: String) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")

@@ -330,6 +330,13 @@ class SourceSpec extends AnyFunSuite {
       spark.read.format("graftdelta").option("path", p)
         .option("endingTimestamp", mtime(1).toString).load()
     }
+    // a start past the last commit is a caller bug too (a typo'd year
+    // would otherwise read as "no new data" forever)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("path", p)
+        .option("startingTimestamp",
+          (System.currentTimeMillis() + 3600_000L).toString).load()
+    }
   }
 
   test("timestampAsOf option time-travels via commit mtimes") {
