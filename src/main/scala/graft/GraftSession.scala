@@ -53,9 +53,9 @@ final class GraftSession(val spark: SparkSession) {
       graft.commands.HistoryCommand.history(spark, resolveTablePath(table))
     case DescribeDetailStatement(table) =>
       graft.commands.HistoryCommand.detail(spark, resolveTablePath(table))
-    case CloneStatement(target, source) =>
+    case CloneStatement(target, source, version) =>
       graft.commands.CloneCommand.shallowClone(spark,
-        resolveTablePath(source), resolveTablePath(target))
+        resolveTablePath(source), resolveTablePath(target), version)
     case RestoreStatement(table, version) =>
       graft.commands.HistoryCommand.restore(spark,
         resolveTablePath(table), version)
@@ -429,6 +429,9 @@ final class GraftSession(val spark: SparkSession) {
       graft.commands.ReplaceWhereCommand.replaceWhere(spark,
         spark.sql(selectSql), resolveTablePath(table),
         org.apache.spark.sql.functions.expr(predicate))
+    case FsckStatement(table, dryRun) =>
+      graft.commands.FsckCommand.repair(spark, resolveTablePath(table),
+        dryRun)
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)

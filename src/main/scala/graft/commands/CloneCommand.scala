@@ -13,9 +13,11 @@ import graft.delta.log.{Actions, CommitWriter, LogSegment}
   */
 object CloneCommand {
 
+  /** @param versionAsOf clone the source AS OF that version (time-travel
+    *   clone — the snapshot-for-experiments shape); latest when None. */
   def shallowClone(spark: SparkSession, sourcePath: String,
-      targetPath: String): DataFrame = {
-    val source = DeltaTable.forPath(spark, sourcePath)
+      targetPath: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val source = DeltaTable.forPath(spark, sourcePath, versionAsOf)
     val fs = LogSegment.fs(spark, source.tablePath)
     val qualified = fs.makeQualified(source.tablePath)
 
@@ -31,11 +33,7 @@ object CloneCommand {
         modificationTime = r.getAs[Long]("modificationTime"),
         dataChange = true,
         stats = Option(r.getAs[String]("stats")),
-        deletionVector = Option(r.getAs[Row]("deletionVector")).map { d =>
-          val dv = Actions.DeletionVectorDescriptor(
-            d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
-            Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
-            d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality"))
+        deletionVector = DmlCommands.dvDescriptorOf(r).map { dv =>
           // relative ("u") DV references must become absolute too
           if (dv.storageType == "u")
             dv.copy(storageType = "p",

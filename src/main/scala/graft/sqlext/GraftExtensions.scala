@@ -138,6 +138,9 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: UpdateStatement => VacuumCommand.metricsSchema
       case _: MergeStatement => VacuumCommand.metricsSchema
       case _: ReplaceWhereStatement => VacuumCommand.metricsSchema
+      case f: FsckStatement =>
+        if (f.dryRun) graft.commands.FsckCommand.dryRunSchema
+        else VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema

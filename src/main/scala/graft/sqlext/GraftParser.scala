@@ -41,10 +41,10 @@ object GraftParser {
       timestamp: String) extends Statement
   final case class ConvertStatement(table: String,
       partitionColumns: Seq[String] = Seq.empty) extends Statement
-  /** CREATE TABLE <target> SHALLOW CLONE <source>: metadata-only copy
-    * referencing the source's files absolutely. */
-  final case class CloneStatement(target: String,
-      source: String) extends Statement
+  /** CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF n]:
+    * metadata-only copy referencing the source's files absolutely. */
+  final case class CloneStatement(target: String, source: String,
+      version: Option[Long] = None) extends Statement
   final case class RenameColumnStatement(table: String,
       from: String, to: String) extends Statement
   final case class AddColumnStatement(table: String,
@@ -87,6 +87,9 @@ object GraftParser {
     * overwrite SQL shape ([[graft.commands.ReplaceWhereCommand]]). */
   final case class ReplaceWhereStatement(table: String, predicate: String,
       selectSql: String) extends Statement
+  /** FSCK REPAIR TABLE <t> [DRY RUN] ([[graft.commands.FsckCommand]]). */
+  final case class FsckStatement(table: String,
+      dryRun: Boolean) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -182,6 +185,15 @@ object GraftParser {
       case w: Word if w.upper == "INSERT" &&
           wordAt(toks, 1).contains("INTO") =>
         parseInsertReplace(toks.drop(2))
+      case w: Word if w.upper == "FSCK" =>
+        require(wordAt(toks, 1).contains("REPAIR") &&
+          wordAt(toks, 2).contains("TABLE"),
+          "expected FSCK REPAIR TABLE <table> [DRY RUN]")
+        val (table, rest) = parseTableRefAndRest(toks.drop(3))
+        val dryRun = rest.collect { case w: Word => w.upper } == Seq("DRY", "RUN")
+        require(dryRun || rest.isEmpty,
+          "expected FSCK REPAIR TABLE <table> [DRY RUN]")
+        Some(FsckStatement(table, dryRun))
       case _ => None
     }
   }
@@ -692,10 +704,19 @@ object GraftParser {
                 throw new ParseException(
                   "expected CREATE TABLE <target> SHALLOW CLONE <source>")
               val (source, rest2) = parseTableRefAndRest(rest.drop(2))
-              if (rest2.nonEmpty) throw new ParseException(
-                "unexpected input after SHALLOW CLONE <source>: " +
-                  rest2.map(_.text).mkString(" "))
-              Some(CloneStatement(target, source))
+              val version = rest2.map {
+                case w: Word => w.upper
+                case t => t.text
+              } match {
+                case Seq() => None
+                case Seq("VERSION", "AS", "OF", v)
+                    if scala.util.Try(v.toLong).isSuccess =>
+                  Some(v.toLong)
+                case _ => throw new ParseException(
+                  "expected [VERSION AS OF <n>] after SHALLOW CLONE " +
+                    "<source>, got: " + rest2.map(_.text).mkString(" "))
+              }
+              Some(CloneStatement(target, source, version))
             case _ => None
           }
       case _ => None // plain CREATE TABLE etc → delegate

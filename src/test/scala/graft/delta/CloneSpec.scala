@@ -62,6 +62,28 @@ class CloneSpec extends AnyFunSuite {
     assert(pruned < snap.allFiles.count())
   }
 
+  test("VERSION AS OF clones the historical snapshot, not the tip") {
+    val src = tmp("ver_src")
+    val dst = tmp("ver_dst")
+    val base = orders.select("o_orderkey", "o_totalprice")
+    CommitWriter.createTable(spark,
+      base.where(col("o_orderkey") % 2 === 0).repartition(1), src)   // v0
+    CommitWriter.append(spark,
+      base.where(col("o_orderkey") % 2 === 1).repartition(1), src)   // v1
+    new graft.GraftSession(spark).sql(
+      s"CREATE TABLE '$dst' SHALLOW CLONE '$src' VERSION AS OF 0")
+    val clone = DeltaTable.forPath(spark, dst)
+    assert(clone.read.count() ==
+      base.where(col("o_orderkey") % 2 === 0).count())
+    // the source tip is unaffected and still serves both commits
+    assert(DeltaTable.forPath(spark, src).read.count() == base.count())
+    // malformed trailing tokens are rejected, not ignored
+    intercept[IllegalArgumentException] {
+      new graft.GraftSession(spark).sql(
+        s"CREATE TABLE '${tmp("bad")}' SHALLOW CLONE '$src' VERSION OF 0")
+    }
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE through SQL") {
     val src = tmp("sql_src")
     val dst = tmp("sql_dst")
