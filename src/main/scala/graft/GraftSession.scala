@@ -432,6 +432,9 @@ final class GraftSession(val spark: SparkSession) {
     case FsckStatement(table, dryRun) =>
       graft.commands.FsckCommand.repair(spark, resolveTablePath(table),
         dryRun)
+    case DropFeatureStatement(table, feature, truncateHistory) =>
+      graft.commands.DropFeatureCommand.dropFeature(spark,
+        resolveTablePath(table), feature, truncateHistory)
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)

@@ -141,6 +141,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case f: FsckStatement =>
         if (f.dryRun) graft.commands.FsckCommand.dryRunSchema
         else VacuumCommand.metricsSchema
+      case _: DropFeatureStatement => VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema

@@ -90,6 +90,10 @@ object GraftParser {
   /** FSCK REPAIR TABLE <t> [DRY RUN] ([[graft.commands.FsckCommand]]). */
   final case class FsckStatement(table: String,
       dryRun: Boolean) extends Statement
+  /** ALTER TABLE t DROP FEATURE <name> [TRUNCATE HISTORY]
+    * ([[graft.commands.DropFeatureCommand]]). */
+  final case class DropFeatureStatement(table: String, feature: String,
+      truncateHistory: Boolean) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -382,6 +386,16 @@ object GraftParser {
           case Some(a: Word) if rest.length == 3 =>
             DropColumnStatement(table, a.text)
           case _ => throw new ParseException("expected DROP COLUMN <a>")
+        }
+      case (Some("DROP"), Some("FEATURE")) =>
+        val tail = rest.drop(3).collect { case w: Word => w.upper }
+        (rest.lift(2), tail) match {
+          case (Some(f: Word), Seq()) =>
+            DropFeatureStatement(table, f.text, truncateHistory = false)
+          case (Some(f: Word), Seq("TRUNCATE", "HISTORY")) =>
+            DropFeatureStatement(table, f.text, truncateHistory = true)
+          case _ => throw new ParseException(
+            "expected DROP FEATURE <name> [TRUNCATE HISTORY]")
         }
       case (Some("ADD"), Some("CONSTRAINT")) =>
         // ADD CONSTRAINT <name> CHECK ( <expr> ) — the expr tokens are
