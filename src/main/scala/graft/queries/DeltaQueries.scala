@@ -530,6 +530,27 @@ object DeltaQueries {
         Seq("o_orderkey"))
     }
 
+  /** Orders table that LOST a data file out of band and was repaired
+    * with FSCK: even keys landed in one file, odd keys in another, the
+    * odd-keys file was deleted from disk (simulating a lifecycle-rule
+    * mishap) and FSCK REPAIR TABLE dropped its log entry — the table
+    * reads again, serving exactly the surviving file. */
+  def fsckTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "fsck") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s,
+        o.where(col("o_orderkey") % 2 === 0).repartition(1), p)
+      CommitWriter.append(s,
+        o.where(col("o_orderkey") % 2 === 1).repartition(1), p)
+      val lostRel = DeltaTable.forPath(s, p).allFiles.select("path")
+        .collect().map(_.getString(0))
+        .find(rel => s.read.parquet(s"$p/$rel")
+          .where(col("o_orderkey") % 2 === 1).count() > 0).get
+      require(new File(p, lostRel).delete(), s"could not delete $lostRel")
+      graft.commands.FsckCommand.repair(s, p, dryRun = false)
+    }
+
   /** Partitioned orders table after a partition-scoped replaceWhere:
     * bucket 1 is atomically rebuilt from a deterministic subset with
     * shifted prices — the backfill staple. The remove set is decided
@@ -1080,6 +1101,16 @@ object DeltaQueries {
         |WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergeDeletedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // FSCK repair end state: the odd-keys file was lost out of band
+    // and its log entry dropped; the table serves exactly the
+    // surviving even-keys file through the full read path.
+    Q("q_fsck",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, fsckTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 
