@@ -1446,6 +1446,67 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Content-defined chunking (the FastCDC/rolling-hash dedup shape):
+    // chunk boundaries are decided by CONTENT (token hash % 64 == 0),
+    // not fixed offsets, so an insertion near a document's head shifts
+    // only the chunk it lands in — the property that makes chunk-hash
+    // dedup robust to edits, where q_chunk_dedup's fixed windows would
+    // re-align every subsequent chunk. Per-doc window only (no global
+    // sort); chunk identity is an md5 over the reassembled chunk, so
+    // at 100 TB the dedup key is a 128-bit hash exchange, and the
+    // duplicate count is one keyed aggregation on it.
+    Q("q_cdc_chunks",
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |), toks AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+         |  FROM d, unnest(range(1, len(ts) + 1)) AS t(i)
+         |), marked AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN (${hashSql("tok")}) % 64 = 0 THEN 1 ELSE 0 END AS bnd
+         |  FROM toks
+         |), cid AS (
+         |  SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_id
+         |  FROM marked
+         |), chunks AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         |  FROM cid GROUP BY doc_id, chunk_id
+         |), dup AS (
+         |  SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT)
+         |    AS dup_docs
+         |  FROM chunks GROUP BY chunk_hash
+         |)
+         |SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash, d.dup_docs
+         |FROM chunks c JOIN dup d USING (chunk_hash)
+         |ORDER BY c.doc_id, c.chunk_id""".stripMargin) { (s, dir) =>
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("bnd",
+          when(pmod(hashCol(col("tok")), lit(64L)) === 0, 1L).otherwise(0L))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = toks
+        .withColumn("chunk_id", coalesce(sum(col("bnd")).over(w), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+        .withColumn("chunk_hash",
+          md5(array_join(expr("transform(pt, x -> x.tok)"), " ")
+            .cast(BinaryType)))
+        .drop("pt")
+      val dup = chunks.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("dup_docs"))
+      chunks.join(dup, Seq("chunk_hash"))
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_hash", "dup_docs")
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // markup/boilerplate stripping (corpus-prep): remove script/style
     // blocks (content included), comments, then tags, then collapse
     // whitespace — the order matters (script bodies may contain '<').
