@@ -116,6 +116,19 @@ object MetadataRehearsal {
       require(graft.delta.scan.DeltaScan.prunedFiles(snap2,
         Seq(col("k") === 123456L)).count() == pruned)
     }
+    // partition-scoped replaceWhere at 100k files: the remove set is
+    // decided from partitionValues alone — the whole op is one
+    // qualification pass over the inventory plus one commit (the
+    // incoming frame here is EMPTY: a pure "drop this partition's
+    // slice" rebuild, no data written or read)
+    timed("replaceWhere: empty-rebuild 1 of 100 parts") {
+      graft.commands.ReplaceWhereCommand.replaceWhere(spark, empty, p,
+        col("part") === 37)
+    }
+    timed("allFiles count after replaceWhere") {
+      require(DeltaTable.forPath(spark, p).allFiles.count() ==
+        nFiles.toLong - prunedPart)
+    }
     val rt = Runtime.getRuntime
     println(s"[metarehearse] driver heap used ~" +
       s"${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)} MiB " +
