@@ -530,6 +530,24 @@ object DeltaQueries {
         Seq("o_orderkey"))
     }
 
+  /** Orders table whose changeDataFeed writer feature was DROPPED after
+    * disablement (ALTER TABLE ... DROP FEATURE), then appended to — the
+    * downgrade must leave a fully usable table. */
+  def droppedFeatureTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "drop_feature") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s,
+        o.where(col("o_orderkey") % 2 === 0).repartition(1), p,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val session = new graft.GraftSession(s)
+      session.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+        "('delta.enableChangeDataFeed' = 'false')")
+      session.sql(s"ALTER TABLE '$p' DROP FEATURE changeDataFeed")
+      CommitWriter.append(s,
+        o.where(col("o_orderkey") % 2 === 1).repartition(1), p)
+    }
+
   /** Orders table that LOST a data file out of band and was repaired
     * with FSCK: even keys landed in one file, odd keys in another, the
     * odd-keys file was deleted from disk (simulating a lifecycle-rule
@@ -1101,6 +1119,22 @@ object DeltaQueries {
         |WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergeDeletedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // DROP FEATURE end state: the changeDataFeed writer feature left
+    // the protocol (the pinned cdf_features column counts its
+    // occurrences in writerFeatures — must be 0) and the downgraded
+    // table kept serving reads and writes; the oracle recomputes the
+    // post-drop rows relationally.
+    Q("q_drop_feature",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(0 AS BIGINT) AS cdf_features
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, droppedFeatureTable(s, dir))
+      val n = snap.protocol.writerFeatures.getOrElse(Nil)
+        .count(_ == "changeDataFeed").toLong
+      snap.read.withColumn("cdf_features", lit(n))
         .orderBy("o_orderkey")
     },
 

@@ -1422,16 +1422,16 @@ object TextQueries {
         .withColumn("b", pmod(hashCol(col("tok")), lit(256L)))
       val cand = bt.where(col("lang") =!= "en")
         .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      val tmodel = bt.where(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("t"))
-      val rmodel = bt.groupBy("b").agg(count(lit(1)).as("r"))
-      val tot = bt.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-        count(lit(1)).as("nr"))
+      // BOTH bucket models and their normalizers fall out of ONE
+      // aggregation pass over the token stream (the corpus is exploded
+      // exactly twice: candidate counts + models), and a bucket with no
+      // target tokens carries t = 0 — no left join or fill needed
+      val models = bt.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
+        count(lit(1)).as("r"))
+      val tot = models.agg(sum(col("t")).as("nt"), sum(col("r")).as("nr"))
       cand
-        .join(broadcast(tmodel), Seq("b"), "left")
-        .na.fill(0L, Seq("t"))
-        .join(broadcast(rmodel), Seq("b"))
+        .join(broadcast(models), Seq("b"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_toks"),
           sum(col("c") * (col("t") + lit(1L))).as("num"),
