@@ -274,6 +274,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "normalizer join must broadcast, not product:\n" + p.take(3000))
   }
 
+  test("q_cdc_chunks: per-doc windows only, keyed dedup join — no " +
+    "global sort, no product") {
+    val p = plan("q_cdc_chunks")
+    // duplicate counting is an equi-join on chunk_hash
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "chunk dedup join is not keyed:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "cdc_chunks plan contains a product:\n" + p.take(3000))
+    // the final orderBy is the only global sort; the window sort must
+    // be partitioned by doc_id (hashpartitioning on doc_id upstream)
+    assert(p.contains("hashpartitioning(doc_id"),
+      "window not partitioned by doc_id:\n" + p.take(3000))
+  }
+
   test("q_semdedup: pairwise stage is a cid equi-join, never all-pairs") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct") &&
