@@ -435,6 +435,9 @@ final class GraftSession(val spark: SparkSession) {
     case DropFeatureStatement(table, feature, truncateHistory) =>
       graft.commands.DropFeatureCommand.dropFeature(spark,
         resolveTablePath(table), feature, truncateHistory)
+    case CopyIntoStatement(table, source, force) =>
+      graft.commands.CopyIntoCommand.copyInto(spark,
+        resolveTablePath(table), source, force)
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)

@@ -530,6 +530,26 @@ object DeltaQueries {
         Seq("o_orderkey"))
     }
 
+  /** Orders table filled by COPY INTO run TWICE over the same source
+    * directory (two parquet files of the remaining thirds): the second
+    * run must be a complete no-op — per-file SetTransaction identities
+    * make ingestion exactly-once, so the end state equals the plain
+    * union with zero duplicates. */
+  def copyIntoTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "copy_into") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s,
+        o.where(col("o_orderkey") % 3 === 0).repartition(1), p)
+      val srcDir = p + "_src"
+      o.where(col("o_orderkey") % 3 === 1).repartition(1)
+        .write.mode("overwrite").parquet(srcDir)
+      o.where(col("o_orderkey") % 3 === 2).repartition(1)
+        .write.mode("append").parquet(srcDir)
+      graft.commands.CopyIntoCommand.copyInto(s, p, srcDir)
+      graft.commands.CopyIntoCommand.copyInto(s, p, srcDir) // no-op
+    }
+
   /** Orders table whose changeDataFeed writer feature was DROPPED after
     * disablement (ALTER TABLE ... DROP FEATURE), then appended to — the
     * downgrade must leave a fully usable table. */
@@ -1119,6 +1139,16 @@ object DeltaQueries {
         |WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergeDeletedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // COPY INTO end state: two runs over the same source directory,
+    // exactly-once — the oracle is the plain relational union; any
+    // duplicate or lost file breaks the hash.
+    Q("q_copy_into",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, copyIntoTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 

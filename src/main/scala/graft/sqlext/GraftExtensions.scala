@@ -142,6 +142,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         if (f.dryRun) graft.commands.FsckCommand.dryRunSchema
         else VacuumCommand.metricsSchema
       case _: DropFeatureStatement => VacuumCommand.metricsSchema
+      case _: CopyIntoStatement => VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema

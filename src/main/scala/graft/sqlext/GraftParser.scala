@@ -94,6 +94,10 @@ object GraftParser {
     * ([[graft.commands.DropFeatureCommand]]). */
   final case class DropFeatureStatement(table: String, feature: String,
       truncateHistory: Boolean) extends Statement
+  /** COPY INTO <t> FROM <'dir'> [FILEFORMAT = PARQUET] [FORCE]
+    * ([[graft.commands.CopyIntoCommand]]). */
+  final case class CopyIntoStatement(table: String, source: String,
+      force: Boolean) extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -189,6 +193,30 @@ object GraftParser {
       case w: Word if w.upper == "INSERT" &&
           wordAt(toks, 1).contains("INTO") =>
         parseInsertReplace(toks.drop(2))
+      case w: Word if w.upper == "COPY" &&
+          wordAt(toks, 1).contains("INTO") =>
+        val (table, rest0) = parseTableRefAndRest(toks.drop(2))
+        require(wordAt(rest0, 0).contains("FROM") && rest0.length >= 2,
+          "expected COPY INTO <table> FROM <'dir'> [FILEFORMAT = " +
+            "PARQUET] [FORCE]")
+        val (source, rest1) = parseTableRefAndRest(rest0.tail)
+        // normalize the tail to canonical spacing around '=' so
+        // FILEFORMAT=PARQUET / FILEFORMAT = PARQUET parse alike
+        val tail = rest1.collect { case t: Word => t.upper }
+          .mkString(" ").replaceAll("\\s*=\\s*", " = ").trim
+        val (afterFmt, okFmt) =
+          if (tail.startsWith("FILEFORMAT")) {
+            val ok = tail == "FILEFORMAT = PARQUET" ||
+              tail == "FILEFORMAT = PARQUET FORCE"
+            (tail.stripPrefix("FILEFORMAT = PARQUET").trim, ok)
+          } else (tail, true)
+        require(okFmt, "COPY INTO supports FILEFORMAT = PARQUET only " +
+          s"(got: $tail)")
+        val force = afterFmt == "FORCE"
+        require(force || afterFmt.isEmpty,
+          "expected COPY INTO <table> FROM <'dir'> [FILEFORMAT = " +
+            s"PARQUET] [FORCE], got trailing: $afterFmt")
+        Some(CopyIntoStatement(table, source, force))
       case w: Word if w.upper == "FSCK" =>
         require(wordAt(toks, 1).contains("REPAIR") &&
           wordAt(toks, 2).contains("TABLE"),
