@@ -438,6 +438,9 @@ final class GraftSession(val spark: SparkSession) {
     case CopyIntoStatement(table, source, force) =>
       graft.commands.CopyIntoCommand.copyInto(spark,
         resolveTablePath(table), source, force)
+    case GenerateManifestStatement(table) =>
+      graft.commands.GenerateCommand.symlinkManifest(spark,
+        resolveTablePath(table))
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)

@@ -1,0 +1,85 @@
+package graft.commands
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.delta.DeltaTable
+import graft.delta.log.LogSegment
+
+/** GENERATE symlink_format_manifest FOR TABLE — the ecosystem's
+  * Presto/Trino/Athena/Hive interop surface: one `manifest` text file
+  * per partition directory under `_symlink_format_manifest/`, each
+  * listing the absolute URIs of that partition's LIVE data files, so
+  * symlink-input readers see exactly the current snapshot.
+  *
+  * Manifest directory names reuse each data file's OWN path prefix
+  * (the partition directory the writer produced), so the manifest
+  * layout can never drift from the data layout's value escaping.
+  * Manifests are written DISTRIBUTED (one task writes a partition's
+  * manifest with its own FS handle — the VACUUM delete shape); the
+  * previous manifest tree is replaced atomically per file, and
+  * directories for partitions that no longer exist are swept first.
+  *
+  * Deletion-vector tables refuse: a symlink reader consumes raw
+  * parquet and would resurrect every masked row.
+  */
+object GenerateCommand {
+
+  final val ManifestDir = "_symlink_format_manifest"
+
+  def symlinkManifest(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = DeltaTable.forPath(spark, tablePath)
+    val fs = LogSegment.fs(spark, snap.tablePath)
+    val root = fs.makeQualified(snap.tablePath)
+
+    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
+      s"cannot generate a symlink manifest for $tablePath: the table is " +
+        "column-mapped, and a symlink reader would see the physical " +
+        "col-N names instead of the logical schema")
+    val dvCount = snap.allFiles.where(col("deletionVector").isNotNull).count()
+    require(dvCount == 0,
+      s"cannot generate a symlink manifest for $tablePath: $dvCount live " +
+        "file(s) carry deletion vectors — a symlink reader consumes raw " +
+        "parquet and would resurrect the masked rows. Rewrite them first " +
+        "(OPTIMIZE) or disable DVs")
+
+    // (manifest-relative dir, absolute data file URI); the dir is the
+    // data file's own partition prefix
+    val entries = snap.allFiles.select("path").collect().map { r =>
+      val rel = r.getString(0)
+      val cut = rel.lastIndexOf('/')
+      val dir = if (cut < 0) "" else rel.substring(0, cut)
+      (dir, new Path(root, rel).toString)
+    }
+    val manifestRoot = new Path(root, ManifestDir)
+    // replace the whole tree: partitions that vanished since the last
+    // GENERATE must not keep serving stale manifests
+    fs.delete(manifestRoot, true)
+
+    val rootStr = root.toString
+    val byDir = entries.groupBy(_._1).toSeq
+      .map { case (dir, es) => (dir, es.map(_._2).sorted.toSeq) }
+    val written = spark.sparkContext
+      .parallelize(byDir, math.max(1, math.min(byDir.size, 32)))
+      .mapPartitions { it =>
+        var efs: org.apache.hadoop.fs.FileSystem = null
+        var n = 0
+        it.foreach { case (dir, files) =>
+          val base = new Path(new Path(rootStr), ManifestDir)
+          val mdir = if (dir.isEmpty) base else new Path(base, dir)
+          if (efs == null) efs = mdir.getFileSystem(new Configuration())
+          val out = efs.create(new Path(mdir, "manifest"), true)
+          try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          n += 1
+        }
+        Iterator(n)
+      }.sum().toLong
+
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("operation", "GENERATE symlink_format_manifest"))
+    rows.add(Row("manifests_written", written.toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+}

@@ -143,6 +143,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         else VacuumCommand.metricsSchema
       case _: DropFeatureStatement => VacuumCommand.metricsSchema
       case _: CopyIntoStatement => VacuumCommand.metricsSchema
+      case _: GenerateManifestStatement => VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema

@@ -98,6 +98,10 @@ object GraftParser {
     * ([[graft.commands.CopyIntoCommand]]). */
   final case class CopyIntoStatement(table: String, source: String,
       force: Boolean) extends Statement
+  /** GENERATE symlink_format_manifest FOR TABLE <t>
+    * ([[graft.commands.GenerateCommand]]). */
+  final case class GenerateManifestStatement(table: String)
+    extends Statement
 
   final class NotImplementedStatement(what: String)
     extends UnsupportedOperationException(s"$what is not implemented")
@@ -217,6 +221,16 @@ object GraftParser {
           "expected COPY INTO <table> FROM <'dir'> [FILEFORMAT = " +
             s"PARQUET] [FORCE], got trailing: $afterFmt")
         Some(CopyIntoStatement(table, source, force))
+      case w: Word if w.upper == "GENERATE" =>
+        require(wordAt(toks, 1).contains("SYMLINK_FORMAT_MANIFEST") &&
+          wordAt(toks, 2).contains("FOR") &&
+          wordAt(toks, 3).contains("TABLE"),
+          "expected GENERATE symlink_format_manifest FOR TABLE <table>")
+        val (table, rest) = parseTableRefAndRest(toks.drop(4))
+        require(rest.isEmpty,
+          "unexpected input after GENERATE ... FOR TABLE <table>: " +
+            rest.map(_.text).mkString(" "))
+        Some(GenerateManifestStatement(table))
       case w: Word if w.upper == "FSCK" =>
         require(wordAt(toks, 1).contains("REPAIR") &&
           wordAt(toks, 2).contains("TABLE"),
