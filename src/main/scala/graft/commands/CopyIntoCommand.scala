@@ -45,13 +45,15 @@ object CopyIntoCommand {
     require(sources.nonEmpty,
       s"COPY INTO found no parquet files under $sourceDir")
 
-    val loaded: Set[String] =
-      if (force) Set.empty
-      else Replay.actionsDF(spark, snap.segment)
-        .where(col("txn.appId").startsWith(AppIdPrefix))
-        .select(col("txn.appId")).distinct()
-        .collect().map(_.getString(0).stripPrefix(AppIdPrefix)).toSet
-    val fresh = sources.filterNot(loaded)
+    // recorded at the read snapshot — both the skip set (unless FORCE)
+    // and the BASELINE for the rebase clash check below: only txns
+    // that appear AFTER this snapshot signal a racing COPY INTO
+    val loadedAtSnap: Set[String] = Replay.actionsDF(spark, snap.segment)
+      .where(col("txn.appId").startsWith(AppIdPrefix))
+      .select(col("txn.appId")).distinct()
+      .collect().map(_.getString(0).stripPrefix(AppIdPrefix)).toSet
+    val fresh =
+      if (force) sources else sources.filterNot(loadedAtSnap)
     if (fresh.isEmpty) return metrics(spark, 0, 0L)
 
     require(graft.delta.log.IdentityColumns.of(meta).isEmpty,
@@ -88,7 +90,9 @@ object CopyIntoCommand {
           .where(col("txn.appId").startsWith(AppIdPrefix))
           .select(col("txn.appId")).distinct()
           .collect().map(_.getString(0).stripPrefix(AppIdPrefix)).toSet
-        val clash = fresh.filter(nowLoaded)
+        // only NEWLY-recorded identities clash — historical ones are
+        // expected (a FORCE re-ingest always has them)
+        val clash = fresh.filter(f => nowLoaded(f) && !loadedAtSnap(f))
         if (clash.nonEmpty) throw new IllegalStateException(
           s"concurrent COPY INTO already ingested ${clash.size} of " +
             s"these source files (e.g. ${clash.head}) — re-run COPY " +

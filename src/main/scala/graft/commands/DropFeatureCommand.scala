@@ -28,8 +28,27 @@ import graft.delta.log.{Actions, CommitWriter, Replay}
   */
 object DropFeatureCommand {
 
+  /** The downgrade commit cannot blind-rebase (a racing DML could have
+    * re-introduced traces the validators just cleared), so a lost race
+    * re-runs the WHOLE attempt — trace validation, history truncation,
+    * commit — against the new tip. The truncation is idempotent and
+    * was explicitly requested, so re-running it is never a loss. */
   def dropFeature(spark: SparkSession, tablePath: String, feature: String,
       truncateHistory: Boolean): DataFrame = {
+    var attempts = 0
+    while (true) {
+      try return attemptDrop(spark, tablePath, feature, truncateHistory)
+      catch {
+        case e: CommitWriter.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def attemptDrop(spark: SparkSession, tablePath: String,
+      feature: String, truncateHistory: Boolean): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
     val p = snap.protocol
     val meta = snap.metadata
@@ -107,9 +126,9 @@ object DropFeatureCommand {
           refuse(s"${graft.delta.log.RowTracking.PropKey} is still true")
         // the id high-water-mark domain goes with the feature
         Replay.domainMetadata(spark, snap.segment)
-          .get("delta.rowTracking").toSeq.map(_ =>
+          .get(graft.delta.log.RowTracking.Domain).toSeq.map(_ =>
             CommitWriter.domainMetadataJson(Actions.DomainMetadata(
-              "delta.rowTracking", "{}", removed = true)))
+              graft.delta.log.RowTracking.Domain, "{}", removed = true)))
       case "clustering" =>
         val cols = graft.delta.log.Clustering
           .columnsOf(spark, snap.segment)
@@ -134,12 +153,13 @@ object DropFeatureCommand {
 
     // reader-side features additionally need the HISTORY clean: a
     // downgraded reader time-traveling below the drop would misread
-    // the old traces
-    if (readers.contains(feature)) {
-      require(truncateHistory,
-        s"'$feature' is a reader feature: historical versions still " +
-          "carry its traces. Re-run with TRUNCATE HISTORY to checkpoint " +
-          "the tip and drop the pre-checkpoint log")
+    // the old traces. An explicitly requested truncation is honored
+    // for writer-only features too — the user asked for it.
+    require(truncateHistory || !readers.contains(feature),
+      s"'$feature' is a reader feature: historical versions still " +
+        "carry its traces. Re-run with TRUNCATE HISTORY to checkpoint " +
+        "the tip and drop the pre-checkpoint log")
+    if (truncateHistory) {
       CommitWriter.checkpoint(spark, tablePath)
       CommitWriter.cleanupExpiredLogs(spark, tablePath,
         retentionMsOverride = Some(0L))

@@ -36,16 +36,21 @@ object FsckCommand {
       dryRun: Boolean): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
     if (!dryRun)
+      // CDF tables repair too (producesCdc): the change data for rows
+      // whose bytes are GONE is unrecoverable by definition — a CDF
+      // span crossing the loss is broken either way, and refusing the
+      // one command whose purpose is recovery would help nobody
       graft.delta.log.ProtocolSupport.assertWritable(
-        tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true)
+        tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+        producesCdc = true)
     val root = LogSegment.fs(spark, snap.tablePath)
       .makeQualified(snap.tablePath).toString
 
-    // (relPath, absDataPath, absDvPath | null) for every live entry;
-    // the existence probes run where the rows are
+    // (relPath, dv fields) for every live entry; the existence probes
+    // run where the rows are. Paths may be ABSOLUTE (shallow-cloned
+    // tables reference the source's files) — resolve like the scan does
     val inv = snap.allFiles
       .select(col("path"),
-        concat(lit(root + "/"), col("path")).as("__abs"),
         col("deletionVector.storageType").as("__dvst"),
         col("deletionVector.pathOrInlineDv").as("__dvp"))
     val rootStr = root
@@ -53,7 +58,9 @@ object FsckCommand {
       var fs: org.apache.hadoop.fs.FileSystem = null
       val table = new Path(rootStr)
       it.flatMap { r =>
-        val abs = new Path(r.getAs[String]("__abs"))
+        val rel = r.getAs[String]("path")
+        val relPath = new Path(rel)
+        val abs = if (relPath.isAbsolute) relPath else new Path(table, rel)
         if (fs == null) fs = abs.getFileSystem(new Configuration())
         val dataMissing = !fs.exists(abs)
         // inline DVs ("i") live in the descriptor itself — nothing on

@@ -17,9 +17,10 @@ import graft.delta.log.LogSegment
   * (the partition directory the writer produced), so the manifest
   * layout can never drift from the data layout's value escaping.
   * Manifests are written DISTRIBUTED (one task writes a partition's
-  * manifest with its own FS handle — the VACUUM delete shape); the
-  * previous manifest tree is replaced atomically per file, and
-  * directories for partitions that no longer exist are swept first.
+  * manifest with its own FS handle — the VACUUM delete shape). Live
+  * manifests are overwritten in place — external readers never see an
+  * empty tree mid-run or after a crash — and directories for
+  * partitions that no longer exist are swept AFTERWARDS.
   *
   * Deletion-vector tables refuse: a symlink reader consumes raw
   * parquet and would resurrect every masked row.
@@ -45,17 +46,21 @@ object GenerateCommand {
         "(OPTIMIZE) or disable DVs")
 
     // (manifest-relative dir, absolute data file URI); the dir is the
-    // data file's own partition prefix
+    // data file's own partition prefix. Shallow clones reference the
+    // SOURCE's files by absolute path — a manifest tree derived from
+    // those prefixes would land inside the source's directories, so
+    // refuse and point at the source.
     val entries = snap.allFiles.select("path").collect().map { r =>
       val rel = r.getString(0)
+      require(!new Path(rel).isAbsolute,
+        s"cannot generate a symlink manifest for $tablePath: its log " +
+          s"references files by absolute path (e.g. $rel — a shallow " +
+          "clone); generate the manifest on the source table instead")
       val cut = rel.lastIndexOf('/')
       val dir = if (cut < 0) "" else rel.substring(0, cut)
       (dir, new Path(root, rel).toString)
     }
     val manifestRoot = new Path(root, ManifestDir)
-    // replace the whole tree: partitions that vanished since the last
-    // GENERATE must not keep serving stale manifests
-    fs.delete(manifestRoot, true)
 
     val rootStr = root.toString
     val byDir = entries.groupBy(_._1).toSeq
@@ -76,6 +81,25 @@ object GenerateCommand {
         }
         Iterator(n)
       }.sum().toLong
+
+    // sweep AFTER writing: each live manifest was overwritten in place
+    // (external readers never see an empty tree mid-run or after a
+    // crash); only directories for partitions that no longer exist are
+    // removed now
+    val live = byDir.map(_._1).toSet
+    def walkManifests(p: Path): Seq[Path] = {
+      if (!fs.exists(p)) return Seq.empty
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walkManifests(st.getPath)
+        else if (st.getPath.getName == "manifest") Seq(st.getPath)
+        else Seq.empty
+      }
+    }
+    walkManifests(manifestRoot).foreach { mf =>
+      val dir = manifestRoot.toUri.relativize(mf.getParent.toUri).getPath
+        .stripSuffix("/")
+      if (!live.contains(dir)) fs.delete(mf.getParent, true)
+    }
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row("operation", "GENERATE symlink_format_manifest"))

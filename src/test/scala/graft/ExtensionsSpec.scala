@@ -137,6 +137,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("REPLACE WHERE"))
   }
 
+  test("round-8 statements (FSCK, DROP FEATURE, COPY INTO, GENERATE) " +
+    "resolve through the injected extension path") {
+    val d = Files.createTempDirectory("graft_ext_r8").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val orders = extSpark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    CommitWriter.createTable(extSpark, orders.limit(20).repartition(1), p,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    // FSCK both output schemas (the dryRun branch in GraftCommand.output)
+    assert(extSpark.sql(s"FSCK REPAIR TABLE '$p' DRY RUN").collect()
+      .isEmpty)
+    assert(extSpark.sql(s"FSCK REPAIR TABLE '$p'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("entries_removed") == "0")
+    // DROP FEATURE after disablement
+    extSpark.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'false')")
+    extSpark.sql(s"ALTER TABLE '$p' DROP FEATURE changeDataFeed")
+    // COPY INTO
+    val srcDir = new java.io.File(d, "src").getAbsolutePath
+    orders.limit(5).withColumn("o_orderkey", col("o_orderkey") + 8000000L)
+      .repartition(1).write.mode("overwrite").parquet(srcDir)
+    assert(extSpark.sql(s"COPY INTO '$p' FROM '$srcDir'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("files_loaded") == "1")
+    // GENERATE
+    assert(extSpark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE '$p'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("manifests_written") == "1")
+    assert(DeltaTable.forPath(extSpark, p).read.count() == 25)
+  }
+
   test("table_changes TVF serves the derived change feed through SQL") {
     val d = Files.createTempDirectory("graft_ext_tc").toFile
     d.deleteOnExit()
