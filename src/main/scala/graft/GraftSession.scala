@@ -444,6 +444,10 @@ final class GraftSession(val spark: SparkSession) {
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)
+    case MergeSyncStatement(table, source, keys, deletePredicate) =>
+      graft.commands.MergeCommand.sync(spark,
+        resolveTablePath(table), resolveMergeSource(source), keys,
+        deletePredicate.map(org.apache.spark.sql.functions.expr))
     case ShowCatalogsStatement =>
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       LocalCatalog.list().foreach(c =>

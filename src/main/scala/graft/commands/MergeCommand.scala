@@ -265,6 +265,189 @@ object MergeCommand {
     spark.createDataFrame(rows, VacuumCommand.metricsSchema)
   }
 
+  /** MERGE full-sync: WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    * MATCHED THEN INSERT * / WHEN NOT MATCHED BY SOURCE [AND cond]
+    * THEN DELETE — the mirror shape (dimension sync, CDC
+    * reconciliation): after the commit every source row is present
+    * (matched keys updated, new keys inserted) and target rows whose
+    * keys the source no longer carries are deleted — all of them, or
+    * only those satisfying `deleteCondition`.
+    *
+    * Same file-granular machinery as upsert, with one inherent cost
+    * difference: the BY SOURCE clause depends on every target row
+    * (absence from the source cannot be proven from file stats), so
+    * the qualification pass scans the whole target. The rewrite set is
+    * still minimal — only files holding a matched OR deletable row
+    * move; on DV tables nothing moves at all (matched and deleted rows
+    * are masked, source rows land as new files).
+    */
+  def sync(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String],
+      deleteCondition: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val snap = DeltaTable.forPath(spark, tablePath)
+    val cdfOn = graft.delta.log.ProtocolSupport.cdfEnabled(snap.metadata)
+    graft.delta.log.ProtocolSupport.assertWritable(
+      tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
+      producesCdc = cdfOn)
+    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
+      "MERGE on column-mapped tables is not supported (the rewrite " +
+        "would need logical->physical projection per file)")
+    require(graft.delta.log.IdentityColumns.of(snap.metadata).isEmpty,
+      "MERGE into identity-column tables is not supported: inserted " +
+        "source rows would carry explicit identity values, which " +
+        "GENERATED ALWAYS forbids")
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    require(keys.forall(source.columns.contains),
+      s"source is missing key columns: ${keys.filterNot(source.columns.contains)}")
+    val src = source.localCheckpoint()
+    val dupes = src.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupes == 0, "MERGE source has duplicate keys")
+
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    // a null delete condition (e.g. NULL-valued comparison) keeps the
+    // row — SQL WHERE semantics, made explicit once here
+    val delCond = coalesce(
+      deleteCondition.getOrElse(lit(true)), lit(false))
+    val matchedMark = "__graft_matched"
+    val srcKeysMarked = srcKeys.withColumn(matchedMark, lit(1))
+    // one pass marks each target row matched / deletable / untouched
+    // (a semi-join plus an anti-join would scan the target twice)
+    def touched(df: DataFrame): DataFrame =
+      df.join(srcKeysMarked, keys.toIndexedSeq, "left")
+        .where(col(matchedMark).isNotNull || delCond)
+        .drop(matchedMark)
+
+    val syncParams = mergeParams(keys) +
+      ("notMatchedBySourceDelete" ->
+        deleteCondition.fold("true")(_ => "conditional"))
+
+    if (DmlCommands.dvEnabled(snap)) {
+      val (written, info) = DmlCommands.buildDvs(spark, tablePath, snap,
+        touched)
+      val adds = CommitWriter.writeFiles(spark,
+        graft.delta.log.Constraints.enforce(
+          graft.delta.log.GeneratedColumns.recompute(
+            src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+            snap.metadata),
+          snap.metadata),
+        tablePath, snap.partitionColumns,
+        configuration = snap.metadata.configuration,
+        statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+      val (actions, masked, fullyRemoved, _) =
+        DmlCommands.maskActions(written, info)
+      val protoUpgrade = graft.delta.log.ProtocolSupport
+        .withDeletionVectors(snap.protocol)
+        .map(CommitWriter.protocolJson).toSeq
+      val touchedPaths = written.map(w => info(w.fkey).relPath).toSet
+      val cdc = syncCdcActions(spark, snap, tablePath, src, keys,
+        delCond, cdfOn)
+      val newAddActions = DmlCommands.rowTrackedAddActions(spark, snap, adds)
+      CommitWriter.commitWithRebaseVersioned(spark, tablePath, snap.version,
+        v => protoUpgrade ++ actions ++ newAddActions(v) ++ cdc,
+        operation = "MERGE",
+        profile = graft.delta.log.ConflictChecker.TxnProfile(
+          readPaths = touchedPaths, removePaths = touchedPaths,
+          dependsOnNewData = true),
+        operationParameters = syncParams)
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row("files_rewritten", "0"))
+      rows.add(Row("files_added", adds.size.toString))
+      rows.add(Row("files_dv_masked", masked.toString))
+      rows.add(Row("files_fully_removed", fullyRemoved.toString))
+      rows.add(Row("source_rows", src.count().toString))
+      return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+    }
+
+    require(!graft.delta.log.RowTracking.enabled(snap.metadata),
+      "copy-on-write MERGE on a row-tracked table would move surviving " +
+        "rows and reassign their ids — set " +
+        "delta.enableDeletionVectors=true (merge-on-read preserves row " +
+        "ids: masked files never move)")
+    val target = DeltaScan.buildWithFileKey(snap)
+
+    // files containing a matched OR deletable row (collected: bounded
+    // by the touch footprint, not the table)
+    val affected = touched(target)
+      .select(DeltaScan.FileKeyColumn).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affectedRel = DmlCommands.affectedRelPaths(spark, snap, affected)
+
+    // survivors of affected files: rows that are neither matched (the
+    // source version replaces them) nor deletable
+    val keptFromAffected =
+      if (affected.isEmpty)
+        source.limit(0).select(snap.schema.fieldNames.map(col): _*)
+      else DeltaScan.whereFileKeyIn(target, affected)
+        .join(srcKeysMarked, keys.toIndexedSeq, "left")
+        .where(col(matchedMark).isNull && !delCond)
+        .drop(matchedMark)
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val rewritten = keptFromAffected
+      .unionByName(src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+
+    val adds = CommitWriter.writeFiles(spark,
+      graft.delta.log.Constraints.enforce(
+        graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
+        snap.metadata),
+      tablePath, snap.partitionColumns,
+      configuration = snap.metadata.configuration,
+      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+    val now = System.currentTimeMillis()
+    val removes = affectedRel.map(p => CommitWriter.removeJson(
+      Actions.RemoveFile(p, Some(now), dataChange = true)))
+    CommitWriter.commitWithRebase(spark, tablePath, snap.version,
+      removes.toIndexedSeq ++ adds.map(CommitWriter.addJson) ++
+        syncCdcActions(spark, snap, tablePath, src, keys, delCond, cdfOn),
+      operation = "MERGE",
+      profile = graft.delta.log.ConflictChecker.TxnProfile(
+        readPaths = affectedRel.toSet, removePaths = affectedRel.toSet,
+        dependsOnNewData = true),
+      operationParameters = syncParams)
+
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("files_rewritten", affectedRel.length.toString))
+    rows.add(Row("files_added", adds.size.toString))
+    rows.add(Row("source_rows", src.count().toString))
+    spark.createDataFrame(rows, VacuumCommand.metricsSchema)
+  }
+
+  /** Write-time CDC for a full-sync MERGE: the upsert labels (update
+    * pre/post pairs for matched keys, inserts for new keys) plus
+    * delete pre-images for the target rows the BY SOURCE clause
+    * removes. */
+  private def syncCdcActions(spark: SparkSession,
+      snap: graft.delta.Snapshot, tablePath: String, src: DataFrame,
+      keys: Seq[String], delCond: org.apache.spark.sql.Column,
+      cdfOn: Boolean): Seq[String] =
+    if (!cdfOn) Seq.empty
+    else {
+      val schemaCols = snap.schema.fieldNames.toIndexedSeq
+      val srcProj = src.select(schemaCols.map(col): _*)
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val pre = snap.read.join(srcKeys, keys.toIndexedSeq, "left_semi")
+        .select(schemaCols.map(col): _*)
+      val matchedKeys = pre.select(keys.map(col): _*).distinct()
+      val deleted = snap.read
+        .join(srcKeys, keys.toIndexedSeq, "left_anti")
+        .where(delCond)
+        .select(schemaCols.map(col): _*)
+      def written(df: DataFrame) = graft.delta.log.GeneratedColumns
+        .recompute(df, snap.metadata)
+      val changeRows = pre
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(
+          written(srcProj.join(matchedKeys, keys.toIndexedSeq, "left_semi"))
+            .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(
+          written(srcProj.join(matchedKeys, keys.toIndexedSeq, "left_anti"))
+            .withColumn("_change_type", lit("insert")))
+        .unionByName(deleted.withColumn("_change_type", lit("delete")))
+      CommitWriter.writeCdcFiles(spark, changeRows, tablePath,
+        snap.partitionColumns).map(CommitWriter.cdcJson)
+    }
+
   /** Write-time CDC for MERGE — the case that makes write-time CDC
     * worth having: the writer KNOWS which source rows matched (update)
     * vs not (insert), a split no log-derived diff can reconstruct.

@@ -530,6 +530,30 @@ object DeltaQueries {
         Seq("o_orderkey"))
     }
 
+  /** Orders table after a FULL-SYNC MERGE issued through the SQL
+    * surface (upsert + WHEN NOT MATCHED BY SOURCE AND o_custkey % 2 =
+    * 0 THEN DELETE): keys % 3 == 0 are updated to o_totalprice + 7,
+    * keys < 10 are re-inserted shifted, and target rows absent from
+    * the source lose their even-custkey members. */
+  def syncedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "merge_synced") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, o.repartition(4), p)
+      val source = o.filter(col("o_orderkey") % 3 === 0)
+        .unionByName(o.filter(col("o_orderkey") < 10)
+          .withColumn("o_orderkey", col("o_orderkey") + keyShift(o)))
+        .withColumn("o_totalprice", col("o_totalprice") + 7)
+      source.createOrReplaceTempView("graft_sync_src")
+      new graft.GraftSession(s).sql(
+        s"""MERGE INTO '$p' USING graft_sync_src
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND o_custkey % 2 = 0 THEN DELETE"""
+          .stripMargin)
+    }
+
   /** Orders table filled by COPY INTO run TWICE over the same source
     * directory (two parquet files of the remaining thirds): the second
     * run must be a complete no-op — per-file SetTransaction identities
@@ -1139,6 +1163,25 @@ object DeltaQueries {
         |WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, mergeDeletedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // MERGE full-sync (WHEN NOT MATCHED BY SOURCE AND pred THEN
+    // DELETE, via SQL): matched keys updated, shifted keys inserted,
+    // unmatched rows with even custkeys deleted — the oracle
+    // recomputes all three sets relationally.
+    Q("q_merge_sync",
+      """SELECT o_orderkey, o_custkey, o_totalprice + 7 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + (SELECT max(o_orderkey)+1 FROM orders) AS o_orderkey,
+        | o_custkey, o_totalprice + 7 AS o_totalprice
+        |FROM orders WHERE o_orderkey < 10
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_custkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, syncedTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 

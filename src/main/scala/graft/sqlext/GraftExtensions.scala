@@ -145,6 +145,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: CopyIntoStatement => VacuumCommand.metricsSchema
       case _: GenerateManifestStatement => VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
+      case _: MergeSyncStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema
       case _: AlterColumnDefaultStatement => VacuumCommand.metricsSchema

@@ -83,6 +83,10 @@ object GraftParser {
   /** MERGE ... WHEN MATCHED THEN DELETE (delete-by-key-set). */
   final case class MergeDeleteStatement(table: String, source: String,
       keys: Seq[String]) extends Statement
+  /** MERGE full-sync: upsert + WHEN NOT MATCHED BY SOURCE [AND pred]
+    * THEN DELETE. */
+  final case class MergeSyncStatement(table: String, source: String,
+      keys: Seq[String], deletePredicate: Option[String]) extends Statement
   /** INSERT INTO <t> REPLACE WHERE <pred> SELECT ... — the selective
     * overwrite SQL shape ([[graft.commands.ReplaceWhereCommand]]). */
   final case class ReplaceWhereStatement(table: String, predicate: String,
@@ -379,16 +383,49 @@ object GraftParser {
     }
     if (onEnd < 0) throw new ParseException(
       "expected WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-    val tailWords = rest1.drop(onEnd).collect { case w: Word => w.upper }
-      .mkString(" ")
+    val clauseToks = rest1.drop(onEnd)
+    // optional trailing WHEN NOT MATCHED BY SOURCE clause: split it off
+    // before shape-matching the upsert/delete head (its predicate may
+    // contain symbol tokens the word-level matcher would drop)
+    def wordsOf(ts: Vector[Tok]): String =
+      ts.collect { case w: Word => w.upper }.mkString(" ")
+    val bySourceIdx = clauseToks.indices.find { i =>
+      clauseToks(i) match {
+        case w: Word => w.upper == "WHEN" &&
+          wordsOf(clauseToks.slice(i, i + 5)) == "WHEN NOT MATCHED BY SOURCE"
+        case _ => false
+      }
+    }
+    val (headToks, bySourceToks) =
+      clauseToks.splitAt(bySourceIdx.getOrElse(clauseToks.length))
+    val tailWords = wordsOf(headToks)
     val isUpsert =
       tailWords == "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     val isDelete = tailWords == "WHEN MATCHED THEN DELETE"
-    if (!isUpsert && !isDelete)
+    if (!isUpsert && !isDelete || (isDelete && bySourceToks.nonEmpty))
       throw new ParseException(
         "supported MERGE shapes: WHEN MATCHED THEN UPDATE SET * WHEN " +
-          "NOT MATCHED THEN INSERT * (upsert) | WHEN MATCHED THEN " +
-          s"DELETE (got: $tailWords)")
+          "NOT MATCHED THEN INSERT * (upsert, optionally followed by " +
+          "WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE) | WHEN " +
+          s"MATCHED THEN DELETE (got: $tailWords)")
+    // WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE
+    val syncPredicate: Option[Option[String]] =
+      if (bySourceToks.isEmpty) None
+      else {
+        val afterIntro = bySourceToks.drop(5) // WHEN NOT MATCHED BY SOURCE
+        if (wordsOf(bySourceToks.takeRight(2)) != "THEN DELETE" ||
+            bySourceToks.length < 7)
+          throw new ParseException(
+            "expected WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE")
+        afterIntro.headOption match {
+          case Some(w: Word) if w.upper == "THEN" && afterIntro.length == 2 =>
+            Some(None) // unconditional delete
+          case Some(w: Word) if w.upper == "AND" && afterIntro.length > 3 =>
+            Some(Some(sqlOf(afterIntro.slice(1, afterIntro.length - 2))))
+          case _ => throw new ParseException(
+            "expected WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE")
+        }
+      }
     val keys = sqlOf(rest1.slice(1, onEnd)).split("(?i)\\bAND\\b").map { eq =>
       val sides = eq.split("=", 2).map(_.trim)
       if (sides.length != 2)
@@ -401,7 +438,10 @@ object GraftParser {
       names(0)
     }.toSeq
     if (isDelete) MergeDeleteStatement(table, source, keys)
-    else MergeStatement(table, source, keys)
+    else syncPredicate match {
+      case Some(pred) => MergeSyncStatement(table, source, keys, pred)
+      case None => MergeStatement(table, source, keys)
+    }
   }
 
   /** ALTER TABLE <ref> RENAME COLUMN a TO b | ADD COLUMN a <type> |

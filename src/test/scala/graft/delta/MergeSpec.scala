@@ -158,6 +158,111 @@ class MergeSpec extends AnyFunSuite {
     assert(m("files_rewritten") == "0" && m("files_dv_masked").toInt > 0)
   }
 
+  test("sync: unconditional BY SOURCE delete mirrors the source") {
+    val p = tmp("sync_full")
+    CommitWriter.createTable(spark,
+      orders.repartition(4, col("o_orderkey")), p)
+    val source = orders.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7)
+      .unionByName(orders.limit(3)
+        .withColumn("o_orderkey", col("o_orderkey") + 9000000))
+    MergeCommand.sync(spark, p, source, Seq("o_orderkey"))
+    val after = DeltaTable.forPath(spark, p).read
+    // full sync: the table IS the source now
+    assert(after.orderBy("o_orderkey", "o_totalprice").collect().toSeq ==
+      source.orderBy("o_orderkey", "o_totalprice").collect().toSeq)
+    // history stays time-travelable
+    assert(DeltaTable.forPath(spark, p, Some(0)).read.count() ==
+      orders.count())
+  }
+
+  test("sync: conditional BY SOURCE delete keeps non-matching survivors") {
+    val p = tmp("sync_cond")
+    CommitWriter.createTable(spark,
+      orders.repartition(3, col("o_orderkey")), p)
+    val source = orders.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7)
+    MergeCommand.sync(spark, p, source, Seq("o_orderkey"),
+      deleteCondition = Some(col("o_custkey") % 2 === 0))
+    val after = DeltaTable.forPath(spark, p).read
+    val want = source.unionByName(
+      orders.where(col("o_orderkey") % 3 =!= 0 &&
+        col("o_custkey") % 2 =!= 0))
+    assert(after.orderBy("o_orderkey").collect().toSeq ==
+      want.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("sync on a DV table masks matched+deleted rows, moves nothing") {
+    val p = tmp("sync_dv")
+    CommitWriter.createTable(spark,
+      orders.repartition(2, col("o_orderkey")), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaTable.forPath(spark, p).allFiles
+      .select("path").collect().map(_.getString(0)).toSet
+    val source = orders.where(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val metrics = MergeCommand.sync(spark, p, source, Seq("o_orderkey"),
+      deleteCondition = Some(col("o_custkey") % 10 === 0))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_rewritten") == "0")
+    assert(metrics("files_dv_masked").toInt > 0)
+    val snap = DeltaTable.forPath(spark, p)
+    // merge-on-read: the original data files never moved
+    assert(before.subsetOf(snap.allFiles.select("path").collect()
+      .map(_.getString(0)).toSet))
+    val want = source.unionByName(
+      orders.where(col("o_orderkey") % 4 =!= 0 &&
+        col("o_custkey") % 10 =!= 0))
+    assert(snap.read.orderBy("o_orderkey").collect().toSeq ==
+      want.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("sync through SQL emits update/insert/delete CDC labels") {
+    val p = tmp("sync_sql")
+    CommitWriter.createTable(spark, orders.limit(100), p,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val base = orders.limit(100).localCheckpoint()
+    base.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 2)
+      .unionByName(base.limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000))
+      .createOrReplaceTempView("graft_sync_spec_src")
+    new graft.GraftSession(spark).sql(
+      s"MERGE INTO '$p' USING graft_sync_spec_src " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE AND o_custkey % 2 = 0 THEN DELETE")
+    val matched = base.where(col("o_orderkey") % 3 === 0).count()
+    val deleted = base.where(col("o_orderkey") % 3 =!= 0 &&
+      col("o_custkey") % 2 === 0).count()
+    val cdc = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+    val byType = cdc.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("update_preimage", 0L) == matched)
+    assert(byType.getOrElse("update_postimage", 0L) == matched)
+    assert(byType.getOrElse("insert", 0L) == 2)
+    assert(byType.getOrElse("delete", 0L) == deleted)
+    // end state: matched updated, inserts present, even-custkey
+    // unmatched rows gone
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.count() == matched + 2 +
+      base.where(col("o_orderkey") % 3 =!= 0 &&
+        col("o_custkey") % 2 =!= 0).count())
+  }
+
+  test("BY SOURCE clause without the upsert head is refused") {
+    val ex = intercept[Exception] {
+      new graft.GraftSession(spark).sql(
+        "MERGE INTO '/tmp/x' USING '/tmp/y' ON t.k = s.k " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(ex.getMessage.contains("supported MERGE shapes"))
+  }
+
   test("MERGE WHEN MATCHED DELETE through SQL, with CDC labels") {
     val p = tmp("mdel_sql")
     CommitWriter.createTable(spark, orders.limit(100), p,
