@@ -769,7 +769,8 @@ object CommitWriter {
     * whether checkpoints must be v2 (sidecar) format, and whether the
     * table opted into post-commit auto-compaction. */
   private case class WriteConf(ict: Boolean, checkpointInterval: Int,
-      v2Checkpoints: Boolean, autoCompact: Boolean = false)
+      v2Checkpoints: Boolean, autoCompact: Boolean = false,
+      logCompactionInterval: Int = 0)
 
   /** Resolve [[WriteConf]] for the commit landing at `version`: start
     * from the current log state (memo hit, else one resolve; creation
@@ -799,7 +800,8 @@ object CommitWriter {
           .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty[String, String])
       base.copy(ict = ictFrom(cfg), checkpointInterval = intervalFrom(cfg),
-        autoCompact = autoCompactFrom(cfg))
+        autoCompact = autoCompactFrom(cfg),
+        logCompactionInterval = LogCompaction.intervalFrom(cfg))
     }
     inlineProto.fold(withMeta) { p =>
       val feats = Option(p.get("writerFeatures")).map(_.asScala.toSeq
@@ -812,7 +814,7 @@ object CommitWriter {
       writerFeatures: Option[Seq[String]]): WriteConf =
     WriteConf(ictFrom(cfg), intervalFrom(cfg),
       writerFeatures.getOrElse(Nil).contains("v2Checkpoint"),
-      autoCompactFrom(cfg))
+      autoCompactFrom(cfg), LogCompaction.intervalFrom(cfg))
 
   /** `delta.autoOptimize.autoCompact` (the ecosystem-standard table
     * property): opt-in post-commit small-file compaction. */
@@ -978,6 +980,8 @@ object CommitWriter {
     ictFlagCache.put(tablePath, WriteMemo(version + 1, conf,
       payloadBytes.length.toLong, sha256(payloadBytes)))
     maybeAutoCheckpoint(spark, tablePath, version, conf)
+    LogCompaction.maybeCompact(spark, tablePath, version,
+      conf.logCompactionInterval)
     maybeAutoCompact(spark, tablePath, version, conf, operation, actionLines)
   }
 
@@ -1196,6 +1200,9 @@ object CommitWriter {
         val n = st.getPath.getName
         LogSegment.commitVersion(n)
           .orElse(LogSegment.checkpointArtifactVersion(n))
+          // a compaction is reconstruction-redundant; it expires with
+          // the END of its span (the last version it could stand in for)
+          .orElse(LogSegment.compactedRange(n).map(_._2))
           .map(v => (v, st))
       }
     val complete = LogSegment

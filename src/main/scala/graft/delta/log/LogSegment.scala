@@ -33,9 +33,21 @@ object LogSegment {
   private val v2CheckpointRe =
     """^(\d{20})\.checkpoint\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.(parquet|json)$""".r
 
+  /** Minor log compactions: <x>.<y>.compacted.json (see
+    * [[LogCompaction]]). */
+  private val compactedRe = """^(\d{20})\.(\d{20})\.compacted\.json$""".r
+
   def commitFileName(version: Long): String = f"$version%020d.json"
   def checkpointFileName(version: Long): String =
     f"$version%020d.checkpoint.parquet"
+  def compactedFileName(start: Long, end: Long): String =
+    f"$start%020d.$end%020d.compacted.json"
+
+  /** (start, end) of a log-compaction file name. */
+  def compactedRange(name: String): Option[(Long, Long)] = name match {
+    case compactedRe(a, b) => Some((a.toLong, b.toLong))
+    case _ => None
+  }
 
   def commitVersion(name: String): Option[Long] = name match {
     case commitRe(v) => Some(v.toLong)
@@ -149,8 +161,33 @@ object LogSegment {
         s"Gap in _delta_log: have versions $versions, expected $expected$hint")
     }
 
+    // minor log compactions: greedily substitute <x>.<y>.compacted.json
+    // files for the commit spans they cover — a tail of N commits then
+    // resolves through ~N/interval files. Only spans fully inside the
+    // tail qualify (a compaction straddling the checkpoint would
+    // double-apply state the checkpoint already holds). Longest span
+    // per start wins; uncovered versions keep their raw commits.
+    val compactions = entries.flatMap { st =>
+      compactedRange(st.getPath.getName).map(r => r -> st)
+    }.filter { case ((x, y), _) => x >= expectedStart && y <= target }
+    val tailFiles: Seq[FileStatus] =
+      if (compactions.isEmpty || !graft.delta.log.LogCompaction.useCompacted(spark))
+        tail.map(_._2)
+      else {
+        val byStart = compactions.groupBy(_._1._1)
+          .map { case (x, g) => x -> g.maxBy(_._1._2) }
+        val commitByV = tail.map { case (v, st) => v -> st }.toMap
+        val out = Seq.newBuilder[FileStatus]
+        var v = expectedStart
+        while (v <= target) byStart.get(v) match {
+          case Some(((_, y), st)) => out += st; v = y + 1
+          case None => out += commitByV(v); v += 1
+        }
+        out.result()
+      }
+
     LogSegment(tablePath, target, cpVersion,
-      cpVersion.map(checkpoints).getOrElse(Seq.empty), tail.map(_._2),
+      cpVersion.map(checkpoints).getOrElse(Seq.empty), tailFiles,
       checkpointIsV2 = cpVersion.exists(v2Versions.contains))
   }
 

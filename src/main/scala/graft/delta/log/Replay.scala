@@ -109,9 +109,16 @@ object Replay {
         Some(spark.read
           .schema(Actions.logSchema)
           .json(files.map(_.getPath.toString): _*)
-          .withColumn("commit_version",
+          // a compacted file's reconciled actions are attributed its END
+          // version (the same loss of per-action provenance a checkpoint
+          // has — ordering vs the checkpoint and vs later commits stays
+          // correct because spans never overlap either)
+          .withColumn("commit_version", coalesce(
+            nullif(regexp_extract(col("_metadata.file_path"),
+              """\d{20}\.(\d{20})\.compacted\.json""", 1), lit(""))
+              .cast("long"),
             regexp_extract(col("_metadata.file_path"),
-              """(\d{20})\.json""", 1).cast("long")))
+              """(\d{20})\.json""", 1).cast("long"))))
     }
     (cp, commits) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -182,6 +189,7 @@ object Replay {
   private def fileVersion(segment: LogSegment,
       st: org.apache.hadoop.fs.FileStatus): Long =
     LogSegment.commitVersion(st.getPath.getName)
+      .orElse(LogSegment.compactedRange(st.getPath.getName).map(_._2))
       .getOrElse(segment.checkpointVersion.getOrElse(-1L))
 
   /** The reconciled live file set: one row per live AddFile (columns of
@@ -295,7 +303,9 @@ object Replay {
     import org.apache.spark.sql.Row
     val fs = LogSegment.fs(spark, segment.tablePath)
     for (commit <- commits) {
-      val version = LogSegment.commitVersion(commit.getPath.getName).get
+      val name = commit.getPath.getName
+      val version = LogSegment.commitVersion(name)
+        .orElse(LogSegment.compactedRange(name).map(_._2)).get
       val in = fs.open(commit.getPath)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector finally in.close()

@@ -554,6 +554,23 @@ object DeltaQueries {
           .stripMargin)
     }
 
+  /** Orders table whose log is minor-compacted
+    * (`graft.logCompaction.interval` = 3, checkpoints off): six commits
+    * — five %5 slices plus a DELETE — yield compactions [0,2] and
+    * [3,5], so the snapshot resolves through exactly two log files. */
+  def logCompactedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "log_compacted") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, o.where(col("o_orderkey") % 5 === 0), p,
+        configuration = Map(
+          graft.delta.log.LogCompaction.IntervalPropKey -> "3",
+          CommitWriter.CheckpointIntervalPropKey -> "1000"))
+      for (r <- 1 to 4)
+        CommitWriter.append(s, o.where(col("o_orderkey") % 5 === r), p)
+      graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 11 === 0)
+    }
+
   /** Orders table filled by COPY INTO run TWICE over the same source
     * directory (two parquet files of the remaining thirds): the second
     * run must be a complete no-op — per-file SetTransaction identities
@@ -1182,6 +1199,28 @@ object DeltaQueries {
         |WHERE o_orderkey % 3 <> 0 AND o_custkey % 2 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, syncedTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // Minor log compaction: the snapshot must resolve through the two
+    // <x>.<y>.compacted.json files alone (compacted_spans pins 2 — a
+    // read path that falls back to raw commits mismatches the oracle
+    // constant), and the reconciled state must equal the relational
+    // recomputation of the six commits.
+    Q("q_log_compact",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(2 AS BIGINT) AS compacted_spans
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val p = logCompactedTable(s, dir)
+      val seg = LogSegment.forTable(s, new Path(p))
+      val spans = seg.commitFiles.map(_.getPath.getName)
+        .count(n => LogSegment.compactedRange(n).isDefined)
+      require(seg.commitFiles.size == spans,
+        s"log_compacted fixture must replay through compactions alone, " +
+          s"got ${seg.commitFiles.map(_.getPath.getName)}")
+      DeltaTable.forPath(s, p).read
+        .withColumn("compacted_spans", lit(spans.toLong))
         .orderBy("o_orderkey")
     },
 

@@ -129,6 +129,51 @@ object MetadataRehearsal {
       require(DeltaTable.forPath(spark, p).allFiles.count() ==
         nFiles.toLong - prunedPart)
     }
+    // minor log compaction: a streaming-ingest-shaped tail (200 commits
+    // x 20 adds, no checkpoint) resolved raw vs through 20 compacted
+    // spans — the between-checkpoints metadata-latency knob. On local
+    // FS the win is file-open overhead; on object stores each avoided
+    // open is a full GET round trip.
+    val p2 = new java.io.File(dir.toFile, "tbl2").getAbsolutePath
+    CommitWriter.createTable(spark, empty, p2,
+      partitionColumns = Seq("part"),
+      configuration = Map("delta.checkpointInterval" -> "1000000"))
+    timed("write 200-commit ingest tail (20 adds each)") {
+      var fileNo = 0L
+      for (c <- 1 to 200) {
+        val lines = (0 until 20).map { _ =>
+          val part = (fileNo % 100).toInt
+          val lo = fileNo * 1000
+          val stats = s"""{"numRecords":1000,"minValues":{"k":$lo,"v":0.1},""" +
+            s""""maxValues":{"k":${lo + 999},"v":0.9},"nullCount":{"k":0,"v":0}}"""
+          val a = Actions.AddFile(
+            path = f"part=$part/g$fileNo%07d.parquet",
+            partitionValues = Map("part" -> part.toString),
+            size = 1048576L, modificationTime = 1700000000000L + fileNo,
+            dataChange = true, stats = Some(stats))
+          fileNo += 1
+          CommitWriter.addJson(a)
+        }
+        CommitWriter.commit(spark, p2, c.toLong, lines, operation = "WRITE")
+      }
+    }
+    spark.conf.set(graft.delta.log.LogCompaction.UseCompactedConfKey, "false")
+    val rawFiles = timed("resolve + count, raw 200-commit tail") {
+      DeltaTable.forPath(spark, p2).allFiles.count()
+    }
+    timed("compact the tail into 20 spans of 10") {
+      for (s <- 0 until 20)
+        graft.delta.log.LogCompaction.compactLog(spark, p2,
+          s * 10 + 1L, s * 10 + 10L)
+    }
+    spark.conf.unset(graft.delta.log.LogCompaction.UseCompactedConfKey)
+    timed("resolve + count through 20 compactions") {
+      val snap = DeltaTable.forPath(spark, p2)
+      require(snap.segment.commitFiles.size == 21, // v0 + 20 spans
+        s"expected 21 log files, got ${snap.segment.commitFiles.size}")
+      require(snap.allFiles.count() == rawFiles)
+    }
+
     val rt = Runtime.getRuntime
     println(s"[metarehearse] driver heap used ~" +
       s"${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)} MiB " +
