@@ -980,8 +980,11 @@ object CommitWriter {
     ictFlagCache.put(tablePath, WriteMemo(version + 1, conf,
       payloadBytes.length.toLong, sha256(payloadBytes)))
     maybeAutoCheckpoint(spark, tablePath, version, conf)
-    LogCompaction.maybeCompact(spark, tablePath, version,
-      conf.logCompactionInterval)
+    // no compaction at an auto-checkpoint version: the checkpoint
+    // collapsed the tail, so a span ending here is dead on arrival
+    if (version % conf.checkpointInterval != 0)
+      LogCompaction.maybeCompact(spark, tablePath, version,
+        conf.logCompactionInterval)
     maybeAutoCompact(spark, tablePath, version, conf, operation, actionLines)
   }
 

@@ -30,10 +30,14 @@ import com.fasterxml.jackson.databind.ObjectMapper
 object LogCompaction {
   private val mapper = new ObjectMapper()
 
-  /** Opt-in table property: write a compaction every N commits (the
-    * span [v-N+1, v] after committing version v when v+1 is a multiple
-    * of N). Engine-specific knob (the protocol defines the artifact,
-    * not the cadence). */
+  /** Opt-in table property: write a compaction every N commits — the
+    * span [v-N+1, v] after committing version v when v is a multiple
+    * of N. Spans thus START at multiples-of-N-plus-one, which is
+    * exactly where the replay tail starts (cp+1) whenever
+    * `delta.checkpointInterval` is a multiple of N — the common
+    * "compact every 10, checkpoint every 100" layering keeps every
+    * span substitutable. Engine-specific knob (the protocol defines
+    * the artifact, not the cadence). */
   final val IntervalPropKey = "graft.logCompaction.interval"
 
   /** Session escape hatch for the READ side (default on): substitute
@@ -139,10 +143,13 @@ object LogCompaction {
   /** Post-commit hook: when the table opts in via
     * [[IntervalPropKey]] = N and `version` closes an N-aligned span,
     * compact it. The commit already landed — failures are logged and
-    * swallowed (maintenance, never correctness). */
+    * swallowed (maintenance, never correctness). The caller skips the
+    * call entirely when this version also auto-checkpointed (the
+    * checkpoint already collapsed the whole tail — a span ending at a
+    * checkpoint version could never be substituted). */
   private[log] def maybeCompact(spark: SparkSession, tablePath: String,
       version: Long, interval: Int): Unit =
-    if (interval > 0 && version > 0 && (version + 1) % interval == 0) {
+    if (interval > 0 && version >= interval && version % interval == 0) {
       try compactLog(spark, tablePath, version - interval + 1, version)
       catch {
         case scala.util.control.NonFatal(e) =>

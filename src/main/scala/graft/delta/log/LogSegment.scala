@@ -169,7 +169,10 @@ object LogSegment {
     // per start wins; uncovered versions keep their raw commits.
     val compactions = entries.flatMap { st =>
       compactedRange(st.getPath.getName).map(r => r -> st)
-    }.filter { case ((x, y), _) => x >= expectedStart && y <= target }
+    // x <= y also guards the walk below against a malformed (reversed)
+    // span from a foreign writer, which would otherwise loop forever
+    }.filter { case ((x, y), _) =>
+      x >= expectedStart && y <= target && x <= y }
     val tailFiles: Seq[FileStatus] =
       if (compactions.isEmpty || !graft.delta.log.LogCompaction.useCompacted(spark))
         tail.map(_._2)

@@ -555,9 +555,10 @@ object DeltaQueries {
     }
 
   /** Orders table whose log is minor-compacted
-    * (`graft.logCompaction.interval` = 3, checkpoints off): six commits
-    * — five %5 slices plus a DELETE — yield compactions [0,2] and
-    * [3,5], so the snapshot resolves through exactly two log files. */
+    * (`graft.logCompaction.interval` = 3, checkpoints off): seven
+    * commits — five %5 slices plus two DELETEs — yield compactions
+    * [1,3] and [4,6], so the snapshot resolves through three log files
+    * (the creation commit plus two spans). */
   def logCompactedTable(s: SparkSession, sfDir: String): String =
     ensure(s, sfDir, "log_compacted") { p =>
       val o = orders(s, sfDir)
@@ -569,6 +570,7 @@ object DeltaQueries {
       for (r <- 1 to 4)
         CommitWriter.append(s, o.where(col("o_orderkey") % 5 === r), p)
       graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 11 === 0)
+      graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 13 === 0)
     }
 
   /** Orders table filled by COPY INTO run TWICE over the same source
@@ -1210,14 +1212,14 @@ object DeltaQueries {
     Q("q_log_compact",
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CAST(2 AS BIGINT) AS compacted_spans
-        |FROM orders WHERE o_orderkey % 11 <> 0
+        |FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val p = logCompactedTable(s, dir)
       val seg = LogSegment.forTable(s, new Path(p))
       val spans = seg.commitFiles.map(_.getPath.getName)
         .count(n => LogSegment.compactedRange(n).isDefined)
-      require(seg.commitFiles.size == spans,
-        s"log_compacted fixture must replay through compactions alone, " +
+      require(seg.commitFiles.size == 3, // v0 raw + spans [1,3], [4,6]
+        s"log_compacted fixture must replay through compactions, " +
           s"got ${seg.commitFiles.map(_.getPath.getName)}")
       DeltaTable.forPath(s, p).read
         .withColumn("compacted_spans", lit(spans.toLong))

@@ -40,18 +40,22 @@ class LogCompactionSpec extends AnyFunSuite {
         nation.where(col("n_regionkey") === r), p)
     graft.commands.DmlCommands.delete(spark, p,
       col("n_nationkey") % 7 === 0) // v5
+    CommitWriter.append(spark,
+      nation.limit(1).withColumn("n_nationkey",
+        col("n_nationkey") + 300), p) // v6 closes the [4,6] span
     val names = logFiles(p)
-    assert(names.contains(LogSegment.compactedFileName(0, 2)))
-    assert(names.contains(LogSegment.compactedFileName(3, 5)))
+    assert(names.contains(LogSegment.compactedFileName(1, 3)))
+    assert(names.contains(LogSegment.compactedFileName(4, 6)))
     // raw commits stay authoritative and present
-    assert((0L to 5L).forall(v => names.contains(
+    assert((0L to 6L).forall(v => names.contains(
       LogSegment.commitFileName(v))))
 
-    // the resolved segment reads exactly the two compactions
+    // the resolved segment reads the creation commit + two compactions
     val seg = LogSegment.forTable(spark, new Path(p))
     assert(seg.commitFiles.map(_.getPath.getName) ==
-      Seq(LogSegment.compactedFileName(0, 2),
-        LogSegment.compactedFileName(3, 5)))
+      Seq(LogSegment.commitFileName(0),
+        LogSegment.compactedFileName(1, 3),
+        LogSegment.compactedFileName(4, 6)))
 
     // state through compactions == state through raw commits
     val viaCompacted = DeltaTable.forPath(spark, p).read
@@ -60,7 +64,7 @@ class LogCompactionSpec extends AnyFunSuite {
     try {
       val rawSeg = LogSegment.forTable(spark, new Path(p))
       assert(rawSeg.commitFiles.map(_.getPath.getName) ==
-        (0L to 5L).map(LogSegment.commitFileName))
+        (0L to 6L).map(LogSegment.commitFileName))
       val viaRaw = DeltaTable.forPath(spark, p).read
         .orderBy("n_nationkey").collect().toSeq
       assert(viaCompacted == viaRaw)
@@ -89,11 +93,15 @@ class LogCompactionSpec extends AnyFunSuite {
     val meta = DeltaTable.forPath(spark, p).metadata
     CommitWriter.commitMetadata(spark, p, meta.copy(
       configuration = meta.configuration + ("graft.test.mark" -> "yes"))) // v3
+    CommitWriter.append(spark,
+      nation.limit(1).withColumn("n_nationkey",
+        col("n_nationkey") + 101), p) // v4 closes the [1,4] span
 
-    assert(logFiles(p).contains(LogSegment.compactedFileName(0, 3)))
+    assert(logFiles(p).contains(LogSegment.compactedFileName(1, 4)))
     val seg = LogSegment.forTable(spark, new Path(p))
     assert(seg.commitFiles.map(_.getPath.getName) ==
-      Seq(LogSegment.compactedFileName(0, 3)))
+      Seq(LogSegment.commitFileName(0),
+        LogSegment.compactedFileName(1, 4)))
 
     // latest metadata (the v3 property) resolves through the compaction
     val (m, _) = Replay.metadataAndProtocol(spark, seg)
@@ -103,9 +111,9 @@ class LogCompactionSpec extends AnyFunSuite {
       .contains(7L))
     // the delete's tombstones survive reconciliation
     assert(Replay.tombstones(spark, seg).count() > 0)
-    // and the data is right
+    // and the data is right (the appendIfAbsent row plus the v4 row)
     assert(DeltaTable.forPath(spark, p).read.count() ==
-      nation.where(col("n_nationkey") < 20).count() + 1)
+      nation.where(col("n_nationkey") < 20).count() + 2)
   }
 
   test("a compaction straddling the checkpoint is ignored") {
@@ -144,22 +152,21 @@ class LogCompactionSpec extends AnyFunSuite {
   test("the retention sweep deletes compactions with their span") {
     val p = tmp("sweep")
     CommitWriter.createTable(spark, nation, p, configuration = conf)
-    for (i <- 1 to 2)
+    for (i <- 1 to 3)
       CommitWriter.append(spark, nation.limit(i), p)
-    assert(logFiles(p).contains(LogSegment.compactedFileName(0, 2)))
-    for (i <- 3 to 4)
-      CommitWriter.append(spark, nation.limit(i), p)
+    assert(logFiles(p).contains(LogSegment.compactedFileName(1, 3)))
+    CommitWriter.append(spark, nation.limit(4), p)
     CommitWriter.checkpoint(spark, p) // at v4, above the span end
     // age everything, then sweep with zero retention: the prefix below
     // the checkpoint horizon goes — including the compaction whose
-    // whole span sits inside it (end 2 < horizon 4)
+    // whole span sits inside it (end 3 < horizon 4)
     val logDir = new java.io.File(p, "_delta_log")
     logDir.listFiles().foreach(f =>
       f.setLastModified(System.currentTimeMillis() - 3600 * 1000))
     CommitWriter.cleanupExpiredLogs(spark, p,
       retentionMsOverride = Some(0L))
     val after = logFiles(p)
-    assert(!after.contains(LogSegment.compactedFileName(0, 2)))
+    assert(!after.contains(LogSegment.compactedFileName(1, 3)))
     assert(!after.contains(LogSegment.commitFileName(0)))
     assert(after.contains(LogSegment.commitFileName(4)))
     assert(DeltaTable.forPath(spark, p).read.count() ==

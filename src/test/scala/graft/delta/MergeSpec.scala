@@ -232,7 +232,9 @@ class MergeSpec extends AnyFunSuite {
         "ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT * " +
-        "WHEN NOT MATCHED BY SOURCE AND o_custkey % 2 = 0 THEN DELETE")
+        // t.-qualified on purpose: the ON clause mandates the t/s
+        // aliases, so the delete predicate must resolve them too
+        "WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 2 = 0 THEN DELETE")
     val matched = base.where(col("o_orderkey") % 3 === 0).count()
     val deleted = base.where(col("o_orderkey") % 3 =!= 0 &&
       col("o_custkey") % 2 === 0).count()
