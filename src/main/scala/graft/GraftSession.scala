@@ -444,6 +444,25 @@ final class GraftSession(val spark: SparkSession) {
     case MergeDeleteStatement(table, source, keys) =>
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)
+    case CtasStatement(table, partitionCols, clusterCols, props,
+        selectSql, ifNotExists) =>
+      val path = resolveTablePath(table)
+      val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
+      val exists = graft.delta.log.LogSegment
+        .fs(spark, logDir).exists(logDir)
+      if (ifNotExists && exists) alterMetrics("skipped: table exists", -1)
+      else {
+        // plain CREATE of an existing table fails at the v0 commit's
+        // create-no-overwrite, before any log damage — but fail fast
+        // here with a better message instead of writing data files
+        if (exists) throw new IllegalArgumentException(
+          s"Table already exists: $path (use IF NOT EXISTS to skip)")
+        graft.delta.log.CommitWriter.createTable(spark,
+          spark.sql(selectSql), path,
+          partitionColumns = partitionCols, configuration = props,
+          clusterBy = clusterCols)
+        alterMetrics(s"created $path", 0)
+      }
     case MergeSyncStatement(table, source, keys, deletePredicate) =>
       graft.commands.MergeCommand.sync(spark,
         resolveTablePath(table), resolveMergeSource(source), keys,

@@ -573,6 +573,18 @@ object DeltaQueries {
       graft.commands.DmlCommands.delete(s, p, col("o_orderkey") % 13 === 0)
     }
 
+  /** Table created by SQL CTAS (partitioned) straight from the driver
+    * parquet through the session extension path. */
+  def ctasTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "ctas") { p =>
+      new graft.GraftSession(s).sql(
+        s"CREATE TABLE '$p' PARTITIONED BY (bucket) " +
+          "TBLPROPERTIES ('delta.checkpointInterval' = '1000') AS " +
+          "SELECT o_orderkey, o_custkey, o_totalprice, " +
+          "CAST(o_orderkey % 4 AS INT) AS bucket " +
+          s"FROM parquet.`$sfDir/orders.parquet`")
+    }
+
   /** Orders table filled by COPY INTO run TWICE over the same source
     * directory (two parquet files of the remaining thirds): the second
     * run must be a complete no-op — per-file SetTransaction identities
@@ -1223,6 +1235,18 @@ object DeltaQueries {
           s"got ${seg.commitFiles.map(_.getPath.getName)}")
       DeltaTable.forPath(s, p).read
         .withColumn("compacted_spans", lit(spans.toLong))
+        .orderBy("o_orderkey")
+    },
+
+    // SQL CTAS end state: the partitioned table created through the
+    // parser extension must hold exactly the SELECT's rows (bucket is
+    // a partition column, so its values round-trip through partition
+    // directories, not data pages).
+    Q("q_ctas",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderkey % 4 AS INTEGER) AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      DeltaTable.forPath(s, ctasTable(s, dir)).read
         .orderBy("o_orderkey")
     },
 

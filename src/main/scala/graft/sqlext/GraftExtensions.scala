@@ -146,6 +146,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: GenerateManifestStatement => VacuumCommand.metricsSchema
       case _: MergeDeleteStatement => VacuumCommand.metricsSchema
       case _: MergeSyncStatement => VacuumCommand.metricsSchema
+      case _: CtasStatement => VacuumCommand.metricsSchema
       case _: ClusterByStatement => VacuumCommand.metricsSchema
       case _: AlterColumnTypeStatement => VacuumCommand.metricsSchema
       case _: AlterColumnDefaultStatement => VacuumCommand.metricsSchema

@@ -41,6 +41,15 @@ object GraftParser {
       timestamp: String) extends Statement
   final case class ConvertStatement(table: String,
       partitionColumns: Seq[String] = Seq.empty) extends Statement
+  /** CREATE TABLE [IF NOT EXISTS] '<path>' [PARTITIONED BY (cols)]
+    * [CLUSTER BY (cols)] [TBLPROPERTIES ('k'='v', ...)] AS SELECT ... —
+    * path-addressed CTAS through the graft write path (catalog-table
+    * CTAS delegates to Spark untouched). */
+  final case class CtasStatement(table: String,
+      partitionColumns: Seq[String], clusterColumns: Seq[String],
+      properties: Map[String, String], selectSql: String,
+      ifNotExists: Boolean) extends Statement
+
   /** CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF n]:
     * metadata-only copy referencing the source's files absolutely. */
   final case class CloneStatement(target: String, source: String,
@@ -790,12 +799,20 @@ object GraftParser {
       case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
         throw new NotImplementedStatement(s"CREATE $obj")
       case Some("TABLE") if verb == "CREATE" =>
-        // ours ONLY when SHALLOW follows the target ref positionally —
-        // 'shallow' anywhere else (a column named shallow, etc.) is
-        // plain Spark DDL and must delegate untouched
-        scala.util.Try(parseTableRefAndRest(toks.drop(1))).toOption
+        // ours ONLY when SHALLOW follows the target ref positionally
+        // (clone) or the target is a PATH and the tail is a CTAS shape
+        // — anything else (a column named shallow, catalog-table CTAS,
+        // column-list DDL) is plain Spark DDL and must delegate
+        val (ifNotExists, afterTable) =
+          if (wordAt(toks, 1).contains("IF") &&
+              wordAt(toks, 2).contains("NOT") &&
+              wordAt(toks, 3).contains("EXISTS")) (true, toks.drop(4))
+          else (false, toks.drop(1))
+        scala.util.Try(parseTableRefAndRest(afterTable)).toOption
           .flatMap {
             case (target, rest) if wordAt(rest, 0).contains("SHALLOW") =>
+              if (ifNotExists) throw new ParseException(
+                "SHALLOW CLONE does not support IF NOT EXISTS")
               if (!wordAt(rest, 1).contains("CLONE") || rest.length < 3)
                 throw new ParseException(
                   "expected CREATE TABLE <target> SHALLOW CLONE <source>")
@@ -813,10 +830,75 @@ object GraftParser {
                     "<source>, got: " + rest2.map(_.text).mkString(" "))
               }
               Some(CloneStatement(target, source, version))
+            case (target, rest) if target.contains("/") =>
+              parseCtasTail(target, rest, ifNotExists)
             case _ => None
           }
       case _ => None // plain CREATE TABLE etc → delegate
     }
+  }
+
+  /** The tail of a path-target CREATE TABLE: [PARTITIONED BY (cols)]
+    * [CLUSTER BY (cols)] [TBLPROPERTIES (...)] AS SELECT ... — None
+    * (delegate) when the tail is not a CTAS at all; a ParseException
+    * when it starts like one and breaks halfway. */
+  private def parseCtasTail(target: String, rest: Vector[Tok],
+      ifNotExists: Boolean): Option[Statement] = {
+    // a bare column list `(...)` head means schema DDL, not ours
+    var r = rest
+    def colList(what: String): Seq[String] = {
+      if (r.headOption.forall(_.text != "("))
+        throw new ParseException(s"$what requires (col, ...)")
+      val close = r.indexWhere(_.text == ")")
+      if (close < 0) throw new ParseException(s"unclosed $what list")
+      val cols = strictColumns(r.slice(1, close), what)
+      r = r.drop(close + 1)
+      cols
+    }
+    var partitionCols = Seq.empty[String]
+    var clusterCols = Seq.empty[String]
+    var props = Map.empty[String, String]
+    if (wordAt(r, 0).contains("PARTITIONED") &&
+        wordAt(r, 1).contains("BY")) {
+      r = r.drop(2)
+      partitionCols = colList("PARTITIONED BY")
+    }
+    if (wordAt(r, 0).contains("CLUSTER") && wordAt(r, 1).contains("BY")) {
+      r = r.drop(2)
+      clusterCols = colList("CLUSTER BY")
+    }
+    if (wordAt(r, 0).contains("TBLPROPERTIES")) {
+      val inner = r.drop(1)
+      val close = inner.indexWhere(_.text == ")")
+      if (close < 0) throw new ParseException("unclosed TBLPROPERTIES")
+      props = parsePropList(inner.take(close + 1)).toMap
+      r = inner.drop(close + 1)
+    }
+    if (!(wordAt(r, 0).contains("AS") && wordAt(r, 1).contains("SELECT")))
+      return None // not a CTAS (plain DDL, column list, ...) → delegate
+    Some(CtasStatement(target, partitionCols, clusterCols, props,
+      sqlOf(r.drop(1)), ifNotExists))
+  }
+
+  /** Comma-separated simple column names (shared strictness with
+    * CLUSTER BY: missing commas and duplicates are rejected). */
+  private def strictColumns(inner: Vector[Tok], what: String): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    var expectCol = true
+    for (t <- inner) t match {
+      case w: Word if expectCol => cols += w.text; expectCol = false
+      case Sym(",") if !expectCol => expectCol = true
+      case other => throw new ParseException(
+        s"$what expects (col, col, ...), got '${other.text}'")
+    }
+    val out = cols.result()
+    if (expectCol || out.isEmpty)
+      throw new ParseException(s"$what expects (col, col, ...)")
+    val dups = out.groupBy(_.toLowerCase).collect {
+      case (_, g) if g.size > 1 => g.head }
+    if (dups.nonEmpty) throw new ParseException(
+      s"$what lists duplicate columns: ${dups.mkString(", ")}")
+    out
   }
 
   private def identText(t: Tok): String = t match {

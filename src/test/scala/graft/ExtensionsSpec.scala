@@ -171,6 +171,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(extSpark, p).read.count() == 25)
   }
 
+  test("CTAS and sync MERGE resolve through the injected extension path") {
+    val d = Files.createTempDirectory("graft_ext_ctas").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    // path-addressed CTAS: partitioned, with properties, via spark.sql
+    val m = extSpark.sql(
+      s"CREATE TABLE '$p' PARTITIONED BY (bucket) " +
+        "TBLPROPERTIES ('delta.checkpointInterval' = '100') AS " +
+        s"SELECT o_orderkey, o_totalprice, " +
+        s"CAST(o_orderkey % 2 AS INT) AS bucket " +
+        s"FROM parquet.`${TestSpark.sf}/orders.parquet` " +
+        "WHERE o_orderkey <= 100")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("altered").startsWith("created"))
+    val snap = DeltaTable.forPath(extSpark, p)
+    assert(snap.partitionColumns == Seq("bucket"))
+    assert(snap.metadata.configuration
+      .get("delta.checkpointInterval").contains("100"))
+    val created = snap.read.count()
+    assert(created > 0)
+    // IF NOT EXISTS on an existing table: a no-op, not an error
+    val skip = extSpark.sql(
+      s"CREATE TABLE IF NOT EXISTS '$p' AS SELECT 1 AS x")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(skip("altered").startsWith("skipped"))
+    assert(DeltaTable.forPath(extSpark, p).read.count() == created)
+    // plain CREATE without IF NOT EXISTS fails fast
+    val e = intercept[Exception] {
+      extSpark.sql(s"CREATE TABLE '$p' AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // catalog-table CTAS (no path) still delegates to Spark untouched
+    extSpark.sql("CREATE TABLE graft_ext_ctas_plain AS SELECT 1 AS a")
+    try assert(extSpark.table("graft_ext_ctas_plain").count() == 1)
+    finally extSpark.sql("DROP TABLE graft_ext_ctas_plain")
+    // full-sync MERGE through the injected path (GraftCommand.output
+    // must know MergeSyncStatement)
+    extSpark.read.format("graftdelta").option("path", p).load()
+      .where(col("o_orderkey") <= 40)
+      .createOrReplaceTempView("graft_ext_sync_src")
+    extSpark.sql(s"MERGE INTO '$p' USING graft_ext_sync_src " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(DeltaTable.forPath(extSpark, p).read.count() ==
+      extSpark.table("graft_ext_sync_src").count())
+  }
+
   test("table_changes TVF serves the derived change feed through SQL") {
     val d = Files.createTempDirectory("graft_ext_tc").toFile
     d.deleteOnExit()
