@@ -445,13 +445,19 @@ final class GraftSession(val spark: SparkSession) {
       graft.commands.MergeCommand.deleteMatched(spark,
         resolveTablePath(table), resolveMergeSource(source), keys)
     case CtasStatement(table, partitionCols, clusterCols, props,
-        selectSql, ifNotExists) =>
+        selectSql, ifNotExists, orReplace) =>
       val path = resolveTablePath(table)
       val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
       val exists = graft.delta.log.LogSegment
         .fs(spark, logDir).exists(logDir)
       if (ifNotExists && exists) alterMetrics("skipped: table exists", -1)
-      else {
+      else if (orReplace && exists) {
+        val v = graft.delta.log.CommitWriter.replaceTable(spark,
+          spark.sql(selectSql), path,
+          partitionColumns = partitionCols, configuration = props,
+          clusterBy = clusterCols)
+        alterMetrics(s"replaced $path", v)
+      } else {
         // plain CREATE of an existing table fails at the v0 commit's
         // create-no-overwrite, before any log damage — but fail fast
         // here with a better message instead of writing data files

@@ -539,6 +539,75 @@ object CommitWriter {
           dependsOnNewData = true))
   }
 
+  /** CREATE OR REPLACE TABLE semantics: ONE commit removes every live
+    * file and replaces schema, partitioning, configuration, and
+    * clustering policy wholesale — while the table's identity
+    * (metadata.id) and history stay, which is what distinguishes
+    * REPLACE from drop+create: old versions remain time-travelable
+    * until VACUUM, streaming readers see one atomic transition, and
+    * the log/retention/checkpoint machinery is undisturbed.
+    *
+    * Feature-gated properties in the NEW configuration (DV, ICT, CDF)
+    * upgrade the protocol in the same commit; existing protocol
+    * features are never downgraded (files written under them are
+    * gone, but historical versions still need them). Row-tracked
+    * tables (old or new) refuse: a wholesale replace cannot preserve
+    * row lineage, and silently resetting ids would corrupt the
+    * domain's contract. */
+  def replaceTable(spark: SparkSession, df: DataFrame, tablePath: String,
+      partitionColumns: Seq[String] = Seq.empty,
+      configuration: Map[String, String] = Map.empty,
+      clusterBy: Seq[String] = Seq.empty): Long = {
+    val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
+    ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol,
+      dataChangingRemoves = true)
+    require(!RowTracking.enabled(snap.metadata) &&
+      !configuration.get(RowTracking.PropKey).exists(_.equalsIgnoreCase("true")),
+      s"REPLACE TABLE on row-tracked tables is not supported: $tablePath")
+    val clusterCols =
+      if (clusterBy.isEmpty) Seq.empty[String]
+      else Clustering.validate(clusterBy, df.schema, partitionColumns)
+    val meta = snap.metadata.copy(
+      schemaString = df.schema.json,
+      partitionColumns = partitionColumns,
+      configuration = configuration)
+    val adds = writeFiles(spark, Constraints.enforce(df, meta), tablePath,
+      partitionColumns, configuration = configuration,
+      statsColumnOrder = df.schema.fieldNames.toSeq)
+    def on(key: String) =
+      configuration.get(key).exists(_.equalsIgnoreCase("true"))
+    var proto = snap.protocol
+    if (on("delta.enableDeletionVectors"))
+      proto = ProtocolSupport.withDeletionVectors(proto).getOrElse(proto)
+    if (on("delta.enableInCommitTimestamps"))
+      proto = ProtocolSupport.withWriterFeature(proto, "inCommitTimestamp")
+        .getOrElse(proto)
+    if (on("delta.enableChangeDataFeed"))
+      proto = ProtocolSupport.withWriterFeature(proto, "changeDataFeed")
+        .getOrElse(proto)
+    val clusterActions =
+      if (clusterCols.nonEmpty) {
+        proto = Clustering.requiredProtocol(proto).getOrElse(proto)
+        Seq(Clustering.domainJson(clusterCols))
+      } else if (Clustering.columnsOf(spark, snap.segment).nonEmpty)
+        Seq(Clustering.removalJson) // the old layout policy dies with it
+      else Seq.empty[String]
+    val protoAction =
+      if (proto != snap.protocol) Seq(protocolJson(proto)) else Seq.empty
+    val oldPaths = snap.allFiles.select("path")
+      .collect().map(_.getString(0)).toSeq
+    val now = System.currentTimeMillis()
+    val removes = oldPaths.map(p =>
+      removeJson(RemoveFile(p, Some(now), dataChange = true)))
+    commitWithRebase(spark, tablePath, snap.version,
+      protoAction ++ Seq(metadataJson(meta)) ++ clusterActions ++
+        removes ++ adds.map(addJson),
+      operation = "REPLACE TABLE AS SELECT",
+      profile = ConflictChecker.TxnProfile(
+        readPaths = oldPaths.toSet, removePaths = oldPaths.toSet,
+        dependsOnNewData = true))
+  }
+
   /** SetTransaction version for `appId` from the LATEST txn action in
     * log order — per the protocol, not max(txn.version): a writer that
     * restarts with a fresh sink checkpoint records a lower version later

@@ -585,6 +585,21 @@ object DeltaQueries {
           s"FROM parquet.`$sfDir/orders.parquet`")
     }
 
+  /** Table created then REPLACED through SQL RTAS: v0 holds two
+    * columns of even orderkeys; the replace swaps in three columns of
+    * %3 orderkeys partitioned by bucket. History stays readable. */
+  def rtasTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "rtas") { p =>
+      val g = new graft.GraftSession(s)
+      g.sql(s"CREATE TABLE '$p' AS " +
+        "SELECT o_orderkey, o_custkey " +
+        s"FROM parquet.`$sfDir/orders.parquet` WHERE o_orderkey % 2 = 0")
+      g.sql(s"CREATE OR REPLACE TABLE '$p' PARTITIONED BY (bucket) AS " +
+        "SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderkey % 5 AS INT) AS bucket " +
+        s"FROM parquet.`$sfDir/orders.parquet` WHERE o_orderkey % 3 = 0")
+    }
+
   /** Orders table filled by COPY INTO run TWICE over the same source
     * directory (two parquet files of the remaining thirds): the second
     * run must be a complete no-op — per-file SetTransaction identities
@@ -1247,6 +1262,22 @@ object DeltaQueries {
         |  CAST(o_orderkey % 4 AS INTEGER) AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       DeltaTable.forPath(s, ctasTable(s, dir)).read
+        .orderBy("o_orderkey")
+    },
+
+    // SQL RTAS: the replaced table serves the NEW schema/partitioning
+    // while version 0 still reads the old shape — v0_rows pins the
+    // preserved history against a relational recomputation.
+    Q("q_rtas",
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(o_orderkey % 5 AS INTEGER) AS bucket,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS v0_rows
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val p = rtasTable(s, dir)
+      val v0 = DeltaTable.forPath(s, p, Some(0L)).read.count()
+      DeltaTable.forPath(s, p).read
+        .withColumn("v0_rows", lit(v0))
         .orderBy("o_orderkey")
     },
 

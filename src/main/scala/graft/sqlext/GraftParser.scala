@@ -48,7 +48,7 @@ object GraftParser {
   final case class CtasStatement(table: String,
       partitionColumns: Seq[String], clusterColumns: Seq[String],
       properties: Map[String, String], selectSql: String,
-      ifNotExists: Boolean) extends Statement
+      ifNotExists: Boolean, orReplace: Boolean = false) extends Statement
 
   /** CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF n]:
     * metadata-only copy referencing the source's files absolutely. */
@@ -798,6 +798,18 @@ object GraftParser {
         throw new NotImplementedStatement(s"$verb FOREIGN CATALOG")
       case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
         throw new NotImplementedStatement(s"CREATE $obj")
+      case Some("OR") if verb == "CREATE" &&
+          wordAt(toks, 1).contains("REPLACE") &&
+          wordAt(toks, 2).contains("TABLE") =>
+        // CREATE OR REPLACE TABLE '<path>' ... AS SELECT — ours only
+        // for path targets; catalog RTAS delegates
+        scala.util.Try(parseTableRefAndRest(toks.drop(3))).toOption
+          .flatMap {
+            case (target, rest) if target.contains("/") =>
+              parseCtasTail(target, rest, ifNotExists = false,
+                orReplace = true)
+            case _ => None
+          }
       case Some("TABLE") if verb == "CREATE" =>
         // ours ONLY when SHALLOW follows the target ref positionally
         // (clone) or the target is a PATH and the tail is a CTAS shape
@@ -843,7 +855,8 @@ object GraftParser {
     * (delegate) when the tail is not a CTAS at all; a ParseException
     * when it starts like one and breaks halfway. */
   private def parseCtasTail(target: String, rest: Vector[Tok],
-      ifNotExists: Boolean): Option[Statement] = {
+      ifNotExists: Boolean, orReplace: Boolean = false)
+      : Option[Statement] = {
     // a bare column list `(...)` head means schema DDL, not ours
     var r = rest
     def colList(what: String): Seq[String] = {
@@ -877,7 +890,7 @@ object GraftParser {
     if (!(wordAt(r, 0).contains("AS") && wordAt(r, 1).contains("SELECT")))
       return None // not a CTAS (plain DDL, column list, ...) → delegate
     Some(CtasStatement(target, partitionCols, clusterCols, props,
-      sqlOf(r.drop(1)), ifNotExists))
+      sqlOf(r.drop(1)), ifNotExists, orReplace))
   }
 
   /** Comma-separated simple column names (shared strictness with

@@ -218,6 +218,20 @@ class ExtensionsSpec extends AnyFunSuite {
       "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     assert(DeltaTable.forPath(extSpark, p).read.count() ==
       extSpark.table("graft_ext_sync_src").count())
+    // CREATE OR REPLACE: schema + partitioning replaced wholesale in
+    // one commit, history intact
+    val preReplace = DeltaTable.forPath(extSpark, p).version
+    extSpark.sql(s"CREATE OR REPLACE TABLE '$p' AS " +
+      "SELECT CAST(7 AS BIGINT) AS only_col")
+    val replaced = DeltaTable.forPath(extSpark, p)
+    assert(replaced.schema.fieldNames.toSeq == Seq("only_col"))
+    assert(replaced.partitionColumns.isEmpty)
+    assert(replaced.read.count() == 1)
+    // the pre-replace version still reads with its own schema
+    val old = DeltaTable.forPath(extSpark, p, Some(preReplace))
+    assert(old.schema.fieldNames.contains("o_orderkey"))
+    assert(old.read.count() ==
+      extSpark.table("graft_ext_sync_src").count())
   }
 
   test("table_changes TVF serves the derived change feed through SQL") {
