@@ -446,6 +446,16 @@ final class GraftSession(val spark: SparkSession) {
         resolveTablePath(table), resolveMergeSource(source), keys)
     case CtasStatement(table, partitionCols, clusterCols, props,
         selectSql, ifNotExists, orReplace) =>
+      // constraints in TBLPROPERTIES are legal here (createTable
+      // enforces them on the founding rows and declares the feature);
+      // column mapping is not — only createTableMapped assigns the
+      // field ids / physical names the mode requires
+      props.keys.foreach { k =>
+        require(!k.startsWith("delta.columnMapping."),
+          s"cannot set $k via CTAS: column-mapping tables need field " +
+            "ids and physical names assigned at creation " +
+            "(CommitWriter.createTableMapped)")
+      }
       val path = resolveTablePath(table)
       val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
       val exists = graft.delta.log.LogSegment

@@ -42,32 +42,27 @@ object CommitWriter {
       configuration: Map[String, String] = Map.empty,
       name: Option[String] = None,
       clusterBy: Seq[String] = Seq.empty): Metadata = {
+    val partCols = resolvePartitionColumns(partitionColumns, df.schema)
     val clusterCols =
       if (clusterBy.isEmpty) Seq.empty[String]
-      else Clustering.validate(clusterBy, df.schema, partitionColumns)
+      else Clustering.validate(clusterBy, df.schema, partCols)
     val meta = Metadata(
       id = UUID.randomUUID().toString,
       name = name, description = None, format = Format(),
       schemaString = df.schema.json,
-      partitionColumns = partitionColumns,
+      partitionColumns = partCols,
       configuration = configuration,
       createdTime = Some(System.currentTimeMillis()))
-    val rawAdds = writeFiles(spark, df, tablePath, partitionColumns,
-      configuration = configuration)
+    // founding rows must honor delta.constraints.* passed at creation
+    // (CTAS TBLPROPERTIES) exactly like every later write path does
+    val rawAdds = writeFiles(spark, Constraints.enforce(df, meta),
+      tablePath, partCols, configuration = configuration)
     // a table born with a feature-gated property must declare the
     // feature from version 0 (a legacy reader would otherwise silently
     // resurrect DV-deleted rows; a legacy writer would skip ICTs)
     def on(key: String) =
       configuration.get(key).exists(_.equalsIgnoreCase("true"))
-    var proto = Protocol()
-    if (on("delta.enableDeletionVectors"))
-      proto = ProtocolSupport.withDeletionVectors(proto).getOrElse(proto)
-    if (on("delta.enableInCommitTimestamps"))
-      proto = ProtocolSupport.withWriterFeature(proto, "inCommitTimestamp")
-        .getOrElse(proto)
-    if (on("delta.enableChangeDataFeed"))
-      proto = ProtocolSupport.withWriterFeature(proto, "changeDataFeed")
-        .getOrElse(proto)
+    var proto = featureGatedProtocol(Protocol(), configuration)
     // row tracking stamps base ids from 0 and declares its features +
     // high-water-mark domain in the same founding commit
     val (adds, domainActions) =
@@ -92,6 +87,51 @@ object CommitWriter {
         clusterActions ++ adds.map(addJson),
       operation = "CREATE TABLE AS SELECT")
     meta
+  }
+
+  /** Validate + canonicalize partition columns against the write
+    * schema: case-insensitive resolve, schema-case result. Without
+    * this a case-mismatched CTAS/CREATE commits metadata
+    * `partitionColumns` the (case-sensitive) read path can never
+    * resolve — a successfully-written, permanently unreadable table. */
+  private def resolvePartitionColumns(cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    if (cols.isEmpty) return cols
+    val byLower = schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val out = cols.map(c => byLower.getOrElse(c.toLowerCase,
+      throw new IllegalArgumentException(
+        s"partition column $c not found in schema " +
+          s"(${schema.fieldNames.mkString(", ")})")))
+    require(out.distinct.size == out.size,
+      s"duplicate partition columns: ${cols.mkString(", ")}")
+    out
+  }
+
+  /** Protocol obligations implied by feature-gated table properties
+    * (DV, ICT, CDF, CHECK constraints) — shared by CREATE and REPLACE
+    * so a founding/replacing commit can never enable a property
+    * without declaring its feature. */
+  private def featureGatedProtocol(proto: Protocol,
+      configuration: Map[String, String]): Protocol = {
+    def on(key: String) =
+      configuration.get(key).exists(_.equalsIgnoreCase("true"))
+    var p = proto
+    if (on("delta.enableDeletionVectors"))
+      p = ProtocolSupport.withDeletionVectors(p).getOrElse(p)
+    if (on("delta.enableInCommitTimestamps"))
+      p = ProtocolSupport.withWriterFeature(p, "inCommitTimestamp")
+        .getOrElse(p)
+    if (on("delta.enableChangeDataFeed"))
+      p = ProtocolSupport.withWriterFeature(p, "changeDataFeed")
+        .getOrElse(p)
+    if (configuration.keys.exists(_.startsWith("delta.constraints."))) {
+      p = if (p.minWriterVersion >= 7)
+        ProtocolSupport.withWriterFeature(p, "checkConstraints")
+          .getOrElse(p)
+      else if (p.minWriterVersion < 3) p.copy(minWriterVersion = 3)
+      else p
+    }
+    p
   }
 
   /** Create a COLUMN-MAPPED table (`delta.columnMapping.mode = name`):
@@ -559,32 +599,30 @@ object CommitWriter {
       configuration: Map[String, String] = Map.empty,
       clusterBy: Seq[String] = Seq.empty): Long = {
     val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
+    // the change feed cannot represent a wholesale schema replace (the
+    // delete pre-images and insert rows need not share a schema) —
+    // refuse with the real reason, not the generic DML cdc message
+    require(!ProtocolSupport.cdfEnabled(snap.metadata),
+      s"REPLACE TABLE on a change-data-feed table is not supported: " +
+        "the change feed cannot represent a wholesale schema replace " +
+        s"— UNSET delta.enableChangeDataFeed on $tablePath first")
     ProtocolSupport.assertWritable(tablePath, snap.metadata, snap.protocol,
       dataChangingRemoves = true)
     require(!RowTracking.enabled(snap.metadata) &&
       !configuration.get(RowTracking.PropKey).exists(_.equalsIgnoreCase("true")),
       s"REPLACE TABLE on row-tracked tables is not supported: $tablePath")
+    val partCols = resolvePartitionColumns(partitionColumns, df.schema)
     val clusterCols =
       if (clusterBy.isEmpty) Seq.empty[String]
-      else Clustering.validate(clusterBy, df.schema, partitionColumns)
+      else Clustering.validate(clusterBy, df.schema, partCols)
     val meta = snap.metadata.copy(
       schemaString = df.schema.json,
-      partitionColumns = partitionColumns,
+      partitionColumns = partCols,
       configuration = configuration)
     val adds = writeFiles(spark, Constraints.enforce(df, meta), tablePath,
-      partitionColumns, configuration = configuration,
+      partCols, configuration = configuration,
       statsColumnOrder = df.schema.fieldNames.toSeq)
-    def on(key: String) =
-      configuration.get(key).exists(_.equalsIgnoreCase("true"))
-    var proto = snap.protocol
-    if (on("delta.enableDeletionVectors"))
-      proto = ProtocolSupport.withDeletionVectors(proto).getOrElse(proto)
-    if (on("delta.enableInCommitTimestamps"))
-      proto = ProtocolSupport.withWriterFeature(proto, "inCommitTimestamp")
-        .getOrElse(proto)
-    if (on("delta.enableChangeDataFeed"))
-      proto = ProtocolSupport.withWriterFeature(proto, "changeDataFeed")
-        .getOrElse(proto)
+    var proto = featureGatedProtocol(snap.protocol, configuration)
     val clusterActions =
       if (clusterCols.nonEmpty) {
         proto = Clustering.requiredProtocol(proto).getOrElse(proto)
@@ -599,8 +637,23 @@ object CommitWriter {
     val now = System.currentTimeMillis()
     val removes = oldPaths.map(p =>
       removeJson(RemoveFile(p, Some(now), dataChange = true)))
-    commitWithRebase(spark, tablePath, snap.version,
-      protoAction ++ Seq(metadataJson(meta)) ++ clusterActions ++
+    // a replace that enables ICT mid-life records WHEN it took effect
+    // (per spec — see the SET TBLPROPERTIES path); the version is the
+    // ACTUAL commit version per rebase attempt, not the snapshot guess
+    val ictEnabling =
+      configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true")) &&
+      !snap.metadata.configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true")) &&
+      !configuration.contains("delta.inCommitTimestampEnablementVersion")
+    val ictTs = if (ictEnabling) Some(nextIct(spark, tablePath)) else None
+    def metaFor(v: Long): Metadata =
+      if (!ictEnabling) meta
+      else meta.copy(configuration = configuration ++ Map(
+        "delta.inCommitTimestampEnablementVersion" -> v.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ictTs.get.toString))
+    commitWithRebaseVersioned(spark, tablePath, snap.version,
+      v => protoAction ++ Seq(metadataJson(metaFor(v))) ++ clusterActions ++
         removes ++ adds.map(addJson),
       operation = "REPLACE TABLE AS SELECT",
       profile = ConflictChecker.TxnProfile(
