@@ -33,8 +33,10 @@ final case class GraftDeltaOffset(version: Long) extends LegacyOffset {
   * streaming reads.
   *
   * Options: `maxVersionsPerTrigger` caps how many commit versions a
-  * micro-batch may advance (rate limiting); `ignoreChanges` suppresses
-  * the non-append failure.
+  * micro-batch may advance; `maxFilesPerTrigger` / `maxBytesPerTrigger`
+  * cap by the admitted commits' add-file count / bytes (at least one
+  * version always flows); `ignoreChanges` suppresses the non-append
+  * failure.
   *
   * Caveat: `Trigger.AvailableNow` snapshots a v1 source's offset ONCE,
   * so combining it with `maxVersionsPerTrigger` stops after a single
@@ -60,6 +62,22 @@ final class GraftDeltaStreamSource(
   private val maxVersionsPerTrigger =
     opts.get("maxversionspertrigger").map(_.toLong).map { n =>
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+  /** `maxFilesPerTrigger` / `maxBytesPerTrigger`: admission control by
+    * the DATA a batch would read, not just commit count — the knobs
+    * that matter when commit sizes are wildly uneven (one backfill
+    * commit can carry 10k files). Versions are admitted until the cap
+    * would be exceeded, always at least one per batch (a single
+    * over-cap commit must flow, not stall the stream). */
+  private val maxFilesPerTrigger =
+    opts.get("maxfilespertrigger").map(_.toLong).map { n =>
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+  private val maxBytesPerTrigger =
+    opts.get("maxbytespertrigger").map(_.toLong).map { n =>
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
       n
     }
 
@@ -130,11 +148,56 @@ final class GraftDeltaStreamSource(
     case other => other.json().trim.toLong
   }
 
+  /** (add-file count, add bytes) of one commit — driver-side Jackson
+    * over one small immutable file, memoized for the stream's life.
+    * A commit swept by log retention reads as (0, 0): it can only sit
+    * under the initial snapshot batch, which is one batch regardless. */
+  private val commitLoadCache =
+    scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+  private def commitLoad(v: Long): (Long, Long) =
+    commitLoadCache.getOrElseUpdate(v, {
+      val fs = LogSegment.fs(spark, new Path(path))
+      val p = new Path(new Path(path, "_delta_log"),
+        LogSegment.commitFileName(v))
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector finally in.close()
+        var files = 0L; var bytes = 0L
+        for (l <- lines if l.contains("\"add\"")) {
+          val a = mapper.readTree(l).get("add")
+          if (a != null && !a.isNull) {
+            files += 1
+            bytes += Option(a.get("size")).map(_.asLong()).getOrElse(0L)
+          }
+        }
+        (files, bytes)
+      }
+    })
+
   override def getOffset: Option[LegacyOffset] = {
     // polled every trigger: a log listing gives the tip version without
     // the metadata/protocol parse a full snapshot resolution would pay
     val latest = LogSegment.forTable(spark, new Path(path)).version
-    val next = maxVersionsPerTrigger.fold(latest)(n => math.min(latest, base + n))
+    val next =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+        maxVersionsPerTrigger.fold(latest)(n => math.min(latest, base + n))
+      else {
+        var v = base
+        var files = 0L
+        var bytes = 0L
+        var full = false
+        while (!full && v < latest &&
+            maxVersionsPerTrigger.forall(n => v - base < n)) {
+          val (f, b) = commitLoad(v + 1)
+          if (v > base && (maxFilesPerTrigger.exists(files + f > _) ||
+              maxBytesPerTrigger.exists(bytes + b > _))) full = true
+          else { v += 1; files += f; bytes += b }
+        }
+        v
+      }
     if (next <= base) None
     else {
       base = next

@@ -20,6 +20,40 @@ class SourceSpec extends AnyFunSuite {
     p
   }
 
+  test("maxFiles/maxBytesPerTrigger admit commits up to the cap") {
+    val d = Files.createTempDirectory("graft_src_rate").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    // v0: 2 files; v1..v3: 1 file each
+    CommitWriter.createTable(spark,
+      nation.where(col("n_nationkey") < 10).repartition(2), p)
+    for (r <- 1 to 3)
+      CommitWriter.append(spark,
+        nation.where(col("n_nationkey") === 10 + r).repartition(1), p)
+
+    def offsets(options: Map[String, String]): Seq[Long] = {
+      val src = new graft.delta.sources.GraftDeltaStreamSource(
+        spark, p, options)
+      Iterator.continually(src.getOffset)
+        .takeWhile(_.isDefined)
+        .map(o => o.get.json().trim.toLong).toSeq
+    }
+    // cap 1 file/trigger: v0 (2 files) flows alone (over-cap commits
+    // never stall), then each append in its own batch
+    assert(offsets(Map("maxfilespertrigger" -> "1")) == Seq(0L, 1L, 2L, 3L))
+    // cap 2 files: v0 fills the first batch exactly; v1+v2 would be 2
+    // files -> admitted together; v3 follows
+    assert(offsets(Map("maxfilespertrigger" -> "2")) == Seq(0L, 2L, 3L))
+    // byte cap below any file size: one commit per batch
+    assert(offsets(Map("maxbytespertrigger" -> "1")) == Seq(0L, 1L, 2L, 3L))
+    // a generous byte cap admits everything at once
+    assert(offsets(Map("maxbytespertrigger" -> "1000000000")) == Seq(3L))
+    // composes with the version cap (tighter one wins)
+    assert(offsets(Map("maxbytespertrigger" -> "1000000000",
+      "maxversionspertrigger" -> "2")) == Seq(1L, 3L))
+  }
+
   test("format('graftdelta') reads the table") {
     val df = spark.read.format("graftdelta").option("path", table).load()
     assert(df.count() == spark.read.parquet(s"$sf/region.parquet").count())
