@@ -2,6 +2,7 @@ package graft.delta.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.types.StructType
 import graft.delta.DeltaTable
@@ -38,16 +39,21 @@ final case class GraftDeltaOffset(version: Long) extends LegacyOffset {
   * version always flows); `ignoreChanges` suppresses the non-append
   * failure.
   *
-  * Caveat: `Trigger.AvailableNow` snapshots a v1 source's offset ONCE,
-  * so combining it with `maxVersionsPerTrigger` stops after a single
-  * rate-limited batch. Use the default trigger + `processAllAvailable`
-  * (or drop the rate limit) when the goal is to drain the table.
+  * `Trigger.AvailableNow` composes with the rate limits: the source
+  * implements [[SupportsTriggerAvailableNow]] directly, so instead of
+  * Spark's `AvailableNowSourceWrapper` (which snapshots a plain v1
+  * source's offset ONCE — one rate-limited batch, then stop) the engine
+  * calls `prepareForTriggerAvailableNow` here, which pins the tip
+  * version; `latestOffset` then advances toward that pinned tip in as
+  * many rate-limited batches as the caps require and stops there, even
+  * if newer commits land mid-drain.
   */
 final class GraftDeltaStreamSource(
     spark: SparkSession,
     path: String,
     options: Map[String, String],
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "")
+  extends Source with SupportsTriggerAvailableNow {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val ignoreChanges =
@@ -177,27 +183,66 @@ final class GraftDeltaStreamSource(
       }
     })
 
+  /** Highest version the rate limits admit for one batch starting after
+    * `from`, never past `tip`; always at least one version when any
+    * exist (an over-cap commit flows alone rather than stalling). */
+  private def admit(from: Long, tip: Long): Long =
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      maxVersionsPerTrigger.fold(tip)(n => math.min(tip, from + n))
+    else {
+      var v = from
+      var files = 0L
+      var bytes = 0L
+      var full = false
+      while (!full && v < tip &&
+          maxVersionsPerTrigger.forall(n => v - from < n)) {
+        val (f, b) = commitLoad(v + 1)
+        if (v > from && (maxFilesPerTrigger.exists(files + f > _) ||
+            maxBytesPerTrigger.exists(bytes + b > _))) full = true
+        else { v += 1; files += f; bytes += b }
+      }
+      v
+    }
+
+  /** Tip version pinned by `prepareForTriggerAvailableNow`: under
+    * `Trigger.AvailableNow` every batch caps here, so commits landing
+    * mid-drain stay for the next run (the trigger's contract). */
+  @volatile private var availableNowTip: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTip =
+      Some(LogSegment.forTable(spark, new Path(path)).version)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control offset negotiation — the path the engine uses
+    * whenever the source declares [[SupportsTriggerAvailableNow]]
+    * (all triggers, not just AvailableNow). Stateless in `startOffset`,
+    * unlike [[getOffset]]'s internal base: the engine hands back the
+    * last end offset (or null on a fresh stream). Returning the start
+    * offset unchanged signals no-new-data. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = startOffset match {
+      case null => -1L
+      case o: LegacyOffset => ver(o)
+      case o => o.json().trim.toLong
+    }
+    val tip = availableNowTip.getOrElse(
+      LogSegment.forTable(spark, new Path(path)).version)
+    val next = admit(from, tip)
+    if (next <= from) startOffset else GraftDeltaOffset(next)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    GraftDeltaOffset(availableNowTip.getOrElse(
+      LogSegment.forTable(spark, new Path(path)).version))
+
   override def getOffset: Option[LegacyOffset] = {
     // polled every trigger: a log listing gives the tip version without
     // the metadata/protocol parse a full snapshot resolution would pay
     val latest = LogSegment.forTable(spark, new Path(path)).version
-    val next =
-      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
-        maxVersionsPerTrigger.fold(latest)(n => math.min(latest, base + n))
-      else {
-        var v = base
-        var files = 0L
-        var bytes = 0L
-        var full = false
-        while (!full && v < latest &&
-            maxVersionsPerTrigger.forall(n => v - base < n)) {
-          val (f, b) = commitLoad(v + 1)
-          if (v > base && (maxFilesPerTrigger.exists(files + f > _) ||
-              maxBytesPerTrigger.exists(bytes + b > _))) full = true
-          else { v += 1; files += f; bytes += b }
-        }
-        v
-      }
+    val next = admit(base, latest)
     if (next <= base) None
     else {
       base = next

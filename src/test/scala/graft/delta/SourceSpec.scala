@@ -54,6 +54,59 @@ class SourceSpec extends AnyFunSuite {
       "maxversionspertrigger" -> "2")) == Seq(1L, 3L))
   }
 
+  test("Trigger.AvailableNow drains the table across rate-limited batches") {
+    val d = Files.createTempDirectory("graft_src_avail").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    CommitWriter.createTable(spark,
+      nation.where(col("n_nationkey") < 10).repartition(1), p)
+    for (r <- 1 to 3)
+      CommitWriter.append(spark,
+        nation.where(col("n_nationkey") === 10 + r).repartition(1), p)
+
+    // one commit per batch: a plain v1 source under AvailableNow would
+    // stop after the FIRST rate-limited batch (Spark's wrapper snapshots
+    // getOffset once); SupportsTriggerAvailableNow must drain all 4
+    // versions in 4 batches and then terminate
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graftdelta")
+      .option("maxFilesPerTrigger", "1")
+      .load(p)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new java.io.File(d, "ckpt").getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow drain timed out")
+    import scala.jdk.CollectionConverters._
+    val counts = batches.asScala.toSeq
+    assert(counts.sum == 13, s"expected all 13 rows, got $counts")
+    assert(counts.count(_ > 0) == 4,
+      s"expected 4 rate-limited batches, got $counts")
+
+    // commits made AFTER the drain are picked up by the NEXT AvailableNow
+    // run from the checkpoint (and only those)
+    CommitWriter.append(spark,
+      nation.where(col("n_nationkey") === 14).repartition(1), p)
+    batches.clear()
+    val q2 = spark.readStream.format("graftdelta")
+      .option("maxFilesPerTrigger", "1")
+      .load(p)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new java.io.File(d, "ckpt").getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .start()
+    assert(q2.awaitTermination(120000), "resumed drain timed out")
+    assert(batches.asScala.toSeq.filter(_ > 0) == Seq(1L),
+      s"expected exactly the new row, got ${batches.asScala.toSeq}")
+  }
+
   test("format('graftdelta') reads the table") {
     val df = spark.read.format("graftdelta").option("path", table).load()
     assert(df.count() == spark.read.parquet(s"$sf/region.parquet").count())
