@@ -1549,5 +1549,133 @@ object TextQueries {
               "<[^>]*>", " "),
             "\\s+", " ")).as("stripped"))
         .orderBy("doc_id")
+    },
+
+    // exact-substring span dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data" flavor, cf. reference-adjacent corpus pipelines):
+    // an 8-word span appearing VERBATIM in >= 2 distinct documents marks
+    // both docs' occurrences as duplicated text. Distinct from MinHash
+    // (document-level similarity): this finds copied PASSAGES inside
+    // otherwise-unique documents. Shape at 100 TB: the span stream is
+    // linear in corpus tokens and immediately shrinks to per-(doc,span)
+    // counts via partial aggregation; cross-doc sharing is a group-by on
+    // the span hash (a boilerplate span that appears a billion times
+    // lands in ONE count, never a pair join), and the flag joins back on
+    // the hash — no caps needed because nothing is quadratic.
+    Q("q_span_dedup",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+         |  FROM w),
+         |spans AS (
+         |  SELECT doc_id, ${hashSql("array_to_string(toks[i:i+7], ' ')")} AS h
+         |  FROM idx),
+         |per_span AS (
+         |  SELECT doc_id, h, count(*) AS occ FROM spans GROUP BY doc_id, h),
+         |shared AS (
+         |  SELECT h FROM per_span GROUP BY h HAVING count(*) >= 2),
+         |agg AS (
+         |  SELECT p.doc_id,
+         |    CAST(sum(p.occ) AS BIGINT) AS n_spans,
+         |    CAST(coalesce(sum(CASE WHEN s.h IS NOT NULL THEN p.occ END), 0)
+         |      AS BIGINT) AS n_dup_spans
+         |  FROM per_span p LEFT JOIN shared s ON p.h = s.h
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+         |  CAST(coalesce(a.n_dup_spans, 0) AS DOUBLE)
+         |    / CAST(greatest(coalesce(a.n_spans, 0), 1) AS DOUBLE) AS dup_ratio
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 to 7).map(i => lead("tok", i).over(byDoc))
+      // concat_ws skips NULLs, so the tail positions (< 8 words left)
+      // must be filtered on the LAST lead, not left to shorten silently
+      val spans = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"),
+          concat_ws(" ", (col("tok") +: leads): _*).as("span"),
+          leads.last.as("tail"))
+        .where(col("tail").isNotNull)
+        .select(col("doc_id"), hashCol(col("span")).as("h"))
+      val perSpan = spans.groupBy("doc_id", "h")
+        .agg(count(lit(1)).as("occ"))
+      // per_span is already distinct per (doc, hash): count(*) = doc count
+      val shared = perSpan.groupBy("h")
+        .agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") >= 2)
+        .select(col("h"), lit(1).as("dup"))
+      val agg = perSpan.join(shared, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(sum("occ").as("n_spans"),
+          coalesce(sum(when(col("dup").isNotNull, col("occ"))), lit(0L))
+            .as("n_dup_spans"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          (coalesce(col("n_dup_spans"), lit(0L)).cast(DoubleType) /
+            greatest(coalesce(col("n_spans"), lit(0L)), lit(1L))
+              .cast(DoubleType)).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // inverted-index keyword search: saturated-tf, idf-weighted top-k —
+    // the retrieval primitive for corpus exploration and targeted
+    // selection. All-integer scoring (tf capped at 5; idf as the exact
+    // integer ratio N*1000 // df) so both engines agree bit-for-bit —
+    // no log/libm anywhere. Shape at 100 TB: the token stream filters to
+    // the query terms BEFORE any shuffle (linear scan, tiny survivor
+    // set), df is a 3-row aggregate broadcast back onto tf, and the
+    // top-k is a TakeOrdered, never a global sort.
+    Q("q_keyword_topk",
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('merge', 'window', 'stream')
+        |  GROUP BY doc_id, tok),
+        |df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(sum(least(tf.tf, 5) * ((n.n * 1000) // df.df)) AS BIGINT)
+        |      AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |  GROUP BY tf.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |         AS INTEGER) AS rank,
+        |  doc_id, score
+        |FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      val terms = Seq("merge", "window", "stream")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf
+        .join(broadcast(df), "tok")
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(sum(least(col("tf"), lit(5L)) *
+          expr("(n * 1000) div df")).as("score"))
+      // top-k FIRST (TakeOrderedAndProject — no global sort), then rank
+      // the 20 survivors: row_number over the full set would funnel every
+      // scored doc through one window partition
+      scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("rank", "doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id"))
     })
 }
