@@ -1589,7 +1589,7 @@ object TextQueries {
          |  CAST(coalesce(a.n_dup_spans, 0) AS DOUBLE)
          |    / CAST(greatest(coalesce(a.n_spans, 0), 1) AS DOUBLE) AS dup_ratio
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = load(s, dir, "documents")
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 to 7).map(i => lead("tok", i).over(byDoc))
