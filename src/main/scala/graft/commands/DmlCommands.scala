@@ -134,9 +134,6 @@ object DmlCommands {
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
       producesCdc = cdfOn)
-    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
-      s"$operation on column-mapped tables is not supported (the " +
-        "rewrite would need logical->physical projection per file)")
     require(!graft.delta.log.RowTracking.enabled(snap.metadata),
       s"copy-on-write $operation on a row-tracked table would move " +
         "surviving rows and reassign their ids — set " +
@@ -158,13 +155,18 @@ object DmlCommands {
     // UPDATE can manufacture a violating row; guard the rewrite inline.
     // Generated columns are recomputed so base-column updates flow into
     // them (the spec's "generated columns are updated" rule).
+    // Column-mapped tables: the scan yields LOGICAL rows; the rewrite
+    // renames back to physical names at the write boundary — the same
+    // funnel every append takes — so mapped parquet never receives
+    // logical-name columns.
     val adds = CommitWriter.writeFiles(spark,
-      graft.delta.log.Constraints.enforce(
-        graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
-        snap.metadata),
+      CommitWriter.toPhysicalNames(
+        graft.delta.log.Constraints.enforce(
+          graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
+          snap.metadata), snap.metadata),
       tablePath, snap.partitionColumns,
       configuration = snap.metadata.configuration,
-      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+      statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
     val cdcActions = if (!cdfOn) Seq.empty[String] else {
       val matched = DeltaScan.whereFileKeyIn(target, affected)
         .where(coalesce(condition, lit(false)))
@@ -331,9 +333,9 @@ object DmlCommands {
   }
 
   /** UPDATE via deletion vectors: old row versions are masked with DVs
-    * (same machinery as DELETE), updated row images land in NEW files.
-    * Refused on column-mapped tables — the new files would need the
-    * physical projection the copy-on-write path also refuses. */
+    * (same machinery as DELETE), updated row images land in NEW files
+    * (physical-named via the same write funnel as appends on
+    * column-mapped tables). */
   private def updateViaDv(spark: SparkSession, tablePath: String,
       snap: Snapshot, condition: Column,
       set: Map[String, Column]): DataFrame = {
@@ -341,9 +343,6 @@ object DmlCommands {
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
       producesCdc = cdfOn)
-    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
-      "UPDATE on column-mapped tables is not supported (the updated " +
-        "rows would need logical->physical projection per file)")
     val (written, info) = buildDvs(spark, tablePath, snap,
       _.where(condition))
     if (written.isEmpty)
@@ -359,12 +358,13 @@ object DmlCommands {
       }
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     val adds = CommitWriter.writeFiles(spark,
-      graft.delta.log.Constraints.enforce(
-        graft.delta.log.GeneratedColumns.recompute(updated, snap.metadata),
-        snap.metadata),
+      CommitWriter.toPhysicalNames(
+        graft.delta.log.Constraints.enforce(
+          graft.delta.log.GeneratedColumns.recompute(updated, snap.metadata),
+          snap.metadata), snap.metadata),
       tablePath, snap.partitionColumns,
       configuration = snap.metadata.configuration,
-      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+      statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
 
     // CDC pre-images are the live rows matching the condition; the
     // post-images are exactly the row images written above

@@ -119,12 +119,9 @@ object ReplaceWhereCommand {
         (actions, Seq.empty, written.map(w => info(w.fkey).relPath).toSet)
       } else {
         // copy-on-write: rewrite partially-matching files keeping
-        // their non-matching rows (same constraints as DELETE)
-        require(ColumnMapping.mode(meta) == "none",
-          "replaceWhere with a data-column predicate on a column-mapped " +
-            "table is not supported (the rewrite would need " +
-            "logical->physical projection per file); use a partition " +
-            "predicate or enable deletion vectors")
+        // their non-matching rows (same constraints as DELETE). The
+        // scan yields LOGICAL rows; toPhysicalNames at the write
+        // boundary handles column-mapped tables like any append.
         require(!RowTracking.enabled(meta),
           "copy-on-write replaceWhere on a row-tracked table would move " +
             "surviving rows and reassign their ids — set " +
@@ -137,9 +134,10 @@ object ReplaceWhereCommand {
         val survivors = DeltaScan.whereFileKeyIn(target, affected)
           .where(!coalesce(condition.cast("boolean"), lit(false)))
           .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-        val adds = CommitWriter.writeFiles(spark, survivors, tablePath,
+        val adds = CommitWriter.writeFiles(spark,
+          CommitWriter.toPhysicalNames(survivors, meta), tablePath,
           snap.partitionColumns, configuration = meta.configuration,
-          statsColumnOrder = meta.dataSchema.fieldNames.toSeq)
+          statsColumnOrder = CommitWriter.statsOrderOf(meta))
         val removes = affectedRel.map(p => CommitWriter.removeJson(
           RemoveFile(p, Some(now), dataChange = true)))
         (removes, adds, affectedRel.toSet)

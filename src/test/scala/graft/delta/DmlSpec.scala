@@ -275,4 +275,60 @@ class DmlSpec extends AnyFunSuite {
     assert(after.count() == df.where(col("o_orderkey") >= 100).count())
     assert(after.where(col("o_orderkey") < 100).count() == 0)
   }
+
+  test("CoW DELETE on a column-mapped DV-less table rewrites via " +
+    "physical names") {
+    val p = tmp("cow_mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df.repartition(1), p)
+    DmlCommands.delete(spark, p, col("o_orderkey") < 100)
+    val snap = DeltaTable.forPath(spark, p)
+    val after = snap.read
+    assert(after.count() == df.where(col("o_orderkey") >= 100).count())
+    assert(after.where(col("o_orderkey") < 100).count() == 0)
+    // the survivor rewrite landed with PHYSICAL names
+    val live = snap.allFiles.select("path").collect().map(_.getString(0))
+    live.foreach { rel =>
+      val cols = spark.read.parquet(s"$p/$rel").columns.toSet
+      assert(cols == Set("col-1", "col-2", "col-3"), s"$rel: $cols")
+    }
+  }
+
+  test("CoW UPDATE on a column-mapped table rewrites and preserves " +
+    "untouched values") {
+    val p = tmp("upd_mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df.repartition(1), p)
+    DmlCommands.update(spark, p, col("o_orderkey") < 50,
+      Map("o_totalprice" -> lit(7.25)))
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.count() == df.count())
+    assert(after.where(col("o_orderkey") < 50)
+      .select("o_totalprice").distinct().head.getDouble(0) == 7.25)
+    val expect = df.where(col("o_orderkey") >= 50)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    val got = after.where(col("o_orderkey") >= 50)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(expect - got) < 1e-6)
+  }
+
+  test("DV UPDATE on a column-mapped table masks old rows, writes new " +
+    "images physically named") {
+    val p = tmp("dvupd_mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df.repartition(1), p)
+    val g = graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    DmlCommands.update(spark, p, col("o_orderkey") < 50,
+      Map("o_totalprice" -> lit(4.5)))
+    val snap = DeltaTable.forPath(spark, p)
+    // the original file survives under a DV mask
+    assert(snap.allFiles.where(col("deletionVector").isNotNull)
+      .count() == 1)
+    val after = snap.read
+    assert(after.count() == df.count())
+    assert(after.where(col("o_orderkey") < 50)
+      .select("o_totalprice").distinct().head.getDouble(0) == 4.5)
+  }
 }

@@ -108,6 +108,38 @@ class ReplaceWhereSpec extends AnyFunSuite {
     assert(math.abs(expect - got) < 1e-6)
   }
 
+  test("data-column predicate on a column-mapped DV-less table rewrites " +
+    "via physical names") {
+    val p = tmp("mapped_cow")
+    CommitWriter.createTableMapped(spark, orders.repartition(1), p)
+    val cut = 100L
+    val fresh = orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", lit(3.5))
+    val m = replaceWhere(spark, fresh, p, col("o_orderkey") <= cut)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("operation") == "REPLACE WHERE")
+    assert(m("files_removed").toInt == 1) // the single base file rewrote
+
+    val snap = DeltaTable.forPath(spark, p)
+    val after = snap.read
+    assert(after.count() == orders.count())
+    assert(after.where(col("o_orderkey") <= cut)
+      .select("o_totalprice").distinct().head.getDouble(0) == 3.5)
+    // survivors intact (values preserved through the physical rename)
+    val expect = orders.filter(col("o_orderkey") > cut)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    val got = after.where(col("o_orderkey") > cut)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(expect - got) < 1e-6)
+    // the rewritten parquet carries PHYSICAL col-N names, never logical
+    val live = snap.allFiles.select("path").collect().map(_.getString(0))
+    live.foreach { rel =>
+      val cols = spark.read.parquet(s"$p/$rel").columns.toSet
+      assert(cols == Set("col-1", "col-2", "col-3"),
+        s"$rel has columns $cols")
+    }
+  }
+
   test("deletion-vector table masks matched rows instead of rewriting") {
     val p = tmp("dv")
     CommitWriter.createTable(spark, orders.repartition(1), p,
