@@ -45,48 +45,71 @@ object GenerateCommand {
         "parquet and would resurrect the masked rows. Rewrite them first " +
         "(OPTIMIZE) or disable DVs")
 
-    // (manifest-relative dir, absolute data file URI); the dir is the
-    // data file's own partition prefix. Shallow clones reference the
-    // SOURCE's files by absolute path — a manifest tree derived from
-    // those prefixes would land inside the source's directories, so
-    // refuse and point at the source.
-    val entries = snap.allFiles.select("path").collect().map { r =>
-      val rel = r.getString(0)
-      require(!new Path(rel).isAbsolute,
-        s"cannot generate a symlink manifest for $tablePath: its log " +
-          s"references files by absolute path (e.g. $rel — a shallow " +
-          "clone); generate the manifest on the source table instead")
-      val cut = rel.lastIndexOf('/')
-      val dir = if (cut < 0) "" else rel.substring(0, cut)
-      (dir, new Path(root, rel).toString)
-    }
+    // Shallow clones reference the SOURCE's files by absolute path — a
+    // manifest tree derived from those prefixes would land inside the
+    // source's directories, so refuse and point at the source. The
+    // check runs DISTRIBUTED; only the (at most one) sample offender
+    // ever reaches the driver.
+    import spark.implicits._
+    val paths = snap.allFiles.select("path").as[String]
+    val absOffender = paths
+      .mapPartitions(it => it.filter(rel => new Path(rel).isAbsolute).take(1))
+      .take(1)
+    require(absOffender.isEmpty,
+      s"cannot generate a symlink manifest for $tablePath: its log " +
+        s"references files by absolute path (e.g. ${absOffender.headOption
+          .getOrElse("")} — a shallow clone); generate the manifest on " +
+        "the source table instead")
     val manifestRoot = new Path(root, ManifestDir)
-
     val rootStr = root.toString
-    val byDir = entries.groupBy(_._1).toSeq
-      .map { case (dir, es) => (dir, es.map(_._2).sorted.toSeq) }
-    val written = spark.sparkContext
-      .parallelize(byDir, math.max(1, math.min(byDir.size, 32)))
+
+    // (manifest-relative dir, absolute data file URI); the dir is the
+    // data file's own partition prefix. End-to-end DataFrame shape: the
+    // driver never materializes the file list — rows hash to tasks by
+    // dir, each task streams its dirs' sorted URIs straight into the
+    // open manifest file (O(1) task memory even for a billion-file
+    // partition), switching files on dir change.
+    val entries = paths.map { rel =>
+      val cut = rel.lastIndexOf('/')
+      (if (cut < 0) "" else rel.substring(0, cut),
+        new Path(new Path(rootStr), rel).toString)
+    }.toDF("dir", "uri")
+    val written = entries
+      .repartition(col("dir"))
+      .sortWithinPartitions("dir", "uri")
+      .as[(String, String)]
       .mapPartitions { it =>
         var efs: org.apache.hadoop.fs.FileSystem = null
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var current: String = null
         var n = 0
-        it.foreach { case (dir, files) =>
+        def open(dir: String): Unit = {
           val base = new Path(new Path(rootStr), ManifestDir)
           val mdir = if (dir.isEmpty) base else new Path(base, dir)
           if (efs == null) efs = mdir.getFileSystem(new Configuration())
-          val out = efs.create(new Path(mdir, "manifest"), true)
-          try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-          finally out.close()
+          out = efs.create(new Path(mdir, "manifest"), true)
+          current = dir
           n += 1
         }
+        try {
+          it.foreach { case (dir, uri) =>
+            if (current == null || current != dir) {
+              if (out != null) out.close()
+              open(dir)
+            }
+            out.write((uri + "\n").getBytes("UTF-8"))
+          }
+        } finally if (out != null) out.close()
         Iterator(n)
-      }.sum().toLong
+      }.toDF("n").agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
 
     // sweep AFTER writing: each live manifest was overwritten in place
     // (external readers never see an empty tree mid-run or after a
     // crash); only directories for partitions that no longer exist are
     // removed now
-    val live = byDir.map(_._1).toSet
+    // live partition-dir names: O(partitions), the same order as the
+    // snapshot's own partition metadata — a driver-safe collect
+    val live = entries.select("dir").distinct().as[String].collect().toSet
     def walkManifests(p: Path): Seq[Path] = {
       if (!fs.exists(p)) return Seq.empty
       fs.listStatus(p).toSeq.flatMap { st =>

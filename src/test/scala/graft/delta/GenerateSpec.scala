@@ -75,6 +75,19 @@ class GenerateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("shallow clone (absolute file paths) refuses with the source hint") {
+    val src = tmp("clone_src")
+    val dst = tmp("clone_dst")
+    CommitWriter.createTable(spark, orders.limit(20).repartition(1), src)
+    graft.commands.CloneCommand.shallowClone(spark, src, dst)
+    val e = intercept[IllegalArgumentException] {
+      new graft.GraftSession(spark).sql(
+        s"GENERATE symlink_format_manifest FOR TABLE '$dst'")
+    }
+    assert(e.getMessage.contains("absolute path"))
+    assert(e.getMessage.contains("source table"))
+  }
+
   test("unpartitioned tables get one root manifest") {
     val p = tmp("flat")
     CommitWriter.createTable(spark, orders.limit(30).repartition(2), p)
