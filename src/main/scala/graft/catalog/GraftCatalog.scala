@@ -1,0 +1,191 @@
+package graft.catalog
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.delta.log.CommitWriter
+import graft.delta.sources.GraftDeltaTable
+
+/** Spark `TableCatalog` plugin: catalog-qualified names over the delta
+  * layer, so plain `spark.sql("SELECT ... FROM graft.db.tbl")` resolves
+  * through DSv2 with no temp views. Completes the reference's catalog
+  * hierarchy ergonomics (crates/datafusion/src/schema_provider.rs:16-139
+  * — catalog → schema → table, with the DeltaLakeSchemaProvider's
+  * refresh-on-lookup: schema_provider.rs:83-118).
+  *
+  * Activate with `spark.sql.catalog.<name> = graft.catalog.GraftCatalog`
+  * (settable at runtime — Spark instantiates catalogs lazily on first
+  * reference). Tables are POINTERS to delta table paths: every
+  * `loadTable` builds a fresh [[GraftDeltaTable]], whose snapshot
+  * resolves lazily at scan planning — a query issued after another
+  * writer commits sees the new version with zero explicit refresh,
+  * exactly the reference's provider-swap semantics.
+  *
+  * The registry is JVM-level (same pattern as [[LocalCatalog]]): this
+  * is the metastore for a single-process session, not a durable
+  * service. At cluster scale the same interface binds to a real
+  * metastore; nothing here holds more than (name → path) pairs.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def key(ident: Identifier): (String, String) =
+    (ident.namespace().mkString("."), ident.name())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.mkString(".")
+    if (!GraftCatalog.namespaces.containsKey(ns))
+      throw new NoSuchNamespaceException(namespace)
+    GraftCatalog.tables.keySet().asScala.toSeq
+      .filter(_._1 == ns).map(_._2).sorted
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftCatalog.tables.containsKey(key(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = Option(GraftCatalog.tables.get(key(ident))).getOrElse(
+      throw new NoSuchTableException(ident))
+    // fresh Table per lookup = refresh-on-access: the snapshot resolves
+    // from the CURRENT log tip when the scan plans
+    new GraftDeltaTable(spark, path, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val path = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog tables are pointers to delta paths: CREATE TABLE " +
+          s"${ident} requires LOCATION '<delta table path>'"))
+    val logPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "_delta_log")
+    val exists = graft.delta.log.LogSegment.fs(spark, logPath).exists(logPath)
+    if (!exists) {
+      // fresh location: create an EMPTY delta table with the declared
+      // schema (identity-transform partitioning only — the delta layout)
+      require(schema.nonEmpty,
+        s"CREATE TABLE $ident: the location holds no delta table and no " +
+          "schema was declared — declare columns or point LOCATION at an " +
+          "existing table")
+      val partCols = partitions.toSeq.map { t =>
+        require(t.name() == "identity" && t.references().length == 1,
+          s"unsupported partition transform $t (delta partitions are " +
+            "identity columns)")
+        t.references()(0).fieldNames().mkString(".")
+      }
+      CommitWriter.createTable(spark,
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema), path, partitionColumns = partCols)
+    }
+    GraftCatalog.tables.put(key(ident), path)
+    GraftCatalog.namespaces.putIfAbsent(ident.namespace().mkString("."),
+      java.util.Collections.emptyMap[String, String]())
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through the graft catalog is not supported; use the " +
+        "path-addressed ALTER TABLE statements")
+
+  /** Drop = unregister the pointer. The data is external (the catalog
+    * never owns delta directories), so nothing is deleted — VACUUM and
+    * filesystem lifecycle own physical removal. */
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.tables.remove(key(ident)) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val path = Option(GraftCatalog.tables.get(key(oldIdent))).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    GraftCatalog.tables.put(key(newIdent), path)
+    GraftCatalog.tables.remove(key(oldIdent))
+  }
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    GraftCatalog.namespaces.keySet().asScala.toSeq.sorted
+      .map(_.split('.')).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (GraftCatalog.namespaces.containsKey(namespace.mkString(".")))
+      Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    GraftCatalog.namespaces.containsKey(namespace.mkString("."))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    Option(GraftCatalog.namespaces.get(namespace.mkString("."))).getOrElse(
+      throw new NoSuchNamespaceException(namespace))
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val prev = GraftCatalog.namespaces.putIfAbsent(
+      namespace.mkString("."), metadata)
+    if (prev != null) throw new NamespaceAlreadyExistsException(namespace)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported by the graft catalog")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val ns = namespace.mkString(".")
+    val hasTables = GraftCatalog.tables.keySet().asScala.exists(_._1 == ns)
+    if (hasTables && !cascade)
+      throw new IllegalStateException(
+        s"namespace $ns is not empty (use CASCADE)")
+    if (hasTables)
+      GraftCatalog.tables.keySet().asScala.filter(_._1 == ns)
+        .foreach(GraftCatalog.tables.remove)
+    GraftCatalog.namespaces.remove(ns) != null
+  }
+}
+
+object GraftCatalog {
+  /** (namespace, table) → delta table path. JVM-level, like
+    * [[LocalCatalog]]'s registry. */
+  private val tables = new ConcurrentHashMap[(String, String), String]()
+  private val namespaces =
+    new ConcurrentHashMap[String, java.util.Map[String, String]]()
+
+  /** Programmatic registration (the `GraftSession.registerDelta`
+    * analogue for catalog-qualified access). */
+  def register(namespace: String, table: String, path: String): Unit = {
+    namespaces.putIfAbsent(namespace,
+      java.util.Collections.emptyMap[String, String]())
+    tables.put((namespace, table), path)
+  }
+
+  def unregister(namespace: String, table: String): Unit =
+    tables.remove((namespace, table))
+
+  def clear(): Unit = { tables.clear(); namespaces.clear() }
+}

@@ -886,6 +886,28 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // catalog-qualified SQL: the GraftCatalog TableCatalog plugin
+    // resolves `graft.db.tbl` through DSv2 with refresh-on-lookup
+    // (reference schema-provider ergonomics,
+    // crates/datafusion/src/schema_provider.rs:83-118)
+    Q("q_catalog_sql",
+      """SELECT l_returnflag,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS LAST""".stripMargin) { (s, dir) =>
+      val path = basicTable(s, dir)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      graft.catalog.GraftCatalog.register("db", "lineitem_basic", path)
+      s.sql(
+        """SELECT l_returnflag,
+          | count(*) AS n,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM graft.db.lineitem_basic GROUP BY l_returnflag
+          |ORDER BY l_returnflag NULLS LAST""".stripMargin)
+    },
+
     // A4: stats-based file skipping (result equality; pruning itself is
     // asserted in DeltaSpec + the plan audit)
     Q("file_skipping",

@@ -37,6 +37,44 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getString(2) == "DROPPED")
   }
 
+  test("catalog-qualified 3-part name resolves through DSv2 with " +
+    "snapshot refresh on lookup") {
+    val d = Files.createTempDirectory("graft_cat_tbl").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = TestSpark.spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    CommitWriter.createTable(extSpark, region, p)
+    extSpark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    graft.catalog.GraftCatalog.register("db", "region_tbl", p)
+    val n0 = extSpark
+      .sql("SELECT count(*) AS n FROM graft_cat.db.region_tbl")
+      .head.getLong(0)
+    assert(n0 == region.count())
+    // another writer commits — the NEXT lookup must see the new version
+    // with zero explicit refresh (the reference's provider-swap)
+    CommitWriter.append(extSpark, region.limit(2), p)
+    val n1 = extSpark
+      .sql("SELECT count(*) AS n FROM graft_cat.db.region_tbl")
+      .head.getLong(0)
+    assert(n1 == n0 + 2)
+    // SQL CREATE TABLE ... LOCATION registers a pointer to the same data
+    extSpark.sql("CREATE TABLE graft_cat.db.region2 USING graftdelta " +
+      s"LOCATION '$p'")
+    assert(extSpark.sql("SELECT count(*) AS n FROM graft_cat.db.region2")
+      .head.getLong(0) == n1)
+    // DROP unregisters the pointer; the data stays
+    extSpark.sql("DROP TABLE graft_cat.db.region2")
+    val cat = new graft.catalog.GraftCatalog
+    cat.initialize("graft_cat",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    assert(!cat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "region2")))
+    assert(DeltaTable.forPath(extSpark, p).read.count() == n1)
+  }
+
   test("plain spark.sql runs DESCRIBE DETAIL and SET TBLPROPERTIES via injected parser") {
     val d = Files.createTempDirectory("graft_ext_detail").toFile
     d.deleteOnExit()
