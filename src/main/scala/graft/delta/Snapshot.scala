@@ -29,8 +29,37 @@ final case class Snapshot(
   /** Reconciled live AddFile rows (distributed; nothing collected). */
   def allFiles: DataFrame = Replay.liveFiles(spark, segment)
 
-  /** Full-table read. */
-  def read: DataFrame = DeltaScan.build(this, Seq.empty)
+  /** Full-table read.
+    *
+    * PARTITIONED tables without deletion vectors or column mapping
+    * route through the native DSv2 path: its scan implements
+    * `SupportsRuntimeFiltering`, so when this table sits on the fact
+    * side of a star join, dynamic partition pruning drops the
+    * non-qualifying partitions at runtime — the composed V1 assembly
+    * resolves its file list at build time and can never receive the
+    * join's key set. Pinned to THIS version (Snapshot is an immutable
+    * view) and re-projected to logical schema order, so the two paths
+    * are interchangeable to callers. */
+  def read: DataFrame = {
+    val native = partitionColumns.nonEmpty &&
+      graft.delta.scan.ColumnMapping.mode(metadata) == "none" && !hasLiveDv
+    if (native) {
+      import org.apache.spark.sql.functions.col
+      spark.read.format("graftdelta")
+        .option("path", tablePath.toString)
+        .option("versionAsOf", version.toString)
+        .load()
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    } else DeltaScan.build(this, Seq.empty)
+  }
+
+  /** One live file carrying a deletion vector forces the composed scan
+    * (memoized — a metadata-only probe). */
+  private lazy val hasLiveDv: Boolean = {
+    import org.apache.spark.sql.functions.col
+    allFiles.where(col("deletionVector").isNotNull)
+      .limit(1).collect().nonEmpty
+  }
 
   /** Full-table read with the fresh row-tracking columns `_row_id` and
     * `_row_commit_version` appended (writer feature `rowTracking`). */

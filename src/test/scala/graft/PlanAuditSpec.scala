@@ -306,6 +306,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("snap.read star join: runtime partition pruning engages through " +
+    "the default read path") {
+    // Snapshot.read routes eligible partitioned tables through the
+    // DSv2 scan, so a star join over the DEFAULT read path (no explicit
+    // format("graftdelta")) must get dynamic partition pruning too
+    import org.apache.spark.sql.functions._
+    val path = graft.queries.DeltaQueries.partitionedTable(spark, sf)
+    val fact = graft.delta.DeltaTable.forPath(spark, path).read
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderstatus").as("status_key")).distinct()
+    val q = fact.join(broadcast(dim),
+        fact("o_orderstatus") === dim("status_key"))
+      .groupBy(fact("o_orderstatus")).agg(count(lit(1)).as("n"))
+    q.collect()
+    val p = q.queryExecution.explainString(
+      ExplainMode.fromString("formatted")) +
+      "\n" + q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      "no DynamicPruning on the snap.read fact scan:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_temperature_mix: budget table broadcasts, corpus ranks once") {
     val p = plan("q_temperature_mix")
     // per-source budgets join via broadcast; the corpus itself never

@@ -154,10 +154,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     // same files — nothing was rewritten
     assert(snap2.allFiles.count() == snap1.allFiles.count())
 
-    // DML on mapped tables is refused loudly, not silently corrupting
-    intercept[IllegalArgumentException] {
-      graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0)
-    }
+    // DML on mapped tables works via the physical-name write funnel
+    // (refusal lifted in round 9); the RENAMED logical name reads back
+    graft.commands.DmlCommands.delete(spark, p, col("r_regionkey") === 0)
+    val snap3 = DeltaTable.forPath(spark, p)
+    assert(snap3.read.where(col("r_regionkey") === 0).count() == 0)
+    assert(snap3.read.select("region_name").distinct().count() ==
+      region.where(col("r_regionkey") =!= 0)
+        .select("r_name").distinct().count())
   }
 
   test("ALTER TABLE RENAME COLUMN: SQL on mapped tables, refused on plain") {
