@@ -47,11 +47,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
+  // Spark SQL resolution is case-insensitive by default and v2
+  // catalogs own implementing it: keys normalize to lower case. Parts
+  // join on NUL (impossible in an identifier part), so a quoted name
+  // containing a literal dot can never collide with a multi-part
+  // namespace.
   private def key(ident: Identifier): (String, String) =
-    (ident.namespace().mkString("."), ident.name())
+    (GraftCatalog.nsKey(ident.namespace()), ident.name().toLowerCase)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val ns = namespace.mkString(".")
+    val ns = GraftCatalog.nsKey(namespace)
     if (!GraftCatalog.namespaces.containsKey(ns))
       throw new NoSuchNamespaceException(namespace)
     GraftCatalog.tables.keySet().asScala.toSeq
@@ -81,6 +86,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val logPath = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path), "_delta_log")
     val exists = graft.delta.log.LogSegment.fs(spark, logPath).exists(logPath)
+    if (exists && schema.nonEmpty) {
+      // a declared schema must AGREE with the existing table — silently
+      // discarding a contradicting declaration would hide schema drift
+      val actual = graft.delta.DeltaTable.forPath(spark, path).schema
+      val actualByName =
+        actual.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val mismatch = schema.fields.collect {
+        case f if !actualByName.get(f.name.toLowerCase).contains(f.dataType) =>
+          f.name
+      }
+      require(mismatch.isEmpty && schema.fields.length == actual.fields.length,
+        s"CREATE TABLE $ident: declared schema does not match the delta " +
+          s"table at $path (${if (mismatch.nonEmpty)
+            s"mismatched or missing: ${mismatch.mkString(", ")}"
+          else "field count differs"}); omit the column list to register " +
+          "an existing table")
+    }
     if (!exists) {
       // fresh location: create an EMPTY delta table with the declared
       // schema (identity-transform partitioning only — the delta layout)
@@ -99,7 +121,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           schema), path, partitionColumns = partCols)
     }
     GraftCatalog.tables.put(key(ident), path)
-    GraftCatalog.namespaces.putIfAbsent(ident.namespace().mkString("."),
+    GraftCatalog.namespaces.putIfAbsent(GraftCatalog.nsKey(ident.namespace()),
       java.util.Collections.emptyMap[String, String]())
     loadTable(ident)
   }
@@ -127,26 +149,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(): Array[Array[String]] =
     GraftCatalog.namespaces.keySet().asScala.toSeq.sorted
-      .map(_.split('.')).toArray
+      .map(_.split(GraftCatalog.NsSep)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (GraftCatalog.namespaces.containsKey(namespace.mkString(".")))
+    else if (GraftCatalog.namespaces.containsKey(GraftCatalog.nsKey(namespace)))
       Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    GraftCatalog.namespaces.containsKey(namespace.mkString("."))
+    GraftCatalog.namespaces.containsKey(GraftCatalog.nsKey(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : java.util.Map[String, String] =
-    Option(GraftCatalog.namespaces.get(namespace.mkString("."))).getOrElse(
-      throw new NoSuchNamespaceException(namespace))
+    Option(GraftCatalog.namespaces.get(GraftCatalog.nsKey(namespace)))
+      .getOrElse(throw new NoSuchNamespaceException(namespace))
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
     val prev = GraftCatalog.namespaces.putIfAbsent(
-      namespace.mkString("."), metadata)
+      GraftCatalog.nsKey(namespace), metadata)
     if (prev != null) throw new NamespaceAlreadyExistsException(namespace)
   }
 
@@ -157,7 +179,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
-    val ns = namespace.mkString(".")
+    val ns = GraftCatalog.nsKey(namespace)
     val hasTables = GraftCatalog.tables.keySet().asScala.exists(_._1 == ns)
     if (hasTables && !cascade)
       throw new IllegalStateException(
@@ -179,13 +201,22 @@ object GraftCatalog {
   /** Programmatic registration (the `GraftSession.registerDelta`
     * analogue for catalog-qualified access). */
   def register(namespace: String, table: String, path: String): Unit = {
-    namespaces.putIfAbsent(namespace,
+    namespaces.putIfAbsent(namespace.toLowerCase,
       java.util.Collections.emptyMap[String, String]())
-    tables.put((namespace, table), path)
+    tables.put((namespace.toLowerCase, table.toLowerCase), path)
   }
 
   def unregister(namespace: String, table: String): Unit =
-    tables.remove((namespace, table))
+    tables.remove((namespace.toLowerCase, table.toLowerCase))
+
+  /** Single-level separator for namespace registry keys: NUL cannot
+    * appear in an identifier part, so multi-part namespaces never
+    * collide with a quoted part containing a dot. */
+  private[catalog] final val NsSep = '\u0000'
+
+  /** Namespace parts -> registry key (lower-cased, NUL-joined). */
+  private[catalog] def nsKey(namespace: Array[String]): String =
+    namespace.map(_.toLowerCase).mkString(NsSep.toString)
 
   def clear(): Unit = { tables.clear(); namespaces.clear() }
 }

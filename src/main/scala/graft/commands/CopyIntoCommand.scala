@@ -67,7 +67,8 @@ object CopyIntoCommand {
     val adds = CommitWriter.writeFiles(spark,
       CommitWriter.toPhysicalNames(
         graft.delta.log.Constraints.enforce(completed, meta), meta),
-      tablePath, meta.partitionColumns, configuration = meta.configuration,
+      tablePath, CommitWriter.physicalPartitionColumns(meta),
+      configuration = meta.configuration,
       statsColumnOrder = CommitWriter.statsOrderOf(meta))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rows = adds.flatMap(_.stats).map(s =>

@@ -164,7 +164,7 @@ object DmlCommands {
         graft.delta.log.Constraints.enforce(
           graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
           snap.metadata), snap.metadata),
-      tablePath, snap.partitionColumns,
+      tablePath, CommitWriter.physicalPartitionColumns(snap.metadata),
       configuration = snap.metadata.configuration,
       statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
     val cdcActions = if (!cdfOn) Seq.empty[String] else {
@@ -173,7 +173,7 @@ object DmlCommands {
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
       CommitWriter.writeCdcFiles(spark,
         changeRows(matched, snap.metadata), tablePath,
-        snap.partitionColumns).map(CommitWriter.cdcJson)
+        snap.metadata).map(CommitWriter.cdcJson)
     }
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
@@ -254,7 +254,7 @@ object DmlCommands {
       CommitWriter.writeCdcFiles(spark,
         snap.read.where(coalesce(condition, lit(false)))
           .withColumn("_change_type", lit("delete")),
-        tablePath, snap.partitionColumns).map(CommitWriter.cdcJson)
+        tablePath, snap.metadata).map(CommitWriter.cdcJson)
 
     val (actions, masked, fullyRemoved, rowsDeleted) =
       maskActions(written, info)
@@ -362,7 +362,7 @@ object DmlCommands {
         graft.delta.log.Constraints.enforce(
           graft.delta.log.GeneratedColumns.recompute(updated, snap.metadata),
           snap.metadata), snap.metadata),
-      tablePath, snap.partitionColumns,
+      tablePath, CommitWriter.physicalPartitionColumns(snap.metadata),
       configuration = snap.metadata.configuration,
       statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
 
@@ -375,7 +375,7 @@ object DmlCommands {
           updated, snap.metadata)
         .withColumn("_change_type", lit("update_postimage"))
       CommitWriter.writeCdcFiles(spark, pre.unionByName(post), tablePath,
-        snap.partitionColumns).map(CommitWriter.cdcJson)
+        snap.metadata).map(CommitWriter.cdcJson)
     }
 
     val (actions, masked, fullyRemoved, rowsUpdated) =

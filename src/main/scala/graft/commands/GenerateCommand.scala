@@ -74,7 +74,11 @@ object GenerateCommand {
       (if (cut < 0) "" else rel.substring(0, cut),
         new Path(new Path(rootStr), rel).toString)
     }.toDF("dir", "uri")
-    val written = entries
+    // each task returns the dirs IT wrote — the live-dir set for the
+    // sweep comes as a by-product of the write job (no separate
+    // distinct pass over a fresh log replay); the collected state is
+    // O(partition dirs), the same order as the snapshot's own metadata
+    val writtenDirs: Array[String] = entries
       .repartition(col("dir"))
       .sortWithinPartitions("dir", "uri")
       .as[(String, String)]
@@ -82,14 +86,14 @@ object GenerateCommand {
         var efs: org.apache.hadoop.fs.FileSystem = null
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         var current: String = null
-        var n = 0
+        val dirs = Seq.newBuilder[String]
         def open(dir: String): Unit = {
           val base = new Path(new Path(rootStr), ManifestDir)
           val mdir = if (dir.isEmpty) base else new Path(base, dir)
           if (efs == null) efs = mdir.getFileSystem(new Configuration())
           out = efs.create(new Path(mdir, "manifest"), true)
           current = dir
-          n += 1
+          dirs += dir
         }
         try {
           it.foreach { case (dir, uri) =>
@@ -100,16 +104,15 @@ object GenerateCommand {
             out.write((uri + "\n").getBytes("UTF-8"))
           }
         } finally if (out != null) out.close()
-        Iterator(n)
-      }.toDF("n").agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+        dirs.result().iterator
+      }.collect()
+    val written = writtenDirs.length.toLong
 
     // sweep AFTER writing: each live manifest was overwritten in place
     // (external readers never see an empty tree mid-run or after a
     // crash); only directories for partitions that no longer exist are
     // removed now
-    // live partition-dir names: O(partitions), the same order as the
-    // snapshot's own partition metadata — a driver-safe collect
-    val live = entries.select("dir").distinct().as[String].collect().toSet
+    val live = writtenDirs.toSet
     def walkManifests(p: Path): Seq[Path] = {
       if (!fs.exists(p)) return Seq.empty
       fs.listStatus(p).toSeq.flatMap { st =>

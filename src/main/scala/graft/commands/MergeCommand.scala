@@ -63,9 +63,6 @@ object MergeCommand {
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol, dataChangingRemoves = true,
       producesCdc = cdfOn)
-    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
-      "MERGE on column-mapped tables is not supported (the rewrite " +
-        "would need logical->physical projection per file)")
     require(graft.delta.log.IdentityColumns.of(snap.metadata).isEmpty,
       "MERGE into identity-column tables is not supported: inserted " +
         "source rows would carry explicit identity values, which " +
@@ -108,14 +105,15 @@ object MergeCommand {
       val (written, info) = DmlCommands.buildDvs(spark, tablePath, snap,
         touched)
       val adds = CommitWriter.writeFiles(spark,
-        graft.delta.log.Constraints.enforce(
-          graft.delta.log.GeneratedColumns.recompute(
-            src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
-            snap.metadata),
-          snap.metadata),
-        tablePath, snap.partitionColumns,
+        CommitWriter.toPhysicalNames(
+          graft.delta.log.Constraints.enforce(
+            graft.delta.log.GeneratedColumns.recompute(
+              src.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+              snap.metadata),
+            snap.metadata), snap.metadata),
+        tablePath, CommitWriter.physicalPartitionColumns(snap.metadata),
         configuration = snap.metadata.configuration,
-        statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+        statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
       val (actions, masked, fullyRemoved, _) =
         DmlCommands.maskActions(written, info)
       val protoUpgrade = graft.delta.log.ProtocolSupport
@@ -183,12 +181,13 @@ object MergeCommand {
     // merged-in source rows must honor the table's CHECK constraints;
     // generated columns are recomputed from the post-merge base columns
     val adds = CommitWriter.writeFiles(spark,
-      graft.delta.log.Constraints.enforce(
-        graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
-        snap.metadata),
-      tablePath, snap.partitionColumns,
+      CommitWriter.toPhysicalNames(
+        graft.delta.log.Constraints.enforce(
+          graft.delta.log.GeneratedColumns.recompute(rewritten, snap.metadata),
+          snap.metadata), snap.metadata),
+      tablePath, CommitWriter.physicalPartitionColumns(snap.metadata),
       configuration = snap.metadata.configuration,
-      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+      statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))
@@ -238,7 +237,7 @@ object MergeCommand {
           .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
           .withColumn("_change_type", lit("delete"))
         CommitWriter.writeCdcFiles(spark, pre, tablePath,
-          snap.partitionColumns).map(CommitWriter.cdcJson)
+          snap.metadata).map(CommitWriter.cdcJson)
       }
 
     if (DmlCommands.dvEnabled(snap)) {
@@ -272,10 +271,6 @@ object MergeCommand {
       return spark.createDataFrame(rows, VacuumCommand.metricsSchema)
     }
 
-    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
-      "copy-on-write MERGE DELETE on column-mapped tables is not " +
-        "supported — enable delta.enableDeletionVectors (merge-on-read " +
-        "never rewrites data files)")
     require(!graft.delta.log.RowTracking.enabled(snap.metadata),
       "copy-on-write MERGE DELETE on a row-tracked table would move " +
         "surviving rows and reassign their ids — set " +
@@ -297,12 +292,14 @@ object MergeCommand {
     // survivors of affected files (unchanged rows — no constraint or
     // generated-column recomputation needed, nothing was modified)
     val adds = CommitWriter.writeFiles(spark,
-      DeltaScan.whereFileKeyIn(target, affected)
-        .join(srcKeys, keys, "left_anti")
-        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
-      tablePath, snap.partitionColumns,
+      CommitWriter.toPhysicalNames(
+        DeltaScan.whereFileKeyIn(target, affected)
+          .join(srcKeys, keys, "left_anti")
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+        snap.metadata),
+      tablePath, CommitWriter.physicalPartitionColumns(snap.metadata),
       configuration = snap.metadata.configuration,
-      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+      statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
     val now = System.currentTimeMillis()
     val removes = affectedRel.map(p => CommitWriter.removeJson(
       Actions.RemoveFile(p, Some(now), dataChange = true)))
@@ -370,6 +367,6 @@ object MergeCommand {
             .withColumn("_change_type", lit("delete")))
       }
       CommitWriter.writeCdcFiles(spark, changeRows, tablePath,
-        snap.partitionColumns).map(CommitWriter.cdcJson)
+        snap.metadata).map(CommitWriter.cdcJson)
     }
 }

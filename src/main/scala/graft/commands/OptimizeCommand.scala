@@ -114,9 +114,6 @@ object OptimizeCommand {
     val snap = snapOpt.getOrElse(DeltaTable.forPath(spark, tablePath))
     graft.delta.log.ProtocolSupport.assertWritable(
       tablePath, snap.metadata, snap.protocol)
-    require(graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none",
-      "OPTIMIZE on column-mapped tables is not supported (the rewrite " +
-        "would emit logical-name parquet into a physical-name table)")
     require(!graft.delta.log.RowTracking.enabled(snap.metadata),
       "OPTIMIZE on a row-tracked table is not supported: compaction " +
         "moves rows, which would reassign their fresh ids (materialized " +
@@ -144,6 +141,9 @@ object OptimizeCommand {
         "... CLUSTER BY or drop it with CLUSTER BY NONE")
     val effZorder = if (zorderBy.nonEmpty) zorderBy else clusterCols
     val partCols = snap.partitionColumns
+    // partitionValues key by PHYSICAL name under column mapping
+    val physOf: String => String = c =>
+      graft.delta.scan.ColumnMapping.physicalPartitionName(snap.metadata, c)
 
     // Qualification: a z-order request rewrites every nonempty partition
     // (re-clustering is the point); plain compaction needs >= minFiles
@@ -165,7 +165,7 @@ object OptimizeCommand {
             s"columns ${partCols.mkString("(", ", ", ")")}")
         fullInv
           .select(Seq(col("path"), col("partitionValues"), col("size")) ++
-            partCols.map(c => element_at(col("partitionValues"), c)
+            partCols.map(c => element_at(col("partitionValues"), physOf(c))
               .cast(snap.schema(c).dataType).as(c)): _*)
           .where(pred)
           .select("path", "partitionValues", "size")
@@ -186,7 +186,7 @@ object OptimizeCommand {
           val keyed = inv.select(
             (Seq(col("path"), col("partitionValues"), col("size")) ++
               partCols.zipWithIndex.map { case (c, i) =>
-                element_at(col("partitionValues"), c).as(s"__pv_$i")
+                element_at(col("partitionValues"), physOf(c)).as(s"__pv_$i")
               }): _*)
           // re-alias the aggregated side so the semi-join is not an
           // ambiguous self-join (groupBy keys keep their expr ids)
@@ -223,7 +223,7 @@ object OptimizeCommand {
       else {
         val pred = partitions.map { pv =>
           partCols.map { c =>
-            pv.get(c) match {
+            pv.get(physOf(c)) match {
               case Some(v) if v != null =>
                 col(c) === lit(v).cast(snap.schema(c).dataType)
               case _ => col(c).isNull
@@ -246,10 +246,12 @@ object OptimizeCommand {
           .sortWithinPartitions(keys: _*)
           .drop(zorderHelperCols(effZorder): _*)
       }
-    val adds = CommitWriter.writeFiles(spark, rewritten,
-      tablePath, partCols, dataChange = false,
+    val adds = CommitWriter.writeFiles(spark,
+      CommitWriter.toPhysicalNames(rewritten, snap.metadata),
+      tablePath, CommitWriter.physicalPartitionColumns(snap.metadata),
+      dataChange = false,
       configuration = snap.metadata.configuration,
-      statsColumnOrder = snap.metadata.dataSchema.fieldNames.toSeq)
+      statsColumnOrder = CommitWriter.statsOrderOf(snap.metadata))
 
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]

@@ -71,7 +71,8 @@ object ReplaceWhereCommand {
             "predicate: "), rowJson)).cast("boolean"))
     val newAdds = CommitWriter.writeFiles(spark,
       CommitWriter.toPhysicalNames(Constraints.enforce(guarded, meta), meta),
-      tablePath, meta.partitionColumns, configuration = meta.configuration,
+      tablePath, CommitWriter.physicalPartitionColumns(meta),
+      configuration = meta.configuration,
       statsColumnOrder = CommitWriter.statsOrderOf(meta))
 
     // Remove set + survivor rewrites, by predicate kind.
@@ -136,7 +137,8 @@ object ReplaceWhereCommand {
           .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
         val adds = CommitWriter.writeFiles(spark,
           CommitWriter.toPhysicalNames(survivors, meta), tablePath,
-          snap.partitionColumns, configuration = meta.configuration,
+          CommitWriter.physicalPartitionColumns(meta),
+          configuration = meta.configuration,
           statsColumnOrder = CommitWriter.statsOrderOf(meta))
         val removes = affectedRel.map(p => CommitWriter.removeJson(
           RemoveFile(p, Some(now), dataChange = true)))
@@ -157,7 +159,7 @@ object ReplaceWhereCommand {
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
         .withColumn("_change_type", lit("insert"))
       CommitWriter.writeCdcFiles(spark, deleted.unionByName(insertedFull),
-        tablePath, snap.partitionColumns).map(CommitWriter.cdcJson)
+        tablePath, snap.metadata).map(CommitWriter.cdcJson)
     }
 
     // One commit. Row-tracked tables stamp fresh ids on the incoming

@@ -143,9 +143,12 @@ object CommitWriter {
     * unpartitioned schemas only (nested/partitioned mapping would need
     * per-file transform plumbing the fixtures don't exercise). */
   def createTableMapped(spark: SparkSession, df: DataFrame,
-      tablePath: String): Metadata = {
+      tablePath: String, partitionColumns: Seq[String] = Seq.empty): Metadata = {
     require(df.schema.fields.forall(f => !f.dataType.isInstanceOf[StructType]),
       "createTableMapped supports flat schemas only")
+    require(partitionColumns.forall(c =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c))),
+      s"partition column(s) ${partitionColumns.mkString(", ")} not in schema")
     val mappedFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -154,11 +157,17 @@ object CommitWriter {
         .build())
     }
     val physDf = df.toDF(mappedFields.indices.map(i => s"col-${i + 1}"): _*)
+    // the hive layout and AddFile.partitionValues key by PHYSICAL name
+    val physPartCols = partitionColumns.map { c =>
+      val i = df.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      s"col-${i + 1}"
+    }
     val meta = Metadata(
       id = UUID.randomUUID().toString,
       name = None, description = None, format = Format(),
       schemaString = StructType(mappedFields).json,
-      partitionColumns = Seq.empty,
+      // metadata carries the LOGICAL names (they reference schema fields)
+      partitionColumns = partitionColumns,
       // maxColumnId is the high-water mark for field ids — ids must
       // NEVER be reused (a dropped column's physical name may still
       // hold its data in old parquet files), so ADD COLUMN allocates
@@ -167,7 +176,7 @@ object CommitWriter {
         "delta.columnMapping.mode" -> "name",
         "delta.columnMapping.maxColumnId" -> mappedFields.length.toString),
       createdTime = Some(System.currentTimeMillis()))
-    val adds = writeFiles(spark, physDf, tablePath, Seq.empty,
+    val adds = writeFiles(spark, physDf, tablePath, physPartCols,
       configuration = meta.configuration)
     commit(spark, tablePath, 0L,
       Seq(protocolJson(Protocol(2, 5)), metadataJson(meta)) ++
@@ -179,15 +188,33 @@ object CommitWriter {
   /** Rename a logical-name DataFrame to the table's physical names when
     * the table is column-mapped (identity otherwise) — every append
     * path funnels through this so mapped tables never receive
-    * logical-name parquet. */
+    * logical-name parquet. The rename is RECURSIVE (nested struct
+    * fields carry their own physical names); columns outside the table
+    * schema (e.g. a CDC frame's `_change_type`) pass through unchanged. */
   private[graft] def toPhysicalNames(df: DataFrame, meta: Metadata): DataFrame = {
-    if (graft.delta.scan.ColumnMapping.mode(meta) == "none") return df
-    val bySource = meta.dataSchema.fields
-      .map(f => f.name -> graft.delta.scan.ColumnMapping.physicalName(f))
-      .toMap
-    df.toDF(df.schema.fieldNames.toIndexedSeq.map(n =>
-      bySource.getOrElse(n, n)): _*)
+    import graft.delta.scan.ColumnMapping
+    if (ColumnMapping.mode(meta) == "none") return df
+    val byName = meta.dataSchema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    val cols = df.schema.fields.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(lf) =>
+          val pf = ColumnMapping
+            .toPhysicalSchema(StructType(Seq(lf)), "name").fields.head
+          ColumnMapping.toPhysicalColumn(lf, pf)
+        case None => org.apache.spark.sql.functions
+          .col(s"`${f.name.replace("`", "``")}`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Partition column names as they key the hive layout and the log's
+    * partitionValues: PHYSICAL under column mapping, logical otherwise.
+    * Every write of a physical-renamed frame must partition by these. */
+  private[graft] def physicalPartitionColumns(meta: Metadata): Seq[String] =
+    meta.partitionColumns.map(c =>
+      graft.delta.scan.ColumnMapping.physicalPartitionName(meta, c))
 
   /** Schema evolution on write (delta-spark's `mergeSchema=true`):
     * net-new columns in the incoming frame — top-level or nested
@@ -351,7 +378,7 @@ object CommitWriter {
     validateWriteSchema(completed, meta, "append")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
-      meta.partitionColumns, configuration = meta.configuration,
+      physicalPartitionColumns(meta), configuration = meta.configuration,
       statsColumnOrder = statsOrderOf(meta))
     // identity appends carry the advanced high-water mark in the SAME
     // commit as the adds; schema evolution rides the same metadata
@@ -456,7 +483,7 @@ object CommitWriter {
     validateWriteSchema(completed, meta, "appendIfAbsent")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, meta), meta), tablePath,
-      meta.partitionColumns, configuration = meta.configuration,
+      physicalPartitionColumns(meta), configuration = meta.configuration,
       statsColumnOrder = statsOrderOf(meta))
     // one metadata action carries identity advance AND schema evolution
     val metaUpdate = IdentityColumns.advance(meta, adds)
@@ -538,7 +565,7 @@ object CommitWriter {
     validateWriteSchema(completed, effMeta, "overwrite")
     val adds = writeFiles(spark,
       toPhysicalNames(Constraints.enforce(completed, effMeta), effMeta),
-      tablePath, effMeta.partitionColumns,
+      tablePath, physicalPartitionColumns(effMeta),
       configuration = effMeta.configuration,
       statsColumnOrder = statsOrderOf(effMeta))
     // identity high-water marks survive an overwrite (values stay
@@ -1151,7 +1178,6 @@ object CommitWriter {
       try {
         val snap = graft.delta.DeltaTable.forPath(spark, tablePath)
         val eligible =
-          graft.delta.scan.ColumnMapping.mode(snap.metadata) == "none" &&
           !RowTracking.enabled(snap.metadata) &&
           Clustering.columnsOf(spark, snap.segment).isEmpty
         if (eligible)
@@ -1635,8 +1661,14 @@ object CommitWriter {
     * column in the files per the protocol, never a partition dir. No
     * stats pass — cdc files don't carry stats and never serve normal
     * reads. */
-  def writeCdcFiles(spark: SparkSession, changeRows: DataFrame,
-      tablePath: String, partitionColumns: Seq[String]): Seq[CdcFile] = {
+  def writeCdcFiles(spark: SparkSession, changeRowsLogical: DataFrame,
+      tablePath: String, meta: Metadata): Seq[CdcFile] = {
+    // cdc parquet follows the table's column-mapping convention
+    // (physical names, physical-keyed hive dirs) — an external
+    // spec-compliant CDF reader resolves cdc columns by physical name;
+    // `_change_type` is outside the table schema and passes through
+    val changeRows = toPhysicalNames(changeRowsLogical, meta)
+    val partitionColumns = physicalPartitionColumns(meta)
     val table = new Path(tablePath)
     val fs = LogSegment.fs(spark, table)
     val cdcDir = new Path(table, "_change_data")

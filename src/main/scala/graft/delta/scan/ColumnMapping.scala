@@ -72,6 +72,40 @@ object ColumnMapping {
     rebuild(col(quote(physical.name)), physical.dataType, logical.dataType)
       .as(logical.name)
 
+  /** The WRITE-side inverse of [[toLogicalColumn]]: one logical
+    * top-level field rebuilt into its physical shape, nested struct
+    * fields included. Every rename the read side undoes must be applied
+    * here — a top-level-only rename would write nested fields with
+    * logical names, which the recursive physical read schema then
+    * resolves to null (silent data loss on externally-created tables
+    * whose NESTED fields carry physical names). */
+  def toPhysicalColumn(logical: StructField, physical: StructField): Column =
+    rebuildPhys(col(quote(logical.name)), logical.dataType, physical.dataType)
+      .as(physical.name)
+
+  private def rebuildPhys(c: Column, logical: DataType,
+      phys: DataType): Column = (logical, phys) match {
+    case (l: StructType, p: StructType) =>
+      val children = l.fields.zip(p.fields).map { case (lf, pf) =>
+        rebuildPhys(c.getField(lf.name), lf.dataType, pf.dataType).as(pf.name)
+      }
+      when(c.isNull, lit(null).cast(phys))
+        .otherwise(struct(children.toIndexedSeq: _*))
+    case (ArrayType(le: StructType, cn), ArrayType(pe: StructType, _)) =>
+      transform(c, e => rebuildPhys(e, le, pe)).cast(ArrayType(pe, cn))
+    case (l, p) if l == p => c
+    case (_, p) => c.cast(p)
+  }
+
+  /** Logical partition column name → the PHYSICAL name keying the log's
+    * `partitionValues` and the hive directory layout (identity when the
+    * table is unmapped — the protocol keys partition values by physical
+    * name under column mapping). */
+  def physicalPartitionName(meta: Metadata, logicalName: String): String =
+    if (mode(meta) == "none") logicalName
+    else meta.dataSchema.fields.find(_.name == logicalName)
+      .map(physicalName).getOrElse(logicalName)
+
   private def quote(name: String): String = s"`${name.replace("`", "``")}`"
 
   private def rebuild(c: Column, phys: DataType, logical: DataType): Column =

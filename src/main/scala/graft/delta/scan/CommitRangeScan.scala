@@ -252,10 +252,24 @@ object CommitRangeScan {
               "which no longer exists (reclaimed by VACUUM after the " +
               "retention window). Narrow the version range to commits " +
               "within retention."))
-        val cdcDf = spark.read
+        val cdcDf0 = spark.read
           .option("basePath", new Path(qualified, "_change_data").toString)
           .parquet(cdcFiles.toSeq.map(p =>
             new Path(qualified, p).toString): _*)
+        // mapped tables write cdc parquet with PHYSICAL names (same
+        // convention as data files); rename back to logical where the
+        // physical name is present — older logical-named cdc files
+        // (pre-convention) pass through the fallback branch unchanged
+        val physSchema = ColumnMapping.toPhysicalSchema(
+          snap.schema, ColumnMapping.mode(snap.metadata))
+        val have = cdcDf0.columns.toSet
+        val cdcDf = snap.schema.fields.zip(physSchema.fields)
+          .foldLeft(cdcDf0) { case (d, (lf, pf)) =>
+            if (pf.name != lf.name && have(pf.name))
+              d.withColumn(lf.name, ColumnMapping.toLogicalColumn(pf, lf))
+                .drop(pf.name)
+            else d
+          }
         snap.schema.fields.foldLeft(cdcDf)((d, f) =>
           d.withColumn(f.name, col(f.name).cast(f.dataType)))
           .select((snap.schema.fieldNames.toIndexedSeq :+ "_change_type")

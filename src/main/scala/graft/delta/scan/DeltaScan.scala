@@ -275,9 +275,14 @@ object DeltaScan {
       val partSchema = StructType(
         StructField("__fkey", StringType) +:
           partCols.map(c => StructField(s"__pv_$c", StringType)))
+      // partitionValues keys follow the protocol: PHYSICAL names under
+      // column mapping (fall back to the logical key for tolerance of
+      // pre-convention writers)
       val rows = scanFiles.map { f =>
         Row.fromSeq(normalize(abs(f.relPath)) +:
-          partCols.map(c => f.partitionValues.get(c).orNull))
+          partCols.map(c => f.partitionValues
+            .get(ColumnMapping.physicalPartitionName(snapshot.metadata, c))
+            .orElse(f.partitionValues.get(c)).orNull))
       }
       val rowList = new java.util.ArrayList[Row](rows.size)
       rows.foreach(rowList.add)

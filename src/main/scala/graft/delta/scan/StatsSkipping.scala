@@ -53,17 +53,34 @@ object StatsSkipping {
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
     val sSchema = statsSchema(schema, partCols)
-    val ctx = Context(schema, partCols, sSchema)
-    val withStats = files.withColumn("__stats",
-      from_json(col("stats"), sSchema))
+    val physOf: String => String =
+      c => ColumnMapping.physicalPartitionName(snapshot.metadata, c)
+    val mapped = ColumnMapping.mode(snapshot.metadata) != "none"
+    // mapped tables key their stats JSON (and partitionValues) by
+    // PHYSICAL name: parse with the physical-name schema, then cast the
+    // struct positionally back to logical names so every downstream
+    // bound lookup stays in predicate (logical) terms
+    val physSchema =
+      if (!mapped) sSchema
+      else statsSchema(
+        ColumnMapping.toPhysicalSchema(schema, "name"), partCols.map(physOf))
+    def parse(s: StructType, narrowTo: Set[String]): org.apache.spark.sql.Column = {
+      val src = if (narrowTo.isEmpty) s else narrowStatsSchema(s, narrowTo)
+      val raw = from_json(col("stats"), src)
+      if (!mapped) raw
+      else raw.cast(
+        if (narrowTo.isEmpty) sSchema
+        else narrowStatsSchema(sSchema, ctx.widenedFloat))
+    }
+    lazy val ctx = Context(schema, partCols, sSchema, physOf)
+    val withStats = files.withColumn("__stats", parse(physSchema, Set.empty))
     // columns widened float->double parse their PRE-widening files'
     // stats through FLOAT as well (see minCol/maxCol): a second parse
     // with those fields narrowed provides the exact float image
     val withBoth =
       if (ctx.widenedFloat.isEmpty) withStats
       else withStats.withColumn("__statsN",
-        from_json(col("stats"),
-          narrowStatsSchema(sSchema, ctx.widenedFloat)))
+        parse(physSchema, ctx.widenedFloat.map(physOf)))
     val keep = filters
       .map(f => translate(Shims.predNode(f), neg = false, ctx))
       .reduce(_ && _)
@@ -83,7 +100,7 @@ object StatsSkipping {
   }
 
   private case class Context(schema: StructType, partCols: Seq[String],
-      statsSchema: StructType) {
+      statsSchema: StructType, physOf: String => String = identity) {
     val statFields: Set[String] =
       statsSchema("minValues").dataType.asInstanceOf[StructType]
         .fieldNames.toSet
@@ -120,9 +137,13 @@ object StatsSkipping {
 
   private def quote(name: String): String = s"`${name.replace("`", "``")}`"
 
-  /** Exact per-file value of a partition column. */
+  /** Exact per-file value of a partition column (partitionValues keys
+    * are PHYSICAL names under column mapping; fall back to the logical
+    * key for tolerance of pre-convention writers). */
   private def partValue(name: String, ctx: Context): Column = {
-    val raw = element_at(col("partitionValues"), name)
+    val raw = coalesce(
+      element_at(col("partitionValues"), ctx.physOf(name)),
+      element_at(col("partitionValues"), name))
     val cleaned = when(raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
       .otherwise(raw)
     ctx.dataTypeOf(name).map(dt => cleaned.cast(dt)).getOrElse(cleaned)

@@ -78,7 +78,10 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
-  private def hasDvs: Boolean = snapshot.allFiles
+  // memoized: newScanBuilder runs once per scan of this table instance,
+  // and the probe is a metadata job — re-running it per scan would pay
+  // driver latency for an answer fixed by the (immutable) snapshot
+  private lazy val hasDvs: Boolean = snapshot.allFiles
     .where(col("deletionVector").isNotNull).limit(1).collect().nonEmpty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -51,6 +51,10 @@ class ExtensionsSpec extends AnyFunSuite {
       .sql("SELECT count(*) AS n FROM graft_cat.db.region_tbl")
       .head.getLong(0)
     assert(n0 == region.count())
+    // SQL resolution is case-insensitive (the v2 catalog contract)
+    assert(extSpark
+      .sql("SELECT count(*) AS n FROM graft_cat.DB.Region_TBL")
+      .head.getLong(0) == n0)
     // another writer commits — the NEXT lookup must see the new version
     // with zero explicit refresh (the reference's provider-swap)
     CommitWriter.append(extSpark, region.limit(2), p)

@@ -312,6 +312,83 @@ class DmlSpec extends AnyFunSuite {
     assert(math.abs(expect - got) < 1e-6)
   }
 
+  test("mapped + partitioned table: physical hive layout, correct " +
+    "partition values on read, partition-pruned DELETE") {
+    val p = tmp("mapped_part")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    CommitWriter.createTableMapped(spark, nation, p,
+      partitionColumns = Seq("n_regionkey"))
+    val snap0 = DeltaTable.forPath(spark, p)
+    // hive dirs + partitionValues key by PHYSICAL name (col-3)
+    val paths = snap0.allFiles.select("path").collect().map(_.getString(0))
+    assert(paths.nonEmpty && paths.forall(_.startsWith("col-3=")), paths.head)
+    // logical read round-trips values, partition column included
+    assert(snap0.read.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // a partition predicate prunes to the partition's files
+    val kept = graft.delta.scan.DeltaScan.prunedFiles(snap0,
+      Seq(col("n_regionkey") === 2)).count()
+    assert(kept < snap0.allFiles.count() && kept >= 1)
+    // DML: delete one region; survivors' values and partitions intact
+    DmlCommands.delete(spark, p, col("n_regionkey") === 2)
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.count() == nation.where(col("n_regionkey") =!= 2).count())
+    assert(after.where(col("n_regionkey") === 2).count() == 0)
+    assert(after.orderBy("n_nationkey").collect().toSeq ==
+      nation.where(col("n_regionkey") =!= 2)
+        .orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("MERGE upsert works on a column-mapped table") {
+    val p = tmp("merge_mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df.repartition(1), p)
+    val source = df.where(col("o_orderkey") <= 50)
+      .withColumn("o_totalprice", lit(11.25))
+      .unionByName(spark.range(1).select(
+        lit(-1L).as("o_orderkey"), lit("Z").as("o_orderstatus"),
+        lit(1.0).as("o_totalprice")))
+    graft.commands.MergeCommand.upsert(spark, p, source, Seq("o_orderkey"))
+    val after = DeltaTable.forPath(spark, p).read
+    assert(after.count() == df.count() + 1)
+    assert(after.where(col("o_orderkey") <= 50 && col("o_orderkey") >= 0)
+      .select("o_totalprice").distinct().head.getDouble(0) == 11.25)
+    assert(after.where(col("o_orderkey") === -1).count() == 1)
+    // every live file carries physical names only
+    val snap = DeltaTable.forPath(spark, p)
+    snap.allFiles.select("path").collect().map(_.getString(0)).foreach {
+      rel =>
+        val cols = spark.read.parquet(s"$p/$rel").columns.toSet
+        assert(cols == Set("col-1", "col-2", "col-3"), s"$rel: $cols")
+    }
+  }
+
+  test("CDF on a mapped table writes physical-named cdc files; the feed " +
+    "reads back logical") {
+    val p = tmp("cdf_mapped")
+    val df = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df.repartition(1), p)
+    val g = graft.GraftSession(spark)
+    g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")
+    DmlCommands.delete(spark, p, col("o_orderkey") < 20)
+    // cdc parquet carries PHYSICAL names + _change_type
+    val cdcDir = new java.io.File(p, "_change_data")
+    assert(cdcDir.isDirectory && cdcDir.listFiles().nonEmpty)
+    val cdcCols = spark.read.parquet(cdcDir.getAbsolutePath).columns.toSet
+    assert(cdcCols == Set("col-1", "col-2", "col-3", "_change_type"),
+      cdcCols.toString)
+    // the feed resolves them back to logical names
+    val feed = spark.read.format("graftdelta")
+      .option("path", p).option("startingVersion", "2")
+      .option("readChangeFeed", "true").load()
+    val deleted = feed.where(col("_change_type") === "delete")
+    assert(deleted.count() == df.where(col("o_orderkey") < 20).count())
+    assert(deleted.select("o_orderkey").collect()
+      .forall(_.getLong(0) < 20))
+  }
+
   test("DV UPDATE on a column-mapped table masks old rows, writes new " +
     "images physically named") {
     val p = tmp("dvupd_mapped")

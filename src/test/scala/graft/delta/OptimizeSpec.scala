@@ -19,6 +19,30 @@ class OptimizeSpec extends AnyFunSuite {
   private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
   private lazy val region = spark.read.parquet(s"$sf/region.parquet")
 
+  test("OPTIMIZE compacts a column-mapped partitioned table via the " +
+    "physical funnel") {
+    val p = tmp("mapped")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    CommitWriter.createTableMapped(spark, nation, p,
+      partitionColumns = Seq("n_regionkey"))
+    for (_ <- 1 to 3) CommitWriter.append(spark, nation.limit(10), p)
+    val before = DeltaTable.forPath(spark, p)
+    val beforeFiles = before.allFiles.count()
+    val expect = before.read.count()
+    graft.commands.OptimizeCommand.optimize(spark, p)
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.allFiles.count() < beforeFiles)
+    assert(after.read.count() == expect)
+    // compacted files carry physical names and physical hive dirs
+    after.allFiles.select("path").collect().map(_.getString(0)).foreach {
+      rel =>
+        assert(rel.startsWith("col-3="), rel)
+        val cols = spark.read.parquet(s"$p/$rel").columns.toSet
+        assert(cols == Set("col-1", "col-2"), s"$rel: $cols")
+    }
+  }
+
   test("OPTIMIZE compacts small files, preserves rows + history") {
     val p = tmp("basic")
     // 4 commits -> 4+ small files
