@@ -83,20 +83,7 @@ object Bench {
     // `queries`/`value`, but `stable_total` sums only this fixed list,
     // so cross-round speedup/regression reads off one number. Do NOT
     // extend this list — that is what `value` is for.
-    val stableSet = Set(
-      "deletion_vectors", "delta_scan", "file_skipping", "partition_pruning",
-      "q1_agg", "q_agg", "q_asof_join", "q_change_feed", "q_checkpoint_state",
-      "q_contamination", "q_dedup", "q_doc_rarity", "q_dup_clusters",
-      "q_edit_distance", "q_embed_near_dup", "q_embed_quantize",
-      "q_events_window", "q_join_broadcast", "q_join_inner", "q_lang_id",
-      "q_merge", "q_minhash_signatures", "q_multimodal_features",
-      "q_near_dedup", "q_ngram_jaccard", "q_pack_sequences", "q_percentile",
-      "q_range_join", "q_sim_ann_ivf", "q_sim_topk", "q_simhash", "q_sort",
-      "q_stats_agg", "q_stratified_sample", "q_stream_delta_source",
-      "q_stream_sessions", "q_stream_watermark", "q_stream_window",
-      "q_subquery_in", "q_text_stats", "q_token_count", "q_topk",
-      "q_union_all", "q_version_diff", "q_window_rank", "schema_evolution",
-      "snapshot_refresh", "time_travel", "vacuum_dry_run")
+    val stableSet = Bench.stableSet
     val stableTotal = results
       .filter(r => r.error.isEmpty && stableSet(r.name)).map(_.median).sum
     val fullJson =
@@ -268,4 +255,31 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
   }
+
+  /** FROZEN round-over-round comparison set (the 49 headline queries
+    * present in both round 4 and round 5): new queries keep landing in
+    * `queries`/`value`, but `stable_total` sums only this fixed list,
+    * so cross-round speedup/regression reads off one number. Do NOT
+    * extend this list — that is what `value` is for. */
+  private[graft] val stableSet = Set(
+    "deletion_vectors", "delta_scan", "file_skipping", "partition_pruning",
+    "q1_agg", "q_agg", "q_asof_join", "q_change_feed", "q_checkpoint_state",
+    "q_contamination", "q_dedup", "q_doc_rarity", "q_dup_clusters",
+    "q_edit_distance", "q_embed_near_dup", "q_embed_quantize",
+    "q_events_window", "q_join_broadcast", "q_join_inner", "q_lang_id",
+    "q_merge", "q_minhash_signatures", "q_multimodal_features",
+    "q_near_dedup", "q_ngram_jaccard", "q_pack_sequences", "q_percentile",
+    "q_range_join", "q_sim_ann_ivf", "q_sim_topk", "q_simhash", "q_sort",
+    "q_stats_agg", "q_stratified_sample", "q_stream_delta_source",
+    "q_stream_sessions", "q_stream_watermark", "q_stream_window",
+    "q_subquery_in", "q_text_stats", "q_token_count", "q_topk",
+    "q_union_all", "q_version_diff", "q_window_rank", "schema_evolution",
+    "snapshot_refresh", "time_travel", "vacuum_dry_run")
+
+  /** The stable set as run by the sf1 scaling snapshot
+    * ([[graft.tools.Sf1Bench]]): `vacuum_dry_run` is excluded — its
+    * fixture is the sf-INDEPENDENT shared log demo, identical at any
+    * scale, so timing it against "sf1" teaches nothing. */
+  private[graft] val stableSetForScale: Set[String] =
+    stableSet - "vacuum_dry_run"
 }

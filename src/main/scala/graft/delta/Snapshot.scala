@@ -45,10 +45,12 @@ final case class Snapshot(
       graft.delta.scan.ColumnMapping.mode(metadata) == "none" && !hasLiveDv
     if (native) {
       import org.apache.spark.sql.functions.col
-      spark.read.format("graftdelta")
-        .option("path", tablePath.toString)
-        .option("versionAsOf", version.toString)
-        .load()
+      // hand THIS snapshot to the table (one log resolution per read,
+      // not two) and the DV answer just probed (no duplicate job)
+      val table = new graft.delta.sources.GraftDeltaTable(
+        spark, tablePath.toString, Some(version),
+        preResolved = Some(this), hasDvsHint = Some(false))
+      org.apache.spark.sql.graftshim.Shims.dsv2DataFrame(spark, table)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     } else DeltaScan.build(this, Seq.empty)
   }

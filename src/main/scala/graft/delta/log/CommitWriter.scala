@@ -223,10 +223,12 @@ object CommitWriter {
     * files simply impute null for the new fields on read. Type
     * conflicts on shared columns still reject (type WIDENING remains
     * an explicit ALTER — silent widening under a flag is how mixed
-    * pipelines corrupt each other). Column-mapped tables refuse: new
-    * fields need physical-name/field-id allocation, which ALTER TABLE
-    * ADD COLUMN owns. Returns the evolved metadata, or None when the
-    * incoming schema adds nothing. */
+    * pipelines corrupt each other). On column-mapped tables the
+    * net-new fields get their physical-name/field-id allocation HERE —
+    * the same allocation ALTER TABLE ADD COLUMN performs, ids off the
+    * maxColumnId high-water mark (never reused after a DROP) — so the
+    * evolved write stays one commit. Returns the evolved metadata, or
+    * None when the incoming schema adds nothing. */
   private def mergedWriteSchema(meta: Metadata, incoming: StructType,
       op: String): Option[Metadata] = {
     def mergeStruct(table: StructType, in: StructType): StructType = {
@@ -248,12 +250,41 @@ object CommitWriter {
     }
     val evolved = mergeStruct(meta.dataSchema, incoming)
     if (evolved == meta.dataSchema) None
-    else {
-      require(graft.delta.scan.ColumnMapping.mode(meta) == "none",
-        s"$op with mergeSchema on a column-mapped table: new columns " +
-          "need physical-name/field-id allocation — use ALTER TABLE " +
-          "ADD COLUMN")
+    else if (graft.delta.scan.ColumnMapping.mode(meta) == "none")
       Some(meta.copy(schemaString = evolved.json))
+    else {
+      // fresh fields are exactly those WITHOUT mapping metadata (they
+      // came from the incoming frame); existing fields keep theirs. A
+      // fresh struct allocates ids for its children too — every field
+      // of a mapped schema must carry one.
+      var next = math.max(
+        meta.configuration.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L),
+        graft.delta.scan.ColumnMapping.maxFieldId(meta.dataSchema))
+      def alloc(f: StructField): StructField = {
+        val withChildren = f.dataType match {
+          case s: StructType => f.copy(dataType = StructType(s.fields.map(alloc)))
+          case a: ArrayType if a.elementType.isInstanceOf[StructType] =>
+            f.copy(dataType = a.copy(elementType = StructType(
+              a.elementType.asInstanceOf[StructType].fields.map(alloc))))
+          case _ => f
+        }
+        if (withChildren.metadata.contains("delta.columnMapping.id"))
+          withChildren
+        else {
+          next += 1
+          withChildren.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(withChildren.metadata)
+              .putLong("delta.columnMapping.id", next)
+              .putString("delta.columnMapping.physicalName", s"col-$next")
+              .build())
+        }
+      }
+      val allocated = StructType(evolved.fields.map(alloc))
+      Some(meta.copy(schemaString = allocated.json,
+        configuration = meta.configuration +
+          ("delta.columnMapping.maxColumnId" -> next.toString)))
     }
   }
 
@@ -1713,12 +1744,15 @@ object CommitWriter {
 
 
   /** Table-schema stats order for [[writeFiles]] — logical-name order
-    * for plain tables; mapped tables keep frame order (their frames
-    * carry physical col-N names that a logical order cannot index). */
+    * for plain tables, the PHYSICAL image of the same schema order for
+    * mapped tables (their frames carry physical names), so
+    * `dataSkippingNumIndexedCols` counts "first N columns" in schema
+    * order either way. */
   private[graft] def statsOrderOf(meta: Metadata): Seq[String] =
     if (graft.delta.scan.ColumnMapping.mode(meta) == "none")
       meta.dataSchema.fieldNames.toSeq
-    else Seq.empty
+    else meta.dataSchema.fields
+      .map(graft.delta.scan.ColumnMapping.physicalName).toSeq
 
   /** @param statsColumnOrder the TABLE schema's field order (the
     *   dataSkippingNumIndexedCols contract counts "first N columns" in

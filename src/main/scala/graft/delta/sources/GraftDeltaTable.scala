@@ -42,12 +42,19 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
     ignoreChanges: Boolean = false,
     // with versionRange: emit the derived row-level change feed
     // (_change_type insert|delete, _commit_version) instead of adds-only
-    changeFeed: Boolean = false) extends Table with SupportsRead {
+    changeFeed: Boolean = false,
+    // a caller that ALREADY resolved the snapshot (Snapshot.read's DSv2
+    // route) passes it here — one log resolution per read, not two; the
+    // DV probe hint likewise spares a duplicate metadata job
+    preResolved: Option[Snapshot] = None,
+    hasDvsHint: Option[Boolean] = None) extends Table with SupportsRead {
 
-  private[sources] lazy val snapshot: Snapshot = versionRange match {
-    case Some((_, end)) if end >= 0 => DeltaTable.forPath(spark, path, Some(end))
-    case _ => DeltaTable.forPath(spark, path, versionAsOf)
-  }
+  private[sources] lazy val snapshot: Snapshot =
+    preResolved.getOrElse(versionRange match {
+      case Some((_, end)) if end >= 0 =>
+        DeltaTable.forPath(spark, path, Some(end))
+      case _ => DeltaTable.forPath(spark, path, versionAsOf)
+    })
   private lazy val partCols = snapshot.partitionColumns
   private lazy val dataFields =
     snapshot.schema.fields.filterNot(f => partCols.contains(f.name))
@@ -81,8 +88,9 @@ final class GraftDeltaTable(spark: SparkSession, path: String,
   // memoized: newScanBuilder runs once per scan of this table instance,
   // and the probe is a metadata job — re-running it per scan would pay
   // driver latency for an answer fixed by the (immutable) snapshot
-  private lazy val hasDvs: Boolean = snapshot.allFiles
-    .where(col("deletionVector").isNotNull).limit(1).collect().nonEmpty
+  private lazy val hasDvs: Boolean = hasDvsHint.getOrElse(
+    snapshot.allFiles
+      .where(col("deletionVector").isNotNull).limit(1).collect().nonEmpty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     versionRange match {

@@ -150,4 +150,33 @@ class SkippingSpec extends AnyFunSuite {
     assert(snap.readWhere(pred: _*).count() ==
       orders.filter(pred.head).count())
   }
+
+  test("numIndexedCols counts SCHEMA order on mapped tables, even when " +
+    "the append frame arrives column-reordered") {
+    val d = Files.createTempDirectory("graft_nidx_cm").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val df = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    CommitWriter.createTableMapped(spark, df.repartition(1), p)
+    graft.GraftSession(spark).sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+      s"('${CommitWriter.DataSkippingNumIndexedColsKey}' = '1')")
+    // frame order REVERSED vs schema order: "first 1 column" must still
+    // mean o_orderkey (physical col-1), not the frame's leading column
+    CommitWriter.append(spark,
+      df.select("o_totalprice", "o_custkey", "o_orderkey").repartition(1), p)
+    val snap = DeltaTable.forPath(spark, p)
+    val lastAdd = snap.allFiles.orderBy(desc("modificationTime"))
+      .select("stats").collect()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val postCap = lastAdd.map(r => mapper.readTree(r.getString(0)))
+      .filter(n => n.get("minValues") != null && n.get("minValues").size() == 1)
+    assert(postCap.nonEmpty, "expected a capped-stats add from the append")
+    postCap.foreach { n =>
+      assert(n.get("minValues").has("col-1"),
+        s"expected stats on physical col-1 (schema-first o_orderkey): $n")
+    }
+    // and the skipping engine can use them: an o_orderkey bound prunes
+    assert(snap.readWhere(col("o_orderkey") < 0).count() == 0)
+    assert(snap.read.count() == df.count() * 2)
+  }
 }

@@ -116,6 +116,49 @@ class WriterSourceSpec extends AnyFunSuite {
       region.count() * 2)
   }
 
+  test("mergeSchema append on a COLUMN-MAPPED table allocates physical " +
+    "names/field ids in the same commit") {
+    val p = tmp("mscm")
+    val base = region.select(col("r_regionkey"), col("r_name"))
+    graft.delta.log.CommitWriter.createTableMapped(
+      spark, base.repartition(1), p)
+    val widened = base.withColumn("score", col("r_regionkey") * 10)
+    // without the opt-in: still rejected up front
+    intercept[IllegalArgumentException] {
+      graft.delta.log.CommitWriter.append(spark, widened, p)
+    }
+    graft.delta.log.CommitWriter.append(spark, widened.repartition(1), p,
+      mergeSchema = true)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.version == 1, "evolution must ride the data commit")
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name", "score"))
+    // the new field got the NEXT id off the high-water mark and the
+    // mark advanced — the same allocation ALTER TABLE ADD COLUMN does
+    val scoreF = snap.schema("score")
+    assert(scoreF.metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(scoreF.metadata.getString(
+      "delta.columnMapping.physicalName") == "col-3")
+    assert(snap.metadata.configuration(
+      "delta.columnMapping.maxColumnId") == "3")
+    // the evolved file landed under the PHYSICAL name
+    val newest = snap.allFiles.select("path").collect().map(_.getString(0))
+      .filter(rel => spark.read.parquet(s"$p/$rel").columns.contains("col-3"))
+    assert(newest.nonEmpty, "expected the evolved add to carry col-3")
+    // reads: old files impute null, values come back under logical names
+    val out = snap.read
+    assert(out.count() == region.count() * 2)
+    assert(out.where(col("score").isNull).count() == region.count())
+    assert(out.where(col("score") === col("r_regionkey") * 10).count() ==
+      region.count())
+    // a later ADD COLUMN keeps allocating past the mark (no collision)
+    graft.GraftSession(spark).sql(
+      s"ALTER TABLE '$p' ADD COLUMN extra INT")
+    val after = DeltaTable.forPath(spark, p)
+    assert(after.schema("extra").metadata
+      .getString("delta.columnMapping.physicalName") == "col-4")
+  }
+
   test("mergeSchema overwrite replaces data but keeps old columns") {
     val p = tmp("mso")
     region.select(col("r_regionkey"), col("r_name")).write
