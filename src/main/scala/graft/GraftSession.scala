@@ -249,6 +249,32 @@ final class GraftSession(val spark: SparkSession) {
         case Some(sql) => s"set default ${field.name} = $sql"
         case None => s"dropped default ${field.name}"
       }, v)
+    case ShowPartitionsStatement(table) =>
+      // distinct live partitions straight off the log inventory —
+      // O(files) metadata, zero data read; on a 100 TB table this is
+      // the replay cache, not a scan. Spark's display convention: one
+      // `partition` string column, `k1=v1/k2=v2`, nulls shown as the
+      // Hive default-partition sentinel. partitionValues keys follow
+      // the protocol: PHYSICAL names under column mapping, with a
+      // logical-key fallback for pre-convention writers.
+      val snap = graft.delta.DeltaTable.forPath(spark,
+        resolveTablePath(table))
+      val partCols = snap.partitionColumns
+      require(partCols.nonEmpty,
+        s"SHOW PARTITIONS: ${resolveTablePath(table)} is not a " +
+          "partitioned table")
+      import org.apache.spark.sql.functions.{coalesce, concat, concat_ws, element_at, lit}
+      val pieces = partCols.map { c =>
+        val phys = graft.delta.scan.ColumnMapping
+          .physicalPartitionName(snap.metadata, c)
+        concat(lit(s"$c="), coalesce(
+          element_at(org.apache.spark.sql.functions.col("partitionValues"), phys),
+          element_at(org.apache.spark.sql.functions.col("partitionValues"), c),
+          lit("__HIVE_DEFAULT_PARTITION__")))
+      }
+      snap.allFiles
+        .select(concat_ws("/", pieces: _*).as("partition"))
+        .distinct().orderBy("partition")
     case ShowTblPropertiesStatement(table) =>
       val snap = graft.delta.DeltaTable.forPath(spark,
         resolveTablePath(table))
@@ -520,6 +546,11 @@ object GraftSession {
       org.apache.spark.sql.types.StructField("key",
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  val showPartitionsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition",
         org.apache.spark.sql.types.StringType, nullable = false)))
 
   val showCatalogsSchema: org.apache.spark.sql.types.StructType =

@@ -930,6 +930,17 @@ object DeltaQueries {
         .orderBy("o_orderkey")
     },
 
+    // SHOW PARTITIONS: the distinct live partitions straight off the
+    // log's file inventory (Spark's `k=v` display convention) — zero
+    // data files read, O(files) metadata; the oracle recomputes the
+    // same listing relationally from the raw table.
+    Q("q_show_partitions",
+      """SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS "partition"
+        |FROM orders ORDER BY "partition" NULLS LAST""".stripMargin) { (s, dir) =>
+      val path = partitionedTable(s, dir)
+      new graft.GraftSession(s).sql(s"SHOW PARTITIONS '$path'")
+    },
+
     // Dynamic partition pruning through the native DSv2 path: the fact
     // side's partitions prune at RUNTIME from the dim side's surviving
     // join keys (RuntimeFilteredParquetScan — Spark's own ParquetScan

@@ -154,6 +154,8 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case ShowCatalogsStatement => graft.GraftSession.showCatalogsSchema
       case _: ShowTblPropertiesStatement =>
         graft.GraftSession.tblPropertiesSchema
+      case _: ShowPartitionsStatement =>
+        graft.GraftSession.showPartitionsSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

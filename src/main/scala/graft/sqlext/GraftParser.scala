@@ -81,6 +81,11 @@ object GraftParser {
   /** SHOW TBLPROPERTIES <ref>: (key, value) rows, sorted. */
   final case class ShowTblPropertiesStatement(table: String)
     extends Statement
+  /** SHOW PARTITIONS <ref>: the distinct live partitions straight off
+    * the log's file inventory — one `partition` string column in
+    * Spark's `k1=v1/k2=v2` display convention, zero data files read. */
+  final case class ShowPartitionsStatement(table: String)
+    extends Statement
   final case class DeleteStatement(table: String,
       whereSql: Option[String]) extends Statement
   final case class UpdateStatement(table: String,
@@ -194,6 +199,9 @@ object GraftParser {
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("TBLPROPERTIES") =>
         Some(ShowTblPropertiesStatement(parseTableRef(toks.drop(2))))
+      case w: Word if w.upper == "SHOW" &&
+          wordAt(toks, 1).contains("PARTITIONS") =>
+        Some(ShowPartitionsStatement(parseTableRef(toks.drop(2))))
       case w: Word if w.upper == "CONVERT" =>
         Some(parseConvert(toks.tail))
       case w: Word if w.upper == "ALTER" &&

@@ -96,6 +96,36 @@ class ExtensionsSpec extends AnyFunSuite {
       .metadata.configuration("delta.appendOnly") == "true")
   }
 
+  test("plain spark.sql runs SHOW PARTITIONS via injected parser " +
+    "(metadata-only listing, mapped tables use physical keys)") {
+    val d = Files.createTempDirectory("graft_ext_showpart").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val nation = TestSpark.spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    CommitWriter.createTable(extSpark, nation, p,
+      partitionColumns = Seq("n_regionkey"))
+    val parts = extSpark.sql(s"SHOW PARTITIONS '$p'").collect()
+      .map(_.getString(0))
+    val expected = nation.select("n_regionkey").distinct().collect()
+      .map(r => s"n_regionkey=${r.get(0)}").sorted
+    assert(parts.toSeq == expected.toSeq)
+    // column-mapped partitioned table: partitionValues are keyed by
+    // physical col-N names in the log; the listing must still show
+    // logical names and the same values
+    val pm = new java.io.File(d, "tbl_cm").getAbsolutePath
+    CommitWriter.createTableMapped(extSpark, nation, pm,
+      partitionColumns = Seq("n_regionkey"))
+    assert(extSpark.sql(s"SHOW PARTITIONS '$pm'").collect()
+      .map(_.getString(0)).toSeq == expected.toSeq)
+    // unpartitioned tables refuse rather than returning an empty list
+    val up = new java.io.File(d, "tbl_up").getAbsolutePath
+    CommitWriter.createTable(extSpark, nation, up)
+    val e = intercept[Exception] {
+      extSpark.sql(s"SHOW PARTITIONS '$up'").collect()
+    }
+    assert(e.getMessage.contains("not a partitioned table"))
+  }
+
   test("plain spark.sql runs VACUUM DRY RUN via injected parser") {
     val d = Files.createTempDirectory("graft_ext_vac").toFile
     d.deleteOnExit()
