@@ -364,6 +364,15 @@ final class GraftSession(val spark: SparkSession) {
             "mark are fixed at table creation (changing them would " +
             "orphan or resurrect physical columns)")
       }
+      // dataSkippingStatsColumns must name real, non-partition columns
+      // NOW — a typo discovered at write time would silently stop
+      // indexing stats instead of failing the ALTER
+      props.collect {
+        case (graft.delta.log.CommitWriter.DataSkippingStatsColumnsKey,
+            spec) =>
+          graft.delta.log.CommitWriter.validateStatsColumns(spec,
+            snap.metadata.dataSchema, snap.partitionColumns)
+      }
       // enabling row tracking mid-life takes the backfill path: one
       // metadata-only commit stamping every live file's baseRowId from
       // its stats (no data rewrite), features + mark + property atomic

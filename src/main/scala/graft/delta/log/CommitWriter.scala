@@ -53,10 +53,13 @@ object CommitWriter {
       partitionColumns = partCols,
       configuration = configuration,
       createdTime = Some(System.currentTimeMillis()))
+    configuration.get(DataSkippingStatsColumnsKey)
+      .foreach(validateStatsColumns(_, df.schema, partCols))
     // founding rows must honor delta.constraints.* passed at creation
     // (CTAS TBLPROPERTIES) exactly like every later write path does
     val rawAdds = writeFiles(spark, Constraints.enforce(df, meta),
-      tablePath, partCols, configuration = configuration)
+      tablePath, partCols, configuration = configuration,
+      statsColumnOrder = statsOrderOf(meta))
     // a table born with a feature-gated property must declare the
     // feature from version 0 (a legacy reader would otherwise silently
     // resurrect DV-deleted rows; a legacy writer would skip ICTs)
@@ -677,9 +680,11 @@ object CommitWriter {
       schemaString = df.schema.json,
       partitionColumns = partCols,
       configuration = configuration)
+    configuration.get(DataSkippingStatsColumnsKey)
+      .foreach(validateStatsColumns(_, df.schema, partCols))
     val adds = writeFiles(spark, Constraints.enforce(df, meta), tablePath,
       partCols, configuration = configuration,
-      statsColumnOrder = df.schema.fieldNames.toSeq)
+      statsColumnOrder = statsOrderOf(meta))
     var proto = featureGatedProtocol(snap.protocol, configuration)
     val clusterActions =
       if (clusterCols.nonEmpty) {
@@ -1737,6 +1742,34 @@ object CommitWriter {
     * in the skipping engine, so the cap is always safe. */
   final val DataSkippingNumIndexedColsKey = "delta.dataSkippingNumIndexedCols"
   final val DefaultDataSkippingNumIndexedCols = 32
+  /** `delta.dataSkippingStatsColumns` (delta-spark parity): an EXPLICIT
+    * comma-separated list of the columns to index min/max/nullCount
+    * stats for, overriding the positional first-N rule entirely. The
+    * 100 TB use: a wide table whose filter columns are NOT its leading
+    * columns (event payloads, feature stores) indexes exactly the
+    * filtered columns and nothing else — log size tracks what queries
+    * prune on, not schema position. Declared names are validated at
+    * SET TBLPROPERTIES / CREATE; partition columns are rejected (their
+    * pruning comes from partitionValues, never stats). */
+  final val DataSkippingStatsColumnsKey = "delta.dataSkippingStatsColumns"
+
+  /** Parse + validate a `delta.dataSkippingStatsColumns` spec against a
+    * table schema; returns the declared logical names. */
+  def validateStatsColumns(spec: String, schema: StructType,
+      partitionColumns: Seq[String]): Seq[String] = {
+    val names = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(names.nonEmpty, s"$DataSkippingStatsColumnsKey is empty")
+    val fields = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val partLower = partitionColumns.map(_.toLowerCase).toSet
+    names.foreach { n =>
+      require(fields.contains(n.toLowerCase),
+        s"$DataSkippingStatsColumnsKey: no such column $n")
+      require(!partLower(n.toLowerCase),
+        s"$DataSkippingStatsColumnsKey: $n is a partition column — " +
+          "partition pruning comes from partitionValues, not stats")
+    }
+    names
+  }
   /** Comma-separated column names that get parquet-level bloom filters
     * on every write (engine-specific key — the delta.* namespace is
     * reserved for spec'd properties). */
@@ -1748,11 +1781,21 @@ object CommitWriter {
     * mapped tables (their frames carry physical names), so
     * `dataSkippingNumIndexedCols` counts "first N columns" in schema
     * order either way. */
-  private[graft] def statsOrderOf(meta: Metadata): Seq[String] =
+  private[graft] def statsOrderOf(meta: Metadata): Seq[String] = {
+    // explicit stats columns (dataSkippingStatsColumns) narrow the
+    // selection to the declared names — kept in SCHEMA order so the
+    // stats JSON stays deterministic regardless of declaration order
+    val fields = meta.configuration.get(DataSkippingStatsColumnsKey) match {
+      case Some(spec) =>
+        val want = spec.split(",").map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSet
+        meta.dataSchema.fields.filter(f => want(f.name.toLowerCase)).toSeq
+      case None => meta.dataSchema.fields.toSeq
+    }
     if (graft.delta.scan.ColumnMapping.mode(meta) == "none")
-      meta.dataSchema.fieldNames.toSeq
-    else meta.dataSchema.fields
-      .map(graft.delta.scan.ColumnMapping.physicalName).toSeq
+      fields.map(_.name)
+    else fields.map(graft.delta.scan.ColumnMapping.physicalName)
+  }
 
   /** @param statsColumnOrder the TABLE schema's field order (the
     *   dataSkippingNumIndexedCols contract counts "first N columns" in
@@ -1827,8 +1870,14 @@ object CommitWriter {
          statsColumnOrder.flatMap(n => dfCols.get(n.toLowerCase))
        else df.schema.fieldNames.toSeq)
         .filterNot(partitionColumns.contains)
+    // an explicit dataSkippingStatsColumns list (already applied by the
+    // caller's statsColumnOrder via statsOrderOf) overrides the
+    // positional first-N cap — the user named the columns; capping by
+    // count on top would silently drop some of them
     val dataCols =
-      if (numIndexed < 0) allDataCols else allDataCols.take(numIndexed)
+      if (numIndexed < 0 ||
+          configuration.contains(DataSkippingStatsColumnsKey)) allDataCols
+      else allDataCols.take(numIndexed)
     val statsByFile = computeStats(spark, staging.toString, dataCols.toIndexedSeq, df.schema)
 
     // a part file absent from the stats pass has ZERO rows (the group-by

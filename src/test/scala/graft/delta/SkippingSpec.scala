@@ -151,6 +151,55 @@ class SkippingSpec extends AnyFunSuite {
       orders.filter(pred.head).count())
   }
 
+  test("dataSkippingStatsColumns indexes exactly the declared columns, " +
+    "overriding the positional cap; bad names refuse at ALTER") {
+    val d = Files.createTempDirectory("graft_statscols").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val df = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    // declared at CREATE: only the LAST schema column is indexed —
+    // under the positional rule it would have been all three
+    CommitWriter.createTable(spark, df.repartition(1), p,
+      configuration = Map(
+        CommitWriter.DataSkippingStatsColumnsKey -> "o_totalprice"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def statKeys(path: String): Seq[Set[String]] =
+      DeltaTable.forPath(spark, path).allFiles.select("stats").collect()
+        .map { r =>
+          val n = mapper.readTree(r.getString(0)).get("minValues")
+          val it = n.fieldNames()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }.toSeq
+    assert(statKeys(p).forall(_ == Set("o_totalprice")))
+    // the skipping engine prunes on the indexed column...
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.readWhere(col("o_totalprice") < -1).count() == 0)
+    // ...and KEEPS files for the unindexed one (absent stats = keep)
+    assert(snap.readWhere(col("o_orderkey") >= 0).count() == df.count())
+    // typos and partition columns refuse at ALTER time, not write time
+    val g = graft.GraftSession(spark)
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+        s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'no_such')")
+    }
+    val pp = new java.io.File(d, "tblp").getAbsolutePath
+    CommitWriter.createTable(spark, orders.repartition(1), pp,
+      partitionColumns = Seq("o_orderstatus"))
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$pp' SET TBLPROPERTIES " +
+        s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'o_orderstatus')")
+    }
+    // a valid mid-life ALTER narrows stats for SUBSEQUENT writes
+    g.sql(s"ALTER TABLE '$pp' SET TBLPROPERTIES " +
+      s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'o_orderkey')")
+    CommitWriter.append(spark, orders.repartition(1), pp)
+    val keysAfter = statKeys(pp)
+    assert(keysAfter.exists(_ == Set("o_orderkey")),
+      s"expected a narrowed-stats add: $keysAfter")
+  }
+
   test("numIndexedCols counts SCHEMA order on mapped tables, even when " +
     "the append frame arrives column-reordered") {
     val d = Files.createTempDirectory("graft_nidx_cm").toFile
