@@ -249,6 +249,8 @@ final class GraftSession(val spark: SparkSession) {
         case Some(sql) => s"set default ${field.name} = $sql"
         case None => s"dropped default ${field.name}"
       }, v)
+    case AnalyzeTableStatement(table) =>
+      graft.commands.AnalyzeCommand.run(spark, resolveTablePath(table))
     case ShowPartitionsStatement(table) =>
       // distinct live partitions straight off the log inventory —
       // O(files) metadata, zero data read; on a 100 TB table this is

@@ -1797,6 +1797,22 @@ object CommitWriter {
     else fields.map(graft.delta.scan.ColumnMapping.physicalName)
   }
 
+  /** The columns a write on this table WOULD index stats for — the
+    * same selection [[writeFiles]] applies (schema order, explicit
+    * dataSkippingStatsColumns override, else the first-N positional
+    * cap), resolved against the table metadata alone. ANALYZE uses it
+    * as the target coverage set. */
+  private[graft] def selectedStatsColumns(meta: Metadata): Seq[String] = {
+    val numIndexed = meta.configuration.get(DataSkippingNumIndexedColsKey)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(DefaultDataSkippingNumIndexedCols)
+    val all = statsOrderOf(meta)
+      .filterNot(physicalPartitionColumns(meta).contains)
+    if (numIndexed < 0 ||
+        meta.configuration.contains(DataSkippingStatsColumnsKey)) all
+    else all.take(numIndexed)
+  }
+
   /** @param statsColumnOrder the TABLE schema's field order (the
     *   dataSkippingNumIndexedCols contract counts "first N columns" in
     *   schema order, not in whatever order this writer's frame happens
@@ -1945,15 +1961,34 @@ object CommitWriter {
   /** One distributed pass computing per-file numRecords / minValues /
     * maxValues / nullCount for the eligible leaf columns. */
   private[graft] def computeStats(spark: SparkSession, stagingDir: String,
-      dataCols: Seq[String], schema: StructType): Map[String, String] = {
-    val eligible = dataCols.filter { c =>
+      dataCols: Seq[String], schema: StructType): Map[String, String] =
+    computeStatsForRead(spark.read.parquet(stagingDir), dataCols, schema)
+
+  /** Stats for an EXPLICIT file list read under a declared schema —
+    * the ANALYZE path: files written before a schema evolution simply
+    * impute null for the missing columns (their nullCount equals
+    * numRecords, min/max absent — exactly what a reader observes). */
+  private[graft] def computeStatsForPaths(spark: SparkSession,
+      paths: Seq[String], dataCols: Seq[String],
+      schema: StructType): Map[String, String] =
+    computeStatsForRead(
+      spark.read.schema(schema).parquet(paths: _*), dataCols, schema)
+
+  /** Which of `dataCols` can carry min/max/nullCount stats at all
+    * (shared by the write path and ANALYZE's needs-recompute test). */
+  private[graft] def statsEligible(dataCols: Seq[String],
+      schema: StructType): Seq[String] =
+    dataCols.filter { c =>
       schema(c).dataType match {
         case _: NumericType | StringType | DateType | BooleanType |
              TimestampType | TimestampNTZType => true
         case _ => false
       }
     }
-    val read = spark.read.parquet(stagingDir)
+
+  private def computeStatsForRead(read: DataFrame,
+      dataCols: Seq[String], schema: StructType): Map[String, String] = {
+    val eligible = statsEligible(dataCols, schema)
     val aggs =
       eligible.flatMap { c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),

@@ -307,6 +307,26 @@ object DeltaQueries {
     IdentityDemoPath
   }
 
+  /** A stats-less history repaired by ANALYZE: ranged commits written
+    * under dataSkippingNumIndexedCols=0 (numRecords-only stats — the
+    * foreign/minimal-writer shape), the cap then lifted and
+    * ANALYZE TABLE recollecting column stats without rewriting data. */
+  def analyzedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "analyzed") { p =>
+      val o = orders(s, sfDir)
+      val mid = o.agg(expr("percentile(o_orderkey, 0.5)")).head().getDouble(0)
+      CommitWriter.createTable(s,
+        o.filter(col("o_orderkey") <= mid).repartition(2), p,
+        configuration = Map(
+          CommitWriter.DataSkippingNumIndexedColsKey -> "0"))
+      CommitWriter.append(s,
+        o.filter(col("o_orderkey") > mid).repartition(2), p)
+      val g = new graft.GraftSession(s)
+      g.sql(s"ALTER TABLE '$p' SET TBLPROPERTIES " +
+        s"('${CommitWriter.DataSkippingNumIndexedColsKey}' = '32')")
+      g.sql(s"ANALYZE TABLE '$p' COMPUTE DELTA STATISTICS")
+    }
+
   /** 4 commits with disjoint o_orderkey ranges → 4+ files with disjoint
     * min/max stats (file-skipping target). */
   def rangedTable(s: SparkSession, sfDir: String): String =
@@ -916,6 +936,21 @@ object DeltaQueries {
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val snap = DeltaTable.forPath(s, rangedTable(s, dir))
       snap.readWhere(col("o_orderkey") <= 100 || col("o_orderkey") >= 14900)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ANALYZE TABLE COMPUTE STATISTICS: a table whose history carries
+    // numRecords-only stats (dataSkippingNumIndexedCols=0 at write — the
+    // foreign/minimal-writer shape) has its column stats recollected by
+    // one metadata commit, no data rewritten; the oracle gates the full
+    // read path over the repaired end state (stats-driven pruning
+    // itself is asserted in AnalyzeSpec).
+    Q("q_analyze",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = DeltaTable.forPath(s, analyzedTable(s, dir))
+      snap.readWhere(col("o_orderkey") <= 200)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     },

@@ -156,6 +156,7 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
         graft.GraftSession.tblPropertiesSchema
       case _: ShowPartitionsStatement =>
         graft.GraftSession.showPartitionsSchema
+      case _: AnalyzeTableStatement => VacuumCommand.metricsSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

@@ -86,6 +86,10 @@ object GraftParser {
     * Spark's `k1=v1/k2=v2` display convention, zero data files read. */
   final case class ShowPartitionsStatement(table: String)
     extends Statement
+  /** ANALYZE TABLE <ref> COMPUTE [DELTA] STATISTICS
+    * ([[graft.commands.AnalyzeCommand]]). */
+  final case class AnalyzeTableStatement(table: String)
+    extends Statement
   final case class DeleteStatement(table: String,
       whereSql: Option[String]) extends Statement
   final case class UpdateStatement(table: String,
@@ -202,6 +206,21 @@ object GraftParser {
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("PARTITIONS") =>
         Some(ShowPartitionsStatement(parseTableRef(toks.drop(2))))
+      case w: Word if w.upper == "ANALYZE" &&
+          wordAt(toks, 1).contains("TABLE") =>
+        // only PATH-addressed targets are ours — `ANALYZE TABLE name
+        // COMPUTE STATISTICS` on a catalog table is valid vanilla
+        // Spark SQL and must keep delegating (CTAS precedent)
+        val (table, rest) = parseTableRefAndRest(toks.drop(2))
+        if (!table.contains("/")) None
+        else {
+          val tail = rest.collect { case t: Word => t.upper }
+          if (tail != Seq("COMPUTE", "STATISTICS") &&
+              tail != Seq("COMPUTE", "DELTA", "STATISTICS"))
+            throw new ParseException(
+              "expected ANALYZE TABLE <t> COMPUTE [DELTA] STATISTICS")
+          Some(AnalyzeTableStatement(table))
+        }
       case w: Word if w.upper == "CONVERT" =>
         Some(parseConvert(toks.tail))
       case w: Word if w.upper == "ALTER" &&

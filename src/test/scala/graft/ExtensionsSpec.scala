@@ -178,6 +178,17 @@ class ExtensionsSpec extends AnyFunSuite {
     // injected wiring (the GraftCommand.output match must know them)
     extSpark.sql(s"ALTER TABLE '$p' ALTER COLUMN o_custkey SET DEFAULT 1")
     assert(extSpark.sql(s"SHOW TBLPROPERTIES '$p'").collect() != null)
+    // ANALYZE on a PATH is ours (idempotent here: stats were written)
+    val an = extSpark.sql(s"ANALYZE TABLE '$p' COMPUTE DELTA STATISTICS")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(an("files_analyzed").toInt == 0)
+    // ...but a catalog NAME keeps delegating to vanilla Spark (whose
+    // own error proves our parser did not intercept it)
+    val e = intercept[Exception] {
+      extSpark.sql("ANALYZE TABLE graft_no_such_tbl COMPUTE STATISTICS")
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("cannot be found"))
   }
 
   test("INSERT INTO ... REPLACE WHERE runs through the injected parser; " +
