@@ -54,7 +54,18 @@ object OptimizeCommand {
     * Sorting the rewrite by this value clusters correlated ranges into
     * the same files, which is what makes min/max file skipping effective
     * on multiple columns at once. */
-  private def zorderValue(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** `graft.clustering.curve` (engine-specific key): how a clustered
+    * table's policy-driven OPTIMIZE linearizes its clustering columns —
+    * `zorder` (default, bit interleave) or `hilbert` (continuous
+    * curve: consecutive positions are adjacent cells, so equal-size
+    * file runs tile the space into tighter per-file bounding boxes and
+    * multi-column range predicates prune more files — see
+    * [[graft.operators.HilbertCurve]]). An EXPLICIT `ZORDER BY` always
+    * means z-order; the property only steers the recorded-policy path. */
+  final val ClusteringCurveKey = "graft.clustering.curve"
+
+  private def zorderValue(df: DataFrame, cols: Seq[String],
+      curve: String = "zorder"): DataFrame = {
     require(cols.nonEmpty && cols.length * ZBits < 63,
       s"ZORDER BY supports up to 7 columns, got ${cols.length}")
     val buckets = 1 << ZBits
@@ -70,15 +81,23 @@ object OptimizeCommand {
         aggregate(typedLit(bnds), lit(0),
           (acc, b) => acc + when(col(s"__zp_$i") >= b, 1).otherwise(0)))
     }
-    // interleave bit b of every column: position b*n + i
-    val n = cols.length
-    val interleaved = (0 until ZBits).flatMap { b =>
-      (0 until n).map { i =>
-        (shiftright(col(s"__rank_$i"), b) % 2).cast("long") *
-          lit(1L << (b * n + i))
-      }
-    }.reduce(_ + _)
-    ranked.withColumn("__z", interleaved)
+    val key = curve match {
+      case "hilbert" =>
+        graft.functions.HilbertFunctions.hilbertIndex(ZBits,
+          cols.indices.map(i => col(s"__rank_$i")): _*)
+      case "zorder" =>
+        // interleave bit b of every column: position b*n + i
+        val n = cols.length
+        (0 until ZBits).flatMap { b =>
+          (0 until n).map { i =>
+            (shiftright(col(s"__rank_$i"), b) % 2).cast("long") *
+              lit(1L << (b * n + i))
+          }
+        }.reduce(_ + _)
+      case other => throw new IllegalArgumentException(
+        s"$ClusteringCurveKey must be zorder or hilbert, got $other")
+    }
+    ranked.withColumn("__z", key)
   }
 
   private def zorderHelperCols(cols: Seq[String]): Seq[String] =
@@ -240,8 +259,14 @@ object OptimizeCommand {
     val rewritten =
       if (effZorder.isEmpty) base.coalesce(chunks)
       else {
+        // explicit ZORDER BY means z-order; the policy path follows the
+        // table's declared curve (zorder default, hilbert opt-in)
+        val curve =
+          if (zorderBy.nonEmpty) "zorder"
+          else snap.metadata.configuration
+            .getOrElse(ClusteringCurveKey, "zorder")
         val keys = partCols.map(col) :+ col("__z")
-        zorderValue(base, effZorder)
+        zorderValue(base, effZorder, curve)
           .repartitionByRange(chunks, keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop(zorderHelperCols(effZorder): _*)
