@@ -71,6 +71,7 @@ final class GraftSession(val spark: SparkSession) {
       val schema = snap.schema
       require(schema.fieldNames.contains(from), s"no such column: $from")
       require(!schema.fieldNames.contains(to), s"column exists: $to")
+      requireNotInColumnLists(snap.metadata, from, "RENAME COLUMN")
       val renamed = org.apache.spark.sql.types.StructType(
         schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
       val v = graft.delta.log.CommitWriter.commitMetadata(spark, path,
@@ -121,6 +122,7 @@ final class GraftSession(val spark: SparkSession) {
       require(snap.schema.fields.length > 1, "cannot drop the last column")
       require(!snap.partitionColumns.contains(name),
         "cannot drop a partition column")
+      requireNotInColumnLists(snap.metadata, name, "DROP COLUMN")
       // backfill the id high-water mark from the PRE-drop schema: for
       // tables created before maxColumnId tracking, this is the last
       // moment the dropped field's id is still visible — without it a
@@ -540,6 +542,26 @@ final class GraftSession(val spark: SparkSession) {
   private def resolveMergeSource(source: String): DataFrame =
     if (source.contains("/")) spark.read.parquet(source)
     else spark.table(source)
+
+  /** RENAME/DROP COLUMN must not leave a dangling name inside a
+    * column-list table property: `dataSkippingStatsColumns` would then
+    * match NOTHING — every later write silently stops indexing stats
+    * and ANALYZE sees an empty target, so skipping on the renamed
+    * filter column quietly dies — and a declared bloom-filter column
+    * would likewise silently stop materializing. The ALTER fails
+    * loudly; re-point the property first. */
+  private def requireNotInColumnLists(meta: graft.delta.log.Actions.Metadata,
+      column: String, op: String): Unit = {
+    import graft.delta.log.CommitWriter.{BloomFilterColumnsKey, DataSkippingStatsColumnsKey}
+    for (key <- Seq(DataSkippingStatsColumnsKey, BloomFilterColumnsKey);
+         spec <- meta.configuration.get(key)) {
+      val hit = spec.split(",").map(_.trim)
+        .exists(_.equalsIgnoreCase(column))
+      require(!hit, s"$op $column: the column is named in $key = " +
+        s"'$spec' — update that property first (a dangling name would " +
+        "silently stop indexing)")
+    }
+  }
 
   private def resolveTablePath(table: String): String =
     if (table.contains("/") || table.contains(":")) table

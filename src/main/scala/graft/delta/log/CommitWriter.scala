@@ -1767,6 +1767,15 @@ object CommitWriter {
       require(!partLower(n.toLowerCase),
         s"$DataSkippingStatsColumnsKey: $n is a partition column — " +
           "partition pruning comes from partitionValues, not stats")
+      // a type the stats pass cannot index (binary/array/map/struct)
+      // would be accepted here and then silently never indexed — the
+      // exact quiet failure this validation exists to catch
+      val resolved = fields(n.toLowerCase)
+      require(statsEligible(Seq(resolved), schema).nonEmpty,
+        s"$DataSkippingStatsColumnsKey: $n " +
+          s"(${schema(resolved).dataType.catalogString}) cannot carry " +
+          "min/max stats — only numeric, string, boolean, date and " +
+          "timestamp columns are indexable")
     }
     names
   }

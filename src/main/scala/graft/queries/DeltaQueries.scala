@@ -1501,12 +1501,6 @@ object DeltaQueries {
         .orderBy("c_custkey")
     },
 
-    // Clustered table end-to-end: CREATE ... clusterBy records the
-    // policy, a BARE OPTIMIZE re-clusters by it. The oracle recomputes
-    // the row count relationally AND re-derives the file metrics from
-    // the fixture's raw log JSON — the skipping engine's kept-file
-    // count must equal what raw min/max stats say, an independent
-    // cross-check of stats-based pruning over the clustered layout.
     // Hilbert-clustered layout read back through the skipping engine:
     // a 2-column range predicate over the curve-ordered files — content
     // must be identical to the relational answer regardless of how the
@@ -1523,6 +1517,12 @@ object DeltaQueries {
         .orderBy("o_orderkey")
     },
 
+    // Clustered table end-to-end: CREATE ... clusterBy records the
+    // policy, a BARE OPTIMIZE re-clusters by it. The oracle recomputes
+    // the row count relationally AND re-derives the file metrics from
+    // the fixture's raw log JSON — the skipping engine's kept-file
+    // count must equal what raw min/max stats say, an independent
+    // cross-check of stats-based pruning over the clustered layout.
     Q("q_cluster_optimize",
       s"""WITH acts AS (
          |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1)

@@ -88,7 +88,14 @@ final class GraftParserInterface(delegate: ParserInterface)
       case Some(stmt) => GraftCommand(stmt)
       case None => delegate.parsePlan(sqlText)
     } catch {
-      case _: GraftParser.ParseException => delegate.parsePlan(sqlText)
+      case pe: GraftParser.ParseException =>
+        // extension grammar first, Spark otherwise — but if the
+        // delegate ALSO rejects the text, our (specific) diagnosis
+        // rides along instead of vanishing behind the generic one
+        try delegate.parsePlan(sqlText)
+        catch {
+          case e: Exception => e.addSuppressed(pe); throw e
+        }
     }
 
   override def parseExpression(sqlText: String): Expression =

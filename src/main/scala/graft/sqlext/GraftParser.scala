@@ -205,7 +205,18 @@ object GraftParser {
         Some(ShowTblPropertiesStatement(parseTableRef(toks.drop(2))))
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("PARTITIONS") =>
-        Some(ShowPartitionsStatement(parseTableRef(toks.drop(2))))
+        // only PATH-addressed targets are ours — `SHOW PARTITIONS
+        // db.tbl` on a catalog table is valid vanilla Spark SQL and
+        // must keep delegating; a trailing PARTITION(spec) filter is
+        // not supported, so refuse it rather than silently returning
+        // the unfiltered listing
+        val (table, rest) = parseTableRefAndRest(toks.drop(2))
+        if (!table.contains("/")) None
+        else if (rest.nonEmpty)
+          throw new ParseException(
+            "SHOW PARTITIONS takes no clauses after the table " +
+              "reference (PARTITION(...) filters are not supported)")
+        else Some(ShowPartitionsStatement(table))
       case w: Word if w.upper == "ANALYZE" &&
           wordAt(toks, 1).contains("TABLE") =>
         // only PATH-addressed targets are ours — `ANALYZE TABLE name

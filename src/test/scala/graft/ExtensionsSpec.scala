@@ -124,6 +124,19 @@ class ExtensionsSpec extends AnyFunSuite {
       extSpark.sql(s"SHOW PARTITIONS '$up'").collect()
     }
     assert(e.getMessage.contains("not a partitioned table"))
+    // a catalog NAME keeps delegating to vanilla Spark (its own
+    // TABLE_OR_VIEW_NOT_FOUND proves our parser stayed out of the way)
+    val ce = intercept[Exception] {
+      extSpark.sql("SHOW PARTITIONS graft_no_such_showpart")
+    }
+    assert(ce.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      ce.getMessage.contains("cannot be found"))
+    // trailing clauses refuse instead of silently ignoring the filter
+    val pe = intercept[Exception] {
+      graft.GraftSession(extSpark)
+        .sql(s"SHOW PARTITIONS '$p' PARTITION (n_regionkey = 1)")
+    }
+    assert(pe.getMessage.contains("no clauses after"))
   }
 
   test("plain spark.sql runs VACUUM DRY RUN via injected parser") {

@@ -191,6 +191,30 @@ class SkippingSpec extends AnyFunSuite {
       g.sql(s"ALTER TABLE '$pp' SET TBLPROPERTIES " +
         s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'o_orderstatus')")
     }
+    // non-indexable types refuse too (a silently-unindexed declaration
+    // is the failure mode this validation exists for)
+    val pa = new java.io.File(d, "tbla").getAbsolutePath
+    CommitWriter.createTable(spark,
+      df.withColumn("vec", array(col("o_orderkey"))).repartition(1), pa)
+    val te = intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$pa' SET TBLPROPERTIES " +
+        s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'vec')")
+    }
+    assert(te.getMessage.contains("cannot carry"))
+    // RENAME/DROP of a declared stats column refuses instead of leaving
+    // a dangling name that would silently stop indexing
+    val pm = new java.io.File(d, "tblm").getAbsolutePath
+    CommitWriter.createTableMapped(spark, df.repartition(1), pm)
+    g.sql(s"ALTER TABLE '$pm' SET TBLPROPERTIES " +
+      s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'o_custkey')")
+    val re = intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$pm' RENAME COLUMN o_custkey TO ck")
+    }
+    assert(re.getMessage.contains(CommitWriter.DataSkippingStatsColumnsKey))
+    val de = intercept[IllegalArgumentException] {
+      g.sql(s"ALTER TABLE '$pm' DROP COLUMN o_custkey")
+    }
+    assert(de.getMessage.contains("update that property first"))
     // a valid mid-life ALTER narrows stats for SUBSEQUENT writes
     g.sql(s"ALTER TABLE '$pp' SET TBLPROPERTIES " +
       s"('${CommitWriter.DataSkippingStatsColumnsKey}' = 'o_orderkey')")
