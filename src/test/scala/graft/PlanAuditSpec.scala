@@ -39,6 +39,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_show_partitions: the listing is served from log metadata, " +
+    "no data-file scan") {
+    val df = SparkEntry.queries("q_show_partitions")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("parquet"),
+      s"SHOW PARTITIONS plan touches parquet data:\n$p")
+  }
+
   test("q_filter: predicates pushed to the parquet scan") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters:"), p.take(2000))
