@@ -307,6 +307,121 @@ object DeltaQueries {
     IdentityDemoPath
   }
 
+  /** CHECK-constraint lifecycle fixture (writer feature
+    * `checkConstraints`): v0 creates WITH a declared constraint, then
+    * two refusals that must leave NO commit behind — a violating append
+    * (inline raise_error guard aborts the write job) and an ADD
+    * CONSTRAINT whose validation scan finds existing violations — then
+    * v1 adds a second constraint, v2 appends rows satisfying both, v3
+    * drops the original. The builder itself asserts both refusals, so
+    * the durable log (exactly 4 commits) is evidence they committed
+    * nothing. */
+  def constrainedTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "constrained") { p =>
+      val n = s.read.parquet(s"$sfDir/nation.parquet")
+      CommitWriter.createTable(s, n.where(col("n_nationkey") < 12), p,
+        configuration = Map(
+          "delta.constraints.region_range" -> "n_regionkey BETWEEN 0 AND 4"))
+      val bad = n.limit(1).withColumn("n_regionkey",
+        lit(99).cast(n.schema("n_regionkey").dataType))
+      require(scala.util.Try(CommitWriter.append(s, bad, p)).isFailure,
+        "violating append must be rejected by the inline guard")
+      require(DeltaTable.forPath(s, p).version == 0L,
+        "rejected append must not commit")
+      val g = graft.GraftSession(s)
+      require(scala.util.Try(g.sql(s"ALTER TABLE '$p' ADD CONSTRAINT " +
+          "impossible CHECK (n_nationkey >= 5)")).isFailure,
+        "ADD CONSTRAINT over violating rows must be refused")
+      require(DeltaTable.forPath(s, p).version == 0L,
+        "refused ADD CONSTRAINT must not commit")
+      g.sql(s"ALTER TABLE '$p' ADD CONSTRAINT key_nonneg " +
+        "CHECK (n_nationkey >= 0)")
+      CommitWriter.append(s, n.where(col("n_nationkey") >= 12), p)
+      g.sql(s"ALTER TABLE '$p' DROP CONSTRAINT region_range")
+    }
+
+  /** Stable alias for the constraint fixture (ClusterOracleAlias
+    * pattern). */
+  final val ConstraintOracleAlias =
+    "/root/repo/target/delta_fixtures/constrained_current"
+
+  /** Generated-column fixture (writer feature `generatedColumns`):
+    * v0 empty create, v1 tags `o_year` with
+    * `delta.generationExpression=year(o_orderdate)`, v2 appends WITHOUT
+    * the column (the engine computes it inline), v3 appends WITH a
+    * consistent provided value (validated null-safe-equal). A write
+    * providing an INCONSISTENT value must abort uncommitted — asserted
+    * here so v3 being the head is durable evidence. */
+  def generatedColsTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "generated_cols") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val empty = o.limit(0)
+        .withColumn("o_year", lit(null).cast(IntegerType))
+      CommitWriter.createTable(s, empty, p)
+      val meta = DeltaTable.forPath(s, p).metadata
+      val tagged = meta.dataSchema.fields.map { f =>
+        if (f.name == "o_year")
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("delta.generationExpression", "year(o_orderdate)")
+            .build())
+        else f
+      }
+      CommitWriter.commitMetadata(s, p,
+        meta.copy(schemaString = StructType(tagged).json))
+      CommitWriter.append(s, o.where(col("o_orderkey") % 2 === 0), p)
+      CommitWriter.append(s, o.where(col("o_orderkey") % 2 === 1)
+        .withColumn("o_year", year(col("o_orderdate"))), p)
+      val bad = o.limit(1).withColumn("o_year", lit(1900))
+      require(scala.util.Try(CommitWriter.append(s, bad, p)).isFailure,
+        "inconsistent generated value must be rejected")
+      require(DeltaTable.forPath(s, p).version == 3L,
+        "rejected write must not commit")
+    }
+
+  /** RESTORE fixture: v0 half of orders, v1 the rest (full content),
+    * v2 a DELETE diverges, v3 RESTORE TO VERSION AS OF 1 reverts to the
+    * full content without touching data files. */
+  def restoredTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "restored") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, o.where(col("o_orderkey") % 2 === 0), p)
+      CommitWriter.append(s, o.where(col("o_orderkey") % 2 === 1), p)
+      val g = graft.GraftSession(s)
+      g.sql(s"DELETE FROM '$p' WHERE o_custkey % 10 = 3")
+      g.sql(s"RESTORE '$p' TO VERSION AS OF 1")
+    }
+
+  /** Shallow-clone source: v0 even orderkeys, v1 the rest. Its own
+    * fixture so the clone's absolute file references stay valid across
+    * rebuilds (both stamp off the same source drop). */
+  def cloneSrcTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "clone_src") { p =>
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.createTable(s, o.where(col("o_orderkey") % 2 === 0), p)
+      CommitWriter.append(s, o.where(col("o_orderkey") % 2 === 1), p)
+    }
+
+  /** Shallow clone pinned at source v0 (even keys only), then a local
+    * append of the odd keys with o_totalprice DOUBLED — the clone's
+    * content provably diverges from both the source and raw orders,
+    * and the source must be untouched by the clone-side write. */
+  def clonedTable(s: SparkSession, sfDir: String): String = {
+    val src = cloneSrcTable(s, sfDir)
+    ensure(s, sfDir, "cloned") { p =>
+      graft.GraftSession(s).sql(
+        s"CREATE TABLE '$p' SHALLOW CLONE '$src' VERSION AS OF 0")
+      val o = orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitWriter.append(s, o.where(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), p)
+      require(DeltaTable.forPath(s, src).version == 1L,
+        "clone-side append must not touch the source table")
+    }
+  }
+
   /** A stats-less history repaired by ANALYZE: ranged commits written
     * under dataSkippingNumIndexedCols=0 (numRecords-only stats — the
     * foreign/minimal-writer shape), the cap then lifted and
@@ -1619,6 +1734,103 @@ object DeltaQueries {
         (max(col("id")) === lit(spec.highWaterMark.getOrElse(-1L)))
           .as("hwm_equals_max"))
         .crossJoin(monotonic)
+    },
+
+    // CHECK-constraint lifecycle (writer feature checkConstraints): the
+    // oracle audits the LOG — exactly 4 commits (the fixture's two
+    // refused writes durably committed nothing) and the latest
+    // metaData's delta.constraints.* key count after add+drop — plus
+    // recomputes rows/floor from the source parquet the constraint
+    // admitted.
+    Q("q_constraints",
+      s"""WITH acts AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1)
+         |           AS BIGINT) AS v,
+         |    metaData->'$$.configuration' AS conf
+         |  FROM read_json('$ConstraintOracleAlias/_delta_log/*.json',
+         |    filename=true, format='newline_delimited',
+         |    columns={"metaData": 'JSON'})
+         |), latest AS (
+         |  SELECT conf FROM acts WHERE conf IS NOT NULL
+         |  ORDER BY v DESC LIMIT 1
+         |), ck AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT unnest(json_keys(conf)) AS k FROM latest)
+         |  WHERE k LIKE 'delta.constraints.%'
+         |)
+         |SELECT * FROM (
+         |  SELECT 'commits' AS metric,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS value FROM acts
+         |  UNION ALL SELECT 'constraints_final', CAST(n AS BIGINT) FROM ck
+         |  UNION ALL SELECT 'rows', CAST(count(*) AS BIGINT) FROM nation
+         |  UNION ALL SELECT 'key_floor_holds',
+         |    CAST(CASE WHEN min(n_nationkey) >= 0 THEN 1 ELSE 0 END
+         |      AS BIGINT) FROM nation
+         |) ORDER BY metric""".stripMargin) { (s, dir) =>
+      val p = constrainedTable(s, dir)
+      refreshAlias(ConstraintOracleAlias, p)
+      val snap = DeltaTable.forPath(s, p)
+      require(snap.version == 3, "constraint fixture must have 4 commits")
+      val nCons = snap.metadata.configuration.keys
+        .count(_.startsWith("delta.constraints."))
+      import s.implicits._
+      Seq(
+        ("commits", snap.version + 1),
+        ("constraints_final", nCons.toLong),
+        ("rows", snap.read.count()),
+        ("key_floor_holds",
+          if (snap.read.where(col("n_nationkey") < 0).isEmpty) 1L else 0L))
+        .toDF("metric", "value").orderBy("metric")
+    },
+
+    // Generated columns end to end: the engine computed o_year for the
+    // no-column append, validated it for the provided append, and
+    // refused an inconsistent write. The oracle recomputes the
+    // generation expression over the whole source — every stored value
+    // must equal it regardless of which write path produced it.
+    Q("q_generated_cols",
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val p = generatedColsTable(s, dir)
+      val snap = DeltaTable.forPath(s, p)
+      require(snap.version == 3,
+        "generated-column fixture must have 4 commits")
+      snap.read.select("o_orderkey", "o_year").orderBy("o_orderkey")
+    },
+
+    // RESTORE VERSION AS OF: the restored head must serve the FULL v1
+    // content (the v2 delete reverted, data files never rewritten),
+    // and the diverged v2 must still time-travel smaller. Oracle: the
+    // full source relation.
+    Q("q_restore",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val p = restoredTable(s, dir)
+      val snap = DeltaTable.forPath(s, p)
+      require(snap.version == 3, "restore fixture must have 4 commits")
+      require(DeltaTable.forPath(s, p, Some(2L)).read.count() <
+          snap.read.count(),
+        "pre-restore version must be the diverged (smaller) state")
+      snap.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // SHALLOW CLONE pinned at source v0 + a clone-local append with
+    // doubled prices: content proves the clone served the pinned
+    // version (even keys at original prices) while diverging
+    // independently (odd keys doubled). The builder asserts the source
+    // stayed untouched. Oracle recomputes the expected mix from the
+    // source relation.
+    Q("q_clone",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val p = clonedTable(s, dir)
+      DeltaTable.forPath(s, p).read
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     },
 
     // A11: raw delta-log actions as a queryable table. Oracle: DuckDB
