@@ -404,6 +404,25 @@ object DeltaQueries {
       CommitWriter.append(s, o.where(col("o_orderkey") % 2 === 1), p)
     }
 
+  /** GENERATE fixture: a partitioned table whose per-partition file
+    * sets were REWRITTEN by OPTIMIZE (the originals still sit in the
+    * directories, removed-but-unvacuumed), then one GENERATE. The
+    * manifests must enumerate exactly the post-OPTIMIZE live set — a
+    * reader of stale paths would double-count every compacted row. */
+  def manifestTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "manifested") { p =>
+      val n = s.read.parquet(s"$sfDir/nation.parquet")
+      CommitWriter.createTable(s, n.repartition(3), p,
+        partitionColumns = Seq("n_regionkey"))
+      graft.commands.OptimizeCommand.optimize(s, p, minFiles = 2)
+      graft.GraftSession(s).sql(
+        s"GENERATE symlink_format_manifest FOR TABLE '$p'")
+    }
+
+  /** Stable alias for the GENERATE fixture. */
+  final val ManifestOracleAlias =
+    "/root/repo/target/delta_fixtures/manifested_current"
+
   /** Shallow clone pinned at source v0 (even keys only), then a local
     * append of the odd keys with o_totalprice DOUBLED — the clone's
     * content provably diverges from both the source and raw orders,
@@ -1831,6 +1850,63 @@ object DeltaQueries {
       DeltaTable.forPath(s, p).read
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // table_changes TVF (ecosystem CDF SQL surface) over a BOUNDED
+    // version window [2,3] of the cdc fixture: v2's delete plus v3's
+    // update pre/post images, aggregated per (type, version). The
+    // oracle restates those change sets from the source relation using
+    // the same predicates the fixture's DML applied.
+    Q("q_table_changes",
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type,
+        |    CAST(2 AS BIGINT) AS _commit_version,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', 3, count(*)
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', 3, count(*)
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |) ORDER BY _change_type, _commit_version""".stripMargin) { (s, dir) =>
+      val path = cdcTable(s, dir)
+      graft.sqlext.GraftExtensions.registerTableChanges(s)
+      s.sql(s"""SELECT _change_type, _commit_version,
+           |  count(*) AS n
+           |FROM table_changes('$path', 2, 3)
+           |GROUP BY _change_type, _commit_version
+           |ORDER BY _change_type, _commit_version""".stripMargin)
+    },
+
+    // GENERATE symlink_format_manifest: the Spark side reads back the
+    // MANIFEST TEXT FILES the command wrote; the oracle independently
+    // replays the log and derives the live file basenames. Equal ⇒ the
+    // manifests enumerate exactly the current snapshot — stale
+    // pre-OPTIMIZE files (still on disk, removed in the log) excluded.
+    Q("q_generate_manifest",
+      s"""WITH acts AS (
+         |  SELECT COALESCE("add"->>'$$.path', remove->>'$$.path') AS path,
+         |         "add" IS NOT NULL AS is_add,
+         |         CAST(regexp_extract(filename, '(\\d+)\\.json', 1)
+         |           AS BIGINT) AS v
+         |  FROM read_json('$ManifestOracleAlias/_delta_log/*.json',
+         |    filename=true, format='newline_delimited',
+         |    columns={"add": 'JSON', "remove": 'JSON'})
+         |  WHERE "add" IS NOT NULL OR remove IS NOT NULL
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY path
+         |    ORDER BY v DESC, is_add DESC) AS rn
+         |  FROM acts
+         |)
+         |SELECT regexp_extract(path, '([^/]+)$$', 1) AS file_name
+         |FROM ranked WHERE rn = 1 AND is_add
+         |ORDER BY file_name""".stripMargin) { (s, dir) =>
+      val p = manifestTable(s, dir)
+      refreshAlias(ManifestOracleAlias, p)
+      s.read.text(s"$p/${graft.commands.GenerateCommand.ManifestDir}/*/manifest")
+        .select(regexp_extract(col("value"), "([^/]+)$", 1).as("file_name"))
+        .orderBy("file_name")
     },
 
     // A11: raw delta-log actions as a queryable table. Oracle: DuckDB

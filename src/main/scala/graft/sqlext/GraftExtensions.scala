@@ -46,38 +46,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_changes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         getClass.getCanonicalName, "table_changes"),
-      (args: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        def const(e: Expression, what: String): Any = e match {
-          case Literal(v, _) if v != null => v match {
-            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-            case other => other
-          }
-          case _ => throw new IllegalArgumentException(
-            s"table_changes: $what must be a non-null literal, got $e")
-        }
-        require(args.length == 2 || args.length == 3,
-          "table_changes(path, startVersion [, endVersion]) expects " +
-            s"2 or 3 arguments, got ${args.length}")
-        val path = const(args.head, "path").toString
-        def version(e: Expression, what: String): Long =
-          const(e, what) match {
-            case n: Number => n.longValue()
-            case s: String if s.matches("-?\\d+") => s.toLong
-            case other => throw new IllegalArgumentException(
-              s"table_changes: $what must be a version number, got $other")
-          }
-        val spark = SparkSession.active
-        var reader = spark.read.format("graftdelta")
-          .option("path", path)
-          .option("readChangeFeed", "true")
-          .option("startingVersion", version(args(1), "startVersion"))
-        if (args.length == 3)
-          reader = reader.option("endingVersion",
-            version(args(2), "endVersion"))
-        reader.load().queryExecution.analyzed
-      }))
+      GraftExtensions.tableChangesBuilder))
   }
+}
+
+object GraftExtensions {
+
+  /** The `table_changes` TVF plan builder — shared by the
+    * `SparkSessionExtensions` injection above and
+    * [[registerTableChanges]] for sessions built without the
+    * extension. */
+  private[graft] val tableChangesBuilder: Seq[Expression] => LogicalPlan =
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      def const(e: Expression, what: String): Any = e match {
+        case Literal(v, _) if v != null => v match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
+        case _ => throw new IllegalArgumentException(
+          s"table_changes: $what must be a non-null literal, got $e")
+      }
+      require(args.length == 2 || args.length == 3,
+        "table_changes(path, startVersion [, endVersion]) expects " +
+          s"2 or 3 arguments, got ${args.length}")
+      val path = const(args.head, "path").toString
+      def version(e: Expression, what: String): Long =
+        const(e, what) match {
+          case n: Number => n.longValue()
+          case s: String if s.matches("-?\\d+") => s.toLong
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be a version number, got $other")
+        }
+      val spark = SparkSession.active
+      var reader = spark.read.format("graftdelta")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", version(args(1), "startVersion"))
+      if (args.length == 3)
+        reader = reader.option("endingVersion",
+          version(args(2), "endVersion"))
+      reader.load().queryExecution.analyzed
+    }
+
+  /** Register the `table_changes` TVF into a LIVE session (the
+    * injection path above only reaches sessions built with
+    * `spark.sql.extensions`). Idempotent — re-registration replaces
+    * the same builder. */
+  def registerTableChanges(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        getClass.getCanonicalName, "table_changes"),
+      tableChangesBuilder)
 }
 
 final class GraftParserInterface(delegate: ParserInterface)
