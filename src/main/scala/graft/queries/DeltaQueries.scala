@@ -423,6 +423,24 @@ object DeltaQueries {
   final val ManifestOracleAlias =
     "/root/repo/target/delta_fixtures/manifested_current"
 
+  /** OPTIMIZE WHERE fixture: three mod-3 slices of nation land 2-3
+    * files in EVERY n_regionkey partition (5 keys over 3 residues —
+    * pigeonhole guarantees >=2 nonempty slices per region), then one
+    * partition-scoped OPTIMIZE compacts region 2 alone. */
+  def optimizeWhereTable(s: SparkSession, sfDir: String): String =
+    ensure(s, sfDir, "optimize_where") { p =>
+      val n = s.read.parquet(s"$sfDir/nation.parquet")
+      CommitWriter.createTable(s, n.where(col("n_nationkey") % 3 === 0), p,
+        partitionColumns = Seq("n_regionkey"))
+      CommitWriter.append(s, n.where(col("n_nationkey") % 3 === 1), p)
+      CommitWriter.append(s, n.where(col("n_nationkey") % 3 === 2), p)
+      graft.GraftSession(s).sql(s"OPTIMIZE '$p' WHERE n_regionkey = 2")
+    }
+
+  /** Stable alias for the OPTIMIZE WHERE fixture. */
+  final val OptWhereOracleAlias =
+    "/root/repo/target/delta_fixtures/optimize_where_current"
+
   /** Shallow clone pinned at source v0 (even keys only), then a local
     * append of the odd keys with o_totalprice DOUBLED — the clone's
     * content provably diverges from both the source and raw orders,
@@ -1907,6 +1925,87 @@ object DeltaQueries {
       s.read.text(s"$p/${graft.commands.GenerateCommand.ManifestDir}/*/manifest")
         .select(regexp_extract(col("value"), "([^/]+)$", 1).as("file_name"))
         .orderBy("file_name")
+    },
+
+    // OPTIMIZE WHERE: partition-scoped maintenance. Region 2 compacts
+    // to ONE live file; every out-of-scope live file still carries its
+    // original add version (proof the scoped rewrite touched nothing
+    // else); content survives. Spark computes from its OWN replay
+    // engine, DuckDB from the raw log JSON.
+    Q("q_optimize_where",
+      s"""WITH acts AS (
+         |  SELECT COALESCE("add"->>'$$.path', remove->>'$$.path') AS path,
+         |         "add" IS NOT NULL AS is_add,
+         |         json_extract_string("add", '$$.partitionValues.n_regionkey')
+         |           AS rk,
+         |         CAST(regexp_extract(filename, '(\\d+)\\.json', 1)
+         |           AS BIGINT) AS v
+         |  FROM read_json('$OptWhereOracleAlias/_delta_log/*.json',
+         |    filename=true, format='newline_delimited',
+         |    columns={"add": 'JSON', "remove": 'JSON'})
+         |  WHERE "add" IS NOT NULL OR remove IS NOT NULL
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY path
+         |    ORDER BY v DESC, is_add DESC) AS rn FROM acts
+         |), live AS (SELECT * FROM ranked WHERE rn = 1 AND is_add)
+         |SELECT * FROM (
+         |  SELECT 'p2_live_files' AS metric,
+         |    CAST(count(*) AS BIGINT) AS value FROM live WHERE rk = '2'
+         |  UNION ALL
+         |  SELECT 'others_untouched',
+         |    CAST(CASE WHEN max(v) <= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |  FROM live WHERE rk <> '2'
+         |  UNION ALL
+         |  SELECT 'p2_rows', CAST(count(*) AS BIGINT) FROM nation
+         |  WHERE n_regionkey = 2
+         |  UNION ALL
+         |  SELECT 'rows', CAST(count(*) AS BIGINT) FROM nation
+         |) ORDER BY metric""".stripMargin) { (s, dir) =>
+      val p = optimizeWhereTable(s, dir)
+      refreshAlias(OptWhereOracleAlias, p)
+      val snap = DeltaTable.forPath(s, p)
+      val live = snap.allFiles
+        .select(element_at(col("partitionValues"), "n_regionkey").as("rk"),
+          col("commit_version"))
+      import s.implicits._
+      Seq(
+        ("p2_live_files", live.where(col("rk") === "2").count()),
+        ("others_untouched",
+          if (live.where(col("rk") =!= "2")
+              .agg(max(col("commit_version"))).head().getLong(0) <= 2L) 1L
+          else 0L),
+        ("p2_rows", snap.read.where(col("n_regionkey") === 2).count()),
+        ("rows", snap.read.count()))
+        .toDF("metric", "value").orderBy("metric")
+    },
+
+    // DESCRIBE DETAIL: the snapshot-metadata row every catalog UI
+    // reads. The oracle recomputes numFiles/sizeInBytes from an
+    // independent log replay and pins format + partitioning.
+    Q("q_describe_detail",
+      s"""WITH acts AS (
+         |  SELECT COALESCE("add"->>'$$.path', remove->>'$$.path') AS path,
+         |         "add" IS NOT NULL AS is_add,
+         |         CAST("add"->>'$$.size' AS BIGINT) AS size,
+         |         CAST(regexp_extract(filename, '(\\d+)\\.json', 1)
+         |           AS BIGINT) AS v
+         |  FROM $logJsonSrc
+         |  WHERE "add" IS NOT NULL OR remove IS NOT NULL
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY path
+         |    ORDER BY v DESC, is_add DESC) AS rn FROM acts
+         |), live AS (SELECT * FROM ranked WHERE rn = 1 AND is_add)
+         |SELECT 'parquet' AS format,
+         |  ['n_regionkey'] AS partition_columns,
+         |  CAST(count(*) AS BIGINT) AS num_files,
+         |  CAST(sum(size) AS BIGINT) AS size_in_bytes
+         |FROM live""".stripMargin) { (s, dir) =>
+      val path = logDemoTable(s, dir)
+      graft.GraftSession(s).sql(s"DESCRIBE DETAIL '$path'")
+        .select(col("format"),
+          col("partitionColumns").as("partition_columns"),
+          col("numFiles").as("num_files"),
+          col("sizeInBytes").as("size_in_bytes"))
     },
 
     // A11: raw delta-log actions as a queryable table. Oracle: DuckDB
