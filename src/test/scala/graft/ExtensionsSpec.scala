@@ -355,6 +355,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("table_changes"))
   }
 
+  test("registerTableChanges brings the TVF to a session built " +
+      "WITHOUT the extension") {
+    val plain = TestSpark.spark // no GraftExtensions configured
+    val d = Files.createTempDirectory("graft_reg_tc").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "tbl").getAbsolutePath
+    val region = plain.read.parquet(s"${TestSpark.sf}/region.parquet")
+    CommitWriter.createTable(plain, region.limit(3), p) // v0
+    CommitWriter.append(plain, region.limit(2), p) // v1
+    graft.sqlext.GraftExtensions.registerTableChanges(plain)
+    val changes = plain.sql(
+      s"SELECT _change_type, _commit_version FROM table_changes('$p', 1)")
+      .collect()
+    assert(changes.length == 2)
+    assert(changes.forall(r =>
+      r.getString(0) == "insert" && r.getLong(1) == 1L))
+    // idempotent: a second registration replaces the same builder
+    graft.sqlext.GraftExtensions.registerTableChanges(plain)
+    assert(plain.sql(s"SELECT count(*) FROM table_changes('$p', 0, 1)")
+      .head().getLong(0) == 5L)
+  }
+
   test("vector_dot is SQL-callable through the injected function") {
     val d = extSpark.sql(
       """SELECT vector_dot(
