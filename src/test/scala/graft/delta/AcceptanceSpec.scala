@@ -46,7 +46,8 @@ class AcceptanceSpec extends AnyFunSuite {
     "composite_widen_cp_restore", "composite_mapping_dv",
     "composite_dv_checkpoint", "composite_full_history",
     "composite_props_protocol", "composite_mapping_evolve",
-    "composite_dv_dml", "composite_cluster_widen")) {
+    "composite_dv_dml", "composite_cluster_widen",
+    "composite_guards_restore")) {
 
     test(s"DAT case: $name") {
       val c = cases.find(_.name == name).get

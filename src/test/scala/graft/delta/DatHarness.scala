@@ -433,6 +433,59 @@ object DatHarness {
       writeContent(c, "latest", wide)
     }
 
+    build("composite_guards_restore",
+      "CHECK constraint + generated column enforced through appends, " +
+        "refused violating write, CoW DELETE, RESTORE, DROP CONSTRAINT") { c =>
+      val base = nation.select(col("n_nationkey"), col("n_name"))
+      val empty = base.limit(0)
+        .withColumn("n_key2", lit(null).cast(LongType))
+      CommitWriter.createTable(spark, empty, c.tablePath,
+        configuration = Map("delta.constraints.key_range" ->
+          "n_nationkey BETWEEN 0 AND 24")) // v0: (1,3) checkConstraints
+      val meta0 = DeltaTable.forPath(spark, c.tablePath).metadata
+      val tagged = meta0.dataSchema.fields.map { f =>
+        if (f.name == "n_key2")
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("delta.generationExpression", "n_nationkey * 2")
+            .build())
+        else f
+      }
+      // v1: generation expression + the protocol that implies it (writer 4
+      // implies checkConstraints AND generatedColumns) in ONE commit
+      CommitWriter.commit(spark, c.tablePath, 1L,
+        Seq(CommitWriter.protocolJson(Actions.Protocol(1, 4)),
+          CommitWriter.metadataJson(meta0.copy(
+            schemaString = StructType(tagged).json))),
+        "SET METADATA")
+      CommitWriter.append(spark,
+        base.filter(col("n_nationkey") < 15), c.tablePath) // v2: computed
+      // a violating write must abort leaving NO commit
+      require(scala.util.Try(CommitWriter.append(spark,
+          base.limit(1).withColumn("n_nationkey", lit(99L)),
+          c.tablePath)).isFailure,
+        "constraint-violating append must be refused")
+      require(DeltaTable.forPath(spark, c.tablePath).version == 2L,
+        "refused append must not commit")
+      CommitWriter.append(spark,
+        base.filter(col("n_nationkey") >= 15), c.tablePath) // v3: full
+      graft.commands.DmlCommands.delete(spark, c.tablePath,
+        col("n_nationkey") % 5 === 0) // v4: CoW rewrite recomputes n_key2
+      graft.commands.HistoryCommand.restore(spark, c.tablePath, 3L) // v5
+      new graft.GraftSession(spark).sql(
+        s"ALTER TABLE '${c.tablePath}' DROP CONSTRAINT key_range") // v6
+      val withGen = base.withColumn("n_key2", col("n_nationkey") * 2)
+      writeMeta(c, "v0", 0, Map("delta.constraints.key_range" ->
+        "n_nationkey BETWEEN 0 AND 24"), 1, 3)
+      writeMeta(c, "v3", 3, Map("delta.constraints.key_range" ->
+        "n_nationkey BETWEEN 0 AND 24"), 1, 4)
+      writeMeta(c, "v4", 4, Map.empty, 1, 4)
+      writeMeta(c, "latest", 6, Map.empty, 1, 4)
+      writeContent(c, "v0", empty)
+      writeContent(c, "v3", withGen)
+      writeContent(c, "v4", withGen.filter(col("n_nationkey") % 5 =!= 0))
+      writeContent(c, "latest", withGen)
+    }
+
     build("composite_props_protocol",
       "TBLPROPERTIES change + supported protocol upgrade mid-history") { c =>
       CommitWriter.createTable(spark,
