@@ -47,7 +47,7 @@ class AcceptanceSpec extends AnyFunSuite {
     "composite_dv_checkpoint", "composite_full_history",
     "composite_props_protocol", "composite_mapping_evolve",
     "composite_dv_dml", "composite_cluster_widen",
-    "composite_guards_restore")) {
+    "composite_guards_restore", "composite_replacewhere_cdf")) {
 
     test(s"DAT case: $name") {
       val c = cases.find(_.name == name).get

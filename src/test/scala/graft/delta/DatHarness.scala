@@ -486,6 +486,41 @@ object DatHarness {
       writeContent(c, "latest", withGen)
     }
 
+    build("composite_replacewhere_cdf",
+      "CDF-enabled partitioned table: partition replaceWhere, " +
+        "checkpoint, append — content + protocol at every label") { c =>
+      val base = nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      CommitWriter.createTable(spark,
+        base.filter(col("n_nationkey") < 20), c.tablePath,
+        partitionColumns = Seq("n_regionkey"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true")) // v0
+      // v1: one atomic commit replaces the n_regionkey=2 slice with
+      // upper-cased names (partition fast path: replaced files decided
+      // from partitionValues alone, CDC delete+insert rows recorded)
+      val r2new = base
+        .filter(col("n_regionkey") === 2 && col("n_nationkey") < 20)
+        .withColumn("n_name", upper(col("n_name")))
+      graft.commands.ReplaceWhereCommand.replaceWhere(spark, r2new,
+        c.tablePath, col("n_regionkey") === 2)
+      CommitWriter.checkpoint(spark, c.tablePath) // cp @ v1
+      CommitWriter.append(spark,
+        base.filter(col("n_nationkey") >= 20), c.tablePath) // v2 over cp
+      val afterReplace = base.filter(col("n_nationkey") < 20)
+        .filter(col("n_regionkey") =!= 2)
+        .unionByName(r2new)
+      writeMeta(c, "v0", 0,
+        Map("delta.enableChangeDataFeed" -> "true"), 1, 7)
+      writeMeta(c, "v1", 1,
+        Map("delta.enableChangeDataFeed" -> "true"), 1, 7)
+      writeMeta(c, "latest", 2,
+        Map("delta.enableChangeDataFeed" -> "true"), 1, 7)
+      writeContent(c, "v0", base.filter(col("n_nationkey") < 20))
+      writeContent(c, "v1", afterReplace)
+      writeContent(c, "latest",
+        afterReplace.unionByName(base.filter(col("n_nationkey") >= 20)))
+    }
+
     build("composite_props_protocol",
       "TBLPROPERTIES change + supported protocol upgrade mid-history") { c =>
       CommitWriter.createTable(spark,
