@@ -567,6 +567,9 @@ final class GraftSession(val spark: SparkSession) {
     if (table.contains("/") || table.contains(":")) table
     else tables.names.find(_ == table)
       .map(n => tables.snapshot(n).tablePath.toString)
+      // catalog-qualified (`graft.db.tbl`): the same registry reads
+      // resolve through — commands accept the names users already use
+      .orElse(graft.catalog.GraftCatalog.lookupPath(table.split('.').toSeq))
       .getOrElse(table)
 }
 

@@ -103,6 +103,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           else "field count differs"}); omit the column list to register " +
           "an existing table")
     }
+    if (exists && partitions.nonEmpty) {
+      // same loud-mismatch treatment for a declared PARTITIONED BY: a
+      // clause contradicting the live layout is drift, not a no-op
+      val declared = partitions.toSeq.map(
+        _.references()(0).fieldNames().mkString("."))
+      val actual = graft.delta.DeltaTable.forPath(spark, path)
+        .partitionColumns
+      require(declared.map(_.toLowerCase) == actual.map(_.toLowerCase),
+        s"CREATE TABLE $ident: declared PARTITIONED BY " +
+          s"(${declared.mkString(", ")}) does not match the delta table's " +
+          s"partitioning (${actual.mkString(", ")}) at $path; omit the " +
+          "clause to register an existing table")
+    }
     if (!exists) {
       // fresh location: create an EMPTY delta table with the declared
       // schema (identity-transform partitioning only — the delta layout)
@@ -208,6 +221,26 @@ object GraftCatalog {
 
   def unregister(namespace: String, table: String): Unit =
     tables.remove((namespace.toLowerCase, table.toLowerCase))
+
+  /** Resolve a MULTI-PART name against the registry: a leading catalog
+    * part is tried stripped first (`cat.ns….tbl` — the registry is
+    * JVM-level, shared by every GraftCatalog instance), then the whole
+    * prefix as the namespace (`ns….tbl`). Lets path-addressed commands
+    * (VACUUM/OPTIMIZE/DESCRIBE/DML/MERGE) accept the same qualified
+    * names reads already resolve — the reference's own
+    * `todo!("multi-part table name support")`
+    * (crates/datafusion/src/commands/vacuum/mod.rs:62). */
+  def lookupPath(parts: Seq[String]): Option[String] = {
+    def hit(ns: Seq[String], tbl: String): Option[String] =
+      Option(tables.get((nsKey(ns.toArray), tbl.toLowerCase)))
+    if (parts.length < 2) None
+    else {
+      val stripped =
+        if (parts.length >= 3) hit(parts.slice(1, parts.length - 1), parts.last)
+        else None
+      stripped.orElse(hit(parts.dropRight(1), parts.last))
+    }
+  }
 
   /** Single-level separator for namespace registry keys: NUL cannot
     * appear in an identifier part, so multi-part namespaces never

@@ -51,7 +51,9 @@ final case class Snapshot(
         spark, tablePath.toString, Some(version),
         preResolved = Some(this), hasDvsHint = Some(false))
       org.apache.spark.sql.graftshim.Shims.dsv2DataFrame(spark, table)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        // quote: a bare dotted name would parse as a nested reference
+        .select(schema.fieldNames
+          .map(n => col(s"`${n.replace("`", "``")}`")).toIndexedSeq: _*)
     } else DeltaScan.build(this, Seq.empty)
   }
 

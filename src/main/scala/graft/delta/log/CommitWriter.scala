@@ -152,6 +152,11 @@ object CommitWriter {
     require(partitionColumns.forall(c =>
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c))),
       s"partition column(s) ${partitionColumns.mkString(", ")} not in schema")
+    // normalize to the schema's exact casing: physicalPartitionName and
+    // every later logical-name lookup resolve case-SENSITIVELY against
+    // the schema, so metadata must not carry the caller's casing
+    val normPartCols = partitionColumns.map(c =>
+      df.schema.fieldNames.find(_.equalsIgnoreCase(c)).get)
     val mappedFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -170,7 +175,7 @@ object CommitWriter {
       name = None, description = None, format = Format(),
       schemaString = StructType(mappedFields).json,
       // metadata carries the LOGICAL names (they reference schema fields)
-      partitionColumns = partitionColumns,
+      partitionColumns = normPartCols,
       // maxColumnId is the high-water mark for field ids — ids must
       // NEVER be reused (a dropped column's physical name may still
       // hold its data in old parquet files), so ADD COLUMN allocates
@@ -264,14 +269,17 @@ object CommitWriter {
         meta.configuration.get("delta.columnMapping.maxColumnId")
           .map(_.toLong).getOrElse(0L),
         graft.delta.scan.ColumnMapping.maxFieldId(meta.dataSchema))
+      def allocType(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case s: StructType => StructType(s.fields.map(alloc))
+        case a: ArrayType => a.copy(elementType = allocType(a.elementType))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = allocType(m.keyType),
+            valueType = allocType(m.valueType))
+        case other => other
+      }
       def alloc(f: StructField): StructField = {
-        val withChildren = f.dataType match {
-          case s: StructType => f.copy(dataType = StructType(s.fields.map(alloc)))
-          case a: ArrayType if a.elementType.isInstanceOf[StructType] =>
-            f.copy(dataType = a.copy(elementType = StructType(
-              a.elementType.asInstanceOf[StructType].fields.map(alloc))))
-          case _ => f
-        }
+        val withChildren = f.copy(dataType = allocType(f.dataType))
         if (withChildren.metadata.contains("delta.columnMapping.id"))
           withChildren
         else {
@@ -1197,8 +1205,8 @@ object CommitWriter {
     * file per micro-batch and every reader's scan degrades. The commit
     * already landed, so a compaction failure is logged and swallowed.
     * Skips (rather than throws) on tables OPTIMIZE refuses —
-    * column-mapped, row-tracked, clustered (the clustering policy owns
-    * layout; run OPTIMIZE explicitly to re-cluster). */
+    * row-tracked, clustered (the clustering policy owns layout; run
+    * OPTIMIZE explicitly to re-cluster). */
   private def maybeAutoCompact(spark: SparkSession, tablePath: String,
       version: Long, conf: WriteConf, operation: String,
       actionLines: Seq[String]): Unit =

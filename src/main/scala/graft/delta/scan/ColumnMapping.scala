@@ -104,6 +104,9 @@ object ColumnMapping {
   def physicalPartitionName(meta: Metadata, logicalName: String): String =
     if (mode(meta) == "none") logicalName
     else meta.dataSchema.fields.find(_.name == logicalName)
+      // case-insensitive fallback: older metadata may carry the
+      // caller's casing rather than the schema's exact spelling
+      .orElse(meta.dataSchema.fields.find(_.name.equalsIgnoreCase(logicalName)))
       .map(physicalName).getOrElse(logicalName)
 
   private def quote(name: String): String = s"`${name.replace("`", "``")}`"

@@ -441,6 +441,27 @@ object DeltaQueries {
   final val OptWhereOracleAlias =
     "/root/repo/target/delta_fixtures/optimize_where_current"
 
+  /** Catalog-qualified maintenance + DML: OPTIMIZE and DELETE are
+    * issued against `graft.db.catalog_dml` — never a path — closing
+    * the reference's `todo!("multi-part table name support")`
+    * (crates/datafusion/src/commands/vacuum/mod.rs:62). Three mod-3
+    * slices of nation give OPTIMIZE real work; the DELETE then drops
+    * every fifth nationkey. */
+  def catalogDmlTable(s: SparkSession, sfDir: String): String = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    ensure(s, sfDir, "catalog_dml") { p =>
+      val n = s.read.parquet(s"$sfDir/nation.parquet")
+      CommitWriter.createTable(s, n.where(col("n_nationkey") % 3 === 0), p)
+      CommitWriter.append(s, n.where(col("n_nationkey") % 3 === 1), p)
+      CommitWriter.append(s, n.where(col("n_nationkey") % 3 === 2), p)
+      graft.catalog.GraftCatalog.register("db", "catalog_dml", p)
+      val gs = graft.GraftSession(s)
+      gs.sql("OPTIMIZE graft.db.catalog_dml")
+      gs.sql("DELETE FROM graft.db.catalog_dml WHERE n_nationkey % 5 = 0")
+    }
+  }
+
   /** Shallow clone pinned at source v0 (even keys only), then a local
     * append of the odd keys with o_totalprice DOUBLED — the clone's
     * content provably diverges from both the source and raw orders,
@@ -1095,6 +1116,34 @@ object DeltaQueries {
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM graft.db.lineitem_basic GROUP BY l_returnflag
           |ORDER BY l_returnflag NULLS LAST""".stripMargin)
+    },
+
+    // catalog-qualified COMMANDS: OPTIMIZE/DELETE ran against
+    // `graft.db.catalog_dml` at fixture build; DESCRIBE HISTORY /
+    // DESCRIBE DETAIL / VACUUM DRY RUN resolve the same qualified name
+    // here at query time. The oracle recomputes the surviving rows
+    // from raw nation (every fifth nationkey deleted).
+    Q("q_catalog_dml",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 5 <> 0
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val path = catalogDmlTable(s, dir)
+      graft.catalog.GraftCatalog.register("db", "catalog_dml", path)
+      val gs = graft.GraftSession(s)
+      val hist = gs.sql("DESCRIBE HISTORY graft.db.catalog_dml")
+        .select("operation").collect().map(_.getString(0)).toSet
+      require(hist.contains("OPTIMIZE") && hist.contains("DELETE"),
+        s"qualified-name history missing OPTIMIZE/DELETE: $hist")
+      require(gs.sql("DESCRIBE DETAIL graft.db.catalog_dml")
+        .select("numFiles").head().getLong(0) >= 1L,
+        "qualified-name DESCRIBE DETAIL resolved nothing")
+      // dry-run VACUUM through the qualified name: OPTIMIZE + DELETE
+      // left removed-but-unvacuumed files behind
+      gs.sql("VACUUM graft.db.catalog_dml RETAIN 0 HOURS DRY RUN")
+      s.sql(
+        """SELECT n_nationkey, n_name, n_regionkey
+          |FROM graft.db.catalog_dml
+          |ORDER BY n_nationkey""".stripMargin)
     },
 
     // A4: stats-based file skipping (result equality; pruning itself is
@@ -1996,14 +2045,16 @@ object DeltaQueries {
          |    ORDER BY v DESC, is_add DESC) AS rn FROM acts
          |), live AS (SELECT * FROM ranked WHERE rn = 1 AND is_add)
          |SELECT 'parquet' AS format,
-         |  ['n_regionkey'] AS partition_columns,
+         |  'n_regionkey' AS partition_columns,
          |  CAST(count(*) AS BIGINT) AS num_files,
          |  CAST(sum(size) AS BIGINT) AS size_in_bytes
          |FROM live""".stripMargin) { (s, dir) =>
       val path = logDemoTable(s, dir)
       graft.GraftSession(s).sql(s"DESCRIBE DETAIL '$path'")
         .select(col("format"),
-          col("partitionColumns").as("partition_columns"),
+          // ARRAY columns break the driver's pandas sort (unhashable
+          // ndarray) — project the joined string for the harness.
+          array_join(col("partitionColumns"), ",").as("partition_columns"),
           col("numFiles").as("num_files"),
           col("sizeInBytes").as("size_in_bytes"))
     },

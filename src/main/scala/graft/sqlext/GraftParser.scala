@@ -714,30 +714,40 @@ object GraftParser {
     toks.lift(i).collect { case w: Word => w.upper }
 
   /** table reference: delta.`p` | delta.'p' | 'p' | `p` | bare ident */
-  private def parseTableRef(toks: Vector[Tok]): String = toks.headOption match {
-    case Some(w: Word) if w.upper == "DELTA" &&
-        toks.lift(1).exists(_.text == ".") =>
-      toks.lift(2) match {
-        case Some(Str(p)) => p
-        case Some(Quoted(p)) => p
-        case _ => throw new ParseException("Expected path after delta.")
-      }
-    case Some(Str(p)) => p
-    case Some(Quoted(p)) => p
-    case Some(w: Word) => w.text
-    case _ => throw new ParseException("Expected a table reference")
-  }
+  /** Table reference at the head of `toks`, returning (ref, tokens
+    * consumed). Forms: the `delta.'path'` / `delta.`path`` path
+    * prefix; a bare string/quoted literal; or a DOTTED IDENTIFIER
+    * CHAIN (`cat.db.tbl`) — catalog-qualified names the session layer
+    * resolves through [[graft.catalog.GraftCatalog]], closing the
+    * reference's own `todo!("multi-part table name support")`
+    * (crates/datafusion/src/commands/vacuum/mod.rs:62). */
+  private def parseTableRefN(toks: Vector[Tok]): (String, Int) =
+    toks.headOption match {
+      case Some(w: Word) if w.upper == "DELTA" &&
+          toks.lift(1).exists(_.text == ".") &&
+          toks.lift(2).exists(t =>
+            t.isInstanceOf[Str] || t.isInstanceOf[Quoted]) =>
+        (identText(toks(2)), 3)
+      case Some(Str(p)) => (p, 1)
+      case Some(first @ (_: Word | _: Quoted)) =>
+        val parts = scala.collection.mutable.Buffer(identText(first))
+        var i = 1
+        while (toks.lift(i).exists(_.text == ".") &&
+            toks.lift(i + 1).exists(t =>
+              t.isInstanceOf[Word] || t.isInstanceOf[Quoted])) {
+          parts += identText(toks(i + 1)); i += 2
+        }
+        (parts.mkString("."), i)
+      case _ => throw new ParseException("Expected a table reference")
+    }
+
+  private def parseTableRef(toks: Vector[Tok]): String = parseTableRefN(toks)._1
 
   /** table reference + the tokens after it (skips the optional
     * `delta . <ref>` prefix uniformly for every clause parser). */
   private def parseTableRefAndRest(toks: Vector[Tok]): (String, Vector[Tok]) = {
-    val table = parseTableRef(toks)
-    val skip =
-      if (toks.headOption.exists {
-        case w: Word => w.upper == "DELTA"
-        case _ => false
-      } && toks.lift(1).exists(_.text == ".")) 3 else 1
-    (table, toks.drop(skip))
+    val (table, n) = parseTableRefN(toks)
+    (table, toks.drop(n))
   }
 
   /** OPTIMIZE <ref> [WHERE <partition predicate>] [ZORDER BY (cols)] */
@@ -779,22 +789,10 @@ object GraftParser {
   }
 
   private def parseVacuum(toks: Vector[Tok]): VacuumStatement = {
-    var i = 0
-    // table reference: delta.`p` | delta.'p' | 'p' | `p` | bare ident
-    val table = toks.lift(i) match {
-      case Some(w: Word) if w.upper == "DELTA" &&
-          toks.lift(i + 1).exists(_.text == ".") =>
-        i += 2
-        toks.lift(i) match {
-          case Some(Str(p)) => i += 1; p
-          case Some(Quoted(p)) => i += 1; p
-          case _ => throw new ParseException("Expected path after delta.")
-        }
-      case Some(Str(p)) => i += 1; p
-      case Some(Quoted(p)) => i += 1; p
-      case Some(w: Word) => i += 1; w.text
-      case _ => throw new ParseException("VACUUM requires a table")
-    }
+    if (toks.isEmpty) throw new ParseException("VACUUM requires a table")
+    // table reference: delta.`p` | delta.'p' | 'p' | `p` | dotted name
+    val (table, consumed) = parseTableRefN(toks)
+    var i = consumed
     var mode: Option[String] = None
     var dryRun = false
     var retain: Option[Double] = None
