@@ -30,6 +30,17 @@ import graft.ops.DirListing
   * against the live snapshot's data files and deletion-vector files, so
   * VACUUM can never delete data still referenced by the current version
   * (the reference's filter alone would).
+  *
+  * VACUUM LITE (the reference's `todo!` at vacuum/mod.rs:130,
+  * implemented here the way insert_into exceeded its stub): candidates
+  * come from the LOG'S REMOVE TOMBSTONES — paths whose latest action in
+  * the current segment is a `remove` with `deletionTimestamp` below the
+  * retention cutoff — with NO directory listing at all. At 100 TB the
+  * cost is O(tombstones in the retained log), not O(every file under
+  * the table root); the trade is that untracked files (aborted-write
+  * debris the log never saw) are only reclaimed by FULL. Deletion time
+  * is the LOGICAL removal time, matching the documented delta contract
+  * (files age from when the log removed them, not filesystem mtime).
   */
 object VacuumCommand {
 
@@ -44,8 +55,9 @@ object VacuumCommand {
   def vacuum(spark: SparkSession, tablePath: String,
       retentionHours: Option[Double], dryRun: Boolean,
       mode: String = "FULL"): DataFrame = {
-    require(mode.equalsIgnoreCase("FULL"),
-      "VACUUM LITE is not implemented") // parity: reference todo!()
+    val lite = mode.equalsIgnoreCase("LITE")
+    require(lite || mode.equalsIgnoreCase("FULL"),
+      s"unknown VACUUM mode: $mode")
 
     val snapshot = DeltaTable.forPath(spark, tablePath)
     val propDuration = snapshot.metadata.configuration
@@ -70,35 +82,58 @@ object VacuumCommand {
     val root = fs.makeQualified(new Path(tablePath)).toString
     val rootLen = root.length + 1 // +1 for the '/'
 
-    val listing = DirListing.listRecursive(spark, tablePath)
-    val rel = substring(col("path"), rootLen + 1, 1000000)
-    val candidates = listing.where(
-      !col("is_dir") &&
-        col("modification_time") < lit(new java.sql.Timestamp(cutoff)) &&
-        // underscore-prefixed paths are metadata and never vacuumed —
-        // EXCEPT _change_data: cdc files serve CDF reads only within
-        // the retention window, so expired ones are reclaimable (the
-        // ecosystem-standard vacuum behavior; without this they
-        // accumulate for the table's lifetime)
-        (!rel.startsWith("_") || rel.startsWith("_change_data/")))
+    val unreferenced = if (lite) {
+      // LITE: log-derived candidates, zero listing jobs. A path whose
+      // LATEST action is a remove can never be live in this segment, so
+      // the FULL path's anti-join protection is structurally redundant
+      // here. Lengths come from the log's own add actions (add.size is
+      // the on-disk length by the write contract).
+      import graft.delta.log.Replay
+      val tomb = Replay.tombstones(spark, snapshot.segment)
+        .select(col("remove.path").as("__rel"),
+          col("remove.deletionTimestamp").as("__delTs"))
+        .where(col("__delTs").isNotNull && col("__delTs") < lit(cutoff))
+      val sizes = Replay.actionsDF(spark, snapshot.segment)
+        .where(col("add").isNotNull)
+        .groupBy(col("add.path").as("__rel"))
+        .agg(max(col("add.size")).as("length"))
+      tomb.join(sizes, Seq("__rel"), "left")
+        .select(concat(lit(root + "/"), col("__rel")).as("path"),
+          col("length"), lit(false).as("is_dir"),
+          // uniform shape with the FULL path's listing schema; the
+          // log doesn't record mtime and LITE never stats files
+          lit(null).cast("timestamp").as("modification_time"))
+    } else {
+      val listing = DirListing.listRecursive(spark, tablePath)
+      val rel = substring(col("path"), rootLen + 1, 1000000)
+      val candidates = listing.where(
+        !col("is_dir") &&
+          col("modification_time") < lit(new java.sql.Timestamp(cutoff)) &&
+          // underscore-prefixed paths are metadata and never vacuumed —
+          // EXCEPT _change_data: cdc files serve CDF reads only within
+          // the retention window, so expired ones are reclaimable (the
+          // ecosystem-standard vacuum behavior; without this they
+          // accumulate for the table's lifetime)
+          (!rel.startsWith("_") || rel.startsWith("_change_data/")))
 
-    // live-file protection (divergence from the reference — see Scaladoc)
-    val liveRel = snapshot.allFiles.select(col("path").as("__rel"))
-    val liveDvs = snapshot.allFiles
-      .where(col("deletionVector").isNotNull &&
-        col("deletionVector.storageType") === "u")
-      .select(col("deletionVector.pathOrInlineDv").as("__dv"))
-      .collect().map(r => DvBitmap.dvPath(new Path(root),
-        graft.delta.log.Actions.DeletionVectorDescriptor(
-          "u", r.getString(0), None, 0, 0L)).toString)
-      .toSeq
-    val protectedDf = liveRel
-      .withColumn("__abs", concat(lit(root + "/"), col("__rel")))
-      .select("__abs")
-      .union(spark.createDataset(liveDvs)(
-        org.apache.spark.sql.Encoders.STRING).toDF("__abs"))
-    val unreferenced = candidates.join(protectedDf,
-      candidates("path") === protectedDf("__abs"), "left_anti")
+      // live-file protection (divergence from the reference — see Scaladoc)
+      val liveRel = snapshot.allFiles.select(col("path").as("__rel"))
+      val liveDvs = snapshot.allFiles
+        .where(col("deletionVector").isNotNull &&
+          col("deletionVector.storageType") === "u")
+        .select(col("deletionVector.pathOrInlineDv").as("__dv"))
+        .collect().map(r => DvBitmap.dvPath(new Path(root),
+          graft.delta.log.Actions.DeletionVectorDescriptor(
+            "u", r.getString(0), None, 0, 0L)).toString)
+        .toSeq
+      val protectedDf = liveRel
+        .withColumn("__abs", concat(lit(root + "/"), col("__rel")))
+        .select("__abs")
+        .union(spark.createDataset(liveDvs)(
+          org.apache.spark.sql.Encoders.STRING).toDF("__abs"))
+      candidates.join(protectedDf,
+        candidates("path") === protectedDf("__abs"), "left_anti")
+    }
 
     if (dryRun) return unreferenced.limit(1000)
 

@@ -23,6 +23,10 @@ object DirListing {
   private def ts(millis: Long): java.sql.Timestamp =
     new java.sql.Timestamp(millis)
 
+  /** Invocation counter for [[listRecursive]] — lets specs pin that a
+    * log-only path (VACUUM LITE) issues ZERO full listings. */
+  val recursiveListings = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** One-level listing (files + directories), like the reference's
     * delimiter listing. Driver-side: one RPC, small result. */
   def list(spark: SparkSession, dir: String): DataFrame = {
@@ -42,6 +46,7 @@ object DirListing {
     * level, subdirectories fan out to executors (at 100 TB a table dir
     * holds millions of files — never list them all on the driver). */
   def listRecursive(spark: SparkSession, dir: String): DataFrame = {
+    recursiveListings.incrementAndGet()
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val top = fs.listStatus(p).toSeq

@@ -45,6 +45,38 @@ object CommandQueries {
         .orderBy("path")
     },
 
+    // VACUUM LITE (implemented past the reference's todo!,
+    // vacuum/mod.rs:130): candidates from the log's remove tombstones,
+    // zero directory listings (pinned in CommandsSpec). With RETAIN 0
+    // every tombstone qualifies, so the oracle is the same dead-path
+    // replay as vacuum_dry_run — the two modes must agree exactly on a
+    // debris-free table.
+    Q("vacuum_lite",
+      s"""WITH acts AS (
+         |  SELECT COALESCE("add"->>'$$.path', remove->>'$$.path') AS relpath,
+         |         "add" IS NOT NULL AS is_add,
+         |         CAST("add"->>'$$.size' AS BIGINT) AS add_size,
+         |         CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS cv
+         |  FROM ${DeltaQueries.logJsonSrc}
+         |  WHERE "add" IS NOT NULL OR remove IS NOT NULL
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY relpath
+         |    ORDER BY cv DESC, is_add DESC) AS rn FROM acts
+         |), dead AS (
+         |  SELECT relpath FROM ranked WHERE rn = 1 AND NOT is_add
+         |), sizes AS (
+         |  SELECT relpath, any_value(add_size) AS length
+         |  FROM acts WHERE is_add GROUP BY relpath
+         |)
+         |SELECT 'file:${DeltaQueries.LogDemoPath}/' || d.relpath AS path,
+         |       s.length AS length, false AS is_dir
+         |FROM dead d JOIN sizes s USING (relpath) ORDER BY path""".stripMargin) { (s, dir) =>
+      val path = DeltaQueries.logDemoTable(s, dir)
+      GraftSession(s).sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN")
+        .select("path", "length", "is_dir")
+        .orderBy("path")
+    },
+
     // A17: CREATE/DROP CATALOG through the parser. Output is the
     // securable row the reference's catalog commands return; the VALUES
     // oracle pins that contract (name/type/serialized object).

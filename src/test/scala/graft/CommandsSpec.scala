@@ -144,6 +144,43 @@ class CommandsSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).read.count() == countAfterRemove)
   }
 
+  test("vacuum lite: tombstone-derived candidates, zero directory listings") {
+    val path = tmpTable("vacuum_lite")
+    CommitWriter.createTable(spark, region.repartition(2), path)
+    val files0 = DeltaTable.forPath(spark, path)
+      .allFiles.select("path").collect().map(_.getString(0))
+    assert(files0.length >= 2)
+    CommitWriter.commitRemoves(spark, path, Seq(files0.head))
+    // untracked debris the log never saw: FULL finds it, LITE must not
+    val debris = new java.io.File(path, "debris.bin")
+    java.nio.file.Files.write(debris.toPath, Array[Byte](1, 2, 3))
+    debris.setLastModified(System.currentTimeMillis() - 3600_000L)
+
+    val g = GraftSession(spark)
+    val before = graft.ops.DirListing.recursiveListings.get()
+    val lite = g.sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN").collect()
+    assert(graft.ops.DirListing.recursiveListings.get() == before,
+      "VACUUM LITE must not run a directory listing")
+    assert(lite.length == 1)
+    assert(lite.head.getAs[String]("path").endsWith(files0.head))
+    assert(lite.head.getAs[Long]("length") > 0L)
+
+    val full = g.sql(s"VACUUM '$path' FULL RETAIN 0 HOURS DRY RUN").collect()
+    assert(graft.ops.DirListing.recursiveListings.get() == before + 1)
+    assert(full.map(_.getAs[String]("path")).toSet ==
+      lite.map(_.getAs[String]("path")).toSet +
+        s"file:${debris.getAbsolutePath}",
+      "on a table with untracked debris FULL = LITE + debris")
+
+    // real LITE run deletes the tombstoned file and only it
+    val live = DeltaTable.forPath(spark, path).read.count()
+    val metrics = g.sql(s"VACUUM '$path' LITE RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted") == "1")
+    assert(debris.exists(), "LITE must not touch untracked files")
+    assert(DeltaTable.forPath(spark, path).read.count() == live)
+  }
+
   test("vacuum: retention check blocks short RETAIN when property set") {
     val path = tmpTable("vacuum_check")
     CommitWriter.createTable(spark, region, path,
