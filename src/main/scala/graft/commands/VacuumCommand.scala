@@ -41,6 +41,10 @@ import graft.ops.DirListing
   * debris the log never saw) are only reclaimed by FULL. Deletion time
   * is the LOGICAL removal time, matching the documented delta contract
   * (files age from when the log removed them, not filesystem mtime).
+  * Deletion-vector files of tombstoned data files are reclaimed too
+  * (they are log-tracked via the superseded adds' descriptors); the one
+  * residual LITE leaves for FULL is the old DV of a path re-added in
+  * place with a new DV, whose death carries no tombstone timestamp.
   */
 object VacuumCommand {
 
@@ -93,13 +97,55 @@ object VacuumCommand {
         .select(col("remove.path").as("__rel"),
           col("remove.deletionTimestamp").as("__delTs"))
         .where(col("__delTs").isNotNull && col("__delTs") < lit(cutoff))
-      val sizes = Replay.actionsDF(spark, snapshot.segment)
+      val adds = Replay.actionsDF(spark, snapshot.segment)
         .where(col("add").isNotNull)
+      val sizes = adds
         .groupBy(col("add.path").as("__rel"))
         .agg(max(col("add.size")).as("length"))
-      tomb.join(sizes, Seq("__rel"), "left")
-        .select(concat(lit(root + "/"), col("__rel")).as("path"),
-          col("length"), lit(false).as("is_dir"),
+      // The log permits ABSOLUTE paths/URIs in actions (e.g. remove
+      // tombstones pointing at a shallow-clone's source files): only
+      // prefix the table root for relative paths, and drop absolutes
+      // outside the root — a vacuum must never delete another table's
+      // files, and such tombstones are not this table's debris.
+      val isAbsolute = col("__rel").rlike("^(?:[A-Za-z][A-Za-z0-9+.\\-]*:|/)")
+      val absPath = when(isAbsolute, col("__rel"))
+        .otherwise(concat(lit(root + "/"), col("__rel")))
+      val dataFiles = tomb.join(sizes, Seq("__rel"), "left")
+        .select(absPath.as("path"), col("length"))
+        .where(col("path").startsWith(root + "/"))
+      // Deletion-vector files of since-removed data files ARE
+      // log-tracked (via the superseded adds' deletionVector
+      // descriptors) and would otherwise leak until a FULL run.
+      // Descriptors can share one storage file via offsets, so the
+      // reclaim guard is on the PHYSICAL path: delete a DV file only
+      // when no live descriptor resolves to it. Residual (documented):
+      // a path re-added in place with a NEW DV leaves its old DV file
+      // for FULL — its death has no tombstone timestamp to age by.
+      val dvPhysical = udf((st: String, enc: String) =>
+        DvBitmap.dvPath(new Path(root),
+          graft.delta.log.Actions.DeletionVectorDescriptor(
+            st, enc, None, 0, 0L)).toString)
+      val deadDvs = adds
+        .where(col("add.deletionVector").isNotNull &&
+          col("add.deletionVector.storageType").isin("u", "p"))
+        .select(col("add.path").as("__rel"),
+          col("add.deletionVector.storageType").as("__st"),
+          col("add.deletionVector.pathOrInlineDv").as("__enc"))
+        .join(tomb.select("__rel"), Seq("__rel"))
+        .select(dvPhysical(col("__st"), col("__enc")).as("path"))
+        .distinct()
+      val liveDvs = snapshot.allFiles
+        .where(col("deletionVector").isNotNull &&
+          col("deletionVector.storageType").isin("u", "p"))
+        .select(dvPhysical(col("deletionVector.storageType"),
+          col("deletionVector.pathOrInlineDv")).as("path"))
+      val dvFiles = deadDvs.join(liveDvs, Seq("path"), "left_anti")
+        .where(col("path").startsWith(root + "/"))
+        // the descriptor's sizeInBytes is the bitmap, not the file;
+        // LITE never stats, so length is unknown
+        .select(col("path"), lit(null).cast("long").as("length"))
+      dataFiles.unionByName(dvFiles)
+        .select(col("path"), col("length"), lit(false).as("is_dir"),
           // uniform shape with the FULL path's listing schema; the
           // log doesn't record mtime and LITE never stats files
           lit(null).cast("timestamp").as("modification_time"))

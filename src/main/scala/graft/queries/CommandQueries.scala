@@ -70,7 +70,7 @@ object CommandQueries {
          |)
          |SELECT 'file:${DeltaQueries.LogDemoPath}/' || d.relpath AS path,
          |       s.length AS length, false AS is_dir
-         |FROM dead d JOIN sizes s USING (relpath) ORDER BY path""".stripMargin) { (s, dir) =>
+         |FROM dead d LEFT JOIN sizes s USING (relpath) ORDER BY path""".stripMargin) { (s, dir) =>
       val path = DeltaQueries.logDemoTable(s, dir)
       GraftSession(s).sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN")
         .select("path", "length", "is_dir")

@@ -181,6 +181,117 @@ class CommandsSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).read.count() == live)
   }
 
+  test("vacuum lite: latest-action-wins across remove/re-add/remove and a checkpoint") {
+    import graft.delta.log.Actions.AddFile
+    val path = tmpTable("vacuum_lite_cp")
+    // high interval so only the explicit checkpoint below exists
+    CommitWriter.createTable(spark, region.repartition(2), path,
+      configuration = Map("delta.checkpointInterval" -> "1000"))
+    val adds0 = DeltaTable.forPath(spark, path).allFiles
+      .select("path", "size").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val (fileA, sizeA) = adds0.head
+    val g = GraftSession(spark)
+
+    def liteCandidates(): Set[String] =
+      g.sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN").collect()
+        .map(_.getAs[String]("path")).toSet
+
+    // v1: remove A; checkpoint at v1 retains the tombstone — LITE must
+    // surface a candidate whose remove action lives ONLY in the checkpoint
+    CommitWriter.commitRemoves(spark, path, Seq(fileA))
+    CommitWriter.checkpoint(spark, path)
+    assert(liteCandidates().exists(_.endsWith(fileA)),
+      "tombstone retained in the checkpoint must stay a LITE candidate")
+
+    // v2: re-add A (commit add beats the checkpointed tombstone:
+    // commit_version 2 > checkpoint version 1) — candidate set empties
+    CommitWriter.commit(spark, path, 2, Seq(CommitWriter.addJson(AddFile(
+      fileA, Map.empty, sizeA, System.currentTimeMillis(),
+      dataChange = true, stats = None))), operation = "WRITE")
+    assert(liteCandidates().isEmpty,
+      "a re-added path's latest action is the add; it must not be vacuumed")
+
+    // v3: remove A again — candidate again, listed exactly once
+    CommitWriter.commitRemoves(spark, path, Seq(fileA))
+    val cand = g.sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN").collect()
+    assert(cand.count(_.getAs[String]("path").endsWith(fileA)) == 1)
+    assert(cand.length == 1)
+    // and the size joined from the log's add actions survives the churn
+    assert(cand.head.getAs[Long]("length") == sizeA)
+  }
+
+  test("vacuum lite: absolute/URI tombstones outside the root are skipped") {
+    val path = tmpTable("vacuum_lite_abs")
+    CommitWriter.createTable(spark, region.repartition(2), path)
+    val files0 = DeltaTable.forPath(spark, path)
+      .allFiles.select("path").collect().map(_.getString(0))
+    // the log permits absolute paths/URIs in remove actions (e.g.
+    // tombstones naming a shallow-clone's source files) — LITE must
+    // neither garble them with a root prefix nor reach outside the table
+    CommitWriter.commitRemoves(spark, path, Seq(
+      files0.head,
+      "file:/definitely/elsewhere/ghost.parquet",
+      "/also/elsewhere/ghost2.parquet"))
+    val cand = GraftSession(spark)
+      .sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getAs[String]("path"))
+    assert(cand.length == 1 && cand.head.endsWith(files0.head))
+    assert(!cand.exists(_.contains("elsewhere")))
+  }
+
+  test("vacuum lite: reclaims orphaned DV files, spares live-referenced ones") {
+    import org.apache.hadoop.fs.Path
+    import graft.delta.scan.DvBitmap
+    val path = tmpTable("vacuum_lite_dv")
+    // two known files: A holds keys 0-1, B holds keys 2-4
+    CommitWriter.createTable(spark,
+      region.where(col("r_regionkey") < 2).repartition(1), path,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val fileA = DeltaTable.forPath(spark, path)
+      .allFiles.select("path").collect().head.getString(0)
+    CommitWriter.append(spark,
+      region.where(col("r_regionkey") >= 2).repartition(1), path)
+    // one DV per file via two separate DV-backed deletes
+    graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 2)
+    val snap = DeltaTable.forPath(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(path)).toString
+    val dvByFile = snap.allFiles
+      .where(col("deletionVector").isNotNull)
+      .select("path", "deletionVector.storageType",
+        "deletionVector.pathOrInlineDv").collect()
+      .map(r => r.getString(0) -> DvBitmap.dvPath(new Path(root),
+        graft.delta.log.Actions.DeletionVectorDescriptor(
+          r.getString(1), r.getString(2), None, 0, 0L)).toString)
+      .toMap
+    assert(dvByFile.size == 2, s"expected a DV on both files: $dvByFile")
+    val (dvA, dvB) = (dvByFile(fileA),
+      dvByFile.collectFirst { case (f, p) if f != fileA => p }.get)
+
+    // tombstone file A: LITE must list A AND its now-orphaned DV file,
+    // and must spare B's DV (still referenced by the live snapshot)
+    CommitWriter.commitRemoves(spark, path, Seq(fileA))
+    val g = GraftSession(spark)
+    val cand = g.sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN").collect()
+    val candPaths = cand.map(_.getAs[String]("path")).toSet
+    assert(candPaths.exists(_.endsWith(fileA)))
+    assert(candPaths.contains(dvA), s"orphaned DV missing: $dvA vs $candPaths")
+    assert(!candPaths.contains(dvB), "live-referenced DV must be spared")
+    assert(cand.length == 2)
+    // DV rows carry no length (the log records bitmap size, not file size)
+    assert(cand.filter(_.getAs[String]("path") == dvA).head.isNullAt(
+      cand.head.fieldIndex("length")))
+
+    // the real run deletes both and the table still reads
+    val before = DeltaTable.forPath(spark, path).read.count()
+    g.sql(s"VACUUM '$path' LITE RETAIN 0 HOURS").collect()
+    assert(!fs.exists(new Path(dvA)))
+    assert(fs.exists(new Path(dvB)))
+    assert(DeltaTable.forPath(spark, path).read.count() == before)
+  }
+
   test("vacuum: retention check blocks short RETAIN when property set") {
     val path = tmpTable("vacuum_check")
     CommitWriter.createTable(spark, region, path,
@@ -283,14 +394,6 @@ class CommandsSpec extends AnyFunSuite {
         .option("readChangeFeed", "true").load().count()
     }
     assert(e.getMessage.contains("VACUUM"), e.getMessage)
-  }
-
-  test("vacuum LITE is not implemented (parity)") {
-    val path = tmpTable("vacuum_lite")
-    CommitWriter.createTable(spark, region, path)
-    intercept[IllegalArgumentException] {
-      GraftSession(spark).sql(s"VACUUM '$path' LITE")
-    }
   }
 
   test("table registry auto-refresh") {
