@@ -32,6 +32,11 @@ import graft.delta.scan.ColumnMapping
   * `ANALYZE TABLE ... COMPUTE DELTA STATISTICS` semantics instead. */
 object AnalyzeCommand {
 
+  // per-JVM (driver and each executor resolve the module independently);
+  // readTree is thread-safe
+  private lazy val statsMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   def run(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = DeltaTable.forPath(spark, tablePath)
     val meta = snap.metadata
@@ -49,21 +54,23 @@ object AnalyzeCommand {
     val target = CommitWriter.statsEligible(
       CommitWriter.selectedStatsColumns(meta), physDataSchema)
 
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def covered(stats: String): Boolean = {
-      val n = mapper.readTree(stats)
-      val nulls = n.get("nullCount")
-      n.has("numRecords") && nulls != null &&
-        target.forall(nulls.has)
+    // Coverage is judged on the EXECUTORS so the driver only ever sees
+    // the uncovered rows: at 10^7 files with 100 stale, 100 rows come
+    // back, not the inventory. (The commit below is O(stale) anyway.)
+    val targetNames = target.toIndexedSeq
+    val needsStats = org.apache.spark.sql.functions.udf { stats: String =>
+      stats == null || {
+        val n = statsMapper.readTree(stats)
+        val nulls = n.get("nullCount")
+        !(n.has("numRecords") && nulls != null &&
+          targetNames.forall(nulls.has))
+      }
     }
-
-    // O(files) metadata on the driver — the same order as the snapshot
-    // itself; the per-file READS below are the distributed part
-    val inv = snap.allFiles.collect()
-    val stale = inv.filter { r =>
-      Option(r.getAs[String]("stats")).forall(s => !covered(s))
-    }
-    if (stale.isEmpty) return metrics(spark, 0, inv.length)
+    val total = snap.allFiles.count()
+    val stale = snap.allFiles
+      .where(needsStats(org.apache.spark.sql.functions.col("stats")))
+      .collect()
+    if (stale.isEmpty) return metrics(spark, 0, total.toInt)
 
     val fs = LogSegment.fs(spark, snap.tablePath)
     val qualifiedTable = fs.makeQualified(snap.tablePath)
@@ -103,7 +110,7 @@ object AnalyzeCommand {
       reAdds.map(CommitWriter.addJson).toSeq, operation = "ANALYZE",
       profile = ConflictChecker.TxnProfile(
         readPaths = touched, removePaths = touched))
-    metrics(spark, stale.length, inv.length - stale.length)
+    metrics(spark, stale.length, total.toInt - stale.length)
   }
 
   private def metrics(spark: SparkSession, analyzed: Int,

@@ -21,11 +21,19 @@ object CloneCommand {
     val fs = LogSegment.fs(spark, source.tablePath)
     val qualified = fs.makeQualified(source.tablePath)
 
-    val files = source.allFiles.collect()
-    val adds = files.map { r =>
+    // The clone's version-0 commit must name every source file, so the
+    // serialized action lines are inherently O(files) — but nothing
+    // else needs to be: rows stream through toLocalIterator (one
+    // partition resident at a time) straight into their JSON lines,
+    // instead of materializing the whole inventory as Rows AND AddFiles
+    // AND lines simultaneously.
+    var fileCount = 0L
+    val addLines = Seq.newBuilder[String]
+    source.allFiles.toLocalIterator().forEachRemaining { r =>
       val rel = r.getAs[String]("path")
       val abs = new Path(qualified, rel).toString
-      Actions.AddFile(
+      fileCount += 1
+      addLines += CommitWriter.addJson(Actions.AddFile(
         path = abs,
         partitionValues = Option(r.getAs[Map[String, String]]("partitionValues"))
           .getOrElse(Map.empty),
@@ -47,7 +55,7 @@ object CloneCommand {
           .map(_.longValue()),
         defaultRowCommitVersion =
           Option(r.getAs[java.lang.Long]("defaultRowCommitVersion"))
-            .map(_.longValue()))
+            .map(_.longValue())))
     }
 
     val meta = source.metadata.copy(
@@ -59,12 +67,12 @@ object CloneCommand {
     CommitWriter.commit(spark, targetPath, 0L,
       Seq(CommitWriter.protocolJson(source.protocol),
         CommitWriter.metadataJson(meta)) ++ domainActions ++
-        adds.map(CommitWriter.addJson).toIndexedSeq,
+        addLines.result(),
       operation = s"CLONE $sourcePath")
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row("source_version", source.version.toString))
-    rows.add(Row("files_referenced", adds.length.toString))
+    rows.add(Row("files_referenced", fileCount.toString))
     spark.createDataFrame(rows, VacuumCommand.metricsSchema)
   }
 }

@@ -13,6 +13,11 @@ import graft.delta.log.{Actions, CommitWriter, LogSegment}
 object HistoryCommand {
   private val mapper = new ObjectMapper()
 
+  /** Rows the last restore() brought to the driver — pinned by
+    * RestoreSpec to the DIFF size, guarding against a regression to
+    * full-inventory collects. */
+  @volatile private[graft] var collectedForTest: Long = -1L
+
   val historySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("timestamp", LongType, nullable = true),
@@ -115,10 +120,28 @@ object HistoryCommand {
       s"Cannot restore to future version $version (latest ${current.version})")
     val target = DeltaTable.forPath(spark, tablePath, Some(version))
 
-    def fileMap(s: graft.delta.Snapshot): Map[String, Row] =
-      s.allFiles.collect().map(r => r.getAs[String]("path") -> r).toMap
-    val currentFiles = fileMap(current)
-    val targetFiles = fileMap(target)
+    // The diff is computed DISTRIBUTED and only the changed rows are
+    // collected: at 10^7 files, a restore that touches 100 of them
+    // brings 100 rows to the driver, not two full inventories. The
+    // DV identity join key mirrors DeletionVectorDescriptor.uniqueId.
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
+    val dvIdCol = coalesce(
+      concat(col("deletionVector.storageType"),
+        col("deletionVector.pathOrInlineDv"),
+        coalesce(concat(lit("@"),
+          col("deletionVector.offset").cast("string")), lit(""))),
+      lit(""))
+    val curKeys = current.allFiles
+      .select(col("path"), dvIdCol.as("__cur_dv"))
+    val tgtKeys = target.allFiles
+      .select(col("path"), dvIdCol.as("__tgt_dv"))
+
+    val now = System.currentTimeMillis()
+    val removedPaths = curKeys
+      .join(tgtKeys.select("path"), Seq("path"), "left_anti")
+      .select("path").collect().map(_.getString(0)).sorted
+    val removes = removedPaths.toSeq.map(p => CommitWriter.removeJson(
+      Actions.RemoveFile(p, Some(now), dataChange = true)))
 
     def dvOf(r: Row): Option[Actions.DeletionVectorDescriptor] =
       Option(r.getAs[Row]("deletionVector")).map { d =>
@@ -130,23 +153,22 @@ object HistoryCommand {
           d.getAs[Int]("sizeInBytes"),
           d.getAs[Long]("cardinality"))
       }
-    def dvId(r: Row): String = dvOf(r).map(_.uniqueId).getOrElse("")
 
-    val now = System.currentTimeMillis()
-    val removes = (currentFiles.keySet -- targetFiles.keySet).toSeq.sorted
-      .map(p => CommitWriter.removeJson(
-        Actions.RemoveFile(p, Some(now), dataChange = true)))
     // re-add files the target had, AND files present in both versions
     // whose deletion vector differs (a path-only diff would silently keep
     // the current DV, resurrecting or re-deleting rows); the re-add
     // carries the target's DV so the restored snapshot masks exactly the
     // target's deleted rows
-    val readdPaths = (targetFiles.keySet -- currentFiles.keySet) ++
-      (targetFiles.keySet & currentFiles.keySet)
-        .filter(p => dvId(targetFiles(p)) != dvId(currentFiles(p)))
-    val adds = readdPaths.toSeq.sorted
-      .map { p =>
-        val r = targetFiles(p)
+    val readdRows = target.allFiles
+      .withColumn("__tgt_dv", dvIdCol)
+      .join(curKeys, Seq("path"), "left")
+      .where(col("__cur_dv").isNull || col("__cur_dv") =!= col("__tgt_dv"))
+      .drop("__cur_dv", "__tgt_dv")
+      .collect().sortBy(_.getAs[String]("path"))
+    collectedForTest = removedPaths.length.toLong + readdRows.length
+    val adds = readdRows.toSeq
+      .map { r =>
+        val p = r.getAs[String]("path")
         CommitWriter.addJson(Actions.AddFile(
           path = p,
           partitionValues = Option(r.getAs[Map[String, String]]("partitionValues"))
@@ -171,12 +193,13 @@ object HistoryCommand {
 
     // RESTORE's actions were computed from the FULL current live set, so
     // any concurrent data change is a real conflict (typed); only a
-    // content-neutral winner (pure SetTransaction) permits a rebase
+    // content-neutral winner (pure SetTransaction) permits a rebase.
+    // readsWholeTable stands in for the inventory path sets, so the
+    // profile stays O(1) on the driver.
     CommitWriter.commitWithRebase(spark, tablePath, current.version,
       metaAction ++ removes ++ adds, operation = s"RESTORE VERSION $version",
       profile = graft.delta.log.ConflictChecker.TxnProfile(
-        readPaths = currentFiles.keySet, removePaths = currentFiles.keySet,
-        dependsOnNewData = true))
+        dependsOnNewData = true, readsWholeTable = true))
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row("restored_to_version", version.toString))

@@ -103,7 +103,11 @@ object ConflictChecker {
       dependsOnNewData: Boolean = false,
       predicate: Option[Column] = None,
       schema: StructType = new StructType(),
-      partitionColumns: Seq[String] = Seq.empty)
+      partitionColumns: Seq[String] = Seq.empty,
+      // a whole-table transaction (RESTORE) reads every live file: ANY
+      // winner remove conflicts, without materializing the O(files)
+      // inventory into readPaths on the driver
+      readsWholeTable: Boolean = false)
 
   /** Read and classify the commits `fromVersion..toVersion` (inclusive)
     * that beat the losing writer. */
@@ -178,7 +182,9 @@ object ConflictChecker {
         s"concurrent $span removed ${delDel.size} file(s) this transaction " +
           s"also removes (e.g. '${delDel.head}') from $tablePath — " +
           "re-run it against the new snapshot", cause)
-    val delRead = summary.removedPaths.intersect(profile.readPaths)
+    val delRead =
+      if (profile.readsWholeTable) summary.removedPaths
+      else summary.removedPaths.intersect(profile.readPaths)
     if (delRead.nonEmpty)
       throw new ConcurrentDeleteReadException(
         s"concurrent $span removed ${delRead.size} file(s) this " +

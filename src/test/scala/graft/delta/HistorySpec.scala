@@ -98,6 +98,24 @@ class HistorySpec extends AnyFunSuite {
     }
   }
 
+  test("restore collects only the diff, not the inventories") {
+    val p = tmp("restore_diff")
+    // 4 stable files + 1 appended: restoring to v0 diffs exactly 1 file
+    CommitWriter.createTable(spark, region.repartition(4), p)
+    CommitWriter.append(spark, region.limit(1).repartition(1), p)
+    val inventory = DeltaTable.forPath(spark, p).allFiles.count()
+    assert(inventory >= 5)
+
+    val out = g.sql(s"RESTORE '$p' TO VERSION AS OF 0").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val diff = out("files_removed").toLong + out("files_added").toLong
+    assert(diff == 1)
+    // the driver saw the DIFF rows, not either version's full inventory
+    assert(graft.commands.HistoryCommand.collectedForTest == diff,
+      s"restore collected ${graft.commands.HistoryCommand.collectedForTest} " +
+        s"rows for a $diff-file diff over a $inventory-file table")
+  }
+
   test("SHOW CATALOGS lists the registry") {
     graft.catalog.LocalCatalog.clear()
     g.sql("CREATE CATALOG show_a COMMENT 'first'")
