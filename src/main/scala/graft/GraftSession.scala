@@ -528,7 +528,39 @@ final class GraftSession(val spark: SparkSession) {
         rows.add(org.apache.spark.sql.Row(c.name,
           c.comment.orNull, c.managedLocation.orNull)))
       spark.createDataFrame(rows, GraftSession.showCatalogsSchema)
+    // schema (namespace) securables: ours only when the catalog is a
+    // graft securable/plugin — `spark_catalog.db` etc. re-delegates to
+    // vanilla Spark DDL with the statement re-rendered
+    case s: CreateSchemaStatement =>
+      if (LocalCatalog.get(s.catalog).isDefined)
+        LocalCatalog.createSchemaIn(spark, s.catalog, s.name,
+          s.comment, s.options, s.ifNotExists)
+      else spark.sql(
+        s"CREATE SCHEMA ${if (s.ifNotExists) "IF NOT EXISTS " else ""}" +
+          s"${quoteIdent(s.catalog)}.${quoteIdent(s.name)}" +
+          s.comment.map(c => s" COMMENT '${c.replace("'", "''")}'")
+            .getOrElse(""))
+    case s: DropSchemaStatement =>
+      if (LocalCatalog.get(s.catalog).isDefined)
+        LocalCatalog.dropSchemaIn(spark, s.catalog, s.name,
+          s.ifExists, s.cascade)
+      else spark.sql(
+        s"DROP SCHEMA ${if (s.ifExists) "IF EXISTS " else ""}" +
+          s"${quoteIdent(s.catalog)}.${quoteIdent(s.name)}" +
+          (if (s.cascade) " CASCADE" else ""))
+    case ShowSchemasStatement(catalog) =>
+      if (LocalCatalog.get(catalog).isDefined) {
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        LocalCatalog.listSchemas(catalog).foreach(d =>
+          rows.add(org.apache.spark.sql.Row(
+            d.name, catalog, d.comment.orNull)))
+        spark.createDataFrame(rows, GraftSession.showSchemasSchema)
+      } else spark.sql(s"SHOW SCHEMAS IN ${quoteIdent(catalog)}")
   }
+
+  private def quoteIdent(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
 
   private def alterMetrics(what: String, version: Long): DataFrame = {
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
@@ -564,13 +596,20 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   private def resolveTablePath(table: String): String =
-    if (table.contains("/") || table.contains(":")) table
-    else tables.names.find(_ == table)
-      .map(n => tables.snapshot(n).tablePath.toString)
-      // catalog-qualified (`graft.db.tbl`): the same registry reads
-      // resolve through — commands accept the names users already use
-      .orElse(graft.catalog.GraftCatalog.lookupPath(table.split('.').toSeq))
-      .getOrElse(table)
+    if (table.contains("/") || (table.contains(":") && !table.contains("`")))
+      table
+    else {
+      // split on dots OUTSIDE backticks — a quoted identifier holding a
+      // literal dot is ONE part, not a qualifier chain
+      val parts = graft.catalog.GraftCatalog.splitRef(table)
+      tables.names.find(n => n == table ||
+          (parts.length == 1 && n == parts.head))
+        .map(n => tables.snapshot(n).tablePath.toString)
+        // catalog-qualified (`graft.db.tbl`): the same registry reads
+        // resolve through — commands accept the names users already use
+        .orElse(graft.catalog.GraftCatalog.lookupPath(parts))
+        .getOrElse(table)
+    }
 }
 
 object GraftSession {
@@ -588,6 +627,15 @@ object GraftSession {
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("partition",
         org.apache.spark.sql.types.StringType, nullable = false)))
+
+  val showSchemasSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("schema_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("catalog_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("comment",
+        org.apache.spark.sql.types.StringType, nullable = true)))
 
   val showCatalogsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

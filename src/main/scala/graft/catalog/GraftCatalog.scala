@@ -41,6 +41,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    GraftCatalog.pluginNames.add(name.toLowerCase)
   }
 
   override def name(): String = catalogName
@@ -211,6 +212,37 @@ object GraftCatalog {
   private val namespaces =
     new ConcurrentHashMap[String, java.util.Map[String, String]]()
 
+  /** Spark catalog names this plugin was initialized under — the names
+    * a qualified table/command reference may legitimately lead with. */
+  private val pluginNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Is `name` a catalog THIS library owns (a registered DSv2 plugin
+    * instance or a CREATE CATALOG securable)? Names of other catalogs
+    * (spark_catalog, hive, ...) are NOT ours to resolve. */
+  def isGraftCatalogName(name: String): Boolean =
+    pluginNames.contains(name.toLowerCase) ||
+      LocalCatalog.get(name).isDefined
+
+  /** Namespace registration shared with CREATE SCHEMA (the registry is
+    * JVM-level and flat: one namespace space across every graft catalog
+    * instance, same as [[register]] uses). */
+  def registerNamespace(namespace: String): Unit =
+    namespaces.putIfAbsent(namespace.toLowerCase,
+      java.util.Collections.emptyMap[String, String]())
+
+  /** DROP SCHEMA's registry arm: refuse a non-empty namespace unless
+    * cascade, which unregisters its tables (metadata only). */
+  def dropNamespaceEntry(namespace: String, cascade: Boolean): Unit = {
+    val ns = namespace.toLowerCase
+    val owned = tables.keySet().asScala.filter(_._1 == ns).toSeq
+    if (owned.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"namespace $ns is not empty (use CASCADE)")
+    owned.foreach(tables.remove)
+    namespaces.remove(ns)
+  }
+
   /** Programmatic registration (the `GraftSession.registerDelta`
     * analogue for catalog-qualified access). */
   def register(namespace: String, table: String, path: String): Unit = {
@@ -235,11 +267,31 @@ object GraftCatalog {
       Option(tables.get((nsKey(ns.toArray), tbl.toLowerCase)))
     if (parts.length < 2) None
     else {
+      // only strip a leading catalog part that is OURS — otherwise
+      // `spark_catalog.db.tbl` would silently resolve to graft's
+      // registered (db, tbl), hijacking another catalog's name
       val stripped =
-        if (parts.length >= 3) hit(parts.slice(1, parts.length - 1), parts.last)
+        if (parts.length >= 3 && isGraftCatalogName(parts.head))
+          hit(parts.slice(1, parts.length - 1), parts.last)
         else None
       stripped.orElse(hit(parts.dropRight(1), parts.last))
     }
+  }
+
+  /** Split a rendered multi-part reference on dots OUTSIDE backticks,
+    * unquoting each part — the inverse of the parser's rendering, so a
+    * quoted identifier containing a literal dot survives the round trip. */
+  def splitRef(ref: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    ref.foreach {
+      case '`' => inQ = !inQ
+      case '.' if !inQ => parts += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    parts += sb.toString
+    parts.result()
   }
 
   /** Single-level separator for namespace registry keys: NUL cannot

@@ -17,6 +17,14 @@ import scala.jdk.CollectionConverters._
   */
 object LocalCatalog {
 
+  /** A schema (namespace) securable inside a catalog. The reference
+    * leaves CREATE SCHEMA as `todo!` (sql/parser.rs:355); this follows
+    * the same catalog/schema securable model its CREATE CATALOG uses. */
+  final case class SchemaDef(
+      name: String,
+      comment: Option[String] = None,
+      options: Map[String, String] = Map.empty)
+
   final case class CatalogDef(
       name: String,
       usingShare: Option[String],
@@ -24,7 +32,7 @@ object LocalCatalog {
       comment: Option[String],
       defaultCollation: Option[String],
       options: Map[String, String],
-      schemas: Set[String] = Set.empty)
+      schemas: Map[String, SchemaDef] = Map.empty)
 
   private val catalogs = new ConcurrentHashMap[String, CatalogDef]()
 
@@ -66,9 +74,69 @@ object LocalCatalog {
         if (c.schemas.nonEmpty && !cascade)
           throw new IllegalArgumentException(
             s"Catalog '$name' is not empty (use CASCADE)")
+        c.schemas.keys.foreach(GraftCatalog.dropNamespaceEntry(_, cascade = true))
         catalogs.remove(name)
         result(spark, dropSchema, Row(name, "catalog", "DROPPED"))
     }
+  }
+
+  /** CREATE SCHEMA <catalog>.<schema>: registers the securable under
+    * its parent catalog AND publishes the namespace to the DSv2 plugin
+    * registry so catalog-qualified reads/writes resolve through it. */
+  def createSchemaIn(spark: SparkSession, catalog: String, schema: String,
+      comment: Option[String], options: Map[String, String],
+      ifNotExists: Boolean): DataFrame = {
+    val d = SchemaDef(schema, comment, options)
+    var existed = false
+    val updated = catalogs.computeIfPresent(catalog, (_, c) =>
+      if (c.schemas.contains(schema)) { existed = true; c }
+      else c.copy(schemas = c.schemas + (schema -> d)))
+    if (updated == null)
+      throw new IllegalArgumentException(s"Catalog '$catalog' not found")
+    if (existed && !ifNotExists)
+      throw new IllegalArgumentException(
+        s"Schema '$catalog.$schema' already exists")
+    GraftCatalog.registerNamespace(schema)
+    result(spark, createSchema, Row(s"$catalog.$schema", "schema",
+      describeSchema(catalog, updated.schemas(schema))))
+  }
+
+  /** DROP SCHEMA <catalog>.<schema> [CASCADE]: refuses when tables are
+    * registered under the namespace unless CASCADE, which unregisters
+    * them (paths only — no data files are touched). */
+  def dropSchemaIn(spark: SparkSession, catalog: String, schema: String,
+      ifExists: Boolean, cascade: Boolean): DataFrame = {
+    val c = Option(catalogs.get(catalog)).getOrElse(
+      throw new IllegalArgumentException(s"Catalog '$catalog' not found"))
+    if (!c.schemas.contains(schema)) {
+      if (!ifExists) throw new IllegalArgumentException(
+        s"Schema '$catalog.$schema' not found")
+      return result(spark, dropSchema,
+        Row(s"$catalog.$schema", "schema", "NOT_FOUND"))
+    }
+    GraftCatalog.dropNamespaceEntry(schema, cascade)
+    catalogs.computeIfPresent(catalog, (_, cur) =>
+      cur.copy(schemas = cur.schemas - schema))
+    result(spark, dropSchema, Row(s"$catalog.$schema", "schema", "DROPPED"))
+  }
+
+  def listSchemas(catalog: String): Seq[SchemaDef] =
+    Option(catalogs.get(catalog)) match {
+      case None =>
+        throw new IllegalArgumentException(s"Catalog '$catalog' not found")
+      case Some(c) => c.schemas.values.toSeq.sortBy(_.name)
+    }
+
+  private def describeSchema(catalog: String, d: SchemaDef): String = {
+    val fields = Seq(
+      Some(s""""name":"${d.name}""""),
+      Some(s""""catalog_name":"$catalog""""),
+      d.comment.map(v => s""""comment":"$v"""")
+    ).flatten ++ (if (d.options.nonEmpty)
+      Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+    else Seq.empty)
+    fields.mkString("{", ",", "}")
   }
 
   private def describe(d: CatalogDef): String = {

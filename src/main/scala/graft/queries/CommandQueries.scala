@@ -93,6 +93,26 @@ object CommandQueries {
       created
     },
 
+    // CREATE SCHEMA under a local catalog (the reference's own todo! at
+    // sql/parser.rs:355, implemented against the same securable model
+    // its CREATE CATALOG returns — securable row contract from
+    // sql/unity/mod.rs:24-31). The full lifecycle (duplicates, CASCADE,
+    // SHOW SCHEMAS, namespace integration) is pinned in CommandsSpec.
+    Q("create_schema",
+      """SELECT 'graft_demo.ml' AS securable_name,
+        |  'schema' AS securable_type,
+        |  '{"name":"ml","catalog_name":"graft_demo","comment":"training data"}'
+        |    AS securable_object""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP CATALOG IF EXISTS graft_demo CASCADE")
+      g.sql("CREATE CATALOG graft_demo")
+      val created = g.sql(
+        "CREATE SCHEMA graft_demo.ml COMMENT 'training data'")
+      g.sql("DROP SCHEMA graft_demo.ml")
+      g.sql("DROP CATALOG graft_demo")
+      created
+    },
+
     // table history via DESCRIBE HISTORY over the sf-independent log
     // fixture. Oracle: DuckDB derives the same rows from the raw
     // _delta_log JSON (commitInfo fields + non-commitInfo line counts).

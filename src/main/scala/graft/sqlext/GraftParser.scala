@@ -4,10 +4,13 @@ package graft.sqlext
   *
   * Mirrors the reference's HFParser: intercept VACUUM and CREATE/DROP
   * CATALOG (plus explicit not-implemented stubs for CREATE CONNECTION /
-  * LOCATION / SCHEMA / SHARE / FOREIGN CATALOG), delegate everything
+  * LOCATION / SHARE / FOREIGN CATALOG), delegate everything
   * else to the host engine (reference: crates/datafusion/src/sql/
   * parser.rs:30-491 — vacuum :158-219, create catalog :246-340, stubs
-  * :342-360, drop :362-392).
+  * :342-360, drop :362-392). CREATE/DROP/SHOW SCHEMA — the reference's
+  * own `todo!` (parser.rs:355) — are implemented against the local
+  * catalog model for QUALIFIED (cat.schema) names; unqualified forms
+  * stay vanilla Spark DDL.
   */
 object GraftParser {
 
@@ -78,6 +81,12 @@ object GraftParser {
   final case class UnsetTblPropertiesStatement(table: String,
       keys: Seq[String]) extends Statement
   case object ShowCatalogsStatement extends Statement
+  final case class CreateSchemaStatement(catalog: String, name: String,
+      ifNotExists: Boolean, comment: Option[String],
+      options: Map[String, String]) extends Statement
+  final case class DropSchemaStatement(catalog: String, name: String,
+      ifExists: Boolean, cascade: Boolean) extends Statement
+  final case class ShowSchemasStatement(catalog: String) extends Statement
   /** SHOW TBLPROPERTIES <ref>: (key, value) rows, sorted. */
   final case class ShowTblPropertiesStatement(table: String)
     extends Statement
@@ -200,6 +209,15 @@ object GraftParser {
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("CATALOGS") =>
         Some(ShowCatalogsStatement)
+      case w: Word if w.upper == "SHOW" &&
+          wordAt(toks, 1).exists(s => s == "SCHEMAS" || s == "NAMESPACES") &&
+          wordAt(toks, 2).exists(s => s == "IN" || s == "FROM") =>
+        // only the catalog-qualified form is ours; execution delegates
+        // back to Spark when the catalog isn't a graft securable.
+        // Unqualified SHOW SCHEMAS is vanilla Spark and never parses here.
+        if (toks.length != 4)
+          throw new ParseException("expected SHOW SCHEMAS IN <catalog>")
+        Some(ShowSchemasStatement(identText(toks(3))))
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("TBLPROPERTIES") =>
         Some(ShowTblPropertiesStatement(parseTableRef(toks.drop(2))))
@@ -737,7 +755,11 @@ object GraftParser {
               t.isInstanceOf[Word] || t.isInstanceOf[Quoted])) {
           parts += identText(toks(i + 1)); i += 2
         }
-        (parts.mkString("."), i)
+        // a part holding a literal dot (quoted identifier) re-renders
+        // BACKTICKED so the joined ref splits back into the same parts
+        // (GraftCatalog.splitRef) instead of exploding on its dots
+        (parts.map(p => if (p.contains(".")) s"`$p`" else p)
+          .mkString("."), i)
       case _ => throw new ParseException("Expected a table reference")
     }
 
@@ -822,7 +844,7 @@ object GraftParser {
   }
 
   private val NotImplementedObjects =
-    Set("CONNECTION", "LOCATION", "SCHEMA", "SHARE")
+    Set("CONNECTION", "LOCATION", "SHARE")
 
   private def parseCreateOrDrop(verb: String,
       toks: Vector[Tok]): Option[Statement] = {
@@ -832,6 +854,12 @@ object GraftParser {
         else Some(parseDropCatalog(toks.drop(1)))
       case Some("FOREIGN") if wordAt(toks, 1).contains("CATALOG") =>
         throw new NotImplementedStatement(s"$verb FOREIGN CATALOG")
+      case Some("SCHEMA") =>
+        // only QUALIFIED names (cat.schema) are ours — an unqualified
+        // CREATE/DROP SCHEMA is valid vanilla Spark DDL on the session
+        // catalog and must keep delegating
+        if (verb == "CREATE") parseCreateSchema(toks.drop(1))
+        else parseDropSchema(toks.drop(1))
       case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
         throw new NotImplementedStatement(s"CREATE $obj")
       case Some("OR") if verb == "CREATE" &&
@@ -955,6 +983,85 @@ object GraftParser {
     case Quoted(q) => q
     case Str(s) => s
     case Sym(s) => throw new ParseException(s"Expected identifier, got '$s'")
+  }
+
+  /** CREATE SCHEMA [IF NOT EXISTS] <catalog>.<schema>
+    * [COMMENT '...'] [OPTIONS (k v, ...)] — the securable-model sibling
+    * of CREATE CATALOG (the reference stubs this at sql/parser.rs:355).
+    * None (delegate) when the name is unqualified: that form is plain
+    * Spark DDL on the session catalog. */
+  private def parseCreateSchema(toks: Vector[Tok]): Option[Statement] = {
+    var i = 0
+    var ifNotExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("NOT") &&
+        wordAt(toks, 2).contains("EXISTS")) {
+      ifNotExists = true; i = 3
+    }
+    val cat = identText(toks.lift(i).getOrElse(
+      throw new ParseException("CREATE SCHEMA requires a name")))
+    if (!toks.lift(i + 1).exists(_.text == ".")) return None
+    val name = identText(toks.lift(i + 2).getOrElse(
+      throw new ParseException("expected schema name after '.'")))
+    i += 3
+    var comment: Option[String] = None
+    var options = Map.empty[String, String]
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("COMMENT") =>
+          if (comment.isDefined)
+            throw new ParseException("COMMENT already set")
+          comment = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected comment text"))))
+          i += 2
+        case Some("OPTIONS") =>
+          if (options.nonEmpty) throw new ParseException("OPTIONS already set")
+          if (!toks.lift(i + 1).exists(_.text == "("))
+            throw new ParseException("expected ( after OPTIONS")
+          val close = toks.indexWhere(_.text == ")", i + 1)
+          if (close < 0) throw new ParseException("unterminated OPTIONS")
+          val opts = Map.newBuilder[String, String]
+          var j = i + 2
+          while (j < close) {
+            toks(j) match {
+              case Sym(",") => j += 1
+              case k =>
+                val v = toks.lift(j + 1).getOrElse(
+                  throw new ParseException("expected option value"))
+                opts += identText(k) -> identText(v)
+                j += 2
+            }
+          }
+          options = opts.result(); i = close + 1
+        case other =>
+          throw new ParseException(s"Unexpected token in CREATE SCHEMA: $other")
+      }
+    }
+    Some(CreateSchemaStatement(cat, name, ifNotExists, comment, options))
+  }
+
+  /** DROP SCHEMA [IF EXISTS] <catalog>.<schema> [CASCADE | RESTRICT];
+    * unqualified delegates (vanilla Spark DDL). */
+  private def parseDropSchema(toks: Vector[Tok]): Option[Statement] = {
+    var i = 0
+    var ifExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("EXISTS")) {
+      ifExists = true; i = 2
+    }
+    val cat = identText(toks.lift(i).getOrElse(
+      throw new ParseException("DROP SCHEMA requires a name")))
+    if (!toks.lift(i + 1).exists(_.text == ".")) return None
+    val name = identText(toks.lift(i + 2).getOrElse(
+      throw new ParseException("expected schema name after '.'")))
+    i += 3
+    var cascade = false
+    wordAt(toks, i) match {
+      case Some("CASCADE") => cascade = true; i += 1
+      case Some("RESTRICT") => i += 1 // the default; accepted for symmetry
+      case _ =>
+    }
+    if (i < toks.length)
+      throw new ParseException(s"Unexpected trailing tokens: ${toks.drop(i)}")
+    Some(DropSchemaStatement(cat, name, ifExists, cascade))
   }
 
   private def parseCreateCatalog(toks: Vector[Tok]): CreateCatalogStatement = {

@@ -91,13 +91,83 @@ class CommandsSpec extends AnyFunSuite {
 
   test("stubs raise NotImplemented; plain SQL delegates") {
     intercept[NotImplementedStatement] {
-      GraftParser.parse("CREATE SCHEMA foo")
+      GraftParser.parse("CREATE SHARE foo")
     }
     intercept[NotImplementedStatement] {
       GraftParser.parse("CREATE FOREIGN CATALOG fc")
     }
     assert(GraftParser.parse("SELECT 1").isEmpty)
     assert(GraftParser.parse("CREATE TABLE t (a INT)").isEmpty)
+    // unqualified schema DDL is vanilla Spark, not ours
+    assert(GraftParser.parse("CREATE SCHEMA foo").isEmpty)
+    assert(GraftParser.parse("DROP SCHEMA foo").isEmpty)
+  }
+
+  test("parse CREATE/DROP/SHOW SCHEMA forms") {
+    assert(GraftParser.parse("CREATE SCHEMA cat.ml") ==
+      Some(CreateSchemaStatement("cat", "ml", ifNotExists = false,
+        None, Map.empty)))
+    assert(GraftParser.parse(
+      "CREATE SCHEMA IF NOT EXISTS cat.ml COMMENT 'training' " +
+        "OPTIONS (owner graft)") ==
+      Some(CreateSchemaStatement("cat", "ml", ifNotExists = true,
+        Some("training"), Map("owner" -> "graft"))))
+    assert(GraftParser.parse("DROP SCHEMA cat.ml CASCADE") ==
+      Some(DropSchemaStatement("cat", "ml", ifExists = false,
+        cascade = true)))
+    assert(GraftParser.parse("DROP SCHEMA IF EXISTS cat.ml") ==
+      Some(DropSchemaStatement("cat", "ml", ifExists = true,
+        cascade = false)))
+    assert(GraftParser.parse("SHOW SCHEMAS IN cat") ==
+      Some(ShowSchemasStatement("cat")))
+    // unqualified SHOW SCHEMAS stays vanilla
+    assert(GraftParser.parse("SHOW SCHEMAS").isEmpty)
+  }
+
+  test("schema lifecycle through GraftSession.sql") {
+    val g = GraftSession(spark)
+    g.sql("DROP CATALOG IF EXISTS schcat CASCADE")
+    g.sql("CREATE CATALOG schcat")
+    val created = g.sql("CREATE SCHEMA schcat.ml COMMENT 'training'")
+      .collect().head
+    assert(created.getString(0) == "schcat.ml")
+    assert(created.getString(1) == "schema")
+    assert(created.getString(2).contains("\"catalog_name\":\"schcat\""))
+    // duplicate refused; IF NOT EXISTS tolerated
+    intercept[IllegalArgumentException] {
+      g.sql("CREATE SCHEMA schcat.ml")
+    }
+    g.sql("CREATE SCHEMA IF NOT EXISTS schcat.ml")
+    g.sql("CREATE SCHEMA schcat.raw")
+    val listed = g.sql("SHOW SCHEMAS IN schcat").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(listed.toSeq == Seq("ml" -> "schcat", "raw" -> "schcat"))
+
+    // the namespace is live in the DSv2 registry: a table registered
+    // under it resolves catalog-qualified, and blocks a bare DROP
+    val path = tmpTable("sch_tbl")
+    CommitWriter.createTable(spark, region, path)
+    graft.catalog.GraftCatalog.register("ml", "region_t", path)
+    assert(g.sql(s"DESCRIBE DETAIL schcat.ml.region_t")
+      .collect().head.getAs[String]("location") == path)
+    intercept[IllegalStateException] {
+      g.sql("DROP SCHEMA schcat.ml")
+    }
+    val dropped = g.sql("DROP SCHEMA schcat.ml CASCADE").collect().head
+    assert(dropped.getString(2) == "DROPPED")
+    assert(g.sql("SHOW SCHEMAS IN schcat").collect().map(_.getString(0))
+      .toSeq == Seq("raw"))
+    // dropping a missing schema: typed error without IF EXISTS
+    intercept[IllegalArgumentException] {
+      g.sql("DROP SCHEMA schcat.ml")
+    }
+    assert(g.sql("DROP SCHEMA IF EXISTS schcat.ml").collect()
+      .head.getString(2) == "NOT_FOUND")
+    // a non-empty catalog refuses a bare drop; CASCADE clears schemas
+    intercept[IllegalArgumentException] {
+      g.sql("DROP CATALOG schcat")
+    }
+    g.sql("DROP CATALOG schcat CASCADE")
   }
 
   // ---- commands end-to-end ------------------------------------------
