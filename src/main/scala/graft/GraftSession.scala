@@ -646,19 +646,13 @@ object GraftSession {
       org.apache.spark.sql.types.StructField("managed_location",
         org.apache.spark.sql.types.StringType, nullable = true)))
 
-  /** UDF registrations (A27): sign_storage_url — local/file URLs pass
-    * through unchanged, mirroring the reference's LocalFileSystem arm
-    * (crates/datafusion/src/functions/sign_url.rs:196-201); remote
-    * stores would need a network signer and are rejected (zero-egress
-    * environment). */
+  /** UDF registrations (A27): sign_storage_url dispatches per URL
+    * scheme through the [[graft.functions.UrlSigning]] signer registry —
+    * local passthrough live, S3/Azure/GCS as typed extension points
+    * mirroring the reference's per-store signers
+    * (crates/datafusion/src/functions/sign_url.rs:100-211). */
   def registerFunctions(spark: SparkSession): Unit = {
-    spark.udf.register("sign_storage_url", (url: String) => {
-      if (url == null) null
-      else if (url.startsWith("s3://") || url.startsWith("abfss://") ||
-        url.startsWith("gs://"))
-        throw new UnsupportedOperationException(
-          s"No signer available for remote store: $url")
-      else url
-    })
+    spark.udf.register("sign_storage_url",
+      (url: String) => graft.functions.UrlSigning.signUrl(url))
   }
 }

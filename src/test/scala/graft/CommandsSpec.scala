@@ -484,12 +484,35 @@ class CommandsSpec extends AnyFunSuite {
     val out = Seq("/tmp/x.parquet", "file:/tmp/y").toDF("u")
       .selectExpr("sign_storage_url(u) AS s").collect().map(_.getString(0))
     assert(out.toSeq == Seq("/tmp/x.parquet", "file:/tmp/y"))
-    val err = intercept[Exception] {
-      Seq("s3://bucket/k").toDF("u")
-        .selectExpr("sign_storage_url(u) AS s").collect()
+    // scheme dispatch: each remote family rejects with ITS store name
+    // (the reference's per-store signer arms, sign_url.rs:178-193)
+    def rejection(url: String): String = {
+      val e = intercept[Exception] {
+        Seq(url).toDF("u").selectExpr("sign_storage_url(u) AS s").collect()
+      }
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).find(m => m != null &&
+          (m.contains("signer") || m.contains("signing")))
+        .getOrElse(fail(s"no signer message in $e"))
     }
-    assert(err.getMessage.contains("No signer") ||
-      err.getCause != null)
+    assert(rejection("s3://bucket/k").contains("AmazonS3"))
+    assert(rejection("abfss://c@a.dfs.example/k").contains("MicrosoftAzure"))
+    assert(rejection("gs://bucket/k").contains("GoogleCloudStorage"))
+    // a scheme with no registered signer is "not a signing store"
+    // (sign_url.rs:210), distinct from a known-but-unavailable one
+    assert(rejection("ftp://host/k").contains("not a signing store"))
+    // a custom signer plugs into the seam per scheme
+    graft.functions.UrlSigning.register(
+      new graft.functions.StorageUrlSigner {
+        val schemes = Seq("mock")
+        def sign(u: java.net.URI, e: Long) = s"$u?sig=test&exp=$e"
+      })
+    val signed = Seq("mock://b/k").toDF("u")
+      .selectExpr("sign_storage_url(u) AS s").collect().head.getString(0)
+    assert(signed == "mock://b/k?sig=test&exp=3600")
+    // null in → null out
+    assert(Seq[String](null).toDF("u")
+      .selectExpr("sign_storage_url(u) AS s").collect().head.isNullAt(0))
   }
 
   test("SQL DML: DELETE FROM / UPDATE SET / MERGE INTO route to commands") {
