@@ -21,8 +21,25 @@ object ConnectedComponents {
 
   private val MaxRounds = 50
 
+  /** Edge count at or below which the remaining contraction finishes as
+    * ONE union-find pass in a single executor task instead of more
+    * star rounds. Star rounds cost ~3 shuffle stages each regardless of
+    * size; once the (already-contracted) edge set fits one task, the
+    * O(E α(E)) local pass replaces the whole convergence tail — the
+    * standard "finish small graphs locally" step of shuffle-based CC.
+    * 1M edges ≈ 16 MB of pairs + ~64 MB of open-addressed union-find
+    * state: far under any sane task memory, and NOT driver memory (the
+    * pass runs in an executor task; only the conf value lives on the
+    * driver). Set to 0 to force pure star rounds (specs do). */
+  final val LocalFinishKey = "spark.lakehouse.cc.localFinishMaxEdges"
+  private val DefaultLocalFinishMaxEdges = 1000000L
+
   /** Test observability: rounds the last components() call took. */
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Test observability: whether the last call ended in the local pass. */
+  private[graft] val lastLocalFinish =
+    new java.util.concurrent.atomic.AtomicBoolean
 
   /** Star-step core: link each selected neighbor of a node to the
     * minimum of that node's neighborhood.
@@ -135,6 +152,91 @@ object ConnectedComponents {
     (spark.createDataFrame(rdd).toDF("u", "v"), rdd, n, ck)
   }
 
+  /** Open-addressed long→long map (linear probing, power-of-2 capacity)
+    * — union-find parent table without per-entry boxing: 1M edges worst
+    * case ≈ 2M nodes ≈ 64 MB of two long arrays, vs ~200 MB+ of boxed
+    * HashMap entries. Key 0 is handled via a sentinel slot. */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, initialCapacity * 2 - 1)) * 2
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var size = 0
+    private def idx(k: Long): Int = {
+      var h = k * 0x9e3779b97f4a7c15L
+      h ^= h >>> 32
+      var i = (h & (cap - 1)).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      val i = idx(k)
+      if (used(i)) vals(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = idx(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; size += 1
+        if (size * 4 > cap * 3) grow()
+      }
+      vals(idx(k)) = v
+    }
+    private def grow(): Unit = {
+      val (ok, ov, ou) = (keys, vals, used)
+      cap *= 2
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) { val j = idx(ok(i)); used(j) = true; keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+  }
+
+  /** Finish the contraction locally: one task, classic union-find with
+    * min-id roots (union always attaches the larger root under the
+    * smaller, so the final root IS the component minimum — the same
+    * star-forest contract the rounds converge to). Emits (node, min)
+    * for every non-root node; roots self-label downstream exactly like
+    * star-forest centers. */
+  private def localFinish(spark: SparkSession, edges: DataFrame,
+      edgeCount: Long): DataFrame = {
+    import spark.implicits._
+    edges.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = new LongLongMap(math.min(edgeCount * 2, Int.MaxValue / 4).toInt)
+      def find(x: Long): Long = {
+        var r = x
+        while (getP(r) != r) r = getP(r)
+        var c = x
+        while (getP(c) != c) { val n = getP(c); parent.put(c, r); c = n }
+        r
+      }
+      def getP(x: Long): Long = parent.getOrDefault(x, x)
+      while (it.hasNext) {
+        val (u, v) = it.next()
+        // register both endpoints so roots enumerate below
+        if (getP(u) == u) parent.put(u, u)
+        if (getP(v) == v) parent.put(v, v)
+        val ru = find(u)
+        val rv = find(v)
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = Vector.newBuilder[(Long, Long)]
+      parent.foreachEntry((k, _) => {
+        val r = find(k)
+        if (r != k) out += ((k, r))
+      })
+      out.result().iterator
+    }.toDF("u", "v")
+  }
+
   /** @param edges two-column DataFrame (u, v) of undirected edges
     * @return (id, component) — every node present in `edges`, labeled
     *         with the minimum node id reachable from it (including
@@ -148,27 +250,40 @@ object ConnectedComponents {
       .select(col("u").cast(LongType), col("v").cast(LongType)))
     var (e, eRdd, n, ck) =
       materialize(spark, in.where(col("u") =!= col("v")).distinct())
+    val localMax = spark.conf.getOption(LocalFinishKey).map(_.toLong)
+      .getOrElse(DefaultLocalFinishMaxEdges)
     var converged = false
+    var localDone = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      val (next, nextRdd, nn, nck) =
-        materialize(spark, smallStar(largeStar(e)).distinct())
-      // (count, checksum) equality screens convergence with ZERO extra
-      // jobs (both computed inside materialize's single pass); the one
-      // `except` job runs only on a screen hit — normally exactly once,
-      // at the actual fixpoint — and confirms set equality EXACTLY, so
-      // a checksum collision can never end the loop early
-      converged = nn == n && nck == ck && next.except(e).isEmpty
-      // free the superseded round NOW (see materialize); the final
-      // round and `in` stay pinned — the returned frame reads them
-      eRdd.unpersist(blocking = false)
-      e = next
-      eRdd = nextRdd
-      n = nn
-      ck = nck
-      rounds += 1
+      if (n <= localMax) {
+        // small enough for one task: replace the remaining rounds with
+        // a single union-find pass (its output IS a converged star
+        // forest by construction — no fixpoint iteration to confirm)
+        e = localFinish(spark, e, n)
+        converged = true
+        localDone = true
+      } else {
+        val (next, nextRdd, nn, nck) =
+          materialize(spark, smallStar(largeStar(e)).distinct())
+        // (count, checksum) equality screens convergence with ZERO extra
+        // jobs (both computed inside materialize's single pass); the one
+        // `except` job runs only on a screen hit — normally exactly once,
+        // at the actual fixpoint — and confirms set equality EXACTLY, so
+        // a checksum collision can never end the loop early
+        converged = nn == n && nck == ck && next.except(e).isEmpty
+        // free the superseded round NOW (see materialize); the final
+        // round and `in` stay pinned — the returned frame reads them
+        eRdd.unpersist(blocking = false)
+        e = next
+        eRdd = nextRdd
+        n = nn
+        ck = nck
+        rounds += 1
+      }
     }
     lastRounds.set(rounds)
+    lastLocalFinish.set(localDone)
     require(converged, s"connected components did not converge in $MaxRounds rounds")
     // star forest: every u points at its component min. Label every
     // node present in the ORIGINAL edges with its star target — roots

@@ -15,6 +15,14 @@ class GraphJoinSpec extends AnyFunSuite {
 
   // ---- ConnectedComponents ------------------------------------------
 
+  /** Run `body` with the local-finish cutover pinned to `maxEdges`
+    * (0 = force pure star rounds), restoring the session default. */
+  private def withLocalFinish[A](maxEdges: Long)(body: => A): A = {
+    spark.conf.set(ConnectedComponents.LocalFinishKey, maxEdges.toString)
+    try body
+    finally spark.conf.unset(ConnectedComponents.LocalFinishKey)
+  }
+
   test("cc: two components + chain, labels are component minima") {
     // chain 1-2-3-4 (diameter 3) and pair 10-11, plus redundant edge
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 3L))
@@ -34,11 +42,15 @@ class GraphJoinSpec extends AnyFunSuite {
 
   test("cc: long path converges (log rounds, not diameter rounds)") {
     // a 64-node path is diameter 63: naive min-propagation would need
-    // 63 rounds and trip MaxRounds=50; star-contraction must not
+    // 63 rounds and trip MaxRounds=50; star-contraction must not.
+    // Local finish forced OFF so the star rounds are what's tested.
     val edges = (1L until 64L).map(i => (i, i + 1)).toDF("u", "v")
-    val got = ConnectedComponents.components(spark, edges)
-      .as[(Long, Long)].collect().toSet
+    val got = withLocalFinish(0) {
+      ConnectedComponents.components(spark, edges)
+        .as[(Long, Long)].collect().toSet
+    }
     assert(got == (1L to 64L).map(i => (i, 1L)).toSet)
+    assert(!ConnectedComponents.lastLocalFinish.get)
     // star contraction halves-or-better per round pair: well under the
     // 63 rounds diameter-bound propagation would need
     assert(ConnectedComponents.lastRounds.get <= 12,
@@ -54,9 +66,12 @@ class GraphJoinSpec extends AnyFunSuite {
     val n = 100000L
     val edges = spark.range(1L, n)
       .select(col("id").as("u"), (col("id") + 1L).as("v"))
-    val got = ConnectedComponents.components(spark, edges)
-    assert(got.count() == n)
-    assert(got.where(col("component") =!= 1L).count() == 0)
+    val got = withLocalFinish(0) {
+      val df = ConnectedComponents.components(spark, edges)
+      (df.count(), df.where(col("component") =!= 1L).count())
+    }
+    assert(got == (n, 0L))
+    assert(!ConnectedComponents.lastLocalFinish.get)
     assert(ConnectedComponents.lastRounds.get <= 20,
       s"took ${ConnectedComponents.lastRounds.get} rounds")
   }
@@ -68,9 +83,58 @@ class GraphJoinSpec extends AnyFunSuite {
     val n = 100000L
     val edges = spark.range(2L, n + 2L)
       .select(lit(1L).as("u"), col("id").as("v"))
-    val got = ConnectedComponents.components(spark, edges)
-    assert(got.count() == n + 1)
-    assert(got.where(col("component") =!= 1L).count() == 0)
+    val got = withLocalFinish(0) {
+      val df = ConnectedComponents.components(spark, edges)
+      (df.count(), df.where(col("component") =!= 1L).count())
+    }
+    assert(got == (n + 1, 0L))
+    assert(!ConnectedComponents.lastLocalFinish.get)
+  }
+
+  test("cc: local finish equals star rounds and engages below threshold") {
+    // same randomized graph through BOTH execution paths; the hybrid
+    // cutover must be invisible in the result
+    val rnd = new scala.util.Random(99)
+    val edges = (1 to 4000).map { _ =>
+      (rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong)
+    }.toDF("u", "v")
+    val viaStars = withLocalFinish(0) {
+      ConnectedComponents.components(spark, edges)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(!ConnectedComponents.lastLocalFinish.get)
+    val viaLocal = ConnectedComponents.components(spark, edges)
+      .as[(Long, Long)].collect().toSet
+    assert(ConnectedComponents.lastLocalFinish.get,
+      "default threshold should take the local path at this size")
+    assert(ConnectedComponents.lastRounds.get == 0)
+    assert(viaLocal == viaStars)
+  }
+
+  test("cc: mid-contraction cutover (star rounds shrink, local pass finishes)") {
+    // a dense graph (4 edges/node) contracts toward a star forest of
+    // ≤ #nodes edges; a threshold between the two forces ≥1 star round
+    // BEFORE the local pass takes over
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 6000).map { _ =>
+      val u = rnd.nextInt(1500).toLong
+      (u, (u + 1 + rnd.nextInt(1499)) % 1500L)
+    }
+    val distinctEdges = raw.map { case (u, v) =>
+      (math.min(u, v), math.max(u, v))
+    }.distinct.size
+    assert(distinctEdges > 3000, s"fixture too sparse: $distinctEdges")
+    val viaStars = withLocalFinish(0) {
+      ConnectedComponents.components(spark, raw.toDF("u", "v"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val got = withLocalFinish(3000) {
+      ConnectedComponents.components(spark, raw.toDF("u", "v"))
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(ConnectedComponents.lastLocalFinish.get)
+    assert(ConnectedComponents.lastRounds.get >= 1)
+    assert(got == viaStars)
   }
 
   // ---- RangeJoin ----------------------------------------------------
