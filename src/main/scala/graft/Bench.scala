@@ -124,6 +124,7 @@ object Bench {
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")
+    val headSpread = spreadFlags(results)
     // headline errors carry NAMES ONLY, capped: the driver keeps the
     // last ~2000 chars of stdout, and a handful of 160-char messages
     // would push the line head past the buffer and break its parse —
@@ -137,7 +138,7 @@ object Bench {
       (shown ++ more).mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"errors":$headErrs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"errors":$headErrs}""")
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver
@@ -147,8 +148,29 @@ object Bench {
         failed.map(_.name).mkString(", "))
   }
 
-  private final case class BenchResult(name: String, median: Double,
+  private[graft] final case class BenchResult(name: String, median: Double,
       min: Double, max: Double, error: Option[String])
+
+  /** Contention self-diagnosis for the HEADLINE artifact: the compact
+    * [min,max] map of only the queries whose sample spread says the
+    * number is not trustworthy (max ≥ 2.5× min AND ≥ 0.5 s apart — a
+    * micro-query's jitter or a steady query never flags). The full
+    * per-query spread lives in target/bench_full.json; this subset is
+    * capped so the driver's ~2000-char stdout tail can't truncate the
+    * line into unparseable JSON. */
+  private[graft] def spreadFlags(results: Seq[BenchResult]): String = {
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val flagged = results.filter(r => r.error.isEmpty &&
+      r.max >= r.min * 2.5 && r.max - r.min >= 0.5)
+      .sortBy(r => -(r.max - r.min))
+    val shown = flagged.take(8).map(r =>
+      "\"" + r.name + "\":[" + fmt(r.min) + "," + fmt(r.max) + "]")
+    val more = if (flagged.length > 8)
+      Seq("\"__truncated__\":[" + (flagged.length - 8) + ",0]")
+    else Nil
+    (shown ++ more).mkString("{", ",", "}")
+  }
 
   /** Build a single-file 1000-row slice of events and push it through
     * both streaming query shapes (complete-mode window agg +

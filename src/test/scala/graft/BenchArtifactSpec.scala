@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench headline's contention self-diagnosis: spread_flags
+  * must be valid JSON, flag exactly the untrustworthy samples, and cap
+  * its size (the driver keeps ~2000 chars of stdout). */
+class BenchArtifactSpec extends AnyFunSuite {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("spread_flags flags only contended queries, parseable JSON") {
+    val rs = Seq(
+      Bench.BenchResult("steady", 1.0, 0.95, 1.10, None),
+      Bench.BenchResult("contended", 2.0, 1.0, 5.4, None),
+      // 9x ratio but sub-0.5s absolute: micro-query jitter, not flagged
+      Bench.BenchResult("tiny_jitter", 0.02, 0.01, 0.09, None),
+      // 1s apart but under the 2.5x ratio: steady-enough, not flagged
+      Bench.BenchResult("wide_slow", 10.0, 9.5, 10.5, None),
+      Bench.BenchResult("broken", -1.0, -1.0, -1.0, Some("boom")))
+    val node = mapper.readTree(Bench.spreadFlags(rs))
+    assert(node.isObject)
+    assert(node.size() == 1, node.toString)
+    assert(node.get("contended").get(0).asDouble() == 1.0)
+    assert(node.get("contended").get(1).asDouble() == 5.4)
+  }
+
+  test("spread_flags caps at 8 entries plus a truncation marker") {
+    val rs = (1 to 12).map(i =>
+      Bench.BenchResult(s"q$i", 2.0, 1.0, 3.0 + i, None))
+    val node = mapper.readTree(Bench.spreadFlags(rs))
+    assert(node.size() == 9)
+    assert(node.has("__truncated__"))
+    // worst spreads first: q12 (spread 14) must be present, q1 dropped
+    assert(node.has("q12") && !node.has("q1"))
+  }
+
+  test("spread_flags is empty on a clean run") {
+    val rs = Seq(Bench.BenchResult("a", 1.0, 0.9, 1.1, None))
+    assert(Bench.spreadFlags(rs) == "{}")
+  }
+}
