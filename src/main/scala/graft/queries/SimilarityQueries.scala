@@ -257,6 +257,36 @@ object SimilarityQueries {
       annIvf(s, dir, probeId = 0, k = 20, nprobe = 8)
     },
 
+    // Incremental IVF maintenance: base corpus indexed, a later batch
+    // (vec_id % 10 == 7) appended by assignment to the EXISTING
+    // centroids — cid partitions only gain files, centroids never move.
+    // The oracle replays the probe against the materialized
+    // post-append index, so it verifies both the assignment of the
+    // appended batch and that resident rows survived the append intact.
+    Q("q_sim_ann_incremental",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${IvfIncrOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |)
+         |SELECT i.vec_id, i.label,
+         |  (${dotSql("i.embedding", "pv")}) /
+         |    (${normSql("i.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM read_parquet('$IvfIncrOracleAlias/*/*.parquet',
+         |       hive_partitioning=true) i
+         |JOIN probed ON CAST(i.cid AS BIGINT) = probed.cid
+         |CROSS JOIN probe
+         |WHERE i.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      annIvfOver(s, dir, ivfIncrementalIndexPath(s, dir),
+        probeId = 0, k = 20, nprobe = 8)
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -322,6 +352,10 @@ object SimilarityQueries {
   final val IvfOracleAlias =
     "/root/repo/target/delta_fixtures/ivf_current"
 
+  /** Alias for the incrementally-maintained index (q_sim_ann_incremental). */
+  final val IvfIncrOracleAlias =
+    "/root/repo/target/delta_fixtures/ivf_incr_current"
+
   private def refreshAlias(alias: String, target: String): Unit =
     DeltaQueries.refreshAlias(alias, target)
 
@@ -383,11 +417,76 @@ object SimilarityQueries {
     * SAME centroids the index was built with). */
   def ivfCentroidsPath(indexPath: String): String = indexPath + "_centroids"
 
+  /** Nearest-centroid assignment of `df` against `centroids` — the one
+    * plan shape both the full build and incremental maintenance use:
+    * broadcast the (tiny) centroid set, max_by over the dot products
+    * (ties broken by lower cid for determinism). */
+  private def assignTo(df: DataFrame, centroids: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+        first("label").as("label"),
+        first("embedding").as("embedding"))
+
+  /** Incrementally-maintained IVF index: the base corpus (vec_id % 10
+    * != 7) builds centroids + index exactly like ivfIndexPath; the
+    * "new" batch (vec_id % 10 == 7) is then APPENDED by assigning each
+    * vector to the EXISTING stored centroids and writing into the
+    * matching cid partition directories — no re-clustering, no rewrite
+    * of resident partitions. That is the 100 TB maintenance path: an
+    * arriving batch costs one broadcast-assign over the batch plus
+    * appends into the touched partitions, while probes keep partition
+    * pruning against the same (unchanged) centroid set. Centroid DRIFT
+    * is the accepted trade (standard for IVF systems: re-cluster
+    * offline when recall decays; SimilaritySpec asserts recall@20 of
+    * the drifted index stays >= 0.9 on the fixture). */
+  def ivfIncrementalIndexPath(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_incr"
+    this.synchronized {
+      val success = new java.io.File(path, "_graft_incr_done")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      if (!success.exists() || success.lastModified() < src.lastModified()) {
+        val emb = load(s, dir, "embeddings")
+        val base = emb.where(col("vec_id") % 10 =!= 7)
+        val batch = emb.where(col("vec_id") % 10 === 7)
+        // base build = ivfIndexPath's pipeline over the base corpus
+        val seeds = base.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def means(assigned: DataFrame) = assigned.groupBy("cid")
+          .agg(array((1 to Dim).map(i =>
+            avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
+            .as("cv"))
+        val refined = (1 to IvfLloydIterations)
+          .foldLeft(seeds)((c, _) => means(assignTo(base, c)))
+        refined.coalesce(1).write.mode("overwrite")
+          .parquet(ivfCentroidsPath(path))
+        val stored = s.read.parquet(ivfCentroidsPath(path))
+        assignTo(base, stored)
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        // the incremental step: assign ONLY the batch, append in place
+        assignTo(batch, stored)
+          .write.mode("append").partitionBy("cid").parquet(path)
+        success.getParentFile.mkdirs()
+        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+      }
+      refreshAlias(IvfIncrOracleAlias, path)
+      refreshAlias(IvfIncrOracleAlias + "_centroids", ivfCentroidsPath(path))
+    }
+    path
+  }
+
   /** IVF search, shared with SimilaritySpec for the recall assertion. */
   def annIvf(s: SparkSession, dir: String, probeId: Long, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    annIvfOver(s, dir, ivfIndexPath(s, dir), probeId, k, nprobe)
+
+  /** Same probe against an explicit index directory (shared by the
+    * build-once and incrementally-maintained indexes). */
+  def annIvfOver(s: SparkSession, dir: String, indexPath: String,
+      probeId: Long, k: Int, nprobe: Int): DataFrame = {
     val emb = load(s, dir, "embeddings")
-    val indexPath = ivfIndexPath(s, dir)
     val index = s.read.parquet(indexPath)
     val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
     // probe: nearest nprobe centroids (tiny — resolved driver-side)

@@ -18,6 +18,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@$k = $recall")
   }
 
+  test("incremental IVF: append lands in existing partitions, recall holds") {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val path = SimilarityQueries.ivfIncrementalIndexPath(spark, sf)
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    val index = spark.read.parquet(path)
+    // nothing lost, nothing duplicated by the append
+    assert(index.count() == emb.count())
+    assert(index.select("vec_id").distinct().count() == emb.count())
+    // every appended vector landed in a cid the stored centroids define
+    val cids = spark.read.parquet(
+      SimilarityQueries.ivfCentroidsPath(path))
+      .select("cid").collect().map(_.getLong(0)).toSet
+    // cid is a hive partition column (inferred int); normalize to long
+    val usedCids = index.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(usedCids.subsetOf(cids), s"unknown cids: ${usedCids -- cids}")
+    // batch membership: the % 10 == 7 slice is present and assigned
+    val batchRows = index.where(col("vec_id") % 10 === 7).count()
+    assert(batchRows == emb.where(col("vec_id") % 10 === 7).count())
+    assert(batchRows > 0)
+    // recall of the drifted (base-trained) index stays useful
+    val brute = SimilarityQueries.bruteTopK(spark, sf, probeId = 0, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SimilarityQueries.annIvfOver(spark, sf, path, probeId = 0,
+      k = k, nprobe = 8).collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect ann).size.toDouble / k
+    assert(recall >= 0.9, s"incremental recall@$k = $recall")
+  }
+
   test("embed near-dup band buckets are bounded (hot-bucket cap holds)") {
     import org.apache.spark.sql.functions._
     val emb = graft.queries.T.load(spark, sf, "embeddings")
