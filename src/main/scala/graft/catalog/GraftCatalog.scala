@@ -218,11 +218,18 @@ object GraftCatalog {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Is `name` a catalog THIS library owns (a registered DSv2 plugin
-    * instance or a CREATE CATALOG securable)? Names of other catalogs
-    * (spark_catalog, hive, ...) are NOT ours to resolve. */
+    * instance, a CREATE CATALOG securable, or a session conf entry
+    * binding the name to this plugin class)? Names of other catalogs
+    * (spark_catalog, hive, ...) are NOT ours to resolve. The conf arm
+    * matters because plugin instances initialize lazily on first
+    * catalog LOOKUP — a command may legitimately be the first use of a
+    * configured name. */
   def isGraftCatalogName(name: String): Boolean =
     pluginNames.contains(name.toLowerCase) ||
-      LocalCatalog.get(name).isDefined
+      LocalCatalog.get(name).isDefined ||
+      org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+        s.conf.getOption(s"spark.sql.catalog.$name")
+          .contains(classOf[GraftCatalog].getName))
 
   /** Namespace registration shared with CREATE SCHEMA (the registry is
     * JVM-level and flat: one namespace space across every graft catalog

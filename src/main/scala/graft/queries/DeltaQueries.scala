@@ -1128,6 +1128,10 @@ object DeltaQueries {
         |WHERE n_nationkey % 5 <> 0
         |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
       val path = catalogDmlTable(s, dir)
+      // bind the plugin name in THIS session too (queries must not
+      // depend on q_catalog_sql having run first)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
       graft.catalog.GraftCatalog.register("db", "catalog_dml", path)
       val gs = graft.GraftSession(s)
       val hist = gs.sql("DESCRIBE HISTORY graft.db.catalog_dml")

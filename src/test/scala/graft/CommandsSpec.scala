@@ -466,6 +466,48 @@ class CommandsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("VACUUM"), e.getMessage)
   }
 
+  test("qualified-name resolution: foreign catalogs and dotted idents") {
+    import graft.catalog.GraftCatalog
+    val path = tmpTable("qual_res")
+    CommitWriter.createTable(spark, region, path)
+    GraftCatalog.register("resdb", "res_t", path)
+    try {
+      // splitRef: dots inside backticks are NOT qualifier separators
+      assert(GraftCatalog.splitRef("cat.db.tbl") == Seq("cat", "db", "tbl"))
+      assert(GraftCatalog.splitRef("`a.b`.tbl") == Seq("a.b", "tbl"))
+      assert(GraftCatalog.splitRef("`x.y.z`") == Seq("x.y.z"))
+      // 2-part resolves through the registry
+      assert(GraftCatalog.lookupPath(Seq("resdb", "res_t")).contains(path))
+      // a 3-part name under a FOREIGN catalog must NOT strip-resolve
+      // into graft's registry (spark_catalog.resdb.res_t is another
+      // catalog's table, even if the suffix matches ours)
+      assert(GraftCatalog.lookupPath(
+        Seq("spark_catalog", "resdb", "res_t")).isEmpty)
+      // ... while a graft-owned catalog name may strip (securable)
+      val g = GraftSession(spark)
+      g.sql("DROP CATALOG IF EXISTS res_cat CASCADE")
+      g.sql("CREATE CATALOG res_cat")
+      assert(GraftCatalog.lookupPath(
+        Seq("res_cat", "resdb", "res_t")).contains(path))
+      g.sql("DROP CATALOG res_cat CASCADE")
+      // end-to-end: a command on the qualified name reaches the table
+      assert(g.sql("DESCRIBE DETAIL resdb.res_t")
+        .collect().head.getAs[String]("location") == path)
+      // a quoted identifier containing a literal dot survives the
+      // parse → render → split round trip as ONE part: the parser
+      // re-backticks it and resolution reaches the registered table
+      // instead of exploding the name into bogus qualifiers
+      assert(GraftParser.parse("DESCRIBE DETAIL resdb.`dot.ted`") ==
+        Some(DescribeDetailStatement("resdb.`dot.ted`")))
+      GraftCatalog.register("resdb", "dot.ted", path)
+      assert(g.sql("DESCRIBE DETAIL resdb.`dot.ted`")
+        .collect().head.getAs[String]("location") == path)
+    } finally {
+      GraftCatalog.unregister("resdb", "res_t")
+      GraftCatalog.unregister("resdb", "dot.ted")
+    }
+  }
+
   test("table registry auto-refresh") {
     val path = tmpTable("registry")
     CommitWriter.createTable(spark, region.filter(col("r_regionkey") < 3), path)
