@@ -181,6 +181,58 @@ object TextQueries {
   /** Per-band candidate pairs (doc_a, doc_b, band) from capped MinHash
     * LSH buckets — per-bucket doc-list explode, never a self-join of
     * the full band relation. */
+  /** Bloom sizing for q_bloom_dedup: 1M expected keys into 1 MiB of
+    * bits (fp ~2% at capacity, <1% at every fixture scale). At a 100 TB
+    * corpus the sketch is sized by corpus KEYS (not bytes) and sharded
+    * by key range once a single filter passes executor-friendly sizes. */
+  final val BloomDedupItems = 1000000L
+  final val BloomDedupBits = 8388608L
+
+  /** q_bloom_dedup body, shared with TextSpec (which pins prefilter
+    * exactness and the suspect-only join input). */
+  private[graft] def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shims
+    val docs = load(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+      .select(hashCol(col("text")).as("h"))
+    val batch = docs.where(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), hashCol(col("text")).as("h"))
+    // ONE aggregation over the corpus; the collected object is the
+    // serialized sketch (BloomDedupBits/8 bytes), never corpus rows
+    val bf = corpus.agg(Shims.bloomFilterAgg(col("h"),
+      BloomDedupItems, BloomDedupBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val out =
+      if (bf == null) batch // empty corpus: the whole batch is new
+      else {
+        val mc = Shims.bloomMightContain(lit(bf), col("h"))
+        // bloom negatives are DEFINITELY new (no false negatives) and
+        // skip the join entirely; positives verify exactly — the union
+        // is therefore EXACTLY the plain anti-join
+        batch.where(!mc)
+          .unionByName(batch.where(mc).join(corpus, Seq("h"), "left_anti"))
+      }
+    out.select(col("doc_id"), col("h").as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** The bloom-suspect slice of the batch (TextSpec observability: the
+    * exact join's input is this sliver, not the batch). */
+  private[graft] def bloomDedupSuspects(s: SparkSession,
+      dir: String): Long = {
+    import org.apache.spark.sql.graftshim.Shims
+    val docs = load(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+      .select(hashCol(col("text")).as("h"))
+    val batch = docs.where(col("doc_id") % 10 === 3)
+      .select(hashCol(col("text")).as("h"))
+    val bf = corpus.agg(Shims.bloomFilterAgg(col("h"),
+      BloomDedupItems, BloomDedupBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bf == null) 0L
+    else batch.where(Shims.bloomMightContain(lit(bf), col("h"))).count()
+  }
+
   private def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBandsForAudit(s, dir)
     // cap WHILE collecting: one shuffle clusters each bucket into a
@@ -795,6 +847,33 @@ object TextQueries {
         .groupBy("existing_id", "new_id")
         .agg(countDistinct(col("band")).as("shared_bands"))
         .orderBy("existing_id", "new_id")
+    },
+
+    // Bloom-prefiltered batch-vs-corpus dedup: the arriving batch is
+    // probed against a bloom filter of the corpus content hashes, and
+    // ONLY suspected duplicates (true dups + the fp rate) take the
+    // exact anti-join — at 100 TB the resident corpus is never
+    // shuffled per batch, and the join input is the ~dup-rate sliver
+    // of the batch. No false negatives by construction, so prefilter +
+    // exact-verify returns EXACTLY the plain anti-join (that is the
+    // oracle). Spark's own runtime-filter expression pair
+    // (bloom_filter_agg / might_contain) does the sketching, so the
+    // probe is codegen'd, not a UDF; the one driver-resident object is
+    // the serialized filter (numBits/8 bytes — sized by corpus keys,
+    // sharded by key range at extreme scale, documented trade).
+    Q("q_bloom_dedup",
+      s"""WITH corpus AS (
+         |  SELECT ${hashSql("text")} AS h FROM documents
+         |  WHERE doc_id % 10 <> 3
+         |), batch AS (
+         |  SELECT doc_id, ${hashSql("text")} AS h FROM documents
+         |  WHERE doc_id % 10 = 3
+         |)
+         |SELECT b.doc_id, b.h AS content_hash
+         |FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      bloomDedup(s, dir)
     },
 
     // fuzzy-dedup verification: exact edit distance over the LSH

@@ -76,6 +76,25 @@ object Shims {
   final case class Lit(value: Any) extends PredNode
   case object Opaque extends PredNode
 
+  /** The bloom-filter expression pair Spark itself uses for runtime
+    * row-level filtering (not exposed in the public functions API):
+    * `bloom_filter_agg` builds the serialized filter, `might_contain`
+    * probes it with full codegen. Pairing the two catalyst expressions
+    * guarantees the hash and serialization formats agree — a hand-built
+    * sketch + UDF probe could silently mismatch. */
+  def bloomFilterAgg(child: Column, estimatedItems: Long,
+      numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(child),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  def bloomMightContain(serializedBloom: Column, value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(expression(serializedBloom),
+        expression(value)))
+
   def predNode(c: Column): PredNode = conv(c.node)
 
 

@@ -24,6 +24,29 @@ class TextSpec extends AnyFunSuite {
     assert(viaCol.toSeq == viaExpr.toSeq)
   }
 
+  test("bloom dedup: prefilter+verify equals the exact anti-join, joins only suspects") {
+    val got = TextQueries.bloomDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent exact reference: plain hash anti-join
+    val docs = graft.queries.T.load(spark, sf, "documents")
+    val h = expr(TextQueries.hashExpr("text"))
+    val corpus = docs.where(col("doc_id") % 10 =!= 3).select(h.as("h"))
+    val batch = docs.where(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), h.as("h"))
+    val want = batch.join(corpus, Seq("h"), "left_anti")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(got.toSeq == want.toSeq)
+    // the exact join's input is the suspect sliver: true dups plus at
+    // most a few percent false positives, never the whole batch
+    val batchN = batch.count()
+    val trueDups = batchN - want.length
+    val suspects = TextQueries.bloomDedupSuspects(spark, sf)
+    assert(suspects >= trueDups, "bloom can never miss a true duplicate")
+    assert(suspects <= trueDups + math.max(5L, batchN / 20),
+      s"suspects $suspects vs true dups $trueDups of $batchN — fp rate off")
+  }
+
   test("simhash banded LSH is pigeonhole-complete for hamming <= 3") {
     // brute-force ALL pairs on the collected signatures and require the
     // banded equi-join query to return exactly that set — if banding
