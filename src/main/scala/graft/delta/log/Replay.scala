@@ -219,13 +219,23 @@ object Replay {
     val tableKey = segment.tablePath.toString
     val allFilesNow = segment.checkpointFiles ++ segment.commitFiles
     val sigsNow = allFilesNow.map(sigOf)
-    val cached = stateCache.synchronized { Option(stateCache.get(tableKey)) }
+    // `spark.lakehouse.delta.enable_caching` (the reference's
+    // lakehouse.delta.enable_caching knob, config.rs:28): our cache is
+    // content-guarded so it defaults ON (documented divergence from the
+    // reference's false default — its cache has no invalidation story);
+    // false bypasses reads AND stores, the reference's off semantics.
+    val cachingOn = spark.conf
+      .getOption("spark.lakehouse.delta.enable_caching")
+      .forall(_.toBoolean)
+    val cached =
+      if (!cachingOn) None
+      else stateCache.synchronized { Option(stateCache.get(tableKey)) }
 
     // never let a TIME-TRAVEL read of an older version clobber the hot
     // latest state (the next latest read would then full-replay)
     def store(rows: Array[org.apache.spark.sql.Row]): Unit =
       for (mark <- headHash(spark, segment, sigsNow.last._1)
-           if rows.length <= CacheMaxFilesPerTable &&
+           if cachingOn && rows.length <= CacheMaxFilesPerTable &&
              cached.forall(_.version <= segment.version))
         stateCache.synchronized {
           stateCache.put(tableKey,

@@ -69,6 +69,28 @@ class IncrementalReplaySpec extends AnyFunSuite {
     assert(Replay.ReplayCounters.incremental.get() == 0)
   }
 
+  test("spark.lakehouse.delta.enable_caching=false bypasses the cache") {
+    val p = tmp("nc")
+    CommitWriter.createTable(spark, region, p)
+    val want = DeltaTable.forPath(spark, p).read.count()
+    spark.conf.set("spark.lakehouse.delta.enable_caching", "false")
+    try {
+      Replay.ReplayCounters.reset()
+      assert(DeltaTable.forPath(spark, p).read.count() == want)
+      DeltaTable.forPath(spark, p).allFiles.count()
+      // every read re-replays; nothing is served from or stored to the
+      // cache (the reference's lakehouse.delta.enable_caching=false)
+      assert(Replay.ReplayCounters.hit.get() == 0)
+      assert(Replay.ReplayCounters.incremental.get() == 0)
+      assert(Replay.ReplayCounters.full.get() >= 2)
+    } finally spark.conf.unset("spark.lakehouse.delta.enable_caching")
+    // cache resumes (and repopulates) once re-enabled
+    DeltaTable.forPath(spark, p).allFiles.count()
+    Replay.ReplayCounters.reset()
+    DeltaTable.forPath(spark, p).allFiles.count()
+    assert(Replay.ReplayCounters.hit.get() >= 1)
+  }
+
   test("incremental result equals a cold full replay after many mutations") {
     val p = tmp("eq")
     CommitWriter.createTable(spark, region.limit(2), p)
