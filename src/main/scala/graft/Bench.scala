@@ -120,7 +120,9 @@ object Bench {
       "q_concurrent_write", "q_row_ids", "q_global_shuffle",
       "q_curriculum",
       // round-8 additions
-      "q_dpp_join", "q_auto_compact", "q_temperature_mix", "q_stream_cdf")
+      "q_dpp_join", "q_auto_compact", "q_temperature_mix", "q_stream_cdf",
+      // round-11 additions
+      "q_bloom_dedup", "q_sim_ann_incremental")
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")

@@ -179,6 +179,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_bloom_dedup: codegen'd bloom probe, no UDF, no full-batch join") {
+    val p = plan("q_bloom_dedup")
+    // the probe must be the catalyst might_contain expression (codegen),
+    // never a ScalaUDF wrapping a driver-built sketch
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "bloom probe fell back to a UDF")
+    // the exact verify joins only the bloom-positive sliver: both join
+    // inputs sit under a might_contain filter, so the anti-join branch
+    // must appear together with the filter (not a bare batch scan)
+    assert(p.contains("LeftAnti") || p.contains("left_anti"), p.take(3000))
+  }
+
   test("DML/MERGE file filter plans as broadcast semi-join, not In-literal") {
     // a MERGE touching 10⁶ files must not build a 10⁶-element In
     // expression tree on the driver — the provenance restriction has to
