@@ -113,6 +113,24 @@ object CommandQueries {
       created
     },
 
+    // SHOW SCHEMAS listing contract (name, parent catalog, comment),
+    // sorted by name like SHOW CATALOGS
+    Q("q_show_schemas",
+      """SELECT * FROM (VALUES
+        |  ('curated', 'graft_demo', NULL),
+        |  ('raw', 'graft_demo', 'landing zone'))
+        |  AS t(schema_name, catalog_name, comment)
+        |ORDER BY schema_name""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP CATALOG IF EXISTS graft_demo CASCADE")
+      g.sql("CREATE CATALOG graft_demo")
+      g.sql("CREATE SCHEMA graft_demo.raw COMMENT 'landing zone'")
+      g.sql("CREATE SCHEMA graft_demo.curated")
+      val listed = g.sql("SHOW SCHEMAS IN graft_demo")
+      g.sql("DROP CATALOG graft_demo CASCADE")
+      listed
+    },
+
     // table history via DESCRIBE HISTORY over the sf-independent log
     // fixture. Oracle: DuckDB derives the same rows from the raw
     // _delta_log JSON (commitInfo fields + non-commitInfo line counts).
