@@ -287,6 +287,46 @@ object SimilarityQueries {
         probeId = 0, k = 20, nprobe = 8)
     },
 
+    // k-NN JOIN: top-k neighbors for a whole probe SET (1% of vectors),
+    // not one vector — the shape a batch retrieval / hard-negative
+    // mining pass actually runs. Per-probe centroid ranking is a
+    // broadcast cross of probes × centroids + one window; candidate IO
+    // is bounded by the UNION of probed cids (static isin prune over
+    // the cid partitions — the collected driver list is
+    // O(probes × nprobe) cids, never vectors), and the probe membership
+    // join broadcasts the tiny (probe_id, cid) relation. Per-probe
+    // top-k is one window over the pruned candidates.
+    Q("q_knn_join",
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv
+         |  FROM embeddings WHERE vec_id % 100 = 0
+         |), cranked AS (
+         |  SELECT p.probe_id, CAST(c.cid AS BIGINT) AS cid, p.pv,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY (${dotSql("c.cv", "p.pv")}) DESC, c.cid) AS crk
+         |  FROM read_parquet('${IvfOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probes p
+         |), probed AS (
+         |  SELECT probe_id, cid, pv FROM cranked WHERE crk <= 4
+         |), cand AS (
+         |  SELECT pr.probe_id, i.vec_id, i.label,
+         |    (${dotSql("i.embedding", "pr.pv")}) /
+         |      (${normSql("i.embedding")} * ${normSql("pr.pv")}) AS cosine
+         |  FROM read_parquet('$IvfOracleAlias/*/*.parquet',
+         |         hive_partitioning=true) i
+         |  JOIN probed pr ON CAST(i.cid AS BIGINT) = pr.cid
+         |  WHERE i.vec_id <> pr.probe_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM cand
+         |)
+         |SELECT probe_id, vec_id, label, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      knnJoin(s, dir, k = 5, nprobe = 4)
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -507,6 +547,42 @@ object SimilarityQueries {
       .select("vec_id", "label", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** k-NN join over the IVF index (q_knn_join body; shared with
+    * SimilaritySpec). */
+  def knnJoin(s: SparkSession, dir: String, k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = load(s, dir, "embeddings")
+    val indexPath = ivfIndexPath(s, dir)
+    val index = s.read.parquet(indexPath)
+      .withColumn("cid", col("cid").cast(LongType))
+    val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        norm(col("embedding")).as("pn"))
+    val probed = probes.crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("sim"), asc("cid"))))
+      .where(col("crk") <= nprobe)
+      .select(col("probe_id"), col("cid"), col("pv"), col("pn"))
+    // static partition prune on the UNION of probed cids: the driver
+    // list is O(probes x nprobe) ids, never vectors
+    val probedCids = probed.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    index.where(col("cid").isin(probedCids: _*))
+      .join(broadcast(probed), Seq("cid"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * col("pn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("cosine"), asc("vec_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select("probe_id", "vec_id", "label", "cosine", "rank")
+      .orderBy("probe_id", "rank")
   }
 
   /** Brute-force top-k (for the spec's recall comparison). */

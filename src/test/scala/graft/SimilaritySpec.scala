@@ -48,6 +48,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"incremental recall@$k = $recall")
   }
 
+  test("knn join: k rows per probe, no self-matches, agrees with single-probe ANN") {
+    val k = 5
+    val rows = SimilarityQueries.knnJoin(spark, sf, k = k, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.nonEmpty)
+    // every probe returns exactly k ranked neighbors, none itself
+    byProbe.foreach { case (p, ns) =>
+      assert(ns.length == k, s"probe $p returned ${ns.length}")
+      assert(ns.map(_._3).sorted.toSeq == (1L to k), s"probe $p ranks")
+      assert(!ns.exists(_._2 == p), s"probe $p matched itself")
+    }
+    // probe 0 is in the probe set (0 % 100 == 0): its top-k must agree
+    // with the single-probe ANN at the same nprobe
+    val single = SimilarityQueries.annIvf(spark, sf, probeId = 0, k = k,
+      nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val joined = rows.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(joined == single)
+  }
+
   test("embed near-dup band buckets are bounded (hot-bucket cap holds)") {
     import org.apache.spark.sql.functions._
     val emb = graft.queries.T.load(spark, sf, "embeddings")
