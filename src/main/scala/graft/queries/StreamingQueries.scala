@@ -74,6 +74,50 @@ object StreamingQueries {
         .orderBy("minute_bucket", "event_type")
     },
 
+    // Streaming corpus dedup: the ingest firehose probes a bloom of the
+    // RESIDENT corpus per micro-batch; only suspected duplicates take
+    // the exact stream-static anti-join (supported shape: static on the
+    // right). The bloom is built ONCE before the stream starts and
+    // rides the plan as a literal — per batch the corpus contributes
+    // the (reused) broadcast side of the sliver join, never a reshuffle.
+    // Exactness is structural (no bloom false negatives), so the oracle
+    // is the plain batch anti-join — identical to q_bloom_dedup's.
+    Q("q_stream_bloom_dedup",
+      s"""WITH corpus AS (
+         |  SELECT ${TextQueries.hashSql("text")} AS h FROM documents
+         |  WHERE doc_id % 10 <> 3
+         |), batch AS (
+         |  SELECT doc_id, ${TextQueries.hashSql("text")} AS h
+         |  FROM documents WHERE doc_id % 10 = 3
+         |)
+         |SELECT b.doc_id, b.h AS content_hash
+         |FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graftshim.Shims
+      val feed = graft.streaming.DocsStream.bloomFeedDir(s, dir)
+      val bf = T.load(s, dir, "documents")
+        .where(col("doc_id") % 10 =!= 3)
+        .select(expr(TextQueries.hashExpr("text")).as("h"))
+        .agg(Shims.bloomFilterAgg(col("h"), TextQueries.BloomDedupItems,
+          TextQueries.BloomDedupBits).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      EventsStream.runToMemory(s,
+        ss => {
+          val corpus = T.load(ss, dir, "documents")
+            .where(col("doc_id") % 10 =!= 3)
+            .select(expr(TextQueries.hashExpr("text")).as("h"))
+          val mc = Shims.bloomMightContain(lit(bf), col("h"))
+          val stream = graft.streaming.DocsStream.readFeed(ss, feed)
+          stream.where(!mc).unionByName(
+            stream.where(mc).join(corpus, Seq("h"), "left_anti"))
+            .select(col("doc_id"), col("h").as("content_hash"))
+        },
+        s"stream_bloom_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        OutputMode.Append())
+        .orderBy("doc_id")
+    },
+
     // Streaming ingest dedup — the at-least-once absorber every
     // production pipeline needs in front of a training corpus. The feed
     // delivers every event THREE times (twice inside batch 0, once more

@@ -59,7 +59,7 @@ object TextQueries {
   private[graft] def hashExpr(x: String): String =
     s"CAST(conv(substring(md5(CAST($x AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $P"
   /** Same value in DuckDB SQL. */
-  private def hashSql(e: String): String =
+  private[graft] def hashSql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
 
   /** Per-row ARRAY of word-2-gram shingle STRINGS — the ONE definition
