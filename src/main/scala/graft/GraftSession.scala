@@ -538,8 +538,13 @@ final class GraftSession(val spark: SparkSession) {
       else spark.sql(
         s"CREATE SCHEMA ${if (s.ifNotExists) "IF NOT EXISTS " else ""}" +
           s"${quoteIdent(s.catalog)}.${quoteIdent(s.name)}" +
-          s.comment.map(c => s" COMMENT '${c.replace("'", "''")}'")
-            .getOrElse(""))
+          s.comment.map(c => s" COMMENT ${quoteLiteral(c)}").getOrElse("") +
+          // OPTIONS carry over as namespace properties — silently
+          // dropping them would create a different schema than asked
+          (if (s.options.isEmpty) ""
+          else s.options.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${quoteLiteral(k)} = ${quoteLiteral(v)}" }
+            .mkString(" WITH DBPROPERTIES (", ", ", ")")))
     case s: DropSchemaStatement =>
       if (LocalCatalog.get(s.catalog).isDefined)
         LocalCatalog.dropSchemaIn(spark, s.catalog, s.name,
@@ -561,6 +566,11 @@ final class GraftSession(val spark: SparkSession) {
   private def quoteIdent(name: String): String =
     if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
     else "`" + name.replace("`", "``") + "`"
+
+  /** Spark string literal: backslash is an escape in Spark's default
+    * lexer, so it must be escaped along with the quote. */
+  private def quoteLiteral(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   private def alterMetrics(what: String, version: Long): DataFrame = {
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()

@@ -74,7 +74,9 @@ object LocalCatalog {
         if (c.schemas.nonEmpty && !cascade)
           throw new IllegalArgumentException(
             s"Catalog '$name' is not empty (use CASCADE)")
-        c.schemas.keys.foreach(GraftCatalog.dropNamespaceEntry(_, cascade = true))
+        c.schemas.keys
+          .filterNot(sc => schemaNameInUseElsewhere(name, sc))
+          .foreach(GraftCatalog.dropNamespaceEntry(_, cascade = true))
         catalogs.remove(name)
         result(spark, dropSchema, Row(name, "catalog", "DROPPED"))
     }
@@ -114,11 +116,23 @@ object LocalCatalog {
       return result(spark, dropSchema,
         Row(s"$catalog.$schema", "schema", "NOT_FOUND"))
     }
-    GraftCatalog.dropNamespaceEntry(schema, cascade)
+    // the DSv2 namespace registry is FLAT (one namespace space across
+    // every graft catalog, like the table registry): a same-named
+    // schema surviving under ANOTHER catalog keeps the namespace and
+    // its tables alive — only the last securable using the name drops
+    // the registry entry (and enforces/cascades table cleanup)
+    if (!schemaNameInUseElsewhere(catalog, schema))
+      GraftCatalog.dropNamespaceEntry(schema, cascade)
     catalogs.computeIfPresent(catalog, (_, cur) =>
       cur.copy(schemas = cur.schemas - schema))
     result(spark, dropSchema, Row(s"$catalog.$schema", "schema", "DROPPED"))
   }
+
+  private def schemaNameInUseElsewhere(catalog: String,
+      schema: String): Boolean =
+    catalogs.asScala.exists { case (n, c) =>
+      n != catalog && c.schemas.contains(schema)
+    }
 
   def listSchemas(catalog: String): Seq[SchemaDef] =
     Option(catalogs.get(catalog)) match {

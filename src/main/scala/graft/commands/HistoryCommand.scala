@@ -194,11 +194,14 @@ object HistoryCommand {
     // RESTORE's actions were computed from the FULL current live set, so
     // any concurrent data change is a real conflict (typed); only a
     // content-neutral winner (pure SetTransaction) permits a rebase.
-    // readsWholeTable stands in for the inventory path sets, so the
-    // profile stays O(1) on the driver.
+    // readsWholeTable stands in for the READ inventory (O(1) on the
+    // driver); removePaths is the restore's own remove set — already
+    // collected as the diff — so a del/del race keeps its
+    // ConcurrentDeleteDelete classification.
     CommitWriter.commitWithRebase(spark, tablePath, current.version,
       metaAction ++ removes ++ adds, operation = s"RESTORE VERSION $version",
       profile = graft.delta.log.ConflictChecker.TxnProfile(
+        removePaths = removedPaths.toSet,
         dependsOnNewData = true, readsWholeTable = true))
 
     val rows = new java.util.ArrayList[Row]()

@@ -41,10 +41,13 @@ import graft.ops.DirListing
   * debris the log never saw) are only reclaimed by FULL. Deletion time
   * is the LOGICAL removal time, matching the documented delta contract
   * (files age from when the log removed them, not filesystem mtime).
-  * Deletion-vector files of tombstoned data files are reclaimed too
-  * (they are log-tracked via the superseded adds' descriptors); the one
-  * residual LITE leaves for FULL is the old DV of a path re-added in
-  * place with a new DV, whose death carries no tombstone timestamp.
+  * Deletion-vector files of tombstoned data files are reclaimed too,
+  * from the superseded adds' descriptors AND the tombstones' own
+  * remove.deletionVector (the carrier that survives a checkpoint
+  * compacting the add away). Residuals LITE leaves for FULL: the old DV
+  * of a path re-added in place with a new DV (no tombstone to age by),
+  * and DVs of files whose remove was written WITHOUT a descriptor by a
+  * foreign writer and whose add was then checkpointed away.
   */
 object VacuumCommand {
 
@@ -125,13 +128,26 @@ object VacuumCommand {
         DvBitmap.dvPath(new Path(root),
           graft.delta.log.Actions.DeletionVectorDescriptor(
             st, enc, None, 0, 0L)).toString)
-      val deadDvs = adds
+      // dead descriptors come from BOTH sources: superseded ADD actions
+      // still in the segment, and the tombstone REMOVE's own descriptor
+      // (graft's DV-swap removes carry it; after a checkpoint compacts
+      // the superseded add away, the remove is the only carrier left)
+      val deadFromAdds = adds
         .where(col("add.deletionVector").isNotNull &&
           col("add.deletionVector.storageType").isin("u", "p"))
         .select(col("add.path").as("__rel"),
           col("add.deletionVector.storageType").as("__st"),
           col("add.deletionVector.pathOrInlineDv").as("__enc"))
         .join(tomb.select("__rel"), Seq("__rel"))
+      val deadFromRemoves = Replay.tombstones(spark, snapshot.segment)
+        .where(col("remove.deletionTimestamp").isNotNull &&
+          col("remove.deletionTimestamp") < lit(cutoff) &&
+          col("remove.deletionVector").isNotNull &&
+          col("remove.deletionVector.storageType").isin("u", "p"))
+        .select(col("remove.path").as("__rel"),
+          col("remove.deletionVector.storageType").as("__st"),
+          col("remove.deletionVector.pathOrInlineDv").as("__enc"))
+      val deadDvs = deadFromAdds.unionByName(deadFromRemoves)
         .select(dvPhysical(col("__st"), col("__enc")).as("path"))
         .distinct()
       val liveDvs = snapshot.allFiles

@@ -72,12 +72,25 @@ object UrlSigning {
     * array, sign_url.rs:104-112); a parseable URL under a scheme with
     * no registered signer is the reference's "not a signing store"
     * error (sign_url.rs:210). */
+  private val SchemePrefix = "^([A-Za-z][A-Za-z0-9+.\\-]*):.*$".r
+
   def signUrl(url: String): String = {
     if (url == null) return null
+    val scheme = url match {
+      case SchemePrefix(s) => s
+      case _ => ""
+    }
     val uri =
       try new URI(url)
-      catch { case _: java.net.URISyntaxException => return null }
-    signerFor(Option(uri.getScheme).getOrElse("")) match {
+      catch {
+        case _: java.net.URISyntaxException =>
+          // a scheme-less path with URI-illegal chars (space, '{', …) is
+          // a legitimate LOCAL filesystem path — pass it through like
+          // any other local path; a malformed URL under a real scheme
+          // yields null (the reference leaves unparseable entries unset)
+          if (scheme.isEmpty) return url else return null
+      }
+    signerFor(scheme) match {
       case Some(s) => s.sign(uri, ExpiresInSeconds)
       case None =>
         throw new UnsupportedOperationException(s"not a signing store: $url")

@@ -107,11 +107,18 @@ object StreamingQueries {
           val corpus = T.load(ss, dir, "documents")
             .where(col("doc_id") % 10 =!= 3)
             .select(expr(TextQueries.hashExpr("text")).as("h"))
-          val mc = Shims.bloomMightContain(lit(bf), col("h"))
           val stream = graft.streaming.DocsStream.readFeed(ss, feed)
-          stream.where(!mc).unionByName(
-            stream.where(mc).join(corpus, Seq("h"), "left_anti"))
-            .select(col("doc_id"), col("h").as("content_hash"))
+          // empty corpus → null sketch: might_contain(null) is null and
+          // would filter EVERY row on both branches — the whole batch
+          // is new, so skip the prefilter (same guard as bloomDedup)
+          val prefiltered =
+            if (bf == null) stream
+            else {
+              val mc = Shims.bloomMightContain(lit(bf), col("h"))
+              stream.where(!mc).unionByName(
+                stream.where(mc).join(corpus, Seq("h"), "left_anti"))
+            }
+          prefiltered.select(col("doc_id"), col("h").as("content_hash"))
         },
         s"stream_bloom_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
         OutputMode.Append())

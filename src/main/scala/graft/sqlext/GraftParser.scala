@@ -211,12 +211,13 @@ object GraftParser {
         Some(ShowCatalogsStatement)
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).exists(s => s == "SCHEMAS" || s == "NAMESPACES") &&
-          wordAt(toks, 2).exists(s => s == "IN" || s == "FROM") =>
-        // only the catalog-qualified form is ours; execution delegates
-        // back to Spark when the catalog isn't a graft securable.
-        // Unqualified SHOW SCHEMAS is vanilla Spark and never parses here.
-        if (toks.length != 4)
-          throw new ParseException("expected SHOW SCHEMAS IN <catalog>")
+          wordAt(toks, 2).exists(s => s == "IN" || s == "FROM") &&
+          toks.length == 4 &&
+          (toks(3).isInstanceOf[Word] || toks(3).isInstanceOf[Quoted]) =>
+        // ONLY the exact single-catalog form is ours; every other valid
+        // Spark shape (LIKE patterns, multi-part namespaces, unqualified
+        // SHOW SCHEMAS) keeps delegating via the None path. Execution
+        // further delegates when the catalog isn't a graft securable.
         Some(ShowSchemasStatement(identText(toks(3))))
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("TBLPROPERTIES") =>
@@ -755,10 +756,12 @@ object GraftParser {
               t.isInstanceOf[Word] || t.isInstanceOf[Quoted])) {
           parts += identText(toks(i + 1)); i += 2
         }
-        // a part holding a literal dot (quoted identifier) re-renders
-        // BACKTICKED so the joined ref splits back into the same parts
-        // (GraftCatalog.splitRef) instead of exploding on its dots
-        (parts.map(p => if (p.contains(".")) s"`$p`" else p)
+        // a part holding a literal dot or colon (quoted identifier)
+        // re-renders BACKTICKED so the joined ref splits back into the
+        // same parts (GraftCatalog.splitRef) instead of exploding on
+        // its dots — or being mistaken for a path by the ':' heuristic
+        (parts.map(p =>
+          if (p.exists(c => c == '.' || c == ':')) s"`$p`" else p)
           .mkString("."), i)
       case _ => throw new ParseException("Expected a table reference")
     }
@@ -1002,6 +1005,9 @@ object GraftParser {
     if (!toks.lift(i + 1).exists(_.text == ".")) return None
     val name = identText(toks.lift(i + 2).getOrElse(
       throw new ParseException("expected schema name after '.'")))
+    // 3+-part names (multi-level session-catalog namespaces) are valid
+    // vanilla Spark DDL, not a graft securable — delegate
+    if (toks.lift(i + 3).exists(_.text == ".")) return None
     i += 3
     var comment: Option[String] = None
     var options = Map.empty[String, String]
@@ -1052,6 +1058,8 @@ object GraftParser {
     if (!toks.lift(i + 1).exists(_.text == ".")) return None
     val name = identText(toks.lift(i + 2).getOrElse(
       throw new ParseException("expected schema name after '.'")))
+    // multi-level namespaces stay vanilla Spark DDL (see parseCreateSchema)
+    if (toks.lift(i + 3).exists(_.text == ".")) return None
     i += 3
     var cascade = false
     wordAt(toks, i) match {

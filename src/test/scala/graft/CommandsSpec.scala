@@ -124,6 +124,50 @@ class CommandsSpec extends AnyFunSuite {
     assert(GraftParser.parse("SHOW SCHEMAS").isEmpty)
   }
 
+  test("schema DDL delegation: vanilla Spark shapes are never intercepted") {
+    // LIKE patterns, multi-part namespaces, unqualified forms — valid
+    // Spark SQL that must keep delegating (parse → None), not throw
+    assert(GraftParser.parse("SHOW SCHEMAS IN spark_catalog LIKE 'p*'").isEmpty)
+    assert(GraftParser.parse("SHOW NAMESPACES FROM cat.ns").isEmpty)
+    assert(GraftParser.parse("SHOW SCHEMAS LIKE 'x'").isEmpty)
+    assert(GraftParser.parse("CREATE SCHEMA a.b.c").isEmpty)
+    assert(GraftParser.parse("DROP SCHEMA a.b.c CASCADE").isEmpty)
+    // the exact single-catalog form IS ours
+    assert(GraftParser.parse("SHOW SCHEMAS IN cat") ==
+      Some(ShowSchemasStatement("cat")))
+  }
+
+  test("same-named schemas in different catalogs do not interfere") {
+    import graft.catalog.GraftCatalog
+    val g = GraftSession(spark)
+    g.sql("DROP CATALOG IF EXISTS isoa CASCADE")
+    g.sql("DROP CATALOG IF EXISTS isob CASCADE")
+    g.sql("CREATE CATALOG isoa")
+    g.sql("CREATE CATALOG isob")
+    g.sql("CREATE SCHEMA isoa.shared")
+    g.sql("CREATE SCHEMA isob.shared")
+    val path = tmpTable("iso_tbl")
+    CommitWriter.createTable(spark, region, path)
+    GraftCatalog.register("shared", "iso_t", path)
+    try {
+      // dropping one catalog's securable must not unregister the other
+      // catalog's namespace or its tables
+      g.sql("DROP SCHEMA isoa.shared")
+      assert(GraftCatalog.lookupPath(Seq("shared", "iso_t")).contains(path),
+        "surviving catalog's table was unregistered")
+      // the LAST user of the name enforces emptiness again
+      intercept[IllegalStateException] {
+        g.sql("DROP SCHEMA isob.shared")
+      }
+      g.sql("DROP SCHEMA isob.shared CASCADE")
+      assert(GraftCatalog.lookupPath(Seq("shared", "iso_t")).isEmpty)
+    } finally {
+      GraftCatalog.unregister("shared", "iso_t")
+      g.sql("DROP CATALOG IF EXISTS isoa CASCADE")
+      g.sql("DROP CATALOG IF EXISTS isob CASCADE")
+    }
+  }
+
   test("schema lifecycle through GraftSession.sql") {
     val g = GraftSession(spark)
     g.sql("DROP CATALOG IF EXISTS schcat CASCADE")
@@ -362,6 +406,43 @@ class CommandsSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).read.count() == before)
   }
 
+  test("vacuum lite: tombstone-carried DV survives a checkpoint compacting the add away") {
+    import org.apache.hadoop.fs.Path
+    import graft.delta.scan.DvBitmap
+    val path = tmpTable("vacuum_lite_dv_cp")
+    CommitWriter.createTable(spark,
+      region.where(col("r_regionkey") < 2).repartition(1), path,
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.checkpointInterval" -> "1000"))
+    val fileA = DeltaTable.forPath(spark, path)
+      .allFiles.select("path").collect().head.getString(0)
+    CommitWriter.append(spark,
+      region.where(col("r_regionkey") >= 2).repartition(1), path)
+    // partial DV delete, then a second delete covering A's remaining
+    // rows: the resulting plain remove carries A's PRIOR descriptor —
+    // the only carrier once a checkpoint compacts the superseded add
+    graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 0)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(path)).toString
+    val d1 = DeltaTable.forPath(spark, path).allFiles
+      .where(col("path") === fileA)
+      .select("deletionVector.storageType", "deletionVector.pathOrInlineDv")
+      .collect().head
+    val d1Path = DvBitmap.dvPath(new Path(root),
+      graft.delta.log.Actions.DeletionVectorDescriptor(
+        d1.getString(0), d1.getString(1), None, 0, 0L)).toString
+    graft.commands.DmlCommands.delete(spark, path, col("r_regionkey") === 1)
+    CommitWriter.checkpoint(spark, path)
+
+    val cand = GraftSession(spark)
+      .sql(s"VACUUM '$path' LITE RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getAs[String]("path")).toSet
+    assert(cand.exists(_.endsWith(fileA)), s"data file missing: $cand")
+    assert(cand.contains(d1Path),
+      s"checkpoint-surviving tombstone DV not reclaimed: $d1Path vs $cand")
+  }
+
   test("vacuum: retention check blocks short RETAIN when property set") {
     val path = tmpTable("vacuum_check")
     CommitWriter.createTable(spark, region, path,
@@ -555,6 +636,11 @@ class CommandsSpec extends AnyFunSuite {
     // null in → null out
     assert(Seq[String](null).toDF("u")
       .selectExpr("sign_storage_url(u) AS s").collect().head.isNullAt(0))
+    // URI-illegal chars in a SCHEME-LESS path are still a legitimate
+    // local path (space, braces): passthrough, never null
+    val odd = Seq("/data/my file.parquet", "/d/{x}.parquet").toDF("u")
+      .selectExpr("sign_storage_url(u) AS s").collect().map(_.getString(0))
+    assert(odd.toSeq == Seq("/data/my file.parquet", "/d/{x}.parquet"))
   }
 
   test("SQL DML: DELETE FROM / UPDATE SET / MERGE INTO route to commands") {
