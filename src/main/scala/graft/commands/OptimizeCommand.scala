@@ -168,7 +168,12 @@ object OptimizeCommand {
     // (re-clustering is the point); plain compaction needs >= minFiles
     // small files. Decided as a DataFrame aggregation; only qualifying
     // files reach the driver (they are the commit's remove set).
-    val fullInv = snap.allFiles.select("path", "partitionValues", "size")
+    // deletionVector rides along so the compaction REMOVES can carry
+    // the superseded descriptor (protocol hygiene: remove.deletionVector
+    // is what lets VACUUM LITE reclaim the DV file once a checkpoint
+    // compacts the old add away)
+    val fullInv = snap.allFiles
+      .select("path", "partitionValues", "size", "deletionVector")
     val inv = where match {
       case None => fullInv
       case Some(pred) =>
@@ -183,13 +188,15 @@ object OptimizeCommand {
             s"column(s) ${outside.mkString(", ")} are not partition " +
             s"columns ${partCols.mkString("(", ", ", ")")}")
         fullInv
-          .select(Seq(col("path"), col("partitionValues"), col("size")) ++
+          .select(Seq(col("path"), col("partitionValues"), col("size"),
+            col("deletionVector")) ++
             partCols.map(c => element_at(col("partitionValues"), physOf(c))
               .cast(snap.schema(c).dataType).as(c)): _*)
           .where(pred)
-          .select("path", "partitionValues", "size")
+          .select("path", "partitionValues", "size", "deletionVector")
     }
-    val files: Array[(String, Map[String, String], Long)] = {
+    val files: Array[(String, Map[String, String], Long,
+        Option[graft.delta.log.Actions.DeletionVectorDescriptor])] = {
       val qualRows =
         if (partCols.isEmpty) {
           val small = sum(when(col("size") < targetFileSize, 1L)
@@ -203,7 +210,8 @@ object OptimizeCommand {
         } else {
           val keyNames = partCols.indices.map(i => s"__pv_$i")
           val keyed = inv.select(
-            (Seq(col("path"), col("partitionValues"), col("size")) ++
+            (Seq(col("path"), col("partitionValues"), col("size"),
+              col("deletionVector")) ++
               partCols.zipWithIndex.map { case (c, i) =>
                 element_at(col("partitionValues"), physOf(c)).as(s"__pv_$i")
               }): _*)
@@ -223,7 +231,8 @@ object OptimizeCommand {
         }
       qualRows.map(r => (r.getAs[String]("path"),
         Option(r.getAs[Map[String, String]]("partitionValues"))
-          .getOrElse(Map.empty), r.getAs[Long]("size")))
+          .getOrElse(Map.empty), r.getAs[Long]("size"),
+        DmlCommands.dvDescriptorOf(r)))
     }
 
     if (files.isEmpty) return metrics(spark, 0, 0, 0)
@@ -280,9 +289,10 @@ object OptimizeCommand {
 
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
-    files.foreach { case (p, _, _) =>
+    files.foreach { case (p, _, _, dv) =>
       actions += CommitWriter.removeJson(
-        Actions.RemoveFile(p, Some(now), dataChange = false))
+        Actions.RemoveFile(p, Some(now), dataChange = false,
+          deletionVector = dv))
     }
     adds.foreach(a => actions += CommitWriter.addJson(a))
     // compaction rearranges rows it already holds — its outcome depends

@@ -161,6 +161,16 @@ class OptimizeSpec extends AnyFunSuite {
     assert(after.read.where(col("o_orderkey") % 3 === 0).count() == 0)
     assert(after.allFiles.where(col("deletionVector").isNotNull)
       .count() == 0)
+    // protocol hygiene: the compaction removes carry the superseded
+    // descriptors, so a VACUUM LITE across a checkpoint can reclaim the
+    // orphaned DV files from the tombstones alone
+    CommitWriter.checkpoint(spark, p)
+    val liteCands = GraftSessionFixture.g
+      .sql(s"VACUUM '$p' LITE RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getAs[String]("path"))
+    assert(liteCands.exists(_.contains("deletion_vector")),
+      s"optimize-orphaned DV missing from LITE candidates: " +
+        liteCands.mkString(", "))
   }
 
   test("OPTIMIZE no-ops when nothing to compact") {
