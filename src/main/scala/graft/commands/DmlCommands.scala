@@ -208,7 +208,7 @@ object DmlCommands {
     * descriptor — every file-granular command shares it so a new
     * descriptor field cannot be picked up in one place and silently
     * dropped in another. */
-  private[commands] def dvDescriptorOf(r: Row): Option[DeletionVectorDescriptor] =
+  private[graft] def dvDescriptorOf(r: Row): Option[DeletionVectorDescriptor] =
     Option(r.getAs[Row]("deletionVector")).map(d =>
       DeletionVectorDescriptor(
         d.getAs[String]("storageType"),

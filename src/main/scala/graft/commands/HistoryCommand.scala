@@ -137,11 +137,16 @@ object HistoryCommand {
       .select(col("path"), dvIdCol.as("__tgt_dv"))
 
     val now = System.currentTimeMillis()
-    val removedPaths = curKeys
+    // removes carry the removed version's DV descriptor (protocol's
+    // remove.deletionVector) so LITE vacuums reclaim them post-checkpoint
+    val removedRows = current.allFiles
       .join(tgtKeys.select("path"), Seq("path"), "left_anti")
-      .select("path").collect().map(_.getString(0)).sorted
-    val removes = removedPaths.toSeq.map(p => CommitWriter.removeJson(
-      Actions.RemoveFile(p, Some(now), dataChange = true)))
+      .select("path", "deletionVector")
+      .collect().sortBy(_.getString(0))
+    val removedPaths = removedRows.map(_.getString(0))
+    val removes = removedRows.toSeq.map(r => CommitWriter.removeJson(
+      Actions.RemoveFile(r.getString(0), Some(now), dataChange = true,
+        deletionVector = DmlCommands.dvDescriptorOf(r))))
 
     def dvOf(r: Row): Option[Actions.DeletionVectorDescriptor] =
       Option(r.getAs[Row]("deletionVector")).map { d =>

@@ -898,10 +898,29 @@ object CommitWriter {
     val (meta, proto) = Replay.metadataAndProtocol(spark, segment)
     ProtocolSupport.assertWritable(tablePath, meta, proto,
       dataChangingRemoves = true)
+    // on a DV table, each remove carries the removed version's
+    // descriptor (protocol's remove.deletionVector — what lets VACUUM
+    // LITE reclaim the DV file after checkpoints compact the add away);
+    // the liveFiles lookup only runs when the feature is declared and
+    // serves from the replay cache
+    val dvByPath: Map[String, Actions.DeletionVectorDescriptor] =
+      if (ProtocolSupport.withDeletionVectors(proto).isDefined) Map.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        Replay.liveFiles(spark, segment)
+          .where(col("path").isin(paths: _*) &&
+            col("deletionVector").isNotNull)
+          .select("path", "deletionVector")
+          .collect()
+          .flatMap(r => graft.commands.DmlCommands.dvDescriptorOf(r)
+            .map(r.getString(0) -> _))
+          .toMap
+      }
     val v = segment.version + 1
     val now = System.currentTimeMillis()
     commit(spark, tablePath, v,
-      paths.map(p => removeJson(RemoveFile(p, Some(now), dataChange = true))),
+      paths.map(p => removeJson(RemoveFile(p, Some(now), dataChange = true,
+        deletionVector = dvByPath.get(p)))),
       operation = "DELETE")
     v
   }
