@@ -148,17 +148,6 @@ object HistoryCommand {
       Actions.RemoveFile(r.getString(0), Some(now), dataChange = true,
         deletionVector = DmlCommands.dvDescriptorOf(r))))
 
-    def dvOf(r: Row): Option[Actions.DeletionVectorDescriptor] =
-      Option(r.getAs[Row]("deletionVector")).map { d =>
-        val offIdx = d.fieldIndex("offset")
-        Actions.DeletionVectorDescriptor(
-          d.getAs[String]("storageType"),
-          d.getAs[String]("pathOrInlineDv"),
-          if (d.isNullAt(offIdx)) None else Some(d.getInt(offIdx)),
-          d.getAs[Int]("sizeInBytes"),
-          d.getAs[Long]("cardinality"))
-      }
-
     // re-add files the target had, AND files present in both versions
     // whose deletion vector differs (a path-only diff would silently keep
     // the current DV, resurrecting or re-deleting rows); the re-add
@@ -182,7 +171,7 @@ object HistoryCommand {
           modificationTime = r.getAs[Long]("modificationTime"),
           dataChange = true,
           stats = Option(r.getAs[String]("stats")),
-          deletionVector = dvOf(r),
+          deletionVector = DmlCommands.dvDescriptorOf(r),
           // restored rows keep their identities (same physical files)
           baseRowId = Option(r.getAs[java.lang.Long]("baseRowId"))
             .map(_.longValue()),

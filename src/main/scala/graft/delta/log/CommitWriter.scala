@@ -900,9 +900,11 @@ object CommitWriter {
       dataChangingRemoves = true)
     // on a DV table, each remove carries the removed version's
     // descriptor (protocol's remove.deletionVector — what lets VACUUM
-    // LITE reclaim the DV file after checkpoints compact the add away);
-    // the liveFiles lookup only runs when the feature is declared and
-    // serves from the replay cache
+    // LITE reclaim the DV file after checkpoints compact the add away).
+    // The liveFiles lookup only runs when the feature is DECLARED; on a
+    // small log it serves from the replay cache, on a large one it is
+    // one distributed metadata job — the same cost class as the scan
+    // any predicate-bearing remove writer (DELETE/UPDATE) already pays
     val dvByPath: Map[String, Actions.DeletionVectorDescriptor] =
       if (ProtocolSupport.withDeletionVectors(proto).isDefined) Map.empty
       else {
