@@ -102,11 +102,18 @@ object StreamingQueries {
         .agg(Shims.bloomFilterAgg(col("h"), TextQueries.BloomDedupItems,
           TextQueries.BloomDedupBits).as("bf"))
         .head.getAs[Array[Byte]](0)
-      EventsStream.runToMemory(s,
+      // the static side is CACHED for the stream's lifetime: a
+      // stream-static join re-evaluates the static plan every
+      // micro-batch, and re-hashing the whole corpus per batch is
+      // exactly the repeated work the bloom exists to avoid (cached
+      // payload = one long per corpus doc)
+      var corpusCached: org.apache.spark.sql.DataFrame = null
+      try EventsStream.runToMemory(s,
         ss => {
-          val corpus = T.load(ss, dir, "documents")
+          corpusCached = T.load(ss, dir, "documents")
             .where(col("doc_id") % 10 =!= 3)
             .select(expr(TextQueries.hashExpr("text")).as("h"))
+            .cache()
           val stream = graft.streaming.DocsStream.readFeed(ss, feed)
           // empty corpus → null sketch: might_contain(null) is null and
           // would filter EVERY row on both branches — the whole batch
@@ -116,13 +123,14 @@ object StreamingQueries {
             else {
               val mc = Shims.bloomMightContain(lit(bf), col("h"))
               stream.where(!mc).unionByName(
-                stream.where(mc).join(corpus, Seq("h"), "left_anti"))
+                stream.where(mc).join(corpusCached, Seq("h"), "left_anti"))
             }
           prefiltered.select(col("doc_id"), col("h").as("content_hash"))
         },
         s"stream_bloom_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
         OutputMode.Append())
         .orderBy("doc_id")
+      finally if (corpusCached != null) corpusCached.unpersist(false)
     },
 
     // Streaming ingest dedup — the at-least-once absorber every
