@@ -14,20 +14,35 @@ class AqeInvarianceSpec extends AnyFunSuite {
   private val names = Seq("q1_agg", "q_near_dedup", "q_dup_clusters",
     "q_window_rank", "q_sim_topk", "deletion_vectors")
 
+  private def run(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+
   test("query results are AQE-invariant") {
     for (name <- names) {
-      def run(): Seq[String] =
-        SparkEntry.queries(name)(spark, sf).collect()
-          .map(_.toString).toSeq
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      val withAqe = run()
+      val withAqe = run(name)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val withoutAqe =
-        try run()
+        try run(name)
         finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       assert(withAqe == withoutAqe,
         s"$name diverges under AQE toggle (${withAqe.length} vs " +
           s"${withoutAqe.length} rows)")
     }
+  }
+
+  test("query results are shuffle-partition-count invariant") {
+    // the cluster knob nobody controls per-query: sorted-stream caps,
+    // star rounds, and window ranks must not depend on how many
+    // partitions a shuffle lands in (a 1000-executor cluster runs
+    // thousands, local tests run 32, state stores run 4)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = names.map(n => n -> run(n)).toMap
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      for (name <- names)
+        assert(run(name) == baseline(name),
+          s"$name diverges at 7 shuffle partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 }
