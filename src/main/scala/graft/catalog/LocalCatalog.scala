@@ -58,6 +58,16 @@ object LocalCatalog {
     val prev = catalogs.putIfAbsent(d.name, d)
     if (prev != null && !ifNotExists)
       throw new IllegalArgumentException(s"Catalog '${d.name}' already exists")
+    // bind the securable name as a Spark DSv2 catalog in THIS session,
+    // so vanilla `SELECT/CREATE TABLE/SHOW TABLES <name>.<schema>.<tbl>`
+    // resolves through the plugin immediately after CREATE CATALOG —
+    // without a manual spark.sql.catalog.* conf. (The securable
+    // registry is JVM-global; the conf binding is per-session, like any
+    // Spark catalog conf. Plugin instances share one table/namespace
+    // registry, so every graft catalog name is an alias over it.)
+    if (spark.conf.getOption(s"spark.sql.catalog.${d.name}").isEmpty)
+      spark.conf.set(s"spark.sql.catalog.${d.name}",
+        classOf[GraftCatalog].getName)
     result(spark, createSchema,
       Row(d.name, "catalog", describe(catalogs.get(d.name))))
   }
@@ -78,6 +88,11 @@ object LocalCatalog {
           .filterNot(sc => schemaNameInUseElsewhere(name, sc))
           .foreach(GraftCatalog.dropNamespaceEntry(_, cascade = true))
         catalogs.remove(name)
+        // release the session's plugin binding IF it is ours (never
+        // clobber a user-configured catalog conf of the same name)
+        if (spark.conf.getOption(s"spark.sql.catalog.$name")
+            .contains(classOf[GraftCatalog].getName))
+          spark.conf.unset(s"spark.sql.catalog.$name")
         result(spark, dropSchema, Row(name, "catalog", "DROPPED"))
     }
   }

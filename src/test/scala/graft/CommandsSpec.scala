@@ -168,6 +168,29 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE CATALOG binds the securable as a Spark catalog for vanilla SQL") {
+    import graft.catalog.GraftCatalog
+    val g = GraftSession(spark)
+    g.sql("DROP CATALOG IF EXISTS vanilla_cat CASCADE")
+    g.sql("CREATE CATALOG vanilla_cat")
+    g.sql("CREATE SCHEMA vanilla_cat.ml")
+    val path = tmpTable("van_tbl")
+    CommitWriter.createTable(spark, region, path)
+    GraftCatalog.register("ml", "vregion", path)
+    try {
+      // plain spark.sql — no GraftSession routing, no manual conf
+      assert(spark.sql("SELECT count(*) AS n FROM vanilla_cat.ml.vregion")
+        .head.getLong(0) == region.count())
+      assert(spark.sql("SHOW TABLES IN vanilla_cat.ml").collect()
+        .map(_.getString(1)).contains("vregion"))
+    } finally {
+      GraftCatalog.unregister("ml", "vregion")
+      g.sql("DROP CATALOG vanilla_cat CASCADE")
+    }
+    // the session binding is released with the securable
+    assert(spark.conf.getOption("spark.sql.catalog.vanilla_cat").isEmpty)
+  }
+
   test("schema lifecycle through GraftSession.sql") {
     val g = GraftSession(spark)
     g.sql("DROP CATALOG IF EXISTS schcat CASCADE")
