@@ -217,6 +217,12 @@ object GraftCatalog {
   private val pluginNames =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Drop a name from the plugin-name set (DROP CATALOG releasing a
+    * securable binding); a live conf-bound catalog of the same name
+    * re-registers itself on its next initialize. */
+  private[catalog] def unregisterPluginName(name: String): Unit =
+    pluginNames.remove(name.toLowerCase)
+
   /** Is `name` a catalog THIS library owns (a registered DSv2 plugin
     * instance, a CREATE CATALOG securable, or a session conf entry
     * binding the name to this plugin class)? Names of other catalogs

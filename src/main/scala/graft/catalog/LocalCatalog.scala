@@ -50,11 +50,22 @@ object LocalCatalog {
   def list(): Seq[CatalogDef] = catalogs.values.asScala.toSeq.sortBy(_.name)
   def clear(): Unit = catalogs.clear()
 
+  /** Marker conf recording that graft (not the user) created the
+    * session's plugin binding for a name — flows into the plugin's
+    * initialize options harmlessly, and lets DROP release exactly the
+    * bindings CREATE made. */
+  private def boundMarkerKey(name: String) =
+    s"spark.sql.catalog.$name.graft_securable_binding"
+
   def create(spark: SparkSession, d: CatalogDef,
       ifNotExists: Boolean): DataFrame = {
     if (d.usingShare.isDefined && d.managedLocation.isDefined)
       throw new IllegalArgumentException(
         "USING SHARE and MANAGED LOCATION are mutually exclusive.")
+    if (d.name.equalsIgnoreCase("spark_catalog") ||
+        d.name.equalsIgnoreCase("system"))
+      throw new IllegalArgumentException(
+        s"Catalog name '${d.name}' is reserved by Spark")
     val prev = catalogs.putIfAbsent(d.name, d)
     if (prev != null && !ifNotExists)
       throw new IllegalArgumentException(s"Catalog '${d.name}' already exists")
@@ -63,14 +74,34 @@ object LocalCatalog {
     // resolves through the plugin immediately after CREATE CATALOG —
     // without a manual spark.sql.catalog.* conf. (The securable
     // registry is JVM-global; the conf binding is per-session, like any
-    // Spark catalog conf. Plugin instances share one table/namespace
-    // registry, so every graft catalog name is an alias over it.)
-    if (spark.conf.getOption(s"spark.sql.catalog.${d.name}").isEmpty)
+    // Spark catalog conf — and case-sensitive like any conf key, so the
+    // vanilla-SQL alias resolves under the name as CREATEd. Plugin
+    // instances share one table/namespace registry, so every graft
+    // catalog name is an alias over it.)
+    if (spark.conf.getOption(s"spark.sql.catalog.${d.name}").isEmpty) {
       spark.conf.set(s"spark.sql.catalog.${d.name}",
         classOf[GraftCatalog].getName)
+      spark.conf.set(boundMarkerKey(d.name), "true")
+    }
     result(spark, createSchema,
-      Row(d.name, "catalog", describe(catalogs.get(d.name))))
+      Row(d.name, "catalog",
+        describe(if (prev != null) prev else d)))
   }
+
+  /** Release a session binding IFF create() made it (marker present) —
+    * a user-configured binding of the same name is never touched. */
+  private def unbind(spark: SparkSession, name: String): Unit =
+    if (spark.conf.getOption(boundMarkerKey(name)).isDefined) {
+      spark.conf.unset(s"spark.sql.catalog.$name")
+      spark.conf.unset(boundMarkerKey(name))
+      GraftCatalog.unregisterPluginName(name)
+      // Spark's CatalogManager caches plugin instances per session and
+      // never re-checks the conf; reset it so the dropped name stops
+      // resolving (rare op — a DROP CATALOG pays one re-init of other
+      // catalogs on next use)
+      try org.apache.spark.sql.graftshim.Shims.resetCatalogManager(spark)
+      catch { case _: Throwable => /* non-classic session: cache stays */ }
+    }
 
   def drop(spark: SparkSession, name: String, ifExists: Boolean,
       cascade: Boolean): DataFrame = {
@@ -79,6 +110,10 @@ object LocalCatalog {
       case None if !ifExists =>
         throw new IllegalArgumentException(s"Catalog '$name' not found")
       case None =>
+        // the securable may have been removed by another session while
+        // THIS session still holds the binding create() made — release
+        // it here too so no ghost alias survives
+        unbind(spark, name)
         result(spark, dropSchema, Row(name, "catalog", "NOT_FOUND"))
       case Some(c) =>
         if (c.schemas.nonEmpty && !cascade)
@@ -88,11 +123,7 @@ object LocalCatalog {
           .filterNot(sc => schemaNameInUseElsewhere(name, sc))
           .foreach(GraftCatalog.dropNamespaceEntry(_, cascade = true))
         catalogs.remove(name)
-        // release the session's plugin binding IF it is ours (never
-        // clobber a user-configured catalog conf of the same name)
-        if (spark.conf.getOption(s"spark.sql.catalog.$name")
-            .contains(classOf[GraftCatalog].getName))
-          spark.conf.unset(s"spark.sql.catalog.$name")
+        unbind(spark, name)
         result(spark, dropSchema, Row(name, "catalog", "DROPPED"))
     }
   }

@@ -106,6 +106,19 @@ final class GraftParserInterface(delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     try GraftParser.parse(sqlText) match {
+      // schema DDL on a NON-graft catalog delegates at execution time
+      // through GraftSession.sql (re-rendered spark.sql, different
+      // result shape); through the extension the output schema is fixed
+      // at parse time, so the wrap decision must be made HERE
+      case Some(s: CreateSchemaStatement)
+          if LocalCatalog.get(s.catalog).isEmpty =>
+        delegate.parsePlan(sqlText)
+      case Some(s: DropSchemaStatement)
+          if LocalCatalog.get(s.catalog).isEmpty =>
+        delegate.parsePlan(sqlText)
+      case Some(ShowSchemasStatement(cat))
+          if LocalCatalog.get(cat).isEmpty =>
+        delegate.parsePlan(sqlText)
       case Some(stmt) => GraftCommand(stmt)
       case None => delegate.parsePlan(sqlText)
     } catch {
@@ -185,6 +198,9 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: ShowPartitionsStatement =>
         graft.GraftSession.showPartitionsSchema
       case _: AnalyzeTableStatement => VacuumCommand.metricsSchema
+      case _: CreateSchemaStatement => LocalCatalog.createSchema
+      case _: DropSchemaStatement => LocalCatalog.dropSchema
+      case _: ShowSchemasStatement => graft.GraftSession.showSchemasSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

@@ -95,6 +95,13 @@ object Shims {
       .BloomFilterMightContain(expression(serializedBloom),
         expression(value)))
 
+  /** CatalogManager caches plugin instances per session and never
+    * re-checks the conf; DROP CATALOG needs the cache dropped so an
+    * unbound name stops resolving. `reset()` is private[sql]. */
+  def resetCatalogManager(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.reset()
+
   def predNode(c: Column): PredNode = conv(c.node)
 
 

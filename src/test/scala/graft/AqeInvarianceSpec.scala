@@ -18,17 +18,16 @@ class AqeInvarianceSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
 
   test("query results are AQE-invariant") {
-    for (name <- names) {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    try for (name <- names) {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       val withAqe = run(name)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val withoutAqe =
-        try run(name)
-        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val withoutAqe = run(name)
       assert(withAqe == withoutAqe,
         s"$name diverges under AQE toggle (${withAqe.length} vs " +
           s"${withoutAqe.length} rows)")
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
   test("query results are shuffle-partition-count invariant") {

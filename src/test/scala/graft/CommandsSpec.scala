@@ -172,12 +172,12 @@ class CommandsSpec extends AnyFunSuite {
     import graft.catalog.GraftCatalog
     val g = GraftSession(spark)
     g.sql("DROP CATALOG IF EXISTS vanilla_cat CASCADE")
-    g.sql("CREATE CATALOG vanilla_cat")
-    g.sql("CREATE SCHEMA vanilla_cat.ml")
-    val path = tmpTable("van_tbl")
-    CommitWriter.createTable(spark, region, path)
-    GraftCatalog.register("ml", "vregion", path)
     try {
+      g.sql("CREATE CATALOG vanilla_cat")
+      g.sql("CREATE SCHEMA vanilla_cat.ml")
+      val path = tmpTable("van_tbl")
+      CommitWriter.createTable(spark, region, path)
+      GraftCatalog.register("ml", "vregion", path)
       // plain spark.sql — no GraftSession routing, no manual conf
       assert(spark.sql("SELECT count(*) AS n FROM vanilla_cat.ml.vregion")
         .head.getLong(0) == region.count())
@@ -185,10 +185,18 @@ class CommandsSpec extends AnyFunSuite {
         .map(_.getString(1)).contains("vregion"))
     } finally {
       GraftCatalog.unregister("ml", "vregion")
-      g.sql("DROP CATALOG vanilla_cat CASCADE")
+      g.sql("DROP CATALOG IF EXISTS vanilla_cat CASCADE")
     }
-    // the session binding is released with the securable
+    // the session binding is released with the securable, and the
+    // dropped name no longer resolves as a Spark catalog
     assert(spark.conf.getOption("spark.sql.catalog.vanilla_cat").isEmpty)
+    intercept[Exception] {
+      spark.sql("SHOW NAMESPACES IN vanilla_cat").collect()
+    }
+    // a reserved name can never become a securable alias
+    intercept[IllegalArgumentException] {
+      GraftSession(spark).sql("CREATE CATALOG spark_catalog")
+    }
   }
 
   test("schema lifecycle through GraftSession.sql") {

@@ -37,6 +37,29 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getString(2) == "DROPPED")
   }
 
+  test("plain spark.sql runs schema DDL via injected parser; foreign delegates") {
+    graft.catalog.LocalCatalog.clear()
+    extSpark.sql("CREATE CATALOG ext_sch_cat")
+    try {
+      val created = extSpark.sql("CREATE SCHEMA ext_sch_cat.ml")
+        .collect().head
+      assert(created.getString(0) == "ext_sch_cat.ml")
+      assert(created.getString(1) == "schema")
+      assert(extSpark.sql("SHOW SCHEMAS IN ext_sch_cat").collect()
+        .map(_.getString(0)).toSeq == Seq("ml"))
+      assert(extSpark.sql("DROP SCHEMA ext_sch_cat.ml").collect()
+        .head.getString(2) == "DROPPED")
+      // a NON-graft catalog's schema DDL must delegate at PARSE time
+      // (the extension fixes output schemas when wrapping) — vanilla
+      // Spark then fails its own way on the unknown catalog, rather
+      // than a graft MatchError or a wrong-shaped result
+      val e = intercept[Exception] {
+        extSpark.sql("CREATE SCHEMA no_such_cat.ml").collect()
+      }
+      assert(!e.toString.contains("MatchError"), e.toString)
+    } finally extSpark.sql("DROP CATALOG IF EXISTS ext_sch_cat CASCADE")
+  }
+
   test("catalog-qualified 3-part name resolves through DSv2 with " +
     "snapshot refresh on lookup") {
     val d = Files.createTempDirectory("graft_cat_tbl").toFile
