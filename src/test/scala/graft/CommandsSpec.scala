@@ -197,6 +197,17 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftSession(spark).sql("CREATE CATALOG spark_catalog")
     }
+    // a USER-configured binding of the same name survives the
+    // securable's lifecycle (create skips binding, drop never unsets)
+    spark.conf.set("spark.sql.catalog.user_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    try {
+      g.sql("CREATE CATALOG user_cat")
+      g.sql("DROP CATALOG user_cat")
+      assert(spark.conf.getOption("spark.sql.catalog.user_cat")
+        .contains(classOf[graft.catalog.GraftCatalog].getName),
+        "DROP CATALOG unset a binding it never created")
+    } finally spark.conf.unset("spark.sql.catalog.user_cat")
   }
 
   test("schema lifecycle through GraftSession.sql") {
