@@ -327,6 +327,38 @@ object SimilarityQueries {
       knnJoin(s, dir, k = 5, nprobe = 4)
     },
 
+    // FILTERED ANN — the retrieval-with-metadata-predicate shape every
+    // vector store names as a feature (pre-filtered search): top-k
+    // among only the vectors satisfying a predicate. The filter applies
+    // to the PRUNED candidate set (post partition-pruning, pre-rerank),
+    // so its cost is the probed clusters, not the corpus; correctness
+    // caveat vs post-filtering is recall under selective predicates —
+    // countered by probing more clusters (nprobe 8 here vs 4 unfiltered;
+    // production tunes nprobe by predicate selectivity).
+    Q("q_sim_ann_filtered",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${IvfOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |)
+         |SELECT i.vec_id, i.label,
+         |  (${dotSql("i.embedding", "pv")}) /
+         |    (${normSql("i.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM read_parquet('$IvfOracleAlias/*/*.parquet',
+         |       hive_partitioning=true) i
+         |JOIN probed ON CAST(i.cid AS BIGINT) = probed.cid
+         |CROSS JOIN probe
+         |WHERE i.vec_id <> 0 AND i.label % 3 = 1
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      annIvfFiltered(s, dir, probeId = 0, k = 10, nprobe = 8,
+        predicate = col("label") % 3 === 1)
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -525,7 +557,20 @@ object SimilarityQueries {
   /** Same probe against an explicit index directory (shared by the
     * build-once and incrementally-maintained indexes). */
   def annIvfOver(s: SparkSession, dir: String, indexPath: String,
-      probeId: Long, k: Int, nprobe: Int): DataFrame = {
+      probeId: Long, k: Int, nprobe: Int): DataFrame =
+    annIvfFilteredOver(s, dir, indexPath, probeId, k, nprobe, lit(true))
+
+  /** Pre-filtered ANN (q_sim_ann_filtered): the predicate narrows the
+    * candidate set AFTER partition pruning and BEFORE the rerank, so
+    * its cost is the probed clusters only. */
+  def annIvfFiltered(s: SparkSession, dir: String, probeId: Long, k: Int,
+      nprobe: Int, predicate: Column): DataFrame =
+    annIvfFilteredOver(s, dir, ivfIndexPath(s, dir), probeId, k, nprobe,
+      predicate)
+
+  private def annIvfFilteredOver(s: SparkSession, dir: String,
+      indexPath: String, probeId: Long, k: Int, nprobe: Int,
+      predicate: Column): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val index = s.read.parquet(indexPath)
     val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
@@ -540,6 +585,7 @@ object SimilarityQueries {
     // partition-pruned index read: only the probed cid directories
     index.where(col("cid").isin(probeCids: _*))
       .where(col("vec_id") =!= probeId)
+      .where(predicate)
       .crossJoin(broadcast(probeVec))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /

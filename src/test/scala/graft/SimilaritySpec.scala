@@ -68,6 +68,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined == single)
   }
 
+  test("filtered ANN: every hit satisfies the predicate, recall vs filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val hits = SimilarityQueries.annIvfFiltered(spark, sf, probeId = 0,
+      k = k, nprobe = 8, predicate = col("label") % 3 === 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue()))
+    assert(hits.length == k)
+    assert(hits.forall(_._2 % 3 == 1), "predicate leaked")
+    // filtered brute force as truth; generous probing (8 of ~10
+    // clusters) keeps recall high despite the selective predicate
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    val probe = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.vectorDot(a, b)
+    val brute = emb.where(col("vec_id") =!= 0 && col("label") % 3 === 1)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", dotC(col("embedding"), col("pv")) /
+        (sqrt(dotC(col("embedding"), col("embedding"))) *
+          sqrt(dotC(col("pv"), col("pv")))))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k).collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect hits.map(_._1).toSet).size.toDouble / k
+    assert(recall >= 0.8, s"filtered recall@$k = $recall")
+  }
+
   test("embed near-dup band buckets are bounded (hot-bucket cap holds)") {
     import org.apache.spark.sql.functions._
     val emb = graft.queries.T.load(spark, sf, "embeddings")
