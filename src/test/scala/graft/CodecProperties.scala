@@ -23,6 +23,27 @@ object CodecProperties extends Properties("graft.codecs") {
   } yield (sparse ++ (runStart until runStart + runLen) ++ dense)
     .distinct
 
+  /** sign_storage_url is total over arbitrary strings: every input
+    * yields passthrough (local), null (unparseable under a scheme), or
+    * a TYPED rejection — never an unexpected crash — and scheme-less
+    * inputs are never silently nulled. */
+  property("UrlSigning.signUrl is total and local-preserving") =
+    forAll(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.asciiPrintableStr.map(s => s"/data/$s"),
+      Gen.asciiPrintableStr.map(s => s"s3://bucket/$s"),
+      Gen.asciiPrintableStr.map(s => s"file:/tmp/$s"),
+      Gen.asciiPrintableStr.map(s => s"zz-scheme://$s"))) { s =>
+      try {
+        val out = graft.functions.UrlSigning.signUrl(s)
+        // scheme-less input must come back verbatim or (never) null
+        val schemeless = !s.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*$")
+        !schemeless || out == s
+      } catch {
+        case _: UnsupportedOperationException => true // typed rejection
+      }
+    }
+
   property("DV serialize/deserialize preserves the exact row set") =
     forAll(rowIndexes) { rows =>
       val set = rows.toSet
