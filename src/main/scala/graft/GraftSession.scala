@@ -535,16 +535,7 @@ final class GraftSession(val spark: SparkSession) {
       if (LocalCatalog.get(s.catalog).isDefined)
         LocalCatalog.createSchemaIn(spark, s.catalog, s.name,
           s.comment, s.options, s.ifNotExists)
-      else spark.sql(
-        s"CREATE SCHEMA ${if (s.ifNotExists) "IF NOT EXISTS " else ""}" +
-          s"${quoteIdent(s.catalog)}.${quoteIdent(s.name)}" +
-          s.comment.map(c => s" COMMENT ${quoteLiteral(c)}").getOrElse("") +
-          // OPTIONS carry over as namespace properties — silently
-          // dropping them would create a different schema than asked
-          (if (s.options.isEmpty) ""
-          else s.options.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${quoteLiteral(k)} = ${quoteLiteral(v)}" }
-            .mkString(" WITH DBPROPERTIES (", ", ", ")")))
+      else spark.sql(GraftSession.renderVanillaCreateSchema(s))
     case s: DropSchemaStatement =>
       if (LocalCatalog.get(s.catalog).isDefined)
         LocalCatalog.dropSchemaIn(spark, s.catalog, s.name,
@@ -625,6 +616,31 @@ final class GraftSession(val spark: SparkSession) {
 object GraftSession {
 
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** Re-render a parsed CREATE SCHEMA into vanilla Spark syntax —
+    * OPTIONS (our grammar) becomes WITH DBPROPERTIES (Spark's). Shared
+    * by the session delegation below and the extension parser
+    * ([[graft.sqlext.GraftParserInterface]]) so the SAME statement
+    * succeeds on a non-graft catalog through either entry point. */
+  def renderVanillaCreateSchema(
+      s: graft.sqlext.GraftParser.CreateSchemaStatement): String =
+    s"CREATE SCHEMA ${if (s.ifNotExists) "IF NOT EXISTS " else ""}" +
+      s"${quoteIdentStatic(s.catalog)}.${quoteIdentStatic(s.name)}" +
+      s.comment.map(c => s" COMMENT ${quoteLiteralStatic(c)}").getOrElse("") +
+      // OPTIONS carry over as namespace properties — silently
+      // dropping them would create a different schema than asked
+      (if (s.options.isEmpty) ""
+      else s.options.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s"${quoteLiteralStatic(k)} = ${quoteLiteralStatic(v)}" }
+        .mkString(" WITH DBPROPERTIES (", ", ", ")"))
+
+  private[graft] def quoteIdentStatic(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
+
+  private[graft] def quoteLiteralStatic(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   val tblPropertiesSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -174,10 +174,15 @@ object LocalCatalog {
     result(spark, dropSchema, Row(s"$catalog.$schema", "schema", "DROPPED"))
   }
 
+  // Case-insensitive on the SCHEMA name: the DSv2 namespace registry
+  // lowercases its keys (GraftCatalog.registerNamespace /
+  // dropNamespaceEntry), so catalogs holding 'ML' and 'ml' share one
+  // registry namespace — the in-use check must see them as the same
+  // name or DROP SCHEMA a.ML CASCADE would unregister b.ml's tables.
   private def schemaNameInUseElsewhere(catalog: String,
       schema: String): Boolean =
     catalogs.asScala.exists { case (n, c) =>
-      n != catalog && c.schemas.contains(schema)
+      n != catalog && c.schemas.keys.exists(_.equalsIgnoreCase(schema))
     }
 
   def listSchemas(catalog: String): Seq[SchemaDef] =

@@ -108,22 +108,48 @@ object DmlCommands {
   private[commands] def fileKeyNormalizer(spark: SparkSession,
       snap: graft.delta.Snapshot): String => String = {
     val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
-    val qualified = fs.makeQualified(snap.tablePath)
-    rel => {
-      val p = new Path(qualified, rel)
-      new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
-    }
+    val qualified = fs.makeQualified(snap.tablePath).toString
+    normalizeFileKey(qualified, _)
+  }
+
+  /** The encoding contract itself, as a pure (String, String) => String
+    * so executors can apply it (a closure over a FileSystem wouldn't
+    * serialize). */
+  private[commands] def normalizeFileKey(qualifiedTable: String,
+      rel: String): String = {
+    val p = new Path(new Path(qualifiedTable), rel)
+    new java.io.File(p.toUri.getPath).toURI.getRawPath.stripSuffix("/")
   }
 
   /** Log-relative paths of the live files whose normalized keys are in
-    * `affected` (the collected state is the file list — metadata-
-    * bounded, the same rows the commit JSON must hold). */
+    * `affected`. The normalization runs DISTRIBUTED (UDF over allFiles)
+    * and only the MATCHED paths are collected — the driver holds
+    * O(affected files), never the whole live-file inventory, which at
+    * 100 TB with small files is millions of rows for a one-file
+    * DELETE. The affected-key set itself is already driver-resident
+    * (it came from a collect in the caller), so broadcasting it back
+    * out costs nothing new. */
   private[commands] def affectedRelPaths(spark: SparkSession,
       snap: graft.delta.Snapshot, affected: Set[String]): Seq[String] = {
-    val norm = fileKeyNormalizer(spark, snap)
-    snap.allFiles.collect().map(_.getAs[String]("path"))
-      .filter(rel => affected.contains(norm(rel))).toSeq
+    import org.apache.spark.sql.functions.{broadcast, udf}
+    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+    val qualified = fs.makeQualified(snap.tablePath).toString
+    val normUdf = udf((rel: String) => normalizeFileKey(qualified, rel))
+    val keys = spark.createDataset(affected.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("__key")
+    val matched = snap.allFiles
+      .select(col("path"), normUdf(col("path")).as("__key"))
+      .join(broadcast(keys), Seq("__key"), "left_semi")
+      .select("path").collect()
+    collectedPathsForTest.set(matched.length)
+    matched.map(_.getString(0)).toSeq
   }
+
+  /** Test pin: rows collected by the last [[affectedRelPaths]] call —
+    * DmlSpec asserts it equals the affected-file count on a many-file
+    * fixture (the bounded-collect contract). */
+  private[graft] val collectedPathsForTest =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 
   private def rewrite(spark: SparkSession, tablePath: String,
       condition: Column, operation: String,

@@ -150,12 +150,39 @@ object VacuumCommand {
       val deadDvs = deadFromAdds.unionByName(deadFromRemoves)
         .select(dvPhysical(col("__st"), col("__enc")).as("path"))
         .distinct()
+      // Protection set is PHYSICAL-path wide: writeDvFilePacked packs
+      // many descriptors (one per data file) into one storage file, so
+      // a storage file is reclaimable only when NO retained reference
+      // resolves to it. Retained references are (a) the current
+      // snapshot's live descriptors, (b) descriptors on adds whose path
+      // has no expired tombstone (live or recently-removed carriers —
+      // time travel within the retention window still loads them), and
+      // (c) descriptors on removes whose deletionTimestamp is missing
+      // (can't age) or at/after the cutoff (RESTORE/time-travel to a
+      // retained version still reads that file's DV).
       val liveDvs = snapshot.allFiles
         .where(col("deletionVector").isNotNull &&
           col("deletionVector.storageType").isin("u", "p"))
         .select(dvPhysical(col("deletionVector.storageType"),
           col("deletionVector.pathOrInlineDv")).as("path"))
-      val dvFiles = deadDvs.join(liveDvs, Seq("path"), "left_anti")
+      val retainedFromAdds = adds
+        .where(col("add.deletionVector").isNotNull &&
+          col("add.deletionVector.storageType").isin("u", "p"))
+        .select(col("add.path").as("__rel"),
+          col("add.deletionVector.storageType").as("__st"),
+          col("add.deletionVector.pathOrInlineDv").as("__enc"))
+        .join(tomb.select("__rel"), Seq("__rel"), "left_anti")
+        .select(dvPhysical(col("__st"), col("__enc")).as("path"))
+      val retainedFromRemoves = Replay.tombstones(spark, snapshot.segment)
+        .where((col("remove.deletionTimestamp").isNull ||
+          col("remove.deletionTimestamp") >= lit(cutoff)) &&
+          col("remove.deletionVector").isNotNull &&
+          col("remove.deletionVector.storageType").isin("u", "p"))
+        .select(dvPhysical(col("remove.deletionVector.storageType"),
+          col("remove.deletionVector.pathOrInlineDv")).as("path"))
+      val protectedDvs = liveDvs
+        .unionByName(retainedFromAdds).unionByName(retainedFromRemoves)
+      val dvFiles = deadDvs.join(protectedDvs, Seq("path"), "left_anti")
         .where(col("path").startsWith(root + "/"))
         // the descriptor's sizeInBytes is the bitmap, not the file;
         // LITE never stats, so length is unknown

@@ -908,10 +908,17 @@ object CommitWriter {
     val dvByPath: Map[String, Actions.DeletionVectorDescriptor] =
       if (ProtocolSupport.withDeletionVectors(proto).isDefined) Map.empty
       else {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{broadcast, col}
+        // semi-join against a broadcast of the remove paths, not an
+        // isin(...) In-literal: the latter is an O(paths) expression
+        // tree built on the driver (the plan shape PlanAuditSpec bans
+        // for MERGE's file filter) and a large commitRemoves call
+        // would regress to a huge driver-side plan
+        val wanted = spark.createDataset(paths)(
+          org.apache.spark.sql.Encoders.STRING).toDF("path")
         Replay.liveFiles(spark, segment)
-          .where(col("path").isin(paths: _*) &&
-            col("deletionVector").isNotNull)
+          .where(col("deletionVector").isNotNull)
+          .join(broadcast(wanted), Seq("path"), "left_semi")
           .select("path", "deletionVector")
           .collect()
           .flatMap(r => graft.commands.DmlCommands.dvDescriptorOf(r)

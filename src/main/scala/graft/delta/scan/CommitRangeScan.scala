@@ -157,7 +157,8 @@ object CommitRangeScan {
     * path — this derivation needs no writer cooperation. */
   def changesBetween(spark: SparkSession, path: String, snap: Snapshot,
       fromExclusive: Long, endV: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    import org.apache.spark.sql.functions.{abs, array_repeat, col, explode,
+      lit, sum, timestamp_millis}
     if (fromExclusive >= endV)
       return DeltaScan.buildForFiles(snap, Seq.empty)
         .withColumn("_change_type", lit(null: String).cast("string"))
@@ -284,9 +285,32 @@ object CommitRangeScan {
           s"Change feed cannot diff commit $v of $path: the schema has a " +
             "map column (possibly nested), which Spark set operations " +
             "(EXCEPT ALL) reject. Append-only spans still work.")
-      val (ins, del) =
-        if (removes.isEmpty) (addDf, remDf.limit(0)) // pure append: no diff
-        else (addDf.exceptAll(remDf), remDf.exceptAll(addDf))
+      // Both diff directions from ONE aggregation: tag sides ±1, group
+      // by the full row, net>0 rows are inserts ×net and net<0 deletes
+      // ×(−net) — exactly exceptAll's multiset difference (Spark lowers
+      // ExceptAll to this same replicate-rows shape), but computed once.
+      // Two exceptAll calls would scan both sides twice and shuffle
+      // twice (their exchanges differ by side order, so ReuseExchange
+      // can't merge them); here the grouped exchange is shared by both
+      // filters. Insert-only commits never reach this: no removes ⇒
+      // adds ARE the inserts, zero diff shuffles.
+      val dataCols = addDf.columns.toIndexedSeq
+      def replicated(counted: DataFrame, inserts: Boolean): DataFrame =
+        counted.where(if (inserts) col("__net") > 0 else col("__net") < 0)
+          .withColumn("__r", explode(array_repeat(lit(true),
+            abs(col("__net")).cast("int"))))
+          .select(dataCols.map(col): _*)
+      val countedOpt: Option[DataFrame] =
+        if (removes.isEmpty) None
+        else Some(addDf.withColumn("__w", lit(1L))
+          .unionByName(remDf.withColumn("__w", lit(-1L)))
+          .groupBy(dataCols.map(col): _*)
+          .agg(sum(col("__w")).as("__net")))
+      val (ins, del) = countedOpt match {
+        case None => (addDf, remDf.limit(0)) // pure append: no diff
+        case Some(c) => (replicated(c, inserts = true),
+          replicated(c, inserts = false))
+      }
       // Ecosystem-standard CDF labels for UPDATE commits: the CoW (or
       // DV-mask) diff of an UPDATE touches exactly the updated rows, so
       // the remove-side rows ARE the pre-images and the add-side rows
@@ -302,11 +326,17 @@ object CommitRangeScan {
         mergeKeys.forall(k => snap.schema.fieldNames.contains(k))
       if (operation.contains("MERGE") && validMergeKeys) {
         // each diff side feeds three plans (updKeys + semi + anti);
-        // materialize the two exceptAll subtrees once instead of
-        // re-running them per join (same tradeoff as the chunked span
-        // materialization below)
-        val ins0 = ins.localCheckpoint()
-        val del0 = del.localCheckpoint()
+        // materialize the ONE shared diff aggregate instead of the two
+        // per-side subtrees (same tradeoff as the chunked span
+        // materialization below) — half the checkpointed bytes and one
+        // job, since both sides are filters over the same counted rows
+        val (ins0, del0) = countedOpt match {
+          case Some(c) =>
+            val base = c.localCheckpoint()
+            (replicated(base, inserts = true),
+              replicated(base, inserts = false))
+          case None => (ins.localCheckpoint(), del)
+        }
         val kcols = mergeKeys.map(col)
         val updKeys = ins0.select(kcols: _*)
           .intersect(del0.select(kcols: _*))

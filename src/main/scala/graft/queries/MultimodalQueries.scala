@@ -1,45 +1,116 @@
 package graft.queries
 
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 
-/** Multimodal pipeline queries: binary payload columns + per-partition
-  * decode/feature-extract (stubbed codec, real plumbing — see
-  * graft.ops.Multimodal). The deterministic parts (byte length, md5
-  * fingerprint, first-byte-derived dimensions) are oracle-checked
-  * against DuckDB over the source text.
+/** Multimodal pipeline queries over REAL codecs (pure-JVM PNG / WAV /
+  * framed-PNG video — graft.ops.Multimodal).
+  *
+  * Oracle design: payloads are generated from closed-form formulas of
+  * the media id, and the fixture build writes a SIDECAR parquet holding
+  * the expected dimensions / frame sums computed from those formulas
+  * WITHOUT decoding (plus byte length and md5 recorded at encode time).
+  * The queries decode the actual payload bytes on the executors; DuckDB
+  * reads the sidecar. Equality proves the encode→decode roundtrip on
+  * every row — a full content oracle for a codec DuckDB cannot run.
   */
 object MultimodalQueries {
 
+  /** Stable alias the oracle SQL reads through (re-pointed at the
+    * current sf's fixture when the query runs — same pattern as the
+    * delta fixture aliases). */
+  final val MediaOracleAlias =
+    "/root/repo/target/multimodal_fixtures/media_current"
+
+  private def fixtureDir(sfDir: String): String =
+    s"/root/repo/target/multimodal_fixtures/${new File(sfDir).getName}/media"
+
+  /** Build-once media fixture: media.parquet (id, kind, REAL encoded
+    * payload bytes), sidecar.parquet (expected features), and
+    * sidecar_frames.parquet (expected per-frame sums). Media ids come
+    * from the documents table — fixture contents derive from the
+    * testdata drop and restamp with it. */
+  def mediaFixture(spark: SparkSession, sfDir: String): String = {
+    val path = fixtureDir(sfDir)
+    this.synchronized {
+      if (!new File(path, "media.parquet").exists() ||
+          DeltaQueries.stale(path, sfDir)) {
+        val dir = new File(path)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        import spark.implicits._
+        val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long")).as[Long]
+        // one encode pass, on the executors
+        ids.mapPartitions(_.map(Multimodal.encode))
+          .write.parquet(s"$path/media.parquet")
+        // sidecar: dims/sums from the closed-form formulas (NO decode);
+        // n_bytes/fingerprint are byte-level facts of the written
+        // payload (md5 over the re-read bytes — parquet binary
+        // roundtrip included in the contract)
+        spark.read.parquet(s"$path/media.parquet")
+          .select(col("media_id"), col("kind"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("fingerprint"))
+          .as[(Long, String, Long, String)]
+          .map { case (id, kind, nb, fp) =>
+            val e = Multimodal.expected(id)
+            (id, kind, nb, fp, e.width, e.height,
+              e.frameSums.length, e.frameSums.sum)
+          }
+          .toDF("media_id", "kind", "n_bytes", "fingerprint",
+            "width", "height", "n_frames", "value_sum")
+          .write.parquet(s"$path/sidecar.parquet")
+        ids.flatMap { id =>
+          Multimodal.expected(id).frameSums.zipWithIndex.map {
+            case (s, i) => (id, Multimodal.kindOf(id), i, s)
+          }
+        }.toDF("media_id", "kind", "frame_idx", "frame_sum")
+          .write.parquet(s"$path/sidecar_frames.parquet")
+        DeltaQueries.writeStamp(path, sfDir)
+      }
+    }
+    path
+  }
+
   val all: Seq[Q] = Seq(
 
+    // Feature extraction with a REAL decode in the task path: PNG and
+    // WAV payloads (and framed-PNG video) are decoded per partition;
+    // width/height/n_frames/value_sum come out of the codec, the
+    // oracle's sidecar states them from the generation formulas.
     Q("q_multimodal_features",
-      """SELECT doc_id AS media_id,
-        | octet_length(CAST(text AS BLOB)) AS n_bytes,
-        | md5(text) AS fingerprint,
-        | CAST(64 + ascii(substr(text, 1, 1)) AS INTEGER) AS width,
-        | CAST(64 + ascii(substr(text, 2, 1)) AS INTEGER) AS height
-        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(s, dir))
-        .select("media_id", "n_bytes", "fingerprint", "width", "height")
+      s"""SELECT media_id, kind, n_bytes, fingerprint,
+         | width, height, n_frames, value_sum
+         |FROM read_parquet('$MediaOracleAlias/sidecar.parquet/*.parquet')
+         |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = mediaFixture(s, dir)
+      DeltaQueries.refreshAlias(MediaOracleAlias, p)
+      Multimodal.extractFeatures(
+        s.read.parquet(s"$p/media.parquet").as[Multimodal.MediaRow])
+        .toDF()
+        .select("media_id", "kind", "n_bytes", "fingerprint",
+          "width", "height", "n_frames", "value_sum")
         .orderBy("media_id")
     },
 
-    // Frame sampling through the stub codec (every-32nd payload byte,
-    // max 8). The fixture text is pure ASCII, so DuckDB can replay the
-    // byte arithmetic exactly over the source text — a full content
-    // oracle for the mapPartitions/flatMap plumbing, not a rows-only
-    // smoke.
+    // Frame sampling: video payloads demux into per-frame PNG decodes
+    // (image = 1 frame, audio = 1 "frame" of sample sum) — one output
+    // row per decoded frame, content-checked against the formula
+    // sidecar.
     Q("q_multimodal_frames",
-      """SELECT doc_id AS media_id,
-        | (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        | CAST(i AS INTEGER) AS frame_idx,
-        | CAST(ascii(substr(text, CAST(i * 32 + 1 AS INTEGER), 1)) AS BIGINT)
-        |   AS sample
-        |FROM documents, range(8) t(i)
-        |WHERE i * 32 < octet_length(CAST(text AS BLOB))
-        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
-      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir))
+      s"""SELECT media_id, kind, CAST(frame_idx AS INTEGER) AS frame_idx,
+         | frame_sum
+         |FROM read_parquet('$MediaOracleAlias/sidecar_frames.parquet/*.parquet')
+         |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = mediaFixture(s, dir)
+      DeltaQueries.refreshAlias(MediaOracleAlias, p)
+      Multimodal.sampleFrames(
+        s.read.parquet(s"$p/media.parquet").as[Multimodal.MediaRow])
         .orderBy("media_id", "frame_idx")
     })
 }

@@ -537,9 +537,25 @@ object SimilarityQueries {
         val stored = s.read.parquet(ivfCentroidsPath(path))
         assignTo(base, stored)
           .write.mode("overwrite").partitionBy("cid").parquet(path)
+        graft.operators.IvfMaintenance.recordBase(s, path,
+          assignTo(base, stored).groupBy("cid").count()
+            .withColumnRenamed("count", "rows"))
         // the incremental step: assign ONLY the batch, append in place
         assignTo(batch, stored)
           .write.mode("append").partitionBy("cid").parquet(path)
+        graft.operators.IvfMaintenance.recordAppend(s, path,
+          assignTo(batch, stored).groupBy("cid").count()
+            .withColumnRenamed("count", "rows"))
+        // drift policy (graft.operators.IvfMaintenance): the fixture's
+        // appended fraction (vec_id % 10 == 7 ≈ 11%) sits below the 20%
+        // re-train bar by design — the trigger stays armed but silent,
+        // so the materialized index the oracle replays is byte-stable.
+        // A drifted case where it FIRES (and re-centers) is pinned in
+        // SimilaritySpec.
+        val drift = graft.operators.IvfMaintenance.maybeRetrain(
+          s, path, ivfCentroidsPath(path), Dim)
+        require(!drift.retrain,
+          s"fixture drift unexpectedly fired the re-train trigger: $drift")
         success.getParentFile.mkdirs()
         java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
       }

@@ -112,7 +112,11 @@ final class GraftParserInterface(delegate: ParserInterface)
       // at parse time, so the wrap decision must be made HERE
       case Some(s: CreateSchemaStatement)
           if LocalCatalog.get(s.catalog).isEmpty =>
-        delegate.parsePlan(sqlText)
+        // re-render before delegating: our OPTIONS clause is not
+        // vanilla Spark syntax (Spark spells it WITH DBPROPERTIES), and
+        // the GraftSession.sql path already re-renders — the same
+        // statement must behave identically through both entry points
+        delegate.parsePlan(graft.GraftSession.renderVanillaCreateSchema(s))
       case Some(s: DropSchemaStatement)
           if LocalCatalog.get(s.catalog).isEmpty =>
         delegate.parsePlan(sqlText)

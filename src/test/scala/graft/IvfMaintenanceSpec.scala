@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IvfMaintenance
+
+/** Drift policy for the incrementally-maintained IVF index: the trigger
+  * fires on a heavy append, re-centers exactly the touched centroids,
+  * and re-arms. Synthetic two-centroid index — the geometry is the
+  * point, not the scale.
+  */
+class IvfMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val tmp = java.nio.file.Files
+    .createTempDirectory("graft_ivf_maint").toFile.getAbsolutePath
+
+  private val dim = 4
+
+  private def vec(v: Double*): Seq[Double] = v
+
+  private def writeIndex(path: String,
+      rows: Seq[(Long, Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    rows.toDF("vec_id", "cid", "embedding")
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  private def appendIndex(path: String,
+      rows: Seq[(Long, Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    rows.toDF("vec_id", "cid", "embedding")
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
+  private def counts(rows: Seq[(Long, Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.groupBy(_._2).map { case (cid, rs) => (cid, rs.size.toLong) }
+      .toSeq.toDF("cid", "rows")
+  }
+
+  test("drift trigger fires on a heavy append and re-centers only touched centroids") {
+    val path = s"$tmp/ivf_maint_drift"
+    val cpath = path + "_centroids"
+    // base: cid 0 around (1,0,0,0), cid 1 around (0,1,0,0)
+    val base = Seq[(Long, Long, Seq[Double])](
+      (1L, 0L, vec(1, 0, 0, 0)), (2L, 0L, vec(0.9, 0.1, 0, 0)),
+      (3L, 0L, vec(1.1, -0.1, 0, 0)),
+      (4L, 1L, vec(0, 1, 0, 0)), (5L, 1L, vec(0.1, 0.9, 0, 0)),
+      (6L, 1L, vec(-0.1, 1.1, 0, 0)))
+    writeIndex(path, base)
+    import spark.implicits._
+    Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(cpath)
+    IvfMaintenance.recordBase(spark, path, counts(base))
+
+    // undrifted: nothing fires
+    val quiet = IvfMaintenance.driftReport(spark, path)
+    assert(!quiet.retrain && quiet.appendedRows == 0)
+
+    // heavy append into cid 0 ONLY, pulled toward (1,1,0,0): local
+    // ratio 3/3 = 1.0 >> 0.2 — the trigger must fire for cid 0 alone
+    val batch = Seq[(Long, Long, Seq[Double])](
+      (7L, 0L, vec(1, 1, 0, 0)), (8L, 0L, vec(1.2, 0.8, 0, 0)),
+      (9L, 0L, vec(0.8, 1.2, 0, 0)))
+    appendIndex(path, batch)
+    IvfMaintenance.recordAppend(spark, path, counts(batch))
+
+    val fired = IvfMaintenance.driftReport(spark, path)
+    assert(fired.retrain, s"expected trigger to fire: $fired")
+    assert(fired.ratio > IvfMaintenance.DefaultRatioThreshold)
+    assert(fired.touched == Seq(0L), s"touched = ${fired.touched}")
+
+    val report = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    assert(report.retrain)
+    val after = spark.read.parquet(cpath).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // cid 1 untouched — bitwise identical routing vector
+    assert(after(1L) == vec(0, 1, 0, 0))
+    // cid 0 re-centered onto its partition's CURRENT mean (base+batch)
+    val all0 = (base ++ batch).filter(_._2 == 0L).map(_._3)
+    val mean0 = (0 until dim).map(d => all0.map(_(d)).sum / all0.size)
+    after(0L).zip(mean0).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-12, s"cid0 centroid $a vs mean $e")
+    }
+    // counters folded: the trigger re-arms from the new state
+    val rearmed = IvfMaintenance.driftReport(spark, path)
+    assert(!rearmed.retrain && rearmed.appendedRows == 0 &&
+      rearmed.baseRows == base.size + batch.size)
+  }
+
+  test("skew trigger fires when one partition dwarfs the average") {
+    val path = s"$tmp/ivf_maint_skew"
+    // skew = max/avg is bounded by the partition count, so 5 partitions
+    // shaped 100/1/1/1/1 (avg 20.8, skew ~4.8) cross the 4.0 default
+    val rows = (1L to 100L).map(i => (i, 0L, vec(1, 0, 0, 0))) ++
+      (1L to 4L).map(i => (100L + i, i, vec(0, i.toDouble, 0, 0)))
+    writeIndex(path, rows)
+    IvfMaintenance.recordBase(spark, path, counts(rows))
+    val r = IvfMaintenance.driftReport(spark, path)
+    assert(r.skew > IvfMaintenance.DefaultSkewThreshold, s"skew = ${r.skew}")
+    assert(r.retrain && r.touched.contains(0L), s"$r")
+  }
+}

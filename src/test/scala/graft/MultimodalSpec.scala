@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+/** The multimodal codecs are REAL (javax.imageio PNG, javax.sound WAV,
+  * framed-PNG video): these pin the encode→decode roundtrip against the
+  * closed-form generation formulas — the same contract the sidecar
+  * oracle checks end-to-end through parquet.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("encode→decode roundtrip equals the formulas for every kind") {
+    for (id <- 0L to 60L) {
+      val row = Multimodal.encode(id)
+      assert(row.kind == Multimodal.kindOf(id))
+      val d = Multimodal.decode(row.kind, row.payload)
+      val e = Multimodal.expected(id)
+      assert(d == e, s"id=$id kind=${row.kind}: decoded $d expected $e")
+    }
+  }
+
+  test("payloads are real container formats, not byte arithmetic") {
+    // PNG signature
+    val img = Multimodal.encode(0L).payload // id%3==0 -> image
+    assert((img(0) & 0xFF) == 0x89 && img(1) == 'P' && img(2) == 'N' &&
+      img(3) == 'G', "image payload must start with the PNG signature")
+    // RIFF/WAVE header
+    val wav = Multimodal.encode(1L).payload
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "audio payload must be a RIFF/WAVE container")
+    // video container magic + per-frame PNGs
+    val vid = Multimodal.encode(2L).payload
+    assert(new String(vid.slice(0, 4), "US-ASCII") == "GFV1")
+    val frames = java.nio.ByteBuffer.wrap(vid, 4, 4).getInt
+    assert(frames == Multimodal.videoFrameCount(2L))
+  }
+
+  test("video frames decode independently with distinct sums") {
+    // id=5 -> video (5%3==2), 3+ frames; frame sums must differ (the
+    // per-frame pixel offset is real, not a repeated first frame)
+    val id = 5L
+    val d = Multimodal.decode("video", Multimodal.encode(id).payload)
+    assert(d.frameSums.length == Multimodal.videoFrameCount(id))
+    assert(d.frameSums.distinct.length > 1,
+      "frames must not be copies of each other")
+  }
+
+  test("decode rejects payloads of the wrong kind") {
+    val wav = Multimodal.encode(1L).payload
+    intercept[Exception](Multimodal.decode("image", wav))
+    intercept[Exception](Multimodal.decode("video", wav))
+    intercept[Exception](Multimodal.decode("text", wav))
+  }
+}

@@ -39,6 +39,31 @@ class DmlSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, p, Some(1)).read.count() == n)
   }
 
+  test("affectedRelPaths collects only the affected files, not the inventory") {
+    val p = tmp("bounded_collect")
+    // many-file fixture: 20 single-row-group files over disjoint key
+    // ranges; a one-range DELETE must not pull all 20 paths to the
+    // driver (the 100 TB contract: driver state is O(affected), never
+    // O(live files))
+    val slice = orders.limit(200).cache()
+    CommitWriter.createTable(spark,
+      slice.where(col("o_orderkey") % 20 === 0).repartition(1), p)
+    for (i <- 1 until 20)
+      CommitWriter.append(spark,
+        slice.where(col("o_orderkey") % 20 === i).repartition(1), p)
+    val live = DeltaTable.forPath(spark, p).allFiles.count()
+    assert(live == 20, s"fixture expected 20 live files, got $live")
+    val victim = slice.where(col("o_orderkey") % 20 === 3)
+      .select("o_orderkey").head.getLong(0)
+    DmlCommands.collectedPathsForTest.set(-1)
+    DmlCommands.delete(spark, p, col("o_orderkey") === victim)
+    // exactly the one affected file's path crossed the driver boundary
+    assert(DmlCommands.collectedPathsForTest.get() == 1,
+      s"collected ${DmlCommands.collectedPathsForTest.get()} paths for a " +
+        "single-file DELETE")
+    slice.unpersist()
+  }
+
   test("DELETE with no matches is a no-op (no new commit)") {
     val p = tmp("delete_noop")
     CommitWriter.createTable(spark, orders.limit(50), p)
