@@ -552,6 +552,28 @@ final class GraftSession(val spark: SparkSession) {
             d.name, catalog, d.comment.orNull)))
         spark.createDataFrame(rows, GraftSession.showSchemasSchema)
       } else spark.sql(s"SHOW SCHEMAS IN ${quoteIdent(catalog)}")
+    case s: CreateShareStatement =>
+      LocalCatalog.createShare(spark,
+        LocalCatalog.ShareDef(s.name, s.comment), s.ifNotExists)
+    case s: DropShareStatement =>
+      LocalCatalog.dropShare(spark, s.name, s.ifExists)
+    case ShowSharesStatement =>
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      LocalCatalog.listShares().foreach(d =>
+        rows.add(org.apache.spark.sql.Row(d.name, d.comment.orNull)))
+      spark.createDataFrame(rows, GraftSession.showSharesSchema)
+    case s: CreateLocationStatement =>
+      LocalCatalog.createLocation(spark,
+        LocalCatalog.LocationDef(s.name, s.url, s.credential, s.comment,
+          s.options), s.ifNotExists)
+    case s: DropLocationStatement =>
+      LocalCatalog.dropLocation(spark, s.name, s.ifExists)
+    case ShowLocationsStatement =>
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      LocalCatalog.listLocations().foreach(d =>
+        rows.add(org.apache.spark.sql.Row(
+          d.name, d.url, d.credential.orNull, d.comment.orNull)))
+      spark.createDataFrame(rows, GraftSession.showLocationsSchema)
   }
 
   private def quoteIdent(name: String): String =
@@ -660,6 +682,24 @@ object GraftSession {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("catalog_name",
         org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("comment",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  val showSharesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("share_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("comment",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  val showLocationsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("location_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("credential_name",
+        org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("comment",
         org.apache.spark.sql.types.StringType, nullable = true)))
 

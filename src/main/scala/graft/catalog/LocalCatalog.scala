@@ -34,7 +34,27 @@ object LocalCatalog {
       options: Map[String, String],
       schemas: Map[String, SchemaDef] = Map.empty)
 
+  /** SHARE securable (the reference stubs parse_create_share at
+    * sql/parser.rs:358). Local model: a named share a catalog can be
+    * created from (`CREATE CATALOG ... USING SHARE provider.share`) —
+    * the delta-sharing provider half lives on the remote end the
+    * sandbox cannot reach, so the share here is the local registry
+    * object with the same lifecycle and securable rows. */
+  final case class ShareDef(name: String, comment: Option[String] = None)
+
+  /** EXTERNAL LOCATION securable (the reference stubs
+    * parse_create_location at sql/parser.rs:350): a named storage URL
+    * plus an optional credential reference. */
+  final case class LocationDef(
+      name: String,
+      url: String,
+      credential: Option[String] = None,
+      comment: Option[String] = None,
+      options: Map[String, String] = Map.empty)
+
   private val catalogs = new ConcurrentHashMap[String, CatalogDef]()
+  private val shares = new ConcurrentHashMap[String, ShareDef]()
+  private val locations = new ConcurrentHashMap[String, LocationDef]()
 
   val createSchema: StructType = StructType(Seq(
     StructField("securable_name", StringType, nullable = false),
@@ -48,7 +68,15 @@ object LocalCatalog {
 
   def get(name: String): Option[CatalogDef] = Option(catalogs.get(name))
   def list(): Seq[CatalogDef] = catalogs.values.asScala.toSeq.sortBy(_.name)
-  def clear(): Unit = catalogs.clear()
+  def clear(): Unit = { catalogs.clear(); shares.clear(); locations.clear() }
+
+  def getShare(name: String): Option[ShareDef] = Option(shares.get(name))
+  def listShares(): Seq[ShareDef] =
+    shares.values.asScala.toSeq.sortBy(_.name)
+  def getLocation(name: String): Option[LocationDef] =
+    Option(locations.get(name))
+  def listLocations(): Seq[LocationDef] =
+    locations.values.asScala.toSeq.sortBy(_.name)
 
   /** Marker conf recording that graft (not the user) created the
     * session's plugin binding for a name — flows into the plugin's
@@ -172,6 +200,81 @@ object LocalCatalog {
     catalogs.computeIfPresent(catalog, (_, cur) =>
       cur.copy(schemas = cur.schemas - schema))
     result(spark, dropSchema, Row(s"$catalog.$schema", "schema", "DROPPED"))
+  }
+
+  /** CREATE SHARE: registers the securable; returns the same
+    * (name, type, object) row shape as CREATE CATALOG/SCHEMA
+    * (sql/unity/mod.rs:24-31). */
+  def createShare(spark: SparkSession, d: ShareDef,
+      ifNotExists: Boolean): DataFrame = {
+    val prev = shares.putIfAbsent(d.name, d)
+    if (prev != null && !ifNotExists)
+      throw new IllegalArgumentException(s"Share '${d.name}' already exists")
+    result(spark, createSchema,
+      Row(d.name, "share",
+        describeShare(if (prev != null) prev else d)))
+  }
+
+  /** DROP SHARE refuses while a catalog references the share through
+    * USING SHARE (either as the bare share name or as the
+    * `<provider>.<share>` two-part form — the share half must match). */
+  def dropShare(spark: SparkSession, name: String,
+      ifExists: Boolean): DataFrame = {
+    if (!shares.containsKey(name)) {
+      if (!ifExists)
+        throw new IllegalArgumentException(s"Share '$name' not found")
+      return result(spark, dropSchema, Row(name, "share", "NOT_FOUND"))
+    }
+    val users = catalogs.asScala.collect {
+      case (cn, c) if c.usingShare.exists(s =>
+        s.equalsIgnoreCase(name) ||
+          s.toLowerCase.endsWith("." + name.toLowerCase)) => cn
+    }
+    if (users.nonEmpty) throw new IllegalArgumentException(
+      s"Share '$name' is referenced by catalog(s) " +
+        s"${users.toSeq.sorted.mkString(", ")} — drop them first")
+    shares.remove(name)
+    result(spark, dropSchema, Row(name, "share", "DROPPED"))
+  }
+
+  def createLocation(spark: SparkSession, d: LocationDef,
+      ifNotExists: Boolean): DataFrame = {
+    val prev = locations.putIfAbsent(d.name, d)
+    if (prev != null && !ifNotExists)
+      throw new IllegalArgumentException(
+        s"External location '${d.name}' already exists")
+    result(spark, createSchema,
+      Row(d.name, "external_location",
+        describeLocation(if (prev != null) prev else d)))
+  }
+
+  def dropLocation(spark: SparkSession, name: String,
+      ifExists: Boolean): DataFrame = {
+    if (locations.remove(name) == null) {
+      if (!ifExists) throw new IllegalArgumentException(
+        s"External location '$name' not found")
+      return result(spark, dropSchema,
+        Row(name, "external_location", "NOT_FOUND"))
+    }
+    result(spark, dropSchema, Row(name, "external_location", "DROPPED"))
+  }
+
+  private def describeShare(d: ShareDef): String =
+    (Seq(Some(s""""name":"${d.name}"""")) :+
+      d.comment.map(v => s""""comment":"$v"""")).flatten
+      .mkString("{", ",", "}")
+
+  private def describeLocation(d: LocationDef): String = {
+    val fields = Seq(
+      Some(s""""name":"${d.name}""""),
+      Some(s""""url":"${d.url}""""),
+      d.credential.map(v => s""""credential_name":"$v""""),
+      d.comment.map(v => s""""comment":"$v"""")
+    ).flatten ++ (if (d.options.nonEmpty)
+      Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+    else Seq.empty)
+    fields.mkString("{", ",", "}")
   }
 
   // Case-insensitive on the SCHEMA name: the DSv2 namespace registry

@@ -13,6 +13,37 @@ import graft.ops.DirListing
   */
 object CommandQueries {
 
+  /** Stable aliases for the vacuum_full scratch (rebuilt every call —
+    * the query is destructive by design, so nothing is cached). */
+  final val VacuumFullAlias =
+    "/root/repo/target/delta_fixtures/vacuum_full_current"
+  final val VacuumFullListingAlias =
+    "/root/repo/target/delta_fixtures/vacuum_full_listing_current"
+
+  /** Fresh sacrificial table: 2 data files, then a CoW DELETE rewrites
+    * both (2 tombstones + 2 live), then every data file's mtime is
+    * backdated past any retention so VACUUM FULL RETAIN 0's
+    * `modification_time < now` candidate filter is immune to fs
+    * timestamp granularity. */
+  private def vacuumFullScratch(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val p = s"/root/repo/target/delta_fixtures/$sf/vacuum_full_scratch"
+    val d = new java.io.File(p)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderkey") % 97 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CommitWriter.createTable(s, orders.repartition(2), p)
+    graft.commands.DmlCommands.delete(s, p,
+      col("o_orderkey") % 194 === 0)
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach(_.setLastModified(old))
+    p
+  }
+
   val all: Seq[Q] = Seq(
     // A16/A18: VACUUM ... DRY RUN through the parser, on the
     // sf-independent log fixture (read-only: DRY RUN never mutates).
@@ -77,6 +108,69 @@ object CommandQueries {
         .orderBy("path")
     },
 
+    // A15: VACUUM FULL end-state over a SACRIFICIAL scratch table
+    // rebuilt on every call (the query is destructive by design):
+    // create 2 files, CoW-DELETE so both are rewritten (2 tombstones),
+    // backdate mtimes past any retention, VACUUM FULL RETAIN 0, then
+    // verify the END STATE from both engines independently — Spark
+    // re-reads live rows through its replay and diffs its own listing;
+    // DuckDB counts rows in the files ACTUALLY left on disk and
+    // re-derives live/dead from the raw log JSON. Equal ⇒ the delete
+    // sink removed exactly the tombstoned files and nothing else.
+    Q("vacuum_full",
+      s"""WITH acts AS (
+         |  SELECT COALESCE("add"->>'$$.path', remove->>'$$.path') AS relpath,
+         |         "add" IS NOT NULL AS is_add,
+         |         CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS cv
+         |  FROM read_json('$VacuumFullAlias/_delta_log/*.json',
+         |    filename=true, format='newline_delimited',
+         |    columns={"add": 'JSON', "remove": 'JSON'})
+         |  WHERE "add" IS NOT NULL OR remove IS NOT NULL
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY relpath
+         |    ORDER BY cv DESC, is_add DESC) AS rn FROM acts
+         |), live AS (
+         |  SELECT relpath FROM ranked WHERE rn = 1 AND is_add
+         |), dead AS (
+         |  SELECT relpath FROM ranked WHERE rn = 1 AND NOT is_add
+         |), listing AS (
+         |  SELECT relpath FROM read_parquet('$VacuumFullListingAlias/*.parquet')
+         |)
+         |SELECT
+         |  CAST((SELECT count(*)
+         |    FROM read_parquet('$VacuumFullAlias/*.parquet')) AS BIGINT)
+         |    AS live_rows,
+         |  CAST((SELECT count(*) FROM listing) AS BIGINT) AS files_on_disk,
+         |  CAST((SELECT count(*) FROM listing l
+         |    WHERE l.relpath NOT IN (SELECT relpath FROM live)) AS BIGINT)
+         |    AS stale_on_disk,
+         |  CAST((SELECT count(*) FROM dead) AS BIGINT) AS files_deleted""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = vacuumFullScratch(s, dir)
+      val metrics = GraftSession(s).sql(s"VACUUM '$p' RETAIN 0 HOURS")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val filesDeleted = metrics("files_deleted").toLong
+      // post-state listing, written for BOTH engines to read
+      val root = new java.io.File(p).getAbsolutePath
+      val onDisk = DirListing.listRecursive(s, p)
+        .where(!col("is_dir") && col("path").endsWith(".parquet") &&
+          !col("path").contains("/_delta_log"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("relpath"))
+        .collect().map(_.getString(0)).toSeq.sorted
+      s.createDataset(onDisk).toDF("relpath")
+        .coalesce(1).write.mode("overwrite").parquet(s"${root}_listing")
+      DeltaQueries.refreshAlias(VacuumFullAlias, root)
+      DeltaQueries.refreshAlias(VacuumFullListingAlias, s"${root}_listing")
+      val snap = DeltaTable.forPath(s, p)
+      val liveRows = snap.read.count()
+      val live = snap.allFiles.select("path")
+        .collect().map(_.getString(0)).toSet
+      Seq((liveRows, onDisk.size.toLong,
+        onDisk.count(f => !live(f)).toLong, filesDeleted))
+        .toDF("live_rows", "files_on_disk", "stale_on_disk",
+          "files_deleted")
+    },
+
     // A17: CREATE/DROP CATALOG through the parser. Output is the
     // securable row the reference's catalog commands return; the VALUES
     // oracle pins that contract (name/type/serialized object).
@@ -128,6 +222,77 @@ object CommandQueries {
       g.sql("CREATE SCHEMA graft_demo.curated")
       val listed = g.sql("SHOW SCHEMAS IN graft_demo")
       g.sql("DROP CATALOG graft_demo CASCADE")
+      listed
+    },
+
+    // SHARE securable lifecycle (the reference's parse_create_share
+    // todo! at sql/parser.rs:358, implemented like SCHEMA was): create
+    // returns the securable row, SHOW SHARES lists, DROP refusal while
+    // referenced is pinned in CommandsSpec.
+    Q("create_share",
+      """SELECT 'finance' AS securable_name,
+        |  'share' AS securable_type,
+        |  '{"name":"finance","comment":"quarterly tables"}'
+        |    AS securable_object""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP SHARE IF EXISTS finance")
+      val created = g.sql("CREATE SHARE finance COMMENT 'quarterly tables'")
+      g.sql("DROP SHARE finance")
+      created
+    },
+
+    Q("q_show_shares",
+      """SELECT * FROM (VALUES
+        |  ('analytics', NULL),
+        |  ('finance', 'quarterly tables'))
+        |  AS t(share_name, comment)
+        |ORDER BY share_name""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP SHARE IF EXISTS finance")
+      g.sql("DROP SHARE IF EXISTS analytics")
+      g.sql("CREATE SHARE finance COMMENT 'quarterly tables'")
+      g.sql("CREATE SHARE analytics")
+      val listed = g.sql("SHOW SHARES")
+      g.sql("DROP SHARE finance")
+      g.sql("DROP SHARE analytics")
+      listed
+    },
+
+    // EXTERNAL LOCATION securable lifecycle (the reference's
+    // parse_create_location todo! at sql/parser.rs:350): both the
+    // reference's bare CREATE LOCATION and the ecosystem's CREATE
+    // EXTERNAL LOCATION spellings land here.
+    Q("create_location",
+      """SELECT 'lake_raw' AS securable_name,
+        |  'external_location' AS securable_type,
+        |  '{"name":"lake_raw","url":"file:///tmp/lake/raw","credential_name":"lake_cred","comment":"landing"}'
+        |    AS securable_object""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP EXTERNAL LOCATION IF EXISTS lake_raw")
+      val created = g.sql(
+        "CREATE EXTERNAL LOCATION lake_raw URL 'file:///tmp/lake/raw' " +
+          "WITH (STORAGE CREDENTIAL lake_cred) COMMENT 'landing'")
+      g.sql("DROP EXTERNAL LOCATION lake_raw")
+      created
+    },
+
+    Q("q_show_locations",
+      """SELECT * FROM (VALUES
+        |  ('lake_curated', 'file:///tmp/lake/curated', NULL, NULL),
+        |  ('lake_raw', 'file:///tmp/lake/raw', 'lake_cred', 'landing'))
+        |  AS t(location_name, url, credential_name, comment)
+        |ORDER BY location_name""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP EXTERNAL LOCATION IF EXISTS lake_raw")
+      g.sql("DROP EXTERNAL LOCATION IF EXISTS lake_curated")
+      g.sql(
+        "CREATE EXTERNAL LOCATION lake_raw URL 'file:///tmp/lake/raw' " +
+          "WITH (STORAGE CREDENTIAL lake_cred) COMMENT 'landing'")
+      // the reference's own spelling (no EXTERNAL keyword)
+      g.sql("CREATE LOCATION lake_curated URL 'file:///tmp/lake/curated'")
+      val listed = g.sql("SHOW EXTERNAL LOCATIONS")
+      g.sql("DROP LOCATION lake_raw")
+      g.sql("DROP EXTERNAL LOCATION lake_curated")
       listed
     },
 

@@ -205,6 +205,12 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: CreateSchemaStatement => LocalCatalog.createSchema
       case _: DropSchemaStatement => LocalCatalog.dropSchema
       case _: ShowSchemasStatement => graft.GraftSession.showSchemasSchema
+      case _: CreateShareStatement => LocalCatalog.createSchema
+      case _: DropShareStatement => LocalCatalog.dropSchema
+      case ShowSharesStatement => graft.GraftSession.showSharesSchema
+      case _: CreateLocationStatement => LocalCatalog.createSchema
+      case _: DropLocationStatement => LocalCatalog.dropSchema
+      case ShowLocationsStatement => graft.GraftSession.showLocationsSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

@@ -87,6 +87,24 @@ object GraftParser {
   final case class DropSchemaStatement(catalog: String, name: String,
       ifExists: Boolean, cascade: Boolean) extends Statement
   final case class ShowSchemasStatement(catalog: String) extends Statement
+  /** SHARE securable (the reference stubs parse_create_share at
+    * sql/parser.rs:358; same local securable model as CATALOG/SCHEMA). */
+  final case class CreateShareStatement(name: String, ifNotExists: Boolean,
+      comment: Option[String]) extends Statement
+  final case class DropShareStatement(name: String, ifExists: Boolean)
+      extends Statement
+  case object ShowSharesStatement extends Statement
+  /** EXTERNAL LOCATION securable (the reference stubs
+    * parse_create_location at sql/parser.rs:350). Both the reference's
+    * bare `CREATE LOCATION` and the ecosystem's `CREATE EXTERNAL
+    * LOCATION` spellings parse to this. */
+  final case class CreateLocationStatement(name: String, url: String,
+      ifNotExists: Boolean, credential: Option[String],
+      comment: Option[String], options: Map[String, String])
+      extends Statement
+  final case class DropLocationStatement(name: String, ifExists: Boolean)
+      extends Statement
+  case object ShowLocationsStatement extends Statement
   /** SHOW TBLPROPERTIES <ref>: (key, value) rows, sorted. */
   final case class ShowTblPropertiesStatement(table: String)
     extends Statement
@@ -209,6 +227,13 @@ object GraftParser {
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).contains("CATALOGS") =>
         Some(ShowCatalogsStatement)
+      case w: Word if w.upper == "SHOW" && toks.length == 2 &&
+          wordAt(toks, 1).contains("SHARES") =>
+        Some(ShowSharesStatement)
+      case w: Word if w.upper == "SHOW" && toks.length == 3 &&
+          wordAt(toks, 1).contains("EXTERNAL") &&
+          wordAt(toks, 2).contains("LOCATIONS") =>
+        Some(ShowLocationsStatement)
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).exists(s => s == "SCHEMAS" || s == "NAMESPACES") &&
           wordAt(toks, 2).exists(s => s == "IN" || s == "FROM") &&
@@ -847,7 +872,7 @@ object GraftParser {
   }
 
   private val NotImplementedObjects =
-    Set("CONNECTION", "LOCATION", "SHARE")
+    Set("CONNECTION")
 
   private def parseCreateOrDrop(verb: String,
       toks: Vector[Tok]): Option[Statement] = {
@@ -865,6 +890,17 @@ object GraftParser {
         else parseDropSchema(toks.drop(1))
       case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
         throw new NotImplementedStatement(s"CREATE $obj")
+      case Some("SHARE") =>
+        if (verb == "CREATE") Some(parseCreateShare(toks.drop(1)))
+        else Some(parseDropShare(toks.drop(1)))
+      case Some("LOCATION") =>
+        if (verb == "CREATE") Some(parseCreateLocation(toks.drop(1)))
+        else Some(parseDropLocation(toks.drop(1)))
+      case Some("EXTERNAL") if wordAt(toks, 1).contains("LOCATION") =>
+        // ecosystem spelling; CREATE EXTERNAL TABLE keeps delegating
+        // through the default branch below
+        if (verb == "CREATE") Some(parseCreateLocation(toks.drop(2)))
+        else Some(parseDropLocation(toks.drop(2)))
       case Some("OR") if verb == "CREATE" &&
           wordAt(toks, 1).contains("REPLACE") &&
           wordAt(toks, 2).contains("TABLE") =>
@@ -1149,6 +1185,135 @@ object GraftParser {
         "USING SHARE and MANAGED LOCATION are mutually exclusive.")
     CreateCatalogStatement(name, ifNotExists, usingShare, managedLocation,
       comment, collation, options)
+  }
+
+  /** CREATE SHARE [IF NOT EXISTS] <name> [COMMENT '...'] — the grammar
+    * the reference stubs (parse_create_share, sql/parser.rs:358). */
+  private def parseCreateShare(toks: Vector[Tok]): CreateShareStatement = {
+    var i = 0
+    var ifNotExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("NOT") &&
+        wordAt(toks, 2).contains("EXISTS")) { ifNotExists = true; i = 3 }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("CREATE SHARE requires a name")))
+    i += 1
+    var comment: Option[String] = None
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("COMMENT") =>
+          if (comment.isDefined)
+            throw new ParseException("COMMENT already set")
+          comment = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected comment text"))))
+          i += 2
+        case other => throw new ParseException(
+          s"Unexpected token in CREATE SHARE: $other")
+      }
+    }
+    CreateShareStatement(name, ifNotExists, comment)
+  }
+
+  private def parseDropShare(toks: Vector[Tok]): DropShareStatement = {
+    var i = 0
+    var ifExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("EXISTS")) {
+      ifExists = true; i = 2
+    }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("DROP SHARE requires a name")))
+    if (i + 1 < toks.length)
+      throw new ParseException(
+        s"Unexpected trailing tokens: ${toks.drop(i + 1)}")
+    DropShareStatement(name, ifExists)
+  }
+
+  /** CREATE [EXTERNAL] LOCATION [IF NOT EXISTS] <name> URL '<url>'
+    * [WITH ( [STORAGE] CREDENTIAL <name> )] [COMMENT '...']
+    * [OPTIONS (k v, ...)] — the grammar the reference stubs
+    * (parse_create_location, sql/parser.rs:350), extended with the
+    * ecosystem's credential clause. */
+  private def parseCreateLocation(toks: Vector[Tok])
+      : CreateLocationStatement = {
+    var i = 0
+    var ifNotExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("NOT") &&
+        wordAt(toks, 2).contains("EXISTS")) { ifNotExists = true; i = 3 }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("CREATE LOCATION requires a name")))
+    i += 1
+    if (!wordAt(toks, i).contains("URL"))
+      throw new ParseException("CREATE LOCATION requires URL '<url>'")
+    val url = identText(toks.lift(i + 1).getOrElse(
+      throw new ParseException("expected location url")))
+    i += 2
+    var credential: Option[String] = None
+    var comment: Option[String] = None
+    var options = Map.empty[String, String]
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("WITH") =>
+          if (!toks.lift(i + 1).exists(_.text == "("))
+            throw new ParseException("expected ( after WITH")
+          i += 2
+          if (wordAt(toks, i).contains("STORAGE")) i += 1
+          if (!wordAt(toks, i).contains("CREDENTIAL"))
+            throw new ParseException(
+              "expected [STORAGE] CREDENTIAL <name> inside WITH (...)")
+          if (credential.isDefined)
+            throw new ParseException("CREDENTIAL already set")
+          credential = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected credential name"))))
+          i += 2
+          if (!toks.lift(i).exists(_.text == ")"))
+            throw new ParseException("expected ) closing WITH (...)")
+          i += 1
+        case Some("COMMENT") =>
+          if (comment.isDefined)
+            throw new ParseException("COMMENT already set")
+          comment = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected comment text"))))
+          i += 2
+        case Some("OPTIONS") =>
+          if (options.nonEmpty)
+            throw new ParseException("OPTIONS already set")
+          if (!toks.lift(i + 1).exists(_.text == "("))
+            throw new ParseException("expected ( after OPTIONS")
+          i += 2
+          val opts = Map.newBuilder[String, String]
+          var done = false
+          while (!done) {
+            toks.lift(i) match {
+              case Some(Sym(")")) => done = true; i += 1
+              case Some(Sym(",")) => i += 1
+              case Some(k) =>
+                val v = toks.lift(i + 1).getOrElse(
+                  throw new ParseException("expected option value"))
+                opts += identText(k) -> identText(v)
+                i += 2
+              case None => throw new ParseException("unterminated OPTIONS")
+            }
+          }
+          options = opts.result()
+        case other => throw new ParseException(
+          s"Unexpected token in CREATE LOCATION: $other")
+      }
+    }
+    CreateLocationStatement(name, url, ifNotExists, credential, comment,
+      options)
+  }
+
+  private def parseDropLocation(toks: Vector[Tok]): DropLocationStatement = {
+    var i = 0
+    var ifExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("EXISTS")) {
+      ifExists = true; i = 2
+    }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("DROP LOCATION requires a name")))
+    if (i + 1 < toks.length)
+      throw new ParseException(
+        s"Unexpected trailing tokens: ${toks.drop(i + 1)}")
+    DropLocationStatement(name, ifExists)
   }
 
   private def parseDropCatalog(toks: Vector[Tok]): DropCatalogStatement = {

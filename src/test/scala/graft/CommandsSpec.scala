@@ -90,8 +90,10 @@ class CommandsSpec extends AnyFunSuite {
   }
 
   test("stubs raise NotImplemented; plain SQL delegates") {
+    // SHARE and LOCATION graduated to real securables (round 12);
+    // CONNECTION and FOREIGN CATALOG remain reference-faithful stubs
     intercept[NotImplementedStatement] {
-      GraftParser.parse("CREATE SHARE foo")
+      GraftParser.parse("CREATE CONNECTION c")
     }
     intercept[NotImplementedStatement] {
       GraftParser.parse("CREATE FOREIGN CATALOG fc")
@@ -275,6 +277,78 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { g.sql("DROP CATALOG cat1") }
     assert(g.sql("DROP CATALOG IF EXISTS cat1").collect()
       .head.getString(2) == "NOT_FOUND")
+  }
+
+  test("share lifecycle: create/list/drop, reference protection, CASCADE release") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val created = g.sql("CREATE SHARE s1 COMMENT 'quarterly'")
+    val row = created.collect().head
+    assert(row.getString(0) == "s1" && row.getString(1) == "share")
+    assert(row.getString(2).contains("quarterly"))
+    intercept[IllegalArgumentException] { g.sql("CREATE SHARE s1") }
+    g.sql("CREATE SHARE IF NOT EXISTS s1") // idempotent
+    g.sql("CREATE SHARE s2")
+    val listed = g.sql("SHOW SHARES").collect().map(_.getString(0)).toSeq
+    assert(listed == Seq("s1", "s2"))
+    // a catalog created USING SHARE pins the share: DROP SHARE refuses
+    // for both the bare and the provider-qualified reference form
+    g.sql("CREATE CATALOG shared_cat USING SHARE prov.s1")
+    intercept[IllegalArgumentException] { g.sql("DROP SHARE s1") }
+    // dropping the catalog (CASCADE irrelevant here — no schemas)
+    // releases the reference and the share drops cleanly
+    g.sql("DROP CATALOG shared_cat")
+    assert(g.sql("DROP SHARE s1").collect().head.getString(2) == "DROPPED")
+    assert(g.sql("DROP SHARE s2").collect().head.getString(2) == "DROPPED")
+    intercept[IllegalArgumentException] { g.sql("DROP SHARE s1") }
+    assert(g.sql("DROP SHARE IF EXISTS s1").collect()
+      .head.getString(2) == "NOT_FOUND")
+  }
+
+  test("external location lifecycle: both spellings, credential, options") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val created = g.sql(
+      "CREATE EXTERNAL LOCATION raw URL 'file:///tmp/l/raw' " +
+        "WITH (STORAGE CREDENTIAL cred1) COMMENT 'landing' " +
+        "OPTIONS (read_only true)")
+    val row = created.collect().head
+    assert(row.getString(0) == "raw" &&
+      row.getString(1) == "external_location")
+    assert(row.getString(2).contains("file:///tmp/l/raw") &&
+      row.getString(2).contains("cred1") &&
+      row.getString(2).contains("read_only"))
+    // the reference's bare spelling parses to the same statement
+    g.sql("CREATE LOCATION curated URL 'file:///tmp/l/curated'")
+    intercept[IllegalArgumentException] {
+      g.sql("CREATE LOCATION raw URL 'file:///tmp/elsewhere'")
+    }
+    g.sql("CREATE EXTERNAL LOCATION IF NOT EXISTS raw URL 'file:///x'")
+    val listed = g.sql("SHOW EXTERNAL LOCATIONS").collect()
+    assert(listed.map(_.getString(0)).toSeq == Seq("curated", "raw"))
+    assert(listed.find(_.getString(0) == "raw")
+      .exists(r => r.getString(1) == "file:///tmp/l/raw" &&
+        r.getString(2) == "cred1"))
+    assert(g.sql("DROP LOCATION curated").collect()
+      .head.getString(2) == "DROPPED")
+    assert(g.sql("DROP EXTERNAL LOCATION raw").collect()
+      .head.getString(2) == "DROPPED")
+    intercept[IllegalArgumentException] { g.sql("DROP LOCATION raw") }
+    assert(g.sql("DROP EXTERNAL LOCATION IF EXISTS raw").collect()
+      .head.getString(2) == "NOT_FOUND")
+  }
+
+  test("share/location grammar never intercepts vanilla Spark shapes") {
+    // CREATE EXTERNAL TABLE is plain Spark DDL — must delegate
+    assert(GraftParser.parse(
+      "CREATE EXTERNAL TABLE t (a INT) LOCATION '/tmp/x'").isEmpty)
+    // SHOW SHARES with trailing clauses is not the exact form we claim
+    assert(GraftParser.parse("SHOW SHARES LIKE 'x'").isEmpty)
+    assert(GraftParser.parse("SHOW EXTERNAL LOCATIONS LIKE 'x'").isEmpty)
+    // CONNECTION remains the reference-faithful not-implemented object
+    intercept[GraftParser.NotImplementedStatement] {
+      GraftParser.parse("CREATE CONNECTION c")
+    }
   }
 
   test("vacuum: dry run lists unreferenced files, real run deletes them") {
