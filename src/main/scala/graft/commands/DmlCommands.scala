@@ -151,6 +151,10 @@ object DmlCommands {
   private[graft] val collectedPathsForTest =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Same pin for [[buildDvs]]'s file-info lookup (the DV DML paths). */
+  private[graft] val collectedInfoForTest =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   private def rewrite(spark: SparkSession, tablePath: String,
       condition: Column, operation: String,
       keep: DataFrame => DataFrame,
@@ -457,23 +461,38 @@ object DmlCommands {
       snap: Snapshot, restrict: DataFrame => DataFrame)
       : (Seq[DvWritten], Map[String, FileInfo]) = {
     val target = DeltaScan.buildWithRowIndex(snap)
+    // materialized ONCE: the affected-key set must come from the SAME
+    // evaluation the row masks come from (a second restrict pass under
+    // a nondeterministic predicate could disagree), and the file-info
+    // lookup below must not collect the whole inventory to find it —
+    // the checkpoint holds O(masked rows) on the EXECUTORS, the driver
+    // only ever sees one descriptor row per affected file
     val matched = restrict(target)
       .groupBy(col(DeltaScan.FileKeyColumn))
       .agg(collect_list(col(DeltaScan.RowIndexColumn)).as("__rows"))
+      .localCheckpoint()
 
-    // the AddFile map covers ALL snapshot files (metadata-bounded, one
-    // small row per file, already collected for the commit anyway) —
-    // deriving "affected" keys from a second restrict(target) pass
-    // would cost a full extra table scan, and under a nondeterministic
-    // predicate could even disagree with `matched`
-    val normKey = fileKeyNormalizer(spark, snap)
+    // AddFile info for the AFFECTED files only: normalize the file key
+    // distributed and semi-join against the matched keys — at 100 TB
+    // the full inventory is millions of rows (with ~KB stats JSON each)
+    // and must never land on the driver for a one-file DELETE (same
+    // diff-not-inventory contract as affectedRelPaths)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val info: Map[String, FileInfo] = snap.allFiles
+    val fsq = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
+      .makeQualified(snap.tablePath).toString
+    val normUdf = udf((rel: String) => normalizeFileKey(fsq, rel))
+    val affectedKeys = matched
+      .select(col(DeltaScan.FileKeyColumn).as("__key"))
+    val infoRows = snap.allFiles
       .select("path", "partitionValues", "size", "modificationTime",
         "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
-      .collect().iterator.map { r =>
+      .withColumn("__key", normUdf(col("path")))
+      .join(broadcast(affectedKeys), Seq("__key"), "left_semi")
+      .collect()
+    collectedInfoForTest.set(infoRows.length)
+    val info: Map[String, FileInfo] = infoRows.iterator.map { r =>
         val rel = r.getAs[String]("path")
-        normKey(rel) -> FileInfo(
+        r.getAs[String]("__key") -> FileInfo(
           rel,
           Option(r.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty),

@@ -64,6 +64,27 @@ class DmlSpec extends AnyFunSuite {
     slice.unpersist()
   }
 
+  test("DV DELETE's file-info collect is bounded to the affected files") {
+    val p = tmp("bounded_dv_collect")
+    val slice = orders.limit(200).cache()
+    CommitWriter.createTable(spark,
+      slice.where(col("o_orderkey") % 20 === 0).repartition(1), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    for (i <- 1 until 20)
+      CommitWriter.append(spark,
+        slice.where(col("o_orderkey") % 20 === i).repartition(1), p)
+    assert(DeltaTable.forPath(spark, p).allFiles.count() == 20)
+    val victim = slice.where(col("o_orderkey") % 20 === 3)
+      .select("o_orderkey").head.getLong(0)
+    DmlCommands.collectedInfoForTest.set(-1)
+    DmlCommands.delete(spark, p, col("o_orderkey") === victim)
+    // one masked file ⇒ exactly one AddFile row crossed the driver
+    assert(DmlCommands.collectedInfoForTest.get() == 1,
+      s"collected ${DmlCommands.collectedInfoForTest.get()} file-info " +
+        "rows for a single-file DV DELETE")
+    slice.unpersist()
+  }
+
   test("DELETE with no matches is a no-op (no new commit)") {
     val p = tmp("delete_noop")
     CommitWriter.createTable(spark, orders.limit(50), p)
