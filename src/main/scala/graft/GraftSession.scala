@@ -576,14 +576,12 @@ final class GraftSession(val spark: SparkSession) {
       spark.createDataFrame(rows, GraftSession.showLocationsSchema)
   }
 
+  // one set of quoting rules — the statics in the companion (shared
+  // with the extension parser's re-rendering) are the implementation
   private def quoteIdent(name: String): String =
-    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
-    else "`" + name.replace("`", "``") + "`"
-
-  /** Spark string literal: backslash is an escape in Spark's default
-    * lexer, so it must be escaped along with the quote. */
+    GraftSession.quoteIdentStatic(name)
   private def quoteLiteral(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    GraftSession.quoteLiteralStatic(s)
 
   private def alterMetrics(what: String, version: Long): DataFrame = {
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()

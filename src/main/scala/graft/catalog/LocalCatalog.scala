@@ -56,6 +56,13 @@ object LocalCatalog {
   private val shares = new ConcurrentHashMap[String, ShareDef]()
   private val locations = new ConcurrentHashMap[String, LocationDef]()
 
+  /** Guards the cross-map invariant "no catalog references a dropped
+    * share": DROP SHARE's users-scan and the catalog registration that
+    * could race it must be mutually exclusive (check-then-act over two
+    * concurrent maps is not atomic by itself). DDL is rare; a plain
+    * lock is the right tool. */
+  private val registryLock = new Object
+
   val createSchema: StructType = StructType(Seq(
     StructField("securable_name", StringType, nullable = false),
     StructField("securable_type", StringType, nullable = false),
@@ -94,7 +101,7 @@ object LocalCatalog {
         d.name.equalsIgnoreCase("system"))
       throw new IllegalArgumentException(
         s"Catalog name '${d.name}' is reserved by Spark")
-    val prev = catalogs.putIfAbsent(d.name, d)
+    val prev = registryLock.synchronized { catalogs.putIfAbsent(d.name, d) }
     if (prev != null && !ifNotExists)
       throw new IllegalArgumentException(s"Catalog '${d.name}' already exists")
     // bind the securable name as a Spark DSv2 catalog in THIS session,
@@ -219,7 +226,7 @@ object LocalCatalog {
     * USING SHARE (either as the bare share name or as the
     * `<provider>.<share>` two-part form — the share half must match). */
   def dropShare(spark: SparkSession, name: String,
-      ifExists: Boolean): DataFrame = {
+      ifExists: Boolean): DataFrame = registryLock.synchronized {
     if (!shares.containsKey(name)) {
       if (!ifExists)
         throw new IllegalArgumentException(s"Share '$name' not found")
@@ -259,20 +266,32 @@ object LocalCatalog {
     result(spark, dropSchema, Row(name, "external_location", "DROPPED"))
   }
 
+  /** JSON string escape for the securable_object payloads — a quote or
+    * backslash in a comment/url/option must not produce malformed JSON. */
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def describeShare(d: ShareDef): String =
-    (Seq(Some(s""""name":"${d.name}"""")) :+
-      d.comment.map(v => s""""comment":"$v"""")).flatten
+    (Seq(Some(s""""name":${js(d.name)}""")) :+
+      d.comment.map(v => s""""comment":${js(v)}""")).flatten
       .mkString("{", ",", "}")
 
   private def describeLocation(d: LocationDef): String = {
     val fields = Seq(
-      Some(s""""name":"${d.name}""""),
-      Some(s""""url":"${d.url}""""),
-      d.credential.map(v => s""""credential_name":"$v""""),
-      d.comment.map(v => s""""comment":"$v"""")
+      Some(s""""name":${js(d.name)}"""),
+      Some(s""""url":${js(d.url)}"""),
+      d.credential.map(v => s""""credential_name":${js(v)}"""),
+      d.comment.map(v => s""""comment":${js(v)}""")
     ).flatten ++ (if (d.options.nonEmpty)
       Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")}}""")
     else Seq.empty)
     fields.mkString("{", ",", "}")
   }
@@ -297,26 +316,26 @@ object LocalCatalog {
 
   private def describeSchema(catalog: String, d: SchemaDef): String = {
     val fields = Seq(
-      Some(s""""name":"${d.name}""""),
-      Some(s""""catalog_name":"$catalog""""),
-      d.comment.map(v => s""""comment":"$v"""")
+      Some(s""""name":${js(d.name)}"""),
+      Some(s""""catalog_name":${js(catalog)}"""),
+      d.comment.map(v => s""""comment":${js(v)}""")
     ).flatten ++ (if (d.options.nonEmpty)
       Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")}}""")
     else Seq.empty)
     fields.mkString("{", ",", "}")
   }
 
   private def describe(d: CatalogDef): String = {
     val fields = Seq(
-      Some(s""""name":"${d.name}""""),
-      d.usingShare.map(v => s""""using_share":"$v""""),
-      d.managedLocation.map(v => s""""managed_location":"$v""""),
-      d.comment.map(v => s""""comment":"$v""""),
-      d.defaultCollation.map(v => s""""default_collation":"$v"""")
+      Some(s""""name":${js(d.name)}"""),
+      d.usingShare.map(v => s""""using_share":${js(v)}"""),
+      d.managedLocation.map(v => s""""managed_location":${js(v)}"""),
+      d.comment.map(v => s""""comment":${js(v)}"""),
+      d.defaultCollation.map(v => s""""default_collation":${js(v)}""")
     ).flatten ++ (if (d.options.nonEmpty)
       Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")}}""")
     else Seq.empty)
     fields.mkString("{", ",", "}")
   }

@@ -104,17 +104,9 @@ object DmlCommands {
   /** Normalizer from a log-relative file path to the file-key form
     * DeltaScan stamps on rows (normalized absolute path, %XX-decoded
     * by the File->URI round-trip) — the ONE place this encoding
-    * contract lives; every file-granular DML shares it. */
-  private[commands] def fileKeyNormalizer(spark: SparkSession,
-      snap: graft.delta.Snapshot): String => String = {
-    val fs = graft.delta.log.LogSegment.fs(spark, snap.tablePath)
-    val qualified = fs.makeQualified(snap.tablePath).toString
-    normalizeFileKey(qualified, _)
-  }
-
-  /** The encoding contract itself, as a pure (String, String) => String
-    * so executors can apply it (a closure over a FileSystem wouldn't
-    * serialize). */
+    * contract lives; every file-granular DML shares it. A pure
+    * (String, String) => String so executors can apply it (a closure
+    * over a FileSystem wouldn't serialize). */
   private[commands] def normalizeFileKey(qualifiedTable: String,
       rel: String): String = {
     val p = new Path(new Path(qualifiedTable), rel)

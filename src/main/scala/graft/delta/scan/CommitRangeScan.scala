@@ -295,17 +295,32 @@ object CommitRangeScan {
       // filters. Insert-only commits never reach this: no removes ⇒
       // adds ARE the inserts, zero diff shuffles.
       val dataCols = addDf.columns.toIndexedSeq
+      // helper-column names must not collide with DATA columns (Delta
+      // permits `__w` etc. as a column name; withColumn would silently
+      // REPLACE it and corrupt the diff) — prefix until free
+      def freeName(base: String): String = {
+        var n = base
+        while (dataCols.exists(_.equalsIgnoreCase(n))) n = "_" + n
+        n
+      }
+      val wCol = freeName("__w")
+      val netCol = freeName("__net")
+      val rCol = freeName("__r")
+      // the replication materializes O(net) per duplicated row — the
+      // same shape Spark's own RewriteExceptAll produces (ReplicateRows
+      // builds a strict Range.map of row copies), so this is not a
+      // regression vs the two-exceptAll form it replaced
       def replicated(counted: DataFrame, inserts: Boolean): DataFrame =
-        counted.where(if (inserts) col("__net") > 0 else col("__net") < 0)
-          .withColumn("__r", explode(array_repeat(lit(true),
-            abs(col("__net")).cast("int"))))
+        counted.where(if (inserts) col(netCol) > 0 else col(netCol) < 0)
+          .withColumn(rCol, explode(array_repeat(lit(true),
+            abs(col(netCol)).cast("int"))))
           .select(dataCols.map(col): _*)
       val countedOpt: Option[DataFrame] =
         if (removes.isEmpty) None
-        else Some(addDf.withColumn("__w", lit(1L))
-          .unionByName(remDf.withColumn("__w", lit(-1L)))
+        else Some(addDf.withColumn(wCol, lit(1L))
+          .unionByName(remDf.withColumn(wCol, lit(-1L)))
           .groupBy(dataCols.map(col): _*)
-          .agg(sum(col("__w")).as("__net")))
+          .agg(sum(col(wCol)).as(netCol)))
       val (ins, del) = countedOpt match {
         case None => (addDf, remDf.limit(0)) // pure append: no diff
         case Some(c) => (replicated(c, inserts = true),

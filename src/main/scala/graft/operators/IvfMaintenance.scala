@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.DoubleType
   *    centroid per append, never vectors);
   *  - [[driftReport]] computes the appended/base ratio and the
   *    partition-size skew from those counters alone — zero index IO;
-  *  - the trigger fires when `appended/base > ratioThreshold` (default
-  *    0.2) or `max partition rows > skewThreshold × avg` (default 4.0);
+  *  - the trigger fires PER CID: any centroid whose own
+  *    `appended/base > ratioThreshold` (default 0.2), or — under
+  *    `max partition rows > skewThreshold × avg` (default 4.0) — the
+  *    oversized partitions;
   *  - [[maybeRetrain]] then RE-CENTERS only the touched centroids: each
   *    one becomes the per-dimension mean of its partition's CURRENT
   *    rows — one aggregation over the touched partitions only (the
@@ -93,11 +95,15 @@ object IvfMaintenance {
     val totals = merged.map(t => t._2 + t._3)
     val avg = if (merged.isEmpty) 0.0 else totals.sum.toDouble / merged.length
     val skew = if (avg == 0.0) 0.0 else totals.max / avg
-    val ratioFired = ratio > ratioThreshold
     val skewFired = skew > skewThreshold
-    // touched = centroids whose OWN appended share crossed the ratio
-    // bar, plus (under a skew trigger) the oversized partitions — the
-    // partitions whose routing vector no longer matches their contents
+    // The trigger is PER-CID: a single hot centroid in a 10k-centroid
+    // index never moves the global appended fraction, yet its partition
+    // is exactly the one whose routing vector has stopped describing
+    // its contents. touched = centroids whose OWN appended share
+    // crossed the ratio bar (an append-only cid is infinitely over it),
+    // plus (under a skew trigger) the oversized partitions. Re-centering
+    // costs O(touched partitions), so firing often on small partitions
+    // is cheap by construction.
     val touched = merged.collect {
       case (cid, b, a)
         if (b > 0 && a.toDouble / b > ratioThreshold) ||
@@ -105,7 +111,7 @@ object IvfMaintenance {
           (skewFired && avg > 0 && (b + a) > skewThreshold * avg) => cid
     }.toSeq.sorted
     DriftReport(baseTotal, appTotal, ratio, skew, touched,
-      retrain = (ratioFired || skewFired) && touched.nonEmpty)
+      retrain = touched.nonEmpty)
   }
 
   /** Evaluate the trigger and, when it fires, re-center the touched
@@ -142,22 +148,35 @@ object IvfMaintenance {
     import spark.implicits._
     patched.toSeq.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
-    // fold appends into base so the trigger re-arms from the new state
-    val folded = spark.read.parquet(basePath(indexPath))
-      .select(col("cid"), col("rows"))
-      .unionByName({
-        val ap = appendsPath(indexPath)
-        if (new java.io.File(ap).exists())
-          spark.read.parquet(ap).select(col("cid"), col("rows"))
-        else spark.emptyDataFrame
-          .select(lit(0L).as("cid"), lit(0L).as("rows")).limit(0)
-      })
-      .groupBy("cid").agg(sum("rows").as("rows"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fold ONLY the touched cids' appends into base — an untouched cid
+    // keeps its append history, so drift it accumulated below the bar
+    // (say 19% each cycle) still counts toward its OWN future trigger
+    // instead of being silently erased every time another cid fires
+    val touchedSet = touched.toSet
+    val appendRows: Seq[(Long, Long)] = {
+      val ap = appendsPath(indexPath)
+      if (!new java.io.File(ap).exists()) Seq.empty
+      else spark.read.parquet(ap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val foldIn = appendRows.filter(t => touchedSet(t._1))
+      .groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).sum }
+    val keep = appendRows.filterNot(t => touchedSet(t._1))
+    val baseRows = spark.read.parquet(basePath(indexPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val baseCids = baseRows.map(_._1).toSet
+    val folded = baseRows
+      .map { case (cid, b) => (cid, b + foldIn.getOrElse(cid, 0L)) } ++
+      // a touched cid that had NO base row (append-only cid) folds in
+      // as its own base entry
+      foldIn.filterNot { case (cid, _) => baseCids(cid) }
     folded.toSeq.toDF("cid", "rows")
       .coalesce(1).write.mode("overwrite").parquet(basePath(indexPath))
     val ap = new java.io.File(appendsPath(indexPath))
     if (ap.exists()) scala.reflect.io.Directory(ap).deleteRecursively()
+    if (keep.nonEmpty)
+      keep.toDF("cid", "rows")
+        .coalesce(1).write.mode("append").parquet(appendsPath(indexPath))
     report
   }
 }

@@ -537,25 +537,40 @@ object SimilarityQueries {
         val stored = s.read.parquet(ivfCentroidsPath(path))
         assignTo(base, stored)
           .write.mode("overwrite").partitionBy("cid").parquet(path)
-        graft.operators.IvfMaintenance.recordBase(s, path,
-          assignTo(base, stored).groupBy("cid").count()
-            .withColumnRenamed("count", "rows"))
+        // per-cid counters come from the WRITTEN index (a cid-only
+        // read-back — column-pruned to the partition column), not from
+        // re-running the crossJoin+groupBy assignment a second time
+        def partCounts() = s.read.parquet(path)
+          .select(col("cid").cast("long").as("cid"))
+          .groupBy("cid").count().withColumnRenamed("count", "rows")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val baseCounts = partCounts()
+        graft.operators.IvfMaintenance.recordBase(s, path, {
+          import s.implicits._
+          baseCounts.toSeq.toDF("cid", "rows")
+        })
         // the incremental step: assign ONLY the batch, append in place
         assignTo(batch, stored)
           .write.mode("append").partitionBy("cid").parquet(path)
-        graft.operators.IvfMaintenance.recordAppend(s, path,
-          assignTo(batch, stored).groupBy("cid").count()
-            .withColumnRenamed("count", "rows"))
+        val appendCounts = partCounts().map { case (cid, n) =>
+          (cid, n - baseCounts.getOrElse(cid, 0L))
+        }.filter(_._2 > 0)
+        graft.operators.IvfMaintenance.recordAppend(s, path, {
+          import s.implicits._
+          appendCounts.toSeq.toDF("cid", "rows")
+        })
         // drift policy (graft.operators.IvfMaintenance): the fixture's
-        // appended fraction (vec_id % 10 == 7 ≈ 11%) sits below the 20%
-        // re-train bar by design — the trigger stays armed but silent,
-        // so the materialized index the oracle replays is byte-stable.
-        // A drifted case where it FIRES (and re-centers) is pinned in
-        // SimilaritySpec.
-        val drift = graft.operators.IvfMaintenance.maybeRetrain(
-          s, path, ivfCentroidsPath(path), Dim)
-        require(!drift.retrain,
-          s"fixture drift unexpectedly fired the re-train trigger: $drift")
+        // GLOBAL appended fraction (vec_id % 10 == 7 ≈ 11%) sits below
+        // the 20% bar by design; individual small cids may cross their
+        // per-cid bar on this random fixture, which is exactly when
+        // production maintenance would re-center them — the fixture
+        // evaluates the side-effect-FREE driftReport (so the index the
+        // oracle replays stays byte-stable) and pins only the global
+        // invariant. The fire/re-center/re-arm lifecycle is pinned in
+        // IvfMaintenanceSpec.
+        val drift = graft.operators.IvfMaintenance.driftReport(s, path)
+        require(drift.ratio < 0.2 && drift.appendedRows > 0,
+          s"fixture drift out of its designed envelope: $drift")
         success.getParentFile.mkdirs()
         java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
       }

@@ -90,6 +90,41 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       rearmed.baseRows == base.size + batch.size)
   }
 
+  test("untouched cids keep their append history across a retrain") {
+    val path = s"$tmp/ivf_maint_fold"
+    val cpath = path + "_centroids"
+    val base = (1L to 4L).map(i => (i, 0L, vec(1, 0, 0, 0))) ++
+      (5L to 14L).map(i => (i, 1L, vec(0, 1, 0, 0)))
+    writeIndex(path, base)
+    import spark.implicits._
+    Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(cpath)
+    IvfMaintenance.recordBase(spark, path, counts(base))
+    // cid 0 crosses the bar (3/4 = 0.75); cid 1 stays under (1/10)
+    val b1 = Seq[(Long, Long, Seq[Double])](
+      (20L, 0L, vec(1, 1, 0, 0)), (21L, 0L, vec(1, 1, 0, 0)),
+      (22L, 0L, vec(1, 1, 0, 0)), (23L, 1L, vec(0, 1, 0.2, 0)))
+    appendIndex(path, b1)
+    IvfMaintenance.recordAppend(spark, path, counts(b1))
+    val r1 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    assert(r1.retrain && r1.touched == Seq(0L), s"$r1")
+    // cid 1's below-bar append must SURVIVE the fold — its drift keeps
+    // accumulating toward its own trigger instead of resetting
+    val after = IvfMaintenance.driftReport(spark, path)
+    assert(after.appendedRows == 1, s"$after")
+    assert(after.baseRows == base.size + 3, s"$after")
+    assert(!after.retrain)
+    // two more cid-1 rows: cumulative 3/10 = 0.3 crosses the bar NOW —
+    // which only works because the history survived
+    val b2 = Seq[(Long, Long, Seq[Double])](
+      (24L, 1L, vec(0, 1, 0.3, 0)), (25L, 1L, vec(0, 1, 0.4, 0)))
+    appendIndex(path, b2)
+    IvfMaintenance.recordAppend(spark, path, counts(b2))
+    val r2 = IvfMaintenance.driftReport(spark, path)
+    assert(r2.retrain && r2.touched.contains(1L), s"$r2")
+  }
+
   test("skew trigger fires when one partition dwarfs the average") {
     val path = s"$tmp/ivf_maint_skew"
     // skew = max/avg is bounded by the partition count, so 5 partitions
