@@ -56,11 +56,17 @@ object LocalCatalog {
   private val shares = new ConcurrentHashMap[String, ShareDef]()
   private val locations = new ConcurrentHashMap[String, LocationDef]()
 
-  /** Guards the cross-map invariant "no catalog references a dropped
-    * share": DROP SHARE's users-scan and the catalog registration that
-    * could race it must be mutually exclusive (check-then-act over two
-    * concurrent maps is not atomic by itself). DDL is rare; a plain
-    * lock is the right tool. */
+  /** Guards the cross-map invariant "a DROP SHARE never succeeds while
+    * a referencing catalog exists at that moment": the users-scan and
+    * the remove must not interleave with a concurrent catalog
+    * registration (check-then-act over two concurrent maps is not
+    * atomic by itself). Note the DELIBERATELY weaker contract than
+    * referential integrity: `USING SHARE provider.share` names a
+    * REMOTE provider's share in the reference's model, so CREATE
+    * CATALOG never requires the share to exist locally — a catalog
+    * referencing an unregistered (or since-dropped) share is a valid
+    * state; the lock only keeps the refusal itself race-free. DDL is
+    * rare; a plain lock is the right tool. */
   private val registryLock = new Object
 
   val createSchema: StructType = StructType(Seq(
@@ -266,17 +272,12 @@ object LocalCatalog {
     result(spark, dropSchema, Row(name, "external_location", "DROPPED"))
   }
 
-  /** JSON string escape for the securable_object payloads — a quote or
-    * backslash in a comment/url/option must not produce malformed JSON. */
-  private def js(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  /** JSON string (quoted + escaped) for the securable_object payloads —
+    * a quote or backslash in a comment/url/option must not produce
+    * malformed JSON. Jackson (already on the classpath for log JSON)
+    * owns the escaping rules. */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def js(s: String): String = jsonMapper.writeValueAsString(s)
 
   private def describeShare(d: ShareDef): String =
     (Seq(Some(s""""name":${js(d.name)}""")) :+

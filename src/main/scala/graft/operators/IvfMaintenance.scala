@@ -14,21 +14,33 @@ import org.apache.spark.sql.types.DoubleType
   * needs at 100 TB:
   *
   *  - every build/append records per-cid row counters in a sidecar
-  *    (`<index>_maint/{base,appends}` — metadata-bounded: one row per
-  *    centroid per append, never vectors);
+  *    (`<index>_maint/` — metadata-bounded: one row per centroid per
+  *    append, never vectors);
   *  - [[driftReport]] computes the appended/base ratio and the
   *    partition-size skew from those counters alone — zero index IO;
   *  - the trigger fires PER CID: any centroid whose own
-  *    `appended/base > ratioThreshold` (default 0.2), or — under
-  *    `max partition rows > skewThreshold × avg` (default 4.0) — the
+  *    `appended/base > ratioThreshold` (default 0.2) — a single hot
+  *    centroid in a 10k-centroid index never moves the global
+  *    fraction, yet its partition is exactly the one whose routing
+  *    vector stopped describing its contents — or, under
+  *    `max partition rows > skewThreshold × avg` (default 4.0), the
   *    oversized partitions;
   *  - [[maybeRetrain]] then RE-CENTERS only the touched centroids: each
   *    one becomes the per-dimension mean of its partition's CURRENT
   *    rows — one aggregation over the touched partitions only (the
   *    appended mass pulls the routing vector back onto the data it
   *    routes), the centroid file is rewritten (it is broadcast-sized by
-  *    construction), and the appended counters fold into base so the
-  *    trigger re-arms. Untouched partitions are never read or written.
+  *    construction), and ONLY the touched cids' appended counters fold
+  *    into base — an untouched cid keeps its append history, so drift
+  *    it accumulated below the bar still counts toward its OWN future
+  *    trigger instead of being erased every time another cid fires.
+  *
+  * Sidecar durability: the counters live in immutable versioned state
+  * dirs (`state_v<N>/` holding (kind, cid, rows) rows) selected by a
+  * CURRENT pointer file that is swapped with an atomic rename — a crash
+  * at ANY point leaves CURRENT on the previous consistent state (no
+  * lost history, no double-counted folds); superseded state dirs are
+  * swept best-effort after the swap.
   *
   * A full re-cluster (new centroid COUNT, rows reshuffled) remains the
   * offline escape hatch when re-centering stops recovering recall —
@@ -48,71 +60,115 @@ object IvfMaintenance {
       touched: Seq[Long],
       retrain: Boolean)
 
+  /** Per-cid counter state: base rows and appended rows. */
+  private case class State(counts: Map[Long, (Long, Long)]) {
+    def baseTotal: Long = counts.valuesIterator.map(_._1).sum
+    def appendTotal: Long = counts.valuesIterator.map(_._2).sum
+  }
+
   private def maintDir(indexPath: String) = s"${indexPath}_maint"
-  private def basePath(indexPath: String) = s"${maintDir(indexPath)}/base"
-  private def appendsPath(indexPath: String) =
-    s"${maintDir(indexPath)}/appends"
+  private def currentFile(indexPath: String) =
+    new java.io.File(maintDir(indexPath), "CURRENT")
+
+  private def readCurrentVersion(indexPath: String): Long = {
+    val f = currentFile(indexPath)
+    if (!f.exists()) -1L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim.toLong
+  }
+
+  private def stateDir(indexPath: String, v: Long) =
+    s"${maintDir(indexPath)}/state_v$v"
+
+  private def loadState(spark: SparkSession, indexPath: String): State = {
+    val v = readCurrentVersion(indexPath)
+    require(v >= 0, s"no maintenance state recorded under " +
+      s"${maintDir(indexPath)} — recordBase must run at index build")
+    val rows = spark.read.parquet(stateDir(indexPath, v)).collect()
+    State(rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
+      val base = rs.filter(_.getString(0) == "base").map(_.getLong(2)).sum
+      val app = rs.filter(_.getString(0) == "append").map(_.getLong(2)).sum
+      cid -> (base, app)
+    })
+  }
+
+  /** Write a new state version and atomically swap CURRENT to it. */
+  private def writeState(spark: SparkSession, indexPath: String,
+      counts: Map[Long, (Long, Long)]): Unit = this.synchronized {
+    import spark.implicits._
+    val prev = readCurrentVersion(indexPath)
+    val next = prev + 1
+    val rows = counts.toSeq.flatMap { case (cid, (b, a)) =>
+      Seq(("base", cid, b)) ++ (if (a > 0) Seq(("append", cid, a)) else Nil)
+    }
+    rows.toDF("kind", "cid", "rows")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(stateDir(indexPath, next))
+    val cur = currentFile(indexPath)
+    cur.getParentFile.mkdirs()
+    val tmp = new java.io.File(cur.getParentFile, s"CURRENT.tmp$next")
+    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // superseded states are garbage once the pointer moved; best-effort
+    if (prev >= 0) {
+      val old = new java.io.File(stateDir(indexPath, prev))
+      if (old.exists())
+        scala.util.Try(scala.reflect.io.Directory(old).deleteRecursively())
+    }
+  }
 
   /** Record the base build's per-cid row counts (schema: cid, rows).
     * Resets any prior append history — a fresh build starts undrifted. */
   def recordBase(spark: SparkSession, indexPath: String,
       counts: DataFrame): Unit = {
-    counts.select(col("cid").cast("long"), col("rows").cast("long"))
-      .coalesce(1).write.mode("overwrite").parquet(basePath(indexPath))
-    val ap = new java.io.File(appendsPath(indexPath))
-    if (ap.exists()) scala.reflect.io.Directory(ap).deleteRecursively()
+    val base = counts.select(col("cid").cast("long"), col("rows").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
+    writeState(spark, indexPath, base)
   }
 
   /** Record one incremental append's per-cid row counts. */
   def recordAppend(spark: SparkSession, indexPath: String,
-      counts: DataFrame): Unit =
-    counts.select(col("cid").cast("long"), col("rows").cast("long"))
-      .coalesce(1).write.mode("append").parquet(appendsPath(indexPath))
+      counts: DataFrame): Unit = {
+    val add = counts.select(col("cid").cast("long"), col("rows").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cur = loadState(spark, indexPath).counts
+    val next = add.foldLeft(cur) { case (m, (cid, n)) =>
+      val (b, a) = m.getOrElse(cid, (0L, 0L))
+      m + (cid -> (b, a + n))
+    }
+    writeState(spark, indexPath, next)
+  }
 
-  /** Compute drift from the counters alone — no index IO. */
-  def driftReport(spark: SparkSession, indexPath: String,
-      ratioThreshold: Double = DefaultRatioThreshold,
-      skewThreshold: Double = DefaultSkewThreshold): DriftReport = {
-    val base = spark.read.parquet(basePath(indexPath))
-      .groupBy("cid").agg(sum("rows").as("base_rows"))
-    val appends =
-      if (!new java.io.File(appendsPath(indexPath)).exists())
-        base.select(col("cid"), lit(0L).as("app_rows")).limit(0)
-      else spark.read.parquet(appendsPath(indexPath))
-        .groupBy("cid").agg(sum("rows").as("app_rows"))
-    // counters are O(centroids) — driver-resident by design, the same
-    // bound as the broadcast centroid set itself
-    val merged = base.join(appends, Seq("cid"), "full_outer")
-      .select(col("cid"),
-        coalesce(col("base_rows"), lit(0L)).as("b"),
-        coalesce(col("app_rows"), lit(0L)).as("a"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val baseTotal = merged.map(_._2).sum
-    val appTotal = merged.map(_._3).sum
+  private def report(state: State, ratioThreshold: Double,
+      skewThreshold: Double): DriftReport = {
+    val merged = state.counts.toSeq.map { case (cid, (b, a)) => (cid, b, a) }
+    val baseTotal = state.baseTotal
+    val appTotal = state.appendTotal
     val ratio = if (baseTotal == 0) Double.PositiveInfinity
       else appTotal.toDouble / baseTotal
     val totals = merged.map(t => t._2 + t._3)
     val avg = if (merged.isEmpty) 0.0 else totals.sum.toDouble / merged.length
     val skew = if (avg == 0.0) 0.0 else totals.max / avg
     val skewFired = skew > skewThreshold
-    // The trigger is PER-CID: a single hot centroid in a 10k-centroid
-    // index never moves the global appended fraction, yet its partition
-    // is exactly the one whose routing vector has stopped describing
-    // its contents. touched = centroids whose OWN appended share
-    // crossed the ratio bar (an append-only cid is infinitely over it),
-    // plus (under a skew trigger) the oversized partitions. Re-centering
-    // costs O(touched partitions), so firing often on small partitions
-    // is cheap by construction.
     val touched = merged.collect {
       case (cid, b, a)
         if (b > 0 && a.toDouble / b > ratioThreshold) ||
           (b == 0 && a > 0) ||
           (skewFired && avg > 0 && (b + a) > skewThreshold * avg) => cid
-    }.toSeq.sorted
+    }.sorted
     DriftReport(baseTotal, appTotal, ratio, skew, touched,
       retrain = touched.nonEmpty)
   }
+
+  /** Compute drift from the counters alone — no index IO. The state is
+    * O(centroids) — driver-resident by design, the same bound as the
+    * broadcast centroid set itself. */
+  def driftReport(spark: SparkSession, indexPath: String,
+      ratioThreshold: Double = DefaultRatioThreshold,
+      skewThreshold: Double = DefaultSkewThreshold): DriftReport =
+    report(loadState(spark, indexPath), ratioThreshold, skewThreshold)
 
   /** Evaluate the trigger and, when it fires, re-center the touched
     * centroids from their partitions' current rows. Returns the report
@@ -121,9 +177,10 @@ object IvfMaintenance {
       centroidsPath: String, dim: Int,
       ratioThreshold: Double = DefaultRatioThreshold,
       skewThreshold: Double = DefaultSkewThreshold): DriftReport = {
-    val report = driftReport(spark, indexPath, ratioThreshold, skewThreshold)
-    if (!report.retrain) return report
-    val touched = report.touched
+    val state = loadState(spark, indexPath)
+    val rep = report(state, ratioThreshold, skewThreshold)
+    if (!rep.retrain) return rep
+    val touched = rep.touched
     // one aggregation over ONLY the touched cid partitions (static
     // partition prune on the read path — `touched` is O(centroids))
     val recentered = spark.read.parquet(indexPath)
@@ -134,11 +191,10 @@ object IvfMaintenance {
       .agg(array((1 to dim).map(i =>
         avg(element_at(col("embedding"), i).cast(DoubleType))): _*).as("cv"))
       .collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[Double](1))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .toMap
     // centroid set is broadcast-sized by construction: materialize,
-    // patch, rewrite atomically via overwrite
+    // patch, rewrite
     val old = spark.read.parquet(centroidsPath).collect()
       .map(r => (r.getLong(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("cv"))))
@@ -148,35 +204,14 @@ object IvfMaintenance {
     import spark.implicits._
     patched.toSeq.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
-    // fold ONLY the touched cids' appends into base — an untouched cid
-    // keeps its append history, so drift it accumulated below the bar
-    // (say 19% each cycle) still counts toward its OWN future trigger
-    // instead of being silently erased every time another cid fires
+    // fold ONLY the touched cids' appends into base; the new state
+    // lands via the atomic CURRENT swap, so a crash anywhere leaves
+    // the previous consistent counters in place
     val touchedSet = touched.toSet
-    val appendRows: Seq[(Long, Long)] = {
-      val ap = appendsPath(indexPath)
-      if (!new java.io.File(ap).exists()) Seq.empty
-      else spark.read.parquet(ap).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val folded = state.counts.map { case (cid, (b, a)) =>
+      if (touchedSet(cid)) cid -> (b + a, 0L) else cid -> (b, a)
     }
-    val foldIn = appendRows.filter(t => touchedSet(t._1))
-      .groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).sum }
-    val keep = appendRows.filterNot(t => touchedSet(t._1))
-    val baseRows = spark.read.parquet(basePath(indexPath))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val baseCids = baseRows.map(_._1).toSet
-    val folded = baseRows
-      .map { case (cid, b) => (cid, b + foldIn.getOrElse(cid, 0L)) } ++
-      // a touched cid that had NO base row (append-only cid) folds in
-      // as its own base entry
-      foldIn.filterNot { case (cid, _) => baseCids(cid) }
-    folded.toSeq.toDF("cid", "rows")
-      .coalesce(1).write.mode("overwrite").parquet(basePath(indexPath))
-    val ap = new java.io.File(appendsPath(indexPath))
-    if (ap.exists()) scala.reflect.io.Directory(ap).deleteRecursively()
-    if (keep.nonEmpty)
-      keep.toDF("cid", "rows")
-        .coalesce(1).write.mode("append").parquet(appendsPath(indexPath))
-    report
+    writeState(spark, indexPath, folded)
+    rep
   }
 }
