@@ -574,6 +574,21 @@ final class GraftSession(val spark: SparkSession) {
         rows.add(org.apache.spark.sql.Row(
           d.name, d.url, d.credential.orNull, d.comment.orNull)))
       spark.createDataFrame(rows, GraftSession.showLocationsSchema)
+    case s: CreateConnectionStatement =>
+      LocalCatalog.createConnection(spark,
+        LocalCatalog.ConnectionDef(s.name, s.connectionType, s.url,
+          s.comment, s.options), s.ifNotExists)
+    case s: DropConnectionStatement =>
+      LocalCatalog.dropConnection(spark, s.name, s.ifExists)
+    case ShowConnectionsStatement =>
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      LocalCatalog.listConnections().foreach(d =>
+        rows.add(org.apache.spark.sql.Row(
+          d.name, d.connectionType, d.url.orNull, d.comment.orNull)))
+      spark.createDataFrame(rows, GraftSession.showConnectionsSchema)
+    case s: CreateForeignCatalogStatement =>
+      LocalCatalog.createForeignCatalog(spark, s.name, s.connection,
+        s.comment, s.options, s.ifNotExists)
   }
 
   // one set of quoting rules — the statics in the companion (shared
@@ -697,6 +712,17 @@ object GraftSession {
       org.apache.spark.sql.types.StructField("url",
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("credential_name",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("comment",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  val showConnectionsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("connection_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("connection_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("url",
         org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("comment",
         org.apache.spark.sql.types.StringType, nullable = true)))

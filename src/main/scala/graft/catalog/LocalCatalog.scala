@@ -32,7 +32,21 @@ object LocalCatalog {
       comment: Option[String],
       defaultCollation: Option[String],
       options: Map[String, String],
-      schemas: Map[String, SchemaDef] = Map.empty)
+      schemas: Map[String, SchemaDef] = Map.empty,
+      usingConnection: Option[String] = None)
+
+  /** CONNECTION securable (the reference stubs parse_create_connection
+    * at sql/parser.rs:346): the credential-bearing endpoint a FOREIGN
+    * CATALOG mounts through. Unlike shares (remote provider entities),
+    * connections are created locally, so a foreign catalog REQUIRES
+    * its connection to exist and DROP CONNECTION refuses while
+    * referenced. */
+  final case class ConnectionDef(
+      name: String,
+      connectionType: String,
+      url: Option[String] = None,
+      comment: Option[String] = None,
+      options: Map[String, String] = Map.empty)
 
   /** SHARE securable (the reference stubs parse_create_share at
     * sql/parser.rs:358). Local model: a named share a catalog can be
@@ -55,6 +69,7 @@ object LocalCatalog {
   private val catalogs = new ConcurrentHashMap[String, CatalogDef]()
   private val shares = new ConcurrentHashMap[String, ShareDef]()
   private val locations = new ConcurrentHashMap[String, LocationDef]()
+  private val connections = new ConcurrentHashMap[String, ConnectionDef]()
 
   /** Guards the cross-map invariant "a DROP SHARE never succeeds while
     * a referencing catalog exists at that moment": the users-scan and
@@ -81,7 +96,9 @@ object LocalCatalog {
 
   def get(name: String): Option[CatalogDef] = Option(catalogs.get(name))
   def list(): Seq[CatalogDef] = catalogs.values.asScala.toSeq.sortBy(_.name)
-  def clear(): Unit = { catalogs.clear(); shares.clear(); locations.clear() }
+  def clear(): Unit = {
+    catalogs.clear(); shares.clear(); locations.clear(); connections.clear()
+  }
 
   def getShare(name: String): Option[ShareDef] = Option(shares.get(name))
   def listShares(): Seq[ShareDef] =
@@ -90,6 +107,10 @@ object LocalCatalog {
     Option(locations.get(name))
   def listLocations(): Seq[LocationDef] =
     locations.values.asScala.toSeq.sortBy(_.name)
+  def getConnection(name: String): Option[ConnectionDef] =
+    Option(connections.get(name))
+  def listConnections(): Seq[ConnectionDef] =
+    connections.values.asScala.toSeq.sortBy(_.name)
 
   /** Marker conf recording that graft (not the user) created the
     * session's plugin binding for a name — flows into the plugin's
@@ -215,6 +236,67 @@ object LocalCatalog {
     result(spark, dropSchema, Row(s"$catalog.$schema", "schema", "DROPPED"))
   }
 
+  /** CREATE CONNECTION: registers the securable. */
+  def createConnection(spark: SparkSession, d: ConnectionDef,
+      ifNotExists: Boolean): DataFrame = {
+    val prev = connections.putIfAbsent(d.name, d)
+    if (prev != null && !ifNotExists)
+      throw new IllegalArgumentException(
+        s"Connection '${d.name}' already exists")
+    result(spark, createSchema,
+      Row(d.name, "connection",
+        describeConnection(if (prev != null) prev else d)))
+  }
+
+  /** DROP CONNECTION refuses while a foreign catalog mounts through it
+    * — connections are LOCAL securables (unlike provider shares), so
+    * this is real referential integrity, race-free under the registry
+    * lock shared with foreign-catalog creation. */
+  def dropConnection(spark: SparkSession, name: String,
+      ifExists: Boolean): DataFrame = registryLock.synchronized {
+    if (!connections.containsKey(name)) {
+      if (!ifExists)
+        throw new IllegalArgumentException(s"Connection '$name' not found")
+      return result(spark, dropSchema, Row(name, "connection", "NOT_FOUND"))
+    }
+    val users = catalogs.asScala.collect {
+      case (cn, c) if c.usingConnection.exists(_.equalsIgnoreCase(name)) =>
+        cn
+    }
+    if (users.nonEmpty) throw new IllegalArgumentException(
+      s"Connection '$name' is referenced by foreign catalog(s) " +
+        s"${users.toSeq.sorted.mkString(", ")} — drop them first")
+    connections.remove(name)
+    result(spark, dropSchema, Row(name, "connection", "DROPPED"))
+  }
+
+  /** CREATE FOREIGN CATALOG: a catalog securable mounted through a
+    * connection. The connection must exist (checked under the registry
+    * lock, so a racing DROP CONNECTION cannot interleave); no DSv2
+    * plugin binding is made — the mirrored system is not reachable
+    * from this engine, so vanilla-SQL resolution through the name
+    * would misrepresent it as local. */
+  def createForeignCatalog(spark: SparkSession, name: String,
+      connection: String, comment: Option[String],
+      options: Map[String, String],
+      ifNotExists: Boolean): DataFrame = registryLock.synchronized {
+    if (!connections.containsKey(connection))
+      throw new IllegalArgumentException(
+        s"Connection '$connection' not found — CREATE CONNECTION first")
+    if (name.equalsIgnoreCase("spark_catalog") ||
+        name.equalsIgnoreCase("system"))
+      throw new IllegalArgumentException(
+        s"Catalog name '$name' is reserved by Spark")
+    val d = CatalogDef(name, usingShare = None, managedLocation = None,
+      comment = comment, defaultCollation = None, options = options,
+      usingConnection = Some(connection))
+    val prev = catalogs.putIfAbsent(name, d)
+    if (prev != null && !ifNotExists)
+      throw new IllegalArgumentException(s"Catalog '$name' already exists")
+    result(spark, createSchema,
+      Row(name, "catalog", describe(if (prev != null) prev else d)))
+  }
+
   /** CREATE SHARE: registers the securable; returns the same
     * (name, type, object) row shape as CREATE CATALOG/SCHEMA
     * (sql/unity/mod.rs:24-31). */
@@ -279,6 +361,19 @@ object LocalCatalog {
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def js(s: String): String = jsonMapper.writeValueAsString(s)
 
+  private def describeConnection(d: ConnectionDef): String = {
+    val fields = Seq(
+      Some(s""""name":${js(d.name)}"""),
+      Some(s""""connection_type":${js(d.connectionType)}"""),
+      d.url.map(v => s""""url":${js(v)}"""),
+      d.comment.map(v => s""""comment":${js(v)}""")
+    ).flatten ++ (if (d.options.nonEmpty)
+      Seq(s""""options":{${d.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")}}""")
+    else Seq.empty)
+    fields.mkString("{", ",", "}")
+  }
+
   private def describeShare(d: ShareDef): String =
     (Seq(Some(s""""name":${js(d.name)}""")) :+
       d.comment.map(v => s""""comment":${js(v)}""")).flatten
@@ -331,6 +426,7 @@ object LocalCatalog {
     val fields = Seq(
       Some(s""""name":${js(d.name)}"""),
       d.usingShare.map(v => s""""using_share":${js(v)}"""),
+      d.usingConnection.map(v => s""""using_connection":${js(v)}"""),
       d.managedLocation.map(v => s""""managed_location":${js(v)}"""),
       d.comment.map(v => s""""comment":${js(v)}"""),
       d.defaultCollation.map(v => s""""default_collation":${js(v)}""")

@@ -296,6 +296,61 @@ object CommandQueries {
       listed
     },
 
+    // CONNECTION + FOREIGN CATALOG securables (the reference's
+    // parse_create_connection / parse_create_foreign_catalog todo!s at
+    // sql/parser.rs:346/:342): a foreign catalog mounts through a
+    // connection, which must exist and cannot drop while referenced
+    // (lifecycle pinned in CommandsSpec).
+    Q("create_connection",
+      """SELECT 'pg_main' AS securable_name,
+        |  'connection' AS securable_type,
+        |  '{"name":"pg_main","connection_type":"postgresql","url":"jdbc:postgresql://db:5432/main","comment":"primary"}'
+        |    AS securable_object""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP CONNECTION IF EXISTS pg_main")
+      val created = g.sql(
+        "CREATE CONNECTION pg_main TYPE postgresql " +
+          "URL 'jdbc:postgresql://db:5432/main' COMMENT 'primary'")
+      g.sql("DROP CONNECTION pg_main")
+      created
+    },
+
+    Q("q_foreign_catalog",
+      """SELECT 'pg_cat' AS securable_name,
+        |  'catalog' AS securable_type,
+        |  '{"name":"pg_cat","using_connection":"pg_main","comment":"mirrored"}'
+        |    AS securable_object""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP CATALOG IF EXISTS pg_cat")
+      g.sql("DROP CONNECTION IF EXISTS pg_main")
+      g.sql("CREATE CONNECTION pg_main TYPE postgresql")
+      val created = g.sql(
+        "CREATE FOREIGN CATALOG pg_cat USING CONNECTION pg_main " +
+          "COMMENT 'mirrored'")
+      g.sql("DROP CATALOG pg_cat")
+      g.sql("DROP CONNECTION pg_main")
+      created
+    },
+
+    Q("q_show_connections",
+      """SELECT * FROM (VALUES
+        |  ('kafka_events', 'kafka', NULL, NULL),
+        |  ('pg_main', 'postgresql', 'jdbc:postgresql://db:5432/main',
+        |   'primary'))
+        |  AS t(connection_name, connection_type, url, comment)
+        |ORDER BY connection_name""".stripMargin) { (s, _) =>
+      val g = GraftSession(s)
+      g.sql("DROP CONNECTION IF EXISTS pg_main")
+      g.sql("DROP CONNECTION IF EXISTS kafka_events")
+      g.sql("CREATE CONNECTION pg_main TYPE postgresql " +
+        "URL 'jdbc:postgresql://db:5432/main' COMMENT 'primary'")
+      g.sql("CREATE CONNECTION kafka_events TYPE kafka")
+      val listed = g.sql("SHOW CONNECTIONS")
+      g.sql("DROP CONNECTION pg_main")
+      g.sql("DROP CONNECTION kafka_events")
+      listed
+    },
+
     // table history via DESCRIBE HISTORY over the sf-independent log
     // fixture. Oracle: DuckDB derives the same rows from the raw
     // _delta_log JSON (commitInfo fields + non-commitInfo line counts).

@@ -211,6 +211,11 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case _: CreateLocationStatement => LocalCatalog.createSchema
       case _: DropLocationStatement => LocalCatalog.dropSchema
       case ShowLocationsStatement => graft.GraftSession.showLocationsSchema
+      case _: CreateConnectionStatement => LocalCatalog.createSchema
+      case _: DropConnectionStatement => LocalCatalog.dropSchema
+      case ShowConnectionsStatement =>
+        graft.GraftSession.showConnectionsSchema
+      case _: CreateForeignCatalogStatement => LocalCatalog.createSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

@@ -105,6 +105,22 @@ object GraftParser {
   final case class DropLocationStatement(name: String, ifExists: Boolean)
       extends Statement
   case object ShowLocationsStatement extends Statement
+  /** CONNECTION securable (the reference stubs parse_create_connection
+    * at sql/parser.rs:346): a named credential-bearing endpoint a
+    * FOREIGN CATALOG mounts through. */
+  final case class CreateConnectionStatement(name: String,
+      connectionType: String, url: Option[String], ifNotExists: Boolean,
+      comment: Option[String], options: Map[String, String])
+      extends Statement
+  final case class DropConnectionStatement(name: String, ifExists: Boolean)
+      extends Statement
+  case object ShowConnectionsStatement extends Statement
+  /** FOREIGN CATALOG (the reference stubs parse_create_foreign_catalog
+    * at sql/parser.rs:342): a catalog mirroring an external system
+    * through a CONNECTION. */
+  final case class CreateForeignCatalogStatement(name: String,
+      connection: String, ifNotExists: Boolean, comment: Option[String],
+      options: Map[String, String]) extends Statement
   /** SHOW TBLPROPERTIES <ref>: (key, value) rows, sorted. */
   final case class ShowTblPropertiesStatement(table: String)
     extends Statement
@@ -234,6 +250,9 @@ object GraftParser {
           wordAt(toks, 1).contains("EXTERNAL") &&
           wordAt(toks, 2).contains("LOCATIONS") =>
         Some(ShowLocationsStatement)
+      case w: Word if w.upper == "SHOW" && toks.length == 2 &&
+          wordAt(toks, 1).contains("CONNECTIONS") =>
+        Some(ShowConnectionsStatement)
       case w: Word if w.upper == "SHOW" &&
           wordAt(toks, 1).exists(s => s == "SCHEMAS" || s == "NAMESPACES") &&
           wordAt(toks, 2).exists(s => s == "IN" || s == "FROM") &&
@@ -871,8 +890,10 @@ object GraftParser {
     VacuumStatement(table, mode, dryRun, retain)
   }
 
-  private val NotImplementedObjects =
-    Set("CONNECTION")
+  // (every securable object the reference's grammar names — CATALOG,
+  // FOREIGN CATALOG, CONNECTION, LOCATION, SCHEMA, SHARE — is now
+  // implemented; the set is kept for the dispatch shape)
+  private val NotImplementedObjects = Set.empty[String]
 
   private def parseCreateOrDrop(verb: String,
       toks: Vector[Tok]): Option[Statement] = {
@@ -881,7 +902,13 @@ object GraftParser {
         if (verb == "CREATE") Some(parseCreateCatalog(toks.drop(1)))
         else Some(parseDropCatalog(toks.drop(1)))
       case Some("FOREIGN") if wordAt(toks, 1).contains("CATALOG") =>
-        throw new NotImplementedStatement(s"$verb FOREIGN CATALOG")
+        // DROP of a foreign catalog is plain DROP CATALOG; the FOREIGN
+        // keyword only qualifies CREATE
+        if (verb == "CREATE") Some(parseCreateForeignCatalog(toks.drop(2)))
+        else Some(parseDropCatalog(toks.drop(2)))
+      case Some("CONNECTION") =>
+        if (verb == "CREATE") Some(parseCreateConnection(toks.drop(1)))
+        else Some(parseDropConnection(toks.drop(1)))
       case Some("SCHEMA") =>
         // only QUALIFIED names (cat.schema) are ours — an unqualified
         // CREATE/DROP SCHEMA is valid vanilla Spark DDL on the session
@@ -1314,6 +1341,134 @@ object GraftParser {
       throw new ParseException(
         s"Unexpected trailing tokens: ${toks.drop(i + 1)}")
     DropLocationStatement(name, ifExists)
+  }
+
+  /** CREATE CONNECTION [IF NOT EXISTS] <name> TYPE <type>
+    * [URL '<url>'] [COMMENT '...'] [OPTIONS (k v, ...)] — the grammar
+    * the reference stubs (parse_create_connection, sql/parser.rs:346). */
+  private def parseCreateConnection(toks: Vector[Tok])
+      : CreateConnectionStatement = {
+    var i = 0
+    var ifNotExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("NOT") &&
+        wordAt(toks, 2).contains("EXISTS")) { ifNotExists = true; i = 3 }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("CREATE CONNECTION requires a name")))
+    i += 1
+    if (!wordAt(toks, i).contains("TYPE"))
+      throw new ParseException("CREATE CONNECTION requires TYPE <type>")
+    val connType = identText(toks.lift(i + 1).getOrElse(
+      throw new ParseException("expected connection type")))
+    i += 2
+    var url: Option[String] = None
+    var comment: Option[String] = None
+    var options = Map.empty[String, String]
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("URL") =>
+          if (url.isDefined) throw new ParseException("URL already set")
+          url = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected connection url"))))
+          i += 2
+        case Some("COMMENT") =>
+          if (comment.isDefined)
+            throw new ParseException("COMMENT already set")
+          comment = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected comment text"))))
+          i += 2
+        case Some("OPTIONS") =>
+          if (options.nonEmpty)
+            throw new ParseException("OPTIONS already set")
+          val (opts, next) = parseOptionsAt(toks, i + 1,
+            "CREATE CONNECTION")
+          options = opts; i = next
+        case other => throw new ParseException(
+          s"Unexpected token in CREATE CONNECTION: $other")
+      }
+    }
+    CreateConnectionStatement(name, connType, url, ifNotExists, comment,
+      options)
+  }
+
+  private def parseDropConnection(toks: Vector[Tok])
+      : DropConnectionStatement = {
+    var i = 0
+    var ifExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("EXISTS")) {
+      ifExists = true; i = 2
+    }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("DROP CONNECTION requires a name")))
+    if (i + 1 < toks.length)
+      throw new ParseException(
+        s"Unexpected trailing tokens: ${toks.drop(i + 1)}")
+    DropConnectionStatement(name, ifExists)
+  }
+
+  /** CREATE FOREIGN CATALOG [IF NOT EXISTS] <name> USING CONNECTION
+    * <conn> [COMMENT '...'] [OPTIONS (k v, ...)] — the grammar the
+    * reference stubs (parse_create_foreign_catalog, sql/parser.rs:342). */
+  private def parseCreateForeignCatalog(toks: Vector[Tok])
+      : CreateForeignCatalogStatement = {
+    var i = 0
+    var ifNotExists = false
+    if (wordAt(toks, 0).contains("IF") && wordAt(toks, 1).contains("NOT") &&
+        wordAt(toks, 2).contains("EXISTS")) { ifNotExists = true; i = 3 }
+    val name = identText(toks.lift(i).getOrElse(
+      throw new ParseException("CREATE FOREIGN CATALOG requires a name")))
+    i += 1
+    if (!(wordAt(toks, i).contains("USING") &&
+        wordAt(toks, i + 1).contains("CONNECTION")))
+      throw new ParseException(
+        "CREATE FOREIGN CATALOG requires USING CONNECTION <name>")
+    val conn = identText(toks.lift(i + 2).getOrElse(
+      throw new ParseException("expected connection name")))
+    i += 3
+    var comment: Option[String] = None
+    var options = Map.empty[String, String]
+    while (i < toks.length) {
+      wordAt(toks, i) match {
+        case Some("COMMENT") =>
+          if (comment.isDefined)
+            throw new ParseException("COMMENT already set")
+          comment = Some(identText(toks.lift(i + 1).getOrElse(
+            throw new ParseException("expected comment text"))))
+          i += 2
+        case Some("OPTIONS") =>
+          if (options.nonEmpty)
+            throw new ParseException("OPTIONS already set")
+          val (opts, next) = parseOptionsAt(toks, i + 1,
+            "CREATE FOREIGN CATALOG")
+          options = opts; i = next
+        case other => throw new ParseException(
+          s"Unexpected token in CREATE FOREIGN CATALOG: $other")
+      }
+    }
+    CreateForeignCatalogStatement(name, conn, ifNotExists, comment, options)
+  }
+
+  /** OPTIONS (k v, ...) starting at `start` (which must be the `(`);
+    * returns the parsed map and the index after the `)`. */
+  private def parseOptionsAt(toks: Vector[Tok], start: Int,
+      ctx: String): (Map[String, String], Int) = {
+    if (!toks.lift(start).exists(_.text == "("))
+      throw new ParseException(s"expected ( after OPTIONS in $ctx")
+    var i = start + 1
+    val opts = Map.newBuilder[String, String]
+    var done = false
+    while (!done) {
+      toks.lift(i) match {
+        case Some(Sym(")")) => done = true; i += 1
+        case Some(Sym(",")) => i += 1
+        case Some(k) =>
+          val v = toks.lift(i + 1).getOrElse(
+            throw new ParseException(s"expected option value in $ctx"))
+          opts += identText(k) -> identText(v)
+          i += 2
+        case None => throw new ParseException(s"unterminated OPTIONS in $ctx")
+      }
+    }
+    (opts.result(), i)
   }
 
   private def parseDropCatalog(toks: Vector[Tok]): DropCatalogStatement = {

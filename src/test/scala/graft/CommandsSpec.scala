@@ -90,13 +90,13 @@ class CommandsSpec extends AnyFunSuite {
   }
 
   test("stubs raise NotImplemented; plain SQL delegates") {
-    // SHARE and LOCATION graduated to real securables (round 12);
-    // CONNECTION and FOREIGN CATALOG remain reference-faithful stubs
-    intercept[NotImplementedStatement] {
-      GraftParser.parse("CREATE CONNECTION c")
+    // every securable the reference's grammar names is now implemented;
+    // malformed shapes fail with OUR diagnosis, not a silent delegate
+    intercept[GraftParser.ParseException] {
+      GraftParser.parse("CREATE CONNECTION c") // missing TYPE
     }
-    intercept[NotImplementedStatement] {
-      GraftParser.parse("CREATE FOREIGN CATALOG fc")
+    intercept[GraftParser.ParseException] {
+      GraftParser.parse("CREATE FOREIGN CATALOG fc") // missing USING
     }
     assert(GraftParser.parse("SELECT 1").isEmpty)
     assert(GraftParser.parse("CREATE TABLE t (a INT)").isEmpty)
@@ -345,10 +345,39 @@ class CommandsSpec extends AnyFunSuite {
     // SHOW SHARES with trailing clauses is not the exact form we claim
     assert(GraftParser.parse("SHOW SHARES LIKE 'x'").isEmpty)
     assert(GraftParser.parse("SHOW EXTERNAL LOCATIONS LIKE 'x'").isEmpty)
-    // CONNECTION remains the reference-faithful not-implemented object
-    intercept[GraftParser.NotImplementedStatement] {
-      GraftParser.parse("CREATE CONNECTION c")
+    assert(GraftParser.parse("SHOW CONNECTIONS LIKE 'x'").isEmpty)
+  }
+
+  test("connection + foreign catalog lifecycle and referential integrity") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val created = g.sql(
+      "CREATE CONNECTION pg TYPE postgresql URL 'jdbc:postgresql://h/d'")
+    val row = created.collect().head
+    assert(row.getString(0) == "pg" && row.getString(1) == "connection")
+    assert(row.getString(2).contains("postgresql"))
+    intercept[IllegalArgumentException] {
+      g.sql("CREATE CONNECTION pg TYPE mysql")
     }
+    g.sql("CREATE CONNECTION IF NOT EXISTS pg TYPE mysql") // no-op
+    // foreign catalog requires its connection to exist
+    intercept[IllegalArgumentException] {
+      g.sql("CREATE FOREIGN CATALOG fc USING CONNECTION missing")
+    }
+    val fc = g.sql("CREATE FOREIGN CATALOG fc USING CONNECTION pg")
+      .collect().head
+    assert(fc.getString(1) == "catalog" &&
+      fc.getString(2).contains("using_connection"))
+    // the mounted connection cannot drop while referenced
+    intercept[IllegalArgumentException] { g.sql("DROP CONNECTION pg") }
+    // DROP FOREIGN CATALOG parses as plain DROP CATALOG and releases it
+    assert(g.sql("DROP FOREIGN CATALOG fc").collect()
+      .head.getString(2) == "DROPPED")
+    assert(g.sql("DROP CONNECTION pg").collect()
+      .head.getString(2) == "DROPPED")
+    assert(g.sql("DROP CONNECTION IF EXISTS pg").collect()
+      .head.getString(2) == "NOT_FOUND")
+    assert(g.sql("SHOW CONNECTIONS").collect().isEmpty)
   }
 
   test("vacuum: dry run lists unreferenced files, real run deletes them") {
