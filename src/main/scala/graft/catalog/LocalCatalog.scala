@@ -140,14 +140,17 @@ object LocalCatalog {
     // vanilla-SQL alias resolves under the name as CREATEd. Plugin
     // instances share one table/namespace registry, so every graft
     // catalog name is an alias over it.)
-    if (spark.conf.getOption(s"spark.sql.catalog.${d.name}").isEmpty) {
+    // never bind a FOREIGN catalog's name (CREATE CATALOG IF NOT EXISTS
+    // over an existing foreign catalog would otherwise alias the LOCAL
+    // plugin registry onto a securable that mirrors an external system)
+    val effective = if (prev != null) prev else d
+    if (effective.usingConnection.isEmpty &&
+        spark.conf.getOption(s"spark.sql.catalog.${d.name}").isEmpty) {
       spark.conf.set(s"spark.sql.catalog.${d.name}",
         classOf[GraftCatalog].getName)
       spark.conf.set(boundMarkerKey(d.name), "true")
     }
-    result(spark, createSchema,
-      Row(d.name, "catalog",
-        describe(if (prev != null) prev else d)))
+    result(spark, createSchema, Row(d.name, "catalog", describe(effective)))
   }
 
   /** Release a session binding IFF create() made it (marker present) —
@@ -259,9 +262,12 @@ object LocalCatalog {
         throw new IllegalArgumentException(s"Connection '$name' not found")
       return result(spark, dropSchema, Row(name, "connection", "NOT_FOUND"))
     }
+    // EXACT-match scan: the connection registry and USING CONNECTION
+    // resolution are case-sensitive, so 'pg' and 'PG' are distinct
+    // securables — a case-insensitive scan would block dropping the
+    // unreferenced one
     val users = catalogs.asScala.collect {
-      case (cn, c) if c.usingConnection.exists(_.equalsIgnoreCase(name)) =>
-        cn
+      case (cn, c) if c.usingConnection.contains(name) => cn
     }
     if (users.nonEmpty) throw new IllegalArgumentException(
       s"Connection '$name' is referenced by foreign catalog(s) " +
@@ -280,6 +286,18 @@ object LocalCatalog {
       connection: String, comment: Option[String],
       options: Map[String, String],
       ifNotExists: Boolean): DataFrame = registryLock.synchronized {
+    // IF NOT EXISTS over an existing catalog is a no-op FIRST — an
+    // idempotent re-run must not fail on a connection that was since
+    // dropped or renamed
+    val existing = Option(catalogs.get(name))
+    existing match {
+      case Some(prev) if ifNotExists =>
+        return result(spark, createSchema,
+          Row(name, "catalog", describe(prev)))
+      case Some(_) =>
+        throw new IllegalArgumentException(s"Catalog '$name' already exists")
+      case None =>
+    }
     if (!connections.containsKey(connection))
       throw new IllegalArgumentException(
         s"Connection '$connection' not found — CREATE CONNECTION first")
@@ -290,11 +308,8 @@ object LocalCatalog {
     val d = CatalogDef(name, usingShare = None, managedLocation = None,
       comment = comment, defaultCollation = None, options = options,
       usingConnection = Some(connection))
-    val prev = catalogs.putIfAbsent(name, d)
-    if (prev != null && !ifNotExists)
-      throw new IllegalArgumentException(s"Catalog '$name' already exists")
-    result(spark, createSchema,
-      Row(name, "catalog", describe(if (prev != null) prev else d)))
+    catalogs.put(name, d)
+    result(spark, createSchema, Row(name, "catalog", describe(d)))
   }
 
   /** CREATE SHARE: registers the securable; returns the same

@@ -92,9 +92,17 @@ object IvfMaintenance {
     })
   }
 
+  /** In-process concurrency: every public operation is a read-modify-
+    * write over the state pointer, so they serialize on one lock —
+    * without it two concurrent recordAppend calls would both load v1
+    * and the second write would erase the first's counts. Cross-process
+    * writers are out of scope (index maintenance is a single job by
+    * construction); the atomic CURRENT swap covers crash recovery. */
+  private val opLock = new Object
+
   /** Write a new state version and atomically swap CURRENT to it. */
   private def writeState(spark: SparkSession, indexPath: String,
-      counts: Map[Long, (Long, Long)]): Unit = this.synchronized {
+      counts: Map[Long, (Long, Long)]): Unit = {
     import spark.implicits._
     val prev = readCurrentVersion(indexPath)
     val next = prev + 1
@@ -122,15 +130,18 @@ object IvfMaintenance {
   /** Record the base build's per-cid row counts (schema: cid, rows).
     * Resets any prior append history — a fresh build starts undrifted. */
   def recordBase(spark: SparkSession, indexPath: String,
-      counts: DataFrame): Unit = {
+      counts: DataFrame): Unit = opLock.synchronized {
+    // sum duplicate cid rows (unaggregated per-partition counts are a
+    // legal input — recordAppend accepts them, so base must too)
     val base = counts.select(col("cid").cast("long"), col("rows").cast("long"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (cid, rs) => cid -> (rs.map(_._2).sum, 0L) }
     writeState(spark, indexPath, base)
   }
 
   /** Record one incremental append's per-cid row counts. */
   def recordAppend(spark: SparkSession, indexPath: String,
-      counts: DataFrame): Unit = {
+      counts: DataFrame): Unit = opLock.synchronized {
     val add = counts.select(col("cid").cast("long"), col("rows").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val cur = loadState(spark, indexPath).counts
@@ -168,7 +179,9 @@ object IvfMaintenance {
   def driftReport(spark: SparkSession, indexPath: String,
       ratioThreshold: Double = DefaultRatioThreshold,
       skewThreshold: Double = DefaultSkewThreshold): DriftReport =
-    report(loadState(spark, indexPath), ratioThreshold, skewThreshold)
+    opLock.synchronized {
+      report(loadState(spark, indexPath), ratioThreshold, skewThreshold)
+    }
 
   /** Evaluate the trigger and, when it fires, re-center the touched
     * centroids from their partitions' current rows. Returns the report
@@ -176,7 +189,8 @@ object IvfMaintenance {
   def maybeRetrain(spark: SparkSession, indexPath: String,
       centroidsPath: String, dim: Int,
       ratioThreshold: Double = DefaultRatioThreshold,
-      skewThreshold: Double = DefaultSkewThreshold): DriftReport = {
+      skewThreshold: Double = DefaultSkewThreshold): DriftReport =
+      opLock.synchronized {
     val state = loadState(spark, indexPath)
     val rep = report(state, ratioThreshold, skewThreshold)
     if (!rep.retrain) return rep
@@ -194,7 +208,10 @@ object IvfMaintenance {
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .toMap
     // centroid set is broadcast-sized by construction: materialize,
-    // patch, rewrite
+    // patch, and SWAP — a plain overwrite deletes the live dir before
+    // writing, so a crash there would leave the index unroutable;
+    // writing to a sibling and renaming keeps a complete centroid set
+    // on disk (under one of the two names) at every instant
     val old = spark.read.parquet(centroidsPath).collect()
       .map(r => (r.getLong(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("cv"))))
@@ -202,8 +219,19 @@ object IvfMaintenance {
       (cid, recentered.getOrElse(cid, cv))
     }
     import spark.implicits._
+    val nextDir = new java.io.File(centroidsPath + "_next")
+    if (nextDir.exists())
+      scala.reflect.io.Directory(nextDir).deleteRecursively()
     patched.toSeq.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
+      .coalesce(1).write.parquet(nextDir.getAbsolutePath)
+    val dest = new java.io.File(centroidsPath)
+    val prevDir = new java.io.File(centroidsPath + "_prev")
+    if (prevDir.exists())
+      scala.reflect.io.Directory(prevDir).deleteRecursively()
+    if (dest.exists())
+      java.nio.file.Files.move(dest.toPath, prevDir.toPath)
+    java.nio.file.Files.move(nextDir.toPath, dest.toPath)
+    scala.reflect.io.Directory(prevDir).deleteRecursively()
     // fold ONLY the touched cids' appends into base; the new state
     // lands via the atomic CURRENT swap, so a crash anywhere leaves
     // the previous consistent counters in place

@@ -168,8 +168,6 @@ object GraftParser {
   final case class GenerateManifestStatement(table: String)
     extends Statement
 
-  final class NotImplementedStatement(what: String)
-    extends UnsupportedOperationException(s"$what is not implemented")
   final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
   // ---- tokenizer ----------------------------------------------------
@@ -890,11 +888,6 @@ object GraftParser {
     VacuumStatement(table, mode, dryRun, retain)
   }
 
-  // (every securable object the reference's grammar names — CATALOG,
-  // FOREIGN CATALOG, CONNECTION, LOCATION, SCHEMA, SHARE — is now
-  // implemented; the set is kept for the dispatch shape)
-  private val NotImplementedObjects = Set.empty[String]
-
   private def parseCreateOrDrop(verb: String,
       toks: Vector[Tok]): Option[Statement] = {
     wordAt(toks, 0) match {
@@ -915,8 +908,6 @@ object GraftParser {
         // catalog and must keep delegating
         if (verb == "CREATE") parseCreateSchema(toks.drop(1))
         else parseDropSchema(toks.drop(1))
-      case Some(obj) if NotImplementedObjects(obj) && verb == "CREATE" =>
-        throw new NotImplementedStatement(s"CREATE $obj")
       case Some("SHARE") =>
         if (verb == "CREATE") Some(parseCreateShare(toks.drop(1)))
         else Some(parseDropShare(toks.drop(1)))
@@ -1084,23 +1075,8 @@ object GraftParser {
           i += 2
         case Some("OPTIONS") =>
           if (options.nonEmpty) throw new ParseException("OPTIONS already set")
-          if (!toks.lift(i + 1).exists(_.text == "("))
-            throw new ParseException("expected ( after OPTIONS")
-          val close = toks.indexWhere(_.text == ")", i + 1)
-          if (close < 0) throw new ParseException("unterminated OPTIONS")
-          val opts = Map.newBuilder[String, String]
-          var j = i + 2
-          while (j < close) {
-            toks(j) match {
-              case Sym(",") => j += 1
-              case k =>
-                val v = toks.lift(j + 1).getOrElse(
-                  throw new ParseException("expected option value"))
-                opts += identText(k) -> identText(v)
-                j += 2
-            }
-          }
-          options = opts.result(); i = close + 1
+          val (opts, next) = parseOptionsAt(toks, i + 1, "CREATE SCHEMA")
+          options = opts; i = next
         case other =>
           throw new ParseException(s"Unexpected token in CREATE SCHEMA: $other")
       }
@@ -1185,24 +1161,8 @@ object GraftParser {
           i += 3
         case Some("OPTIONS") =>
           if (options.nonEmpty) throw new ParseException("OPTIONS already set")
-          if (!toks.lift(i + 1).exists(_.text == "("))
-            throw new ParseException("expected ( after OPTIONS")
-          i += 2
-          val opts = Map.newBuilder[String, String]
-          var done = false
-          while (!done) {
-            toks.lift(i) match {
-              case Some(Sym(")")) => done = true; i += 1
-              case Some(Sym(",")) => i += 1
-              case Some(k) =>
-                val v = toks.lift(i + 1).getOrElse(
-                  throw new ParseException("expected option value"))
-                opts += identText(k) -> identText(v)
-                i += 2
-              case None => throw new ParseException("unterminated OPTIONS")
-            }
-          }
-          options = opts.result()
+          val (opts, next) = parseOptionsAt(toks, i + 1, "CREATE CATALOG")
+          options = opts; i = next
         case other =>
           throw new ParseException(s"Unexpected token in CREATE CATALOG: $other")
       }
@@ -1303,24 +1263,8 @@ object GraftParser {
         case Some("OPTIONS") =>
           if (options.nonEmpty)
             throw new ParseException("OPTIONS already set")
-          if (!toks.lift(i + 1).exists(_.text == "("))
-            throw new ParseException("expected ( after OPTIONS")
-          i += 2
-          val opts = Map.newBuilder[String, String]
-          var done = false
-          while (!done) {
-            toks.lift(i) match {
-              case Some(Sym(")")) => done = true; i += 1
-              case Some(Sym(",")) => i += 1
-              case Some(k) =>
-                val v = toks.lift(i + 1).getOrElse(
-                  throw new ParseException("expected option value"))
-                opts += identText(k) -> identText(v)
-                i += 2
-              case None => throw new ParseException("unterminated OPTIONS")
-            }
-          }
-          options = opts.result()
+          val (opts, next) = parseOptionsAt(toks, i + 1, "CREATE LOCATION")
+          options = opts; i = next
         case other => throw new ParseException(
           s"Unexpected token in CREATE LOCATION: $other")
       }

@@ -89,7 +89,7 @@ class CommandsSpec extends AnyFunSuite {
       Some(DropCatalogStatement("c", ifExists = true, cascade = true)))
   }
 
-  test("stubs raise NotImplemented; plain SQL delegates") {
+  test("malformed securable DDL gets our diagnosis; plain SQL delegates") {
     // every securable the reference's grammar names is now implemented;
     // malformed shapes fail with OUR diagnosis, not a silent delegate
     intercept[GraftParser.ParseException] {
@@ -378,6 +378,34 @@ class CommandsSpec extends AnyFunSuite {
     assert(g.sql("DROP CONNECTION IF EXISTS pg").collect()
       .head.getString(2) == "NOT_FOUND")
     assert(g.sql("SHOW CONNECTIONS").collect().isEmpty)
+  }
+
+  test("foreign catalogs never gain a local DSv2 binding; re-runs are idempotent") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    g.sql("CREATE CONNECTION pg TYPE postgresql")
+    g.sql("CREATE FOREIGN CATALOG fcat USING CONNECTION pg")
+    assert(spark.conf.getOption("spark.sql.catalog.fcat").isEmpty,
+      "foreign catalog must not alias the local plugin registry")
+    // CREATE CATALOG IF NOT EXISTS over the existing FOREIGN catalog is
+    // a no-op and must not bind the name either
+    g.sql("CREATE CATALOG IF NOT EXISTS fcat")
+    assert(spark.conf.getOption("spark.sql.catalog.fcat").isEmpty,
+      "IF NOT EXISTS over a foreign catalog must not bind the plugin")
+    // idempotent foreign re-run survives the connection being gone
+    g.sql("DROP CATALOG fcat")
+    g.sql("CREATE FOREIGN CATALOG fcat USING CONNECTION pg")
+    intercept[IllegalArgumentException] { g.sql("DROP CONNECTION pg") }
+    assert(g.sql(
+      "CREATE FOREIGN CATALOG IF NOT EXISTS fcat USING CONNECTION nope")
+      .collect().head.getString(0) == "fcat")
+    // case-sensitive reference scan: 'PG' is a DIFFERENT securable and
+    // drops freely while 'pg' stays protected
+    g.sql("CREATE CONNECTION PG TYPE mysql")
+    assert(g.sql("DROP CONNECTION PG").collect()
+      .head.getString(2) == "DROPPED")
+    g.sql("DROP CATALOG fcat")
+    g.sql("DROP CONNECTION pg")
   }
 
   test("vacuum: dry run lists unreferenced files, real run deletes them") {

@@ -125,6 +125,35 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(r2.retrain && r2.touched.contains(1L), s"$r2")
   }
 
+  test("recordBase sums unaggregated duplicate-cid rows like recordAppend") {
+    val path = s"$tmp/ivf_maint_dupes"
+    import spark.implicits._
+    // per-partition (unaggregated) counts: cid 0 appears twice
+    IvfMaintenance.recordBase(spark, path,
+      Seq((0L, 3L), (0L, 2L), (1L, 4L)).toDF("cid", "rows"))
+    val r = IvfMaintenance.driftReport(spark, path)
+    assert(r.baseRows == 9, s"expected 3+2+4 summed, got $r")
+  }
+
+  test("retrain survives a crash-consistent counter contract (state pointer)") {
+    val path = s"$tmp/ivf_maint_ptr"
+    import spark.implicits._
+    IvfMaintenance.recordBase(spark, path,
+      Seq((0L, 10L)).toDF("cid", "rows"))
+    IvfMaintenance.recordAppend(spark, path,
+      Seq((0L, 1L)).toDF("cid", "rows"))
+    IvfMaintenance.recordAppend(spark, path,
+      Seq((0L, 2L)).toDF("cid", "rows"))
+    // sequential read-modify-writes accumulate (no lost updates), and
+    // exactly one CURRENT pointer selects one live state version
+    val r = IvfMaintenance.driftReport(spark, path)
+    assert(r.baseRows == 10 && r.appendedRows == 3, s"$r")
+    val maint = new java.io.File(path + "_maint")
+    assert(new java.io.File(maint, "CURRENT").exists())
+    val states = maint.listFiles().count(_.getName.startsWith("state_v"))
+    assert(states == 1, s"superseded state dirs must be swept, found $states")
+  }
+
   test("skew trigger fires when one partition dwarfs the average") {
     val path = s"$tmp/ivf_maint_skew"
     // skew = max/avg is bounded by the partition count, so 5 partitions
