@@ -589,6 +589,19 @@ final class GraftSession(val spark: SparkSession) {
     case s: CreateForeignCatalogStatement =>
       LocalCatalog.createForeignCatalog(spark, s.name, s.connection,
         s.comment, s.options, s.ifNotExists)
+    case s: AlterShareAddStatement =>
+      LocalCatalog.addShareTable(spark, s.share, resolveTablePath(s.path),
+        s.schema, s.table)
+    case s: AlterShareRemoveStatement =>
+      LocalCatalog.removeShareTable(spark, s.share, s.schema, s.table)
+    case ShowShareObjectsStatement(share) =>
+      val d = LocalCatalog.getShare(share).getOrElse(
+        throw new IllegalArgumentException(s"Share '$share' not found"))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      d.objects.toSeq.sortBy(_._1).foreach { case (key, path) =>
+        rows.add(org.apache.spark.sql.Row(key, "TABLE", path))
+      }
+      spark.createDataFrame(rows, GraftSession.showShareObjectsSchema)
   }
 
   // one set of quoting rules — the statics in the companion (shared
@@ -715,6 +728,15 @@ object GraftSession {
         org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("comment",
         org.apache.spark.sql.types.StringType, nullable = true)))
+
+  val showShareObjectsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("shared_object",
+        org.apache.spark.sql.types.StringType, nullable = false)))
 
   val showConnectionsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -54,7 +54,8 @@ object LocalCatalog {
     * the delta-sharing provider half lives on the remote end the
     * sandbox cannot reach, so the share here is the local registry
     * object with the same lifecycle and securable rows. */
-  final case class ShareDef(name: String, comment: Option[String] = None)
+  final case class ShareDef(name: String, comment: Option[String] = None,
+      objects: Map[String, String] = Map.empty) // "schema.table" -> path
 
   /** EXTERNAL LOCATION securable (the reference stubs
     * parse_create_location at sql/parser.rs:350): a named storage URL
@@ -343,8 +344,55 @@ object LocalCatalog {
     if (users.nonEmpty) throw new IllegalArgumentException(
       s"Share '$name' is referenced by catalog(s) " +
         s"${users.toSeq.sorted.mkString(", ")} — drop them first")
-    shares.remove(name)
+    val dropped = shares.remove(name)
+    // retract the dropped share's published objects (path-guarded: a
+    // same-named registration from another source stays)
+    for ((key, path) <- dropped.objects) key.split("\\.", 2) match {
+      case Array(sch, tbl)
+        if GraftCatalog.lookupPath(Seq(sch, tbl)).contains(path) =>
+        GraftCatalog.unregister(sch, tbl)
+      case _ =>
+    }
     result(spark, dropSchema, Row(name, "share", "DROPPED"))
+  }
+
+  /** ALTER SHARE ADD TABLE: record the object on the share AND publish
+    * it to the DSv2 registry under the shared (schema, table) name —
+    * the registry is flat across graft catalog names, so a catalog
+    * created USING SHARE (or any bound graft catalog) serves reads
+    * through `<catalog>.<schema>.<table>` immediately. This is the
+    * local stand-in for the delta-sharing data plane (the remote
+    * provider's presigned-URL protocol is unreachable zero-egress,
+    * the same argument as the UC REST surface). */
+  def addShareTable(spark: SparkSession, share: String, path: String,
+      schema: String, table: String): DataFrame = {
+    val key = s"$schema.$table"
+    val updated = shares.computeIfPresent(share, (_, s) =>
+      s.copy(objects = s.objects + (key -> path)))
+    if (updated == null)
+      throw new IllegalArgumentException(s"Share '$share' not found")
+    GraftCatalog.register(schema, table, path)
+    result(spark, createSchema,
+      Row(s"$share.$key", "shared_table", describeShare(updated)))
+  }
+
+  /** ALTER SHARE REMOVE TABLE: drop the object and retract the
+    * registry entry — but only when the registry still maps the shared
+    * name to THIS share's path (a same-named table registered by a
+    * schema securable or registerDelta is not ours to remove). */
+  def removeShareTable(spark: SparkSession, share: String,
+      schema: String, table: String): DataFrame = {
+    val key = s"$schema.$table"
+    val prev = Option(shares.get(share)).getOrElse(
+      throw new IllegalArgumentException(s"Share '$share' not found"))
+    val path = prev.objects.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"Share '$share' does not contain table '$key'"))
+    shares.computeIfPresent(share, (_, s) =>
+      s.copy(objects = s.objects - key))
+    if (GraftCatalog.lookupPath(Seq(schema, table)).contains(path))
+      GraftCatalog.unregister(schema, table)
+    result(spark, dropSchema, Row(s"$share.$key", "shared_table", "REMOVED"))
   }
 
   def createLocation(spark: SparkSession, d: LocationDef,
@@ -390,8 +438,11 @@ object LocalCatalog {
   }
 
   private def describeShare(d: ShareDef): String =
-    (Seq(Some(s""""name":${js(d.name)}""")) :+
-      d.comment.map(v => s""""comment":${js(v)}""")).flatten
+    ((Seq(Some(s""""name":${js(d.name)}""")) :+
+      d.comment.map(v => s""""comment":${js(v)}""")).flatten ++
+      (if (d.objects.isEmpty) Seq.empty
+      else Seq(s""""objects":{${d.objects.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")}}""")))
       .mkString("{", ",", "}")
 
   private def describeLocation(d: LocationDef): String = {

@@ -258,6 +258,30 @@ object CommandQueries {
       listed
     },
 
+    // Share CONTENT management: ALTER SHARE ADD TABLE publishes the
+    // table under its shared name (readable through any bound graft
+    // catalog — the read path is pinned in CommandsSpec); SHOW ALL IN
+    // SHARE lists the share's objects. Uses the sf-independent logdemo
+    // fixture so the oracle's path literals are stable.
+    Q("q_share_objects",
+      s"""SELECT * FROM (VALUES
+         |  ('sales.orders_live', 'TABLE', '${DeltaQueries.LogDemoPath}'),
+         |  ('sales.orders_mirror', 'TABLE', '${DeltaQueries.LogDemoPath}'))
+         |  AS t(name, type, shared_object)
+         |ORDER BY name""".stripMargin) { (s, dir) =>
+      val p = DeltaQueries.logDemoTable(s, dir)
+      val g = GraftSession(s)
+      g.sql("DROP SHARE IF EXISTS salesq")
+      g.sql("CREATE SHARE salesq")
+      g.sql(s"ALTER SHARE salesq ADD TABLE '$p' AS sales.orders_live")
+      g.sql(s"ALTER SHARE salesq ADD TABLE '$p' AS sales.orders_mirror")
+      val listed = g.sql("SHOW ALL IN SHARE salesq")
+      g.sql("ALTER SHARE salesq REMOVE TABLE sales.orders_mirror")
+      g.sql("ALTER SHARE salesq REMOVE TABLE sales.orders_live")
+      g.sql("DROP SHARE salesq")
+      listed
+    },
+
     // EXTERNAL LOCATION securable lifecycle (the reference's
     // parse_create_location todo! at sql/parser.rs:350): both the
     // reference's bare CREATE LOCATION and the ecosystem's CREATE

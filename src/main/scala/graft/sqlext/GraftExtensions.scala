@@ -216,6 +216,10 @@ final case class GraftCommand(stmt: Statement) extends LeafRunnableCommand {
       case ShowConnectionsStatement =>
         graft.GraftSession.showConnectionsSchema
       case _: CreateForeignCatalogStatement => LocalCatalog.createSchema
+      case _: AlterShareAddStatement => LocalCatalog.createSchema
+      case _: AlterShareRemoveStatement => LocalCatalog.dropSchema
+      case _: ShowShareObjectsStatement =>
+        graft.GraftSession.showShareObjectsSchema
     }
     DataTypeUtils.toAttributes(schema)
   }

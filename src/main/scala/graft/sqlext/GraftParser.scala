@@ -94,6 +94,17 @@ object GraftParser {
   final case class DropShareStatement(name: String, ifExists: Boolean)
       extends Statement
   case object ShowSharesStatement extends Statement
+  /** ALTER SHARE <share> ADD TABLE '<path>' AS <schema>.<table> /
+    * REMOVE TABLE <schema>.<table> — share content management. Adding
+    * publishes the table under the shared (schema, table) name so a
+    * catalog created USING SHARE serves reads through it. */
+  final case class AlterShareAddStatement(share: String, path: String,
+      schema: String, table: String) extends Statement
+  final case class AlterShareRemoveStatement(share: String,
+      schema: String, table: String) extends Statement
+  /** SHOW ALL IN SHARE <share>: the share's published objects. */
+  final case class ShowShareObjectsStatement(share: String)
+      extends Statement
   /** EXTERNAL LOCATION securable (the reference stubs
     * parse_create_location at sql/parser.rs:350). Both the reference's
     * bare `CREATE LOCATION` and the ecosystem's `CREATE EXTERNAL
@@ -298,6 +309,14 @@ object GraftParser {
       case w: Word if w.upper == "ALTER" &&
           wordAt(toks, 1).contains("TABLE") =>
         Some(parseAlter(toks.drop(2)))
+      case w: Word if w.upper == "ALTER" &&
+          wordAt(toks, 1).contains("SHARE") =>
+        Some(parseAlterShare(toks.drop(2)))
+      case w: Word if w.upper == "SHOW" && toks.length == 5 &&
+          wordAt(toks, 1).contains("ALL") &&
+          wordAt(toks, 2).contains("IN") &&
+          wordAt(toks, 3).contains("SHARE") =>
+        Some(ShowShareObjectsStatement(identText(toks(4))))
       case w: Word if w.upper == "DELETE" &&
           wordAt(toks, 1).contains("FROM") =>
         Some(parseDelete(toks.drop(2)))
@@ -1198,6 +1217,41 @@ object GraftParser {
       }
     }
     CreateShareStatement(name, ifNotExists, comment)
+  }
+
+  /** ALTER SHARE <name> ADD TABLE '<path>' AS <schema>.<table>
+    * | REMOVE TABLE <schema>.<table>. */
+  private def parseAlterShare(toks: Vector[Tok]): Statement = {
+    val share = identText(toks.lift(0).getOrElse(
+      throw new ParseException("ALTER SHARE requires a share name")))
+    def sharedName(at: Int): (String, String) = {
+      val sch = identText(toks.lift(at).getOrElse(
+        throw new ParseException("expected <schema>.<table>")))
+      if (!toks.lift(at + 1).exists(_.text == "."))
+        throw new ParseException(
+          "shared table names are two-part: <schema>.<table>")
+      val tbl = identText(toks.lift(at + 2).getOrElse(
+        throw new ParseException("expected table name after '.'")))
+      if (at + 3 < toks.length)
+        throw new ParseException(
+          s"Unexpected trailing tokens: ${toks.drop(at + 3)}")
+      (sch, tbl)
+    }
+    (wordAt(toks, 1), wordAt(toks, 2)) match {
+      case (Some("ADD"), Some("TABLE")) =>
+        val path = identText(toks.lift(3).getOrElse(
+          throw new ParseException("expected table path after ADD TABLE")))
+        if (!wordAt(toks, 4).contains("AS"))
+          throw new ParseException(
+            "ALTER SHARE ADD TABLE requires AS <schema>.<table>")
+        val (sch, tbl) = sharedName(5)
+        AlterShareAddStatement(share, path, sch, tbl)
+      case (Some("REMOVE"), Some("TABLE")) =>
+        val (sch, tbl) = sharedName(3)
+        AlterShareRemoveStatement(share, sch, tbl)
+      case other => throw new ParseException(
+        s"expected ADD TABLE or REMOVE TABLE after ALTER SHARE, got $other")
+    }
   }
 
   private def parseDropShare(toks: Vector[Tok]): DropShareStatement = {

@@ -305,6 +305,32 @@ class CommandsSpec extends AnyFunSuite {
       .head.getString(2) == "NOT_FOUND")
   }
 
+  test("shared tables serve reads through a consuming catalog") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val p = graft.queries.DeltaQueries.logDemoTable(spark, sf)
+    g.sql("CREATE SHARE prov_share")
+    g.sql(s"ALTER SHARE prov_share ADD TABLE '$p' AS shared_sales.orders")
+    // the consumer mounts the share as a catalog; the shared name
+    // resolves through the DSv2 plugin and serves REAL reads
+    g.sql("CREATE CATALOG consumer USING SHARE provider.prov_share")
+    val viaCatalog = spark
+      .sql("SELECT count(*) FROM consumer.shared_sales.orders")
+      .head.getLong(0)
+    val direct = graft.delta.DeltaTable.forPath(spark, p).read.count()
+    assert(direct > 0 && viaCatalog == direct,
+      s"shared read $viaCatalog != direct $direct")
+    // SHOW ALL IN SHARE lists the object; REMOVE retracts resolution
+    assert(g.sql("SHOW ALL IN SHARE prov_share").collect()
+      .map(_.getString(0)).toSeq == Seq("shared_sales.orders"))
+    g.sql("ALTER SHARE prov_share REMOVE TABLE shared_sales.orders")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM consumer.shared_sales.orders").collect()
+    }
+    g.sql("DROP CATALOG consumer")
+    g.sql("DROP SHARE prov_share")
+  }
+
   test("external location lifecycle: both spellings, credential, options") {
     val g = GraftSession(spark)
     LocalCatalog.clear()
