@@ -99,6 +99,7 @@ object LocalCatalog {
   def list(): Seq[CatalogDef] = catalogs.values.asScala.toSeq.sortBy(_.name)
   def clear(): Unit = {
     catalogs.clear(); shares.clear(); locations.clear(); connections.clear()
+    sharePublications.clear()
   }
 
   def getShare(name: String): Option[ShareDef] = Option(shares.get(name))
@@ -345,12 +346,11 @@ object LocalCatalog {
       s"Share '$name' is referenced by catalog(s) " +
         s"${users.toSeq.sorted.mkString(", ")} — drop them first")
     val dropped = shares.remove(name)
-    // retract the dropped share's published objects (path-guarded: a
-    // same-named registration from another source stays)
-    for ((key, path) <- dropped.objects) key.split("\\.", 2) match {
-      case Array(sch, tbl)
-        if GraftCatalog.lookupPath(Seq(sch, tbl)).contains(path) =>
-        GraftCatalog.unregister(sch, tbl)
+    // retract the dropped share's claims through the publication
+    // ledger — another share still publishing the same name, or a
+    // pre-existing (adopted) registration, keeps resolving
+    for (key <- dropped.objects.keys) key.split("\\.", 2) match {
+      case Array(sch, tbl) => unpublishShareTable(sch, tbl)
       case _ =>
     }
     result(spark, dropSchema, Row(name, "share", "DROPPED"))
@@ -364,34 +364,77 @@ object LocalCatalog {
     * local stand-in for the delta-sharing data plane (the remote
     * provider's presigned-URL protocol is unreachable zero-egress,
     * the same argument as the UC REST surface). */
+  /** Share-publication ownership ledger, keyed by the LOWERCASED
+    * (schema, table) the registry itself uses: (path, number of shares
+    * publishing it, whether the mapping pre-existed the first share
+    * publication). Shares only retract registry entries they own —
+    * the last un-publish of a non-adopted mapping unregisters; an
+    * adopted (pre-existing) mapping is never removed. All mutations
+    * run under [[registryLock]] together with dropShare, so ADD racing
+    * DROP SHARE cannot leak a registration. */
+  private val sharePublications =
+    new ConcurrentHashMap[(String, String), (String, Int, Boolean)]()
+
   def addShareTable(spark: SparkSession, share: String, path: String,
-      schema: String, table: String): DataFrame = {
-    val key = s"$schema.$table"
+      schema: String, table: String): DataFrame = registryLock.synchronized {
+    val key = s"${schema.toLowerCase}.${table.toLowerCase}"
+    val regKey = (schema.toLowerCase, table.toLowerCase)
+    val existing = GraftCatalog.lookupPath(Seq(schema, table))
+    val pub = Option(sharePublications.get(regKey))
+    // a shared name must not silently redirect an existing registration
+    // (another share's object with a different path, a schema-securable
+    // table, or a registerDelta entry)
+    if (existing.exists(_ != path))
+      throw new IllegalArgumentException(
+        s"'$key' already resolves to '${existing.get}' — a shared table " +
+          "cannot redirect an existing registration")
     val updated = shares.computeIfPresent(share, (_, s) =>
       s.copy(objects = s.objects + (key -> path)))
     if (updated == null)
       throw new IllegalArgumentException(s"Share '$share' not found")
-    GraftCatalog.register(schema, table, path)
+    pub match {
+      case Some((p, n, adopted)) =>
+        sharePublications.put(regKey, (p, n + 1, adopted))
+      case None =>
+        sharePublications.put(regKey,
+          (path, 1, existing.isDefined)) // adopted = was already there
+        GraftCatalog.register(schema, table, path)
+    }
     result(spark, createSchema,
       Row(s"$share.$key", "shared_table", describeShare(updated)))
   }
 
-  /** ALTER SHARE REMOVE TABLE: drop the object and retract the
-    * registry entry — but only when the registry still maps the shared
-    * name to THIS share's path (a same-named table registered by a
-    * schema securable or registerDelta is not ours to remove). */
+  /** Retract one share's claim on a published name: decrement the
+    * ledger, unregister only when this was the LAST share publishing it
+    * and the mapping did not pre-exist the shares. Caller holds
+    * [[registryLock]]. */
+  private def unpublishShareTable(schema: String, table: String): Unit = {
+    val regKey = (schema.toLowerCase, table.toLowerCase)
+    Option(sharePublications.get(regKey)) match {
+      case Some((p, n, adopted)) if n > 1 =>
+        sharePublications.put(regKey, (p, n - 1, adopted))
+      case Some((p, _, adopted)) =>
+        sharePublications.remove(regKey)
+        if (!adopted && GraftCatalog.lookupPath(Seq(schema, table))
+            .contains(p))
+          GraftCatalog.unregister(schema, table)
+      case None => // nothing published (stale object entry): no-op
+    }
+  }
+
+  /** ALTER SHARE REMOVE TABLE: drop the object and retract this
+    * share's claim on the published name (see the ledger above). */
   def removeShareTable(spark: SparkSession, share: String,
-      schema: String, table: String): DataFrame = {
-    val key = s"$schema.$table"
+      schema: String, table: String): DataFrame = registryLock.synchronized {
+    val key = s"${schema.toLowerCase}.${table.toLowerCase}"
     val prev = Option(shares.get(share)).getOrElse(
       throw new IllegalArgumentException(s"Share '$share' not found"))
-    val path = prev.objects.getOrElse(key,
+    if (!prev.objects.contains(key))
       throw new IllegalArgumentException(
-        s"Share '$share' does not contain table '$key'"))
+        s"Share '$share' does not contain table '$key'")
     shares.computeIfPresent(share, (_, s) =>
       s.copy(objects = s.objects - key))
-    if (GraftCatalog.lookupPath(Seq(schema, table)).contains(path))
-      GraftCatalog.unregister(schema, table)
+    unpublishShareTable(schema, table)
     result(spark, dropSchema, Row(s"$share.$key", "shared_table", "REMOVED"))
   }
 

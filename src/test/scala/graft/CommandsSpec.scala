@@ -331,6 +331,41 @@ class CommandsSpec extends AnyFunSuite {
     g.sql("DROP SHARE prov_share")
   }
 
+  test("share publications are refcounted, case-normalized, never redirect") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val p = graft.queries.DeltaQueries.logDemoTable(spark, sf)
+    g.sql("CREATE SHARE sa"); g.sql("CREATE SHARE sb")
+    // case-insensitive object identity (the registry lowercases)
+    g.sql(s"ALTER SHARE sa ADD TABLE '$p' AS Mixed.Case")
+    g.sql("ALTER SHARE sa REMOVE TABLE mixed.case") // normalized spelling
+    // two shares publish the same (name, path): the survivor keeps
+    // resolving after the first retracts
+    g.sql(s"ALTER SHARE sa ADD TABLE '$p' AS both.orders")
+    g.sql(s"ALTER SHARE sb ADD TABLE '$p' AS both.orders")
+    g.sql("CREATE CATALOG cons USING SHARE prov.sb")
+    g.sql("ALTER SHARE sa REMOVE TABLE both.orders")
+    assert(spark.sql("SELECT count(*) FROM cons.both.orders")
+      .head.getLong(0) > 0, "share B's publication must survive A's removal")
+    // a shared name must not redirect an existing registration
+    intercept[IllegalArgumentException] {
+      g.sql("ALTER SHARE sb ADD TABLE '/elsewhere/tbl' AS both.orders")
+    }
+    g.sql("ALTER SHARE sb REMOVE TABLE both.orders")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM cons.both.orders").collect()
+    }
+    // a pre-existing (adopted) registration survives share teardown
+    graft.catalog.GraftCatalog.register("pre", "kept", p)
+    g.sql(s"ALTER SHARE sa ADD TABLE '$p' AS pre.kept")
+    g.sql("ALTER SHARE sa REMOVE TABLE pre.kept")
+    assert(graft.catalog.GraftCatalog.lookupPath(Seq("pre", "kept"))
+      .contains(p), "adopted registration must survive the share's removal")
+    g.sql("DROP CATALOG cons")
+    g.sql("DROP SHARE sa"); g.sql("DROP SHARE sb")
+    graft.catalog.GraftCatalog.unregister("pre", "kept")
+  }
+
   test("external location lifecycle: both spellings, credential, options") {
     val g = GraftSession(spark)
     LocalCatalog.clear()
