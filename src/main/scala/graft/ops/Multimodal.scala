@@ -25,6 +25,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed cache file per ImageInputStream —
+  // a temp-file create/delete around every decode/encode. Payloads here
+  // are in-memory byte arrays; cache in memory. (Executor-side: this
+  // object initializes once per JVM before first use.)
+  ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
   /** Real decode result: dimensions plus one value-sum per frame
@@ -124,8 +130,27 @@ object Multimodal {
 
   // ---- real decoders --------------------------------------------------
 
+  // ImageIO.read scans the reader registry and allocates a fresh
+  // reader per call — measurable at millions of rows. One PNG reader
+  // per thread (readers are stateful, not thread-safe) is the standard
+  // hot-loop form; setInput resets it per payload.
+  private val pngReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        ImageIO.getImageReadersByFormatName("png").next()
+    }
+
   private def decodePng(bytes: Array[Byte]): (Int, Int, Long) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val reader = pngReader.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    val img = try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        "not a decodable image payload", e)
+    } finally iis.close()
     require(img != null, "not a decodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster

@@ -75,6 +75,20 @@ object MultimodalQueries {
     path
   }
 
+  /** The media table is tiny in BYTES but expensive per ROW (codec
+    * work): Spark's byte-based parquet splits would hand the WHOLE
+    * decode to one task (a 10 MB file is one split), so spread rows
+    * across the cluster first — decode parallelism must track row
+    * count, not file size. Measured at 10× scale: 11.4 s single-split
+    * → per-core once spread (the shuffle moves only the tiny payload
+    * bytes). */
+  private def decodeSpread(s: SparkSession, fixturePath: String) = {
+    import s.implicits._
+    s.read.parquet(s"$fixturePath/media.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Multimodal.MediaRow]
+  }
+
   val all: Seq[Q] = Seq(
 
     // Feature extraction with a REAL decode in the task path: PNG and
@@ -89,8 +103,7 @@ object MultimodalQueries {
       import s.implicits._
       val p = mediaFixture(s, dir)
       DeltaQueries.refreshAlias(MediaOracleAlias, p)
-      Multimodal.extractFeatures(
-        s.read.parquet(s"$p/media.parquet").as[Multimodal.MediaRow])
+      Multimodal.extractFeatures(decodeSpread(s, p))
         .toDF()
         .select("media_id", "kind", "n_bytes", "fingerprint",
           "width", "height", "n_frames", "value_sum")
@@ -109,8 +122,7 @@ object MultimodalQueries {
       import s.implicits._
       val p = mediaFixture(s, dir)
       DeltaQueries.refreshAlias(MediaOracleAlias, p)
-      Multimodal.sampleFrames(
-        s.read.parquet(s"$p/media.parquet").as[Multimodal.MediaRow])
+      Multimodal.sampleFrames(decodeSpread(s, p))
         .orderBy("media_id", "frame_idx")
     })
 }
