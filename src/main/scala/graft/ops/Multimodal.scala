@@ -151,7 +151,6 @@ object Multimodal {
       case e: Exception => throw new IllegalArgumentException(
         "not a decodable image payload", e)
     } finally iis.close()
-    require(img != null, "not a decodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     var sum = 0L

@@ -43,6 +43,9 @@ object MultimodalQueries {
         import spark.implicits._
         val ids = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("long")).as[Long]
+          // the encode pass is row-expensive over byte-tiny input —
+          // same spread rationale as decodeSpread below
+          .repartition(spark.sparkContext.defaultParallelism)
         // one encode pass, on the executors
         ids.mapPartitions(_.map(Multimodal.encode))
           .write.parquet(s"$path/media.parquet")
