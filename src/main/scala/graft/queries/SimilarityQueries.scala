@@ -287,6 +287,48 @@ object SimilarityQueries {
         probeId = 0, k = 20, nprobe = 8)
     },
 
+    // STREAMING ANN ingest: the incremental batch arrives as a vector
+    // firehose (two micro-batch files) and each micro-batch is assigned
+    // to the EXISTING centroids — the streaming face of the index
+    // maintenance q_sim_ann_incremental does in batch. The centroid set
+    // is static and broadcast (tiny by construction), so a micro-batch
+    // costs one broadcast nested-loop + one keyed argmax; state is
+    // keyed by the STREAMED vectors only (the corpus never enters the
+    // stream). The oracle recomputes every assignment relationally:
+    // argmax of the dot product over the stored centroid set, ties to
+    // the lower cid — exactly assignTo's rule.
+    Q("q_stream_ann_ingest",
+      s"""WITH batch AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7
+         |), ranked AS (
+         |  SELECT b.vec_id, CAST(c.cid AS BIGINT) AS cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY (${dotSql("c.cv", "b.embedding")}) DESC, c.cid)
+         |      AS rk
+         |  FROM read_parquet('${IvfOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN batch b
+         |)
+         |SELECT vec_id, cid FROM ranked WHERE rk = 1
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.OutputMode
+      val indexPath = ivfIndexPath(s, dir) // ensures centroids + alias
+      val feed = graft.streaming.VecsStream.feedDir(s, dir)
+      graft.streaming.EventsStream.runToMemory(s,
+        ss => {
+          val cent = ss.read.parquet(ivfCentroidsPath(indexPath))
+          graft.streaming.VecsStream.readFeed(ss, feed)
+            .crossJoin(broadcast(cent))
+            .withColumn("sim", dot(col("embedding"), col("cv")))
+            .groupBy("vec_id")
+            .agg(max_by(col("cid"), struct(col("sim"), -col("cid")))
+              .as("cid"))
+        },
+        s"stream_ann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        OutputMode.Complete())
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .orderBy("vec_id")
+    },
+
     // k-NN JOIN: top-k neighbors for a whole probe SET (1% of vectors),
     // not one vector — the shape a batch retrieval / hard-negative
     // mining pass actually runs. Per-probe centroid ranking is a
@@ -493,7 +535,7 @@ object SimilarityQueries {
     * plan shape both the full build and incremental maintenance use:
     * broadcast the (tiny) centroid set, max_by over the dot products
     * (ties broken by lower cid for determinism). */
-  private def assignTo(df: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assignTo(df: DataFrame, centroids: DataFrame): DataFrame =
     df.crossJoin(broadcast(centroids))
       .withColumn("sim", dot(col("embedding"), col("cv")))
       .groupBy("vec_id")

@@ -21,8 +21,8 @@ object DocsStream {
     s"${f.length()}:${graft.queries.DeltaQueries.contentSha(f)}"
   }
 
-  private def writeFeedFile(feedDir: String, df: DataFrame, name: String,
-      mtime: Long): Unit = {
+  private[streaming] def writeFeedFile(feedDir: String, df: DataFrame,
+      name: String, mtime: Long): Unit = {
     val staging = s"$feedDir/.staging_$name"
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = new java.io.File(staging).listFiles()

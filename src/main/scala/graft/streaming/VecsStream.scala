@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-stream feed for the streaming ANN-ingest query: the
+  * incremental batch slice (vec_id % 10 == 7 — the same slice the
+  * batch incremental-IVF maintenance appends) replayed as TWO ordered
+  * micro-batch files of (vec_id, embedding), the shape of a vector
+  * firehose landing on a maintained index. Freshness contract as
+  * [[EventsStream]]: the feed invalidates with the source drop. */
+object VecsStream {
+
+  val feedSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true)))
+
+  private def sourceSig(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/embeddings.parquet")
+    s"${f.length()}:${graft.queries.DeltaQueries.contentSha(f)}"
+  }
+
+  /** The streamed batch slice (one definition, shared with the oracle
+    * expectation). */
+  def batchVecs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.queries.T.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding"))
+
+  def feedDir(spark: SparkSession, sfDir: String): String = {
+    val feedDir =
+      s"target/stream_vec_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val done = new java.io.File(s"$feedDir/_FEED_READY")
+    val fresh = done.exists() && new String(
+      java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") ==
+      sourceSig(sfDir)
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(feedDir))
+      val batch = batchVecs(spark, sfDir)
+      val base = System.currentTimeMillis() - 60000
+      DocsStream.writeFeedFile(feedDir,
+        batch.where(col("vec_id") % 20 === 7), "00_first.parquet", base)
+      DocsStream.writeFeedFile(feedDir,
+        batch.where(col("vec_id") % 20 =!= 7), "01_second.parquet",
+        base + 10000)
+      java.nio.file.Files.write(done.toPath,
+        sourceSig(sfDir).getBytes("UTF-8"))
+    }
+    feedDir
+  }
+
+  def readFeed(spark: SparkSession, feedDir: String): DataFrame =
+    spark.readStream
+      .schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feedDir)
+}

@@ -48,6 +48,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"incremental recall@$k = $recall")
   }
 
+  test("streaming ANN ingest assigns exactly like the batch path") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("q_stream_ann_ingest")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val indexPath = SimilarityQueries.ivfIndexPath(spark, sf)
+    val cent = spark.read.parquet(
+      SimilarityQueries.ivfCentroidsPath(indexPath))
+    val batch = SimilarityQueries.assignTo(
+      graft.streaming.VecsStream.batchVecs(spark, sf)
+        .withColumn("label", lit(0)), cent)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid"))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch assignment divergence: ${
+        (streamed.toSet diff batch.toSet).take(3)} vs ${
+        (batch.toSet diff streamed.toSet).take(3)}")
+  }
+
   test("knn join: k rows per probe, no self-matches, agrees with single-probe ANN") {
     val k = 5
     val rows = SimilarityQueries.knnJoin(spark, sf, k = k, nprobe = 4)
