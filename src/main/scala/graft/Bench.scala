@@ -36,30 +36,48 @@ object Bench {
     // warm-up: JVM/codegen + delta fixture builds (cached on disk)
     queriesWarmup(spark, sfDir)
 
-    // median of N samples per query: a single GC/JIT hiccup must not
-    // write a phantom regression into the round artifact. A query that
-    // THROWS must surface as an error marker, never as a (fast) wall
-    // time — a bench-only crash (e.g. OOM at sf0.1 that passes the
-    // sf0.01 correctness gate) would otherwise read as a speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val outcomes = (1 to samples).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160))
-        }
+    // median of N samples per query, sampled INTERLEAVED: the whole
+    // suite runs S times end-to-end and each query's samples come one
+    // per pass, minutes apart — so an external load window inflates at
+    // most one sample per query instead of all N samples of a
+    // contiguous alphabetical stretch (which the median would then
+    // launder into the artifact; that contaminated the round-11 and
+    // round-12 driver runs). Each sample also records its wall-clock
+    // start, so a contention window is visible in bench_full.json
+    // itself. A query that THROWS must surface as an error marker,
+    // never as a (fast) wall time — a bench-only crash (e.g. OOM at
+    // sf0.1 that passes the sf0.01 correctness gate) would otherwise
+    // read as a speedup.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val outcomesByQuery =
+      scala.collection.mutable.Map.empty[String, Vector[BenchSample]]
+        .withDefaultValue(Vector.empty)
+    for (pass <- 1 to samples; (name, fn) <- ordered) {
+      val startMs = System.currentTimeMillis()
+      val t0 = System.nanoTime()
+      val sample = try {
+        fn(spark, sfDir).count()
+        BenchSample(pass, startMs, (System.nanoTime() - t0) / 1e9, None)
+      } catch { case e: Throwable =>
+        BenchSample(pass, startMs, -1.0, Some(
+          s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)))
       }
-      val errors = outcomes.collect { case Left(m) => m }
+      outcomesByQuery(name) = outcomesByQuery(name) :+ sample
+    }
+    val results = ordered.map { case (name, _) =>
+      val outcomes = outcomesByQuery(name)
+      val errors = outcomes.flatMap(_.error)
       errors.headOption.foreach(m =>
         System.err.println(s"[bench] QUERY FAILED $name: $m"))
-      val times = outcomes.collect { case Right(t) => t }.sorted
+      val times = outcomes.filter(_.error.isEmpty).map(_.sec).sorted
       // ANY failed sample poisons the query: a flaky OOM must not report
       // the median of its surviving samples (the artifact would read as
       // a speedup while the query is broken) — carry -1 consistently
-      if (errors.nonEmpty) BenchResult(name, -1.0, -1.0, -1.0, errors.headOption)
+      if (errors.nonEmpty)
+        BenchResult(name, -1.0, -1.0, -1.0, errors.headOption, outcomes)
       else BenchResult(name, times(times.length / 2), times.head, times.last,
-        None)
+        None, outcomes)
     }
     val failed = results.filter(_.error.isDefined)
     // Locale.ROOT: the f interpolator is locale-sensitive, and a
@@ -75,6 +93,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = failed.map(r => "\"" + r.name + "\":" + jstr(r.error.get))
       .mkString("{", ",", "}")
+    val samplesJson = samplesDetailJson(results)
     // total sums only succeeding queries; errored ones carry -1 in the
     // per-query map and are enumerated in "errors"
     val total = results.filter(_.error.isEmpty).map(_.median).sum
@@ -87,7 +106,7 @@ object Bench {
     val stableTotal = results
       .filter(r => r.error.isEmpty && stableSet(r.name)).map(_.median).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$spread,"n_errors":${failed.length},"errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"sampling":"interleaved_passes","run_epoch_ms":${System.currentTimeMillis()},"spread":$spread,"samples_detail":$samplesJson,"n_errors":${failed.length},"errors":$errJson}"""
     // the driver keeps only the last ~2000 chars of output; persist the full
     // per-query vector to a file and print a compact headline line LAST so it
     // survives the tail buffer intact and parses
@@ -140,7 +159,7 @@ object Bench {
       (shown ++ more).mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"errors":$headErrs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"sampling":"interleaved_passes","n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"errors":$headErrs}""")
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver
@@ -150,8 +169,31 @@ object Bench {
         failed.map(_.name).mkString(", "))
   }
 
+  private[graft] final case class BenchSample(pass: Int, startMs: Long,
+      sec: Double, error: Option[String])
+
   private[graft] final case class BenchResult(name: String, median: Double,
-      min: Double, max: Double, error: Option[String])
+      min: Double, max: Double, error: Option[String],
+      samples: Vector[BenchSample] = Vector.empty)
+
+  /** Per-sample detail (FULL artifact only): pass index, wall-clock
+    * start (epoch ms), seconds. Samples are taken INTERLEAVED (one per
+    * full-suite pass), so a machine-contention window shows up as a
+    * cluster of inflated samples sharing a start_ms range across
+    * unrelated queries — diagnosable from the artifact alone. */
+  private[graft] def samplesDetailJson(results: Seq[BenchResult]): String = {
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    results.map { r =>
+      val arr = r.samples.map(s =>
+        s"""{"pass":${s.pass},"start_ms":${s.startMs},"sec":${fmt(s.sec)}""" +
+          s.error.map(m => ",\"err\":" + jstr(m.take(80))).getOrElse("") + "}")
+        .mkString("[", ",", "]")
+      "\"" + r.name + "\":" + arr
+    }.mkString("{", ",", "}")
+  }
 
   /** Contention self-diagnosis for the HEADLINE artifact: the compact
     * [min,max] map of only the queries whose sample spread says the

@@ -598,8 +598,8 @@ final class GraftSession(val spark: SparkSession) {
       val d = LocalCatalog.getShare(share).getOrElse(
         throw new IllegalArgumentException(s"Share '$share' not found"))
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      d.objects.toSeq.sortBy(_._1).foreach { case (key, path) =>
-        rows.add(org.apache.spark.sql.Row(key, "TABLE", path))
+      d.objects.toSeq.sortBy(t => t._1).foreach { case ((sch, tbl), path) =>
+        rows.add(org.apache.spark.sql.Row(s"$sch.$tbl", "TABLE", path))
       }
       spark.createDataFrame(rows, GraftSession.showShareObjectsSchema)
   }

@@ -54,8 +54,12 @@ object LocalCatalog {
     * the delta-sharing provider half lives on the remote end the
     * sandbox cannot reach, so the share here is the local registry
     * object with the same lifecycle and securable rows. */
+  // objects keyed by the (schema, table) TUPLE, not a joined
+  // "schema.table" string: identifiers may legally contain dots (via
+  // backticks in the parser's identText), and a string key would split
+  // at the wrong boundary on retraction, leaking the registration
   final case class ShareDef(name: String, comment: Option[String] = None,
-      objects: Map[String, String] = Map.empty) // "schema.table" -> path
+      objects: Map[(String, String), String] = Map.empty)
 
   /** EXTERNAL LOCATION securable (the reference stubs
     * parse_create_location at sql/parser.rs:350): a named storage URL
@@ -349,10 +353,7 @@ object LocalCatalog {
     // retract the dropped share's claims through the publication
     // ledger — another share still publishing the same name, or a
     // pre-existing (adopted) registration, keeps resolving
-    for (key <- dropped.objects.keys) key.split("\\.", 2) match {
-      case Array(sch, tbl) => unpublishShareTable(sch, tbl)
-      case _ =>
-    }
+    for ((sch, tbl) <- dropped.objects.keys) unpublishShareTable(sch, tbl)
     result(spark, dropSchema, Row(name, "share", "DROPPED"))
   }
 
@@ -381,6 +382,16 @@ object LocalCatalog {
     val regKey = (schema.toLowerCase, table.toLowerCase)
     val existing = GraftCatalog.lookupPath(Seq(schema, table))
     val pub = Option(sharePublications.get(regKey))
+    // a duplicate ADD of the same shared name to the same share must
+    // fail BEFORE the ledger mutates (the objects map would stay one
+    // entry while the refcount incremented — after the single REMOVE
+    // the registration would then leak forever), matching
+    // removeShareTable's contains check
+    val prev = Option(shares.get(share)).getOrElse(
+      throw new IllegalArgumentException(s"Share '$share' not found"))
+    if (prev.objects.contains(regKey))
+      throw new IllegalArgumentException(
+        s"Share '$share' already contains table '$key'")
     // a shared name must not silently redirect an existing registration
     // (another share's object with a different path, a schema-securable
     // table, or a registerDelta entry)
@@ -389,9 +400,7 @@ object LocalCatalog {
         s"'$key' already resolves to '${existing.get}' — a shared table " +
           "cannot redirect an existing registration")
     val updated = shares.computeIfPresent(share, (_, s) =>
-      s.copy(objects = s.objects + (key -> path)))
-    if (updated == null)
-      throw new IllegalArgumentException(s"Share '$share' not found")
+      s.copy(objects = s.objects + (regKey -> path)))
     pub match {
       case Some((p, n, adopted)) =>
         sharePublications.put(regKey, (p, n + 1, adopted))
@@ -427,13 +436,14 @@ object LocalCatalog {
   def removeShareTable(spark: SparkSession, share: String,
       schema: String, table: String): DataFrame = registryLock.synchronized {
     val key = s"${schema.toLowerCase}.${table.toLowerCase}"
+    val regKey = (schema.toLowerCase, table.toLowerCase)
     val prev = Option(shares.get(share)).getOrElse(
       throw new IllegalArgumentException(s"Share '$share' not found"))
-    if (!prev.objects.contains(key))
+    if (!prev.objects.contains(regKey))
       throw new IllegalArgumentException(
         s"Share '$share' does not contain table '$key'")
     shares.computeIfPresent(share, (_, s) =>
-      s.copy(objects = s.objects - key))
+      s.copy(objects = s.objects - regKey))
     unpublishShareTable(schema, table)
     result(spark, dropSchema, Row(s"$share.$key", "shared_table", "REMOVED"))
   }
@@ -484,8 +494,9 @@ object LocalCatalog {
     ((Seq(Some(s""""name":${js(d.name)}""")) :+
       d.comment.map(v => s""""comment":${js(v)}""")).flatten ++
       (if (d.objects.isEmpty) Seq.empty
-      else Seq(s""""objects":{${d.objects.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")}}""")))
+      else Seq(s""""objects":{${d.objects.toSeq.sortBy(t => t._1)
+        .map { case ((sch, tbl), v) => s"${js(s"$sch.$tbl")}:${js(v)}" }
+        .mkString(",")}}""")))
       .mkString("{", ",", "}")
 
   private def describeLocation(d: LocationDef): String = {

@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.DoubleType
   *    `appended/base > ratioThreshold` (default 0.2) — a single hot
   *    centroid in a 10k-centroid index never moves the global
   *    fraction, yet its partition is exactly the one whose routing
-  *    vector stopped describing its contents — or, under
-  *    `max partition rows > skewThreshold × avg` (default 4.0), the
-  *    oversized partitions;
+  *    vector stopped describing its contents. Partition-size skew
+  *    (`max partition rows > skewThreshold × avg`, default 4.0) is
+  *    REPORT-ONLY (`skewAlert`/`skewCids`): re-centering cannot shrink
+  *    an oversized partition — and because the counter fold leaves
+  *    partition totals (and thus skew) unchanged, a skew-driven
+  *    retrain would re-fire on every call while rewriting an identical
+  *    centroid file; the remedy is the full-re-cluster escape hatch
+  *    below;
   *  - [[maybeRetrain]] then RE-CENTERS only the touched centroids: each
   *    one becomes the per-dimension mean of its partition's CURRENT
   *    rows — one aggregation over the touched partitions only (the
@@ -58,7 +63,9 @@ object IvfMaintenance {
       ratio: Double,
       skew: Double,
       touched: Seq[Long],
-      retrain: Boolean)
+      retrain: Boolean,
+      skewAlert: Boolean = false,
+      skewCids: Seq[Long] = Nil)
 
   /** Per-cid counter state: base rows and appended rows. */
   private case class State(counts: Map[Long, (Long, Long)]) {
@@ -163,14 +170,24 @@ object IvfMaintenance {
     val avg = if (merged.isEmpty) 0.0 else totals.sum.toDouble / merged.length
     val skew = if (avg == 0.0) 0.0 else totals.max / avg
     val skewFired = skew > skewThreshold
+    // skew is REPORT-ONLY: re-centering cannot fix an oversized
+    // partition (the fold leaves every partition's total — and thus the
+    // skew — unchanged, so a skew-driven retrain would re-fire forever
+    // while re-writing an identical centroid file). A partition that
+    // dwarfs the average needs the full-re-cluster escape hatch (a new
+    // centroid COUNT, rows reshuffled) — surfaced as skewAlert/skewCids
+    // for the operator that owns that rebuild.
+    val skewCids = if (skewFired && avg > 0) merged.collect {
+      case (cid, b, a) if (b + a) > skewThreshold * avg => cid
+    }.sorted else Nil
     val touched = merged.collect {
       case (cid, b, a)
         if (b > 0 && a.toDouble / b > ratioThreshold) ||
-          (b == 0 && a > 0) ||
-          (skewFired && avg > 0 && (b + a) > skewThreshold * avg) => cid
+          (b == 0 && a > 0) => cid
     }.sorted
     DriftReport(baseTotal, appTotal, ratio, skew, touched,
-      retrain = touched.nonEmpty)
+      retrain = touched.nonEmpty,
+      skewAlert = skewFired, skewCids = skewCids)
   }
 
   /** Compute drift from the counters alone — no index IO. The state is

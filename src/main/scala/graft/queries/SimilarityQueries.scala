@@ -289,14 +289,15 @@ object SimilarityQueries {
 
     // STREAMING ANN ingest: the incremental batch arrives as a vector
     // firehose (two micro-batch files) and each micro-batch is assigned
-    // to the EXISTING centroids — the streaming face of the index
-    // maintenance q_sim_ann_incremental does in batch. The centroid set
-    // is static and broadcast (tiny by construction), so a micro-batch
-    // costs one broadcast nested-loop + one keyed argmax; state is
-    // keyed by the STREAMED vectors only (the corpus never enters the
-    // stream). The oracle recomputes every assignment relationally:
-    // argmax of the dot product over the stored centroid set, ties to
-    // the lower cid — exactly assignTo's rule.
+    // to the index's CURRENT centroids inside foreachBatch, then
+    // APPENDED to a parquet sink — state and per-trigger work are
+    // O(batch), never O(all vectors ever streamed). (The previous shape
+    // — OutputMode.Complete over a global groupBy(vec_id) — re-emitted
+    // the full assignment history every trigger: a scale-killer on a
+    // real firehose. Assignment is per-row, so no cross-batch state is
+    // semantically needed.) The oracle recomputes every assignment
+    // relationally: argmax of the dot product over the stored centroid
+    // set, ties to the lower cid — exactly assignTo's rule.
     Q("q_stream_ann_ingest",
       s"""WITH batch AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7
@@ -310,21 +311,17 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, cid FROM ranked WHERE rk = 1
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.streaming.OutputMode
       val indexPath = ivfIndexPath(s, dir) // ensures centroids + alias
       val feed = graft.streaming.VecsStream.feedDir(s, dir)
-      graft.streaming.EventsStream.runToMemory(s,
-        ss => {
-          val cent = ss.read.parquet(ivfCentroidsPath(indexPath))
-          graft.streaming.VecsStream.readFeed(ss, feed)
-            .crossJoin(broadcast(cent))
-            .withColumn("sim", dot(col("embedding"), col("cv")))
-            .groupBy("vec_id")
-            .agg(max_by(col("cid"), struct(col("sim"), -col("cid")))
-              .as("cid"))
-        },
-        s"stream_ann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
-        OutputMode.Complete())
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sink = s"target/stream_ann_sink_$tag"
+      // maintain=false: this query demos ingest against the SHARED base
+      // index, whose centroids the q_sim_ann_ivf/q_knn_join oracles
+      // replay byte-for-byte — the drift-maintenance face (recordAppend
+      // + re-train per micro-batch) runs against a dedicated index in
+      // IvfMaintenanceSpec's streamed-overload case
+      streamAnnIngest(s, feed, indexPath, sink, s"stream_ann_$tag")
+      s.read.parquet(sink)
         .select(col("vec_id"), col("cid").cast("long").as("cid"))
         .orderBy("vec_id")
     },
@@ -688,11 +685,28 @@ object SimilarityQueries {
       .where(col("crk") <= nprobe)
       .select(col("probe_id"), col("cid"), col("pv"), col("pn"))
     // static partition prune on the UNION of probed cids: the driver
-    // list is O(probes x nprobe) ids, never vectors
-    val probedCids = probed.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // list is O(#cids) ids, never vectors. ONE aggregation yields both
+    // the cid list (for the prune) and the probe-row count (for the
+    // broadcast size gate below).
+    val cidCounts = probed.groupBy("cid").count().collect()
+    val probedCids = cidCounts.map(_.getLong(0)).toSeq
+    val probedRows = cidCounts.map(_.getLong(1)).sum
+    // size-gate the probe-side broadcast: every probed row carries a
+    // Dim-wide vector, and the probe relation is (probe fraction ×
+    // corpus) × nprobe rows — at a 10% fraction on a 100× corpus that
+    // is millions of vector-bearing rows, past any broadcast threshold
+    // and an executor-OOM shape if hinted unconditionally. Honor the
+    // session broadcast threshold; over it, fall back to a shuffle
+    // join on cid (the index side is already partitioned by cid, so
+    // the shuffle moves only the probe rows).
+    val bytesPerProbeRow = Dim.toLong * 8 + 80
+    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    val probeSide =
+      if (threshold > 0 && probedRows * bytesPerProbeRow <= threshold)
+        broadcast(probed)
+      else probed
     index.where(col("cid").isin(probedCids: _*))
-      .join(broadcast(probed), Seq("cid"))
+      .join(probeSide, Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /
@@ -702,6 +716,86 @@ object SimilarityQueries {
       .where(col("rank") <= k)
       .select("probe_id", "vec_id", "label", "cosine", "rank")
       .orderBy("probe_id", "rank")
+  }
+
+  /** Streaming ANN ingest with BOUNDED state: each micro-batch is
+    * assigned to the index's CURRENT centroids inside `foreachBatch`
+    * and appended to a parquet sink, so per-trigger state and work are
+    * O(batch) — never O(all vectors ever streamed), which is what an
+    * `OutputMode.Complete` global groupBy costs on a firehose.
+    * Centroids are re-read per batch, so a mid-stream re-train routes
+    * subsequent batches against the re-centered set.
+    *
+    * With `maintain` set, this is the streaming face of the batch
+    * drift policy ([[graft.operators.IvfMaintenance]]): each batch's
+    * per-cid assignment counts feed `recordAppend` and the per-cid
+    * re-train trigger is evaluated after every micro-batch — a
+    * streamed overload re-centers its hot centroids while the stream
+    * is still running. Callers against a SHARED index whose centroids
+    * an oracle replays must leave it false.
+    *
+    * Returns the query's progress events so callers can pin the
+    * bounded-state property (no stateful operators in the plan). */
+  def streamAnnIngest(s: SparkSession, feedDir: String, indexPath: String,
+      sinkDir: String, name: String, maintain: Boolean = false,
+      dim: Int = Dim)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    val sinkFile = new java.io.File(sinkDir)
+    if (sinkFile.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(sinkFile)
+    // cloned session + tmpfs checkpoint, as EventsStream.runToMemory
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(
+      ckBase.toPath, s"graft_ck_$name").toFile
+    val q = graft.streaming.VecsStream.readFeed(ss, feedDir)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", ck.getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val cent = bs.read.parquet(ivfCentroidsPath(indexPath))
+        val assigned = batch
+          .crossJoin(broadcast(cent))
+          .withColumn("sim", dot(col("embedding"), col("cv")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid")))
+              .cast(LongType).as("cid"),
+            first("embedding").as("embedding"))
+        if (maintain) {
+          // one computation of the batch assignment feeds the sink
+          // append, the index append, and the per-cid counters
+          assigned.persist()
+          try {
+            assigned.select("vec_id", "cid").write.mode("append")
+              .parquet(sinkDir)
+            // the ingested vectors land in the index's cid partitions —
+            // the same append the batch incremental path does — so a
+            // fired re-center aggregates over data that INCLUDES them
+            assigned.select(col("vec_id"), col("embedding"), col("cid"))
+              .write.mode("append").partitionBy("cid").parquet(indexPath)
+            val counts = assigned.groupBy("cid").count()
+              .withColumnRenamed("count", "rows")
+            graft.operators.IvfMaintenance.recordAppend(bs, indexPath, counts)
+            graft.operators.IvfMaintenance.maybeRetrain(bs, indexPath,
+              ivfCentroidsPath(indexPath), dim)
+          } finally assigned.unpersist()
+        } else assigned.select("vec_id", "cid").write.mode("append")
+          .parquet(sinkDir)
+        () // pin the lambda to Unit (the Scala foreachBatch overload)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.toSeq
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ck)
+    }
   }
 
   /** Brute-force top-k (for the spec's recall comparison). */

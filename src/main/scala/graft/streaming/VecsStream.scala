@@ -28,28 +28,39 @@ object VecsStream {
       .where(col("vec_id") % 10 === 7)
       .select(col("vec_id"), col("embedding"))
 
-  def feedDir(spark: SparkSession, sfDir: String): String = {
-    val feedDir =
-      s"target/stream_vec_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val done = new java.io.File(s"$feedDir/_FEED_READY")
-    val fresh = done.exists() && new String(
-      java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") ==
-      sourceSig(sfDir)
-    if (!fresh) {
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(feedDir))
-      val batch = batchVecs(spark, sfDir)
-      val base = System.currentTimeMillis() - 60000
-      DocsStream.writeFeedFile(feedDir,
-        batch.where(col("vec_id") % 20 === 7), "00_first.parquet", base)
-      DocsStream.writeFeedFile(feedDir,
-        batch.where(col("vec_id") % 20 =!= 7), "01_second.parquet",
-        base + 10000)
-      java.nio.file.Files.write(done.toPath,
-        sourceSig(sfDir).getBytes("UTF-8"))
+  def feedDir(spark: SparkSession, sfDir: String): String =
+    this.synchronized {
+      // freshness check + rebuild serialize on one lock (same pattern
+      // as MultimodalQueries.mediaFixture): two concurrent queries
+      // hitting a stale feed must not interleave deleteDirectory with
+      // the other's writeFeedFile
+      val feedDir =
+        s"target/stream_vec_feed_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val done = new java.io.File(s"$feedDir/_FEED_READY")
+      val fresh = done.exists() && new String(
+        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") ==
+        sourceSig(sfDir)
+      if (!fresh) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(feedDir))
+        val batch = batchVecs(spark, sfDir)
+        val base = System.currentTimeMillis() - 60000
+        DocsStream.writeFeedFile(feedDir,
+          batch.where(col("vec_id") % 20 === 7), "00_first.parquet", base)
+        DocsStream.writeFeedFile(feedDir,
+          batch.where(col("vec_id") % 20 =!= 7), "01_second.parquet",
+          base + 10000)
+        java.nio.file.Files.write(done.toPath,
+          sourceSig(sfDir).getBytes("UTF-8"))
+      }
+      feedDir
     }
-    feedDir
-  }
+
+  /** Spec hook: write one ordered micro-batch file into a custom feed
+    * dir (synthetic-index maintenance cases build their own firehose). */
+  def writeFeedFile(feedDir: String, df: DataFrame, name: String,
+      mtime: Long): Unit =
+    DocsStream.writeFeedFile(feedDir, df, name, mtime)
 
   def readFeed(spark: SparkSession, feedDir: String): DataFrame =
     spark.readStream

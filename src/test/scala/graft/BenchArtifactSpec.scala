@@ -38,4 +38,24 @@ class BenchArtifactSpec extends AnyFunSuite {
     val rs = Seq(Bench.BenchResult("a", 1.0, 0.9, 1.1, None))
     assert(Bench.spreadFlags(rs) == "{}")
   }
+
+  test("samples_detail carries per-sample pass/start_ms/sec, parseable") {
+    val rs = Seq(
+      Bench.BenchResult("a", 1.0, 0.9, 1.1, None, Vector(
+        Bench.BenchSample(1, 1000L, 0.9, None),
+        Bench.BenchSample(2, 2000L, 1.0, None),
+        Bench.BenchSample(3, 3000L, 1.1, None))),
+      Bench.BenchResult("b", -1.0, -1.0, -1.0, Some("boom"), Vector(
+        Bench.BenchSample(1, 1500L, -1.0, Some("X: \"quoted\" msg")))))
+    val node = mapper.readTree(Bench.samplesDetailJson(rs))
+    assert(node.isObject && node.size() == 2)
+    val a = node.get("a")
+    assert(a.size() == 3)
+    assert(a.get(0).get("pass").asInt() == 1)
+    assert(a.get(1).get("start_ms").asLong() == 2000L)
+    assert(a.get(2).get("sec").asDouble() == 1.1)
+    // error samples keep a (quote-escaped) err field and stay parseable
+    val b0 = node.get("b").get(0)
+    assert(b0.get("err").asText().contains("quoted"))
+  }
 }

@@ -366,6 +366,42 @@ class CommandsSpec extends AnyFunSuite {
     graft.catalog.GraftCatalog.unregister("pre", "kept")
   }
 
+  test("duplicate ADD of the same shared name to one share is refused " +
+    "(no refcount leak after the single REMOVE)") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val p = graft.queries.DeltaQueries.logDemoTable(spark, sf)
+    g.sql("CREATE SHARE dup")
+    g.sql(s"ALTER SHARE dup ADD TABLE '$p' AS d.t")
+    intercept[IllegalArgumentException] {
+      g.sql(s"ALTER SHARE dup ADD TABLE '$p' AS d.t")
+    }
+    // the single REMOVE fully retracts (a silently-double-counted ADD
+    // would leave the refcount at 1 forever and wedge the name): the
+    // registration clears and a later ADD with a DIFFERENT path works
+    g.sql("ALTER SHARE dup REMOVE TABLE d.t")
+    assert(graft.catalog.GraftCatalog.lookupPath(Seq("d", "t")).isEmpty,
+      "registration leaked after the single REMOVE")
+    g.sql("ALTER SHARE dup ADD TABLE '/elsewhere/tbl' AS d.t")
+    g.sql("ALTER SHARE dup REMOVE TABLE d.t")
+    g.sql("DROP SHARE dup")
+  }
+
+  test("a dotted (backticked) schema name retracts cleanly on DROP SHARE") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val p = graft.queries.DeltaQueries.logDemoTable(spark, sf)
+    g.sql("CREATE SHARE dotted")
+    g.sql(s"ALTER SHARE dotted ADD TABLE '$p' AS `sch.ema`.tbl")
+    assert(graft.catalog.GraftCatalog.lookupPath(Seq("sch.ema", "tbl"))
+      .contains(p))
+    // objects are keyed by the (schema, table) TUPLE: dropping the share
+    // must retract the dotted name, not split it at the wrong boundary
+    g.sql("DROP SHARE dotted")
+    assert(graft.catalog.GraftCatalog.lookupPath(Seq("sch.ema", "tbl"))
+      .isEmpty, "dotted-schema publication leaked after DROP SHARE")
+  }
+
   test("external location lifecycle: both spellings, credential, options") {
     val g = GraftSession(spark)
     LocalCatalog.clear()

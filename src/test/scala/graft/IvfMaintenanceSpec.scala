@@ -154,16 +154,113 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(states == 1, s"superseded state dirs must be swept, found $states")
   }
 
-  test("skew trigger fires when one partition dwarfs the average") {
+  test("streamed overload fires the drift trigger mid-stream and " +
+    "recall holds on the re-centered index") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val path = s"$tmp/ivf_maint_stream"
+    val cpath = path + "_centroids"
+    // float-embedding index (the streamed feed schema is Array[Float],
+    // and appended files must share the base files' physical type)
+    def vf(v: Float*): Seq[Float] = v
+    val base: Seq[(Long, Long, Seq[Float])] =
+      (1L to 4L).map(i => (i, 0L, vf(1f, 0f, 0f, 0f))) ++
+      (5L to 14L).map(i => (i, 1L, vf(0f, 1f, 0f, 0f)))
+    base.toDF("vec_id", "cid", "embedding")
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(cpath)
+    IvfMaintenance.recordBase(spark, path, counts(
+      base.map { case (v, c, e) => (v, c, e.map(_.toDouble)) }))
+    // firehose: two micro-batches of 3 vectors each, all landing in
+    // cid 1 (y-component dominates) but pulled toward (0.6, 0.8) —
+    // batch 1 alone crosses cid 1's per-cid bar (3/10 = 0.3 > 0.2),
+    // so the re-train must fire WHILE THE STREAM IS STILL RUNNING
+    val feedDir = s"$tmp/ivf_stream_feed"
+    val overload: Seq[(Long, Seq[Float])] = Seq(
+      (100L, vf(0.60f, 0.80f, 0f, 0f)), (101L, vf(0.58f, 0.81f, 0f, 0f)),
+      (102L, vf(0.62f, 0.79f, 0f, 0f)), (103L, vf(0.59f, 0.80f, 0f, 0f)),
+      (104L, vf(0.61f, 0.81f, 0f, 0f)), (105L, vf(0.60f, 0.79f, 0f, 0f)))
+    val tBase = System.currentTimeMillis() - 60000
+    graft.streaming.VecsStream.writeFeedFile(feedDir,
+      overload.take(3).toDF("vec_id", "embedding"), "00_first.parquet", tBase)
+    graft.streaming.VecsStream.writeFeedFile(feedDir,
+      overload.drop(3).toDF("vec_id", "embedding"), "01_second.parquet",
+      tBase + 10000)
+    val sink = s"$tmp/ivf_stream_sink"
+    SimilarityQueries.streamAnnIngest(spark, feedDir, path, sink,
+      "ivf_maint_stream", maintain = true, dim = dim)
+    // every streamed vector was assigned to cid 1 and appended
+    val assigned = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.keySet == overload.map(_._1).toSet)
+    assert(assigned.values.forall(_ == 1L), s"$assigned")
+    // the trigger fired and folded: counters show no outstanding drift,
+    // all 20 rows counted as base
+    val after = IvfMaintenance.driftReport(spark, path)
+    assert(after.appendedRows == 0 && after.baseRows == 20, s"$after")
+    // cid 1's routing vector moved onto its enlarged partition's mean;
+    // cid 0 was never touched — bitwise identical
+    val cent = spark.read.parquet(cpath).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cent(0L) == vec(1, 0, 0, 0), s"cid0 moved: ${cent(0L)}")
+    assert(cent(1L) != vec(0, 1, 0, 0), s"cid1 did not move: ${cent(1L)}")
+    // recall on the re-centered index: a probe inside the overload mass
+    // routes (nprobe=1) to cid 1 and finds its true top-6 there
+    def dotp(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val probe = Seq(0.6, 0.8, 0.0, 0.0)
+    val routed = cent.maxBy { case (cid, cv) => (dotp(cv, probe), -cid) }._1
+    assert(routed == 1L)
+    val rows = spark.read.parquet(path)
+      .withColumn("cid", col("cid").cast("long")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble),
+        r.getAs[Long]("cid")))
+    val k = 6
+    val trueTop = rows.sortBy(t => (-cos(t._2, probe), t._1))
+      .take(k).map(_._1).toSet
+    val annTop = rows.filter(_._3 == routed)
+      .sortBy(t => (-cos(t._2, probe), t._1)).take(k).map(_._1).toSet
+    val recall = (trueTop intersect annTop).size.toDouble / k
+    assert(recall >= 0.9, s"recall@$k = $recall")
+  }
+
+  test("skew alerts when one partition dwarfs the average — report-only, " +
+    "never a re-center (which could not fix it and would re-fire forever)") {
     val path = s"$tmp/ivf_maint_skew"
+    val cpath = path + "_centroids"
     // skew = max/avg is bounded by the partition count, so 5 partitions
     // shaped 100/1/1/1/1 (avg 20.8, skew ~4.8) cross the 4.0 default
     val rows = (1L to 100L).map(i => (i, 0L, vec(1, 0, 0, 0))) ++
       (1L to 4L).map(i => (100L + i, i, vec(0, i.toDouble, 0, 0)))
     writeIndex(path, rows)
+    import spark.implicits._
+    (0L to 4L).map(c => (c, vec(if (c == 0) 1 else 0,
+        if (c == 0) 0 else c.toDouble, 0, 0)))
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(cpath)
     IvfMaintenance.recordBase(spark, path, counts(rows))
     val r = IvfMaintenance.driftReport(spark, path)
     assert(r.skew > IvfMaintenance.DefaultSkewThreshold, s"skew = ${r.skew}")
-    assert(r.retrain && r.touched.contains(0L), s"$r")
+    assert(r.skewAlert && r.skewCids == Seq(0L), s"$r")
+    // the alert points at the full-re-cluster escape hatch; it must NOT
+    // drive maybeRetrain — the fold leaves partition totals (and thus
+    // skew) unchanged, so a skew-driven retrain could never re-arm
+    assert(!r.retrain, s"skew alone drove a retrain: $r")
+    val before = spark.read.parquet(cpath).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val m1 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    assert(!m1.retrain && m1.skewAlert, s"$m1")
+    val after = spark.read.parquet(cpath).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(after == before, "maybeRetrain rewrote centroids on skew alone")
+    // and the alert KEEPS reporting (it is an alert, not a one-shot):
+    // a second evaluation sees the same skew — still without a retrain
+    val m2 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    assert(!m2.retrain && m2.skewAlert, s"$m2")
   }
 }

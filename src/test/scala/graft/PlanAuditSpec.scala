@@ -350,6 +350,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_knn_join: probe broadcast is size-gated — broadcast when " +
+    "small, shuffle join on cid when over the threshold") {
+    import graft.queries.SimilarityQueries
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.explainString(ExplainMode.fromString("formatted")) +
+        "\n" + df.queryExecution.executedPlan.toString
+    }
+    // default threshold (10 MB): the sf0.001 probe relation is tiny —
+    // the gate must keep the broadcast
+    val small = planOf(SimilarityQueries.knnJoin(spark, sf, k = 5, nprobe = 4))
+    assert(small.contains("BroadcastHashJoin"),
+      "small probe relation should broadcast:\n" + small.take(3000))
+    // force the gate shut (threshold below any real probe relation):
+    // the SAME query must fall back to a shuffle join on cid — the
+    // executor-OOM shape an unconditional broadcast hint would take at
+    // a 10% probe fraction on a 100x corpus
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val large = planOf(
+        SimilarityQueries.knnJoin(spark, sf, k = 5, nprobe = 4))
+      assert(large.contains("SortMergeJoin") ||
+        large.contains("ShuffledHashJoin"),
+        "over-threshold probe relation should shuffle-join on cid:\n" +
+          large.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_temperature_mix: budget table broadcasts, corpus ranks once") {
     val p = plan("q_temperature_mix")
     // per-source budgets join via broadcast; the corpus itself never

@@ -66,6 +66,28 @@ class SimilaritySpec extends AnyFunSuite {
         (batch.toSet diff streamed.toSet).take(3)}")
   }
 
+  test("streaming ANN ingest holds bounded state: no stateful operator, " +
+    "one sink append per micro-batch") {
+    val indexPath = SimilarityQueries.ivfIndexPath(spark, sf)
+    val feed = graft.streaming.VecsStream.feedDir(spark, sf)
+    val sink = "target/stream_ann_sink_spec"
+    val progress = SimilarityQueries.streamAnnIngest(
+      spark, feed, indexPath, sink, "stream_ann_spec")
+    val withData = progress.filter(_.numInputRows > 0)
+    assert(withData.size >= 2, "expected at least two data micro-batches")
+    // the plan must carry NO streaming state at all — assignment is
+    // per-row, so nothing may accrue across triggers (the old
+    // Complete-mode shape held and re-emitted every vector ever seen)
+    assert(withData.forall(_.stateOperators.isEmpty),
+      s"unexpected stateful operators: ${withData.flatMap(
+        _.stateOperators.map(_.operatorName)).toSet}")
+    // and the sink accrues by APPEND: total sink rows == streamed rows
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.parquet(sink).count() ==
+      emb.where(col("vec_id") % 10 === 7).count())
+  }
+
   test("knn join: k rows per probe, no self-matches, agrees with single-probe ANN") {
     val k = 5
     val rows = SimilarityQueries.knnJoin(spark, sf, k = k, nprobe = 4)
