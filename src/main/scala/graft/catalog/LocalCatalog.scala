@@ -159,11 +159,13 @@ object LocalCatalog {
     result(spark, createSchema, Row(d.name, "catalog", describe(effective)))
   }
 
-  /** Release a session binding IFF create() made it (marker present) —
-    * a user-configured binding of the same name is never touched. */
+  /** Release a session binding IFF create()/createForeignCatalog() made
+    * it (marker present) — a user-configured binding of the same name
+    * is never touched. */
   private def unbind(spark: SparkSession, name: String): Unit =
     if (spark.conf.getOption(boundMarkerKey(name)).isDefined) {
       spark.conf.unset(s"spark.sql.catalog.$name")
+      spark.conf.unset(s"spark.sql.catalog.$name.root")
       spark.conf.unset(boundMarkerKey(name))
       GraftCatalog.unregisterPluginName(name)
       // Spark's CatalogManager caches plugin instances per session and
@@ -284,10 +286,13 @@ object LocalCatalog {
 
   /** CREATE FOREIGN CATALOG: a catalog securable mounted through a
     * connection. The connection must exist (checked under the registry
-    * lock, so a racing DROP CONNECTION cannot interleave); no DSv2
-    * plugin binding is made — the mirrored system is not reachable
+    * lock, so a racing DROP CONNECTION cannot interleave). A connection
+    * whose URL names a LOCAL directory tree gets a read-only
+    * [[ForeignCatalog]] data-plane binding (see below); any other
+    * scheme gets NO binding — the mirrored system is not reachable
     * from this engine, so vanilla-SQL resolution through the name
-    * would misrepresent it as local. */
+    * would misrepresent it as local. The LOCAL registry plugin
+    * ([[GraftCatalog]]) is never bound to a foreign name. */
   def createForeignCatalog(spark: SparkSession, name: String,
       connection: String, comment: Option[String],
       options: Map[String, String],
@@ -315,8 +320,37 @@ object LocalCatalog {
       comment = comment, defaultCollation = None, options = options,
       usingConnection = Some(connection))
     catalogs.put(name, d)
+    // DATA PLANE: when the connection's URL names a LOCAL directory
+    // tree (the zero-egress stand-in for the remote system, same
+    // argument as the UC REST surface), bind the name to the read-only
+    // [[ForeignCatalog]] plugin so the mounted `<root>/<schema>/<table>`
+    // layout serves real reads — the local analogue of the reference's
+    // UC table resolution (schema_provider.rs:83-118). Non-local
+    // schemes (jdbc:, https:, ...) stay unbound: vanilla-SQL resolution
+    // through the name would misrepresent an unreachable system as
+    // local.
+    for (rootPath <- localRootOf(Option(connections.get(connection)))
+         if spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[ForeignCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", rootPath)
+      spark.conf.set(boundMarkerKey(name), "true")
+    }
     result(spark, createSchema, Row(name, "catalog", describe(d)))
   }
+
+  /** The connection URL's local filesystem root, when it has one:
+    * `file:` URIs and bare absolute paths qualify; any other scheme is
+    * a genuinely remote endpoint this sandbox cannot reach. */
+  private[catalog] def localRootOf(conn: Option[ConnectionDef])
+      : Option[String] =
+    conn.flatMap(_.url).flatMap { u =>
+      if (u.startsWith("file:"))
+        scala.util.Try(
+          java.nio.file.Paths.get(new java.net.URI(u)).toString).toOption
+      else if (u.startsWith("/")) Some(u)
+      else None
+    }
 
   /** CREATE SHARE: registers the securable; returns the same
     * (name, type, object) row shape as CREATE CATALOG/SCHEMA

@@ -356,6 +356,37 @@ object CommandQueries {
       created
     },
 
+    // FOREIGN CATALOG data plane: a connection whose file: URL names a
+    // local directory tree (the zero-egress stand-in for the remote
+    // system) mounts `<root>/<schema>/<table>` through the read-only
+    // ForeignCatalog plugin, so the mounted name serves REAL reads —
+    // the local analogue of the reference's UC table resolution
+    // (crates/datafusion/src/schema_provider.rs:83-118). The oracle
+    // reads the same delta table's (single-commit, all-live) parquet
+    // files straight off the mounted tree.
+    Q("q_foreign_read",
+      s"""SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+         |  CAST(n_regionkey AS INTEGER) AS n_regionkey
+         |FROM read_parquet(
+         |  '${DeltaQueries.ForeignRootPath}/analytics/nations_live/*/*.parquet',
+         |  hive_partitioning=true)
+         |WHERE n_regionkey <= 2
+         |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val root = DeltaQueries.foreignSystemRoot(s, dir)
+      val g = GraftSession(s)
+      g.sql("DROP CATALOG IF EXISTS remote_cat")
+      g.sql("DROP CONNECTION IF EXISTS remote_fs")
+      g.sql(s"CREATE CONNECTION remote_fs TYPE filesystem URL 'file://$root'")
+      g.sql("CREATE FOREIGN CATALOG remote_cat USING CONNECTION remote_fs")
+      s.sql("""SELECT n_nationkey, n_name, n_regionkey
+              |FROM remote_cat.analytics.nations_live
+              |WHERE n_regionkey <= 2
+              |ORDER BY n_nationkey""".stripMargin)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    },
+
     Q("q_show_connections",
       """SELECT * FROM (VALUES
         |  ('kafka_events', 'kafka', NULL, NULL),

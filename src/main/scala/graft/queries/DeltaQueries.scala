@@ -1013,6 +1013,31 @@ object DeltaQueries {
     }
   }
 
+  /** SF-INDEPENDENT "remote system" tree for the FOREIGN CATALOG data
+    * plane (q_foreign_read): a directory layout `<root>/<schema>/<table>`
+    * holding one delta table built from nation (byte-identical at every
+    * sf, so the oracle's path literal is stable). ONE commit only — every
+    * parquet file under the table dir is live, so DuckDB can glob them
+    * directly. The tree is what a CONNECTION's file: URL mounts. */
+  final val ForeignRootPath =
+    "/root/repo/target/delta_fixtures/shared/foreign_root"
+
+  def foreignSystemRoot(s: SparkSession, sfDir: String): String = {
+    val tbl = s"$ForeignRootPath/analytics/nations_live"
+    this.synchronized {
+      if (!exists(s, tbl) || stale(ForeignRootPath, sfDir)) {
+        val dir = new File(ForeignRootPath)
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        val n = s.read.parquet(s"$sfDir/nation.parquet")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        CommitWriter.createTable(s, n, tbl,
+          partitionColumns = Seq("n_regionkey"))
+        writeStamp(ForeignRootPath, sfDir)
+      }
+    }
+    ForeignRootPath
+  }
+
   /** Write-time schema evolution fixture: a two-column table, then a
     * mergeSchema append carrying a third column — evolution and data
     * in the same commit. */

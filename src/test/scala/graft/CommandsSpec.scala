@@ -505,6 +505,42 @@ class CommandsSpec extends AnyFunSuite {
     g.sql("DROP CONNECTION pg")
   }
 
+  test("foreign catalog data plane: a file-URL connection mounts real " +
+    "reads; read-only; DROP CONNECTION refuses while mounted") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val root = graft.queries.DeltaQueries.foreignSystemRoot(spark, sf)
+    g.sql(s"CREATE CONNECTION fs_conn TYPE filesystem URL 'file://$root'")
+    g.sql("CREATE FOREIGN CATALOG mounted USING CONNECTION fs_conn")
+    // the local-tree data plane binds the READ-ONLY foreign plugin
+    // (never the local registry plugin)
+    assert(spark.conf.getOption("spark.sql.catalog.mounted")
+      .contains(classOf[graft.catalog.ForeignCatalog].getName))
+    val viaMount = spark
+      .sql("SELECT count(*) FROM mounted.analytics.nations_live")
+      .head.getLong(0)
+    val direct = graft.delta.DeltaTable
+      .forPath(spark, s"$root/analytics/nations_live").read.count()
+    assert(direct > 0 && viaMount == direct,
+      s"mounted read $viaMount != direct $direct")
+    // SHOW TABLES walks the mounted layout
+    assert(spark.sql("SHOW TABLES IN mounted.analytics").collect()
+      .map(_.getString(1)).toSeq == Seq("nations_live"))
+    // the foreign system owns its tables: DDL through the mount refuses
+    intercept[Exception] {
+      spark.sql("DROP TABLE mounted.analytics.nations_live")
+    }
+    assert(graft.delta.DeltaTable
+      .forPath(spark, s"$root/analytics/nations_live").read.count() == direct)
+    // referential integrity: the connection cannot drop while mounted
+    intercept[IllegalArgumentException] { g.sql("DROP CONNECTION fs_conn") }
+    // DROP CATALOG releases the binding; the connection then drops
+    g.sql("DROP CATALOG mounted")
+    assert(spark.conf.getOption("spark.sql.catalog.mounted").isEmpty)
+    assert(spark.conf.getOption("spark.sql.catalog.mounted.root").isEmpty)
+    g.sql("DROP CONNECTION fs_conn")
+  }
+
   test("vacuum: dry run lists unreferenced files, real run deletes them") {
     val path = tmpTable("vacuum")
     CommitWriter.createTable(spark, region.repartition(2), path)
