@@ -65,20 +65,59 @@ object CommitRangeScan {
     DeltaScan.buildForFiles(snap, files.values.toSeq)
   }
 
-  /** Commits per union chunk in [[changesBetween]]: each commit
-    * contributes two scans plus an exceptAll diff, so an unchunked
-    * 1000-commit span would hand Catalyst a 2000-scan plan — an
-    * analysis/codegen blowup before any data moves. Spans longer than
-    * this are materialized chunk-by-chunk (localCheckpoint) so plan
-    * size stays bounded and total work grows linearly with span.
+  /** Per-commit derived-diff cache, shared by EVERY change-feed
+    * consumer (batch `q_change_feed`, the `table_changes` TVF, and the
+    * streaming CDF source's per-trigger reads): one derivation per
+    * commit per JVM instead of one per consumer per execution.
     *
-    * Known tradeoffs of the eager chunk materialization: the chunks run
-    * at DataFrame-CONSTRUCTION time, every new action on the returned
-    * frame (each query execution re-invokes the scan builder) re-derives
-    * them, and localCheckpoint blocks do not survive executor loss.
-    * Callers deriving a long span should persist the result once rather
-    * than re-querying the returned frame. */
-  private val ChangeFeedChunkCommits = 32
+    * Keyed by (qualified table path, version, commit-file length,
+    * commit-file mtime, read-schema hash): a commit JSON is immutable
+    * once written, but fixtures legally REBUILD a table at the same
+    * path and same versions — the (length, mtime) tail invalidates
+    * those — and a schema-evolved read must not serve frames derived
+    * under the old schema. Values are localCheckpoint-materialized
+    * frames (executor-storage blocks, O(commit's rewritten bytes) per
+    * entry); access-ordered LRU capped at [[DiffCacheMaxCommits]], and
+    * evicted entries' blocks are reclaimed by the ContextCleaner once
+    * unreferenced. Cache hits rebind the materialized rows to the
+    * calling session, so batch and cloned streaming sessions share
+    * entries. */
+  private final case class DiffKey(table: String, version: Long,
+      commitLen: Long, commitMtime: Long, schemaHash: Int)
+
+  private val DiffCacheMaxCommits = 128
+
+  private val diffCache =
+    new java.util.LinkedHashMap[DiffKey, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DiffKey, DataFrame]): Boolean =
+        size() > DiffCacheMaxCommits
+    }
+
+  private[graft] def resetDiffCacheForTest(): Unit =
+    diffCache.synchronized(diffCache.clear())
+
+  private def cachedCommitDiff(spark: SparkSession, key: DiffKey)(
+      derive: => DataFrame): DataFrame = {
+    val hit = diffCache.synchronized(Option(diffCache.get(key)))
+    hit match {
+      case Some(df) =>
+        // rebind the materialized rows to the CALLING session — the
+        // consumers span the batch session and streaming clones, and a
+        // Dataset must execute on the session that built it
+        org.apache.spark.sql.graftshim.Shims.dataFrameFromInternalRows(
+          spark,
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+            org.apache.spark.sql.Row]].queryExecution.toRdd,
+          df.schema)
+      case None =>
+        // derive OUTSIDE the lock (slow); a concurrent double-derive of
+        // the same commit is benign — last put wins, both are valid
+        val materialized = derive.localCheckpoint()
+        diffCache.synchronized { diffCache.put(key, materialized); () }
+        materialized
+    }
+  }
 
   /** Millis timestamp of a commit: its commitInfo.timestamp line (every
     * graft commit writes one), falling back to the commit file's mtime
@@ -166,12 +205,32 @@ object CommitRangeScan {
         .withColumn("_commit_timestamp", lit(null: String).cast("timestamp"))
     val fs = LogSegment.fs(spark, new Path(path))
     val logDir = new Path(new Path(path), "_delta_log")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val perCommit = for (v <- (fromExclusive + 1) to endV) yield {
       val commit = new Path(logDir, f"$v%020d.json")
       if (!fs.exists(commit))
         throw new IllegalStateException(
           s"Change feed cannot read commit $v of $path (cleaned up?)")
+      val st = fs.getFileStatus(commit)
+      val key = DiffKey(fs.makeQualified(new Path(path)).toString, v,
+        st.getLen, st.getModificationTime,
+        snap.schema.catalogString.hashCode)
+      cachedCommitDiff(spark, key)(
+        deriveCommitDiff(spark, path, snap, fs, v, commit))
+    }
+    // every per-commit frame is a cache-materialized LogicalRDD scan,
+    // so the union plan carries `span` cheap RDD leaves — never the
+    // 2·span file scans that used to force chunked re-materialization
+    perCommit.reduceLeft(_ unionByName _)
+  }
+
+  /** One commit's derived diff (see [[changesBetween]] for semantics);
+    * always reached through [[cachedCommitDiff]]. */
+  private def deriveCommitDiff(spark: SparkSession, path: String,
+      snap: Snapshot, fs: org.apache.hadoop.fs.FileSystem,
+      v: Long, commit: Path): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, array_repeat, col, explode,
+      lit, sum, timestamp_millis}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val adds = scala.collection.mutable.LinkedHashMap.empty[
         String, DeltaScan.ScanFile]
       val removes = scala.collection.mutable.LinkedHashMap.empty[
@@ -376,14 +435,5 @@ object CommitRangeScan {
         .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
       }
       }
-    }
-    // bound plan size: beyond ChangeFeedChunkCommits commits, materialize
-    // each chunk (localCheckpoint truncates lineage) so the final plan is
-    // a union of ≤ span/chunk checkpointed RDDs, not 2·span scans
-    if (perCommit.lengthCompare(ChangeFeedChunkCommits) <= 0)
-      perCommit.reduceLeft(_ unionByName _)
-    else perCommit.grouped(ChangeFeedChunkCommits)
-      .map(_.reduceLeft(_ unionByName _).localCheckpoint())
-      .reduceLeft(_ unionByName _)
   }
 }
