@@ -1079,10 +1079,18 @@ object DeltaQueries {
       val snap = DeltaTable.forPath(s, p)
       val add0 = snap.allFiles.collect().head
       val relPath = add0.getAs[String]("path")
-      // row index i == position in sort order; mask keys % 10 == 0
-      val keys = c.select("c_custkey").collect().map(_.getLong(0))
-      val masked = keys.zipWithIndex
-        .collect { case (k, i) if k % 10 == 0 => i.toLong }.toSeq
+      // row index == position in sort order; mask keys % 10 == 0. The
+      // positions are derived with a rank window and filtered BEFORE
+      // the collect, so the driver sees only the masked 10% — never the
+      // full key column (the window is single-partition, matching the
+      // one-file layout the fixture writes)
+      val masked = c.select(col("c_custkey"))
+        .withColumn("__pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("c_custkey"))
+          .cast(LongType) - 1L)
+        .where(col("c_custkey") % 10 === 0)
+        .select("__pos")
+        .collect().map(_.getLong(0)).toSeq
       val fs = LogSegment.fs(s, new Path(p))
       val dv = DvBitmap.writeDvFile(fs, new Path(p), masked)
       val remove = CommitWriter.removeJson(Actions.RemoveFile(
