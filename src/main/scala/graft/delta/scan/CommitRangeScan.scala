@@ -68,7 +68,11 @@ object CommitRangeScan {
   /** Per-commit derived-diff cache, shared by EVERY change-feed
     * consumer (batch `q_change_feed`, the `table_changes` TVF, and the
     * streaming CDF source's per-trigger reads): one derivation per
-    * commit per JVM instead of one per consumer per execution.
+    * commit per JVM instead of one per consumer per execution. Only
+    * commits that actually PAY a diff (removes present) are cached —
+    * pure appends and cdc-backed commits are plain scans whose
+    * materialization would cost the whole commit's bytes to save
+    * nothing.
     *
     * Keyed by (qualified table path, version, commit-file length,
     * commit-file mtime, read-schema hash): a commit JSON is immutable
@@ -97,27 +101,21 @@ object CommitRangeScan {
   private[graft] def resetDiffCacheForTest(): Unit =
     diffCache.synchronized(diffCache.clear())
 
-  private def cachedCommitDiff(spark: SparkSession, key: DiffKey)(
-      derive: => DataFrame): DataFrame = {
-    val hit = diffCache.synchronized(Option(diffCache.get(key)))
-    hit match {
-      case Some(df) =>
-        // rebind the materialized rows to the CALLING session — the
-        // consumers span the batch session and streaming clones, and a
-        // Dataset must execute on the session that built it
-        org.apache.spark.sql.graftshim.Shims.dataFrameFromInternalRows(
-          spark,
-          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
-            org.apache.spark.sql.Row]].queryExecution.toRdd,
-          df.schema)
-      case None =>
-        // derive OUTSIDE the lock (slow); a concurrent double-derive of
-        // the same commit is benign — last put wins, both are valid
-        val materialized = derive.localCheckpoint()
-        diffCache.synchronized { diffCache.put(key, materialized); () }
-        materialized
+  private def cacheLookup(spark: SparkSession,
+      key: DiffKey): Option[DataFrame] =
+    diffCache.synchronized(Option(diffCache.get(key))).map { df =>
+      // rebind the materialized rows to the CALLING session — the
+      // consumers span the batch session and streaming clones, and a
+      // Dataset must execute on the session that built it
+      org.apache.spark.sql.graftshim.Shims.dataFrameFromInternalRows(
+        spark,
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]].queryExecution.toRdd,
+        df.schema)
     }
-  }
+
+  private def cachePut(key: DiffKey, df: DataFrame): Unit =
+    diffCache.synchronized { diffCache.put(key, df); () }
 
   /** Millis timestamp of a commit: its commitInfo.timestamp line (every
     * graft commit writes one), falling back to the commit file's mtime
@@ -205,29 +203,55 @@ object CommitRangeScan {
         .withColumn("_commit_timestamp", lit(null: String).cast("timestamp"))
     val fs = LogSegment.fs(spark, new Path(path))
     val logDir = new Path(new Path(path), "_delta_log")
-    val perCommit = for (v <- (fromExclusive + 1) to endV) yield {
+    val qualified = fs.makeQualified(new Path(path)).toString
+    val schemaHash = snap.schema.catalogString.hashCode
+    val slots = for (v <- (fromExclusive + 1) to endV) yield {
       val commit = new Path(logDir, f"$v%020d.json")
       if (!fs.exists(commit))
         throw new IllegalStateException(
           s"Change feed cannot read commit $v of $path (cleaned up?)")
       val st = fs.getFileStatus(commit)
-      val key = DiffKey(fs.makeQualified(new Path(path)).toString, v,
-        st.getLen, st.getModificationTime,
-        snap.schema.catalogString.hashCode)
-      cachedCommitDiff(spark, key)(
-        deriveCommitDiff(spark, path, snap, fs, v, commit))
+      (v, commit,
+        DiffKey(qualified, v, st.getLen, st.getModificationTime, schemaHash))
     }
-    // every per-commit frame is a cache-materialized LogicalRDD scan,
-    // so the union plan carries `span` cheap RDD leaves — never the
-    // 2·span file scans that used to force chunked re-materialization
-    perCommit.reduceLeft(_ unionByName _)
+    val looked = slots.map { case (v, commit, key) =>
+      (v, commit, key, cacheLookup(spark, key)) }
+    val hits = looked.flatMap(_._4)
+    val missed = looked.collect { case (v, commit, key, None) =>
+      (v, commit, key) }
+    val derived = missed.map { case (v, commit, key) =>
+      val (df, diffed) = deriveCommitDiff(spark, path, snap, fs, v, commit)
+      (v, key, df, diffed)
+    }
+    // only DIFFED commits are worth materializing + caching: a pure
+    // append's "diff" is a plain pruned scan and a cdc-carrying
+    // commit's an authoritative parquet read — copying either into
+    // block storage costs the whole commit's bytes to save nothing.
+    // The diffed ones materialize in ONE job (not one per commit —
+    // serial per-commit jobs doubled the cold sf1 wall), then each
+    // cache entry is a version-filtered view over the shared blocks:
+    // a later single-commit consumer (the streaming source's tail)
+    // scans the span's blocks once but never re-derives, and the
+    // blocks free together once every view evicts
+    val worthy = derived.filter(_._4)
+    val bigOpt = if (worthy.isEmpty) None else {
+      val big = worthy.map(_._3).reduceLeft(_ unionByName _).localCheckpoint()
+      import org.apache.spark.sql.functions.{col, lit}
+      for ((v, key, _, _) <- worthy)
+        cachePut(key, big.where(col("_commit_version") === lit(v)))
+      Some(big)
+    }
+    val cheap = derived.collect { case (_, _, df, false) => df }
+    (hits ++ cheap ++ bigOpt.toSeq).reduceLeft(_ unionByName _)
   }
 
-  /** One commit's derived diff (see [[changesBetween]] for semantics);
-    * always reached through [[cachedCommitDiff]]. */
+  /** One commit's derived diff (see [[changesBetween]] for semantics),
+    * plus whether the commit actually PAID a diff (removes present —
+    * the expensive shape worth caching); pure appends and cdc-backed
+    * commits return false. */
   private def deriveCommitDiff(spark: SparkSession, path: String,
       snap: Snapshot, fs: org.apache.hadoop.fs.FileSystem,
-      v: Long, commit: Path): DataFrame = {
+      v: Long, commit: Path): (DataFrame, Boolean) = {
     import org.apache.spark.sql.functions.{abs, array_repeat, col, explode,
       lit, sum, timestamp_millis}
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -330,12 +354,13 @@ object CommitRangeScan {
                 .drop(pf.name)
             else d
           }
-        snap.schema.fields.foldLeft(cdcDf)((d, f) =>
+        (snap.schema.fields.foldLeft(cdcDf)((d, f) =>
           d.withColumn(f.name, col(f.name).cast(f.dataType)))
           .select((snap.schema.fieldNames.toIndexedSeq :+ "_change_type")
             .map(col): _*)
           .withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts0))),
+          false) // authoritative cdc parquet read — nothing to cache
       } else {
       val addDf = DeltaScan.buildForFiles(snap, adds.values.toSeq)
       val remDf = DeltaScan.buildForFiles(snap, removes.values.toSeq)
@@ -414,7 +439,7 @@ object CommitRangeScan {
         val kcols = mergeKeys.map(col)
         val updKeys = ins0.select(kcols: _*)
           .intersect(del0.select(kcols: _*))
-        ins0.join(updKeys, mergeKeys, "left_semi")
+        (ins0.join(updKeys, mergeKeys, "left_semi")
           .withColumn("_change_type", lit("update_postimage"))
           .unionByName(ins0.join(updKeys, mergeKeys, "left_anti")
             .withColumn("_change_type", lit("insert")))
@@ -423,16 +448,18 @@ object CommitRangeScan {
           .unionByName(del0.join(updKeys, mergeKeys, "left_anti")
             .withColumn("_change_type", lit("delete")))
           .withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts0))),
+          removes.nonEmpty)
       } else {
       val (insType, delType) = operation match {
         case Some("UPDATE") => ("update_postimage", "update_preimage")
         case _ => ("insert", "delete")
       }
-      ins.withColumn("_change_type", lit(insType))
+      (ins.withColumn("_change_type", lit(insType))
         .unionByName(del.withColumn("_change_type", lit(delType)))
         .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", timestamp_millis(lit(ts0)))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts0))),
+        removes.nonEmpty) // pure appends are plain scans — not cached
       }
       }
   }

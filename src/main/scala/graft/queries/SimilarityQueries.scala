@@ -668,14 +668,14 @@ object SimilarityQueries {
   /** k-NN join over the IVF index (q_knn_join body; shared with
     * SimilaritySpec). */
   def knnJoin(s: SparkSession, dir: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, probeModulus: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = load(s, dir, "embeddings")
     val indexPath = ivfIndexPath(s, dir)
     val index = s.read.parquet(indexPath)
       .withColumn("cid", col("cid").cast(LongType))
     val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
-    val probes = emb.where(col("vec_id") % 100 === 0)
+    val probes = emb.where(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         norm(col("embedding")).as("pn"))
     val probed = probes.crossJoin(broadcast(centroids))
@@ -704,7 +704,12 @@ object SimilarityQueries {
     val probeSide =
       if (threshold > 0 && probedRows * bytesPerProbeRow <= threshold)
         broadcast(probed)
-      else probed
+      // over the threshold the shuffle must be FORCED (merge hint):
+      // Catalyst's own size estimate of the probe subtree can
+      // undershoot and re-pick broadcast — the exact OOM shape the
+      // gate exists to prevent. AQE may still re-convert from the
+      // MEASURED exchange size, which is safe by construction.
+      else probed.hint("merge")
     index.where(col("cid").isin(probedCids: _*))
       .join(probeSide, Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))

@@ -62,7 +62,8 @@ object Sf1Bench {
     spark.stop()
   }
 
-  private def build(spark: SparkSession, src: String, out: String): Unit = {
+  private[tools] def build(spark: SparkSession, src: String,
+      out: String): Unit = {
     new java.io.File(out).mkdirs()
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def writeOne(df: DataFrame, t: String): Unit = {
