@@ -140,17 +140,21 @@ object Multimodal {
         ImageIO.getImageReadersByFormatName("png").next()
     }
 
-  private def decodePng(bytes: Array[Byte]): (Int, Int, Long) = {
+  private def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val reader = pngReader.get()
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes))
-    val img = try {
+    try {
       reader.setInput(iis, true, true)
       reader.read(0)
     } catch {
       case e: Exception => throw new IllegalArgumentException(
         "not a decodable image payload", e)
     } finally iis.close()
+  }
+
+  private def decodePng(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = readPng(bytes)
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     var sum = 0L
@@ -197,6 +201,128 @@ object Multimodal {
     case "audio" => decodeWav(payload)
     case "video" => decodeVideo(payload)
     case other => throw new IllegalArgumentException(s"unknown kind $other")
+  }
+
+  // ---- resize (decode → transform → re-encode, the preprocessing
+  // stage of an image/audio training pipeline) --------------------------
+
+  /** Output edge for an integer-factor nearest-neighbor downsample:
+    * every factor-th source index, so ceil(dim / factor). */
+  def resizedDim(dim: Int, factor: Int): Int = (dim + factor - 1) / factor
+
+  private def resizeFramePng(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val img = readPng(bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (rw, rh) = (resizedDim(w, factor), resizedDim(h, factor))
+    val out = new java.awt.image.BufferedImage(rw, rh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        // nearest-neighbor on the exact grid (x*factor, y*factor):
+        // integer sampling, no interpolation — deterministic across
+        // JVMs where Graphics2D filtering would not be
+        dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", buf)
+    buf.toByteArray
+  }
+
+  private def resizeWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val data = try ais.readAllBytes() finally ais.close()
+    // decimation: every factor-th sample (the audio "resize")
+    val dec = Array.tabulate[Byte](resizedDim(data.length, factor))(i =>
+      data(i * factor))
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val out = new ByteArrayOutputStream()
+    val res = new AudioInputStream(
+      new ByteArrayInputStream(dec), fmt, dec.length)
+    AudioSystem.write(res, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def resizeVideo(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(bytes.length >= 8 &&
+      java.util.Arrays.equals(bytes.slice(0, 4), VideoMagic),
+      "not a GFV1 video payload")
+    val dis = new java.io.DataInputStream(
+      new ByteArrayInputStream(bytes, 4, bytes.length - 4))
+    val n = dis.readInt()
+    val out = new ByteArrayOutputStream()
+    out.write(VideoMagic)
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(n)
+    (0 until n).foreach { _ =>
+      val len = dis.readInt()
+      val frame = new Array[Byte](len)
+      dis.readFully(frame)
+      val resized = resizeFramePng(frame, factor)
+      dos.writeInt(resized.length)
+      dos.write(resized)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** REAL resize: decode the payload, nearest-neighbor downsample by
+    * `factor` (audio: sample decimation), re-encode with the same
+    * codec — returns a payload of the SAME kind/container. */
+  def resize(kind: String, payload: Array[Byte], factor: Int): Array[Byte] =
+    kind match {
+      case "image" => resizeFramePng(payload, factor)
+      case "audio" => resizeWav(payload, factor)
+      case "video" => resizeVideo(payload, factor)
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+
+  /** Closed-form expected decode of the RESIZED payload — no codec:
+    * the nearest-neighbor grid lands on source indices i*factor, so
+    * the resized sums restate the generation formulas at that stride. */
+  def expectedResized(id: Long, factor: Int): Decoded = kindOf(id) match {
+    case "image" =>
+      val (rw, rh) = (resizedDim(imageWidth(id), factor),
+        resizedDim(imageHeight(id), factor))
+      val s = (for (y <- 0 until rh; x <- 0 until rw)
+        yield pixel(id, 0, x * factor, y * factor).toLong).sum
+      Decoded(rw, rh, Seq(s))
+    case "audio" =>
+      val n = resizedDim(audioSampleCount(id), factor)
+      Decoded(n, 1,
+        Seq((0 until n).map(i => audioSample(id, i * factor).toLong).sum))
+    case _ =>
+      val (rw, rh) = (resizedDim(imageWidth(id), factor),
+        resizedDim(imageHeight(id), factor))
+      val sums = (0 until videoFrameCount(id)).map(f =>
+        (for (y <- 0 until rh; x <- 0 until rw)
+          yield pixel(id, f, x * factor, y * factor).toLong).sum)
+      Decoded(rw, rh, sums)
+  }
+
+  /** Batch resize + feature extraction: decode → downsample →
+    * re-encode → decode AGAIN on the executors (the second decode is
+    * what the roundtrip oracle checks — the resized bytes are a real
+    * payload, not a projection). */
+  def resizeFeatures(ds: Dataset[MediaRow], factor: Int):
+      Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = resize(r.kind, r.payload, factor)
+        val d = decode(r.kind, resized)
+        MediaFeatures(r.media_id, r.kind, resized.length.toLong,
+          md5Hex(resized), d.width, d.height, d.frameSums.length,
+          d.frameSums.sum)
+      }
+    }
   }
 
   private def md5Hex(bytes: Array[Byte]): String =

@@ -252,7 +252,9 @@ object CommandQueries {
       g.sql("DROP SHARE IF EXISTS analytics")
       g.sql("CREATE SHARE finance COMMENT 'quarterly tables'")
       g.sql("CREATE SHARE analytics")
+      // scoped to this query's own securables (see q_show_connections)
       val listed = g.sql("SHOW SHARES")
+        .where(col("share_name").isin("finance", "analytics"))
       g.sql("DROP SHARE finance")
       g.sql("DROP SHARE analytics")
       listed
@@ -314,7 +316,9 @@ object CommandQueries {
           "WITH (STORAGE CREDENTIAL lake_cred) COMMENT 'landing'")
       // the reference's own spelling (no EXTERNAL keyword)
       g.sql("CREATE LOCATION lake_curated URL 'file:///tmp/lake/curated'")
+      // scoped to this query's own securables (see q_show_connections)
       val listed = g.sql("SHOW EXTERNAL LOCATIONS")
+        .where(col("location_name").isin("lake_raw", "lake_curated"))
       g.sql("DROP LOCATION lake_raw")
       g.sql("DROP EXTERNAL LOCATION lake_curated")
       listed
@@ -400,7 +404,13 @@ object CommandQueries {
       g.sql("CREATE CONNECTION pg_main TYPE postgresql " +
         "URL 'jdbc:postgresql://db:5432/main' COMMENT 'primary'")
       g.sql("CREATE CONNECTION kafka_events TYPE kafka")
+      // scope to the names this query created: the registry is shared
+      // across the whole suite's session and some queries MUST leave
+      // securables registered (q_foreign_read's mount serves its
+      // returned frame lazily), so an unscoped SHOW would depend on
+      // query execution order
       val listed = g.sql("SHOW CONNECTIONS")
+        .where(col("connection_name").isin("pg_main", "kafka_events"))
       g.sql("DROP CONNECTION pg_main")
       g.sql("DROP CONNECTION kafka_events")
       listed

@@ -33,10 +33,15 @@ object MultimodalQueries {
     * sidecar_frames.parquet (expected per-frame sums). Media ids come
     * from the documents table — fixture contents derive from the
     * testdata drop and restamp with it. */
+  /** Downsample factor for q_multimodal_resize (nearest-neighbor
+    * stride; audio = sample decimation at the same stride). */
+  final val ResizeFactor = 2
+
   def mediaFixture(spark: SparkSession, sfDir: String): String = {
     val path = fixtureDir(sfDir)
     this.synchronized {
       if (!new File(path, "media.parquet").exists() ||
+          !new File(path, "sidecar_resized.parquet").exists() ||
           DeltaQueries.stale(path, sfDir)) {
         val dir = new File(path)
         if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
@@ -72,6 +77,15 @@ object MultimodalQueries {
           }
         }.toDF("media_id", "kind", "frame_idx", "frame_sum")
           .write.parquet(s"$path/sidecar_frames.parquet")
+        // resized sidecar: the generation formulas restated at the
+        // nearest-neighbor stride — still NO codec involved
+        ids.map { id =>
+          val e = Multimodal.expectedResized(id, ResizeFactor)
+          (id, Multimodal.kindOf(id), e.width, e.height,
+            e.frameSums.length, e.frameSums.sum)
+        }.toDF("media_id", "kind", "width", "height",
+            "n_frames", "value_sum")
+          .write.parquet(s"$path/sidecar_resized.parquet")
         DeltaQueries.writeStamp(path, sfDir)
       }
     }
@@ -127,5 +141,25 @@ object MultimodalQueries {
       DeltaQueries.refreshAlias(MediaOracleAlias, p)
       Multimodal.sampleFrames(decodeSpread(s, p))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // Resize: decode → nearest-neighbor downsample (audio: sample
+    // decimation) → RE-ENCODE with the same codec → decode AGAIN. The
+    // output features come from decoding the resized payload, so the
+    // oracle (formula sums restated at the resize stride) proves the
+    // full decode→transform→encode→decode roundtrip on every row —
+    // the image/audio preprocessing stage of a training pipeline.
+    Q("q_multimodal_resize",
+      s"""SELECT media_id, kind, width, height, n_frames, value_sum
+         |FROM read_parquet('$MediaOracleAlias/sidecar_resized.parquet/*.parquet')
+         |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = mediaFixture(s, dir)
+      DeltaQueries.refreshAlias(MediaOracleAlias, p)
+      Multimodal.resizeFeatures(decodeSpread(s, p), ResizeFactor)
+        .toDF()
+        .select("media_id", "kind", "width", "height",
+          "n_frames", "value_sum")
+        .orderBy("media_id")
     })
 }

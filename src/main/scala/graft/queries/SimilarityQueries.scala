@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   *   (the 100 TB scale path: candidate scan cost is nprobe/nlist of
   *   brute force). Accuracy vs brute force is asserted in
   *   SimilaritySpec; declared rows-only here.
+  * - `q_sim_ann_pq`: IVF-PQ (Jégou et al. 2011) — the complementary
+  *   100 TB axis: IVF bounds which rows are READ, PQ bounds the BYTES
+  *   per read row (8 one-byte codes + one stored norm instead of 64
+  *   floats), so the scan structure fits executor memory at corpus
+  *   sizes where raw vectors never could. ADC candidate scoring +
+  *   exact rerank of the top PqCand.
   */
 object SimilarityQueries {
   import T.load
@@ -49,6 +55,24 @@ object SimilarityQueries {
   final val EmbedBands = 8
   final val EmbedBandBits = 8
   final val EmbedBucketMax = 1000
+
+  /** Product-quantization (IVF-PQ) geometry for `q_sim_ann_pq`:
+    * Dim=64 split into PqM=8 subspaces of PqSubDim=8 dims, each
+    * quantized against a PqK=16-entry codebook (4-bit codes) trained
+    * by per-subspace k-means. A stored vector costs PqM single-byte
+    * codes instead of Dim 4-byte floats — a 32x logical compression,
+    * which is the axis that lets a 100 TB corpus's search structure
+    * live in cluster MEMORY (IVF's partition pruning bounds IO; PQ
+    * bounds the bytes per scanned row). Search is asymmetric distance
+    * computation (ADC, Jegou et al. 2011): the probe builds a PqM x
+    * PqK inner-product lookup table once, candidate scoring is PqM
+    * table lookups + adds per row, and the top PqCand ADC candidates
+    * are exactly reranked against their full vectors. */
+  final val PqM = 8
+  final val PqSubDim = 8
+  final val PqK = 16
+  final val PqCand = 128
+  final val PqLloydIterations = 2
 
   /** SemDeDup (`q_semdedup`) knobs: within-cluster near-dup threshold
     * (fixture-calibrated so ~15-20% of vectors dedup away — the
@@ -414,6 +438,59 @@ object SimilarityQueries {
     // oversized clusters would be re-split by another k-means pass).
     // The threshold matches the fixture's calibrated near-dup level
     // (see EmbedBands note); production would run ~0.95.
+    // IVF-PQ ANN: coarse cells prune IO (same centroids as
+    // q_sim_ann_ivf), PQ codes bound the bytes per scanned row (8
+    // one-byte codes, never the 64-float vector), scoring is ADC
+    // against a probe-built lookup table, and only the top PqCand ADC
+    // candidates touch their full vectors for the exact rerank. The
+    // oracle REPLAYS the whole search in DuckDB over the same
+    // materialized codebooks + codes (stable `pq_current` aliases,
+    // refreshed by pqIndexPath before the oracle runs): identical
+    // left-assoc LUT inner products, identical 8-term ADC sum,
+    // identical exact-cosine rerank — a full content check including
+    // the quantized scores. Recall vs brute force and the compression
+    // bound are separately pinned in SimilaritySpec.
+    Q("q_sim_ann_pq",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |), lut AS (
+         |  SELECT b.m, b.code,
+         |    ${(1 to PqSubDim).map(i =>
+                 s"CAST(pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
+                 .mkString(" + ")} AS v
+         |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') b
+         |  CROSS JOIN probe
+         |), cand AS (
+         |  SELECT k.vec_id, k.label,
+         |    (${(0 until PqM).map(m => s"l$m.v").mkString(" + ")})
+         |      / k.xnorm AS adc
+         |  FROM read_parquet('$PqOracleAlias/*/*.parquet',
+         |         hive_partitioning=true) k
+         |  JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
+         |  ${(0 until PqM).map(m =>
+               s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.c$m")
+               .mkString("\n  ")}
+         |  WHERE k.vec_id <> 0
+         |  ORDER BY adc DESC, vec_id
+         |  LIMIT $PqCand
+         |)
+         |SELECT c.vec_id, c.label, c.adc,
+         |  (${dotSql("e.embedding", "pv")}) /
+         |    (${normSql("e.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM cand c
+         |JOIN embeddings e ON e.vec_id = c.vec_id
+         |CROSS JOIN probe
+         |ORDER BY cosine DESC, c.vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      annPq(s, dir, probeId = 0, k = 20, nprobe = 8, cand = PqCand)
+    },
+
     Q("q_semdedup",
       s"""WITH idx AS (
          |  SELECT CAST(cid AS BIGINT) AS cid, vec_id, label, embedding
@@ -466,6 +543,12 @@ object SimilarityQueries {
   /** Alias for the incrementally-maintained index (q_sim_ann_incremental). */
   final val IvfIncrOracleAlias =
     "/root/repo/target/delta_fixtures/ivf_incr_current"
+
+  /** Alias family for the PQ index (q_sim_ann_pq): `pq_current` (codes,
+    * partitioned by cid), `_codebooks`, `_centroids` (the coarse IVF
+    * centroids the codes were binned under). */
+  final val PqOracleAlias =
+    "/root/repo/target/delta_fixtures/pq_current"
 
   private def refreshAlias(alias: String, target: String): Unit =
     DeltaQueries.refreshAlias(alias, target)
@@ -617,6 +700,152 @@ object SimilarityQueries {
       refreshAlias(IvfIncrOracleAlias + "_centroids", ivfCentroidsPath(path))
     }
     path
+  }
+
+  /** Codebooks live beside the codes (search LUTs must come from the
+    * SAME codebooks the codes were quantized against). */
+  def pqCodebooksPath(indexPath: String): String = indexPath + "_codebooks"
+
+  /** Per-subspace squared L2 between two PqSubDim-wide double arrays —
+    * unrolled left-assoc, codegen-friendly (8 dims x 16 codes per row
+    * through one broadcast join). */
+  private def pqDist(a: Column, b: Column): Column =
+    (1 to PqSubDim).map { i =>
+      val d = element_at(a, i) - element_at(b, i)
+      d * d
+    }.reduce(_ + _)
+
+  /** One (vec_id, m, sv) row per subspace — sv as doubles so training
+    * means and ADC LUTs share one arithmetic domain with the oracle. */
+  private def pqSubRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(m =>
+        array((0 until PqSubDim).map(i =>
+          element_at(col("embedding"), m * PqSubDim + i + 1)
+            .cast(DoubleType)): _*)): _*)).as(Seq("m", "sv")))
+
+  /** Nearest-codeword assignment of sub-vector rows against a codebook:
+    * broadcast the (PqM x PqK)-row codebook, min_by over the squared
+    * L2s, ties to the lower code for determinism — the PQ analogue of
+    * assignTo. One broadcast join + one partial-aggregated groupBy at
+    * any corpus size. */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", pqDist(col("sv"), col("cv")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+        first("sv").as("sv"))
+
+  /** Build-once PQ index: per-subspace codebooks trained by k-means
+    * (seeds = sub-vectors of the PqK lowest vec_ids, PqLloydIterations
+    * refinement passes — each pass one broadcast-assign + one
+    * partial-aggregated means groupBy, the same two plan shapes at any
+    * corpus size), then every vector encoded to PqM one-byte codes and
+    * materialized PARTITIONED BY the coarse IVF cid (so probes keep
+    * partition pruning) with the codebooks persisted beside it. At
+    * 100 TB the codes relation is ~PqM bytes/vector — small enough to
+    * stay executor-memory-resident where the raw vectors never could. */
+  def pqIndexPath(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/pq_index"
+    this.synchronized {
+      val ivfPath = ivfIndexPath(s, dir) // also refreshes the IVF aliases
+      val success = new java.io.File(path, "_SUCCESS")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      if (!success.exists() || success.lastModified() < src.lastModified()) {
+        val emb = load(s, dir, "embeddings")
+        val sub = pqSubRows(emb)
+        val seeds = pqSubRows(emb.orderBy("vec_id").limit(PqK))
+          .withColumn("code", row_number().over(
+            Window.partitionBy("m").orderBy("vec_id")) - 1)
+          .select(col("m"), col("code"), col("sv").as("cv"))
+        def means(assigned: DataFrame) = assigned.groupBy("m", "code")
+          .agg(array((1 to PqSubDim).map(i =>
+            avg(element_at(col("sv"), i))): _*).as("cv"))
+        val trained = (1 to PqLloydIterations)
+          .foldLeft(seeds)((cb, _) => means(pqAssign(sub, cb)))
+        trained.coalesce(1).write.mode("overwrite")
+          .parquet(pqCodebooksPath(path))
+        val codebook = s.read.parquet(pqCodebooksPath(path))
+        val codeCols = (0 until PqM).map(m =>
+          max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
+        val codes = pqAssign(sub, codebook)
+          .groupBy("vec_id")
+          .agg(codeCols.head, codeCols.tail: _*)
+        val cids = s.read.parquet(ivfPath)
+          .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
+        // the stored EXACT norm (one double per vector, FAISS-style):
+        // ADC approximates the raw inner product, but the search metric
+        // is cosine — dividing the quantized dot by the true norm
+        // removes the norm-variance rank error PQ codes cannot carry
+        codes.join(emb.select(col("vec_id"), col("label"),
+            norm(col("embedding")).as("xnorm")), Seq("vec_id"))
+          .join(cids, Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+      }
+      refreshAlias(PqOracleAlias, path)
+      refreshAlias(PqOracleAlias + "_codebooks", pqCodebooksPath(path))
+      refreshAlias(PqOracleAlias + "_centroids", ivfCentroidsPath(ivfPath))
+    }
+    path
+  }
+
+  /** IVF-PQ search (q_sim_ann_pq body; shared with SimilaritySpec):
+    * coarse-prune to nprobe cids, ADC-score the pruned CODES against a
+    * probe-built PqM x PqK LUT (the scan never touches a vector), take
+    * the top `cand` by quantized score, exact-rerank only those. The
+    * LUT is O(PqM x PqK) doubles built driver-side from the probe row
+    * and the (tiny) codebooks — the sanctioned collect class. */
+  def annPq(s: SparkSession, dir: String, probeId: Long, k: Int,
+      nprobe: Int, cand: Int): DataFrame = {
+    val path = pqIndexPath(s, dir)
+    val emb = load(s, dir, "embeddings")
+    val codes = s.read.parquet(path)
+    val centroids = s.read.parquet(
+      ivfCentroidsPath(ivfIndexPath(s, dir)))
+    val probeVec = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
+    val probeCids = centroids.crossJoin(broadcast(probeVec))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .orderBy(desc("sim"), asc("cid"))
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    // LUT[m][code] = <probe sub-vector m, codeword> — same left-assoc
+    // double products as the oracle's unrolled SQL
+    val pv = emb.where(col("vec_id") === probeId)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+    val lut = Array.fill(PqM, PqK)(Double.NaN)
+    s.read.parquet(pqCodebooksPath(path)).collect().foreach { r =>
+      val m = r.getAs[Int]("m")
+      val c = r.getAs[Int]("code")
+      val cv = r.getSeq[Double](r.fieldIndex("cv"))
+      var acc = 0.0
+      var i = 0
+      while (i < PqSubDim) { acc += pv(m * PqSubDim + i) * cv(i); i += 1 }
+      lut(m)(c) = acc
+    }
+    // quantized-dot / exact-norm = approximate cosine (the rank metric)
+    val adc = (0 until PqM).map(m =>
+      element_at(typedLit(lut(m).toSeq),
+        col(s"c$m").cast(IntegerType) + 1)).reduce(_ + _) / col("xnorm")
+    // partition-pruned CODES scan: 8 one-byte lookups + adds per row
+    val candidates = codes
+      .where(col("cid").isin(probeCids: _*))
+      .where(col("vec_id") =!= probeId)
+      .withColumn("adc", adc)
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(cand)
+    // exact rerank touches full vectors for `cand` rows only
+    candidates
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(probeVec))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * col("pn")))
+      .select("vec_id", "label", "adc", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
   }
 
   /** IVF search, shared with SimilaritySpec for the recall assertion. */

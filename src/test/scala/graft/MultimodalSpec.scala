@@ -47,6 +47,28 @@ class MultimodalSpec extends AnyFunSuite {
       "frames must not be copies of each other")
   }
 
+  test("resize roundtrip: downsampled payload re-decodes to the strided formulas") {
+    for (id <- 0L to 60L; factor <- Seq(2, 3)) {
+      val row = Multimodal.encode(id)
+      val resized = Multimodal.resize(row.kind, row.payload, factor)
+      val d = Multimodal.decode(row.kind, resized)
+      val e = Multimodal.expectedResized(id, factor)
+      assert(d == e, s"id=$id f=$factor kind=${row.kind}: got $d expected $e")
+      // the resized payload is itself a real container of the same kind
+      row.kind match {
+        case "image" => assert((resized(0) & 0xFF) == 0x89)
+        case "audio" =>
+          assert(new String(resized.slice(0, 4), "US-ASCII") == "RIFF")
+        case _ =>
+          assert(new String(resized.slice(0, 4), "US-ASCII") == "GFV1")
+      }
+      // and it genuinely shrank (strictly fewer raster/sample values
+      // whenever the source had more than one)
+      val orig = Multimodal.expected(id)
+      assert(orig.width == 1 || d.width < orig.width)
+    }
+  }
+
   test("decode rejects payloads of the wrong kind") {
     val wav = Multimodal.encode(1L).payload
     intercept[Exception](Multimodal.decode("image", wav))

@@ -379,6 +379,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_sim_ann_pq: candidate scan reads codes only (no vector), " +
+    "cid partitions pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.queries.SimilarityQueries
+    val df = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
+    df.collect()
+    // AQE wraps the final plan in adaptive/stage nodes whose physical
+    // subtree is not in `children` — unwrap explicitly
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    val codeScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("pq_index")))
+      .getOrElse(fail("no FileSourceScan over the PQ codes"))
+    // the ADC stage must never read a vector column — that is the PQ
+    // memory bound (8 one-byte codes + the stored norm per row)
+    val readCols = codeScan.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("embedding"),
+      s"ADC scan reads a vector column: $readCols")
+    assert((0 until SimilarityQueries.PqM).forall(m =>
+      readCols.contains(s"c$m")), s"missing code columns: $readCols")
+    // coarse pruning is PARTITION pruning on cid, not a post-scan filter
+    assert(codeScan.partitionFilters.nonEmpty,
+      "cid prune did not reach the partition filters")
+  }
+
   test("q_temperature_mix: budget table broadcasts, corpus ranks once") {
     val p = plan("q_temperature_mix")
     // per-source budgets join via broadcast; the corpus itself never

@@ -18,6 +18,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@$k = $recall")
   }
 
+  test("PQ ANN: ADC + exact rerank keeps recall; codes are 8 bytes/vector") {
+    import org.apache.spark.sql.types.ByteType
+    val k = 20
+    val brute = SimilarityQueries.bruteTopK(spark, sf, probeId = 0, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val pq = SimilarityQueries.annPq(spark, sf, probeId = 0, k = k,
+      nprobe = 8, cand = SimilarityQueries.PqCand)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect pq).size.toDouble / k
+    // quantization loss only affects CANDIDATE selection (the rerank is
+    // exact); PqCand = 6.4x k absorbs the ADC ranking error even on
+    // this worst-case fixture (random vectors, near-zero cosine
+    // separation between neighbor ranks). Measured: PQ reaches the IVF
+    // coarse-prune ceiling (0.95) at cand=128.
+    assert(recall >= 0.9, s"PQ recall@$k = $recall")
+    // the scan relation carries NO vector column — PqM one-byte codes
+    // (the 32x memory compression that IS the PQ scale path)
+    val codes = spark.read.parquet(SimilarityQueries.pqIndexPath(spark, sf))
+    assert(!codes.schema.fieldNames.contains("embedding"))
+    val codeFields = codes.schema.filter(_.name.matches("c\\d+"))
+    assert(codeFields.size == SimilarityQueries.PqM)
+    assert(codeFields.forall(_.dataType == ByteType))
+    // on-disk: codes dir (all cid partitions) well under the raw
+    // embeddings parquet despite per-file overhead at fixture scale
+    def dirBytes(d: java.io.File): Long =
+      Option(d.listFiles()).toSeq.flatten
+        .map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+    val codesBytes = dirBytes(
+      new java.io.File(SimilarityQueries.pqIndexPath(spark, sf)))
+    val rawBytes = new java.io.File(s"$sf/embeddings.parquet").length()
+    assert(codesBytes < rawBytes / 2,
+      s"codes $codesBytes bytes vs raw $rawBytes")
+    // every vector is encoded exactly once
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    assert(codes.count() == emb.count())
+  }
+
   test("incremental IVF: append lands in existing partitions, recall holds") {
     import org.apache.spark.sql.functions._
     val k = 20
