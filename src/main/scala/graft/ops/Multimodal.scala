@@ -98,12 +98,17 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One WAV format for BOTH the encoder and the resize re-encoder —
+    * a drifted duplicate would make resized payloads round-trip
+    * through a different format than fresh ones. */
+  private val WavFormat = new AudioFormat(
+    AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+
   private def encodeWav(id: Long): Array[Byte] = {
     val n = audioSampleCount(id)
     val data = Array.tabulate[Byte](n)(i => audioSample(id, i).toByte)
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
-      8000f, 8, 1, 1, 8000f, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data),
+      WavFormat, n)
     val out = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
@@ -241,11 +246,9 @@ object Multimodal {
     // decimation: every factor-th sample (the audio "resize")
     val dec = Array.tabulate[Byte](resizedDim(data.length, factor))(i =>
       data(i * factor))
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
-      8000f, 8, 1, 1, 8000f, false)
     val out = new ByteArrayOutputStream()
     val res = new AudioInputStream(
-      new ByteArrayInputStream(dec), fmt, dec.length)
+      new ByteArrayInputStream(dec), WavFormat, dec.length)
     AudioSystem.write(res, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }

@@ -28,15 +28,15 @@ object MultimodalQueries {
   private def fixtureDir(sfDir: String): String =
     s"/root/repo/target/multimodal_fixtures/${new File(sfDir).getName}/media"
 
+  /** Downsample factor for q_multimodal_resize (nearest-neighbor
+    * stride; audio = sample decimation at the same stride). */
+  final val ResizeFactor = 2
+
   /** Build-once media fixture: media.parquet (id, kind, REAL encoded
     * payload bytes), sidecar.parquet (expected features), and
     * sidecar_frames.parquet (expected per-frame sums). Media ids come
     * from the documents table — fixture contents derive from the
     * testdata drop and restamp with it. */
-  /** Downsample factor for q_multimodal_resize (nearest-neighbor
-    * stride; audio = sample decimation at the same stride). */
-  final val ResizeFactor = 2
-
   def mediaFixture(spark: SparkSession, sfDir: String): String = {
     val path = fixtureDir(sfDir)
     this.synchronized {

@@ -422,22 +422,6 @@ object SimilarityQueries {
         predicate = col("label") % 3 === 1)
     },
 
-    // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
-    // k-means-cluster the embedding space, then mark near-duplicates
-    // ONLY within each cluster — pairwise cosine cost drops from O(n²)
-    // to sum of per-cluster sizes², and clusters dedup in parallel.
-    // Reuses the materialized IVF index (same k-means assignment the
-    // ANN path probes), so the cluster pass is a partition-local
-    // self-join on cid. Deterministic keep rule: a vector is a dup if
-    // some LOWER vec_id in its cluster has cosine >= SemTau with it
-    // (the paper keeps one representative per similarity group; lowest
-    // id is the reproducible choice). Clusters larger than
-    // SemClusterMax opt out of pairwise marking (declared in the
-    // oracle SQL — the same hot-key guard as the LSH bucket caps: one
-    // degenerate cluster must not own n² of the work; at 100 TB
-    // oversized clusters would be re-split by another k-means pass).
-    // The threshold matches the fixture's calibrated near-dup level
-    // (see EmbedBands note); production would run ~0.95.
     // IVF-PQ ANN: coarse cells prune IO (same centroids as
     // q_sim_ann_ivf), PQ codes bound the bytes per scanned row (8
     // one-byte codes, never the 64-float vector), scoring is ADC
@@ -491,6 +475,22 @@ object SimilarityQueries {
       annPq(s, dir, probeId = 0, k = 20, nprobe = 8, cand = PqCand)
     },
 
+    // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
+    // k-means-cluster the embedding space, then mark near-duplicates
+    // ONLY within each cluster — pairwise cosine cost drops from O(n²)
+    // to sum of per-cluster sizes², and clusters dedup in parallel.
+    // Reuses the materialized IVF index (same k-means assignment the
+    // ANN path probes), so the cluster pass is a partition-local
+    // self-join on cid. Deterministic keep rule: a vector is a dup if
+    // some LOWER vec_id in its cluster has cosine >= SemTau with it
+    // (the paper keeps one representative per similarity group; lowest
+    // id is the reproducible choice). Clusters larger than
+    // SemClusterMax opt out of pairwise marking (declared in the
+    // oracle SQL — the same hot-key guard as the LSH bucket caps: one
+    // degenerate cluster must not own n² of the work; at 100 TB
+    // oversized clusters would be re-split by another k-means pass).
+    // The threshold matches the fixture's calibrated near-dup level
+    // (see EmbedBands note); production would run ~0.95.
     Q("q_semdedup",
       s"""WITH idx AS (
          |  SELECT CAST(cid AS BIGINT) AS cid, vec_id, label, embedding
@@ -728,13 +728,18 @@ object SimilarityQueries {
     * broadcast the (PqM x PqK)-row codebook, min_by over the squared
     * L2s, ties to the lower code for determinism — the PQ analogue of
     * assignTo. One broadcast join + one partial-aggregated groupBy at
-    * any corpus size. */
-  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
-    sub.join(broadcast(codebook), Seq("m"))
+    * any corpus size. `keepSv` carries the 8-double sub-vector through
+    * the shuffle ONLY for the training pass (means needs it); the
+    * encode pass ships just (vec_id, m, code). */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame,
+      keepSv: Boolean): DataFrame = {
+    val joined = sub.join(broadcast(codebook), Seq("m"))
       .withColumn("d", pqDist(col("sv"), col("cv")))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
-        first("sv").as("sv"))
+    val codeAgg = min_by(col("code"), struct(col("d"), col("code"))).as("code")
+    if (keepSv)
+      joined.groupBy("vec_id", "m").agg(codeAgg, first("sv").as("sv"))
+    else joined.groupBy("vec_id", "m").agg(codeAgg)
+  }
 
   /** Build-once PQ index: per-subspace codebooks trained by k-means
     * (seeds = sub-vectors of the PqK lowest vec_ids, PqLloydIterations
@@ -745,7 +750,12 @@ object SimilarityQueries {
     * partition pruning) with the codebooks persisted beside it. At
     * 100 TB the codes relation is ~PqM bytes/vector — small enough to
     * stay executor-memory-resident where the raw vectors never could. */
-  def pqIndexPath(s: SparkSession, dir: String): String = {
+  def pqIndexPath(s: SparkSession, dir: String): String =
+    pqIndexWithIvf(s, dir)._1
+
+  /** Same, also returning the coarse IVF index path it was built over
+    * (so the search does not repeat ivfIndexPath's staleness check). */
+  private def pqIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
     import org.apache.spark.sql.expressions.Window
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index"
@@ -764,13 +774,13 @@ object SimilarityQueries {
           .agg(array((1 to PqSubDim).map(i =>
             avg(element_at(col("sv"), i))): _*).as("cv"))
         val trained = (1 to PqLloydIterations)
-          .foldLeft(seeds)((cb, _) => means(pqAssign(sub, cb)))
+          .foldLeft(seeds)((cb, _) => means(pqAssign(sub, cb, keepSv = true)))
         trained.coalesce(1).write.mode("overwrite")
           .parquet(pqCodebooksPath(path))
         val codebook = s.read.parquet(pqCodebooksPath(path))
         val codeCols = (0 until PqM).map(m =>
           max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
-        val codes = pqAssign(sub, codebook)
+        val codes = pqAssign(sub, codebook, keepSv = false)
           .groupBy("vec_id")
           .agg(codeCols.head, codeCols.tail: _*)
         val cids = s.read.parquet(ivfPath)
@@ -787,8 +797,8 @@ object SimilarityQueries {
       refreshAlias(PqOracleAlias, path)
       refreshAlias(PqOracleAlias + "_codebooks", pqCodebooksPath(path))
       refreshAlias(PqOracleAlias + "_centroids", ivfCentroidsPath(ivfPath))
+      (path, ivfPath)
     }
-    path
   }
 
   /** IVF-PQ search (q_sim_ann_pq body; shared with SimilaritySpec):
@@ -799,13 +809,24 @@ object SimilarityQueries {
     * and the (tiny) codebooks — the sanctioned collect class. */
   def annPq(s: SparkSession, dir: String, probeId: Long, k: Int,
       nprobe: Int, cand: Int): DataFrame = {
-    val path = pqIndexPath(s, dir)
+    import s.implicits._
+    val (path, ivfPath) = pqIndexWithIvf(s, dir)
     val emb = load(s, dir, "embeddings")
     val codes = s.read.parquet(path)
-    val centroids = s.read.parquet(
-      ivfCentroidsPath(ivfIndexPath(s, dir)))
-    val probeVec = emb.where(col("vec_id") === probeId)
-      .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
+    val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
+    // ONE probe-row collect feeds the cid ranking, the LUT, and the
+    // rerank (the probe norm is the same left-assoc double sqrt the
+    // norm() expression computes, so values stay bit-identical)
+    val pvF = emb.where(col("vec_id") === probeId)
+      .select("embedding").head.getSeq[Float](0)
+    val pv = pvF.map(_.toDouble)
+    val pn = {
+      var acc = 0.0
+      var i = 0
+      while (i < Dim) { acc += pv(i) * pv(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val probeVec = Seq((pvF, pn)).toDF("pv", "pn")
     val probeCids = centroids.crossJoin(broadcast(probeVec))
       .withColumn("sim", dot(col("cv"), col("pv")))
       .orderBy(desc("sim"), asc("cid"))
@@ -813,8 +834,6 @@ object SimilarityQueries {
       .select("cid").collect().map(_.getLong(0)).toSeq
     // LUT[m][code] = <probe sub-vector m, codeword> — same left-assoc
     // double products as the oracle's unrolled SQL
-    val pv = emb.where(col("vec_id") === probeId)
-      .select("embedding").head.getSeq[Float](0).map(_.toDouble)
     val lut = Array.fill(PqM, PqK)(Double.NaN)
     s.read.parquet(pqCodebooksPath(path)).collect().foreach { r =>
       val m = r.getAs[Int]("m")

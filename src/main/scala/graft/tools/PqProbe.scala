@@ -31,10 +31,9 @@ object PqProbe {
       println(s"PQ cand=$cand recall = ${(brute intersect pq).size.toDouble / k}")
     }
 
-    // how well does ADC order agree with exact cosine inside the cells?
     val path = SimilarityQueries.pqIndexPath(spark, sf)
     val codes = spark.read.parquet(path)
-    println("probed-cell row count = " + codes.count())
+    println("total indexed vectors = " + codes.count())
     spark.stop()
   }
 }

@@ -397,11 +397,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val codeScan = scans.find(_.relation.location.rootPaths
       .exists(_.toString.contains("pq_index")))
       .getOrElse(fail("no FileSourceScan over the PQ codes"))
-    // the ADC stage must never read a vector column — that is the PQ
-    // memory bound (8 one-byte codes + the stored norm per row)
+    // the ADC stage must read EXACTLY the codes + stored norm + output
+    // ids — that is the PQ memory bound (8 one-byte codes + one double
+    // per row; cid arrives as a partition column, not a data read)
     val readCols = codeScan.requiredSchema.fieldNames.toSet
-    assert(!readCols.contains("embedding"),
-      s"ADC scan reads a vector column: $readCols")
+    val allowed = Set("vec_id", "label", "xnorm") ++
+      (0 until SimilarityQueries.PqM).map(m => s"c$m")
+    assert(readCols.subsetOf(allowed),
+      s"ADC scan reads beyond the code columns: ${readCols -- allowed}")
     assert((0 until SimilarityQueries.PqM).forall(m =>
       readCols.contains(s"c$m")), s"missing code columns: $readCols")
     // coarse pruning is PARTITION pruning on cid, not a post-scan filter
