@@ -434,45 +434,26 @@ object SimilarityQueries {
     // identical exact-cosine rerank — a full content check including
     // the quantized scores. Recall vs brute force and the compression
     // bound are separately pinned in SimilaritySpec.
-    Q("q_sim_ann_pq",
-      s"""WITH probe AS (
-         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
-         |), probed AS (
-         |  SELECT CAST(c.cid AS BIGINT) AS cid
-         |  FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
-         |  CROSS JOIN probe
-         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
-         |  LIMIT 8
-         |), lut AS (
-         |  SELECT b.m, b.code,
-         |    ${(1 to PqSubDim).map(i =>
-                 s"CAST(pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
-                 .mkString(" + ")} AS v
-         |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') b
-         |  CROSS JOIN probe
-         |), cand AS (
-         |  SELECT k.vec_id, k.label,
-         |    (${(0 until PqM).map(m => s"l$m.v").mkString(" + ")})
-         |      / k.xnorm AS adc
-         |  FROM read_parquet('$PqOracleAlias/*/*.parquet',
-         |         hive_partitioning=true) k
-         |  JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
-         |  ${(0 until PqM).map(m =>
-               s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.c$m")
-               .mkString("\n  ")}
-         |  WHERE k.vec_id <> 0
-         |  ORDER BY adc DESC, vec_id
-         |  LIMIT $PqCand
-         |)
-         |SELECT c.vec_id, c.label, c.adc,
-         |  (${dotSql("e.embedding", "pv")}) /
-         |    (${normSql("e.embedding")} * ${normSql("pv")}) AS cosine
-         |FROM cand c
-         |JOIN embeddings e ON e.vec_id = c.vec_id
-         |CROSS JOIN probe
-         |ORDER BY cosine DESC, c.vec_id
-         |LIMIT 20""".stripMargin) { (s, dir) =>
+    Q("q_sim_ann_pq", pqOracleSql(PqOracleAlias)) { (s, dir) =>
       annPq(s, dir, probeId = 0, k = 20, nprobe = 8, cand = PqCand)
+    },
+
+    // Incremental PQ maintenance (the production ingest path):
+    // codebooks train on the base corpus only, the arriving batch
+    // (vec_id % 10 == 7) is encoded against the EXISTING stored
+    // codebooks and appended into the cid partitions of the
+    // incrementally-maintained coarse index — codebooks never move,
+    // resident partitions never rewrite. The oracle replays the probe
+    // against the materialized post-append index, so it verifies both
+    // the batch's encoding and that resident codes survived the append
+    // intact. Codebook drift is the accepted trade (same policy class
+    // as IVF centroid drift; the coarse side of this index already
+    // runs IvfMaintenance's counters).
+    Q("q_sim_ann_pq_incremental", pqOracleSql(PqIncrOracleAlias)) {
+      (s, dir) =>
+        val (path, ivfPath) = pqIncrementalIndexWithIvf(s, dir)
+        annPqOver(s, dir, path, ivfPath,
+          probeId = 0, k = 20, nprobe = 8, cand = PqCand)
     },
 
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
@@ -549,6 +530,53 @@ object SimilarityQueries {
     * centroids the codes were binned under). */
   final val PqOracleAlias =
     "/root/repo/target/delta_fixtures/pq_current"
+
+  /** Alias family for the incrementally-maintained PQ index
+    * (q_sim_ann_pq_incremental). */
+  final val PqIncrOracleAlias =
+    "/root/repo/target/delta_fixtures/pq_incr_current"
+
+  /** The PQ search replayed in DuckDB over a materialized index alias
+    * family — shared verbatim by the build-once and incremental
+    * queries, so both oracles are the identical full content check. */
+  private def pqOracleSql(alias: String): String =
+    s"""WITH probe AS (
+       |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+       |), probed AS (
+       |  SELECT CAST(c.cid AS BIGINT) AS cid
+       |  FROM read_parquet('${alias}_centroids/*.parquet') c
+       |  CROSS JOIN probe
+       |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+       |  LIMIT 8
+       |), lut AS (
+       |  SELECT b.m, b.code,
+       |    ${(1 to PqSubDim).map(i =>
+             s"CAST(pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
+             .mkString(" + ")} AS v
+       |  FROM read_parquet('${alias}_codebooks/*.parquet') b
+       |  CROSS JOIN probe
+       |), cand AS (
+       |  SELECT k.vec_id, k.label,
+       |    (${(0 until PqM).map(m => s"l$m.v").mkString(" + ")})
+       |      / k.xnorm AS adc
+       |  FROM read_parquet('$alias/*/*.parquet',
+       |         hive_partitioning=true) k
+       |  JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
+       |  ${(0 until PqM).map(m =>
+           s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.c$m")
+           .mkString("\n  ")}
+       |  WHERE k.vec_id <> 0
+       |  ORDER BY adc DESC, vec_id
+       |  LIMIT $PqCand
+       |)
+       |SELECT c.vec_id, c.label, c.adc,
+       |  (${dotSql("e.embedding", "pv")}) /
+       |    (${normSql("e.embedding")} * ${normSql("pv")}) AS cosine
+       |FROM cand c
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |CROSS JOIN probe
+       |ORDER BY cosine DESC, c.vec_id
+       |LIMIT 20""".stripMargin
 
   private def refreshAlias(alias: String, target: String): Unit =
     DeltaQueries.refreshAlias(alias, target)
@@ -755,8 +783,47 @@ object SimilarityQueries {
 
   /** Same, also returning the coarse IVF index path it was built over
     * (so the search does not repeat ivfIndexPath's staleness check). */
-  private def pqIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
+  /** Per-subspace k-means codebook training over `corpus`: seeds =
+    * sub-vectors of the PqK lowest vec_ids, PqLloydIterations
+    * refinement passes (each one broadcast-assign + one
+    * partial-aggregated means groupBy). */
+  private def pqTrainCodebooks(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sub = pqSubRows(corpus)
+    val seeds = pqSubRows(corpus.orderBy("vec_id").limit(PqK))
+      .withColumn("code", row_number().over(
+        Window.partitionBy("m").orderBy("vec_id")) - 1)
+      .select(col("m"), col("code"), col("sv").as("cv"))
+    def means(assigned: DataFrame) = assigned.groupBy("m", "code")
+      .agg(array((1 to PqSubDim).map(i =>
+        avg(element_at(col("sv"), i))): _*).as("cv"))
+    (1 to PqLloydIterations)
+      .foldLeft(seeds)((cb, _) => means(pqAssign(sub, cb, keepSv = true)))
+  }
+
+  /** Encode `df` to PqM one-byte codes against a STORED codebook and
+    * attach label, cid (from `cids`), and the stored EXACT norm (one
+    * double per vector, FAISS-style): ADC approximates the raw inner
+    * product, but the search metric is cosine — dividing the quantized
+    * dot by the true norm removes the norm-variance rank error PQ
+    * codes cannot carry. */
+  private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
+      cids: DataFrame): DataFrame = {
+    val codeCols = (0 until PqM).map(m =>
+      max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
+    pqAssign(pqSubRows(df), codebook, keepSv = false)
+      .groupBy("vec_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+      .join(df.select(col("vec_id"), col("label"),
+        norm(col("embedding")).as("xnorm")), Seq("vec_id"))
+      .join(cids, Seq("vec_id"))
+  }
+
+  private def pqCids(s: SparkSession, ivfPath: String): DataFrame =
+    s.read.parquet(ivfPath)
+      .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
+
+  private def pqIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index"
     this.synchronized {
@@ -765,33 +832,10 @@ object SimilarityQueries {
       val src = new java.io.File(s"$dir/embeddings.parquet")
       if (!success.exists() || success.lastModified() < src.lastModified()) {
         val emb = load(s, dir, "embeddings")
-        val sub = pqSubRows(emb)
-        val seeds = pqSubRows(emb.orderBy("vec_id").limit(PqK))
-          .withColumn("code", row_number().over(
-            Window.partitionBy("m").orderBy("vec_id")) - 1)
-          .select(col("m"), col("code"), col("sv").as("cv"))
-        def means(assigned: DataFrame) = assigned.groupBy("m", "code")
-          .agg(array((1 to PqSubDim).map(i =>
-            avg(element_at(col("sv"), i))): _*).as("cv"))
-        val trained = (1 to PqLloydIterations)
-          .foldLeft(seeds)((cb, _) => means(pqAssign(sub, cb, keepSv = true)))
-        trained.coalesce(1).write.mode("overwrite")
+        pqTrainCodebooks(emb).coalesce(1).write.mode("overwrite")
           .parquet(pqCodebooksPath(path))
-        val codebook = s.read.parquet(pqCodebooksPath(path))
-        val codeCols = (0 until PqM).map(m =>
-          max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
-        val codes = pqAssign(sub, codebook, keepSv = false)
-          .groupBy("vec_id")
-          .agg(codeCols.head, codeCols.tail: _*)
-        val cids = s.read.parquet(ivfPath)
-          .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
-        // the stored EXACT norm (one double per vector, FAISS-style):
-        // ADC approximates the raw inner product, but the search metric
-        // is cosine — dividing the quantized dot by the true norm
-        // removes the norm-variance rank error PQ codes cannot carry
-        codes.join(emb.select(col("vec_id"), col("label"),
-            norm(col("embedding")).as("xnorm")), Seq("vec_id"))
-          .join(cids, Seq("vec_id"))
+        pqEncode(emb, s.read.parquet(pqCodebooksPath(path)),
+            pqCids(s, ivfPath))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
       }
       refreshAlias(PqOracleAlias, path)
@@ -801,6 +845,55 @@ object SimilarityQueries {
     }
   }
 
+  /** Incrementally-maintained PQ index (the production ingest path):
+    * codebooks train on the BASE corpus (vec_id % 10 != 7) only, the
+    * base encodes and materializes into the cid partitions of the
+    * incrementally-maintained coarse index, and the "new" batch
+    * (vec_id % 10 == 7) is then APPENDED by encoding against the
+    * EXISTING stored codebooks — codebooks never move, resident code
+    * partitions never rewrite. At 100 TB an arriving batch costs one
+    * broadcast-encode over the batch plus appends into the touched cid
+    * partitions; codebook DRIFT is the accepted trade (re-train
+    * offline when quantization error decays recall — the same policy
+    * class as IVF centroid drift, and the coarse side of THIS index
+    * already runs IvfMaintenance's counters via
+    * ivfIncrementalIndexPath). */
+  def pqIncrementalIndexWithIvf(s: SparkSession, dir: String):
+      (String, String) = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_incr"
+    this.synchronized {
+      val ivfPath = ivfIncrementalIndexPath(s, dir)
+      val success = new java.io.File(path, "_graft_incr_done")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      if (!success.exists() || success.lastModified() < src.lastModified()) {
+        val emb = load(s, dir, "embeddings")
+        val base = emb.where(col("vec_id") % 10 =!= 7)
+        val batch = emb.where(col("vec_id") % 10 === 7)
+        pqTrainCodebooks(base).coalesce(1).write.mode("overwrite")
+          .parquet(pqCodebooksPath(path))
+        val codebook = s.read.parquet(pqCodebooksPath(path))
+        val cids = pqCids(s, ivfPath)
+        pqEncode(base, codebook, cids)
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        // the incremental step: encode ONLY the batch against the
+        // stored codebooks, append into the matching cid partitions
+        pqEncode(batch, codebook, cids)
+          .write.mode("append").partitionBy("cid").parquet(path)
+        success.getParentFile.mkdirs()
+        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+      }
+      refreshAlias(PqIncrOracleAlias, path)
+      refreshAlias(PqIncrOracleAlias + "_codebooks", pqCodebooksPath(path))
+      refreshAlias(PqIncrOracleAlias + "_centroids",
+        ivfCentroidsPath(ivfPath))
+      (path, ivfPath)
+    }
+  }
+
+  def pqIncrementalIndexPath(s: SparkSession, dir: String): String =
+    pqIncrementalIndexWithIvf(s, dir)._1
+
   /** IVF-PQ search (q_sim_ann_pq body; shared with SimilaritySpec):
     * coarse-prune to nprobe cids, ADC-score the pruned CODES against a
     * probe-built PqM x PqK LUT (the scan never touches a vector), take
@@ -809,8 +902,15 @@ object SimilarityQueries {
     * and the (tiny) codebooks — the sanctioned collect class. */
   def annPq(s: SparkSession, dir: String, probeId: Long, k: Int,
       nprobe: Int, cand: Int): DataFrame = {
-    import s.implicits._
     val (path, ivfPath) = pqIndexWithIvf(s, dir)
+    annPqOver(s, dir, path, ivfPath, probeId, k, nprobe, cand)
+  }
+
+  /** Same probe against explicit codes/coarse-index directories (shared
+    * by the build-once and incrementally-maintained PQ indexes). */
+  def annPqOver(s: SparkSession, dir: String, path: String, ivfPath: String,
+      probeId: Long, k: Int, nprobe: Int, cand: Int): DataFrame = {
+    import s.implicits._
     val emb = load(s, dir, "embeddings")
     val codes = s.read.parquet(path)
     val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))

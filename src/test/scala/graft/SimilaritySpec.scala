@@ -55,6 +55,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes.count() == emb.count())
   }
 
+  test("incremental PQ: batch encoded with STORED codebooks, appended in place, recall holds") {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val (path, ivfPath) = SimilarityQueries.pqIncrementalIndexWithIvf(spark, sf)
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    val codes = spark.read.parquet(path)
+    // nothing lost, nothing duplicated by the append
+    assert(codes.count() == emb.count())
+    assert(codes.select("vec_id").distinct().count() == emb.count())
+    // the batch slice is present and carries codes
+    val batchRows = codes.where(col("vec_id") % 10 === 7)
+    assert(batchRows.count() == emb.where(col("vec_id") % 10 === 7).count())
+    // every stored code cites a codeword the STORED codebooks define —
+    // the appended batch cannot have invented codes of its own
+    val stored = spark.read.parquet(
+      SimilarityQueries.pqCodebooksPath(path))
+      .select("m", "code").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).toSet
+    val used = (0 until SimilarityQueries.PqM).flatMap { m =>
+      codes.select(col(s"c$m").cast("int")).distinct()
+        .collect().map(r => (m, r.getInt(0)))
+    }.toSet
+    assert(used.subsetOf(stored), s"unknown codes: ${used -- stored}")
+    // recall of the base-trained codebooks over the full corpus
+    val brute = SimilarityQueries.bruteTopK(spark, sf, probeId = 0, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SimilarityQueries.annPqOver(spark, sf, path, ivfPath,
+      probeId = 0, k = k, nprobe = 8, cand = SimilarityQueries.PqCand)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect ann).size.toDouble / k
+    assert(recall >= 0.85, s"incremental PQ recall@$k = $recall")
+  }
+
   test("incremental IVF: append lands in existing partitions, recall holds") {
     import org.apache.spark.sql.functions._
     val k = 20
