@@ -74,6 +74,11 @@ object SimilarityQueries {
   final val PqCand = 128
   final val PqLloydIterations = 2
 
+  /** ADC candidates per probe for the PQ k-NN join (k=5 → 12.8× k;
+    * the per-probe candidate pool is nprobe cells, smaller than the
+    * single-probe query's, so a smaller rerank factor holds recall). */
+  final val PqJoinCand = 64
+
   /** SemDeDup (`q_semdedup`) knobs: within-cluster near-dup threshold
     * (fixture-calibrated so ~15-20% of vectors dedup away — the
     * fixture's cosine ceiling is ~0.5, so production's ~0.95 would
@@ -388,6 +393,64 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
       knnJoin(s, dir, k = 5, nprobe = 4)
+    },
+
+    // PQ-accelerated k-NN join: the pairwise stage of the join scores
+    // CODES against per-probe ADC lookup tables (8 one-byte lookups +
+    // adds + one divide per pair — no vector is read until the
+    // per-probe exact rerank of the top PqJoinCand). The oracle replays
+    // the whole join in DuckDB over the materialized codebooks+codes:
+    // per-probe coarse ranking, relational LUT, 8-term ADC sum /
+    // stored norm, candidate window, exact rerank — bit-exact
+    // including tie-breaks.
+    Q("q_knn_join_pq",
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv
+         |  FROM embeddings WHERE vec_id % 100 = 0
+         |), probed AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, CAST(c.cid AS BIGINT) AS cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY (${dotSql("c.cv", "p.pv")}) DESC, c.cid) AS crk
+         |    FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
+         |    CROSS JOIN probes p)
+         |  WHERE crk <= 4
+         |), lut AS (
+         |  SELECT p.probe_id, b.m, b.code,
+         |    ${(1 to PqSubDim).map(i =>
+               s"CAST(p.pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
+               .mkString(" + ")} AS v
+         |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') b
+         |  CROSS JOIN probes p
+         |), cand AS (
+         |  SELECT probe_id, vec_id, label FROM (
+         |    SELECT probed.probe_id, k.vec_id, k.label,
+         |      row_number() OVER (PARTITION BY probed.probe_id
+         |        ORDER BY (${(0 until PqM).map(m => s"l$m.v")
+                   .mkString(" + ")}) / k.xnorm DESC, k.vec_id) AS ark
+         |    FROM read_parquet('$PqOracleAlias/*/*.parquet',
+         |           hive_partitioning=true) k
+         |    JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
+         |    ${(0 until PqM).map(m =>
+               s"JOIN lut l$m ON l$m.probe_id = probed.probe_id " +
+                 s"AND l$m.m = $m AND l$m.code = k.c$m").mkString("\n    ")}
+         |    WHERE k.vec_id <> probed.probe_id)
+         |  WHERE ark <= $PqJoinCand
+         |)
+         |SELECT probe_id, vec_id, label, cosine, rank FROM (
+         |  SELECT c.probe_id, c.vec_id, c.label,
+         |    (${dotSql("e.embedding", "p.pv")}) /
+         |      (${normSql("e.embedding")} * ${normSql("p.pv")}) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY c.probe_id
+         |      ORDER BY (${dotSql("e.embedding", "p.pv")}) /
+         |        (${normSql("e.embedding")} * ${normSql("p.pv")}) DESC,
+         |        c.vec_id) AS BIGINT) AS rank
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN probes p ON p.probe_id = c.probe_id)
+         |WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      knnJoinPq(s, dir, k = 5, nprobe = 4, cand = PqJoinCand)
     },
 
     // FILTERED ANN — the retrieval-with-metadata-predicate shape every
@@ -965,6 +1028,89 @@ object SimilarityQueries {
       .select("vec_id", "label", "adc", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** PQ-accelerated k-NN join (q_knn_join_pq body; shared with
+    * SimilaritySpec): the same join shape as [[knnJoin]], but the
+    * PAIRWISE stage scores PQ CODES against per-probe lookup tables —
+    * the scanned side of the join carries 8 one-byte codes + one
+    * stored norm, never a vector, and only the top `cand` ADC
+    * candidates per probe touch full vectors in the rerank. That is
+    * the batch-kNN shape that survives 100 TB: pair cost is bytes ×
+    * candidates; vectors appear only in the per-probe rerank sliver.
+    * Every probe-proportional relation (probed cids, the LUT slices,
+    * the rerank probe vectors) joins through the same size gate as
+    * knnJoin — broadcast under the session threshold, forced shuffle
+    * equi-join over it. */
+  def knnJoinPq(s: SparkSession, dir: String, k: Int, nprobe: Int,
+      cand: Int, probeModulus: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = load(s, dir, "embeddings")
+    val (path, ivfPath) = pqIndexWithIvf(s, dir)
+    val codes = s.read.parquet(path)
+      .withColumn("cid", col("cid").cast(LongType))
+    val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
+    val codebook = s.read.parquet(pqCodebooksPath(path))
+    val probes = emb.where(col("vec_id") % probeModulus === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        norm(col("embedding")).as("pn"))
+    val probed = probes.crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("sim"), asc("cid"))))
+      .where(col("crk") <= nprobe)
+      .select(col("probe_id"), col("cid"))
+    // ONE aggregation yields the static cid prune list AND the row
+    // counts the size gates need (cf. knnJoin)
+    val cidCounts = probed.groupBy("cid").count().collect()
+    val probedCids = cidCounts.map(_.getLong(0)).toSeq
+    val probedRows = cidCounts.map(_.getLong(1)).sum
+    val nProbes = probedRows / nprobe.toLong max 1L
+    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    def gated(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
+      if (threshold > 0 && rows * bytesPerRow <= threshold) broadcast(df)
+      else df.hint("merge")
+    // per-probe LUT, computed relationally: the same left-assoc
+    // products as the oracle's unrolled SQL, one row per
+    // (probe, subspace, codeword) — probe-proportional, vector-free
+    val lutV = (1 to PqSubDim).map(i =>
+      element_at(col("pv"), col("m") * PqSubDim + lit(i))
+        .cast(DoubleType) * element_at(col("cv"), i)).reduce(_ + _)
+    // broadcast the CONSTANT side (PqM x PqK codebook rows), stream the
+    // probe-proportional side — safe at any probe count
+    val lut = probes.select(col("probe_id"), col("pv"))
+      .crossJoin(broadcast(codebook))
+      .select(col("probe_id"), col("m"), col("code"), lutV.as("v"))
+    val base = codes.where(col("cid").isin(probedCids: _*))
+      .join(gated(probed, probedRows, 32L), Seq("cid"))
+      .where(col("vec_id") =!= col("probe_id"))
+    // 8 equi-joins attach the LUT values; each slice is one row per
+    // (probe, codeword) — 16 doubles per probe per subspace
+    val withAdc = (0 until PqM).foldLeft(base) { (df, m) =>
+      val lutM = lut.where(col("m") === m)
+        .select(col("probe_id"), col("code").cast(ByteType).as(s"c$m"),
+          col("v").as(s"v$m"))
+      df.join(gated(lutM, nProbes * PqK, 48L), Seq("probe_id", s"c$m"))
+    }
+    val adc = (0 until PqM).map(m => col(s"v$m")).reduce(_ + _) /
+      col("xnorm")
+    val candd = withAdc.withColumn("adc", adc)
+      .withColumn("ark", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("adc"), asc("vec_id"))))
+      .where(col("ark") <= cand)
+      .select("probe_id", "vec_id", "label")
+    // exact rerank: full vectors for cand rows per probe only
+    candd
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(gated(probes, nProbes, Dim.toLong * 8 + 80), Seq("probe_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * col("pn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("cosine"), asc("vec_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select("probe_id", "vec_id", "label", "cosine", "rank")
+      .orderBy("probe_id", "rank")
   }
 
   /** IVF search, shared with SimilaritySpec for the recall assertion. */

@@ -55,6 +55,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes.count() == emb.count())
   }
 
+  test("PQ knn join: code-scored candidates agree with the exact join") {
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val exact = SimilarityQueries.knnJoin(spark, sf, k = 5, nprobe = 4)
+      .collect().map(key).toSet
+    val pq = SimilarityQueries.knnJoinPq(spark, sf, k = 5, nprobe = 4,
+      cand = SimilarityQueries.PqJoinCand).collect()
+    val pqSet = pq.map(key).toSet
+    // both joins rank the SAME candidate pool (identical coarse cells);
+    // only ADC-vs-exact candidate selection can differ
+    val recall = (exact intersect pqSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ join recall vs exact = $recall")
+    // shape: k rows per probe, no self matches, ranks 1..k
+    val perProbe = pq.groupBy(_.getLong(0))
+    assert(perProbe.values.forall(_.length == 5))
+    assert(pq.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(perProbe.values.forall(
+      _.map(_.getLong(4)).sorted.sameElements(1L to 5L)))
+  }
+
   test("incremental PQ: batch encoded with STORED codebooks, appended in place, recall holds") {
     import org.apache.spark.sql.functions._
     val k = 20
