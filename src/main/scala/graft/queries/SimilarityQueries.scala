@@ -844,8 +844,6 @@ object SimilarityQueries {
   def pqIndexPath(s: SparkSession, dir: String): String =
     pqIndexWithIvf(s, dir)._1
 
-  /** Same, also returning the coarse IVF index path it was built over
-    * (so the search does not repeat ivfIndexPath's staleness check). */
   /** Per-subspace k-means codebook training over `corpus`: seeds =
     * sub-vectors of the PqK lowest vec_ids, PqLloydIterations
     * refinement passes (each one broadcast-assign + one
@@ -870,7 +868,7 @@ object SimilarityQueries {
     * product, but the search metric is cosine — dividing the quantized
     * dot by the true norm removes the norm-variance rank error PQ
     * codes cannot carry. */
-  private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
+  private def pqEncode(df: DataFrame, codebook: DataFrame,
       cids: DataFrame): DataFrame = {
     val codeCols = (0 until PqM).map(m =>
       max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
@@ -886,6 +884,9 @@ object SimilarityQueries {
     s.read.parquet(ivfPath)
       .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
 
+  /** Same as [[pqIndexPath]], also returning the coarse IVF index path
+    * it was built over (so the search does not repeat ivfIndexPath's
+    * staleness check). */
   private def pqIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index"
@@ -954,8 +955,6 @@ object SimilarityQueries {
     }
   }
 
-  def pqIncrementalIndexPath(s: SparkSession, dir: String): String =
-    pqIncrementalIndexWithIvf(s, dir)._1
 
   /** IVF-PQ search (q_sim_ann_pq body; shared with SimilaritySpec):
     * coarse-prune to nprobe cids, ADC-score the pruned CODES against a
@@ -1030,6 +1029,20 @@ object SimilarityQueries {
       .limit(k)
   }
 
+  /** One size-gate policy for every probe-proportional join side in
+    * the kNN family: broadcast while the estimated bytes sit under the
+    * session threshold; over it, the shuffle must be FORCED (merge
+    * hint) — Catalyst's own size estimate of the probe subtree can
+    * undershoot and re-pick broadcast, the exact executor-OOM shape
+    * the gate exists to prevent. AQE may still re-convert from the
+    * MEASURED exchange size, which is safe by construction. */
+  private def sizeGatedSide(s: SparkSession, df: DataFrame, rows: Long,
+      bytesPerRow: Long): DataFrame = {
+    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && rows * bytesPerRow <= threshold) broadcast(df)
+    else df.hint("merge")
+  }
+
   /** PQ-accelerated k-NN join (q_knn_join_pq body; shared with
     * SimilaritySpec): the same join shape as [[knnJoin]], but the
     * PAIRWISE stage scores PQ CODES against per-probe lookup tables —
@@ -1051,46 +1064,52 @@ object SimilarityQueries {
       .withColumn("cid", col("cid").cast(LongType))
     val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
     val codebook = s.read.parquet(pqCodebooksPath(path))
+    // materialize the probe relation ONCE (probe-proportional — tiny
+    // next to the corpus): probed, the LUT, and the rerank all derive
+    // from it, and the 8 LUT join sides would otherwise each re-run
+    // the embeddings scan from scratch
     val probes = emb.where(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         norm(col("embedding")).as("pn"))
+      .localCheckpoint()
     val probed = probes.crossJoin(broadcast(centroids))
       .withColumn("sim", dot(col("cv"), col("pv")))
       .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
         .orderBy(desc("sim"), asc("cid"))))
       .where(col("crk") <= nprobe)
       .select(col("probe_id"), col("cid"))
+      .localCheckpoint()
     // ONE aggregation yields the static cid prune list AND the row
     // counts the size gates need (cf. knnJoin)
     val cidCounts = probed.groupBy("cid").count().collect()
     val probedCids = cidCounts.map(_.getLong(0)).toSeq
     val probedRows = cidCounts.map(_.getLong(1)).sum
     val nProbes = probedRows / nprobe.toLong max 1L
-    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
-    def gated(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
-      if (threshold > 0 && rows * bytesPerRow <= threshold) broadcast(df)
-      else df.hint("merge")
     // per-probe LUT, computed relationally: the same left-assoc
     // products as the oracle's unrolled SQL, one row per
-    // (probe, subspace, codeword) — probe-proportional, vector-free
+    // (probe, subspace, codeword) — probe-proportional, vector-free.
+    // The CONSTANT side (PqM x PqK codebook rows) broadcasts, the
+    // probe side streams — safe at any probe count. Materialized once;
+    // the 8 join slices below are views over the same blocks.
     val lutV = (1 to PqSubDim).map(i =>
       element_at(col("pv"), col("m") * PqSubDim + lit(i))
         .cast(DoubleType) * element_at(col("cv"), i)).reduce(_ + _)
-    // broadcast the CONSTANT side (PqM x PqK codebook rows), stream the
-    // probe-proportional side — safe at any probe count
     val lut = probes.select(col("probe_id"), col("pv"))
       .crossJoin(broadcast(codebook))
-      .select(col("probe_id"), col("m"), col("code"), lutV.as("v"))
+      .select(col("probe_id"), col("m"), col("code").cast(ByteType)
+        .as("code"), lutV.as("v"))
+      .localCheckpoint()
     val base = codes.where(col("cid").isin(probedCids: _*))
-      .join(gated(probed, probedRows, 32L), Seq("cid"))
+      .join(sizeGatedSide(s, probed, probedRows, 32L), Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
     // 8 equi-joins attach the LUT values; each slice is one row per
     // (probe, codeword) — 16 doubles per probe per subspace
     val withAdc = (0 until PqM).foldLeft(base) { (df, m) =>
       val lutM = lut.where(col("m") === m)
-        .select(col("probe_id"), col("code").cast(ByteType).as(s"c$m"),
+        .select(col("probe_id"), col("code").as(s"c$m"),
           col("v").as(s"v$m"))
-      df.join(gated(lutM, nProbes * PqK, 48L), Seq("probe_id", s"c$m"))
+      df.join(sizeGatedSide(s, lutM, nProbes * PqK, 48L),
+        Seq("probe_id", s"c$m"))
     }
     val adc = (0 until PqM).map(m => col(s"v$m")).reduce(_ + _) /
       col("xnorm")
@@ -1102,7 +1121,8 @@ object SimilarityQueries {
     // exact rerank: full vectors for cand rows per probe only
     candd
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(gated(probes, nProbes, Dim.toLong * 8 + 80), Seq("probe_id"))
+      .join(sizeGatedSide(s, probes, nProbes, Dim.toLong * 8 + 80),
+        Seq("probe_id"))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /
           (norm(col("embedding")) * col("pn")))
@@ -1189,21 +1209,10 @@ object SimilarityQueries {
     // Dim-wide vector, and the probe relation is (probe fraction ×
     // corpus) × nprobe rows — at a 10% fraction on a 100× corpus that
     // is millions of vector-bearing rows, past any broadcast threshold
-    // and an executor-OOM shape if hinted unconditionally. Honor the
-    // session broadcast threshold; over it, fall back to a shuffle
-    // join on cid (the index side is already partitioned by cid, so
-    // the shuffle moves only the probe rows).
-    val bytesPerProbeRow = Dim.toLong * 8 + 80
-    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
-    val probeSide =
-      if (threshold > 0 && probedRows * bytesPerProbeRow <= threshold)
-        broadcast(probed)
-      // over the threshold the shuffle must be FORCED (merge hint):
-      // Catalyst's own size estimate of the probe subtree can
-      // undershoot and re-pick broadcast — the exact OOM shape the
-      // gate exists to prevent. AQE may still re-convert from the
-      // MEASURED exchange size, which is safe by construction.
-      else probed.hint("merge")
+    // and an executor-OOM shape if hinted unconditionally (the index
+    // side is already partitioned by cid, so the fallback shuffle
+    // moves only the probe rows).
+    val probeSide = sizeGatedSide(s, probed, probedRows, Dim.toLong * 8 + 80)
     index.where(col("cid").isin(probedCids: _*))
       .join(probeSide, Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
