@@ -24,6 +24,12 @@ import org.apache.spark.sql.types._
   *   floats), so the scan structure fits executor memory at corpus
   *   sizes where raw vectors never could. ADC candidate scoring +
   *   exact rerank of the top PqCand.
+  * - `q_sim_ann_pq_incremental`: the PQ ingest path — the arriving
+  *   batch encodes against the STORED codebooks and appends into the
+  *   coarse cells; codebooks never move, residents never rewrite.
+  * - `q_knn_join_pq`: batch kNN whose pairwise stage scores CODES
+  *   against per-probe ADC LUTs — pair cost stays flat as embedding
+  *   width grows; vectors appear only in the per-probe rerank sliver.
   */
 object SimilarityQueries {
   import T.load

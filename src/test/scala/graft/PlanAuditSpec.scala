@@ -412,6 +412,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "cid prune did not reach the partition filters")
   }
 
+  test("q_knn_join_pq: the pairwise stage scans codes only, cid-pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.queries.SimilarityQueries
+    val df = SparkEntry.queries("q_knn_join_pq")(spark, sf)
+    df.collect()
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val codeScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("pq_index")))
+    assert(codeScans.nonEmpty, "no FileSourceScan over the PQ codes")
+    // the join's pairwise stage must also never read a vector column
+    val allowed = Set("vec_id", "label", "xnorm") ++
+      (0 until SimilarityQueries.PqM).map(m => s"c$m")
+    codeScans.foreach { scan =>
+      val readCols = scan.requiredSchema.fieldNames.toSet
+      assert(readCols.subsetOf(allowed),
+        s"pairwise scan reads beyond the code columns: ${readCols -- allowed}")
+      assert(scan.partitionFilters.nonEmpty,
+        "cid prune did not reach the partition filters")
+    }
+  }
+
   test("q_temperature_mix: budget table broadcasts, corpus ranks once") {
     val p = plan("q_temperature_mix")
     // per-source budgets join via broadcast; the corpus itself never
