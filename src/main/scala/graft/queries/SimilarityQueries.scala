@@ -361,6 +361,55 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // STREAMING PQ ingest: the firehose is coarse-placed AND encoded to
+    // PQ codes per micro-batch against the CURRENT codebooks, appended
+    // to a sink — the streaming face of the PQ ingest path, O(batch)
+    // state, zero stateful operators (spec-pinned). The oracle
+    // recomputes every placement (argmax dot over stored centroids)
+    // and every code (argmin of the identical left-assoc squared-L2
+    // over the stored codebooks, ties to the lower code) relationally.
+    Q("q_stream_pq_ingest",
+      s"""WITH batch AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7
+         |), ranked AS (
+         |  SELECT b.vec_id, CAST(c.cid AS BIGINT) AS cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY (${dotSql("c.cv", "b.embedding")}) DESC, c.cid)
+         |      AS rk
+         |  FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN batch b
+         |), coarse AS (
+         |  SELECT vec_id, cid FROM ranked WHERE rk = 1
+         |), dist AS (
+         |  SELECT b.vec_id, cb.m, cb.code,
+         |    row_number() OVER (PARTITION BY b.vec_id, cb.m
+         |      ORDER BY ${(1 to PqSubDim).map(i =>
+               s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE) - cb.cv[$i]) * " +
+                 s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE) - cb.cv[$i])")
+               .mkString(" + ")} ASC, cb.code) AS drk
+         |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') cb
+         |  CROSS JOIN batch b
+         |), best AS (
+         |  SELECT vec_id, m, code FROM dist WHERE drk = 1
+         |)
+         |SELECT c.vec_id, c.cid,
+         |  ${(0 until PqM).map(m =>
+             s"CAST(max(CASE WHEN b.m = $m THEN b.code END) AS INTEGER) AS c$m")
+             .mkString(",\n  ")}
+         |FROM coarse c JOIN best b USING (vec_id)
+         |GROUP BY c.vec_id, c.cid
+         |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+      val (pqPath, ivfPath) = pqIndexWithIvf(s, dir) // refreshes aliases
+      val feed = graft.streaming.VecsStream.feedDir(s, dir)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sink = s"target/stream_pq_sink_$tag"
+      streamPqIngest(s, feed, pqPath, ivfPath, sink, s"stream_pq_$tag")
+      val codeCols = (0 until PqM).map(m => col(s"c$m"))
+      s.read.parquet(sink)
+        .select((col("vec_id") +: col("cid") +: codeCols): _*)
+        .orderBy("vec_id")
+    },
+
     // k-NN JOIN: top-k neighbors for a whole probe SET (1% of vectors),
     // not one vector — the shape a batch retrieval / hard-negative
     // mining pass actually runs. Per-probe centroid ranking is a
@@ -1301,6 +1350,59 @@ object SimilarityQueries {
         } else assigned.select("vec_id", "cid").write.mode("append")
           .parquet(sinkDir)
         () // pin the lambda to Unit (the Scala foreachBatch overload)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.toSeq
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ck)
+    }
+  }
+
+  /** Streaming PQ ingest (q_stream_pq_ingest body; shared with
+    * SimilaritySpec): each micro-batch of arriving vectors is coarse-
+    * assigned to the CURRENT broadcast centroids AND encoded to PqM
+    * one-byte codes against the CURRENT stored codebooks, then appended
+    * to a parquet sink — per-trigger state and work are O(batch), zero
+    * stateful operators. This is the streaming face of the PQ ingest
+    * path: the same (cid, codes) row the batch incremental builder
+    * materializes, produced as the firehose lands. */
+  def streamPqIngest(s: SparkSession, feedDir: String, pqPath: String,
+      ivfPath: String, sinkDir: String, name: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    val sinkFile = new java.io.File(sinkDir)
+    if (sinkFile.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(sinkFile)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(
+      ckBase.toPath, s"graft_ck_$name").toFile
+    val q = graft.streaming.VecsStream.readFeed(ss, feedDir)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", ck.getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val cent = bs.read.parquet(ivfCentroidsPath(ivfPath))
+        val codebook = bs.read.parquet(pqCodebooksPath(pqPath))
+        // coarse placement: same assignment rule as assignTo
+        val cids = batch.crossJoin(broadcast(cent))
+          .withColumn("sim", dot(col("embedding"), col("cv")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid")))
+            .cast(LongType).as("cid"))
+        val codeCols = (0 until PqM).map(m =>
+          col(s"c$m").cast(IntegerType).as(s"c$m"))
+        pqEncode(batch.withColumn("label", lit(0)), codebook, cids)
+          .select((col("vec_id") +: col("cid") +: codeCols): _*)
+          .write.mode("append").parquet(sinkDir)
+        ()
       }
       .start()
     try {

@@ -55,6 +55,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes.count() == emb.count())
   }
 
+  test("streaming PQ ingest encodes exactly like the batch index, bounded state") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("q_stream_pq_ingest")(spark, sf)
+      .collect()
+    // parity: the streamed (cid, codes) rows must equal the batch
+    // build's rows for the same slice — same centroids, same stored
+    // codebooks, same assignment rules
+    val indexPath = SimilarityQueries.pqIndexPath(spark, sf)
+    val codeCols = (0 until SimilarityQueries.PqM).map(m =>
+      col(s"c$m").cast("int").as(s"c$m"))
+    val batchRows = spark.read.parquet(indexPath)
+      .where(col("vec_id") % 10 === 7)
+      .select((col("vec_id") +: col("cid").cast("long").as("cid") +:
+        codeCols): _*)
+      .orderBy("vec_id").collect()
+    assert(streamed.length == batchRows.length && streamed.nonEmpty)
+    assert(streamed.sameElements(batchRows),
+      s"stream/batch divergence, e.g. ${streamed.zip(batchRows)
+        .find { case (a, b) => a != b }}")
+    // bounded state: encode is per-row — no stateful operator may accrue
+    val feed = graft.streaming.VecsStream.feedDir(spark, sf)
+    val progress = SimilarityQueries.streamPqIngest(spark, feed,
+      SimilarityQueries.pqIndexPath(spark, sf),
+      SimilarityQueries.ivfIndexPath(spark, sf),
+      "target/stream_pq_sink_spec", "stream_pq_spec")
+    val withData = progress.filter(_.numInputRows > 0)
+    assert(withData.size >= 2, "expected at least two data micro-batches")
+    assert(withData.forall(_.stateOperators.isEmpty),
+      s"unexpected stateful operators: ${withData.flatMap(
+        _.stateOperators.map(_.operatorName)).toSet}")
+  }
+
   test("PQ knn join: code-scored candidates agree with the exact join") {
     val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
     val exact = SimilarityQueries.knnJoin(spark, sf, k = 5, nprobe = 4)
