@@ -370,7 +370,8 @@ object SimilarityQueries {
     // over the stored codebooks, ties to the lower code) relationally.
     Q("q_stream_pq_ingest",
       s"""WITH batch AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7
+         |  SELECT vec_id, embedding, label
+         |  FROM embeddings WHERE vec_id % 10 = 7
          |), ranked AS (
          |  SELECT b.vec_id, CAST(c.cid AS BIGINT) AS cid,
          |    row_number() OVER (PARTITION BY b.vec_id
@@ -392,12 +393,15 @@ object SimilarityQueries {
          |), best AS (
          |  SELECT vec_id, m, code FROM dist WHERE drk = 1
          |)
-         |SELECT c.vec_id, c.cid,
+         |SELECT c.vec_id, c.cid, bt.label,
+         |  ${normSql("bt.embedding")} AS xnorm,
          |  ${(0 until PqM).map(m =>
-             s"CAST(max(CASE WHEN b.m = $m THEN b.code END) AS INTEGER) AS c$m")
+             s"CAST(max(CASE WHEN b.m = $m THEN b.code END) AS TINYINT) AS c$m")
              .mkString(",\n  ")}
-         |FROM coarse c JOIN best b USING (vec_id)
-         |GROUP BY c.vec_id, c.cid
+         |FROM coarse c
+         |JOIN best b USING (vec_id)
+         |JOIN batch bt USING (vec_id)
+         |GROUP BY c.vec_id, c.cid, bt.label, bt.embedding
          |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
       val (pqPath, ivfPath) = pqIndexWithIvf(s, dir) // refreshes aliases
       val feed = graft.streaming.VecsStream.feedDir(s, dir)
@@ -406,7 +410,8 @@ object SimilarityQueries {
       streamPqIngest(s, feed, pqPath, ivfPath, sink, s"stream_pq_$tag")
       val codeCols = (0 until PqM).map(m => col(s"c$m"))
       s.read.parquet(sink)
-        .select((col("vec_id") +: col("cid") +: codeCols): _*)
+        .select((col("vec_id") +: col("cid") +: col("label") +:
+          col("xnorm") +: codeCols): _*)
         .orderBy("vec_id")
     },
 
@@ -1299,14 +1304,15 @@ object SimilarityQueries {
     *
     * Returns the query's progress events so callers can pin the
     * bounded-state property (no stateful operators in the plan). */
-  def streamAnnIngest(s: SparkSession, feedDir: String, indexPath: String,
-      sinkDir: String, name: String, maintain: Boolean = false,
-      dim: Int = Dim)
+  /** Shared scaffolding for the vector-firehose foreachBatch runners:
+    * fresh sink, cloned session, tmpfs checkpoint (as
+    * EventsStream.runToMemory), run-to-drain, checkpoint cleanup. */
+  private def runVecStream(s: SparkSession, feedDir: String,
+      sinkDir: String, name: String)(body: DataFrame => Unit)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val sinkFile = new java.io.File(sinkDir)
     if (sinkFile.exists())
       org.apache.commons.io.FileUtils.deleteDirectory(sinkFile)
-    // cloned session + tmpfs checkpoint, as EventsStream.runToMemory
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -1319,16 +1325,29 @@ object SimilarityQueries {
       .writeStream
       .queryName(name)
       .option("checkpointLocation", ck.getAbsolutePath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) => body(batch) }
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.toSeq
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ck)
+    }
+  }
+
+  def streamAnnIngest(s: SparkSession, feedDir: String, indexPath: String,
+      sinkDir: String, name: String, maintain: Boolean = false,
+      dim: Int = Dim)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    runVecStream(s, feedDir, sinkDir, name) { batch =>
         val bs = batch.sparkSession
         val cent = bs.read.parquet(ivfCentroidsPath(indexPath))
-        val assigned = batch
-          .crossJoin(broadcast(cent))
-          .withColumn("sim", dot(col("embedding"), col("cv")))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("sim"), -col("cid")))
-              .cast(LongType).as("cid"),
-            first("embedding").as("embedding"))
+        // ONE definition of the nearest-centroid rule (assignTo) —
+        // the feed carries no label, so pin a placeholder
+        val assigned = assignTo(batch.withColumn("label", lit(0)), cent)
+          .withColumn("cid", col("cid").cast(LongType))
+          .select("vec_id", "cid", "embedding")
         if (maintain) {
           // one computation of the batch assignment feeds the sink
           // append, the index append, and the per-cid counters
@@ -1349,70 +1368,36 @@ object SimilarityQueries {
           } finally assigned.unpersist()
         } else assigned.select("vec_id", "cid").write.mode("append")
           .parquet(sinkDir)
-        () // pin the lambda to Unit (the Scala foreachBatch overload)
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-      q.recentProgress.toSeq
-    } finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(ck)
     }
-  }
 
   /** Streaming PQ ingest (q_stream_pq_ingest body; shared with
     * SimilaritySpec): each micro-batch of arriving vectors is coarse-
     * assigned to the CURRENT broadcast centroids AND encoded to PqM
     * one-byte codes against the CURRENT stored codebooks, then appended
     * to a parquet sink — per-trigger state and work are O(batch), zero
-    * stateful operators. This is the streaming face of the PQ ingest
-    * path: the same (cid, codes) row the batch incremental builder
-    * materializes, produced as the firehose lands. */
+    * stateful operators. The sink row carries the FULL index shape
+    * (vec_id, cid, label, xnorm, c0..c7 as bytes), so streamed rows
+    * are directly appendable into the PQ index's cid partitions — the
+    * streaming face of the same ingest the batch incremental builder
+    * runs. */
   def streamPqIngest(s: SparkSession, feedDir: String, pqPath: String,
       ivfPath: String, sinkDir: String, name: String)
-      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
-    val sinkFile = new java.io.File(sinkDir)
-    if (sinkFile.exists())
-      org.apache.commons.io.FileUtils.deleteDirectory(sinkFile)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val shm = new java.io.File("/dev/shm")
-    val ckBase = if (shm.isDirectory && shm.canWrite) shm
-      else new java.io.File(System.getProperty("java.io.tmpdir"))
-    val ck = java.nio.file.Files.createTempDirectory(
-      ckBase.toPath, s"graft_ck_$name").toFile
-    val q = graft.streaming.VecsStream.readFeed(ss, feedDir)
-      .writeStream
-      .queryName(name)
-      .option("checkpointLocation", ck.getAbsolutePath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        val cent = bs.read.parquet(ivfCentroidsPath(ivfPath))
-        val codebook = bs.read.parquet(pqCodebooksPath(pqPath))
-        // coarse placement: same assignment rule as assignTo
-        val cids = batch.crossJoin(broadcast(cent))
-          .withColumn("sim", dot(col("embedding"), col("cv")))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("sim"), -col("cid")))
-            .cast(LongType).as("cid"))
-        val codeCols = (0 until PqM).map(m =>
-          col(s"c$m").cast(IntegerType).as(s"c$m"))
-        pqEncode(batch.withColumn("label", lit(0)), codebook, cids)
-          .select((col("vec_id") +: col("cid") +: codeCols): _*)
-          .write.mode("append").parquet(sinkDir)
-        ()
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-      q.recentProgress.toSeq
-    } finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(ck)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    runVecStream(s, feedDir, sinkDir, name) { batch =>
+      val bs = batch.sparkSession
+      val cent = bs.read.parquet(ivfCentroidsPath(ivfPath))
+      val codebook = bs.read.parquet(pqCodebooksPath(pqPath))
+      // ONE definition of the nearest-centroid rule (assignTo); the
+      // feed carries the vector's real label, stored in the sink row
+      val cids = assignTo(batch, cent)
+        .withColumn("cid", col("cid").cast(LongType))
+        .select("vec_id", "cid")
+      val codeCols = (0 until PqM).map(m => col(s"c$m"))
+      pqEncode(batch, codebook, cids)
+        .select((col("vec_id") +: col("cid") +: col("label") +:
+          col("xnorm") +: codeCols): _*)
+        .write.mode("append").parquet(sinkDir)
     }
-  }
 
   /** Brute-force top-k (for the spec's recall comparison). */
   def bruteTopK(s: SparkSession, dir: String, probeId: Long,

@@ -14,11 +14,16 @@ object VecsStream {
 
   val feedSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
-    StructField("embedding", ArrayType(FloatType), nullable = true)))
+    StructField("embedding", ArrayType(FloatType), nullable = true),
+    // a real firehose carries the vector's metadata with it (the PQ
+    // ingest sink stores it); spec-built feeds without the column
+    // read as null, which the IVF-only consumers ignore
+    StructField("label", IntegerType, nullable = true)))
 
   private def sourceSig(sfDir: String): String = {
     val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    s"${f.length()}:${graft.queries.DeltaQueries.contentSha(f)}"
+    // "v2" = feed schema version (label added); bumps stale caches
+    s"v2:${f.length()}:${graft.queries.DeltaQueries.contentSha(f)}"
   }
 
   /** The streamed batch slice (one definition, shared with the oracle
@@ -26,7 +31,7 @@ object VecsStream {
   def batchVecs(spark: SparkSession, sfDir: String): DataFrame =
     graft.queries.T.load(spark, sfDir, "embeddings")
       .where(col("vec_id") % 10 === 7)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
 
   def feedDir(spark: SparkSession, sfDir: String): String =
     this.synchronized {

@@ -57,29 +57,30 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("streaming PQ ingest encodes exactly like the batch index, bounded state") {
     import org.apache.spark.sql.functions._
-    val streamed = SparkEntry.queries("q_stream_pq_ingest")(spark, sf)
-      .collect()
-    // parity: the streamed (cid, codes) rows must equal the batch
-    // build's rows for the same slice — same centroids, same stored
-    // codebooks, same assignment rules
+    // ONE stream run supplies both halves: its sink rows for the
+    // parity check and its progress for the bounded-state check
     val indexPath = SimilarityQueries.pqIndexPath(spark, sf)
-    val codeCols = (0 until SimilarityQueries.PqM).map(m =>
-      col(s"c$m").cast("int").as(s"c$m"))
-    val batchRows = spark.read.parquet(indexPath)
-      .where(col("vec_id") % 10 === 7)
-      .select((col("vec_id") +: col("cid").cast("long").as("cid") +:
-        codeCols): _*)
-      .orderBy("vec_id").collect()
+    val feed = graft.streaming.VecsStream.feedDir(spark, sf)
+    val sink = "target/stream_pq_sink_spec"
+    val progress = SimilarityQueries.streamPqIngest(spark, feed,
+      indexPath, SimilarityQueries.ivfIndexPath(spark, sf),
+      sink, "stream_pq_spec")
+    val cols = (df: org.apache.spark.sql.DataFrame) => {
+      val codeCols = (0 until SimilarityQueries.PqM).map(m => col(s"c$m"))
+      df.select((col("vec_id") +: col("cid").cast("long").as("cid") +:
+        col("label") +: col("xnorm") +: codeCols): _*).orderBy("vec_id")
+    }
+    val streamed = cols(spark.read.parquet(sink)).collect()
+    // parity: the streamed rows carry the FULL index shape and must
+    // equal the batch build's rows for the same slice — same
+    // centroids, same stored codebooks, same rules, same label/norm
+    val batchRows = cols(spark.read.parquet(indexPath)
+      .where(col("vec_id") % 10 === 7)).collect()
     assert(streamed.length == batchRows.length && streamed.nonEmpty)
     assert(streamed.sameElements(batchRows),
       s"stream/batch divergence, e.g. ${streamed.zip(batchRows)
         .find { case (a, b) => a != b }}")
     // bounded state: encode is per-row — no stateful operator may accrue
-    val feed = graft.streaming.VecsStream.feedDir(spark, sf)
-    val progress = SimilarityQueries.streamPqIngest(spark, feed,
-      SimilarityQueries.pqIndexPath(spark, sf),
-      SimilarityQueries.ivfIndexPath(spark, sf),
-      "target/stream_pq_sink_spec", "stream_pq_spec")
     val withData = progress.filter(_.numInputRows > 0)
     assert(withData.size >= 2, "expected at least two data micro-batches")
     assert(withData.forall(_.stateOperators.isEmpty),
