@@ -561,6 +561,19 @@ object SimilarityQueries {
       annPq(s, dir, probeId = 0, k = 20, nprobe = 8, cand = PqCand)
     },
 
+    // Filtered PQ ANN: the attribute predicate narrows the CANDIDATE
+    // scan on the codes relation itself (which carries the metadata
+    // columns) — filtering costs no vector reads, and the exact rerank
+    // still touches only PqCand rows. Same shape as q_sim_ann_filtered
+    // with the PQ memory bound.
+    Q("q_sim_ann_pq_filtered",
+      pqOracleSql(PqOracleAlias, predSql = "k.label % 3 = 1", k = 10)) {
+      (s, dir) =>
+        val (path, ivfPath) = pqIndexWithIvf(s, dir)
+        annPqOver(s, dir, path, ivfPath, probeId = 0, k = 10, nprobe = 8,
+          cand = PqCand, predicate = col("label") % 3 === 1)
+    },
+
     // Incremental PQ maintenance (the production ingest path):
     // codebooks train on the base corpus only, the arriving batch
     // (vec_id % 10 == 7) is encoded against the EXISTING stored
@@ -660,9 +673,13 @@ object SimilarityQueries {
     "/root/repo/target/delta_fixtures/pq_incr_current"
 
   /** The PQ search replayed in DuckDB over a materialized index alias
-    * family — shared verbatim by the build-once and incremental
-    * queries, so both oracles are the identical full content check. */
-  private def pqOracleSql(alias: String): String =
+    * family — shared verbatim by the build-once, incremental, and
+    * filtered queries, so every oracle is the identical full content
+    * check. `predSql` narrows the CANDIDATE scan (the filtered-ANN
+    * shape: attribute predicates evaluate on the CODES relation, which
+    * carries the metadata columns — no vector is read to filter). */
+  private def pqOracleSql(alias: String, predSql: String = "TRUE",
+      k: Int = 20): String =
     s"""WITH probe AS (
        |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
        |), probed AS (
@@ -688,7 +705,7 @@ object SimilarityQueries {
        |  ${(0 until PqM).map(m =>
            s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.c$m")
            .mkString("\n  ")}
-       |  WHERE k.vec_id <> 0
+       |  WHERE k.vec_id <> 0 AND ($predSql)
        |  ORDER BY adc DESC, vec_id
        |  LIMIT $PqCand
        |)
@@ -699,7 +716,7 @@ object SimilarityQueries {
        |JOIN embeddings e ON e.vec_id = c.vec_id
        |CROSS JOIN probe
        |ORDER BY cosine DESC, c.vec_id
-       |LIMIT 20""".stripMargin
+       |LIMIT $k""".stripMargin
 
   private def refreshAlias(alias: String, target: String): Unit =
     DeltaQueries.refreshAlias(alias, target)
@@ -947,7 +964,7 @@ object SimilarityQueries {
   /** Same as [[pqIndexPath]], also returning the coarse IVF index path
     * it was built over (so the search does not repeat ivfIndexPath's
     * staleness check). */
-  private def pqIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
+  private[graft] def pqIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index"
     this.synchronized {
@@ -1029,9 +1046,14 @@ object SimilarityQueries {
   }
 
   /** Same probe against explicit codes/coarse-index directories (shared
-    * by the build-once and incrementally-maintained PQ indexes). */
+    * by the build-once and incrementally-maintained PQ indexes).
+    * `predicate` narrows the CANDIDATE scan — the filtered-ANN shape:
+    * attribute predicates evaluate on the codes relation (which
+    * carries the metadata columns), so filtering costs no vector
+    * reads and the rerank still touches only `cand` rows. */
   def annPqOver(s: SparkSession, dir: String, path: String, ivfPath: String,
-      probeId: Long, k: Int, nprobe: Int, cand: Int): DataFrame = {
+      probeId: Long, k: Int, nprobe: Int, cand: Int,
+      predicate: Column = lit(true)): DataFrame = {
     import s.implicits._
     val emb = load(s, dir, "embeddings")
     val codes = s.read.parquet(path)
@@ -1074,6 +1096,7 @@ object SimilarityQueries {
     val candidates = codes
       .where(col("cid").isin(probeCids: _*))
       .where(col("vec_id") =!= probeId)
+      .where(predicate)
       .withColumn("adc", adc)
       .orderBy(desc("adc"), asc("vec_id"))
       .limit(cand)

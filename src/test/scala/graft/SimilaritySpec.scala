@@ -254,6 +254,18 @@ class SimilaritySpec extends AnyFunSuite {
       .limit(k).collect().map(_.getLong(0)).toSet
     val recall = (brute intersect hits.map(_._1).toSet).size.toDouble / k
     assert(recall >= 0.8, s"filtered recall@$k = $recall")
+    // the PQ variant of the same filtered search: predicate evaluates
+    // on the codes relation (no vector read), exact rerank after
+    val (path, ivfPath) = SimilarityQueries.pqIndexWithIvf(spark, sf)
+    val pqHits = SimilarityQueries.annPqOver(spark, sf, path, ivfPath,
+      probeId = 0, k = k, nprobe = 8, cand = SimilarityQueries.PqCand,
+      predicate = col("label") % 3 === 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue()))
+    assert(pqHits.length == k)
+    assert(pqHits.forall(_._2 % 3 == 1), "PQ predicate leaked")
+    val pqRecall =
+      (brute intersect pqHits.map(_._1).toSet).size.toDouble / k
+    assert(pqRecall >= 0.8, s"filtered PQ recall@$k = $pqRecall")
   }
 
   test("embed near-dup band buckets are bounded (hot-bucket cap holds)") {
