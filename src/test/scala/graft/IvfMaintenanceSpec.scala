@@ -263,4 +263,31 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val m2 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
     assert(!m2.retrain && m2.skewAlert, s"$m2")
   }
+
+  test("PQ codebook drift: same-distribution appends stay quiet, a " +
+    "distribution shift fires the re-train trigger") {
+    import graft.operators.PqMaintenance
+    import graft.queries.{SimilarityQueries, T}
+    // the incremental PQ fixture: codebooks trained on the BASE slice
+    val (pqPath, _) = SimilarityQueries.pqIncrementalIndexWithIvf(spark, sf)
+    val cbPath = SimilarityQueries.pqCodebooksPath(pqPath)
+    val emb = T.load(spark, sf, "embeddings")
+    val base = emb.where(col("vec_id") % 10 =!= 7)
+      .select("vec_id", "embedding")
+    val appended = emb.where(col("vec_id") % 10 === 7)
+      .select("vec_id", "embedding")
+    // the fixture's appended slice is the SAME distribution as the
+    // training data — quantizes about as well, no trigger
+    val same = PqMaintenance.driftReport(spark, cbPath, base, appended)
+    assert(same.ratio < 1.5 && !same.retrain, s"$same")
+    assert(same.baseAvgDistortion > 0.0)
+    // a shifted batch (constant offset on every dimension) quantizes
+    // against codebooks that never saw that region — distortion jumps
+    // and the trigger fires (the codebooks stopped describing the data)
+    val shifted = appended.withColumn("embedding",
+      expr("transform(embedding, x -> x + CAST(3.0 AS FLOAT))"))
+    val drift = PqMaintenance.driftReport(spark, cbPath, base, shifted)
+    assert(drift.retrain && drift.ratio > 2.0, s"$drift")
+    assert(drift.appendedAvgDistortion > same.appendedAvgDistortion)
+  }
 }
