@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Codebook-drift policy for the PQ index family — the product-
   * quantization analogue of [[IvfMaintenance]]'s centroid-drift
@@ -18,19 +17,21 @@ import org.apache.spark.sql.types._
   * vector), so distortion is the observable that tells maintenance
   * when the codebooks stopped describing the data.
   *
-  * Policy (mirrors IvfMaintenance's shape): measure the mean
-  * distortion of a REFERENCE slice (what the codebooks were trained
-  * on) and of the APPENDED slice; fire when the ratio crosses
-  * `ratioThreshold` (default 2.0 — appended vectors quantize twice as
-  * badly as the training data). The report is side-effect-free; the
-  * escape hatch is a codebook re-train + full re-encode, which is the
-  * same two plan shapes as the original build at any corpus size.
-  *
-  * Cost: one broadcast join (PqM x PqK codebook rows) + one partial-
-  * aggregated average per measured slice — linear in the slice, zero
-  * index IO beyond the codebooks.
+  * Policy (mirrors IvfMaintenance's shape): compare the mean
+  * distortion of the APPENDED slice against a REFERENCE baseline and
+  * fire when the ratio crosses `ratioThreshold` (default 2.0 —
+  * appended vectors quantize twice as badly as the training data).
+  * Because codebooks are frozen, the reference baseline is CONSTANT
+  * per codebook build: measure it once at train time and persist it
+  * (the IvfMaintenance recordBase pattern), then every routine check
+  * costs only the appended slice — one broadcast join (PqM x PqK
+  * codebook rows) + one partial-aggregated average, zero index IO.
+  * The report is side-effect-free; the escape hatch is a codebook
+  * re-train + full re-encode, the same two plan shapes as the
+  * original build at any corpus size.
   */
 object PqMaintenance {
+  import graft.queries.SimilarityQueries.{pqDist, pqSubRows}
 
   final val DefaultRatioThreshold = 2.0
 
@@ -40,49 +41,46 @@ object PqMaintenance {
       ratio: Double,
       retrain: Boolean)
 
-  private val M = graft.queries.SimilarityQueries.PqM
-  private val D = graft.queries.SimilarityQueries.PqSubDim
-
-  private def subRows(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-      posexplode(array((0 until M).map(m =>
-        array((0 until D).map(i =>
-          element_at(col("embedding"), m * D + i + 1)
-            .cast(DoubleType)): _*)): _*)).as(Seq("m", "sv")))
-
-  private def l2(a: Column, b: Column): Column =
-    (1 to D).map { i =>
-      val d = element_at(a, i) - element_at(b, i)
-      d * d
-    }.reduce(_ + _)
-
   /** Mean quantization distortion of `vectors` (vec_id, embedding)
     * against the STORED codebooks at `codebooksPath`: each sub-vector
-    * is assigned to its nearest codeword (the encode rule — min L2,
-    * ties to the lower code) and the winning squared L2s average over
-    * all (vector, subspace) pairs. One broadcast join + one
-    * aggregation. */
+    * is assigned to its nearest codeword (the encode rule) and the
+    * winning squared L2s average over all (vector, subspace) pairs.
+    * One broadcast join + one aggregation, linear in the slice. An
+    * EMPTY slice reports 0.0 (nothing arrived — nothing drifted),
+    * matching IvfMaintenance's quiet handling of zero appends. */
   def distortion(s: SparkSession, codebooksPath: String,
       vectors: DataFrame): Double = {
     val cb = s.read.parquet(codebooksPath)
-    val winner = subRows(vectors)
+    val winner = pqSubRows(vectors)
       .join(broadcast(cb), Seq("m"))
-      .withColumn("d", l2(col("sv"), col("cv")))
+      .withColumn("d", pqDist(col("sv"), col("cv")))
       .groupBy("vec_id", "m")
       .agg(min(col("d")).as("d"))
-    winner.agg(avg(col("d"))).head.getDouble(0)
+    Option(winner.agg(avg(col("d"))).head.get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
   }
 
-  /** Side-effect-free drift report: distortion of the appended slice
-    * vs the reference (training-time) slice against the same stored
-    * codebooks. `retrain` fires when appended/reference crosses the
-    * threshold — the codebooks stopped describing the arriving data. */
+  /** Drift report against a PRECOMPUTED reference baseline (the
+    * production shape: the baseline is constant per codebook build,
+    * so routine checks scan only the appended slice). Both distortions
+    * zero — including an empty appended slice — is a perfect fit, not
+    * drift. */
+  def driftReportFromBaseline(s: SparkSession, codebooksPath: String,
+      baseDistortion: Double, appended: DataFrame,
+      ratioThreshold: Double = DefaultRatioThreshold): PqDriftReport = {
+    val app = distortion(s, codebooksPath, appended)
+    val ratio =
+      if (baseDistortion == 0.0) { if (app == 0.0) 1.0 else Double.PositiveInfinity }
+      else app / baseDistortion
+    PqDriftReport(baseDistortion, app, ratio, retrain = ratio > ratioThreshold)
+  }
+
+  /** Convenience: measure the reference slice inline, then report.
+    * Costs a reference scan per call — for repeated checks, measure
+    * the baseline once and use [[driftReportFromBaseline]]. */
   def driftReport(s: SparkSession, codebooksPath: String,
       reference: DataFrame, appended: DataFrame,
-      ratioThreshold: Double = DefaultRatioThreshold): PqDriftReport = {
-    val base = distortion(s, codebooksPath, reference)
-    val app = distortion(s, codebooksPath, appended)
-    val ratio = if (base == 0.0) Double.PositiveInfinity else app / base
-    PqDriftReport(base, app, ratio, retrain = ratio > ratioThreshold)
-  }
+      ratioThreshold: Double = DefaultRatioThreshold): PqDriftReport =
+    driftReportFromBaseline(s, codebooksPath,
+      distortion(s, codebooksPath, reference), appended, ratioThreshold)
 }

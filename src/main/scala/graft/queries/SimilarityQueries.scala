@@ -877,7 +877,7 @@ object SimilarityQueries {
   /** Per-subspace squared L2 between two PqSubDim-wide double arrays —
     * unrolled left-assoc, codegen-friendly (8 dims x 16 codes per row
     * through one broadcast join). */
-  private def pqDist(a: Column, b: Column): Column =
+  private[graft] def pqDist(a: Column, b: Column): Column =
     (1 to PqSubDim).map { i =>
       val d = element_at(a, i) - element_at(b, i)
       d * d
@@ -885,7 +885,7 @@ object SimilarityQueries {
 
   /** One (vec_id, m, sv) row per subspace — sv as doubles so training
     * means and ADC LUTs share one arithmetic domain with the oracle. */
-  private def pqSubRows(df: DataFrame): DataFrame =
+  private[graft] def pqSubRows(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
       posexplode(array((0 until PqM).map(m =>
         array((0 until PqSubDim).map(i =>

@@ -289,5 +289,15 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val drift = PqMaintenance.driftReport(spark, cbPath, base, shifted)
     assert(drift.retrain && drift.ratio > 2.0, s"$drift")
     assert(drift.appendedAvgDistortion > same.appendedAvgDistortion)
+    // production shape: baseline measured once, routine checks scan
+    // only the appended slice — same verdicts from the stored number
+    val baseline = PqMaintenance.distortion(spark, cbPath, base)
+    val fromBase = PqMaintenance.driftReportFromBaseline(
+      spark, cbPath, baseline, shifted)
+    assert(fromBase.retrain && fromBase.ratio == drift.ratio)
+    // a quiet period (no arriving batch) reports, never crashes
+    val quiet = PqMaintenance.driftReportFromBaseline(
+      spark, cbPath, baseline, appended.limit(0))
+    assert(!quiet.retrain && quiet.appendedAvgDistortion == 0.0, s"$quiet")
   }
 }
