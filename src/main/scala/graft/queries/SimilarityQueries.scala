@@ -874,6 +874,27 @@ object SimilarityQueries {
     * SAME codebooks the codes were quantized against). */
   def pqCodebooksPath(indexPath: String): String = indexPath + "_codebooks"
 
+  /** The training-time distortion baseline lives INSIDE the codebooks
+    * dir (underscore-prefixed: ignored by both Spark's and DuckDB's
+    * parquet readers) — constant per codebook build, measured once so
+    * routine drift checks scan only the arriving slice (the
+    * IvfMaintenance recordBase pattern). */
+  private def baselineFile(codebooksPath: String) =
+    new java.io.File(codebooksPath, "_baseline_distortion")
+
+  private def recordDistortionBaseline(s: SparkSession,
+      codebooksPath: String, trainingSlice: DataFrame): Unit = {
+    val v = graft.operators.PqMaintenance.distortion(
+      s, codebooksPath, trainingSlice.select("vec_id", "embedding"))
+    java.nio.file.Files.write(baselineFile(codebooksPath).toPath,
+      v.toString.getBytes("UTF-8"))
+  }
+
+  /** The persisted training-time baseline for a codebook build. */
+  def distortionBaseline(codebooksPath: String): Double =
+    new String(java.nio.file.Files.readAllBytes(
+      baselineFile(codebooksPath).toPath), "UTF-8").toDouble
+
   /** Per-subspace squared L2 between two PqSubDim-wide double arrays —
     * unrolled left-assoc, codegen-friendly (8 dims x 16 codes per row
     * through one broadcast join). */
@@ -971,13 +992,15 @@ object SimilarityQueries {
       val ivfPath = ivfIndexPath(s, dir) // also refreshes the IVF aliases
       val success = new java.io.File(path, "_SUCCESS")
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      if (!success.exists() || success.lastModified() < src.lastModified()) {
+      if (!success.exists() || success.lastModified() < src.lastModified()
+          || !baselineFile(pqCodebooksPath(path)).exists()) {
         val emb = load(s, dir, "embeddings")
         pqTrainCodebooks(emb).coalesce(1).write.mode("overwrite")
           .parquet(pqCodebooksPath(path))
         pqEncode(emb, s.read.parquet(pqCodebooksPath(path)),
             pqCids(s, ivfPath))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
+        recordDistortionBaseline(s, pqCodebooksPath(path), emb)
       }
       refreshAlias(PqOracleAlias, path)
       refreshAlias(PqOracleAlias + "_codebooks", pqCodebooksPath(path))
@@ -1007,7 +1030,8 @@ object SimilarityQueries {
       val ivfPath = ivfIncrementalIndexPath(s, dir)
       val success = new java.io.File(path, "_graft_incr_done")
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      if (!success.exists() || success.lastModified() < src.lastModified()) {
+      if (!success.exists() || success.lastModified() < src.lastModified()
+          || !baselineFile(pqCodebooksPath(path)).exists()) {
         val emb = load(s, dir, "embeddings")
         val base = emb.where(col("vec_id") % 10 =!= 7)
         val batch = emb.where(col("vec_id") % 10 === 7)
@@ -1017,6 +1041,7 @@ object SimilarityQueries {
         val cids = pqCids(s, ivfPath)
         pqEncode(base, codebook, cids)
           .write.mode("overwrite").partitionBy("cid").parquet(path)
+        recordDistortionBaseline(s, pqCodebooksPath(path), base)
         // the incremental step: encode ONLY the batch against the
         // stored codebooks, append into the matching cid partitions
         pqEncode(batch, codebook, cids)
@@ -1331,7 +1356,7 @@ object SimilarityQueries {
     * fresh sink, cloned session, tmpfs checkpoint (as
     * EventsStream.runToMemory), run-to-drain, checkpoint cleanup. */
   private def runVecStream(s: SparkSession, feedDir: String,
-      sinkDir: String, name: String)(body: DataFrame => Unit)
+      sinkDir: String, name: String)(body: (DataFrame, Long) => Unit)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val sinkFile = new java.io.File(sinkDir)
     if (sinkFile.exists())
@@ -1348,7 +1373,7 @@ object SimilarityQueries {
       .writeStream
       .queryName(name)
       .option("checkpointLocation", ck.getAbsolutePath)
-      .foreachBatch { (batch: DataFrame, _: Long) => body(batch) }
+      .foreachBatch { (batch: DataFrame, id: Long) => body(batch, id) }
       .start()
     try {
       q.processAllAvailable()
@@ -1363,7 +1388,7 @@ object SimilarityQueries {
       sinkDir: String, name: String, maintain: Boolean = false,
       dim: Int = Dim)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
-    runVecStream(s, feedDir, sinkDir, name) { batch =>
+    runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
         val bs = batch.sparkSession
         val cent = bs.read.parquet(ivfCentroidsPath(indexPath))
         // ONE definition of the nearest-centroid rule (assignTo) —
@@ -1404,9 +1429,19 @@ object SimilarityQueries {
     * streaming face of the same ingest the batch incremental builder
     * runs. */
   def streamPqIngest(s: SparkSession, feedDir: String, pqPath: String,
-      ivfPath: String, sinkDir: String, name: String)
-      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
-    runVecStream(s, feedDir, sinkDir, name) { batch =>
+      ivfPath: String, sinkDir: String, name: String,
+      monitor: Boolean = false)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    // per-batch drift log beside the sink (monitor mode); the baseline
+    // is the build-time constant, read once on the driver
+    val driftDir = sinkDir + "_drift"
+    if (monitor) {
+      val df = new java.io.File(driftDir)
+      if (df.exists()) org.apache.commons.io.FileUtils.deleteDirectory(df)
+    }
+    val baseline =
+      if (monitor) distortionBaseline(pqCodebooksPath(pqPath)) else 0.0
+    runVecStream(s, feedDir, sinkDir, name) { (batch, batchId) =>
       val bs = batch.sparkSession
       val cent = bs.read.parquet(ivfCentroidsPath(ivfPath))
       val codebook = bs.read.parquet(pqCodebooksPath(pqPath))
@@ -1416,11 +1451,30 @@ object SimilarityQueries {
         .withColumn("cid", col("cid").cast(LongType))
         .select("vec_id", "cid")
       val codeCols = (0 until PqM).map(m => col(s"c$m"))
-      pqEncode(batch, codebook, cids)
-        .select((col("vec_id") +: col("cid") +: col("label") +:
-          col("xnorm") +: codeCols): _*)
-        .write.mode("append").parquet(sinkDir)
+      // the encode feeds BOTH the sink and (in monitor mode) the drift
+      // check — persist so the micro-batch computes it once
+      if (monitor) batch.persist()
+      try {
+        pqEncode(batch, codebook, cids)
+          .select((col("vec_id") +: col("cid") +: col("label") +:
+            col("xnorm") +: codeCols): _*)
+          .write.mode("append").parquet(sinkDir)
+        if (monitor) {
+          // the streaming face of the PQ drift policy: each arriving
+          // micro-batch is measured against the build-time baseline —
+          // O(batch) work, the trigger that says the frozen codebooks
+          // stopped describing the firehose
+          val rep = graft.operators.PqMaintenance.driftReportFromBaseline(
+            bs, pqCodebooksPath(pqPath), baseline,
+            batch.select("vec_id", "embedding"))
+          import bs.implicits._
+          Seq((batchId, rep.appendedAvgDistortion, rep.ratio, rep.retrain))
+            .toDF("batch_id", "distortion", "ratio", "retrain")
+            .coalesce(1).write.mode("append").parquet(driftDir)
+        }
+      } finally if (monitor) batch.unpersist()
     }
+  }
 
   /** Brute-force top-k (for the spec's recall comparison). */
   def bruteTopK(s: SparkSession, dir: String, probeId: Long,

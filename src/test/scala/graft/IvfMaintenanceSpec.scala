@@ -300,4 +300,34 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       spark, cbPath, baseline, appended.limit(0))
     assert(!quiet.retrain && quiet.appendedAvgDistortion == 0.0, s"$quiet")
   }
+
+  test("streamed PQ ingest monitors codebook drift per micro-batch") {
+    import graft.queries.SimilarityQueries
+    import graft.streaming.VecsStream
+    val (pqPath, ivfPath) = SimilarityQueries.pqIndexWithIvf(spark, sf)
+    // a firehose whose first micro-batch matches the training
+    // distribution and whose second is SHIFTED off the codebooks
+    val feedDir = s"$tmp/pq_drift_feed"
+    val batch = VecsStream.batchVecs(spark, sf)
+    val base = System.currentTimeMillis() - 60000
+    VecsStream.writeFeedFile(feedDir,
+      batch.where(col("vec_id") % 20 === 7), "00_norm.parquet", base)
+    VecsStream.writeFeedFile(feedDir,
+      batch.where(col("vec_id") % 20 =!= 7).withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(3.0 AS FLOAT))")),
+      "01_shift.parquet", base + 10000)
+    val sink = s"$tmp/pq_drift_sink"
+    SimilarityQueries.streamPqIngest(spark, feedDir, pqPath, ivfPath,
+      sink, "pq_drift_spec", monitor = true)
+    val log = spark.read.parquet(sink + "_drift")
+      .orderBy("batch_id").collect()
+    assert(log.length == 2, s"expected 2 drift rows, got ${log.length}")
+    // same-distribution batch: quiet; shifted batch: the trigger fires
+    assert(!log.head.getAs[Boolean]("retrain"),
+      s"normal batch fired: ${log.head}")
+    assert(log.last.getAs[Boolean]("retrain"),
+      s"shifted batch stayed quiet: ${log.last}")
+    assert(log.last.getAs[Double]("ratio") >
+      log.head.getAs[Double]("ratio"))
+  }
 }
