@@ -297,12 +297,24 @@ object LocalCatalog {
       connection: String, comment: Option[String],
       options: Map[String, String],
       ifNotExists: Boolean): DataFrame = registryLock.synchronized {
-    // IF NOT EXISTS over an existing catalog is a no-op FIRST — an
-    // idempotent re-run must not fail on a connection that was since
-    // dropped or renamed
+    // IF NOT EXISTS over an existing catalog is a no-op on the
+    // REGISTRY — an idempotent re-run must not fail on a connection
+    // that was since dropped or renamed — but the DATA-PLANE binding
+    // is SESSION-LOCAL conf: a second session's re-run must still get
+    // the mount (best-effort, via the catalog's recorded connection)
+    // or its reads through the mounted name would fail despite the
+    // create "succeeding"
     val existing = Option(catalogs.get(name))
     existing match {
       case Some(prev) if ifNotExists =>
+        for (conn <- prev.usingConnection;
+             rootPath <- localRootOf(Option(connections.get(conn)))
+             if spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+          spark.conf.set(s"spark.sql.catalog.$name",
+            classOf[ForeignCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$name.root", rootPath)
+          spark.conf.set(boundMarkerKey(name), "true")
+        }
         return result(spark, createSchema,
           Row(name, "catalog", describe(prev)))
       case Some(_) =>

@@ -235,14 +235,32 @@ object CommitRangeScan {
     // blocks free together once every view evicts
     val worthy = derived.filter(_._4)
     val bigOpt = if (worthy.isEmpty) None else {
-      val big = worthy.map(_._3).reduceLeft(_ unionByName _).localCheckpoint()
+      val big = unionBalanced(worthy.map(_._3)).localCheckpoint()
       import org.apache.spark.sql.functions.{col, lit}
       for ((v, key, _, _) <- worthy)
         cachePut(key, big.where(col("_commit_version") === lit(v)))
       Some(big)
     }
     val cheap = derived.collect { case (_, _, df, false) => df }
-    (hits ++ cheap ++ bigOpt.toSeq).reduceLeft(_ unionByName _)
+    unionBalanced(hits ++ cheap ++ bigOpt.toSeq)
+  }
+
+  /** Union a span's per-commit frames as a BALANCED tree: a long span
+    * of cheap (append-only / cached-view) commits still contributes
+    * one plan subtree per commit, and a left-deep reduce would hand
+    * the analyzer a recursion depth equal to the span length — the
+    * blowup shape for thousand-commit spans. Balancing bounds depth
+    * at log2(n) with zero extra work; CombineUnions flattens the tree
+    * to one n-ary Union during optimization either way. */
+  private def unionBalanced(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "empty span union")
+    var layer = dfs
+    while (layer.size > 1)
+      layer = layer.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a) => a
+      }.toSeq
+    layer.head
   }
 
   /** One commit's derived diff (see [[changesBetween]] for semantics),

@@ -1391,9 +1391,12 @@ object SimilarityQueries {
     runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
         val bs = batch.sparkSession
         val cent = bs.read.parquet(ivfCentroidsPath(indexPath))
-        // ONE definition of the nearest-centroid rule (assignTo) —
-        // the feed carries no label, so pin a placeholder
-        val assigned = assignTo(batch.withColumn("label", lit(0)), cent)
+        // ONE definition of the nearest-centroid rule (assignTo). The
+        // v2 feed carries the vector's real label; spec-built feeds
+        // without the column read it as null — coalesce so assignTo
+        // always sees one (this sink stores only vec_id/cid either way)
+        val assigned = assignTo(
+          batch.withColumn("label", coalesce(col("label"), lit(0))), cent)
           .withColumn("cid", col("cid").cast(LongType))
           .select("vec_id", "cid", "embedding")
         if (maintain) {

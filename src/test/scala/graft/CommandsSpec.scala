@@ -541,6 +541,29 @@ class CommandsSpec extends AnyFunSuite {
     g.sql("DROP CONNECTION fs_conn")
   }
 
+  test("foreign catalog IF NOT EXISTS: a second session's idempotent " +
+    "re-run still gets the session-local data-plane binding") {
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    val root = graft.queries.DeltaQueries.foreignSystemRoot(spark, sf)
+    g.sql(s"CREATE CONNECTION fs_conn2 TYPE filesystem URL 'file://$root'")
+    g.sql("CREATE FOREIGN CATALOG mounted2 USING CONNECTION fs_conn2")
+    // the securable registry is JVM-global, but the mount is SESSION
+    // conf: a fresh session re-running the idempotent create must get
+    // its own binding, not a no-op that leaves its reads failing
+    val s2 = spark.newSession()
+    assert(s2.conf.getOption("spark.sql.catalog.mounted2").isEmpty)
+    GraftSession(s2).sql(
+      "CREATE FOREIGN CATALOG IF NOT EXISTS mounted2 " +
+        "USING CONNECTION fs_conn2")
+    assert(s2.conf.getOption("spark.sql.catalog.mounted2")
+      .contains(classOf[graft.catalog.ForeignCatalog].getName))
+    assert(s2.sql("SELECT count(*) FROM mounted2.analytics.nations_live")
+      .head.getLong(0) > 0)
+    GraftSession(spark).sql("DROP CATALOG mounted2")
+    g.sql("DROP CONNECTION fs_conn2")
+  }
+
   test("vacuum: dry run lists unreferenced files, real run deletes them") {
     val path = tmpTable("vacuum")
     CommitWriter.createTable(spark, region.repartition(2), path)
