@@ -48,11 +48,23 @@ object Bench {
     // never as a (fast) wall time — a bench-only crash (e.g. OOM at
     // sf0.1 that passes the sf0.01 correctness gate) would otherwise
     // read as a speedup.
+    //
+    // Pass 0 is a per-query WARM-UP pass, discarded from the
+    // median/min/max exactly like `queriesWarmup` is off the clock:
+    // round-13's samples_detail proved pass 1 carries first-touch costs
+    // (codegen compiles, page-cache fills, per-query fixture lazy init —
+    // q_ngram_jaccard [6.21, 5.11, 1.78]; q_auto_compact [8.83, 0.16,
+    // 0.62]) that a 3-sample median then laundered into the artifact:
+    // the driver read stable 30.24 s while a clean warm run of the same
+    // code read 21.77 s. The warm-up pass stays visible in
+    // samples_detail (pass 0) so a warm-up-only anomaly is still
+    // diagnosable from the artifact, but only warm passes 1..S are
+    // eligible for the reported statistics.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val outcomesByQuery =
       scala.collection.mutable.Map.empty[String, Vector[BenchSample]]
         .withDefaultValue(Vector.empty)
-    for (pass <- 1 to samples; (name, fn) <- ordered) {
+    for (pass <- 0 to samples; (name, fn) <- ordered) {
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val sample = try {
@@ -66,18 +78,10 @@ object Bench {
       outcomesByQuery(name) = outcomesByQuery(name) :+ sample
     }
     val results = ordered.map { case (name, _) =>
-      val outcomes = outcomesByQuery(name)
-      val errors = outcomes.flatMap(_.error)
-      errors.headOption.foreach(m =>
+      val r = summarize(name, outcomesByQuery(name))
+      r.error.foreach(m =>
         System.err.println(s"[bench] QUERY FAILED $name: $m"))
-      val times = outcomes.filter(_.error.isEmpty).map(_.sec).sorted
-      // ANY failed sample poisons the query: a flaky OOM must not report
-      // the median of its surviving samples (the artifact would read as
-      // a speedup while the query is broken) — carry -1 consistently
-      if (errors.nonEmpty)
-        BenchResult(name, -1.0, -1.0, -1.0, errors.headOption, outcomes)
-      else BenchResult(name, times(times.length / 2), times.head, times.last,
-        None, outcomes)
+      r
     }
     val failed = results.filter(_.error.isDefined)
     // Locale.ROOT: the f interpolator is locale-sensitive, and a
@@ -106,7 +110,7 @@ object Bench {
     val stableTotal = results
       .filter(r => r.error.isEmpty && stableSet(r.name)).map(_.median).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"sampling":"interleaved_passes","run_epoch_ms":${System.currentTimeMillis()},"spread":$spread,"samples_detail":$samplesJson,"n_errors":${failed.length},"errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"sampling":"interleaved_passes_warm_discard","run_epoch_ms":${System.currentTimeMillis()},"spread":$spread,"samples_detail":$samplesJson,"n_errors":${failed.length},"errors":$errJson}"""
     // the driver keeps only the last ~2000 chars of output; persist the full
     // per-query vector to a file and print a compact headline line LAST so it
     // survives the tail buffer intact and parses
@@ -159,7 +163,7 @@ object Bench {
       (shown ++ more).mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"sampling":"interleaved_passes","n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"errors":$headErrs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"sampling":"interleaved_passes_warm_discard","n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"errors":$headErrs}""")
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver
@@ -175,6 +179,25 @@ object Bench {
   private[graft] final case class BenchResult(name: String, median: Double,
       min: Double, max: Double, error: Option[String],
       samples: Vector[BenchSample] = Vector.empty)
+
+  /** Per-query statistics over the WARM passes only: pass 0 is the
+    * discarded per-query warm-up (first-touch codegen/page-cache/lazy
+    * fixture costs bill there, symmetric with `queriesWarmup`), but it
+    * stays in `samples` so samples_detail still shows it. ANY failed
+    * sample — warm-up included, a crash is a crash — poisons the query
+    * to -1: a flaky OOM must not report the median of its surviving
+    * samples (the artifact would read as a speedup while broken). */
+  private[graft] def summarize(name: String,
+      outcomes: Vector[BenchSample]): BenchResult = {
+    val errors = outcomes.flatMap(_.error)
+    val times = outcomes.filter(o => o.error.isEmpty && o.pass > 0)
+      .map(_.sec).sorted
+    if (errors.nonEmpty || times.isEmpty)
+      BenchResult(name, -1.0, -1.0, -1.0,
+        errors.headOption.orElse(Some("no warm samples")), outcomes)
+    else BenchResult(name, times(times.length / 2), times.head, times.last,
+      None, outcomes)
+  }
 
   /** Per-sample detail (FULL artifact only): pass index, wall-clock
     * start (epoch ms), seconds. Samples are taken INTERLEAVED (one per

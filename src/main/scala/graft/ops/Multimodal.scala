@@ -242,13 +242,26 @@ object Multimodal {
 
   private def resizeWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val srcRate = ais.getFormat.getSampleRate
     val data = try ais.readAllBytes() finally ais.close()
     // decimation: every factor-th sample (the audio "resize")
     val dec = Array.tabulate[Byte](resizedDim(data.length, factor))(i =>
       data(i * factor))
+    // the header rate must drop with the decimation (src/factor): the
+    // clip then keeps its DURATION — decimation IS the downsample. Kept
+    // at the source rate, an external player would render a
+    // time-compressed, pitch-shifted clip (the in-framework decode
+    // ignores the header rate, which is how the defect stayed
+    // oracle-invisible). Floored to an integer Hz: the RIFF header
+    // stores the rate as a 4-byte int anyway, so a fractional rate
+    // would silently truncate on write.
+    val rate = (srcRate / factor).toInt.toFloat
+    val fmt = new AudioFormat(WavFormat.getEncoding, rate,
+      WavFormat.getSampleSizeInBits, WavFormat.getChannels,
+      WavFormat.getFrameSize, rate, WavFormat.isBigEndian)
     val out = new ByteArrayOutputStream()
     val res = new AudioInputStream(
-      new ByteArrayInputStream(dec), WavFormat, dec.length)
+      new ByteArrayInputStream(dec), fmt, dec.length)
     AudioSystem.write(res, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }

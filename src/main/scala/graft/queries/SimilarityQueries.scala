@@ -557,7 +557,9 @@ object SimilarityQueries {
     // identical exact-cosine rerank — a full content check including
     // the quantized scores. Recall vs brute force and the compression
     // bound are separately pinned in SimilaritySpec.
-    Q("q_sim_ann_pq", pqOracleSql(PqOracleAlias)) { (s, dir) =>
+    Q("q_sim_ann_pq",
+      pqOracleSql(PqOracleAlias, k = 20, probeId = 0, nprobe = 8,
+        cand = PqCand)) { (s, dir) =>
       annPq(s, dir, probeId = 0, k = 20, nprobe = 8, cand = PqCand)
     },
 
@@ -567,7 +569,8 @@ object SimilarityQueries {
     // still touches only PqCand rows. Same shape as q_sim_ann_filtered
     // with the PQ memory bound.
     Q("q_sim_ann_pq_filtered",
-      pqOracleSql(PqOracleAlias, predSql = "k.label % 3 = 1", k = 10)) {
+      pqOracleSql(PqOracleAlias, predSql = "k.label % 3 = 1", k = 10,
+        probeId = 0, nprobe = 8, cand = PqCand)) {
       (s, dir) =>
         val (path, ivfPath) = pqIndexWithIvf(s, dir)
         annPqOver(s, dir, path, ivfPath, probeId = 0, k = 10, nprobe = 8,
@@ -585,7 +588,9 @@ object SimilarityQueries {
     // intact. Codebook drift is the accepted trade (same policy class
     // as IVF centroid drift; the coarse side of this index already
     // runs IvfMaintenance's counters).
-    Q("q_sim_ann_pq_incremental", pqOracleSql(PqIncrOracleAlias)) {
+    Q("q_sim_ann_pq_incremental",
+      pqOracleSql(PqIncrOracleAlias, k = 20, probeId = 0, nprobe = 8,
+        cand = PqCand)) {
       (s, dir) =>
         val (path, ivfPath) = pqIncrementalIndexWithIvf(s, dir)
         annPqOver(s, dir, path, ivfPath,
@@ -677,17 +682,22 @@ object SimilarityQueries {
     * filtered queries, so every oracle is the identical full content
     * check. `predSql` narrows the CANDIDATE scan (the filtered-ANN
     * shape: attribute predicates evaluate on the CODES relation, which
-    * carries the metadata columns — no vector is read to filter). */
+    * carries the metadata columns — no vector is read to filter).
+    * EVERY search knob the Scala body takes (probeId, nprobe, cand, k)
+    * threads through here too — call sites must pass the identical
+    * values to both, or the oracle silently replays a different
+    * search. */
   private def pqOracleSql(alias: String, predSql: String = "TRUE",
-      k: Int = 20): String =
+      k: Int = 20, probeId: Long = 0, nprobe: Int = 8,
+      cand: Int = PqCand): String =
     s"""WITH probe AS (
-       |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+       |  SELECT embedding AS pv FROM embeddings WHERE vec_id = $probeId
        |), probed AS (
        |  SELECT CAST(c.cid AS BIGINT) AS cid
        |  FROM read_parquet('${alias}_centroids/*.parquet') c
        |  CROSS JOIN probe
        |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
-       |  LIMIT 8
+       |  LIMIT $nprobe
        |), lut AS (
        |  SELECT b.m, b.code,
        |    ${(1 to PqSubDim).map(i =>
@@ -705,9 +715,9 @@ object SimilarityQueries {
        |  ${(0 until PqM).map(m =>
            s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.c$m")
            .mkString("\n  ")}
-       |  WHERE k.vec_id <> 0 AND ($predSql)
+       |  WHERE k.vec_id <> $probeId AND ($predSql)
        |  ORDER BY adc DESC, vec_id
-       |  LIMIT $PqCand
+       |  LIMIT $cand
        |)
        |SELECT c.vec_id, c.label, c.adc,
        |  (${dotSql("e.embedding", "pv")}) /
@@ -946,18 +956,31 @@ object SimilarityQueries {
     * sub-vectors of the PqK lowest vec_ids, PqLloydIterations
     * refinement passes (each one broadcast-assign + one
     * partial-aggregated means groupBy). */
-  private def pqTrainCodebooks(corpus: DataFrame): DataFrame = {
+  private[graft] def pqTrainCodebooks(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sub = pqSubRows(corpus)
     val seeds = pqSubRows(corpus.orderBy("vec_id").limit(PqK))
       .withColumn("code", row_number().over(
         Window.partitionBy("m").orderBy("vec_id")) - 1)
       .select(col("m"), col("code"), col("sv").as("cv"))
-    def means(assigned: DataFrame) = assigned.groupBy("m", "code")
-      .agg(array((1 to PqSubDim).map(i =>
-        avg(element_at(col("sv"), i))): _*).as("cv"))
+    // a codeword that loses EVERY assignment (duplicate seeds, or a
+    // dense cluster swallowing its neighborhood) would silently vanish
+    // from the groupBy means — shrinking the subspace codebook below
+    // PqK with no signal: encoding stays consistent but quantization
+    // quality degrades and the search LUT keeps NaN slots. Keep such a
+    // codeword at its previous position instead (the standard empty-
+    // cluster rule); it stays a valid, deterministic codeword and can
+    // win assignments again on a later pass. Identity when nothing
+    // lost, so existing materialized codebooks are unchanged.
+    def means(cb: DataFrame, assigned: DataFrame) = {
+      val moved = assigned.groupBy("m", "code")
+        .agg(array((1 to PqSubDim).map(i =>
+          avg(element_at(col("sv"), i))): _*).as("cv"))
+      moved.unionByName(
+        cb.join(moved.select("m", "code"), Seq("m", "code"), "left_anti"))
+    }
     (1 to PqLloydIterations)
-      .foldLeft(seeds)((cb, _) => means(pqAssign(sub, cb, keepSv = true)))
+      .foldLeft(seeds)((cb, _) => means(cb, pqAssign(sub, cb, keepSv = true)))
   }
 
   /** Encode `df` to PqM one-byte codes against a STORED codebook and
@@ -966,7 +989,7 @@ object SimilarityQueries {
     * product, but the search metric is cosine — dividing the quantized
     * dot by the true norm removes the norm-variance rank error PQ
     * codes cannot carry. */
-  private def pqEncode(df: DataFrame, codebook: DataFrame,
+  private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
       cids: DataFrame): DataFrame = {
     val codeCols = (0 until PqM).map(m =>
       max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
@@ -1007,6 +1030,56 @@ object SimilarityQueries {
       refreshAlias(PqOracleAlias + "_centroids", ivfCentroidsPath(ivfPath))
       (path, ivfPath)
     }
+  }
+
+  /** The PQ drift ESCAPE HATCH — [[graft.operators.PqMaintenance]]'s
+    * documented remedy when the distortion trigger fires: re-train the
+    * codebooks on the CURRENT corpus, re-encode every vector against
+    * them, and refresh the persisted distortion baseline. The two plan
+    * shapes are exactly the original build's (broadcast-assign +
+    * partial-aggregated means to train; broadcast-encode to code), so
+    * the cost model holds at any corpus size — a retrain is a rebuild
+    * priced like the first build, amortized over the ingest that
+    * triggered it.
+    *
+    * Each live directory swaps via sibling-rename (the
+    * IvfMaintenance.maybeRetrain pattern): a crash leaves a complete
+    * copy of that directory under one of its two names. Codes are
+    * encoded against the NEW codebooks and swap FIRST, codebooks
+    * second — readers re-resolve paths per search (the snapshot-refresh
+    * discipline of the reference's schema provider,
+    * crates/datafusion/src/schema_provider.rs:83-118), so after the
+    * second swap every search sees the coherent new generation.
+    * Maintenance is a single job by construction (as in
+    * IvfMaintenance): concurrent searches during the inter-swap window
+    * are out of scope for the local fixture harness. */
+  def pqRetrainAndReEncode(s: SparkSession, corpus: DataFrame,
+      path: String, cids: DataFrame): Unit = this.synchronized {
+    val cbPath = pqCodebooksPath(path)
+    def swapIn(live: String): Unit = {
+      val dest = new java.io.File(live)
+      val next = new java.io.File(live + "_next")
+      val prev = new java.io.File(live + "_prev")
+      if (prev.exists()) scala.reflect.io.Directory(prev).deleteRecursively()
+      if (dest.exists()) java.nio.file.Files.move(dest.toPath, prev.toPath)
+      java.nio.file.Files.move(next.toPath, dest.toPath)
+      scala.reflect.io.Directory(prev).deleteRecursively()
+    }
+    val cbNext = cbPath + "_next"
+    if (new java.io.File(cbNext).exists())
+      scala.reflect.io.Directory(new java.io.File(cbNext)).deleteRecursively()
+    pqTrainCodebooks(corpus).coalesce(1).write.parquet(cbNext)
+    // the new baseline rides inside the new codebooks dir, so baseline
+    // and codebooks can never version apart
+    recordDistortionBaseline(s, cbNext, corpus)
+    val codesNext = path + "_next"
+    if (new java.io.File(codesNext).exists())
+      scala.reflect.io.Directory(new java.io.File(codesNext))
+        .deleteRecursively()
+    pqEncode(corpus, s.read.parquet(cbNext), cids)
+      .write.partitionBy("cid").parquet(codesNext)
+    swapIn(path)
+    swapIn(cbPath)
   }
 
   /** Incrementally-maintained PQ index (the production ingest path):

@@ -39,6 +39,33 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.spreadFlags(rs) == "{}")
   }
 
+  test("summarize discards the pass-0 warm-up from median/min/max") {
+    // warm-up pass carries the first-touch cost (8.8s); warm passes are
+    // fast — the reported stats must come from warm passes only
+    val r = Bench.summarize("q", Vector(
+      Bench.BenchSample(0, 1000L, 8.83, None),
+      Bench.BenchSample(1, 2000L, 0.16, None),
+      Bench.BenchSample(2, 3000L, 0.62, None),
+      Bench.BenchSample(3, 4000L, 0.40, None)))
+    assert(r.error.isEmpty)
+    assert(r.median == 0.40 && r.min == 0.16 && r.max == 0.62)
+    // the warm-up sample stays visible in samples_detail
+    assert(r.samples.exists(s => s.pass == 0 && s.sec == 8.83))
+  }
+
+  test("summarize poisons on any failed sample, warm-up included") {
+    val r = Bench.summarize("q", Vector(
+      Bench.BenchSample(0, 1000L, -1.0, Some("OOM")),
+      Bench.BenchSample(1, 2000L, 0.2, None),
+      Bench.BenchSample(2, 3000L, 0.2, None)))
+    assert(r.error.contains("OOM"))
+    assert(r.median == -1.0 && r.min == -1.0 && r.max == -1.0)
+    // warm-up-only vectors (no warm pass survived) also poison
+    val r2 = Bench.summarize("q", Vector(
+      Bench.BenchSample(0, 1000L, 1.0, None)))
+    assert(r2.error.contains("no warm samples") && r2.median == -1.0)
+  }
+
   test("samples_detail carries per-sample pass/start_ms/sec, parseable") {
     val rs = Seq(
       Bench.BenchResult("a", 1.0, 0.9, 1.1, None, Vector(

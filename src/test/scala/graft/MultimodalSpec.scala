@@ -59,6 +59,19 @@ class MultimodalSpec extends AnyFunSuite {
         case "image" => assert((resized(0) & 0xFF) == 0x89)
         case "audio" =>
           assert(new String(resized.slice(0, 4), "US-ASCII") == "RIFF")
+          // the header rate must DROP with the decimation, or an
+          // external player would render a time-compressed,
+          // pitch-shifted clip (the in-framework decode ignores the
+          // header rate, so only this pin catches it)
+          val srcAis = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          val srcRate = try srcAis.getFormat.getSampleRate
+            finally srcAis.close()
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(resized))
+          val rate = try ais.getFormat.getSampleRate finally ais.close()
+          val want = (srcRate / factor).toInt.toFloat
+          assert(rate == want, s"resized WAV rate $rate, want $want")
         case _ =>
           assert(new String(resized.slice(0, 4), "US-ASCII") == "GFV1")
       }

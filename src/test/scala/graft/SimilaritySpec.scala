@@ -55,6 +55,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes.count() == emb.count())
   }
 
+  test("PQ codebook training keeps empty codewords: full PqM x PqK " +
+    "codebook, no NaN coordinates") {
+    // duplicate seed vectors force duplicate codewords: assignment ties
+    // go to the lower code, so the higher duplicate loses EVERY
+    // assignment — the shape that silently shrank the codebook (and
+    // left NaN LUT slots downstream) before retention
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat)
+    val corpus = (0 until 40)
+      .map(i => (i.toLong, if (i == 1) vec(0) else vec(i)))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityQueries.pqTrainCodebooks(corpus).collect()
+    val full = SimilarityQueries.PqM * SimilarityQueries.PqK
+    assert(cb.length == full, s"codebook shrank to ${cb.length}/$full")
+    val keys = cb.map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")))
+    assert(keys.distinct.length == keys.length, "duplicate (m, code) slots")
+    assert(cb.forall(r =>
+      r.getSeq[Double](r.fieldIndex("cv")).forall(v => !v.isNaN)),
+      "NaN codeword coordinate")
+  }
+
   test("streaming PQ ingest encodes exactly like the batch index, bounded state") {
     import org.apache.spark.sql.functions._
     // ONE stream run supplies both halves: its sink rows for the
