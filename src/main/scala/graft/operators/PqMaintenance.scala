@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * original build at any corpus size.
   */
 object PqMaintenance {
-  import graft.queries.SimilarityQueries.{pqDist, pqSubRows}
+  import graft.queries.SimilarityQueries.{pqDist, pqSubRows, PqShape, DefaultPqShape}
 
   final val DefaultRatioThreshold = 2.0
 
@@ -49,11 +49,11 @@ object PqMaintenance {
     * EMPTY slice reports 0.0 (nothing arrived — nothing drifted),
     * matching IvfMaintenance's quiet handling of zero appends. */
   def distortion(s: SparkSession, codebooksPath: String,
-      vectors: DataFrame): Double = {
+      vectors: DataFrame, shape: PqShape = DefaultPqShape): Double = {
     val cb = s.read.parquet(codebooksPath)
-    val winner = pqSubRows(vectors)
+    val winner = pqSubRows(vectors, shape)
       .join(broadcast(cb), Seq("m"))
-      .withColumn("d", pqDist(col("sv"), col("cv")))
+      .withColumn("d", pqDist(col("sv"), col("cv"), shape.subDim))
       .groupBy("vec_id", "m")
       .agg(min(col("d")).as("d"))
     Option(winner.agg(avg(col("d"))).head.get(0))

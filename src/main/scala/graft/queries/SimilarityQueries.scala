@@ -80,6 +80,19 @@ object SimilarityQueries {
   final val PqCand = 128
   final val PqLloydIterations = 2
 
+  /** Shape of a PQ code layout: `dim = m * subDim` sub-vector split, `k`
+    * codewords per subspace. The fixture default matches the constants
+    * above; production dims parametrize it (e.g. dim 512 → m=64 one-byte
+    * codes — ADC cost grows with M, not with dim, which is the whole
+    * point: exact pair cost at dim 512 is 8× the fixture's while codes
+    * stay one byte per subspace). Train/encode/distortion all take a
+    * shape so the SAME plan shapes serve any embedding width
+    * (rehearsed at dim 512 by [[graft.tools.PqHighDim]]). */
+  final case class PqShape(dim: Int, m: Int, subDim: Int, k: Int) {
+    require(m * subDim == dim, s"m*subDim must equal dim: $this")
+  }
+  final val DefaultPqShape: PqShape = PqShape(Dim, PqM, PqSubDim, PqK)
+
   /** ADC candidates per probe for the PQ k-NN join (k=5 → 12.8× k;
     * the per-probe candidate pool is nprobe cells, smaller than the
     * single-probe query's, so a smaller rerank factor holds recall). */
@@ -908,19 +921,21 @@ object SimilarityQueries {
   /** Per-subspace squared L2 between two PqSubDim-wide double arrays —
     * unrolled left-assoc, codegen-friendly (8 dims x 16 codes per row
     * through one broadcast join). */
-  private[graft] def pqDist(a: Column, b: Column): Column =
-    (1 to PqSubDim).map { i =>
+  private[graft] def pqDist(a: Column, b: Column,
+      subDim: Int = PqSubDim): Column =
+    (1 to subDim).map { i =>
       val d = element_at(a, i) - element_at(b, i)
       d * d
     }.reduce(_ + _)
 
   /** One (vec_id, m, sv) row per subspace — sv as doubles so training
     * means and ADC LUTs share one arithmetic domain with the oracle. */
-  private[graft] def pqSubRows(df: DataFrame): DataFrame =
+  private[graft] def pqSubRows(df: DataFrame,
+      shape: PqShape = DefaultPqShape): DataFrame =
     df.select(col("vec_id"),
-      posexplode(array((0 until PqM).map(m =>
-        array((0 until PqSubDim).map(i =>
-          element_at(col("embedding"), m * PqSubDim + i + 1)
+      posexplode(array((0 until shape.m).map(m =>
+        array((0 until shape.subDim).map(i =>
+          element_at(col("embedding"), m * shape.subDim + i + 1)
             .cast(DoubleType)): _*)): _*)).as(Seq("m", "sv")))
 
   /** Nearest-codeword assignment of sub-vector rows against a codebook:
@@ -931,9 +946,9 @@ object SimilarityQueries {
     * the shuffle ONLY for the training pass (means needs it); the
     * encode pass ships just (vec_id, m, code). */
   private def pqAssign(sub: DataFrame, codebook: DataFrame,
-      keepSv: Boolean): DataFrame = {
+      keepSv: Boolean, shape: PqShape = DefaultPqShape): DataFrame = {
     val joined = sub.join(broadcast(codebook), Seq("m"))
-      .withColumn("d", pqDist(col("sv"), col("cv")))
+      .withColumn("d", pqDist(col("sv"), col("cv"), shape.subDim))
     val codeAgg = min_by(col("code"), struct(col("d"), col("code"))).as("code")
     if (keepSv)
       joined.groupBy("vec_id", "m").agg(codeAgg, first("sv").as("sv"))
@@ -956,10 +971,11 @@ object SimilarityQueries {
     * sub-vectors of the PqK lowest vec_ids, PqLloydIterations
     * refinement passes (each one broadcast-assign + one
     * partial-aggregated means groupBy). */
-  private[graft] def pqTrainCodebooks(corpus: DataFrame): DataFrame = {
+  private[graft] def pqTrainCodebooks(corpus: DataFrame,
+      shape: PqShape = DefaultPqShape): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sub = pqSubRows(corpus)
-    val seeds = pqSubRows(corpus.orderBy("vec_id").limit(PqK))
+    val sub = pqSubRows(corpus, shape)
+    val seeds = pqSubRows(corpus.orderBy("vec_id").limit(shape.k), shape)
       .withColumn("code", row_number().over(
         Window.partitionBy("m").orderBy("vec_id")) - 1)
       .select(col("m"), col("code"), col("sv").as("cv"))
@@ -974,13 +990,14 @@ object SimilarityQueries {
     // lost, so existing materialized codebooks are unchanged.
     def means(cb: DataFrame, assigned: DataFrame) = {
       val moved = assigned.groupBy("m", "code")
-        .agg(array((1 to PqSubDim).map(i =>
+        .agg(array((1 to shape.subDim).map(i =>
           avg(element_at(col("sv"), i))): _*).as("cv"))
       moved.unionByName(
         cb.join(moved.select("m", "code"), Seq("m", "code"), "left_anti"))
     }
     (1 to PqLloydIterations)
-      .foldLeft(seeds)((cb, _) => means(cb, pqAssign(sub, cb, keepSv = true)))
+      .foldLeft(seeds)((cb, _) =>
+        means(cb, pqAssign(sub, cb, keepSv = true, shape)))
   }
 
   /** Encode `df` to PqM one-byte codes against a STORED codebook and
@@ -990,10 +1007,10 @@ object SimilarityQueries {
     * dot by the true norm removes the norm-variance rank error PQ
     * codes cannot carry. */
   private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
-      cids: DataFrame): DataFrame = {
-    val codeCols = (0 until PqM).map(m =>
+      cids: DataFrame, shape: PqShape = DefaultPqShape): DataFrame = {
+    val codeCols = (0 until shape.m).map(m =>
       max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
-    pqAssign(pqSubRows(df), codebook, keepSv = false)
+    pqAssign(pqSubRows(df, shape), codebook, keepSv = false, shape)
       .groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail: _*)
       .join(df.select(col("vec_id"), col("label"),
@@ -1186,10 +1203,17 @@ object SimilarityQueries {
       while (i < PqSubDim) { acc += pv(m * PqSubDim + i) * cv(i); i += 1 }
       lut(m)(c) = acc
     }
-    // quantized-dot / exact-norm = approximate cosine (the rank metric)
-    val adc = (0 until PqM).map(m =>
-      element_at(typedLit(lut(m).toSeq),
-        col(s"c$m").cast(IntegerType) + 1)).reduce(_ + _) / col("xnorm")
+    // quantized-dot / exact-norm = approximate cosine (the rank metric).
+    // ONE native loop expression (functions.PqAdc) over the packed code
+    // array and the flattened m-major LUT: O(1) generated code at any M
+    // — the unrolled element_at alternative codegens O(M·K) nodes and
+    // re-compiles per probe, which the dim-512 rehearsal measured
+    // LOSING to exact scan on plan-compile cost alone. Accumulation
+    // order is the same left-assoc m-sum, so values stay bit-identical
+    // to the oracle's l0.v + l1.v + ... replay.
+    val codesArr = array((0 until PqM).map(m => col(s"c$m")): _*)
+    val adc = graft.functions.VectorExpressions.pqAdc(
+      codesArr, typedLit(lut.flatten.toSeq), PqK) / col("xnorm")
     // partition-pruned CODES scan: 8 one-byte lookups + adds per row
     val candidates = codes
       .where(col("cid").isin(probeCids: _*))
@@ -1232,10 +1256,13 @@ object SimilarityQueries {
     * candidates per probe touch full vectors in the rerank. That is
     * the batch-kNN shape that survives 100 TB: pair cost is bytes ×
     * candidates; vectors appear only in the per-probe rerank sliver.
-    * Every probe-proportional relation (probed cids, the LUT slices,
+    * Every probe-proportional relation (the LUT-bearing probe rows,
     * the rerank probe vectors) joins through the same size gate as
     * knnJoin — broadcast under the session threshold, forced shuffle
-    * equi-join over it. */
+    * equi-join over it. Scoring is one native loop per pair
+    * (functions.PqAdc over the packed codes + the probe's flat LUT),
+    * so the plan shape is M-independent — a dim-512 (M=64) index runs
+    * the identical two-join pipeline. */
   def knnJoinPq(s: SparkSession, dir: String, k: Int, nprobe: Int,
       cand: Int, probeModulus: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1268,33 +1295,38 @@ object SimilarityQueries {
     val nProbes = probedRows / nprobe.toLong max 1L
     // per-probe LUT, computed relationally: the same left-assoc
     // products as the oracle's unrolled SQL, one row per
-    // (probe, subspace, codeword) — probe-proportional, vector-free.
-    // The CONSTANT side (PqM x PqK codebook rows) broadcasts, the
-    // probe side streams — safe at any probe count. Materialized once;
-    // the 8 join slices below are views over the same blocks.
+    // (probe, subspace, codeword) — probe-proportional, vector-free —
+    // then packed to ONE flattened m-major array per probe. The
+    // CONSTANT side (PqM x PqK codebook rows) broadcasts, the probe
+    // side streams — safe at any probe count. The packed LUT rides the
+    // probe relation into the pairwise join, where a single native
+    // loop expression (functions.PqAdc) scores each code row: the
+    // previous shape attached LUT values through PqM equi-joins, which
+    // stops scaling with M (fine at the fixture's M=8, 64 joins at a
+    // production dim-512 index — the dim-512 rehearsal is what exposed
+    // it).
     val lutV = (1 to PqSubDim).map(i =>
       element_at(col("pv"), col("m") * PqSubDim + lit(i))
         .cast(DoubleType) * element_at(col("cv"), i)).reduce(_ + _)
-    val lut = probes.select(col("probe_id"), col("pv"))
+    val lutArr = probes.select(col("probe_id"), col("pv"))
       .crossJoin(broadcast(codebook))
-      .select(col("probe_id"), col("m"), col("code").cast(ByteType)
-        .as("code"), lutV.as("v"))
-      .localCheckpoint()
+      .select(col("probe_id"), col("m"), col("code"), lutV.as("v"))
+      .groupBy("probe_id")
+      // array_sort on (m, code, v) structs = m-major flat layout; the
+      // (m, code) prefix is unique so v never drives the order
+      .agg(transform(array_sort(collect_list(
+        struct(col("m"), col("code"), col("v")))), x => x("v")).as("lutv"))
+    // the probe side now carries its 1-KB LUT per probed (probe, cid)
+    // row — reflected in the gate's bytes/row estimate
+    val probedWithLut = probed.join(lutArr, Seq("probe_id"))
     val base = codes.where(col("cid").isin(probedCids: _*))
-      .join(sizeGatedSide(s, probed, probedRows, 32L), Seq("cid"))
+      .join(sizeGatedSide(s, probedWithLut, probedRows,
+        32L + 8L * PqM * PqK), Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
-    // 8 equi-joins attach the LUT values; each slice is one row per
-    // (probe, codeword) — 16 doubles per probe per subspace
-    val withAdc = (0 until PqM).foldLeft(base) { (df, m) =>
-      val lutM = lut.where(col("m") === m)
-        .select(col("probe_id"), col("code").as(s"c$m"),
-          col("v").as(s"v$m"))
-      df.join(sizeGatedSide(s, lutM, nProbes * PqK, 48L),
-        Seq("probe_id", s"c$m"))
-    }
-    val adc = (0 until PqM).map(m => col(s"v$m")).reduce(_ + _) /
-      col("xnorm")
-    val candd = withAdc.withColumn("adc", adc)
+    val codesArr = array((0 until PqM).map(m => col(s"c$m")): _*)
+    val adc = graft.functions.VectorExpressions.pqAdc(
+      codesArr, col("lutv"), PqK) / col("xnorm")
+    val candd = base.withColumn("adc", adc)
       .withColumn("ark", row_number().over(Window.partitionBy("probe_id")
         .orderBy(desc("adc"), asc("vec_id"))))
       .where(col("ark") <= cand)

@@ -541,6 +541,39 @@ class CommandsSpec extends AnyFunSuite {
     g.sql("DROP CONNECTION fs_conn")
   }
 
+  test("foreign catalog refresh parity: a post-mount append to the " +
+    "backing table is visible through the mounted name") {
+    // the reference's schema provider re-resolves the snapshot VERSION
+    // on every lookup (schema_provider.rs:83-118) — the mount must not
+    // freeze the table at mount-time state. ForeignCatalog.loadTable
+    // builds a fresh table handle per resolution, so the foreign side
+    // may grow between queries with zero refresh calls; this pins it.
+    val g = GraftSession(spark)
+    LocalCatalog.clear()
+    // PRIVATE root (not foreignSystemRoot): the append must not mutate
+    // the shared fixture other tests and q_foreign_read replay
+    val root = tmpTable("foreign_refresh_root")
+    val tbl = s"$root/live/growing"
+    CommitWriter.createTable(spark, region.limit(3), tbl)
+    g.sql(s"CREATE CONNECTION fr_conn TYPE filesystem URL 'file://$root'")
+    g.sql("CREATE FOREIGN CATALOG fmount USING CONNECTION fr_conn")
+    val v0 = spark.sql("SELECT count(*) FROM fmount.live.growing")
+      .head.getLong(0)
+    assert(v0 == 3, s"mount-time read: $v0")
+    // the FOREIGN system commits a new version after the mount
+    CommitWriter.append(spark, region.limit(2), tbl)
+    val v1 = spark.sql("SELECT count(*) FROM fmount.live.growing")
+      .head.getLong(0)
+    assert(v1 == 5, s"post-append read through the mount: $v1 (want 5)")
+    // and a table CREATED after the mount resolves too (lazy lookup
+    // walks the live directory tree, not a mount-time listing)
+    CommitWriter.createTable(spark, region.limit(1), s"$root/live/newborn")
+    assert(spark.sql("SELECT count(*) FROM fmount.live.newborn")
+      .head.getLong(0) == 1)
+    g.sql("DROP CATALOG fmount")
+    g.sql("DROP CONNECTION fr_conn")
+  }
+
   test("foreign catalog IF NOT EXISTS: a second session's idempotent " +
     "re-run still gets the session-local data-plane binding") {
     val g = GraftSession(spark)

@@ -50,4 +50,44 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(d == 9.0)
   }
+
+  test("pq_adc matches the unrolled element_at LUT sum bit-for-bit") {
+    import graft.functions.VectorExpressions.pqAdc
+    // 4 subspaces x 4 codewords, LUT values with non-trivial mantissas
+    val k = 4
+    val lut = (0 until 16).map(i => math.Pi * (i + 1) / 7.0)
+    val codesDf = spark.range(256).select(
+      array((0 until 4).map(m =>
+        pmod(col("id") * (m + 3), lit(k)).cast(ByteType)): _*).as("codes"))
+    val unrolled = (0 until 4).map(m =>
+      element_at(typedLit(lut.slice(m * k, m * k + k)),
+        element_at(col("codes"), m + 1).cast(IntegerType) + 1))
+      .reduce(_ + _)
+    val diff = codesDf.select(
+      pqAdc(col("codes"), typedLit(lut), k).as("fast"),
+      unrolled.as("slow"))
+      .where(col("fast") =!= col("slow")) // bitwise: any ULP drift fails
+      .count()
+    assert(diff == 0)
+  }
+
+  test("pq_adc null semantics and the unsigned one-byte code regime") {
+    import graft.functions.VectorExpressions.pqAdc
+    // k=256: code byte -1 reads as 255 (signed storage, unsigned codes)
+    val k = 256
+    val lut = (0 until 256).map(_.toDouble)
+    val v = spark.range(1).select(pqAdc(
+      array(lit(-1).cast(ByteType)), typedLit(lut), k).as("v"))
+      .head.getDouble(0)
+    assert(v == 255.0, s"signed byte -1 must read as code 255, got $v")
+    // LUT length mismatch -> null; code outside k -> null
+    val mism = spark.range(1).select(pqAdc(
+      array(lit(0).cast(ByteType), lit(1).cast(ByteType)),
+      typedLit(lut), k).as("v")).head
+    assert(mism.isNullAt(0), "2 codes x k=256 needs a 512-slot LUT")
+    val oob = spark.range(1).select(pqAdc(
+      array(lit(9).cast(ByteType)), typedLit(Seq(1.0, 2.0)), 2).as("v"))
+      .head
+    assert(oob.isNullAt(0), "code 9 with k=2 must be null")
+  }
 }

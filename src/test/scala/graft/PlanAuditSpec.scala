@@ -423,9 +423,15 @@ class PlanAuditSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
       case q: QueryStageExec => allScans(q.plan)
     }.flatten
+    // the CODES relation only: its sibling dirs (the M x K-row
+    // codebooks feeding the relational LUT, the coarse centroids)
+    // legitimately scan their own tiny files and share the path prefix
     val codeScans = allScans(df.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths
-        .exists(_.toString.contains("pq_index")))
+      .filter(_.relation.location.rootPaths.exists { p =>
+        val s = p.toString
+        s.contains("pq_index") && !s.contains("_codebooks") &&
+          !s.contains("_centroids")
+      })
     assert(codeScans.nonEmpty, "no FileSourceScan over the PQ codes")
     // the join's pairwise stage must also never read a vector column
     val allowed = Set("vec_id", "label", "xnorm") ++

@@ -77,6 +77,72 @@ class SimilaritySpec extends AnyFunSuite {
       "NaN codeword coordinate")
   }
 
+  test("PQ at production width: dim 512 (m=64) recall@20 >= 0.9 " +
+    "through train/encode parametrized by PqShape") {
+    // the fixture's dim 64 understates ADC (exact pair cost grows with
+    // width, codes stay one byte per subspace); this pins the scaled
+    // shape on a clustered dim-512 corpus — the same train/encode plan
+    // shapes, parametrized, per the round-13 verdict's rehearsal ask.
+    // Geometry: cluster occupancy sits under the rerank budget (the
+    // production rule for picking cand), codewords at the one-byte
+    // regime (k=64 here; the calibration sweep in SCALE.md ran k=128).
+    import graft.queries.SimilarityQueries.PqShape
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val shape = PqShape(dim = 512, m = 64, subDim = 8, k = 64)
+    val nClusters = 32
+    val n = 2000
+    val k = 20
+    val cand = 128
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(nClusters)(
+      Array.fill(shape.dim)(rng.nextGaussian() * 10.0))
+    val rows = (0 until n).map { i =>
+      val r = new scala.util.Random(5000L + i)
+      val v = Seq.tabulate(shape.dim)(d =>
+        (centers(i % nClusters)(d) + r.nextGaussian() * 2.0).toFloat)
+      (i.toLong, (i % nClusters).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pq512_${
+      System.nanoTime()}"
+    SimilarityQueries.pqTrainCodebooks(corpus, shape)
+      .coalesce(1).write.parquet(s"$dir/cb")
+    SimilarityQueries.pqEncode(corpus, spark.read.parquet(s"$dir/cb"),
+      corpus.select(col("vec_id"), lit(0L).as("cid")), shape)
+      .write.parquet(s"$dir/codes")
+    val cb = spark.read.parquet(s"$dir/cb").collect()
+      .map(r => ((r.getAs[Int]("m"), r.getAs[Int]("code")),
+        r.getSeq[Double](r.fieldIndex("cv")))).toMap
+    assert(cb.size == shape.m * shape.k, s"codebook size ${cb.size}")
+    val codes = spark.read.parquet(s"$dir/codes").collect()
+    val byId = rows.map(t => t._1 -> t._3.map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val recalls = Seq(0L, 501L, 1003L).map { pid =>
+      val probe = byId(pid)
+      val trueTop = rows.filter(_._1 != pid)
+        .map { case (id, _, v) => (id, cos(v.map(_.toDouble), probe)) }
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+      val pool = codes.filter(_.getAs[Long]("vec_id") != pid).map { r =>
+        val adc = (0 until shape.m).map { m =>
+          val cv = cb((m, r.getAs[Byte](s"c$m").toInt))
+          (0 until shape.subDim)
+            .map(i => probe(m * shape.subDim + i) * cv(i)).sum
+        }.sum / r.getAs[Double]("xnorm")
+        (r.getAs[Long]("vec_id"), adc)
+      }.sortBy(t => (-t._2, t._1)).take(cand).map(_._1)
+      val got = pool.map(id => (id, cos(byId(id), probe)))
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+      (trueTop intersect got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"dim-512 recall@$k = $mean ($recalls)")
+  }
+
   test("streaming PQ ingest encodes exactly like the batch index, bounded state") {
     import org.apache.spark.sql.functions._
     // ONE stream run supplies both halves: its sink rows for the
