@@ -67,8 +67,9 @@ object PqMaintenance {
     * drift. */
   def driftReportFromBaseline(s: SparkSession, codebooksPath: String,
       baseDistortion: Double, appended: DataFrame,
-      ratioThreshold: Double = DefaultRatioThreshold): PqDriftReport = {
-    val app = distortion(s, codebooksPath, appended)
+      ratioThreshold: Double = DefaultRatioThreshold,
+      shape: PqShape = DefaultPqShape): PqDriftReport = {
+    val app = distortion(s, codebooksPath, appended, shape)
     val ratio =
       if (baseDistortion == 0.0) { if (app == 0.0) 1.0 else Double.PositiveInfinity }
       else app / baseDistortion
@@ -80,7 +81,9 @@ object PqMaintenance {
     * the baseline once and use [[driftReportFromBaseline]]. */
   def driftReport(s: SparkSession, codebooksPath: String,
       reference: DataFrame, appended: DataFrame,
-      ratioThreshold: Double = DefaultRatioThreshold): PqDriftReport =
+      ratioThreshold: Double = DefaultRatioThreshold,
+      shape: PqShape = DefaultPqShape): PqDriftReport =
     driftReportFromBaseline(s, codebooksPath,
-      distortion(s, codebooksPath, reference), appended, ratioThreshold)
+      distortion(s, codebooksPath, reference, shape), appended,
+      ratioThreshold, shape)
 }

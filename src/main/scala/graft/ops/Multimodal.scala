@@ -254,8 +254,10 @@ object Multimodal {
     // ignores the header rate, which is how the defect stayed
     // oracle-invisible). Floored to an integer Hz: the RIFF header
     // stores the rate as a 4-byte int anyway, so a fractional rate
-    // would silently truncate on write.
-    val rate = (srcRate / factor).toInt.toFloat
+    // would silently truncate on write. Clamped to >= 1 Hz — a factor
+    // above the source rate would otherwise write an invalid 0-Hz
+    // header while resizedDim still leaves a sample to carry.
+    val rate = math.max(1, (srcRate / factor).toInt).toFloat
     val fmt = new AudioFormat(WavFormat.getEncoding, rate,
       WavFormat.getSampleSizeInBits, WavFormat.getChannels,
       WavFormat.getFrameSize, rate, WavFormat.isBigEndian)

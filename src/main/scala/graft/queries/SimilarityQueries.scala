@@ -906,9 +906,10 @@ object SimilarityQueries {
     new java.io.File(codebooksPath, "_baseline_distortion")
 
   private def recordDistortionBaseline(s: SparkSession,
-      codebooksPath: String, trainingSlice: DataFrame): Unit = {
+      codebooksPath: String, trainingSlice: DataFrame,
+      shape: PqShape = DefaultPqShape): Unit = {
     val v = graft.operators.PqMaintenance.distortion(
-      s, codebooksPath, trainingSlice.select("vec_id", "embedding"))
+      s, codebooksPath, trainingSlice.select("vec_id", "embedding"), shape)
     java.nio.file.Files.write(baselineFile(codebooksPath).toPath,
       v.toString.getBytes("UTF-8"))
   }
@@ -989,9 +990,16 @@ object SimilarityQueries {
     // win assignments again on a later pass. Identity when nothing
     // lost, so existing materialized codebooks are unchanged.
     def means(cb: DataFrame, assigned: DataFrame) = {
+      // materialize the means ONCE per pass (<= m*k rows): `moved` is
+      // referenced both as union input and as the anti-join key side,
+      // and without truncation each pass would re-run the whole
+      // broadcast-assign + aggregation per reference AND embed the
+      // previous pass's plan three times — geometric plan growth with
+      // PqLloydIterations
       val moved = assigned.groupBy("m", "code")
         .agg(array((1 to shape.subDim).map(i =>
           avg(element_at(col("sv"), i))): _*).as("cv"))
+        .localCheckpoint()
       moved.unionByName(
         cb.join(moved.select("m", "code"), Seq("m", "code"), "left_anti"))
     }
@@ -1069,9 +1077,17 @@ object SimilarityQueries {
     * second swap every search sees the coherent new generation.
     * Maintenance is a single job by construction (as in
     * IvfMaintenance): concurrent searches during the inter-swap window
-    * are out of scope for the local fixture harness. */
+    * are out of scope for the local fixture harness. The CROSS-directory
+    * pair (new codes + old codebooks, or vice versa) is the one state
+    * per-directory swaps cannot make atomic — a `<path>_retrain_pending`
+    * marker brackets the two swaps, so a crash inside the window is
+    * DETECTABLE: [[pqRetrainPending]] reports it and the heal is to
+    * re-run the escape hatch (idempotent — it rebuilds both dirs from
+    * the corpus). `shape` must match the one the index was built with
+    * (the same rule as train/encode). */
   def pqRetrainAndReEncode(s: SparkSession, corpus: DataFrame,
-      path: String, cids: DataFrame): Unit = this.synchronized {
+      path: String, cids: DataFrame,
+      shape: PqShape = DefaultPqShape): Unit = this.synchronized {
     val cbPath = pqCodebooksPath(path)
     def swapIn(live: String): Unit = {
       val dest = new java.io.File(live)
@@ -1085,19 +1101,30 @@ object SimilarityQueries {
     val cbNext = cbPath + "_next"
     if (new java.io.File(cbNext).exists())
       scala.reflect.io.Directory(new java.io.File(cbNext)).deleteRecursively()
-    pqTrainCodebooks(corpus).coalesce(1).write.parquet(cbNext)
+    pqTrainCodebooks(corpus, shape).coalesce(1).write.parquet(cbNext)
     // the new baseline rides inside the new codebooks dir, so baseline
     // and codebooks can never version apart
-    recordDistortionBaseline(s, cbNext, corpus)
+    recordDistortionBaseline(s, cbNext, corpus, shape)
     val codesNext = path + "_next"
     if (new java.io.File(codesNext).exists())
       scala.reflect.io.Directory(new java.io.File(codesNext))
         .deleteRecursively()
-    pqEncode(corpus, s.read.parquet(cbNext), cids)
+    pqEncode(corpus, s.read.parquet(cbNext), cids, shape)
       .write.partitionBy("cid").parquet(codesNext)
+    val pending = new java.io.File(path + "_retrain_pending")
+    java.nio.file.Files.write(pending.toPath, Array.emptyByteArray)
     swapIn(path)
     swapIn(cbPath)
+    java.nio.file.Files.deleteIfExists(pending.toPath)
   }
+
+  /** True when a prior [[pqRetrainAndReEncode]] crashed between its two
+    * directory swaps, leaving codes and codebooks from different
+    * generations live — searches against such an index ADC-score one
+    * generation's codes with the other's LUTs. Heal by re-running the
+    * escape hatch. */
+  def pqRetrainPending(path: String): Boolean =
+    new java.io.File(path + "_retrain_pending").exists()
 
   /** Incrementally-maintained PQ index (the production ingest path):
     * codebooks train on the BASE corpus (vec_id % 10 != 7) only, the
@@ -1192,9 +1219,17 @@ object SimilarityQueries {
       .limit(nprobe)
       .select("cid").collect().map(_.getLong(0)).toSeq
     // LUT[m][code] = <probe sub-vector m, codeword> — same left-assoc
-    // double products as the oracle's unrolled SQL
+    // double products as the oracle's unrolled SQL. The codebook must
+    // be complete: a short one (a pre-retention fixture with a dropped
+    // codeword) would leave NaN LUT slots that SORT ABOVE every real
+    // score under desc — a silent recall collapse, so fail loudly here
+    val cbRows = s.read.parquet(pqCodebooksPath(path)).collect()
+    require(cbRows.length == PqM * PqK,
+      s"incomplete PQ codebook at ${pqCodebooksPath(path)}: " +
+        s"${cbRows.length} codewords, expected ${PqM * PqK} — stale " +
+        "fixture? delete the index dir to rebuild")
     val lut = Array.fill(PqM, PqK)(Double.NaN)
-    s.read.parquet(pqCodebooksPath(path)).collect().foreach { r =>
+    cbRows.foreach { r =>
       val m = r.getAs[Int]("m")
       val c = r.getAs[Int]("code")
       val cv = r.getSeq[Double](r.fieldIndex("cv"))
@@ -1272,6 +1307,14 @@ object SimilarityQueries {
       .withColumn("cid", col("cid").cast(LongType))
     val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
     val codebook = s.read.parquet(pqCodebooksPath(path))
+    // a short codebook (pre-retention fixture with a dropped codeword)
+    // would make every packed LUT shorter than PqM*PqK, PqAdc would
+    // null ALL pair scores, and the rank window would emit the lowest
+    // vec_ids as a confident-looking garbage top-k — fail loudly
+    // instead (one count over <= PqM*PqK rows)
+    require(codebook.count() == PqM * PqK,
+      s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
+        "fixture? delete the index dir to rebuild")
     // materialize the probe relation ONCE (probe-proportional — tiny
     // next to the corpus): probed, the LUT, and the rerank all derive
     // from it, and the 8 LUT join sides would otherwise each re-run
@@ -1316,13 +1359,15 @@ object SimilarityQueries {
       // (m, code) prefix is unique so v never drives the order
       .agg(transform(array_sort(collect_list(
         struct(col("m"), col("code"), col("v")))), x => x("v")).as("lutv"))
-    // the probe side now carries its 1-KB LUT per probed (probe, cid)
-    // row — reflected in the gate's bytes/row estimate
-    val probedWithLut = probed.join(lutArr, Seq("probe_id"))
+    // the LUT attaches AFTER the cid join, keyed on probe_id — through
+    // the cid join each probe's 1-KB LUT would ship once per probed
+    // (probe, cid) row, an nprobe-fold duplication on the gated side;
+    // joined here it rides once per probe (the rerank-join pattern)
     val base = codes.where(col("cid").isin(probedCids: _*))
-      .join(sizeGatedSide(s, probedWithLut, probedRows,
-        32L + 8L * PqM * PqK), Seq("cid"))
+      .join(sizeGatedSide(s, probed, probedRows, 32L), Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
+      .join(sizeGatedSide(s, lutArr, nProbes, 16L + 8L * PqM * PqK),
+        Seq("probe_id"))
     val codesArr = array((0 until PqM).map(m => col(s"c$m")): _*)
     val adc = graft.functions.VectorExpressions.pqAdc(
       codesArr, col("lutv"), PqK) / col("xnorm")

@@ -14,7 +14,7 @@ import graft.queries.SimilarityQueries.PqShape
   * production embeddings cost 8× the fixture per pair; 4096-dim, 64×)
   * while ADC stays `m` one-byte lookups per pair. This probe re-runs
   * the PqProbe recall calibration and the exact-vs-ADC pairwise walls
-  * at dim 512 with the scaled shape (m=64, subDim=8, k=16) against a
+  * at dim 512 with the scaled shape (m=64, subDim=8, k=128) against a
   * deterministic clustered corpus — the SAME train/encode plan shapes
   * as the fixture index (`SimilarityQueries.pqTrainCodebooks` /
   * `pqEncode` parametrized by [[PqShape]]), so what is rehearsed is
@@ -99,7 +99,10 @@ object PqHighDim {
           .write.parquet(codesPath)
       }
       corpus.write.parquet(corpusPath)
-    }
+    } else if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+      // a prior run died between the codes write and the corpus write:
+      // heal the cache instead of failing at the parquet-fed stage
+      corpus.write.mode("overwrite").parquet(corpusPath)
     val codes = spark.read.parquet(codesPath).localCheckpoint()
     println(s"[pq512] codes rows = ${codes.count()} " +
       s"(${shape.m} B/vec vs ${shape.dim * 4} B raw = " +
@@ -115,7 +118,7 @@ object PqHighDim {
       graft.functions.VectorExpressions.vectorDot(a, b)
     def norm(a: Column): Column = sqrt(dot(a, a))
 
-    val probeIds = (0 until n by n / 20).map(_.toLong)
+    val probeIds = (0 until n by math.max(1, n / 20)).map(_.toLong)
     val probeVecs = rows.filter(t => probeIds.contains(t._1))
       .map(t => t._1 -> t._3.map(_.toDouble)).toMap
 

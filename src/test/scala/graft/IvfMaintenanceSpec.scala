@@ -388,6 +388,9 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
     // THE ESCAPE HATCH: retrain on the current corpus, re-encode, swap
     SimilarityQueries.pqRetrainAndReEncode(spark, corpus, path, cids)
+    // both swaps completed -> the cross-directory crash marker is gone
+    assert(!SimilarityQueries.pqRetrainPending(path),
+      "retrain left its pending marker behind")
 
     // the persisted baseline refreshed with the new codebooks; the
     // same slice that fired is QUIET against the new generation
