@@ -610,6 +610,19 @@ object SimilarityQueries {
           probeId = 0, k = 20, nprobe = 8, cand = PqCand)
     },
 
+    // PACKED-codes PQ ANN: identical search over the wide-M production
+    // storage layout (one array<byte> column instead of PqM one-byte
+    // columns — see pqPackedIndexWithIvf for why wide-M indexes must
+    // pack). Results are bit-identical to q_sim_ann_pq; the oracle
+    // replays against the packed relation with 1-based list indexing.
+    Q("q_sim_ann_pq_packed",
+      pqOracleSql(PqPackedOracleAlias, k = 20, probeId = 0, nprobe = 8,
+        cand = PqCand, codeRef = m => s"k.codes[${m + 1}]")) { (s, dir) =>
+      val (path, ivfPath) = pqPackedIndexWithIvf(s, dir)
+      annPqOver(s, dir, path, ivfPath, probeId = 0, k = 20, nprobe = 8,
+        cand = PqCand, packedCodes = true)
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -690,6 +703,10 @@ object SimilarityQueries {
   final val PqIncrOracleAlias =
     "/root/repo/target/delta_fixtures/pq_incr_current"
 
+  /** Alias family for the PACKED-codes PQ index (q_sim_ann_pq_packed). */
+  final val PqPackedOracleAlias =
+    "/root/repo/target/delta_fixtures/pq_packed_current"
+
   /** The PQ search replayed in DuckDB over a materialized index alias
     * family — shared verbatim by the build-once, incremental, and
     * filtered queries, so every oracle is the identical full content
@@ -702,7 +719,11 @@ object SimilarityQueries {
     * search. */
   private def pqOracleSql(alias: String, predSql: String = "TRUE",
       k: Int = 20, probeId: Long = 0, nprobe: Int = 8,
-      cand: Int = PqCand): String =
+      cand: Int = PqCand,
+      // how the SQL reads subspace m's code from a codes row: separate
+      // one-byte columns (fixture layout) or one packed array (the
+      // wide-M production layout, 1-based in DuckDB)
+      codeRef: Int => String = m => s"k.c$m"): String =
     s"""WITH probe AS (
        |  SELECT embedding AS pv FROM embeddings WHERE vec_id = $probeId
        |), probed AS (
@@ -726,7 +747,7 @@ object SimilarityQueries {
        |         hive_partitioning=true) k
        |  JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
        |  ${(0 until PqM).map(m =>
-           s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.c$m")
+           s"JOIN lut l$m ON l$m.m = $m AND l$m.code = ${codeRef(m)}")
            .mkString("\n  ")}
        |  WHERE k.vec_id <> $probeId AND ($predSql)
        |  ORDER BY adc DESC, vec_id
@@ -1057,6 +1078,46 @@ object SimilarityQueries {
     }
   }
 
+  /** PACKED-codes layout of the build-once PQ index: the identical
+    * codes as [[pqIndexWithIvf]], stored as ONE `array<byte>` column
+    * instead of PqM separate one-byte columns. This is the storage
+    * shape a wide-M production index must use — the dim-512 rehearsal
+    * measured the per-column layout COLUMN-CHUNK-OVERHEAD-BOUND at
+    * M=64 (M column-chunk reads per file per scan: parquet-fed ADC ran
+    * 0.2× exact) while the packed layout restored the 32× footprint
+    * advantage (1.3× over exact). At the fixture's M=8 both layouts
+    * are fine; this query keeps the packed path oracle-checked so the
+    * production layout is exercised end-to-end, not just in a probe.
+    * Derived from the per-column index (one projection, no re-encode);
+    * the codebooks/centroids are shared via sibling symlinks. */
+  def pqPackedIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
+    val (codesPath, ivfPath) = pqIndexWithIvf(s, dir)
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_packed"
+    this.synchronized {
+      val success = new java.io.File(path, "_SUCCESS")
+      val srcSuccess = new java.io.File(codesPath, "_SUCCESS")
+      if (!success.exists() ||
+          success.lastModified() < srcSuccess.lastModified()) {
+        s.read.parquet(codesPath)
+          .select(col("vec_id"), col("label"), col("xnorm"),
+            array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"),
+            col("cid").cast(LongType).as("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+      }
+      // the packed dir shares the per-column index's codebooks (same
+      // codes, same LUTs) — a sibling symlink keeps annPqOver's
+      // `<path>_codebooks` convention working for both layouts
+      refreshAlias(pqCodebooksPath(path), pqCodebooksPath(codesPath))
+      refreshAlias(PqPackedOracleAlias, path)
+      refreshAlias(PqPackedOracleAlias + "_codebooks",
+        pqCodebooksPath(codesPath))
+      refreshAlias(PqPackedOracleAlias + "_centroids",
+        ivfCentroidsPath(ivfPath))
+      (path, ivfPath)
+    }
+  }
+
   /** The PQ drift ESCAPE HATCH — [[graft.operators.PqMaintenance]]'s
     * documented remedy when the distortion trigger fires: re-train the
     * codebooks on the CURRENT corpus, re-encode every vector against
@@ -1195,7 +1256,8 @@ object SimilarityQueries {
     * reads and the rerank still touches only `cand` rows. */
   def annPqOver(s: SparkSession, dir: String, path: String, ivfPath: String,
       probeId: Long, k: Int, nprobe: Int, cand: Int,
-      predicate: Column = lit(true)): DataFrame = {
+      predicate: Column = lit(true),
+      packedCodes: Boolean = false): DataFrame = {
     import s.implicits._
     val emb = load(s, dir, "embeddings")
     val codes = s.read.parquet(path)
@@ -1246,7 +1308,9 @@ object SimilarityQueries {
     // LOSING to exact scan on plan-compile cost alone. Accumulation
     // order is the same left-assoc m-sum, so values stay bit-identical
     // to the oracle's l0.v + l1.v + ... replay.
-    val codesArr = array((0 until PqM).map(m => col(s"c$m")): _*)
+    val codesArr =
+      if (packedCodes) col("codes")
+      else array((0 until PqM).map(m => col(s"c$m")): _*)
     val adc = graft.functions.VectorExpressions.pqAdc(
       codesArr, typedLit(lut.flatten.toSeq), PqK) / col("xnorm")
     // partition-pruned CODES scan: 8 one-byte lookups + adds per row

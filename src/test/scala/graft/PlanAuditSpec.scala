@@ -412,6 +412,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "cid prune did not reach the partition filters")
   }
 
+  test("q_sim_ann_pq_packed: the packed scan reads one codes array + " +
+    "norm, cid partitions pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_sim_ann_pq_packed")(spark, sf)
+    df.collect()
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scan = allScans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths
+        .exists(_.toString.contains("pq_index_packed")))
+      .getOrElse(fail("no FileSourceScan over the packed PQ codes"))
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes")),
+      s"packed ADC scan reads beyond the packed columns: $readCols")
+    assert(readCols.contains("codes"), s"missing codes column: $readCols")
+    assert(scan.partitionFilters.nonEmpty,
+      "cid prune did not reach the partition filters")
+  }
+
   test("q_knn_join_pq: the pairwise stage scans codes only, cid-pruned") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -77,6 +77,24 @@ class SimilaritySpec extends AnyFunSuite {
       "NaN codeword coordinate")
   }
 
+  test("packed-codes PQ ANN returns row-identical results to the " +
+    "per-column layout") {
+    // same codes, same LUTs, same search — only the storage layout
+    // differs, so the result sets must match VALUE-FOR-VALUE (adc and
+    // cosine included: PqAdc accumulates in the same m-order either way)
+    val perCol = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
+      .collect().map(_.toSeq)
+    val packed = SparkEntry.queries("q_sim_ann_pq_packed")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(perCol.nonEmpty && packed.toSeq == perCol.toSeq)
+    // and the packed relation really is packed: one array column, no
+    // c0..c7 byte columns
+    val schema = spark.read.parquet(
+      SimilarityQueries.pqPackedIndexWithIvf(spark, sf)._1).schema
+    assert(schema.fieldNames.contains("codes"))
+    assert(!schema.fieldNames.exists(_.matches("c\\d+")))
+  }
+
   test("PQ at production width: dim 512 (m=64) recall@20 >= 0.9 " +
     "through train/encode parametrized by PqShape") {
     // the fixture's dim 64 understates ADC (exact pair cost grows with
