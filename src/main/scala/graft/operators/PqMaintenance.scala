@@ -51,6 +51,32 @@ object PqMaintenance {
   def distortion(s: SparkSession, codebooksPath: String,
       vectors: DataFrame, shape: PqShape = DefaultPqShape): Double = {
     val cb = s.read.parquet(codebooksPath)
+    // a shape that mismatches the STORED codebooks must fail loudly,
+    // not under-count: the inner join on m silently drops subspaces the
+    // codebook lacks, and a subDim larger than the stored cv arrays
+    // makes element_at return null (non-ANSI) — either way the reported
+    // distortion reads LOWER than reality, muting the exact drift
+    // trigger this measurement feeds. One bounded collect over the
+    // (m, count, cv-length) profile validates all three axes (same
+    // guard family as the search-side NaN/countDistinct checks).
+    val profile = cb.groupBy("m").agg(
+      countDistinct(col("code")).as("codes"),
+      min(size(col("cv"))).as("minLen"),
+      max(size(col("cv"))).as("maxLen")).collect()
+    val ms = profile.map(_.getAs[Int]("m")).sorted.toSeq
+    require(ms == (0 until shape.m),
+      s"codebooks at $codebooksPath define subspaces $ms, shape wants " +
+        s"0 until ${shape.m} — wrong PqShape for this index?")
+    profile.foreach { r =>
+      require(r.getAs[Long]("codes") == shape.k,
+        s"codebooks at $codebooksPath: subspace ${r.getAs[Int]("m")} has " +
+          s"${r.getAs[Long]("codes")} distinct codes, shape wants ${shape.k}")
+      require(r.getAs[Int]("minLen") == shape.subDim &&
+          r.getAs[Int]("maxLen") == shape.subDim,
+        s"codebooks at $codebooksPath: subspace ${r.getAs[Int]("m")} " +
+          s"codewords are ${r.getAs[Int]("minLen")}..${r.getAs[Int]("maxLen")} " +
+          s"wide, shape wants ${shape.subDim}")
+    }
     val winner = pqSubRows(vectors, shape)
       .join(broadcast(cb), Seq("m"))
       .withColumn("d", pqDist(col("sv"), col("cv"), shape.subDim))

@@ -765,6 +765,41 @@ object SimilarityQueries {
   private def refreshAlias(alias: String, target: String): Unit =
     DeltaQueries.refreshAlias(alias, target)
 
+  /** Content signature of the embeddings drop an index chain derives
+    * from. Every index in the IVF/PQ family is a DETERMINISTIC function
+    * of embeddings.parquet (codes, centroids, packed projections —
+    * including the chained derivations, which all re-derive when their
+    * upstream rebuilds inside the same call), so one signature guards
+    * the whole chain. CONTENT hash, not mtime: the driver regenerates
+    * /root/testdata between rounds with timestamp-preserving copies
+    * (the DeltaQueries.sourceSig rationale — same memoized sha), and
+    * the previous mtime guards also missed a rebuild landing within
+    * filesystem mtime granularity. The `v1:` prefix versions the
+    * derivation itself — bump it when an index SCHEMA changes so old
+    * fixture dirs stop passing as fresh. */
+  private def embSourceSig(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"v1:${f.getName}:${f.length()}:${DeltaQueries.contentSha(f)}"
+  }
+
+  private def indexStampFile(path: String) =
+    new java.io.File(path.stripSuffix("/") + "_src_sig")
+
+  /** Stale when the completion marker is missing (partial write) or the
+    * recorded source signature no longer matches the live drop. */
+  private[graft] def indexStale(path: String, done: java.io.File,
+      sig: String): Boolean = {
+    val f = indexStampFile(path)
+    !done.exists() || !f.exists() ||
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") != sig
+  }
+
+  /** Record the source signature an index build derived from. Every
+    * build site calls this LAST (after the completion marker exists). */
+  private[graft] def writeIndexStamp(path: String, sig: String): Unit =
+    java.nio.file.Files.write(indexStampFile(path).toPath,
+      sig.getBytes("UTF-8"))
+
   /** Build-once IVF index: deterministic seeds (every 50th vector)
     * refined by one k-means pass — assign to nearest seed by dot
     * product, recompute per-cluster dimension means (64 avg
@@ -788,10 +823,11 @@ object SimilarityQueries {
     this.synchronized {
       // rebuild when the driver regenerates the embeddings fixture (the
       // index is a deterministic function of it; staleness would break
-      // the oracle's replay)
+      // the oracle's replay) — detected by CONTENT signature, see
+      // embSourceSig
       val success = new java.io.File(path, "_SUCCESS")
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      if (!success.exists() || success.lastModified() < src.lastModified()) {
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
         val emb = load(s, dir, "embeddings")
         val seeds = emb.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -812,6 +848,7 @@ object SimilarityQueries {
           .parquet(ivfCentroidsPath(path))
         assign(s.read.parquet(ivfCentroidsPath(path)))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
+        writeIndexStamp(path, sig)
       }
       refreshAlias(IvfOracleAlias, path)
       refreshAlias(IvfOracleAlias + "_centroids", ivfCentroidsPath(path))
@@ -852,8 +889,8 @@ object SimilarityQueries {
     val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_incr"
     this.synchronized {
       val success = new java.io.File(path, "_graft_incr_done")
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      if (!success.exists() || success.lastModified() < src.lastModified()) {
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
         val emb = load(s, dir, "embeddings")
         val base = emb.where(col("vec_id") % 10 =!= 7)
         val batch = emb.where(col("vec_id") % 10 === 7)
@@ -907,6 +944,7 @@ object SimilarityQueries {
           s"fixture drift out of its designed envelope: $drift")
         success.getParentFile.mkdirs()
         java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        writeIndexStamp(path, sig)
       }
       refreshAlias(IvfIncrOracleAlias, path)
       refreshAlias(IvfIncrOracleAlias + "_centroids", ivfCentroidsPath(path))
@@ -1060,8 +1098,8 @@ object SimilarityQueries {
     this.synchronized {
       val ivfPath = ivfIndexPath(s, dir) // also refreshes the IVF aliases
       val success = new java.io.File(path, "_SUCCESS")
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      if (!success.exists() || success.lastModified() < src.lastModified()
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)
           || !baselineFile(pqCodebooksPath(path)).exists()) {
         val emb = load(s, dir, "embeddings")
         pqTrainCodebooks(emb).coalesce(1).write.mode("overwrite")
@@ -1070,6 +1108,7 @@ object SimilarityQueries {
             pqCids(s, ivfPath))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
         recordDistortionBaseline(s, pqCodebooksPath(path), emb)
+        writeIndexStamp(path, sig)
       }
       refreshAlias(PqOracleAlias, path)
       refreshAlias(PqOracleAlias + "_codebooks", pqCodebooksPath(path))
@@ -1096,14 +1135,20 @@ object SimilarityQueries {
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_packed"
     this.synchronized {
       val success = new java.io.File(path, "_SUCCESS")
-      val srcSuccess = new java.io.File(codesPath, "_SUCCESS")
-      if (!success.exists() ||
-          success.lastModified() < srcSuccess.lastModified()) {
+      // the packed projection is a deterministic function of the
+      // per-column codes, themselves a deterministic function of the
+      // embeddings drop — so the ONE content signature guards both (a
+      // per-column rebuild only ever changes codes when the drop
+      // changed; keying on the drop also closes the mtime-granularity
+      // window the previous `_SUCCESS`-mtime comparison carried)
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
         s.read.parquet(codesPath)
           .select(col("vec_id"), col("label"), col("xnorm"),
             array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"),
             col("cid").cast(LongType).as("cid"))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
+        writeIndexStamp(path, sig)
       }
       // the packed dir shares the per-column index's codebooks (same
       // codes, same LUTs) — a sibling symlink keeps annPqOver's
@@ -1207,8 +1252,8 @@ object SimilarityQueries {
     this.synchronized {
       val ivfPath = ivfIncrementalIndexPath(s, dir)
       val success = new java.io.File(path, "_graft_incr_done")
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      if (!success.exists() || success.lastModified() < src.lastModified()
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)
           || !baselineFile(pqCodebooksPath(path)).exists()) {
         val emb = load(s, dir, "embeddings")
         val base = emb.where(col("vec_id") % 10 =!= 7)
@@ -1226,6 +1271,7 @@ object SimilarityQueries {
           .write.mode("append").partitionBy("cid").parquet(path)
         success.getParentFile.mkdirs()
         java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        writeIndexStamp(path, sig)
       }
       refreshAlias(PqIncrOracleAlias, path)
       refreshAlias(PqIncrOracleAlias + "_codebooks", pqCodebooksPath(path))
@@ -1300,6 +1346,14 @@ object SimilarityQueries {
       while (i < PqSubDim) { acc += pv(m * PqSubDim + i) * cv(i); i += 1 }
       lut(m)(c) = acc
     }
+    // the count check above passes a codebook with DUPLICATE (m, code)
+    // rows, which still leaves unfilled NaN slots — and NaN sorts above
+    // every real score under desc, the silent recall collapse the guard
+    // exists to prevent. Require every slot filled.
+    require(lut.forall(_.forall(v => !v.isNaN)),
+      s"PQ codebook at ${pqCodebooksPath(path)} has duplicate (m, code) " +
+        "rows (NaN LUT slots) — stale fixture? delete the index dir to " +
+        "rebuild")
     // quantized-dot / exact-norm = approximate cosine (the rank metric).
     // ONE native loop expression (functions.PqAdc) over the packed code
     // array and the flattened m-major LUT: O(1) generated code at any M
@@ -1375,8 +1429,10 @@ object SimilarityQueries {
     // would make every packed LUT shorter than PqM*PqK, PqAdc would
     // null ALL pair scores, and the rank window would emit the lowest
     // vec_ids as a confident-looking garbage top-k — fail loudly
-    // instead (one count over <= PqM*PqK rows)
-    require(codebook.count() == PqM * PqK,
+    // instead. DISTINCT (m, code): a duplicate-slot codebook passes a
+    // raw count while still packing a short (or misordered) LUT.
+    require(codebook.select(countDistinct(col("m"), col("code")))
+        .head.getLong(0) == PqM * PqK,
       s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
         "fixture? delete the index dir to rebuild")
     // materialize the probe relation ONCE (probe-proportional — tiny

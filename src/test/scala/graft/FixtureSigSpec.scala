@@ -54,4 +54,59 @@ class FixtureSigSpec extends AnyFunSuite {
     new File(drop, "a.parquet").delete()
     assert(graft.queries.DeltaQueries.stale(fixture, drop.getAbsolutePath))
   }
+
+  test("the IVF/PQ index chain rebuilds on a content change hidden " +
+    "behind a preserved mtime") {
+    import TestSpark.spark
+    import graft.queries.SimilarityQueries
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a private embeddings drop this test owns (unique basename keys a
+    // private fixture dir under target/delta_fixtures)
+    val drop = Files.createTempDirectory("graft_idxsig_drop").toFile
+    drop.deleteOnExit()
+    val src = new File(drop, "embeddings.parquet")
+    def writeEmb(n: Int): Unit = {
+      val staging = new File(drop, ".staging")
+      (0 until n).map(i => (i.toLong, (i % 3).toLong,
+        Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat)))
+        .toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, src.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    }
+    try {
+      writeEmb(150)
+      val mtime = src.lastModified()
+      // build the DEEPEST derivation — it pulls the whole chain
+      // (ivf index -> per-column PQ codes -> packed projection)
+      val (packed1, _) = SimilarityQueries.pqPackedIndexWithIvf(
+        spark, drop.getAbsolutePath)
+      assert(spark.read.parquet(packed1).count() == 150)
+      // regenerate the drop with DIFFERENT content but the SAME mtime —
+      // the case an mtime guard waves through (driver regeneration with
+      // timestamp-preserving copies; also any rebuild landing within
+      // filesystem mtime granularity). Fresh-JVM simulation: clear the
+      // in-process content-hash memo, as the round boundary would.
+      writeEmb(100)
+      assert(src.setLastModified(mtime))
+      graft.queries.DeltaQueries.resetHashMemoForTest()
+      val (packed2, ivf2) = SimilarityQueries.pqPackedIndexWithIvf(
+        spark, drop.getAbsolutePath)
+      assert(packed2 == packed1)
+      assert(spark.read.parquet(packed2).count() == 100,
+        "packed PQ index served stale codes after a same-mtime regeneration")
+      // the upstream links re-derived too, not just the leaf
+      assert(spark.read.parquet(ivf2).count() == 100)
+      assert(spark.read.parquet(packed2)
+        .where(col("vec_id") >= 100).count() == 0)
+    } finally {
+      // the builders refresh the GLOBAL oracle alias symlinks (ivf,
+      // pq, pq_packed) to this private fixture; point them back at the
+      // suite's sf before any later spec reads them
+      SimilarityQueries.pqPackedIndexWithIvf(spark, TestSpark.sf)
+    }
+  }
 }

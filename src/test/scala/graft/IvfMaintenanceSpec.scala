@@ -435,4 +435,37 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(log.last.getAs[Double]("ratio") >
       log.head.getAs[Double]("ratio"))
   }
+
+  test("distortion fails loudly on a shape that mismatches the stored " +
+    "codebooks (never silently under-counts)") {
+    import graft.operators.PqMaintenance
+    import graft.queries.SimilarityQueries
+    import graft.queries.SimilarityQueries.PqShape
+    import graft.queries.T
+    val (pqPath, _) = SimilarityQueries.pqIndexWithIvf(spark, sf)
+    val cbPath = SimilarityQueries.pqCodebooksPath(pqPath)
+    val vecs = T.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").limit(20)
+    // the matching shape measures (sanity)
+    assert(PqMaintenance.distortion(spark, cbPath, vecs) > 0.0)
+    // wrong m: the inner join on m would silently DROP the subspaces
+    // the codebook lacks (under-counting distortion)
+    val wrongM = intercept[IllegalArgumentException] {
+      PqMaintenance.distortion(spark, cbPath, vecs,
+        PqShape(dim = 64, m = 4, subDim = 16, k = 16))
+    }
+    assert(wrongM.getMessage.contains("subspace"), wrongM.getMessage)
+    // wrong k: a shape claiming fewer codewords than stored would
+    // measure against phantom extras (or, reversed, miss real ones)
+    intercept[IllegalArgumentException] {
+      PqMaintenance.distortion(spark, cbPath, vecs,
+        PqShape(dim = 64, m = 8, subDim = 8, k = 8))
+    }
+    // wrong subDim: element_at past the stored cv length returns null
+    // (non-ANSI) — rows would silently vanish from the average
+    intercept[IllegalArgumentException] {
+      PqMaintenance.distortion(spark, cbPath, vecs,
+        PqShape(dim = 128, m = 8, subDim = 16, k = 16))
+    }
+  }
 }
