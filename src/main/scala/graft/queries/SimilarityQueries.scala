@@ -381,47 +381,37 @@ object SimilarityQueries {
     // recomputes every placement (argmax dot over stored centroids)
     // and every code (argmin of the identical left-assoc squared-L2
     // over the stored codebooks, ties to the lower code) relationally.
-    Q("q_stream_pq_ingest",
-      s"""WITH batch AS (
-         |  SELECT vec_id, embedding, label
-         |  FROM embeddings WHERE vec_id % 10 = 7
-         |), ranked AS (
-         |  SELECT b.vec_id, CAST(c.cid AS BIGINT) AS cid,
-         |    row_number() OVER (PARTITION BY b.vec_id
-         |      ORDER BY (${dotSql("c.cv", "b.embedding")}) DESC, c.cid)
-         |      AS rk
-         |  FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
-         |  CROSS JOIN batch b
-         |), coarse AS (
-         |  SELECT vec_id, cid FROM ranked WHERE rk = 1
-         |), dist AS (
-         |  SELECT b.vec_id, cb.m, cb.code,
-         |    row_number() OVER (PARTITION BY b.vec_id, cb.m
-         |      ORDER BY ${(1 to PqSubDim).map(i =>
-               s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE) - cb.cv[$i]) * " +
-                 s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE) - cb.cv[$i])")
-               .mkString(" + ")} ASC, cb.code) AS drk
-         |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') cb
-         |  CROSS JOIN batch b
-         |), best AS (
-         |  SELECT vec_id, m, code FROM dist WHERE drk = 1
-         |)
-         |SELECT c.vec_id, c.cid, bt.label,
-         |  ${normSql("bt.embedding")} AS xnorm,
-         |  ${(0 until PqM).map(m =>
-             s"CAST(max(CASE WHEN b.m = $m THEN b.code END) AS TINYINT) AS c$m")
-             .mkString(",\n  ")}
-         |FROM coarse c
-         |JOIN best b USING (vec_id)
-         |JOIN batch bt USING (vec_id)
-         |GROUP BY c.vec_id, c.cid, bt.label, bt.embedding
-         |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+    Q("q_stream_pq_ingest", streamPqIngestOracleSql) { (s, dir) =>
       val (pqPath, ivfPath) = pqIndexWithIvf(s, dir) // refreshes aliases
       val feed = graft.streaming.VecsStream.feedDir(s, dir)
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val sink = s"target/stream_pq_sink_$tag"
       streamPqIngest(s, feed, pqPath, ivfPath, sink, s"stream_pq_$tag")
       val codeCols = (0 until PqM).map(m => col(s"c$m"))
+      s.read.parquet(sink)
+        .select((col("vec_id") +: col("cid") +: col("label") +:
+          col("xnorm") +: codeCols): _*)
+        .orderBy("vec_id")
+    },
+
+    // STREAMING PQ ingest, PACKED layout: the identical per-batch
+    // coarse-assign + frozen-codebook encode, but the sink row stores
+    // the codes as ONE array<byte> column — encoded packed at the
+    // source, appended packed into the sink, never a per-column
+    // intermediate (the wide-M production stream; see
+    // pqPackedIndexWithIvf for why wide-M storage must pack). The
+    // ingested values are the same, so the oracle is the identical
+    // full replay; the query unpacks the stored array for the compare,
+    // proving the packed sink really carries the codes.
+    Q("q_stream_pq_ingest_packed", streamPqIngestOracleSql) { (s, dir) =>
+      val (pqPath, ivfPath) = pqIndexWithIvf(s, dir) // refreshes aliases
+      val feed = graft.streaming.VecsStream.feedDir(s, dir)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sink = s"target/stream_pq_packed_sink_$tag"
+      streamPqIngest(s, feed, pqPath, ivfPath, sink,
+        s"stream_pq_packed_$tag", packed = true)
+      val codeCols = (0 until PqM).map(m =>
+        element_at(col("codes"), m + 1).as(s"c$m"))
       s.read.parquet(sink)
         .select((col("vec_id") +: col("cid") +: col("label") +:
           col("xnorm") +: codeCols): _*)
@@ -476,54 +466,20 @@ object SimilarityQueries {
     // per-probe coarse ranking, relational LUT, 8-term ADC sum /
     // stored norm, candidate window, exact rerank — bit-exact
     // including tie-breaks.
-    Q("q_knn_join_pq",
-      s"""WITH probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS pv
-         |  FROM embeddings WHERE vec_id % 100 = 0
-         |), probed AS (
-         |  SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, CAST(c.cid AS BIGINT) AS cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY (${dotSql("c.cv", "p.pv")}) DESC, c.cid) AS crk
-         |    FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
-         |    CROSS JOIN probes p)
-         |  WHERE crk <= 4
-         |), lut AS (
-         |  SELECT p.probe_id, b.m, b.code,
-         |    ${(1 to PqSubDim).map(i =>
-               s"CAST(p.pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
-               .mkString(" + ")} AS v
-         |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') b
-         |  CROSS JOIN probes p
-         |), cand AS (
-         |  SELECT probe_id, vec_id, label FROM (
-         |    SELECT probed.probe_id, k.vec_id, k.label,
-         |      row_number() OVER (PARTITION BY probed.probe_id
-         |        ORDER BY (${(0 until PqM).map(m => s"l$m.v")
-                   .mkString(" + ")}) / k.xnorm DESC, k.vec_id) AS ark
-         |    FROM read_parquet('$PqOracleAlias/*/*.parquet',
-         |           hive_partitioning=true) k
-         |    JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
-         |    ${(0 until PqM).map(m =>
-               s"JOIN lut l$m ON l$m.probe_id = probed.probe_id " +
-                 s"AND l$m.m = $m AND l$m.code = k.c$m").mkString("\n    ")}
-         |    WHERE k.vec_id <> probed.probe_id)
-         |  WHERE ark <= $PqJoinCand
-         |)
-         |SELECT probe_id, vec_id, label, cosine, rank FROM (
-         |  SELECT c.probe_id, c.vec_id, c.label,
-         |    (${dotSql("e.embedding", "p.pv")}) /
-         |      (${normSql("e.embedding")} * ${normSql("p.pv")}) AS cosine,
-         |    CAST(row_number() OVER (PARTITION BY c.probe_id
-         |      ORDER BY (${dotSql("e.embedding", "p.pv")}) /
-         |        (${normSql("e.embedding")} * ${normSql("p.pv")}) DESC,
-         |        c.vec_id) AS BIGINT) AS rank
-         |  FROM cand c
-         |  JOIN embeddings e ON e.vec_id = c.vec_id
-         |  JOIN probes p ON p.probe_id = c.probe_id)
-         |WHERE rank <= 5
-         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+    Q("q_knn_join_pq", knnJoinPqOracleSql(PqOracleAlias)) { (s, dir) =>
       knnJoinPq(s, dir, k = 5, nprobe = 4, cand = PqJoinCand)
+    },
+
+    // PQ k-NN join over the PACKED-codes layout: the identical
+    // two-join + native-ADC pipeline (knnJoinPq is layout-independent —
+    // PqAdc scores one code ARRAY either way), scanning the wide-M
+    // production storage instead of per-column codes. Same full oracle
+    // replay with 1-based list indexing into the packed column.
+    Q("q_knn_join_pq_packed",
+      knnJoinPqOracleSql(PqPackedOracleAlias,
+        codeRef = m => s"k.codes[${m + 1}]")) { (s, dir) =>
+      knnJoinPq(s, dir, k = 5, nprobe = 4, cand = PqJoinCand,
+        packed = true)
     },
 
     // FILTERED ANN — the retrieval-with-metadata-predicate shape every
@@ -623,6 +579,38 @@ object SimilarityQueries {
         cand = PqCand, packedCodes = true)
     },
 
+    // Filtered PQ ANN over the PACKED layout: the attribute predicate
+    // still narrows the CANDIDATE scan on the codes relation (which
+    // carries the metadata columns) — one packed array read per row
+    // instead of M column chunks, the wide-M production shape of
+    // q_sim_ann_pq_filtered. Same oracle body via the codeRef accessor.
+    Q("q_sim_ann_pq_filtered_packed",
+      pqOracleSql(PqPackedOracleAlias, predSql = "k.label % 3 = 1",
+        k = 10, probeId = 0, nprobe = 8, cand = PqCand,
+        codeRef = m => s"k.codes[${m + 1}]")) { (s, dir) =>
+      val (path, ivfPath) = pqPackedIndexWithIvf(s, dir)
+      annPqOver(s, dir, path, ivfPath, probeId = 0, k = 10, nprobe = 8,
+        cand = PqCand, predicate = col("label") % 3 === 1,
+        packedCodes = true)
+    },
+
+    // Incremental PQ maintenance over the PACKED layout: the same
+    // frozen-codebook ingest as q_sim_ann_pq_incremental (shared
+    // codebooks — same training, same codes), but the base
+    // materialization AND the arriving batch's append both write the
+    // packed array<byte> codes column end-to-end. The oracle replays
+    // the probe against the materialized post-append packed index, so
+    // it verifies the packed batch encode and that resident packed
+    // codes survived the append intact.
+    Q("q_sim_ann_pq_incr_packed",
+      pqOracleSql(PqIncrPackedOracleAlias, k = 20, probeId = 0,
+        nprobe = 8, cand = PqCand,
+        codeRef = m => s"k.codes[${m + 1}]")) { (s, dir) =>
+      val (path, ivfPath) = pqIncrementalPackedIndexWithIvf(s, dir)
+      annPqOver(s, dir, path, ivfPath, probeId = 0, k = 20, nprobe = 8,
+        cand = PqCand, packedCodes = true)
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -707,6 +695,11 @@ object SimilarityQueries {
   final val PqPackedOracleAlias =
     "/root/repo/target/delta_fixtures/pq_packed_current"
 
+  /** Alias family for the PACKED incrementally-maintained PQ index
+    * (q_sim_ann_pq_incr_packed). */
+  final val PqIncrPackedOracleAlias =
+    "/root/repo/target/delta_fixtures/pq_incr_packed_current"
+
   /** The PQ search replayed in DuckDB over a materialized index alias
     * family — shared verbatim by the build-once, incremental, and
     * filtered queries, so every oracle is the identical full content
@@ -761,6 +754,109 @@ object SimilarityQueries {
        |CROSS JOIN probe
        |ORDER BY cosine DESC, c.vec_id
        |LIMIT $k""".stripMargin
+
+  /** The PQ k-NN join replayed in DuckDB over a materialized index
+    * alias family: per-probe coarse ranking, relational per-probe LUT,
+    * ADC sum / stored norm, candidate window, exact rerank — bit-exact
+    * including tie-breaks. Shared by the per-column and packed layouts;
+    * `codeRef` reads subspace m's code from a codes row (separate
+    * one-byte columns, or 1-based list indexing into the packed
+    * array). Search knobs are FIXED at the q_knn_join_pq values
+    * (nprobe=4, cand=PqJoinCand, k=5, probe modulus 100) — call sites
+    * must pass the identical values to the Scala body. */
+  private def knnJoinPqOracleSql(alias: String,
+      codeRef: Int => String = m => s"k.c$m"): String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv
+       |  FROM embeddings WHERE vec_id % 100 = 0
+       |), probed AS (
+       |  SELECT probe_id, cid FROM (
+       |    SELECT p.probe_id, CAST(c.cid AS BIGINT) AS cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY (${dotSql("c.cv", "p.pv")}) DESC, c.cid) AS crk
+       |    FROM read_parquet('${alias}_centroids/*.parquet') c
+       |    CROSS JOIN probes p)
+       |  WHERE crk <= 4
+       |), lut AS (
+       |  SELECT p.probe_id, b.m, b.code,
+       |    ${(1 to PqSubDim).map(i =>
+             s"CAST(p.pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
+             .mkString(" + ")} AS v
+       |  FROM read_parquet('${alias}_codebooks/*.parquet') b
+       |  CROSS JOIN probes p
+       |), cand AS (
+       |  SELECT probe_id, vec_id, label FROM (
+       |    SELECT probed.probe_id, k.vec_id, k.label,
+       |      row_number() OVER (PARTITION BY probed.probe_id
+       |        ORDER BY (${(0 until PqM).map(m => s"l$m.v")
+                 .mkString(" + ")}) / k.xnorm DESC, k.vec_id) AS ark
+       |    FROM read_parquet('$alias/*/*.parquet',
+       |           hive_partitioning=true) k
+       |    JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
+       |    ${(0 until PqM).map(m =>
+             s"JOIN lut l$m ON l$m.probe_id = probed.probe_id " +
+               s"AND l$m.m = $m AND l$m.code = ${codeRef(m)}")
+             .mkString("\n    ")}
+       |    WHERE k.vec_id <> probed.probe_id)
+       |  WHERE ark <= $PqJoinCand
+       |)
+       |SELECT probe_id, vec_id, label, cosine, rank FROM (
+       |  SELECT c.probe_id, c.vec_id, c.label,
+       |    (${dotSql("e.embedding", "p.pv")}) /
+       |      (${normSql("e.embedding")} * ${normSql("p.pv")}) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY c.probe_id
+       |      ORDER BY (${dotSql("e.embedding", "p.pv")}) /
+       |        (${normSql("e.embedding")} * ${normSql("p.pv")}) DESC,
+       |        c.vec_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN probes p ON p.probe_id = c.probe_id)
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** The streaming PQ ingest replayed in DuckDB: every coarse placement
+    * (argmax dot over the stored centroids, ties to the lower cid) and
+    * every code (argmin of the identical left-assoc squared L2 over the
+    * stored codebooks, ties to the lower code) recomputed relationally.
+    * Shared VERBATIM by the per-column and packed sink layouts — the
+    * ingested VALUES are identical by construction (pqEncode packs the
+    * same aggregation), only the storage differs, and the packed query
+    * unpacks for the compare. */
+  private def streamPqIngestOracleSql: String =
+    s"""WITH batch AS (
+       |  SELECT vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 10 = 7
+       |), ranked AS (
+       |  SELECT b.vec_id, CAST(c.cid AS BIGINT) AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY (${dotSql("c.cv", "b.embedding")}) DESC, c.cid)
+       |      AS rk
+       |  FROM read_parquet('${PqOracleAlias}_centroids/*.parquet') c
+       |  CROSS JOIN batch b
+       |), coarse AS (
+       |  SELECT vec_id, cid FROM ranked WHERE rk = 1
+       |), dist AS (
+       |  SELECT b.vec_id, cb.m, cb.code,
+       |    row_number() OVER (PARTITION BY b.vec_id, cb.m
+       |      ORDER BY ${(1 to PqSubDim).map(i =>
+             s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE) - cb.cv[$i]) * " +
+               s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE) - cb.cv[$i])")
+             .mkString(" + ")} ASC, cb.code) AS drk
+       |  FROM read_parquet('${PqOracleAlias}_codebooks/*.parquet') cb
+       |  CROSS JOIN batch b
+       |), best AS (
+       |  SELECT vec_id, m, code FROM dist WHERE drk = 1
+       |)
+       |SELECT c.vec_id, c.cid, bt.label,
+       |  ${normSql("bt.embedding")} AS xnorm,
+       |  ${(0 until PqM).map(m =>
+           s"CAST(max(CASE WHEN b.m = $m THEN b.code END) AS TINYINT) AS c$m")
+           .mkString(",\n  ")}
+       |FROM coarse c
+       |JOIN best b USING (vec_id)
+       |JOIN batch bt USING (vec_id)
+       |GROUP BY c.vec_id, c.cid, bt.label, bt.embedding
+       |ORDER BY c.vec_id""".stripMargin
 
   private def refreshAlias(alias: String, target: String): Unit =
     DeltaQueries.refreshAlias(alias, target)
@@ -1067,19 +1163,34 @@ object SimilarityQueries {
         means(cb, pqAssign(sub, cb, keepSv = true, shape)))
   }
 
-  /** Encode `df` to PqM one-byte codes against a STORED codebook and
-    * attach label, cid (from `cids`), and the stored EXACT norm (one
-    * double per vector, FAISS-style): ADC approximates the raw inner
-    * product, but the search metric is cosine — dividing the quantized
-    * dot by the true norm removes the norm-variance rank error PQ
-    * codes cannot carry. */
+  /** Encode `df` to `shape.m` one-byte codes against a STORED codebook
+    * and attach label, cid (from `cids`), and the stored EXACT norm
+    * (one double per vector, FAISS-style): ADC approximates the raw
+    * inner product, but the search metric is cosine — dividing the
+    * quantized dot by the true norm removes the norm-variance rank
+    * error PQ codes cannot carry.
+    *
+    * `packed` selects the storage layout at encode time: one
+    * `array<byte>` codes column (m-ascending — the wide-M production
+    * layout; per-column codes are column-chunk-overhead-bound at
+    * M=64, see [[pqPackedIndexWithIvf]]) instead of `shape.m` separate
+    * one-byte columns. Same aggregation, same codes, one projection of
+    * difference — so the two layouts stay bit-identical by
+    * construction and an append path can write packed directly with no
+    * per-column intermediate. */
   private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
-      cids: DataFrame, shape: PqShape = DefaultPqShape): DataFrame = {
+      cids: DataFrame, shape: PqShape = DefaultPqShape,
+      packed: Boolean = false): DataFrame = {
     val codeCols = (0 until shape.m).map(m =>
       max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
-    pqAssign(pqSubRows(df, shape), codebook, keepSv = false, shape)
+    val coded = pqAssign(pqSubRows(df, shape), codebook, keepSv = false, shape)
       .groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail: _*)
+    val laidOut =
+      if (packed) coded.select(col("vec_id"),
+        array((0 until shape.m).map(m => col(s"c$m")): _*).as("codes"))
+      else coded
+    laidOut
       .join(df.select(col("vec_id"), col("label"),
         norm(col("embedding")).as("xnorm")), Seq("vec_id"))
       .join(cids, Seq("vec_id"))
@@ -1281,6 +1392,51 @@ object SimilarityQueries {
     }
   }
 
+  /** PACKED-codes layout of the incrementally-maintained PQ index: the
+    * same frozen-codebook ingest policy as [[pqIncrementalIndexWithIvf]]
+    * (whose codebooks it SHARES via sibling symlink — same training,
+    * same codes), but BOTH the base materialization and the arriving
+    * batch's append run the packed encode end-to-end: the appended
+    * micro-batch writes one `array<byte>` codes column straight into
+    * the touched cid partitions, no per-column intermediate ever
+    * exists. This is the production ingest at wide M, where per-column
+    * codes are column-chunk-overhead-bound (the dim-512 rehearsal's
+    * finding — see [[pqPackedIndexWithIvf]]). */
+  def pqIncrementalPackedIndexWithIvf(s: SparkSession, dir: String):
+      (String, String) = {
+    val (colPath, _) = pqIncrementalIndexWithIvf(s, dir)
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_incr_packed"
+    this.synchronized {
+      val ivfPath = ivfIncrementalIndexPath(s, dir)
+      val success = new java.io.File(path, "_graft_incr_done")
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
+        val emb = load(s, dir, "embeddings")
+        val base = emb.where(col("vec_id") % 10 =!= 7)
+        val batch = emb.where(col("vec_id") % 10 === 7)
+        val codebook = s.read.parquet(pqCodebooksPath(colPath))
+        val cids = pqCids(s, ivfPath)
+        pqEncode(base, codebook, cids, packed = true)
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        // the incremental step, packed: encode ONLY the batch against
+        // the stored codebooks, append into the matching cid partitions
+        pqEncode(batch, codebook, cids, packed = true)
+          .write.mode("append").partitionBy("cid").parquet(path)
+        success.getParentFile.mkdirs()
+        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        writeIndexStamp(path, sig)
+      }
+      refreshAlias(pqCodebooksPath(path), pqCodebooksPath(colPath))
+      refreshAlias(PqIncrPackedOracleAlias, path)
+      refreshAlias(PqIncrPackedOracleAlias + "_codebooks",
+        pqCodebooksPath(colPath))
+      refreshAlias(PqIncrPackedOracleAlias + "_centroids",
+        ivfCentroidsPath(ivfPath))
+      (path, ivfPath)
+    }
+  }
+
 
   /** IVF-PQ search (q_sim_ann_pq body; shared with SimilaritySpec):
     * coarse-prune to nprobe cids, ADC-score the pruned CODES against a
@@ -1303,11 +1459,25 @@ object SimilarityQueries {
   def annPqOver(s: SparkSession, dir: String, path: String, ivfPath: String,
       probeId: Long, k: Int, nprobe: Int, cand: Int,
       predicate: Column = lit(true),
-      packedCodes: Boolean = false): DataFrame = {
+      packedCodes: Boolean = false): DataFrame =
+    annPqSearch(s, load(s, dir, "embeddings"), path,
+      ivfCentroidsPath(ivfPath), probeId, k, nprobe, cand, predicate,
+      packedCodes)
+
+  /** The search itself, against explicit relations — shape-parametrized
+    * so the SAME code path serves the fixture (dim 64, M=8, K=16) and
+    * the production regimes (dim 512, M=64, K up to 256 — the one-byte
+    * ceiling, unsigned reads in PqAdc). Shared with SimilaritySpec's
+    * K=256 pin and the PqHighDim rehearsal. */
+  private[graft] def annPqSearch(s: SparkSession, emb: DataFrame,
+      path: String, centroidsPath: String,
+      probeId: Long, k: Int, nprobe: Int, cand: Int,
+      predicate: Column = lit(true),
+      packedCodes: Boolean = false,
+      shape: PqShape = DefaultPqShape): DataFrame = {
     import s.implicits._
-    val emb = load(s, dir, "embeddings")
     val codes = s.read.parquet(path)
-    val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
+    val centroids = s.read.parquet(centroidsPath)
     // ONE probe-row collect feeds the cid ranking, the LUT, and the
     // rerank (the probe norm is the same left-assoc double sqrt the
     // norm() expression computes, so values stay bit-identical)
@@ -1317,7 +1487,7 @@ object SimilarityQueries {
     val pn = {
       var acc = 0.0
       var i = 0
-      while (i < Dim) { acc += pv(i) * pv(i); i += 1 }
+      while (i < shape.dim) { acc += pv(i) * pv(i); i += 1 }
       math.sqrt(acc)
     }
     val probeVec = Seq((pvF, pn)).toDF("pv", "pn")
@@ -1332,18 +1502,20 @@ object SimilarityQueries {
     // codeword) would leave NaN LUT slots that SORT ABOVE every real
     // score under desc — a silent recall collapse, so fail loudly here
     val cbRows = s.read.parquet(pqCodebooksPath(path)).collect()
-    require(cbRows.length == PqM * PqK,
+    require(cbRows.length == shape.m * shape.k,
       s"incomplete PQ codebook at ${pqCodebooksPath(path)}: " +
-        s"${cbRows.length} codewords, expected ${PqM * PqK} — stale " +
-        "fixture? delete the index dir to rebuild")
-    val lut = Array.fill(PqM, PqK)(Double.NaN)
+        s"${cbRows.length} codewords, expected ${shape.m * shape.k} — " +
+        "stale fixture? delete the index dir to rebuild")
+    val lut = Array.fill(shape.m, shape.k)(Double.NaN)
     cbRows.foreach { r =>
       val m = r.getAs[Int]("m")
       val c = r.getAs[Int]("code")
       val cv = r.getSeq[Double](r.fieldIndex("cv"))
       var acc = 0.0
       var i = 0
-      while (i < PqSubDim) { acc += pv(m * PqSubDim + i) * cv(i); i += 1 }
+      while (i < shape.subDim) {
+        acc += pv(m * shape.subDim + i) * cv(i); i += 1
+      }
       lut(m)(c) = acc
     }
     // the count check above passes a codebook with DUPLICATE (m, code)
@@ -1364,9 +1536,9 @@ object SimilarityQueries {
     // to the oracle's l0.v + l1.v + ... replay.
     val codesArr =
       if (packedCodes) col("codes")
-      else array((0 until PqM).map(m => col(s"c$m")): _*)
+      else array((0 until shape.m).map(m => col(s"c$m")): _*)
     val adc = graft.functions.VectorExpressions.pqAdc(
-      codesArr, typedLit(lut.flatten.toSeq), PqK) / col("xnorm")
+      codesArr, typedLit(lut.flatten.toSeq), shape.k) / col("xnorm")
     // partition-pruned CODES scan: 8 one-byte lookups + adds per row
     val candidates = codes
       .where(col("cid").isin(probeCids: _*))
@@ -1417,10 +1589,16 @@ object SimilarityQueries {
     * so the plan shape is M-independent — a dim-512 (M=64) index runs
     * the identical two-join pipeline. */
   def knnJoinPq(s: SparkSession, dir: String, k: Int, nprobe: Int,
-      cand: Int, probeModulus: Int = 100): DataFrame = {
+      cand: Int, probeModulus: Int = 100,
+      packed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = load(s, dir, "embeddings")
-    val (path, ivfPath) = pqIndexWithIvf(s, dir)
+    // `packed` joins against the packed-codes layout (one array<byte>
+    // column — the wide-M production storage); the pipeline below is
+    // layout-independent since PqAdc scores one code ARRAY either way,
+    // so the only difference is which relation is scanned
+    val (path, ivfPath) =
+      if (packed) pqPackedIndexWithIvf(s, dir) else pqIndexWithIvf(s, dir)
     val codes = s.read.parquet(path)
       .withColumn("cid", col("cid").cast(LongType))
     val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
@@ -1488,7 +1666,9 @@ object SimilarityQueries {
       .where(col("vec_id") =!= col("probe_id"))
       .join(sizeGatedSide(s, lutArr, nProbes, 16L + 8L * PqM * PqK),
         Seq("probe_id"))
-    val codesArr = array((0 until PqM).map(m => col(s"c$m")): _*)
+    val codesArr =
+      if (packed) col("codes")
+      else array((0 until PqM).map(m => col(s"c$m")): _*)
     val adc = graft.functions.VectorExpressions.pqAdc(
       codesArr, col("lutv"), PqK) / col("xnorm")
     val candd = base.withColumn("adc", adc)
@@ -1703,7 +1883,7 @@ object SimilarityQueries {
     * runs. */
   def streamPqIngest(s: SparkSession, feedDir: String, pqPath: String,
       ivfPath: String, sinkDir: String, name: String,
-      monitor: Boolean = false)
+      monitor: Boolean = false, packed: Boolean = false)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     // per-batch drift log beside the sink (monitor mode); the baseline
     // is the build-time constant, read once on the driver
@@ -1723,12 +1903,17 @@ object SimilarityQueries {
       val cids = assignTo(batch, cent)
         .withColumn("cid", col("cid").cast(LongType))
         .select("vec_id", "cid")
-      val codeCols = (0 until PqM).map(m => col(s"c$m"))
+      // packed mode appends ONE array<byte> codes column (the wide-M
+      // production layout) — encoded packed at the source, no
+      // per-column intermediate ever exists in the stream
+      val codeCols =
+        if (packed) Seq(col("codes"))
+        else (0 until PqM).map(m => col(s"c$m"))
       // the encode feeds BOTH the sink and (in monitor mode) the drift
       // check — persist so the micro-batch computes it once
       if (monitor) batch.persist()
       try {
-        pqEncode(batch, codebook, cids)
+        pqEncode(batch, codebook, cids, packed = packed)
           .select((col("vec_id") +: col("cid") +: col("label") +:
             col("xnorm") +: codeCols): _*)
           .write.mode("append").parquet(sinkDir)

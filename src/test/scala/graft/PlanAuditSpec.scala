@@ -435,6 +435,60 @@ class PlanAuditSpec extends AnyFunSuite {
       "cid prune did not reach the partition filters")
   }
 
+  test("packed PQ family: filtered + incremental scans read one codes " +
+    "array + norm only, cid partitions pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    for ((query, dirToken) <- Seq(
+      ("q_sim_ann_pq_filtered_packed", "pq_index_packed"),
+      ("q_sim_ann_pq_incr_packed", "pq_index_incr_packed"))) {
+      val df = SparkEntry.queries(query)(spark, sf)
+      df.collect()
+      val scan = allScans(df.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths
+          .exists(_.toString.contains(dirToken)))
+        .getOrElse(fail(s"$query: no FileSourceScan over $dirToken"))
+      val readCols = scan.requiredSchema.fieldNames.toSet
+      assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes")),
+        s"$query packed scan reads beyond the packed columns: $readCols")
+      assert(readCols.contains("codes"), s"$query missing codes: $readCols")
+      assert(scan.partitionFilters.nonEmpty,
+        s"$query: cid prune did not reach the partition filters")
+    }
+  }
+
+  test("q_knn_join_pq_packed: the pairwise stage scans the packed codes " +
+    "array only, cid-pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_knn_join_pq_packed")(spark, sf)
+    df.collect()
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val codeScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists { p =>
+        val s = p.toString
+        s.contains("pq_index_packed") && !s.contains("_codebooks") &&
+          !s.contains("_centroids")
+      })
+    assert(codeScans.nonEmpty, "no FileSourceScan over the packed codes")
+    codeScans.foreach { scan =>
+      val readCols = scan.requiredSchema.fieldNames.toSet
+      assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes")),
+        s"pairwise scan reads beyond the packed columns: $readCols")
+      assert(scan.partitionFilters.nonEmpty,
+        "cid prune did not reach the partition filters")
+    }
+  }
+
   test("q_knn_join_pq: the pairwise stage scans codes only, cid-pruned") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

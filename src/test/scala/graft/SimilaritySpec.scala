@@ -95,6 +95,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!schema.fieldNames.exists(_.matches("c\\d+")))
   }
 
+  test("packed PQ variants are value-identical to their per-column " +
+    "twins (filtered, incremental, k-NN join)") {
+    import org.apache.spark.sql.functions.{array, col}
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    // same codes, same LUTs, same searches — only the storage layout
+    // differs, so each variant must match its twin VALUE-FOR-VALUE
+    for ((a, b) <- Seq(
+      ("q_sim_ann_pq_filtered", "q_sim_ann_pq_filtered_packed"),
+      ("q_sim_ann_pq_incremental", "q_sim_ann_pq_incr_packed"),
+      ("q_knn_join_pq", "q_knn_join_pq_packed"))) {
+      val perCol = SparkEntry.queries(a)(spark, sf).collect().map(_.toSeq)
+      val packed = SparkEntry.queries(b)(spark, sf).collect().map(_.toSeq)
+      assert(perCol.nonEmpty && packed.toSeq == perCol.toSeq,
+        s"$b diverges from $a")
+    }
+    // the incremental packed relation really is packed (one array<byte>
+    // column, no per-column bytes) ...
+    val (path, _) = graft.queries.SimilarityQueries
+      .pqIncrementalPackedIndexWithIvf(spark, sf)
+    val schema = spark.read.parquet(path).schema
+    assert(schema.fieldNames.contains("codes"))
+    assert(schema("codes").dataType.asInstanceOf[ArrayType]
+      .elementType == ByteType)
+    assert(!schema.fieldNames.exists(_.matches("c\\d+")))
+    // ... and the packed APPEND encoded every row identically to the
+    // per-column append: full-relation parity, residents and batch both
+    val (colPath, _) = graft.queries.SimilarityQueries
+      .pqIncrementalIndexWithIvf(spark, sf)
+    def rows(p: String, codes: org.apache.spark.sql.Column) =
+      spark.read.parquet(p)
+        .select(col("vec_id"), codes.as("codes"), col("xnorm"),
+          col("label"), col("cid").cast("long").as("cid"))
+        .orderBy("vec_id").collect().map(_.toSeq)
+    val fromCols = rows(colPath, array((0 until
+      graft.queries.SimilarityQueries.PqM).map(m => col(s"c$m")): _*))
+    val fromPacked = rows(path, col("codes"))
+    assert(fromCols.nonEmpty && fromPacked.toSeq == fromCols.toSeq,
+      "packed incremental index diverges from the per-column append")
+  }
+
+  test("packed streaming PQ ingest stores one codes array per row and " +
+    "matches the per-column stream row-for-row") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val perCol = SparkEntry.queries("q_stream_pq_ingest")(spark, sf)
+      .collect().map(_.toSeq)
+    val packed = SparkEntry.queries("q_stream_pq_ingest_packed")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(perCol.nonEmpty && packed.toSeq == perCol.toSeq,
+      "packed stream ingest diverges from the per-column stream")
+    // the packed SINK really stores the production layout: one
+    // array<byte> codes column, never per-column bytes (the query
+    // unpacks only for the oracle compare)
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val schema = spark.read
+      .parquet(s"target/stream_pq_packed_sink_$tag").schema
+    assert(schema.fieldNames.contains("codes"))
+    assert(schema("codes").dataType.asInstanceOf[ArrayType]
+      .elementType == ByteType)
+    assert(!schema.fieldNames.exists(_.matches("c\\d+")))
+  }
+
   test("PQ at production width: dim 512 (m=64) recall@20 >= 0.9 " +
     "through train/encode parametrized by PqShape") {
     // the fixture's dim 64 understates ADC (exact pair cost grows with
