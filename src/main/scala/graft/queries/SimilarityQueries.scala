@@ -1181,8 +1181,16 @@ object SimilarityQueries {
   private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
       cids: DataFrame, shape: PqShape = DefaultPqShape,
       packed: Boolean = false): DataFrame = {
+    // codes 128..255 (the K=256 one-byte regime) store as their two's
+    // complement — Spark has no unsigned byte, and ANSI mode (the 4.x
+    // default) rejects the overflowing cast outright. Explicit wrap:
+    // identity for K <= 128 (so every existing oracle fixture is
+    // byte-identical), and PqAdc's `& 0xFF` reads recover the full
+    // range on the search side.
+    def asByte(c: Column): Column =
+      when(c > 127, c - 256).otherwise(c).cast(ByteType)
     val codeCols = (0 until shape.m).map(m =>
-      max(when(col("m") === m, col("code"))).cast(ByteType).as(s"c$m"))
+      asByte(max(when(col("m") === m, col("code")))).as(s"c$m"))
     val coded = pqAssign(pqSubRows(df, shape), codebook, keepSv = false, shape)
       .groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail: _*)
@@ -1304,7 +1312,8 @@ object SimilarityQueries {
     * (the same rule as train/encode). */
   def pqRetrainAndReEncode(s: SparkSession, corpus: DataFrame,
       path: String, cids: DataFrame,
-      shape: PqShape = DefaultPqShape): Unit = this.synchronized {
+      shape: PqShape = DefaultPqShape,
+      packed: Boolean = false): Unit = this.synchronized {
     val cbPath = pqCodebooksPath(path)
     def swapIn(live: String): Unit = {
       val dest = new java.io.File(live)
@@ -1326,7 +1335,7 @@ object SimilarityQueries {
     if (new java.io.File(codesNext).exists())
       scala.reflect.io.Directory(new java.io.File(codesNext))
         .deleteRecursively()
-    pqEncode(corpus, s.read.parquet(cbNext), cids, shape)
+    pqEncode(corpus, s.read.parquet(cbNext), cids, shape, packed = packed)
       .write.partitionBy("cid").parquet(codesNext)
     val pending = new java.io.File(path + "_retrain_pending")
     java.nio.file.Files.write(pending.toPath, Array.emptyByteArray)
@@ -1591,26 +1600,38 @@ object SimilarityQueries {
   def knnJoinPq(s: SparkSession, dir: String, k: Int, nprobe: Int,
       cand: Int, probeModulus: Int = 100,
       packed: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = load(s, dir, "embeddings")
     // `packed` joins against the packed-codes layout (one array<byte>
-    // column — the wide-M production storage); the pipeline below is
+    // column — the wide-M production storage); the pipeline is
     // layout-independent since PqAdc scores one code ARRAY either way,
     // so the only difference is which relation is scanned
     val (path, ivfPath) =
       if (packed) pqPackedIndexWithIvf(s, dir) else pqIndexWithIvf(s, dir)
+    knnJoinPqOver(s, load(s, dir, "embeddings"), path,
+      ivfCentroidsPath(ivfPath), k, nprobe, cand, probeModulus, packed)
+  }
+
+  /** The join itself, against explicit relations — shape-parametrized
+    * like [[annPqSearch]], so the SAME two-join + native-ADC pipeline
+    * serves the fixture (dim 64, M=8) and the production widths (dim
+    * 512, M=64 — where the per-(m, code) equi-join shape this replaced
+    * would be 64 joins). Shared with the PqHighDim join rehearsal. */
+  private[graft] def knnJoinPqOver(s: SparkSession, emb: DataFrame,
+      path: String, centroidsPath: String, k: Int, nprobe: Int,
+      cand: Int, probeModulus: Int = 100, packed: Boolean = false,
+      shape: PqShape = DefaultPqShape): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val codes = s.read.parquet(path)
       .withColumn("cid", col("cid").cast(LongType))
-    val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
+    val centroids = s.read.parquet(centroidsPath)
     val codebook = s.read.parquet(pqCodebooksPath(path))
     // a short codebook (pre-retention fixture with a dropped codeword)
-    // would make every packed LUT shorter than PqM*PqK, PqAdc would
+    // would make every packed LUT shorter than m*k, PqAdc would
     // null ALL pair scores, and the rank window would emit the lowest
     // vec_ids as a confident-looking garbage top-k — fail loudly
     // instead. DISTINCT (m, code): a duplicate-slot codebook passes a
     // raw count while still packing a short (or misordered) LUT.
     require(codebook.select(countDistinct(col("m"), col("code")))
-        .head.getLong(0) == PqM * PqK,
+        .head.getLong(0) == shape.m * shape.k,
       s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
         "fixture? delete the index dir to rebuild")
     // materialize the probe relation ONCE (probe-proportional — tiny
@@ -1646,8 +1667,8 @@ object SimilarityQueries {
     // stops scaling with M (fine at the fixture's M=8, 64 joins at a
     // production dim-512 index — the dim-512 rehearsal is what exposed
     // it).
-    val lutV = (1 to PqSubDim).map(i =>
-      element_at(col("pv"), col("m") * PqSubDim + lit(i))
+    val lutV = (1 to shape.subDim).map(i =>
+      element_at(col("pv"), col("m") * shape.subDim + lit(i))
         .cast(DoubleType) * element_at(col("cv"), i)).reduce(_ + _)
     val lutArr = probes.select(col("probe_id"), col("pv"))
       .crossJoin(broadcast(codebook))
@@ -1664,13 +1685,13 @@ object SimilarityQueries {
     val base = codes.where(col("cid").isin(probedCids: _*))
       .join(sizeGatedSide(s, probed, probedRows, 32L), Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
-      .join(sizeGatedSide(s, lutArr, nProbes, 16L + 8L * PqM * PqK),
-        Seq("probe_id"))
+      .join(sizeGatedSide(s, lutArr, nProbes,
+        16L + 8L * shape.m * shape.k), Seq("probe_id"))
     val codesArr =
       if (packed) col("codes")
-      else array((0 until PqM).map(m => col(s"c$m")): _*)
+      else array((0 until shape.m).map(m => col(s"c$m")): _*)
     val adc = graft.functions.VectorExpressions.pqAdc(
-      codesArr, col("lutv"), PqK) / col("xnorm")
+      codesArr, col("lutv"), shape.k) / col("xnorm")
     val candd = base.withColumn("adc", adc)
       .withColumn("ark", row_number().over(Window.partitionBy("probe_id")
         .orderBy(desc("adc"), asc("vec_id"))))
@@ -1679,7 +1700,7 @@ object SimilarityQueries {
     // exact rerank: full vectors for cand rows per probe only
     candd
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(sizeGatedSide(s, probes, nProbes, Dim.toLong * 8 + 80),
+      .join(sizeGatedSide(s, probes, nProbes, shape.dim.toLong * 8 + 80),
         Seq("probe_id"))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /
@@ -1881,18 +1902,42 @@ object SimilarityQueries {
     * are directly appendable into the PQ index's cid partitions — the
     * streaming face of the same ingest the batch incremental builder
     * runs. */
+  /** Mid-stream drift remedy for [[streamPqIngest]]: when the per-batch
+    * drift trigger fires (monitor mode), the ingest loop runs the
+    * [[pqRetrainAndReEncode]] escape hatch BETWEEN micro-batches over
+    * the caller-supplied view of the CURRENT corpus (typically the base
+    * corpus unioned with the `<sink>_vecs` ledger the heal mode
+    * maintains) and its vec_id→cid map. Subsequent batches encode
+    * against the NEW codebooks automatically — the loop re-reads
+    * codebooks per batch, the snapshot-refresh discipline of the
+    * reference's schema provider (crates/datafusion/src/
+    * schema_provider.rs:83-118). */
+  final case class PqHeal(
+      corpus: SparkSession => DataFrame,
+      cids: SparkSession => DataFrame)
+
   def streamPqIngest(s: SparkSession, feedDir: String, pqPath: String,
       ivfPath: String, sinkDir: String, name: String,
-      monitor: Boolean = false, packed: Boolean = false)
+      monitor: Boolean = false, packed: Boolean = false,
+      heal: Option[PqHeal] = None, appendToIndex: Boolean = false,
+      shape: PqShape = DefaultPqShape)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    require(heal.isEmpty || monitor,
+      "heal consumes the drift trigger — monitor must be on")
     // per-batch drift log beside the sink (monitor mode); the baseline
-    // is the build-time constant, read once on the driver
+    // is the build-time constant, read once on the driver — and
+    // RE-READ after a heal (the retrain refreshed it)
     val driftDir = sinkDir + "_drift"
-    if (monitor) {
-      val df = new java.io.File(driftDir)
+    // heal mode's corpus ledger: every arriving vector appends here
+    // BEFORE its encode, so a heal inside the same batch retrains on a
+    // corpus that includes the batch that fired
+    val vecsDir = sinkDir + "_vecs"
+    for (d <- Seq(monitor -> driftDir, heal.isDefined -> vecsDir)
+         if d._1) {
+      val df = new java.io.File(d._2)
       if (df.exists()) org.apache.commons.io.FileUtils.deleteDirectory(df)
     }
-    val baseline =
+    var baseline =
       if (monitor) distortionBaseline(pqCodebooksPath(pqPath)) else 0.0
     runVecStream(s, feedDir, sinkDir, name) { (batch, batchId) =>
       val bs = batch.sparkSession
@@ -1908,15 +1953,24 @@ object SimilarityQueries {
       // per-column intermediate ever exists in the stream
       val codeCols =
         if (packed) Seq(col("codes"))
-        else (0 until PqM).map(m => col(s"c$m"))
+        else (0 until shape.m).map(m => col(s"c$m"))
       // the encode feeds BOTH the sink and (in monitor mode) the drift
       // check — persist so the micro-batch computes it once
       if (monitor) batch.persist()
       try {
-        pqEncode(batch, codebook, cids, packed = packed)
+        if (heal.isDefined)
+          batch.select("vec_id", "label", "embedding")
+            .write.mode("append").parquet(vecsDir)
+        val encoded = pqEncode(batch, codebook, cids, shape,
+          packed = packed)
+        encoded
           .select((col("vec_id") +: col("cid") +: col("label") +:
             col("xnorm") +: codeCols): _*)
           .write.mode("append").parquet(sinkDir)
+        // the production ingest: streamed rows land in the index's cid
+        // partitions (the same append the batch incremental path does)
+        if (appendToIndex)
+          encoded.write.mode("append").partitionBy("cid").parquet(pqPath)
         if (monitor) {
           // the streaming face of the PQ drift policy: each arriving
           // micro-batch is measured against the build-time baseline —
@@ -1924,11 +1978,26 @@ object SimilarityQueries {
           // stopped describing the firehose
           val rep = graft.operators.PqMaintenance.driftReportFromBaseline(
             bs, pqCodebooksPath(pqPath), baseline,
-            batch.select("vec_id", "embedding"))
+            batch.select("vec_id", "embedding"), shape = shape)
+          // the heal ALSO re-arms a crash inside a PRIOR hatch's
+          // inter-swap window (codes and codebooks from different
+          // generations live): the pending marker makes that state
+          // detectable, and re-running the idempotent hatch is the heal
+          val healing = heal.isDefined &&
+            (rep.retrain || pqRetrainPending(pqPath))
           import bs.implicits._
-          Seq((batchId, rep.appendedAvgDistortion, rep.ratio, rep.retrain))
-            .toDF("batch_id", "distortion", "ratio", "retrain")
+          Seq((batchId, rep.appendedAvgDistortion, rep.ratio,
+            rep.retrain, healing))
+            .toDF("batch_id", "distortion", "ratio", "retrain", "healed")
             .coalesce(1).write.mode("append").parquet(driftDir)
+          if (healing) {
+            val h = heal.get
+            pqRetrainAndReEncode(bs, h.corpus(bs), pqPath, h.cids(bs),
+              shape, packed = packed)
+            // the retrain refreshed the persisted baseline; later
+            // batches must be judged against the NEW generation
+            baseline = distortionBaseline(pqCodebooksPath(pqPath))
+          }
         }
       } finally if (monitor) batch.unpersist()
     }

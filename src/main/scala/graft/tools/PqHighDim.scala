@@ -42,11 +42,13 @@ object PqHighDim {
     import spark.implicits._
 
     val n = args.headOption.map(_.toInt).getOrElse(20000)
-    // k=128 codewords per subspace — the production one-byte regime
-    // (capped at 128 so codes fit the signed ByteType the codes schema
-    // uses; the fixture's k=16 exists for oracle tractability at dim
-    // 64, not as a recall recommendation)
-    val shape = PqShape(dim = 512, m = 64, subDim = 8, k = 128)
+    // codewords per subspace: default 128; pass 256 for the FULL
+    // one-byte regime (codes 128..255 store as their two's complement —
+    // pqEncode wraps explicitly, PqAdc reads unsigned — so the whole
+    // byte is usable; the fixture's k=16 exists for oracle tractability
+    // at dim 64, not as a recall recommendation)
+    val kCodes = args.drop(3).headOption.map(_.toInt).getOrElse(128)
+    val shape = PqShape(dim = 512, m = 64, subDim = 8, k = kCodes)
     val nClusters = args.drop(1).headOption.map(_.toInt).getOrElse(256)
     val sigma = args.drop(2).headOption.map(_.toDouble).getOrElse(2.0)
     val k = 20
@@ -73,7 +75,7 @@ object PqHighDim {
     // the corpus is a deterministic function of (n, nClusters, sigma),
     // so an existing index for the same arguments is reused — stage
     // measurements then iterate without paying the one-time train
-    val dir = s"target/pq_highdim/${n}_${nClusters}_$sigma"
+    val dir = s"target/pq_highdim/${n}_${nClusters}_${sigma}_k$kCodes"
     val cbPath = s"$dir/codebooks"
     val codesPath = s"$dir/codes"
     val corpusPath = s"$dir/corpus"
@@ -203,9 +205,12 @@ object PqHighDim {
         while (i < shape.subDim) { s += pv(m * shape.subDim + i) * cv(i); i += 1 }
         s
       }
+      // unsigned read: codes past 127 store as negative bytes, and a
+      // NEGATIVE element_at index would silently read from the END
       val adc = (0 until shape.m).map(m =>
         element_at(typedLit(lut(m).toSeq),
-          col(s"c$m").cast(IntegerType) + 1)).reduce(_ + _) / col("xnorm")
+          (col(s"c$m").cast(IntegerType) + 256) % 256 + 1))
+        .reduce(_ + _) / col("xnorm")
       codes.agg(max(adc)).head.getDouble(0)
     }
     exactStage(probeIds.head); adcStage(probeIds.head)

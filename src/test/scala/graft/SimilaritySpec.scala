@@ -222,6 +222,78 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"dim-512 recall@$k = $mean ($recalls)")
   }
 
+  test("full one-byte K=256 regime end-to-end over a PACKED index: " +
+    "codes wrap the signed byte, recall@20 >= 0.9 through annPqSearch") {
+    // the production-width, full-codebook regime: dim 512, M=64, K=256.
+    // Codes 128..255 STORE as negative signed bytes (Spark has no
+    // unsigned type); PqAdc's `& 0xFF` reads recover the full range —
+    // this pins the whole loop (train -> packed encode -> production
+    // search path) at the one-byte ceiling, which the per-column
+    // fixture schema previously capped at K=128 (SCALE.md round-14
+    // rehearsal note). Packed layout: the only production layout at
+    // this M.
+    import graft.queries.SimilarityQueries
+    import graft.queries.SimilarityQueries.PqShape
+    import org.apache.spark.sql.functions.{col, element_at, explode, lit, min}
+    import spark.implicits._
+    val shape = PqShape(dim = 512, m = 64, subDim = 8, k = 256)
+    val nClusters = 32
+    val n = 2000
+    val k = 20
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(nClusters)(
+      Array.fill(shape.dim)(rng.nextGaussian() * 10.0))
+    val rows = (0 until n).map { i =>
+      val r = new scala.util.Random(9000L + i)
+      val v = Seq.tabulate(shape.dim)(d =>
+        (centers(i % nClusters)(d) + r.nextGaussian() * 2.0).toFloat)
+      (i.toLong, (i % nClusters).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pq256_${
+      System.nanoTime()}"
+    SimilarityQueries.pqTrainCodebooks(corpus, shape)
+      .coalesce(1).write.parquet(s"$dir/codes_codebooks")
+    assert(spark.read.parquet(s"$dir/codes_codebooks").count() ==
+      shape.m * shape.k)
+    SimilarityQueries.pqEncode(corpus,
+      spark.read.parquet(s"$dir/codes_codebooks"),
+      corpus.select(col("vec_id"), lit(0L).as("cid")), shape,
+      packed = true)
+      .write.partitionBy("cid").parquet(s"$dir/codes")
+    // one trivial centroid: the coarse prune is not under test here
+    Seq((0L, Seq.fill(shape.dim)(0.0)))
+      .toDF("cid", "cv").coalesce(1).write.parquet(s"$dir/centroids")
+    val codes = spark.read.parquet(s"$dir/codes")
+    // the upper half of the byte range is genuinely exercised: some
+    // stored code is negative (an unsigned value past 127)
+    val minCode = codes.select(explode(col("codes")).as("c"))
+      .agg(min(col("c"))).head.getByte(0)
+    assert(minCode < 0,
+      s"no code wrapped the signed byte (min stored byte $minCode) — " +
+        "K=256 regime not actually exercised")
+    // recall through the PRODUCTION search path (annPqSearch, packed)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = rows.map(t => t._1 -> t._3.map(_.toDouble)).toMap
+    val recalls = Seq(0L, 777L, 1503L).map { pid =>
+      val probe = byId(pid)
+      val trueTop = rows.filter(_._1 != pid)
+        .map { case (id, _, v) => (id, cos(v.map(_.toDouble), probe)) }
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+      val got = SimilarityQueries.annPqSearch(spark, corpus,
+        s"$dir/codes", s"$dir/centroids", probeId = pid, k = k,
+        nprobe = 1, cand = 128, packedCodes = true, shape = shape)
+        .collect().map(_.getLong(0)).toSet
+      (trueTop intersect got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"K=256 packed recall@$k = $mean ($recalls)")
+  }
+
   test("streaming PQ ingest encodes exactly like the batch index, bounded state") {
     import org.apache.spark.sql.functions._
     // ONE stream run supplies both halves: its sink rows for the

@@ -345,6 +345,115 @@ class StreamingSpec extends AnyFunSuite {
     assert(CommitWriter.latestTxnVersion(spark, dst, "pipe-1").isDefined)
   }
 
+  test("mid-stream PQ drift heal: the trigger fires DURING ingest, the " +
+    "escape hatch retrains between micro-batches, ingest continues " +
+    "quiet against the new generation, post-stream recall holds") {
+    import graft.queries.SimilarityQueries
+    import graft.streaming.VecsStream
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pq_heal").toFile.getAbsolutePath
+    val vdim = 64
+    // base: small-amplitude pseudo-random pattern; shifted: disjoint
+    // hot-dim clusters far outside the trained region (the same
+    // geometry IvfMaintenanceSpec's offline escape-hatch case pins)
+    def baseVec(i: Int): Seq[Float] =
+      Seq.tabulate(vdim)(d => (((i * 37 + d * 11) % 13) - 6).toFloat)
+    // TIGHT shifted clusters (noise 0.4 vs the base pattern's ±6):
+    // against the base-trained codebooks the 30-amplitude shift fires
+    // hugely; once the retrain dedicates codewords to the 4 shifted
+    // patterns, residual distortion is the small noise — deterministic
+    // quiet for the post-heal batch
+    def shiftVec(i: Int): Seq[Float] = {
+      val c = i % 4
+      Seq.tabulate(vdim)(d =>
+        (if (d % 4 == c) 30f else 0f) +
+          (((i * 7 + d * 3) % 5) - 2).toFloat * 0.2f)
+    }
+    val baseRows = (0 until 200).map(i => (i.toLong, i % 3, baseVec(i)))
+    val b1Rows = (200 until 240).map(i => (i.toLong, i % 3, baseVec(i)))
+    val b2Rows = (240 until 320).map(i => (i.toLong, i % 3, shiftVec(i)))
+    val b3Rows = (320 until 400).map(i => (i.toLong, i % 3, shiftVec(i)))
+    val baseDf = baseRows.toDF("vec_id", "label", "embedding")
+    baseDf.write.parquet(s"$tmp/base")
+    val path = s"$tmp/pq_heal_index"
+    val ivfPath = s"$tmp/ivf"
+    // single coarse cell — the coarse prune is not under test here
+    Seq((0L, Seq.fill(vdim)(0.0))).toDF("cid", "cv")
+      .coalesce(1).write.parquet(
+        SimilarityQueries.ivfCentroidsPath(ivfPath))
+    def cidsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), lit(0L).as("cid"))
+    // initial build via the idempotent hatch: codebooks trained on the
+    // BASE corpus, codes + persisted distortion baseline
+    SimilarityQueries.pqRetrainAndReEncode(spark, baseDf, path,
+      cidsOf(baseDf))
+    val cbPath = SimilarityQueries.pqCodebooksPath(path)
+    val baseline0 = SimilarityQueries.distortionBaseline(cbPath)
+    // the firehose: calm batch, SHIFTED batch (fires mid-stream),
+    // another shifted batch (must encode against the NEW generation)
+    val feedDir = s"$tmp/feed"
+    val t0 = System.currentTimeMillis() - 60000
+    def feed(rows: Seq[(Long, Int, Seq[Float])], name: String,
+        at: Long): Unit =
+      VecsStream.writeFeedFile(feedDir,
+        rows.toDF("vec_id", "label", "embedding")
+          .select("vec_id", "embedding", "label"), name, at)
+    feed(b1Rows, "00_calm.parquet", t0)
+    feed(b2Rows, "01_shift.parquet", t0 + 10000)
+    feed(b3Rows, "02_more.parquet", t0 + 20000)
+    val sink = s"$tmp/sink"
+    // the heal's view of the CURRENT corpus: base + the vector ledger
+    // the heal mode maintains beside the sink
+    val heal = SimilarityQueries.PqHeal(
+      corpus = bs => bs.read.parquet(s"$tmp/base")
+        .unionByName(bs.read.parquet(sink + "_vecs")),
+      cids = bs => cidsOf(bs.read.parquet(s"$tmp/base")
+        .unionByName(bs.read.parquet(sink + "_vecs"))))
+    SimilarityQueries.streamPqIngest(spark, feedDir, path, ivfPath,
+      sink, "pq_heal_spec", monitor = true, heal = Some(heal),
+      appendToIndex = true)
+    // drift log: calm quiet -> shift fires AND heals -> the NEXT
+    // shifted batch is already quiet against the retrained generation
+    val log = spark.read.parquet(sink + "_drift")
+      .orderBy("batch_id")
+      .select("retrain", "healed").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(log.toSeq == Seq((false, false), (true, true), (false, false)),
+      s"drift/heal sequence diverged: ${log.toSeq}")
+    // both swaps completed — no crash window left behind
+    assert(!SimilarityQueries.pqRetrainPending(path))
+    // the baseline was refreshed by the mid-stream retrain
+    assert(SimilarityQueries.distortionBaseline(cbPath) != baseline0)
+    // the index holds the WHOLE corpus coherently: the heal re-encoded
+    // base+b1+b2, the post-heal batch appended against the new
+    // codebooks — nothing lost, nothing duplicated
+    val index = spark.read.parquet(path)
+    assert(index.count() == 400 &&
+      index.select("vec_id").distinct().count() == 400)
+    // post-stream search recall from inside the shifted region, through
+    // the production search path over the healed index
+    val allRows = baseRows ++ b1Rows ++ b2Rows ++ b3Rows
+    val corpus = allRows.toDF("vec_id", "label", "embedding")
+    val probeId = 320L
+    val probe = allRows.find(_._1 == probeId).get._3.map(_.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val k = 10
+    val trueTop = allRows.filter(_._1 != probeId)
+      .map { case (id, _, v) => (id, cos(v.map(_.toDouble), probe)) }
+      .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+    val got = SimilarityQueries.annPqSearch(spark, corpus, path,
+      SimilarityQueries.ivfCentroidsPath(ivfPath), probeId = probeId,
+      k = k, nprobe = 1, cand = 64)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (trueTop intersect got).size.toDouble / k
+    assert(recall >= 0.8, s"post-heal recall@$k = $recall")
+  }
+
   test("mapGroupsWithState sessionization counts all events per user") {
     val sessions = EventsStream.runToMemory(spark,
       ss => EventsStream.userSessions(ss,
