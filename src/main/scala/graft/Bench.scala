@@ -109,8 +109,18 @@ object Bench {
     val stableSet = Bench.stableSet
     val stableTotal = results
       .filter(r => r.error.isEmpty && stableSet(r.name)).map(_.median).sum
+    // ambient adjudication computed ONCE, shipped in both artifacts:
+    // samples counts WARM passes only; passes_total spells out the
+    // executed pass count (warm + the discarded warm-up) so consumers
+    // never have to derive the convention
+    val inflation = passInflation(results)
+    val ambient = ambientPasses(results)
+    val inflationJson = inflation.toSeq.sortBy(_._1)
+      .map { case (p, f) => s""""$p":${fmt(f)}""" }
+      .mkString("{", ",", "}")
+    val ambientJson = ambient.toSeq.sorted.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"sampling":"interleaved_passes_warm_discard","run_epoch_ms":${System.currentTimeMillis()},"spread":$spread,"samples_detail":$samplesJson,"n_errors":${failed.length},"errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$qs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"passes_total":${samples + 1},"sampling":"interleaved_passes_warm_discard","run_epoch_ms":${System.currentTimeMillis()},"spread":$spread,"pass_inflation":$inflationJson,"ambient_passes":$ambientJson,"samples_detail":$samplesJson,"n_errors":${failed.length},"errors":$errJson}"""
     // the driver keeps only the last ~2000 chars of output; persist the full
     // per-query vector to a file and print a compact headline line LAST so it
     // survives the tail buffer intact and parses
@@ -163,7 +173,7 @@ object Bench {
       (shown ++ more).mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"sampling":"interleaved_passes_warm_discard","n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"errors":$headErrs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"passes_total":${samples + 1},"sampling":"interleaved_passes_warm_discard","n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"ambient_passes":$ambientJson,"errors":$headErrs}""")
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver
@@ -218,23 +228,64 @@ object Bench {
     }.mkString("{", ",", "}")
   }
 
-  /** Contention self-diagnosis for the HEADLINE artifact: the compact
-    * [min,max] map of only the queries whose sample spread says the
-    * number is not trustworthy (max ≥ 2.5× min AND ≥ 0.5 s apart — a
-    * micro-query's jitter or a steady query never flags). The full
-    * per-query spread lives in target/bench_full.json; this subset is
-    * capped so the driver's ~2000-char stdout tail can't truncate the
-    * line into unparseable JSON. */
+  /** Per-pass co-inflation index over the WARM passes: the fraction of
+    * eligible queries (no error, warm min ≥ 0.1 s — micro-query jitter
+    * must not vote) whose pass-p sample runs ≥ `factor`× their own warm
+    * minimum. Unrelated queries do not slow down together for
+    * per-query reasons, so a pass where a QUORUM of the suite
+    * co-inflates is an AMBIENT window (external machine load) — the
+    * adjudication previous rounds did by hand from samples_detail
+    * timestamps. */
+  private[graft] def passInflation(results: Seq[BenchResult],
+      factor: Double = 2.0): Map[Int, Double] = {
+    val eligible = results.filter(r => r.error.isEmpty && r.min >= 0.1)
+    val passes = eligible.flatMap(_.samples.collect {
+      case s if s.pass > 0 && s.error.isEmpty => s.pass
+    }).distinct
+    passes.map { p =>
+      val votes = eligible.flatMap(r =>
+        r.samples.find(s => s.pass == p && s.error.isEmpty)
+          .map(_.sec >= r.min * factor))
+      p -> (if (votes.isEmpty) 0.0
+            else votes.count(identity).toDouble / votes.size)
+    }.toMap
+  }
+
+  /** Passes whose co-inflation crosses the quorum — the ambient windows. */
+  private[graft] def ambientPasses(results: Seq[BenchResult],
+      factor: Double = 2.0, quorum: Double = 0.3): Set[Int] =
+    passInflation(results, factor).filter(_._2 >= quorum).keySet
+
+  /** Contention self-diagnosis for the HEADLINE artifact: a compact map
+    * of only the queries whose sample spread says the number is not
+    * trustworthy (max ≥ 2.5× min AND ≥ 0.5 s apart — a micro-query's
+    * jitter or a steady query never flags), each carrying its
+    * ADJUDICATION: `ambient: true` when the flag's worst sample sits in
+    * a pass the whole suite co-inflated in (machine load — the spread
+    * says nothing about the query), `false` when the slowdown is the
+    * query's own. The full per-query spread lives in
+    * target/bench_full.json; this subset is capped so the driver's
+    * ~2000-char stdout tail can't truncate the line into unparseable
+    * JSON. */
   private[graft] def spreadFlags(results: Seq[BenchResult]): String = {
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val ambient = ambientPasses(results)
     val flagged = results.filter(r => r.error.isEmpty &&
       r.max >= r.min * 2.5 && r.max - r.min >= 0.5)
       .sortBy(r => -(r.max - r.min))
-    val shown = flagged.take(8).map(r =>
-      "\"" + r.name + "\":[" + fmt(r.min) + "," + fmt(r.max) + "]")
+    val shown = flagged.take(8).map { r =>
+      val worstPass = r.samples
+        .filter(s => s.pass > 0 && s.error.isEmpty) match {
+        case ss if ss.nonEmpty => Some(ss.maxBy(_.sec).pass)
+        case _ => None
+      }
+      val amb = worstPass.exists(ambient.contains)
+      "\"" + r.name + "\":{\"min\":" + fmt(r.min) + ",\"max\":" +
+        fmt(r.max) + ",\"ambient\":" + amb + "}"
+    }
     val more = if (flagged.length > 8)
-      Seq("\"__truncated__\":[" + (flagged.length - 8) + ",0]")
+      Seq("\"__truncated__\":{\"more\":" + (flagged.length - 8) + "}")
     else Nil
     (shown ++ more).mkString("{", ",", "}")
   }

@@ -20,8 +20,41 @@ class BenchArtifactSpec extends AnyFunSuite {
     val node = mapper.readTree(Bench.spreadFlags(rs))
     assert(node.isObject)
     assert(node.size() == 1, node.toString)
-    assert(node.get("contended").get(0).asDouble() == 1.0)
-    assert(node.get("contended").get(1).asDouble() == 5.4)
+    assert(node.get("contended").get("min").asDouble() == 1.0)
+    assert(node.get("contended").get("max").asDouble() == 5.4)
+    // no samples attached -> no pass can be adjudicated ambient
+    assert(!node.get("contended").get("ambient").asBoolean())
+  }
+
+  test("flagged spreads carry the ambient adjudication: a co-inflated " +
+    "pass marks its flags ambient, an isolated slowdown stays owned") {
+    // synthetic contended window: pass 2 inflates MOST of the suite at
+    // once (external load), while "self_slow"'s worst sample sits in a
+    // clean pass — its spread is the query's own
+    def r(name: String, secs: Seq[Double]) = {
+      val samples = Vector(Bench.BenchSample(0, 0L, secs.head, None)) ++
+        secs.tail.zipWithIndex.map { case (s, i) =>
+          Bench.BenchSample(i + 1, 1000L * i, s, None) }
+      Bench.summarize(name, samples)
+    }
+    val rs = Seq(
+      // pass layout per query: (warmup, p1, p2, p3)
+      r("a", Seq(1.0, 1.0, 3.1, 1.1)),
+      r("b", Seq(2.0, 2.0, 6.0, 2.1)),
+      r("c", Seq(0.5, 0.5, 1.9, 0.52)),
+      r("d", Seq(0.4, 0.4, 1.3, 0.41)),
+      // worst sample in pass 3, where nothing else inflates
+      r("self_slow", Seq(1.0, 1.0, 1.05, 9.0)),
+      // micro-query: must not vote in the inflation index
+      r("tiny", Seq(0.01, 0.01, 0.09, 0.01)))
+    val inflation = Bench.passInflation(rs)
+    assert(inflation(2) >= 0.8, s"pass 2 should co-inflate: $inflation")
+    assert(inflation(3) < 0.3, s"pass 3 is one query's own: $inflation")
+    assert(Bench.ambientPasses(rs) == Set(2))
+    val node = mapper.readTree(Bench.spreadFlags(rs))
+    assert(node.get("a").get("ambient").asBoolean(), node.toString)
+    assert(node.get("b").get("ambient").asBoolean(), node.toString)
+    assert(!node.get("self_slow").get("ambient").asBoolean(), node.toString)
   }
 
   test("spread_flags caps at 8 entries plus a truncation marker") {
