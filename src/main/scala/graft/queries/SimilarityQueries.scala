@@ -611,6 +611,21 @@ object SimilarityQueries {
         cand = PqCand, packedCodes = true)
     },
 
+    // RESIDUAL IVFADC (the full Jégou et al. 2011 construction): codes
+    // quantize x - centroid(x), so the one-byte budget spends on the
+    // offset within the coarse cell — the accuracy upgrade production
+    // IVF-PQ ships. Search scores the exact decomposition
+    // (<c,q> + ADC) / |x|: the per-cell term is the coarse ranking's
+    // own dot, re-joined as one broadcast scalar per probed cid; the
+    // LUT stays one M x K table. Codes store PACKED (born in the
+    // production layout). The oracle replays the whole search.
+    Q("q_sim_ann_pq_residual",
+      pqResidualOracleSql(PqResidualOracleAlias, k = 20, probeId = 0,
+        nprobe = 8, cand = PqCand)) { (s, dir) =>
+      annPqResidual(s, dir, probeId = 0, k = 20, nprobe = 8,
+        cand = PqCand)
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -700,6 +715,10 @@ object SimilarityQueries {
   final val PqIncrPackedOracleAlias =
     "/root/repo/target/delta_fixtures/pq_incr_packed_current"
 
+  /** Alias family for the RESIDUAL IVFADC index (q_sim_ann_pq_residual). */
+  final val PqResidualOracleAlias =
+    "/root/repo/target/delta_fixtures/pq_residual_current"
+
   /** The PQ search replayed in DuckDB over a materialized index alias
     * family — shared verbatim by the build-once, incremental, and
     * filtered queries, so every oracle is the identical full content
@@ -743,6 +762,55 @@ object SimilarityQueries {
            s"JOIN lut l$m ON l$m.m = $m AND l$m.code = ${codeRef(m)}")
            .mkString("\n  ")}
        |  WHERE k.vec_id <> $probeId AND ($predSql)
+       |  ORDER BY adc DESC, vec_id
+       |  LIMIT $cand
+       |)
+       |SELECT c.vec_id, c.label, c.adc,
+       |  (${dotSql("e.embedding", "pv")}) /
+       |    (${normSql("e.embedding")} * ${normSql("pv")}) AS cosine
+       |FROM cand c
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |CROSS JOIN probe
+       |ORDER BY cosine DESC, c.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** The residual-IVFADC search replayed in DuckDB: the probed CTE
+    * carries the per-cell <c, q> term (the SAME dot expression its own
+    * ranking uses — bit-identical to the Spark side's reused coarse
+    * sim), the LUT is the standard <q_sub, codeword> table (codewords
+    * live in residual space, cid-independent), and the candidate score
+    * is the exact decomposition (cdot + (ADC sum)) / xnorm with the
+    * ADC sum parenthesized to match PqAdc's internal left-assoc loop
+    * before the outer add. */
+  private def pqResidualOracleSql(alias: String, k: Int, probeId: Long,
+      nprobe: Int, cand: Int): String =
+    s"""WITH probe AS (
+       |  SELECT embedding AS pv FROM embeddings WHERE vec_id = $probeId
+       |), probed AS (
+       |  SELECT CAST(c.cid AS BIGINT) AS cid,
+       |    (${dotSql("c.cv", "pv")}) AS cdot
+       |  FROM read_parquet('${alias}_centroids/*.parquet') c
+       |  CROSS JOIN probe
+       |  ORDER BY cdot DESC, cid
+       |  LIMIT $nprobe
+       |), lut AS (
+       |  SELECT b.m, b.code,
+       |    ${(1 to PqSubDim).map(i =>
+             s"CAST(pv[b.m * $PqSubDim + $i] AS DOUBLE) * b.cv[$i]")
+             .mkString(" + ")} AS v
+       |  FROM read_parquet('${alias}_codebooks/*.parquet') b
+       |  CROSS JOIN probe
+       |), cand AS (
+       |  SELECT k.vec_id, k.label,
+       |    (probed.cdot + (${(0 until PqM).map(m => s"l$m.v")
+             .mkString(" + ")})) / k.xnorm AS adc
+       |  FROM read_parquet('$alias/*/*.parquet',
+       |         hive_partitioning=true) k
+       |  JOIN probed ON CAST(k.cid AS BIGINT) = probed.cid
+       |  ${(0 until PqM).map(m =>
+           s"JOIN lut l$m ON l$m.m = $m AND l$m.code = k.codes[${m + 1}]")
+           .mkString("\n  ")}
+       |  WHERE k.vec_id <> $probeId
        |  ORDER BY adc DESC, vec_id
        |  LIMIT $cand
        |)
@@ -1280,6 +1348,143 @@ object SimilarityQueries {
         ivfCentroidsPath(ivfPath))
       (path, ivfPath)
     }
+  }
+
+  /** RESIDUAL IVFADC index (the full Jégou et al. 2011 construction):
+    * codes quantize the RESIDUAL `x - centroid(x)` instead of the raw
+    * vector, so the one-byte budget spends on the vector's offset
+    * within its coarse cell rather than re-encoding the cell's
+    * position every time — the accuracy upgrade production IVF-PQ
+    * systems (FAISS IVFADC) ship, and it matters exactly when coarse
+    * cells have distinct centers (always, at 100 TB). Search
+    * decomposes the inner product exactly: <x, q> ≈ <c, q> +
+    * <r_quant, q>, so the LUT stays ONE (M x K) table (<q_sub,
+    * codeword> — codewords live in residual space, cid-independent)
+    * and the per-cell term is the SAME centroid dot the coarse
+    * ranking already computed — one scalar join, no per-cid LUT.
+    * Residuals are computed in DOUBLE (CAST(x) - cv, the oracle's
+    * exact arithmetic); the stored norm stays the ORIGINAL vector's
+    * (cosine rank metric). Codes store PACKED — this index is born in
+    * the production layout. */
+  def pqResidualIndexWithIvf(s: SparkSession, dir: String): (String, String) = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_residual"
+    this.synchronized {
+      val ivfPath = ivfIndexPath(s, dir)
+      val success = new java.io.File(path, "_SUCCESS")
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)
+          || !baselineFile(pqCodebooksPath(path)).exists()) {
+        val emb = load(s, dir, "embeddings")
+        val resid = residualsOf(s, emb, ivfPath)
+        pqTrainCodebooks(resid).coalesce(1).write.mode("overwrite")
+          .parquet(pqCodebooksPath(path))
+        val codebook = s.read.parquet(pqCodebooksPath(path))
+        // encode the residuals, then swap the residual norm for the
+        // ORIGINAL vector's (ADC approximates <x, q>; cosine divides
+        // by |x|, and the codes cannot carry that norm)
+        pqEncode(resid, codebook, pqCids(s, ivfPath), packed = true)
+          .drop("xnorm")
+          .join(emb.select(col("vec_id"),
+            norm(col("embedding")).as("xnorm")), Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        // drift baseline measures RESIDUAL quantization (the space the
+        // codebooks live in)
+        recordDistortionBaseline(s, pqCodebooksPath(path), resid)
+        writeIndexStamp(path, sig)
+      }
+      refreshAlias(PqResidualOracleAlias, path)
+      refreshAlias(PqResidualOracleAlias + "_codebooks",
+        pqCodebooksPath(path))
+      refreshAlias(PqResidualOracleAlias + "_centroids",
+        ivfCentroidsPath(ivfPath))
+      (path, ivfPath)
+    }
+  }
+
+  /** (vec_id, label, embedding = x - centroid(x) as array<double>) —
+    * the residual corpus the codebooks train on and the encode
+    * quantizes. One broadcast join against the (tiny) centroid set;
+    * double arithmetic with the oracle's exact op order
+    * (CAST(x) - cv). */
+  private def residualsOf(s: SparkSession, emb: DataFrame,
+      ivfPath: String): DataFrame =
+    emb.join(pqCids(s, ivfPath), Seq("vec_id"))
+      .join(broadcast(s.read.parquet(ivfCentroidsPath(ivfPath))), Seq("cid"))
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) - c)")
+          .as("embedding"))
+
+  /** Residual IVFADC search: identical structure to [[annPqSearch]]
+    * with the exact score decomposition `(<c, q> + ADC) / |x|` — the
+    * per-cell centroid dot joins in as one broadcast scalar per probed
+    * cid (computed by the SAME expression the coarse ranking used, so
+    * the oracle replays it bit-exactly). */
+  def annPqResidual(s: SparkSession, dir: String, probeId: Long, k: Int,
+      nprobe: Int, cand: Int): DataFrame = {
+    import s.implicits._
+    val (path, ivfPath) = pqResidualIndexWithIvf(s, dir)
+    val emb = load(s, dir, "embeddings")
+    val codes = s.read.parquet(path)
+    val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
+    val pvF = emb.where(col("vec_id") === probeId)
+      .select("embedding").head.getSeq[Float](0)
+    val pv = pvF.map(_.toDouble)
+    val pn = {
+      var acc = 0.0
+      var i = 0
+      while (i < Dim) { acc += pv(i) * pv(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val probeVec = Seq((pvF, pn)).toDF("pv", "pn")
+    // ONE coarse pass yields the prune list AND the per-cell <c, q>
+    // term of the decomposition
+    val probedRows = centroids.crossJoin(broadcast(probeVec))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .orderBy(desc("sim"), asc("cid"))
+      .limit(nprobe)
+      .select("cid", "sim").collect()
+    val probeCids = probedRows.map(_.getLong(0)).toSeq
+    val cidDots = probedRows.map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq.toDF("cid", "cdot")
+    val cbRows = s.read.parquet(pqCodebooksPath(path)).collect()
+    require(cbRows.length == PqM * PqK,
+      s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
+        "fixture? delete the index dir to rebuild")
+    val lut = Array.fill(PqM, PqK)(Double.NaN)
+    cbRows.foreach { r =>
+      val m = r.getAs[Int]("m")
+      val c = r.getAs[Int]("code")
+      val cv = r.getSeq[Double](r.fieldIndex("cv"))
+      var acc = 0.0
+      var i = 0
+      while (i < PqSubDim) { acc += pv(m * PqSubDim + i) * cv(i); i += 1 }
+      lut(m)(c) = acc
+    }
+    require(lut.forall(_.forall(v => !v.isNaN)),
+      s"PQ codebook at ${pqCodebooksPath(path)} has duplicate (m, code) " +
+        "rows — stale fixture? delete the index dir to rebuild")
+    val adc = (col("cdot") + graft.functions.VectorExpressions.pqAdc(
+      col("codes"), typedLit(lut.flatten.toSeq), PqK)) / col("xnorm")
+    // prune FIRST on the raw partition column (a cast underneath the
+    // filter would defeat partition pruning), cast only for the join
+    val candidates = codes
+      .where(col("cid").isin(probeCids: _*))
+      .where(col("vec_id") =!= probeId)
+      .withColumn("cid", col("cid").cast(LongType))
+      .join(broadcast(cidDots), Seq("cid"))
+      .withColumn("adc", adc)
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(cand)
+    candidates
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(probeVec))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * col("pn")))
+      .select("vec_id", "label", "adc", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
   }
 
   /** The PQ drift ESCAPE HATCH — [[graft.operators.PqMaintenance]]'s

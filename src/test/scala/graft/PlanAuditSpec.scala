@@ -446,7 +446,8 @@ class PlanAuditSpec extends AnyFunSuite {
     }.flatten
     for ((query, dirToken) <- Seq(
       ("q_sim_ann_pq_filtered_packed", "pq_index_packed"),
-      ("q_sim_ann_pq_incr_packed", "pq_index_incr_packed"))) {
+      ("q_sim_ann_pq_incr_packed", "pq_index_incr_packed"),
+      ("q_sim_ann_pq_residual", "pq_index_residual"))) {
       val df = SparkEntry.queries(query)(spark, sf)
       df.collect()
       val scan = allScans(df.queryExecution.executedPlan)

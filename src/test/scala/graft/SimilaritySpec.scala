@@ -222,6 +222,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"dim-512 recall@$k = $mean ($recalls)")
   }
 
+  test("residual IVFADC: codes quantize x - centroid(x), stored packed, " +
+    "search scores the exact decomposition, recall holds") {
+    import graft.queries.SimilarityQueries
+    import graft.queries.SimilarityQueries.{PqM, PqSubDim, PqK}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val k = 20
+    val brute = SimilarityQueries.bruteTopK(spark, sf, probeId = 0, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q_sim_ann_pq_residual")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect got).size.toDouble / k
+    assert(recall >= 0.9, s"residual IVFADC recall@$k = $recall")
+    val (path, ivfPath) = SimilarityQueries.pqResidualIndexWithIvf(spark, sf)
+    // born packed: one array<byte> codes column, original-vector norm
+    val codes = spark.read.parquet(path)
+    assert(codes.schema("codes").dataType.asInstanceOf[ArrayType]
+      .elementType == ByteType)
+    assert(!codes.schema.fieldNames.exists(_.matches("c\\d+")))
+    // encode spot-check: recompute the residual quantization driver-side
+    // for a handful of vectors — argmin of ||(x - centroid) - cw||^2 per
+    // subspace, ties to the lower code — and compare to the STORED codes
+    val cb = spark.read.parquet(SimilarityQueries.pqCodebooksPath(path))
+      .collect().map(r => ((r.getAs[Int]("m"), r.getAs[Int]("code")),
+        r.getSeq[Double](r.fieldIndex("cv")))).toMap
+    assert(cb.size == PqM * PqK)
+    val ctr = spark.read.parquet(
+      SimilarityQueries.ivfCentroidsPath(ivfPath)).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getSeq[Double](r.fieldIndex("cv"))).toMap
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    val sample = codes.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("codes")).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val cid = r.getAs[Long]("cid")
+      val stored = r.getSeq[Byte](r.fieldIndex("codes"))
+        .map(b => b & 0xFF)
+      val resid = emb(id).zip(ctr(cid)).map { case (x, c) =>
+        x.toDouble - c }
+      val expect = (0 until PqM).map { m =>
+        (0 until PqK).minBy { c =>
+          val cw = cb((m, c))
+          val d = (0 until PqSubDim).map { i =>
+            val dd = resid(m * PqSubDim + i) - cw(i)
+            dd * dd
+          }.sum
+          (d, c)
+        }
+      }
+      assert(stored == expect, s"vec $id: stored $stored != $expect")
+    }
+  }
+
   test("full one-byte K=256 regime end-to-end over a PACKED index: " +
     "codes wrap the signed byte, recall@20 >= 0.9 through annPqSearch") {
     // the production-width, full-codebook regime: dim 512, M=64, K=256.
