@@ -1409,8 +1409,15 @@ object SimilarityQueries {
     * (CAST(x) - cv). */
   private def residualsOf(s: SparkSession, emb: DataFrame,
       ivfPath: String): DataFrame =
-    emb.join(pqCids(s, ivfPath), Seq("vec_id"))
-      .join(broadcast(s.read.parquet(ivfCentroidsPath(ivfPath))), Seq("cid"))
+    residualsAgainst(emb, pqCids(s, ivfPath),
+      s.read.parquet(ivfCentroidsPath(ivfPath)))
+
+  /** Same, against explicit (vec_id, cid) and (cid, cv) relations —
+    * shared with the PqResidualProbe rehearsal. */
+  private[graft] def residualsAgainst(emb: DataFrame, cids: DataFrame,
+      centroids: DataFrame): DataFrame =
+    emb.join(cids, Seq("vec_id"))
+      .join(broadcast(centroids), Seq("cid"))
       .select(col("vec_id"), col("label"),
         expr("zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) - c)")
           .as("embedding"))
@@ -1422,18 +1429,28 @@ object SimilarityQueries {
     * the oracle replays it bit-exactly). */
   def annPqResidual(s: SparkSession, dir: String, probeId: Long, k: Int,
       nprobe: Int, cand: Int): DataFrame = {
-    import s.implicits._
     val (path, ivfPath) = pqResidualIndexWithIvf(s, dir)
-    val emb = load(s, dir, "embeddings")
+    annPqResidualSearch(s, load(s, dir, "embeddings"), path,
+      ivfCentroidsPath(ivfPath), probeId, k, nprobe, cand)
+  }
+
+  /** The residual search against explicit relations, shape-parametrized
+    * (the annPqSearch pattern) — shared with the PqResidualProbe
+    * rehearsal at production widths. */
+  private[graft] def annPqResidualSearch(s: SparkSession, emb: DataFrame,
+      path: String, centroidsPath: String, probeId: Long, k: Int,
+      nprobe: Int, cand: Int,
+      shape: PqShape = DefaultPqShape): DataFrame = {
+    import s.implicits._
     val codes = s.read.parquet(path)
-    val centroids = s.read.parquet(ivfCentroidsPath(ivfPath))
+    val centroids = s.read.parquet(centroidsPath)
     val pvF = emb.where(col("vec_id") === probeId)
       .select("embedding").head.getSeq[Float](0)
     val pv = pvF.map(_.toDouble)
     val pn = {
       var acc = 0.0
       var i = 0
-      while (i < Dim) { acc += pv(i) * pv(i); i += 1 }
+      while (i < shape.dim) { acc += pv(i) * pv(i); i += 1 }
       math.sqrt(acc)
     }
     val probeVec = Seq((pvF, pn)).toDF("pv", "pn")
@@ -1448,24 +1465,26 @@ object SimilarityQueries {
     val cidDots = probedRows.map(r => (r.getLong(0), r.getDouble(1)))
       .toSeq.toDF("cid", "cdot")
     val cbRows = s.read.parquet(pqCodebooksPath(path)).collect()
-    require(cbRows.length == PqM * PqK,
+    require(cbRows.length == shape.m * shape.k,
       s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
         "fixture? delete the index dir to rebuild")
-    val lut = Array.fill(PqM, PqK)(Double.NaN)
+    val lut = Array.fill(shape.m, shape.k)(Double.NaN)
     cbRows.foreach { r =>
       val m = r.getAs[Int]("m")
       val c = r.getAs[Int]("code")
       val cv = r.getSeq[Double](r.fieldIndex("cv"))
       var acc = 0.0
       var i = 0
-      while (i < PqSubDim) { acc += pv(m * PqSubDim + i) * cv(i); i += 1 }
+      while (i < shape.subDim) {
+        acc += pv(m * shape.subDim + i) * cv(i); i += 1
+      }
       lut(m)(c) = acc
     }
     require(lut.forall(_.forall(v => !v.isNaN)),
       s"PQ codebook at ${pqCodebooksPath(path)} has duplicate (m, code) " +
         "rows — stale fixture? delete the index dir to rebuild")
     val adc = (col("cdot") + graft.functions.VectorExpressions.pqAdc(
-      col("codes"), typedLit(lut.flatten.toSeq), PqK)) / col("xnorm")
+      col("codes"), typedLit(lut.flatten.toSeq), shape.k)) / col("xnorm")
     // prune FIRST on the raw partition column (a cast underneath the
     // filter would defeat partition pruning), cast only for the join
     val candidates = codes
