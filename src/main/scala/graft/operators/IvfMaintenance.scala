@@ -259,4 +259,156 @@ object IvfMaintenance {
     writeState(spark, indexPath, folded)
     rep
   }
+
+  private def splitMarker(indexPath: String, cid: Long) =
+    new java.io.File(s"${indexPath}_split_pending_$cid")
+
+  /** True when a prior [[splitCell]] of `cid` crashed mid-operation —
+    * rows may exist under BOTH the old cell and its new sub-cells.
+    * Heal by re-running splitCell for the same cid (it is restartable:
+    * it first discards any partially-written sub-cell partitions the
+    * marker lists). */
+  def splitPending(indexPath: String, cid: Long): Boolean =
+    splitMarker(indexPath, cid).exists()
+
+  /** The SKEW escape hatch: re-cluster ONE oversized cell into `ways`
+    * sub-cells. Skew is the one drift signal re-centering cannot fix
+    * (moving a centroid never shrinks its partition), and the
+    * full-corpus re-cluster is priced like a rebuild — but a fat cell
+    * is a LOCAL problem, and this fixes it at O(cell) cost: read only
+    * that cid's partition (static partition prune), k-means it into
+    * `ways` sub-cells with the index build's own two plan shapes
+    * (broadcast-assign + partial-aggregated means, empty-cluster
+    * retention as in codebook training), append the sub-cell
+    * partitions, drop the old one, patch the (broadcast-sized)
+    * centroid file via sibling swap, and replace the cell's counters
+    * with per-sub-cell base counts. At 100 TB this is the remedy the
+    * skewAlert feeds: each fat cell costs one bounded job, probes keep
+    * pruning throughout, and occupancy returns under the rerank-budget
+    * rule (the PqResidualProbe finding: recall dies exactly when
+    * occupancy dwarfs cand).
+    *
+    * Restartability: a `<index>_split_pending_<cid>` marker listing
+    * the planned sub-cids brackets the physical steps. A crash leaves
+    * the marker; re-running splitCell for the same cid discards any
+    * partially-written sub-cell partitions and redoes the split from
+    * the (still intact) old partition. The counter fold lands last via
+    * the atomic CURRENT swap. Maintenance is a single job by
+    * construction (as maybeRetrain); concurrent probes during the
+    * append→drop window may transiently see a row under both cids —
+    * the same read-during-maintenance caveat as the PQ retrain hatch.
+    *
+    * Returns the new sub-cell cids. */
+  def splitCell(spark: SparkSession, indexPath: String,
+      centroidsPath: String, cid: Long, ways: Int,
+      dim: Int): Seq[Long] = opLock.synchronized {
+    import spark.implicits._
+    require(ways >= 2, s"splitting into $ways sub-cells is a no-op")
+    val oldCentroids = spark.read.parquet(centroidsPath).collect()
+      .map(r => (r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("cv"))))
+    require(oldCentroids.exists(_._1 == cid),
+      s"cid $cid is not in the centroid set at $centroidsPath")
+    // collision-free new ids: dense above the current max
+    val newCids = {
+      val maxCid = oldCentroids.map(_._1).max
+      (1 to ways).map(maxCid + _.toLong)
+    }
+    // restart path: discard partial sub-cell partitions from a crashed
+    // prior attempt (the marker records ITS planned ids — use those)
+    val marker = splitMarker(indexPath, cid)
+    if (marker.exists()) {
+      val prior = new String(java.nio.file.Files.readAllBytes(
+        marker.toPath), "UTF-8").trim.split(",").filter(_.nonEmpty)
+      prior.foreach { c =>
+        val d = new java.io.File(indexPath, s"cid=$c")
+        if (d.exists())
+          scala.reflect.io.Directory(d).deleteRecursively()
+      }
+    }
+    val oldDir = new java.io.File(indexPath, s"cid=$cid")
+    require(oldDir.isDirectory,
+      s"cell partition $oldDir not found — already split?")
+    // the fat cell's rows, fully materialized BEFORE any physical step
+    // (the split must not re-read a partition it is about to drop).
+    // Synthetic maintenance fixtures carry no label column — assignTo
+    // requires one, so inject a dummy and drop it again on write.
+    val raw = spark.read.parquet(indexPath)
+    val hasLabel = raw.columns.contains("label")
+    val cell = {
+      val base = raw.withColumn("cid", col("cid").cast("long"))
+        .where(col("cid") === cid)
+      (if (hasLabel) base else base.withColumn("label", lit(0L)))
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()
+    }
+    val nRows = cell.count()
+    require(nRows >= ways, s"cell $cid has $nRows rows < $ways ways")
+    // within-cell k-means: seeds = the `ways` lowest vec_ids' vectors
+    // (deterministic), two Lloyd passes of the index build's own plan
+    // shapes; a sub-centroid that loses every assignment keeps its
+    // previous position (the codebook-training retention rule) so the
+    // split always yields exactly `ways` routable sub-cells
+    val seedRows = cell.orderBy("vec_id").limit(ways).collect()
+    var centroids = seedRows.zipWithIndex.map { case (r, i) =>
+      // the index stores float embeddings; synthetic spec fixtures use
+      // double — seed either way
+      (newCids(i), r.getSeq[Any](r.fieldIndex("embedding")).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalStateException(
+          s"unexpected embedding element $other")
+      })
+    }.toSeq.toDF("cid", "cv")
+    def assign(c: DataFrame): DataFrame =
+      graft.queries.SimilarityQueries.assignTo(cell, c)
+    for (_ <- 1 to 2) {
+      val moved = assign(centroids).groupBy("cid")
+        .agg(array((1 to dim).map(i =>
+          avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
+          .as("cv"))
+        .localCheckpoint()
+      centroids = moved.unionByName(
+        centroids.join(moved.select("cid"), Seq("cid"), "left_anti"))
+    }
+    val outCols =
+      if (hasLabel) Seq(col("vec_id"), col("label"), col("embedding"),
+        col("cid"))
+      else Seq(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = assign(centroids)
+      .select(outCols: _*)
+      .localCheckpoint()
+    // physical steps, bracketed by the pending marker
+    java.nio.file.Files.write(marker.toPath,
+      newCids.mkString(",").getBytes("UTF-8"))
+    assigned.write.mode("append").partitionBy("cid").parquet(indexPath)
+    scala.reflect.io.Directory(oldDir).deleteRecursively()
+    // centroid file patch via sibling swap (maybeRetrain's discipline)
+    val cvByCid = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val patched = oldCentroids.filterNot(_._1 == cid) ++
+      newCids.map(c => (c, cvByCid(c)))
+    val nextDir = new java.io.File(centroidsPath + "_next")
+    if (nextDir.exists())
+      scala.reflect.io.Directory(nextDir).deleteRecursively()
+    patched.toSeq.toDF("cid", "cv")
+      .coalesce(1).write.parquet(nextDir.getAbsolutePath)
+    val dest = new java.io.File(centroidsPath)
+    val prevDir = new java.io.File(centroidsPath + "_prev")
+    if (prevDir.exists())
+      scala.reflect.io.Directory(prevDir).deleteRecursively()
+    if (dest.exists())
+      java.nio.file.Files.move(dest.toPath, prevDir.toPath)
+    java.nio.file.Files.move(nextDir.toPath, dest.toPath)
+    scala.reflect.io.Directory(prevDir).deleteRecursively()
+    java.nio.file.Files.deleteIfExists(marker.toPath)
+    // counters: the fat cell's entry is REPLACED by per-sub-cell base
+    // counts (fresh cells start undrifted); lands last via the atomic
+    // CURRENT swap
+    val subCounts = assigned.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
+    val state = loadState(spark, indexPath)
+    writeState(spark, indexPath, (state.counts - cid) ++ subCounts)
+    newCids
+  }
 }

@@ -436,6 +436,99 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       log.head.getAs[Double]("ratio"))
   }
 
+  test("skew escape hatch: splitCell re-clusters ONE fat cell into " +
+    "sub-cells, preserves every row, clears the alert, and is " +
+    "restartable across a crash") {
+    import spark.implicits._
+    val path = s"$tmp/split_index"
+    val cpath = s"$tmp/split_centroids"
+    // 10 cells: one FAT (cid 0, 400 rows in 4 well-separated sub-groups
+    // — a genuine split exists) + 9 small (10 rows each): skew =
+    // 400 / 49 avg = 8.2 > 4.0
+    def fatVec(i: Int): Seq[Double] = {
+      val g = i % 4
+      Seq.tabulate(dim)(d =>
+        (if (d == g) 50.0 else 0.0) + ((i * 7 + d) % 5) * 0.1)
+    }
+    val fatRows = (0 until 400).map(i => (i.toLong, 0L, fatVec(i)))
+    val smallRows = (0 until 90).map { i =>
+      val cid = 1L + i % 9
+      (1000L + i, cid, vec(cid * 10.0, 1, 1, 1))
+    }
+    writeIndex(path, fatRows ++ smallRows)
+    (Seq((0L, Seq.fill(dim)(0.05))) ++
+      (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1))))
+      .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(cpath)
+    IvfMaintenance.recordBase(spark, path, counts(fatRows ++ smallRows))
+    val before = IvfMaintenance.driftReport(spark, path)
+    assert(before.skewAlert && before.skewCids == Seq(0L), s"$before")
+
+    val newCids = IvfMaintenance.splitCell(spark, path, cpath,
+      cid = 0L, ways = 4, dim = dim)
+    assert(newCids.length == 4 && newCids.forall(_ > 9L))
+    assert(!IvfMaintenance.splitPending(path, 0L))
+    val index = spark.read.parquet(path)
+      .withColumn("cid", col("cid").cast("long"))
+    // nothing lost, nothing duplicated; the fat cell is gone
+    assert(index.count() == 490)
+    assert(index.select("vec_id").distinct().count() == 490)
+    assert(index.where(col("cid") === 0L).count() == 0)
+    val occupancy = index.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newCids.forall(c => occupancy.getOrElse(c, 0L) > 0L),
+      s"empty sub-cell: $occupancy")
+    assert(newCids.map(occupancy).sum == 400)
+    // centroid file patched: old id out, sub-cells in, others untouched
+    val cents = spark.read.parquet(cpath).collect()
+      .map(_.getLong(0)).toSet
+    assert(cents == (1L to 9L).toSet ++ newCids.toSet)
+    // every row sits in its NEAREST sub-centroid (the assignTo rule):
+    // with 4 disjoint hot-dim groups and 2 Lloyd passes the sub-cells
+    // must separate the groups
+    val fatByCid = index.where(col("cid").isin(newCids: _*))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groupCids = (0 until 4).map { g =>
+      fatRows.filter(_._1 % 4 == g).map(t => fatByCid(t._1)).distinct
+    }
+    assert(groupCids.forall(_.size == 1),
+      s"a sub-group straddles sub-cells: $groupCids")
+    assert(groupCids.flatten.distinct.size == 4,
+      s"sub-groups collapsed into one cell: $groupCids")
+    // the alert clears: occupancy 100 avg ~37.7 -> skew ~2.65 < 4
+    val after = IvfMaintenance.driftReport(spark, path)
+    assert(!after.skewAlert, s"$after")
+    assert(after.baseRows == 490)
+
+    // CRASH WINDOW: simulate a split that died after partially writing
+    // sub-cell partitions — marker present, old partition intact.
+    // Re-running the hatch discards the partial work and completes.
+    val path2 = s"$tmp/split_index_crash"
+    val cpath2 = s"$tmp/split_centroids_crash"
+    writeIndex(path2, fatRows ++ smallRows)
+    (Seq((0L, Seq.fill(dim)(0.05))) ++
+      (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1))))
+      .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(cpath2)
+    IvfMaintenance.recordBase(spark, path2, counts(fatRows ++ smallRows))
+    // fake the dead attempt: marker lists cid 10, which holds garbage
+    appendIndex(path2, Seq((9999L, 10L, vec(1, 1, 1, 1))))
+    java.nio.file.Files.write(
+      new java.io.File(s"${path2}_split_pending_0").toPath,
+      "10,11,12,13".getBytes("UTF-8"))
+    assert(IvfMaintenance.splitPending(path2, 0L))
+    val healed = IvfMaintenance.splitCell(spark, path2, cpath2,
+      cid = 0L, ways = 4, dim = dim)
+    assert(!IvfMaintenance.splitPending(path2, 0L))
+    val idx2 = spark.read.parquet(path2)
+      .withColumn("cid", col("cid").cast("long"))
+    // the garbage row from the dead attempt was discarded; the split
+    // completed cleanly
+    assert(idx2.count() == 490)
+    assert(idx2.where(col("vec_id") === 9999L).count() == 0)
+    assert(idx2.where(col("cid") === 0L).count() == 0)
+    assert(healed.length == 4)
+  }
+
   test("distortion fails loudly on a shape that mismatches the stored " +
     "codebooks (never silently under-counts)") {
     import graft.operators.PqMaintenance
