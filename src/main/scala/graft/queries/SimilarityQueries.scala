@@ -611,6 +611,37 @@ object SimilarityQueries {
         cand = PqCand, packedCodes = true)
     },
 
+    // POST-SPLIT IVF search (the skew escape hatch in the oracle gate):
+    // the index's largest cell has been re-clustered into two sub-cells
+    // by IvfMaintenance.splitCell — partition moves, centroid patch,
+    // counter replacement — and the probe searches the result exactly
+    // like any IVF index (partition pruning against the PATCHED
+    // centroid set). The oracle replays the whole search over the
+    // materialized post-split relation.
+    Q("q_sim_ann_split",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${IvfSplitOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |)
+         |SELECT i.vec_id, i.label,
+         |  (${dotSql("i.embedding", "pv")}) /
+         |    (${normSql("i.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM read_parquet('$IvfSplitOracleAlias/*/*.parquet',
+         |       hive_partitioning=true) i
+         |JOIN probed ON CAST(i.cid AS BIGINT) = probed.cid
+         |CROSS JOIN probe
+         |WHERE i.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      annIvfOver(s, dir, ivfSplitIndexPath(s, dir),
+        probeId = 0, k = 20, nprobe = 8)
+    },
+
     // RESIDUAL IVFADC (the full Jégou et al. 2011 construction): codes
     // quantize x - centroid(x), so the one-byte budget spends on the
     // offset within the coarse cell — the accuracy upgrade production
@@ -718,6 +749,10 @@ object SimilarityQueries {
   /** Alias family for the RESIDUAL IVFADC index (q_sim_ann_pq_residual). */
   final val PqResidualOracleAlias =
     "/root/repo/target/delta_fixtures/pq_residual_current"
+
+  /** Alias family for the post-SPLIT IVF index (q_sim_ann_split). */
+  final val IvfSplitOracleAlias =
+    "/root/repo/target/delta_fixtures/ivf_split_current"
 
   /** The PQ search replayed in DuckDB over a materialized index alias
     * family — shared verbatim by the build-once, incremental, and
@@ -1112,6 +1147,65 @@ object SimilarityQueries {
       }
       refreshAlias(IvfIncrOracleAlias, path)
       refreshAlias(IvfIncrOracleAlias + "_centroids", ivfCentroidsPath(path))
+    }
+    path
+  }
+
+  /** Post-SPLIT IVF index (the skew escape hatch, materialized for the
+    * oracle gate): a fresh build of the standard index into its own
+    * directory pair, counters recorded, then its LARGEST cell is split
+    * into two sub-cells via [[graft.operators.IvfMaintenance.splitCell]]
+    * — partition moves, centroid-file patch, counter replacement all
+    * land in the relation the oracle replays. Probes search the split
+    * index exactly like any other (partition pruning against the
+    * PATCHED centroid set); recall and the structural invariants are
+    * pinned in SimilaritySpec. */
+  def ivfSplitIndexPath(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_split"
+    this.synchronized {
+      val success = new java.io.File(path, "_graft_split_done")
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
+        val dirF = new java.io.File(path)
+        if (dirF.exists())
+          scala.reflect.io.Directory(dirF).deleteRecursively()
+        // stale pending markers from a prior drop's build must not
+        // leak into the fresh split's restart path
+        Option(dirF.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(dirF.getName + "_split_pending_"))
+          .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+        val emb = load(s, dir, "embeddings")
+        // the standard build, into this fixture's own directory pair
+        val seeds = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def means(assigned: DataFrame) = assigned.groupBy("cid")
+          .agg(array((1 to Dim).map(i =>
+            avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
+            .as("cv"))
+        val refined = (1 to IvfLloydIterations)
+          .foldLeft(seeds)((c, _) => means(assignTo(emb, c)))
+        refined.coalesce(1).write.mode("overwrite")
+          .parquet(ivfCentroidsPath(path))
+        assignTo(emb, s.read.parquet(ivfCentroidsPath(path)))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        val counts = s.read.parquet(path)
+          .select(col("cid").cast(LongType).as("cid"))
+          .groupBy("cid").count().withColumnRenamed("count", "rows")
+        graft.operators.IvfMaintenance.recordBase(s, path, counts)
+        // the hatch under test: split the LARGEST cell (ties -> lowest
+        // cid, deterministic) into two sub-cells
+        val fatCid = counts.orderBy(desc("rows"), asc("cid"))
+          .head.getLong(0)
+        graft.operators.IvfMaintenance.splitCell(s, path,
+          ivfCentroidsPath(path), fatCid, ways = 2, dim = Dim)
+        success.getParentFile.mkdirs()
+        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        writeIndexStamp(path, sig)
+      }
+      refreshAlias(IvfSplitOracleAlias, path)
+      refreshAlias(IvfSplitOracleAlias + "_centroids",
+        ivfCentroidsPath(path))
     }
     path
   }

@@ -222,6 +222,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"dim-512 recall@$k = $mean ($recalls)")
   }
 
+  test("post-split IVF index: the largest cell is gone, rows preserved, " +
+    "assignments follow the patched centroids, recall holds") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.SimilarityQueries
+    val k = 20
+    val path = SimilarityQueries.ivfSplitIndexPath(spark, sf)
+    val emb = graft.queries.T.load(spark, sf, "embeddings")
+    val index = spark.read.parquet(path)
+      .withColumn("cid", col("cid").cast("long"))
+    // nothing lost, nothing duplicated by the split
+    assert(index.count() == emb.count())
+    assert(index.select("vec_id").distinct().count() == emb.count())
+    // the index's cids and the patched centroid set agree exactly, and
+    // the split really happened: MORE centroids than the base build's
+    val cents = spark.read.parquet(
+      SimilarityQueries.ivfCentroidsPath(path))
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val used = index.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(used.subsetOf(cents), s"unknown cids: ${used -- cents}")
+    val baseCents = spark.read.parquet(SimilarityQueries.ivfCentroidsPath(
+      SimilarityQueries.ivfIndexPath(spark, sf))).count()
+    assert(cents.size == baseCents + 1,
+      s"expected ${baseCents + 1} centroids post-split, got ${cents.size}")
+    // the split is LOCAL: the fat cell's rows re-assign among the new
+    // sub-centroids by the assignTo rule; every other row keeps the
+    // assignment of the identically-built base index (a boundary row
+    // of another cell may now be nearer a sub-centroid — the accepted
+    // local-split trade, same class as incremental centroid drift)
+    val baseAssign = spark.read.parquet(
+      SimilarityQueries.ivfIndexPath(spark, sf))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fatCid = baseAssign.groupBy(_._2).view.mapValues(_.size).toSeq
+      .maxBy(t => (t._2, -t._1))._1
+    val newCids = cents -- baseAssign.values.toSet
+    assert(!used.contains(fatCid), "the split cell is still routable")
+    assert(newCids.size == 2, s"expected 2 sub-cells, got $newCids")
+    val stored = index.select("vec_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // untouched rows kept their assignment
+    val movedOutside = stored.count { case (id, cid) =>
+      baseAssign(id) != fatCid && cid != baseAssign(id) }
+    assert(movedOutside == 0, s"$movedOutside rows outside the fat cell moved")
+    // fat-cell rows re-assigned by the nearest-sub-centroid rule
+    val subCentroids = spark.read.parquet(
+      SimilarityQueries.ivfCentroidsPath(path))
+      .where(col("cid").isin(newCids.toSeq: _*))
+    val recomputed = SimilarityQueries.assignTo(
+      index.where(col("cid").isin(newCids.toSeq: _*))
+        .select("vec_id", "label", "embedding"), subCentroids)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val divergingIn = recomputed.count { case (id, cid) =>
+      stored(id) != cid }
+    assert(divergingIn == 0,
+      s"$divergingIn fat-cell rows not in their nearest sub-cell")
+    // search over the split index holds recall
+    val brute = SimilarityQueries.bruteTopK(spark, sf, probeId = 0, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val got = SimilarityQueries.annIvfOver(spark, sf, path,
+      probeId = 0, k = k, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect got).size.toDouble / k
+    assert(recall >= 0.9, s"post-split recall@$k = $recall")
+  }
+
   test("residual IVFADC: codes quantize x - centroid(x), stored packed, " +
     "search scores the exact decomposition, recall holds") {
     import graft.queries.SimilarityQueries
