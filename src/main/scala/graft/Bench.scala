@@ -159,7 +159,7 @@ object Bench {
     val headQs = results.collect { case r if headline(r.name) =>
       "\"" + r.name + "\":" + fmt(r.median)
     }.mkString("{", ",", "}")
-    val headSpread = spreadFlags(results)
+    val headSpread = spreadFlags(results, ambient)
     // headline errors carry NAMES ONLY, capped: the driver keeps the
     // last ~2000 chars of stdout, and a handful of 160-char messages
     // would push the line head past the buffer and break its parse —
@@ -267,10 +267,17 @@ object Bench {
     * target/bench_full.json; this subset is capped so the driver's
     * ~2000-char stdout tail can't truncate the line into unparseable
     * JSON. */
-  private[graft] def spreadFlags(results: Seq[BenchResult]): String = {
+  private[graft] def spreadFlags(results: Seq[BenchResult]): String =
+    spreadFlags(results, ambientPasses(results))
+
+  /** Same, against a precomputed ambient set — main computes the set
+    * once and feeds both artifacts, so headline flags and
+    * bench_full.json's ambient_passes can never disagree on the
+    * (factor, quorum) knobs. */
+  private[graft] def spreadFlags(results: Seq[BenchResult],
+      ambient: Set[Int]): String = {
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val ambient = ambientPasses(results)
     val flagged = results.filter(r => r.error.isEmpty &&
       r.max >= r.min * 2.5 && r.max - r.min >= 0.5)
       .sortBy(r => -(r.max - r.min))

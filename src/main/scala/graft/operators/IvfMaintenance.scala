@@ -289,14 +289,22 @@ object IvfMaintenance {
     * occupancy dwarfs cand).
     *
     * Restartability: a `<index>_split_pending_<cid>` marker listing
-    * the planned sub-cids brackets the physical steps. A crash leaves
-    * the marker; re-running splitCell for the same cid discards any
-    * partially-written sub-cell partitions and redoes the split from
-    * the (still intact) old partition. The counter fold lands last via
-    * the atomic CURRENT swap. Maintenance is a single job by
-    * construction (as maybeRetrain); concurrent probes during the
-    * append→drop window may transiently see a row under both cids —
-    * the same read-during-maintenance caveat as the PQ retrain hatch.
+    * the planned sub-cids brackets EVERY mutating step (partition
+    * append, old-partition drop, centroid swap, counter replacement —
+    * the marker is deleted last). Re-running splitCell for the same
+    * cid heals any crash point by inspecting the physical state: while
+    * the OLD partition still exists, the sub-cell partitions are
+    * discardable duplicates — discard and redo the split from scratch;
+    * once the old partition is gone, the sub-cell partitions are the
+    * ONLY copy of the rows — the re-run ROLLS FORWARD instead
+    * (restore the centroid file from its `_prev` sibling if a crash
+    * landed mid-swap, re-derive the sub-centroids as their partitions'
+    * means — the maybeRetrain re-center rule — patch centroids if the
+    * crash preceded the swap, rewrite the counters idempotently, drop
+    * the marker). Maintenance is a single job by construction (as
+    * maybeRetrain); concurrent probes during the append→drop window
+    * may transiently see a row under both cids — the same
+    * read-during-maintenance caveat as the PQ retrain hatch.
     *
     * Returns the new sub-cell cids. */
   def splitCell(spark: SparkSession, indexPath: String,
@@ -304,6 +312,18 @@ object IvfMaintenance {
       dim: Int): Seq[Long] = opLock.synchronized {
     import spark.implicits._
     require(ways >= 2, s"splitting into $ways sub-cells is a no-op")
+    val marker = splitMarker(indexPath, cid)
+    val oldDir = new java.io.File(indexPath, s"cid=$cid")
+    if (marker.exists() && !oldDir.isDirectory) {
+      // post-drop crash: the sub-cell partitions are the only copy of
+      // the cell's rows — roll the interrupted split forward, never
+      // discard (discarding here was a data-loss bug)
+      return rollForwardSplit(spark, indexPath, centroidsPath, cid, dim)
+    }
+    // a crash mid-swap can leave the centroid file only under _prev
+    // even while the old partition survives (steps are not ordered
+    // for concurrent failures of both) — restore before reading
+    restoreCentroidsFromPrev(centroidsPath)
     val oldCentroids = spark.read.parquet(centroidsPath).collect()
       .map(r => (r.getLong(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("cv"))))
@@ -314,21 +334,16 @@ object IvfMaintenance {
       val maxCid = oldCentroids.map(_._1).max
       (1 to ways).map(maxCid + _.toLong)
     }
-    // restart path: discard partial sub-cell partitions from a crashed
-    // prior attempt (the marker records ITS planned ids — use those)
-    val marker = splitMarker(indexPath, cid)
+    // pre-drop restart: the old partition is intact, so partial
+    // sub-cell partitions from the crashed attempt are duplicates —
+    // discard and redo (the marker records ITS planned ids)
     if (marker.exists()) {
-      val prior = new String(java.nio.file.Files.readAllBytes(
-        marker.toPath), "UTF-8").trim.split(",").filter(_.nonEmpty)
-      prior.foreach { c =>
+      markerCids(marker).foreach { c =>
         val d = new java.io.File(indexPath, s"cid=$c")
         if (d.exists())
           scala.reflect.io.Directory(d).deleteRecursively()
       }
     }
-    val oldDir = new java.io.File(indexPath, s"cid=$cid")
-    require(oldDir.isDirectory,
-      s"cell partition $oldDir not found — already split?")
     // the fat cell's rows, fully materialized BEFORE any physical step
     // (the split must not re-read a partition it is about to drop).
     // Synthetic maintenance fixtures carry no label column — assignTo
@@ -378,7 +393,8 @@ object IvfMaintenance {
     val assigned = assign(centroids)
       .select(outCols: _*)
       .localCheckpoint()
-    // physical steps, bracketed by the pending marker
+    // physical steps, bracketed by the pending marker (deleted LAST,
+    // after the counters — so every crash point is re-armed)
     java.nio.file.Files.write(marker.toPath,
       newCids.mkString(",").getBytes("UTF-8"))
     assigned.write.mode("append").partitionBy("cid").parquet(indexPath)
@@ -388,10 +404,42 @@ object IvfMaintenance {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val patched = oldCentroids.filterNot(_._1 == cid) ++
       newCids.map(c => (c, cvByCid(c)))
+    swapInCentroids(spark, centroidsPath, patched)
+    // counters: the fat cell's entry is REPLACED by per-sub-cell base
+    // counts (fresh cells start undrifted), via the atomic CURRENT swap
+    val subCounts = assigned.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
+    val state = loadState(spark, indexPath)
+    writeState(spark, indexPath, (state.counts - cid) ++ subCounts)
+    java.nio.file.Files.deleteIfExists(marker.toPath)
+    newCids
+  }
+
+  private def markerCids(marker: java.io.File): Seq[Long] =
+    new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+
+  /** A crash between the two renames of a centroid sibling swap leaves
+    * the live name missing and the complete previous set under
+    * `_prev` — restore it so readers (and the re-run) see a coherent
+    * centroid file at every crash point. */
+  private def restoreCentroidsFromPrev(centroidsPath: String): Unit = {
+    val dest = new java.io.File(centroidsPath)
+    val prev = new java.io.File(centroidsPath + "_prev")
+    if (!dest.exists() && prev.exists())
+      java.nio.file.Files.move(prev.toPath, dest.toPath)
+  }
+
+  /** Sibling-swap a new centroid set into place (a plain overwrite
+    * deletes the live dir before writing — a crash there would leave
+    * the index unroutable). */
+  private def swapInCentroids(spark: SparkSession, centroidsPath: String,
+      rows: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
     val nextDir = new java.io.File(centroidsPath + "_next")
     if (nextDir.exists())
       scala.reflect.io.Directory(nextDir).deleteRecursively()
-    patched.toSeq.toDF("cid", "cv")
+    rows.toDF("cid", "cv")
       .coalesce(1).write.parquet(nextDir.getAbsolutePath)
     val dest = new java.io.File(centroidsPath)
     val prevDir = new java.io.File(centroidsPath + "_prev")
@@ -401,14 +449,56 @@ object IvfMaintenance {
       java.nio.file.Files.move(dest.toPath, prevDir.toPath)
     java.nio.file.Files.move(nextDir.toPath, dest.toPath)
     scala.reflect.io.Directory(prevDir).deleteRecursively()
-    java.nio.file.Files.deleteIfExists(marker.toPath)
-    // counters: the fat cell's entry is REPLACED by per-sub-cell base
-    // counts (fresh cells start undrifted); lands last via the atomic
-    // CURRENT swap
-    val subCounts = assigned.groupBy("cid").count().collect()
+  }
+
+  /** Finish an interrupted split whose old partition is already gone:
+    * the sub-cell partitions (the only copy of the rows) stay; the
+    * centroid file is restored from `_prev` if the crash landed
+    * mid-swap, then patched if the crash preceded the swap — the
+    * re-derived sub-centroids are their partitions' per-dimension
+    * means (the maybeRetrain re-center rule; the k-means' in-flight
+    * routing vectors died with the crashed job, and partition means
+    * are the canonical recovery of "the centroid of what this
+    * partition actually holds"). Counters are rewritten idempotently;
+    * the marker drops last. */
+  private def rollForwardSplit(spark: SparkSession, indexPath: String,
+      centroidsPath: String, cid: Long, dim: Int): Seq[Long] = {
+    val marker = splitMarker(indexPath, cid)
+    val newCids = markerCids(marker)
+    val present = newCids.filter(c =>
+      new java.io.File(indexPath, s"cid=$c").isDirectory)
+    require(present.nonEmpty,
+      s"split of cell $cid crashed after dropping the old partition " +
+        s"but no sub-cell partition of $newCids exists under $indexPath " +
+        "— the cell's rows are unrecoverable from this index alone")
+    restoreCentroidsFromPrev(centroidsPath)
+    val current = spark.read.parquet(centroidsPath).collect()
+      .map(r => (r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("cv"))))
+    val needPatch = current.exists(_._1 == cid) ||
+      !present.forall(c => current.exists(_._1 == c))
+    if (needPatch) {
+      val subMeans = spark.read.parquet(indexPath)
+        .withColumn("cid", col("cid").cast("long"))
+        .where(col("cid").isInCollection(present))
+        .groupBy("cid")
+        .agg(array((1 to dim).map(i =>
+          avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
+          .as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      swapInCentroids(spark, centroidsPath,
+        current.filterNot(t => t._1 == cid ||
+          subMeans.exists(_._1 == t._1)).toSeq ++ subMeans)
+    }
+    // counters, idempotent recount of the sub-cells
+    val subCounts = spark.read.parquet(indexPath)
+      .withColumn("cid", col("cid").cast("long"))
+      .where(col("cid").isInCollection(present))
+      .groupBy("cid").count().collect()
       .map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
     val state = loadState(spark, indexPath)
     writeState(spark, indexPath, (state.counts - cid) ++ subCounts)
-    newCids
+    java.nio.file.Files.deleteIfExists(marker.toPath)
+    present
   }
 }

@@ -975,7 +975,12 @@ object SimilarityQueries {
     * the previous mtime guards also missed a rebuild landing within
     * filesystem mtime granularity. The `v1:` prefix versions the
     * derivation itself — bump it when an index SCHEMA changes so old
-    * fixture dirs stop passing as fresh. */
+    * fixture dirs stop passing as fresh. CAVEAT: the sha memoizes per
+    * (path, size, mtime) WITHIN a process, so a regeneration that
+    * preserves both size and mtime is only caught across JVMs — which
+    * is where it happens (the driver regenerates testdata at round
+    * boundaries, between processes). A live session that needs to see
+    * such a swap calls DeltaQueries.resetHashMemoForTest. */
   private def embSourceSig(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
     s"v1:${f.getName}:${f.length()}:${DeltaQueries.contentSha(f)}"
@@ -1342,7 +1347,8 @@ object SimilarityQueries {
     * per-column intermediate. */
   private[graft] def pqEncode(df: DataFrame, codebook: DataFrame,
       cids: DataFrame, shape: PqShape = DefaultPqShape,
-      packed: Boolean = false): DataFrame = {
+      packed: Boolean = false,
+      normOf: Option[DataFrame] = None): DataFrame = {
     // codes 128..255 (the K=256 one-byte regime) store as their two's
     // complement — Spark has no unsigned byte, and ANSI mode (the 4.x
     // default) rejects the overflowing cast outright. Explicit wrap:
@@ -1361,7 +1367,7 @@ object SimilarityQueries {
         array((0 until shape.m).map(m => col(s"c$m")): _*).as("codes"))
       else coded
     laidOut
-      .join(df.select(col("vec_id"), col("label"),
+      .join(normOf.getOrElse(df).select(col("vec_id"), col("label"),
         norm(col("embedding")).as("xnorm")), Seq("vec_id"))
       .join(cids, Seq("vec_id"))
   }
@@ -1474,13 +1480,12 @@ object SimilarityQueries {
         pqTrainCodebooks(resid).coalesce(1).write.mode("overwrite")
           .parquet(pqCodebooksPath(path))
         val codebook = s.read.parquet(pqCodebooksPath(path))
-        // encode the residuals, then swap the residual norm for the
-        // ORIGINAL vector's (ADC approximates <x, q>; cosine divides
-        // by |x|, and the codes cannot carry that norm)
-        pqEncode(resid, codebook, pqCids(s, ivfPath), packed = true)
-          .drop("xnorm")
-          .join(emb.select(col("vec_id"),
-            norm(col("embedding")).as("xnorm")), Seq("vec_id"))
+        // encode the residuals, storing the ORIGINAL vector's norm
+        // (ADC approximates <x, q>; cosine divides by |x|, and the
+        // codes cannot carry that norm) — normOf attaches it in the
+        // encode's own join, no residual-norm detour
+        pqEncode(resid, codebook, pqCids(s, ivfPath), packed = true,
+            normOf = Some(emb))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
         // drift baseline measures RESIDUAL quantization (the space the
         // codebooks live in)
@@ -1942,16 +1947,22 @@ object SimilarityQueries {
       .withColumn("cid", col("cid").cast(LongType))
     val centroids = s.read.parquet(centroidsPath)
     val codebook = s.read.parquet(pqCodebooksPath(path))
-    // a short codebook (pre-retention fixture with a dropped codeword)
-    // would make every packed LUT shorter than m*k, PqAdc would
-    // null ALL pair scores, and the rank window would emit the lowest
+    // a malformed codebook makes every packed LUT the wrong length,
+    // PqAdc nulls ALL pair scores, and the rank window emits the lowest
     // vec_ids as a confident-looking garbage top-k — fail loudly
-    // instead. DISTINCT (m, code): a duplicate-slot codebook passes a
-    // raw count while still packing a short (or misordered) LUT.
-    require(codebook.select(countDistinct(col("m"), col("code")))
-        .head.getLong(0) == shape.m * shape.k,
-      s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
-        "fixture? delete the index dir to rebuild")
+    // instead. BOTH counts must equal m*k: a short codebook passes
+    // countDistinct-with-dupes, a duplicated-row codebook passes a raw
+    // count; each alone has a blind spot (one aggregation computes
+    // both).
+    val (cbTotal, cbDistinct) = {
+      val r = codebook.agg(count(lit(1)),
+        countDistinct(col("m"), col("code"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(cbTotal == shape.m * shape.k && cbDistinct == shape.m * shape.k,
+      s"malformed PQ codebook at ${pqCodebooksPath(path)}: $cbTotal rows, " +
+        s"$cbDistinct distinct (m, code), expected ${shape.m * shape.k} " +
+        "of each — stale fixture? delete the index dir to rebuild")
     // materialize the probe relation ONCE (probe-proportional — tiny
     // next to the corpus): probed, the LUT, and the rerank all derive
     // from it, and the 8 LUT join sides would otherwise each re-run

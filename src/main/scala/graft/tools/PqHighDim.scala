@@ -59,16 +59,7 @@ object PqHighDim {
     // a probe's whole neighborhood inside the candidate pool, the exact
     // rerank owns the final ranking and recall rides on cluster
     // separation, not on sub-quantization noise ordering.
-    val rng = new scala.util.Random(42)
-    val centers = Array.fill(nClusters)(
-      Array.fill(shape.dim)(rng.nextGaussian() * 10.0))
-    val rows = (0 until n).map { i =>
-      val r = new scala.util.Random(1000L + i)
-      val c = i % nClusters
-      val v = Array.tabulate(shape.dim)(d =>
-        (centers(c)(d) + r.nextGaussian() * sigma).toFloat)
-      (i.toLong, c.toLong, v.toSeq)
-    }
+    val rows = ClusteredCorpus.rows(n, nClusters, shape.dim, sigma)
     val corpus = rows.toDF("vec_id", "label", "embedding")
       .repartition(32).localCheckpoint()
 

@@ -43,20 +43,12 @@ object PqHighDimJoin {
     val nprobe = 4
     val cand = 128
 
-    // the same deterministic clustered corpus as PqHighDim; the cluster
-    // id doubles as the coarse cell (cid = the TRUE cluster), so the
+    // the same deterministic clustered corpus as PqHighDim
+    // (ClusteredCorpus — shared by construction); the cluster id
+    // doubles as the coarse cell (cid = the TRUE cluster), so the
     // join exercises real cid partition pruning with a realistic
     // per-cell occupancy (n / nClusters)
-    val rng = new scala.util.Random(42)
-    val centers = Array.fill(nClusters)(
-      Array.fill(shape.dim)(rng.nextGaussian() * 10.0))
-    val rows = (0 until n).map { i =>
-      val r = new scala.util.Random(1000L + i)
-      val c = i % nClusters
-      val v = Array.tabulate(shape.dim)(d =>
-        (centers(c)(d) + r.nextGaussian() * sigma).toFloat)
-      (i.toLong, c.toLong, v.toSeq)
-    }
+    val rows = ClusteredCorpus.rows(n, nClusters, shape.dim, sigma)
     val corpus = rows.toDF("vec_id", "label", "embedding")
       .repartition(32).localCheckpoint()
     val cids = corpus.select(col("vec_id"), col("label").as("cid"))

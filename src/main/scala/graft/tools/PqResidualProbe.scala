@@ -47,17 +47,9 @@ object PqResidualProbe {
     val nprobe = 4
     val cand = 128
 
-    // the PqHighDimJoin corpus: deterministic clustered, cid = cluster
-    val rng = new scala.util.Random(42)
-    val centers = Array.fill(nClusters)(
-      Array.fill(dim)(rng.nextGaussian() * 10.0))
-    val rows = (0 until n).map { i =>
-      val r = new scala.util.Random(1000L + i)
-      val c = i % nClusters
-      val v = Array.tabulate(dim)(d =>
-        (centers(c)(d) + r.nextGaussian() * sigma).toFloat)
-      (i.toLong, c.toLong, v.toSeq)
-    }
+    // the PqHighDimJoin corpus (ClusteredCorpus — shared by
+    // construction): deterministic clustered, cid = cluster
+    val rows = ClusteredCorpus.rows(n, nClusters, dim, sigma)
     val corpus = rows.toDF("vec_id", "label", "embedding")
       .repartition(32).localCheckpoint()
     val cids = corpus.select(col("vec_id"), col("label").as("cid"))
@@ -70,11 +62,8 @@ object PqResidualProbe {
     }
 
     val byId = rows.map(t => t._1 -> t._3.map(_.toDouble)).toMap
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / (math.sqrt(a.map(x => x * x).sum) *
-        math.sqrt(b.map(x => x * x).sum))
-    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      ClusteredCorpus.cos(a, b)
     val probeIds = (0 until n by math.max(1, n / 20)).map(_.toLong)
     val truth = probeIds.map { pid =>
       val probe = byId(pid)
@@ -113,12 +102,7 @@ object PqResidualProbe {
             .write.parquet(SimilarityQueries.pqCodebooksPath(resPath))
           SimilarityQueries.pqEncode(resid,
             spark.read.parquet(SimilarityQueries.pqCodebooksPath(resPath)),
-            cids, shape, packed = true)
-            .drop("xnorm")
-            .join(corpus.select(col("vec_id"),
-              sqrt(graft.functions.VectorExpressions.vectorDot(
-                col("embedding"), col("embedding"))).as("xnorm")),
-              Seq("vec_id"))
+            cids, shape, packed = true, normOf = Some(corpus))
             .write.partitionBy("cid").parquet(resPath)
         }
       }

@@ -529,6 +529,63 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(healed.length == 4)
   }
 
+  test("skew escape hatch rolls FORWARD when the crash landed after " +
+    "the old partition dropped: sub-cells are the only copy and must " +
+    "never be discarded") {
+    import spark.implicits._
+    val path = s"$tmp/split_rollfwd"
+    val cpath = s"$tmp/split_rollfwd_centroids"
+    def fatVec(i: Int): Seq[Double] = {
+      val g = i % 4
+      Seq.tabulate(dim)(d =>
+        (if (d == g) 50.0 else 0.0) + ((i * 7 + d) % 5) * 0.1)
+    }
+    val fatRows = (0 until 400).map(i => (i.toLong, 0L, fatVec(i)))
+    val smallRows = (0 until 90).map { i =>
+      val cid = 1L + i % 9
+      (1000L + i, cid, vec(cid * 10.0, 1, 1, 1))
+    }
+    val preSplitCentroids = Seq((0L, Seq.fill(dim)(0.05))) ++
+      (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1)))
+    writeIndex(path, fatRows ++ smallRows)
+    preSplitCentroids.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(cpath)
+    IvfMaintenance.recordBase(spark, path, counts(fatRows ++ smallRows))
+    val newCids = IvfMaintenance.splitCell(spark, path, cpath,
+      cid = 0L, ways = 4, dim = dim)
+    // FABRICATE the post-drop crash state: the split physically
+    // completed its partition moves (old partition gone, sub-cells
+    // live) but the crash preceded the centroid swap and the counter
+    // fold — marker back, centroids and counters reverted
+    java.nio.file.Files.write(
+      new java.io.File(s"${path}_split_pending_0").toPath,
+      newCids.mkString(",").getBytes("UTF-8"))
+    preSplitCentroids.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(cpath)
+    IvfMaintenance.recordBase(spark, path, counts(fatRows ++ smallRows))
+    assert(IvfMaintenance.splitPending(path, 0L))
+
+    val healed = IvfMaintenance.splitCell(spark, path, cpath,
+      cid = 0L, ways = 4, dim = dim)
+    // the roll-forward finished the interrupted split: same sub-cells,
+    // NOTHING discarded
+    assert(healed.toSet == newCids.toSet)
+    assert(!IvfMaintenance.splitPending(path, 0L))
+    val index = spark.read.parquet(path)
+      .withColumn("cid", col("cid").cast("long"))
+    assert(index.count() == 490,
+      "roll-forward lost rows — the sub-cell partitions were the only copy")
+    assert(index.select("vec_id").distinct().count() == 490)
+    assert(index.where(col("cid") === 0L).count() == 0)
+    // centroid file re-patched (old id out, sub-cells in), counters
+    // re-folded — no phantom skew on the dropped cell
+    val cents = spark.read.parquet(cpath).collect()
+      .map(_.getLong(0)).toSet
+    assert(cents == (1L to 9L).toSet ++ newCids.toSet)
+    val rep = IvfMaintenance.driftReport(spark, path)
+    assert(rep.baseRows == 490 && !rep.skewAlert, s"$rep")
+  }
+
   test("distortion fails loudly on a shape that mismatches the stored " +
     "codebooks (never silently under-counts)") {
     import graft.operators.PqMaintenance
