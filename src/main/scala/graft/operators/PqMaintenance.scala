@@ -60,6 +60,7 @@ object PqMaintenance {
     // (m, count, cv-length) profile validates all three axes (same
     // guard family as the search-side NaN/countDistinct checks).
     val profile = cb.groupBy("m").agg(
+      count(lit(1)).as("rows"),
       countDistinct(col("code")).as("codes"),
       min(size(col("cv"))).as("minLen"),
       max(size(col("cv"))).as("maxLen")).collect()
@@ -71,6 +72,14 @@ object PqMaintenance {
       require(r.getAs[Long]("codes") == shape.k,
         s"codebooks at $codebooksPath: subspace ${r.getAs[Int]("m")} has " +
           s"${r.getAs[Long]("codes")} distinct codes, shape wants ${shape.k}")
+      // count AND countDistinct (the knnJoinPqOver codebook-guard rule):
+      // duplicated (m, code) rows with divergent cv pass a distinct-only
+      // check yet lower the min-distance winner — under-reading
+      // distortion, the exact failure mode this guard exists to catch
+      require(r.getAs[Long]("rows") == shape.k,
+        s"codebooks at $codebooksPath: subspace ${r.getAs[Int]("m")} has " +
+          s"${r.getAs[Long]("rows")} rows, shape wants ${shape.k} — " +
+          "duplicated (m, code) rows corrupt the min-distance winner")
       require(r.getAs[Int]("minLen") == shape.subDim &&
           r.getAs[Int]("maxLen") == shape.subDim,
         s"codebooks at $codebooksPath: subspace ${r.getAs[Int]("m")} " +

@@ -2292,14 +2292,20 @@ object SimilarityQueries {
             .write.mode("append").parquet(vecsDir)
         val encoded = pqEncode(batch, codebook, cids, shape,
           packed = packed)
-        encoded
-          .select((col("vec_id") +: col("cid") +: col("label") +:
-            col("xnorm") +: codeCols): _*)
-          .write.mode("append").parquet(sinkDir)
-        // the production ingest: streamed rows land in the index's cid
-        // partitions (the same append the batch incremental path does)
-        if (appendToIndex)
-          encoded.write.mode("append").partitionBy("cid").parquet(pqPath)
+        // appendToIndex writes `encoded` twice (sink + index append) —
+        // persist so the full encode plan (posexplode + broadcast join
+        // + groupBy over the batch) runs once per micro-batch
+        if (appendToIndex) encoded.persist()
+        try {
+          encoded
+            .select((col("vec_id") +: col("cid") +: col("label") +:
+              col("xnorm") +: codeCols): _*)
+            .write.mode("append").parquet(sinkDir)
+          // the production ingest: streamed rows land in the index's cid
+          // partitions (the same append the batch incremental path does)
+          if (appendToIndex)
+            encoded.write.mode("append").partitionBy("cid").parquet(pqPath)
+        } finally if (appendToIndex) encoded.unpersist()
         if (monitor) {
           // the streaming face of the PQ drift policy: each arriving
           // micro-batch is measured against the build-time baseline —
