@@ -3,54 +3,54 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import graft.delta.IndexStore
+import graft.delta.IndexStore.{CentroidRel, CountRel, DataRel, PcidCol, RelCol}
 
-/** Drift policy for an incrementally-maintained IVF index.
+/** Drift policy for an incrementally-maintained IVF index, over the
+  * Delta-backed index table ([[graft.delta.IndexStore]]).
   *
-  * Incremental appends assign new vectors to EXISTING centroids
-  * (graft.queries.SimilarityQueries.ivfIncrementalIndexPath), so the
+  * Incremental appends assign new vectors to EXISTING centroids, so the
   * centroid set slowly stops describing the data it routes: recall
   * decays as the appended fraction grows, and hot partitions stop
   * pruning. This module is the documented re-train trigger the index
   * needs at 100 TB:
   *
-  *  - every build/append records per-cid row counters in a sidecar
-  *    (`<index>_maint/` — metadata-bounded: one row per centroid per
-  *    append, never vectors);
+  *  - every build/append records per-cid row counters as `rel=count`
+  *    ledger rows IN the index table — an append lands its data rows
+  *    and its counter rows in ONE commit, so the counters can never
+  *    drift from the rows they count;
   *  - [[driftReport]] computes the appended/base ratio and the
-  *    partition-size skew from those counters alone — zero index IO;
+  *    partition-size skew from the counter ledger alone — zero data IO;
   *  - the trigger fires PER CID: any centroid whose own
   *    `appended/base > ratioThreshold` (default 0.2) — a single hot
-  *    centroid in a 10k-centroid index never moves the global
-  *    fraction, yet its partition is exactly the one whose routing
-  *    vector stopped describing its contents. Partition-size skew
-  *    (`max partition rows > skewThreshold × avg`, default 4.0) is
-  *    REPORT-ONLY (`skewAlert`/`skewCids`): re-centering cannot shrink
-  *    an oversized partition — and because the counter fold leaves
-  *    partition totals (and thus skew) unchanged, a skew-driven
-  *    retrain would re-fire on every call while rewriting an identical
-  *    centroid file; the remedy is the full-re-cluster escape hatch
-  *    below;
+  *    centroid in a 10k-centroid index never moves the global fraction,
+  *    yet its partition is exactly the one whose routing vector stopped
+  *    describing its contents. Partition-size skew (`max partition rows
+  *    > skewThreshold × avg`, default 4.0) is REPORT-ONLY
+  *    (`skewAlert`/`skewCids`): re-centering cannot shrink an oversized
+  *    partition — the remedy is [[splitCell]];
   *  - [[maybeRetrain]] then RE-CENTERS only the touched centroids: each
-  *    one becomes the per-dimension mean of its partition's CURRENT
-  *    rows — one aggregation over the touched partitions only (the
-  *    appended mass pulls the routing vector back onto the data it
-  *    routes), the centroid file is rewritten (it is broadcast-sized by
-  *    construction), and ONLY the touched cids' appended counters fold
-  *    into base — an untouched cid keeps its append history, so drift
-  *    it accumulated below the bar still counts toward its OWN future
-  *    trigger instead of being erased every time another cid fires.
+  *    becomes the per-dimension mean of its partition's CURRENT rows —
+  *    one aggregation over the touched partitions only — and ONE commit
+  *    replaces the centroid + counter relations together (only the
+  *    touched cids' appended counters fold into base, so an untouched
+  *    cid keeps accumulating toward its OWN future trigger).
   *
-  * Sidecar durability: the counters live in immutable versioned state
-  * dirs (`state_v<N>/` holding (kind, cid, rows) rows) selected by a
-  * CURRENT pointer file that is swapped with an atomic rename — a crash
-  * at ANY point leaves CURRENT on the previous consistent state (no
-  * lost history, no double-counted folds); superseded state dirs are
-  * swept best-effort after the swap.
+  * Durability and isolation come from the table's commit log, not from
+  * bespoke recovery code: a crash at any point leaves the previous
+  * snapshot live (there is no partial state to heal), concurrent
+  * probes read one snapshot throughout any maintenance op, and the
+  * maintenance history is time-travelable. (This replaced the previous
+  * sibling-swap/`_split_pending`-marker protocol, whose cross-directory
+  * crash windows needed hand-rolled roll-forward logic and could not
+  * port to object stores with no atomic rename.) In-process callers
+  * still serialize on one lock — maintenance ops are read-modify-write
+  * over the counter ledger; cross-process writers are fenced by the
+  * commit protocol's conflict check instead.
   *
-  * A full re-cluster (new centroid COUNT, rows reshuffled) remains the
-  * offline escape hatch when re-centering stops recovering recall —
-  * that is a rebuild, not maintenance, and is intentionally out of
-  * scope here.
+  * A full re-cluster (new centroid COUNT everywhere, rows reshuffled)
+  * remains the offline escape hatch when re-centering stops recovering
+  * recall — that is a rebuild, not maintenance.
   */
 object IvfMaintenance {
 
@@ -67,103 +67,70 @@ object IvfMaintenance {
       skewAlert: Boolean = false,
       skewCids: Seq[Long] = Nil)
 
-  /** Per-cid counter state: base rows and appended rows. */
-  private case class State(counts: Map[Long, (Long, Long)]) {
-    def baseTotal: Long = counts.valuesIterator.map(_._1).sum
-    def appendTotal: Long = counts.valuesIterator.map(_._2).sum
-  }
-
-  private def maintDir(indexPath: String) = s"${indexPath}_maint"
-  private def currentFile(indexPath: String) =
-    new java.io.File(maintDir(indexPath), "CURRENT")
-
-  private def readCurrentVersion(indexPath: String): Long = {
-    val f = currentFile(indexPath)
-    if (!f.exists()) -1L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath),
-      "UTF-8").trim.toLong
-  }
-
-  private def stateDir(indexPath: String, v: Long) =
-    s"${maintDir(indexPath)}/state_v$v"
-
-  private def loadState(spark: SparkSession, indexPath: String): State = {
-    val v = readCurrentVersion(indexPath)
-    require(v >= 0, s"no maintenance state recorded under " +
-      s"${maintDir(indexPath)} — recordBase must run at index build")
-    val rows = spark.read.parquet(stateDir(indexPath, v)).collect()
-    State(rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
+  /** Per-cid counter state: base rows and appended rows, folded from
+    * the ledger (O(centroids + appends-since-fold) rows — metadata-
+    * bounded, the same driver-size class as a probe's cid list). */
+  private def loadState(s: SparkSession,
+      indexPath: String): Map[Long, (Long, Long)] = {
+    val rows = IndexStore.countsAt(s, indexPath).collect()
+    require(rows.nonEmpty, s"no counter ledger in the index table at " +
+      s"$indexPath — recordBase must run at index build")
+    rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
       val base = rs.filter(_.getString(0) == "base").map(_.getLong(2)).sum
       val app = rs.filter(_.getString(0) == "append").map(_.getLong(2)).sum
       cid -> (base, app)
-    })
+    }
   }
 
-  /** In-process concurrency: every public operation is a read-modify-
-    * write over the state pointer, so they serialize on one lock —
-    * without it two concurrent recordAppend calls would both load v1
-    * and the second write would erase the first's counts. Cross-process
-    * writers are out of scope (index maintenance is a single job by
-    * construction); the atomic CURRENT swap covers crash recovery. */
+  /** In-process serialization: maintenance ops are read-modify-write
+    * over the ledger; two interleaved folds would lose counts. Cross-
+    * process races are fenced by the commit-level conflict checker
+    * (a lost race fails loudly; re-run against the new snapshot). */
   private val opLock = new Object
 
-  /** Write a new state version and atomically swap CURRENT to it. */
-  private def writeState(spark: SparkSession, indexPath: String,
-      counts: Map[Long, (Long, Long)]): Unit = {
-    import spark.implicits._
-    val prev = readCurrentVersion(indexPath)
-    val next = prev + 1
-    val rows = counts.toSeq.flatMap { case (cid, (b, a)) =>
-      Seq(("base", cid, b)) ++ (if (a > 0) Seq(("append", cid, a)) else Nil)
-    }
-    rows.toDF("kind", "cid", "rows")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(stateDir(indexPath, next))
-    val cur = currentFile(indexPath)
-    cur.getParentFile.mkdirs()
-    val tmp = new java.io.File(cur.getParentFile, s"CURRENT.tmp$next")
-    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, cur.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // superseded states are garbage once the pointer moved; best-effort
-    if (prev >= 0) {
-      val old = new java.io.File(stateDir(indexPath, prev))
-      if (old.exists())
-        scala.util.Try(scala.reflect.io.Directory(old).deleteRecursively())
-    }
-  }
+  private def countRows(s: SparkSession, kind: String,
+      counts: DataFrame): DataFrame =
+    counts.select(lit(kind).as("kind"), col("cid").cast("long").as("cid"),
+      col("rows").cast("long").as("rows"))
 
-  /** Record the base build's per-cid row counts (schema: cid, rows).
-    * Resets any prior append history — a fresh build starts undrifted. */
+  /** Record the base build's per-cid row counts (schema: cid, rows) —
+    * replaces any prior ledger: a fresh build starts undrifted.
+    * Fixture builders normally fold these rows into the CREATE commit
+    * itself (IndexStore.create with a CountRel part); this entry point
+    * serves tables built without one. */
   def recordBase(spark: SparkSession, indexPath: String,
       counts: DataFrame): Unit = opLock.synchronized {
-    // sum duplicate cid rows (unaggregated per-partition counts are a
-    // legal input — recordAppend accepts them, so base must too)
-    val base = counts.select(col("cid").cast("long"), col("rows").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (cid, rs) => cid -> (rs.map(_._2).sum, 0L) }
-    writeState(spark, indexPath, base)
+    IndexStore.replace(spark, indexPath,
+      Seq(CountRel -> countRows(spark, "base", counts)),
+      col(RelCol) === CountRel)
   }
 
-  /** Record one incremental append's per-cid row counts. */
+  /** Record one incremental append's per-cid row counts as ledger
+    * rows. Batch ingest should prefer [[appendBatch]], which lands the
+    * data rows and these counter rows in one commit. */
   def recordAppend(spark: SparkSession, indexPath: String,
       counts: DataFrame): Unit = opLock.synchronized {
-    val add = counts.select(col("cid").cast("long"), col("rows").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val cur = loadState(spark, indexPath).counts
-    val next = add.foldLeft(cur) { case (m, (cid, n)) =>
-      val (b, a) = m.getOrElse(cid, (0L, 0L))
-      m + (cid -> (b, a + n))
-    }
-    writeState(spark, indexPath, next)
+    IndexStore.append(spark, indexPath,
+      Seq(CountRel -> countRows(spark, "append", counts)))
   }
 
-  private def report(state: State, ratioThreshold: Double,
+  /** The ingest primitive: ONE commit carrying an arriving batch's
+    * assigned data rows AND their per-cid counter rows — the counters
+    * cannot drift from the rows they count, and a crash mid-ingest
+    * leaves neither. `vecs` must carry (vec_id, label?, embedding,
+    * cid). */
+  def appendBatch(spark: SparkSession, indexPath: String,
+      vecs: DataFrame, counts: DataFrame): Unit = opLock.synchronized {
+    IndexStore.append(spark, indexPath, Seq(
+      DataRel -> vecs,
+      CountRel -> countRows(spark, "append", counts)))
+  }
+
+  private def report(state: Map[Long, (Long, Long)], ratioThreshold: Double,
       skewThreshold: Double): DriftReport = {
-    val merged = state.counts.toSeq.map { case (cid, (b, a)) => (cid, b, a) }
-    val baseTotal = state.baseTotal
-    val appTotal = state.appendTotal
+    val merged = state.toSeq.map { case (cid, (b, a)) => (cid, b, a) }
+    val baseTotal = merged.map(_._2).sum
+    val appTotal = merged.map(_._3).sum
     val ratio = if (baseTotal == 0) Double.PositiveInfinity
       else appTotal.toDouble / baseTotal
     val totals = merged.map(t => t._2 + t._3)
@@ -173,10 +140,9 @@ object IvfMaintenance {
     // skew is REPORT-ONLY: re-centering cannot fix an oversized
     // partition (the fold leaves every partition's total — and thus the
     // skew — unchanged, so a skew-driven retrain would re-fire forever
-    // while re-writing an identical centroid file). A partition that
-    // dwarfs the average needs the full-re-cluster escape hatch (a new
-    // centroid COUNT, rows reshuffled) — surfaced as skewAlert/skewCids
-    // for the operator that owns that rebuild.
+    // while re-writing an identical centroid set). A partition that
+    // dwarfs the average needs the splitCell escape hatch — surfaced as
+    // skewAlert/skewCids for the operator that owns that call.
     val skewCids = if (skewFired && avg > 0) merged.collect {
       case (cid, b, a) if (b + a) > skewThreshold * avg => cid
     }.sorted else Nil
@@ -190,9 +156,7 @@ object IvfMaintenance {
       skewAlert = skewFired, skewCids = skewCids)
   }
 
-  /** Compute drift from the counters alone — no index IO. The state is
-    * O(centroids) — driver-resident by design, the same bound as the
-    * broadcast centroid set itself. */
+  /** Compute drift from the counter ledger alone — no data IO. */
   def driftReport(spark: SparkSession, indexPath: String,
       ratioThreshold: Double = DefaultRatioThreshold,
       skewThreshold: Double = DefaultSkewThreshold): DriftReport =
@@ -200,11 +164,26 @@ object IvfMaintenance {
       report(loadState(spark, indexPath), ratioThreshold, skewThreshold)
     }
 
+  /** Per-dimension means of the given cids' current partitions — the
+    * re-center rule (one aggregation, statically pruned to those
+    * partitions). */
+  private def partitionMeans(spark: SparkSession, indexPath: String,
+      cids: Seq[Long], dim: Int): Map[Long, Seq[Double]] =
+    IndexStore.data(spark, indexPath, Some(cids))
+      .groupBy("cid")
+      .agg(array((1 to dim).map(i =>
+        avg(element_at(col("embedding"), i).cast(DoubleType))): _*).as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+
   /** Evaluate the trigger and, when it fires, re-center the touched
-    * centroids from their partitions' current rows. Returns the report
-    * that drove the decision. `dim` is the embedding dimensionality. */
-  def maybeRetrain(spark: SparkSession, indexPath: String,
-      centroidsPath: String, dim: Int,
+    * centroids from their partitions' current rows. The patched
+    * centroid relation and the folded counters land in ONE commit; a
+    * skew-only alert commits NOTHING (the snapshot version does not
+    * move — the "never re-arms by rewriting identical files" rule is
+    * structural now). Returns the report that drove the decision. */
+  def maybeRetrain(spark: SparkSession, indexPath: String, dim: Int,
       ratioThreshold: Double = DefaultRatioThreshold,
       skewThreshold: Double = DefaultSkewThreshold): DriftReport =
       opLock.synchronized {
@@ -212,64 +191,28 @@ object IvfMaintenance {
     val rep = report(state, ratioThreshold, skewThreshold)
     if (!rep.retrain) return rep
     val touched = rep.touched
-    // one aggregation over ONLY the touched cid partitions (static
-    // partition prune on the read path — `touched` is O(centroids))
-    val recentered = spark.read.parquet(indexPath)
-      // hive partition-column inference may narrow cid to int: normalize
-      .withColumn("cid", col("cid").cast("long"))
-      .where(col("cid").isInCollection(touched))
-      .groupBy("cid")
-      .agg(array((1 to dim).map(i =>
-        avg(element_at(col("embedding"), i).cast(DoubleType))): _*).as("cv"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1))
-      .toMap
-    // centroid set is broadcast-sized by construction: materialize,
-    // patch, and SWAP — a plain overwrite deletes the live dir before
-    // writing, so a crash there would leave the index unroutable;
-    // writing to a sibling and renaming keeps a complete centroid set
-    // on disk (under one of the two names) at every instant
-    val old = spark.read.parquet(centroidsPath).collect()
+    val recentered = partitionMeans(spark, indexPath, touched, dim)
+    val old = IndexStore.centroidsAt(spark, indexPath).collect()
       .map(r => (r.getLong(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("cv"))))
     val patched = old.map { case (cid, cv) =>
       (cid, recentered.getOrElse(cid, cv))
     }
-    import spark.implicits._
-    val nextDir = new java.io.File(centroidsPath + "_next")
-    if (nextDir.exists())
-      scala.reflect.io.Directory(nextDir).deleteRecursively()
-    patched.toSeq.toDF("cid", "cv")
-      .coalesce(1).write.parquet(nextDir.getAbsolutePath)
-    val dest = new java.io.File(centroidsPath)
-    val prevDir = new java.io.File(centroidsPath + "_prev")
-    if (prevDir.exists())
-      scala.reflect.io.Directory(prevDir).deleteRecursively()
-    if (dest.exists())
-      java.nio.file.Files.move(dest.toPath, prevDir.toPath)
-    java.nio.file.Files.move(nextDir.toPath, dest.toPath)
-    scala.reflect.io.Directory(prevDir).deleteRecursively()
-    // fold ONLY the touched cids' appends into base; the new state
-    // lands via the atomic CURRENT swap, so a crash anywhere leaves
-    // the previous consistent counters in place
+    // fold ONLY the touched cids' appends into base; untouched cids
+    // keep their append history (it counts toward their own trigger)
     val touchedSet = touched.toSet
-    val folded = state.counts.map { case (cid, (b, a)) =>
-      if (touchedSet(cid)) cid -> (b + a, 0L) else cid -> (b, a)
+    val folded = state.toSeq.flatMap { case (cid, (b, a)) =>
+      if (touchedSet(cid)) Seq(("base", cid, b + a))
+      else Seq(("base", cid, b)) ++
+        (if (a > 0) Seq(("append", cid, a)) else Nil)
     }
-    writeState(spark, indexPath, folded)
+    import spark.implicits._
+    IndexStore.replace(spark, indexPath, Seq(
+      CentroidRel -> patched.toSeq.toDF("cid", "cv"),
+      CountRel -> folded.toDF("kind", "cid", "rows")),
+      col(RelCol).isInCollection(Seq(CentroidRel, CountRel)))
     rep
   }
-
-  private def splitMarker(indexPath: String, cid: Long) =
-    new java.io.File(s"${indexPath}_split_pending_$cid")
-
-  /** True when a prior [[splitCell]] of `cid` crashed mid-operation —
-    * rows may exist under BOTH the old cell and its new sub-cells.
-    * Heal by re-running splitCell for the same cid (it is restartable:
-    * it first discards any partially-written sub-cell partitions the
-    * marker lists). */
-  def splitPending(indexPath: String, cid: Long): Boolean =
-    splitMarker(indexPath, cid).exists()
 
   /** The SKEW escape hatch: re-cluster ONE oversized cell into `ways`
     * sub-cells. Skew is the one drift signal re-centering cannot fix
@@ -278,92 +221,53 @@ object IvfMaintenance {
     * is a LOCAL problem, and this fixes it at O(cell) cost: read only
     * that cid's partition (static partition prune), k-means it into
     * `ways` sub-cells with the index build's own two plan shapes
-    * (broadcast-assign + partial-aggregated means, empty-cluster
-    * retention as in codebook training), append the sub-cell
-    * partitions, drop the old one, patch the (broadcast-sized)
-    * centroid file via sibling swap, and replace the cell's counters
-    * with per-sub-cell base counts. At 100 TB this is the remedy the
-    * skewAlert feeds: each fat cell costs one bounded job, probes keep
-    * pruning throughout, and occupancy returns under the rerank-budget
-    * rule (the PqResidualProbe finding: recall dies exactly when
-    * occupancy dwarfs cand).
+    * (broadcast-assign + partial-aggregated means), then commit ONCE:
+    * the replaced data partition, the patched centroid relation, and
+    * the rewritten counters land atomically. At 100 TB this is the
+    * remedy the skewAlert feeds: each fat cell costs one bounded job,
+    * probes keep pruning throughout (any concurrent probe reads the
+    * pre-split or post-split snapshot — never a row under two cids),
+    * and occupancy returns under the rerank-budget rule (the
+    * PqResidualProbe finding: recall dies exactly when occupancy
+    * dwarfs cand). A crash at any point leaves the pre-split snapshot
+    * — re-run the call; there is no partial state.
     *
-    * Restartability: a `<index>_split_pending_<cid>` marker listing
-    * the planned sub-cids brackets EVERY mutating step (partition
-    * append, old-partition drop, centroid swap, counter replacement —
-    * the marker is deleted last). Re-running splitCell for the same
-    * cid heals any crash point by inspecting the physical state: while
-    * the OLD partition still exists, the sub-cell partitions are
-    * discardable duplicates — discard and redo the split from scratch;
-    * once the old partition is gone, the sub-cell partitions are the
-    * ONLY copy of the rows — the re-run ROLLS FORWARD instead
-    * (restore the centroid file from its `_prev` sibling if a crash
-    * landed mid-swap, re-derive the sub-centroids as their partitions'
-    * means — the maybeRetrain re-center rule — patch centroids if the
-    * crash preceded the swap, rewrite the counters idempotently, drop
-    * the marker). Maintenance is a single job by construction (as
-    * maybeRetrain); concurrent probes during the append→drop window
-    * may transiently see a row under both cids — the same
-    * read-during-maintenance caveat as the PQ retrain hatch.
+    * A sub-centroid that loses every final assignment is DROPPED from
+    * the commit (it would be unroutable-in-practice and would
+    * desynchronize centroids from counters); the returned cids are
+    * exactly the routable sub-cells.
     *
     * Returns the new sub-cell cids. */
-  def splitCell(spark: SparkSession, indexPath: String,
-      centroidsPath: String, cid: Long, ways: Int,
-      dim: Int): Seq[Long] = opLock.synchronized {
+  def splitCell(spark: SparkSession, indexPath: String, cid: Long,
+      ways: Int, dim: Int): Seq[Long] = opLock.synchronized {
     import spark.implicits._
     require(ways >= 2, s"splitting into $ways sub-cells is a no-op")
-    val marker = splitMarker(indexPath, cid)
-    val oldDir = new java.io.File(indexPath, s"cid=$cid")
-    if (marker.exists() && !oldDir.isDirectory) {
-      // post-drop crash: the sub-cell partitions are the only copy of
-      // the cell's rows — roll the interrupted split forward, never
-      // discard (discarding here was a data-loss bug)
-      return rollForwardSplit(spark, indexPath, centroidsPath, cid, dim)
-    }
-    // a crash mid-swap can leave the centroid file only under _prev
-    // even while the old partition survives (steps are not ordered
-    // for concurrent failures of both) — restore before reading
-    restoreCentroidsFromPrev(centroidsPath)
-    val oldCentroids = spark.read.parquet(centroidsPath).collect()
+    val oldCentroids = IndexStore.centroidsAt(spark, indexPath).collect()
       .map(r => (r.getLong(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("cv"))))
     require(oldCentroids.exists(_._1 == cid),
-      s"cid $cid is not in the centroid set at $centroidsPath")
+      s"cid $cid is not in the centroid set of $indexPath")
     // collision-free new ids: dense above the current max
     val newCids = {
       val maxCid = oldCentroids.map(_._1).max
       (1 to ways).map(maxCid + _.toLong)
     }
-    // pre-drop restart: the old partition is intact, so partial
-    // sub-cell partitions from the crashed attempt are duplicates —
-    // discard and redo (the marker records ITS planned ids)
-    if (marker.exists()) {
-      markerCids(marker).foreach { c =>
-        val d = new java.io.File(indexPath, s"cid=$c")
-        if (d.exists())
-          scala.reflect.io.Directory(d).deleteRecursively()
-      }
-    }
-    // the fat cell's rows, fully materialized BEFORE any physical step
-    // (the split must not re-read a partition it is about to drop).
-    // Synthetic maintenance fixtures carry no label column — assignTo
-    // requires one, so inject a dummy and drop it again on write.
-    val raw = spark.read.parquet(indexPath)
+    // the fat cell's rows, fully materialized BEFORE the commit that
+    // replaces their partition. Synthetic maintenance fixtures may
+    // carry no label column — assignTo requires one.
+    val raw = IndexStore.data(spark, indexPath, Some(Seq(cid)))
     val hasLabel = raw.columns.contains("label")
-    val cell = {
-      val base = raw.withColumn("cid", col("cid").cast("long"))
-        .where(col("cid") === cid)
-      (if (hasLabel) base else base.withColumn("label", lit(0L)))
+    val cell =
+      (if (hasLabel) raw else raw.withColumn("label", lit(0L)))
         .select("vec_id", "label", "embedding")
         .localCheckpoint()
-    }
     val nRows = cell.count()
     require(nRows >= ways, s"cell $cid has $nRows rows < $ways ways")
     // within-cell k-means: seeds = the `ways` lowest vec_ids' vectors
     // (deterministic), two Lloyd passes of the index build's own plan
     // shapes; a sub-centroid that loses every assignment keeps its
-    // previous position (the codebook-training retention rule) so the
-    // split always yields exactly `ways` routable sub-cells
+    // previous position during the passes (the codebook-training
+    // retention rule) so later passes can still win it back
     val seedRows = cell.orderBy("vec_id").limit(ways).collect()
     var centroids = seedRows.zipWithIndex.map { case (r, i) =>
       // the index stores float embeddings; synthetic spec fixtures use
@@ -393,112 +297,30 @@ object IvfMaintenance {
     val assigned = assign(centroids)
       .select(outCols: _*)
       .localCheckpoint()
-    // physical steps, bracketed by the pending marker (deleted LAST,
-    // after the counters — so every crash point is re-armed)
-    java.nio.file.Files.write(marker.toPath,
-      newCids.mkString(",").getBytes("UTF-8"))
-    assigned.write.mode("append").partitionBy("cid").parquet(indexPath)
-    scala.reflect.io.Directory(oldDir).deleteRecursively()
-    // centroid file patch via sibling swap (maybeRetrain's discipline)
+    val subCounts = assigned.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only routable sub-cells (>= 1 assigned row) enter the commit
+    val liveCids = newCids.filter(subCounts.contains)
     val cvByCid = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val patched = oldCentroids.filterNot(_._1 == cid) ++
-      newCids.map(c => (c, cvByCid(c)))
-    swapInCentroids(spark, centroidsPath, patched)
-    // counters: the fat cell's entry is REPLACED by per-sub-cell base
-    // counts (fresh cells start undrifted), via the atomic CURRENT swap
-    val subCounts = assigned.groupBy("cid").count().collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
-    val state = loadState(spark, indexPath)
-    writeState(spark, indexPath, (state.counts - cid) ++ subCounts)
-    java.nio.file.Files.deleteIfExists(marker.toPath)
-    newCids
-  }
-
-  private def markerCids(marker: java.io.File): Seq[Long] =
-    new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      .trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-
-  /** A crash between the two renames of a centroid sibling swap leaves
-    * the live name missing and the complete previous set under
-    * `_prev` — restore it so readers (and the re-run) see a coherent
-    * centroid file at every crash point. */
-  private def restoreCentroidsFromPrev(centroidsPath: String): Unit = {
-    val dest = new java.io.File(centroidsPath)
-    val prev = new java.io.File(centroidsPath + "_prev")
-    if (!dest.exists() && prev.exists())
-      java.nio.file.Files.move(prev.toPath, dest.toPath)
-  }
-
-  /** Sibling-swap a new centroid set into place (a plain overwrite
-    * deletes the live dir before writing — a crash there would leave
-    * the index unroutable). */
-  private def swapInCentroids(spark: SparkSession, centroidsPath: String,
-      rows: Seq[(Long, Seq[Double])]): Unit = {
-    import spark.implicits._
-    val nextDir = new java.io.File(centroidsPath + "_next")
-    if (nextDir.exists())
-      scala.reflect.io.Directory(nextDir).deleteRecursively()
-    rows.toDF("cid", "cv")
-      .coalesce(1).write.parquet(nextDir.getAbsolutePath)
-    val dest = new java.io.File(centroidsPath)
-    val prevDir = new java.io.File(centroidsPath + "_prev")
-    if (prevDir.exists())
-      scala.reflect.io.Directory(prevDir).deleteRecursively()
-    if (dest.exists())
-      java.nio.file.Files.move(dest.toPath, prevDir.toPath)
-    java.nio.file.Files.move(nextDir.toPath, dest.toPath)
-    scala.reflect.io.Directory(prevDir).deleteRecursively()
-  }
-
-  /** Finish an interrupted split whose old partition is already gone:
-    * the sub-cell partitions (the only copy of the rows) stay; the
-    * centroid file is restored from `_prev` if the crash landed
-    * mid-swap, then patched if the crash preceded the swap — the
-    * re-derived sub-centroids are their partitions' per-dimension
-    * means (the maybeRetrain re-center rule; the k-means' in-flight
-    * routing vectors died with the crashed job, and partition means
-    * are the canonical recovery of "the centroid of what this
-    * partition actually holds"). Counters are rewritten idempotently;
-    * the marker drops last. */
-  private def rollForwardSplit(spark: SparkSession, indexPath: String,
-      centroidsPath: String, cid: Long, dim: Int): Seq[Long] = {
-    val marker = splitMarker(indexPath, cid)
-    val newCids = markerCids(marker)
-    val present = newCids.filter(c =>
-      new java.io.File(indexPath, s"cid=$c").isDirectory)
-    require(present.nonEmpty,
-      s"split of cell $cid crashed after dropping the old partition " +
-        s"but no sub-cell partition of $newCids exists under $indexPath " +
-        "— the cell's rows are unrecoverable from this index alone")
-    restoreCentroidsFromPrev(centroidsPath)
-    val current = spark.read.parquet(centroidsPath).collect()
-      .map(r => (r.getLong(r.fieldIndex("cid")),
-        r.getSeq[Double](r.fieldIndex("cv"))))
-    val needPatch = current.exists(_._1 == cid) ||
-      !present.forall(c => current.exists(_._1 == c))
-    if (needPatch) {
-      val subMeans = spark.read.parquet(indexPath)
-        .withColumn("cid", col("cid").cast("long"))
-        .where(col("cid").isInCollection(present))
-        .groupBy("cid")
-        .agg(array((1 to dim).map(i =>
-          avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
-          .as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      swapInCentroids(spark, centroidsPath,
-        current.filterNot(t => t._1 == cid ||
-          subMeans.exists(_._1 == t._1)).toSeq ++ subMeans)
-    }
-    // counters, idempotent recount of the sub-cells
-    val subCounts = spark.read.parquet(indexPath)
-      .withColumn("cid", col("cid").cast("long"))
-      .where(col("cid").isInCollection(present))
-      .groupBy("cid").count().collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
-    val state = loadState(spark, indexPath)
-    writeState(spark, indexPath, (state.counts - cid) ++ subCounts)
-    java.nio.file.Files.deleteIfExists(marker.toPath)
-    present
+      liveCids.map(c => (c, cvByCid(c)))
+    // counters: the fat cell's ledger rows are REPLACED by per-sub-cell
+    // base counts (fresh cells start undrifted); every other cid's
+    // ledger rows pass through untouched
+    val ledger = IndexStore.countsAt(spark, indexPath).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filterNot(_._2 == cid) ++
+      liveCids.map(c => ("base", c, subCounts(c)))
+    // ONE commit: data partitions (old cell out, sub-cells in),
+    // centroid relation, counter relation — all or nothing
+    IndexStore.replace(spark, indexPath, Seq(
+      DataRel -> assigned,
+      CentroidRel -> patched.toSeq.toDF("cid", "cv"),
+      CountRel -> ledger.toSeq.toDF("kind", "cid", "rows")),
+      (col(RelCol) === DataRel &&
+        col(PcidCol).isInCollection(cid +: newCids)) ||
+        col(RelCol).isInCollection(Seq(CentroidRel, CountRel)))
+    liveCids
   }
 }

@@ -42,15 +42,26 @@ object PqMaintenance {
       retrain: Boolean)
 
   /** Mean quantization distortion of `vectors` (vec_id, embedding)
-    * against the STORED codebooks at `codebooksPath`: each sub-vector
-    * is assigned to its nearest codeword (the encode rule) and the
-    * winning squared L2s average over all (vector, subspace) pairs.
-    * One broadcast join + one aggregation, linear in the slice. An
-    * EMPTY slice reports 0.0 (nothing arrived — nothing drifted),
+    * against the STORED codebooks of the index at `codebooksPath`
+    * (a Delta-backed index table's `rel=codebook` relation, or a plain
+    * codebook dir — IndexStore.codebookAt accepts both): each
+    * sub-vector is assigned to its nearest codeword (the encode rule)
+    * and the winning squared L2s average over all (vector, subspace)
+    * pairs. One broadcast join + one aggregation, linear in the slice.
+    * An EMPTY slice reports 0.0 (nothing arrived — nothing drifted),
     * matching IvfMaintenance's quiet handling of zero appends. */
   def distortion(s: SparkSession, codebooksPath: String,
-      vectors: DataFrame, shape: PqShape = DefaultPqShape): Double = {
-    val cb = s.read.parquet(codebooksPath)
+      vectors: DataFrame, shape: PqShape = DefaultPqShape): Double =
+    distortionOf(s, graft.delta.IndexStore.codebookAt(s, codebooksPath),
+      vectors, shape, source = codebooksPath)
+
+  /** Same, against an explicit codebook relation (the build paths
+    * measure the baseline on the codebooks they are ABOUT to commit —
+    * there is no stored generation to read yet). */
+  def distortionOf(s: SparkSession, cb: DataFrame, vectors: DataFrame,
+      shape: PqShape = DefaultPqShape,
+      source: String = "<in-memory codebook>"): Double = {
+    val codebooksPath = source
     // a shape that mismatches the STORED codebooks must fail loudly,
     // not under-count: the inner join on m silently drops subspaces the
     // codebook lacks, and a subDim larger than the stored cv arrays

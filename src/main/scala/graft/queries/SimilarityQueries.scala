@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.delta.IndexStore
 
 /** Embedding similarity search over the `embeddings` table
   * (Array[Float] x 64, SURVEY.md §2 north-star `q_sim_topk`).
@@ -695,9 +696,8 @@ object SimilarityQueries {
          |  (d.vec_id IS NOT NULL) AS is_dup
          |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
          |ORDER BY i.vec_id""".stripMargin) { (s, dir) =>
-      val index = s.read.parquet(ivfIndexPath(s, dir))
-        .select(col("cid").cast(LongType).as("cid"),
-          col("vec_id"), col("label"), col("embedding"))
+      val index = IndexStore.data(s, ivfIndexPath(s, dir))
+        .select(col("cid"), col("vec_id"), col("label"), col("embedding"))
       val sizes = index.groupBy("cid").agg(count(lit(1)).as("n"))
       val small = index.join(sizes.where(col("n") <= SemClusterMax), "cid")
       val a = small.select(col("cid"), col("vec_id").as("vec_a"),
@@ -983,7 +983,9 @@ object SimilarityQueries {
     * such a swap calls DeltaQueries.resetHashMemoForTest. */
   private def embSourceSig(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    s"v1:${f.getName}:${f.length()}:${DeltaQueries.contentSha(f)}"
+    // v2: the Delta-backed index layout (IndexStore) — v1 fixtures are
+    // plain hive-parquet dirs and must not pass as fresh
+    s"v2:${f.getName}:${f.length()}:${DeltaQueries.contentSha(f)}"
   }
 
   private def indexStampFile(path: String) =
@@ -1029,9 +1031,8 @@ object SimilarityQueries {
       // index is a deterministic function of it; staleness would break
       // the oracle's replay) — detected by CONTENT signature, see
       // embSourceSig
-      val success = new java.io.File(path, "_SUCCESS")
       val sig = embSourceSig(dir)
-      if (indexStale(path, success, sig)) {
+      if (indexStale(path, deltaDoneMarker(path), sig)) {
         val emb = load(s, dir, "embeddings")
         val seeds = emb.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -1048,21 +1049,55 @@ object SimilarityQueries {
             .as("cv"))
         val refined = (1 to IvfLloydIterations)
           .foldLeft(seeds)((c, _) => means(assign(c)))
-        refined.coalesce(1).write.mode("overwrite")
-          .parquet(ivfCentroidsPath(path))
-        assign(s.read.parquet(ivfCentroidsPath(path)))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
+          .localCheckpoint()
+        // materialize the assignment once: it feeds the data rel AND
+        // the base counters of the SAME founding commit (at 100 TB the
+        // counters would instead derive from the commit's own per-file
+        // numRecords stats — zero extra passes; the fixture keeps the
+        // one-aggregation shape)
+        val assigned = assign(refined).localCheckpoint()
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> assigned
+            .select("vec_id", "label", "embedding", "cid"),
+          IndexStore.CentroidRel -> refined.select("cid", "cv"),
+          IndexStore.CountRel -> assigned.groupBy("cid").count()
+            .select(lit("base").as("kind"), col("cid"),
+              col("count").as("rows"))))
         writeIndexStamp(path, sig)
       }
-      refreshAlias(IvfOracleAlias, path)
-      refreshAlias(IvfOracleAlias + "_centroids", ivfCentroidsPath(path))
+      refreshIvfMirror(s, path, IvfOracleAlias)
     }
     path
   }
 
-  /** Refined centroids live beside the index (probe ranks against the
-    * SAME centroids the index was built with). */
-  def ivfCentroidsPath(indexPath: String): String = indexPath + "_centroids"
+  /** Refresh the DuckDB-facing mirror of an IVF index table and point
+    * the oracle alias family at it (data files as live-file symlinks,
+    * centroids rewritten flat — IndexStore.exportMirror). */
+  private def refreshIvfMirror(s: SparkSession, path: String,
+      alias: String): Unit = {
+    IndexStore.exportMirror(s, path, Seq(IndexStore.CentroidRel))
+    refreshAlias(alias, IndexStore.mirrorDataPath(path))
+    refreshAlias(alias + "_centroids",
+      IndexStore.mirrorRelPath(path, IndexStore.CentroidRel))
+  }
+
+  /** Refresh a PQ table's mirror + alias family; the `_centroids`
+    * alias points at the COARSE (IVF) table's centroid mirror. */
+  private def refreshPqMirror(s: SparkSession, path: String,
+      ivfPath: String, alias: String): Unit = {
+    IndexStore.exportMirror(s, path, Seq(IndexStore.CodebookRel))
+    IndexStore.exportMirror(s, ivfPath, Seq(IndexStore.CentroidRel))
+    refreshAlias(alias, IndexStore.mirrorDataPath(path))
+    refreshAlias(alias + "_codebooks",
+      IndexStore.mirrorRelPath(path, IndexStore.CodebookRel))
+    refreshAlias(alias + "_centroids",
+      IndexStore.mirrorRelPath(ivfPath, IndexStore.CentroidRel))
+  }
+
+  /** The founding commit's log file doubles as the fixture's completion
+    * marker (IndexStore.create commits exactly once). */
+  private def deltaDoneMarker(path: String): java.io.File =
+    new java.io.File(path, "_delta_log/00000000000000000000.json")
 
   /** Nearest-centroid assignment of `df` against `centroids` — the one
     * plan shape both the full build and incremental maintenance use:
@@ -1092,7 +1127,11 @@ object SimilarityQueries {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_incr"
     this.synchronized {
-      val success = new java.io.File(path, "_graft_incr_done")
+      // completion marker = the APPEND commit's log file: version 0
+      // alone means the base build landed but the incremental step
+      // didn't — still stale
+      val success = new java.io.File(path,
+        "_delta_log/00000000000000000001.json")
       val sig = embSourceSig(dir)
       if (indexStale(path, success, sig)) {
         val emb = load(s, dir, "embeddings")
@@ -1107,33 +1146,24 @@ object SimilarityQueries {
             .as("cv"))
         val refined = (1 to IvfLloydIterations)
           .foldLeft(seeds)((c, _) => means(assignTo(base, c)))
-        refined.coalesce(1).write.mode("overwrite")
-          .parquet(ivfCentroidsPath(path))
-        val stored = s.read.parquet(ivfCentroidsPath(path))
-        assignTo(base, stored)
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
-        // per-cid counters come from the WRITTEN index (a cid-only
-        // read-back — column-pruned to the partition column), not from
-        // re-running the crossJoin+groupBy assignment a second time
-        def partCounts() = s.read.parquet(path)
-          .select(col("cid").cast("long").as("cid"))
-          .groupBy("cid").count().withColumnRenamed("count", "rows")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-        val baseCounts = partCounts()
-        graft.operators.IvfMaintenance.recordBase(s, path, {
-          import s.implicits._
-          baseCounts.toSeq.toDF("cid", "rows")
-        })
-        // the incremental step: assign ONLY the batch, append in place
-        assignTo(batch, stored)
-          .write.mode("append").partitionBy("cid").parquet(path)
-        val appendCounts = partCounts().map { case (cid, n) =>
-          (cid, n - baseCounts.getOrElse(cid, 0L))
-        }.filter(_._2 > 0)
-        graft.operators.IvfMaintenance.recordAppend(s, path, {
-          import s.implicits._
-          appendCounts.toSeq.toDF("cid", "rows")
-        })
+          .localCheckpoint()
+        val baseAssigned = assignTo(base, refined).localCheckpoint()
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> baseAssigned
+            .select("vec_id", "label", "embedding", "cid"),
+          IndexStore.CentroidRel -> refined.select("cid", "cv"),
+          IndexStore.CountRel -> baseAssigned.groupBy("cid").count()
+            .select(lit("base").as("kind"), col("cid"),
+              col("count").as("rows"))))
+        // the incremental step: assign ONLY the batch, then land the
+        // appended rows AND their counter rows in ONE commit
+        // (IvfMaintenance.appendBatch — counters can never drift from
+        // the rows they count)
+        val batchAssigned = assignTo(batch, refined).localCheckpoint()
+        graft.operators.IvfMaintenance.appendBatch(s, path,
+          batchAssigned.select("vec_id", "label", "embedding", "cid"),
+          batchAssigned.groupBy("cid").count()
+            .withColumnRenamed("count", "rows"))
         // drift policy (graft.operators.IvfMaintenance): the fixture's
         // GLOBAL appended fraction (vec_id % 10 == 7 ≈ 11%) sits below
         // the 20% bar by design; individual small cids may cross their
@@ -1146,12 +1176,9 @@ object SimilarityQueries {
         val drift = graft.operators.IvfMaintenance.driftReport(s, path)
         require(drift.ratio < 0.2 && drift.appendedRows > 0,
           s"fixture drift out of its designed envelope: $drift")
-        success.getParentFile.mkdirs()
-        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
         writeIndexStamp(path, sig)
       }
-      refreshAlias(IvfIncrOracleAlias, path)
-      refreshAlias(IvfIncrOracleAlias + "_centroids", ivfCentroidsPath(path))
+      refreshIvfMirror(s, path, IvfIncrOracleAlias)
     }
     path
   }
@@ -1169,19 +1196,14 @@ object SimilarityQueries {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_split"
     this.synchronized {
-      val success = new java.io.File(path, "_graft_split_done")
+      // completion marker = the SPLIT commit's log file (v0 = build,
+      // v1 = splitCell's single replace commit)
+      val success = new java.io.File(path,
+        "_delta_log/00000000000000000001.json")
       val sig = embSourceSig(dir)
       if (indexStale(path, success, sig)) {
-        val dirF = new java.io.File(path)
-        if (dirF.exists())
-          scala.reflect.io.Directory(dirF).deleteRecursively()
-        // stale pending markers from a prior drop's build must not
-        // leak into the fresh split's restart path
-        Option(dirF.getParentFile.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith(dirF.getName + "_split_pending_"))
-          .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
         val emb = load(s, dir, "embeddings")
-        // the standard build, into this fixture's own directory pair
+        // the standard build, into this fixture's own table
         val seeds = emb.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         def means(assigned: DataFrame) = assigned.groupBy("cid")
@@ -1190,56 +1212,52 @@ object SimilarityQueries {
             .as("cv"))
         val refined = (1 to IvfLloydIterations)
           .foldLeft(seeds)((c, _) => means(assignTo(emb, c)))
-        refined.coalesce(1).write.mode("overwrite")
-          .parquet(ivfCentroidsPath(path))
-        assignTo(emb, s.read.parquet(ivfCentroidsPath(path)))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
-        val counts = s.read.parquet(path)
-          .select(col("cid").cast(LongType).as("cid"))
-          .groupBy("cid").count().withColumnRenamed("count", "rows")
-        graft.operators.IvfMaintenance.recordBase(s, path, counts)
+          .localCheckpoint()
+        val assigned = assignTo(emb, refined).localCheckpoint()
+        val counts = assigned.groupBy("cid").count()
+          .withColumnRenamed("count", "rows").localCheckpoint()
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> assigned
+            .select("vec_id", "label", "embedding", "cid"),
+          IndexStore.CentroidRel -> refined.select("cid", "cv"),
+          IndexStore.CountRel -> counts
+            .select(lit("base").as("kind"), col("cid"), col("rows"))))
         // the hatch under test: split the LARGEST cell (ties -> lowest
-        // cid, deterministic) into two sub-cells
+        // cid, deterministic) into two sub-cells — ONE atomic commit
         val fatCid = counts.orderBy(desc("rows"), asc("cid"))
           .head.getLong(0)
-        graft.operators.IvfMaintenance.splitCell(s, path,
-          ivfCentroidsPath(path), fatCid, ways = 2, dim = Dim)
-        success.getParentFile.mkdirs()
-        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        graft.operators.IvfMaintenance.splitCell(s, path, fatCid,
+          ways = 2, dim = Dim)
         writeIndexStamp(path, sig)
       }
-      refreshAlias(IvfSplitOracleAlias, path)
-      refreshAlias(IvfSplitOracleAlias + "_centroids",
-        ivfCentroidsPath(path))
+      refreshIvfMirror(s, path, IvfSplitOracleAlias)
     }
     path
   }
 
-  /** Codebooks live beside the codes (search LUTs must come from the
-    * SAME codebooks the codes were quantized against). */
+  /** Legacy naming helper for the plain-parquet rehearsal layout
+    * (tools/ probes build codebooks in a `_codebooks` sibling dir;
+    * Delta-backed PQ tables carry them as a `rel=codebook` relation —
+    * IndexStore.codebookAt accepts both). */
   def pqCodebooksPath(indexPath: String): String = indexPath + "_codebooks"
 
-  /** The training-time distortion baseline lives INSIDE the codebooks
-    * dir (underscore-prefixed: ignored by both Spark's and DuckDB's
-    * parquet readers) — constant per codebook build, measured once so
-    * routine drift checks scan only the arriving slice (the
-    * IvfMaintenance recordBase pattern). */
-  private def baselineFile(codebooksPath: String) =
-    new java.io.File(codebooksPath, "_baseline_distortion")
-
-  private def recordDistortionBaseline(s: SparkSession,
-      codebooksPath: String, trainingSlice: DataFrame,
-      shape: PqShape = DefaultPqShape): Unit = {
-    val v = graft.operators.PqMaintenance.distortion(
-      s, codebooksPath, trainingSlice.select("vec_id", "embedding"), shape)
-    java.nio.file.Files.write(baselineFile(codebooksPath).toPath,
-      v.toString.getBytes("UTF-8"))
+  /** The training-time distortion baseline rides IN the PQ table as a
+    * `rel=meta` row — committed with the codebooks it measures, so
+    * baseline and codebooks can never version apart. Constant per
+    * codebook build, measured once so routine drift checks scan only
+    * the arriving slice (the IvfMaintenance recordBase pattern). */
+  private def baselinePart(s: SparkSession, codebook: DataFrame,
+      trainingSlice: DataFrame,
+      shape: PqShape = DefaultPqShape): (String, DataFrame) = {
+    import s.implicits._
+    val v = graft.operators.PqMaintenance.distortionOf(
+      s, codebook, trainingSlice.select("vec_id", "embedding"), shape)
+    IndexStore.MetaRel -> Seq(v).toDF("baseline")
   }
 
-  /** The persisted training-time baseline for a codebook build. */
-  def distortionBaseline(codebooksPath: String): Double =
-    new String(java.nio.file.Files.readAllBytes(
-      baselineFile(codebooksPath).toPath), "UTF-8").toDouble
+  /** The persisted training-time baseline of a PQ table. */
+  def distortionBaseline(s: SparkSession, pqPath: String): Double =
+    IndexStore.baselineAt(s, pqPath)
 
   /** Per-subspace squared L2 between two PqSubDim-wide double arrays —
     * unrolled left-assoc, codegen-friendly (8 dims x 16 codes per row
@@ -1373,8 +1391,7 @@ object SimilarityQueries {
   }
 
   private def pqCids(s: SparkSession, ivfPath: String): DataFrame =
-    s.read.parquet(ivfPath)
-      .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
+    IndexStore.data(s, ivfPath).select(col("vec_id"), col("cid"))
 
   /** Same as [[pqIndexPath]], also returning the coarse IVF index path
     * it was built over (so the search does not repeat ivfIndexPath's
@@ -1384,22 +1401,20 @@ object SimilarityQueries {
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index"
     this.synchronized {
       val ivfPath = ivfIndexPath(s, dir) // also refreshes the IVF aliases
-      val success = new java.io.File(path, "_SUCCESS")
       val sig = embSourceSig(dir)
-      if (indexStale(path, success, sig)
-          || !baselineFile(pqCodebooksPath(path)).exists()) {
+      if (indexStale(path, deltaDoneMarker(path), sig)) {
         val emb = load(s, dir, "embeddings")
-        pqTrainCodebooks(emb).coalesce(1).write.mode("overwrite")
-          .parquet(pqCodebooksPath(path))
-        pqEncode(emb, s.read.parquet(pqCodebooksPath(path)),
-            pqCids(s, ivfPath))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
-        recordDistortionBaseline(s, pqCodebooksPath(path), emb)
+        val cb = pqTrainCodebooks(emb).localCheckpoint()
+        // ONE founding commit: codes + codebooks + baseline — the
+        // search LUTs can never read codebooks from a different
+        // generation than the codes they score
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(emb, cb, pqCids(s, ivfPath)),
+          IndexStore.CodebookRel -> cb,
+          baselinePart(s, cb, emb)))
         writeIndexStamp(path, sig)
       }
-      refreshAlias(PqOracleAlias, path)
-      refreshAlias(PqOracleAlias + "_codebooks", pqCodebooksPath(path))
-      refreshAlias(PqOracleAlias + "_centroids", ivfCentroidsPath(ivfPath))
+      refreshPqMirror(s, path, ivfPath, PqOracleAlias)
       (path, ivfPath)
     }
   }
@@ -1421,7 +1436,6 @@ object SimilarityQueries {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_packed"
     this.synchronized {
-      val success = new java.io.File(path, "_SUCCESS")
       // the packed projection is a deterministic function of the
       // per-column codes, themselves a deterministic function of the
       // embeddings drop — so the ONE content signature guards both (a
@@ -1429,23 +1443,23 @@ object SimilarityQueries {
       // changed; keying on the drop also closes the mtime-granularity
       // window the previous `_SUCCESS`-mtime comparison carried)
       val sig = embSourceSig(dir)
-      if (indexStale(path, success, sig)) {
-        s.read.parquet(codesPath)
-          .select(col("vec_id"), col("label"), col("xnorm"),
-            array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"),
-            col("cid").cast(LongType).as("cid"))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
+      if (indexStale(path, deltaDoneMarker(path), sig)) {
+        import s.implicits._
+        // the packed table CARRIES the per-column index's codebooks and
+        // baseline (same codes, same LUTs — copied rows, so the packed
+        // table is self-contained and its commit keeps codes/codebooks
+        // coherent; this replaced the sibling-symlink sharing)
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> IndexStore.data(s, codesPath)
+            .select(col("vec_id"), col("label"), col("xnorm"),
+              array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"),
+              col("cid")),
+          IndexStore.CodebookRel -> IndexStore.codebookAt(s, codesPath),
+          IndexStore.MetaRel ->
+            Seq(IndexStore.baselineAt(s, codesPath)).toDF("baseline")))
         writeIndexStamp(path, sig)
       }
-      // the packed dir shares the per-column index's codebooks (same
-      // codes, same LUTs) — a sibling symlink keeps annPqOver's
-      // `<path>_codebooks` convention working for both layouts
-      refreshAlias(pqCodebooksPath(path), pqCodebooksPath(codesPath))
-      refreshAlias(PqPackedOracleAlias, path)
-      refreshAlias(PqPackedOracleAlias + "_codebooks",
-        pqCodebooksPath(codesPath))
-      refreshAlias(PqPackedOracleAlias + "_centroids",
-        ivfCentroidsPath(ivfPath))
+      refreshPqMirror(s, path, ivfPath, PqPackedOracleAlias)
       (path, ivfPath)
     }
   }
@@ -1471,32 +1485,25 @@ object SimilarityQueries {
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_residual"
     this.synchronized {
       val ivfPath = ivfIndexPath(s, dir)
-      val success = new java.io.File(path, "_SUCCESS")
       val sig = embSourceSig(dir)
-      if (indexStale(path, success, sig)
-          || !baselineFile(pqCodebooksPath(path)).exists()) {
+      if (indexStale(path, deltaDoneMarker(path), sig)) {
         val emb = load(s, dir, "embeddings")
-        val resid = residualsOf(s, emb, ivfPath)
-        pqTrainCodebooks(resid).coalesce(1).write.mode("overwrite")
-          .parquet(pqCodebooksPath(path))
-        val codebook = s.read.parquet(pqCodebooksPath(path))
+        val resid = residualsOf(s, emb, ivfPath).localCheckpoint()
+        val cb = pqTrainCodebooks(resid).localCheckpoint()
         // encode the residuals, storing the ORIGINAL vector's norm
         // (ADC approximates <x, q>; cosine divides by |x|, and the
         // codes cannot carry that norm) — normOf attaches it in the
-        // encode's own join, no residual-norm detour
-        pqEncode(resid, codebook, pqCids(s, ivfPath), packed = true,
-            normOf = Some(emb))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
-        // drift baseline measures RESIDUAL quantization (the space the
-        // codebooks live in)
-        recordDistortionBaseline(s, pqCodebooksPath(path), resid)
+        // encode's own join, no residual-norm detour. The drift
+        // baseline measures RESIDUAL quantization (the space the
+        // codebooks live in). One founding commit carries all three.
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(resid, cb, pqCids(s, ivfPath),
+            packed = true, normOf = Some(emb)),
+          IndexStore.CodebookRel -> cb,
+          baselinePart(s, cb, resid)))
         writeIndexStamp(path, sig)
       }
-      refreshAlias(PqResidualOracleAlias, path)
-      refreshAlias(PqResidualOracleAlias + "_codebooks",
-        pqCodebooksPath(path))
-      refreshAlias(PqResidualOracleAlias + "_centroids",
-        ivfCentroidsPath(ivfPath))
+      refreshPqMirror(s, path, ivfPath, PqResidualOracleAlias)
       (path, ivfPath)
     }
   }
@@ -1509,7 +1516,7 @@ object SimilarityQueries {
   private def residualsOf(s: SparkSession, emb: DataFrame,
       ivfPath: String): DataFrame =
     residualsAgainst(emb, pqCids(s, ivfPath),
-      s.read.parquet(ivfCentroidsPath(ivfPath)))
+      IndexStore.centroidsAt(s, ivfPath))
 
   /** Same, against explicit (vec_id, cid) and (cid, cv) relations —
     * shared with the PqResidualProbe rehearsal. */
@@ -1530,7 +1537,7 @@ object SimilarityQueries {
       nprobe: Int, cand: Int): DataFrame = {
     val (path, ivfPath) = pqResidualIndexWithIvf(s, dir)
     annPqResidualSearch(s, load(s, dir, "embeddings"), path,
-      ivfCentroidsPath(ivfPath), probeId, k, nprobe, cand)
+      ivfPath, probeId, k, nprobe, cand)
   }
 
   /** The residual search against explicit relations, shape-parametrized
@@ -1541,8 +1548,7 @@ object SimilarityQueries {
       nprobe: Int, cand: Int,
       shape: PqShape = DefaultPqShape): DataFrame = {
     import s.implicits._
-    val codes = s.read.parquet(path)
-    val centroids = s.read.parquet(centroidsPath)
+    val centroids = IndexStore.centroidsAt(s, centroidsPath)
     val pvF = emb.where(col("vec_id") === probeId)
       .select("embedding").head.getSeq[Float](0)
     val pv = pvF.map(_.toDouble)
@@ -1563,9 +1569,9 @@ object SimilarityQueries {
     val probeCids = probedRows.map(_.getLong(0)).toSeq
     val cidDots = probedRows.map(r => (r.getLong(0), r.getDouble(1)))
       .toSeq.toDF("cid", "cdot")
-    val cbRows = s.read.parquet(pqCodebooksPath(path)).collect()
+    val cbRows = IndexStore.codebookAt(s, path).collect()
     require(cbRows.length == shape.m * shape.k,
-      s"incomplete PQ codebook at ${pqCodebooksPath(path)} — stale " +
+      s"incomplete PQ codebook in $path — stale " +
         "fixture? delete the index dir to rebuild")
     val lut = Array.fill(shape.m, shape.k)(Double.NaN)
     cbRows.foreach { r =>
@@ -1580,16 +1586,14 @@ object SimilarityQueries {
       lut(m)(c) = acc
     }
     require(lut.forall(_.forall(v => !v.isNaN)),
-      s"PQ codebook at ${pqCodebooksPath(path)} has duplicate (m, code) " +
+      s"PQ codebook in $path has duplicate (m, code) " +
         "rows — stale fixture? delete the index dir to rebuild")
     val adc = (col("cdot") + graft.functions.VectorExpressions.pqAdc(
       col("codes"), typedLit(lut.flatten.toSeq), shape.k)) / col("xnorm")
-    // prune FIRST on the raw partition column (a cast underneath the
-    // filter would defeat partition pruning), cast only for the join
-    val candidates = codes
-      .where(col("cid").isin(probeCids: _*))
+    // the probed-cid read is statically file-pruned on the (rel, pcid)
+    // partition values before any parquet opens (IndexStore.data)
+    val candidates = IndexStore.data(s, path, Some(probeCids))
       .where(col("vec_id") =!= probeId)
-      .withColumn("cid", col("cid").cast(LongType))
       .join(broadcast(cidDots), Seq("cid"))
       .withColumn("adc", adc)
       .orderBy(desc("adc"), asc("vec_id"))
@@ -1615,65 +1619,32 @@ object SimilarityQueries {
     * priced like the first build, amortized over the ingest that
     * triggered it.
     *
-    * Each live directory swaps via sibling-rename (the
-    * IvfMaintenance.maybeRetrain pattern): a crash leaves a complete
-    * copy of that directory under one of its two names. Codes are
-    * encoded against the NEW codebooks and swap FIRST, codebooks
-    * second — readers re-resolve paths per search (the snapshot-refresh
-    * discipline of the reference's schema provider,
-    * crates/datafusion/src/schema_provider.rs:83-118), so after the
-    * second swap every search sees the coherent new generation.
-    * Maintenance is a single job by construction (as in
-    * IvfMaintenance): concurrent searches during the inter-swap window
-    * are out of scope for the local fixture harness. The CROSS-directory
-    * pair (new codes + old codebooks, or vice versa) is the one state
-    * per-directory swaps cannot make atomic — a `<path>_retrain_pending`
-    * marker brackets the two swaps, so a crash inside the window is
-    * DETECTABLE: [[pqRetrainPending]] reports it and the heal is to
-    * re-run the escape hatch (idempotent — it rebuilds both dirs from
-    * the corpus). `shape` must match the one the index was built with
+    * The new generation lands as ONE replace commit on the index table
+    * (codes + codebooks + baseline together): a concurrent search reads
+    * either the old generation or the new one — never one generation's
+    * codes scored with the other's LUTs — and a crash at any point
+    * leaves the old generation live. (This replaced the sibling-rename
+    * swap pair whose cross-directory window needed a `_retrain_pending`
+    * marker and a manual re-run to heal; the commit protocol has no
+    * such window.) `shape` must match the one the index was built with
     * (the same rule as train/encode). */
   def pqRetrainAndReEncode(s: SparkSession, corpus: DataFrame,
       path: String, cids: DataFrame,
       shape: PqShape = DefaultPqShape,
       packed: Boolean = false): Unit = this.synchronized {
-    val cbPath = pqCodebooksPath(path)
-    def swapIn(live: String): Unit = {
-      val dest = new java.io.File(live)
-      val next = new java.io.File(live + "_next")
-      val prev = new java.io.File(live + "_prev")
-      if (prev.exists()) scala.reflect.io.Directory(prev).deleteRecursively()
-      if (dest.exists()) java.nio.file.Files.move(dest.toPath, prev.toPath)
-      java.nio.file.Files.move(next.toPath, dest.toPath)
-      scala.reflect.io.Directory(prev).deleteRecursively()
-    }
-    val cbNext = cbPath + "_next"
-    if (new java.io.File(cbNext).exists())
-      scala.reflect.io.Directory(new java.io.File(cbNext)).deleteRecursively()
-    pqTrainCodebooks(corpus, shape).coalesce(1).write.parquet(cbNext)
-    // the new baseline rides inside the new codebooks dir, so baseline
-    // and codebooks can never version apart
-    recordDistortionBaseline(s, cbNext, corpus, shape)
-    val codesNext = path + "_next"
-    if (new java.io.File(codesNext).exists())
-      scala.reflect.io.Directory(new java.io.File(codesNext))
-        .deleteRecursively()
-    pqEncode(corpus, s.read.parquet(cbNext), cids, shape, packed = packed)
-      .write.partitionBy("cid").parquet(codesNext)
-    val pending = new java.io.File(path + "_retrain_pending")
-    java.nio.file.Files.write(pending.toPath, Array.emptyByteArray)
-    swapIn(path)
-    swapIn(cbPath)
-    java.nio.file.Files.deleteIfExists(pending.toPath)
+    val cb = pqTrainCodebooks(corpus, shape).localCheckpoint()
+    val parts = Seq(
+      IndexStore.DataRel -> pqEncode(corpus, cb, cids, shape,
+        packed = packed),
+      IndexStore.CodebookRel -> cb,
+      baselinePart(s, cb, corpus, shape))
+    // the hatch doubles as the initial builder (it IS a rebuild): the
+    // first run founds the table, later runs replace the whole
+    // generation in one commit
+    if (IndexStore.isDeltaTable(path))
+      IndexStore.replace(s, path, parts, lit(true))
+    else IndexStore.create(s, path, parts)
   }
-
-  /** True when a prior [[pqRetrainAndReEncode]] crashed between its two
-    * directory swaps, leaving codes and codebooks from different
-    * generations live — searches against such an index ADC-score one
-    * generation's codes with the other's LUTs. Heal by re-running the
-    * escape hatch. */
-  def pqRetrainPending(path: String): Boolean =
-    new java.io.File(path + "_retrain_pending").exists()
 
   /** Incrementally-maintained PQ index (the production ingest path):
     * codebooks train on the BASE corpus (vec_id % 10 != 7) only, the
@@ -1694,32 +1665,28 @@ object SimilarityQueries {
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_incr"
     this.synchronized {
       val ivfPath = ivfIncrementalIndexPath(s, dir)
-      val success = new java.io.File(path, "_graft_incr_done")
+      // v0 = base build, v1 = the incremental append commit
+      val success = new java.io.File(path,
+        "_delta_log/00000000000000000001.json")
       val sig = embSourceSig(dir)
-      if (indexStale(path, success, sig)
-          || !baselineFile(pqCodebooksPath(path)).exists()) {
+      if (indexStale(path, success, sig)) {
         val emb = load(s, dir, "embeddings")
         val base = emb.where(col("vec_id") % 10 =!= 7)
         val batch = emb.where(col("vec_id") % 10 === 7)
-        pqTrainCodebooks(base).coalesce(1).write.mode("overwrite")
-          .parquet(pqCodebooksPath(path))
-        val codebook = s.read.parquet(pqCodebooksPath(path))
+        val cb = pqTrainCodebooks(base).localCheckpoint()
         val cids = pqCids(s, ivfPath)
-        pqEncode(base, codebook, cids)
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
-        recordDistortionBaseline(s, pqCodebooksPath(path), base)
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(base, cb, cids),
+          IndexStore.CodebookRel -> cb,
+          baselinePart(s, cb, base)))
         // the incremental step: encode ONLY the batch against the
-        // stored codebooks, append into the matching cid partitions
-        pqEncode(batch, codebook, cids)
-          .write.mode("append").partitionBy("cid").parquet(path)
-        success.getParentFile.mkdirs()
-        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        // stored codebooks, ONE append commit into the matching cid
+        // partitions — codebooks never move, residents never rewrite
+        IndexStore.append(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(batch, cb, cids)))
         writeIndexStamp(path, sig)
       }
-      refreshAlias(PqIncrOracleAlias, path)
-      refreshAlias(PqIncrOracleAlias + "_codebooks", pqCodebooksPath(path))
-      refreshAlias(PqIncrOracleAlias + "_centroids",
-        ivfCentroidsPath(ivfPath))
+      refreshPqMirror(s, path, ivfPath, PqIncrOracleAlias)
       (path, ivfPath)
     }
   }
@@ -1741,30 +1708,33 @@ object SimilarityQueries {
     val path = s"/root/repo/target/delta_fixtures/$sf/pq_index_incr_packed"
     this.synchronized {
       val ivfPath = ivfIncrementalIndexPath(s, dir)
-      val success = new java.io.File(path, "_graft_incr_done")
+      // v0 = base build, v1 = the incremental append commit
+      val success = new java.io.File(path,
+        "_delta_log/00000000000000000001.json")
       val sig = embSourceSig(dir)
       if (indexStale(path, success, sig)) {
+        import s.implicits._
         val emb = load(s, dir, "embeddings")
         val base = emb.where(col("vec_id") % 10 =!= 7)
         val batch = emb.where(col("vec_id") % 10 === 7)
-        val codebook = s.read.parquet(pqCodebooksPath(colPath))
+        // carries the per-column incremental index's codebooks +
+        // baseline (same training, same codes — copied rows keep this
+        // table self-contained and commit-coherent)
+        val cb = IndexStore.codebookAt(s, colPath).localCheckpoint()
         val cids = pqCids(s, ivfPath)
-        pqEncode(base, codebook, cids, packed = true)
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(base, cb, cids, packed = true),
+          IndexStore.CodebookRel -> cb,
+          IndexStore.MetaRel ->
+            Seq(IndexStore.baselineAt(s, colPath)).toDF("baseline")))
         // the incremental step, packed: encode ONLY the batch against
-        // the stored codebooks, append into the matching cid partitions
-        pqEncode(batch, codebook, cids, packed = true)
-          .write.mode("append").partitionBy("cid").parquet(path)
-        success.getParentFile.mkdirs()
-        java.nio.file.Files.write(success.toPath, Array.emptyByteArray)
+        // the stored codebooks, ONE append commit into the matching
+        // cid partitions
+        IndexStore.append(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(batch, cb, cids, packed = true)))
         writeIndexStamp(path, sig)
       }
-      refreshAlias(pqCodebooksPath(path), pqCodebooksPath(colPath))
-      refreshAlias(PqIncrPackedOracleAlias, path)
-      refreshAlias(PqIncrPackedOracleAlias + "_codebooks",
-        pqCodebooksPath(colPath))
-      refreshAlias(PqIncrPackedOracleAlias + "_centroids",
-        ivfCentroidsPath(ivfPath))
+      refreshPqMirror(s, path, ivfPath, PqIncrPackedOracleAlias)
       (path, ivfPath)
     }
   }
@@ -1793,7 +1763,7 @@ object SimilarityQueries {
       predicate: Column = lit(true),
       packedCodes: Boolean = false): DataFrame =
     annPqSearch(s, load(s, dir, "embeddings"), path,
-      ivfCentroidsPath(ivfPath), probeId, k, nprobe, cand, predicate,
+      ivfPath, probeId, k, nprobe, cand, predicate,
       packedCodes)
 
   /** The search itself, against explicit relations — shape-parametrized
@@ -1808,8 +1778,7 @@ object SimilarityQueries {
       packedCodes: Boolean = false,
       shape: PqShape = DefaultPqShape): DataFrame = {
     import s.implicits._
-    val codes = s.read.parquet(path)
-    val centroids = s.read.parquet(centroidsPath)
+    val centroids = IndexStore.centroidsAt(s, centroidsPath)
     // ONE probe-row collect feeds the cid ranking, the LUT, and the
     // rerank (the probe norm is the same left-assoc double sqrt the
     // norm() expression computes, so values stay bit-identical)
@@ -1833,9 +1802,9 @@ object SimilarityQueries {
     // be complete: a short one (a pre-retention fixture with a dropped
     // codeword) would leave NaN LUT slots that SORT ABOVE every real
     // score under desc — a silent recall collapse, so fail loudly here
-    val cbRows = s.read.parquet(pqCodebooksPath(path)).collect()
+    val cbRows = IndexStore.codebookAt(s, path).collect()
     require(cbRows.length == shape.m * shape.k,
-      s"incomplete PQ codebook at ${pqCodebooksPath(path)}: " +
+      s"incomplete PQ codebook in $path: " +
         s"${cbRows.length} codewords, expected ${shape.m * shape.k} — " +
         "stale fixture? delete the index dir to rebuild")
     val lut = Array.fill(shape.m, shape.k)(Double.NaN)
@@ -1855,7 +1824,7 @@ object SimilarityQueries {
     // every real score under desc, the silent recall collapse the guard
     // exists to prevent. Require every slot filled.
     require(lut.forall(_.forall(v => !v.isNaN)),
-      s"PQ codebook at ${pqCodebooksPath(path)} has duplicate (m, code) " +
+      s"PQ codebook in $path has duplicate (m, code) " +
         "rows (NaN LUT slots) — stale fixture? delete the index dir to " +
         "rebuild")
     // quantized-dot / exact-norm = approximate cosine (the rank metric).
@@ -1871,9 +1840,9 @@ object SimilarityQueries {
       else array((0 until shape.m).map(m => col(s"c$m")): _*)
     val adc = graft.functions.VectorExpressions.pqAdc(
       codesArr, typedLit(lut.flatten.toSeq), shape.k) / col("xnorm")
-    // partition-pruned CODES scan: 8 one-byte lookups + adds per row
-    val candidates = codes
-      .where(col("cid").isin(probeCids: _*))
+    // partition-pruned CODES scan (static file prune on the probed
+    // cids' partition values): 8 one-byte lookups + adds per row
+    val candidates = IndexStore.data(s, path, Some(probeCids))
       .where(col("vec_id") =!= probeId)
       .where(predicate)
       .withColumn("adc", adc)
@@ -1930,7 +1899,7 @@ object SimilarityQueries {
     val (path, ivfPath) =
       if (packed) pqPackedIndexWithIvf(s, dir) else pqIndexWithIvf(s, dir)
     knnJoinPqOver(s, load(s, dir, "embeddings"), path,
-      ivfCentroidsPath(ivfPath), k, nprobe, cand, probeModulus, packed)
+      ivfPath, k, nprobe, cand, probeModulus, packed)
   }
 
   /** The join itself, against explicit relations — shape-parametrized
@@ -1943,10 +1912,8 @@ object SimilarityQueries {
       cand: Int, probeModulus: Int = 100, packed: Boolean = false,
       shape: PqShape = DefaultPqShape): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = s.read.parquet(path)
-      .withColumn("cid", col("cid").cast(LongType))
-    val centroids = s.read.parquet(centroidsPath)
-    val codebook = s.read.parquet(pqCodebooksPath(path))
+    val centroids = IndexStore.centroidsAt(s, centroidsPath)
+    val codebook = IndexStore.codebookAt(s, path)
     // a malformed codebook makes every packed LUT the wrong length,
     // PqAdc nulls ALL pair scores, and the rank window emits the lowest
     // vec_ids as a confident-looking garbage top-k — fail loudly
@@ -1960,7 +1927,7 @@ object SimilarityQueries {
       (r.getLong(0), r.getLong(1))
     }
     require(cbTotal == shape.m * shape.k && cbDistinct == shape.m * shape.k,
-      s"malformed PQ codebook at ${pqCodebooksPath(path)}: $cbTotal rows, " +
+      s"malformed PQ codebook in $path: $cbTotal rows, " +
         s"$cbDistinct distinct (m, code), expected ${shape.m * shape.k} " +
         "of each — stale fixture? delete the index dir to rebuild")
     // materialize the probe relation ONCE (probe-proportional — tiny
@@ -2011,7 +1978,7 @@ object SimilarityQueries {
     // the cid join each probe's 1-KB LUT would ship once per probed
     // (probe, cid) row, an nprobe-fold duplication on the gated side;
     // joined here it rides once per probe (the rerank-join pattern)
-    val base = codes.where(col("cid").isin(probedCids: _*))
+    val base = IndexStore.data(s, path, Some(probedCids))
       .join(sizeGatedSide(s, probed, probedRows, 32L), Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
       .join(sizeGatedSide(s, lutArr, nProbes,
@@ -2064,8 +2031,7 @@ object SimilarityQueries {
       indexPath: String, probeId: Long, k: Int, nprobe: Int,
       predicate: Column): DataFrame = {
     val emb = load(s, dir, "embeddings")
-    val index = s.read.parquet(indexPath)
-    val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
+    val centroids = IndexStore.centroidsAt(s, indexPath)
     // probe: nearest nprobe centroids (tiny — resolved driver-side)
     val probeVec = emb.where(col("vec_id") === probeId)
       .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
@@ -2074,8 +2040,9 @@ object SimilarityQueries {
       .orderBy(desc("sim"), asc("cid"))
       .limit(nprobe)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    // partition-pruned index read: only the probed cid directories
-    index.where(col("cid").isin(probeCids: _*))
+    // partition-pruned index read: only the probed cids' partitions
+    // survive the file prune (IndexStore.data through the Delta scan)
+    IndexStore.data(s, indexPath, Some(probeCids))
       .where(col("vec_id") =!= probeId)
       .where(predicate)
       .crossJoin(broadcast(probeVec))
@@ -2094,9 +2061,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val emb = load(s, dir, "embeddings")
     val indexPath = ivfIndexPath(s, dir)
-    val index = s.read.parquet(indexPath)
-      .withColumn("cid", col("cid").cast(LongType))
-    val centroids = s.read.parquet(ivfCentroidsPath(indexPath))
+    val centroids = IndexStore.centroidsAt(s, indexPath)
     val probes = emb.where(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         norm(col("embedding")).as("pn"))
@@ -2121,7 +2086,7 @@ object SimilarityQueries {
     // side is already partitioned by cid, so the fallback shuffle
     // moves only the probe rows).
     val probeSide = sizeGatedSide(s, probed, probedRows, Dim.toLong * 8 + 80)
-    index.where(col("cid").isin(probedCids: _*))
+    IndexStore.data(s, indexPath, Some(probedCids))
       .join(probeSide, Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
@@ -2190,7 +2155,7 @@ object SimilarityQueries {
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
     runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
         val bs = batch.sparkSession
-        val cent = bs.read.parquet(ivfCentroidsPath(indexPath))
+        val cent = IndexStore.centroidsAt(bs, indexPath)
         // ONE definition of the nearest-centroid rule (assignTo). The
         // v2 feed carries the vector's real label; spec-built feeds
         // without the column read it as null — coalesce so assignTo
@@ -2198,7 +2163,7 @@ object SimilarityQueries {
         val assigned = assignTo(
           batch.withColumn("label", coalesce(col("label"), lit(0))), cent)
           .withColumn("cid", col("cid").cast(LongType))
-          .select("vec_id", "cid", "embedding")
+          .select("vec_id", "label", "cid", "embedding")
         if (maintain) {
           // one computation of the batch assignment feeds the sink
           // append, the index append, and the per-cid counters
@@ -2206,16 +2171,16 @@ object SimilarityQueries {
           try {
             assigned.select("vec_id", "cid").write.mode("append")
               .parquet(sinkDir)
-            // the ingested vectors land in the index's cid partitions —
-            // the same append the batch incremental path does — so a
-            // fired re-center aggregates over data that INCLUDES them
-            assigned.select(col("vec_id"), col("embedding"), col("cid"))
-              .write.mode("append").partitionBy("cid").parquet(indexPath)
-            val counts = assigned.groupBy("cid").count()
-              .withColumnRenamed("count", "rows")
-            graft.operators.IvfMaintenance.recordAppend(bs, indexPath, counts)
-            graft.operators.IvfMaintenance.maybeRetrain(bs, indexPath,
-              ivfCentroidsPath(indexPath), dim)
+            // the ingested vectors land in the index's cid partitions
+            // WITH their counter rows in the same commit
+            // (IvfMaintenance.appendBatch) — so a fired re-center
+            // aggregates over data that INCLUDES them, and a crash
+            // mid-batch leaves neither rows nor counts
+            graft.operators.IvfMaintenance.appendBatch(bs, indexPath,
+              assigned.select("vec_id", "label", "embedding", "cid"),
+              assigned.groupBy("cid").count()
+                .withColumnRenamed("count", "rows"))
+            graft.operators.IvfMaintenance.maybeRetrain(bs, indexPath, dim)
           } finally assigned.unpersist()
         } else assigned.select("vec_id", "cid").write.mode("append")
           .parquet(sinkDir)
@@ -2267,11 +2232,11 @@ object SimilarityQueries {
       if (df.exists()) org.apache.commons.io.FileUtils.deleteDirectory(df)
     }
     var baseline =
-      if (monitor) distortionBaseline(pqCodebooksPath(pqPath)) else 0.0
+      if (monitor) IndexStore.baselineAt(s, pqPath) else 0.0
     runVecStream(s, feedDir, sinkDir, name) { (batch, batchId) =>
       val bs = batch.sparkSession
-      val cent = bs.read.parquet(ivfCentroidsPath(ivfPath))
-      val codebook = bs.read.parquet(pqCodebooksPath(pqPath))
+      val cent = IndexStore.centroidsAt(bs, ivfPath)
+      val codebook = IndexStore.codebookAt(bs, pqPath)
       // ONE definition of the nearest-centroid rule (assignTo); the
       // feed carries the vector's real label, stored in the sink row
       val cids = assignTo(batch, cent)
@@ -2302,9 +2267,12 @@ object SimilarityQueries {
               col("xnorm") +: codeCols): _*)
             .write.mode("append").parquet(sinkDir)
           // the production ingest: streamed rows land in the index's cid
-          // partitions (the same append the batch incremental path does)
+          // partitions as ONE append commit (the same append the batch
+          // incremental path does)
           if (appendToIndex)
-            encoded.write.mode("append").partitionBy("cid").parquet(pqPath)
+            IndexStore.append(bs, pqPath, Seq(IndexStore.DataRel ->
+              encoded.select((col("vec_id") +: col("cid") +:
+                col("label") +: col("xnorm") +: codeCols): _*)))
         } finally if (appendToIndex) encoded.unpersist()
         if (monitor) {
           // the streaming face of the PQ drift policy: each arriving
@@ -2312,14 +2280,12 @@ object SimilarityQueries {
           // O(batch) work, the trigger that says the frozen codebooks
           // stopped describing the firehose
           val rep = graft.operators.PqMaintenance.driftReportFromBaseline(
-            bs, pqCodebooksPath(pqPath), baseline,
+            bs, pqPath, baseline,
             batch.select("vec_id", "embedding"), shape = shape)
-          // the heal ALSO re-arms a crash inside a PRIOR hatch's
-          // inter-swap window (codes and codebooks from different
-          // generations live): the pending marker makes that state
-          // detectable, and re-running the idempotent hatch is the heal
-          val healing = heal.isDefined &&
-            (rep.retrain || pqRetrainPending(pqPath))
+          // (the pre-Delta hatch also had to re-arm a crash inside its
+          // inter-swap window here — that window no longer exists: the
+          // retrain is one atomic commit)
+          val healing = heal.isDefined && rep.retrain
           import bs.implicits._
           Seq((batchId, rep.appendedAvgDistortion, rep.ratio,
             rep.retrain, healing))
@@ -2331,7 +2297,7 @@ object SimilarityQueries {
               shape, packed = packed)
             // the retrain refreshed the persisted baseline; later
             // batches must be judged against the NEW generation
-            baseline = distortionBaseline(pqCodebooksPath(pqPath))
+            baseline = IndexStore.baselineAt(bs, pqPath)
           }
         }
       } finally if (monitor) batch.unpersist()

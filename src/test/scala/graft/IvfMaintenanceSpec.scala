@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.delta.{DeltaTable, IndexStore}
 import graft.operators.IvfMaintenance
 
-/** Drift policy for the incrementally-maintained IVF index: the trigger
-  * fires on a heavy append, re-centers exactly the touched centroids,
-  * and re-arms. Synthetic two-centroid index — the geometry is the
+/** Drift policy for the incrementally-maintained IVF index, over the
+  * Delta-backed index table: the trigger fires on a heavy append,
+  * re-centers exactly the touched centroids, and re-arms — each
+  * maintenance op ONE atomic commit across the data/centroid/counter
+  * relations. Synthetic two-centroid index — the geometry is the
   * point, not the scale.
   */
 class IvfMaintenanceSpec extends AnyFunSuite {
@@ -19,63 +22,77 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   private def vec(v: Double*): Seq[Double] = v
 
-  private def writeIndex(path: String,
-      rows: Seq[(Long, Long, Seq[Double])]): Unit = {
-    import spark.implicits._
-    rows.toDF("vec_id", "cid", "embedding")
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-  }
-
-  private def appendIndex(path: String,
-      rows: Seq[(Long, Long, Seq[Double])]): Unit = {
-    import spark.implicits._
-    rows.toDF("vec_id", "cid", "embedding")
-      .write.mode("append").partitionBy("cid").parquet(path)
-  }
-
   private def counts(rows: Seq[(Long, Long, Seq[Double])]) = {
     import spark.implicits._
     rows.groupBy(_._2).map { case (cid, rs) => (cid, rs.size.toLong) }
       .toSeq.toDF("cid", "rows")
   }
 
+  /** Found a synthetic index table: data rows + centroids + base
+    * counters, one commit (the shape every real build commits). The
+    * synthetic rows carry a constant label — the real index schema
+    * has one, and streamed appends write it. */
+  private def createIndex(path: String,
+      rows: Seq[(Long, Long, Seq[Double])],
+      centroids: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel ->
+        rows.toDF("vec_id", "cid", "embedding").select(
+          col("vec_id"), lit(0L).as("label"), col("embedding"), col("cid")),
+      IndexStore.CentroidRel -> centroids.toDF("cid", "cv"),
+      IndexStore.CountRel -> counts(rows)
+        .select(lit("base").as("kind"), col("cid"), col("rows"))))
+  }
+
+  private def appendRows(path: String,
+      rows: Seq[(Long, Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    IvfMaintenance.appendBatch(spark, path,
+      rows.toDF("vec_id", "cid", "embedding"), counts(rows))
+  }
+
+  private def centroidMap(path: String): Map[Long, Seq[Double]] =
+    IndexStore.centroidsAt(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  private def version(path: String): Long =
+    DeltaTable.forPath(spark, path).version
+
   test("drift trigger fires on a heavy append and re-centers only touched centroids") {
     val path = s"$tmp/ivf_maint_drift"
-    val cpath = path + "_centroids"
     // base: cid 0 around (1,0,0,0), cid 1 around (0,1,0,0)
     val base = Seq[(Long, Long, Seq[Double])](
       (1L, 0L, vec(1, 0, 0, 0)), (2L, 0L, vec(0.9, 0.1, 0, 0)),
       (3L, 0L, vec(1.1, -0.1, 0, 0)),
       (4L, 1L, vec(0, 1, 0, 0)), (5L, 1L, vec(0.1, 0.9, 0, 0)),
       (6L, 1L, vec(-0.1, 1.1, 0, 0)))
-    writeIndex(path, base)
-    import spark.implicits._
-    Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
-      .toDF("cid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(base))
+    createIndex(path, base,
+      Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))))
 
     // undrifted: nothing fires
     val quiet = IvfMaintenance.driftReport(spark, path)
     assert(!quiet.retrain && quiet.appendedRows == 0)
 
     // heavy append into cid 0 ONLY, pulled toward (1,1,0,0): local
-    // ratio 3/3 = 1.0 >> 0.2 — the trigger must fire for cid 0 alone
+    // ratio 3/3 = 1.0 >> 0.2 — the trigger must fire for cid 0 alone.
+    // appendBatch lands rows + counters in ONE commit.
+    val v0 = version(path)
     val batch = Seq[(Long, Long, Seq[Double])](
       (7L, 0L, vec(1, 1, 0, 0)), (8L, 0L, vec(1.2, 0.8, 0, 0)),
       (9L, 0L, vec(0.8, 1.2, 0, 0)))
-    appendIndex(path, batch)
-    IvfMaintenance.recordAppend(spark, path, counts(batch))
+    appendRows(path, batch)
+    assert(version(path) == v0 + 1, "append must be one commit")
 
     val fired = IvfMaintenance.driftReport(spark, path)
     assert(fired.retrain, s"expected trigger to fire: $fired")
     assert(fired.ratio > IvfMaintenance.DefaultRatioThreshold)
     assert(fired.touched == Seq(0L), s"touched = ${fired.touched}")
 
-    val report = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    val report = IvfMaintenance.maybeRetrain(spark, path, dim)
     assert(report.retrain)
-    val after = spark.read.parquet(cpath).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(version(path) == v0 + 2, "retrain must be one commit")
+    val after = centroidMap(path)
     // cid 1 untouched — bitwise identical routing vector
     assert(after(1L) == vec(0, 1, 0, 0))
     // cid 0 re-centered onto its partition's CURRENT mean (base+batch)
@@ -92,22 +109,16 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("untouched cids keep their append history across a retrain") {
     val path = s"$tmp/ivf_maint_fold"
-    val cpath = path + "_centroids"
     val base = (1L to 4L).map(i => (i, 0L, vec(1, 0, 0, 0))) ++
       (5L to 14L).map(i => (i, 1L, vec(0, 1, 0, 0)))
-    writeIndex(path, base)
-    import spark.implicits._
-    Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
-      .toDF("cid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(base))
+    createIndex(path, base,
+      Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))))
     // cid 0 crosses the bar (3/4 = 0.75); cid 1 stays under (1/10)
     val b1 = Seq[(Long, Long, Seq[Double])](
       (20L, 0L, vec(1, 1, 0, 0)), (21L, 0L, vec(1, 1, 0, 0)),
       (22L, 0L, vec(1, 1, 0, 0)), (23L, 1L, vec(0, 1, 0.2, 0)))
-    appendIndex(path, b1)
-    IvfMaintenance.recordAppend(spark, path, counts(b1))
-    val r1 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    appendRows(path, b1)
+    val r1 = IvfMaintenance.maybeRetrain(spark, path, dim)
     assert(r1.retrain && r1.touched == Seq(0L), s"$r1")
     // cid 1's below-bar append must SURVIVE the fold — its drift keeps
     // accumulating toward its own trigger instead of resetting
@@ -119,8 +130,7 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     // which only works because the history survived
     val b2 = Seq[(Long, Long, Seq[Double])](
       (24L, 1L, vec(0, 1, 0.3, 0)), (25L, 1L, vec(0, 1, 0.4, 0)))
-    appendIndex(path, b2)
-    IvfMaintenance.recordAppend(spark, path, counts(b2))
+    appendRows(path, b2)
     val r2 = IvfMaintenance.driftReport(spark, path)
     assert(r2.retrain && r2.touched.contains(1L), s"$r2")
   }
@@ -128,30 +138,40 @@ class IvfMaintenanceSpec extends AnyFunSuite {
   test("recordBase sums unaggregated duplicate-cid rows like recordAppend") {
     val path = s"$tmp/ivf_maint_dupes"
     import spark.implicits._
-    // per-partition (unaggregated) counts: cid 0 appears twice
+    createIndex(path, Seq((1L, 0L, vec(1, 0, 0, 0))),
+      Seq((0L, vec(1, 0, 0, 0))))
+    // per-partition (unaggregated) counts: cid 0 appears twice —
+    // recordBase replaces the founding ledger wholesale
     IvfMaintenance.recordBase(spark, path,
       Seq((0L, 3L), (0L, 2L), (1L, 4L)).toDF("cid", "rows"))
     val r = IvfMaintenance.driftReport(spark, path)
     assert(r.baseRows == 9, s"expected 3+2+4 summed, got $r")
   }
 
-  test("retrain survives a crash-consistent counter contract (state pointer)") {
-    val path = s"$tmp/ivf_maint_ptr"
+  test("counter ledger accrues one atomic commit per maintenance op " +
+    "and folds without losing history") {
+    val path = s"$tmp/ivf_maint_ledger"
     import spark.implicits._
+    createIndex(path, Seq((1L, 0L, vec(1, 0, 0, 0))),
+      Seq((0L, vec(1, 0, 0, 0))))
     IvfMaintenance.recordBase(spark, path,
       Seq((0L, 10L)).toDF("cid", "rows"))
+    val v0 = version(path)
     IvfMaintenance.recordAppend(spark, path,
       Seq((0L, 1L)).toDF("cid", "rows"))
     IvfMaintenance.recordAppend(spark, path,
       Seq((0L, 2L)).toDF("cid", "rows"))
-    // sequential read-modify-writes accumulate (no lost updates), and
-    // exactly one CURRENT pointer selects one live state version
+    // each op is exactly one commit; sequential read-modify-writes
+    // accumulate (no lost updates)
+    assert(version(path) == v0 + 2)
     val r = IvfMaintenance.driftReport(spark, path)
     assert(r.baseRows == 10 && r.appendedRows == 3, s"$r")
-    val maint = new java.io.File(path + "_maint")
-    assert(new java.io.File(maint, "CURRENT").exists())
-    val states = maint.listFiles().count(_.getName.startsWith("state_v"))
-    assert(states == 1, s"superseded state dirs must be swept, found $states")
+    // the ledger is time-travelable like any table state: before the
+    // second append, only one append row existed
+    val prior = DeltaTable.forPath(spark, path, Some(v0 + 1)).read
+      .where(col(IndexStore.RelCol) === IndexStore.CountRel)
+      .agg(sum(when(col("kind") === "append", col("rows")))).head.getLong(0)
+    assert(prior == 1, s"time travel read $prior appended rows")
   }
 
   test("streamed overload fires the drift trigger mid-stream and " +
@@ -159,20 +179,21 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.queries.SimilarityQueries
     val path = s"$tmp/ivf_maint_stream"
-    val cpath = path + "_centroids"
     // float-embedding index (the streamed feed schema is Array[Float],
-    // and appended files must share the base files' physical type)
+    // and appended rows must share the base rows' physical type)
     def vf(v: Float*): Seq[Float] = v
     val base: Seq[(Long, Long, Seq[Float])] =
       (1L to 4L).map(i => (i, 0L, vf(1f, 0f, 0f, 0f))) ++
       (5L to 14L).map(i => (i, 1L, vf(0f, 1f, 0f, 0f)))
-    base.toDF("vec_id", "cid", "embedding")
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
-      .toDF("cid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(
-      base.map { case (v, c, e) => (v, c, e.map(_.toDouble)) }))
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel -> base.toDF("vec_id", "cid", "embedding")
+        .select(col("vec_id"), lit(0L).as("label"), col("embedding"),
+          col("cid")),
+      IndexStore.CentroidRel ->
+        Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))).toDF("cid", "cv"),
+      IndexStore.CountRel -> counts(
+        base.map { case (v, c, e) => (v, c, e.map(_.toDouble)) })
+        .select(lit("base").as("kind"), col("cid"), col("rows"))))
     // firehose: two micro-batches of 3 vectors each, all landing in
     // cid 1 (y-component dominates) but pulled toward (0.6, 0.8) —
     // batch 1 alone crosses cid 1's per-cid bar (3/10 = 0.3 > 0.2),
@@ -202,8 +223,7 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(after.appendedRows == 0 && after.baseRows == 20, s"$after")
     // cid 1's routing vector moved onto its enlarged partition's mean;
     // cid 0 was never touched — bitwise identical
-    val cent = spark.read.parquet(cpath).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cent = centroidMap(path)
     assert(cent(0L) == vec(1, 0, 0, 0), s"cid0 moved: ${cent(0L)}")
     assert(cent(1L) != vec(0, 1, 0, 0), s"cid1 did not move: ${cent(1L)}")
     // recall on the re-centered index: a probe inside the overload mass
@@ -215,8 +235,7 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val probe = Seq(0.6, 0.8, 0.0, 0.0)
     val routed = cent.maxBy { case (cid, cv) => (dotp(cv, probe), -cid) }._1
     assert(routed == 1L)
-    val rows = spark.read.parquet(path)
-      .withColumn("cid", col("cid").cast("long")).collect()
+    val rows = IndexStore.data(spark, path).collect()
       .map(r => (r.getAs[Long]("vec_id"),
         r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble),
         r.getAs[Long]("cid")))
@@ -232,45 +251,35 @@ class IvfMaintenanceSpec extends AnyFunSuite {
   test("skew alerts when one partition dwarfs the average — report-only, " +
     "never a re-center (which could not fix it and would re-fire forever)") {
     val path = s"$tmp/ivf_maint_skew"
-    val cpath = path + "_centroids"
     // skew = max/avg is bounded by the partition count, so 5 partitions
     // shaped 100/1/1/1/1 (avg 20.8, skew ~4.8) cross the 4.0 default
     val rows = (1L to 100L).map(i => (i, 0L, vec(1, 0, 0, 0))) ++
       (1L to 4L).map(i => (100L + i, i, vec(0, i.toDouble, 0, 0)))
-    writeIndex(path, rows)
-    import spark.implicits._
-    (0L to 4L).map(c => (c, vec(if (c == 0) 1 else 0,
-        if (c == 0) 0 else c.toDouble, 0, 0)))
-      .toDF("cid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(rows))
+    createIndex(path, rows,
+      (0L to 4L).map(c => (c, vec(if (c == 0) 1 else 0,
+        if (c == 0) 0 else c.toDouble, 0, 0))))
     val r = IvfMaintenance.driftReport(spark, path)
     assert(r.skew > IvfMaintenance.DefaultSkewThreshold, s"skew = ${r.skew}")
     assert(r.skewAlert && r.skewCids == Seq(0L), s"$r")
-    // the alert points at the full-re-cluster escape hatch; it must NOT
+    // the alert points at the splitCell escape hatch; it must NOT
     // drive maybeRetrain — the fold leaves partition totals (and thus
     // skew) unchanged, so a skew-driven retrain could never re-arm
     assert(!r.retrain, s"skew alone drove a retrain: $r")
-    val before = spark.read.parquet(cpath).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    // pin FILE IDENTITY, not just content: a no-op rewrite (same values,
-    // new files) would pass a content check while still churning the
-    // live dir on every maybeRetrain call — the round-13 verdict's
-    // "never re-arms" failure shape
-    def centroidFiles() = new java.io.File(cpath).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.lastModified())).sortBy(_._1).toSeq
-    val filesBefore = centroidFiles()
-    val m1 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    val before = centroidMap(path)
+    // pin COMMIT identity, not just content: a no-op rewrite (same
+    // values, new commit) would pass a content check while still
+    // churning the table on every maybeRetrain call — the round-13
+    // verdict's "never re-arms" failure shape
+    val vBefore = version(path)
+    val m1 = IvfMaintenance.maybeRetrain(spark, path, dim)
     assert(!m1.retrain && m1.skewAlert, s"$m1")
-    val after = spark.read.parquet(cpath).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(after == before, "maybeRetrain rewrote centroids on skew alone")
-    assert(centroidFiles() == filesBefore,
-      "maybeRetrain touched the centroid files on a skew-only alert")
+    assert(centroidMap(path) == before,
+      "maybeRetrain rewrote centroids on skew alone")
+    assert(version(path) == vBefore,
+      "maybeRetrain committed on a skew-only alert")
     // and the alert KEEPS reporting (it is an alert, not a one-shot):
     // a second evaluation sees the same skew — still without a retrain
-    val m2 = IvfMaintenance.maybeRetrain(spark, path, cpath, dim)
+    val m2 = IvfMaintenance.maybeRetrain(spark, path, dim)
     assert(!m2.retrain && m2.skewAlert, s"$m2")
   }
 
@@ -280,7 +289,6 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     import graft.queries.{SimilarityQueries, T}
     // the incremental PQ fixture: codebooks trained on the BASE slice
     val (pqPath, _) = SimilarityQueries.pqIncrementalIndexWithIvf(spark, sf)
-    val cbPath = SimilarityQueries.pqCodebooksPath(pqPath)
     val emb = T.load(spark, sf, "embeddings")
     val base = emb.where(col("vec_id") % 10 =!= 7)
       .select("vec_id", "embedding")
@@ -288,7 +296,7 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       .select("vec_id", "embedding")
     // the fixture's appended slice is the SAME distribution as the
     // training data — quantizes about as well, no trigger
-    val same = PqMaintenance.driftReport(spark, cbPath, base, appended)
+    val same = PqMaintenance.driftReport(spark, pqPath, base, appended)
     assert(same.ratio < 1.5 && !same.retrain, s"$same")
     assert(same.baseAvgDistortion > 0.0)
     // a shifted batch (constant offset on every dimension) quantizes
@@ -296,18 +304,18 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     // and the trigger fires (the codebooks stopped describing the data)
     val shifted = appended.withColumn("embedding",
       expr("transform(embedding, x -> x + CAST(3.0 AS FLOAT))"))
-    val drift = PqMaintenance.driftReport(spark, cbPath, base, shifted)
+    val drift = PqMaintenance.driftReport(spark, pqPath, base, shifted)
     assert(drift.retrain && drift.ratio > 2.0, s"$drift")
     assert(drift.appendedAvgDistortion > same.appendedAvgDistortion)
     // production shape: baseline measured once, routine checks scan
     // only the appended slice — same verdicts from the stored number
-    val baseline = PqMaintenance.distortion(spark, cbPath, base)
+    val baseline = PqMaintenance.distortion(spark, pqPath, base)
     val fromBase = PqMaintenance.driftReportFromBaseline(
-      spark, cbPath, baseline, shifted)
+      spark, pqPath, baseline, shifted)
     assert(fromBase.retrain && fromBase.ratio == drift.ratio)
     // a quiet period (no arriving batch) reports, never crashes
     val quiet = PqMaintenance.driftReportFromBaseline(
-      spark, cbPath, baseline, appended.limit(0))
+      spark, pqPath, baseline, appended.limit(0))
     assert(!quiet.retrain && quiet.appendedAvgDistortion == 0.0, s"$quiet")
   }
 
@@ -335,17 +343,18 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val appDf = appRows.toDF("vec_id", "label", "embedding")
     val corpus = baseDf.unionByName(appDf)
     val path = s"$tmp/pq_escape"
-    val cbPath = SimilarityQueries.pqCodebooksPath(path)
     val cids = corpus.select(col("vec_id"), lit(0L).as("cid"))
     // original build: codebooks trained on BASE only (frozen-codebook
-    // ingest), whole corpus encoded against them
-    SimilarityQueries.pqTrainCodebooks(baseDf).coalesce(1)
-      .write.mode("overwrite").parquet(cbPath)
-    SimilarityQueries.pqEncode(corpus, spark.read.parquet(cbPath), cids)
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    val baseline0 = PqMaintenance.distortion(spark, cbPath,
-      baseDf.select("vec_id", "embedding"))
-    val fired = PqMaintenance.driftReportFromBaseline(spark, cbPath,
+    // ingest), whole corpus encoded against them — one founding commit
+    val cb0 = SimilarityQueries.pqTrainCodebooks(baseDf).localCheckpoint()
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel ->
+        SimilarityQueries.pqEncode(corpus, cb0, cids),
+      IndexStore.CodebookRel -> cb0,
+      IndexStore.MetaRel -> Seq(PqMaintenance.distortionOf(spark, cb0,
+        baseDf.select("vec_id", "embedding"))).toDF("baseline")))
+    val baseline0 = IndexStore.baselineAt(spark, path)
+    val fired = PqMaintenance.driftReportFromBaseline(spark, path,
       baseline0, appDf.select("vec_id", "embedding"))
     assert(fired.retrain && fired.ratio > 2.0, s"$fired")
 
@@ -368,10 +377,10 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val exactById = (baseRows ++ appRows)
       .map { case (id, _, v) => id -> v.map(_.toDouble) }.toMap
     def searchRecall(cand: Int): Double = {
-      val cb = spark.read.parquet(cbPath).collect()
+      val cb = IndexStore.codebookAt(spark, path).collect()
         .map(r => ((r.getAs[Int]("m"), r.getAs[Int]("code")),
           r.getSeq[Double](r.fieldIndex("cv")))).toMap
-      val pool = spark.read.parquet(path).collect()
+      val pool = IndexStore.data(spark, path).collect()
         .filter(_.getAs[Long]("vec_id") != probeId)
         .map { r =>
           val adc = (0 until PqM).map { m =>
@@ -386,16 +395,18 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     }
     val recallBefore = searchRecall(40)
 
-    // THE ESCAPE HATCH: retrain on the current corpus, re-encode, swap
+    // THE ESCAPE HATCH: retrain on the current corpus, re-encode — the
+    // whole new generation (codes + codebooks + baseline) lands as ONE
+    // replace commit: there is no cross-directory crash window left
+    val vBefore = version(path)
     SimilarityQueries.pqRetrainAndReEncode(spark, corpus, path, cids)
-    // both swaps completed -> the cross-directory crash marker is gone
-    assert(!SimilarityQueries.pqRetrainPending(path),
-      "retrain left its pending marker behind")
+    assert(version(path) == vBefore + 1,
+      "the retrain must be exactly one commit")
 
     // the persisted baseline refreshed with the new codebooks; the
     // same slice that fired is QUIET against the new generation
-    val baseline1 = SimilarityQueries.distortionBaseline(cbPath)
-    val after = PqMaintenance.driftReportFromBaseline(spark, cbPath,
+    val baseline1 = IndexStore.baselineAt(spark, path)
+    val after = PqMaintenance.driftReportFromBaseline(spark, path,
       baseline1, appDf.select("vec_id", "embedding"))
     assert(!after.retrain, s"still firing after retrain: $after")
     // and recall over the shifted region re-asserts the pinned floor
@@ -437,11 +448,10 @@ class IvfMaintenanceSpec extends AnyFunSuite {
   }
 
   test("skew escape hatch: splitCell re-clusters ONE fat cell into " +
-    "sub-cells, preserves every row, clears the alert, and is " +
-    "restartable across a crash") {
+    "sub-cells in ONE atomic commit, preserves every row, clears the " +
+    "alert, and a failed split leaves the table untouched") {
     import spark.implicits._
     val path = s"$tmp/split_index"
-    val cpath = s"$tmp/split_centroids"
     // 10 cells: one FAT (cid 0, 400 rows in 4 well-separated sub-groups
     // — a genuine split exists) + 9 small (10 rows each): skew =
     // 400 / 49 avg = 8.2 > 4.0
@@ -455,20 +465,20 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       val cid = 1L + i % 9
       (1000L + i, cid, vec(cid * 10.0, 1, 1, 1))
     }
-    writeIndex(path, fatRows ++ smallRows)
-    (Seq((0L, Seq.fill(dim)(0.05))) ++
-      (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1))))
-      .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(fatRows ++ smallRows))
+    createIndex(path, fatRows ++ smallRows,
+      Seq((0L, Seq.fill(dim)(0.05))) ++
+        (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1))))
     val before = IvfMaintenance.driftReport(spark, path)
     assert(before.skewAlert && before.skewCids == Seq(0L), s"$before")
 
-    val newCids = IvfMaintenance.splitCell(spark, path, cpath,
+    val vBefore = version(path)
+    val newCids = IvfMaintenance.splitCell(spark, path,
       cid = 0L, ways = 4, dim = dim)
     assert(newCids.length == 4 && newCids.forall(_ > 9L))
-    assert(!IvfMaintenance.splitPending(path, 0L))
-    val index = spark.read.parquet(path)
-      .withColumn("cid", col("cid").cast("long"))
+    // the split — data partition replacement, centroid patch, counter
+    // rewrite — is exactly ONE commit
+    assert(version(path) == vBefore + 1, "split must be one commit")
+    val index = IndexStore.data(spark, path)
     // nothing lost, nothing duplicated; the fat cell is gone
     assert(index.count() == 490)
     assert(index.select("vec_id").distinct().count() == 490)
@@ -478,9 +488,9 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(newCids.forall(c => occupancy.getOrElse(c, 0L) > 0L),
       s"empty sub-cell: $occupancy")
     assert(newCids.map(occupancy).sum == 400)
-    // centroid file patched: old id out, sub-cells in, others untouched
-    val cents = spark.read.parquet(cpath).collect()
-      .map(_.getLong(0)).toSet
+    // centroid relation patched IN THE SAME COMMIT: old id out,
+    // sub-cells in, others untouched
+    val cents = centroidMap(path).keySet
     assert(cents == (1L to 9L).toSet ++ newCids.toSet)
     // every row sits in its NEAREST sub-centroid (the assignTo rule):
     // with 4 disjoint hot-dim groups and 2 Lloyd passes the sub-cells
@@ -500,90 +510,63 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(!after.skewAlert, s"$after")
     assert(after.baseRows == 490)
 
-    // CRASH WINDOW: simulate a split that died after partially writing
-    // sub-cell partitions — marker present, old partition intact.
-    // Re-running the hatch discards the partial work and completes.
-    val path2 = s"$tmp/split_index_crash"
-    val cpath2 = s"$tmp/split_centroids_crash"
-    writeIndex(path2, fatRows ++ smallRows)
-    (Seq((0L, Seq.fill(dim)(0.05))) ++
-      (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1))))
-      .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(cpath2)
-    IvfMaintenance.recordBase(spark, path2, counts(fatRows ++ smallRows))
-    // fake the dead attempt: marker lists cid 10, which holds garbage
-    appendIndex(path2, Seq((9999L, 10L, vec(1, 1, 1, 1))))
-    java.nio.file.Files.write(
-      new java.io.File(s"${path2}_split_pending_0").toPath,
-      "10,11,12,13".getBytes("UTF-8"))
-    assert(IvfMaintenance.splitPending(path2, 0L))
-    val healed = IvfMaintenance.splitCell(spark, path2, cpath2,
-      cid = 0L, ways = 4, dim = dim)
-    assert(!IvfMaintenance.splitPending(path2, 0L))
-    val idx2 = spark.read.parquet(path2)
-      .withColumn("cid", col("cid").cast("long"))
-    // the garbage row from the dead attempt was discarded; the split
-    // completed cleanly
-    assert(idx2.count() == 490)
-    assert(idx2.where(col("vec_id") === 9999L).count() == 0)
-    assert(idx2.where(col("cid") === 0L).count() == 0)
-    assert(healed.length == 4)
+    // FAILURE ATOMICITY: a split that cannot proceed (more ways than
+    // rows in the cell) throws BEFORE any commit — version and content
+    // unchanged, nothing to heal, no partial state (the Delta-commit
+    // replacement for the old marker/roll-forward machinery: a crashed
+    // split never published anything)
+    val vAfter = version(path)
+    intercept[IllegalArgumentException] {
+      IvfMaintenance.splitCell(spark, path, cid = 1L, ways = 50, dim = dim)
+    }
+    assert(version(path) == vAfter, "failed split must not commit")
+    assert(IndexStore.data(spark, path).count() == 490)
   }
 
-  test("skew escape hatch rolls FORWARD when the crash landed after " +
-    "the old partition dropped: sub-cells are the only copy and must " +
-    "never be discarded") {
+  test("a reader resolved before a split keeps reading the OLD snapshot; " +
+    "time travel recovers it after — never a row under two cids") {
     import spark.implicits._
-    val path = s"$tmp/split_rollfwd"
-    val cpath = s"$tmp/split_rollfwd_centroids"
+    val path = s"$tmp/split_snapshot"
     def fatVec(i: Int): Seq[Double] = {
-      val g = i % 4
+      val g = i % 2
       Seq.tabulate(dim)(d =>
         (if (d == g) 50.0 else 0.0) + ((i * 7 + d) % 5) * 0.1)
     }
-    val fatRows = (0 until 400).map(i => (i.toLong, 0L, fatVec(i)))
-    val smallRows = (0 until 90).map { i =>
-      val cid = 1L + i % 9
-      (1000L + i, cid, vec(cid * 10.0, 1, 1, 1))
-    }
-    val preSplitCentroids = Seq((0L, Seq.fill(dim)(0.05))) ++
-      (1 to 9).map(c => (c.toLong, vec(c * 10.0, 1, 1, 1)))
-    writeIndex(path, fatRows ++ smallRows)
-    preSplitCentroids.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(fatRows ++ smallRows))
-    val newCids = IvfMaintenance.splitCell(spark, path, cpath,
-      cid = 0L, ways = 4, dim = dim)
-    // FABRICATE the post-drop crash state: the split physically
-    // completed its partition moves (old partition gone, sub-cells
-    // live) but the crash preceded the centroid swap and the counter
-    // fold — marker back, centroids and counters reverted
-    java.nio.file.Files.write(
-      new java.io.File(s"${path}_split_pending_0").toPath,
-      newCids.mkString(",").getBytes("UTF-8"))
-    preSplitCentroids.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(cpath)
-    IvfMaintenance.recordBase(spark, path, counts(fatRows ++ smallRows))
-    assert(IvfMaintenance.splitPending(path, 0L))
+    val fatRows = (0 until 100).map(i => (i.toLong, 0L, fatVec(i)))
+    val smallRows = (0 until 20).map(i => (500L + i, 1L + i % 2,
+      vec((1 + i % 2) * 10.0, 1, 1, 1)))
+    createIndex(path, fatRows ++ smallRows,
+      Seq((0L, Seq.fill(dim)(0.05)),
+        (1L, vec(10, 1, 1, 1)), (2L, vec(20, 1, 1, 1))))
+    val vPre = version(path)
+    // a concurrent probe: its snapshot (and file list) resolved NOW
+    val preSplitReader = IndexStore.data(spark, path)
+    val preCounts = () => preSplitReader.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    val healed = IvfMaintenance.splitCell(spark, path, cpath,
-      cid = 0L, ways = 4, dim = dim)
-    // the roll-forward finished the interrupted split: same sub-cells,
-    // NOTHING discarded
-    assert(healed.toSet == newCids.toSet)
-    assert(!IvfMaintenance.splitPending(path, 0L))
-    val index = spark.read.parquet(path)
-      .withColumn("cid", col("cid").cast("long"))
-    assert(index.count() == 490,
-      "roll-forward lost rows — the sub-cell partitions were the only copy")
-    assert(index.select("vec_id").distinct().count() == 490)
-    assert(index.where(col("cid") === 0L).count() == 0)
-    // centroid file re-patched (old id out, sub-cells in), counters
-    // re-folded — no phantom skew on the dropped cell
-    val cents = spark.read.parquet(cpath).collect()
-      .map(_.getLong(0)).toSet
-    assert(cents == (1L to 9L).toSet ++ newCids.toSet)
-    val rep = IvfMaintenance.driftReport(spark, path)
-    assert(rep.baseRows == 490 && !rep.skewAlert, s"$rep")
+    val newCids = IvfMaintenance.splitCell(spark, path,
+      cid = 0L, ways = 2, dim = dim)
+
+    // the pre-split reader still sees the OLD snapshot intact — the
+    // fat cell whole, no sub-cells, 120 rows exactly once (the commit
+    // only unlinked files logically; the probe's snapshot is immutable)
+    val oldView = preCounts()
+    assert(oldView.getOrElse(0L, 0L) == 100,
+      s"pre-split reader lost the fat cell: $oldView")
+    assert(newCids.forall(c => !oldView.contains(c)),
+      s"pre-split reader sees post-split cells: $oldView")
+    assert(oldView.values.sum == 120)
+    // a fresh reader sees the NEW snapshot only
+    val newView = IndexStore.data(spark, path).groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!newView.contains(0L) && newCids.forall(newView.contains))
+    assert(newView.values.sum == 120)
+    // and the pre-split state is recoverable by version (time travel)
+    val travel = DeltaTable.forPath(spark, path, Some(vPre)).read
+      .where(col(IndexStore.RelCol) === IndexStore.DataRel)
+      .groupBy("cid").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(travel.getOrElse(0L, 0L) == 100 && travel.values.sum == 120)
   }
 
   test("distortion fails loudly on a shape that mismatches the stored " +
@@ -593,28 +576,27 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     import graft.queries.SimilarityQueries.PqShape
     import graft.queries.T
     val (pqPath, _) = SimilarityQueries.pqIndexWithIvf(spark, sf)
-    val cbPath = SimilarityQueries.pqCodebooksPath(pqPath)
     val vecs = T.load(spark, sf, "embeddings")
       .select("vec_id", "embedding").limit(20)
     // the matching shape measures (sanity)
-    assert(PqMaintenance.distortion(spark, cbPath, vecs) > 0.0)
+    assert(PqMaintenance.distortion(spark, pqPath, vecs) > 0.0)
     // wrong m: the inner join on m would silently DROP the subspaces
     // the codebook lacks (under-counting distortion)
     val wrongM = intercept[IllegalArgumentException] {
-      PqMaintenance.distortion(spark, cbPath, vecs,
+      PqMaintenance.distortion(spark, pqPath, vecs,
         PqShape(dim = 64, m = 4, subDim = 16, k = 16))
     }
     assert(wrongM.getMessage.contains("subspace"), wrongM.getMessage)
     // wrong k: a shape claiming fewer codewords than stored would
     // measure against phantom extras (or, reversed, miss real ones)
     intercept[IllegalArgumentException] {
-      PqMaintenance.distortion(spark, cbPath, vecs,
+      PqMaintenance.distortion(spark, pqPath, vecs,
         PqShape(dim = 64, m = 8, subDim = 8, k = 8))
     }
     // wrong subDim: element_at past the stored cv length returns null
     // (non-ANSI) — rows would silently vanish from the average
     intercept[IllegalArgumentException] {
-      PqMaintenance.distortion(spark, cbPath, vecs,
+      PqMaintenance.distortion(spark, pqPath, vecs,
         PqShape(dim = 128, m = 8, subDim = 16, k = 16))
     }
   }

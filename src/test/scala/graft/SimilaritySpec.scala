@@ -35,7 +35,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"PQ recall@$k = $recall")
     // the scan relation carries NO vector column — PqM one-byte codes
     // (the 32x memory compression that IS the PQ scale path)
-    val codes = spark.read.parquet(SimilarityQueries.pqIndexPath(spark, sf))
+    val codes = graft.delta.IndexStore.data(spark,
+      SimilarityQueries.pqIndexPath(spark, sf))
     assert(!codes.schema.fieldNames.contains("embedding"))
     val codeFields = codes.schema.filter(_.name.matches("c\\d+"))
     assert(codeFields.size == SimilarityQueries.PqM)
@@ -89,7 +90,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perCol.nonEmpty && packed.toSeq == perCol.toSeq)
     // and the packed relation really is packed: one array column, no
     // c0..c7 byte columns
-    val schema = spark.read.parquet(
+    val schema = graft.delta.IndexStore.data(spark,
       SimilarityQueries.pqPackedIndexWithIvf(spark, sf)._1).schema
     assert(schema.fieldNames.contains("codes"))
     assert(!schema.fieldNames.exists(_.matches("c\\d+")))
@@ -114,7 +115,7 @@ class SimilaritySpec extends AnyFunSuite {
     // column, no per-column bytes) ...
     val (path, _) = graft.queries.SimilarityQueries
       .pqIncrementalPackedIndexWithIvf(spark, sf)
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.delta.IndexStore.data(spark, path).schema
     assert(schema.fieldNames.contains("codes"))
     assert(schema("codes").dataType.asInstanceOf[ArrayType]
       .elementType == ByteType)
@@ -124,9 +125,9 @@ class SimilaritySpec extends AnyFunSuite {
     val (colPath, _) = graft.queries.SimilarityQueries
       .pqIncrementalIndexWithIvf(spark, sf)
     def rows(p: String, codes: org.apache.spark.sql.Column) =
-      spark.read.parquet(p)
+      graft.delta.IndexStore.data(spark, p)
         .select(col("vec_id"), codes.as("codes"), col("xnorm"),
-          col("label"), col("cid").cast("long").as("cid"))
+          col("label"), col("cid"))
         .orderBy("vec_id").collect().map(_.toSeq)
     val fromCols = rows(colPath, array((0 until
       graft.queries.SimilarityQueries.PqM).map(m => col(s"c$m")): _*))
@@ -229,21 +230,19 @@ class SimilaritySpec extends AnyFunSuite {
     val k = 20
     val path = SimilarityQueries.ivfSplitIndexPath(spark, sf)
     val emb = graft.queries.T.load(spark, sf, "embeddings")
-    val index = spark.read.parquet(path)
-      .withColumn("cid", col("cid").cast("long"))
+    val index = graft.delta.IndexStore.data(spark, path)
     // nothing lost, nothing duplicated by the split
     assert(index.count() == emb.count())
     assert(index.select("vec_id").distinct().count() == emb.count())
     // the index's cids and the patched centroid set agree exactly, and
     // the split really happened: MORE centroids than the base build's
-    val cents = spark.read.parquet(
-      SimilarityQueries.ivfCentroidsPath(path))
+    val cents = graft.delta.IndexStore.centroidsAt(spark, path)
       .select("cid").collect().map(_.getLong(0)).toSet
     val used = index.select("cid").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(used.subsetOf(cents), s"unknown cids: ${used -- cents}")
-    val baseCents = spark.read.parquet(SimilarityQueries.ivfCentroidsPath(
-      SimilarityQueries.ivfIndexPath(spark, sf))).count()
+    val baseCents = graft.delta.IndexStore.centroidsAt(spark,
+      SimilarityQueries.ivfIndexPath(spark, sf)).count()
     assert(cents.size == baseCents + 1,
       s"expected ${baseCents + 1} centroids post-split, got ${cents.size}")
     // the split is LOCAL: the fat cell's rows re-assign among the new
@@ -251,9 +250,9 @@ class SimilaritySpec extends AnyFunSuite {
     // assignment of the identically-built base index (a boundary row
     // of another cell may now be nearer a sub-centroid — the accepted
     // local-split trade, same class as incremental centroid drift)
-    val baseAssign = spark.read.parquet(
+    val baseAssign = graft.delta.IndexStore.data(spark,
       SimilarityQueries.ivfIndexPath(spark, sf))
-      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .select(col("vec_id"), col("cid"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fatCid = baseAssign.groupBy(_._2).view.mapValues(_.size).toSeq
       .maxBy(t => (t._2, -t._1))._1
@@ -267,8 +266,7 @@ class SimilaritySpec extends AnyFunSuite {
       baseAssign(id) != fatCid && cid != baseAssign(id) }
     assert(movedOutside == 0, s"$movedOutside rows outside the fat cell moved")
     // fat-cell rows re-assigned by the nearest-sub-centroid rule
-    val subCentroids = spark.read.parquet(
-      SimilarityQueries.ivfCentroidsPath(path))
+    val subCentroids = graft.delta.IndexStore.centroidsAt(spark, path)
       .where(col("cid").isin(newCids.toSeq: _*))
     val recomputed = SimilarityQueries.assignTo(
       index.where(col("cid").isin(newCids.toSeq: _*))
@@ -304,27 +302,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"residual IVFADC recall@$k = $recall")
     val (path, ivfPath) = SimilarityQueries.pqResidualIndexWithIvf(spark, sf)
     // born packed: one array<byte> codes column, original-vector norm
-    val codes = spark.read.parquet(path)
+    val codes = graft.delta.IndexStore.data(spark, path)
     assert(codes.schema("codes").dataType.asInstanceOf[ArrayType]
       .elementType == ByteType)
     assert(!codes.schema.fieldNames.exists(_.matches("c\\d+")))
     // encode spot-check: recompute the residual quantization driver-side
     // for a handful of vectors — argmin of ||(x - centroid) - cw||^2 per
     // subspace, ties to the lower code — and compare to the STORED codes
-    val cb = spark.read.parquet(SimilarityQueries.pqCodebooksPath(path))
+    val cb = graft.delta.IndexStore.codebookAt(spark, path)
       .collect().map(r => ((r.getAs[Int]("m"), r.getAs[Int]("code")),
         r.getSeq[Double](r.fieldIndex("cv")))).toMap
     assert(cb.size == PqM * PqK)
-    val ctr = spark.read.parquet(
-      SimilarityQueries.ivfCentroidsPath(ivfPath)).collect()
+    val ctr = graft.delta.IndexStore.centroidsAt(spark, ivfPath).collect()
       .map(r => r.getAs[Long]("cid") ->
         r.getSeq[Double](r.fieldIndex("cv"))).toMap
     val emb = graft.queries.T.load(spark, sf, "embeddings")
       .collect().map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Float](r.fieldIndex("embedding"))).toMap
     val sample = codes.where(col("vec_id") % 97 === 0)
-      .select(col("vec_id"), col("cid").cast("long").as("cid"),
-        col("codes")).collect()
+      .select(col("vec_id"), col("cid"), col("codes")).collect()
     assert(sample.nonEmpty)
     sample.foreach { r =>
       val id = r.getAs[Long]("vec_id")
@@ -438,7 +434,7 @@ class SimilaritySpec extends AnyFunSuite {
     // parity: the streamed rows carry the FULL index shape and must
     // equal the batch build's rows for the same slice — same
     // centroids, same stored codebooks, same rules, same label/norm
-    val batchRows = cols(spark.read.parquet(indexPath)
+    val batchRows = cols(graft.delta.IndexStore.data(spark, indexPath)
       .where(col("vec_id") % 10 === 7)).collect()
     assert(streamed.length == batchRows.length && streamed.nonEmpty)
     assert(streamed.sameElements(batchRows),
@@ -476,7 +472,7 @@ class SimilaritySpec extends AnyFunSuite {
     val k = 20
     val (path, ivfPath) = SimilarityQueries.pqIncrementalIndexWithIvf(spark, sf)
     val emb = graft.queries.T.load(spark, sf, "embeddings")
-    val codes = spark.read.parquet(path)
+    val codes = graft.delta.IndexStore.data(spark, path)
     // nothing lost, nothing duplicated by the append
     assert(codes.count() == emb.count())
     assert(codes.select("vec_id").distinct().count() == emb.count())
@@ -485,8 +481,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(batchRows.count() == emb.where(col("vec_id") % 10 === 7).count())
     // every stored code cites a codeword the STORED codebooks define —
     // the appended batch cannot have invented codes of its own
-    val stored = spark.read.parquet(
-      SimilarityQueries.pqCodebooksPath(path))
+    val stored = graft.delta.IndexStore.codebookAt(spark, path)
       .select("m", "code").collect()
       .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).toSet
     val used = (0 until SimilarityQueries.PqM).flatMap { m =>
@@ -509,16 +504,14 @@ class SimilaritySpec extends AnyFunSuite {
     val k = 20
     val path = SimilarityQueries.ivfIncrementalIndexPath(spark, sf)
     val emb = graft.queries.T.load(spark, sf, "embeddings")
-    val index = spark.read.parquet(path)
+    val index = graft.delta.IndexStore.data(spark, path)
     // nothing lost, nothing duplicated by the append
     assert(index.count() == emb.count())
     assert(index.select("vec_id").distinct().count() == emb.count())
     // every appended vector landed in a cid the stored centroids define
-    val cids = spark.read.parquet(
-      SimilarityQueries.ivfCentroidsPath(path))
+    val cids = graft.delta.IndexStore.centroidsAt(spark, path)
       .select("cid").collect().map(_.getLong(0)).toSet
-    // cid is a hive partition column (inferred int); normalize to long
-    val usedCids = index.select(col("cid").cast("long")).distinct()
+    val usedCids = index.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(usedCids.subsetOf(cids), s"unknown cids: ${usedCids -- cids}")
     // batch membership: the % 10 == 7 slice is present and assigned
@@ -539,8 +532,7 @@ class SimilaritySpec extends AnyFunSuite {
     val streamed = SparkEntry.queries("q_stream_ann_ingest")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val indexPath = SimilarityQueries.ivfIndexPath(spark, sf)
-    val cent = spark.read.parquet(
-      SimilarityQueries.ivfCentroidsPath(indexPath))
+    val cent = graft.delta.IndexStore.centroidsAt(spark, indexPath)
     val batch = SimilarityQueries.assignTo(
       graft.streaming.VecsStream.batchVecs(spark, sf)
         .withColumn("label", lit(0)), cent)
@@ -678,7 +670,7 @@ class SimilaritySpec extends AnyFunSuite {
       "a cluster's lowest vec_id was marked as a duplicate")
     // every marked dup must have a qualifying LOWER-id neighbor in its
     // own cluster (spot-check the dup set against a direct recompute)
-    val index = spark.read.parquet(
+    val index = graft.delta.IndexStore.data(spark,
       SimilarityQueries.ivfIndexPath(spark, sf))
     val a = index.select(col("cid"), col("vec_id").as("va"),
       col("embedding").as("ea"))

@@ -379,17 +379,18 @@ class StreamingSpec extends AnyFunSuite {
     val path = s"$tmp/pq_heal_index"
     val ivfPath = s"$tmp/ivf"
     // single coarse cell — the coarse prune is not under test here
+    // plain `(cid, cv)` sibling dir — the rehearsal-layout fallback
+    // IndexStore.centroidsAt accepts beside Delta-backed tables
     Seq((0L, Seq.fill(vdim)(0.0))).toDF("cid", "cv")
-      .coalesce(1).write.parquet(
-        SimilarityQueries.ivfCentroidsPath(ivfPath))
+      .coalesce(1).write.parquet(ivfPath + "_centroids")
     def cidsOf(df: org.apache.spark.sql.DataFrame) =
       df.select(col("vec_id"), lit(0L).as("cid"))
     // initial build via the idempotent hatch: codebooks trained on the
     // BASE corpus, codes + persisted distortion baseline
     SimilarityQueries.pqRetrainAndReEncode(spark, baseDf, path,
       cidsOf(baseDf))
-    val cbPath = SimilarityQueries.pqCodebooksPath(path)
-    val baseline0 = SimilarityQueries.distortionBaseline(cbPath)
+    val baseline0 = SimilarityQueries.distortionBaseline(spark, path)
+    val vAfterBuild = graft.delta.DeltaTable.forPath(spark, path).version
     // the firehose: calm batch, SHIFTED batch (fires mid-stream),
     // another shifted batch (must encode against the NEW generation)
     val feedDir = s"$tmp/feed"
@@ -421,14 +422,16 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getBoolean(0), r.getBoolean(1)))
     assert(log.toSeq == Seq((false, false), (true, true), (false, false)),
       s"drift/heal sequence diverged: ${log.toSeq}")
-    // both swaps completed — no crash window left behind
-    assert(!SimilarityQueries.pqRetrainPending(path))
+    // the heal is ONE atomic replace commit (no cross-directory crash
+    // window exists to re-arm): 3 batch appends + 1 heal = 4 commits
+    assert(graft.delta.DeltaTable.forPath(spark, path).version ==
+      vAfterBuild + 4)
     // the baseline was refreshed by the mid-stream retrain
-    assert(SimilarityQueries.distortionBaseline(cbPath) != baseline0)
+    assert(SimilarityQueries.distortionBaseline(spark, path) != baseline0)
     // the index holds the WHOLE corpus coherently: the heal re-encoded
     // base+b1+b2, the post-heal batch appended against the new
     // codebooks — nothing lost, nothing duplicated
-    val index = spark.read.parquet(path)
+    val index = graft.delta.IndexStore.data(spark, path)
     assert(index.count() == 400 &&
       index.select("vec_id").distinct().count() == 400)
     // post-stream search recall from inside the shifted region, through
@@ -447,7 +450,7 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (id, _, v) => (id, cos(v.map(_.toDouble), probe)) }
       .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
     val got = SimilarityQueries.annPqSearch(spark, corpus, path,
-      SimilarityQueries.ivfCentroidsPath(ivfPath), probeId = probeId,
+      ivfPath, probeId = probeId,
       k = k, nprobe = 1, cand = 64)
       .collect().map(_.getLong(0)).toSet
     val recall = (trueTop intersect got).size.toDouble / k
