@@ -185,6 +185,28 @@ object IndexStore {
     rel(s, path, CountRel)
       .select(col("kind"), col("cid").cast(LongType).as("cid"), col("rows"))
 
+  /** Exact row count of one relation from the log's per-file numRecords
+    * stats — zero data files opened (the Snapshot.statsRowCount rule,
+    * scoped to one rel's partition). None for plain-parquet layouts or
+    * when any file lacks the stat. Feeds the centroid-broadcast size
+    * gate: at production nlist the centroid relation is a real table,
+    * and whether it fits under the broadcast threshold must be decided
+    * from metadata, not by assuming it always does. */
+  def relRowCount(s: SparkSession, path: String,
+      relName: String): Option[Long] = {
+    if (!isDeltaTable(path)) return None
+    val a = DeltaTable.forPath(s, path).allFiles
+      .where(element_at(col("partitionValues"), RelCol) === relName)
+      .agg(count(lit(1)).as("files"),
+        count(get_json_object(col("stats"), "$.numRecords")).as("withStats"),
+        sum(get_json_object(col("stats"), "$.numRecords").cast("long"))
+          .as("rows"))
+      .head
+    if (a.getLong(0) == 0L) Some(0L)
+    else if (a.getLong(1) == a.getLong(0)) Some(a.getLong(2))
+    else None
+  }
+
   /** The scalar metadata row (distortion baseline) of a PQ table. */
   def baselineAt(s: SparkSession, path: String): Double =
     if (isDeltaTable(path))

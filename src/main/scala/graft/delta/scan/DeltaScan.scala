@@ -321,11 +321,19 @@ object DeltaScan {
         // large-DV path: ship descriptors, decode IN THE TASKS that
         // read each file (per-executor bounded cache) — driver memory
         // stays O(files) and decode work lands where the rows are read,
-        // the executor-side placement production Delta readers use
-        val keep = udf(DvTaskFilter.keepFunc(
-          qualifiedTable.toUri.toString, dvDescriptors,
-          new DvTaskFilter.SerHadoopConf(hconf)))
-        df = df.where(keep(col("__fkey"), col("__row_index")))
+        // the executor-side placement production Delta readers use.
+        // The probe is a NATIVE expression (DvKeep): one generated
+        // method call per row inside the fused stage, where the Scala
+        // UDF it replaced fenced whole-stage codegen on exactly the
+        // path with the most rows
+        val keep = org.apache.spark.sql.graftshim.Shims.column(
+          DvKeep(
+            org.apache.spark.sql.graftshim.Shims.expression(col("__fkey")),
+            org.apache.spark.sql.graftshim.Shims.expression(
+              col("__row_index")),
+            qualifiedTable.toUri.toString, dvDescriptors,
+            new DvTaskFilter.SerHadoopConf(hconf)))
+        df = df.where(keep)
       }
     }
 

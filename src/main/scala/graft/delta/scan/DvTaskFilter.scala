@@ -98,22 +98,29 @@ object DvTaskFilter {
       val bm =
         if (l != null && l._1 == fkey) l._2
         else {
-          val resolved = descriptors.get(fkey) match {
-            case None => null
-            case Some(d) =>
-              cached(s"$tableUri#${d.uniqueId}",
-                math.max(d.sizeInBytes.toLong, 64L)) {
-                val table = new Path(new java.net.URI(tableUri))
-                // "i" inline decodes from the descriptor; fs is only
-                // dereferenced for on-disk storage types
-                val fs = table.getFileSystem(conf.conf)
-                DvBitmap.load(fs, table, d)
-              }
-          }
+          val resolved = bitmapFor(tableUri, descriptors, conf, fkey).orNull
           last = (fkey, resolved)
           resolved
         }
       bm == null || !bm.contains(rowIndex)
     }
   }
+
+  /** Resolve one file's decoded bitmap through the per-JVM cache —
+    * None when the file carries no DV. Shared by [[keepFunc]] and the
+    * codegen'd [[DvKeep]] expression (both memo the answer per file
+    * boundary, so this runs once per file per task, not per row). */
+  def bitmapFor(tableUri: String,
+      descriptors: Map[String, DeletionVectorDescriptor],
+      conf: SerHadoopConf, fkey: String): Option[DvBitmap.Bitmap] =
+    descriptors.get(fkey).map { d =>
+      cached(s"$tableUri#${d.uniqueId}",
+        math.max(d.sizeInBytes.toLong, 64L)) {
+        val table = new Path(new java.net.URI(tableUri))
+        // "i" inline decodes from the descriptor; fs is only
+        // dereferenced for on-disk storage types
+        val fs = table.getFileSystem(conf.conf)
+        DvBitmap.load(fs, table, d)
+      }
+    }
 }

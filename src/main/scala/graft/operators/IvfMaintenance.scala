@@ -214,6 +214,41 @@ object IvfMaintenance {
     rep
   }
 
+  /** When to split a fat cell automatically: a cell whose occupancy
+    * exceeds `budget` — the probe-side RERANK budget (`cand`) — stops
+    * holding recall, because ADC ranking error is absorbed only by the
+    * exact rerank and the rerank sees `cand` rows per probe: once one
+    * cell holds more near-neighbors than cand, the pool truncates
+    * before the rerank (the PqResidualProbe finding: recall dies
+    * exactly when occupancy >> cand). That makes occupancy-vs-budget
+    * the principled auto-split trigger — the bare max/avg skew ratio
+    * alerts (it is shape information) but a uniformly-grown index with
+    * every cell past the budget has skew 1.0 and still needs splits.
+    * `maxWays` bounds one cell's split fan-out per pass (a cell that
+    * needs more shrinks again on the next pass — each pass is O(cell)). */
+  final case class SplitPolicy(budget: Long, maxWays: Int = 16) {
+    require(budget >= 1 && maxWays >= 2, s"degenerate policy: $this")
+  }
+
+  /** Evaluate [[SplitPolicy]] against the counter ledger and split
+    * every cell over budget — the auto-wired face of the skew escape
+    * hatch (the maintenance loop calls this between micro-batches the
+    * way it calls [[maybeRetrain]]). Each split is one atomic commit;
+    * the scan is counters-only until a cell actually fires. Returns
+    * (fat cid -> its new sub-cids), empty when nothing fired. */
+  def maybeSplit(spark: SparkSession, indexPath: String, dim: Int,
+      policy: SplitPolicy): Map[Long, Seq[Long]] = opLock.synchronized {
+    val state = loadState(spark, indexPath)
+    val fat = state.toSeq
+      .collect { case (cid, (b, a)) if b + a > policy.budget => (cid, b + a) }
+      .sortBy(_._1)
+    fat.map { case (cid, occ) =>
+      val ways = math.min(policy.maxWays,
+        math.ceil(occ.toDouble / policy.budget).toInt).max(2)
+      cid -> splitCell(spark, indexPath, cid, ways, dim)
+    }.toMap
+  }
+
   /** The SKEW escape hatch: re-cluster ONE oversized cell into `ways`
     * sub-cells. Skew is the one drift signal re-centering cannot fix
     * (moving a centroid never shrinks its partition), and the

@@ -658,6 +658,47 @@ object SimilarityQueries {
         cand = PqCand)
     },
 
+    // Incrementally-maintained RESIDUAL IVFADC: the full Jégou
+    // construction through the production ingest path — codebooks
+    // train on the BASE slice's residuals, the arriving batch
+    // residual-encodes against the STORED codebooks + centroid set and
+    // appends in one commit (the construction is read from the table's
+    // meta tag, so the append can never mix raw codes in). The oracle
+    // replays the whole decomposition search against the materialized
+    // post-append index — it verifies both the batch's residual codes
+    // and that resident codes survived the append intact.
+    Q("q_sim_ann_pq_residual_incr",
+      pqResidualOracleSql(PqResidualIncrOracleAlias, k = 20, probeId = 0,
+        nprobe = 8, cand = PqCand)) { (s, dir) =>
+      val (path, ivfPath) = pqResidualIncrementalIndexWithIvf(s, dir)
+      annPqResidualSearch(s, load(s, dir, "embeddings"), path, ivfPath,
+        probeId = 0, k = 20, nprobe = 8, cand = PqCand)
+    },
+
+    // STREAMING RESIDUAL ingest: the firehose against a residual-
+    // constructed index — each micro-batch coarse-places, subtracts
+    // its assigned centroid, and encodes the RESIDUAL against the
+    // stored codebooks (the construction read from the index's meta
+    // tag per batch), appending packed rows to the sink. The oracle
+    // recomputes every placement and every residual code relationally
+    // — argmin of the identical left-assoc squared L2 over
+    // (CAST(x) - centroid) - codeword, ties to the lower code.
+    Q("q_stream_pq_ingest_residual", streamPqIngestResidualOracleSql) {
+      (s, dir) =>
+        val (pqPath, ivfPath) = pqResidualIncrementalIndexWithIvf(s, dir)
+        val feed = graft.streaming.VecsStream.feedDir(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val sink = s"target/stream_pq_residual_sink_$tag"
+        streamPqIngest(s, feed, pqPath, ivfPath, sink,
+          s"stream_pq_residual_$tag", packed = true)
+        val codeCols = (0 until PqM).map(m =>
+          element_at(col("codes"), m + 1).as(s"c$m"))
+        s.read.parquet(sink)
+          .select((col("vec_id") +: col("cid") +: col("label") +:
+            col("xnorm") +: codeCols): _*)
+          .orderBy("vec_id")
+    },
+
     // semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
     // k-means-cluster the embedding space, then mark near-duplicates
     // ONLY within each cluster — pairwise cosine cost drops from O(n²)
@@ -749,6 +790,11 @@ object SimilarityQueries {
   /** Alias family for the RESIDUAL IVFADC index (q_sim_ann_pq_residual). */
   final val PqResidualOracleAlias =
     "/root/repo/target/delta_fixtures/pq_residual_current"
+
+  /** Alias family for the incrementally-maintained RESIDUAL index
+    * (q_sim_ann_pq_residual_incr). */
+  final val PqResidualIncrOracleAlias =
+    "/root/repo/target/delta_fixtures/pq_residual_incr_current"
 
   /** Alias family for the post-SPLIT IVF index (q_sim_ann_split). */
   final val IvfSplitOracleAlias =
@@ -925,6 +971,53 @@ object SimilarityQueries {
     * ingested VALUES are identical by construction (pqEncode packs the
     * same aggregation), only the storage differs, and the packed query
     * unpacks for the compare. */
+  /** The streamed RESIDUAL ingest replayed in DuckDB: every coarse
+    * placement (argmax dot, ties to the lower cid) and every residual
+    * code — argmin of the identical left-assoc squared L2 between
+    * `(CAST(x) - centroid) - codeword` sub-slices, ties to the lower
+    * code — recomputed relationally against the stored centroids and
+    * codebooks. The stored norm is the ORIGINAL vector's (the cosine
+    * rank metric; residual codes cannot carry it). */
+  private def streamPqIngestResidualOracleSql: String =
+    s"""WITH batch AS (
+       |  SELECT vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 10 = 7
+       |), ranked AS (
+       |  SELECT b.vec_id, CAST(c.cid AS BIGINT) AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY (${dotSql("c.cv", "b.embedding")}) DESC, c.cid)
+       |      AS rk
+       |  FROM read_parquet('${PqResidualIncrOracleAlias}_centroids/*.parquet') c
+       |  CROSS JOIN batch b
+       |), coarse AS (
+       |  SELECT vec_id, cid FROM ranked WHERE rk = 1
+       |), dist AS (
+       |  SELECT b.vec_id, cb.m, cb.code,
+       |    row_number() OVER (PARTITION BY b.vec_id, cb.m
+       |      ORDER BY ${(1 to PqSubDim).map { i =>
+             val r = s"(CAST(b.embedding[cb.m * $PqSubDim + $i] AS DOUBLE)" +
+               s" - ct.cv[cb.m * $PqSubDim + $i])"
+             s"($r - cb.cv[$i]) * ($r - cb.cv[$i])"
+           }.mkString(" + ")} ASC, cb.code) AS drk
+       |  FROM read_parquet('${PqResidualIncrOracleAlias}_codebooks/*.parquet') cb
+       |  CROSS JOIN batch b
+       |  JOIN coarse c ON c.vec_id = b.vec_id
+       |  JOIN read_parquet('${PqResidualIncrOracleAlias}_centroids/*.parquet') ct
+       |    ON CAST(ct.cid AS BIGINT) = c.cid
+       |), best AS (
+       |  SELECT vec_id, m, code FROM dist WHERE drk = 1
+       |)
+       |SELECT c.vec_id, c.cid, bt.label,
+       |  ${normSql("bt.embedding")} AS xnorm,
+       |  ${(0 until PqM).map(m =>
+           s"CAST(max(CASE WHEN b.m = $m THEN b.code END) AS TINYINT) AS c$m")
+           .mkString(",\n  ")}
+       |FROM coarse c
+       |JOIN best b USING (vec_id)
+       |JOIN batch bt USING (vec_id)
+       |GROUP BY c.vec_id, c.cid, bt.label, bt.embedding
+       |ORDER BY c.vec_id""".stripMargin
+
   private def streamPqIngestOracleSql: String =
     s"""WITH batch AS (
        |  SELECT vec_id, embedding, label
@@ -1099,17 +1192,70 @@ object SimilarityQueries {
   private def deltaDoneMarker(path: String): java.io.File =
     new java.io.File(path, "_delta_log/00000000000000000000.json")
 
+  /** Bytes-per-row estimate for a (cid, cv) centroid row at `dim`. */
+  private def centroidBytes(dim: Int): Long = dim.toLong * 8 + 80
+
+  /** True when `rows` centroid rows fit under the session broadcast
+    * threshold (unknown row counts — `rows < 0` — keep the broadcast:
+    * the fixture/default shape). */
+  private def centroidsFit(s: SparkSession, rows: Long, dim: Int): Boolean = {
+    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    rows < 0 || threshold <= 0 || rows * centroidBytes(dim) <= threshold
+  }
+
+  /** The centroid side of a coarse-ranking cross join, size-gated: at
+    * production nlist (10^5-10^6 x dim 512) the centroid relation is
+    * hundreds of MB-GB — past any broadcast threshold and a driver/
+    * executor OOM if hinted unconditionally. Over the threshold the
+    * join is FORCED to the shuffle-replicate nested loop (Catalyst's
+    * own estimate of an in-memory relation can undershoot and re-pick
+    * broadcast — the exact OOM the gate exists to prevent); the
+    * ranking work is the same O(probes x nlist) dot products either
+    * way, executed against a partitioned centroid relation instead of
+    * one resident copy per executor. */
+  private def gatedCentroidSide(s: SparkSession, centroids: DataFrame,
+      rows: Long, dim: Int): DataFrame =
+    if (centroidsFit(s, rows, dim)) broadcast(centroids)
+    else centroids.hint("shuffle_replicate_nl")
+
   /** Nearest-centroid assignment of `df` against `centroids` — the one
-    * plan shape both the full build and incremental maintenance use:
-    * broadcast the (tiny) centroid set, max_by over the dot products
-    * (ties broken by lower cid for determinism). */
-  private[graft] def assignTo(df: DataFrame, centroids: DataFrame): DataFrame =
-    df.crossJoin(broadcast(centroids))
-      .withColumn("sim", dot(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
-        first("label").as("label"),
-        first("embedding").as("embedding"))
+    * plan shape the full build, incremental maintenance, and streaming
+    * ingest all use: max_by over the dot products (ties broken by
+    * lower cid for determinism).
+    *
+    * `centroidRows` size-gates the centroid side (pass
+    * IndexStore.relRowCount's stats answer; negative = unknown = keep
+    * the broadcast, the fixture shape). Under the session threshold
+    * the centroid set broadcasts; over it, the assignment runs as a
+    * shuffle-replicate nested loop over a VECTOR-FREE scoring
+    * projection — the partial aggregation reduces each (corpus
+    * partition x centroid slice) task to one (vec_id, cid, sim) row
+    * per vector before the shuffle, so shuffled bytes are
+    * O(n x centroidPartitions x 32B), never embeddings — and the
+    * carried label/embedding columns re-attach by one equi-join. Same
+    * max_by tie rule on both paths (lexicographic (sim, -cid) max is
+    * associative), so the two shapes are value-identical. */
+  private[graft] def assignTo(df: DataFrame, centroids: DataFrame,
+      centroidRows: Long = -1L, dim: Int = Dim): DataFrame = {
+    val s = df.sparkSession
+    if (centroidsFit(s, centroidRows, dim))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("sim", dot(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+          first("label").as("label"),
+          first("embedding").as("embedding"))
+    else {
+      val scored = df.select(col("vec_id"), col("embedding"))
+        .crossJoin(centroids.hint("shuffle_replicate_nl"))
+        .withColumn("sim", dot(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+      df.select(col("vec_id"), col("label"), col("embedding"))
+        .join(scored, Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("label"), col("embedding"))
+    }
+  }
 
   /** Incrementally-maintained IVF index: the base corpus (vec_id % 10
     * != 7) builds centroids + index exactly like ivfIndexPath; the
@@ -1241,18 +1387,36 @@ object SimilarityQueries {
     * IndexStore.codebookAt accepts both). */
   def pqCodebooksPath(indexPath: String): String = indexPath + "_codebooks"
 
-  /** The training-time distortion baseline rides IN the PQ table as a
-    * `rel=meta` row — committed with the codebooks it measures, so
-    * baseline and codebooks can never version apart. Constant per
-    * codebook build, measured once so routine drift checks scan only
-    * the arriving slice (the IvfMaintenance recordBase pattern). */
+  /** The training-time distortion baseline and the index's CODE
+    * CONSTRUCTION ("raw" | "residual") ride IN the PQ table as one
+    * `rel=meta` row — committed with the codebooks they describe, so
+    * neither can version apart from the codes. The construction tag
+    * makes the index self-describing to every append path: an ingest
+    * that encoded raw vectors into a residual index (or vice versa)
+    * would silently mix constructions — ADC would score one family's
+    * codes with the other family's decomposition — so append paths
+    * read the tag instead of trusting a caller flag. */
   private def baselinePart(s: SparkSession, codebook: DataFrame,
       trainingSlice: DataFrame,
-      shape: PqShape = DefaultPqShape): (String, DataFrame) = {
+      shape: PqShape = DefaultPqShape,
+      construction: String = ConstructionRaw): (String, DataFrame) = {
     import s.implicits._
     val v = graft.operators.PqMaintenance.distortionOf(
       s, codebook, trainingSlice.select("vec_id", "embedding"), shape)
-    IndexStore.MetaRel -> Seq(v).toDF("baseline")
+    IndexStore.MetaRel -> Seq((v, construction))
+      .toDF("baseline", "construction")
+  }
+
+  final val ConstructionRaw = "raw"
+  final val ConstructionResidual = "residual"
+
+  /** The stored code construction of a PQ table ("raw" when the meta
+    * row predates the tag — every raw fixture). */
+  def constructionOf(s: SparkSession, pqPath: String): String = {
+    val meta = IndexStore.rel(s, pqPath, IndexStore.MetaRel)
+    if (!meta.columns.contains("construction")) ConstructionRaw
+    else Option(meta.select("construction").head.getString(0))
+      .getOrElse(ConstructionRaw)
   }
 
   /** The persisted training-time baseline of a PQ table. */
@@ -1456,7 +1620,9 @@ object SimilarityQueries {
               col("cid")),
           IndexStore.CodebookRel -> IndexStore.codebookAt(s, codesPath),
           IndexStore.MetaRel ->
-            Seq(IndexStore.baselineAt(s, codesPath)).toDF("baseline")))
+            Seq((IndexStore.baselineAt(s, codesPath),
+              constructionOf(s, codesPath)))
+              .toDF("baseline", "construction")))
         writeIndexStamp(path, sig)
       }
       refreshPqMirror(s, path, ivfPath, PqPackedOracleAlias)
@@ -1500,12 +1666,83 @@ object SimilarityQueries {
           IndexStore.DataRel -> pqEncode(resid, cb, pqCids(s, ivfPath),
             packed = true, normOf = Some(emb)),
           IndexStore.CodebookRel -> cb,
-          baselinePart(s, cb, resid)))
+          baselinePart(s, cb, resid,
+            construction = ConstructionResidual)))
         writeIndexStamp(path, sig)
       }
       refreshPqMirror(s, path, ivfPath, PqResidualOracleAlias)
       (path, ivfPath)
     }
+  }
+
+  /** Incrementally-maintained RESIDUAL IVFADC index: the full Jégou
+    * construction meets the production ingest path. Codebooks train on
+    * the BASE slice's residuals (x − centroid(x) against the
+    * incremental coarse index's stored centroids); the base encodes
+    * and materializes; the arriving batch is then APPENDED by
+    * residual-encoding against the SAME stored codebooks and centroid
+    * set — the construction the batch encodes under is read from the
+    * table's meta tag, never assumed, so an append can never silently
+    * mix raw codes into a residual index. Packed layout (residual
+    * indexes are born in the production layout). */
+  def pqResidualIncrementalIndexWithIvf(s: SparkSession, dir: String):
+      (String, String) = {
+    val sf = new java.io.File(dir).getName
+    val path =
+      s"/root/repo/target/delta_fixtures/$sf/pq_index_residual_incr"
+    this.synchronized {
+      val ivfPath = ivfIncrementalIndexPath(s, dir)
+      // v0 = base build, v1 = the incremental append commit
+      val success = new java.io.File(path,
+        "_delta_log/00000000000000000001.json")
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
+        val emb = load(s, dir, "embeddings")
+        val base = emb.where(col("vec_id") % 10 =!= 7)
+        val batch = emb.where(col("vec_id") % 10 === 7)
+        val cent = IndexStore.centroidsAt(s, ivfPath)
+        val cids = pqCids(s, ivfPath)
+        val baseResid = residualsAgainst(base, cids, cent).localCheckpoint()
+        val cb = pqTrainCodebooks(baseResid).localCheckpoint()
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> pqEncode(baseResid, cb, cids,
+            packed = true, normOf = Some(base)),
+          IndexStore.CodebookRel -> cb,
+          baselinePart(s, cb, baseResid,
+            construction = ConstructionResidual)))
+        // the incremental step: residual-encode ONLY the batch against
+        // the stored codebooks + centroids, one append commit. The
+        // construction comes from the table's own tag — the guard the
+        // ingest paths share.
+        appendPqBatch(s, path, ivfPath, batch)
+        writeIndexStamp(path, sig)
+      }
+      refreshPqMirror(s, path, ivfPath, PqResidualIncrOracleAlias)
+      (path, ivfPath)
+    }
+  }
+
+  /** Append an arriving batch of RAW vectors into a PQ index table,
+    * encoding under the table's OWN stored construction (the meta tag):
+    * raw tables encode the vectors, residual tables subtract each
+    * vector's assigned centroid first — one shared entry point, so no
+    * ingest path can mix constructions. One append commit. */
+  def appendPqBatch(s: SparkSession, pqPath: String, ivfPath: String,
+      batch: DataFrame, shape: PqShape = DefaultPqShape,
+      packed: Boolean = true): Unit = {
+    val cent = IndexStore.centroidsAt(s, ivfPath)
+    val nlist = IndexStore.relRowCount(s, ivfPath,
+      IndexStore.CentroidRel).getOrElse(-1L)
+    val cids = assignTo(batch, cent, nlist, shape.dim)
+      .select(col("vec_id"), col("cid"))
+    val cb = IndexStore.codebookAt(s, pqPath)
+    val toEncode = constructionOf(s, pqPath) match {
+      case ConstructionResidual => residualsAgainst(batch, cids, cent)
+      case _ => batch
+    }
+    IndexStore.append(s, pqPath, Seq(IndexStore.DataRel ->
+      pqEncode(toEncode, cb, cids, shape, packed = packed,
+        normOf = Some(batch))))
   }
 
   /** (vec_id, label, embedding = x - centroid(x) as array<double>) —
@@ -1631,13 +1868,26 @@ object SimilarityQueries {
   def pqRetrainAndReEncode(s: SparkSession, corpus: DataFrame,
       path: String, cids: DataFrame,
       shape: PqShape = DefaultPqShape,
-      packed: Boolean = false): Unit = this.synchronized {
+      packed: Boolean = false,
+      construction: String = ConstructionRaw): Unit = this.synchronized {
+    // the caller declares what SPACE `corpus` lives in; retraining a
+    // residual index with raw vectors (or vice versa) would flip the
+    // stored construction silently and every later search would score
+    // one family's codes with the other's decomposition — fail loudly
+    // instead (the construction-mismatch guard the ingest paths share)
+    if (IndexStore.isDeltaTable(path)) {
+      val stored = constructionOf(s, path)
+      require(stored == construction,
+        s"retrain corpus is declared '$construction' but the index at " +
+          s"$path stores '$stored' codes — pass the corpus in the " +
+          "index's own space (residual tables retrain on residuals)")
+    }
     val cb = pqTrainCodebooks(corpus, shape).localCheckpoint()
     val parts = Seq(
       IndexStore.DataRel -> pqEncode(corpus, cb, cids, shape,
         packed = packed),
       IndexStore.CodebookRel -> cb,
-      baselinePart(s, cb, corpus, shape))
+      baselinePart(s, cb, corpus, shape, construction))
     // the hatch doubles as the initial builder (it IS a rebuild): the
     // first run founds the table, later runs replace the whole
     // generation in one commit
@@ -1726,7 +1976,9 @@ object SimilarityQueries {
           IndexStore.DataRel -> pqEncode(base, cb, cids, packed = true),
           IndexStore.CodebookRel -> cb,
           IndexStore.MetaRel ->
-            Seq(IndexStore.baselineAt(s, colPath)).toDF("baseline")))
+            Seq((IndexStore.baselineAt(s, colPath),
+              constructionOf(s, colPath)))
+              .toDF("baseline", "construction")))
         // the incremental step, packed: encode ONLY the batch against
         // the stored codebooks, ONE append commit into the matching
         // cid partitions
@@ -1934,11 +2186,14 @@ object SimilarityQueries {
     // next to the corpus): probed, the LUT, and the rerank all derive
     // from it, and the 8 LUT join sides would otherwise each re-run
     // the embeddings scan from scratch
+    val nlist = IndexStore.relRowCount(s, centroidsPath,
+      IndexStore.CentroidRel).getOrElse(-1L)
     val probes = emb.where(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         norm(col("embedding")).as("pn"))
       .localCheckpoint()
-    val probed = probes.crossJoin(broadcast(centroids))
+    val probed = probes.crossJoin(
+      gatedCentroidSide(s, centroids, nlist, shape.dim))
       .withColumn("sim", dot(col("cv"), col("pv")))
       .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
         .orderBy(desc("sim"), asc("cid"))))
@@ -2062,10 +2317,12 @@ object SimilarityQueries {
     val emb = load(s, dir, "embeddings")
     val indexPath = ivfIndexPath(s, dir)
     val centroids = IndexStore.centroidsAt(s, indexPath)
+    val nlist = IndexStore.relRowCount(s, indexPath, IndexStore.CentroidRel)
+      .getOrElse(-1L)
     val probes = emb.where(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         norm(col("embedding")).as("pn"))
-    val probed = probes.crossJoin(broadcast(centroids))
+    val probed = probes.crossJoin(gatedCentroidSide(s, centroids, nlist, Dim))
       .withColumn("sim", dot(col("cv"), col("pv")))
       .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
         .orderBy(desc("sim"), asc("cid"))))
@@ -2151,17 +2408,26 @@ object SimilarityQueries {
 
   def streamAnnIngest(s: SparkSession, feedDir: String, indexPath: String,
       sinkDir: String, name: String, maintain: Boolean = false,
-      dim: Int = Dim)
-      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      dim: Int = Dim,
+      split: Option[graft.operators.IvfMaintenance.SplitPolicy] = None)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    require(split.isEmpty || maintain,
+      "auto-split consumes the occupancy counters — maintain must be on")
     runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
         val bs = batch.sparkSession
         val cent = IndexStore.centroidsAt(bs, indexPath)
+        // the centroid relation's row count comes from log stats (zero
+        // data IO) and size-gates the assignment's broadcast per batch
+        // — at production nlist the gate flips to the shuffle shape
+        val nlist = IndexStore.relRowCount(bs, indexPath,
+          IndexStore.CentroidRel).getOrElse(-1L)
         // ONE definition of the nearest-centroid rule (assignTo). The
         // v2 feed carries the vector's real label; spec-built feeds
         // without the column read it as null — coalesce so assignTo
         // always sees one (this sink stores only vec_id/cid either way)
         val assigned = assignTo(
-          batch.withColumn("label", coalesce(col("label"), lit(0))), cent)
+          batch.withColumn("label", coalesce(col("label"), lit(0))), cent,
+          nlist, dim)
           .withColumn("cid", col("cid").cast(LongType))
           .select("vec_id", "label", "cid", "embedding")
         if (maintain) {
@@ -2181,10 +2447,18 @@ object SimilarityQueries {
               assigned.groupBy("cid").count()
                 .withColumnRenamed("count", "rows"))
             graft.operators.IvfMaintenance.maybeRetrain(bs, indexPath, dim)
+            // the auto-wired skew remedy: a cell the ingest fattened
+            // past the rerank budget splits BETWEEN micro-batches (one
+            // atomic commit per fat cell; the next batch assigns
+            // against the patched centroid set automatically — the
+            // loop re-reads centroids per trigger)
+            split.foreach(p => graft.operators.IvfMaintenance
+              .maybeSplit(bs, indexPath, dim, p))
           } finally assigned.unpersist()
         } else assigned.select("vec_id", "cid").write.mode("append")
           .parquet(sinkDir)
     }
+  }
 
   /** Streaming PQ ingest (q_stream_pq_ingest body; shared with
     * SimilaritySpec): each micro-batch of arriving vectors is coarse-
@@ -2237,9 +2511,16 @@ object SimilarityQueries {
       val bs = batch.sparkSession
       val cent = IndexStore.centroidsAt(bs, ivfPath)
       val codebook = IndexStore.codebookAt(bs, pqPath)
+      val nlist = IndexStore.relRowCount(bs, ivfPath,
+        IndexStore.CentroidRel).getOrElse(-1L)
+      // the index's stored construction decides what the batch encodes
+      // (raw vectors, or residuals against the assigned centroid) —
+      // read from the table's meta tag per batch, never assumed, so a
+      // stream pointed at a residual index can never mix raw codes in
+      val residual = constructionOf(bs, pqPath) == ConstructionResidual
       // ONE definition of the nearest-centroid rule (assignTo); the
       // feed carries the vector's real label, stored in the sink row
-      val cids = assignTo(batch, cent)
+      val cids = assignTo(batch, cent, nlist, shape.dim)
         .withColumn("cid", col("cid").cast(LongType))
         .select("vec_id", "cid")
       // packed mode appends ONE array<byte> codes column (the wide-M
@@ -2255,8 +2536,12 @@ object SimilarityQueries {
         if (heal.isDefined)
           batch.select("vec_id", "label", "embedding")
             .write.mode("append").parquet(vecsDir)
-        val encoded = pqEncode(batch, codebook, cids, shape,
-          packed = packed)
+        // residual construction: quantize x - centroid(x); the stored
+        // norm stays the ORIGINAL vector's (normOf), the cosine rule
+        val toEncode =
+          if (residual) residualsAgainst(batch, cids, cent) else batch
+        val encoded = pqEncode(toEncode, codebook, cids, shape,
+          packed = packed, normOf = Some(batch))
         // appendToIndex writes `encoded` twice (sink + index append) —
         // persist so the full encode plan (posexplode + broadcast join
         // + groupBy over the batch) runs once per micro-batch
@@ -2279,9 +2564,11 @@ object SimilarityQueries {
           // micro-batch is measured against the build-time baseline —
           // O(batch) work, the trigger that says the frozen codebooks
           // stopped describing the firehose
+          // the drift slice must live in the SAME space as the stored
+          // baseline: residual tables measure residual quantization
           val rep = graft.operators.PqMaintenance.driftReportFromBaseline(
             bs, pqPath, baseline,
-            batch.select("vec_id", "embedding"), shape = shape)
+            toEncode.select("vec_id", "embedding"), shape = shape)
           // (the pre-Delta hatch also had to re-arm a crash inside its
           // inter-swap window here — that window no longer exists: the
           // retrain is one atomic commit)

@@ -84,7 +84,7 @@ class FixtureSigSpec extends AnyFunSuite {
       // (ivf index -> per-column PQ codes -> packed projection)
       val (packed1, _) = SimilarityQueries.pqPackedIndexWithIvf(
         spark, drop.getAbsolutePath)
-      assert(spark.read.parquet(packed1).count() == 150)
+      assert(graft.delta.IndexStore.data(spark, packed1).count() == 150)
       // regenerate the drop with DIFFERENT content but the SAME mtime —
       // the case an mtime guard waves through (driver regeneration with
       // timestamp-preserving copies; also any rebuild landing within
@@ -96,11 +96,11 @@ class FixtureSigSpec extends AnyFunSuite {
       val (packed2, ivf2) = SimilarityQueries.pqPackedIndexWithIvf(
         spark, drop.getAbsolutePath)
       assert(packed2 == packed1)
-      assert(spark.read.parquet(packed2).count() == 100,
+      assert(graft.delta.IndexStore.data(spark, packed2).count() == 100,
         "packed PQ index served stale codes after a same-mtime regeneration")
       // the upstream links re-derived too, not just the leaf
-      assert(spark.read.parquet(ivf2).count() == 100)
-      assert(spark.read.parquet(packed2)
+      assert(graft.delta.IndexStore.data(spark, ivf2).count() == 100)
+      assert(graft.delta.IndexStore.data(spark, packed2)
         .where(col("vec_id") >= 100).count() == 0)
     } finally {
       // the builders refresh the GLOBAL oracle alias symlinks (ivf,

@@ -351,8 +351,10 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       IndexStore.DataRel ->
         SimilarityQueries.pqEncode(corpus, cb0, cids),
       IndexStore.CodebookRel -> cb0,
-      IndexStore.MetaRel -> Seq(PqMaintenance.distortionOf(spark, cb0,
-        baseDf.select("vec_id", "embedding"))).toDF("baseline")))
+      IndexStore.MetaRel -> Seq((PqMaintenance.distortionOf(spark, cb0,
+        baseDf.select("vec_id", "embedding")),
+        SimilarityQueries.ConstructionRaw))
+        .toDF("baseline", "construction")))
     val baseline0 = IndexStore.baselineAt(spark, path)
     val fired = PqMaintenance.driftReportFromBaseline(spark, path,
       baseline0, appDf.select("vec_id", "embedding"))
@@ -521,6 +523,96 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     }
     assert(version(path) == vAfter, "failed split must not commit")
     assert(IndexStore.data(spark, path).count() == 490)
+  }
+
+  test("auto-split wiring: streamed ingest fattens one cell past the " +
+    "rerank budget, the loop splits it BETWEEN micro-batches, the " +
+    "trigger clears, and post-split recall holds") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val path = s"$tmp/ivf_auto_split"
+    def vf(v: Float*): Seq[Float] = v
+    // two cells: cid 0 far away on the x-axis; cid 1 routed by a
+    // centroid BETWEEN two genuine sub-groups (y-axis and z-axis), so
+    // everything streamed lands in cid 1 and a real split exists
+    val groupA = (0 until 3).map(i =>
+      vf(0f, 1f, 0.1f * i, 0f))
+    val groupB = (0 until 3).map(i =>
+      vf(0f, 0.1f * i, 1f, 0f))
+    // interleaved ids so the split's deterministic seeds (the two
+    // lowest vec_ids of the cell) straddle the two sub-groups
+    val base: Seq[(Long, Long, Seq[Float])] =
+      (1L to 4L).map(i => (i, 0L, vf(1f, 0f, 0f, 0f))) ++
+      groupA.zipWithIndex.map { case (v, i) => (10L + 10 * i, 1L, v) } ++
+      groupB.zipWithIndex.map { case (v, i) => (11L + 10 * i, 1L, v) }
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel -> base.toDF("vec_id", "cid", "embedding")
+        .select(col("vec_id"), lit(0L).as("label"), col("embedding"),
+          col("cid")),
+      IndexStore.CentroidRel ->
+        Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 0.7, 0.7, 0)))
+          .toDF("cid", "cv"),
+      IndexStore.CountRel -> counts(
+        base.map { case (v, c, e) => (v, c, e.map(_.toDouble)) })
+        .select(lit("base").as("kind"), col("cid"), col("rows"))))
+    // the firehose: two micro-batches, all routed to cid 1. Budget 10
+    // (the probe's rerank budget stand-in): batch 1 pushes cid 1 to 12
+    // rows > 10 — the loop must split it BEFORE batch 2 arrives
+    val feedDir = s"$tmp/auto_split_feed"
+    val b1: Seq[(Long, Seq[Float])] =
+      (0 until 3).map(i => (100L + i, groupA(i))) ++
+      (0 until 3).map(i => (110L + i, groupB(i)))
+    val b2: Seq[(Long, Seq[Float])] =
+      (0 until 3).map(i => (200L + i, groupA(i))) ++
+      (0 until 3).map(i => (210L + i, groupB(i)))
+    val tBase = System.currentTimeMillis() - 60000
+    graft.streaming.VecsStream.writeFeedFile(feedDir,
+      b1.toDF("vec_id", "embedding"), "00_first.parquet", tBase)
+    graft.streaming.VecsStream.writeFeedFile(feedDir,
+      b2.toDF("vec_id", "embedding"), "01_second.parquet", tBase + 10000)
+    val sink = s"$tmp/auto_split_sink"
+    val policy = IvfMaintenance.SplitPolicy(budget = 10)
+    SimilarityQueries.streamAnnIngest(spark, feedDir, path, sink,
+      "ivf_auto_split", maintain = true, dim = dim, split = Some(policy))
+    // the fat cell was split mid-stream: cid 1 is gone, two routable
+    // sub-cells took its place, nothing lost
+    val cents = centroidMap(path)
+    assert(!cents.contains(1L), s"fat cell still routable: ${cents.keySet}")
+    val newCids = cents.keySet - 0L
+    assert(newCids.size == 2, s"expected 2 sub-cells, got $newCids")
+    val occupancy = IndexStore.data(spark, path).groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occupancy.values.sum == base.size + b1.size + b2.size)
+    // the trigger CLEARED: no cell sits over the budget any more, so a
+    // direct re-evaluation splits nothing
+    assert(occupancy.values.forall(_ <= policy.budget), s"$occupancy")
+    assert(IvfMaintenance.maybeSplit(spark, path, dim, policy).isEmpty)
+    // batch 2 arrived AFTER the split: its vectors were assigned
+    // against the PATCHED centroid set (sub-cells, never cid 1)
+    val sinkAssign = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b2.forall { case (id, _) => newCids.contains(sinkAssign(id)) },
+      s"post-split batch routed to stale cells: ${b2.map(t =>
+        t._1 -> sinkAssign(t._1))}")
+    // post-split recall: a probe inside group A routes (nprobe=1) to
+    // one sub-cell and finds its true top-5 entirely there
+    def dotp(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosd(a: Seq[Double], b: Seq[Double]) =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val probe = Seq(0.0, 1.0, 0.05, 0.0)
+    val routed = cents.maxBy { case (c, cv) => (dotp(cv, probe), -c) }._1
+    val rows = IndexStore.data(spark, path).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble),
+        r.getAs[Long]("cid")))
+    val k = 5
+    val trueTop = rows.sortBy(t => (-cosd(t._2, probe), t._1))
+      .take(k).map(_._1).toSet
+    val annTop = rows.filter(_._3 == routed)
+      .sortBy(t => (-cosd(t._2, probe), t._1)).take(k).map(_._1).toSet
+    val recall = (trueTop intersect annTop).size.toDouble / k
+    assert(recall >= 0.8, s"post-split recall@$k = $recall")
   }
 
   test("a reader resolved before a split keeps reading the OLD snapshot; " +

@@ -398,18 +398,46 @@ class PlanAuditSpec extends AnyFunSuite {
       .exists(_.toString.contains("pq_index")))
       .getOrElse(fail("no FileSourceScan over the PQ codes"))
     // the ADC stage must read EXACTLY the codes + stored norm + output
-    // ids — that is the PQ memory bound (8 one-byte codes + one double
-    // per row; cid arrives as a partition column, not a data read)
+    // ids + cid — that is the PQ memory bound (8 one-byte codes + one
+    // double + one long per row, never a vector)
     val readCols = codeScan.requiredSchema.fieldNames.toSet
-    val allowed = Set("vec_id", "label", "xnorm") ++
+    val allowed = Set("vec_id", "label", "xnorm", "cid") ++
       (0 until SimilarityQueries.PqM).map(m => s"c$m")
     assert(readCols.subsetOf(allowed),
       s"ADC scan reads beyond the code columns: ${readCols -- allowed}")
     assert((0 until SimilarityQueries.PqM).forall(m =>
       readCols.contains(s"c$m")), s"missing code columns: $readCols")
-    // coarse pruning is PARTITION pruning on cid, not a post-scan filter
-    assert(codeScan.partitionFilters.nonEmpty,
-      "cid prune did not reach the partition filters")
+    // coarse pruning happened on the FILE INVENTORY before the scan was
+    // assembled (the Delta scan path): only the probed pcid partitions'
+    // files — strictly fewer than the table holds — reach the reader,
+    // and only the data rel (metadata rels never feed the ADC stage)
+    assertFilePruned(codeScan, maxPcids = 8)
+  }
+
+  /** The Delta-scan replacement for the old `partitionFilters.nonEmpty`
+    * pin: file pruning happens on the log's file inventory BEFORE the
+    * parquet relation is assembled, so the evidence is the input-file
+    * set itself — all under `rel=data`, spanning at most `maxPcids`
+    * partitions, and strictly fewer than the table's partitions. */
+  private def assertFilePruned(
+      scan: org.apache.spark.sql.execution.FileSourceScanExec,
+      maxPcids: Int): Unit = {
+    val files = scan.relation.location.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/rel=data/")),
+      s"scan reads beyond the data rel: ${files.filterNot(
+        _.contains("/rel=data/")).take(3).mkString(", ")}")
+    val pcidOf = "pcid=(-?\\d+)".r
+    val pcids = files.flatMap(f =>
+      pcidOf.findFirstMatchIn(f).map(_.group(1).toLong)).toSet
+    assert(pcids.nonEmpty && pcids.size <= maxPcids,
+      s"expected <= $maxPcids probed pcid partitions, scan covers $pcids")
+    val tableDir = new java.io.File(
+      files.head.replaceAll("file:", "").split("/rel=data/").head, "rel=data")
+    val allPcids = Option(tableDir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("pcid="))
+    assert(pcids.size < allPcids,
+      s"no file pruning: scan covers ${pcids.size} of $allPcids partitions")
   }
 
   test("q_sim_ann_pq_packed: the packed scan reads one codes array + " +
@@ -428,11 +456,10 @@ class PlanAuditSpec extends AnyFunSuite {
         .exists(_.toString.contains("pq_index_packed")))
       .getOrElse(fail("no FileSourceScan over the packed PQ codes"))
     val readCols = scan.requiredSchema.fieldNames.toSet
-    assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes")),
+    assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes", "cid")),
       s"packed ADC scan reads beyond the packed columns: $readCols")
     assert(readCols.contains("codes"), s"missing codes column: $readCols")
-    assert(scan.partitionFilters.nonEmpty,
-      "cid prune did not reach the partition filters")
+    assertFilePruned(scan, maxPcids = 8)
   }
 
   test("packed PQ family: filtered + incremental scans read one codes " +
@@ -451,15 +478,16 @@ class PlanAuditSpec extends AnyFunSuite {
       val df = SparkEntry.queries(query)(spark, sf)
       df.collect()
       val scan = allScans(df.queryExecution.executedPlan)
-        .find(_.relation.location.rootPaths
-          .exists(_.toString.contains(dirToken)))
+        .find(_.relation.location.rootPaths.exists { p =>
+          p.toString.contains(dirToken + "/rel=data/")
+        })
         .getOrElse(fail(s"$query: no FileSourceScan over $dirToken"))
       val readCols = scan.requiredSchema.fieldNames.toSet
-      assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes")),
+      assert(readCols.subsetOf(
+        Set("vec_id", "label", "xnorm", "codes", "cid")),
         s"$query packed scan reads beyond the packed columns: $readCols")
       assert(readCols.contains("codes"), s"$query missing codes: $readCols")
-      assert(scan.partitionFilters.nonEmpty,
-        s"$query: cid prune did not reach the partition filters")
+      assertFilePruned(scan, maxPcids = 8)
     }
   }
 
@@ -476,17 +504,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }.flatten
     val codeScans = allScans(df.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists { p =>
-        val s = p.toString
-        s.contains("pq_index_packed") && !s.contains("_codebooks") &&
-          !s.contains("_centroids")
+        p.toString.contains("pq_index_packed/rel=data/")
       })
     assert(codeScans.nonEmpty, "no FileSourceScan over the packed codes")
     codeScans.foreach { scan =>
       val readCols = scan.requiredSchema.fieldNames.toSet
-      assert(readCols.subsetOf(Set("vec_id", "label", "xnorm", "codes")),
+      assert(readCols.subsetOf(
+        Set("vec_id", "label", "xnorm", "codes", "cid")),
         s"pairwise scan reads beyond the packed columns: $readCols")
-      assert(scan.partitionFilters.nonEmpty,
-        "cid prune did not reach the partition filters")
+      // the pairwise stage scans the data rel only (codebook rows feed
+      // the relational LUT through their own tiny rel=codebook scan)
+      assert(scan.relation.location.inputFiles
+        .forall(_.contains("/rel=data/")))
     }
   }
 
@@ -506,21 +535,79 @@ class PlanAuditSpec extends AnyFunSuite {
     // legitimately scan their own tiny files and share the path prefix
     val codeScans = allScans(df.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists { p =>
-        val s = p.toString
-        s.contains("pq_index") && !s.contains("_codebooks") &&
-          !s.contains("_centroids")
+        p.toString.contains("pq_index/rel=data/")
       })
     assert(codeScans.nonEmpty, "no FileSourceScan over the PQ codes")
     // the join's pairwise stage must also never read a vector column
-    val allowed = Set("vec_id", "label", "xnorm") ++
+    val allowed = Set("vec_id", "label", "xnorm", "cid") ++
       (0 until SimilarityQueries.PqM).map(m => s"c$m")
     codeScans.foreach { scan =>
       val readCols = scan.requiredSchema.fieldNames.toSet
       assert(readCols.subsetOf(allowed),
         s"pairwise scan reads beyond the code columns: ${readCols -- allowed}")
-      assert(scan.partitionFilters.nonEmpty,
-        "cid prune did not reach the partition filters")
+      assert(scan.relation.location.inputFiles
+        .forall(_.contains("/rel=data/")))
     }
+  }
+
+  test("Delta index scan: an explicit pcid list prunes the file " +
+    "inventory to exactly those partitions") {
+    import graft.delta.IndexStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val path = graft.queries.SimilarityQueries.ivfIndexPath(spark, sf)
+    val cid = graft.delta.IndexStore.centroidsAt(spark, path)
+      .select("cid").head.getLong(0)
+    val df = IndexStore.data(spark, path, Some(Seq(cid)))
+    df.collect()
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scan = allScans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScan"))
+    val files = scan.relation.location.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"/rel=data/pcid=$cid/")),
+      s"scan read beyond pcid=$cid: ${files.take(3).mkString(", ")}")
+  }
+
+  test("assignTo centroid side is size-gated: broadcast when the " +
+    "centroid relation fits, shuffle-replicate nested loop over the " +
+    "threshold — value-identical either way") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val dim = 4
+    val df = (0L until 60L)
+      .map(i => (i, i % 3, Seq.tabulate(dim)(d => (i * 7 + d).toDouble)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = (0L until 6L)
+      .map(c => (c, Seq.tabulate(dim)(d => (c * 11 + d).toDouble)))
+      .toDF("cid", "cv")
+    def shaped(rows: Long) = {
+      val out = SimilarityQueries.assignTo(df, cents, rows, dim)
+      val collected = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      (collected, out.queryExecution.executedPlan.toString)
+    }
+    // under the threshold (6 tiny rows): the broadcast shape
+    val (underRows, underPlan) = shaped(6L)
+    assert(underPlan.contains("BroadcastNestedLoopJoin") ||
+      underPlan.contains("BroadcastExchange"),
+      "small centroid relation should broadcast:\n" + underPlan.take(2000))
+    assert(!underPlan.contains("CartesianProduct"))
+    // a claimed production-nlist row count: the gate MUST flip to the
+    // shuffle-replicate shape (no broadcast of the centroid side — the
+    // executor-OOM prevention this gate exists for)
+    val (overRows, overPlan) = shaped(100_000_000L)
+    assert(overPlan.contains("CartesianProduct"),
+      "over-threshold centroid relation should shuffle-replicate:\n" +
+        overPlan.take(2000))
+    // same max_by tie rule on both paths: bit-identical assignments
+    assert(overRows == underRows,
+      s"gated shapes diverge: ${overRows.take(3)} vs ${underRows.take(3)}")
   }
 
   test("q_temperature_mix: budget table broadcasts, corpus ranks once") {

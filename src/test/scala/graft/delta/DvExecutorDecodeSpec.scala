@@ -55,6 +55,41 @@ class DvExecutorDecodeSpec extends AnyFunSuite {
       "second scan re-decoded instead of hitting the executor cache")
   }
 
+  test("large-DV mask is the native dv_keep expression — no Scala UDF " +
+    "fencing whole-stage codegen on the path with the most rows") {
+    val p = tmp("native")
+    val n = 240000L
+    val df = spark.range(n).select(
+      col("id"), (col("id") % 509).as("bucket"))
+    CommitWriter.createTable(spark, df.repartition(6), p,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    DmlCommands.delete(spark, p, col("bucket") < 300)
+    val snap = DeltaTable.forPath(spark, p)
+    assert(snap.allFiles.agg(sum("deletionVector.cardinality"))
+      .head.getLong(0) > 100000L, "fixture must force the large-DV path")
+    val t = snap.read.where(col("bucket") >= 400)
+    t.collect()
+    val plan = t.queryExecution.executedPlan.toString
+    // the mask evaluates as a generated method call inside the fused
+    // stage — the Scala UDF it replaced appeared as a ScalaUDF node and
+    // fenced codegen exactly where the most rows flow
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("udf("),
+      "large-DV mask fell back to a Scala UDF:\n" + plan.take(3000))
+    assert(plan.contains("dv_keep"),
+      "native dv_keep expression missing from the plan:\n" + plan.take(3000))
+    // `*(n)` prefixes mark whole-stage-codegen membership in the
+    // executed plan: the Filter carrying dv_keep must sit INSIDE a
+    // fused stage (the UDF shape ran it interpreted)
+    val maskLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("dv_keep"))
+      .getOrElse(fail("no Filter node carries dv_keep:\n" + plan.take(3000)))
+    assert(maskLine.contains("*("),
+      "dv_keep Filter is outside whole-stage codegen: " + maskLine.take(500))
+    // and the mask is exact
+    val expect = df.filter(col("bucket") >= 400)
+    assert(t.count() == expect.count())
+  }
+
   test("executor cache evicts under a tight byte budget, results exact") {
     val p = tmp("evict")
     val n = 240000L
