@@ -122,6 +122,87 @@ object PqMaintenance {
     PqDriftReport(baseDistortion, app, ratio, retrain = ratio > ratioThreshold)
   }
 
+  /** PQ partitions whose cid no longer exists in the coarse index's
+    * centroid set — the state a crash between an IVF [[IvfMaintenance
+    * .splitCell]] commit and the dependent PQ table's [[syncAfterSplit]]
+    * commit leaves behind. Orphaned partitions are UNREACHABLE (probes
+    * prune by the live centroid set), so their rows silently drop out
+    * of every search until synced: surface them loudly. O(metadata) —
+    * one partition listing against one centroid read. */
+  def orphanCids(s: SparkSession, pqPath: String,
+      ivfPath: String): Seq[Long] = {
+    import graft.delta.IndexStore
+    val live = IndexStore.centroidsAt(s, ivfPath)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    IndexStore.data(s, pqPath).select("cid").distinct()
+      .collect().map(_.getLong(0)).filterNot(live).sorted
+  }
+
+  /** Post-split coherence for a PQ index layered on a split coarse
+    * quantizer: [[IvfMaintenance.splitCell]] moved the cell's rows and
+    * patched the centroids, but the PQ table still holds codes under
+    * the DEAD cid — and for RESIDUAL construction those codes are
+    * wrong in a deeper way: `x − centroid(x)` changed meaning for
+    * every moved row, so the stored bytes decode against a centroid
+    * that no longer routes them. The pinned rule: a split forces
+    * re-encode of the moved rows — O(cell), the same bound as the
+    * split itself.
+    *
+    * One replace commit on the PQ table's (rel=data, pcid ∈ dead ∪
+    * current) slice:
+    *  - the moved rows come from the COARSE table's post-split data rel
+    *    (it carries the vectors and the new assignments — joined by
+    *    vec_id against the dead partition's row set, so this heals any
+    *    crash point: re-running is idempotent);
+    *  - residual tables re-encode `x − newCentroid(x)` against the
+    *    STORED codebooks (construction read from the meta tag);
+    *  - raw tables re-encode too — their codes are centroid-independent
+    *    and come out bit-identical, but the rows still must MOVE to
+    *    the new pcid partitions to stay probe-reachable.
+    *
+    * Returns the cids the moved rows now live under. */
+  def syncAfterSplit(s: SparkSession, pqPath: String, ivfPath: String,
+      deadCid: Long, shape: PqShape = DefaultPqShape,
+      packed: Boolean = true): Seq[Long] = {
+    import graft.delta.IndexStore
+    import graft.queries.SimilarityQueries
+    val orphanRows = IndexStore.data(s, pqPath, Some(Seq(deadCid)))
+      .select("vec_id")
+    // the coarse table's post-split truth for exactly those rows
+    val moved = IndexStore.data(s, ivfPath)
+      .join(orphanRows, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+      .localCheckpoint()
+    val newCids = moved.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    require(newCids.nonEmpty,
+      s"no rows of dead cell $deadCid exist in the coarse index at " +
+        s"$ivfPath — nothing to re-encode (already synced?)")
+    val cids = moved.select("vec_id", "cid")
+    val cent = IndexStore.centroidsAt(s, ivfPath)
+    val toEncode =
+      if (SimilarityQueries.constructionOf(s, pqPath) ==
+          SimilarityQueries.ConstructionResidual)
+        SimilarityQueries.residualsAgainst(moved, cids, cent)
+      else moved
+    val reEncoded = SimilarityQueries.pqEncode(toEncode,
+      IndexStore.codebookAt(s, pqPath), cids, shape, packed = packed,
+      normOf = Some(moved))
+    // rows ALREADY under the new pcids (appends that landed after the
+    // split, correctly encoded against the patched centroids) ride
+    // through the replace unchanged — the predicate wipes their
+    // partitions, so they must re-enter the commit
+    val dataCols = reEncoded.columns
+    val already = IndexStore.data(s, pqPath, Some(newCids))
+      .join(orphanRows, Seq("vec_id"), "left_anti")
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    IndexStore.replace(s, pqPath,
+      Seq(IndexStore.DataRel -> reEncoded.unionByName(already)),
+      col(IndexStore.RelCol) === IndexStore.DataRel &&
+        col(IndexStore.PcidCol).isInCollection(deadCid +: newCids))
+    newCids
+  }
+
   /** Convenience: measure the reference slice inline, then report.
     * Costs a reference scan per call — for repeated checks, measure
     * the baseline once and use [[driftReportFromBaseline]]. */

@@ -61,18 +61,26 @@ object DirListing {
 
     if (subDirs.isEmpty) topDF
     else {
-      // rows stay distributed — the candidate set is never collected
+      // rows stay distributed — the candidate set is never collected.
+      // Recursion is a manual listStatus walk, NOT fs.listFiles(_,
+      // recursive=true): listFiles materializes LocatedFileStatus —
+      // per-file block locations — which the 1M-file VacuumRehearsal
+      // measured at ~3 ms/file on LocalFileSystem (250x the plain
+      // status listing); this operator never needs block locations.
       val rdd = spark.sparkContext
         .parallelize(subDirs, math.min(subDirs.size, 64))
         .flatMap { d =>
           val path = new Path(d)
           val efs = path.getFileSystem(new Configuration())
-          val it = efs.listFiles(path, true)
           val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-          while (it.hasNext) {
-            val st = it.next()
-            buf += Row(st.getPath.toString, st.getLen, false,
-              ts(st.getModificationTime))
+          val stack = scala.collection.mutable.ArrayBuffer(path)
+          while (stack.nonEmpty) {
+            val cur = stack.remove(stack.length - 1)
+            efs.listStatus(cur).foreach { st =>
+              if (st.isDirectory) stack += st.getPath
+              else buf += Row(st.getPath.toString, st.getLen, false,
+                ts(st.getModificationTime))
+            }
           }
           buf
         }

@@ -661,6 +661,105 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(travel.getOrElse(0L, 0L) == 100 && travel.values.sum == 120)
   }
 
+  test("post-split residual coherence: splitting a cell under a " +
+    "residual PQ index orphans its codes (loudly detectable); " +
+    "syncAfterSplit re-encodes the moved rows and recall re-asserts") {
+    import graft.operators.PqMaintenance
+    import graft.queries.SimilarityQueries
+    import spark.implicits._
+    val vdim = 64
+    val ivfPath = s"$tmp/resid_split_ivf"
+    val pqPath = s"$tmp/resid_split_pq"
+    // fat cell 0: TWO well-separated sub-groups (hot dims 0/1,
+    // amplitude 30) — a genuine split exists; small cell 1 far away
+    def fatVec(i: Int): Seq[Float] = {
+      val g = i % 2
+      Seq.tabulate(vdim)(d =>
+        (if (d % 4 == g) 30f else 0f) + (((i * 7 + d * 3) % 5) - 2).toFloat)
+    }
+    def smallVec(i: Int): Seq[Float] =
+      Seq.tabulate(vdim)(d =>
+        (if (d % 4 == 3) -30f else 0f) + (((i * 11 + d) % 5) - 2).toFloat)
+    val fatRows = (0 until 200).map(i => (i.toLong, 0L, fatVec(i)))
+    val smallRows = (200 until 300).map(i => (i.toLong, 1L, smallVec(i)))
+    val all = fatRows ++ smallRows
+    val corpus = all.map { case (id, cid, v) => (id, cid % 3, v) }
+      .toDF("vec_id", "label", "embedding")
+    // coarse table: data + centroids (per-cell means are fine) + counts
+    val centroids = Seq(
+      (0L, Seq.tabulate(vdim)(d => if (d % 4 <= 1) 15.0 else 0.0)),
+      (1L, Seq.tabulate(vdim)(d => if (d % 4 == 3) -30.0 else 0.0)))
+    IndexStore.create(spark, ivfPath, Seq(
+      IndexStore.DataRel -> all.map { case (id, cid, v) =>
+        (id, id % 3, v, cid) }.toDF("vec_id", "label", "embedding", "cid"),
+      IndexStore.CentroidRel -> centroids.toDF("cid", "cv"),
+      IndexStore.CountRel -> Seq(("base", 0L, 200L), ("base", 1L, 100L))
+        .toDF("kind", "cid", "rows")))
+    // residual PQ table layered on it: codebooks trained on residuals
+    // against the PRE-SPLIT centroids, codes packed
+    val cent0 = IndexStore.centroidsAt(spark, ivfPath)
+    val cids0 = IndexStore.data(spark, ivfPath).select("vec_id", "cid")
+    val resid0 = SimilarityQueries
+      .residualsAgainst(corpus, cids0, cent0).localCheckpoint()
+    val cb = SimilarityQueries.pqTrainCodebooks(resid0).localCheckpoint()
+    IndexStore.create(spark, pqPath, Seq(
+      IndexStore.DataRel -> SimilarityQueries.pqEncode(resid0, cb, cids0,
+        packed = true, normOf = Some(corpus)),
+      IndexStore.CodebookRel -> cb,
+      IndexStore.MetaRel -> Seq((PqMaintenance.distortionOf(spark, cb,
+        resid0.select("vec_id", "embedding")),
+        SimilarityQueries.ConstructionResidual))
+        .toDF("baseline", "construction")))
+    def searchRecall(k: Int): Double = {
+      val probeId = 0L
+      val probe = fatVec(0).map(_.toDouble)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val trueTop = all.filter(_._1 != probeId)
+        .map { case (id, _, v) => (id, cos(v.map(_.toDouble), probe)) }
+        .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+      val got = SimilarityQueries.annPqResidualSearch(spark, corpus,
+        pqPath, ivfPath, probeId = probeId, k = k, nprobe = 2, cand = 64)
+        .collect().map(_.getLong(0)).toSet
+      (trueTop intersect got).size.toDouble / k
+    }
+    assert(PqMaintenance.orphanCids(spark, pqPath, ivfPath).isEmpty)
+    val k = 10
+    val before = searchRecall(k)
+    assert(before >= 0.9, s"pre-split recall@$k = $before")
+
+    // split the fat cell in the COARSE index: the PQ table now holds
+    // residual codes born under the DEAD cell's geometry — orphaned
+    // (unreachable by any probe of the live centroid set) and wrong
+    val newCids = IvfMaintenance.splitCell(spark, ivfPath,
+      cid = 0L, ways = 2, dim = vdim)
+    assert(PqMaintenance.orphanCids(spark, pqPath, ivfPath) == Seq(0L),
+      "orphaned PQ partition not detected after the coarse split")
+    // the probe's whole neighborhood lived in the dead cell: recall
+    // through the stale PQ table collapses (rows unreachable)
+    val orphaned = searchRecall(k)
+    assert(orphaned < 0.5,
+      s"expected orphaned recall collapse, got $orphaned")
+
+    // THE RULE UNDER TEST: sync re-encodes the moved rows against the
+    // centroids they are now routed by — one O(cell) replace commit
+    val synced = PqMaintenance.syncAfterSplit(spark, pqPath, ivfPath,
+      deadCid = 0L)
+    assert(synced.toSet == newCids.toSet, s"$synced vs $newCids")
+    assert(PqMaintenance.orphanCids(spark, pqPath, ivfPath).isEmpty)
+    // nothing lost, nothing duplicated; codes live under the sub-cells
+    val pqRows = IndexStore.data(spark, pqPath)
+    assert(pqRows.count() == 300)
+    assert(pqRows.select("vec_id").distinct().count() == 300)
+    assert(pqRows.where(col("cid") === 0L).count() == 0)
+    // and recall through the synced residual index re-asserts
+    val after = searchRecall(k)
+    assert(after >= 0.9, s"post-sync recall@$k = $after (before $before)")
+  }
+
   test("distortion fails loudly on a shape that mismatches the stored " +
     "codebooks (never silently under-counts)") {
     import graft.operators.PqMaintenance
