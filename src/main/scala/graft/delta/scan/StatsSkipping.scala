@@ -220,7 +220,29 @@ object StatsSkipping {
         (attrName(a), vals.forall(_.isDefined)) match {
           case (Some(name), true) =>
             val vs = vals.flatten
-            if (!neg) vs.map(v => cmpLeaf("=", name, v, ctx)).reduce(_ || _)
+            if (!neg) {
+              // NEVER a per-value OR chain of leaves: an In over a
+              // partition column arrives with O(probed cells) values —
+              // the sf1 rehearsal's 400-cid k-NN prune overflowed the
+              // Column converter's recursion on the nested chain, and
+              // production probe sets reach O(nlist). Partition columns
+              // take one flat isin (identical semantics: each leaf was
+              // coalesce(p === v, false), and coalesce(p.isin(vs),
+              // false) ORs the same comparisons); stats fields keep the
+              // exact per-value form only while small, else the
+              // conservative [least(vs), greatest(vs)] envelope (a
+              // necessary condition for any v ∈ [min,max] — keep-
+              // conditions only ever widen).
+              if (ctx.isPartition(name))
+                coalesce(partValue(name, ctx).isin(vs: _*), lit(false))
+              else if (ctx.statFields(name)) {
+                if (vs.lengthCompare(16) <= 0)
+                  vs.map(v => cmpLeaf("=", name, v, ctx)).reduce(_ || _)
+                else
+                  coalesce(maxCol(name, ctx) >= least(vs: _*) &&
+                    minCol(name, ctx) <= greatest(vs: _*), lit(true))
+              } else lit(true)
+            }
             else if (ctx.isPartition(name))
               coalesce(!partValue(name, ctx).isin(vs: _*), lit(false))
             else if (ctx.statFields(name))
