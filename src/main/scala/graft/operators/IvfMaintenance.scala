@@ -112,6 +112,7 @@ object IvfMaintenance {
       counts: DataFrame): Unit = opLock.synchronized {
     IndexStore.append(spark, indexPath,
       Seq(CountRel -> countRows(spark, "append", counts)))
+    maybeCompactLedger(spark, indexPath)
   }
 
   /** The ingest primitive: ONE commit carrying an arriving batch's
@@ -124,6 +125,35 @@ object IvfMaintenance {
     IndexStore.append(spark, indexPath, Seq(
       DataRel -> vecs,
       CountRel -> countRows(spark, "append", counts)))
+    maybeCompactLedger(spark, indexPath)
+  }
+
+  /** Ledger rows per cid beyond which the append path compacts. */
+  private[graft] val LedgerCompactFactor = 4
+
+  /** Opportunistic ledger compaction: below-threshold steady ingest
+    * appends counter rows every batch but folds only when a retrain
+    * FIRES — without this, the ledger (and loadState's per-op collect)
+    * would grow without bound. When the ledger holds more than
+    * LedgerCompactFactor rows per live cid, rewrite it as one
+    * aggregated (kind, cid, rows) row set — PURE compaction: base and
+    * append sums are preserved per cid (never folded into each other),
+    * so every drift ratio is bit-identical before and after. Its own
+    * atomic replace commit (the preceding append already landed;
+    * a crash between them re-compacts on the next append). */
+  private def maybeCompactLedger(spark: SparkSession,
+      indexPath: String): Unit = {
+    val rows = IndexStore.countsAt(spark, indexPath).collect()
+    val cids = rows.map(_.getLong(1)).distinct.length
+    if (rows.length <= LedgerCompactFactor * math.max(cids, 1)) return
+    import spark.implicits._
+    val compacted = rows.toSeq
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((kind, cid), rs) => (kind, cid, rs.map(_.getLong(2)).sum) }
+      .toSeq
+    IndexStore.replace(spark, indexPath,
+      Seq(CountRel -> compacted.toDF("kind", "cid", "rows")),
+      col(RelCol) === CountRel)
   }
 
   private def report(state: Map[Long, (Long, Long)], ratioThreshold: Double,

@@ -134,8 +134,26 @@ object PqMaintenance {
     import graft.delta.IndexStore
     val live = IndexStore.centroidsAt(s, ivfPath)
       .select("cid").collect().map(_.getLong(0)).toSet
-    IndexStore.data(s, pqPath).select("cid").distinct()
-      .collect().map(_.getLong(0)).filterNot(live).sorted
+    dataPcids(s, pqPath).filterNot(live).sorted
+  }
+
+  /** Distinct data-rel cids of a PQ table, answered from the file
+    * inventory's partitionValues — zero data files opened (cid is also
+    * a data column, but the pcid partition value mirrors it; a
+    * column-scan + distinct here would be a full-table read at the
+    * 100 TB target). Plain-parquet rehearsal layouts fall back to the
+    * column scan. */
+  private def dataPcids(s: SparkSession, pqPath: String): Seq[Long] = {
+    import graft.delta.IndexStore
+    if (IndexStore.isDeltaTable(pqPath))
+      graft.delta.DeltaTable.forPath(s, pqPath).allFiles
+        .where(element_at(col("partitionValues"), IndexStore.RelCol) ===
+          IndexStore.DataRel)
+        .select(element_at(col("partitionValues"), IndexStore.PcidCol)
+          .cast("long").as("pcid"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    else IndexStore.data(s, pqPath).select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
   }
 
   /** Post-split coherence for a PQ index layered on a split coarse
@@ -163,21 +181,38 @@ object PqMaintenance {
     * Returns the cids the moved rows now live under. */
   def syncAfterSplit(s: SparkSession, pqPath: String, ivfPath: String,
       deadCid: Long, shape: PqShape = DefaultPqShape,
-      packed: Boolean = true): Seq[Long] = {
+      packed: Boolean = true,
+      splitCids: Option[Seq[Long]] = None): Seq[Long] = {
     import graft.delta.IndexStore
     import graft.queries.SimilarityQueries
     val orphanRows = IndexStore.data(s, pqPath, Some(Seq(deadCid)))
       .select("vec_id")
-    // the coarse table's post-split truth for exactly those rows
-    val moved = IndexStore.data(s, ivfPath)
+    // the coarse read is bounded to the split's OWN partitions — the
+    // O(cell) contract: the caller passes splitCell's returned sub-cids
+    // when it has them; a post-crash heal derives the candidate set as
+    // the orphan INVERSE (live centroid cids with no PQ partition yet —
+    // metadata only), which contains every sub-cell of an unsynced
+    // split by construction. Either way, never a full coarse scan.
+    val candidateCids = splitCids.getOrElse {
+      val have = dataPcids(s, pqPath).toSet
+      IndexStore.centroidsAt(s, ivfPath).select("cid").collect()
+        .map(_.getLong(0)).filterNot(have).toSeq
+    }
+    require(candidateCids.nonEmpty,
+      s"no candidate sub-cells for dead cell $deadCid — the coarse " +
+        s"index at $ivfPath has no live cid absent from the PQ table " +
+        "(already synced?)")
+    // the coarse table's post-split truth for exactly the orphan rows
+    val moved = IndexStore.data(s, ivfPath, Some(candidateCids))
       .join(orphanRows, Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
       .localCheckpoint()
     val newCids = moved.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     require(newCids.nonEmpty,
-      s"no rows of dead cell $deadCid exist in the coarse index at " +
-        s"$ivfPath — nothing to re-encode (already synced?)")
+      s"no rows of dead cell $deadCid exist under the candidate " +
+        s"sub-cells ${candidateCids.sorted} of $ivfPath — nothing to " +
+        "re-encode (already synced?)")
     val cids = moved.select("vec_id", "cid")
     val cent = IndexStore.centroidsAt(s, ivfPath)
     val toEncode =

@@ -1197,10 +1197,14 @@ object SimilarityQueries {
 
   /** True when `rows` centroid rows fit under the session broadcast
     * threshold (unknown row counts — `rows < 0` — keep the broadcast:
-    * the fixture/default shape). */
+    * the fixture/default shape). A DISABLED threshold (<= 0, the
+    * standard memory-tight-cluster setting) means a known-size
+    * centroid relation must NEVER broadcast — same convention as
+    * sizeGatedSide; an explicit broadcast hint would bypass exactly
+    * the knob the operator turned off. */
   private def centroidsFit(s: SparkSession, rows: Long, dim: Int): Boolean = {
     val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
-    rows < 0 || threshold <= 0 || rows * centroidBytes(dim) <= threshold
+    rows < 0 || (threshold > 0 && rows * centroidBytes(dim) <= threshold)
   }
 
   /** The centroid side of a coarse-ranking cross join, size-gated: at
@@ -1869,7 +1873,8 @@ object SimilarityQueries {
       path: String, cids: DataFrame,
       shape: PqShape = DefaultPqShape,
       packed: Boolean = false,
-      construction: String = ConstructionRaw): Unit = this.synchronized {
+      construction: String = ConstructionRaw,
+      normOf: Option[DataFrame] = None): Unit = this.synchronized {
     // the caller declares what SPACE `corpus` lives in; retraining a
     // residual index with raw vectors (or vice versa) would flip the
     // stored construction silently and every later search would score
@@ -1885,7 +1890,7 @@ object SimilarityQueries {
     val cb = pqTrainCodebooks(corpus, shape).localCheckpoint()
     val parts = Seq(
       IndexStore.DataRel -> pqEncode(corpus, cb, cids, shape,
-        packed = packed),
+        packed = packed, normOf = normOf),
       IndexStore.CodebookRel -> cb,
       baselinePart(s, cb, corpus, shape, construction))
     // the hatch doubles as the initial builder (it IS a rebuild): the
@@ -2579,9 +2584,22 @@ object SimilarityQueries {
             .toDF("batch_id", "distortion", "ratio", "retrain", "healed")
             .coalesce(1).write.mode("append").parquet(driftDir)
           if (healing) {
+            // the hatch retrains in the index's OWN space: a residual
+            // table's heal derives the residual corpus itself (the
+            // caller's PqHeal supplies raw vectors + cids either way)
+            // and keeps the stored norm the ORIGINAL vector's
             val h = heal.get
-            pqRetrainAndReEncode(bs, h.corpus(bs), pqPath, h.cids(bs),
-              shape, packed = packed)
+            val corpus = h.corpus(bs)
+            val hCids = h.cids(bs)
+            if (residual)
+              pqRetrainAndReEncode(bs,
+                residualsAgainst(corpus, hCids, cent), pqPath, hCids,
+                shape, packed = packed,
+                construction = ConstructionResidual,
+                normOf = Some(corpus))
+            else
+              pqRetrainAndReEncode(bs, corpus, pqPath, hCids,
+                shape, packed = packed)
             // the retrain refreshed the persisted baseline; later
             // batches must be judged against the NEW generation
             baseline = IndexStore.baselineAt(bs, pqPath)

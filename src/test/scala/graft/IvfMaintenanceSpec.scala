@@ -174,6 +174,30 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(prior == 1, s"time travel read $prior appended rows")
   }
 
+  test("counter ledger compacts under steady below-threshold ingest — " +
+    "bounded rows, bit-identical drift totals") {
+    val path = s"$tmp/ivf_maint_compact"
+    import spark.implicits._
+    createIndex(path, Seq((1L, 0L, vec(1, 0, 0, 0)),
+      (2L, 1L, vec(0, 1, 0, 0))),
+      Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))))
+    // many tiny appends, all below every trigger: without compaction
+    // the ledger (and the per-op driver collect) grows one row per
+    // batch forever
+    IvfMaintenance.recordBase(spark, path,
+      Seq((0L, 1000L), (1L, 1000L)).toDF("cid", "rows"))
+    for (_ <- 1 to 20)
+      IvfMaintenance.recordAppend(spark, path,
+        Seq((0L, 1L)).toDF("cid", "rows"))
+    val ledgerRows = IndexStore.countsAt(spark, path).count()
+    assert(ledgerRows <= IvfMaintenance.LedgerCompactFactor * 2 + 1,
+      s"ledger grew unbounded: $ledgerRows rows after 20 appends")
+    // compaction is PURE: per-cid base/append sums are exact
+    val r = IvfMaintenance.driftReport(spark, path)
+    assert(r.baseRows == 2000 && r.appendedRows == 20, s"$r")
+    assert(!r.retrain, s"$r")
+  }
+
   test("streamed overload fires the drift trigger mid-stream and " +
     "recall holds on the re-centered index") {
     import spark.implicits._

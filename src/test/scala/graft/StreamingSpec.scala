@@ -457,6 +457,111 @@ class StreamingSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"post-heal recall@$k = $recall")
   }
 
+  test("mid-stream heal on a RESIDUAL index: the hatch retrains in the " +
+    "index's own space (residual corpus, original norms), construction " +
+    "survives, post-stream decomposition recall holds") {
+    import graft.queries.SimilarityQueries
+    import graft.streaming.VecsStream
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pq_heal_res").toFile.getAbsolutePath
+    val vdim = 64
+    def baseVec(i: Int): Seq[Float] =
+      Seq.tabulate(vdim)(d => (((i * 37 + d * 11) % 13) - 6).toFloat)
+    def shiftVec(i: Int): Seq[Float] = {
+      val c = i % 4
+      Seq.tabulate(vdim)(d =>
+        (if (d % 4 == c) 30f else 0f) +
+          (((i * 7 + d * 3) % 5) - 2).toFloat * 0.2f)
+    }
+    val baseRows = (0 until 200).map(i => (i.toLong, i % 3, baseVec(i)))
+    val b1Rows = (200 until 240).map(i => (i.toLong, i % 3, baseVec(i)))
+    val b2Rows = (240 until 320).map(i => (i.toLong, i % 3, shiftVec(i)))
+    val b3Rows = (320 until 400).map(i => (i.toLong, i % 3, shiftVec(i)))
+    val baseDf = baseRows.toDF("vec_id", "label", "embedding")
+    baseDf.write.parquet(s"$tmp/base")
+    val path = s"$tmp/pq_heal_res_index"
+    val ivfPath = s"$tmp/ivf"
+    // single coarse cell with a NONZERO centroid, so residual codes
+    // genuinely differ from raw (x - 1 per dimension)
+    Seq((0L, Seq.fill(vdim)(1.0))).toDF("cid", "cv")
+      .coalesce(1).write.parquet(ivfPath + "_centroids")
+    val cent = graft.delta.IndexStore.centroidsAt(spark, ivfPath)
+    def cidsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), lit(0L).as("cid"))
+    // initial build via the idempotent hatch, declared residual: train
+    // on residuals, store the ORIGINAL vectors' norms
+    SimilarityQueries.pqRetrainAndReEncode(spark,
+      SimilarityQueries.residualsAgainst(baseDf, cidsOf(baseDf), cent),
+      path, cidsOf(baseDf), packed = true,
+      construction = SimilarityQueries.ConstructionResidual,
+      normOf = Some(baseDf))
+    assert(SimilarityQueries.constructionOf(spark, path) ==
+      SimilarityQueries.ConstructionResidual)
+    val baseline0 = SimilarityQueries.distortionBaseline(spark, path)
+    val feedDir = s"$tmp/feed"
+    val t0 = System.currentTimeMillis() - 60000
+    def feed(rows: Seq[(Long, Int, Seq[Float])], name: String,
+        at: Long): Unit =
+      VecsStream.writeFeedFile(feedDir,
+        rows.toDF("vec_id", "label", "embedding")
+          .select("vec_id", "embedding", "label"), name, at)
+    feed(b1Rows, "00_calm.parquet", t0)
+    feed(b2Rows, "01_shift.parquet", t0 + 10000)
+    feed(b3Rows, "02_more.parquet", t0 + 20000)
+    val sink = s"$tmp/sink"
+    val heal = SimilarityQueries.PqHeal(
+      corpus = bs => bs.read.parquet(s"$tmp/base")
+        .unionByName(bs.read.parquet(sink + "_vecs")),
+      cids = bs => cidsOf(bs.read.parquet(s"$tmp/base")
+        .unionByName(bs.read.parquet(sink + "_vecs"))))
+    SimilarityQueries.streamPqIngest(spark, feedDir, path, ivfPath,
+      sink, "pq_heal_res_spec", monitor = true, packed = true,
+      heal = Some(heal), appendToIndex = true)
+    // calm quiet -> shifted fires AND heals (in residual space) ->
+    // the next shifted batch is quiet against the new generation
+    val log = spark.read.parquet(sink + "_drift")
+      .orderBy("batch_id")
+      .select("retrain", "healed").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(log.toSeq == Seq((false, false), (true, true), (false, false)),
+      s"residual drift/heal sequence diverged: ${log.toSeq}")
+    // the retrain preserved the construction tag and refreshed the
+    // baseline; the index holds the whole corpus coherently
+    assert(SimilarityQueries.constructionOf(spark, path) ==
+      SimilarityQueries.ConstructionResidual)
+    assert(SimilarityQueries.distortionBaseline(spark, path) != baseline0)
+    val index = graft.delta.IndexStore.data(spark, path)
+    assert(index.count() == 400 &&
+      index.select("vec_id").distinct().count() == 400)
+    // stored norms are the ORIGINAL vectors': spot-check one row
+    val allRows = baseRows ++ b1Rows ++ b2Rows ++ b3Rows
+    val v320 = allRows.find(_._1 == 320L).get._3.map(_.toDouble)
+    val n320 = math.sqrt(v320.map(x => x * x).sum)
+    val stored320 = index.where(col("vec_id") === 320L)
+      .select("xnorm").head.getDouble(0)
+    assert(math.abs(stored320 - n320) < 1e-9,
+      s"stored norm $stored320 is not the original vector's $n320")
+    // post-stream recall through the residual DECOMPOSITION search
+    val corpus = allRows.toDF("vec_id", "label", "embedding")
+    val probeId = 320L
+    val probe = v320
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val k = 10
+    val trueTop = allRows.filter(_._1 != probeId)
+      .map { case (id, _, v) => (id, cos(v.map(_.toDouble), probe)) }
+      .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+    val got = SimilarityQueries.annPqResidualSearch(spark, corpus, path,
+      ivfPath, probeId = probeId, k = k, nprobe = 1, cand = 64)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (trueTop intersect got).size.toDouble / k
+    assert(recall >= 0.8, s"post-heal residual recall@$k = $recall")
+  }
+
   test("mapGroupsWithState sessionization counts all events per user") {
     val sessions = EventsStream.runToMemory(spark,
       ss => EventsStream.userSessions(ss,
