@@ -685,6 +685,52 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(travel.getOrElse(0L, 0L) == 100 && travel.values.sum == 120)
   }
 
+  test("a reader resolved before a PQ retrain keeps ONE generation " +
+    "(old codes with old codebooks), never a cross-generation mix") {
+    import graft.operators.PqMaintenance
+    import graft.queries.SimilarityQueries
+    import spark.implicits._
+    val vdim = 64
+    def v(i: Int): Seq[Float] =
+      Seq.tabulate(vdim)(d => (((i * 31 + d * 7) % 13) - 6).toFloat)
+    val rows = (0 until 120).map(i => (i.toLong, i.toLong % 3, v(i)))
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val cids = corpus.select(col("vec_id"), lit(0L).as("cid"))
+    val path = s"$tmp/pq_gen_iso"
+    val cb0 = SimilarityQueries.pqTrainCodebooks(corpus).localCheckpoint()
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel -> SimilarityQueries.pqEncode(corpus, cb0, cids),
+      IndexStore.CodebookRel -> cb0,
+      IndexStore.MetaRel -> Seq((PqMaintenance.distortionOf(spark, cb0,
+        corpus.select("vec_id", "embedding")),
+        SimilarityQueries.ConstructionRaw))
+        .toDF("baseline", "construction")))
+    // a concurrent search resolves its relations NOW (pre-retrain)
+    val oldCodes = IndexStore.data(spark, path)
+    val oldCb = IndexStore.codebookAt(spark, path)
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "c0").collect()
+      .map(r => r.getLong(0) -> r.getByte(1)).toMap
+    def cbMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val oldCodeSnap = codeMap(oldCodes)
+    val oldCbSnap = cbMap(oldCb)
+    // retrain on a SHIFTED corpus — new codebooks, new codes, one commit
+    val shifted = corpus.withColumn("embedding",
+      expr("transform(embedding, x -> x * CAST(3.0 AS FLOAT) + " +
+        "CAST(11.0 AS FLOAT))"))
+    SimilarityQueries.pqRetrainAndReEncode(spark, shifted, path, cids)
+    // the pre-retrain reader still reads the OLD generation, coherently
+    assert(codeMap(oldCodes) == oldCodeSnap,
+      "pre-retrain codes reader crossed into the new generation")
+    assert(cbMap(oldCb) == oldCbSnap,
+      "pre-retrain codebook reader crossed into the new generation")
+    // fresh readers see the NEW generation, coherently different
+    val newCb = cbMap(IndexStore.codebookAt(spark, path))
+    assert(newCb != oldCbSnap, "retrain produced identical codebooks?")
+    assert(IndexStore.data(spark, path).count() == 120)
+  }
+
   test("post-split residual coherence: splitting a cell under a " +
     "residual PQ index orphans its codes (loudly detectable); " +
     "syncAfterSplit re-encodes the moved rows and recall re-asserts") {
