@@ -244,6 +244,60 @@ object IvfMaintenance {
     rep
   }
 
+  /** File-growth policy for the data rel's cid partitions: a cell
+    * holding more than `maxFiles` files under `targetFileSize` compacts.
+    * The default tolerates a handful of micro-batch appends per cell
+    * between passes without ever rewriting a partition that one big
+    * build wrote well. */
+  final case class CompactPolicy(maxFiles: Int = 8,
+      targetFileSize: Long =
+        graft.commands.OptimizeCommand.DefaultTargetFileSize) {
+    require(maxFiles >= 2 && targetFileSize >= 1,
+      s"degenerate policy: $this")
+  }
+
+  /** The small-file remedy for a STREAMED index: every micro-batch
+    * append lands one parquet file per touched cid partition, so a
+    * long-running ingest turns each cell into thousands of tiny files
+    * — at 100 TB that is the dominant scan-cost pathology (open/seek
+    * per file swamps the sequential read) and it grows without bound
+    * unless the maintenance loop owns it, the way it owns drift
+    * ([[maybeRetrain]]) and skew ([[maybeSplit]]). Qualification is
+    * metadata-only — small-file counts per cell come from the commit
+    * log's file inventory (size + partitionValues), zero data IO, so
+    * the steady-state pass costs one log aggregation and commits
+    * NOTHING (the version does not move). When cells qualify, ONE
+    * partition-scoped OPTIMIZE rewrites exactly those partitions:
+    * `dataChange=false` (readers see identical rows; history stays
+    * time-travelable), and compaction REBASES freely over racing
+    * appends to other cells — background compaction never blocks
+    * ingest (the OptimizeCommand conflict profile). Metadata relations
+    * never qualify: the ledger has its own pure-row compaction
+    * ([[maybeCompactLedger]]) and centroid/codebook rewrites are
+    * already whole-relation replaces.
+    *
+    * Returns the compacted cids (empty in the steady state). */
+  def maybeCompactData(spark: SparkSession, indexPath: String,
+      policy: CompactPolicy = CompactPolicy()): Seq[Long] =
+      opLock.synchronized {
+    val snap = graft.delta.DeltaTable.forPath(spark, indexPath)
+    val fat = snap.allFiles
+      .where(element_at(col("partitionValues"), RelCol) === DataRel &&
+        col("size") < policy.targetFileSize)
+      .groupBy(element_at(col("partitionValues"), PcidCol)
+        .cast("long").as("pcid"))
+      .agg(count(lit(1)).as("files"))
+      .where(col("files") > policy.maxFiles)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (fat.isEmpty) return Nil
+    graft.commands.OptimizeCommand.optimize(spark, indexPath,
+      targetFileSize = policy.targetFileSize,
+      where = Some(col(RelCol) === DataRel &&
+        col(PcidCol).isInCollection(fat)),
+      snapOpt = Some(snap))
+    fat
+  }
+
   /** When to split a fat cell automatically: a cell whose occupancy
     * exceeds `budget` — the probe-side RERANK budget (`cand`) — stops
     * holding recall, because ADC ranking error is absorbed only by the

@@ -2414,10 +2414,13 @@ object SimilarityQueries {
   def streamAnnIngest(s: SparkSession, feedDir: String, indexPath: String,
       sinkDir: String, name: String, maintain: Boolean = false,
       dim: Int = Dim,
-      split: Option[graft.operators.IvfMaintenance.SplitPolicy] = None)
+      split: Option[graft.operators.IvfMaintenance.SplitPolicy] = None,
+      compact: Option[graft.operators.IvfMaintenance.CompactPolicy] = None)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     require(split.isEmpty || maintain,
       "auto-split consumes the occupancy counters — maintain must be on")
+    require(compact.isEmpty || maintain,
+      "auto-compact runs in the maintenance loop — maintain must be on")
     runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
         val bs = batch.sparkSession
         val cent = IndexStore.centroidsAt(bs, indexPath)
@@ -2459,6 +2462,12 @@ object SimilarityQueries {
             // loop re-reads centroids per trigger)
             split.foreach(p => graft.operators.IvfMaintenance
               .maybeSplit(bs, indexPath, dim, p))
+            // the small-file remedy: cells the stream has fragmented
+            // past the file budget compact BETWEEN micro-batches —
+            // metadata-only qualification, one dataChange=false commit
+            // over exactly the fat cells, no commit in steady state
+            compact.foreach(p => graft.operators.IvfMaintenance
+              .maybeCompactData(bs, indexPath, p))
           } finally assigned.unpersist()
         } else assigned.select("vec_id", "cid").write.mode("append")
           .parquet(sinkDir)
@@ -2493,10 +2502,13 @@ object SimilarityQueries {
       ivfPath: String, sinkDir: String, name: String,
       monitor: Boolean = false, packed: Boolean = false,
       heal: Option[PqHeal] = None, appendToIndex: Boolean = false,
-      shape: PqShape = DefaultPqShape)
+      shape: PqShape = DefaultPqShape,
+      compact: Option[graft.operators.IvfMaintenance.CompactPolicy] = None)
       : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     require(heal.isEmpty || monitor,
       "heal consumes the drift trigger — monitor must be on")
+    require(compact.isEmpty || appendToIndex,
+      "auto-compact targets the index table — appendToIndex must be on")
     // per-batch drift log beside the sink (monitor mode); the baseline
     // is the build-time constant, read once on the driver — and
     // RE-READ after a heal (the retrain refreshed it)
@@ -2564,6 +2576,11 @@ object SimilarityQueries {
               encoded.select((col("vec_id") +: col("cid") +:
                 col("label") +: col("xnorm") +: codeCols): _*)))
         } finally if (appendToIndex) encoded.unpersist()
+        // same small-file remedy as the IVF loop: one codes file per
+        // touched cid per micro-batch fragments the index; compact the
+        // fat cells between batches (metadata-only steady-state check)
+        compact.foreach(p => graft.operators.IvfMaintenance
+          .maybeCompactData(bs, pqPath, p))
         if (monitor) {
           // the streaming face of the PQ drift policy: each arriving
           // micro-batch is measured against the build-time baseline —

@@ -639,6 +639,204 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"post-split recall@$k = $recall")
   }
 
+  /** Live file count per data-rel cid partition, from the log's file
+    * inventory — the same metadata-only view maybeCompactData decides
+    * from. */
+  private def dataFileCounts(path: String): Map[Long, Long] =
+    DeltaTable.forPath(spark, path).allFiles
+      .where(element_at(col("partitionValues"), IndexStore.RelCol)
+        === IndexStore.DataRel)
+      .groupBy(element_at(col("partitionValues"), IndexStore.PcidCol)
+        .cast("long").as("pcid"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("maybeCompactData: micro-batch appends fragment a cell; ONE " +
+    "dataChange=false commit compacts exactly the fat cells; rows, " +
+    "counters, and a pre-compaction reader are untouched; steady " +
+    "state commits nothing") {
+    import spark.implicits._
+    val path = s"$tmp/ivf_compact"
+    createIndex(path,
+      Seq((1L, 0L, vec(1, 0, 0, 0)), (2L, 1L, vec(0, 1, 0, 0))),
+      Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))))
+    // ten single-row appends into cid 0 — ten files in its partition;
+    // cid 1 gets two (stays under the budget, must NOT be rewritten)
+    for (i <- 0 until 10)
+      appendRows(path, Seq((10L + i, 0L, vec(1, 0.1 * i, 0, 0))))
+    for (i <- 0 until 2)
+      appendRows(path, Seq((50L + i, 1L, vec(0.1 * i, 1, 0, 0))))
+    val before = dataFileCounts(path)
+    assert(before(0L) == 11 && before(1L) == 3, s"$before")
+    val rowsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val expected = rowsOf(IndexStore.data(spark, path))
+    val ledgerBefore = IndexStore.countsAt(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // a concurrent probe resolved BEFORE the compaction
+    val preReader = IndexStore.data(spark, path)
+    val vPre = version(path)
+
+    val policy = IvfMaintenance.CompactPolicy(maxFiles = 4)
+    assert(IvfMaintenance.maybeCompactData(spark, path, policy)
+      == Seq(0L), "only the fat cell qualifies")
+
+    // one commit; the fat cell is one file now, the quiet cell untouched
+    assert(version(path) == vPre + 1)
+    val after = dataFileCounts(path)
+    assert(after(0L) == 1 && after(1L) == 3, s"$after")
+    // identical rows (dataChange=false is a layout change, not a data
+    // change), identical counter ledger
+    assert(rowsOf(IndexStore.data(spark, path)) == expected)
+    assert(IndexStore.countsAt(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      .sameElements(ledgerBefore))
+    // the pre-compaction reader's snapshot is immutable — same rows
+    assert(rowsOf(preReader) == expected)
+    // steady state: nothing qualifies, NOTHING commits
+    assert(IvfMaintenance.maybeCompactData(spark, path, policy).isEmpty)
+    assert(version(path) == vPre + 1, "steady-state pass moved the log")
+  }
+
+  test("background compaction never blocks ingest: a compaction " +
+    "committed from a STALE snapshot rebases over a racing append " +
+    "and both land") {
+    import spark.implicits._
+    val path = s"$tmp/ivf_compact_race"
+    createIndex(path,
+      Seq((1L, 0L, vec(1, 0, 0, 0)), (2L, 1L, vec(0, 1, 0, 0))),
+      Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))))
+    for (i <- 0 until 6)
+      appendRows(path, Seq((10L + i, 0L, vec(1, 0.1 * i, 0, 0))))
+    // the compactor resolves its snapshot NOW...
+    val stale = DeltaTable.forPath(spark, path)
+    // ...then ingest wins the race with an append into the OTHER cell
+    appendRows(path, Seq((100L, 1L, vec(0, 1, 0.5, 0))))
+    // the compaction commit starts from the stale version, meets the
+    // append in the log, and must REBASE (the append removed nothing
+    // the compaction read) — not throw, not lose either commit
+    graft.commands.OptimizeCommand.optimize(spark, path,
+      where = Some(col(IndexStore.RelCol) === IndexStore.DataRel &&
+        col(IndexStore.PcidCol) === 0L),
+      snapOpt = Some(stale))
+    val rows = IndexStore.data(spark, path).select("vec_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 9 && rows(100L) == 1L,
+      s"racing append lost: $rows")
+    assert(dataFileCounts(path)(0L) == 1, "compaction lost")
+  }
+
+  test("auto-compact wiring: a streamed ingest holds every cell at " +
+    "O(1) files — the loop compacts BETWEEN micro-batches and the " +
+    "index stays intact") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val path = s"$tmp/ivf_auto_compact"
+    def vf(v: Float*): Seq[Float] = v
+    val base: Seq[(Long, Long, Seq[Float])] = Seq(
+      (1L, 0L, vf(1f, 0f, 0f, 0f)), (2L, 1L, vf(0f, 1f, 0f, 0f)))
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel -> base.toDF("vec_id", "cid", "embedding")
+        .select(col("vec_id"), lit(0L).as("label"), col("embedding"),
+          col("cid")),
+      IndexStore.CentroidRel ->
+        Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0))).toDF("cid", "cv"),
+      IndexStore.CountRel -> counts(
+        base.map { case (v, c, e) => (v, c, e.map(_.toDouble)) })
+        .select(lit("base").as("kind"), col("cid"), col("rows"))))
+    // six micro-batches, all routed to cid 0 — unmanaged, that is six
+    // append files in one partition and growing forever
+    val feedDir = s"$tmp/auto_compact_feed"
+    val tBase = System.currentTimeMillis() - 60000
+    val batches = (0 until 6).map { b =>
+      (0 until 2).map(i => (100L + 10 * b + i,
+        vf(1f, 0.01f * (b * 2 + i), 0f, 0f)))
+    }
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      graft.streaming.VecsStream.writeFeedFile(feedDir,
+        rows.toDF("vec_id", "embedding"), f"$b%02d_batch.parquet",
+        tBase + b * 10000)
+    }
+    val sink = s"$tmp/auto_compact_sink"
+    SimilarityQueries.streamAnnIngest(spark, feedDir, path, sink,
+      "ivf_auto_compact", maintain = true, dim = dim,
+      compact = Some(IvfMaintenance.CompactPolicy(maxFiles = 2)))
+    // the partition never outgrew the budget: the loop compacted it
+    // between batches (6 appends would mean 7 files unmanaged)
+    val files = dataFileCounts(path)
+    assert(files(0L) <= 2, s"auto-compact never fired: $files")
+    // nothing lost, counters still exact
+    val occupancy = IndexStore.data(spark, path).groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occupancy(0L) == 1 + 12 && occupancy(1L) == 1, s"$occupancy")
+    val state = IndexStore.countsAt(spark, path)
+      .groupBy("cid").agg(sum("rows").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == occupancy,
+      s"counters drifted from rows: $state vs $occupancy")
+  }
+
+  test("index lifecycle closes: VACUUM reclaims exactly the dead files " +
+    "that appends + compaction + split left behind; live reads and the " +
+    "maintenance state are untouched") {
+    val path = s"$tmp/ivf_lifecycle"
+    def fatVec(i: Int): Seq[Double] = {
+      val g = i % 2
+      Seq.tabulate(dim)(d =>
+        (if (d == g) 50.0 else 0.0) + ((i * 7 + d) % 5) * 0.1)
+    }
+    createIndex(path,
+      (0 until 20).map(i => (i.toLong, 0L, fatVec(i))) :+
+        ((500L, 1L, vec(10, 1, 1, 1))),
+      Seq((0L, Seq.fill(dim)(0.05)), (1L, vec(10, 1, 1, 1))))
+    // the full maintenance life: fragment, compact, split — each op
+    // REPLACES files, so each leaves dead ones only the log remembers
+    for (i <- 0 until 6)
+      appendRows(path, Seq((100L + i, 0L, fatVec(i))))
+    IvfMaintenance.maybeCompactData(spark, path,
+      IvfMaintenance.CompactPolicy(maxFiles = 4))
+    IvfMaintenance.splitCell(spark, path, cid = 0L, ways = 2, dim = dim)
+
+    // dead = every physical parquet file the live snapshot no longer
+    // references (the ground truth VACUUM must match exactly)
+    val live = DeltaTable.forPath(spark, path).allFiles
+      .select("path").collect().map(_.getString(0)).toSet
+    val root = new java.io.File(path).getAbsoluteFile.toPath
+    val physical = {
+      val b = Seq.newBuilder[String]
+      java.nio.file.Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (rel.endsWith(".parquet") && !rel.startsWith("_delta_log"))
+          b += rel
+      }
+      b.result()
+    }
+    val dead = physical.filterNot(live)
+    assert(dead.size >= 7,
+      s"expected debris from 3 replacing ops, found ${dead.size}")
+
+    val g = GraftSession(spark)
+    val dry = g.sql(s"VACUUM '$path' RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getAs[String]("path").stripPrefix("file:")).toSet
+    assert(dry == dead.map(d => s"$root/$d").toSet,
+      s"dry run disagrees with the ground truth:\n$dry\nvs\n$dead")
+    val metrics = g.sql(s"VACUUM '$path' RETAIN 0 HOURS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics("files_deleted").toInt == dead.size)
+
+    // the live index is whole: rows, routing, and the counter state all
+    // read exactly as before the vacuum
+    val occupancy = IndexStore.data(spark, path).groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occupancy.values.sum == 27 && !occupancy.contains(0L),
+      s"$occupancy")
+    val state = IndexStore.countsAt(spark, path)
+      .groupBy("cid").agg(sum("rows").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == occupancy, s"counters vs rows: $state vs $occupancy")
+    assert(IvfMaintenance.driftReport(spark, path).baseRows > 0)
+  }
+
   test("a reader resolved before a split keeps reading the OLD snapshot; " +
     "time travel recovers it after — never a row under two cids") {
     import spark.implicits._
