@@ -643,6 +643,36 @@ object SimilarityQueries {
         probeId = 0, k = 20, nprobe = 8)
     },
 
+    // The auto-compacted index (the maintenance loop's small-file
+    // remedy): a fragmenting six-commit ingest healed by ONE
+    // partition-scoped dataChange=false OPTIMIZE over exactly the
+    // fragmented cells. The search is the standard IVF probe; the
+    // oracle replays it over the compacted snapshot's mirror —
+    // hash-green IS the proof compaction changed layout, not content.
+    Q("q_sim_ann_compact",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${IvfCompactOracleAlias}_centroids/*.parquet') c
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |)
+         |SELECT i.vec_id, i.label,
+         |  (${dotSql("i.embedding", "pv")}) /
+         |    (${normSql("i.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM read_parquet('$IvfCompactOracleAlias/*/*.parquet',
+         |       hive_partitioning=true) i
+         |JOIN probed ON CAST(i.cid AS BIGINT) = probed.cid
+         |CROSS JOIN probe
+         |WHERE i.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      annIvfOver(s, dir, ivfCompactIndexPath(s, dir),
+        probeId = 0, k = 20, nprobe = 8)
+    },
+
     // RESIDUAL IVFADC (the full Jégou et al. 2011 construction): codes
     // quantize x - centroid(x), so the one-byte budget spends on the
     // offset within the coarse cell — the accuracy upgrade production
@@ -799,6 +829,10 @@ object SimilarityQueries {
   /** Alias family for the post-SPLIT IVF index (q_sim_ann_split). */
   final val IvfSplitOracleAlias =
     "/root/repo/target/delta_fixtures/ivf_split_current"
+
+  /** Alias family for the auto-COMPACTED IVF index (q_sim_ann_compact). */
+  final val IvfCompactOracleAlias =
+    "/root/repo/target/delta_fixtures/ivf_compact_current"
 
   /** The PQ search replayed in DuckDB over a materialized index alias
     * family — shared verbatim by the build-once, incremental, and
@@ -1381,6 +1415,75 @@ object SimilarityQueries {
         writeIndexStamp(path, sig)
       }
       refreshIvfMirror(s, path, IvfSplitOracleAlias)
+    }
+    path
+  }
+
+  /** Auto-COMPACTED IVF index (the small-file remedy, materialized for
+    * the oracle gate): the incremental build's held-out slice arrives
+    * as SIX separate append commits instead of one — each leaves one
+    * small file per touched cid partition, the fragmentation a
+    * long-running streamed ingest produces — then the maintenance
+    * loop's [[graft.operators.IvfMaintenance.maybeCompactData]] heals
+    * it: metadata-only qualification, ONE partition-scoped
+    * dataChange=false OPTIMIZE over exactly the fragmented cells.
+    * Probes search the compacted index like any other; the oracle
+    * replays the whole search over the compacted snapshot's mirror, so
+    * hash-green here IS the proof that compaction changed the layout
+    * and nothing else. The completion marker is a sibling file (commit
+    * count varies with opportunistic ledger compactions, so no single
+    * log version can mark success). */
+  def ivfCompactIndexPath(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_compact"
+    this.synchronized {
+      val success = new java.io.File(path.stripSuffix("/") + "_compact_done")
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
+        java.nio.file.Files.deleteIfExists(success.toPath)
+        val emb = load(s, dir, "embeddings")
+        val base = emb.where(col("vec_id") % 10 =!= 7)
+        val seeds = base.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def means(assigned: DataFrame) = assigned.groupBy("cid")
+          .agg(array((1 to Dim).map(i =>
+            avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
+            .as("cv"))
+        val refined = (1 to IvfLloydIterations)
+          .foldLeft(seeds)((c, _) => means(assignTo(base, c)))
+          .localCheckpoint()
+        val baseAssigned = assignTo(base, refined).localCheckpoint()
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> baseAssigned
+            .select("vec_id", "label", "embedding", "cid"),
+          IndexStore.CentroidRel -> refined.select("cid", "cv"),
+          IndexStore.CountRel -> baseAssigned.groupBy("cid").count()
+            .select(lit("base").as("kind"), col("cid"),
+              col("count").as("rows"))))
+        // the fragmenting firehose: six micro-batch-sized appends, each
+        // ONE commit landing rows + counters (the streamAnnIngest shape)
+        val batchAssigned = assignTo(emb.where(col("vec_id") % 10 === 7),
+          refined).localCheckpoint()
+        for (b <- 0 until 6) {
+          val slice = batchAssigned
+            .where(col("vec_id") % 60 === (7 + 10 * b))
+          graft.operators.IvfMaintenance.appendBatch(s, path,
+            slice.select("vec_id", "label", "embedding", "cid"),
+            slice.groupBy("cid").count()
+              .withColumnRenamed("count", "rows"))
+        }
+        // the remedy under test — must actually fire, or the query
+        // would pin nothing (the steady-state no-op is specced)
+        val compacted = graft.operators.IvfMaintenance.maybeCompactData(
+          s, path, graft.operators.IvfMaintenance.CompactPolicy(
+            maxFiles = 3))
+        require(compacted.nonEmpty,
+          "compaction fixture fragmented nothing — the pin is vacuous")
+        java.nio.file.Files.write(success.toPath,
+          compacted.mkString(",").getBytes("UTF-8"))
+        writeIndexStamp(path, sig)
+      }
+      refreshIvfMirror(s, path, IvfCompactOracleAlias)
     }
     path
   }
