@@ -51,6 +51,10 @@ object IndexStore {
   final val PcidCol = "pcid"
   final val DataRel = "data"
   final val CentroidRel = "centroid"
+  /** The SUPER level of a two-level coarse quantizer: (scid, cv) rows
+    * stored under the table's existing (cid, cv) columns — the child
+    * mapping rides as an `scid` column on the centroid relation. */
+  final val SuperCentroidRel = "supercentroid"
   final val CodebookRel = "codebook"
   final val CountRel = "count"
   final val MetaRel = "meta"
@@ -168,6 +172,18 @@ object IndexStore {
       s.read.parquet(dir).select("cid", "cv")
     }
 
+  /** The super-centroid relation of a two-level IVF table: (scid, cv),
+    * stored under the table's (cid, cv) columns. */
+  def superCentroidsAt(s: SparkSession, path: String): DataFrame =
+    rel(s, path, SuperCentroidRel)
+      .select(col("cid").cast(LongType).as("scid"), col("cv"))
+
+  /** The centroid relation WITH its super-cell routing column — the
+    * child map of a two-level table: (cid, cv, scid). */
+  def routedCentroidsAt(s: SparkSession, path: String): DataFrame =
+    rel(s, path, CentroidRel).select(col("cid").cast(LongType).as("cid"),
+      col("cv"), col("scid").cast(LongType).as("scid"))
+
   /** The codebook relation of a PQ table — or a plain `(m, code, cv)`
     * parquet dir (rehearsal fallback). */
   def codebookAt(s: SparkSession, path: String): DataFrame =
@@ -267,7 +283,13 @@ object IndexStore {
       if (outDir.exists())
         scala.reflect.io.Directory(outDir).deleteRecursively()
       val colsFor = relName match {
-        case CentroidRel => Seq("cid", "cv")
+        // a two-level table's centroid mirror carries the super-cell
+        // routing column; flat tables have no scid in their schema
+        case CentroidRel =>
+          if (snap.schema.fieldNames.contains("scid"))
+            Seq("cid", "cv", "scid")
+          else Seq("cid", "cv")
+        case SuperCentroidRel => Seq("cid", "cv")
         case CodebookRel => Seq("m", "code", "cv")
         case other => throw new IllegalArgumentException(
           s"no oracle mirror layout for rel $other")

@@ -673,6 +673,45 @@ object SimilarityQueries {
         probeId = 0, k = 20, nprobe = 8)
     },
 
+    // The TWO-LEVEL coarse quantizer (hierarchical IVF): the probe
+    // routes through k1 ~ sqrt(nlist) super-cells, scores only the
+    // top-4 supers' children, then the standard pruned scan + rerank
+    // — O(k1 + 4·nlist/k1) ranking dots instead of O(nlist), the
+    // arithmetic remedy at production cell counts. Both ranking
+    // stages are deterministic; the oracle replays the identical
+    // two-stage route over the mirrored routing relations.
+    Q("q_sim_ann_two_level",
+      s"""WITH probe AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+         |), super AS (
+         |  SELECT CAST(sc.cid AS BIGINT) AS scid
+         |  FROM read_parquet(
+         |    '${IvfTwoLevelOracleAlias}_supercentroids/*.parquet') sc
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("sc.cv", "pv")}) DESC, scid
+         |  LIMIT 4
+         |), probed AS (
+         |  SELECT CAST(c.cid AS BIGINT) AS cid
+         |  FROM read_parquet('${IvfTwoLevelOracleAlias}_centroids/*.parquet') c
+         |  JOIN super ON CAST(c.scid AS BIGINT) = super.scid
+         |  CROSS JOIN probe
+         |  ORDER BY (${dotSql("c.cv", "pv")}) DESC, cid
+         |  LIMIT 8
+         |)
+         |SELECT i.vec_id, i.label,
+         |  (${dotSql("i.embedding", "pv")}) /
+         |    (${normSql("i.embedding")} * ${normSql("pv")}) AS cosine
+         |FROM read_parquet('$IvfTwoLevelOracleAlias/*/*.parquet',
+         |       hive_partitioning=true) i
+         |JOIN probed ON CAST(i.cid AS BIGINT) = probed.cid
+         |CROSS JOIN probe
+         |WHERE i.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      annIvfTwoLevel(s, dir, probeId = 0, k = 20, nprobe = 8,
+        superProbes = 4)
+    },
+
     // RESIDUAL IVFADC (the full Jégou et al. 2011 construction): codes
     // quantize x - centroid(x), so the one-byte budget spends on the
     // offset within the coarse cell — the accuracy upgrade production
@@ -833,6 +872,10 @@ object SimilarityQueries {
   /** Alias family for the auto-COMPACTED IVF index (q_sim_ann_compact). */
   final val IvfCompactOracleAlias =
     "/root/repo/target/delta_fixtures/ivf_compact_current"
+
+  /** Alias family for the TWO-LEVEL IVF index (q_sim_ann_two_level). */
+  final val IvfTwoLevelOracleAlias =
+    "/root/repo/target/delta_fixtures/ivf_two_level_current"
 
   /** The PQ search replayed in DuckDB over a materialized index alias
     * family — shared verbatim by the build-once, incremental, and
@@ -1208,6 +1251,20 @@ object SimilarityQueries {
       IndexStore.mirrorRelPath(path, IndexStore.CentroidRel))
   }
 
+  /** Two-level variant: the centroid mirror carries the scid routing
+    * column (exportMirror reads it from the table schema) and the
+    * super level exports beside it. */
+  private def refreshTwoLevelMirror(s: SparkSession, path: String,
+      alias: String): Unit = {
+    IndexStore.exportMirror(s, path,
+      Seq(IndexStore.CentroidRel, IndexStore.SuperCentroidRel))
+    refreshAlias(alias, IndexStore.mirrorDataPath(path))
+    refreshAlias(alias + "_centroids",
+      IndexStore.mirrorRelPath(path, IndexStore.CentroidRel))
+    refreshAlias(alias + "_supercentroids",
+      IndexStore.mirrorRelPath(path, IndexStore.SuperCentroidRel))
+  }
+
   /** Refresh a PQ table's mirror + alias family; the `_centroids`
     * alias points at the COARSE (IVF) table's centroid mirror. */
   private def refreshPqMirror(s: SparkSession, path: String,
@@ -1293,6 +1350,92 @@ object SimilarityQueries {
         .join(scored, Seq("vec_id"))
         .select(col("vec_id"), col("cid"), col("label"), col("embedding"))
     }
+  }
+
+  // --------------------------------------------------------------------
+  // Two-level (hierarchical) coarse quantizer — the ARITHMETIC remedy
+  // at production nlist. The size gate fixed the memory shape of flat
+  // assignment, but the dot-product count stays O(n × nlist): at
+  // nlist 10^5-10^6 that is the real wall (the CentroidGateProbe
+  // finding — both flat shapes are arithmetic-bound at 10^5). Routing
+  // through k1 ≈ √nlist super-cells cuts it to
+  // O(n × (k1 + w·nlist/k1)) ≈ O(n × 2√nlist) — ~150× less at 10^5 —
+  // which is how production coarse quantizers (FAISS IMI / two-level
+  // IVF) scale the cell count past what exhaustive scoring affords.
+  // --------------------------------------------------------------------
+
+  /** Train the SUPER level over an existing centroid set: k-means the
+    * nlist (cid, cv) rows themselves into k1 super-cells — O(nlist)
+    * work, trivially affordable since it scores centroids, not the
+    * corpus. Deterministic: seeds are the k1 lowest cids' vectors,
+    * two Lloyd passes with the build's own plan shapes, empty
+    * super-cells keep their previous position (the retention rule).
+    * Returns (superCentroids (scid, cv), routedCentroids
+    * (cid, cv, scid)) — the scid values are the seed cids (stable,
+    * not dense; nothing below ever assumes density). */
+  def trainSuperCentroids(cents: DataFrame, k1: Int,
+      dim: Int = Dim): (DataFrame, DataFrame) = {
+    require(k1 >= 1, s"k1 = $k1")
+    val rows = cents.select(col("cid"), col("cv"))
+    val seeds = rows.orderBy("cid").limit(k1)
+      .select(col("cid").as("scid"), col("cv"))
+    def assign(sc: DataFrame): DataFrame = rows
+      .crossJoin(broadcast(sc.select(col("scid"), col("cv").as("scv"))))
+      .withColumn("ssim", dot(col("cv"), col("scv")))
+      .groupBy("cid")
+      .agg(max_by(col("scid"), struct(col("ssim"), -col("scid")))
+        .as("scid"), first("cv").as("cv"))
+    var sup = seeds.localCheckpoint()
+    for (_ <- 1 to 2) {
+      val moved = assign(sup).groupBy("scid")
+        .agg(array((1 to dim).map(i =>
+          avg(element_at(col("cv"), i).cast(DoubleType))): _*).as("cv"))
+        .localCheckpoint()
+      sup = moved.unionByName(
+        sup.join(moved.select("scid"), Seq("scid"), "left_anti"))
+    }
+    val routed = assign(sup).select("cid", "cv", "scid").localCheckpoint()
+    (sup, routed)
+  }
+
+  /** Two-level nearest-centroid assignment: stage 1 routes each vector
+    * to its top-`w` super-cells (O(n·k1) dots; the top-w is an
+    * array_sort/slice over a collect_list — partial-aggregable, no
+    * per-vector window shuffle), stage 2 scores ONLY those supers'
+    * children via an equi-join on scid (O(n·w·nlist/k1) dots; the
+    * join output feeds the dot and the partial argmax in the same
+    * stage, so what shuffles after it is one 32-byte row per vector).
+    * Same (sim, −cid) max rule as [[assignTo]]; w > 1 absorbs
+    * super-cell boundary error (a vector whose true cell hangs under
+    * the runner-up super). Two-level assignment is the standard
+    * approximation: it equals flat assignment unless the true cell's
+    * super-cell falls outside the top-w routes — agreement is pinned
+    * in SimilaritySpec and measured at production shape in
+    * tools/TwoLevelRouteProbe. */
+  private[graft] def assignTwoLevel(df: DataFrame, superCents: DataFrame,
+      routedCents: DataFrame, w: Int = 2): DataFrame = {
+    require(w >= 1, s"w = $w")
+    val routedTop = df.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(superCents.select(col("scid"),
+        col("cv").as("scv"))))
+      .withColumn("ssim", dot(col("embedding"), col("scv")))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("ssim")).as("neg"), col("scid").as("scid")))), 1, w)
+        .as("top"),
+        first("embedding").as("embedding"))
+    val pairs = routedTop
+      .select(col("vec_id"), col("embedding"),
+        explode(col("top.scid")).as("scid"))
+    val scored = pairs
+      .join(routedCents.select(col("scid"), col("cid"), col("cv")),
+        Seq("scid"))
+      .withColumn("sim", dot(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+    df.select(col("vec_id"), col("label"), col("embedding"))
+      .join(scored, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("label"), col("embedding"))
   }
 
   /** Incrementally-maintained IVF index: the base corpus (vec_id % 10
@@ -1484,6 +1627,52 @@ object SimilarityQueries {
         writeIndexStamp(path, sig)
       }
       refreshIvfMirror(s, path, IvfCompactOracleAlias)
+    }
+    path
+  }
+
+  /** TWO-LEVEL IVF index (the hierarchical coarse quantizer,
+    * materialized for the oracle gate): the standard centroid build,
+    * then the centroid set itself k-means'd into k1 ≈ √nlist
+    * super-cells ([[trainSuperCentroids]]) and the corpus assigned
+    * through the two-level route ([[assignTwoLevel]], w=2). The index
+    * table carries THREE routing relations in one commit — data,
+    * centroids (with their scid), super-centroids — so search prunes
+    * arithmetically (score k1 supers, then only the probed supers'
+    * children) exactly as it prunes IO (cid partitions). */
+  def ivfTwoLevelIndexPath(s: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/delta_fixtures/$sf/ivf_index_two_level"
+    this.synchronized {
+      val success = deltaDoneMarker(path)
+      val sig = embSourceSig(dir)
+      if (indexStale(path, success, sig)) {
+        val emb = load(s, dir, "embeddings")
+        val seeds = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def means(assigned: DataFrame) = assigned.groupBy("cid")
+          .agg(array((1 to Dim).map(i =>
+            avg(element_at(col("embedding"), i).cast(DoubleType))): _*)
+            .as("cv"))
+        val refined = (1 to IvfLloydIterations)
+          .foldLeft(seeds)((c, _) => means(assignTo(emb, c)))
+          .localCheckpoint()
+        val nlist = refined.count()
+        val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+        val (sup, routed) = trainSuperCentroids(refined, k1)
+        val assigned = assignTwoLevel(emb, sup, routed).localCheckpoint()
+        IndexStore.create(s, path, Seq(
+          IndexStore.DataRel -> assigned
+            .select("vec_id", "label", "embedding", "cid"),
+          IndexStore.CentroidRel -> routed.select("cid", "cv", "scid"),
+          IndexStore.SuperCentroidRel ->
+            sup.select(col("scid").as("cid"), col("cv")),
+          IndexStore.CountRel -> assigned.groupBy("cid").count()
+            .select(lit("base").as("kind"), col("cid"),
+              col("count").as("rows"))))
+        writeIndexStamp(path, sig)
+      }
+      refreshTwoLevelMirror(s, path, IvfTwoLevelOracleAlias)
     }
     path
   }
@@ -2408,6 +2597,43 @@ object SimilarityQueries {
     IndexStore.data(s, indexPath, Some(probeCids))
       .where(col("vec_id") =!= probeId)
       .where(predicate)
+      .crossJoin(broadcast(probeVec))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * col("pn")))
+      .select("vec_id", "label", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Two-level ANN search (q_sim_ann_two_level body; shared with
+    * SimilaritySpec): the probe scores k1 super-cells, then ONLY the
+    * top-`superProbes` supers' children — O(k1 + s·nlist/k1) dots per
+    * probe instead of O(nlist) — then the standard partition-pruned
+    * scan + exact rerank of the nprobe winners. Both ranking stages
+    * are deterministic (desc sim, asc id), so the DuckDB oracle
+    * replays the identical route. */
+  def annIvfTwoLevel(s: SparkSession, dir: String, probeId: Long, k: Int,
+      nprobe: Int, superProbes: Int): DataFrame = {
+    val indexPath = ivfTwoLevelIndexPath(s, dir)
+    val emb = load(s, dir, "embeddings")
+    val probeVec = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("pv"), norm(col("embedding")).as("pn"))
+    val topSupers = IndexStore.superCentroidsAt(s, indexPath)
+      .crossJoin(broadcast(probeVec))
+      .withColumn("ssim", dot(col("cv"), col("pv")))
+      .orderBy(desc("ssim"), asc("scid"))
+      .limit(superProbes)
+      .select("scid").collect().map(_.getLong(0)).toSeq
+    val probeCids = IndexStore.routedCentroidsAt(s, indexPath)
+      .where(col("scid").isInCollection(topSupers))
+      .crossJoin(broadcast(probeVec))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .orderBy(desc("sim"), asc("cid"))
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    IndexStore.data(s, indexPath, Some(probeCids))
+      .where(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probeVec))
       .withColumn("cosine",
         dot(col("embedding"), col("pv")) /
