@@ -93,6 +93,43 @@ object IvfMaintenance {
     counts.select(lit(kind).as("kind"), col("cid").cast("long").as("cid"),
       col("rows").cast("long").as("rows"))
 
+  /** Centroid rows WITH their optional super-cell routing column:
+    * (cid, cv, scid?). Every maintenance op that rewrites the centroid
+    * relation must read through this and carry scid into its patch — a
+    * (cid, cv)-only replace on a TWO-LEVEL table would null-complete
+    * the routing column (the conform rule) and silently unroute every
+    * probe's stage-2. Flat tables have no scid column and round-trip
+    * a 2-column patch unchanged. */
+  private def centroidRowsWithRouting(spark: SparkSession,
+      indexPath: String): (Seq[(Long, Seq[Double], Option[Long])],
+      Boolean) = {
+    val base =
+      if (IndexStore.isDeltaTable(indexPath))
+        IndexStore.rel(spark, indexPath, CentroidRel)
+      else IndexStore.centroidsAt(spark, indexPath)
+    val hasScid = base.columns.contains("scid")
+    val sel =
+      if (hasScid) base.select(col("cid").cast("long"), col("cv"),
+        col("scid").cast("long"))
+      else base.select(col("cid").cast("long"), col("cv"))
+    val rows = sel.collect().toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Double](1),
+        if (hasScid && !r.isNullAt(2)) Some(r.getLong(2)) else None)
+    }
+    (rows, hasScid)
+  }
+
+  /** The centroid-relation patch frame, routing-preserving: 3 columns
+    * for a two-level table, 2 for a flat one (a stray scid on a flat
+    * table would fail conform — correctly). */
+  private def centroidPatch(spark: SparkSession,
+      rows: Seq[(Long, Seq[Double], Option[Long])],
+      hasScid: Boolean): DataFrame = {
+    import spark.implicits._
+    if (hasScid) rows.toDF("cid", "cv", "scid")
+    else rows.map(t => (t._1, t._2)).toDF("cid", "cv")
+  }
+
   /** Record the base build's per-cid row counts (schema: cid, rows) —
     * replaces any prior ledger: a fresh build starts undrifted.
     * Fixture builders normally fold these rows into the CREATE commit
@@ -222,11 +259,13 @@ object IvfMaintenance {
     if (!rep.retrain) return rep
     val touched = rep.touched
     val recentered = partitionMeans(spark, indexPath, touched, dim)
-    val old = IndexStore.centroidsAt(spark, indexPath).collect()
-      .map(r => (r.getLong(r.fieldIndex("cid")),
-        r.getSeq[Double](r.fieldIndex("cv"))))
-    val patched = old.map { case (cid, cv) =>
-      (cid, recentered.getOrElse(cid, cv))
+    // two-level tables: the scid routing rides through the re-center
+    // untouched (a moved centroid may drift slightly relative to its
+    // super — w>1 probing absorbs that; re-training the super level is
+    // the offline remedy, same contract as centroid drift itself)
+    val (old, hasScid) = centroidRowsWithRouting(spark, indexPath)
+    val patched = old.map { case (cid, cv, scid) =>
+      (cid, recentered.getOrElse(cid, cv), scid)
     }
     // fold ONLY the touched cids' appends into base; untouched cids
     // keep their append history (it counts toward their own trigger)
@@ -238,7 +277,7 @@ object IvfMaintenance {
     }
     import spark.implicits._
     IndexStore.replace(spark, indexPath, Seq(
-      CentroidRel -> patched.toSeq.toDF("cid", "cv"),
+      CentroidRel -> centroidPatch(spark, patched, hasScid),
       CountRel -> folded.toDF("kind", "cid", "rows")),
       col(RelCol).isInCollection(Seq(CentroidRel, CountRel)))
     rep
@@ -361,11 +400,13 @@ object IvfMaintenance {
       ways: Int, dim: Int): Seq[Long] = opLock.synchronized {
     import spark.implicits._
     require(ways >= 2, s"splitting into $ways sub-cells is a no-op")
-    val oldCentroids = IndexStore.centroidsAt(spark, indexPath).collect()
-      .map(r => (r.getLong(r.fieldIndex("cid")),
-        r.getSeq[Double](r.fieldIndex("cv"))))
+    val (oldCentroids, hasScid) = centroidRowsWithRouting(spark, indexPath)
     require(oldCentroids.exists(_._1 == cid),
       s"cid $cid is not in the centroid set of $indexPath")
+    // two-level tables: the sub-cells inherit the dead cell's super —
+    // their geometry lives strictly inside it, so the routing stays
+    // exact without touching the super level
+    val fatScid = oldCentroids.find(_._1 == cid).flatMap(_._3)
     // collision-free new ids: dense above the current max
     val newCids = {
       val maxCid = oldCentroids.map(_._1).max
@@ -423,7 +464,7 @@ object IvfMaintenance {
     val cvByCid = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val patched = oldCentroids.filterNot(_._1 == cid) ++
-      liveCids.map(c => (c, cvByCid(c)))
+      liveCids.map(c => (c, cvByCid(c), fatScid))
     // counters: the fat cell's ledger rows are REPLACED by per-sub-cell
     // base counts (fresh cells start undrifted); every other cid's
     // ledger rows pass through untouched
@@ -435,7 +476,7 @@ object IvfMaintenance {
     // centroid relation, counter relation — all or nothing
     IndexStore.replace(spark, indexPath, Seq(
       DataRel -> assigned,
-      CentroidRel -> patched.toSeq.toDF("cid", "cv"),
+      CentroidRel -> centroidPatch(spark, patched, hasScid),
       CountRel -> ledger.toSeq.toDF("kind", "cid", "rows")),
       (col(RelCol) === DataRel &&
         col(PcidCol).isInCollection(cid +: newCids)) ||

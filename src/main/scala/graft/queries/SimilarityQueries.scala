@@ -2758,13 +2758,25 @@ object SimilarityQueries {
         // — at production nlist the gate flips to the shuffle shape
         val nlist = IndexStore.relRowCount(bs, indexPath,
           IndexStore.CentroidRel).getOrElse(-1L)
+        // a TWO-LEVEL table (live super-centroid relation) assigns
+        // through the hierarchy — O(batch·(k1 + w·nlist/k1)) dots
+        // instead of O(batch·nlist); detected from log stats per
+        // trigger, so an index upgraded to two-level mid-stream routes
+        // hierarchically from the next batch on
+        val twoLevel = IndexStore.isDeltaTable(indexPath) &&
+          IndexStore.relRowCount(bs, indexPath,
+            IndexStore.SuperCentroidRel).exists(_ > 0)
         // ONE definition of the nearest-centroid rule (assignTo). The
         // v2 feed carries the vector's real label; spec-built feeds
         // without the column read it as null — coalesce so assignTo
         // always sees one (this sink stores only vec_id/cid either way)
-        val assigned = assignTo(
-          batch.withColumn("label", coalesce(col("label"), lit(0))), cent,
-          nlist, dim)
+        val labeled =
+          batch.withColumn("label", coalesce(col("label"), lit(0)))
+        val assigned = (if (twoLevel)
+          assignTwoLevel(labeled,
+            IndexStore.superCentroidsAt(bs, indexPath),
+            IndexStore.routedCentroidsAt(bs, indexPath))
+        else assignTo(labeled, cent, nlist, dim))
           .withColumn("cid", col("cid").cast(LongType))
           .select("vec_id", "label", "cid", "embedding")
         if (maintain) {

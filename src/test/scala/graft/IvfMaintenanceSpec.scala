@@ -776,6 +776,98 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       s"counters drifted from rows: $state vs $occupancy")
   }
 
+  test("two-level routing survives maintenance: retrain carries scid " +
+    "through the re-center, split routes sub-cells under the dead " +
+    "cell's super, and the streamed ingest assigns through the " +
+    "hierarchy") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val path = s"$tmp/two_level_maint"
+    // 4 cells under 2 supers: left (x-axis) and right (y-axis)
+    val routed = Seq(
+      (0L, vec(1, 0, 0, 0), 100L), (1L, vec(0.8, 0.2, 0, 0), 100L),
+      (2L, vec(0, 1, 0, 0), 200L), (3L, vec(0.2, 0.8, 0, 0), 200L))
+    val sup = Seq((100L, vec(0.9, 0.1, 0, 0)), (200L, vec(0.1, 0.9, 0, 0)))
+    // the real index schema stores FLOAT embeddings (the streamed
+    // appends arrive as float) — double data would fail the stream's
+    // conform cast
+    val base: Seq[(Long, Long, Seq[Float])] =
+      (0 until 8).map(i => (i.toLong, (i % 4).toLong,
+        routed(i % 4)._2.map(d => (d + 0.01 * i).toFloat)))
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel -> base.toDF("vec_id", "cid", "embedding")
+        .select(col("vec_id"), lit(0L).as("label"), col("embedding"),
+          col("cid")),
+      IndexStore.CentroidRel -> routed.toDF("cid", "cv", "scid"),
+      IndexStore.SuperCentroidRel ->
+        sup.map(t => (t._1, t._2)).toDF("cid", "cv"),
+      IndexStore.CountRel -> counts(
+        base.map { case (v, c, e) => (v, c, e.map(_.toDouble)) })
+        .select(lit("base").as("kind"), col("cid"), col("rows"))))
+    def routingMap(): Map[Long, Long] =
+      IndexStore.routedCentroidsAt(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(routingMap() == Map(0L -> 100L, 1L -> 100L,
+      2L -> 200L, 3L -> 200L))
+
+    // a heavy append into cid 0 fires the retrain — the re-centered
+    // centroid must KEEP its scid (a (cid, cv)-only rewrite would
+    // null-complete it and silently unroute stage-2)
+    IvfMaintenance.appendBatch(spark, path,
+      (10 until 20).map(i => (i.toLong, 0L,
+        Seq(1f, 0.3f, 0f, 0f))).toDF("vec_id", "cid", "embedding"),
+      Seq((0L, 10L)).toDF("cid", "rows"))
+    val rep = IvfMaintenance.maybeRetrain(spark, path, dim)
+    assert(rep.retrain && rep.touched == Seq(0L))
+    assert(routingMap() == Map(0L -> 100L, 1L -> 100L,
+      2L -> 200L, 3L -> 200L),
+      "retrain lost or changed super-cell routing")
+
+    // splitting cid 0 routes BOTH sub-cells under its super (their
+    // geometry lives strictly inside the dead cell); the super level
+    // itself is untouched
+    val supBefore = IndexStore.superCentroidsAt(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val subCids = IvfMaintenance.splitCell(spark, path, cid = 0L,
+      ways = 2, dim = dim)
+    val after = routingMap()
+    assert(subCids.nonEmpty && subCids.forall(after(_) == 100L),
+      s"sub-cells not routed under the dead cell's super: $after")
+    assert(!after.contains(0L) && after(1L) == 100L &&
+      after(2L) == 200L && after(3L) == 200L)
+    assert(IndexStore.superCentroidsAt(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet == supBefore)
+
+    // the streamed ingest detects the live super relation and assigns
+    // through the hierarchy — identically to the batch two-level rule
+    val feedDir = s"$tmp/two_level_feed"
+    val b1 = Seq((500L, Seq(0.05f, 0.95f, 0f, 0f)),
+      (501L, Seq(0.95f, 0.15f, 0f, 0f)))
+    graft.streaming.VecsStream.writeFeedFile(feedDir,
+      b1.toDF("vec_id", "embedding"), "00_first.parquet",
+      System.currentTimeMillis() - 60000)
+    val sink = s"$tmp/two_level_sink"
+    SimilarityQueries.streamAnnIngest(spark, feedDir, path, sink,
+      "two_level_ingest", maintain = true, dim = dim)
+    val sinkAssign = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = SimilarityQueries.assignTwoLevel(
+      b1.toDF("vec_id", "embedding").withColumn("label", lit(0L)),
+      IndexStore.superCentroidsAt(spark, path),
+      IndexStore.routedCentroidsAt(spark, path))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sinkAssign == expected,
+      s"streamed route != batch two-level route: $sinkAssign vs $expected")
+    // and the ingested rows landed with counters consistent
+    val occupancy = IndexStore.data(spark, path).groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val state = IndexStore.countsAt(spark, path)
+      .groupBy("cid").agg(sum("rows").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == occupancy, s"$state vs $occupancy")
+  }
+
   test("index lifecycle closes: VACUUM reclaims exactly the dead files " +
     "that appends + compaction + split left behind; live reads and the " +
     "maintenance state are untouched") {
