@@ -620,4 +620,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "unexpected product in mixture plan:\n" + p.take(3000))
     assert(p.contains("Window"), p.take(3000))
   }
+
+  test("q_sim_ann_compact / q_sim_ann_two_level: the probed scan still " +
+    "prunes to the nprobe cid partitions of the data rel (compaction " +
+    "changed layout only; the hierarchical route feeds the same " +
+    "file-inventory prune)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    for ((query, dirToken) <- Seq(
+      ("q_sim_ann_compact", "ivf_index_compact"),
+      ("q_sim_ann_two_level", "ivf_index_two_level"))) {
+      val df = SparkEntry.queries(query)(spark, sf)
+      df.collect()
+      val scan = allScans(df.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(
+          _.toString.contains(dirToken + "/rel=data/")))
+        .getOrElse(fail(s"$query: no FileSourceScan over $dirToken"))
+      assertFilePruned(scan, maxPcids = 8)
+    }
+  }
 }
