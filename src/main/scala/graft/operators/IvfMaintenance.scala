@@ -283,6 +283,38 @@ object IvfMaintenance {
     rep
   }
 
+  /** Re-train the SUPER level of a two-level index from the CURRENT
+    * centroid set — the remedy when maintenance has re-centered and
+    * split enough centroids that the frozen super routing stops
+    * describing them (the same drift→remedy contract as every other
+    * signal: centroid drift → re-center, codebook drift → retrain,
+    * skew → split, super drift → THIS). O(nlist) work — it k-means the
+    * centroid relation, never the corpus — and ONE commit replaces the
+    * super-centroid relation and every centroid row's scid together,
+    * so the two sides of the routing can never version apart. Probes
+    * resolved before the commit keep the old coherent routing
+    * (snapshot isolation); the next ingest trigger re-reads and routes
+    * through the new hierarchy. Returns the new super count. */
+  def retrainSupers(spark: SparkSession, indexPath: String, dim: Int,
+      k1: Option[Int] = None): Int = opLock.synchronized {
+    val (rows, hasScid) = centroidRowsWithRouting(spark, indexPath)
+    require(hasScid,
+      s"$indexPath is not a two-level index (no scid routing column)")
+    import spark.implicits._
+    val cents = rows.map(t => (t._1, t._2)).toDF("cid", "cv")
+    val k = k1.getOrElse(
+      math.ceil(math.sqrt(rows.length.toDouble)).toInt)
+    val (sup, routed) = graft.queries.SimilarityQueries
+      .trainSuperCentroids(cents, k, dim)
+    IndexStore.replace(spark, indexPath, Seq(
+      IndexStore.SuperCentroidRel ->
+        sup.select(col("scid").as("cid"), col("cv")),
+      CentroidRel -> routed.select("cid", "cv", "scid")),
+      col(RelCol).isInCollection(
+        Seq(IndexStore.SuperCentroidRel, CentroidRel)))
+    sup.count().toInt
+  }
+
   /** File-growth policy for the data rel's cid partitions: a cell
     * holding more than `maxFiles` files under `targetFileSize` compacts.
     * The default tolerates a handful of micro-batch appends per cell

@@ -868,6 +868,71 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(state == occupancy, s"$state vs $occupancy")
   }
 
+  test("super-level drift has its own remedy: retrainSupers rebuilds " +
+    "the hierarchy from the CURRENT centroids in one commit, restoring " +
+    "stage-1 routing") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val path = s"$tmp/super_retrain"
+    // 4 cells: x-group (cids 0, 2) and y-group (cids 1, 3), ids
+    // interleaved so the retrain's deterministic seeds (two lowest
+    // cids) straddle the groups. The STORED super level is degenerate:
+    // both supers sit on the x-axis — the shape maintenance drift
+    // produces when centroids moved but the frozen supers did not.
+    val routed = Seq(
+      (0L, vec(1, 0, 0, 0), 100L), (1L, vec(0, 1, 0, 0), 100L),
+      (2L, vec(0.9, 0.1, 0, 0), 200L), (3L, vec(0.1, 0.9, 0, 0), 200L))
+    val sup = Seq((100L, vec(1, 0.05, 0, 0)),
+      (200L, vec(0.95, 0.1, 0, 0)))
+    val base: Seq[(Long, Long, Seq[Double])] =
+      (0 until 8).map(i => (i.toLong, (i % 4).toLong,
+        routed(i % 4)._2.map(_ + 0.01 * i)))
+    IndexStore.create(spark, path, Seq(
+      IndexStore.DataRel -> base.toDF("vec_id", "cid", "embedding")
+        .select(col("vec_id"), lit(0L).as("label"), col("embedding"),
+          col("cid")),
+      IndexStore.CentroidRel -> routed.toDF("cid", "cv", "scid"),
+      IndexStore.SuperCentroidRel ->
+        sup.map(t => (t._1, t._2)).toDF("cid", "cv"),
+      IndexStore.CountRel -> counts(base)
+        .select(lit("base").as("kind"), col("cid"), col("rows"))))
+    val probe = Seq((900L, vec(0.05, 1, 0, 0)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0L))
+    def routeW1(): Long = SimilarityQueries.assignTwoLevel(probe,
+      IndexStore.superCentroidsAt(spark, path),
+      IndexStore.routedCentroidsAt(spark, path), w = 1)
+      .select("cid").head.getLong(0)
+    val flat = SimilarityQueries.assignTo(probe,
+      IndexStore.routedCentroidsAt(spark, path).select("cid", "cv"))
+      .select("cid").head.getLong(0)
+    assert(flat == 1L)
+    // the degenerate hierarchy misroutes the y-probe at w=1 — the
+    // failure retrainSupers exists to heal
+    assert(routeW1() == 3L, "fixture no longer demonstrates the drift")
+
+    val vPre = version(path)
+    val k1 = IvfMaintenance.retrainSupers(spark, path, dim, Some(2))
+    assert(k1 == 2)
+    // ONE commit replaced supers + scids together
+    assert(version(path) == vPre + 1)
+    // the rebuilt hierarchy separates the groups...
+    val m = IndexStore.routedCentroidsAt(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(0L) == m(2L) && m(1L) == m(3L) && m(0L) != m(1L),
+      s"retrained routing does not separate the groups: $m")
+    // ...and the w=1 route now agrees with flat assignment
+    assert(routeW1() == flat,
+      "retrained hierarchy still misroutes the probe")
+    // a flat table refuses loudly (no silent no-op)
+    val flatPath = s"$tmp/super_retrain_flat"
+    createIndex(flatPath,
+      Seq((1L, 0L, vec(1, 0, 0, 0))), Seq((0L, vec(1, 0, 0, 0))))
+    val e = intercept[IllegalArgumentException] {
+      IvfMaintenance.retrainSupers(spark, flatPath, dim)
+    }
+    assert(e.getMessage.contains("not a two-level index"))
+  }
+
   test("index lifecycle closes: VACUUM reclaims exactly the dead files " +
     "that appends + compaction + split left behind; live reads and the " +
     "maintenance state are untouched") {
