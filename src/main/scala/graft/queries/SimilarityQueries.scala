@@ -712,6 +712,52 @@ object SimilarityQueries {
         superProbes = 4)
     },
 
+    // The k-NN JOIN through the two-level route: the join's coarse
+    // stage is exactly where flat arithmetic explodes (probes × nlist
+    // dots); here each probe ranks k1 supers then only the top-4
+    // supers' children. The tail (pruned scan, size-gated probe side,
+    // per-probe rerank) is the flat join's, and the oracle replays the
+    // full two-stage route per probe.
+    Q("q_knn_join_two_level",
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv
+         |  FROM embeddings WHERE vec_id % 100 = 0
+         |), sranked AS (
+         |  SELECT p.probe_id, CAST(sc.cid AS BIGINT) AS scid, p.pv,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY (${dotSql("sc.cv", "p.pv")}) DESC, sc.cid) AS srk
+         |  FROM read_parquet(
+         |    '${IvfTwoLevelOracleAlias}_supercentroids/*.parquet') sc
+         |  CROSS JOIN probes p
+         |), routedp AS (
+         |  SELECT probe_id, scid, pv FROM sranked WHERE srk <= 4
+         |), cranked AS (
+         |  SELECT rp.probe_id, CAST(c.cid AS BIGINT) AS cid, rp.pv,
+         |    row_number() OVER (PARTITION BY rp.probe_id
+         |      ORDER BY (${dotSql("c.cv", "rp.pv")}) DESC, c.cid) AS crk
+         |  FROM read_parquet('${IvfTwoLevelOracleAlias}_centroids/*.parquet') c
+         |  JOIN routedp rp ON CAST(c.scid AS BIGINT) = rp.scid
+         |), probed AS (
+         |  SELECT probe_id, cid, pv FROM cranked WHERE crk <= 4
+         |), cand AS (
+         |  SELECT pr.probe_id, i.vec_id, i.label,
+         |    (${dotSql("i.embedding", "pr.pv")}) /
+         |      (${normSql("i.embedding")} * ${normSql("pr.pv")}) AS cosine
+         |  FROM read_parquet('$IvfTwoLevelOracleAlias/*/*.parquet',
+         |         hive_partitioning=true) i
+         |  JOIN probed pr ON CAST(i.cid AS BIGINT) = pr.cid
+         |  WHERE i.vec_id <> pr.probe_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM cand
+         |)
+         |SELECT probe_id, vec_id, label, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      knnJoinTwoLevel(s, dir, k = 5, nprobe = 4, superProbes = 4)
+    },
+
     // RESIDUAL IVFADC (the full Jégou et al. 2011 construction): codes
     // quantize x - centroid(x), so the one-byte budget spends on the
     // offset within the coarse cell — the accuracy upgrade production
@@ -2641,6 +2687,60 @@ object SimilarityQueries {
       .select("vec_id", "label", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** k-NN join through the TWO-LEVEL route (q_knn_join_two_level
+    * body): the coarse stage — the join's O(probes × nlist) arithmetic
+    * at production cell counts — ranks k1 supers per probe, then ONLY
+    * the top-`superProbes` supers' children, before the identical
+    * pruned-scan + per-probe rerank tail as [[knnJoin]]. The super
+    * relation broadcasts unconditionally by CONSTRUCTION: k1 ≈ √nlist
+    * keeps it ~√nlist smaller than the centroid relation the flat
+    * join must gate (nlist=10⁶ × dim 512 → supers ~4 MB vs centroids
+    * ~4 GB). Both ranking stages deterministic; the oracle replays the
+    * full two-stage route per probe. */
+  def knnJoinTwoLevel(s: SparkSession, dir: String, k: Int,
+      nprobe: Int, superProbes: Int,
+      probeModulus: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = load(s, dir, "embeddings")
+    val indexPath = ivfTwoLevelIndexPath(s, dir)
+    val probes = emb.where(col("vec_id") % probeModulus === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        norm(col("embedding")).as("pn"))
+    val routedTop = probes
+      .crossJoin(broadcast(IndexStore.superCentroidsAt(s, indexPath)
+        .select(col("scid"), col("cv").as("scv"))))
+      .withColumn("ssim", dot(col("scv"), col("pv")))
+      .withColumn("srk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("ssim"), asc("scid"))))
+      .where(col("srk") <= superProbes)
+      .select(col("probe_id"), col("scid"), col("pv"), col("pn"))
+    val probed = routedTop
+      .join(IndexStore.routedCentroidsAt(s, indexPath)
+        .select("scid", "cid", "cv"), Seq("scid"))
+      .withColumn("sim", dot(col("cv"), col("pv")))
+      .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("sim"), asc("cid"))))
+      .where(col("crk") <= nprobe)
+      .select(col("probe_id"), col("cid"), col("pv"), col("pn"))
+    // identical tail to knnJoin: static prune on the probed cid union,
+    // size-gated probe side, pairwise cosine, per-probe rerank
+    val cidCounts = probed.groupBy("cid").count().collect()
+    val probedCids = cidCounts.map(_.getLong(0)).toSeq
+    val probedRows = cidCounts.map(_.getLong(1)).sum
+    val probeSide = sizeGatedSide(s, probed, probedRows, Dim.toLong * 8 + 80)
+    IndexStore.data(s, indexPath, Some(probedCids))
+      .join(probeSide, Seq("cid"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("pv")) /
+          (norm(col("embedding")) * col("pn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("cosine"), asc("vec_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select("probe_id", "vec_id", "label", "cosine", "rank")
+      .orderBy("probe_id", "rank")
   }
 
   /** k-NN join over the IVF index (q_knn_join body; shared with

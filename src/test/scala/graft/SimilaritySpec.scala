@@ -638,6 +638,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined == single)
   }
 
+  test("two-level knn join: k ranked rows per probe, no self-matches, " +
+    "agrees with the single-probe two-level ANN on a shared probe") {
+    val k = 5
+    val rows = SimilarityQueries.knnJoinTwoLevel(spark, sf, k = k,
+      nprobe = 4, superProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (p, ns) =>
+      assert(ns.length == k, s"probe $p returned ${ns.length}")
+      assert(ns.map(_._3).sorted.toSeq == (1L to k), s"probe $p ranks")
+      assert(!ns.exists(_._2 == p), s"probe $p matched itself")
+    }
+    // the join's per-probe route must equal the single-probe route —
+    // same supers, same children, same rerank rule
+    val single = SimilarityQueries.annIvfTwoLevel(spark, sf, probeId = 0,
+      k = k, nprobe = 4, superProbes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val joined = rows.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(joined == single,
+      s"join route diverged from single-probe route: $joined vs $single")
+  }
+
   test("filtered ANN: every hit satisfies the predicate, recall vs filtered brute force") {
     import org.apache.spark.sql.functions._
     val k = 10
