@@ -51,6 +51,13 @@ import graft.delta.IndexStore.{CentroidRel, CountRel, DataRel, PcidCol, RelCol}
   * A full re-cluster (new centroid COUNT everywhere, rows reshuffled)
   * remains the offline escape hatch when re-centering stops recovering
   * recall — that is a rebuild, not maintenance.
+  *
+  * The complete drift→remedy table this module owns: centroid drift →
+  * [[maybeRetrain]] (re-center), skew → [[maybeSplit]]/[[splitCell]],
+  * file fragmentation → [[maybeCompactData]], super-level drift (two-
+  * level tables) → [[retrainSupers]]; PQ codebook drift lives in
+  * [[PqMaintenance]]. Each remedy is one atomic commit, each trigger
+  * is metadata-only until it fires.
   */
 object IvfMaintenance {
 
@@ -297,13 +304,19 @@ object IvfMaintenance {
     * through the new hierarchy. Returns the new super count. */
   def retrainSupers(spark: SparkSession, indexPath: String, dim: Int,
       k1: Option[Int] = None): Int = opLock.synchronized {
-    val (rows, hasScid) = centroidRowsWithRouting(spark, indexPath)
-    require(hasScid,
+    // the centroid relation stays DISTRIBUTED throughout: at
+    // production nlist (1e5-1e6 × dim 512) it is hundreds of MB-GB —
+    // a driver collect here would be the exact heap shape the
+    // centroid-broadcast gate exists to prevent. trainSuperCentroids
+    // broadcasts only the k1 ≈ √nlist super rows; nlist comes from
+    // log stats (zero data IO).
+    val base = IndexStore.rel(spark, indexPath, CentroidRel)
+    require(base.columns.contains("scid"),
       s"$indexPath is not a two-level index (no scid routing column)")
-    import spark.implicits._
-    val cents = rows.map(t => (t._1, t._2)).toDF("cid", "cv")
-    val k = k1.getOrElse(
-      math.ceil(math.sqrt(rows.length.toDouble)).toInt)
+    val cents = base.select(col("cid").cast("long").as("cid"), col("cv"))
+    val nlist = IndexStore.relRowCount(spark, indexPath, CentroidRel)
+      .getOrElse(cents.count())
+    val k = k1.getOrElse(math.ceil(math.sqrt(nlist.toDouble)).toInt)
     val (sup, routed) = graft.queries.SimilarityQueries
       .trainSuperCentroids(cents, k, dim)
     IndexStore.replace(spark, indexPath, Seq(
