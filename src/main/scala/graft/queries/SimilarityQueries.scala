@@ -1418,7 +1418,14 @@ object SimilarityQueries {
     * super-cells keep their previous position (the retention rule).
     * Returns (superCentroids (scid, cv), routedCentroids
     * (cid, cv, scid)) — the scid values are the seed cids (stable,
-    * not dense; nothing below ever assumes density). */
+    * not dense; nothing below ever assumes density). A super that
+    * loses every FINAL child assignment is DROPPED from the returned
+    * super set (the same rule splitCell applies to unroutable
+    * sub-centroids): [[assignTwoLevel]]'s stage 2 is an equi-join on
+    * scid, so a childless super that won a vector's stage-1 route
+    * would silently drop that vector from the assignment — every
+    * returned super having ≥ 1 child makes the assignment total at
+    * any w. */
   def trainSuperCentroids(cents: DataFrame, k1: Int,
       dim: Int = Dim): (DataFrame, DataFrame) = {
     require(k1 >= 1, s"k1 = $k1")
@@ -1437,11 +1444,16 @@ object SimilarityQueries {
         .agg(array((1 to dim).map(i =>
           avg(element_at(col("cv"), i).cast(DoubleType))): _*).as("cv"))
         .localCheckpoint()
+      // empty supers keep their previous position DURING the passes
+      // (the retention rule — a later pass can still win them back)...
       sup = moved.unionByName(
         sup.join(moved.select("scid"), Seq("scid"), "left_anti"))
     }
     val routed = assign(sup).select("cid", "cv", "scid").localCheckpoint()
-    (sup, routed)
+    // ...but only supers with at least one final child are RETURNED
+    val live = sup.join(routed.select("scid").distinct(),
+      Seq("scid"), "left_semi").localCheckpoint()
+    (live, routed)
   }
 
   /** Two-level nearest-centroid assignment: stage 1 routes each vector

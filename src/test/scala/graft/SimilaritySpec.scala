@@ -31,6 +31,12 @@ class SimilaritySpec extends AnyFunSuite {
       s"degenerate hierarchy: k1=$k1 over nlist=$nlist")
     // every centroid routes to a live super-cell (the child map is total)
     assert(routed.join(sup, Seq("scid"), "left_anti").count() == 0)
+    // ...and every super has >= 1 child — a childless super winning a
+    // stage-1 route would silently drop that vector (stage 2 is an
+    // equi-join); training drops them, making assignment total at any w
+    assert(sup.join(routed.select("scid").distinct(),
+      Seq("scid"), "left_anti").count() == 0,
+      "childless super survived training")
     // the two-level assignment is the flat assignment except where the
     // true cell's super falls outside the top-w routes — on the
     // clustered fixture that is a small boundary minority
