@@ -73,14 +73,29 @@ object TextQueries {
       |         i -> concat(toks[i], ' ', toks[i + 1])),
       |       s -> s IS NOT NULL)""".stripMargin
 
-  /** (doc_id, shingle-hash) stream, fully codegen: tokens posexplode,
-    * bigrams via lead over a doc_id window, hash after the explode. The
-    * lambda-free formulation costs one doc_id shuffle but beats the
-    * zero-shuffle `transform`/`filter` array builder ~3x — Spark
-    * evaluates higher-order lambdas interpreted — and the downstream
-    * per-doc aggregation reuses the window's partitioning, so the
-    * shuffle is not even an extra exchange in the minhash plan. */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
+  /** (doc_id, shingle-hash) stream, fully codegen AND zero-shuffle:
+    * bigrams via arrays_zip of two slices of the token array —
+    * Slice/ArraysZip/Concat are ordinary codegen expressions, so this
+    * formulation avoids BOTH failure modes the build rounds measured:
+    * the interpreted higher-order lambdas of the `transform`/`filter`
+    * array builder (~3x), and the full token-stream shuffle + sort of
+    * the lead-window form it replaced. Downstream per-doc aggregations
+    * now do map-side partial aggregation before their exchange
+    * (8 partial mins per doc per map partition for the MinHash
+    * signatures), instead of shuffling every token row. Measured r16
+    * (tools.ShingleProbe, sf0.1): signature stage 0.26 s vs 0.51 s
+    * lead-window, multiset-identical output (diff=0 pinned there and
+    * in TextSpec). q_ngram_jaccard deliberately stays on the
+    * lead-window shape (ngramShingleSetsLead): its stop-shingle window
+    * cap and sz window REUSE that one exchange, and the zip form
+    * measured slower there (1.82 s vs 1.52 s). */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    shingleHashesZip(docs)
+
+  /** The round-15 lead-window shingler (posexplode + lead over a
+    * doc_id window) — kept for the probe's value-identity pin and as
+    * the measured record of why the zip form ships. */
+  private[graft] def shingleHashesLead(docs: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"),
@@ -89,6 +104,65 @@ object TextQueries {
       .where(col("nxt").isNotNull)
       .select(col("doc_id"),
         hashCol(concat(col("tok"), lit(" "), col("nxt"))).as("h"))
+  }
+
+  /** The lead-window shingler over the documents table (probe access:
+    * the value-identity + timing reference for the shipped zip form). */
+  private[graft] def shingleHashesForAudit(s: SparkSession,
+      dir: String): DataFrame = shingleHashesLead(load(s, dir, "documents"))
+
+  /** (doc_id, shingle-hash) stream, row-local and lambda-free:
+    * bigrams via arrays_zip of two slices of the token array —
+    * Slice/ArraysZip/Concat are all ordinary codegen expressions, so
+    * this formulation keeps whole-stage codegen like the lead-window
+    * one but needs NO shuffle at all (the window variant sorts the
+    * full token stream by doc_id first). Value-identical to
+    * shingleHashes: zip pairs ts[i] with ts[i+1] for i = 1..size-1,
+    * exactly the lead-over-posexplode pairs, empty split tokens
+    * included. Single-token docs drop at the size guard (the lead
+    * variant drops them at nxt IS NULL). */
+  private[graft] def shingleHashesZip(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        expr("slice(ts, 1, size(ts) - 1)").as("w1"),
+        expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("z"))
+      .select(col("doc_id"),
+        hashCol(concat(col("z.w1"), lit(" "), col("z.w2"))).as("h"))
+
+  /** ngramShingleSetsLead with the zip shingler: per-doc distinct
+    * shingle hashes + full set size, no token-stream window. */
+  private[graft] def ngramShingleSetsZip(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(arrays_zip(
+        expr("slice(ts, 1, size(ts) - 1)").as("w1"),
+        expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("z"))
+      .select(col("doc_id"), col("source"),
+        hashCol(concat(col("z.w1"), lit(" "), col("z.w2"))).as("h"))
+      .distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** ngramJaccardStreamedLead over the zip shingler (candidate for the
+    * shipped q_ngram_jaccard body — see tools.ShingleProbe). */
+  private[graft] def ngramJaccardStreamedZip(s: SparkSession,
+      dir: String): DataFrame = {
+    val capped = ngramShingleSetsZip(s, dir)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("source", "h")))
+      .where(col("cnt") <= StopShingleMax)
+    val a = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_a"), col("sz").as("sza"))
+    val b = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_b"), col("sz").as("szb"))
+    val pairs = a.join(b, Seq("source", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sza", "szb")
+    ngramJaccardFinish(pairs)
   }
 
   private val shingleHashesSql: String =
@@ -1430,7 +1504,12 @@ object TextQueries {
         .agg(sum(col("m")).as("c2"), count(lit(1)).as("ddf"))
       // context counts derive from the (much smaller) bigram-count
       // relation — sum of c2 per w1 IS the bigram count with that
-      // context — instead of re-aggregating the full bigram explode
+      // context — instead of re-aggregating the full bigram explode.
+      // (r16 note: a window formulation — c2/ddf/c1 as window columns
+      // over ONE bd pass — was measured 1.5x SLOWER at sf0.1 (2.04 s
+      // vs 1.32 s warm): two sort-based window exchanges over bd cost
+      // more than the static plan's repeated hash-agg subtrees, whose
+      // exchanges AQE deduplicates at runtime anyway.)
       val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
       bd.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .crossJoin(broadcast(vocab))
