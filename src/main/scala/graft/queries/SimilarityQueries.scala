@@ -127,15 +127,16 @@ object SimilarityQueries {
       .groupBy("band", "k")
       .agg(array_sort(collect_list(col("vec_id"))).as("vs"))
 
-  /** Distinct candidate pairs from capped band buckets. */
+  /** Distinct candidate pairs from capped band buckets. Pair explode
+    * as two chained codegen Generates (posexplode + runtime-start
+    * slice explode) — the nested `transform` lambda form this replaces
+    * ran interpreted (see TextQueries.minhashBandPairs, measured r16). */
   def embedCandidates(emb: DataFrame): DataFrame =
     embedBuckets(emb)
       .where(size(col("vs")).between(2, EmbedBucketMax))
-      .select(explode(expr(
-        """flatten(transform(vs, (x, i) ->
-          |  transform(slice(vs, i + 2, size(vs) - i - 1), y ->
-          |    struct(x AS vec_a, y AS vec_b))))""".stripMargin)).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
+      .select(col("vs"), posexplode(col("vs")).as(Seq("i", "vec_a")))
+      .select(col("vec_a"),
+        explode(expr("slice(vs, i + 2, size(vs) - i - 1)")).as("vec_b"))
       .distinct()
 
   val all: Seq[Q] = Seq(

@@ -307,6 +307,10 @@ object TextQueries {
     else batch.where(Shims.bloomMightContain(lit(bf), col("h"))).count()
   }
 
+  /** Probe access to the capped bucket relation (tools.PairGenProbe). */
+  private[graft] def minhashBucketsForAudit(s: SparkSession,
+      dir: String): DataFrame = minhashBuckets(s, dir)
+
   private def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBandsForAudit(s, dir)
     // cap WHILE collecting: one shuffle clusters each bucket into a
@@ -356,12 +360,20 @@ object TextQueries {
     } ++ flush() // Iterator.++ is by-name: runs after the stream drains
   }
 
+  /** Per-bucket pair explode as TWO chained Generate nodes (posexplode
+    * picks doc_a + its position, a runtime-start slice explode yields
+    * every later doc_b) — ordinary codegen expressions end to end. The
+    * previous single-explode form built the pair list with nested
+    * `transform` lambdas, which Spark evaluates INTERPRETED (the same
+    * finding as the shingle builder; measured r16). ds is doc_id-sorted,
+    * so doc_a < doc_b holds identically on both forms. */
   private def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
-    minhashBuckets(s, dir).select(col("band"), explode(expr(
-      """flatten(transform(ds, (x, i) ->
-        |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-        |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+    minhashBuckets(s, dir)
+      .select(col("band"), col("ds"),
+        posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("band"), col("doc_a"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("band"))
 
   /** (doc_id, source, sz, h) stream for the jaccard join: per-row
     * DISTINCT shingle-string set (row-local, so sz needs no shuffle),
@@ -1189,14 +1201,17 @@ object TextQueries {
             .map { case ((b, k), ds) => (b, k, ds) }
         }
         .toDF("band", "k", "ds")
-      val cand = buckets.select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-            |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-            |           x.sig1 AS s1a, x.sig2 AS s2a,
-            |           y.sig1 AS s1b, y.sig2 AS s2b))))""".stripMargin))
-          .as("p"))
-        .select("p.*").distinct()
+      // pair explode as two chained codegen Generates (posexplode +
+      // runtime-start slice explode) — see minhashBandPairs: the nested
+      // `transform` lambda form this replaces ran interpreted
+      val cand = buckets
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig1").as("s1a"), col("a.sig2").as("s2a"),
+          col("b.sig1").as("s1b"), col("b.sig2").as("s2b"))
+        .distinct()
       cand
         .withColumn("hamming",
           (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
@@ -1485,12 +1500,16 @@ object TextQueries {
       val vocab = toks.agg(countDistinct(col("tok")).as("v"))
       // sequence(0, size-2) would run DESCENDING for a 1-token doc
       // (Spark defaults step to -1 when start > stop) — guard first
+      // bigrams via arrays_zip of two slices — ordinary codegen
+      // expressions; the former transform(sequence(...)) lambda is
+      // evaluated INTERPRETED by Spark (the round-15 shingle finding,
+      // re-measured r16 in tools.ShingleProbe)
       val bigr = docs
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .where(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ts) - 2), " +
-            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), explode(arrays_zip(
+          expr("slice(ts, 1, size(ts) - 1)").as("w1"),
+          expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       // per-doc distinct bigrams with multiplicity FIRST: every later
       // stage (corpus counts, the join-back, the per-doc totals) then
