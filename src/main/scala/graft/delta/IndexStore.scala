@@ -64,6 +64,18 @@ object IndexStore {
   def isDeltaTable(path: String): Boolean =
     new java.io.File(path, "_delta_log").exists()
 
+  /** Current table version from ONE driver-side log listing — no Spark
+    * job, no data IO. The cheap half of a per-batch snapshot refresh:
+    * streaming maintenance loops re-resolve THIS every trigger and
+    * re-read a relation only when a commit actually moved the table
+    * (see SimilarityQueries.SnapshotGatedIndex). None for the
+    * plain-parquet rehearsal layouts (those have no version — callers
+    * fall back to re-reading every time, the pre-r16 behavior). */
+  def versionOf(s: SparkSession, path: String): Option[Long] =
+    if (!isDeltaTable(path)) None
+    else Some(graft.delta.log.LogSegment.forTable(s,
+      new org.apache.hadoop.fs.Path(path)).version)
+
   /** Tag one relation's rows with (rel, pcid). Data rows partition by
     * their own cid; metadata rels land in the shared MetaPcid bucket. */
   def tagged(df: DataFrame, rel: String): DataFrame = {

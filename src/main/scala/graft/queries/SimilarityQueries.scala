@@ -2863,22 +2863,52 @@ object SimilarityQueries {
       "auto-split consumes the occupancy counters — maintain must be on")
     require(compact.isEmpty || maintain,
       "auto-compact runs in the maintenance loop — maintain must be on")
-    runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
+    // Snapshot-gated per-stream cache (r16, same discipline as
+    // streamPqIngest): the table VERSION is re-resolved every trigger
+    // (one driver-side log listing), the centroid/routing reads and
+    // log-stats scalars re-run only when a commit moved the table.
+    // Maintenance commits (appendBatch / retrain / split / compact)
+    // bump the version, so the maintain loop re-reads per trigger
+    // exactly as before; the read-only ingest stops paying redundant
+    // Delta metadata scans per batch.
+    var gatedVer: Option[Long] = null
+    var gCent: DataFrame = null
+    var gNlist = -1L
+    var gTwoLevel = false
+    var gSup: DataFrame = null
+    var gRouted: DataFrame = null
+    def refreshGated(bs: SparkSession): Unit = {
+      val v = IndexStore.versionOf(bs, indexPath)
+      if (gatedVer != null && v.nonEmpty && v == gatedVer) return
+      Seq(gCent, gSup, gRouted).filter(_ != null)
+        .foreach(_.unpersist(false))
+      gSup = null; gRouted = null
+      gCent = IndexStore.centroidsAt(bs, indexPath).persist()
+      // the centroid relation's row count comes from log stats (zero
+      // data IO) and size-gates the assignment's broadcast per batch
+      // — at production nlist the gate flips to the shuffle shape
+      gNlist = IndexStore.relRowCount(bs, indexPath,
+        IndexStore.CentroidRel).getOrElse(-1L)
+      // a TWO-LEVEL table (live super-centroid relation) assigns
+      // through the hierarchy — O(batch·(k1 + w·nlist/k1)) dots
+      // instead of O(batch·nlist); detected from log stats per
+      // trigger, so an index upgraded to two-level mid-stream routes
+      // hierarchically from the next batch on
+      gTwoLevel = IndexStore.isDeltaTable(indexPath) &&
+        IndexStore.relRowCount(bs, indexPath,
+          IndexStore.SuperCentroidRel).exists(_ > 0)
+      if (gTwoLevel) {
+        gSup = IndexStore.superCentroidsAt(bs, indexPath).persist()
+        gRouted = IndexStore.routedCentroidsAt(bs, indexPath).persist()
+      }
+      gatedVer = v
+    }
+    try runVecStream(s, feedDir, sinkDir, name) { (batch, _) =>
         val bs = batch.sparkSession
-        val cent = IndexStore.centroidsAt(bs, indexPath)
-        // the centroid relation's row count comes from log stats (zero
-        // data IO) and size-gates the assignment's broadcast per batch
-        // — at production nlist the gate flips to the shuffle shape
-        val nlist = IndexStore.relRowCount(bs, indexPath,
-          IndexStore.CentroidRel).getOrElse(-1L)
-        // a TWO-LEVEL table (live super-centroid relation) assigns
-        // through the hierarchy — O(batch·(k1 + w·nlist/k1)) dots
-        // instead of O(batch·nlist); detected from log stats per
-        // trigger, so an index upgraded to two-level mid-stream routes
-        // hierarchically from the next batch on
-        val twoLevel = IndexStore.isDeltaTable(indexPath) &&
-          IndexStore.relRowCount(bs, indexPath,
-            IndexStore.SuperCentroidRel).exists(_ > 0)
+        refreshGated(bs)
+        val cent = gCent
+        val nlist = gNlist
+        val twoLevel = gTwoLevel
         // ONE definition of the nearest-centroid rule (assignTo). The
         // v2 feed carries the vector's real label; spec-built feeds
         // without the column read it as null — coalesce so assignTo
@@ -2886,9 +2916,7 @@ object SimilarityQueries {
         val labeled =
           batch.withColumn("label", coalesce(col("label"), lit(0)))
         val assigned = (if (twoLevel)
-          assignTwoLevel(labeled,
-            IndexStore.superCentroidsAt(bs, indexPath),
-            IndexStore.routedCentroidsAt(bs, indexPath))
+          assignTwoLevel(labeled, gSup, gRouted)
         else assignTo(labeled, cent, nlist, dim))
           .withColumn("cid", col("cid").cast(LongType))
           .select("vec_id", "label", "cid", "embedding")
@@ -2925,7 +2953,8 @@ object SimilarityQueries {
           } finally assigned.unpersist()
         } else assigned.select("vec_id", "cid").write.mode("append")
           .parquet(sinkDir)
-    }
+    } finally Seq(gCent, gSup, gRouted).filter(_ != null)
+      .foreach(_.unpersist(false))
   }
 
   /** Streaming PQ ingest (q_stream_pq_ingest body; shared with
@@ -2978,17 +3007,53 @@ object SimilarityQueries {
     }
     var baseline =
       if (monitor) IndexStore.baselineAt(s, pqPath) else 0.0
-    runVecStream(s, feedDir, sinkDir, name) { (batch, batchId) =>
+    // Snapshot-gated per-stream caches (r16): every trigger re-resolves
+    // the two tables' VERSIONS (one driver-side log listing each — the
+    // per-batch snapshot-refresh discipline is unchanged), but the
+    // centroid/codebook reads, their executor-side persist, and the
+    // derived scalars (nlist, construction tag) re-run only when a
+    // commit actually MOVED a table — exactly when a re-read can see
+    // anything new (the heal retrain and appendToIndex commits bump the
+    // version, so they re-read as before). Plain-parquet rehearsal
+    // layouts have no version: versionOf answers None and every batch
+    // re-reads — the pre-r16 behavior. Steady-state triggers skip the
+    // redundant Delta metadata scans, the dominant per-batch cost on a
+    // tiny batch (and at ANY batch size they are pure overhead).
+    var gatedIvfVer: Option[Long] = null
+    var gatedPqVer: Option[Long] = null
+    var gCent: DataFrame = null
+    var gNlist = -1L
+    var gCodebook: DataFrame = null
+    var gResidual = false
+    def refreshGated(bs: SparkSession): Unit = {
+      val iv = IndexStore.versionOf(bs, ivfPath)
+      if (gatedIvfVer == null || iv.isEmpty || iv != gatedIvfVer) {
+        if (gCent != null) gCent.unpersist(false)
+        gCent = IndexStore.centroidsAt(bs, ivfPath).persist()
+        gNlist = IndexStore.relRowCount(bs, ivfPath,
+          IndexStore.CentroidRel).getOrElse(-1L)
+        gatedIvfVer = iv
+      }
+      val pv = IndexStore.versionOf(bs, pqPath)
+      if (gatedPqVer == null || pv.isEmpty || pv != gatedPqVer) {
+        if (gCodebook != null) gCodebook.unpersist(false)
+        gCodebook = IndexStore.codebookAt(bs, pqPath).persist()
+        // the index's stored construction decides what the batch
+        // encodes (raw vectors, or residuals against the assigned
+        // centroid) — read from the table's meta tag, never assumed,
+        // so a stream pointed at a residual index can never mix raw
+        // codes in
+        gResidual = constructionOf(bs, pqPath) == ConstructionResidual
+        gatedPqVer = pv
+      }
+    }
+    try runVecStream(s, feedDir, sinkDir, name) { (batch, batchId) =>
       val bs = batch.sparkSession
-      val cent = IndexStore.centroidsAt(bs, ivfPath)
-      val codebook = IndexStore.codebookAt(bs, pqPath)
-      val nlist = IndexStore.relRowCount(bs, ivfPath,
-        IndexStore.CentroidRel).getOrElse(-1L)
-      // the index's stored construction decides what the batch encodes
-      // (raw vectors, or residuals against the assigned centroid) —
-      // read from the table's meta tag per batch, never assumed, so a
-      // stream pointed at a residual index can never mix raw codes in
-      val residual = constructionOf(bs, pqPath) == ConstructionResidual
+      refreshGated(bs)
+      val cent = gCent
+      val codebook = gCodebook
+      val nlist = gNlist
+      val residual = gResidual
       // ONE definition of the nearest-centroid rule (assignTo); the
       // feed carries the vector's real label, stored in the sink row
       val cids = assignTo(batch, cent, nlist, shape.dim)
@@ -3077,6 +3142,9 @@ object SimilarityQueries {
           }
         }
       } finally if (monitor) batch.unpersist()
+    } finally {
+      if (gCent != null) gCent.unpersist(false)
+      if (gCodebook != null) gCodebook.unpersist(false)
     }
   }
 
