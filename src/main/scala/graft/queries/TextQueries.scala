@@ -197,6 +197,31 @@ object TextQueries {
     (0 until SimhashSubBits).map(i =>
       when(col(s"$pfx$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** PACKED vote aggregation (r16): 3 per-bit ones-counts ride each
+    * 64-bit sum in 21-bit lanes, so the signature aggregation runs
+    * ceil(bits/3) sum() expressions instead of one per bit (60 → 20
+    * for the 60-bit signature; the aggregate update loop is linear in
+    * expression count). vote_i > 0  ⇔  2·ones_i > n with n the doc's
+    * token count, so the unpacked signature is bit-identical to the
+    * ±1-vote form. Lane width bounds one doc at 2^21-1 = 2,097,151
+    * tokens (~12 MB of text) — far past any real document; a corpus
+    * that legitimately carries longer docs must split them upstream
+    * (the same assumption every per-doc aggregation here makes). */
+  private def simhashPackedVoteAggs(h: String, pfx: String,
+      bits: Int = SimhashSubBits): Seq[Column] =
+    (0 until bits).grouped(3).toSeq.zipWithIndex.map { case (bs, g) =>
+      sum(expr(bs.zipWithIndex.map { case (b, lane) =>
+        s"((($h >> $b) & 1) << ${lane * 21})"
+      }.mkString(" + "))).as(s"$pfx$g")
+    }
+  private def simhashSigColPacked(pfx: String, n: Column,
+      bits: Int = SimhashSubBits): Column =
+    (0 until bits).map { i =>
+      val ones = shiftright(col(s"$pfx${i / 3}"), (i % 3) * 21)
+        .bitwiseAND(lit((1L << 21) - 1))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
   private def simhashVoteSqls(h: String, pfx: String): String =
     (0 until SimhashSubBits).map(i =>
       s"sum(CASE WHEN ($h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS $pfx$i")
@@ -204,6 +229,21 @@ object TextQueries {
   private def simhashSigSql(pfx: String): String =
     (0 until SimhashSubBits).map(i =>
       s"(CASE WHEN $pfx$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  /** The r15 ±1-vote signature aggregation (one sum per bit) — kept as
+    * the value-identity + timing reference for the packed form
+    * (tools.SimhashProbe pins them equal). */
+  private[graft] def simhashSignaturesVotes(s: SparkSession,
+      dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), hashCol(col("tok")).as("h1"),
+        hashCol(concat(col("tok"), lit("#"))).as("h2"))
+    val aggs = simhashVoteAggs("h1", "a") ++ simhashVoteAggs("h2", "b")
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), simhashSigCol("a").as("sig1"),
+        simhashSigCol("b").as("sig2"))
+  }
 
   /** 60-bit SimHash signature per document (doc_id, sig1, sig2) — the
     * candidate-free half of q_simhash_near_dup, exposed so TextSpec can
@@ -213,10 +253,14 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), hashCol(col("tok")).as("h1"),
         hashCol(concat(col("tok"), lit("#"))).as("h2"))
-    val aggs = simhashVoteAggs("h1", "a") ++ simhashVoteAggs("h2", "b")
+    // packed vote lanes: 21 aggregates instead of 61 (see
+    // simhashPackedVoteAggs; bit-identical signatures)
+    val aggs = simhashPackedVoteAggs("h1", "a") ++
+      simhashPackedVoteAggs("h2", "b") :+ count(lit(1)).as("n")
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), simhashSigCol("a").as("sig1"),
-        simhashSigCol("b").as("sig2"))
+      .select(col("doc_id"),
+        simhashSigColPacked("a", col("n")).as("sig1"),
+        simhashSigColPacked("b", col("n")).as("sig2"))
   }
 
   /** DuckDB CTE chain `sigs -> bands0 -> bands` (capped LSH band rows),
@@ -814,6 +858,12 @@ object TextQueries {
          |GROUP BY s.doc_id
          |HAVING count(*) >= 5
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // r16 note: a zip-shingler + distinct variant (map-side partial
+      // dedup, no token window) measured ~0.3-0.4 s SLOWER here than
+      // this lead-window relation — same direction as the jaccard
+      // finding: when the downstream is distinct-then-join, the
+      // window's doc_id exchange is reused by the distinct and the
+      // zip form just trades it for a (doc_id, h) exchange. Kept lead.
       val sh = ngramShingleSetsLead(s, dir).select("doc_id", "h")
       val evalH = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
       sh.where(col("doc_id") % 97 =!= 0)
@@ -1064,15 +1114,13 @@ object TextQueries {
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), hashCol(col("tok")).as("h"))
-      val votes = toks.groupBy("doc_id").agg(
-        (0 until 16).map(i =>
-          sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i")).head,
-        (0 until 16).map(i =>
-          sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i")).tail: _*)
-      votes.select(col("doc_id"),
-        (0 until 16).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      // packed vote lanes: 7 aggregates instead of 16 (see
+      // simhashPackedVoteAggs; bit-identical signature)
+      val aggs = simhashPackedVoteAggs("h", "s", bits = 16) :+
+        count(lit(1)).as("n")
+      toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          simhashSigColPacked("s", col("n"), bits = 16).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -1674,7 +1722,9 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
           sort_array(collect_list(struct(col("pos"), col("tok")))).as("pt"))
         .withColumn("chunk_hash",
-          md5(array_join(expr("transform(pt, x -> x.tok)"), " ")
+          // pt.tok = GetArrayStructFields (codegen) — the transform
+          // lambda it replaces ran interpreted (r16)
+          md5(array_join(col("pt.tok"), " ")
             .cast(BinaryType)))
         .drop("pt")
       val dup = chunks.groupBy("chunk_hash")

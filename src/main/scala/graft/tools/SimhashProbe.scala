@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Stage decomposition of q_simhash_near_dup (r16): which of the three
   * shuffle stages — 60-vote signature aggregation, capped banding, pair
@@ -29,9 +30,21 @@ object SimhashProbe {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     graft.SparkEntry.queries("q_simhash_near_dup")(spark, sfDir).count()
 
-    time("sigsOnly") {
-      graft.queries.TextQueries.simhashSignatures(spark, sfDir).count()
-    }
+    // packed (shipped) vs ±1-vote (r15) signature aggregation, value
+    // identity + interleaved timing in ONE JVM (cross-JVM medians on
+    // this host wobble ±0.3 s)
+    val packed = graft.queries.TextQueries.simhashSignatures(spark, sfDir)
+    val votes = graft.queries.TextQueries.simhashSignaturesVotes(spark, sfDir)
+    val diff = packed.exceptAll(votes).count() +
+      votes.exceptAll(packed).count()
+    println(s"[simhash] packed-vs-votes identity: diff=$diff (must be 0)")
+    require(diff == 0)
+    // force the signature columns (a bare count() would let Catalyst
+    // prune the aggregates)
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("sig1") + col("sig2"))).count()
+    time("sigs/votes(r15)") { force(votes) }
+    time("sigs/packed") { force(packed) }
     time("fullQuery") {
       graft.SparkEntry.queries("q_simhash_near_dup")(spark, sfDir).count()
     }
