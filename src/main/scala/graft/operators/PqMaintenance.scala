@@ -218,7 +218,7 @@ object PqMaintenance {
     val toEncode =
       if (SimilarityQueries.constructionOf(s, pqPath) ==
           SimilarityQueries.ConstructionResidual)
-        SimilarityQueries.residualsAgainst(moved, cids, cent)
+        SimilarityQueries.residualsAgainst(moved, cids, cent, shape.dim)
       else moved
     val reEncoded = SimilarityQueries.pqEncode(toEncode,
       IndexStore.codebookAt(s, pqPath), cids, shape, packed = packed,

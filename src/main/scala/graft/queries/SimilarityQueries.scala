@@ -2092,7 +2092,8 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cid"))
     val cb = IndexStore.codebookAt(s, pqPath)
     val toEncode = constructionOf(s, pqPath) match {
-      case ConstructionResidual => residualsAgainst(batch, cids, cent)
+      case ConstructionResidual =>
+        residualsAgainst(batch, cids, cent, shape.dim)
       case _ => batch
     }
     IndexStore.append(s, pqPath, Seq(IndexStore.DataRel ->
@@ -2113,12 +2114,17 @@ object SimilarityQueries {
   /** Same, against explicit (vec_id, cid) and (cid, cv) relations —
     * shared with the PqResidualProbe rehearsal. */
   private[graft] def residualsAgainst(emb: DataFrame, cids: DataFrame,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame, dim: Int = Dim): DataFrame =
     emb.join(cids, Seq("vec_id"))
       .join(broadcast(centroids), Seq("cid"))
       .select(col("vec_id"), col("label"),
-        expr("zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) - c)")
-          .as("embedding"))
+        // unrolled element-wise subtraction (same arithmetic + op
+        // order as the zip_with lambda it replaces — CAST(x) - cv per
+        // dimension — but ordinary codegen expressions; zip_with runs
+        // INTERPRETED per row, a real CPU tax on a full-corpus encode)
+        array((1 to dim).map(i =>
+          element_at(col("embedding"), i).cast(DoubleType) -
+            element_at(col("cv"), i)): _*).as("embedding"))
 
   /** Residual IVFADC search: identical structure to [[annPqSearch]]
     * with the exact score decomposition `(<c, q> + ADC) / |x|` — the
@@ -3075,7 +3081,8 @@ object SimilarityQueries {
         // residual construction: quantize x - centroid(x); the stored
         // norm stays the ORIGINAL vector's (normOf), the cosine rule
         val toEncode =
-          if (residual) residualsAgainst(batch, cids, cent) else batch
+          if (residual) residualsAgainst(batch, cids, cent, shape.dim)
+          else batch
         val encoded = pqEncode(toEncode, codebook, cids, shape,
           packed = packed, normOf = Some(batch))
         // appendToIndex writes `encoded` twice (sink + index append) —
@@ -3129,7 +3136,8 @@ object SimilarityQueries {
             val hCids = h.cids(bs)
             if (residual)
               pqRetrainAndReEncode(bs,
-                residualsAgainst(corpus, hCids, cent), pqPath, hCids,
+                residualsAgainst(corpus, hCids, cent, shape.dim),
+                pqPath, hCids,
                 shape, packed = packed,
                 construction = ConstructionResidual,
                 normOf = Some(corpus))

@@ -97,7 +97,7 @@ object PqResidualProbe {
         }
         time(s"k=$kCodes RESIDUAL train+encode (packed)") {
           val resid = SimilarityQueries
-            .residualsAgainst(corpus, cids, centroids)
+            .residualsAgainst(corpus, cids, centroids, shape.dim)
           SimilarityQueries.pqTrainCodebooks(resid, shape).coalesce(1)
             .write.parquet(SimilarityQueries.pqCodebooksPath(resPath))
           SimilarityQueries.pqEncode(resid,
