@@ -1413,11 +1413,11 @@ object TextQueries {
     // adjacent-token-pair frequency, top-k — the merge-candidate
     // statistic at the core of BPE/WordPiece vocabulary induction
     // (tokenizer training is a corpus pipeline stage too). Shape:
-    // map-side posexplode + per-doc lead window (the shingleHashes
-    // pairing, kept as strings), then ONE partial-aggregated count and
-    // a TakeOrdered top-k — no global sort of the pair relation at any
-    // corpus size. Ties at the cut are broken by (tok, nxt) so the
-    // top-k is a deterministic total order on both engines.
+    // row-local zip bigrams (the shingleHashes pairing, kept as
+    // strings), then ONE partial-aggregated count and a TakeOrdered
+    // top-k — no global sort of the pair relation at any corpus size.
+    // Ties at the cut are broken by (tok, nxt) so the top-k is a
+    // deterministic total order on both engines.
     Q("q_bpe_pairs",
       """WITH toks AS (
         |  SELECT string_split(text, ' ')[i] AS tok,
@@ -1429,12 +1429,17 @@ object TextQueries {
         |WHERE nxt IS NOT NULL
         |GROUP BY tok, nxt
         |ORDER BY n DESC, tok, nxt LIMIT 20""".stripMargin) { (s, dir) =>
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      // r16: zip bigrams (row-local codegen — see shingleHashes). The
+      // lead-window form paid a full token shuffle whose partitioning
+      // nothing downstream reused (the count groups by (tok, nxt), not
+      // doc_id); now the pair count partial-aggregates map-side.
       load(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead("tok", 1).over(byDoc))
-        .where(col("nxt").isNotNull)
+        .select(split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 2)
+        .select(explode(arrays_zip(
+          expr("slice(ts, 1, size(ts) - 1)").as("tok"),
+          expr("slice(ts, 2, size(ts) - 1)").as("nxt"))).as("z"))
+        .select(col("z.tok").as("tok"), col("z.nxt").as("nxt"))
         .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok"), asc("nxt"))
         .limit(20)
