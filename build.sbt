@@ -12,6 +12,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r17): the forked run's stdout must reach the
+// parent UNPREFIXED — sbt's default LoggedOutput decorates every line
+// with "[info] ", which broke the driver's JSON parse of the bench
+// headline in rounds 1-16 (BENCH_rNN.json: parsed=null throughout).
+run / outputStrategy := Some(StdoutOutput)
+// ... and the headline must be the LAST stdout line: sbt's
+// "[success] Total time: ..." banner otherwise lands after it inside
+// the driver's tail buffer.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -172,8 +172,34 @@ object Bench {
       else Nil
       (shown ++ more).mkString("{", ",", "}")
     }
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","samples":$samples,"warmup_passes":1,"passes_total":${samples + 1},"sampling":"interleaved_passes_warm_discard","n_queries":${results.length},"n_errors":${failed.length},"spread_flags":$headSpread,"ambient_passes":$ambientJson,"errors":$headErrs}""")
+    // HARD line budget (r17): the round-16 driver artifact proved the
+    // headline can outgrow the ~2000-char stdout tail — under contention
+    // the spread_flags map plus 8 truncated error messages pushed the
+    // line past the buffer and it arrived DECAPITATED (BENCH_r16.json's
+    // tail begins mid-JSON). The contract fields (metric/value/unit/
+    // stable_total/queries/sf/n_queries/n_errors) are printed
+    // unconditionally — the queries map is the driver's per-query
+    // round-over-round comparison and must never lose entries — and the
+    // purely diagnostic fields append ONLY while the line stays under
+    // the budget, so a noisy run degrades to fewer diagnostics on
+    // stdout (all of them always live in target/bench_full.json), never
+    // to an unparseable line.
+    val headlineBudget = 1800
+    val base =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_total":${fmt(stableTotal)},"queries":$headQs,"sf":"$sfDir","n_queries":${results.length},"n_errors":${failed.length}"""
+    val optional = Seq(
+      s""""samples":$samples""",
+      s""""warmup_passes":1,"passes_total":${samples + 1}""",
+      s""""sampling":"interleaved_passes_warm_discard"""",
+      s""""errors":$headErrs""",
+      s""""ambient_passes":$ambientJson""",
+      s""""spread_flags":$headSpread""")
+    val line = optional.foldLeft(base) { (acc, field) =>
+      if (acc.length + 1 + field.length + 1 <= headlineBudget)
+        acc + "," + field
+      else acc
+    } + "}"
+    println(line)
     spark.stop()
     // failures are surfaced as the "errors" map + -1 markers in BOTH
     // artifacts and a stderr line per query; exit stays 0 so the driver
