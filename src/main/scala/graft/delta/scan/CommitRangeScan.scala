@@ -58,7 +58,10 @@ object CommitRangeScan {
           val rel = a.get("path").asText()
           files.remove(rel) // last add for a path wins
           files.put(rel, DeltaScan.ScanFile(rel,
-            Replay.partitionValuesOf(a), Replay.dvDescriptorOf(a)))
+            Replay.partitionValuesOf(a), Replay.dvDescriptorOf(a),
+            if (a.has("size")) a.get("size").asLong(-1L) else -1L,
+            if (a.has("modificationTime"))
+              a.get("modificationTime").asLong(-1L) else -1L))
         }
       }
     }
@@ -308,7 +311,10 @@ object CommitRangeScan {
           val a = n.get("add")
           adds.put(a.get("path").asText(), DeltaScan.ScanFile(
             a.get("path").asText(),
-            Replay.partitionValuesOf(a), Replay.dvDescriptorOf(a)))
+            Replay.partitionValuesOf(a), Replay.dvDescriptorOf(a),
+            if (a.has("size")) a.get("size").asLong(-1L) else -1L,
+            if (a.has("modificationTime"))
+              a.get("modificationTime").asLong(-1L) else -1L))
         }
         if (n.has("remove") &&
             Option(n.get("remove").get("dataChange")).forall(_.asBoolean())) {

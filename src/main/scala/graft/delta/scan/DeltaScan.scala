@@ -28,10 +28,15 @@ import graft.delta.log.LogSegment
   */
 object DeltaScan {
 
+  /** `size`/`modTime` are the log-recorded FileStatus halves (AddFile
+    * carries both per the protocol); -1 = unknown, which drops that
+    * scan back to the listing path. */
   final case class ScanFile(
       relPath: String,
       partitionValues: Map[String, String],
-      dv: Option[DeletionVectorDescriptor])
+      dv: Option[DeletionVectorDescriptor],
+      size: Long = -1L,
+      modTime: Long = -1L)
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -125,13 +130,16 @@ object DeltaScan {
       withFileColumn: Boolean = false,
       withRowIndex: Boolean = false): DataFrame = {
     val scanFiles: Seq[ScanFile] = prunedFiles(snapshot, filters)
-      .select("path", "partitionValues", "deletionVector")
+      .select("path", "partitionValues", "deletionVector", "size",
+        "modificationTime")
       .collect().toSeq.map { r =>
         ScanFile(
           r.getAs[String]("path"),
           Option(r.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty),
-          Option(r.getAs[Row]("deletionVector")).map(parseDv))
+          Option(r.getAs[Row]("deletionVector")).map(parseDv),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
       }
     assemble(snapshot, scanFiles, filters, withFileColumn, withRowIndex)
   }
@@ -234,9 +242,27 @@ object DeltaScan {
     val normalScanFiles =
       scanFiles.filterNot(f => surgical.contains(normalize(abs(f.relPath))))
 
-    var df = spark.read
-      .schema(physicalDataSchema)
-      .parquet(normalScanFiles.map(f => abs(f.relPath).toString): _*)
+    // the log IS the file inventory: when every surviving file carries
+    // its log-recorded (size, mtime) — the protocol requires both — the
+    // scan relation is built directly over those statuses, so planning
+    // does ZERO filesystem listing/stat calls (spark.read.parquet would
+    // re-stat every path per scan, and past 32 paths launch a
+    // distributed listing job per read — the k-NN join family's driver
+    // floor, r17). Files lacking a recorded status (foreign writers)
+    // fall back to the listing read.
+    // measurement escape hatch (tools only): force the old listing
+    // path so the A/B is reproducible — not a tuning knob
+    val forceListing = sys.env.contains("GRAFT_SCAN_FORCE_LISTING")
+    val statusesKnown = !forceListing &&
+      normalScanFiles.forall(f => f.size >= 0 && f.modTime >= 0)
+    var df =
+      if (statusesKnown && normalScanFiles.nonEmpty)
+        org.apache.spark.sql.graftshim.Shims.parquetScanFromStatuses(
+          spark, physicalDataSchema,
+          normalScanFiles.map(f => (abs(f.relPath), f.size, f.modTime)))
+      else spark.read
+        .schema(physicalDataSchema)
+        .parquet(normalScanFiles.map(f => abs(f.relPath).toString): _*)
 
     val helperCols = Seq.newBuilder[Column]
     if (needPart || needDv || withFileColumn)
