@@ -165,6 +165,100 @@ object TextQueries {
     ngramJaccardFinish(pairs)
   }
 
+  /** Per-doc DISTINCT shingle set + size in ONE exchange (r17): zip
+    * shingles (row-local, codegen), then groupBy(doc_id, source) with a
+    * map-side-partial collect_set — the dedup AND the set size ride the
+    * same aggregation, where the lead-window form paid a token-stream
+    * window sort, a distinct exchange and a second doc_id window for
+    * the same three facts. Output: (doc_id, source, sz, h) with sz the
+    * FULL distinct-set size (pre-cap, as the oracle's sh CTE defines). */
+  private[graft] def ngramShingleSetsGrouped(s: SparkSession,
+      dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(arrays_zip(
+        expr("slice(ts, 1, size(ts) - 1)").as("w1"),
+        expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("z"))
+      .select(col("doc_id"), col("source"),
+        hashCol(concat(col("z.w1"), lit(" "), col("z.w2"))).as("h"))
+      .groupBy("doc_id", "source")
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), col("source"), size(col("hs")).as("sz"),
+        explode(col("hs")).as("h"))
+
+  /** Postings-list jaccard over the grouped zip shingler with CODEGEN
+    * pair explode (r17): groupBy (source, h) builds the bounded posting
+    * list, the stop-shingle cap is the same size() predicate (lists of
+    * 1 generate no pairs, so between(2, cap) ≡ the oracle's ≤ cap), and
+    * pairs come out as two chained Generates (posexplode + runtime-
+    * start slice explode — the minhashBandPairs pattern), never an
+    * interpreted transform lambda. No windows, no self-join: 4
+    * exchanges end to end (sets, postings, pair agg, final sort). */
+  private[graft] def ngramJaccardPostingsZip(s: SparkSession,
+      dir: String): DataFrame = {
+    val postings = ngramShingleSetsGrouped(s, dir)
+      .groupBy("source", "h")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz"))))
+        .as("ds"))
+      .where(size(col("ds")).between(2, StopShingleMax))
+    val pairs = postings
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+    ngramJaccardFinish(pairs)
+  }
+
+  /** Streamed self-join jaccard over the grouped zip sets, keeping the
+    * WINDOW stop-shingle cap (r17): the (source, h) window materializes
+    * the one exchange BOTH self-join sides then reuse — the cap is an
+    * exchange-sharing device, not just a filter (the broadcast-anti-
+    * join cap variant measured 2x slower for exactly this reason: its
+    * join sides each rebuilt the stream). vs the shipped lead form this
+    * drops the token-stream window sort, the distinct exchange and the
+    * per-doc sz window — the grouped sets deliver dedup + sz in one
+    * aggregation. */
+  private[graft] def ngramJaccardStreamedGrouped(s: SparkSession,
+      dir: String): DataFrame = {
+    val capped = ngramShingleSetsGrouped(s, dir)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("source", "h")))
+      .where(col("cnt") <= StopShingleMax)
+    val a = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_a"), col("sz").as("sza"))
+    val b = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_b"), col("sz").as("szb"))
+    val pairs = a.join(b, Seq("source", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sza", "szb")
+    ngramJaccardFinish(pairs)
+  }
+
+  /** Streamed self-join jaccard with the window-free cap (r17): the
+    * stop-shingle filter is a groupBy(source, h) count of the grouped
+    * zip stream, kept only where it EXCEEDS the cap (a tiny hot list —
+    * boilerplate shingles are rare by definition), broadcast anti-joined
+    * back. The grouped-sets exchange is shared by the hot-list branch
+    * and both join sides, so nothing sorts the full shingle stream. */
+  private[graft] def ngramJaccardGroupedZip(s: SparkSession,
+      dir: String): DataFrame = {
+    val sets = ngramShingleSetsGrouped(s, dir)
+    val hot = sets.groupBy("source", "h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > StopShingleMax)
+      .select("source", "h")
+    val capped = sets.join(broadcast(hot), Seq("source", "h"), "left_anti")
+    val a = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_a"), col("sz").as("sza"))
+    val b = capped.select(col("source"), col("h"),
+      col("doc_id").as("doc_b"), col("sz").as("szb"))
+    val pairs = a.join(b, Seq("source", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sza", "szb")
+    ngramJaccardFinish(pairs)
+  }
+
   private val shingleHashesSql: String =
     s"""SELECT doc_id, ${hashSql("shingle")} AS h FROM (
        |  SELECT doc_id,
@@ -215,13 +309,28 @@ object TextQueries {
         s"((($h >> $b) & 1) << ${lane * 21})"
       }.mkString(" + "))).as(s"$pfx$g")
     }
+  /** Max per-doc token count a 21-bit packed lane can count without
+    * carrying into its neighbor. */
+  private[graft] val SimhashLaneMax = (1L << 21) - 1
   private def simhashSigColPacked(pfx: String, n: Column,
-      bits: Int = SimhashSubBits): Column =
-    (0 until bits).map { i =>
+      bits: Int = SimhashSubBits): Column = {
+    val sig = (0 until bits).map { i =>
       val ones = shiftright(col(s"$pfx${i / 3}"), (i % 3) * 21)
         .bitwiseAND(lit((1L << 21) - 1))
       when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // Lane-overflow guard (r17, ADVICE r16): past 2^21-1 tokens a lane's
+    // ones-count carries into the adjacent lane and the signature is
+    // silently WRONG — fail loudly instead. The per-doc count n is
+    // already aggregated in the same groupBy, so the guard is one
+    // codegen conditional per output row (one per DOC, not per token);
+    // raise_error's branch is never taken on in-bound data, so valid
+    // results are bit-for-bit unchanged.
+    when(n > SimhashLaneMax, raise_error(concat(
+      lit("simhash packed-lane overflow: doc has "), n.cast(StringType),
+      lit(s" tokens > $SimhashLaneMax — split oversized docs upstream"))))
+      .otherwise(sig)
+  }
   private def simhashVoteSqls(h: String, pfx: String): String =
     (0 until SimhashSubBits).map(i =>
       s"sum(CASE WHEN ($h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS $pfx$i")
@@ -248,8 +357,14 @@ object TextQueries {
   /** 60-bit SimHash signature per document (doc_id, sig1, sig2) — the
     * candidate-free half of q_simhash_near_dup, exposed so TextSpec can
     * brute-force the pigeonhole completeness guarantee against it. */
-  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = load(s, dir, "documents")
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    simhashSignaturesOf(load(s, dir, "documents"))
+
+  /** The packed-lane signature aggregation over an explicit docs frame
+    * — split out so the lane-overflow guard is testable against a
+    * synthetic over-long document (TextSpec). */
+  private[graft] def simhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), hashCol(col("tok")).as("h1"),
         hashCol(concat(col("tok"), lit("#"))).as("h2"))
@@ -284,8 +399,14 @@ object TextQueries {
     * shared by the bucket builder and the scale-rehearsal audit, which
     * measures the bucket-size distribution the cap has to absorb. */
   private[graft] def minhashBandsForAudit(s: SparkSession,
-      dir: String): DataFrame = {
-    val sigs = shingleHashes(load(s, dir, "documents"))
+      dir: String): DataFrame =
+    minhashBandsFrom(shingleHashes(load(s, dir, "documents")))
+
+  /** Bands from an EXPLICIT (doc_id, h) shingle stream — probe access
+    * (tools.AmbigProbe A/Bs the zip vs lead shingler through the full
+    * q_dup_clusters body). */
+  private[graft] def minhashBandsFrom(sh: DataFrame): DataFrame = {
+    val sigs = sh
       .groupBy("doc_id")
       .agg(minhashAggs.head, minhashAggs.tail: _*)
     sigs.select(col("doc_id"), explode(array(
@@ -355,8 +476,12 @@ object TextQueries {
   private[graft] def minhashBucketsForAudit(s: SparkSession,
       dir: String): DataFrame = minhashBuckets(s, dir)
 
-  private def minhashBuckets(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBandsForAudit(s, dir)
+  private def minhashBuckets(s: SparkSession, dir: String): DataFrame =
+    minhashBucketsFrom(s, minhashBandsForAudit(s, dir))
+
+  /** Capped buckets from an EXPLICIT band relation (probe access). */
+  private[graft] def minhashBucketsFrom(s: SparkSession,
+      bands: DataFrame): DataFrame = {
     // cap WHILE collecting: one shuffle clusters each bucket into a
     // contiguous doc_id-sorted run, and a streaming pass accumulates at
     // most BandBucketMax ids before discarding the bucket — task state
@@ -375,6 +500,27 @@ object TextQueries {
           .map { case ((b, k1, k2), ds) => (b, k1, k2, ds) }
       }
       .toDF("band", "k1", "k2", "ds")
+  }
+
+  /** q_dup_clusters body over an explicit bucket relation.
+    * Connectivity-equivalent star compression: a bucket of docs
+    * {d1..dk} is a clique in candidate-pair space, but for component
+    * labeling the spanning star (di -> bucket min) carries the same
+    * connectivity with k-1 edges instead of k(k-1)/2 — and hands the
+    * CC loop pre-contracted stars, so it converges in fewer rounds.
+    * Probe access (tools.AmbigProbe) so the r16 shingler change can be
+    * adjudicated through the full query. */
+  private[graft] def dupClustersFromBuckets(s: SparkSession,
+      buckets: DataFrame): DataFrame = {
+    val stars = buckets
+      .select(explode(col("ds")).as("u"), array_min(col("ds")).as("v"))
+      .where(col("u") =!= col("v"))
+    graft.operators.ConnectedComponents.components(s, stars)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
   }
 
   /** Streaming per-group cap over a key-clustered, key-sorted pair
@@ -715,6 +861,16 @@ object TextQueries {
         |FROM toks t JOIN tokdf d ON t.tok = d.tok
         |GROUP BY t.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Shape KEPT as countDistinct + instance-level broadcast join
+      // (r17, measured): the one-token-pass rewrite (pre-aggregate to
+      // (doc_id, tok, tf), df = grouped rows per tok, sum(df·tf)
+      // reconstruction — value-identical, diff=0) measured SLOWER in an
+      // interleaved in-JVM A/B (tools.DocRarityProbe: old 0.42 s vs new
+      // 0.47 s median of 7 at sf0.1): token frequencies here are ≈1, so
+      // the (doc_id, tok) pre-aggregation barely shrinks the stream and
+      // its extra aggregation costs more than the second explode pass
+      // it saves. The rarity side is already a BroadcastHashJoin chosen
+      // by size (guide §3.1 — plans/r17/q_doc_rarity_before.txt).
       val toks = load(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tokdf = toks.groupBy("tok")
@@ -1076,20 +1232,7 @@ object TextQueries {
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM label
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // connectivity-equivalent star compression: a bucket of docs
-      // {d1..dk} is a clique in candidate-pair space, but for component
-      // labeling the spanning star (di -> bucket min) carries the same
-      // connectivity with k-1 edges instead of k(k-1)/2 — and hands the
-      // CC loop pre-contracted stars, so it converges in fewer rounds
-      val stars = minhashBuckets(s, dir)
-        .select(explode(col("ds")).as("u"), array_min(col("ds")).as("v"))
-        .where(col("u") =!= col("v"))
-      graft.operators.ConnectedComponents.components(s, stars)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .orderBy("doc_id")
+      dupClustersFromBuckets(s, minhashBuckets(s, dir))
     },
 
     // SimHash: 16-bit signature from per-token hash bit votes

@@ -67,6 +67,29 @@ class TextSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("simhash packed lanes fail loudly past the 2^21-1 token bound") {
+    import spark.implicits._
+    // one doc with 2^21 DISTINCT tokens: the 21-bit ones-count lane
+    // would carry into its neighbor and corrupt the signature — the
+    // guard must surface that as an error, never as a plausible wrong
+    // signature. Distinct tokens keep each lane's ones-count near n/2,
+    // so the packed SUM itself stays under 2^63 and the guard (not
+    // ANSI's ARITHMETIC_OVERFLOW, which a single repeated token with a
+    // set high-lane bit trips first) is what fires.
+    val over = (TextQueries.SimhashLaneMax + 1).toInt
+    val big = Seq((1L, (0 until over).mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      TextQueries.simhashSignaturesOf(big).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("packed-lane overflow"), chain)
+    // an in-bound doc still computes (guard branch never taken)
+    val ok = Seq((2L, "a b c d")).toDF("doc_id", "text")
+    assert(TextQueries.simhashSignaturesOf(ok).count() == 1L)
+  }
+
   test("jaccard plan variants agree (postings vs streamed vs lead)") {
     val p = TextQueries.ngramJaccardPostings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -74,8 +97,14 @@ class TextSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val ld = TextQueries.ngramJaccardStreamedLead(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pz = TextQueries.ngramJaccardPostingsZip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gz = TextQueries.ngramJaccardGroupedZip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(p.toSeq == st.toSeq)
     assert(p.toSeq == ld.toSeq)
+    assert(p.toSeq == pz.toSeq)
+    assert(p.toSeq == gz.toSeq)
     assert(p.nonEmpty)
   }
 
