@@ -73,8 +73,12 @@ object IndexStore {
     * fall back to re-reading every time, the pre-r16 behavior). */
   def versionOf(s: SparkSession, path: String): Option[Long] =
     if (!isDeltaTable(path)) None
-    else Some(graft.delta.log.LogSegment.forTable(s,
-      new org.apache.hadoop.fs.Path(path)).version)
+    // an existing-but-empty _delta_log (mid-create race) makes
+    // forTable throw — degrade to None so gated readers fall back to
+    // the per-trigger re-read path instead of crashing the stream
+    // (ADVICE r16)
+    else scala.util.Try(graft.delta.log.LogSegment.forTable(s,
+      new org.apache.hadoop.fs.Path(path)).version).toOption
 
   /** Tag one relation's rows with (rel, pcid). Data rows partition by
     * their own cid; metadata rels land in the shared MetaPcid bucket. */

@@ -139,6 +139,36 @@ object SimilarityQueries {
         explode(expr("slice(vs, i + 2, size(vs) - i - 1)")).as("vec_b"))
       .distinct()
 
+  /** The pre-r16 nested-transform-lambda pair explode — kept as the
+    * value-identity + timing reference for the two-Generate form
+    * (tools.AmbigProbe adjudicates them through the full
+    * q_embed_near_dup body). */
+  private[graft] def embedCandidatesLambda(emb: DataFrame): DataFrame =
+    embedBuckets(emb)
+      .where(size(col("vs")).between(2, EmbedBucketMax))
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs) - i - 1), y ->
+          |    struct(x AS vec_a, y AS vec_b))))""".stripMargin)).as("p"))
+      .select("p.vec_a", "p.vec_b")
+      .distinct()
+
+  /** q_embed_near_dup's exact-cosine verify over an explicit candidate
+    * relation (probe access). */
+  private[graft] def embedNearDupVerify(emb: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val ea = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), norm(col("embedding")).as("na"))
+    val eb = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), norm(col("embedding")).as("nb"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .withColumn("cosine",
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= 0.2)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_sim_topk",
@@ -261,17 +291,7 @@ object SimilarityQueries {
       // (~400 codegen nodes) to dot + 2 column refs — same left-assoc
       // arithmetic, so values stay bit-identical to the oracle
       val emb = load(s, dir, "embeddings")
-      val cand = embedCandidates(emb)
-      val ea = emb.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), norm(col("embedding")).as("na"))
-      val eb = emb.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), norm(col("embedding")).as("nb"))
-      cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-        .withColumn("cosine",
-          dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .where(col("cosine") >= 0.2)
-        .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
+      embedNearDupVerify(emb, embedCandidates(emb))
     },
 
     // IVF ANN: centroids = deterministic seeds (vec_id % 50 == 0)
@@ -1789,14 +1809,28 @@ object SimilarityQueries {
     }.reduce(_ + _)
 
   /** One (vec_id, m, sv) row per subspace — sv as doubles so training
-    * means and ADC LUTs share one arithmetic domain with the oracle. */
+    * means and ADC LUTs share one arithmetic domain with the oracle.
+    * The fixture-width shape unrolls (dim element_at casts — measured
+    * fastest, and CodegenAudit-clean at dim 64); wide shapes build the
+    * identical values with sequence+slice+array-cast, whose generated
+    * code is O(1) in dim — the unrolled form's single method trips
+    * Janino's 64 KB limit past dim ~128 (tools.ResidualDimAudit) and
+    * would silently interpret the whole fused stage in production. */
   private[graft] def pqSubRows(df: DataFrame,
       shape: PqShape = DefaultPqShape): DataFrame =
-    df.select(col("vec_id"),
-      posexplode(array((0 until shape.m).map(m =>
-        array((0 until shape.subDim).map(i =>
-          element_at(col("embedding"), m * shape.subDim + i + 1)
-            .cast(DoubleType)): _*)): _*)).as(Seq("m", "sv")))
+    if (shape.dim <= ResidualUnrollDimMax)
+      df.select(col("vec_id"),
+        posexplode(array((0 until shape.m).map(m =>
+          array((0 until shape.subDim).map(i =>
+            element_at(col("embedding"), m * shape.subDim + i + 1)
+              .cast(DoubleType)): _*)): _*)).as(Seq("m", "sv")))
+    else
+      df.select(col("vec_id"), col("embedding"),
+        posexplode(expr(s"sequence(1, ${shape.dim}, ${shape.subDim})"))
+          .as(Seq("m", "off")))
+        .select(col("vec_id"), col("m"),
+          expr(s"CAST(slice(embedding, off, ${shape.subDim}) AS " +
+            "array<double>)").as("sv"))
 
   /** Nearest-codeword assignment of sub-vector rows against a codebook:
     * broadcast the (PqM x PqK)-row codebook, min_by over the squared
@@ -2057,7 +2091,8 @@ object SimilarityQueries {
         val batch = emb.where(col("vec_id") % 10 === 7)
         val cent = IndexStore.centroidsAt(s, ivfPath)
         val cids = pqCids(s, ivfPath)
-        val baseResid = residualsAgainst(base, cids, cent).localCheckpoint()
+        val baseResid =
+          residualsAgainst(base, cids, cent, Dim).localCheckpoint()
         val cb = pqTrainCodebooks(baseResid).localCheckpoint()
         IndexStore.create(s, path, Seq(
           IndexStore.DataRel -> pqEncode(baseResid, cb, cids,
@@ -2109,22 +2144,41 @@ object SimilarityQueries {
   private def residualsOf(s: SparkSession, emb: DataFrame,
       ivfPath: String): DataFrame =
     residualsAgainst(emb, pqCids(s, ivfPath),
-      IndexStore.centroidsAt(s, ivfPath))
+      IndexStore.centroidsAt(s, ivfPath), Dim)
 
   /** Same, against explicit (vec_id, cid) and (cid, cv) relations —
-    * shared with the PqResidualProbe rehearsal. */
+    * shared with the PqResidualProbe rehearsal. `dim` is REQUIRED
+    * (ADVICE r16): the unrolled element_at form, unlike the zip_with
+    * lambda it replaced, silently truncates (or under ANSI mode throws
+    * on) vectors whose width differs from the assumed one — every
+    * caller must state the shape it is encoding. */
+  /** Widest vector the UNROLLED residual projection may codegen: the
+    * 2·dim element_at terms land in ONE generated method (whole-stage
+    * codegen cannot split expressions bound to join-output variables),
+    * and tools.ResidualDimAudit measured the JVM's 64 KB method limit
+    * tripping between dim 128 (compiles, fallback=false) and dim 192
+    * ("Code grows beyond 64 KB"). Past the bound a silent production
+    * fallback would interpret the ENTIRE fused stage — strictly worse
+    * than one interpreted lambda — so wide shapes take zip_with. */
+  private[graft] val ResidualUnrollDimMax = 128
   private[graft] def residualsAgainst(emb: DataFrame, cids: DataFrame,
-      centroids: DataFrame, dim: Int = Dim): DataFrame =
+      centroids: DataFrame, dim: Int): DataFrame =
     emb.join(cids, Seq("vec_id"))
       .join(broadcast(centroids), Seq("cid"))
       .select(col("vec_id"), col("label"),
         // unrolled element-wise subtraction (same arithmetic + op
-        // order as the zip_with lambda it replaces — CAST(x) - cv per
-        // dimension — but ordinary codegen expressions; zip_with runs
-        // INTERPRETED per row, a real CPU tax on a full-corpus encode)
-        array((1 to dim).map(i =>
-          element_at(col("embedding"), i).cast(DoubleType) -
-            element_at(col("cv"), i)): _*).as("embedding"))
+        // order as the zip_with lambda — CAST(x) - cv per dimension —
+        // but ordinary codegen expressions; zip_with runs INTERPRETED
+        // per row, a real CPU tax on a full-corpus encode). Wide
+        // shapes (dim > ResidualUnrollDimMax) keep the row-local
+        // zip_with: identical values, bounded method size.
+        (if (dim <= ResidualUnrollDimMax)
+          array((1 to dim).map(i =>
+            element_at(col("embedding"), i).cast(DoubleType) -
+              element_at(col("cv"), i)): _*)
+        else
+          expr("zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) - c)"))
+          .as("embedding"))
 
   /** Residual IVFADC search: identical structure to [[annPqSearch]]
     * with the exact score decomposition `(<c, q> + ADC) / |x|` — the
@@ -2889,7 +2943,13 @@ object SimilarityQueries {
       Seq(gCent, gSup, gRouted).filter(_ != null)
         .foreach(_.unpersist(false))
       gSup = null; gRouted = null
-      gCent = IndexStore.centroidsAt(bs, indexPath).persist()
+      // persist only when the layout is VERSIONED: an unversioned
+      // (plain-parquet rehearsal) layout refreshes every trigger, so
+      // caching would be a pure persist/unpersist cycle per batch the
+      // pre-r16 uncached path never paid (ADVICE r16)
+      def cached(df: DataFrame): DataFrame =
+        if (v.nonEmpty) df.persist() else df
+      gCent = cached(IndexStore.centroidsAt(bs, indexPath))
       // the centroid relation's row count comes from log stats (zero
       // data IO) and size-gates the assignment's broadcast per batch
       // — at production nlist the gate flips to the shuffle shape
@@ -2904,8 +2964,8 @@ object SimilarityQueries {
         IndexStore.relRowCount(bs, indexPath,
           IndexStore.SuperCentroidRel).exists(_ > 0)
       if (gTwoLevel) {
-        gSup = IndexStore.superCentroidsAt(bs, indexPath).persist()
-        gRouted = IndexStore.routedCentroidsAt(bs, indexPath).persist()
+        gSup = cached(IndexStore.superCentroidsAt(bs, indexPath))
+        gRouted = cached(IndexStore.routedCentroidsAt(bs, indexPath))
       }
       gatedVer = v
     }
@@ -3035,7 +3095,10 @@ object SimilarityQueries {
       val iv = IndexStore.versionOf(bs, ivfPath)
       if (gatedIvfVer == null || iv.isEmpty || iv != gatedIvfVer) {
         if (gCent != null) gCent.unpersist(false)
-        gCent = IndexStore.centroidsAt(bs, ivfPath).persist()
+        // unversioned (plain-parquet) layouts refresh every trigger —
+        // persisting would be pure per-batch cache churn (ADVICE r16)
+        gCent = IndexStore.centroidsAt(bs, ivfPath)
+        if (iv.nonEmpty) gCent = gCent.persist()
         gNlist = IndexStore.relRowCount(bs, ivfPath,
           IndexStore.CentroidRel).getOrElse(-1L)
         gatedIvfVer = iv
@@ -3043,7 +3106,8 @@ object SimilarityQueries {
       val pv = IndexStore.versionOf(bs, pqPath)
       if (gatedPqVer == null || pv.isEmpty || pv != gatedPqVer) {
         if (gCodebook != null) gCodebook.unpersist(false)
-        gCodebook = IndexStore.codebookAt(bs, pqPath).persist()
+        gCodebook = IndexStore.codebookAt(bs, pqPath)
+        if (pv.nonEmpty) gCodebook = gCodebook.persist()
         // the index's stored construction decides what the batch
         // encodes (raw vectors, or residuals against the assigned
         // centroid) — read from the table's meta tag, never assumed,

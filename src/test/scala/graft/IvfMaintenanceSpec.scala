@@ -1125,7 +1125,7 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val cent0 = IndexStore.centroidsAt(spark, ivfPath)
     val cids0 = IndexStore.data(spark, ivfPath).select("vec_id", "cid")
     val resid0 = SimilarityQueries
-      .residualsAgainst(corpus, cids0, cent0).localCheckpoint()
+      .residualsAgainst(corpus, cids0, cent0, vdim).localCheckpoint()
     val cb = SimilarityQueries.pqTrainCodebooks(resid0).localCheckpoint()
     IndexStore.create(spark, pqPath, Seq(
       IndexStore.DataRel -> SimilarityQueries.pqEncode(resid0, cb, cids0,

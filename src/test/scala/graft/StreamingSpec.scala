@@ -492,7 +492,8 @@ class StreamingSpec extends AnyFunSuite {
     // initial build via the idempotent hatch, declared residual: train
     // on residuals, store the ORIGINAL vectors' norms
     SimilarityQueries.pqRetrainAndReEncode(spark,
-      SimilarityQueries.residualsAgainst(baseDf, cidsOf(baseDf), cent),
+      SimilarityQueries.residualsAgainst(baseDf, cidsOf(baseDf), cent,
+        vdim),
       path, cidsOf(baseDf), packed = true,
       construction = SimilarityQueries.ConstructionResidual,
       normOf = Some(baseDf))
