@@ -44,6 +44,21 @@ object ProfileNgram {
     time("streamedLead") {
       graft.queries.TextQueries.ngramJaccardStreamedLead(spark, sfDir).count()
     }
+    // r17 candidates: grouped zip shingler (one-exchange sets), window-
+    // free cap + self-join vs postings + codegen pair explode
+    time("postingsZip") {
+      graft.queries.TextQueries.ngramJaccardPostingsZip(spark, sfDir).count()
+    }
+    time("groupedZip") {
+      graft.queries.TextQueries.ngramJaccardGroupedZip(spark, sfDir).count()
+    }
+    time("setsGrouped") {
+      graft.queries.TextQueries.ngramShingleSetsGrouped(spark, sfDir).count()
+    }
+    time("streamedGrp") {
+      graft.queries.TextQueries.ngramJaccardStreamedGrouped(spark, sfDir)
+        .count()
+    }
     println("--- streamed plan (look for ReusedExchange) ---")
     graft.queries.TextQueries.ngramJaccardStreamed(spark, sfDir)
       .explain("formatted")
