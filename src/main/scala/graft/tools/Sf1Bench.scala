@@ -30,8 +30,13 @@ object Sf1Bench {
   private final val Copies = 10
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // r17: core count from the env (default 32) so the 8c-vs-32c
+    // scaling pair can run at a scale where compute, not planning
+    // floor, dominates — the sf0.1 suite is sub-second per query and
+    // its core-count ratios measure driver latency, not serialness
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
